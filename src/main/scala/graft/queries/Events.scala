@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table — the batch mirrors of
+  * the Structured Streaming surface (graft.streaming wires the same
+  * aggregations to readStream). Timestamps are truncated to whole
+  * seconds/minutes in BOTH engines because the raw column is ns-precision
+  * and Spark reads parquet ns as µs while DuckDB keeps ns.
+  */
+object Events {
+
+  val all: Seq[Q] = Seq(
+    // tumbling-window aggregation (batch mirror of a watermarked
+    // groupBy(window(...)) streaming agg)
+    Q(
+      "qe1_minutely_rollup",
+      """SELECT date_trunc('minute', ts) AS minute_ts, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY minute_ts, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(
+          date_trunc("minute", col("ts")).as("minute_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_events") >= 3)
+        .orderBy(col("minute_ts"), col("event_type"))
+    },
+
+    // per-user ordered window functions: lag + running aggregate
+    Q(
+      "qe2_user_activity_gaps",
+      """SELECT user_id, n_events, distinct_types,
+        |       CAST(floor(avg_gap_s) AS BIGINT) AS avg_gap_s
+        |FROM (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         COUNT(DISTINCT event_type) AS distinct_types,
+        |         AVG(gap_s) AS avg_gap_s
+        |  FROM (
+        |    SELECT user_id, event_type,
+        |      date_diff('second',
+        |                lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                date_trunc('second', ts)) AS gap_s
+        |    FROM events)
+        |  GROUP BY user_id)
+        |WHERE n_events >= 5
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+        .withColumn("gap_s",
+          col("sec").cast(LongType) - lag(col("sec"), 1).over(w).cast(LongType))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("distinct_types"),
+          avg(col("gap_s")).as("avg_gap_raw"))
+        .filter(col("n_events") >= 5)
+        .withColumn("avg_gap_s", floor(col("avg_gap_raw")).cast(LongType))
+        .drop("avg_gap_raw")
+        .orderBy(col("user_id"))
+    },
+
+    // sessionization: 30-min inactivity gap → session id via windowed
+    // cumulative sum; the canonical "needs a window, not a groupBy" op
+    Q(
+      "qe3_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, date_trunc('second', ts) AS sec,
+        |    CASE WHEN date_diff('second',
+        |           lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           date_trunc('second', ts)) > 1800
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  date_diff('second', MIN(sec), MAX(sec)) AS duration_s
+        |FROM sessions GROUP BY user_id, session_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bySec = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+        .withColumn("prev", lag(col("sec"), 1).over(byTime))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            col("sec").cast(LongType) - col("prev").cast(LongType) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(bySec))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("sec")).cast(LongType) - min(col("sec")).cast(LongType)).as("duration_s"))
+        .filter(col("n_events") >= 3)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // event funnel: conditional aggregation per user bucketed by value
+    Q(
+      "qe4_type_value_matrix",
+      """SELECT event_type,
+        |  SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS small,
+        |  SUM(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS medium,
+        |  SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS large,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < 10, 1).otherwise(0)).as("small"),
+          sum(when(col("value") >= 10 && col("value") < 100, 1).otherwise(0)).as("medium"),
+          sum(when(col("value") >= 100, 1).otherwise(0)).as("large"),
+          min(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("min_value"),
+          max(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("max_value"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The relational query surface (SURVEY.md §2.9: "all of the relational
+  * machinery — joins, aggregations, windows, sorts, set ops — is
+  * Catalyst built-in"). These queries prove that surface end-to-end on
+  * the TPC-H-ish testdata and double as the bench headline set.
+  *
+  * Numeric policy for oracle exactness: money/quantity doubles are cast
+  * to DECIMAL before SUM (exact, order-independent) and the aggregate is
+  * cast back to DOUBLE — both Spark and DuckDB then produce bit-identical
+  * values. Averages are expressed as exact-sum / count in both engines.
+  * Every query ends in a total order so row order is deterministic.
+  */
+object Relational {
+
+  // exact decimal views of the money/qty columns
+  private def dec(c: String, p: Int = 18, s: Int = 2): Column =
+    col(c).cast(DecimalType(p, s))
+  private val oneMinusDisc: Column =
+    lit(1).cast(DecimalType(5, 2)) - dec("l_discount", 5, 2)
+  private val onePlusTax: Column =
+    lit(1).cast(DecimalType(5, 2)) + dec("l_tax", 5, 2)
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q01
+    Q(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+          sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("sum_disc_price"),
+          sum(dec("l_extendedprice") * oneMinusDisc * onePlusTax).cast(DoubleType).as("sum_charge"),
+          (sum(dec("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(dec("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---------------------------------------------------------------- q03
+    Q(
+      "q03_shipping_priority",
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+      // customer is the small side → broadcast; orders⨝lineitem shuffles
+      // on the join key which is also the aggregation key, so the agg
+      // reuses the join partitioning (one shuffle, no extra exchange).
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // ---------------------------------------------------------------- q04
+    Q(
+      "q04_priority_count",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val l = Tables.load(s, dir, "lineitem")
+      // EXISTS → left_semi join: no row multiplication, no dedup pass
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---------------------------------------------------------------- q05
+    Q(
+      "q05_local_supplier_volume",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      // dims (region/nation/supplier/customer) are tiny relative to the
+      // facts at every SF → broadcast them all; only orders⨝lineitem
+      // is a real shuffle.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---------------------------------------------------------------- q06
+    Q(
+      "q06_revenue_forecast",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      // pure scan+filter+agg: predicates push to the parquet reader
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(dec("l_extendedprice") * dec("l_discount", 5, 2)).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---------------------------------------------------------------- q07
+    Q(
+      "q07_top_customers_per_nation",
+      """SELECT n_name, c_name, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_name, c.c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n.n_name
+        |                       ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |WHERE rn <= 3 ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("n_name"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+    },
+
+    // ---------------------------------------------------------------- q10
+    Q(
+      "q10_returned_items",
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        |  n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables.load(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // ---------------------------------------------------------------- q12
+    Q(
+      "q12_priority_by_linestatus",
+      """SELECT l.l_linestatus,
+        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+        |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).as("high_count"),
+          sum(when(!isHigh, 1).otherwise(0)).as("low_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---------------------------------------------------------------- q13
+    Q(
+      "q13_customer_order_distribution",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---------------------------------------------------------------- q17
+    Q(
+      "q17_small_quantity_revenue",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+        |      FROM lineitem GROUP BY l_partkey) t
+        |  ON l.l_partkey = t.l_partkey
+        |WHERE l.l_quantity < t.qty_limit""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      // per-part avg is small (one row per part) → broadcast back
+      val limits = l.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+      l.join(broadcast(limits), Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((sum(dec("l_extendedprice")).cast(DoubleType) / 7.0).as("avg_yearly"))
+    },
+
+    // ---------------------------------------------------------------- q18
+    Q(
+      "q18_large_volume_orders",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+        |HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec("l_quantity")).as("qty_dec"))
+        .filter(col("qty_dec") > 150)
+        .withColumn("total_qty", col("qty_dec").cast(DoubleType))
+        .drop("qty_dec")
+        .orderBy(col("total_qty").desc, col("o_orderkey")).limit(25)
+    },
+
+    // ---------------------------------------------------------------- q19
+    Q(
+      "q19_disjunctive_predicates",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_size BETWEEN 16 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_size BETWEEN 31 AND 50 AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val pred =
+        (col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+        (col("p_size").between(16, 30) && col("l_quantity").between(10, 30)) ||
+        (col("p_size").between(31, 50) && col("l_quantity").between(20, 40))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .filter(pred)
+        .agg(
+          sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---------------------------------------------------------------- q22
+    Q(
+      "q22_idle_customers",
+      """SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 150000)
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("a"))
+      // scalar subquery via cross-join broadcast of the 1-row aggregate;
+      // NOT EXISTS via left_anti (no row explosion, no distinct)
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("a"))
+        .join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(dec("c_acctbal")).cast(DoubleType).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------ set ops
+    Q(
+      "q23_set_ops",
+      """SELECT k FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+        |  INTERSECT
+        |  SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 0
+        |  EXCEPT
+        |  SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      l.filter(col("l_quantity") > 45).select(col("l_suppkey").as("k"))
+        .intersect(sup.filter(col("s_acctbal") > 0).select(col("s_suppkey").cast(LongType).as("k")))
+        .except(sup.filter(col("s_acctbal") > 9000).select(col("s_suppkey").cast(LongType).as("k")))
+        .orderBy(col("k"))
+    },
+
+    // ------------------------------------------------------------ rollup
+    Q(
+      "q24_rollup_revenue",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          sum(dec("o_totalprice")).cast(DoubleType).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }
+  )
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search over the `embeddings` table
+  * (`Array[Float]`, dim 64).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with the dot
+  * product computed by codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), no UDF, no collect. At 100 TB the scale path is the
+  * LSH-bucketed variant in [[graft.ops.Ann]]: random-hyperplane
+  * signatures bucket candidates so each query probes a small slice.
+  *
+  * Everything is computed in DOUBLE in both engines (DuckDB casts the
+  * FLOAT[] up first) so the only cross-engine difference is summation
+  * order — eliminated by sequential fold on both sides — and results
+  * are rounded to 6 decimals before compare.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, queryId: Long,
+      k: Int): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    // the query vector is one row → broadcast the cross join; the scan
+    // side streams and never materializes more than top-k per partition
+    // (Spark's TakeOrderedAndProject).
+    e.join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qs1_cosine_topk",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      bruteForceTopK(s, dir, 0L, 20)
+    },
+
+    // all-pairs centroid similarity by label: the "are my class
+    // centroids separated" diagnostic — mean-pool then tiny NxN join
+    Q(
+      "qs2_label_centroid_norms",
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  round(avg(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS avg_sq_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(dot(col("embedding"), col("embedding"))), 6).as("avg_sq_norm"))
+        .orderBy(col("label"))
+    }
+  )
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every query receives `(spark, sfDir)` and reads the parquet files
+  * directly so Catalyst's parquet source handles predicate pushdown,
+  * column pruning and partition-sized splits — at 100 TB these reads
+  * are the scan leaves of the plan and must stay declarative.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is ns-precision, which Spark's parquet reader only
+    // accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong=true,
+    // set by Verify/Bench/tests). Normalize to a µs timestamp — every
+    // query truncates to ≥second granularity anyway.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L)
+            .cast(org.apache.spark.sql.types.LongType)))
+    } else df
+  }
+
+  /** Register all tables as temp views named after the table. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}

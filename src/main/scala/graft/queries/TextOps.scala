@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, fingerprinting,
+  * exact dedup. All are single-pass scan→project→agg plans: at 100 TB
+  * they parallelize per-file with no shuffle except the final groupBy,
+  * which is map-side-combined by Catalyst's partial aggregation.
+  *
+  * Oracle notes: token extraction uses `regexp_extract_all('[a-z0-9]+')`
+  * which behaves identically in Spark and DuckDB on this corpus;
+  * fingerprints use md5 (identical in both engines).
+  */
+object TextOps {
+
+  private val tokenRe = "[a-z0-9]+"
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------- tokens
+    Q(
+      "qt1_token_stats",
+      s"""SELECT lang, source,
+         |  COUNT(*) AS n_docs,
+         |  SUM(len(regexp_extract_all(text, '$tokenRe'))) AS total_tokens,
+         |  SUM(n_chars) AS total_chars,
+         |  MAX(len(regexp_extract_all(text, '$tokenRe'))) AS max_tokens
+         |FROM documents
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          max(size(col("toks"))).as("max_tokens"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // --------------------------------------------------------- quality
+    Q(
+      "qt2_quality_scores",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '$tokenRe')) AS n_tokens,
+         |    length(text) AS n_len,
+         |    len(list_filter(regexp_extract_all(text, '$tokenRe'),
+         |        t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stop
+         |  FROM documents)
+         |SELECT lang,
+         |  COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN n_tokens >= 20 AND n_stop * 10 >= n_tokens THEN 1 ELSE 0 END) AS n_quality,
+         |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+         |  CAST(SUM(n_len) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("n_len"),
+          size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") >= 20 &&
+            col("n_stop") * 10 >= col("n_tokens"), 1).otherwise(0)).as("n_quality"),
+          (sum(col("n_stop")).cast(DoubleType) / sum(col("n_tokens"))).as("stopword_ratio"),
+          (sum(col("n_len")).cast(DoubleType) / sum(col("n_tokens"))).as("avg_token_len"))
+        .orderBy(col("lang"))
+    },
+
+    // ----------------------------------------------------- fingerprint
+    Q(
+      "qt3_fingerprint",
+      """SELECT doc_id, md5(text) AS fp, length(text) AS n_len
+        |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          length(col("text")).as("n_len"))
+        .orderBy(col("doc_id")).limit(1000)
+    },
+
+    // ----------------------------------------------------- exact dedup
+    Q(
+      "qd1_exact_dedup",
+      """SELECT source, lang, COUNT(*) AS n_docs
+        |FROM (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |JOIN documents d ON d.doc_id = k.doc_id
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      // exact dedup at scale: hash-groupBy on the content fingerprint
+      // (never on the full text — the shuffle key must stay small),
+      // keep the smallest doc_id as the canonical survivor.
+      val survivors = d
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      d.join(survivors, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // ------------------------------------------- n-gram shingle overlap
+    Q(
+      "qd2_shingle_profile",
+      s"""WITH shingled AS (
+         |  SELECT d.doc_id, d.lang, sh.shingle
+         |  FROM documents d,
+         |       LATERAL (SELECT DISTINCT t.tok || ' ' || lead(t.tok) OVER (ORDER BY t.i) AS shingle
+         |                FROM (SELECT unnest(regexp_extract_all(d.text, '$tokenRe')) AS tok,
+         |                             generate_subscripts(regexp_extract_all(d.text, '$tokenRe'), 1) AS i) t
+         |                QUALIFY lead(t.tok) OVER (ORDER BY t.i) IS NOT NULL) sh)
+         |SELECT lang, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS distinct_shingles
+         |FROM shingled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      // 2-gram shingles per document (the MinHash input representation):
+      // built with zip_with over the token array and its tail — stays
+      // inside codegen, no UDF, and explodes only distinct shingles.
+      val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"),
+          array_distinct(zip_with(
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("shingles"))
+        .select(col("doc_id"), col("lang"), explode(col("shingles")).as("shingle"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("distinct_shingles"))
+        .orderBy(col("lang"))
+    }
+  )
+}

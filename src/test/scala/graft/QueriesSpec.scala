@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query has matching oracle key and runs") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(qs.contains(k), s"oracle $k has no query")
+    }
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name: empty schema")
+      assert(df.count() >= 0, s"$name: failed to execute")
+    }
+  }
+
+  test("q01 pricing summary has the 6 flag/status groups") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 2000, s"expected thousands of lineitems counted, got $total")
+  }
+
+  test("qs1 top-k cosine is ordered descending") {
+    val sims = SparkEntry.queries("qs1_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Double]("cos_sim"))
+    assert(sims.length == 20)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("qd1 exact dedup never exceeds raw doc count") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet").count()
+    val dedup = SparkEntry.queries("qd1_exact_dedup")(spark, sf)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(dedup <= raw && dedup > 0)
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

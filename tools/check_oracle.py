@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view named after the table,
+runs every oracle_sql.json entry, and compares against the Spark result
+parquet written by graft.Verify: columns sorted by name, rows sorted by
+all columns, exact value equality (with a tiny float ULP report).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            want = canon(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            n_fail += 1; continue
+        ok = True
+        for c in got.columns:
+            g, w = got[c], want[c]
+            try:
+                gv, wv = g.to_numpy(), w.to_numpy()
+                if gv.dtype.kind == 'f' or wv.dtype.kind == 'f':
+                    same = np.array_equal(gv.astype(float), wv.astype(float), equal_nan=True)
+                    if not same:
+                        d = np.nanmax(np.abs(gv.astype(float) - wv.astype(float)))
+                        print(f"FAIL {name}: col {c} float mismatch maxdiff={d}")
+                        ok = False
+                elif not (g.astype(str).reset_index(drop=True)
+                          .equals(w.astype(str).reset_index(drop=True))):
+                    bad = (g.astype(str).values != w.astype(str).values)
+                    i = int(np.argmax(bad))
+                    print(f"FAIL {name}: col {c} value mismatch at row {i}: "
+                          f"spark={g.iloc[i]!r} duck={w.iloc[i]!r}")
+                    ok = False
+            except Exception as e:
+                print(f"FAIL {name}: col {c} compare error {e}"); ok = False
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(oracle)} oracles (+{len(glob.glob(out_dir + '/*/')) - len(oracle)} no-oracle)")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
