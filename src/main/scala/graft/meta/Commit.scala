@@ -1,0 +1,360 @@
+package graft.meta
+
+import org.apache.spark.sql.types.StructType
+
+/** Commit arbitration: requirements checked against current metadata,
+  * then updates applied through a pure builder.
+  *
+  * Mirrors the reference's `apply_commit`
+  * (crates/lakekeeper/src/server/commit_tables.rs:34-128): the 8
+  * `TableRequirement` variants (:41-48) and the 23 `TableUpdate`
+  * variants pinned at :130-156, including the guards — assign_uuid must
+  * equal current (:73-82), set_location change forbidden (:83-92),
+  * immutable properties (:16,93-106), format-version upgrades only
+  * (:21-31).
+  */
+final class CommitFailedException(msg: String) extends RuntimeException(msg)
+final class CommitStateUnknownException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
+sealed trait TableRequirement {
+  /** @return None if satisfied, Some(reason) if violated. */
+  def check(current: Option[TableMetadata]): Option[String]
+}
+
+object TableRequirement {
+  /** The table must not already exist (create path). */
+  case object AssertCreate extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.map(_ => "Table already exists")
+  }
+  final case class AssertTableUuid(uuid: String) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.tableUuid != uuid).map(x =>
+        s"Table UUID does not match: expected $uuid, found ${x.tableUuid}")
+  }
+  final case class AssertRefSnapshotId(ref: String, snapshotId: Option[Long])
+      extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] = m.flatMap { meta =>
+      (meta.refs.get(ref).map(_.snapshotId), snapshotId) match {
+        case (actual, expected) if actual == expected => None
+        case (actual, expected) => Some(
+          s"Requirement failed: branch or tag $ref has changed: " +
+            s"expected id $expected, found $actual")
+      }
+    }
+  }
+  final case class AssertLastAssignedFieldId(id: Int) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.lastColumnId != id).map(x =>
+        s"last assigned field id changed: expected $id, found ${x.lastColumnId}")
+  }
+  final case class AssertCurrentSchemaId(id: Int) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.currentSchemaId != id).map(x =>
+        s"current schema changed: expected $id, found ${x.currentSchemaId}")
+  }
+  final case class AssertDefaultSpecId(id: Int) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.defaultSpecId != id).map(x =>
+        s"default spec changed: expected $id, found ${x.defaultSpecId}")
+  }
+  final case class AssertDefaultSortOrderId(id: Int) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.defaultSortOrderId != id).map(x =>
+        s"default sort order changed: expected $id, found ${x.defaultSortOrderId}")
+  }
+  final case class AssertLastAssignedPartitionId(id: Int) extends TableRequirement {
+    def check(m: Option[TableMetadata]): Option[String] =
+      m.filter(_.lastPartitionId != id).map(x =>
+        s"last assigned partition id changed: expected $id, found ${x.lastPartitionId}")
+  }
+}
+
+sealed trait TableUpdate
+
+object TableUpdate {
+  final case class AssignUuid(uuid: String) extends TableUpdate
+  final case class UpgradeFormatVersion(version: Int) extends TableUpdate
+  final case class AddSchema(schema: TableSchema) extends TableUpdate
+  final case class SetCurrentSchema(schemaId: Int) extends TableUpdate // -1 = last added
+  final case class AddSpec(spec: PartitionSpec) extends TableUpdate
+  final case class SetDefaultSpec(specId: Int) extends TableUpdate // -1 = last added
+  final case class RemovePartitionSpecs(specIds: Seq[Int]) extends TableUpdate
+  final case class AddSortOrder(order: SortOrder) extends TableUpdate
+  final case class SetDefaultSortOrder(orderId: Int) extends TableUpdate // -1 = last added
+  final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
+  final case class SetSnapshotRef(name: String, ref: SnapshotRef) extends TableUpdate
+  final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
+  final case class RemoveSnapshotRef(name: String) extends TableUpdate
+  final case class SetLocation(location: String) extends TableUpdate
+  final case class SetProperties(updates: Map[String, String]) extends TableUpdate
+  final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
+  final case class SetStatistics(stats: StatisticsFile) extends TableUpdate
+  final case class RemoveStatistics(snapshotId: Long) extends TableUpdate
+  final case class SetPartitionStatistics(stats: StatisticsFile) extends TableUpdate
+  final case class RemovePartitionStatistics(snapshotId: Long) extends TableUpdate
+  final case class RemoveSchemas(schemaIds: Seq[Int]) extends TableUpdate
+  final case class AddEncryptionKey(keyId: String, key: String) extends TableUpdate
+  final case class RemoveEncryptionKey(keyId: String) extends TableUpdate
+}
+
+object Commit {
+  import TableUpdate._
+
+  private def fail(msg: String): Nothing = throw new CommitFailedException(msg)
+
+  def checkRequirements(
+      current: Option[TableMetadata],
+      requirements: Seq[TableRequirement]): Unit = {
+    val violations = requirements.flatMap(_.check(current))
+    if (violations.nonEmpty)
+      fail(s"Commit requirements not met: ${violations.mkString("; ")}")
+  }
+
+  /** Pure apply: current metadata + updates → next metadata.
+    * Throws CommitFailedException on any guard violation.
+    */
+  def applyUpdates(
+      current: TableMetadata,
+      updates: Seq[TableUpdate],
+      nowMs: Long = System.currentTimeMillis()): TableMetadata = {
+    var m = current
+    var lastAddedSchemaId: Option[Int] = None
+    var lastAddedSpecId: Option[Int] = None
+    var lastAddedOrderId: Option[Int] = None
+
+    updates.foreach {
+      case AssignUuid(uuid) =>
+        // reference: uuid may only be "assigned" to its current value
+        if (uuid != m.tableUuid)
+          fail(s"Cannot assign a new UUID: table has ${m.tableUuid}")
+
+      case UpgradeFormatVersion(v) =>
+        if (v < m.formatVersion)
+          fail(s"Cannot downgrade format version ${m.formatVersion} to $v")
+        m = m.copy(formatVersion = v)
+
+      case AddSchema(schema) =>
+        val id = if (m.schemas.contains(schema.schemaId) || schema.schemaId < 0)
+          m.schemas.keys.max + 1 else schema.schemaId
+        // fields that exist (by name) in the current schema keep their
+        // field-id — evolution must not re-number surviving columns or
+        // old parquet files stop mapping correctly
+        val currentIds = m.currentSchema.fieldIds
+        val prefilled = StructType(schema.struct.fields.map { f =>
+          if (TableSchema.fieldId(f) >= 0) f
+          else currentIds.get(f.name) match {
+            case Some(fid) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(TableSchema.FieldIdKey, fid.toLong).build())
+            case None => f
+          }
+        })
+        val assigned = {
+          val (withIds, lastCol) =
+            TableSchema.assignFieldIds(prefilled, m.lastColumnId)
+          m = m.copy(lastColumnId = math.max(m.lastColumnId, lastCol))
+          TableSchema(id, withIds)
+        }
+        m = m.copy(schemas = m.schemas + (id -> assigned))
+        lastAddedSchemaId = Some(id)
+
+      case SetCurrentSchema(schemaId) =>
+        val id = if (schemaId == -1)
+          lastAddedSchemaId.getOrElse(fail("No schema was added in this commit"))
+        else schemaId
+        if (!m.schemas.contains(id)) fail(s"Unknown schema id $id")
+        m = m.copy(currentSchemaId = id)
+
+      case AddSpec(spec) =>
+        val id = if (m.specs.contains(spec.specId) || spec.specId < 0)
+          m.specs.keys.max + 1 else spec.specId
+        // assign partition field ids above the current high-water mark
+        var nextId = m.lastPartitionId
+        val fields = spec.fields.map { f =>
+          if (f.fieldId > 0) { nextId = math.max(nextId, f.fieldId); f }
+          else { nextId += 1; f.copy(fieldId = nextId) }
+        }
+        m = m.copy(
+          specs = m.specs + (id -> PartitionSpec(id, fields)),
+          lastPartitionId = nextId)
+        lastAddedSpecId = Some(id)
+
+      case SetDefaultSpec(specId) =>
+        val id = if (specId == -1)
+          lastAddedSpecId.getOrElse(fail("No spec was added in this commit"))
+        else specId
+        if (!m.specs.contains(id)) fail(s"Unknown spec id $id")
+        m = m.copy(defaultSpecId = id)
+
+      case RemovePartitionSpecs(ids) =>
+        if (ids.contains(m.defaultSpecId))
+          fail("Cannot remove the default partition spec")
+        m = m.copy(specs = m.specs -- ids)
+
+      case AddSortOrder(order) =>
+        val id = if (m.sortOrders.contains(order.orderId) || order.orderId < 0)
+          m.sortOrders.keys.max + 1 else order.orderId
+        m = m.copy(sortOrders = m.sortOrders + (id -> order.copy(orderId = id)))
+        lastAddedOrderId = Some(id)
+
+      case SetDefaultSortOrder(orderId) =>
+        val id = if (orderId == -1)
+          lastAddedOrderId.getOrElse(fail("No sort order was added in this commit"))
+        else orderId
+        if (!m.sortOrders.contains(id)) fail(s"Unknown sort order id $id")
+        m = m.copy(defaultSortOrderId = id)
+
+      case AddSnapshot(s) =>
+        if (m.snapshots.contains(s.snapshotId))
+          fail(s"Snapshot ${s.snapshotId} already exists")
+        if (s.sequenceNumber <= m.lastSequenceNumber && m.snapshots.nonEmpty)
+          fail(s"Snapshot sequence number ${s.sequenceNumber} must be > " +
+            s"${m.lastSequenceNumber}")
+        m = m.copy(
+          snapshots = m.snapshots + (s.snapshotId -> s),
+          lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber))
+
+      case SetSnapshotRef(name, ref) =>
+        if (!m.snapshots.contains(ref.snapshotId))
+          fail(s"Unknown snapshot ${ref.snapshotId} for ref $name")
+        m = m.copy(refs = m.refs + (name -> ref))
+        if (name == TableMetadata.MainBranch) {
+          m = m.copy(
+            currentSnapshotId = Some(ref.snapshotId),
+            snapshotLog = m.snapshotLog :+ SnapshotLogEntry(nowMs, ref.snapshotId))
+        }
+
+      case RemoveSnapshots(ids) =>
+        val live = m.refs.values.map(_.snapshotId).toSet
+        val removable = ids.filterNot(live.contains)
+        m = m.copy(
+          snapshots = m.snapshots -- removable,
+          snapshotLog = m.snapshotLog.filterNot(e => removable.contains(e.snapshotId)))
+
+      case RemoveSnapshotRef(name) =>
+        m = m.copy(refs = m.refs - name)
+        if (name == TableMetadata.MainBranch)
+          m = m.copy(currentSnapshotId = None)
+
+      case SetLocation(location) =>
+        // reference forbids changing the location via commit
+        if (location != m.location)
+          fail("Changing the table location is not supported")
+
+      case SetProperties(updates) =>
+        val immutableTouched = updates.keySet
+          .intersect(TableMetadata.ImmutableProperties)
+          .filter(k => m.properties.get(k).exists(_ != updates(k)))
+        if (immutableTouched.nonEmpty)
+          fail(s"Cannot modify immutable properties: ${immutableTouched.mkString(", ")}")
+        m = m.copy(properties = m.properties ++ updates)
+
+      case RemoveProperties(removals) =>
+        val immutableTouched = removals.toSet
+          .intersect(TableMetadata.ImmutableProperties)
+          .filter(m.properties.contains)
+        if (immutableTouched.nonEmpty)
+          fail(s"Cannot remove immutable properties: ${immutableTouched.mkString(", ")}")
+        m = m.copy(properties = m.properties -- removals)
+
+      case SetStatistics(stats) =>
+        m = m.copy(statistics =
+          m.statistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats)
+
+      case RemoveStatistics(snapshotId) =>
+        m = m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapshotId))
+
+      case SetPartitionStatistics(stats) =>
+        m = m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats)
+
+      case RemovePartitionStatistics(snapshotId) =>
+        m = m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == snapshotId))
+
+      case RemoveSchemas(ids) =>
+        if (ids.contains(m.currentSchemaId))
+          fail("Cannot remove the current schema")
+        val referenced = m.snapshots.values.map(_.schemaId).toSet
+        val blocked = ids.filter(referenced.contains)
+        if (blocked.nonEmpty)
+          fail(s"Cannot remove schemas still referenced by snapshots: $blocked")
+        m = m.copy(schemas = m.schemas -- ids)
+
+      case AddEncryptionKey(keyId, key) =>
+        m = m.copy(encryptionKeys = m.encryptionKeys + (keyId -> key))
+
+      case RemoveEncryptionKey(keyId) =>
+        m = m.copy(encryptionKeys = m.encryptionKeys - keyId)
+    }
+    m.copy(lastUpdatedMs = nowMs)
+  }
+
+  /** Full commit: requirements then updates (reference apply_commit). */
+  def apply(
+      current: Option[TableMetadata],
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate],
+      newTable: => TableMetadata,
+      nowMs: Long = System.currentTimeMillis()): TableMetadata = {
+    checkRequirements(current, requirements)
+    applyUpdates(current.getOrElse(newTable), updates, nowMs)
+  }
+
+  // --------------------------------------------------------------- views
+  sealed trait ViewUpdate
+  object ViewUpdate {
+    final case class AssignUuid(uuid: String) extends ViewUpdate
+    final case class UpgradeFormatVersion(version: Int) extends ViewUpdate
+    final case class AddSchema(schema: TableSchema) extends ViewUpdate
+    final case class SetLocation(location: String) extends ViewUpdate
+    final case class SetProperties(updates: Map[String, String]) extends ViewUpdate
+    final case class RemoveProperties(removals: Seq[String]) extends ViewUpdate
+    final case class AddViewVersion(version: ViewVersion) extends ViewUpdate
+    final case class SetCurrentViewVersion(versionId: Int) extends ViewUpdate // -1 = last added
+  }
+
+  /** View commit apply (reference: server/views/commit.rs:401-440 —
+    * assign_uuid / set_location changes forbidden).
+    */
+  def applyViewUpdates(
+      current: ViewMetadata,
+      updates: Seq[ViewUpdate],
+      nowMs: Long = System.currentTimeMillis()): ViewMetadata = {
+    import ViewUpdate._
+    var v = current
+    var lastAddedVersion: Option[Int] = None
+    updates.foreach {
+      case AssignUuid(uuid) =>
+        if (uuid != v.viewUuid) fail("Cannot assign a new UUID to a view")
+      case UpgradeFormatVersion(ver) =>
+        if (ver < v.formatVersion) fail("Cannot downgrade view format version")
+        v = v.copy(formatVersion = ver)
+      case AddSchema(schema) =>
+        val id = if (v.schemas.contains(schema.schemaId) || schema.schemaId < 0)
+          (v.schemas.keys ++ Seq(-1)).max + 1 else schema.schemaId
+        v = v.copy(schemas = v.schemas + (id -> schema.copy(schemaId = id)))
+      case SetLocation(loc) =>
+        if (loc != v.location) fail("Changing the view location is not supported")
+      case SetProperties(ups) => v = v.copy(properties = v.properties ++ ups)
+      case RemoveProperties(rms) => v = v.copy(properties = v.properties -- rms)
+      case AddViewVersion(version) =>
+        val id = if (v.versions.contains(version.versionId) || version.versionId < 0)
+          (v.versions.keys ++ Seq(0)).max + 1 else version.versionId
+        v = v.copy(versions = v.versions + (id -> version.copy(versionId = id)))
+        lastAddedVersion = Some(id)
+      case SetCurrentViewVersion(versionId) =>
+        val id = if (versionId == -1)
+          lastAddedVersion.getOrElse(fail("No view version added in this commit"))
+        else versionId
+        if (!v.versions.contains(id)) fail(s"Unknown view version $id")
+        v = v.copy(
+          currentVersionId = id,
+          versionLog = v.versionLog :+ SnapshotLogEntry(nowMs, id.toLong))
+    }
+    v
+  }
+}

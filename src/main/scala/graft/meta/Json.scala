@@ -1,0 +1,278 @@
+package graft.meta
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** JSON codecs for all metadata structures (json4s — bundled with
+  * Spark). Layout is versioned, hand-rolled and stable: metadata files
+  * are the on-disk contract, not an accident of reflection.
+  */
+object Json {
+
+  // ------------------------------------------------------------ helpers
+  private implicit val fmts: Formats = DefaultFormats
+
+  def render(v: JValue): String =
+    JsonMethods.pretty(JsonMethods.render(v))
+
+  def parse(s: String): JValue = JsonMethods.parse(s)
+
+  private def optField[T](j: JValue, name: String)(f: JValue => T): Option[T] =
+    j \ name match {
+      case JNothing | JNull => None
+      case v => Some(f(v))
+    }
+
+  // ------------------------------------------------------------- schema
+  def schemaToJson(s: TableSchema): JValue =
+    ("schema-id" -> s.schemaId) ~
+      ("struct" -> parse(s.struct.json))
+
+  def schemaFromJson(j: JValue): TableSchema =
+    TableSchema(
+      (j \ "schema-id").extract[Int],
+      DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "struct")))
+        .asInstanceOf[StructType])
+
+  // --------------------------------------------------------------- spec
+  def specToJson(s: PartitionSpec): JValue =
+    ("spec-id" -> s.specId) ~
+      ("fields" -> s.fields.map { f =>
+        ("source-name" -> f.sourceName) ~ ("field-id" -> f.fieldId) ~
+          ("name" -> f.name) ~ ("transform" -> f.transform.name)
+      })
+
+  def specFromJson(j: JValue): PartitionSpec =
+    PartitionSpec(
+      (j \ "spec-id").extract[Int],
+      (j \ "fields").children.map { f =>
+        PartitionField(
+          (f \ "source-name").extract[String],
+          (f \ "field-id").extract[Int],
+          (f \ "name").extract[String],
+          Transform.parse((f \ "transform").extract[String]))
+      })
+
+  // --------------------------------------------------------- sort order
+  def sortOrderToJson(s: SortOrder): JValue =
+    ("order-id" -> s.orderId) ~
+      ("fields" -> s.fields.map { f =>
+        ("source-name" -> f.sourceName) ~ ("transform" -> f.transform.name) ~
+          ("direction" -> (if (f.ascending) "asc" else "desc")) ~
+          ("null-order" -> (if (f.nullsFirst) "nulls-first" else "nulls-last"))
+      })
+
+  def sortOrderFromJson(j: JValue): SortOrder =
+    SortOrder(
+      (j \ "order-id").extract[Int],
+      (j \ "fields").children.map { f =>
+        SortField(
+          (f \ "source-name").extract[String],
+          Transform.parse((f \ "transform").extract[String]),
+          (f \ "direction").extract[String] == "asc",
+          (f \ "null-order").extract[String] == "nulls-first")
+      })
+
+  // ----------------------------------------------------------- snapshot
+  def snapshotToJson(s: Snapshot): JValue =
+    ("snapshot-id" -> s.snapshotId) ~
+      ("parent-snapshot-id" -> s.parentSnapshotId) ~
+      ("sequence-number" -> s.sequenceNumber) ~
+      ("timestamp-ms" -> s.timestampMs) ~
+      ("operation" -> s.operation) ~
+      ("summary" -> s.summary) ~
+      ("manifests" -> s.manifests) ~
+      ("schema-id" -> s.schemaId)
+
+  def snapshotFromJson(j: JValue): Snapshot =
+    Snapshot(
+      (j \ "snapshot-id").extract[Long],
+      optField(j, "parent-snapshot-id")(_.extract[Long]),
+      (j \ "sequence-number").extract[Long],
+      (j \ "timestamp-ms").extract[Long],
+      (j \ "operation").extract[String],
+      (j \ "summary").extract[Map[String, String]],
+      (j \ "manifests").extract[Seq[String]],
+      (j \ "schema-id").extract[Int])
+
+  def refToJson(r: SnapshotRef): JValue =
+    ("snapshot-id" -> r.snapshotId) ~
+      ("type" -> (if (r.isBranch) "branch" else "tag")) ~
+      ("min-snapshots-to-keep" -> r.minSnapshotsToKeep) ~
+      ("max-snapshot-age-ms" -> r.maxSnapshotAgeMs) ~
+      ("max-ref-age-ms" -> r.maxRefAgeMs)
+
+  def refFromJson(j: JValue): SnapshotRef =
+    SnapshotRef(
+      (j \ "snapshot-id").extract[Long],
+      (j \ "type").extract[String] == "branch",
+      optField(j, "min-snapshots-to-keep")(_.extract[Int]),
+      optField(j, "max-snapshot-age-ms")(_.extract[Long]),
+      optField(j, "max-ref-age-ms")(_.extract[Long]))
+
+  // ----------------------------------------------------- table metadata
+  def metadataToJson(m: TableMetadata): String = render(
+    ("format-version" -> m.formatVersion) ~
+      ("table-uuid" -> m.tableUuid) ~
+      ("location" -> m.location) ~
+      ("last-sequence-number" -> m.lastSequenceNumber) ~
+      ("last-updated-ms" -> m.lastUpdatedMs) ~
+      ("last-column-id" -> m.lastColumnId) ~
+      ("current-schema-id" -> m.currentSchemaId) ~
+      ("schemas" -> m.schemas.values.toSeq.sortBy(_.schemaId).map(schemaToJson)) ~
+      ("default-spec-id" -> m.defaultSpecId) ~
+      ("partition-specs" -> m.specs.values.toSeq.sortBy(_.specId).map(specToJson)) ~
+      ("last-partition-id" -> m.lastPartitionId) ~
+      ("default-sort-order-id" -> m.defaultSortOrderId) ~
+      ("sort-orders" -> m.sortOrders.values.toSeq.sortBy(_.orderId).map(sortOrderToJson)) ~
+      ("properties" -> m.properties) ~
+      ("current-snapshot-id" -> m.currentSnapshotId) ~
+      ("snapshots" -> m.snapshots.values.toSeq.sortBy(_.snapshotId).map(snapshotToJson)) ~
+      ("snapshot-log" -> m.snapshotLog.map(e =>
+        ("timestamp-ms" -> e.timestampMs) ~ ("snapshot-id" -> e.snapshotId))) ~
+      ("metadata-log" -> m.metadataLog.map(e =>
+        ("timestamp-ms" -> e.timestampMs) ~ ("metadata-file" -> e.metadataFile))) ~
+      ("refs" -> JObject(m.refs.toList.sortBy(_._1).map { case (k, v) =>
+        JField(k, refToJson(v)) })) ~
+      ("statistics" -> m.statistics.map(s =>
+        ("snapshot-id" -> s.snapshotId) ~ ("path" -> s.path) ~
+          ("file-size-bytes" -> s.fileSizeBytes))) ~
+      ("partition-statistics" -> m.partitionStatistics.map(s =>
+        ("snapshot-id" -> s.snapshotId) ~ ("path" -> s.path) ~
+          ("file-size-bytes" -> s.fileSizeBytes))) ~
+      ("encryption-keys" -> m.encryptionKeys))
+
+  private def statsFromJson(j: JValue): Seq[StatisticsFile] =
+    j.children.map { s =>
+      StatisticsFile(
+        (s \ "snapshot-id").extract[Long],
+        (s \ "path").extract[String],
+        (s \ "file-size-bytes").extract[Long])
+    }
+
+  def metadataFromJson(s: String): TableMetadata = {
+    val j = parse(s)
+    TableMetadata(
+      (j \ "format-version").extract[Int],
+      (j \ "table-uuid").extract[String],
+      (j \ "location").extract[String],
+      (j \ "last-sequence-number").extract[Long],
+      (j \ "last-updated-ms").extract[Long],
+      (j \ "last-column-id").extract[Int],
+      (j \ "current-schema-id").extract[Int],
+      (j \ "schemas").children.map(schemaFromJson).map(x => x.schemaId -> x).toMap,
+      (j \ "default-spec-id").extract[Int],
+      (j \ "partition-specs").children.map(specFromJson).map(x => x.specId -> x).toMap,
+      (j \ "last-partition-id").extract[Int],
+      (j \ "default-sort-order-id").extract[Int],
+      (j \ "sort-orders").children.map(sortOrderFromJson).map(x => x.orderId -> x).toMap,
+      (j \ "properties").extract[Map[String, String]],
+      optField(j, "current-snapshot-id")(_.extract[Long]),
+      (j \ "snapshots").children.map(snapshotFromJson).map(x => x.snapshotId -> x).toMap,
+      (j \ "snapshot-log").children.map(e => SnapshotLogEntry(
+        (e \ "timestamp-ms").extract[Long], (e \ "snapshot-id").extract[Long])),
+      (j \ "metadata-log").children.map(e => MetadataLogEntry(
+        (e \ "timestamp-ms").extract[Long], (e \ "metadata-file").extract[String])),
+      (j \ "refs") match {
+        case JObject(fields) => fields.map { case JField(k, v) => k -> refFromJson(v) }.toMap
+        case _ => Map.empty[String, SnapshotRef]
+      },
+      statsFromJson(j \ "statistics"),
+      statsFromJson(j \ "partition-statistics"),
+      (j \ "encryption-keys").extract[Map[String, String]])
+  }
+
+  // ------------------------------------------------------------ manifest
+  def manifestToJson(m: ManifestFile): String = render(
+    ("added-snapshot-id" -> m.addedSnapshotId) ~
+      ("entries" -> m.entries.map { f =>
+        ("path" -> f.path) ~
+          ("file-size-bytes" -> f.fileSizeBytes) ~
+          ("record-count" -> f.recordCount) ~
+          ("spec-id" -> f.specId) ~
+          ("partition" -> JObject(f.partition.toList.sortBy(_._1).map {
+            case (k, v) => JField(k, v.map(JString(_)).getOrElse(JNull)) })) ~
+          ("stats" -> JObject(f.columnStats.toList.sortBy(_._1).map {
+            case (k, st) => JField(k,
+              ("min" -> st.min) ~ ("max" -> st.max) ~
+                ("null-count" -> st.nullCount)) }))
+      }))
+
+  def manifestFromJson(s: String): ManifestFile = {
+    val j = parse(s)
+    ManifestFile(
+      (j \ "entries").children.map { f =>
+        DataFile(
+          (f \ "path").extract[String],
+          (f \ "file-size-bytes").extract[Long],
+          (f \ "record-count").extract[Long],
+          (f \ "spec-id").extract[Int],
+          (f \ "partition") match {
+            case JObject(fields) => fields.map {
+              case JField(k, JNull) => k -> None
+              case JField(k, JString(v)) => k -> Some(v)
+              case JField(k, v) => k -> Some(v.extract[String])
+            }.toMap
+            case _ => Map.empty[String, Option[String]]
+          },
+          (f \ "stats") match {
+            case JObject(fields) => fields.map { case JField(k, v) =>
+              k -> ColumnStat(
+                optField(v, "min")(_.extract[String]),
+                optField(v, "max")(_.extract[String]),
+                optField(v, "null-count")(_.extract[Long]))
+            }.toMap
+            case _ => Map.empty[String, ColumnStat]
+          })
+      },
+      (j \ "added-snapshot-id").extract[Long])
+  }
+
+  // ---------------------------------------------------------------- view
+  def viewMetadataToJson(v: ViewMetadata): String = render(
+    ("view-uuid" -> v.viewUuid) ~
+      ("format-version" -> v.formatVersion) ~
+      ("location" -> v.location) ~
+      ("current-version-id" -> v.currentVersionId) ~
+      ("versions" -> v.versions.values.toSeq.sortBy(_.versionId).map { vv =>
+        ("version-id" -> vv.versionId) ~
+          ("timestamp-ms" -> vv.timestampMs) ~
+          ("schema-id" -> vv.schemaId) ~
+          ("default-catalog" -> vv.defaultCatalog) ~
+          ("default-namespace" -> vv.defaultNamespace) ~
+          ("representations" -> vv.representations.map(r =>
+            ("dialect" -> r.dialect) ~ ("sql" -> r.sql))) ~
+          ("summary" -> vv.summary)
+      }) ~
+      ("version-log" -> v.versionLog.map(e =>
+        ("timestamp-ms" -> e.timestampMs) ~ ("version-id" -> e.snapshotId))) ~
+      ("schemas" -> v.schemas.values.toSeq.sortBy(_.schemaId).map(schemaToJson)) ~
+      ("properties" -> v.properties))
+
+  def viewMetadataFromJson(s: String): ViewMetadata = {
+    val j = parse(s)
+    ViewMetadata(
+      (j \ "view-uuid").extract[String],
+      (j \ "format-version").extract[Int],
+      (j \ "location").extract[String],
+      (j \ "current-version-id").extract[Int],
+      (j \ "versions").children.map { vv =>
+        val v = ViewVersion(
+          (vv \ "version-id").extract[Int],
+          (vv \ "timestamp-ms").extract[Long],
+          (vv \ "schema-id").extract[Int],
+          optField(vv, "default-catalog")(_.extract[String]),
+          (vv \ "default-namespace").extract[Seq[String]],
+          (vv \ "representations").children.map(r => ViewRepresentation(
+            (r \ "dialect").extract[String], (r \ "sql").extract[String])),
+          (vv \ "summary").extract[Map[String, String]])
+        v
+      }.map(x => x.versionId -> x).toMap,
+      (j \ "version-log").children.map(e => SnapshotLogEntry(
+        (e \ "timestamp-ms").extract[Long], (e \ "version-id").extract[Long])),
+      (j \ "schemas").children.map(schemaFromJson).map(x => x.schemaId -> x).toMap,
+      (j \ "properties").extract[Map[String, String]])
+  }
+}

@@ -1,0 +1,97 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+
+/** Per-column min/max/null stats carried in the manifest for file-level
+  * pruning (the client-side scan planning that the reference leaves to
+  * engines — api/endpoints.rs:127-135 declares the REST plan endpoints
+  * unimplemented; Catalyst + this pruning is our equivalent).
+  *
+  * Values are stored as JSON-friendly strings and compared through the
+  * column's Spark DataType, so ordering semantics match Catalyst's.
+  */
+final case class ColumnStat(
+    min: Option[String], max: Option[String], nullCount: Option[Long]) {
+
+  def compareTo(litValue: Any, dt: DataType, takeMin: Boolean): Option[Int] = {
+    val bound = if (takeMin) min else max
+    bound.map(b => ColumnStat.compare(b, litValue, dt))
+  }
+}
+
+object ColumnStat {
+  /** Parse a stored bound string into the natural JVM ordering type. */
+  def parse(s: String, dt: DataType): Any = dt match {
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case _: DecimalType => BigDecimal(s)
+    case DateType => s.toInt // days since epoch
+    case TimestampType | TimestampNTZType => s.toLong // micros
+    case _ => s
+  }
+
+  def render(v: Any, dt: DataType): String = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case other => other.toString
+  }
+
+  @SuppressWarnings(Array("unchecked"))
+  def compare(stored: String, litValue: Any, dt: DataType): Int = {
+    val a = parse(stored, dt)
+    val b = litValue match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case ts: java.sql.Timestamp => ts.getTime * 1000L
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case other => other
+    }
+    (a, b) match {
+      case (x: Int, y: Int) => x.compareTo(y)
+      case (x: Long, y: Long) => x.compareTo(y)
+      case (x: Long, y: Int) => x.compareTo(y.toLong)
+      case (x: Int, y: Long) => x.toLong.compareTo(y)
+      case (x: Double, y: Double) => x.compareTo(y)
+      case (x: Double, y: Int) => x.compareTo(y.toDouble)
+      case (x: Double, y: Long) => x.compareTo(y.toDouble)
+      case (x: Float, y: Float) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => x.compareTo(y)
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: BigDecimal, y: Int) => x.compare(BigDecimal(y))
+      case (x: BigDecimal, y: Long) => x.compare(BigDecimal(y))
+      case (x: BigDecimal, y: Double) => x.compare(BigDecimal(y))
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+  }
+}
+
+/** One data file tracked by a manifest. `partition` maps partition
+  * field name → rendered transform value (null encoded as None).
+  */
+final case class DataFile(
+    path: String,
+    fileSizeBytes: Long,
+    recordCount: Long,
+    specId: Int,
+    partition: Map[String, Option[String]],
+    columnStats: Map[String, ColumnStat])
+
+/** A manifest: the unit of commit. Status ADDED vs EXISTING mirrors
+  * Iceberg manifest entries; DELETED files simply stop being listed
+  * (copy-on-write).
+  */
+final case class ManifestFile(
+    entries: Seq[DataFile],
+    addedSnapshotId: Long) {
+  def totalRecords: Long = entries.map(_.recordCount).sum
+  def totalBytes: Long = entries.map(_.fileSizeBytes).sum
+}

@@ -1,0 +1,211 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+
+/** Iceberg-semantics table metadata, Spark-native representation.
+  *
+  * Mirrors the reference's persisted model (normalized into
+  * table_schema / table_partition_spec / table_snapshot /
+  * table_snapshot_log / refs — migration
+  * lakekeeper-storage-postgres/migrations/20241106201139_split_table_metadata.sql)
+  * as one versioned, immutable case class serialized to
+  * `<location>/metadata/v{N}.metadata.json`. Schemas reuse Spark's
+  * `StructType` with a per-field `field-id` metadata key so column
+  * evolution (add/drop/rename) maps old parquet files correctly.
+  */
+final case class TableSchema(schemaId: Int, struct: StructType) {
+  def fieldIds: Map[String, Int] = struct.fields.map { f =>
+    f.name -> TableSchema.fieldId(f)
+  }.toMap
+  def maxFieldId: Int =
+    if (struct.fields.isEmpty) 0 else struct.fields.map(TableSchema.fieldId).max
+}
+
+object TableSchema {
+  val FieldIdKey = "field-id"
+
+  def fieldId(f: StructField): Int =
+    if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey).toInt
+    else -1
+
+  /** Assign fresh sequential field-ids starting after `lastColumnId`
+    * to any field missing one.
+    */
+  def assignFieldIds(struct: StructType, lastColumnId: Int): (StructType, Int) = {
+    var next = lastColumnId
+    val fields = struct.fields.map { f =>
+      if (fieldId(f) >= 0) f
+      else {
+        next += 1
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(FieldIdKey, next.toLong).build())
+      }
+    }
+    (StructType(fields), next)
+  }
+}
+
+final case class PartitionField(
+    sourceName: String, fieldId: Int, name: String, transform: Transform)
+
+final case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
+  def isUnpartitioned: Boolean = fields.isEmpty
+  def lastAssignedFieldId: Int =
+    if (fields.isEmpty) PartitionSpec.PartitionFieldIdStart - 1
+    else fields.map(_.fieldId).max
+}
+
+object PartitionSpec {
+  val PartitionFieldIdStart = 1000
+  val unpartitioned: PartitionSpec = PartitionSpec(0, Nil)
+}
+
+final case class SortField(
+    sourceName: String, transform: Transform, ascending: Boolean,
+    nullsFirst: Boolean)
+
+final case class SortOrder(orderId: Int, fields: Seq[SortField])
+
+object SortOrder { val unsorted: SortOrder = SortOrder(0, Nil) }
+
+/** Branch or tag (reference: set_snapshot_ref with retention —
+  * server/commit_tables.rs:130-156 and test_spark.py:647-708).
+  */
+final case class SnapshotRef(
+    snapshotId: Long,
+    isBranch: Boolean,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
+
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
+
+/** A committed table version. `manifests` are paths to manifest JSON
+  * files, each listing DataFiles — append commits add ONE new manifest
+  * and reuse the parent's (no O(total-files) rewrite per commit, the
+  * property that keeps commits cheap at 100 TB).
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    operation: String, // append | overwrite | replace | delete
+    summary: Map[String, String],
+    manifests: Seq[String],
+    schemaId: Int)
+
+final case class StatisticsFile(
+    snapshotId: Long, path: String, fileSizeBytes: Long)
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Map[Int, TableSchema],
+    defaultSpecId: Int,
+    specs: Map[Int, PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Map[Int, SortOrder],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Map[Long, Snapshot],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry],
+    refs: Map[String, SnapshotRef],
+    statistics: Seq[StatisticsFile],
+    partitionStatistics: Seq[StatisticsFile],
+    encryptionKeys: Map[String, String]) {
+
+  def currentSchema: TableSchema = schemas(currentSchemaId)
+  def defaultSpec: PartitionSpec = specs(defaultSpecId)
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshots.get)
+
+  def snapshotFor(ref: String): Option[Snapshot] =
+    refs.get(ref).flatMap(r => snapshots.get(r.snapshotId))
+
+  /** Snapshot as of a wall-clock timestamp (TIMESTAMP AS OF). */
+  def snapshotAsOfTime(tsMs: Long): Option[Snapshot] = {
+    val eligible = snapshotLog.filter(_.timestampMs <= tsMs)
+    eligible.lastOption.flatMap(e => snapshots.get(e.snapshotId))
+  }
+}
+
+object TableMetadata {
+  val MainBranch = "main"
+  val InitialSequenceNumber = 0L
+
+  /** Reference guards: immutable properties (commit_tables.rs:16) and
+    * reserved keys.
+    */
+  val ImmutableProperties: Set[String] = Set("encryption.key-id")
+
+  def newTable(
+      uuid: String,
+      location: String,
+      schema: StructType,
+      spec: Seq[PartitionField] = Nil,
+      sortOrder: SortOrder = SortOrder.unsorted,
+      properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 2,
+      nowMs: Long = System.currentTimeMillis()): TableMetadata = {
+    val (withIds, lastCol) = TableSchema.assignFieldIds(schema, 0)
+    val ts = TableSchema(0, withIds)
+    val pspec = PartitionSpec(0, spec)
+    TableMetadata(
+      formatVersion = formatVersion,
+      tableUuid = uuid,
+      location = location,
+      lastSequenceNumber = InitialSequenceNumber,
+      lastUpdatedMs = nowMs,
+      lastColumnId = lastCol,
+      currentSchemaId = 0,
+      schemas = Map(0 -> ts),
+      defaultSpecId = 0,
+      specs = Map(0 -> pspec),
+      lastPartitionId = pspec.lastAssignedFieldId,
+      defaultSortOrderId = sortOrder.orderId,
+      sortOrders = Map(sortOrder.orderId -> sortOrder),
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Map.empty,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      refs = Map.empty,
+      statistics = Nil,
+      partitionStatistics = Nil,
+      encryptionKeys = Map.empty)
+  }
+}
+
+/** View metadata (reference: migrations/20240620151544_views.sql —
+  * versioned SQL representations per dialect + default catalog/ns).
+  */
+final case class ViewRepresentation(dialect: String, sql: String)
+
+final case class ViewVersion(
+    versionId: Int,
+    timestampMs: Long,
+    schemaId: Int,
+    defaultCatalog: Option[String],
+    defaultNamespace: Seq[String],
+    representations: Seq[ViewRepresentation],
+    summary: Map[String, String])
+
+final case class ViewMetadata(
+    viewUuid: String,
+    formatVersion: Int,
+    location: String,
+    currentVersionId: Int,
+    versions: Map[Int, ViewVersion],
+    versionLog: Seq[SnapshotLogEntry],
+    schemas: Map[Int, TableSchema],
+    properties: Map[String, String]) {
+  def currentVersion: ViewVersion = versions(currentVersionId)
+}

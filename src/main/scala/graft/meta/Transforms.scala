@@ -1,0 +1,189 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partition transforms (reference: the identity/bucket/truncate/
+  * year/month/day/hour transforms exercised by
+  * tests/python/tests/test_spark.py:529-645 and carried in the table's
+  * PartitionSpec via iceberg-rust types re-exported at
+  * iceberg-ext/src/spec/mod.rs:3-8).
+  *
+  * The bucket hash is pinned to Murmur3_x86_32 over a fixed byte layout
+  * (Iceberg-style: longs/ints as 8-byte little-endian, strings as UTF-8)
+  * so the write-side layout and the scan-side pruning always agree —
+  * SURVEY §7 "hard parts".
+  */
+sealed trait Transform {
+  def name: String
+  /** Spark Column computing the partition value from the source column. */
+  def apply(source: Column, sourceType: DataType): Column
+  /** Evaluate on a raw JVM value (for file-level pruning metadata). */
+  def eval(value: Any, sourceType: DataType): Any
+  /** Result type given the source type. */
+  def resultType(sourceType: DataType): DataType
+}
+
+object Transform {
+
+  case object Identity extends Transform {
+    val name = "identity"
+    def apply(source: Column, t: DataType): Column = source
+    def eval(v: Any, t: DataType): Any = v
+    def resultType(t: DataType): DataType = t
+  }
+
+  final case class Bucket(n: Int) extends Transform {
+    val name = s"bucket[$n]"
+    def apply(source: Column, t: DataType): Column = {
+      val f = udf((v: Any) => if (v == null) null.asInstanceOf[Integer]
+        else Integer.valueOf(Bucket.bucketOf(v, t, n)))
+      f(source)
+    }
+    def eval(v: Any, t: DataType): Any =
+      if (v == null) null else Bucket.bucketOf(v, t, n)
+    def resultType(t: DataType): DataType = IntegerType
+  }
+
+  object Bucket {
+    private def hashBytes(b: Array[Byte]): Int =
+      scala.util.hashing.MurmurHash3.bytesHash(b, 0) // seed 0, murmur3_x86_32
+
+    private def longBytes(v: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.array()
+    }
+
+    def hashValue(v: Any, t: DataType): Int = (t, v) match {
+      case (_, s: UTF8String) => hashBytes(s.getBytes)
+      case (_, s: String) => hashBytes(s.getBytes(StandardCharsets.UTF_8))
+      case (IntegerType, i: Int) => hashBytes(longBytes(i.toLong))
+      case (LongType, l: Long) => hashBytes(longBytes(l))
+      case (DateType, i: Int) => hashBytes(longBytes(i.toLong))
+      case (TimestampType, l: Long) => hashBytes(longBytes(l))
+      case (_, ts: java.sql.Timestamp) =>
+        hashBytes(longBytes(ts.getTime * 1000L))
+      case (_, d: java.sql.Date) =>
+        hashBytes(longBytes(d.toLocalDate.toEpochDay))
+      case (_, other) =>
+        hashBytes(other.toString.getBytes(StandardCharsets.UTF_8))
+    }
+
+    def bucketOf(v: Any, t: DataType, n: Int): Int =
+      (hashValue(v, t) & Integer.MAX_VALUE) % n
+  }
+
+  final case class Truncate(width: Int) extends Transform {
+    val name = s"truncate[$width]"
+    def apply(source: Column, t: DataType): Column = t match {
+      case StringType => substring(source, 1, width)
+      case IntegerType | LongType =>
+        // floor toward negative infinity, Iceberg semantics
+        source - pmod(source, lit(width))
+      case _ => source
+    }
+    def eval(v: Any, t: DataType): Any = (t, v) match {
+      case (_, null) => null
+      case (StringType, s: UTF8String) =>
+        UTF8String.fromString(s.toString.take(width))
+      case (StringType, s: String) => s.take(width)
+      case (IntegerType, i: Int) => i - java.lang.Math.floorMod(i, width)
+      case (LongType, l: Long) => l - java.lang.Math.floorMod(l, width.toLong)
+      case _ => v
+    }
+    def resultType(t: DataType): DataType = t
+  }
+
+  /** Date-part transforms produce ordinals from epoch (Iceberg style:
+    * year → years from 1970, month → months from 1970-01, day → days
+    * from epoch, hour → hours from epoch) so ranges stay ordered and
+    * prunable.
+    */
+  sealed abstract class DatePart(val name: String) extends Transform {
+    def resultType(t: DataType): DataType = IntegerType
+    protected def fromMicros(us: Long): Int
+    protected def fromDays(days: Int): Int
+    def apply(source: Column, t: DataType): Column = {
+      val days = t match {
+        case DateType => datediff(source, lit("1970-01-01").cast(DateType))
+        case _ => datediff(source.cast(DateType), lit("1970-01-01").cast(DateType))
+      }
+      this match {
+        case Transform.Year =>
+          year(source.cast(DateType)) - lit(1970)
+        case Transform.Month =>
+          (year(source.cast(DateType)) - lit(1970)) * 12 +
+            month(source.cast(DateType)) - lit(1)
+        case Transform.Day => days
+        case Transform.Hour =>
+          floor(source.cast(LongType) / lit(3600L)).cast(IntegerType)
+      }
+    }
+    def eval(v: Any, t: DataType): Any = v match {
+      case null => null
+      case us: Long if t == TimestampType => fromMicros(us)
+      case d: Int if t == DateType => fromDays(d)
+      case ts: java.sql.Timestamp => fromMicros(ts.getTime * 1000L)
+      case d: java.sql.Date => fromDays(d.toLocalDate.toEpochDay.toInt)
+      case _ => null
+    }
+  }
+
+  case object Year extends DatePart("year") {
+    protected def fromMicros(us: Long): Int =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).getYear - 1970
+    protected def fromDays(days: Int): Int =
+      java.time.LocalDate.ofEpochDay(days.toLong).getYear - 1970
+  }
+
+  case object Month extends DatePart("month") {
+    protected def fromMicros(us: Long): Int = {
+      val d = java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC)
+      (d.getYear - 1970) * 12 + d.getMonthValue - 1
+    }
+    protected def fromDays(days: Int): Int = {
+      val d = java.time.LocalDate.ofEpochDay(days.toLong)
+      (d.getYear - 1970) * 12 + d.getMonthValue - 1
+    }
+  }
+
+  case object Day extends DatePart("day") {
+    protected def fromMicros(us: Long): Int =
+      Math.floorDiv(Math.floorDiv(us, 1000000L), 86400L).toInt
+    protected def fromDays(days: Int): Int = days
+  }
+
+  case object Hour extends DatePart("hour") {
+    protected def fromMicros(us: Long): Int =
+      Math.floorDiv(Math.floorDiv(us, 1000000L), 3600L).toInt
+    protected def fromDays(days: Int): Int = days * 24
+  }
+
+  case object Void extends Transform {
+    val name = "void"
+    def apply(source: Column, t: DataType): Column = lit(null)
+    def eval(v: Any, t: DataType): Any = null
+    def resultType(t: DataType): DataType = NullType
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  def parse(s: String): Transform = s match {
+    case "identity" => Identity
+    case "year" => Year
+    case "month" => Month
+    case "day" => Day
+    case "hour" => Hour
+    case "void" => Void
+    case BucketRe(n) => Bucket(n.toInt)
+    case TruncateRe(w) => Truncate(w.toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform: $other")
+  }
+}

@@ -1,0 +1,464 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.util.{Locale, UUID}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import graft.meta._
+
+/** Identifier of a tabular: namespace parts + name. Matching is
+  * case-insensitive, case-preserving (reference: docs/docs/concepts.md
+  * "Identifier Case Sensitivity"; enforced there via a Postgres ICU
+  * collation, migrations/01_setup.sql:31-37 — here via casefolded
+  * directory keys that store the original casing in a sidecar).
+  */
+final case class TabularId(namespace: Seq[String], name: String) {
+  def casefold: Seq[String] =
+    (namespace :+ name).map(_.toLowerCase(Locale.ROOT))
+  override def toString: String = (namespace :+ name).mkString(".")
+}
+
+final case class TabularInfo(
+    id: TabularId,
+    kind: String, // "table" | "view" | "generic"
+    uuid: String,
+    format: Option[String], // for generic tables
+    createdMs: Long,
+    deletedMs: Option[Long],
+    protected_ : Boolean,
+    metadataLocation: Option[String])
+
+class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
+class NoSuchTabularException(msg: String) extends RuntimeException(msg)
+class AlreadyExistsException(msg: String) extends RuntimeException(msg)
+class ProtectedException(msg: String) extends RuntimeException(msg)
+
+/** Filesystem-backed catalog state with optimistic-concurrency commits.
+  *
+  * The Postgres CAS of the reference
+  * (server/tables.rs:1681-1727 `commit_table_transaction`) becomes an
+  * atomic create of the next `metadata/v{N}.metadata.json`: the loser
+  * of a race gets `CommitFailedException` and retries — same contract
+  * engines rely on (409 CommitFailedException,
+  * server/commit_tables.rs:115-121).
+  *
+  * Scale note: this is the single-writer seam called out in SURVEY §7 —
+  * metadata commits are tiny and per-table; the data plane never goes
+  * through this class. A real deployment swaps the nio calls for a
+  * locking object-store or DB implementation behind the same methods.
+  */
+class FileCatalogStore(val root: String) {
+
+  private val rootPath = Paths.get(root)
+  Files.createDirectories(rootPath)
+
+  private val NsMeta = ".graftns.json"
+  private val TabMeta = ".grafttabular.json"
+
+  // ------------------------------------------------------------ helpers
+  private def fold(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  private def nsPath(ns: Seq[String]): Path =
+    ns.foldLeft(rootPath)((p, part) => p.resolve(fold(part)))
+
+  private def tabularPath(id: TabularId): Path =
+    nsPath(id.namespace).resolve(fold(id.name))
+
+  private def writeString(p: Path, s: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readString(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+
+  /** Atomic create-if-absent: hard-link a temp file into place. The
+    * link(2) syscall fails with EEXIST if the target exists — this is
+    * the commit arbitration primitive.
+    */
+  private def atomicCreate(target: Path, content: String): Boolean = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    writeString(tmp, content)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp) }
+  }
+
+  // --------------------------------------------------------- namespaces
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmts: Formats = DefaultFormats
+
+  def createNamespace(ns: Seq[String], props: Map[String, String]): Unit = {
+    require(ns.nonEmpty, "namespace must have at least one part")
+    if (ns.size > 1 && !namespaceExists(ns.dropRight(1)))
+      throw new NoSuchNamespaceException(ns.dropRight(1).mkString("."))
+    val dir = nsPath(ns)
+    val meta = dir.resolve(NsMeta)
+    Files.createDirectories(dir)
+    val json = Json.render(("name" -> ns) ~ ("properties" -> props))
+    if (!atomicCreate(meta, json))
+      throw new AlreadyExistsException(s"Namespace ${ns.mkString(".")} already exists")
+  }
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    Files.exists(nsPath(ns).resolve(NsMeta))
+
+  def loadNamespace(ns: Seq[String]): (Seq[String], Map[String, String]) = {
+    val meta = nsPath(ns).resolve(NsMeta)
+    if (!Files.exists(meta))
+      throw new NoSuchNamespaceException(ns.mkString("."))
+    val j = JsonMethods.parse(readString(meta))
+    ((j \ "name").extract[Seq[String]],
+      (j \ "properties").extract[Map[String, String]])
+  }
+
+  def updateNamespaceProperties(
+      ns: Seq[String], removals: Seq[String], updates: Map[String, String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val (name, props) = loadNamespace(ns)
+    val missing = removals.filterNot(props.contains)
+    val next = props -- removals ++ updates
+    writeString(nsPath(ns).resolve(NsMeta),
+      Json.render(("name" -> name) ~ ("properties" -> next)))
+    (updates.keys.toSeq, removals.filter(props.contains), missing)
+  }
+
+  def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = {
+    val dir = nsPath(parent)
+    if (parent.nonEmpty && !namespaceExists(parent))
+      throw new NoSuchNamespaceException(parent.mkString("."))
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.exists(p.resolve(NsMeta)))
+      .map(p => loadNamespace(parent :+ p.getFileName.toString)._1)
+      .toSeq.sortBy(_.mkString(""))
+  }
+
+  def dropNamespace(ns: Seq[String], recursive: Boolean): Boolean = {
+    val dir = nsPath(ns)
+    if (!namespaceExists(ns)) return false
+    val children = listNamespaces(ns) ++ listTabulars(ns, includeDeleted = true)
+    if (children.nonEmpty && !recursive)
+      throw new IllegalStateException(
+        s"Namespace ${ns.mkString(".")} is not empty")
+    deleteRecursively(dir)
+    true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  // ----------------------------------------------------------- tabulars
+  private def tabularInfoPath(id: TabularId): Path =
+    tabularPath(id).resolve(TabMeta)
+
+  private def writeTabularInfo(info: TabularInfo): Unit =
+    writeString(tabularInfoPath(info.id), Json.render(
+      ("namespace" -> info.id.namespace) ~ ("name" -> info.id.name) ~
+        ("kind" -> info.kind) ~ ("uuid" -> info.uuid) ~
+        ("format" -> info.format) ~
+        ("created-ms" -> info.createdMs) ~
+        ("deleted-ms" -> info.deletedMs) ~
+        ("protected" -> info.protected_) ~
+        ("metadata-location" -> info.metadataLocation)))
+
+  def loadTabularInfo(id: TabularId): Option[TabularInfo] = {
+    val p = tabularInfoPath(id)
+    if (!Files.exists(p)) None
+    else {
+      val j = JsonMethods.parse(readString(p))
+      Some(TabularInfo(
+        TabularId((j \ "namespace").extract[Seq[String]],
+          (j \ "name").extract[String]),
+        (j \ "kind").extract[String],
+        (j \ "uuid").extract[String],
+        (j \ "format") match { case JNothing | JNull => None
+          case v => Some(v.extract[String]) },
+        (j \ "created-ms").extract[Long],
+        (j \ "deleted-ms") match { case JNothing | JNull => None
+          case v => Some(v.extract[Long]) },
+        (j \ "protected").extract[Boolean],
+        (j \ "metadata-location") match { case JNothing | JNull => None
+          case v => Some(v.extract[String]) }))
+    }
+  }
+
+  def listTabulars(ns: Seq[String], includeDeleted: Boolean = false,
+      kind: Option[String] = None): Seq[TabularInfo] = {
+    val dir = nsPath(ns)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.exists(p.resolve(TabMeta)))
+      .flatMap(p => loadTabularInfo(
+        TabularId(ns, p.getFileName.toString)))
+      .filter(t => includeDeleted || t.deletedMs.isEmpty)
+      .filter(t => kind.forall(_ == t.kind))
+      .toSeq.sortBy(_.id.name)
+  }
+
+  /** All tabulars in the warehouse, walking every namespace. */
+  def listAllTabulars(includeDeleted: Boolean = false): Seq[TabularInfo] = {
+    def walk(ns: Seq[String]): Seq[TabularInfo] =
+      listTabulars(ns, includeDeleted) ++
+        listNamespaces(ns).flatMap(walk)
+    walk(Nil)
+  }
+
+  // -------------------------------------------------------- table commit
+  private val VersionRe = """v(\d{5})\.metadata\.json""".r
+
+  def metadataDir(id: TabularId): Path = tabularPath(id).resolve("metadata")
+
+  def currentVersion(id: TabularId): Int = {
+    val dir = metadataDir(id)
+    if (!Files.isDirectory(dir)) -1
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case VersionRe(n) => Some(n.toInt); case _ => None })
+      .foldLeft(-1)(math.max)
+  }
+
+  def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)] = {
+    val v = currentVersion(id)
+    if (v < 0) None
+    else {
+      val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+      Some((Json.metadataFromJson(readString(p)), v))
+    }
+  }
+
+  def tableLocation(id: TabularId): String =
+    tabularPath(id).toAbsolutePath.toString
+
+  /** Commit: check requirements against the CURRENT metadata, apply
+    * updates, atomically create v{N+1}. Honors
+    * write.metadata.delete-after-commit.enabled /
+    * write.metadata.previous-versions-max (reference:
+    * server/tables.rs:1596-1608,1729-1755; table-maintenance.md:3-6).
+    */
+  def commitTable(
+      id: TabularId,
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate],
+      maxRetries: Int = 4): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val currentOpt = loadTableMetadata(id)
+      Commit.checkRequirements(currentOpt.map(_._1), requirements)
+      val current = currentOpt.map(_._1).getOrElse(
+        throw new NoSuchTabularException(id.toString))
+      val next = Commit.applyUpdates(current, updates)
+      val v = currentOpt.map(_._2).getOrElse(-1) + 1
+      val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+      val withLog = next.copy(metadataLog =
+        (current.metadataLog :+ MetadataLogEntry(
+          System.currentTimeMillis(),
+          metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
+          .takeRight(maxPreviousVersions(next) + 1))
+      if (atomicCreate(target, Json.metadataToJson(withLog))) {
+        cleanupOldMetadata(id, withLog, v)
+        return withLog
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitFailedException(
+          s"Commit conflict on $id after $maxRetries retries")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def maxPreviousVersions(m: TableMetadata): Int =
+    m.properties.get("write.metadata.previous-versions-max")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
+
+  private def cleanupOldMetadata(
+      id: TabularId, m: TableMetadata, committedVersion: Int): Unit = {
+    if (m.properties.getOrElse(
+        "write.metadata.delete-after-commit.enabled", "true") != "true") return
+    val keep = maxPreviousVersions(m)
+    val dir = metadataDir(id)
+    val cutoff = committedVersion - keep - 1
+    if (cutoff < 0) return
+    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) if n.toInt <= cutoff =>
+          try Files.deleteIfExists(p) catch { case NonFatal(_) => }
+        case _ =>
+      }
+    }
+  }
+
+  /** Create a table: namespace must exist; name must be free across
+    * ALL tabular kinds (case-insensitive).
+    */
+  def createTable(
+      id: TabularId,
+      metadata: TableMetadata): TableMetadata = {
+    if (!namespaceExists(id.namespace))
+      throw new NoSuchNamespaceException(id.namespace.mkString("."))
+    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+      throw new AlreadyExistsException(s"Tabular $id already exists")
+    Files.createDirectories(tabularPath(id))
+    val target = metadataDir(id).resolve(f"v${0}%05d.metadata.json")
+    if (!atomicCreate(target, Json.metadataToJson(metadata)))
+      throw new AlreadyExistsException(s"Table $id already exists")
+    writeTabularInfo(TabularInfo(id, "table", metadata.tableUuid, None,
+      System.currentTimeMillis(), None, protected_ = false,
+      Some(target.toString)))
+    metadata
+  }
+
+  /** Register an existing metadata file as a new catalog entry
+    * (reference: server/tables.rs:268 registerTable).
+    */
+  def registerTable(id: TabularId, metadataFile: String): TableMetadata = {
+    val meta = Json.metadataFromJson(readString(Paths.get(metadataFile)))
+    createTable(id, meta)
+  }
+
+  // -------------------------------------------------- lifecycle / rename
+  def dropTabular(id: TabularId, purge: Boolean, force: Boolean = false,
+      softDelete: Boolean = true): Boolean = {
+    loadTabularInfo(id) match {
+      case None => false
+      case Some(info) =>
+        if (info.protected_ && !force)
+          throw new ProtectedException(s"$id is protected from deletion")
+        if (softDelete && !purge) {
+          writeTabularInfo(info.copy(deletedMs = Some(System.currentTimeMillis())))
+        } else {
+          deleteRecursively(tabularPath(id))
+        }
+        true
+    }
+  }
+
+  def undrop(id: TabularId): Boolean =
+    loadTabularInfo(id) match {
+      case Some(info) if info.deletedMs.isDefined =>
+        writeTabularInfo(info.copy(deletedMs = None)); true
+      case _ => false
+    }
+
+  def listDeletedTabulars(): Seq[TabularInfo] =
+    listAllTabulars(includeDeleted = true).filter(_.deletedMs.isDefined)
+
+  def setProtection(id: TabularId, prot: Boolean): Unit =
+    loadTabularInfo(id) match {
+      case Some(info) => writeTabularInfo(info.copy(protected_ = prot))
+      case None => throw new NoSuchTabularException(id.toString)
+    }
+
+  def renameTabular(from: TabularId, to: TabularId): Unit = {
+    val info = loadTabularInfo(from).getOrElse(
+      throw new NoSuchTabularException(from.toString))
+    if (!namespaceExists(to.namespace))
+      throw new NoSuchNamespaceException(to.namespace.mkString("."))
+    if (loadTabularInfo(to).isDefined)
+      throw new AlreadyExistsException(to.toString)
+    Files.move(tabularPath(from), tabularPath(to),
+      StandardCopyOption.ATOMIC_MOVE)
+    writeTabularInfo(info.copy(id = to))
+  }
+
+  // ------------------------------------------------ multi-table commits
+  private def txLock: Path = rootPath.resolve(".txlock")
+
+  /** Multi-table atomic commit (reference: commitTransaction,
+    * server/tables.rs:948 try_commit_tables:1523-1758). Requirements for
+    * ALL tables are validated under a warehouse-level lock before any
+    * table advances, so either every commit applies or none.
+    */
+  def commitTransaction(
+      changes: Seq[(TabularId, Seq[TableRequirement], Seq[TableUpdate])]): Unit = {
+    var locked = false
+    var spins = 0
+    while (!locked) {
+      try { Files.createFile(txLock); locked = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          spins += 1
+          if (spins > 1000) throw new CommitFailedException(
+            "Could not acquire transaction lock")
+          Thread.sleep(5)
+      }
+    }
+    try {
+      // validate all first
+      changes.foreach { case (id, reqs, _) =>
+        Commit.checkRequirements(loadTableMetadata(id).map(_._1), reqs)
+      }
+      changes.foreach { case (id, reqs, ups) =>
+        commitTable(id, reqs, ups)
+      }
+    } finally Files.deleteIfExists(txLock)
+  }
+
+  // ---------------------------------------------------------------- views
+  def createView(id: TabularId, metadata: ViewMetadata): ViewMetadata = {
+    if (!namespaceExists(id.namespace))
+      throw new NoSuchNamespaceException(id.namespace.mkString("."))
+    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+      throw new AlreadyExistsException(s"Tabular $id already exists")
+    Files.createDirectories(tabularPath(id))
+    val target = metadataDir(id).resolve(f"v${0}%05d.metadata.json")
+    if (!atomicCreate(target, Json.viewMetadataToJson(metadata)))
+      throw new AlreadyExistsException(s"View $id already exists")
+    writeTabularInfo(TabularInfo(id, "view", metadata.viewUuid, None,
+      System.currentTimeMillis(), None, protected_ = false,
+      Some(target.toString)))
+    metadata
+  }
+
+  def loadViewMetadata(id: TabularId): Option[(ViewMetadata, Int)] = {
+    val v = currentVersion(id)
+    if (v < 0) None
+    else Some((Json.viewMetadataFromJson(
+      readString(metadataDir(id).resolve(f"v$v%05d.metadata.json"))), v))
+  }
+
+  def commitView(id: TabularId, updates: Seq[Commit.ViewUpdate]): ViewMetadata = {
+    val (current, v) = loadViewMetadata(id).getOrElse(
+      throw new NoSuchTabularException(id.toString))
+    val next = Commit.applyViewUpdates(current, updates)
+    val target = metadataDir(id).resolve(f"v${v + 1}%05d.metadata.json")
+    if (!atomicCreate(target, Json.viewMetadataToJson(next)))
+      throw new CommitFailedException(s"View commit conflict on $id")
+    next
+  }
+
+  // -------------------------------------------------------- generic tables
+  def createGenericTable(id: TabularId, format: String,
+      baseLocation: String, props: Map[String, String]): TabularInfo = {
+    if (!namespaceExists(id.namespace))
+      throw new NoSuchNamespaceException(id.namespace.mkString("."))
+    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+      throw new AlreadyExistsException(s"Tabular $id already exists")
+    Files.createDirectories(tabularPath(id))
+    val info = TabularInfo(id, "generic", UUID.randomUUID().toString,
+      Some(format), System.currentTimeMillis(), None, protected_ = false,
+      Some(baseLocation))
+    writeTabularInfo(info)
+    val propsPath = tabularPath(id).resolve("properties.json")
+    writeString(propsPath, Json.render(Extraction.decompose(props)))
+    info
+  }
+
+  // ------------------------------------------------------------ manifests
+  def writeManifest(id: TabularId, manifest: ManifestFile): String = {
+    val dir = metadataDir(id).resolve("manifests")
+    val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
+    writeString(p, Json.manifestToJson(manifest))
+    p.toString
+  }
+
+  def readManifest(path: String): ManifestFile =
+    Json.manifestFromJson(readString(Paths.get(path)))
+}

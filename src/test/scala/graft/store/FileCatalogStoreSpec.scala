@@ -1,0 +1,215 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.meta._
+
+class FileCatalogStoreSpec extends AnyFunSuite {
+
+  private def freshStore(): FileCatalogStore =
+    new FileCatalogStore(Files.createTempDirectory("graft-store").toString)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mkTable(store: FileCatalogStore, id: TabularId): TableMetadata =
+    store.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, store.tableLocation(id), schema))
+
+  test("namespace CRUD, hierarchy, properties") {
+    val s = freshStore()
+    s.createNamespace(Seq("sales"), Map("owner" -> "me"))
+    s.createNamespace(Seq("sales", "eu"), Map.empty)
+    assertThrows[NoSuchNamespaceException] {
+      s.createNamespace(Seq("missing", "child"), Map.empty)
+    }
+    assertThrows[AlreadyExistsException] {
+      s.createNamespace(Seq("SALES"), Map.empty) // case-insensitive dup
+    }
+    assert(s.listNamespaces(Nil) == Seq(Seq("sales")))
+    assert(s.listNamespaces(Seq("sales")) == Seq(Seq("sales", "eu")))
+    val (name, props) = s.loadNamespace(Seq("SaLeS"))
+    assert(name == Seq("sales") && props("owner") == "me")
+    val (updated, removed, missing) = s.updateNamespaceProperties(
+      Seq("sales"), Seq("owner", "ghost"), Map("tier" -> "gold"))
+    assert(updated == Seq("tier") && removed == Seq("owner") &&
+      missing == Seq("ghost"))
+    assertThrows[IllegalStateException] {
+      s.dropNamespace(Seq("sales"), recursive = false)
+    }
+    assert(s.dropNamespace(Seq("sales"), recursive = true))
+    assert(!s.namespaceExists(Seq("sales")))
+  }
+
+  test("create/load/commit table with optimistic concurrency") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "T1")
+    val meta = mkTable(s, id)
+    // case-insensitive load, case-preserving name
+    val (loaded, v0) = s.loadTableMetadata(TabularId(Seq("DB"), "t1")).get
+    assert(v0 == 0 && loaded.tableUuid == meta.tableUuid)
+
+    val committed = s.commitTable(id,
+      Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
+      Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    assert(committed.properties("a") == "1")
+    assert(s.currentVersion(id) == 1)
+
+    // stale requirement → CommitFailedException
+    assertThrows[CommitFailedException] {
+      s.commitTable(id, Seq(TableRequirement.AssertCreate), Nil)
+    }
+  }
+
+  test("concurrent commits: exactly one winner per version") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "race")
+    mkTable(s, id)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        s.commitTable(id, Nil,
+          Seq(TableUpdate.SetProperties(Map(s"k$i" -> s"$i"))), maxRetries = 50)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (finalMeta, v) = s.loadTableMetadata(id).get
+    assert(v == 8, s"expected 8 commits, got $v")
+    // all 8 property sets must have landed (retry loop re-applies)
+    (1 to 8).foreach(i => assert(finalMeta.properties(s"k$i") == s"$i"))
+  }
+
+  test("soft delete, list deleted, undrop, protection") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    s.setProtection(id, prot = true)
+    assertThrows[ProtectedException] { s.dropTabular(id, purge = false) }
+    s.setProtection(id, prot = false)
+    assert(s.dropTabular(id, purge = false))
+    assert(s.listTabulars(Seq("db")).isEmpty)
+    assert(s.listDeletedTabulars().map(_.id.name) == Seq("t"))
+    assert(s.loadTabularInfo(id).get.deletedMs.isDefined)
+    assert(s.undrop(id))
+    assert(s.listTabulars(Seq("db")).map(_.id.name) == Seq("t"))
+    // hard purge removes the directory
+    assert(s.dropTabular(id, purge = true))
+    assert(s.loadTabularInfo(id).isEmpty)
+  }
+
+  test("rename across namespaces, case rules") {
+    val s = freshStore()
+    s.createNamespace(Seq("a"), Map.empty)
+    s.createNamespace(Seq("b"), Map.empty)
+    val from = TabularId(Seq("a"), "Orig")
+    mkTable(s, from)
+    val to = TabularId(Seq("b"), "Moved")
+    s.renameTabular(from, to)
+    assert(s.loadTabularInfo(from).isEmpty)
+    assert(s.loadTabularInfo(to).get.id.name == "Moved")
+    assert(s.loadTableMetadata(TabularId(Seq("B"), "moved")).isDefined)
+    // rename onto existing fails
+    val other = TabularId(Seq("a"), "x")
+    mkTable(s, other)
+    assertThrows[AlreadyExistsException] { s.renameTabular(other, to) }
+  }
+
+  test("multi-table transaction is all-or-nothing on requirements") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val t1 = TabularId(Seq("db"), "t1")
+    val t2 = TabularId(Seq("db"), "t2")
+    val m1 = mkTable(s, t1); mkTable(s, t2)
+    // t2 requirement fails → neither commits
+    assertThrows[CommitFailedException] {
+      s.commitTransaction(Seq(
+        (t1, Nil, Seq(TableUpdate.SetProperties(Map("x" -> "1")))),
+        (t2, Seq(TableRequirement.AssertTableUuid("wrong")), Nil)))
+    }
+    assert(s.loadTableMetadata(t1).get._1.properties.get("x").isEmpty)
+    s.commitTransaction(Seq(
+      (t1, Seq(TableRequirement.AssertTableUuid(m1.tableUuid)),
+        Seq(TableUpdate.SetProperties(Map("x" -> "1")))),
+      (t2, Nil, Seq(TableUpdate.SetProperties(Map("y" -> "2"))))))
+    assert(s.loadTableMetadata(t1).get._1.properties("x") == "1")
+    assert(s.loadTableMetadata(t2).get._1.properties("y") == "2")
+  }
+
+  test("metadata cleanup honors previous-versions-max") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    val meta = TableMetadata.newTable(
+      "u1", s.tableLocation(id), schema,
+      properties = Map("write.metadata.previous-versions-max" -> "2"))
+    s.createTable(id, meta)
+    (1 to 6).foreach { i =>
+      s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("i" -> s"$i"))))
+    }
+    val files = Files.list(s.metadataDir(id)).iterator()
+    val versions = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".metadata.json")).toSeq.sorted
+    // keep current + 2 previous = 3
+    assert(versions.size == 3, s"got $versions")
+    assert(versions.last == "v00006.metadata.json")
+  }
+
+  test("register table adopts existing metadata file") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "orig")
+    val meta = mkTable(s, id)
+    val metaFile = s.metadataDir(id).resolve("v00000.metadata.json").toString
+    val id2 = TabularId(Seq("db"), "adopted")
+    val adopted = s.registerTable(id2, metaFile)
+    assert(adopted.tableUuid == meta.tableUuid)
+    assert(s.loadTableMetadata(id2).isDefined)
+  }
+
+  test("views: create, commit versions, load") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "v1")
+    val ts = TableSchema(0, schema)
+    val vm = ViewMetadata("vu1", 1, s.tableLocation(id), 1,
+      Map(1 -> ViewVersion(1, 1L, 0, None, Seq("db"),
+        Seq(ViewRepresentation("spark", "SELECT 1 AS x")), Map.empty)),
+      Nil, Map(0 -> ts), Map.empty)
+    s.createView(id, vm)
+    val next = s.commitView(id, Seq(
+      Commit.ViewUpdate.AddViewVersion(ViewVersion(-1, 2L, 0, None, Seq("db"),
+        Seq(ViewRepresentation("spark", "SELECT 2 AS x")), Map.empty)),
+      Commit.ViewUpdate.SetCurrentViewVersion(-1)))
+    assert(next.currentVersionId == 2)
+    val (loaded, v) = s.loadViewMetadata(id).get
+    assert(v == 1 && loaded.currentVersion.representations.head.sql == "SELECT 2 AS x")
+    assert(s.listTabulars(Seq("db"), kind = Some("view")).size == 1)
+  }
+
+  test("generic tables: format-tagged entries") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "lance_t")
+    val info = s.createGenericTable(id, "lance", "/data/lance_t", Map("k" -> "v"))
+    assert(info.format.contains("lance"))
+    assert(s.listTabulars(Seq("db"), kind = Some("generic")).size == 1)
+    assertThrows[AlreadyExistsException] {
+      s.createGenericTable(TabularId(Seq("db"), "LANCE_T"), "delta", "/x", Map.empty)
+    }
+  }
+
+  test("manifest write/read round-trip") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    val mf = ManifestFile(Seq(DataFile("/f.parquet", 1, 2, 0,
+      Map("d" -> Some("1")), Map("id" -> ColumnStat(Some("1"), Some("2"), Some(0))))), 7L)
+    val path = s.writeManifest(id, mf)
+    assert(s.readManifest(path) == mf)
+  }
+}
