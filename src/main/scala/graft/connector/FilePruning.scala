@@ -1,0 +1,145 @@
+package graft.connector
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.meta._
+
+/** File-level pruning from manifest column stats + partition values —
+  * the client-side scan planning the reference delegates to engines
+  * (REST plan endpoints declared unimplemented,
+  * api/endpoints.rs:127-135). Conservative: returns true ("may match")
+  * whenever a filter can't be decided from stats.
+  *
+  * This is the piece that makes a 100 TB scan read only the files it
+  * must: partition-transform pruning (identity ranges, bucket equality,
+  * date-part ranges) plus min/max/null-count skipping per column.
+  */
+object FilePruning {
+
+  def mayMatch(
+      file: DataFile,
+      filters: Seq[Filter],
+      schema: StructType,
+      spec: PartitionSpec): Boolean =
+    filters.forall(f => evalFilter(file, f, schema, spec))
+
+  private def dataTypeOf(schema: StructType, col: String): Option[DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(col)).map(_.dataType)
+
+  /** true = file may contain matching rows; false = provably excluded. */
+  private def evalFilter(
+      file: DataFile, filter: Filter, schema: StructType,
+      spec: PartitionSpec): Boolean = filter match {
+
+    case And(l, r) =>
+      evalFilter(file, l, schema, spec) && evalFilter(file, r, schema, spec)
+    case Or(l, r) =>
+      evalFilter(file, l, schema, spec) || evalFilter(file, r, schema, spec)
+    case Not(EqualTo(col, v)) =>
+      // excluded only if every row equals v: min == max == v, no nulls
+      !(statOf(file, col).exists(st =>
+        st.nullCount.contains(0L) && st.min.isDefined && st.min == st.max &&
+          dataTypeOf(schema, col).exists(dt =>
+            ColumnStat.compare(st.min.get, v, dt) == 0)))
+    case Not(_) => true
+
+    case EqualTo(col, v) =>
+      checkRange(file, col, v, schema, minInclusive = true,
+        maxInclusive = true) && bucketMayContain(file, col, v, schema, spec)
+    case EqualNullSafe(col, null) => mayHaveNull(file, col)
+    case EqualNullSafe(col, v) =>
+      checkRange(file, col, v, schema, minInclusive = true, maxInclusive = true)
+    case In(col, vs) =>
+      vs == null || vs.isEmpty ||
+        vs.exists(v => v == null || (
+          checkRange(file, col, v, schema, minInclusive = true,
+            maxInclusive = true) && bucketMayContain(file, col, v, schema, spec)))
+    case GreaterThan(col, v) => cmpMax(file, col, v, schema, strict = true)
+    case GreaterThanOrEqual(col, v) =>
+      cmpMax(file, col, v, schema, strict = false)
+    case LessThan(col, v) => cmpMin(file, col, v, schema, strict = true)
+    case LessThanOrEqual(col, v) => cmpMin(file, col, v, schema, strict = false)
+    case IsNull(col) => mayHaveNull(file, col)
+    case IsNotNull(col) =>
+      // excluded only if all values are null
+      !statOf(file, col).exists(st =>
+        st.nullCount.exists(_ >= file.recordCount) && file.recordCount > 0)
+    case StringStartsWith(col, prefix) =>
+      statOf(file, col) match {
+        case Some(ColumnStat(Some(min), Some(max), _)) =>
+          // file range [min,max] must overlap [prefix, prefix+∞)
+          max.compareTo(prefix) >= 0 &&
+            min.take(prefix.length).compareTo(prefix) <= 0
+        case _ => true
+      }
+    case _ => true
+  }
+
+  private def statOf(file: DataFile, col: String): Option[ColumnStat] =
+    file.columnStats.find(_._1.equalsIgnoreCase(col)).map(_._2)
+
+  private def mayHaveNull(file: DataFile, col: String): Boolean =
+    statOf(file, col).forall(!_.nullCount.contains(0L))
+
+  /** v must lie in [min, max]. */
+  private def checkRange(file: DataFile, col: String, v: Any,
+      schema: StructType, minInclusive: Boolean, maxInclusive: Boolean): Boolean =
+    (statOf(file, col), dataTypeOf(schema, col)) match {
+      case (Some(st), Some(dt)) if v != null =>
+        val aboveMin = st.min.forall(m => ColumnStat.compare(m, v, dt) <= 0)
+        val belowMax = st.max.forall(m => ColumnStat.compare(m, v, dt) >= 0)
+        aboveMin && belowMax
+      case _ => true
+    }
+
+  /** col > v (or >=): need max > v. */
+  private def cmpMax(file: DataFile, col: String, v: Any,
+      schema: StructType, strict: Boolean): Boolean =
+    (statOf(file, col), dataTypeOf(schema, col)) match {
+      case (Some(st), Some(dt)) if v != null =>
+        st.max.forall { m =>
+          val c = ColumnStat.compare(m, v, dt)
+          if (strict) c > 0 else c >= 0
+        }
+      case _ => true
+    }
+
+  /** col < v (or <=): need min < v. */
+  private def cmpMin(file: DataFile, col: String, v: Any,
+      schema: StructType, strict: Boolean): Boolean =
+    (statOf(file, col), dataTypeOf(schema, col)) match {
+      case (Some(st), Some(dt)) if v != null =>
+        st.min.forall { m =>
+          val c = ColumnStat.compare(m, v, dt)
+          if (strict) c < 0 else c <= 0
+        }
+      case _ => true
+    }
+
+  /** Bucket-transform partition pruning on equality: hash the literal
+    * with the pinned Murmur3 layout and compare against the file's
+    * partition tuple value.
+    */
+  private def bucketMayContain(file: DataFile, col: String, v: Any,
+      schema: StructType, spec: PartitionSpec): Boolean = {
+    val fields = spec.fields.filter(f =>
+      f.sourceName.equalsIgnoreCase(col))
+    fields.forall { f =>
+      f.transform match {
+        case b: Transform.Bucket =>
+          (file.partition.get(f.name).flatten, dataTypeOf(schema, col)) match {
+            case (Some(stored), Some(dt)) if v != null =>
+              stored.toInt == b.eval(normalize(v), dt)
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case s: String => s
+    case other => other
+  }
+}

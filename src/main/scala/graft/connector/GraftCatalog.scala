@@ -1,0 +1,425 @@
+package graft.connector
+
+import java.util
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Transform => SparkTransform, _}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta._
+import graft.store._
+
+/** The Spark-native catalog plugin: the reference's namespace/table/view
+  * REST surface (SURVEY §2.1/§2.2/§2.4) re-expressed as a DataSourceV2
+  * `TableCatalog with SupportsNamespaces with ViewCatalog`.
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft = graft.connector.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+
+  private var catalogName: String = _
+  private[graft] var store: FileCatalogStore = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'"))
+    store = new FileCatalogStore(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def tid(ident: Identifier): TabularId =
+    TabularId(ident.namespace.toSeq, ident.name)
+
+  // ---------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    store.listNamespaces(Nil).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    store.listNamespaces(namespace.toSeq).map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    store.namespaceExists(namespace.toSeq)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    try store.loadNamespace(namespace.toSeq)._2.asJava
+    catch { case _: graft.store.NoSuchNamespaceException =>
+      throw new NoSuchNamespaceException(namespace) }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    try store.createNamespace(namespace.toSeq, metadata.asScala.toMap)
+    catch {
+      case _: AlreadyExistsException =>
+        throw new NamespaceAlreadyExistsException(namespace)
+      case _: graft.store.NoSuchNamespaceException =>
+        throw new NoSuchNamespaceException(namespace.dropRight(1))
+    }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    val removals = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property }
+    val updates = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+    try store.updateNamespaceProperties(namespace.toSeq, removals, updates)
+    catch { case _: graft.store.NoSuchNamespaceException =>
+      throw new NoSuchNamespaceException(namespace) }
+  }
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean =
+    try store.dropNamespace(namespace.toSeq, cascade)
+    catch { case e: IllegalStateException =>
+      throw new IllegalStateException(e.getMessage) }
+
+  // -------------------------------------------------------------- tables
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    store.listTabulars(namespace.toSeq, kind = Some("table"))
+      .map(t => Identifier.of(namespace, t.id.name)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.loadTabularInfo(tid(ident))
+      .exists(t => t.kind == "table" && t.deletedMs.isEmpty)
+
+  override def loadTable(ident: Identifier): Table = {
+    // `db.table.snapshots` style metadata tables: the parent namespace
+    // tail is actually a table name (SURVEY §2.9 metadata tables)
+    if (ident.namespace.nonEmpty) {
+      val parent = TabularId(ident.namespace.toSeq.dropRight(1),
+        ident.namespace.last)
+      if (MetadataTables.names.contains(ident.name.toLowerCase) &&
+          store.loadTabularInfo(parent).exists(_.kind == "table")) {
+        val (meta, _) = store.loadTableMetadata(parent).get
+        return MetadataTables.table(store, parent, meta, ident.name.toLowerCase)
+      }
+    }
+    val id = tid(ident)
+    store.loadTabularInfo(id) match {
+      case Some(info) if info.deletedMs.isEmpty && info.kind == "table" =>
+        val (meta, _) = store.loadTableMetadata(id).getOrElse(
+          throw new NoSuchTableException(ident))
+        new GraftTable(store, id, meta, snapshotId = None)
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** Time travel: VERSION AS OF <snapshot-id | ref-name>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val id = tid(ident)
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new NoSuchTableException(ident))
+    val snap = scala.util.Try(version.toLong).toOption
+      .flatMap(v => meta.snapshots.get(v))
+      .orElse(meta.snapshotFor(version))
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(store, id, meta, snapshotId = Some(snap.snapshotId))
+  }
+
+  /** Time travel: TIMESTAMP AS OF (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val id = tid(ident)
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new NoSuchTableException(ident))
+    val snap = meta.snapshotAsOfTime(timestamp / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(store, id, meta, snapshotId = Some(snap.snapshotId))
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[SparkTransform],
+      properties: util.Map[String, String]): Table = {
+    val id = tid(ident)
+    val schema = GraftCatalog.v2ColumnsToStructType(columns)
+    val (withIds, _) = TableSchema.assignFieldIds(schema, 0)
+    val partFields = partitions.map(GraftCatalog.toPartitionField).toSeq
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    val meta = TableMetadata.newTable(
+      UUID.randomUUID().toString, store.tableLocation(id), withIds,
+      spec = partFields, properties = props,
+      formatVersion = props.get("format-version").map(_.toInt).getOrElse(2))
+    try store.createTable(id, meta)
+    catch { case _: AlreadyExistsException =>
+      throw new TableAlreadyExistsException(ident) }
+    new GraftTable(store, id, meta, snapshotId = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val id = tid(ident)
+    val (current, _) = store.loadTableMetadata(id).getOrElse(
+      throw new NoSuchTableException(ident))
+    val updates = GraftCatalog.tableChangesToUpdates(current, changes)
+    val next = store.commitTable(id,
+      Seq(TableRequirement.AssertTableUuid(current.tableUuid)), updates)
+    new GraftTable(store, id, next, snapshotId = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try store.dropTabular(tid(ident), purge = false)
+    catch { case _: ProtectedException => false }
+
+  override def purgeTable(ident: Identifier): Boolean =
+    try store.dropTabular(tid(ident), purge = true)
+    catch { case _: ProtectedException => false }
+
+  /** `RENAME TO a.b.c` can arrive with this catalog's name still
+    * prefixed on the target namespace — strip it.
+    */
+  private def stripCatalog(ident: Identifier): Identifier =
+    if (ident.namespace.headOption.contains(catalogName) &&
+        !store.namespaceExists(ident.namespace.toSeq) &&
+        (ident.namespace.length == 1 ||
+          store.namespaceExists(ident.namespace.toSeq.drop(1))))
+      Identifier.of(ident.namespace.drop(1), ident.name)
+    else ident
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    try store.renameTabular(tid(oldIdent), tid(stripCatalog(newIdent)))
+    catch {
+      case _: NoSuchTabularException => throw new NoSuchTableException(oldIdent)
+      case _: AlreadyExistsException =>
+        throw new TableAlreadyExistsException(newIdent)
+    }
+
+  // --------------------------------------------------------------- views
+  override def listViews(namespace: String*): Array[Identifier] =
+    store.listTabulars(namespace.toSeq, kind = Some("view"))
+      .map(t => Identifier.of(namespace.toArray, t.id.name)).toArray
+
+  override def loadView(ident: Identifier): View = {
+    val id = tid(ident)
+    store.loadTabularInfo(id) match {
+      case Some(info) if info.kind == "view" && info.deletedMs.isEmpty =>
+        val (vm, _) = store.loadViewMetadata(id).get
+        GraftView(ident, vm)
+      case _ => throw new NoSuchViewException(ident)
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    store.loadTabularInfo(tid(ident))
+      .exists(t => t.kind == "view" && t.deletedMs.isEmpty)
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    val id = tid(ident)
+    val ts = TableSchema(0, info.schema)
+    val version = ViewVersion(1, System.currentTimeMillis(), 0,
+      Option(info.currentCatalog), info.currentNamespace.toSeq,
+      Seq(ViewRepresentation("spark", info.sql)),
+      Map("operation" -> "create", "engine-version" -> "spark"))
+    val vm = ViewMetadata(UUID.randomUUID().toString, 1,
+      store.tableLocation(id), 1, Map(1 -> version), Nil,
+      Map(0 -> ts), info.properties.asScala.toMap)
+    try store.createView(id, vm)
+    catch { case _: AlreadyExistsException =>
+      throw new ViewAlreadyExistsException(ident) }
+    GraftView(ident, vm)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val id = tid(info.ident)
+    store.loadViewMetadata(id) match {
+      case None =>
+        if (!orCreate) throw new NoSuchViewException(info.ident)
+        createView(info)
+      case Some((current, _)) =>
+        val next = store.commitView(id, Seq(
+          Commit.ViewUpdate.AddViewVersion(ViewVersion(-1,
+            System.currentTimeMillis(), current.currentVersion.schemaId,
+            Option(info.currentCatalog), info.currentNamespace.toSeq,
+            Seq(ViewRepresentation("spark", info.sql)),
+            Map("operation" -> "replace"))),
+          Commit.ViewUpdate.SetCurrentViewVersion(-1)))
+        GraftView(info.ident, next)
+    }
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val id = tid(ident)
+    val sets = changes.collect {
+      case s: ViewChange.SetProperty => s.property -> s.value }.toMap
+    val removes = changes.collect {
+      case r: ViewChange.RemoveProperty => r.property }
+    val next = store.commitView(id,
+      (if (sets.nonEmpty) Seq(Commit.ViewUpdate.SetProperties(sets)) else Nil) ++
+        (if (removes.nonEmpty) Seq(Commit.ViewUpdate.RemoveProperties(removes)) else Nil))
+    GraftView(ident, next)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    store.loadTabularInfo(tid(ident)) match {
+      case Some(info) if info.kind == "view" =>
+        store.dropTabular(tid(ident), purge = true)
+      case _ => false
+    }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    try store.renameTabular(tid(oldIdent), tid(newIdent))
+    catch {
+      case _: NoSuchTabularException => throw new NoSuchViewException(oldIdent)
+      case _: AlreadyExistsException =>
+        throw new ViewAlreadyExistsException(newIdent)
+    }
+}
+
+object GraftCatalog {
+
+  /** CatalogV2Util is private[sql]; these two conversions are trivial. */
+  def v2ColumnsToStructType(columns: Array[Column]): StructType =
+    StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      Option(c.comment).map(f.withComment).getOrElse(f)
+    })
+
+  def structTypeToV2Columns(schema: StructType): Array[Column] =
+    schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable))
+
+  /** Spark DSv2 Transform → our PartitionField. */
+  def toPartitionField(t: SparkTransform): PartitionField = {
+    def ref(e: Expression): String = e match {
+      case n: NamedReference => n.fieldNames.mkString(".")
+      case _ => throw new IllegalArgumentException(s"unsupported ref: $e")
+    }
+    t.name match {
+      case "identity" =>
+        val col = ref(t.arguments.head)
+        PartitionField(col, -1, col, Transform.Identity)
+      case "bucket" =>
+        val (lits, refs) = t.arguments.partition(_.isInstanceOf[Literal[_]])
+        val n = lits.head.asInstanceOf[Literal[_]].value.toString.toInt
+        val col = ref(refs.head)
+        PartitionField(col, -1, s"${col}_bucket", Transform.Bucket(n))
+      case "truncate" =>
+        val (lits, refs) = t.arguments.partition(_.isInstanceOf[Literal[_]])
+        val w = lits.head.asInstanceOf[Literal[_]].value.toString.toInt
+        val col = ref(refs.head)
+        PartitionField(col, -1, s"${col}_trunc", Transform.Truncate(w))
+      case "years" | "year" =>
+        val col = ref(t.arguments.head)
+        PartitionField(col, -1, s"${col}_year", Transform.Year)
+      case "months" | "month" =>
+        val col = ref(t.arguments.head)
+        PartitionField(col, -1, s"${col}_month", Transform.Month)
+      case "days" | "day" =>
+        val col = ref(t.arguments.head)
+        PartitionField(col, -1, s"${col}_day", Transform.Day)
+      case "hours" | "hour" =>
+        val col = ref(t.arguments.head)
+        PartitionField(col, -1, s"${col}_hour", Transform.Hour)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported transform: $other")
+    }
+  }
+
+  /** Our PartitionField → Spark DSv2 Transform (for Table.partitioning). */
+  def toSparkTransform(f: PartitionField): SparkTransform = f.transform match {
+    case Transform.Identity => Expressions.identity(f.sourceName)
+    case Transform.Bucket(n) => Expressions.bucket(n, f.sourceName)
+    case Transform.Truncate(w) =>
+      Expressions.apply("truncate",
+        Expressions.literal(Integer.valueOf(w)), Expressions.column(f.sourceName))
+    case Transform.Year => Expressions.years(f.sourceName)
+    case Transform.Month => Expressions.months(f.sourceName)
+    case Transform.Day => Expressions.days(f.sourceName)
+    case Transform.Hour => Expressions.hours(f.sourceName)
+    case Transform.Void =>
+      Expressions.apply("void", Expressions.column(f.sourceName))
+  }
+
+  /** ALTER TABLE changes → commit updates (schema/partition evolution +
+    * property changes ride the same commit path as everything else).
+    */
+  def tableChangesToUpdates(
+      current: TableMetadata, changes: Seq[TableChange]): Seq[TableUpdate] = {
+    import org.apache.spark.sql.types._
+    var struct = current.currentSchema.struct
+    var schemaChanged = false
+    val other = scala.collection.mutable.ArrayBuffer.empty[TableUpdate]
+    val setProps = scala.collection.mutable.Map.empty[String, String]
+    val rmProps = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested add not supported yet")
+        struct = struct.add(StructField(a.fieldNames.head,
+          a.dataType, a.isNullable))
+        schemaChanged = true
+      case d: TableChange.DeleteColumn =>
+        struct = StructType(struct.fields.filterNot(
+          _.name.equalsIgnoreCase(d.fieldNames.head)))
+        schemaChanged = true
+      case r: TableChange.RenameColumn =>
+        struct = StructType(struct.fields.map(f =>
+          if (f.name.equalsIgnoreCase(r.fieldNames.head))
+            f.copy(name = r.newName) else f))
+        schemaChanged = true
+      case u: TableChange.UpdateColumnType =>
+        struct = StructType(struct.fields.map(f =>
+          if (f.name.equalsIgnoreCase(u.fieldNames.head))
+            f.copy(dataType = u.newDataType) else f))
+        schemaChanged = true
+      case u: TableChange.UpdateColumnNullability =>
+        struct = StructType(struct.fields.map(f =>
+          if (f.name.equalsIgnoreCase(u.fieldNames.head))
+            f.copy(nullable = u.nullable) else f))
+        schemaChanged = true
+      case s: TableChange.SetProperty =>
+        if (s.property == "format-version")
+          other += TableUpdate.UpgradeFormatVersion(s.value.toInt)
+        else setProps += s.property -> s.value
+      case r: TableChange.RemoveProperty => rmProps += r.property
+      case other_ =>
+        throw new UnsupportedOperationException(s"table change: $other_")
+    }
+
+    (if (schemaChanged)
+      Seq(TableUpdate.AddSchema(TableSchema(-1, struct)),
+        TableUpdate.SetCurrentSchema(-1))
+    else Nil) ++
+      other.toSeq ++
+      (if (setProps.nonEmpty) Seq(TableUpdate.SetProperties(setProps.toMap)) else Nil) ++
+      (if (rmProps.nonEmpty) Seq(TableUpdate.RemoveProperties(rmProps.toSeq)) else Nil)
+  }
+}
+
+/** DSv2 View backed by ViewMetadata. */
+final case class GraftView(ident: Identifier, vm: ViewMetadata) extends View {
+  private def v = vm.currentVersion
+  override def name(): String = ident.toString
+  override def query(): String =
+    v.representations.find(_.dialect == "spark")
+      .orElse(v.representations.headOption).map(_.sql).getOrElse("")
+  override def currentCatalog(): String = v.defaultCatalog.orNull
+  override def currentNamespace(): Array[String] = v.defaultNamespace.toArray
+  override def schema(): StructType =
+    vm.schemas.get(v.schemaId).map(_.struct).getOrElse(new StructType())
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): util.Map[String, String] = vm.properties.asJava
+}

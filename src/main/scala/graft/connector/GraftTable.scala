@@ -1,0 +1,226 @@
+package graft.connector
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Transform => SparkTransform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.meta._
+import graft.store._
+
+/** A catalog table: reads delegate to Spark's vectorized parquet reader
+  * over the snapshot's manifest-pruned file list; writes produce new
+  * parquet files + a snapshot commit (graft.connector.GraftWrite).
+  */
+class GraftTable(
+    val store: FileCatalogStore,
+    val tableId: TabularId,
+    val meta: TableMetadata,
+    val snapshotId: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  /** Snapshot this table instance reads (time travel pins it). */
+  def readSnapshot: Option[Snapshot] =
+    snapshotId.flatMap(meta.snapshots.get).orElse(meta.currentSnapshot)
+
+  /** Time travel reads pin the snapshot's schema; normal reads always
+    * use the current schema (old files project into it by field-id).
+    */
+  private def readSchema_ : TableSchema =
+    snapshotId.flatMap(s => meta.snapshots.get(s))
+      .flatMap(s => meta.schemas.get(s.schemaId))
+      .getOrElse(meta.currentSchema)
+
+  override def name(): String = tableId.toString
+  override def schema(): StructType = readSchema_.struct
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(readSchema_.struct)
+
+  override def partitioning(): Array[SparkTransform] =
+    meta.defaultSpec.fields.map(GraftCatalog.toSparkTransform).toArray
+
+  override def properties(): util.Map[String, String] = meta.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  /** Live data files of the read snapshot (union of its manifests). */
+  def liveFiles: Seq[DataFile] =
+    readSnapshot.toSeq.flatMap(_.manifests).flatMap(m =>
+      store.readManifest(tableId, m).entries)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(this, info)
+}
+
+/** ScanBuilder: column pruning + filter pushdown. Filters are used
+  * twice — file-level pruning from manifest stats here, then row-group
+  * pruning inside Spark's parquet reader — and always returned as
+  * residuals so Catalyst keeps exact semantics.
+  */
+class GraftScanBuilder(table: GraftTable)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushedFilters_ : Array[Filter] = Array.empty
+  private var requiredSchema: StructType = table.schema()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedFilters_ = filters
+    filters // all residual: stats pruning is advisory, rows re-checked
+  }
+
+  override def pushedFilters(): Array[Filter] = pushedFilters_
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(table, pushedFilters_, requiredSchema)
+}
+
+class GraftScan(
+    table: GraftTable,
+    filters: Array[Filter],
+    requiredSchema: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val spark = SparkSession.active
+  private val dataSchema = table.schema()
+
+  /** Manifest-stats + partition-transform pruned file list. */
+  lazy val selectedFiles: Seq[DataFile] = {
+    val spec = table.meta.specs.getOrElse(
+      table.readSnapshot.map(_.schemaId).getOrElse(table.meta.defaultSpecId),
+      table.meta.defaultSpec)
+    table.liveFiles.filter(f =>
+      FilePruning.mayMatch(f, filters.toSeq, dataSchema, table.meta.defaultSpec))
+  }
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, selectedFiles.map(_.fileSizeBytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(selectedFiles.map(_.recordCount).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val parallelism = spark.sparkContext.defaultParallelism
+    val totalBytes = selectedFiles.map(_.fileSizeBytes + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, parallelism)
+    val targetSize = math.min(maxSplit, math.max(openCost, bytesPerCore))
+
+    val splits = selectedFiles.flatMap { f =>
+      // split large parquet files into row-group-aligned ranges (the
+      // reader snaps to row-group boundaries)
+      (0L until f.fileSizeBytes by targetSize).map { start =>
+        PartitionedFile(
+          InternalRow.empty,
+          SparkPath.fromPathString(f.path),
+          start,
+          math.min(targetSize, f.fileSizeBytes - start),
+          Array.empty[String], 0L, f.fileSizeBytes, Map.empty)
+      }
+    }.sortBy(-_.length)
+
+    // greedy bin-packing into FilePartitions of ~targetSize
+    val partitions = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[PartitionedFile]]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    splits.foreach { s =>
+      val idx = sizes.indices.find(i => sizes(i) + s.length + openCost <= targetSize)
+      idx match {
+        case Some(i) =>
+          partitions(i) += s; sizes(i) += s.length + openCost
+        case None =>
+          partitions += scala.collection.mutable.ArrayBuffer(s)
+          sizes += s.length + openCost
+      }
+    }
+    partitions.zipWithIndex.map { case (files, i) =>
+      FilePartition(i, files.toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // mirror of Spark's ParquetScan.createReaderFactory conf handshake
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val sqlConf = spark.sessionState.conf
+    val readDataSchemaAsJson = requiredSchema.json
+    hadoopConf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    hadoopConf.set(
+      "org.apache.spark.sql.parquet.row.requested_schema", readDataSchemaAsJson)
+    hadoopConf.set(
+      "org.apache.spark.sql.parquet.row.attributes", readDataSchemaAsJson)
+    hadoopConf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean("spark.sql.optimizer.nestedSchemaPruning.enabled",
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean("spark.sql.caseSensitive",
+      sqlConf.caseSensitiveAnalysis)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(requiredSchema, hadoopConf)
+    hadoopConf.setBoolean("spark.sql.parquet.binaryAsString",
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean("spark.sql.parquet.int96AsTimestamp",
+      sqlConf.isParquetINT96AsTimestamp)
+    // every key ParquetToSparkSchemaConverter(Configuration) reads must
+    // be present (it calls conf.get(key).toBoolean with no default)
+    hadoopConf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED).toString)
+    hadoopConf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED).toString)
+    hadoopConf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
+    hadoopConf.set(SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key,
+      sqlConf.getConf(SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION).toString)
+    hadoopConf.set(SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key,
+      sqlConf.getConf(
+        SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION).toString)
+    val broadcastConf: Broadcast[SerializableConfiguration] =
+      spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      spark.sessionState.conf,
+      broadcastConf,
+      dataSchema,
+      requiredSchema,
+      new StructType(), // partition columns live in the data files
+      filters,
+      None,
+      new ParquetOptions(Map.empty[String, String],
+        spark.sessionState.conf))
+  }
+
+  override def description(): String =
+    s"GraftScan ${table.name()} files=${selectedFiles.size}"
+}

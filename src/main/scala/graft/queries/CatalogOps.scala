@@ -1,0 +1,158 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.connector.GraftCatalog
+
+/** Catalog-engine operators exercised end-to-end through spark.sql and
+  * verified against DuckDB running over the RAW parquet: data written
+  * into a graft table, read back through the connector (manifest scan,
+  * stats pruning, vectorized parquet), and aggregated must equal the
+  * oracle's direct aggregation — proving the full
+  * write → commit → scan → Catalyst loop loses nothing.
+  */
+object CatalogOps {
+
+  private val CatalogName = "graftwh"
+  private val lock = new Object
+  private var prepared = Set.empty[String]
+
+  /** db name unique per sfDir so sf0.01 and sf0.1 coexist in one JVM. */
+  private def dbFor(sfDir: String): String =
+    "d" + math.abs(sfDir.hashCode).toString
+
+  /** Idempotent per-JVM setup: register the catalog, create + load the
+    * test tables for this sfDir.
+    */
+  private def prepare(spark: SparkSession, sfDir: String): String =
+    lock.synchronized {
+      val db = dbFor(sfDir)
+      if (prepared.contains(db)) return db
+      if (spark.conf.getOption(s"spark.sql.catalog.$CatalogName").isEmpty) {
+        spark.conf.set(s"spark.sql.catalog.$CatalogName",
+          classOf[GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$CatalogName.warehouse",
+          Files.createTempDirectory("graft-queries-wh").toString)
+      }
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.$db")
+
+      // plain round-trip table
+      spark.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.lineitem_c")
+      spark.sql(
+        s"""CREATE TABLE $CatalogName.$db.lineitem_c AS
+           |SELECT * FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+
+      // partitioned table: identity + bucket transforms
+      spark.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_p")
+      spark.sql(
+        s"""CREATE TABLE $CatalogName.$db.orders_p (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+           |  o_orderpriority STRING)
+           |PARTITIONED BY (o_orderstatus, bucket(8, o_custkey))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $CatalogName.$db.orders_p
+           |SELECT * FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+
+      // two-snapshot table for time travel: snapshot 1 = region only,
+      // snapshot 2 = + nation keys
+      spark.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.tt")
+      spark.sql(s"CREATE TABLE $CatalogName.$db.tt (k INT, name STRING)")
+      spark.sql(
+        s"""INSERT INTO $CatalogName.$db.tt
+           |SELECT r_regionkey, r_name FROM parquet.`$sfDir/region.parquet`""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $CatalogName.$db.tt
+           |SELECT n_nationkey + 1000, n_name
+           |FROM parquet.`$sfDir/nation.parquet`""".stripMargin)
+
+      // schema evolution: add a column after loading nation
+      spark.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.nation_evo")
+      spark.sql(
+        s"""CREATE TABLE $CatalogName.$db.nation_evo AS
+           |SELECT * FROM parquet.`$sfDir/nation.parquet`""".stripMargin)
+      spark.sql(s"ALTER TABLE $CatalogName.$db.nation_evo " +
+        "ADD COLUMN bonus DOUBLE")
+
+      prepared += db
+      db
+    }
+
+  val all: Seq[Q] = Seq(
+    // write → commit → scan round trip: TPC-H Q1 on the catalog table
+    Q(
+      "qc1_catalog_roundtrip_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  COUNT(*) AS count_order
+           |FROM $CatalogName.$db.lineitem_c
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // partition-transform write path: per-partition aggregation through
+    // the partitioned table (file pruning on o_orderstatus applies)
+    Q(
+      "qc2_partitioned_agg",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F','O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $CatalogName.$db.orders_p WHERE o_orderstatus IN ('F','O')
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // time travel: VERSION AS OF the first snapshot sees only region
+    Q(
+      "qc3_time_travel",
+      "SELECT k, name FROM (SELECT r_regionkey AS k, r_name AS name " +
+        "FROM region) ORDER BY k") { (s, dir) =>
+      val db = prepare(s, dir)
+      val firstSnap = s.sql(
+        s"""SELECT snapshot_id FROM $CatalogName.$db.tt.snapshots
+           |ORDER BY committed_at LIMIT 1""".stripMargin)
+        .collect().head.getLong(0)
+      s.sql(s"SELECT k, name FROM $CatalogName.$db.tt " +
+        s"VERSION AS OF $firstSnap ORDER BY k")
+    },
+
+    // schema evolution: old files project null into the added column
+    Q(
+      "qc4_schema_evolution",
+      """SELECT n_nationkey, n_name, CAST(NULL AS DOUBLE) AS bonus
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"SELECT n_nationkey, n_name, bonus " +
+        s"FROM $CatalogName.$db.nation_evo ORDER BY n_nationkey")
+    },
+
+    // metadata tables: commit history of the two-snapshot table
+    Q.noOracle("qc5_snapshot_history") { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(
+        s"""SELECT s.operation, s.snapshot_id, h.is_current_ancestor
+           |FROM $CatalogName.$db.tt.snapshots s
+           |JOIN $CatalogName.$db.tt.history h USING (snapshot_id)
+           |ORDER BY s.committed_at""".stripMargin)
+    }
+  )
+}

@@ -247,6 +247,18 @@ class FileCatalogStore(val root: String) {
       id: TabularId,
       requirements: Seq[TableRequirement],
       updates: Seq[TableUpdate],
+      maxRetries: Int = 4): TableMetadata =
+    commitTableWith(id, requirements, _ => updates, maxRetries)
+
+  /** Commit with updates recomputed from the CURRENT metadata on every
+    * attempt — required when updates embed state derived from the
+    * parent (e.g. a snapshot's manifest list), so a retry after losing
+    * a race rebases on the winner instead of resurrecting stale state.
+    */
+  def commitTableWith(
+      id: TabularId,
+      requirements: Seq[TableRequirement],
+      mkUpdates: TableMetadata => Seq[TableUpdate],
       maxRetries: Int = 4): TableMetadata = {
     var attempt = 0
     while (true) {
@@ -254,7 +266,7 @@ class FileCatalogStore(val root: String) {
       Commit.checkRequirements(currentOpt.map(_._1), requirements)
       val current = currentOpt.map(_._1).getOrElse(
         throw new NoSuchTabularException(id.toString))
-      val next = Commit.applyUpdates(current, updates)
+      val next = Commit.applyUpdates(current, mkUpdates(current))
       val v = currentOpt.map(_._2).getOrElse(-1) + 1
       val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
       val withLog = next.copy(metadataLog =
@@ -452,13 +464,29 @@ class FileCatalogStore(val root: String) {
   }
 
   // ------------------------------------------------------------ manifests
-  def writeManifest(id: TabularId, manifest: ManifestFile): String = {
-    val dir = metadataDir(id).resolve("manifests")
-    val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
-    writeString(p, Json.manifestToJson(manifest))
-    p.toString
+  // Manifest and data-file paths are persisted RELATIVE to the table
+  // location so rename (= directory move) and warehouse relocation
+  // never invalidate metadata. In-memory DataFile paths stay absolute.
+
+  private def relativize(id: TabularId, path: String): String = {
+    val loc = tableLocation(id) + "/"
+    if (path.startsWith(loc)) path.substring(loc.length) else path
   }
 
-  def readManifest(path: String): ManifestFile =
-    Json.manifestFromJson(readString(Paths.get(path)))
+  def resolvePath(id: TabularId, path: String): String =
+    if (path.startsWith("/")) path else s"${tableLocation(id)}/$path"
+
+  def writeManifest(id: TabularId, manifest: ManifestFile): String = {
+    val dir = metadataDir(id).resolve("manifests")
+    val rel = manifest.copy(entries = manifest.entries.map(f =>
+      f.copy(path = relativize(id, f.path))))
+    val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
+    writeString(p, Json.manifestToJson(rel))
+    relativize(id, p.toString)
+  }
+
+  def readManifest(id: TabularId, path: String): ManifestFile = {
+    val m = Json.manifestFromJson(readString(Paths.get(resolvePath(id, path))))
+    m.copy(entries = m.entries.map(f => f.copy(path = resolvePath(id, f.path))))
+  }
 }
