@@ -359,6 +359,7 @@ object GraftCatalog {
     import org.apache.spark.sql.types._
     var struct = current.currentSchema.struct
     var schemaChanged = false
+    val freshNames = scala.collection.mutable.Set.empty[String]
     val other = scala.collection.mutable.ArrayBuffer.empty[TableUpdate]
     val setProps = scala.collection.mutable.Map.empty[String, String]
     val rmProps = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -368,6 +369,7 @@ object GraftCatalog {
         require(a.fieldNames.length == 1, "nested add not supported yet")
         struct = struct.add(StructField(a.fieldNames.head,
           a.dataType, a.isNullable))
+        freshNames += a.fieldNames.head
         schemaChanged = true
       case d: TableChange.DeleteColumn =>
         struct = StructType(struct.fields.filterNot(
@@ -398,7 +400,7 @@ object GraftCatalog {
     }
 
     (if (schemaChanged)
-      Seq(TableUpdate.AddSchema(TableSchema(-1, struct)),
+      Seq(TableUpdate.AddSchema(TableSchema(-1, struct), freshNames.toSet),
         TableUpdate.SetCurrentSchema(-1))
     else Nil) ++
       other.toSeq ++

@@ -114,13 +114,15 @@ class GraftScan(
   private val dataSchema = table.schema()
 
   /** Manifest-stats + partition-transform pruned file list. */
-  lazy val selectedFiles: Seq[DataFile] = {
-    val spec = table.meta.specs.getOrElse(
-      table.readSnapshot.map(_.schemaId).getOrElse(table.meta.defaultSpecId),
-      table.meta.defaultSpec)
+  /** Each file is pruned under the spec it was WRITTEN with — after
+    * partition evolution, files from different generations carry
+    * different specIds and evaluating the wrong transform would
+    * silently drop matching files.
+    */
+  lazy val selectedFiles: Seq[DataFile] =
     table.liveFiles.filter(f =>
-      FilePruning.mayMatch(f, filters.toSeq, dataSchema, table.meta.defaultSpec))
-  }
+      FilePruning.mayMatch(f, filters.toSeq, dataSchema,
+        table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
 
   override def readSchema(): StructType = requiredSchema
 

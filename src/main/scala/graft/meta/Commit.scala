@@ -76,7 +76,13 @@ sealed trait TableUpdate
 object TableUpdate {
   final case class AssignUuid(uuid: String) extends TableUpdate
   final case class UpgradeFormatVersion(version: Int) extends TableUpdate
-  final case class AddSchema(schema: TableSchema) extends TableUpdate
+  /** @param freshNames column names the change set ADDED (vs carried
+    *   over) — they must get brand-new field-ids even when a
+    *   just-dropped column had the same name, or old parquet data
+    *   resurfaces in the logically new column.
+    */
+  final case class AddSchema(schema: TableSchema,
+      freshNames: Set[String] = Set.empty) extends TableUpdate
   final case class SetCurrentSchema(schemaId: Int) extends TableUpdate // -1 = last added
   final case class AddSpec(spec: PartitionSpec) extends TableUpdate
   final case class SetDefaultSpec(specId: Int) extends TableUpdate // -1 = last added
@@ -135,15 +141,18 @@ object Commit {
           fail(s"Cannot downgrade format version ${m.formatVersion} to $v")
         m = m.copy(formatVersion = v)
 
-      case AddSchema(schema) =>
+      case AddSchema(schema, freshNames) =>
         val id = if (m.schemas.contains(schema.schemaId) || schema.schemaId < 0)
           m.schemas.keys.max + 1 else schema.schemaId
         // fields that exist (by name) in the current schema keep their
         // field-id — evolution must not re-number surviving columns or
-        // old parquet files stop mapping correctly
+        // old parquet files stop mapping correctly. Names in freshNames
+        // were added by this change set and always get a new id.
         val currentIds = m.currentSchema.fieldIds
+        val fresh = freshNames.map(_.toLowerCase(java.util.Locale.ROOT))
         val prefilled = StructType(schema.struct.fields.map { f =>
-          if (TableSchema.fieldId(f) >= 0) f
+          if (TableSchema.fieldId(f) >= 0 ||
+              fresh.contains(f.name.toLowerCase(java.util.Locale.ROOT))) f
           else currentIds.get(f.name) match {
             case Some(fid) => f.copy(metadata =
               new org.apache.spark.sql.types.MetadataBuilder()

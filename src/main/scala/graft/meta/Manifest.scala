@@ -47,7 +47,11 @@ object ColumnStat {
     val a = parse(stored, dt)
     val b = litValue match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case ts: java.sql.Timestamp => ts.getTime * 1000L
+      case ts: java.sql.Timestamp =>
+        // mirror Spark's DateTimeUtils.fromJavaTimestamp: keep the
+        // sub-millisecond digits held in getNanos, or pruning with a
+        // fractional-ms literal wrongly excludes files.
+        ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
       case i: java.time.Instant =>
         i.getEpochSecond * 1000000L + i.getNano / 1000L

@@ -84,8 +84,8 @@ object Events {
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, sec,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  date_diff('second', MIN(sec), MAX(sec)) AS duration_s
@@ -115,9 +115,9 @@ object Events {
     Q(
       "qe4_type_value_matrix",
       """SELECT event_type,
-        |  SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS small,
-        |  SUM(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS medium,
-        |  SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS large,
+        |  CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS small,
+        |  CAST(SUM(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS large,
         |  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
         |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>

@@ -24,9 +24,9 @@ object TextOps {
       "qt1_token_stats",
       s"""SELECT lang, source,
          |  COUNT(*) AS n_docs,
-         |  SUM(len(regexp_extract_all(text, '$tokenRe'))) AS total_tokens,
-         |  SUM(n_chars) AS total_chars,
-         |  MAX(len(regexp_extract_all(text, '$tokenRe'))) AS max_tokens
+         |  CAST(SUM(len(regexp_extract_all(text, '$tokenRe'))) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(MAX(len(regexp_extract_all(text, '$tokenRe'))) AS BIGINT) AS max_tokens
          |FROM documents
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -36,7 +36,7 @@ object TextOps {
           count(lit(1)).as("n_docs"),
           sum(size(col("toks"))).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"),
-          max(size(col("toks"))).as("max_tokens"))
+          max(size(col("toks"))).cast(LongType).as("max_tokens"))
         .orderBy(col("lang"), col("source"))
     },
 
@@ -52,7 +52,7 @@ object TextOps {
          |  FROM documents)
          |SELECT lang,
          |  COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN n_tokens >= 20 AND n_stop * 10 >= n_tokens THEN 1 ELSE 0 END) AS n_quality,
+         |  CAST(SUM(CASE WHEN n_tokens >= 20 AND n_stop * 10 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
          |  CAST(SUM(n_len) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

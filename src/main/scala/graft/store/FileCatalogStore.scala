@@ -212,7 +212,7 @@ class FileCatalogStore(val root: String) {
   }
 
   // -------------------------------------------------------- table commit
-  private val VersionRe = """v(\d{5})\.metadata\.json""".r
+  private val VersionRe = """v(\d+)\.metadata\.json""".r
 
   def metadataDir(id: TabularId): Path = tabularPath(id).resolve("metadata")
 
@@ -403,13 +403,36 @@ class FileCatalogStore(val root: String) {
       }
     }
     try {
-      // validate all first
-      changes.foreach { case (id, reqs, _) =>
-        Commit.checkRequirements(loadTableMetadata(id).map(_._1), reqs)
+      // Phase 1: validate requirements AND fully apply every table's
+      // updates in memory, so guard violations surface before any file
+      // is written — all-or-none really means none on failure.
+      val staged = changes.map { case (id, reqs, ups) =>
+        val currentOpt = loadTableMetadata(id)
+        Commit.checkRequirements(currentOpt.map(_._1), reqs)
+        val (current, v) = currentOpt.getOrElse(
+          throw new NoSuchTabularException(id.toString))
+        val next = Commit.applyUpdates(current, ups)
+        val withLog = next.copy(metadataLog =
+          (current.metadataLog :+ MetadataLogEntry(
+            System.currentTimeMillis(),
+            metadataDir(id).resolve(f"v$v%05d.metadata.json").toString))
+            .takeRight(maxPreviousVersions(next) + 1))
+        (id, v + 1, withLog)
       }
-      changes.foreach { case (id, reqs, ups) =>
-        commitTable(id, reqs, ups)
+      // Phase 2: write all version files; on any loss of the per-file
+      // race, roll back the files created so far so no table advances.
+      val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      staged.foreach { case (id, v, meta) =>
+        val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        if (!atomicCreate(target, Json.metadataToJson(meta))) {
+          written.foreach(p => try Files.deleteIfExists(p)
+            catch { case NonFatal(_) => })
+          throw new CommitFailedException(
+            s"Transaction conflict on $id: version $v already exists")
+        }
+        written += target
       }
+      staged.foreach { case (id, v, meta) => cleanupOldMetadata(id, meta, v) }
     } finally Files.deleteIfExists(txLock)
   }
 
