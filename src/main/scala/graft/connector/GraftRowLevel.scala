@@ -1,0 +1,239 @@
+package graft.connector
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => SparkSortOrder}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.meta._
+
+/** Copy-on-write row-level operations: DELETE FROM / UPDATE / MERGE INTO.
+  *
+  * The reference certifies these through Spark
+  * (tests/python/tests/test_spark.py:155-173 MERGE, :1330 DELETE); its
+  * own role is only commit arbitration — the rewrite itself is engine
+  * work, which is exactly what this class does natively:
+  *
+  *  1. Spark's rewrite rules (RewriteDeleteFromTable / RewriteUpdateTable
+  *     / RewriteMergeIntoTable) plan a group-based ReplaceData over the
+  *     scan and write below.
+  *  2. The rewrite scan selects candidate files by manifest-stat pruning
+  *     on the pushed condition, then reads EVERY row of those files —
+  *     `readerFilters` is empty because non-matching rows survive only
+  *     by being rewritten.
+  *  3. The write produces replacement parquet files and commits a
+  *     replace-files snapshot: scanned files out, new files in, all
+  *     other live files untouched. Concurrent appends rebase cleanly;
+  *     a concurrent rewrite of any scanned file aborts the commit
+  *     (serializable isolation on the touched file set).
+  *
+  * 100 TB posture: only stat-matching files are rewritten for
+  * DELETE/UPDATE (condition pushdown → file pruning); the write keeps
+  * the table's clustered-by-partition distribution so rewritten data
+  * lands partition-coherent. MERGE without a selective target predicate
+  * rewrites all files — the documented copy-on-write trade-off.
+  */
+class GraftRowLevelOperation(
+    table: GraftTable,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** The rewrite scan instance; the write reads its selected files at
+    * commit time so the replace set is exactly what was read.
+    */
+  @volatile private[connector] var rewriteScan: GraftCowScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(table, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftCowWrite(table, info.schema(), GraftRowLevelOperation.this)
+    }
+
+  /** `_file` makes Spark project rewrite rows through
+    * ReplaceDataProjections (stripping the operation column before the
+    * writer sees rows) and enables runtime group filtering.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftTable.FileColumnName))
+
+  override def description(): String =
+    s"GraftRowLevelOperation($cmd, ${table.name()})"
+}
+
+class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // residual: the rewrite plan re-evaluates the condition on rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val scan = new GraftCowScan(table, pushed, required)
+    op.rewriteScan = scan
+    scan
+  }
+}
+
+/** Rewrite scan: prunes files with the pushed condition but returns all
+  * rows of every selected file (see GraftScan.readerFilters).
+  *
+  * Runtime group filtering: for MERGE/UPDATE, where the static pushdown
+  * is weak or empty, Spark runs a subquery for the `_file` values that
+  * actually contain matches and narrows the rewrite to those files —
+  * without it a MERGE would rewrite the whole table.
+  */
+class GraftCowScan(
+    table: GraftTable,
+    filters: Array[Filter],
+    requiredSchema: StructType)
+  extends GraftScan(table, filters, requiredSchema)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override protected def readerFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftTable.FileColumnName))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val paths = predicates.collect {
+      case p if p.name() == "IN" =>
+        p.children().collect {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString
+        }.toSet
+    }
+    if (paths.nonEmpty) restrictToFiles(paths.reduce(_ intersect _))
+  }
+
+  override def description(): String =
+    s"GraftCowScan ${table.name()} files=${selectedFiles.size}"
+}
+
+/** Replace-files write for ReplaceData: same physical write path as
+  * appends (partition-clustered distribution, per-file stats), commit
+  * swaps the scanned file set for the written one.
+  */
+class GraftCowWrite(
+    table: GraftTable,
+    writeSchema: StructType,
+    op: GraftRowLevelOperation)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution = {
+    val spec = table.meta.defaultSpec
+    if (spec.isUnpartitioned) Distributions.unspecified()
+    else Distributions.clustered(
+      spec.fields.map(f => Expressions.column(f.sourceName)).toArray)
+  }
+
+  override def requiredOrdering(): Array[SparkSortOrder] = Array.empty
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def toBatch: BatchWrite = new GraftCowBatchWrite(table, writeSchema, op)
+}
+
+class GraftCowBatchWrite(
+    table: GraftTable,
+    writeSchema: StructType,
+    op: GraftRowLevelOperation)
+  extends BatchWrite {
+
+  private val spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    GraftDataWriterFactory(
+      table.store.tableLocation(table.tableId),
+      writeSchema,
+      table.meta.defaultSpec,
+      conf,
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val scan = op.rewriteScan
+    require(scan != null, "rewrite scan was never planned")
+    val replacedPaths = scan.selectedFiles.map(_.path).toSet
+    val newFiles = messages.collect { case GraftCommitMessage(fs) => fs }
+      .flatten.toSeq
+    if (replacedPaths.isEmpty && newFiles.isEmpty) return // no-op rewrite
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    table.store.commitTableWith(table.tableId,
+      Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
+      current => {
+        val live = current.currentSnapshot.map(_.manifests).getOrElse(Nil)
+          .flatMap(m => table.store.readManifest(table.tableId, m).entries)
+        // serializable isolation: every file this rewrite read must
+        // still be live, or we are rewriting on top of stale data
+        val livePaths = live.map(_.path).toSet
+        val gone = replacedPaths -- livePaths
+        if (gone.nonEmpty)
+          throw new CommitFailedException(
+            s"Row-level operation conflict on ${table.tableId}: " +
+              s"${gone.size} scanned file(s) were rewritten concurrently")
+        val kept = live.filterNot(f => replacedPaths.contains(f.path))
+        val manifests = Seq(
+          if (kept.nonEmpty)
+            Some(table.store.writeManifest(table.tableId,
+              ManifestFile(kept, snapshotId)))
+          else None,
+          if (newFiles.nonEmpty)
+            Some(table.store.writeManifest(table.tableId,
+              ManifestFile(newFiles, snapshotId)))
+          else None).flatten
+        val snap = Snapshot(
+          snapshotId,
+          current.currentSnapshotId,
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "overwrite",
+          Map(
+            "operation-command" -> op.command().toString,
+            "removed-data-files" -> replacedPaths.size.toString,
+            "added-data-files" -> newFiles.size.toString,
+            "added-records" -> newFiles.map(_.recordCount).sum.toString,
+            "spark.app.id" -> spark.sparkContext.applicationId),
+          manifests,
+          current.currentSchemaId)
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+            SnapshotRef(snapshotId, isBranch = true)))
+      })
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+      catch { case _: Throwable => }
+    }
+}

@@ -32,7 +32,9 @@ class GraftTable(
     val tableId: TabularId,
     val meta: TableMetadata,
     val snapshotId: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** Snapshot this table instance reads (time travel pins it). */
   def readSnapshot: Option[Snapshot] =
@@ -75,6 +77,34 @@ class GraftTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(this, info)
+
+  /** DELETE FROM / UPDATE / MERGE INTO route here (stock Spark only
+    * plans row-level SQL against tables declaring this interface).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
+
+  /** `_file`: source data file of each row (Iceberg exposes the same).
+    * Row-level operations require it so Spark projects rewrite rows
+    * through ReplaceDataProjections, and runtime group filtering can
+    * narrow the rewrite to files that actually contain matches.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftTable.FileMetadataColumn)
+}
+
+object GraftTable {
+  val FileColumnName = "_file"
+
+  object FileMetadataColumn extends MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "Path of the data file holding the row"
+  }
 }
 
 /** ScanBuilder: column pruning + filter pushdown. Filters are used
@@ -105,7 +135,7 @@ class GraftScanBuilder(table: GraftTable)
 }
 
 class GraftScan(
-    table: GraftTable,
+    val table: GraftTable,
     filters: Array[Filter],
     requiredSchema: StructType)
   extends Scan with Batch with SupportsReportStatistics {
@@ -113,16 +143,45 @@ class GraftScan(
   private val spark = SparkSession.active
   private val dataSchema = table.schema()
 
+  /** Filters handed to the parquet reader for row-group/page pruning.
+    * Copy-on-write rewrite scans override this to NONE: they must
+    * return every row of each selected file, because unselected rows
+    * are preserved only by being rewritten.
+    */
+  protected def readerFilters: Array[Filter] = filters
+
+  /** Position of the `_file` metadata column in the required schema,
+    * if requested; the parquet reader sees the schema without it and
+    * the per-file reader appends the path constant.
+    */
+  private val fileColOrdinal: Int =
+    requiredSchema.fieldNames.indexOf(GraftTable.FileColumnName)
+
+  private val parquetReadSchema: StructType =
+    if (fileColOrdinal < 0) requiredSchema
+    else StructType(requiredSchema.fields.patch(fileColOrdinal, Nil, 1))
+
   /** Manifest-stats + partition-transform pruned file list. */
   /** Each file is pruned under the spec it was WRITTEN with — after
     * partition evolution, files from different generations carry
     * different specIds and evaluating the wrong transform would
     * silently drop matching files.
     */
-  lazy val selectedFiles: Seq[DataFile] =
+  private lazy val statSelectedFiles: Seq[DataFile] =
     table.liveFiles.filter(f =>
       FilePruning.mayMatch(f, filters.toSeq, dataSchema,
         table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
+
+  /** Runtime narrowing from SupportsRuntimeV2Filtering (rewrite scans). */
+  private var runtimePaths: Option[Set[String]] = None
+
+  protected def restrictToFiles(paths: Set[String]): Unit =
+    runtimePaths = Some(runtimePaths.fold(paths)(_ intersect paths))
+
+  def selectedFiles: Seq[DataFile] = runtimePaths match {
+    case Some(ps) => statSelectedFiles.filter(f => ps.contains(f.path))
+    case None => statSelectedFiles
+  }
 
   override def readSchema(): StructType = requiredSchema
 
@@ -178,7 +237,7 @@ class GraftScan(
     // mirror of Spark's ParquetScan.createReaderFactory conf handshake
     val hadoopConf = spark.sessionState.newHadoopConf()
     val sqlConf = spark.sessionState.conf
-    val readDataSchemaAsJson = requiredSchema.json
+    val readDataSchemaAsJson = parquetReadSchema.json
     hadoopConf.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     hadoopConf.set(
@@ -191,7 +250,7 @@ class GraftScan(
     hadoopConf.setBoolean("spark.sql.caseSensitive",
       sqlConf.caseSensitiveAnalysis)
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(requiredSchema, hadoopConf)
+      .setSchema(parquetReadSchema, hadoopConf)
     hadoopConf.setBoolean("spark.sql.parquet.binaryAsString",
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean("spark.sql.parquet.int96AsTimestamp",
@@ -211,18 +270,88 @@ class GraftScan(
         SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION).toString)
     val broadcastConf: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    ParquetPartitionReaderFactory(
+    val parquetFactory = ParquetPartitionReaderFactory(
       spark.sessionState.conf,
       broadcastConf,
       dataSchema,
-      requiredSchema,
+      parquetReadSchema,
       new StructType(), // partition columns live in the data files
-      filters,
+      readerFilters,
       None,
       new ParquetOptions(Map.empty[String, String],
         spark.sessionState.conf))
+    if (fileColOrdinal < 0) parquetFactory
+    else FileTaggingReaderFactory(parquetFactory, fileColOrdinal,
+      parquetReadSchema.fields.map(_.dataType))
   }
 
   override def description(): String =
     s"GraftScan ${table.name()} files=${selectedFiles.size}"
+}
+
+/** Row-based reader that appends the `_file` metadata column (the
+  * source file path) to each row. Used only when a scan requests
+  * `_file` — normal scans stay on the vectorized columnar path.
+  */
+final case class FileTaggingReaderFactory(
+    delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+    fileOrdinal: Int,
+    dataTypes: Array[org.apache.spark.sql.types.DataType])
+  extends PartitionReaderFactory {
+
+  private def outputWidth = dataTypes.length + 1
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[FilePartition].files
+    new PartitionReader[InternalRow] {
+      private var idx = -1
+      private var current: PartitionReader[InternalRow] = _
+      private var currentPath: org.apache.spark.unsafe.types.UTF8String = _
+      private val out =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outputWidth)
+
+      private def advanceFile(): Boolean = {
+        if (current != null) { current.close(); current = null }
+        idx += 1
+        if (idx >= files.length) false
+        else {
+          val f = files(idx)
+          current = delegate.buildReader(f)
+          currentPath = org.apache.spark.unsafe.types.UTF8String
+            .fromString(f.filePath.toString)
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (current == null && !advanceFile()) return false
+          if (current.next()) return true
+          current.close()
+          current = null
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val row = current.get()
+        var i = 0
+        var j = 0
+        while (i < outputWidth) {
+          if (i == fileOrdinal) out.update(i, currentPath)
+          else {
+            out.update(i, if (row.isNullAt(j)) null else row.get(j, dataTypes(j)))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+
+      override def close(): Unit = if (current != null) current.close()
+    }
+  }
 }

@@ -153,6 +153,57 @@ object CatalogOps {
            |FROM $CatalogName.$db.tt.snapshots s
            |JOIN $CatalogName.$db.tt.history h USING (snapshot_id)
            |ORDER BY s.committed_at""".stripMargin)
+    },
+
+    // DELETE FROM via copy-on-write: post-state must equal the oracle's
+    // filtered view of the raw data (rows with NULL predicate survive)
+    Q(
+      "qc6_delete_where",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT (c_acctbal < 0) OR c_acctbal IS NULL
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      // fresh target each run: the mutation + post-state read IS the op
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.cust_d")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.cust_d AS
+           |SELECT c_custkey, c_name, c_acctbal
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(s"DELETE FROM $CatalogName.$db.cust_d WHERE c_acctbal < 0")
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal " +
+        s"FROM $CatalogName.$db.cust_d ORDER BY c_custkey")
+    },
+
+    // MERGE INTO upsert via copy-on-write: part rows update matching
+    // customer ids and insert the rest; oracle recomputes the merged
+    // state with a left join + anti join over the raw tables
+    Q(
+      "qc7_merge_upsert",
+      """SELECT id, bal, src FROM (
+        |  SELECT c.c_custkey AS id,
+        |    COALESCE(p.p_retailprice, c.c_acctbal) AS bal,
+        |    CASE WHEN p.p_partkey IS NOT NULL THEN 'updated' ELSE 'existing' END AS src
+        |  FROM customer c LEFT JOIN part p ON p.p_partkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT p.p_partkey, p.p_retailprice, 'inserted'
+        |  FROM part p LEFT JOIN customer c ON c.c_custkey = p.p_partkey
+        |  WHERE c.c_custkey IS NULL)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.merge_t")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.merge_t AS
+           |SELECT c_custkey AS id, c_acctbal AS bal, 'existing' AS src
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $CatalogName.$db.merge_t t
+           |USING (SELECT p_partkey AS id, p_retailprice AS bal
+           |       FROM parquet.`$dir/part.parquet`) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.bal = s.bal, t.src = 'updated'
+           |WHEN NOT MATCHED THEN INSERT (id, bal, src)
+           |  VALUES (s.id, s.bal, 'inserted')""".stripMargin)
+      s.sql(s"SELECT id, bal, src FROM $CatalogName.$db.merge_t ORDER BY id")
     }
   )
 }

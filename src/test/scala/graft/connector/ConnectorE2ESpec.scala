@@ -221,6 +221,99 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("MERGE INTO: matched update + not-matched insert (reference test_merge_into)") {
+    // replay of tests/python/tests/test_spark.py:155-173 statement-for-statement
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.test_merge_into")
+    spark.sql(
+      "CREATE TABLE graft.test_merge_into.my_table (id INT, strings STRING, floats DOUBLE)")
+    spark.sql(
+      "INSERT INTO graft.test_merge_into.my_table VALUES (1, 'a-string', 2.2), (2, 'b-string', 3.3)")
+    spark.sql(
+      """MERGE INTO graft.test_merge_into.my_table
+        |USING (SELECT 1 as id, 'c-string' as strings, 4.4 as floats) as new_data
+        |ON my_table.id = new_data.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, strings, floats FROM graft.test_merge_into.my_table ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1, "c-string", 4.4), (2, "b-string", 3.3)))
+  }
+
+  test("DELETE FROM rewrites only stat-matching files (reference test_create_table_v3 delete)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.del (my_ints INT, my_floats DOUBLE, strings STRING)")
+    spark.sql("INSERT INTO graft.db.del VALUES (1, 1.2, 'foo'), (2, 2.2, 'bar')")
+    spark.sql("INSERT INTO graft.db.del VALUES (3, 3.2, 'baz')")
+    spark.sql("INSERT INTO graft.db.del VALUES (4, 4.2, 'qux')")
+    spark.sql("DELETE FROM graft.db.del WHERE my_ints = 2")
+    val rows = spark.sql("SELECT * FROM graft.db.del ORDER BY my_ints").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.2, 3.2, 4.2))
+    assert(rows.map(_.getString(2)).toSeq == Seq("foo", "baz", "qux"))
+    // copy-on-write only touched the file whose stats matched: files
+    // from the 2nd/3rd insert survive; the rewrite removed 1 file and
+    // rewrote its remainder
+    val snaps = spark.sql(
+      """SELECT operation, summary['removed-data-files'] FROM
+        |graft.db.del.snapshots ORDER BY committed_at""".stripMargin).collect()
+    assert(snaps.last.getString(0) == "overwrite")
+    assert(snaps.last.getString(1) == "1")
+  }
+
+  test("UPDATE rewrites matching rows in place") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.upd (id INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.upd VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.upd VALUES (3, 'c')")
+    spark.sql("UPDATE graft.db.upd SET v = 'updated' WHERE id = 2")
+    val rows = spark.sql("SELECT id, v FROM graft.db.upd ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "updated"), (3, "c")))
+  }
+
+  test("row-level ops on a partitioned table keep partition layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.rl_part (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("""INSERT INTO graft.db.rl_part
+      SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(20)""")
+    spark.sql("DELETE FROM graft.db.rl_part WHERE cat = 'even' AND id >= 10")
+    assert(spark.table("graft.db.rl_part").count() == 15)
+    spark.sql("UPDATE graft.db.rl_part SET cat = 'prime' WHERE id IN (2, 3, 5, 7)")
+    val byCat = spark.sql(
+      "SELECT cat, COUNT(*) FROM graft.db.rl_part GROUP BY cat ORDER BY cat")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // evens left: 0,2,4,6,8; prime takes 2 (even) and 3,5,7 (odd)
+    assert(byCat == Seq(("even", 4L), ("odd", 7L), ("prime", 4L)))
+  }
+
+  test("_file metadata column and runtime group filtering on MERGE") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.rgf (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.rgf SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.db.rgf SELECT id, 'b' FROM range(100, 200)")
+    spark.sql("INSERT INTO graft.db.rgf SELECT id, 'c' FROM range(200, 300)")
+    // _file is selectable and distinct per insert
+    val nFiles = spark.sql("SELECT COUNT(DISTINCT _file) FROM graft.db.rgf")
+      .collect().head.getLong(0)
+    assert(nFiles >= 3)
+    // MERGE touching only ids in the first file's range: runtime group
+    // filtering should keep the rewrite away from untouched files
+    spark.sql(
+      """MERGE INTO graft.db.rgf t USING (SELECT 50 AS id, 'z' AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(spark.table("graft.db.rgf").count() == 300)
+    assert(spark.sql("SELECT v FROM graft.db.rgf WHERE id = 50")
+      .collect().head.getString(0) == "z")
+    val removed = spark.sql(
+      """SELECT summary['removed-data-files'] FROM graft.db.rgf.snapshots
+        |ORDER BY committed_at""".stripMargin).collect().last.getString(0)
+    assert(removed.toInt < nFiles,
+      s"MERGE rewrote $removed of $nFiles files; runtime group filtering inactive")
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS
