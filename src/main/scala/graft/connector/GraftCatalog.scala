@@ -23,7 +23,8 @@ import graft.store._
   *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
   * }}}
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private[graft] var store: FileCatalogStore = _
@@ -100,8 +101,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       .exists(t => t.kind == "table" && t.deletedMs.isEmpty)
 
   override def loadTable(ident: Identifier): Table = {
-    // `db.table.snapshots` style metadata tables: the parent namespace
-    // tail is actually a table name (SURVEY §2.9 metadata tables)
+    // `db.table.snapshots` style metadata tables and
+    // `db.table.branch_x` / `db.table.tag_x` ref reads: the parent
+    // namespace tail is actually a table name (SURVEY §2.9)
     if (ident.namespace.nonEmpty) {
       val parent = TabularId(ident.namespace.toSeq.dropRight(1),
         ident.namespace.last)
@@ -109,6 +111,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           store.loadTabularInfo(parent).exists(_.kind == "table")) {
         val (meta, _) = store.loadTableMetadata(parent).get
         return MetadataTables.table(store, parent, meta, ident.name.toLowerCase)
+      }
+      val refName = ident.name match {
+        case n if n.startsWith("branch_") => Some(n.stripPrefix("branch_"))
+        case n if n.startsWith("tag_") => Some(n.stripPrefix("tag_"))
+        case _ => None
+      }
+      refName.foreach { r =>
+        if (store.loadTabularInfo(parent).exists(_.kind == "table")) {
+          val (meta, _) = store.loadTableMetadata(parent).get
+          meta.refs.get(r) match {
+            case Some(ref) if ref.isBranch =>
+              return new GraftTable(store, parent, meta, snapshotId = None,
+                branch = Some(r))
+            case Some(ref) =>
+              return new GraftTable(store, parent, meta,
+                snapshotId = Some(ref.snapshotId))
+            case None => throw new NoSuchTableException(ident)
+          }
+        }
       }
     }
     val id = tid(ident)
@@ -284,6 +305,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case _: AlreadyExistsException =>
         throw new ViewAlreadyExistsException(newIdent)
     }
+
+  // ---------------------------------------------------------- procedures
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array(Procedures.Namespace)))
+      throw new RuntimeException(s"Unknown procedure namespace: $ident")
+    Procedures.load(this, ident.name).getOrElse(
+      throw new RuntimeException(s"Unknown procedure: $ident"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(Procedures.Namespace)))
+      Procedures.names.map(n =>
+        Identifier.of(Array(Procedures.Namespace), n)).toArray
+    else Array.empty
 }
 
 object GraftCatalog {

@@ -1,0 +1,206 @@
+package graft.connector
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.meta._
+import graft.store.TabularId
+
+/** Session extension adding the SQL the reference certifies but stock
+  * Spark does not parse (tests/python/tests/test_spark.py:565-708):
+  *
+  *   ALTER TABLE t CREATE TAG name [RETAIN n DAYS]
+  *   ALTER TABLE t CREATE BRANCH name [RETAIN n DAYS]
+  *   ALTER TABLE t DROP TAG/BRANCH name
+  *   ALTER TABLE t ADD PARTITION FIELD <transform>
+  *   ALTER TABLE t DROP PARTITION FIELD <transform>
+  *
+  * Register with:
+  *   spark.sql.extensions = graft.connector.GraftExtensions
+  *
+  * Everything else (CALL system.* procedures, MERGE/DELETE/UPDATE,
+  * branch reads/writes) goes through stock Spark 4 APIs and needs no
+  * parser help.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val CreateRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(TAG|BRANCH)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*(?:RETAIN\s+(\d+)\s+DAYS)?\s*;?\s*""".r
+  private val DropRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(TAG|BRANCH)\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
+  private val AddPartFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val DropPartFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+
+  private def multipart(s: String): Seq[String] =
+    s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateRefRe(tbl, kind, name, retain) =>
+      CreateRefCommand(multipart(tbl), name,
+        isBranch = kind.equalsIgnoreCase("BRANCH"),
+        maxRefAgeMs = Option(retain).map(_.toLong * 86400000L))
+    case DropRefRe(tbl, _, name) =>
+      DropRefCommand(multipart(tbl), name)
+    case AddPartFieldRe(tbl, transform) =>
+      AlterPartitionFieldCommand(multipart(tbl), transform, add = true)
+    case DropPartFieldRe(tbl, transform) =>
+      AlterPartitionFieldCommand(multipart(tbl), transform, add = false)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Shared resolution: multipart name → (GraftCatalog, TabularId). */
+object GraftCommands {
+  def resolve(spark: SparkSession, name: Seq[String]): (GraftCatalog, TabularId) = {
+    val cm = spark.sessionState.catalogManager
+    val (catalogName, parts) =
+      if (name.length > 1 && cm.isCatalogRegistered(name.head))
+        (name.head, name.tail)
+      else (cm.currentCatalog.name(), name)
+    cm.catalog(catalogName) match {
+      case g: GraftCatalog =>
+        val ns = if (parts.length > 1) parts.dropRight(1)
+          else cm.currentNamespace.toSeq
+        (g, TabularId(ns, parts.last))
+      case other => throw new IllegalArgumentException(
+        s"Catalog ${other.name()} is not a graft catalog")
+    }
+  }
+
+  /** Text transform → PartitionField, same shapes and naming as
+    * GraftCatalog.toPartitionField.
+    */
+  def parseTransform(text: String): PartitionField = {
+    val Fn = """(?s)(\w+)\s*\(\s*(.+?)\s*\)""".r
+    def clean(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    text.trim match {
+      case Fn(fn, args) =>
+        val parts = args.split(',').map(clean)
+        fn.toLowerCase match {
+          case "bucket" =>
+            PartitionField(parts(1), -1, s"${parts(1)}_bucket",
+              Transform.Bucket(parts(0).toInt))
+          case "truncate" =>
+            PartitionField(parts(1), -1, s"${parts(1)}_trunc",
+              Transform.Truncate(parts(0).toInt))
+          case "year" | "years" =>
+            PartitionField(parts(0), -1, s"${parts(0)}_year", Transform.Year)
+          case "month" | "months" =>
+            PartitionField(parts(0), -1, s"${parts(0)}_month", Transform.Month)
+          case "day" | "days" =>
+            PartitionField(parts(0), -1, s"${parts(0)}_day", Transform.Day)
+          case "hour" | "hours" =>
+            PartitionField(parts(0), -1, s"${parts(0)}_hour", Transform.Hour)
+          case other =>
+            throw new IllegalArgumentException(s"Unknown transform: $other")
+        }
+      case col =>
+        PartitionField(clean(col), -1, clean(col), Transform.Identity)
+    }
+  }
+}
+
+/** ALTER TABLE … CREATE TAG/BRANCH … [RETAIN n DAYS] →
+  * SetSnapshotRef commit (reference: set_snapshot_ref,
+  * server/commit_tables.rs:130-156; test_spark.py:647-708).
+  */
+final case class CreateRefCommand(
+    table: Seq[String], refName: String, isBranch: Boolean,
+    maxRefAgeMs: Option[Long]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, id) = GraftCommands.resolve(spark, table)
+    catalog.store.commitTableWith(id, Nil, current => {
+      val head = current.currentSnapshotId.getOrElse(
+        throw new IllegalStateException(
+          s"Cannot create ${if (isBranch) "branch" else "tag"} on " +
+            s"$id: table has no snapshots"))
+      Seq(TableUpdate.SetSnapshotRef(refName,
+        SnapshotRef(head, isBranch = isBranch, maxRefAgeMs = maxRefAgeMs)))
+    })
+    Nil
+  }
+}
+
+final case class DropRefCommand(table: Seq[String], refName: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, id) = GraftCommands.resolve(spark, table)
+    catalog.store.commitTable(id, Nil,
+      Seq(TableUpdate.RemoveSnapshotRef(refName)))
+    Nil
+  }
+}
+
+/** ALTER TABLE … ADD/DROP PARTITION FIELD <transform>: partition-spec
+  * evolution (reference: test_spark.py:565-645). Adds a new spec
+  * derived from the current default and makes it default; existing
+  * files keep their original specId and are pruned under it.
+  */
+final case class AlterPartitionFieldCommand(
+    table: Seq[String], transformText: String, add: Boolean)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, id) = GraftCommands.resolve(spark, table)
+    val field = GraftCommands.parseTransform(transformText)
+    catalog.store.commitTableWith(id, Nil, current => {
+      val fields = current.defaultSpec.fields
+      val next =
+        if (add) {
+          if (fields.exists(f =>
+              f.sourceName == field.sourceName && f.transform == field.transform))
+            throw new IllegalArgumentException(
+              s"Partition field already exists: $transformText")
+          fields :+ field
+        } else {
+          val remaining = fields.filterNot(f =>
+            f.sourceName == field.sourceName && f.transform == field.transform)
+          if (remaining.size == fields.size)
+            throw new IllegalArgumentException(
+              s"No such partition field: $transformText")
+          remaining
+        }
+      Seq(
+        TableUpdate.AddSpec(PartitionSpec(-1, next)),
+        TableUpdate.SetDefaultSpec(-1))
+    })
+    Nil
+  }
+}

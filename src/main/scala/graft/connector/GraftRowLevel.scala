@@ -171,7 +171,7 @@ class GraftCowBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     GraftDataWriterFactory(
-      table.store.tableLocation(table.tableId),
+      table.meta.location,
       writeSchema,
       table.meta.defaultSpec,
       conf,
@@ -187,11 +187,13 @@ class GraftCowBatchWrite(
     if (replacedPaths.isEmpty && newFiles.isEmpty) return // no-op rewrite
 
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val targetRef = table.writeRef
     table.store.commitTableWith(table.tableId,
       Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
       current => {
-        val live = current.currentSnapshot.map(_.manifests).getOrElse(Nil)
-          .flatMap(m => table.store.readManifest(table.tableId, m).entries)
+        val parentSnapshot = current.snapshotFor(targetRef)
+        val live = parentSnapshot.map(_.manifests).getOrElse(Nil)
+          .flatMap(m => table.store.readManifest(current.location, m).entries)
         // serializable isolation: every file this rewrite read must
         // still be live, or we are rewriting on top of stale data
         val livePaths = live.map(_.path).toSet
@@ -203,16 +205,16 @@ class GraftCowBatchWrite(
         val kept = live.filterNot(f => replacedPaths.contains(f.path))
         val manifests = Seq(
           if (kept.nonEmpty)
-            Some(table.store.writeManifest(table.tableId,
+            Some(table.store.writeManifest(current.location,
               ManifestFile(kept, snapshotId)))
           else None,
           if (newFiles.nonEmpty)
-            Some(table.store.writeManifest(table.tableId,
+            Some(table.store.writeManifest(current.location,
               ManifestFile(newFiles, snapshotId)))
           else None).flatten
         val snap = Snapshot(
           snapshotId,
-          current.currentSnapshotId,
+          parentSnapshot.map(_.snapshotId),
           current.lastSequenceNumber + 1,
           System.currentTimeMillis(),
           "overwrite",
@@ -224,10 +226,12 @@ class GraftCowBatchWrite(
             "spark.app.id" -> spark.sparkContext.applicationId),
           manifests,
           current.currentSchemaId)
+        val ref = current.refs.get(targetRef)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
         Seq(
           TableUpdate.AddSnapshot(snap),
-          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
-            SnapshotRef(snapshotId, isBranch = true)))
+          TableUpdate.SetSnapshotRef(targetRef, ref))
       })
   }
 

@@ -31,14 +31,24 @@ class GraftTable(
     val store: FileCatalogStore,
     val tableId: TabularId,
     val meta: TableMetadata,
-    val snapshotId: Option[Long])
+    val snapshotId: Option[Long],
+    val branch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** Snapshot this table instance reads (time travel pins it). */
+  /** Snapshot this table instance reads: explicit pin (time travel) >
+    * branch head > main head.
+    */
   def readSnapshot: Option[Snapshot] =
-    snapshotId.flatMap(meta.snapshots.get).orElse(meta.currentSnapshot)
+    snapshotId.flatMap(meta.snapshots.get)
+      .orElse(branch.flatMap(meta.snapshotFor))
+      .orElse(meta.currentSnapshot)
+
+  /** Ref that writes advance: the branch for `t.branch_<name>` targets,
+    * main otherwise.
+    */
+  def writeRef: String = branch.getOrElse(TableMetadata.MainBranch)
 
   /** Time travel reads pin the snapshot's schema; normal reads always
     * use the current schema (old files project into it by field-id).
@@ -68,7 +78,7 @@ class GraftTable(
   /** Live data files of the read snapshot (union of its manifests). */
   def liveFiles: Seq[DataFile] =
     readSnapshot.toSeq.flatMap(_.manifests).flatMap(m =>
-      store.readManifest(tableId, m).entries)
+      store.readManifest(meta.location, m).entries)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)

@@ -84,7 +84,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     GraftDataWriterFactory(
-      table.store.tableLocation(table.tableId),
+      table.meta.location,
       writeSchema,
       table.meta.defaultSpec,
       conf,
@@ -95,14 +95,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
     val newFiles = messages.collect {
       case GraftCommitMessage(fs) => fs }.flatten.toSeq
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    val manifestPath = table.store.writeManifest(table.tableId,
+    val manifestPath = table.store.writeManifest(table.meta.location,
       ManifestFile(newFiles, snapshotId))
 
+    val targetRef = table.writeRef
     table.store.commitTableWith(table.tableId,
       Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
       current => {
-        val parentManifests =
-          current.currentSnapshot.map(_.manifests).getOrElse(Nil)
+        val parentSnapshot = current.snapshotFor(targetRef)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
         val (manifests, op) = mode match {
           case "append" => (parentManifests :+ manifestPath, "append")
           case "truncate" => (Seq(manifestPath), "overwrite")
@@ -110,17 +111,17 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
             // replace only the partitions the new files touch
             val newParts = newFiles.map(_.partition).toSet
             val kept = parentManifests.flatMap(m =>
-              table.store.readManifest(table.tableId, m).entries)
+              table.store.readManifest(current.location, m).entries)
               .filterNot(f => newParts.contains(f.partition))
             val keptPath =
               if (kept.isEmpty) None
-              else Some(table.store.writeManifest(table.tableId,
+              else Some(table.store.writeManifest(current.location,
                 ManifestFile(kept, snapshotId)))
             (keptPath.toSeq :+ manifestPath, "overwrite")
         }
         val snap = Snapshot(
           snapshotId,
-          current.currentSnapshotId,
+          parentSnapshot.map(_.snapshotId),
           current.lastSequenceNumber + 1,
           System.currentTimeMillis(),
           op,
@@ -131,10 +132,13 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
             "spark.app.id" -> spark.sparkContext.applicationId),
           manifests,
           current.currentSchemaId)
+        // advancing an existing ref keeps its retention settings
+        val ref = current.refs.get(targetRef)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
         Seq(
           TableUpdate.AddSnapshot(snap),
-          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
-            SnapshotRef(snapshotId, isBranch = true)))
+          TableUpdate.SetSnapshotRef(targetRef, ref))
       })
   }
 

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.Row
@@ -14,9 +14,15 @@ import graft.meta._
 import graft.store.{FileCatalogStore, TabularId}
 
 /** Metadata tables (`db.t.snapshots` etc. — reference surface:
-  * test_spark.py:1251-1279 and the pyiceberg suite). Each is a small
-  * driver-materialized relation over the table's metadata; Spark plans
-  * them as a LocalScan.
+  * test_spark.py:1251-1279 and the pyiceberg suite).
+  *
+  * Scale split: the per-SNAPSHOT tables (snapshots/history/refs/…)
+  * are tiny and driver-materialized; the per-FILE tables
+  * (files/all_data_files/entries/all_entries) are DISTRIBUTED scans —
+  * one input partition per manifest, parsed executor-side — because a
+  * 100 TB table has millions of files and the driver must never hold
+  * that list. `.partitions` aggregates the same distributed scan down
+  * to one row per partition before anything reaches the driver.
   */
 object MetadataTables {
 
@@ -25,15 +31,81 @@ object MetadataTables {
     "all_data_files", "manifests", "all_manifests", "partitions",
     "entries", "all_entries", "properties")
 
+  private val fileSchema = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("file_size_in_bytes", LongType),
+    StructField("record_count", LongType),
+    StructField("spec_id", IntegerType),
+    StructField("partition", MapType(StringType, StringType))))
+
+  private val entrySchema = StructType(Seq(
+    StructField("status", IntegerType), // 1=added, 0=existing
+    StructField("snapshot_id", LongType),
+    StructField("file_path", StringType),
+    StructField("record_count", LongType)))
+
   def table(store: FileCatalogStore, id: TabularId, meta: TableMetadata,
-      kind: String): Table = {
-    val (schema, rows) = compute(store, id, meta, kind)
-    new LocalRowsTable(s"$id.$kind", schema, rows)
+      kind: String): Table = kind match {
+    case "files" | "all_data_files" =>
+      val snaps = if (kind == "files") meta.currentSnapshot.toSeq
+        else meta.snapshots.values.toSeq
+      val inputs = snaps.flatMap(s => s.manifests.map(m =>
+        ManifestInput(store.resolvePath(meta.location, m),
+          meta.location, s.snapshotId))).distinct
+      new ManifestTable(s"$id.$kind", fileSchema, inputs, emitEntries = false)
+
+    case "entries" | "all_entries" =>
+      val snaps = if (kind == "entries") meta.currentSnapshot.toSeq
+        else meta.snapshots.values.toSeq
+      val inputs = snaps.flatMap(s => s.manifests.map(m =>
+        ManifestInput(store.resolvePath(meta.location, m),
+          meta.location, s.snapshotId)))
+      new ManifestTable(s"$id.$kind", entrySchema, inputs, emitEntries = true)
+
+    case "partitions" =>
+      // distributed parse + aggregation; only one row per partition
+      // ever reaches the driver
+      val spark = org.apache.spark.sql.SparkSession.active
+      import spark.implicits._
+      val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
+        .map(m => store.resolvePath(meta.location, m))
+      val loc = meta.location
+      val rows: Seq[Row] =
+        if (manifests.isEmpty) Nil
+        else spark.createDataset(manifests)
+          .repartition(math.max(1, math.min(manifests.size, 64)))
+          .flatMap(m => ManifestRead.parse(m, loc).map { f =>
+            (f.partition.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
+              .mkString("/"),
+              f.partition.map { case (k, v) => k -> v.orNull },
+              f.specId, f.recordCount, f.fileSizeBytes)
+          })
+          .groupByKey(_._1)
+          .mapGroups { (_, it) =>
+            val fs = it.toSeq
+            (fs.head._2, fs.head._3, fs.map(_._4).sum, fs.size,
+              fs.map(_._5).sum)
+          }
+          .collect().toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+          .map(t => Row(t._1, t._2, t._3, t._4, t._5))
+      val schema = StructType(Seq(
+        StructField("partition", MapType(StringType, StringType)),
+        StructField("spec_id", IntegerType),
+        StructField("record_count", LongType),
+        StructField("file_count", IntegerType),
+        StructField("total_size_in_bytes", LongType)))
+      new LocalRowsTable(s"$id.partitions", schema, rows)
+
+    case other =>
+      val (schema, rows) = computeSmall(store, id, meta, other)
+      new LocalRowsTable(s"$id.$other", schema, rows)
   }
 
   private def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
 
-  private def compute(store: FileCatalogStore, id: TabularId,
+  /** Per-snapshot tables: O(snapshots) rows, driver-side is correct. */
+  private def computeSmall(store: FileCatalogStore, id: TabularId,
       meta: TableMetadata, kind: String): (StructType, Seq[Row]) = kind match {
 
     case "snapshots" =>
@@ -89,41 +161,6 @@ object MetadataTables {
         StructField("file", StringType)))
       (schema, meta.metadataLog.map(e => Row(ts(e.timestampMs), e.metadataFile)))
 
-    case "files" | "all_data_files" =>
-      val schema = StructType(Seq(
-        StructField("file_path", StringType),
-        StructField("file_size_in_bytes", LongType),
-        StructField("record_count", LongType),
-        StructField("spec_id", IntegerType),
-        StructField("partition", MapType(StringType, StringType))))
-      val files =
-        if (kind == "files")
-          meta.currentSnapshot.toSeq.flatMap(_.manifests)
-            .flatMap(m => store.readManifest(id, m).entries)
-        else
-          meta.snapshots.values.toSeq.flatMap(_.manifests).distinct
-            .flatMap(m => store.readManifest(id, m).entries).distinct
-      (schema, files.sortBy(_.path).map(f =>
-        Row(f.path, f.fileSizeBytes, f.recordCount, f.specId,
-          f.partition.map { case (k, v) => k -> v.orNull })))
-
-    case "entries" | "all_entries" =>
-      val schema = StructType(Seq(
-        StructField("status", IntegerType), // 1=added, 0=existing
-        StructField("snapshot_id", LongType),
-        StructField("file_path", StringType),
-        StructField("record_count", LongType)))
-      val snaps = if (kind == "entries") meta.currentSnapshot.toSeq
-        else meta.snapshots.values.toSeq
-      (schema, snaps.flatMap { s =>
-        s.manifests.flatMap { m =>
-          val mf = store.readManifest(id, m)
-          mf.entries.map(f => Row(
-            if (mf.addedSnapshotId == s.snapshotId) 1 else 0,
-            s.snapshotId, f.path, f.recordCount))
-        }
-      }.distinct)
-
     case "manifests" | "all_manifests" =>
       val schema = StructType(Seq(
         StructField("path", StringType),
@@ -134,25 +171,9 @@ object MetadataTables {
         meta.currentSnapshot.toSeq.flatMap(_.manifests)
       else meta.snapshots.values.toSeq.flatMap(_.manifests).distinct
       (schema, manifests.sorted.map { m =>
-        val mf = store.readManifest(id, m)
+        val mf = store.readManifest(meta.location, m)
         Row(m, mf.addedSnapshotId, mf.entries.size, 0)
       })
-
-    case "partitions" =>
-      val schema = StructType(Seq(
-        StructField("partition", MapType(StringType, StringType)),
-        StructField("spec_id", IntegerType),
-        StructField("record_count", LongType),
-        StructField("file_count", IntegerType),
-        StructField("total_size_in_bytes", LongType)))
-      val files = meta.currentSnapshot.toSeq.flatMap(_.manifests)
-        .flatMap(m => store.readManifest(id, m).entries)
-      (schema, files.groupBy(f => (f.partition, f.specId)).toSeq
-        .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))
-        .map { case ((part, specId), fs) =>
-          Row(part.map { case (k, v) => k -> v.orNull }, specId,
-            fs.map(_.recordCount).sum, fs.size, fs.map(_.fileSizeBytes).sum)
-        })
 
     case "properties" =>
       val schema = StructType(Seq(
@@ -164,7 +185,62 @@ object MetadataTables {
   }
 }
 
-/** A read-only table over driver-materialized rows. */
+/** Executor-side manifest parsing shared by distributed metadata scans. */
+object ManifestRead {
+  def parse(absManifest: String, location: String): Seq[DataFile] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(absManifest)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    Json.manifestFromJson(text).entries.map(f => f.copy(path =
+      if (f.path.startsWith("/")) f.path
+      else s"${location.stripSuffix("/")}/${f.path}"))
+  }
+
+  def addedSnapshotId(absManifest: String): Long = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(absManifest)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    Json.manifestFromJson(text).addedSnapshotId
+  }
+}
+
+final case class ManifestInput(
+    absPath: String, location: String, snapshotId: Long) extends InputPartition
+
+/** Distributed metadata table: one input partition per manifest, rows
+  * produced executor-side — never a LocalScan, never a driver list.
+  */
+class ManifestTable(
+    tableName: String,
+    tableSchema: StructType,
+    inputs: Seq[ManifestInput],
+    emitEntries: Boolean)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          inputs.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          ManifestReaderFactory(tableSchema, emitEntries)
+        override def description(): String = s"ManifestScan $tableName"
+      }
+    }
+}
+
+/** A read-only table over driver-materialized rows (per-snapshot
+  * metadata tables only — bounded by snapshot count, never file count).
+  */
 class LocalRowsTable(tableName: String, tableSchema: StructType, rows: Seq[Row])
   extends Table with SupportsRead {
 
@@ -187,4 +263,37 @@ class LocalRowsTable(tableName: String, tableSchema: StructType, rows: Seq[Row])
         override def description(): String = s"LocalScan $tableName"
       }
     }
+}
+
+final case class ManifestReaderFactory(
+    tableSchema: StructType, emitEntries: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = partition.asInstanceOf[ManifestInput]
+    new PartitionReader[InternalRow] {
+      private val converter =
+        CatalystTypeConverters.createToCatalystConverter(tableSchema)
+      private lazy val iter: Iterator[InternalRow] = {
+        val files = ManifestRead.parse(in.absPath, in.location)
+        val rows =
+          if (emitEntries) {
+            val added = ManifestRead.addedSnapshotId(in.absPath)
+            files.map(f => Row(
+              if (added == in.snapshotId) 1 else 0,
+              in.snapshotId, f.path, f.recordCount))
+          } else files.map(f => Row(
+            f.path, f.fileSizeBytes, f.recordCount, f.specId,
+            f.partition.map { case (k, v) => k -> v.orNull }))
+        rows.iterator.map(r => converter(r).asInstanceOf[InternalRow])
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (iter.hasNext) { cur = iter.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -1,0 +1,211 @@
+package graft.maintenance
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.meta._
+import graft.store.{FileCatalogStore, TabularId}
+
+/** Executor-side manifest parsing: absolute manifest path → absolute
+  * data-file paths, no catalog store needed in the closure.
+  */
+private[maintenance] object ManifestIO {
+  def entryPaths(absManifest: String, tableLocation: String): Seq[String] =
+    Json.manifestFromJson(new String(
+      Files.readAllBytes(Paths.get(absManifest)),
+      java.nio.charset.StandardCharsets.UTF_8))
+      .entries.map(f =>
+        if (f.path.startsWith("/")) f.path else s"$tableLocation/${f.path}")
+}
+
+/** Table-maintenance jobs — the most Spark-shaped computations in the
+  * reference (docs/docs/table-maintenance.md:8-124 specifies the
+  * semantics; the enterprise edition implements them as queue
+  * workers, we implement them as Spark anti-join jobs).
+  *
+  * Both jobs compute the "reachable" file set as a distributed
+  * DataFrame (manifest paths parallelized, parsed per task) so a table
+  * with millions of files never materializes its file list on the
+  * driver; only the (small) delete set is collected.
+  */
+object ExpireSnapshots {
+
+  final case class Result(expiredSnapshots: Long, deletedFiles: Long)
+
+  /** Defaults per reference table-maintenance.md:24-30. */
+  private val DefaultMaxAgeMs = 5L * 24 * 3600 * 1000
+  private val DefaultMinKeep = 1
+
+  /** Ancestry chain of a snapshot id, newest first. */
+  private def ancestry(meta: TableMetadata, head: Long): Seq[Snapshot] =
+    Iterator.iterate(meta.snapshots.get(head))(s =>
+      s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+
+  /** Snapshot ids that retention keeps (per-branch age + min-keep,
+    * every ref head, every tagged snapshot).
+    */
+  def keepSet(
+      meta: TableMetadata,
+      cutoffMs: Long,
+      retainLast: Option[Int]): Set[Long] = {
+    val branchKeep = meta.refs.values.filter(_.isBranch).flatMap { ref =>
+      val chain = ancestry(meta, ref.snapshotId)
+      val minKeep = retainLast
+        .orElse(ref.minSnapshotsToKeep)
+        .orElse(meta.properties.get("history.expire.min-snapshots-to-keep")
+          .map(_.toInt))
+        .getOrElse(DefaultMinKeep)
+      val byAge = chain.filter(_.timestampMs >= cutoffMs)
+      val byCount = chain.take(math.max(1, minKeep))
+      (byAge ++ byCount).map(_.snapshotId)
+    }
+    val tagKeep = meta.refs.values.filterNot(_.isBranch).map(_.snapshotId)
+    (branchKeep ++ tagKeep).toSet
+  }
+
+  /** @param olderThanMs absolute cutoff; snapshots older than this are
+    *   candidates (default: now - max-snapshot-age-ms property or 5d)
+    * @param retainLast  per-branch minimum snapshots to keep
+    */
+  def run(
+      store: FileCatalogStore,
+      id: TabularId,
+      olderThanMs: Option[Long] = None,
+      retainLast: Option[Int] = None): Result = {
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    if (meta.properties.get("gc.enabled").contains("false")) return Result(0, 0)
+    val cutoff = olderThanMs.getOrElse(
+      System.currentTimeMillis() -
+        meta.properties.get("history.expire.max-snapshot-age-ms")
+          .map(_.toLong).getOrElse(DefaultMaxAgeMs))
+
+    val keep = keepSet(meta, cutoff, retainLast)
+    val expired = meta.snapshots.keySet -- keep
+    if (expired.isEmpty) return Result(0, 0)
+
+    // Files reachable ONLY from expired snapshots (Spark anti-join over
+    // per-task-parsed manifests: never the full file list on the driver)
+    val spark = SparkSession.active
+    import spark.implicits._
+    def manifestsOf(ids: Set[Long]): Seq[String] =
+      ids.toSeq.flatMap(meta.snapshots.get).flatMap(_.manifests).distinct
+    val expiredManifests = manifestsOf(expired)
+    val keptManifests = manifestsOf(keep.intersect(meta.snapshots.keySet))
+    val root = meta.location
+
+    def filesDf(manifests: Seq[String]) =
+      spark.createDataset(manifests.map(store.resolvePath(meta.location, _)))
+        .repartition(math.max(1, math.min(manifests.size, 64)))
+        .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root)))
+        .toDF("path")
+
+    val deletable =
+      if (expiredManifests.isEmpty) Nil
+      else filesDf(expiredManifests).distinct()
+        .join(filesDf(keptManifests), Seq("path"), "left_anti")
+        .as[String].collect().toSeq
+
+    // commit snapshot removal first; file deletes only after success
+    store.commitTable(id, Nil, Seq(TableUpdate.RemoveSnapshots(expired.toSeq)))
+    deletable.foreach { p =>
+      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
+    }
+    // manifests referenced by no surviving snapshot
+    (expiredManifests.toSet -- keptManifests.toSet).foreach { m =>
+      try Files.deleteIfExists(Paths.get(store.resolvePath(meta.location, m)))
+      catch { case NonFatal(_) => }
+    }
+    Result(expired.size.toLong, deletable.size.toLong)
+  }
+}
+
+/** Orphan-file removal (table-maintenance.md:59-124): recursive listing
+  * of the table location LEFT ANTI JOIN the referenced set, with an
+  * age floor so in-flight writes are never deleted.
+  */
+object RemoveOrphanFiles {
+
+  /** 24h safety floor from the reference docs. */
+  private val DefaultAgeFloorMs = 24L * 3600 * 1000
+
+  def referencedPaths(store: FileCatalogStore, id: TabularId,
+      meta: TableMetadata): Set[String] = {
+    val metadataFiles = {
+      val dir = store.metadataDir(id)
+      // current + logged metadata versions stay; everything else in
+      // metadata/ is judged by reference
+      meta.metadataLog.map(_.metadataFile).toSet ++
+        (if (Files.isDirectory(dir))
+          Files.list(dir).iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".metadata.json"))
+            .map(_.toString).toSet
+        else Set.empty[String])
+    }
+    val manifests = meta.snapshots.values.flatMap(_.manifests).toSeq.distinct
+    val manifestPaths =
+      manifests.map(m => store.resolvePath(meta.location, m)).toSet
+    val statsPaths = (meta.statistics ++ meta.partitionStatistics)
+      .map(_.path).toSet
+    metadataFiles ++ manifestPaths ++ statsPaths
+  }
+
+  def run(
+      store: FileCatalogStore,
+      id: TabularId,
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val cutoff = olderThanMs.getOrElse(
+      System.currentTimeMillis() - DefaultAgeFloorMs)
+    val root = meta.location
+
+    val spark = SparkSession.active
+    import spark.implicits._
+
+    // distributed recursive listing: top-level entries fan out, each
+    // task walks its subtree (data/ is partition-dir structured, so
+    // the fan-out matches partitioning). Dotfiles are catalog-internal
+    // sidecars (.grafttabular.json, commit tmp files) — never touched.
+    val top = Files.list(Paths.get(root)).iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq
+    val listed = spark.createDataset(top)
+      .repartition(math.max(1, math.min(math.max(top.size, 1), 32)))
+      .mapPartitions { it =>
+        def walk(p: Path): Iterator[(String, Long)] =
+          if (Files.isDirectory(p))
+            Files.list(p).iterator().asScala
+              .filterNot(_.getFileName.toString.startsWith("."))
+              .flatMap(walk)
+          else Iterator((p.toString, Files.getLastModifiedTime(p).toMillis))
+        it.flatMap(s => walk(Paths.get(s)))
+      }.toDF("path", "mtime")
+
+    // referenced = data files (per-task manifest parse) ∪ metadata ∪
+    // manifests ∪ stats
+    val manifests = meta.snapshots.values.flatMap(_.manifests).toSeq.distinct
+    val dataFiles = spark.createDataset(
+      manifests.map(store.resolvePath(meta.location, _)))
+      .repartition(math.max(1, math.min(math.max(manifests.size, 1), 64)))
+      .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root)))
+      .toDF("path")
+    val fixed = referencedPaths(store, id, meta).toSeq.toDF("path")
+    val referenced = dataFiles.union(fixed).distinct()
+
+    val orphans = listed
+      .join(referenced, Seq("path"), "left_anti")
+      .filter($"mtime" < cutoff)
+      .select("path").as[String].collect().toSeq
+
+    if (!dryRun) orphans.foreach { p =>
+      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
+    }
+    orphans
+  }
+}

@@ -24,6 +24,9 @@ object CatalogOps {
   private def dbFor(sfDir: String): String =
     "d" + math.abs(sfDir.hashCode).toString
 
+  /** Untimed warm-up hook for the bench harness. */
+  def warmup(spark: SparkSession, sfDir: String): Unit = prepare(spark, sfDir)
+
   /** Idempotent per-JVM setup: register the catalog, create + load the
     * test tables for this sfDir.
     */
@@ -204,6 +207,49 @@ object CatalogOps {
            |WHEN NOT MATCHED THEN INSERT (id, bal, src)
            |  VALUES (s.id, s.bal, 'inserted')""".stripMargin)
       s.sql(s"SELECT id, bal, src FROM $CatalogName.$db.merge_t ORDER BY id")
+    },
+
+    // tag + time travel by ref name: tagged state must equal the oracle
+    // view of the FIRST insert even after later writes
+    Q(
+      "qc8_tag_time_travel",
+      """SELECT r_regionkey AS k, r_name AS name FROM region
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.tagged")
+      s.sql(s"CREATE TABLE $CatalogName.$db.tagged (k INT, name STRING)")
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.tagged
+           |SELECT r_regionkey, r_name FROM parquet.`$dir/region.parquet`""".stripMargin)
+      s.sql(s"ALTER TABLE $CatalogName.$db.tagged CREATE TAG after_regions")
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.tagged
+           |SELECT n_nationkey + 5000, n_name
+           |FROM parquet.`$dir/nation.parquet`""".stripMargin)
+      s.sql(s"SELECT k, name FROM $CatalogName.$db.tagged " +
+        "VERSION AS OF 'after_regions' ORDER BY k")
+    },
+
+    // compaction must not change data: rewrite_data_files to one file,
+    // then aggregate — equals the oracle on raw parquet
+    Q(
+      "qc9_post_compaction",
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.compact_t")
+      s.sql(s"""CREATE TABLE $CatalogName.$db.compact_t AS
+        |SELECT * FROM parquet.`$dir/nation.parquet`
+        |WHERE n_nationkey % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $CatalogName.$db.compact_t
+        |SELECT * FROM parquet.`$dir/nation.parquet`
+        |WHERE n_nationkey % 2 = 1""".stripMargin)
+      s.sql(s"CALL $CatalogName.system.rewrite_data_files(" +
+        s"table => '$db.compact_t')")
+      s.sql(
+        s"""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+           |FROM $CatalogName.$db.compact_t
+           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }
   )
 }

@@ -375,9 +375,22 @@ class FileCatalogStore(val root: String) {
       throw new NoSuchNamespaceException(to.namespace.mkString("."))
     if (loadTabularInfo(to).isDefined)
       throw new AlreadyExistsException(to.toString)
+    val oldLocation = tableLocation(from)
     Files.move(tabularPath(from), tabularPath(to),
       StandardCopyOption.ATOMIC_MOVE)
     writeTabularInfo(info.copy(id = to))
+    // tables whose data lives inside the moved directory carry the
+    // directory in meta.location — point the current metadata at the
+    // new path (rename is the one catalog op allowed to relocate;
+    // registered tables with external locations are left untouched)
+    if (info.kind == "table")
+      loadTableMetadata(to).foreach { case (meta, v) =>
+        if (meta.location == oldLocation) {
+          val p = metadataDir(to).resolve(f"v$v%05d.metadata.json")
+          writeString(p, Json.metadataToJson(
+            meta.copy(location = tableLocation(to))))
+        }
+      }
   }
 
   // ------------------------------------------------ multi-table commits
@@ -487,29 +500,35 @@ class FileCatalogStore(val root: String) {
   }
 
   // ------------------------------------------------------------ manifests
-  // Manifest and data-file paths are persisted RELATIVE to the table
-  // location so rename (= directory move) and warehouse relocation
-  // never invalidate metadata. In-memory DataFile paths stay absolute.
+  // Manifest and data-file paths are persisted RELATIVE to the table's
+  // METADATA location (meta.location) so rename (= directory move),
+  // warehouse relocation, and registerTable adoption never invalidate
+  // metadata. In-memory DataFile paths stay absolute. For tables
+  // created by this catalog, meta.location == tableLocation(id); for
+  // registered tables it is wherever the original data lives.
 
-  private def relativize(id: TabularId, path: String): String = {
-    val loc = tableLocation(id) + "/"
+  private def relativize(location: String, path: String): String = {
+    val loc = location.stripSuffix("/") + "/"
     if (path.startsWith(loc)) path.substring(loc.length) else path
   }
 
-  def resolvePath(id: TabularId, path: String): String =
-    if (path.startsWith("/")) path else s"${tableLocation(id)}/$path"
+  def resolvePath(location: String, path: String): String =
+    if (path.startsWith("/")) path
+    else s"${location.stripSuffix("/")}/$path"
 
-  def writeManifest(id: TabularId, manifest: ManifestFile): String = {
-    val dir = metadataDir(id).resolve("manifests")
+  def writeManifest(location: String, manifest: ManifestFile): String = {
+    val dir = Paths.get(location, "metadata", "manifests")
     val rel = manifest.copy(entries = manifest.entries.map(f =>
-      f.copy(path = relativize(id, f.path))))
+      f.copy(path = relativize(location, f.path))))
     val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
     writeString(p, Json.manifestToJson(rel))
-    relativize(id, p.toString)
+    relativize(location, p.toString)
   }
 
-  def readManifest(id: TabularId, path: String): ManifestFile = {
-    val m = Json.manifestFromJson(readString(Paths.get(resolvePath(id, path))))
-    m.copy(entries = m.entries.map(f => f.copy(path = resolvePath(id, f.path))))
+  def readManifest(location: String, path: String): ManifestFile = {
+    val m = Json.manifestFromJson(
+      readString(Paths.get(resolvePath(location, path))))
+    m.copy(entries = m.entries.map(f =>
+      f.copy(path = resolvePath(location, f.path))))
   }
 }

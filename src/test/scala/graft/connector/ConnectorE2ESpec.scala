@@ -21,6 +21,7 @@ class ConnectorE2ESpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -312,6 +313,147 @@ class ConnectorE2ESpec extends AnyFunSuite {
         |ORDER BY committed_at""".stripMargin).collect().last.getString(0)
     assert(removed.toInt < nFiles,
       s"MERGE rewrote $removed of $nFiles files; runtime group filtering inactive")
+  }
+
+  test("tags: CREATE TAG + VERSION AS OF name (reference test_tag_create)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.tags (my_ints INT, my_floats DOUBLE, strings STRING)")
+    spark.sql("INSERT INTO graft.db.tags VALUES (1, 1.2, 'foo')")
+    spark.sql("ALTER TABLE graft.db.tags CREATE TAG first_insert")
+    spark.sql("INSERT INTO graft.db.tags VALUES (1, 1.2, 'foo')")
+    assert(spark.sql("SELECT * FROM graft.db.tags VERSION AS OF 'first_insert'")
+      .count() == 1)
+    assert(spark.table("graft.db.tags").count() == 2)
+    // with retention (reference test_tag_create_retain_365_days)
+    spark.sql("ALTER TABLE graft.db.tags CREATE TAG keeper RETAIN 365 DAYS")
+    val refs = spark.sql("SELECT name, type FROM graft.db.tags.refs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(refs("first_insert") == "TAG" && refs("keeper") == "TAG")
+  }
+
+  test("branches: CREATE BRANCH, branch write + read (reference test_branch_load_data)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.br (my_ints INT, my_floats DOUBLE, strings STRING)")
+    spark.sql("INSERT INTO graft.db.br VALUES (1, 1.2, 'foo')")
+    spark.sql("ALTER TABLE graft.db.br CREATE BRANCH test_branch RETAIN 7 DAYS")
+    assert(spark.sql("SELECT * FROM graft.db.br.refs").count() == 2)
+    spark.sql("INSERT INTO graft.db.br.branch_test_branch VALUES (2, 1.2, 'bar')")
+    assert(spark.table("graft.db.br").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db.br.`branch_test_branch`").count() == 2)
+    // main unaffected; branch visible by VERSION AS OF too
+    assert(spark.sql("SELECT * FROM graft.db.br VERSION AS OF 'test_branch'")
+      .count() == 2)
+  }
+
+  test("CALL system.rewrite_data_files compacts to 1 file (reference test_table_maintenance_optimize)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.opt (my_ints INT, my_floats DOUBLE, strings STRING)")
+    spark.sql("INSERT INTO graft.db.opt VALUES (1, 1.2, 'foo'), (2, 2.2, 'bar')")
+    for (i <- 0 until 5)
+      spark.sql(s"INSERT INTO graft.db.opt VALUES ($i, 5.2, 'foo')")
+    val before = spark.sql("SELECT file_path FROM graft.db.opt.files").count()
+    assert(before > 1)
+    val data0 = spark.sql("SELECT * FROM graft.db.opt ORDER BY my_ints, my_floats")
+      .collect().toSeq
+    spark.sql(
+      "CALL graft.system.rewrite_data_files(table => 'db.opt', options => map('rewrite-all', 'true'))")
+    assert(spark.sql("SELECT file_path FROM graft.db.opt.files").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db.opt ORDER BY my_ints, my_floats")
+      .collect().toSeq == data0)
+  }
+
+  test("CALL system.register_table adopts an existing metadata file") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.reg_src (my_ints INT)")
+    spark.sql("INSERT INTO graft.db.reg_src VALUES (1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val srcId = graft.store.TabularId(Seq("db"), "reg_src")
+    val v = cat.store.metadataDir(srcId).resolve(
+      f"v${1}%05d.metadata.json").toString
+    spark.sql(
+      s"CALL graft.system.register_table(table => 'db.reg_back', metadata_file => '$v')")
+    assert(spark.table("graft.db.reg_back").count() == 1)
+  }
+
+  test("CALL system.expire_snapshots keeps ref heads, drops the rest, deletes unreachable files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.exp (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.exp SELECT id FROM range(3)")       // s1
+    spark.sql("ALTER TABLE graft.db.exp CREATE TAG pinned")
+    spark.sql("INSERT OVERWRITE graft.db.exp SELECT id FROM range(10, 14)") // s2 replaces files
+    spark.sql("INSERT INTO graft.db.exp SELECT id FROM range(20, 22)")  // s3
+    assert(spark.sql("SELECT * FROM graft.db.exp.snapshots").count() == 3)
+    val res = spark.sql(
+      s"CALL graft.system.expire_snapshots(table => 'db.exp', older_than_ms => ${System.currentTimeMillis() + 1000}, retain_last => 1)")
+      .collect().head
+    // tag 'pinned' (s1) + main head (s3) + s3's min-keep survive; s2 expires
+    assert(res.getLong(0) == 1, s"expired=${res.getLong(0)}")
+    assert(spark.sql("SELECT * FROM graft.db.exp.snapshots").count() == 2)
+    // tagged state still readable, current state intact
+    assert(spark.sql("SELECT * FROM graft.db.exp VERSION AS OF 'pinned'").count() == 3)
+    assert(spark.table("graft.db.exp").count() == 6)
+  }
+
+  test("CALL system.remove_orphan_files deletes unreferenced files, never live ones") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.orp (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.orp SELECT id FROM range(5)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dataDir = java.nio.file.Paths.get(
+      cat.store.tableLocation(graft.store.TabularId(Seq("db"), "orp")), "data")
+    val orphan = dataDir.resolve("orphan-leftover.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // dry run lists but keeps
+    val listed = spark.sql(
+      "CALL graft.system.remove_orphan_files(table => 'db.orp', older_than_ms => " +
+        s"${System.currentTimeMillis() + 1000}, dry_run => true)").collect()
+    assert(listed.map(_.getString(0)).contains(orphan.toString))
+    assert(Files.exists(orphan))
+    // real run deletes the orphan and nothing else
+    spark.sql(
+      "CALL graft.system.remove_orphan_files(table => 'db.orp', older_than_ms => " +
+        s"${System.currentTimeMillis() + 1000})")
+    assert(!Files.exists(orphan))
+    assert(spark.table("graft.db.orp").count() == 5)
+  }
+
+  test("partition evolution: ADD/DROP PARTITION FIELD, both generations scanned") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.pe (my_ints INT, strings STRING) PARTITIONED BY (my_ints)")
+    spark.sql("INSERT INTO graft.db.pe VALUES (1, 'alpha'), (2, 'beta')")
+    spark.sql("ALTER TABLE graft.db.pe ADD PARTITION FIELD truncate(4, strings)")
+    spark.sql("INSERT INTO graft.db.pe VALUES (3, 'gamma'), (4, 'delta')")
+    // both file generations (spec 0 and spec 1) scanned
+    assert(spark.table("graft.db.pe").count() == 4)
+    // pruning on the identity field still correct across generations
+    assert(spark.sql("SELECT strings FROM graft.db.pe WHERE my_ints = 3")
+      .collect().map(_.getString(0)).toSeq == Seq("gamma"))
+    spark.sql("ALTER TABLE graft.db.pe DROP PARTITION FIELD truncate(4, strings)")
+    spark.sql("INSERT INTO graft.db.pe VALUES (5, 'eps')")
+    assert(spark.table("graft.db.pe").count() == 5)
+    assert(spark.sql("SELECT strings FROM graft.db.pe WHERE my_ints = 5")
+      .collect().map(_.getString(0)).toSeq == Seq("eps"))
+  }
+
+  test(".files family is a distributed scan, not driver-materialized") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.dmt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.dmt SELECT id FROM range(5)")
+    spark.sql("INSERT INTO graft.db.dmt SELECT id FROM range(5, 9)")
+    val plan = spark.sql("SELECT * FROM graft.db.dmt.files")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ManifestScan"), s"expected ManifestScan in:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"unexpected LocalScan in:\n$plan")
+    val nLive = spark.sql("SELECT COUNT(DISTINCT _file) FROM graft.db.dmt")
+      .collect().head.getLong(0)
+    assert(spark.sql("SELECT * FROM graft.db.dmt.files").count() == nLive)
+    assert(spark.sql("SELECT * FROM graft.db.dmt.entries").count() == nLive)
+    assert(spark.sql("SELECT * FROM graft.db.dmt.all_entries").count() >= nLive)
+    assert(spark.sql("SELECT * FROM graft.db.dmt.partitions").count() == 1)
+    assert(spark.sql("SELECT SUM(record_count) FROM graft.db.dmt.files")
+      .collect().head.getLong(0) == 9)
   }
 
   test("CTAS: create table as select") {

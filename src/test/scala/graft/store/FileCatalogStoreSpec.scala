@@ -209,7 +209,8 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     mkTable(s, id)
     val mf = ManifestFile(Seq(DataFile("/f.parquet", 1, 2, 0,
       Map("d" -> Some("1")), Map("id" -> ColumnStat(Some("1"), Some("2"), Some(0))))), 7L)
-    val path = s.writeManifest(id, mf)
-    assert(s.readManifest(id, path).copy(entries = s.readManifest(id, path).entries.map(f => f.copy(path = f.path.split("/").last))) == mf.copy(entries = mf.entries.map(f => f.copy(path = f.path.split("/").last))))
+    val loc = s.tableLocation(id)
+    val path = s.writeManifest(loc, mf)
+    assert(s.readManifest(loc, path).copy(entries = s.readManifest(loc, path).entries.map(f => f.copy(path = f.path.split("/").last))) == mf.copy(entries = mf.entries.map(f => f.copy(path = f.path.split("/").last))))
   }
 }
