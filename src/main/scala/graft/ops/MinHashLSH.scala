@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MinHash + banded LSH near-duplicate detection for a document corpus.
+  *
+  * 100 TB shape — the whole point is NEVER all-pairs:
+  *  1. per doc: distinct 2-gram shingles → K minhash values (codegen'd
+  *     higher-order functions, no UDF; cost K × shingles per doc, one
+  *     scan, no shuffle)
+  *  2. bands: K minhashes → B band-buckets; explode to (band, bucket)
+  *     rows — the ONLY shuffle is the groupBy on the small
+  *     (band, bucket) key
+  *  3. candidate pairs = docs sharing any band bucket (skew-bounded by
+  *     duplicate-cluster size, not corpus size)
+  *  4. exact Jaccard verification on just the candidates (semi-join
+  *     restricts the shingle shuffle to candidate ids)
+  *
+  * With K=64, B=32 (R=2) a pair at Jaccard s collides with probability
+  * 1-(1-s²)^32 — ≥0.9999 at s≥0.6 — so candidate recall at sensible
+  * thresholds is effectively 1 and the exact verification makes the
+  * output deterministic.
+  */
+object MinHashLSH {
+
+  /** Mersenne prime 2^31-1: (a·x+b) mod P stays in Long without
+    * overflow for a,b,x < P.
+    */
+  private val P = 2147483647L
+
+  private val tokenRe = "[a-z0-9]+"
+
+  /** Distinct word 2-gram shingles of a text column. */
+  def shingles(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit(tokenRe), lit(0))
+    array_distinct(zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** K-minhash signature (array<long>) of a shingle-array column. */
+  def signature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(numHashes)(1L + rnd.nextInt((P - 1).toInt).toLong)
+    val bs = Seq.fill(numHashes)(rnd.nextInt(P.toInt).toLong)
+    val aLit = typedlit(as)
+    val bLit = typedlit(bs)
+    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hashes, x =>
+        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(P)))))
+  }
+
+  /** B band-bucket hashes (array<long>) over a K-minhash signature. */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, concat_ws(":",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast(StringType)))))
+
+  /** Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold).
+    *
+    * @param df        corpus
+    * @param idCol     unique document id column name (numeric or string)
+    * @param textCol   text column name
+    * @param threshold exact-Jaccard acceptance threshold
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = sh
+      .select(col("doc_id"),
+        bandBuckets(signature(col("sh"), numHashes, seed), bands, r).as("bk"))
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bucket")))
+
+    // docs sharing any band bucket; dedup across bands before verify
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    // exact verification restricted to candidate ids
+    val candIds = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b"))).distinct()
+    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+
+    candidates
+      .join(candSh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(candSh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

