@@ -38,11 +38,16 @@ object Transform {
 
   final case class Bucket(n: Int) extends Transform {
     val name = s"bucket[$n]"
-    def apply(source: Column, t: DataType): Column = {
-      val f = udf((v: Any) => if (v == null) null.asInstanceOf[Integer]
-        else Integer.valueOf(Bucket.bucketOf(v, t, n)))
-      f(source)
-    }
+    /** No Column form: bucket values are computed per-InternalRow in
+      * the writer (GraftDataWriter via `eval` — a direct JVM call, no
+      * UDF in any plan) and per-file in pruning. A UDF here would sit
+      * in the write hot path and block whole-stage codegen; the write
+      * distribution clusters on the SOURCE column, which Catalyst
+      * shuffles natively.
+      */
+    def apply(source: Column, t: DataType): Column =
+      throw new UnsupportedOperationException(
+        s"bucket[$n] has no Column form; the writer evaluates it per row")
     def eval(v: Any, t: DataType): Any =
       if (v == null) null else Bucket.bucketOf(v, t, n)
     def resultType(t: DataType): DataType = IntegerType

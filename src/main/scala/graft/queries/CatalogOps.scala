@@ -250,6 +250,31 @@ object CatalogOps {
         s"""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
            |FROM $CatalogName.$db.compact_t
            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // VARIANT (format v3): round-trip JSON-shaped data through a
+    // variant column in the catalog and extract scalars with
+    // variant_get; the oracle recomputes the same values straight from
+    // the raw columns
+    Q(
+      "qc10_variant_extract",
+      """SELECT n_nationkey AS id, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS region
+        |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.vdoc")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.vdoc
+           |TBLPROPERTIES ('format-version' = '3') AS
+           |SELECT n_nationkey AS id,
+           |  parse_json(to_json(named_struct(
+           |    'name', n_name, 'region', n_regionkey))) AS props
+           |FROM parquet.`$dir/nation.parquet`""".stripMargin)
+      s.sql(
+        s"""SELECT id,
+           |  variant_get(props, '$$.name', 'string') AS name,
+           |  CAST(variant_get(props, '$$.region', 'long') AS BIGINT) AS region
+           |FROM $CatalogName.$db.vdoc ORDER BY id""".stripMargin)
     }
   )
 }

@@ -261,10 +261,13 @@ object Relational {
         |  ON l.l_partkey = t.l_partkey
         |WHERE l.l_quantity < t.qty_limit""".stripMargin) { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem")
-      // per-part avg is small (one row per part) → broadcast back
+      // one row per distinct l_partkey — hundreds of millions at 100 TB,
+      // so NO broadcast hint: AQE broadcasts when it is actually small
+      // and falls back to a shuffle join (same l_partkey key both
+      // sides, so the agg's shuffle is reused) when it is not
       val limits = l.groupBy(col("l_partkey"))
         .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
-      l.join(broadcast(limits), Seq("l_partkey"))
+      l.join(limits, Seq("l_partkey"))
         .filter(col("l_quantity") < col("qty_limit"))
         .agg((sum(dec("l_extendedprice")).cast(DoubleType) / 7.0).as("avg_yearly"))
     },

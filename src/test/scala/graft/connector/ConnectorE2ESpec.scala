@@ -456,6 +456,39 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .collect().head.getLong(0) == 9)
   }
 
+  test("VARIANT: create v3 table, insert parse_json, variant_get, join on extracted field") {
+    // replay of test_variant_create_table / test_variant_insert_and_read /
+    // variant join (test_spark.py:1343-1500)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.variant_rw (id BIGINT, data VARIANT)
+      TBLPROPERTIES ('format-version' = '3')""")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.variant_rw")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("format-version").contains("3"))
+    spark.sql("""INSERT INTO graft.db.variant_rw (id, data) VALUES
+      (1, parse_json('{"name":"Alice","age":30}')),
+      (2, parse_json('{"name":"Bob","age":25}')),
+      (3, parse_json('{"name":"Carol","age":35}'))""")
+    val rows = spark.sql(
+      """SELECT id, variant_get(data, '$.name', 'string') AS name,
+        |  CAST(variant_get(data, '$.age', 'int') AS INT) AS age
+        |FROM graft.db.variant_rw ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "Alice", 30), (2L, "Bob", 25), (3L, "Carol", 35)))
+    // join on an extracted variant field with lower(trim(...)) (ref :1440+)
+    spark.sql("CREATE TABLE graft.db.variant_dim (name STRING, team STRING)")
+    spark.sql("INSERT INTO graft.db.variant_dim VALUES (' alice ', 'core'), ('bob', 'infra')")
+    val joined = spark.sql(
+      """WITH extracted AS (
+        |  SELECT id, lower(variant_get(data, '$.name', 'string')) AS name
+        |  FROM graft.db.variant_rw)
+        |SELECT e.id, d.team FROM extracted e
+        |JOIN graft.db.variant_dim d ON lower(trim(d.name)) = e.name
+        |ORDER BY e.id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(joined == Seq((1L, "core"), (2L, "infra")))
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS
