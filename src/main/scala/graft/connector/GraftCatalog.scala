@@ -24,7 +24,7 @@ import graft.store._
   * }}}
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-  with ProcedureCatalog {
+  with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private[graft] var store: FileCatalogStore = _
@@ -305,6 +305,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case _: AlreadyExistsException =>
         throw new ViewAlreadyExistsException(newIdent)
     }
+
+  // ------------------------------------------------- staged create/replace
+  /** Metadata for a staged table (not yet visible in the catalog). */
+  private def stagedMetadata(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[SparkTransform],
+      properties: util.Map[String, String],
+      existing: Option[TableMetadata]): TableMetadata = {
+    val id = tid(ident)
+    val schema = GraftCatalog.v2ColumnsToStructType(columns)
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    TableMetadata.newTable(
+      existing.map(_.tableUuid).getOrElse(UUID.randomUUID().toString),
+      existing.map(_.location).getOrElse(store.tableLocation(id)),
+      schema,
+      spec = partitions.map(GraftCatalog.toPartitionField).toSeq,
+      properties = props,
+      formatVersion = props.get("format-version").map(_.toInt)
+        .orElse(existing.map(_.formatVersion)).getOrElse(2))
+  }
+
+  override def stageCreate(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[SparkTransform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(this, tid(ident),
+      stagedMetadata(ident, columns, partitions, properties, None), "create")
+  }
+
+  override def stageReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[SparkTransform],
+      properties: util.Map[String, String]): StagedTable = {
+    val existing = store.loadTableMetadata(tid(ident)).map(_._1)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftStagedTable(this, tid(ident),
+      stagedMetadata(ident, columns, partitions, properties, Some(existing)),
+      "replace")
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[SparkTransform],
+      properties: util.Map[String, String]): StagedTable = {
+    val existing = store.loadTableMetadata(tid(ident)).map(_._1)
+    new GraftStagedTable(this, tid(ident),
+      stagedMetadata(ident, columns, partitions, properties, existing),
+      "createOrReplace")
+  }
 
   // ---------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)

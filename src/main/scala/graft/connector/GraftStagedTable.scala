@@ -1,0 +1,161 @@
+package graft.connector
+
+import java.util
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => SparkSortOrder, Transform => SparkTransform}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.meta._
+import graft.store.{AlreadyExistsException, TabularId}
+
+/** Atomic CREATE/REPLACE TABLE AS SELECT (reference: REPLACE TABLE at
+  * test_spark.py:62; stage-create in server/tables/create_table.rs).
+  *
+  * Data files are written while the table is INVISIBLE; one atomic
+  * commit at `commitStagedChanges` publishes catalog entry + snapshot
+  * together, so readers never observe a half-created table and a
+  * failed CTAS leaves nothing behind. REPLACE keeps the table uuid and
+  * history: it commits new schema + spec + a `replace` snapshot onto
+  * the existing metadata, so time travel still reaches pre-replace
+  * snapshots.
+  */
+class GraftStagedTable(
+    catalog: GraftCatalog,
+    id: TabularId,
+    stagedMeta: TableMetadata,
+    mode: String) // create | replace | createOrReplace
+  extends StagedTable with SupportsWrite {
+
+  private val collected = ArrayBuffer.empty[DataFile]
+
+  override def name(): String = id.toString
+  override def schema(): StructType = stagedMeta.currentSchema.struct
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(stagedMeta.currentSchema.struct)
+  override def partitioning(): Array[SparkTransform] =
+    stagedMeta.defaultSpec.fields.map(GraftCatalog.toSparkTransform).toArray
+  override def properties(): util.Map[String, String] =
+    stagedMeta.properties.asJava
+  override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staged table is empty
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution = {
+          val spec = stagedMeta.defaultSpec
+          if (spec.isUnpartitioned) Distributions.unspecified()
+          else Distributions.clustered(
+            spec.fields.map(f => Expressions.column(f.sourceName)).toArray)
+        }
+        override def requiredOrdering(): Array[SparkSortOrder] = Array.empty
+        override def distributionStrictlyRequired(): Boolean = false
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              info2: PhysicalWriteInfo): DataWriterFactory = {
+            val spark = SparkSession.active
+            GraftDataWriterFactory(
+              stagedMeta.location,
+              info.schema(),
+              stagedMeta.defaultSpec,
+              new SerializableConfiguration(
+                spark.sessionState.newHadoopConf()),
+              spark.sessionState.conf.sessionLocalTimeZone)
+          }
+          // files are only RECORDED here; publication happens in
+          // commitStagedChanges so the whole RTAS is one atomic swap
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            collected.synchronized {
+              collected ++= messages.toSeq.collect {
+                case GraftCommitMessage(fs) => fs }.flatten
+            }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            abortStagedChanges()
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val files = collected.toSeq
+    def snapshotUpdates(parent: TableMetadata, op: String): Seq[TableUpdate] = {
+      val manifest = catalog.store.writeManifest(stagedMeta.location,
+        ManifestFile(files, snapshotId))
+      Seq(
+        TableUpdate.AddSnapshot(Snapshot(
+          snapshotId,
+          parent.currentSnapshotId,
+          parent.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          op,
+          Map(
+            "added-data-files" -> files.size.toString,
+            "added-records" -> files.map(_.recordCount).sum.toString),
+          Seq(manifest),
+          parent.currentSchemaId)),
+        TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+          SnapshotRef(snapshotId, isBranch = true)))
+    }
+
+    def doCreate(): Unit = {
+      catalog.store.createTable(id, stagedMeta)
+      catalog.store.commitTableWith(id, Nil,
+        current => snapshotUpdates(current, "append"))
+    }
+
+    def doReplace(): Unit =
+      catalog.store.commitTableWith(id, Nil, current => {
+        Seq(
+          TableUpdate.AddSchema(
+            TableSchema(-1, stagedMeta.currentSchema.struct)),
+          TableUpdate.SetCurrentSchema(-1),
+          TableUpdate.AddSpec(
+            PartitionSpec(-1, stagedMeta.defaultSpec.fields)),
+          TableUpdate.SetDefaultSpec(-1),
+          TableUpdate.SetProperties(stagedMeta.properties)) ++ {
+          // replace snapshot references ONLY the new files
+          val manifest = catalog.store.writeManifest(current.location,
+            ManifestFile(files, snapshotId))
+          Seq(
+            TableUpdate.AddSnapshot(Snapshot(
+              snapshotId,
+              current.currentSnapshotId,
+              current.lastSequenceNumber + 1,
+              System.currentTimeMillis(),
+              "replace",
+              Map(
+                "added-data-files" -> files.size.toString,
+                "added-records" -> files.map(_.recordCount).sum.toString),
+              Seq(manifest),
+              -1) // resolved to the just-added schema at apply time
+            ),
+            TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+              SnapshotRef(snapshotId, isBranch = true)))
+        }
+      })
+
+    mode match {
+      case "create" => doCreate()
+      case "replace" => doReplace()
+      case "createOrReplace" =>
+        if (catalog.store.loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+          doReplace()
+        else doCreate()
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    collected.foreach { f =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+      catch { case _: Throwable => }
+    }
+}

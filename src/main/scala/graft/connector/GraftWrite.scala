@@ -35,25 +35,35 @@ class GraftWriteBuilder(
   extends WriteBuilder with SupportsTruncate with SupportsOverwrite
   with SupportsDynamicOverwrite {
 
-  // append | truncate | dynamic
+  // append | truncate | dynamic | filter
   private var mode: String = "append"
+  private var overwriteFilters: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
+  /** Static overwrite (`INSERT OVERWRITE … PARTITION (k=v)`): the
+    * filters must be decidable per-file from identity partition values
+    * — whole-partition replacement, the Hive/Iceberg static contract.
+    */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) { mode = "truncate"; this }
-    else throw new UnsupportedOperationException(
-      "overwrite by arbitrary filter not supported; use dynamic overwrite")
+    else {
+      // validate now so unsupported predicates fail at plan time
+      GraftBatchWrite.requirePartitionDecidable(filters, table.meta)
+      mode = "filter"; overwriteFilters = filters; this
+    }
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = "dynamic"; this
   }
 
-  override def build(): Write = new GraftWrite(table, info.schema(), mode)
+  override def build(): Write =
+    new GraftWrite(table, info.schema(), mode, overwriteFilters)
 }
 
-class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String)
+class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
+    overwriteFilters: Array[Filter] = Array.empty)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution = {
@@ -67,14 +77,75 @@ class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String)
 
   override def distributionStrictlyRequired(): Boolean = false
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(table, writeSchema, mode, overwriteFilters)
 }
 
 /** Commit message: the data files one task produced. */
 final case class GraftCommitMessage(files: Seq[DataFile])
   extends WriterCommitMessage
 
-class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
+object GraftBatchWrite {
+  import org.apache.spark.sql.sources._
+
+  private def identityFields(meta: TableMetadata): Set[String] =
+    meta.specs.values.flatMap(_.fields)
+      .filter(_.transform == Transform.Identity).map(_.sourceName).toSet
+
+  /** Static overwrite filters must be whole-partition-decidable:
+    * conjunctions/disjunctions of equality/membership tests on
+    * identity-partition columns.
+    */
+  def requirePartitionDecidable(filters: Array[Filter], meta: TableMetadata): Unit = {
+    val idents = identityFields(meta)
+    def ok(f: Filter): Boolean = f match {
+      case EqualTo(c, _) => idents.contains(c)
+      case EqualNullSafe(c, _) => idents.contains(c)
+      case In(c, _) => idents.contains(c)
+      case IsNull(c) => idents.contains(c)
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r) => ok(l) && ok(r)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    val bad = filters.filterNot(ok)
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"static overwrite supports only identity-partition predicates; got: " +
+        bad.mkString(", "))
+  }
+
+  /** Exact match of a file's identity partition values against the
+    * overwrite filters (AND across the array).
+    */
+  def partitionMatches(f: DataFile, spec: PartitionSpec,
+      schema: StructType, filters: Array[Filter]): Boolean = {
+    val byName = spec.fields.filter(_.transform == Transform.Identity)
+      .map(x => x.sourceName -> x.name).toMap
+    def valueOf(col: String): Option[Option[String]] =
+      byName.get(col).flatMap(f.partition.get)
+    def dt(col: String): DataType =
+      schema.fields.find(_.name.equalsIgnoreCase(col))
+        .map(_.dataType).getOrElse(StringType)
+    def eval(flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) => valueOf(c).exists(_.exists(s =>
+        ColumnStat.compare(s, v, dt(c)) == 0))
+      case EqualNullSafe(c, null) => valueOf(c).exists(_.isEmpty)
+      case EqualNullSafe(c, v) => valueOf(c).exists(_.exists(s =>
+        ColumnStat.compare(s, v, dt(c)) == 0))
+      case In(c, vs) => valueOf(c).exists(_.exists(s =>
+        vs.exists(v => ColumnStat.compare(s, v, dt(c)) == 0)))
+      case IsNull(c) => valueOf(c).exists(_.isEmpty)
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    filters.forall(eval)
+  }
+}
+
+class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
+    overwriteFilters: Array[Filter] = Array.empty)
   extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -113,6 +184,22 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String)
             val kept = parentManifests.flatMap(m =>
               table.store.readManifest(current.location, m).entries)
               .filterNot(f => newParts.contains(f.partition))
+            val keptPath =
+              if (kept.isEmpty) None
+              else Some(table.store.writeManifest(current.location,
+                ManifestFile(kept, snapshotId)))
+            (keptPath.toSeq :+ manifestPath, "overwrite")
+          case "filter" =>
+            // static overwrite: drop whole files whose identity
+            // partition values satisfy every filter
+            val kept = parentManifests.flatMap(m =>
+              table.store.readManifest(current.location, m).entries)
+              .filterNot { f =>
+                val spec = current.specs.getOrElse(f.specId,
+                  current.defaultSpec)
+                GraftBatchWrite.partitionMatches(f, spec,
+                  current.currentSchema.struct, overwriteFilters)
+              }
             val keptPath =
               if (kept.isEmpty) None
               else Some(table.store.writeManifest(current.location,

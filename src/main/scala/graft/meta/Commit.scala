@@ -216,7 +216,11 @@ object Commit {
         if (!m.sortOrders.contains(id)) fail(s"Unknown sort order id $id")
         m = m.copy(defaultSortOrderId = id)
 
-      case AddSnapshot(s) =>
+      case AddSnapshot(s0) =>
+        // schemaId -1 = "current schema at apply time" (lets one commit
+        // add a schema and a snapshot referencing it, e.g. RTAS)
+        val s = if (s0.schemaId == -1) s0.copy(schemaId = m.currentSchemaId)
+          else s0
         if (m.snapshots.contains(s.snapshotId))
           fail(s"Snapshot ${s.snapshotId} already exists")
         if (s.sequenceNumber <= m.lastSequenceNumber && m.snapshots.nonEmpty)

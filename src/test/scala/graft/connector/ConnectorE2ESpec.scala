@@ -489,6 +489,38 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(joined == Seq((1L, "core"), (2L, "infra")))
   }
 
+  test("REPLACE TABLE AS SELECT is atomic, keeps history (reference test :62)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.rpl (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.rpl VALUES (1, 'old')")
+    val preSnap = spark.sql("SELECT snapshot_id FROM graft.db.rpl.snapshots")
+      .collect().head.getLong(0)
+    spark.sql("""REPLACE TABLE graft.db.rpl AS
+      SELECT id, concat('new-', CAST(id AS STRING)) AS name FROM range(3)""")
+    val rows = spark.sql("SELECT id, name FROM graft.db.rpl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((0L, "new-0"), (1L, "new-1"), (2L, "new-2")))
+    // pre-replace snapshot still time-travelable (uuid + history kept)
+    assert(spark.sql(s"SELECT * FROM graft.db.rpl VERSION AS OF $preSnap")
+      .collect().map(_.getString(1)).toSeq == Seq("old"))
+    // CREATE OR REPLACE over existing and over missing
+    spark.sql("CREATE OR REPLACE TABLE graft.db.rpl AS SELECT 9 AS only_col")
+    assert(spark.table("graft.db.rpl").columns.toSeq == Seq("only_col"))
+    spark.sql("CREATE OR REPLACE TABLE graft.db.rpl_new AS SELECT 1 AS c")
+    assert(spark.table("graft.db.rpl_new").count() == 1)
+  }
+
+  test("INSERT OVERWRITE PARTITION (static filter) replaces only that partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.sow (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.sow VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    spark.sql("INSERT OVERWRITE graft.db.sow PARTITION (cat = 'a') (id) VALUES (10), (11)")
+    val rows = spark.sql("SELECT id, cat FROM graft.db.sow ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((3L, "b"), (4L, "c"), (10L, "a"), (11L, "a")))
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS
