@@ -1,0 +1,121 @@
+package graft.admin
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.FileCatalogStore
+
+/** The reference's management/analytics surface (§2.8) re-expressed as
+  * DataFrame computations over catalog state and the change-event log.
+  */
+object Admin {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("ts-ms", LongType),
+    StructField("event-type", StringType),
+    StructField("namespace", StringType),
+    StructField("name", StringType),
+    StructField("extra", MapType(StringType, StringType))))
+
+  /** Batch view of the change-event log (CloudEvents analog —
+    * reference service/events/).
+    */
+  def changeEvents(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+    val dir = store.changesDir
+    if (!java.nio.file.Files.isDirectory(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+    else spark.read.schema(eventSchema).json(dir.toString)
+  }
+
+  /** Structured Streaming view of the change-event log — the streaming
+    * analog of the reference's Kafka/NATS event sinks.
+    */
+  def changeEventStream(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+    java.nio.file.Files.createDirectories(store.changesDir)
+    spark.readStream.schema(eventSchema).json(store.changesDir.toString)
+  }
+
+  /** Time-series of table/view counts (reference: getWarehouseStatistics,
+    * api/management/v1/warehouse/mod.rs:361-380): cumulative counts at
+    * every mutation timestamp, reconstructed from the change log.
+    */
+  def warehouseStatistics(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+    val ev = changeEvents(spark, store)
+    val delta = ev
+      .withColumn("table_delta",
+        when(col("event-type") === "table-created", 1)
+          .when(col("event-type") === "tabular-purged" &&
+            col("extra")("kind") === "table", -1)
+          .when(col("event-type") === "tabular-soft-deleted" &&
+            col("extra")("kind") === "table", -1)
+          .when(col("event-type") === "tabular-undropped" &&
+            col("extra")("kind") === "table", 1)
+          .otherwise(0))
+      .withColumn("view_delta",
+        when(col("event-type") === "view-created", 1)
+          .when(col("event-type") === "tabular-purged" &&
+            col("extra")("kind") === "view", -1)
+          .when(col("event-type") === "tabular-soft-deleted" &&
+            col("extra")("kind") === "view", -1)
+          .otherwise(0))
+      .filter(col("table_delta") =!= 0 || col("view_delta") =!= 0)
+    val w = Window.orderBy(col("ts-ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta
+      .select(
+        col("ts-ms").as("timestamp_ms"),
+        sum(col("table_delta")).over(w).as("number_of_tables"),
+        sum(col("view_delta")).over(w).as("number_of_views"))
+      .orderBy(col("timestamp_ms"))
+  }
+
+  /** Fuzzy tabular search (reference: searchTabular — pg_trgm KNN,
+    * lakekeeper-storage-postgres/src/tabular/mod.rs:1037-1147).
+    * Two legs like the reference: exact matches first, then trigram
+    * similarity ranking; top 10.
+    */
+  def searchTabular(spark: SparkSession, store: FileCatalogStore,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val all = store.listAllTabulars().map(t =>
+      (t.id.namespace.mkString("."), t.id.name, t.kind,
+        (t.id.namespace :+ t.id.name).mkString(".").toLowerCase))
+      .toDF("namespace", "name", "kind", "full_name")
+    val q = query.toLowerCase
+    def trigrams(s: String): Seq[String] =
+      if (s.length < 3) Seq(s) else s.sliding(3).toSeq
+    val qGrams = trigrams(q)
+    val qLit = typedlit(qGrams)
+    // trigram similarity = |intersection| / |union| over 3-gram sets,
+    // computed with codegen'd array functions
+    val grams = filter(
+      transform(sequence(lit(0), greatest(length(col("full_name")) - 3, lit(0))),
+        i => col("full_name").substr(lit(1) + i, lit(3))),
+      g => length(g) >= 1)
+    val scored = all
+      .withColumn("grams", array_distinct(grams))
+      .withColumn("sim",
+        when(col("full_name") === q, lit(2.0)) // exact leg ranks first
+          .otherwise(
+            size(array_intersect(col("grams"), qLit)).cast(DoubleType) /
+              greatest(size(array_union(col("grams"), qLit)), lit(1))))
+    scored.filter(col("sim") > 0)
+      .select(col("namespace"), col("name"), col("kind"),
+        round(col("sim"), 4).as("similarity"))
+      .orderBy(col("similarity").desc, col("namespace"), col("name"))
+      .limit(10)
+  }
+
+  /** Per-operation call counts (reference: loadEndpointStatistics). */
+  def endpointStatistics(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    store.opCounts.asScala.toSeq
+      .map { case (op, n) => (op, n.get()) }
+      .toDF("operation", "count")
+      .orderBy(col("operation"))
+  }
+}

@@ -90,6 +90,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   // -------------------------------------------------------------- tables
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    store.countOp("listTables")
     if (!store.namespaceExists(namespace.toSeq))
       throw new NoSuchNamespaceException(namespace)
     store.listTabulars(namespace.toSeq, kind = Some("table"))
@@ -101,6 +102,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       .exists(t => t.kind == "table" && t.deletedMs.isEmpty)
 
   override def loadTable(ident: Identifier): Table = {
+    store.countOp("loadTable")
     // `db.table.snapshots` style metadata tables and
     // `db.table.branch_x` / `db.table.tag_x` ref reads: the parent
     // namespace tail is actually a table name (SURVEY §2.9)
@@ -171,6 +173,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       columns: Array[Column],
       partitions: Array[SparkTransform],
       properties: util.Map[String, String]): Table = {
+    store.countOp("createTable")
     val id = tid(ident)
     val schema = GraftCatalog.v2ColumnsToStructType(columns)
     val (withIds, _) = TableSchema.assignFieldIds(schema, 0)
@@ -189,6 +192,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    store.countOp("alterTable")
     val id = tid(ident)
     val (current, _) = store.loadTableMetadata(id).getOrElse(
       throw new NoSuchTableException(ident))
@@ -198,9 +202,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     new GraftTable(store, id, next, snapshotId = None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    store.countOp("dropTable")
     try store.dropTabular(tid(ident), purge = false)
     catch { case _: ProtectedException => false }
+  }
 
   override def purgeTable(ident: Identifier): Boolean =
     try store.dropTabular(tid(ident), purge = true)

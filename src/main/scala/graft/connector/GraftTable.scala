@@ -205,6 +205,12 @@ class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // reportMetrics analog (reference: api/iceberg/v1/metrics.rs —
+    // accepts engine scan reports as opaque payloads and logs them)
+    table.store.logEvent("scan-report", table.tableId, Map(
+      "pushed-filters" -> filters.mkString("; "),
+      "selected-files" -> selectedFiles.size.toString,
+      "selected-bytes" -> selectedFiles.map(_.fileSizeBytes).sum.toString))
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val parallelism = spark.sparkContext.defaultParallelism

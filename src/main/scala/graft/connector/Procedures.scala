@@ -26,7 +26,10 @@ object Procedures {
 
   def names: Seq[String] = Seq(
     "rewrite_data_files", "register_table",
-    "expire_snapshots", "remove_orphan_files")
+    "expire_snapshots", "remove_orphan_files",
+    "search_tabular", "warehouse_statistics", "endpoint_statistics",
+    "undrop_table", "set_protection", "list_deleted_tabulars",
+    "expire_deleted_tabulars")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -34,6 +37,14 @@ object Procedures {
       case "register_table" => Some(RegisterTableProcedure(catalog))
       case "expire_snapshots" => Some(ExpireSnapshotsProcedure(catalog))
       case "remove_orphan_files" => Some(RemoveOrphanFilesProcedure(catalog))
+      case "search_tabular" => Some(SearchTabularProcedure(catalog))
+      case "warehouse_statistics" => Some(WarehouseStatisticsProcedure(catalog))
+      case "endpoint_statistics" => Some(EndpointStatisticsProcedure(catalog))
+      case "undrop_table" => Some(UndropTableProcedure(catalog))
+      case "set_protection" => Some(SetProtectionProcedure(catalog))
+      case "list_deleted_tabulars" => Some(ListDeletedTabularsProcedure(catalog))
+      case "expire_deleted_tabulars" =>
+        Some(ExpireDeletedTabularsProcedure(catalog))
       case _ => None
     }
 
@@ -191,6 +202,149 @@ final case class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       StructField("deleted_data_files_count", LongType, nullable = false)))
     Procedures.resultScan(schema, Seq(new GenericInternalRow(
       Array[Any](result.expiredSnapshots, result.deletedFiles))))
+  }
+}
+
+/** Rows-from-DataFrame helper for procedures returning query results. */
+private[connector] object DfResult {
+  def apply(df: org.apache.spark.sql.DataFrame): JIterator[Scan] = {
+    val schema = df.schema
+    val rows = df.queryExecution.executedPlan.executeCollect().toSeq
+    Procedures.resultScan(schema, rows)
+  }
+}
+
+/** Fuzzy name search (reference: searchTabular, trigram KNN top-10,
+  * lakekeeper-storage-postgres/src/tabular/mod.rs:1037-1147).
+  */
+final case class SearchTabularProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "search_tabular"
+  override def description(): String = "Fuzzy search over tabular names"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.param("query", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.searchTabular(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString))
+}
+
+/** Warehouse stats time-series (reference: getWarehouseStatistics). */
+final case class WarehouseStatisticsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "warehouse_statistics"
+  override def description(): String =
+    "Time-series of table/view counts from the change log"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.warehouseStatistics(
+      SparkSession.active, catalog.store))
+}
+
+/** Per-operation call counts (reference: loadEndpointStatistics). */
+final case class EndpointStatisticsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "endpoint_statistics"
+  override def description(): String = "Catalog operation call counts"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.endpointStatistics(
+      SparkSession.active, catalog.store))
+}
+
+/** Cancel a soft delete (reference: undropTabulars,
+  * api/management/v1/warehouse/undrop.rs).
+  */
+final case class UndropTableProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "undrop_table"
+  override def description(): String = "Restore a soft-deleted tabular"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.param("table", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val restored = catalog.store.undrop(id)
+    val schema = StructType(Seq(StructField("restored", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](restored))))
+  }
+}
+
+/** Deletion-protection flags (reference: protection get/set,
+  * api/endpoints.rs:238-250).
+  */
+final case class SetProtectionProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_protection"
+  override def description(): String = "Protect or unprotect a tabular from deletion"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("protected", BooleanType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    catalog.store.setProtection(id, input.getBoolean(1))
+    val schema = StructType(Seq(StructField("protected", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](input.getBoolean(1)))))
+  }
+}
+
+/** List soft-deleted tabulars awaiting expiration (reference:
+  * listDeletedTabulars).
+  */
+final case class ListDeletedTabularsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_deleted_tabulars"
+  override def description(): String = "Soft-deleted tabulars awaiting expiration"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val schema = StructType(Seq(
+      StructField("namespace", StringType),
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("deleted_at_ms", LongType)))
+    val rows = catalog.store.listDeletedTabulars().map(t =>
+      new GenericInternalRow(Array[Any](
+        Procedures.utf8(t.id.namespace.mkString(".")),
+        Procedures.utf8(t.id.name),
+        Procedures.utf8(t.kind),
+        t.deletedMs.map(Long.box).orNull)): InternalRow)
+    Procedures.resultScan(schema, rows)
+  }
+}
+
+/** Run the tabular-expiration queue once (reference:
+  * tabular_expiration_queue.rs:155-245 + chained purge).
+  */
+final case class ExpireDeletedTabularsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "expire_deleted_tabulars"
+  override def description(): String =
+    "Purge soft-deleted tabulars whose grace period expired"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("grace_ms", LongType,
+      graft.maintenance.ExpirationQueue.DefaultGraceMs.toString))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val grace = if (input.isNullAt(0))
+      graft.maintenance.ExpirationQueue.DefaultGraceMs else input.getLong(0)
+    val purged = graft.maintenance.ExpirationQueue.run(catalog.store, grace)
+    val schema = StructType(Seq(StructField("purged", StringType)))
+    Procedures.resultScan(schema,
+      purged.map(id => new GenericInternalRow(
+        Array[Any](Procedures.utf8(id.toString))): InternalRow))
   }
 }
 

@@ -124,6 +124,31 @@ object ExpireSnapshots {
   }
 }
 
+/** Deferred deletion of soft-deleted tabulars (reference:
+  * tabular_expiration queue, tasks/tabular_expiration_queue.rs:155-245 —
+  * grace default 7 days, config.rs:1061 — chaining into tabular_purge,
+  * tasks/tabular_purge_queue.rs:146-225).
+  */
+object ExpirationQueue {
+
+  val DefaultGraceMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Purge every soft-deleted tabular whose grace expired; protected
+    * tabulars are skipped (their protection must be lifted first).
+    * @return ids purged
+    */
+  def run(store: FileCatalogStore,
+      graceMs: Long = DefaultGraceMs,
+      nowMs: Long = System.currentTimeMillis()): Seq[TabularId] =
+    store.listDeletedTabulars()
+      .filter(t => t.deletedMs.exists(_ + graceMs <= nowMs))
+      .filterNot(_.protected_)
+      .map { t =>
+        store.dropTabular(t.id, purge = true, force = false, softDelete = false)
+        t.id
+      }
+}
+
 /** Orphan-file removal (table-maintenance.md:59-124): recursive listing
   * of the table location LEFT ANTI JOIN the referenced set, with an
   * age floor so in-flight writes are never deleted.

@@ -57,6 +57,43 @@ class FileCatalogStore(val root: String) {
   private val NsMeta = ".graftns.json"
   private val TabMeta = ".grafttabular.json"
 
+  // -------------------------------------------------------- change events
+  // Append-only CloudEvents analog (reference: service/events/ — typed
+  // payloads emitted per mutation, Kafka/NATS sinks). Here: JSONL under
+  // <warehouse>/_changes, batch- and Structured-Streaming-readable.
+  val changesDir: Path = rootPath.resolve("_changes")
+
+  /** Per-operation call counters (reference: endpoint statistics,
+    * service/endpoint_statistics.rs — in-memory aggregation).
+    */
+  val opCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def countOp(op: String): Unit =
+    opCounts.computeIfAbsent(op,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+
+  private val eventLock = new Object
+
+  def logEvent(eventType: String, id: TabularId, extra: Map[String, String] = Map.empty): Unit =
+    eventLock.synchronized {
+      import org.json4s.JsonDSL._
+      try {
+        Files.createDirectories(changesDir)
+        // compact: one event per line (JSONL contract for readers)
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+          ("ts-ms" -> System.currentTimeMillis()) ~
+            ("event-type" -> eventType) ~
+            ("namespace" -> id.namespace.mkString(".")) ~
+            ("name" -> id.name) ~
+            ("extra" -> extra)))
+        Files.write(changesDir.resolve("events.jsonl"),
+          (json + "\n").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case NonFatal(_) => } // events are best-effort
+    }
+
   // ------------------------------------------------------------ helpers
   private def fold(s: String): String = s.toLowerCase(Locale.ROOT)
 
@@ -276,6 +313,7 @@ class FileCatalogStore(val root: String) {
           .takeRight(maxPreviousVersions(next) + 1))
       if (atomicCreate(target, Json.metadataToJson(withLog))) {
         cleanupOldMetadata(id, withLog, v)
+        logEvent("table-commit", id, Map("version" -> v.toString))
         return withLog
       }
       attempt += 1
@@ -324,6 +362,7 @@ class FileCatalogStore(val root: String) {
     writeTabularInfo(TabularInfo(id, "table", metadata.tableUuid, None,
       System.currentTimeMillis(), None, protected_ = false,
       Some(target.toString)))
+    logEvent("table-created", id)
     metadata
   }
 
@@ -345,8 +384,10 @@ class FileCatalogStore(val root: String) {
           throw new ProtectedException(s"$id is protected from deletion")
         if (softDelete && !purge) {
           writeTabularInfo(info.copy(deletedMs = Some(System.currentTimeMillis())))
+          logEvent("tabular-soft-deleted", id, Map("kind" -> info.kind))
         } else {
           deleteRecursively(tabularPath(id))
+          logEvent("tabular-purged", id, Map("kind" -> info.kind))
         }
         true
     }
@@ -355,7 +396,9 @@ class FileCatalogStore(val root: String) {
   def undrop(id: TabularId): Boolean =
     loadTabularInfo(id) match {
       case Some(info) if info.deletedMs.isDefined =>
-        writeTabularInfo(info.copy(deletedMs = None)); true
+        writeTabularInfo(info.copy(deletedMs = None))
+        logEvent("tabular-undropped", id, Map("kind" -> info.kind))
+        true
       case _ => false
     }
 
@@ -391,6 +434,7 @@ class FileCatalogStore(val root: String) {
             meta.copy(location = tableLocation(to))))
         }
       }
+    logEvent("tabular-renamed", from, Map("to" -> to.toString))
   }
 
   // ------------------------------------------------ multi-table commits
@@ -462,6 +506,7 @@ class FileCatalogStore(val root: String) {
     writeTabularInfo(TabularInfo(id, "view", metadata.viewUuid, None,
       System.currentTimeMillis(), None, protected_ = false,
       Some(target.toString)))
+    logEvent("view-created", id)
     metadata
   }
 
@@ -496,6 +541,7 @@ class FileCatalogStore(val root: String) {
     writeTabularInfo(info)
     val propsPath = tabularPath(id).resolve("properties.json")
     writeString(propsPath, Json.render(Extraction.decompose(props)))
+    logEvent("generic-table-created", id, Map("format" -> format))
     info
   }
 

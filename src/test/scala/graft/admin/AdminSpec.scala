@@ -1,0 +1,127 @@
+package graft.admin
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connector.{GraftCatalog, GraftExtensions}
+
+/** §2.8 management surface + change events + streaming feed, end to end
+  * through CALL gadmin.system.* and the Admin DataFrame computations.
+  */
+class AdminSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-admin-wh").toString
+
+  // a DEDICATED catalog name: sbt runs all suites in one JVM, so
+  // getOrCreate may return another suite's session — catalog confs are
+  // applied at runtime instead (catalogs instantiate lazily)
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-admin-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gadmin", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gadmin.warehouse", warehouse)
+    s
+  }
+
+  private def cat = spark.sessionState.catalogManager.catalog("gadmin")
+    .asInstanceOf[GraftCatalog]
+
+  test("change events are logged and warehouse_statistics reconstructs counts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.adb")
+    spark.sql("CREATE TABLE gadmin.adb.t1 (id BIGINT)")
+    spark.sql("CREATE TABLE gadmin.adb.t2 (id BIGINT)")
+    spark.sql("INSERT INTO gadmin.adb.t1 VALUES (1)")
+    spark.sql("DROP TABLE gadmin.adb.t2")
+    val events = Admin.changeEvents(spark, cat.store)
+    val types = events.select("event-type").collect().map(_.getString(0)).toSet
+    assert(types.contains("table-created"))
+    assert(types.contains("table-commit"))
+    assert(types.contains("tabular-soft-deleted"))
+    val stats = spark.sql("CALL gadmin.system.warehouse_statistics()")
+      .collect()
+    // last row reflects current live count: t1 (t2 soft-deleted)
+    assert(stats.nonEmpty)
+    assert(stats.last.getLong(1) == 1, s"got ${stats.last}")
+  }
+
+  test("search_tabular ranks exact match first, fuzzy next, top-10") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.adb")
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.customer_orders (id BIGINT)")
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.customer_events (id BIGINT)")
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.unrelated (id BIGINT)")
+    val hits = spark.sql(
+      "CALL gadmin.system.search_tabular(query => 'adb.customer_orders')")
+      .collect().map(r => (r.getString(1), r.getDouble(3)))
+    assert(hits.head._1 == "customer_orders")
+    assert(hits.map(_._1).contains("customer_events")) // fuzzy neighbor
+    assert(hits.length <= 10)
+  }
+
+  test("endpoint_statistics counts catalog operations") {
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.es (id BIGINT)")
+    spark.table("gadmin.adb.es").count()
+    val stats = spark.sql("CALL gadmin.system.endpoint_statistics()")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.getOrElse("loadTable", 0L) > 0)
+    assert(stats.getOrElse("createTable", 0L) > 0)
+  }
+
+  test("soft delete → list_deleted → undrop; expiration queue purges after grace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.adb")
+    spark.sql("CREATE TABLE gadmin.adb.life (id BIGINT)")
+    spark.sql("INSERT INTO gadmin.adb.life VALUES (7)")
+    spark.sql("DROP TABLE gadmin.adb.life")
+    assert(!spark.catalog.tableExists("gadmin.adb.life"))
+    val deleted = spark.sql("CALL gadmin.system.list_deleted_tabulars()")
+      .collect().map(_.getString(1))
+    assert(deleted.contains("life"))
+    // undrop restores it with data intact
+    spark.sql("CALL gadmin.system.undrop_table(table => 'adb.life')")
+    assert(spark.table("gadmin.adb.life").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // protected tabulars survive the queue; unprotected expire
+    spark.sql("DROP TABLE gadmin.adb.life")
+    spark.sql("CALL gadmin.system.set_protection(table => 'adb.life', protected => true)")
+    assert(spark.sql("CALL gadmin.system.expire_deleted_tabulars(grace_ms => 0)")
+      .collect().map(_.getString(0)).forall(_ != "adb.life"))
+    spark.sql("CALL gadmin.system.set_protection(table => 'adb.life', protected => false)")
+    val purged = spark.sql("CALL gadmin.system.expire_deleted_tabulars(grace_ms => 0)")
+      .collect().map(_.getString(0))
+    assert(purged.contains("adb.life"))
+    assert(spark.sql("CALL gadmin.system.list_deleted_tabulars()")
+      .collect().forall(_.getString(1) != "life"))
+  }
+
+  test("scan reports are logged (reportMetrics analog)") {
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.sr (id BIGINT)")
+    spark.sql("INSERT INTO gadmin.adb.sr VALUES (1), (2)")
+    spark.sql("SELECT * FROM gadmin.adb.sr WHERE id = 1").collect()
+    val reports = Admin.changeEvents(spark, cat.store)
+      .filter(org.apache.spark.sql.functions.col("event-type") === "scan-report")
+      .collect()
+    assert(reports.nonEmpty)
+  }
+
+  test("change feed is Structured-Streaming readable") {
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.cf (id BIGINT)")
+    spark.sql("INSERT INTO gadmin.adb.cf VALUES (1)")
+    val q = Admin.changeEventStream(spark, cat.store)
+      .writeStream
+      .format("memory")
+      .queryName("graft_changes")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM graft_changes WHERE `event-type` = 'table-commit'")
+      .collect().head.getLong(0)
+    assert(n >= 1)
+  }
+}
