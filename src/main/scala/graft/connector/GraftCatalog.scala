@@ -140,6 +140,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         val (meta, _) = store.loadTableMetadata(id).getOrElse(
           throw new NoSuchTableException(ident))
         new GraftTable(store, id, meta, snapshotId = None)
+      case Some(info) if info.deletedMs.isEmpty && info.kind == "generic" =>
+        // format-dispatched generic tables (reference: generic tables,
+        // api/data/v1/generic_tables/mod.rs — proven against Lance;
+        // here the offline-available format is parquet, served through
+        // Spark's native DSv2 parquet table over the base location)
+        val location = info.metadataLocation.getOrElse(
+          throw new NoSuchTableException(ident))
+        info.format.map(_.toLowerCase) match {
+          case Some("parquet") =>
+            org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+              ident.toString,
+              org.apache.spark.sql.SparkSession.active,
+              new CaseInsensitiveStringMap(
+                java.util.Collections.singletonMap("path", location)),
+              Seq(location),
+              None,
+              classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+          case other => throw new UnsupportedOperationException(
+            s"generic table format ${other.getOrElse("<none>")} has no " +
+              "reader in this environment")
+        }
       case _ => throw new NoSuchTableException(ident)
     }
   }

@@ -29,7 +29,7 @@ object Procedures {
     "expire_snapshots", "remove_orphan_files",
     "search_tabular", "warehouse_statistics", "endpoint_statistics",
     "undrop_table", "set_protection", "list_deleted_tabulars",
-    "expire_deleted_tabulars")
+    "expire_deleted_tabulars", "create_generic_table")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -45,6 +45,8 @@ object Procedures {
       case "list_deleted_tabulars" => Some(ListDeletedTabularsProcedure(catalog))
       case "expire_deleted_tabulars" =>
         Some(ExpireDeletedTabularsProcedure(catalog))
+      case "create_generic_table" =>
+        Some(CreateGenericTableProcedure(catalog))
       case _ => None
     }
 
@@ -345,6 +347,35 @@ final case class ExpireDeletedTabularsProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema,
       purged.map(id => new GenericInternalRow(
         Array[Any](Procedures.utf8(id.toString))): InternalRow))
+  }
+}
+
+/** Register a format-tagged generic table over an existing location
+  * (reference: CreateGenericTable, api/data/v1/generic_tables/mod.rs:55-70;
+  * proven against Lance in tests/integration-tests/lance/test_lance.py).
+  */
+final case class CreateGenericTableProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_generic_table"
+  override def description(): String =
+    "Register a format-tagged table over an existing data location"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("format", StringType),
+    Procedures.param("location", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val info = catalog.store.createGenericTable(id,
+      input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+      Map.empty)
+    val schema = StructType(Seq(
+      StructField("table", StringType, nullable = false),
+      StructField("format", StringType, nullable = false)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(info.id.toString),
+      Procedures.utf8(info.format.getOrElse(""))))))
   }
 }
 

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque BINARY columns with typed metadata, processed by
+  * partition-parallel batch transforms.
+  *
+  * The actual codecs (JPEG/PNG/ffmpeg) are NOT in this environment, so
+  * `decode` parses a deterministic fake header — that single function
+  * is the seam where a real codec plugs in. Everything around it is
+  * the real 100 TB plumbing and is tested:
+  *  - media rows stream through `mapPartitions` in bounded batches
+  *    (the JVM analog of mapInPandas batch shape): memory per task =
+  *    batchSize × max blob size, independent of partition row count
+  *  - blobs never reach the driver; feature vectors (small) do
+  *  - outputs are columnar-friendly: fixed-width arrays + scalars
+  *
+  * Fake media layout (deterministic, self-describing):
+  *   "IMG:<width>x<height>:" ++ pixel-bytes
+  *   "AUD:<sampleRate>:"     ++ pcm-bytes
+  *   "VID:<frameSize>:"      ++ concatenated frame-bytes
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  final case class Decoded(
+      media_id: Long, media_type: String, width: Int, height: Int,
+      sample_rate: Int, n_frames: Int, payload: Array[Byte])
+
+  /** THE CODEC SEAM: replace this body with a real decoder (JPEG /
+    * PCM / container demux) in a full deployment. Parses the
+    * deterministic fake header; returns None for undecodable blobs
+    * (corrupt rows are data, not exceptions, at 100 TB).
+    */
+  def decodeOne(mediaId: Long, mediaType: String,
+      content: Array[Byte]): Option[Decoded] = {
+    if (content == null) return None
+    val s = new String(content.takeWhile(_ != ':'.toByte),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val rest = content.drop(s.length + 1)
+    (s, mediaType) match {
+      case ("IMG", "image") =>
+        val dims = new String(rest.takeWhile(_ != ':'.toByte),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val payload = rest.drop(dims.length + 1)
+        dims.split('x') match {
+          case Array(w, h) =>
+            Some(Decoded(mediaId, mediaType, w.toInt, h.toInt, 0, 0, payload))
+          case _ => None
+        }
+      case ("AUD", "audio") =>
+        val sr = new String(rest.takeWhile(_ != ':'.toByte),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        Some(Decoded(mediaId, mediaType, 0, 0, sr.toInt, 0,
+          rest.drop(sr.length + 1)))
+      case ("VID", "video") =>
+        val fs = new String(rest.takeWhile(_ != ':'.toByte),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val payload = rest.drop(fs.length + 1)
+        val frameSize = fs.toInt
+        Some(Decoded(mediaId, mediaType, 0, 0, 0,
+          if (frameSize > 0) payload.length / frameSize else 0, payload))
+      case _ => None
+    }
+  }
+
+  /** Decode a media DataFrame into typed rows, partition-parallel in
+    * bounded batches. Undecodable rows are dropped (count them
+    * upstream with a filter if needed).
+    */
+  def decode(media: DataFrame, batchSize: Int = 64): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // bounded-batch iteration: the mapInPandas batch shape — a
+        // real decoder amortizes per-batch setup (model load, JNI)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, tpe, bytes) => decodeOne(id, tpe, bytes) }
+        }
+      }
+  }
+
+  /** Image resize (stub kernel: nearest-neighbor subsample of the fake
+    * pixel payload — the arithmetic a real kernel would do, on fake
+    * pixels). Returns re-encoded fake blobs.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media.filter(col("media_type") === "image"), batchSize)
+      .map { d =>
+        val out = new Array[Byte](targetW * targetH)
+        var i = 0
+        while (i < out.length && d.payload.nonEmpty) {
+          val srcIdx = ((i.toLong * d.payload.length) / out.length).toInt
+          out(i) = d.payload(srcIdx)
+          i += 1
+        }
+        (d.media_id,
+          s"IMG:${targetW}x$targetH:".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII) ++ out)
+      }
+      .toDF("media_id", "content")
+      .withColumn("media_type", lit("image"))
+      .withColumn("meta", map(lit("resized"), lit(s"${targetW}x$targetH")))
+  }
+
+  /** Frame sampling for video blobs: every `stride`-th frame. */
+  def sampleFrames(media: DataFrame, stride: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media.filter(col("media_type") === "video"), batchSize)
+      .flatMap { d =>
+        val frameSize =
+          if (d.n_frames > 0) d.payload.length / d.n_frames else 0
+        (0 until d.n_frames by stride).map { f =>
+          (d.media_id, f,
+            d.payload.slice(f * frameSize, (f + 1) * frameSize))
+        }
+      }
+      .toDF("media_id", "frame_index", "frame")
+  }
+
+  /** Feature extraction: a 16-bin byte histogram per blob, L1
+    * normalized — the shape (fixed-width Array[Float] per row) of a
+    * real embedding model's output, computed deterministically.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media, batchSize)
+      .map { d =>
+        val hist = new Array[Float](16)
+        d.payload.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+        val total = math.max(1f, d.payload.length.toFloat)
+        (d.media_id, d.media_type, hist.map(_ / total))
+      }
+      .toDF("media_id", "media_type", "features")
+  }
+}

@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Event-stream analytics over the `events` table — the batch mirrors of
-  * the Structured Streaming surface (graft.streaming wires the same
-  * aggregations to readStream). Timestamps are truncated to whole
-  * seconds/minutes in BOTH engines because the raw column is ns-precision
-  * and Spark reads parquet ns as µs while DuckDB keeps ns.
+  * the Structured Streaming surface ([[graft.streaming.EventStreams]]
+  * wires the same aggregations to readStream with watermarks and keyed
+  * state). Timestamps are truncated to whole seconds/minutes in BOTH
+  * engines because the raw column is ns-precision and Spark reads
+  * parquet ns as µs while DuckDB keeps ns.
   */
 object Events {
 

