@@ -149,6 +149,30 @@ object ExpirationQueue {
       }
 }
 
+/** Retention pruning of the event/task log (reference:
+  * task_log_cleanup queue, tasks/task_log_cleanup_queue.rs).
+  */
+object TaskLogCleanup {
+
+  /** Drop log entries older than the cutoff; returns entries removed. */
+  def run(store: FileCatalogStore, olderThanMs: Long): Long = {
+    val f = store.changesDir.resolve("events.jsonl")
+    if (!Files.exists(f)) return 0L
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val lines = new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
+    val kept = lines.filter { l =>
+      try (JsonMethods.parse(l) \ "ts-ms").extract[Long] >= olderThanMs
+      catch { case NonFatal(_) => true } // unparseable lines are kept
+    }
+    Files.write(f, kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (lines.length - kept.length).toLong
+  }
+}
+
 /** Orphan-file removal (table-maintenance.md:59-124): recursive listing
   * of the table location LEFT ANTI JOIN the referenced set, with an
   * age floor so in-flight writes are never deleted.

@@ -34,6 +34,15 @@ class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
 class NoSuchTabularException(msg: String) extends RuntimeException(msg)
 class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 class ProtectedException(msg: String) extends RuntimeException(msg)
+class ContractViolationException(msg: String) extends RuntimeException(msg)
+
+/** Pre-commit policy hook (reference: service/contract_verification.rs).
+  * @return None to accept, Some(reason) to reject the change.
+  */
+trait ContractVerifier {
+  def check(id: TabularId, current: TableMetadata,
+      updates: Seq[TableUpdate]): Option[String]
+}
 
 /** Filesystem-backed catalog state with optimistic-concurrency commits.
   *
@@ -240,6 +249,41 @@ class FileCatalogStore(val root: String) {
       .toSeq.sortBy(_.id.name)
   }
 
+  /** Keyset pagination over a namespace's tabulars (reference:
+    * pagination.rs:15-80 — opaque url-safe token `V1&created_at&id`,
+    * page default 100 / max 1000, clamps config.rs:1106-1114).
+    * @return (page, nextToken) — nextToken None on the last page
+    */
+  def listTabularsPage(
+      ns: Seq[String],
+      pageSize: Int = 100,
+      pageToken: Option[String] = None): (Seq[TabularInfo], Option[String]) = {
+    val size = math.min(math.max(pageSize, 1), 1000)
+    val all = listTabulars(ns).sortBy(t => (t.createdMs, t.id.name))
+    val after = pageToken.map { tok =>
+      val decoded = new String(
+        java.util.Base64.getUrlDecoder.decode(tok), StandardCharsets.UTF_8)
+      decoded.split('&') match {
+        case Array("V1", ms, name) => (ms.toLong, name)
+        case _ => throw new IllegalArgumentException(s"bad page token: $tok")
+      }
+    }
+    val remaining = after match {
+      case Some((ms, name)) =>
+        all.dropWhile(t => t.createdMs < ms ||
+          (t.createdMs == ms && t.id.name <= name))
+      case None => all
+    }
+    val page = remaining.take(size)
+    val next =
+      if (remaining.size > size)
+        page.lastOption.map(t => java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(s"V1&${t.createdMs}&${t.id.name}"
+            .getBytes(StandardCharsets.UTF_8)))
+      else None
+    (page, next)
+  }
+
   /** All tabulars in the warehouse, walking every namespace. */
   def listAllTabulars(includeDeleted: Boolean = false): Seq[TabularInfo] = {
     def walk(ns: Seq[String]): Seq[TabularInfo] =
@@ -262,12 +306,27 @@ class FileCatalogStore(val root: String) {
       .foldLeft(-1)(math.max)
   }
 
+  /** Parsed-metadata cache keyed by version — the ETag/304 analog
+    * (reference: load_table.rs:268-296 revalidates by metadata
+    * location and short-circuits with 304): a load revalidates with
+    * one directory listing and skips the JSON parse when the version
+    * is unchanged.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[TabularId, (Int, TableMetadata)]()
+
   def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)] = {
     val v = currentVersion(id)
-    if (v < 0) None
+    if (v < 0) { metaCache.remove(id); None }
     else {
-      val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-      Some((Json.metadataFromJson(readString(p)), v))
+      val cached = metaCache.get(id)
+      if (cached != null && cached._1 == v) Some((cached._2, v))
+      else {
+        val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        val meta = Json.metadataFromJson(readString(p))
+        metaCache.put(id, (v, meta))
+        Some((meta, v))
+      }
     }
   }
 
@@ -296,14 +355,34 @@ class FileCatalogStore(val root: String) {
       id: TabularId,
       requirements: Seq[TableRequirement],
       mkUpdates: TableMetadata => Seq[TableUpdate],
-      maxRetries: Int = 4): TableMetadata = {
+      maxRetries: Int = 4,
+      idempotencyKey: Option[String] = None): TableMetadata = {
+    // idempotent commits (reference: service/idempotency.rs, key insert
+    // in the commit txn server/tables.rs:1691-1703): replaying a key
+    // returns the previously committed metadata instead of re-applying
+    idempotencyKey.foreach { key =>
+      val guard = metadataDir(id).resolve(s".idem-${fold(key)}")
+      if (Files.exists(guard)) {
+        val v = readString(guard).trim.toInt
+        val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        if (Files.exists(p)) return Json.metadataFromJson(readString(p))
+      }
+    }
     var attempt = 0
     while (true) {
       val currentOpt = loadTableMetadata(id)
       Commit.checkRequirements(currentOpt.map(_._1), requirements)
       val current = currentOpt.map(_._1).getOrElse(
         throw new NoSuchTabularException(id.toString))
-      val next = Commit.applyUpdates(current, mkUpdates(current))
+      val updates = mkUpdates(current)
+      // contract-verification hook (reference:
+      // service/contract_verification.rs, called server/tables.rs:1643)
+      contractVerifier.foreach { cv =>
+        cv.check(id, current, updates).foreach(reason =>
+          throw new ContractViolationException(
+            s"Contract verification rejected commit on $id: $reason"))
+      }
+      val next = Commit.applyUpdates(current, updates)
       val v = currentOpt.map(_._2).getOrElse(-1) + 1
       val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
       val withLog = next.copy(metadataLog =
@@ -312,6 +391,9 @@ class FileCatalogStore(val root: String) {
           metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
           .takeRight(maxPreviousVersions(next) + 1))
       if (atomicCreate(target, Json.metadataToJson(withLog))) {
+        idempotencyKey.foreach(key => atomicCreate(
+          metadataDir(id).resolve(s".idem-${fold(key)}"), v.toString))
+        metaCache.put(id, (v, withLog))
         cleanupOldMetadata(id, withLog, v)
         logEvent("table-commit", id, Map("version" -> v.toString))
         return withLog
@@ -323,6 +405,12 @@ class FileCatalogStore(val root: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Pluggable pre-commit gate (reference trait:
+    * service/contract_verification.rs — 314 LoC of hook machinery; the
+    * semantic is "an external policy may reject any table change").
+    */
+  @volatile var contractVerifier: Option[ContractVerifier] = None
 
   private def maxPreviousVersions(m: TableMetadata): Int =
     m.properties.get("write.metadata.previous-versions-max")
@@ -434,6 +522,10 @@ class FileCatalogStore(val root: String) {
             meta.copy(location = tableLocation(to))))
         }
       }
+    // the in-place location rewrite keeps the version number, so the
+    // version-keyed cache MUST be dropped for both idents
+    metaCache.remove(from)
+    metaCache.remove(to)
     logEvent("tabular-renamed", from, Map("to" -> to.toString))
   }
 

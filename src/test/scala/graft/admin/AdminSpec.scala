@@ -109,6 +109,20 @@ class AdminSpec extends AnyFunSuite {
     assert(reports.nonEmpty)
   }
 
+  test("task-log cleanup prunes old entries, keeps recent ones") {
+    spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.tlc (id BIGINT)")
+    val before = Admin.changeEvents(spark, cat.store).count()
+    assert(before > 0)
+    // nothing is older than epoch 0
+    assert(graft.maintenance.TaskLogCleanup.run(cat.store, 0L) == 0L)
+    assert(Admin.changeEvents(spark, cat.store).count() == before)
+    // everything is older than now+1h
+    val removed = graft.maintenance.TaskLogCleanup.run(
+      cat.store, System.currentTimeMillis() + 3600000L)
+    assert(removed == before)
+    assert(Admin.changeEvents(spark, cat.store).count() == 0)
+  }
+
   test("change feed is Structured-Streaming readable") {
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.cf (id BIGINT)")
     spark.sql("INSERT INTO gadmin.adb.cf VALUES (1)")

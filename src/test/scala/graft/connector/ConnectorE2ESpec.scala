@@ -538,6 +538,34 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("special-char column names round-trip (reference test :547-562)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.spec_cols (
+      `my ints` INT, `my-floats` DOUBLE, `str/ings` STRING)""")
+    spark.sql("INSERT INTO graft.db.spec_cols VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val rows = spark.sql(
+      "SELECT `my ints`, `my-floats`, `str/ings` FROM graft.db.spec_cols ORDER BY `my ints`")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, 1.5, "a"), (2, 2.5, "b")))
+    // pushdown on a special-char column still answers correctly
+    assert(spark.sql(
+      "SELECT `str/ings` FROM graft.db.spec_cols WHERE `my ints` = 2")
+      .collect().head.getString(0) == "b")
+  }
+
+  test("identifiers are case-insensitive, case-preserving (reference concepts.md)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.My_Table (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.MY_TABLE VALUES (5)")
+    assert(spark.table("graft.db.my_table").count() == 1)
+    // duplicate differing only by case is rejected
+    val err = intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.MY_table (x INT)"))
+    assert(err.getMessage.toLowerCase.contains("exists"))
+    spark.sql("DROP TABLE graft.db.mY_tAbLe")
+    assert(!spark.catalog.tableExists("graft.db.my_table"))
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS

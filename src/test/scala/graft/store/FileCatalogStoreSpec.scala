@@ -202,6 +202,70 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent commits: replaying a key returns the prior result") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "idem")
+    mkTable(s, id)
+    val m1 = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("k" -> "1"))),
+      idempotencyKey = Some("op-123"))
+    val v1 = s.currentVersion(id)
+    // replay with the same key: no new version, same metadata back
+    val m2 = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("k" -> "2"))),
+      idempotencyKey = Some("op-123"))
+    assert(s.currentVersion(id) == v1)
+    assert(m2.properties("k") == "1")
+    // a different key applies normally
+    s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("k" -> "3"))),
+      idempotencyKey = Some("op-124"))
+    assert(s.loadTableMetadata(id).get._1.properties("k") == "3")
+  }
+
+  test("contract verification hook can reject commits") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "cv")
+    mkTable(s, id)
+    s.contractVerifier = Some(new ContractVerifier {
+      def check(id: TabularId, current: TableMetadata,
+          updates: Seq[TableUpdate]): Option[String] =
+        if (updates.exists(_.isInstanceOf[TableUpdate.RemoveProperties]))
+          Some("property removal forbidden by contract")
+        else None
+    })
+    s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    assertThrows[ContractViolationException] {
+      s.commitTable(id, Nil, Seq(TableUpdate.RemoveProperties(Seq("a"))))
+    }
+    s.contractVerifier = None
+    s.commitTable(id, Nil, Seq(TableUpdate.RemoveProperties(Seq("a"))))
+    assert(!s.loadTableMetadata(id).get._1.properties.contains("a"))
+  }
+
+  test("keyset pagination pages through tabulars with opaque tokens") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    (1 to 7).foreach(i => mkTable(s, TabularId(Seq("db"), f"pt$i%02d")))
+    var token: Option[String] = None
+    var seen = Seq.empty[String]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val (page, next) = s.listTabularsPage(Seq("db"), pageSize = 3, token)
+      seen ++= page.map(_.id.name)
+      pages += 1
+      token = next
+      done = next.isEmpty
+    }
+    assert(pages == 3)
+    assert(seen.size == 7 && seen.distinct.size == 7)
+    // clamp: oversized page sizes are capped, tiny ones floored
+    assert(s.listTabularsPage(Seq("db"), pageSize = 5000)._1.size == 7)
+  }
+
   test("manifest write/read round-trip") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)
