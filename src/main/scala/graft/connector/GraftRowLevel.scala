@@ -192,26 +192,26 @@ class GraftCowBatchWrite(
       Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
       current => {
         val parentSnapshot = current.snapshotFor(targetRef)
-        val live = parentSnapshot.map(_.manifests).getOrElse(Nil)
-          .flatMap(m => table.store.readManifest(current.location, m).entries)
-        // serializable isolation: every file this rewrite read must
-        // still be live, or we are rewriting on top of stale data
-        val livePaths = live.map(_.path).toSet
-        val gone = replacedPaths -- livePaths
-        if (gone.nonEmpty)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        // per-manifest distributed replace: untouched manifests kept by
+        // path; serializable isolation checked via the removed count —
+        // every scanned file must still be live, or this rewrite sits
+        // on stale data
+        val (keptManifests, removedCount) = ManifestReplace(
+          current.location, parentManifests,
+          ManifestReplace.ByPath(replacedPaths),
+          current.specs, current.currentSchema.struct,
+          current.defaultSpec, snapshotId)
+        if (removedCount != replacedPaths.size)
           throw new CommitFailedException(
             s"Row-level operation conflict on ${table.tableId}: " +
-              s"${gone.size} scanned file(s) were rewritten concurrently")
-        val kept = live.filterNot(f => replacedPaths.contains(f.path))
-        val manifests = Seq(
-          if (kept.nonEmpty)
-            Some(table.store.writeManifest(current.location,
-              ManifestFile(kept, snapshotId)))
-          else None,
+              s"${replacedPaths.size - removedCount} scanned file(s) " +
+              "were rewritten concurrently")
+        val manifests = keptManifests ++ (
           if (newFiles.nonEmpty)
-            Some(table.store.writeManifest(current.location,
+            Seq(table.store.writeManifest(current.location,
               ManifestFile(newFiles, snapshotId)))
-          else None).flatten
+          else Nil)
         val snap = Snapshot(
           snapshotId,
           parentSnapshot.map(_.snapshotId),

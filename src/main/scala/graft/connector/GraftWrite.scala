@@ -179,32 +179,25 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
           case "append" => (parentManifests :+ manifestPath, "append")
           case "truncate" => (Seq(manifestPath), "overwrite")
           case "dynamic" =>
-            // replace only the partitions the new files touch
+            // replace only the partitions the new files touch; manifest
+            // processing is per-manifest and distributed — untouched
+            // manifests survive by path, no O(total-files) driver work
             val newParts = newFiles.map(_.partition).toSet
-            val kept = parentManifests.flatMap(m =>
-              table.store.readManifest(current.location, m).entries)
-              .filterNot(f => newParts.contains(f.partition))
-            val keptPath =
-              if (kept.isEmpty) None
-              else Some(table.store.writeManifest(current.location,
-                ManifestFile(kept, snapshotId)))
-            (keptPath.toSeq :+ manifestPath, "overwrite")
+            val (keptManifests, _) = ManifestReplace(
+              current.location, parentManifests,
+              ManifestReplace.ByPartition(newParts),
+              current.specs, current.currentSchema.struct,
+              current.defaultSpec, snapshotId)
+            (keptManifests :+ manifestPath, "overwrite")
           case "filter" =>
             // static overwrite: drop whole files whose identity
             // partition values satisfy every filter
-            val kept = parentManifests.flatMap(m =>
-              table.store.readManifest(current.location, m).entries)
-              .filterNot { f =>
-                val spec = current.specs.getOrElse(f.specId,
-                  current.defaultSpec)
-                GraftBatchWrite.partitionMatches(f, spec,
-                  current.currentSchema.struct, overwriteFilters)
-              }
-            val keptPath =
-              if (kept.isEmpty) None
-              else Some(table.store.writeManifest(current.location,
-                ManifestFile(kept, snapshotId)))
-            (keptPath.toSeq :+ manifestPath, "overwrite")
+            val (keptManifests, _) = ManifestReplace(
+              current.location, parentManifests,
+              ManifestReplace.ByStaticFilter(overwriteFilters),
+              current.specs, current.currentSchema.struct,
+              current.defaultSpec, snapshotId)
+            (keptManifests :+ manifestPath, "overwrite")
         }
         val snap = Snapshot(
           snapshotId,

@@ -1,0 +1,113 @@
+package graft.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.meta._
+
+/** Replace-files commits processed PER MANIFEST, distributed:
+  * manifests whose files are untouched are kept by PATH (zero
+  * read-modify-write), touched manifests are rewritten without the
+  * removed files by the executor that parsed them. Driver work is
+  * O(#manifests), not O(#files) — the property that keeps dynamic
+  * overwrite / static overwrite / row-level commits viable when a
+  * table has millions of files across thousands of manifests.
+  */
+object ManifestReplace {
+
+  /** Which files a replace-commit removes. Serializable data, not a
+    * closure, so the per-manifest work ships to executors.
+    */
+  sealed trait RemoveSpec extends Serializable {
+    def removes(f: DataFile, specs: Map[Int, PartitionSpec],
+        schema: StructType, defaultSpec: PartitionSpec): Boolean
+  }
+
+  /** Dynamic partition overwrite: drop files in any of these partition
+    * tuples.
+    */
+  final case class ByPartition(parts: Set[Map[String, Option[String]]])
+    extends RemoveSpec {
+    def removes(f: DataFile, specs: Map[Int, PartitionSpec],
+        schema: StructType, defaultSpec: PartitionSpec): Boolean =
+      parts.contains(f.partition)
+  }
+
+  /** Row-level (copy-on-write) replace: drop exactly these paths. */
+  final case class ByPath(paths: Set[String]) extends RemoveSpec {
+    def removes(f: DataFile, specs: Map[Int, PartitionSpec],
+        schema: StructType, defaultSpec: PartitionSpec): Boolean =
+      paths.contains(f.path)
+  }
+
+  /** Static overwrite: drop files whose identity partition values
+    * satisfy the filters.
+    */
+  final case class ByStaticFilter(filters: Array[Filter]) extends RemoveSpec {
+    def removes(f: DataFile, specs: Map[Int, PartitionSpec],
+        schema: StructType, defaultSpec: PartitionSpec): Boolean =
+      GraftBatchWrite.partitionMatches(f,
+        specs.getOrElse(f.specId, defaultSpec), schema, filters)
+  }
+
+  /** Threshold below which the per-manifest loop stays on the driver
+    * (job-launch overhead beats parallelism for a handful of files).
+    */
+  private val DistributeThreshold = 16
+
+  /** @return (new manifest list for kept content, removed file count).
+    * Untouched manifests appear under their ORIGINAL path; the new
+    * files' manifest is appended by the caller.
+    */
+  def apply(
+      location: String,
+      parentManifests: Seq[String],
+      spec: RemoveSpec,
+      specs: Map[Int, PartitionSpec],
+      schema: StructType,
+      defaultSpec: PartitionSpec,
+      snapshotId: Long): (Seq[String], Long) = {
+
+    def processOne(relPath: String): (Option[String], Long) = {
+      // predicate sees ABSOLUTE paths (scans report absolute); the
+      // rewrite keeps the stored location-relative form
+      def abs(p: String) = if (p.startsWith("/")) p
+        else s"${location.stripSuffix("/")}/$p"
+      val text = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(abs(relPath))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val mf = Json.manifestFromJson(text)
+      val (removed, kept) = mf.entries.partition(f =>
+        spec.removes(f.copy(path = abs(f.path)), specs, schema, defaultSpec))
+      if (removed.isEmpty) (Some(relPath), 0L)
+      else if (kept.isEmpty) (None, removed.size.toLong)
+      else {
+        // rewrite in place of the touched manifest (entry paths are
+        // already location-relative inside the JSON, keep them so)
+        val dir = java.nio.file.Paths.get(location, "metadata", "manifests")
+        java.nio.file.Files.createDirectories(dir)
+        val p = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+        java.nio.file.Files.write(p,
+          Json.manifestToJson(ManifestFile(kept, snapshotId))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val rel = p.toString.stripPrefix(location.stripSuffix("/") + "/")
+        (Some(rel), removed.size.toLong)
+      }
+    }
+
+    val results: Seq[(Option[String], Long)] =
+      if (parentManifests.size <= DistributeThreshold) {
+        parentManifests.map(processOne)
+      } else {
+        val spark = SparkSession.active
+        spark.sparkContext
+          .parallelize(parentManifests,
+            math.min(parentManifests.size, 64))
+          .map(processOne)
+          .collect().toSeq
+      }
+    (results.flatMap(_._1), results.map(_._2).sum)
+  }
+}

@@ -41,17 +41,34 @@ object MinHashLSH {
       (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** K-minhash signature (array<long>) of a shingle-array column. */
-  def signature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+  /** Hash-family coefficients for (a·x + b) mod P. */
+  private def coefficients(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(seed)
     val as = Seq.fill(numHashes)(1L + rnd.nextInt((P - 1).toInt).toLong)
     val bs = Seq.fill(numHashes)(rnd.nextInt(P.toInt).toLong)
-    val aLit = typedlit(as)
-    val bLit = typedlit(bs)
-    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(hashes, x =>
-        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(P)))))
+    (as, bs)
+  }
+
+  /** K-minhash signatures, one row per doc, as K agg columns s0..sK-1.
+    *
+    * Shape matters: shingles are EXPLODED and each shingle hashed ONCE,
+    * then the K minima are computed as K min-aggregates in a single
+    * map-side-combined groupBy pass. (A nested
+    * `transform(0..K, i -> array_min(transform(shingles, …)))` column
+    * re-evaluates the whole shingle subtree per hash function — K×
+    * regex/hash recompute — which is why this is an aggregation, not an
+    * array expression.)
+    */
+  def signatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numHashes: Int, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
+    val (as, bs) = coefficients(numHashes, seed)
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** B band-bucket hashes (array<long>) over a K-minhash signature. */
@@ -78,16 +95,18 @@ object MinHashLSH {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-    val banded = sh
+    // one signature row per doc (single shuffle keyed by doc_id)
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val sigs = signatures(base, "doc_id", "text", numHashes, seed)
+      .select(col("doc_id"), sigArr.as("sig"))
+    val banded = sigs
       .select(col("doc_id"),
-        bandBuckets(signature(col("sh"), numHashes, seed), bands, r).as("bk"))
-      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bucket")))
+        posexplode(bandBuckets(col("sig"), bands, r)).as(Seq("band", "bucket")))
 
     // docs sharing any band bucket; dedup across bands before verify
-    val candidates = banded.as("x")
+    val rawCandidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -95,10 +114,29 @@ object MinHashLSH {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-    // exact verification restricted to candidate ids
+    // signature pre-filter: corpora share common shingles, so low-r
+    // bands admit many weakly-similar pairs; estimating Jaccard from
+    // the full signatures (64 long compares per pair) culls them
+    // before the expensive shingle-set verification. The margin keeps
+    // estimator variance from costing recall at the threshold.
+    val estMargin = 0.15
+    val matchCount = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val candidates = rawCandidates
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .filter(matchCount.cast(DoubleType) / numHashes >=
+        math.max(0.0, threshold - estMargin))
+      .select(col("a"), col("b"))
+
+    // exact verification: shingle sets built ONLY for candidate ids
+    // (join first, compute the heavy shingle expression after)
     val candIds = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b"))).distinct()
-    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val candSh = base.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
 
     candidates
       .join(candSh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))

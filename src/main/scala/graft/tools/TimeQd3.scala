@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Disposable profiling harness for qd3 stages (not part of the
+  * product surface).
+  */
+object TimeQd3 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    time("warm count")(docs.count())
+    val base = docs.select(col("doc_id"), col("text"))
+    val sigs = graft.ops.MinHashLSH.signatures(base, "doc_id", "text", 64)
+    time("signatures")(sigs.count())
+    val sigArr = array((0 until 64).map(i => col(s"s$i")): _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(graft.ops.MinHashLSH.bandBuckets(sigArr, 32, 2))
+        .as(Seq("band", "bucket")))
+    time("banded")(banded.count())
+    val candidates = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    time("candidates")(println("n_cand=" + candidates.count()))
+    time("full nearDupPairs")(
+      graft.ops.MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5).count())
+    spark.stop()
+  }
+}
