@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 64-bit SimHash near-duplicate detection.
+  *
+  * Cross-engine determinism: the per-token hash is md5 (identical in
+  * Spark and DuckDB), consumed hex-digit-wise — bit i of a token lives
+  * at hex position i/4, bit i%4. Fingerprint bit i = sign of the sum
+  * of ±1 contributions over the doc's DISTINCT tokens. The 64 bits are
+  * packed into four 16-bit band ints; by pigeonhole, two fingerprints
+  * within Hamming distance 3 agree on at least one band, so exact
+  * band-match bucketing is a complete candidate generator for
+  * maxHamming ≤ 3.
+  *
+  * Shape (same as MinHashLSH.signatures): explode distinct tokens,
+  * md5 once per token row, 64 map-side-combined sum-aggregates —
+  * one scan, one doc_id shuffle, never all-pairs.
+  */
+object SimHash {
+
+  private val tokenRe = "[a-z0-9]+"
+  val Bits = 64
+  val Bands = 4
+  val BitsPerBand = 16
+
+  /** (doc_id, b0..b3) 16-bit band ints of the 64-bit fingerprint. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        regexp_extract_all(col(textCol), lit(tokenRe), lit(0)))).as("t"))
+    // one md5 per token row; 16 hex-digit values d0..d15
+    val withDigits = toks
+      .withColumn("h", md5(col("t")))
+      .select(col("doc_id") +: (0 until 16).map(p =>
+        (expr(s"locate(substring(h, ${p + 1}, 1), '0123456789abcdef')") - 1)
+          .as(s"d$p")): _*)
+    // 64 signed sums: c_i = Σ tokens (bit_i ? +1 : -1)
+    val sums = (0 until Bits).map { i =>
+      val bit = shiftright(col(s"d${i / 4}"), i % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"c$i")
+    }
+    val contrib = withDigits.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    // bands of sign bits (sum >= 0 → 1)
+    val bands = (0 until Bands).map { j =>
+      (0 until BitsPerBand).map { k =>
+        val i = j * BitsPerBand + k
+        when(col(s"c$i") >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$j")
+    }
+    contrib.select(col("doc_id") +: bands: _*)
+  }
+
+  /** Near-dup pairs (a < b) with Hamming distance ≤ maxHamming
+    * (complete for maxHamming ≤ 3 via 4-band pigeonhole bucketing).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= Bands - 1,
+      s"band bucketing is complete only up to hamming ${Bands - 1}")
+    val fp = fingerprints(df, idCol, textCol)
+    val banded = fp.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
+        .as(Seq("band", "value")))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.value") === col("y.value") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val fpa = fp.select(col("doc_id").as("a") +:
+      (0 until Bands).map(j => col(s"b$j").as(s"a$j")): _*)
+    val fpb = fp.select(col("doc_id").as("b") +:
+      (0 until Bands).map(j => col(s"b$j").as(s"bb$j")): _*)
+    val hamming = (0 until Bands).map(j =>
+      bit_count(col(s"a$j").bitwiseXOR(col(s"bb$j")))).reduce(_ + _)
+    candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
+      .select(col("a"), col("b"), hamming.cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB oracle computing the identical SimHash pipeline (for the
+    * correctness gate — same md5 digits, same sign rule, same bands,
+    * but allowed to go all-pairs since it only ever runs at test SF).
+    */
+  def duckDbOracle(maxHamming: Int = 3): String = {
+    val digitDefs = (0 until 16).map(p =>
+      s"strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS d$p")
+      .mkString(",\n    ")
+    val sumDefs = (0 until Bits).map { i =>
+      s"SUM(CASE WHEN (d${i / 4} >> ${i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c$i"
+    }.mkString(",\n    ")
+    val bandDefs = (0 until Bands).map { j =>
+      (0 until BitsPerBand).map { k =>
+        val i = j * BitsPerBand + k
+        s"(CASE WHEN c$i >= 0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$j"
+    }.mkString(",\n    ")
+    val hamming = (0 until Bands).map(j =>
+      s"bit_count(xor(x.b$j, y.b$j))").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '$tokenRe'))) AS t
+       |  FROM documents),
+       |digits AS (
+       |  SELECT doc_id,
+       |    $digitDefs
+       |  FROM (SELECT doc_id, md5(t) AS h FROM toks)),
+       |contrib AS (
+       |  SELECT doc_id,
+       |    $sumDefs
+       |  FROM digits GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |    $bandDefs
+       |  FROM contrib)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST($hamming AS BIGINT) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE $hamming <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+  }
+}

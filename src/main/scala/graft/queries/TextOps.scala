@@ -161,6 +161,17 @@ object TextOps {
         Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // ---------------------------------------- SimHash near-dup pairs
+    // graft.ops.SimHash: 64-bit sign fingerprints from md5 hex digits,
+    // 4-band pigeonhole bucketing (complete for hamming ≤ 3), exact
+    // hamming verify. The oracle runs the identical pipeline all-pairs.
+    Q("qd4_simhash_neardup", graft.ops.SimHash.duckDbOracle(maxHamming = 3)) {
+      (s, dir) =>
+        graft.ops.SimHash.nearDupPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+          .orderBy(col("a"), col("b"))
     }
   )
 }
