@@ -97,10 +97,14 @@ object MinHashLSH {
     val r = numHashes / bands
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-    // one signature row per doc (single shuffle keyed by doc_id)
+    // one signature row per doc (single shuffle keyed by doc_id),
+    // persisted because three consumers read it (banding + both sides
+    // of the estimate pre-filter) and recomputing means re-tokenizing
+    // the corpus each time; ~0.5 KB/doc, disk-backed at scale
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     val sigs = signatures(base, "doc_id", "text", numHashes, seed)
       .select(col("doc_id"), sigArr.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("doc_id"),
         posexplode(bandBuckets(col("sig"), bands, r)).as(Seq("band", "bucket")))

@@ -21,6 +21,13 @@ object TimeQd3 {
     }
     val docs = graft.queries.Tables.load(spark, sfDir, "documents")
     time("warm count")(docs.count())
+    if (args.contains("full-only")) {
+      time("full nearDupPairs")(
+        graft.ops.MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5).count())
+      time("full nearDupPairs 2nd")(
+        graft.ops.MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5).count())
+      spark.stop(); return
+    }
     val base = docs.select(col("doc_id"), col("text"))
     val sigs = graft.ops.MinHashLSH.signatures(base, "doc_id", "text", 64)
     time("signatures")(sigs.count())
