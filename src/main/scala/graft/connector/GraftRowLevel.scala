@@ -185,6 +185,7 @@ class GraftCowBatchWrite(
     val newFiles = messages.collect { case GraftCommitMessage(fs) => fs }
       .flatten.toSeq
     if (replacedPaths.isEmpty && newFiles.isEmpty) return // no-op rewrite
+    GraftBatchWrite.requireContained(table.meta.location, newFiles)
 
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val targetRef = table.writeRef

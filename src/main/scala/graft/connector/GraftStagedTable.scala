@@ -87,6 +87,7 @@ class GraftStagedTable(
   override def commitStagedChanges(): Unit = {
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val files = collected.toSeq
+    GraftBatchWrite.requireContained(stagedMeta.location, files)
     def snapshotUpdates(parent: TableMetadata, op: String): Seq[TableUpdate] = {
       val manifest = catalog.store.writeManifest(stagedMeta.location,
         ManifestFile(files, snapshotId))

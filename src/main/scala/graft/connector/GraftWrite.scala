@@ -88,6 +88,21 @@ final case class GraftCommitMessage(files: Seq[DataFile])
 object GraftBatchWrite {
   import org.apache.spark.sql.sources._
 
+  /** Location containment (reference semantic: every signed/validated
+    * data-plane path must live inside the table location —
+    * server/s3_signer/sign.rs:492 enforces it per request; we enforce
+    * it per commit). Guards against path-traversal writes landing a
+    * table's files inside another table's prefix.
+    */
+  def requireContained(location: String, files: Seq[DataFile]): Unit = {
+    val prefix = location.stripSuffix("/") + "/"
+    val outside = files.filterNot(_.path.startsWith(prefix))
+    if (outside.nonEmpty)
+      throw new CommitFailedException(
+        s"${outside.size} data file(s) outside the table location " +
+          s"$location: ${outside.take(3).map(_.path).mkString(", ")}")
+  }
+
   private def identityFields(meta: TableMetadata): Set[String] =
     meta.specs.values.flatMap(_.fields)
       .filter(_.transform == Transform.Identity).map(_.sourceName).toSet
@@ -165,6 +180,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.collect {
       case GraftCommitMessage(fs) => fs }.flatten.toSeq
+    GraftBatchWrite.requireContained(table.meta.location, newFiles)
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val manifestPath = table.store.writeManifest(table.meta.location,
       ManifestFile(newFiles, snapshotId))

@@ -566,6 +566,22 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("graft.db.my_table"))
   }
 
+  test("location containment rejects files outside the table prefix") {
+    import graft.meta.{DataFile => GDataFile}
+    GraftBatchWrite.requireContained("/wh/db/t",
+      Seq(GDataFile("/wh/db/t/data/f.parquet", 1, 1, 0, Map.empty, Map.empty)))
+    val err = intercept[graft.meta.CommitFailedException] {
+      GraftBatchWrite.requireContained("/wh/db/t",
+        Seq(GDataFile("/wh/db/OTHER/data/f.parquet", 1, 1, 0, Map.empty, Map.empty)))
+    }
+    assert(err.getMessage.contains("outside the table location"))
+    // prefix-sharing sibling must NOT pass ("/wh/db/t2" vs "/wh/db/t")
+    intercept[graft.meta.CommitFailedException] {
+      GraftBatchWrite.requireContained("/wh/db/t",
+        Seq(GDataFile("/wh/db/t2/data/f.parquet", 1, 1, 0, Map.empty, Map.empty)))
+    }
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS
