@@ -59,11 +59,13 @@ class GraftWriteBuilder(
   }
 
   override def build(): Write =
-    new GraftWrite(table, info.schema(), mode, overwriteFilters)
+    new GraftWrite(table, info.schema(), mode, overwriteFilters,
+      Option(info.queryId()))
 }
 
 class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
-    overwriteFilters: Array[Filter] = Array.empty)
+    overwriteFilters: Array[Filter] = Array.empty,
+    queryId: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution = {
@@ -78,7 +80,7 @@ class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(table, writeSchema, mode, overwriteFilters)
+    new GraftBatchWrite(table, writeSchema, mode, overwriteFilters, queryId)
 }
 
 /** Commit message: the data files one task produced. */
@@ -160,7 +162,8 @@ object GraftBatchWrite {
 }
 
 class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
-    overwriteFilters: Array[Filter] = Array.empty)
+    overwriteFilters: Array[Filter] = Array.empty,
+    queryId: Option[String] = None)
   extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -186,9 +189,13 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
       ManifestFile(newFiles, snapshotId))
 
     val targetRef = table.writeRef
+    // Spark's write query UUID doubles as the idempotency key
+    // (reference: idempotency-key insert in the commit txn,
+    // server/tables.rs:1691-1703): a re-driven commit of the same
+    // query never double-appends
     table.store.commitTableWith(table.tableId,
       Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
-      current => {
+      mkUpdates = current => {
         val parentSnapshot = current.snapshotFor(targetRef)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
         val (manifests, op) = mode match {
@@ -235,7 +242,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
         Seq(
           TableUpdate.AddSnapshot(snap),
           TableUpdate.SetSnapshotRef(targetRef, ref))
-      })
+      },
+      idempotencyKey = queryId.map(q => s"write-$q"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

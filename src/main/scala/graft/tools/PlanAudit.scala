@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the physical plans of representative queries so scan
+  * pushdown / codegen spans / join strategies can be audited per round.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.queries.CatalogOps.warmup(spark, sfDir)
+
+    def audit(label: String, sql: String): Unit = {
+      println(s"\n===== $label =====")
+      println(spark.sql(sql).queryExecution.executedPlan.toString.take(4000))
+    }
+
+    val db = "d" + math.abs(sfDir.hashCode).toString
+    audit("catalog scan with filter (pushdown + codegen)",
+      s"""SELECT l_orderkey, l_quantity FROM graftwh.$db.lineitem_c
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_quantity < 10""".stripMargin)
+    audit("partitioned scan (partition pruning)",
+      s"""SELECT COUNT(*) FROM graftwh.$db.orders_p
+         |WHERE o_orderstatus = 'F'""".stripMargin)
+    audit("q17 shape (no broadcast hint; AQE decides)",
+      s"""SELECT SUM(l.l_extendedprice) FROM graftwh.$db.lineitem_c l
+         |JOIN (SELECT l_partkey, 0.2*AVG(l_quantity) AS lim
+         |      FROM graftwh.$db.lineitem_c GROUP BY l_partkey) t
+         |ON l.l_partkey = t.l_partkey WHERE l.l_quantity < t.lim""".stripMargin)
+    spark.stop()
+  }
+}

@@ -60,6 +60,18 @@ class CommitSpec extends AnyFunSuite {
     val m = newMeta
     val s2 = TableSchema(-1, baseSchema.add(StructField("age", IntegerType)))
     val m2 = Commit.applyUpdates(m, Seq(AddSchema(s2), SetCurrentSchema(-1)))
+    // drop+re-add in one change set must mint a FRESH field id
+    locally {
+      val dropped = StructType(m2.currentSchema.struct.fields.filterNot(_.name == "name"))
+      val readded = dropped.add(StructField("name", StringType))
+      val m3 = Commit.applyUpdates(m2,
+        Seq(AddSchema(TableSchema(-1, readded), freshNames = Set("name")),
+          SetCurrentSchema(-1)))
+      val oldId = m2.currentSchema.fieldIds("name")
+      val newId = m3.currentSchema.fieldIds("name")
+      assert(newId != oldId, s"re-added column reused field id $oldId")
+      assert(newId > m2.lastColumnId)
+    }
     assert(m2.currentSchemaId == 1)
     assert(m2.lastColumnId == 3)
     val ageField = m2.currentSchema.struct("age")
