@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) similarity search: the second scale path next to
+  * [[Ann]]'s sign-LSH. Vectors are assigned to the nearest of K coarse
+  * centroids (one codegen'd scan); a query probes only the `nprobe`
+  * nearest lists and exact-reranks those candidates — at scale the
+  * table is written partitioned by `list_id`, so a probe reads
+  * nprobe/K of the data.
+  *
+  * The coarse quantizer here is a FIXED seeded-gaussian codebook so the
+  * assignment is deterministic and cross-engine reproducible (the
+  * correctness oracle mirrors it literal-for-literal). In a deployment
+  * the codebook comes from k-means over a sample — swapping the
+  * centroid source is the only change; the assign/probe/rerank
+  * mechanics verified here stay identical.
+  */
+object Ivf {
+
+  /** Deterministic codebook: K gaussian centroids. */
+  def centroids(k: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedlit(c.toSeq), (x, p) => x.cast(DoubleType) * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared-distance ranking terms: ||e-c||² ordered by
+    * ||c||² - 2·e·c (the ||e||² term is constant per row).
+    */
+  private def distCol(emb: Column, c: Array[Double]): Column = {
+    val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+    lit(cNormSq) - lit(2.0) * dotLit(emb, c)
+  }
+
+  /** 1-based id of the nearest centroid (first minimum on ties). */
+  def listId(emb: Column, cents: Seq[Array[Double]]): Column = {
+    val dists = array(cents.map(distCol(emb, _)): _*)
+    array_position(dists, array_min(dists))
+  }
+
+  /** Nearest-centroid ids (1-based) of a query vector, JVM-side. */
+  def probeLists(queryVec: Array[Double], cents: Seq[Array[Double]],
+      nprobe: Int): Seq[Long] =
+    cents.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = c.indices.foldLeft(0.0)((a, j) => a + c(j) * queryVec(j))
+      (cNormSq - 2.0 * dot, (i + 1).toLong)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+
+  /** IVF top-k: probe the query's nprobe lists, exact cosine rerank. */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      numLists: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cents = centroids(numLists, queryVec.length, seed)
+    val probes = probeLists(queryVec, cents, nprobe)
+    val qLit = typedlit(queryVec.toSeq)
+    df.filter(listId(col(embCol), cents).isin(probes: _*))
+      .withColumn("cos_sim", round(Ann.cosine(col(embCol), qLit), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle running the identical IVF (same centroid literals,
+    * same argmin rule, same probe set, same rerank).
+    */
+  def duckDbOracle(queryId: Long, k: Int, numLists: Int, nprobe: Int,
+      dim: Int, seed: Long = 42L): String = {
+    val cents = centroids(numLists, dim, seed)
+    def lit(c: Array[Double]) = c.map(_.toString).mkString("[", ",", "]")
+    val distDefs = cents.map { c =>
+      val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+      s"($cNormSq - 2.0 * list_dot_product(v, ${lit(c)}))"
+    }
+    val distList = distDefs.mkString("[", ",\n      ", "]")
+    s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, label, v, d,
+       |    list_indexof(d, list_min(d)) AS list_id
+       |  FROM (SELECT vec_id, label, v,
+       |    $distList AS d
+       |  FROM ev)),
+       |q AS (SELECT * FROM assigned WHERE vec_id = $queryId),
+       |probes AS (
+       |  SELECT i AS list_id FROM (
+       |    SELECT UNNEST(d) AS dist, UNNEST(range(1, ${numLists + 1})) AS i
+       |    FROM q)
+       |  ORDER BY dist, i LIMIT $nprobe),
+       |cand AS (
+       |  SELECT a.vec_id, a.label, a.v FROM assigned a
+       |  WHERE a.vec_id <> $queryId
+       |    AND a.list_id IN (SELECT list_id FROM probes)),
+       |scored AS (
+       |  SELECT c.vec_id, c.label,
+       |    round(list_dot_product(c.v, q.v) /
+       |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+       |  FROM cand c, q)
+       |SELECT vec_id, label, cos_sim FROM scored
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+}

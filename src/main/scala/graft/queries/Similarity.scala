@@ -122,6 +122,21 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("cos_sim"))
     },
 
+    // IVF-bucketed ANN (graft.ops.Ivf): nearest-of-K coarse-centroid
+    // assignment, probe the query's nprobe lists, exact rerank. Oracle
+    // mirrors the identical codebook and probe rule in DuckDB.
+    Q("qs4_ivf_topk",
+      graft.ops.Ivf.duckDbOracle(0L, 20, numLists = 16, nprobe = 4,
+        dim = AnnDim)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      graft.ops.Ivf.topK(e.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", qVec, k = 20, numLists = 16, nprobe = 4)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+    },
+
     // all-pairs centroid similarity by label: the "are my class
     // centroids separated" diagnostic — mean-pool then tiny NxN join
     Q(
