@@ -582,6 +582,60 @@ class ConnectorE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("date-part and truncate transforms: write, read, prune") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.dt (ts TIMESTAMP, name STRING, v BIGINT)
+      PARTITIONED BY (month(ts), truncate(2, name))""")
+    spark.sql("""INSERT INTO graft.db.dt VALUES
+      (TIMESTAMP '2024-01-15 10:00:00', 'alpha', 1),
+      (TIMESTAMP '2024-02-20 11:00:00', 'alto', 2),
+      (TIMESTAMP '2024-02-25 12:00:00', 'beta', 3),
+      (TIMESTAMP '2024-03-05 13:00:00', 'gamma', 4)""")
+    assert(spark.table("graft.db.dt").count() == 4)
+    assert(spark.sql(
+      """SELECT v FROM graft.db.dt
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-01 00:00:00' ORDER BY v""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // month-transform file pruning: Feb predicate selects only Feb files
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val id = graft.store.TabularId(Seq("db"), "dt")
+    val g = new GraftTable(cat.store, id,
+      cat.store.loadTableMetadata(id).get._1, None)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
+    val feb = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+    val scan = new GraftScan(g, feb, g.schema())
+    assert(scan.selectedFiles.nonEmpty)
+    assert(scan.selectedFiles.size < g.liveFiles.size,
+      s"month pruning selected ${scan.selectedFiles.size}/${g.liveFiles.size}")
+    // truncate-transform pruning on the name prefix
+    import org.apache.spark.sql.sources.EqualTo
+    val alto = new GraftScan(g, Array(EqualTo("name", "alto")), g.schema())
+    assert(alto.selectedFiles.size < g.liveFiles.size)
+  }
+
+  test("df.writeTo(...).append() drives the same BatchWrite path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.wt (id BIGINT, tag STRING) PARTITIONED BY (tag)")
+    spark.range(5).selectExpr("id", "'w' AS tag")
+      .writeTo("graft.db.wt").append()
+    spark.range(5, 8).selectExpr("id", "'x' AS tag")
+      .writeTo("graft.db.wt").append()
+    assert(spark.table("graft.db.wt").count() == 8)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.wt WHERE tag = 'x'")
+      .collect().head.getLong(0) == 3)
+    // overwritePartitions (dynamic) through the DataFrame API: only the
+    // 'x' partition is replaced
+    spark.range(100, 102).selectExpr("id", "'x' AS tag")
+      .writeTo("graft.db.wt").overwritePartitions()
+    assert(spark.table("graft.db.wt").count() == 7)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.wt WHERE tag = 'w'")
+      .collect().head.getLong(0) == 5)
+  }
+
   test("CTAS: create table as select") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(s"""CREATE TABLE graft.db.nation_copy AS
