@@ -63,8 +63,16 @@ object MinHashLSH {
       textCol: String, numHashes: Int, seed: Long = 42L)
       : org.apache.spark.sql.DataFrame = {
     val (as, bs) = coefficients(numHashes, seed)
+    // tokenize in its own projection: the shingle expression references
+    // the token array 4 times, and Catalyst keeps a multi-referenced
+    // non-cheap alias materialized instead of inlining the regex 4×
+    val toks = regexp_extract_all(col(textCol), lit(tokenRe), lit(0))
     val exploded = df
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(array_distinct(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))).as("sh"))
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))

@@ -24,6 +24,15 @@ object PlanAudit {
       println(spark.sql(sql).queryExecution.executedPlan.toString.take(4000))
     }
 
+    // MinHash signature aggregation: confirm the 64-agg groupBy stays
+    // in whole-stage codegen (no ObjectHashAggregate fallback)
+    println("\n===== minhash signatures (64-agg groupBy) =====")
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val sigPlan = graft.ops.MinHashLSH
+      .signatures(docs.select("doc_id", "text"), "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    println(sigPlan.split('\n').take(8).mkString("\n"))
+
     val db = "d" + math.abs(sfDir.hashCode).toString
     audit("catalog scan with filter (pushdown + codegen)",
       s"""SELECT l_orderkey, l_quantity FROM graftwh.$db.lineitem_c
