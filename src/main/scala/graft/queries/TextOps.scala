@@ -56,13 +56,16 @@ object TextOps {
          |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
          |  CAST(SUM(n_len) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+      // tokenize once: a multi-referenced non-cheap alias stays
+      // materialized instead of the regex being inlined per use
       Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_len"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
         .select(
           col("doc_id"), col("lang"),
-          size(toks).as("n_tokens"),
-          length(col("text")).as("n_len"),
-          size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"))
+          size(col("toks")).as("n_tokens"),
+          col("n_len"),
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).as("n_stop"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -121,9 +124,11 @@ object TextOps {
       // 2-gram shingles per document (the MinHash input representation):
       // built with zip_with over the token array and its tail — stays
       // inside codegen, no UDF, and explodes only distinct shingles.
-      val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+      // Tokenizing in its own projection keeps the regex at one
+      // evaluation per row (the shingle expression references it 4×).
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
         .select(col("doc_id"), col("lang"),
           array_distinct(zip_with(
             slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
