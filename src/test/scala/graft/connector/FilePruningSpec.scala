@@ -1,0 +1,84 @@
+package graft.connector
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** Unit coverage for manifest-stat file pruning, with emphasis on the
+  * timestamp literal conversions: pruning exclusions are final (a
+  * pruned file is never re-read), so a lossy literal→micros conversion
+  * silently drops rows.
+  */
+class FilePruningSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("v", IntegerType)))
+
+  private def fileWith(minMicros: Long, maxMicros: Long): DataFile =
+    DataFile("/tmp/f.parquet", 100L, 10L, 0,
+      Map.empty,
+      Map("ts" -> ColumnStat(
+        Some(minMicros.toString), Some(maxMicros.toString), Some(0L))))
+
+  private val spec = PartitionSpec(0, Seq.empty)
+
+  test("sub-millisecond timestamp literals prune exactly (getNanos kept)") {
+    // file covers [t, t + 700 micros]
+    val base = 1700000000000000L // micros
+    val f = fileWith(base, base + 700L)
+
+    // literal at base + 500 micros: 2023-11-14T22:13:20.000500
+    val lit = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.ofEpochSecond(1700000000L, 500000,
+        java.time.ZoneOffset.UTC))
+    assert(lit.getNanos == 500000, "test literal must carry sub-ms digits")
+
+    // EqualTo at .000500 is inside [base, base+700] — must NOT prune.
+    // With the lossy ts.getTime*1000 conversion the literal collapses
+    // to base+0... still inside here, so also test the exclusion edge:
+    assert(FilePruning.mayMatch(f, Seq(EqualTo("ts", lit)), schema, spec))
+
+    // file covering only [base+600, base+700]; lossy conversion of the
+    // .000500 literal to base would WRONGLY exclude GreaterThan matches
+    val fHigh = fileWith(base + 600L, base + 700L)
+    assert(FilePruning.mayMatch(
+      fHigh, Seq(LessThanOrEqual("ts", lit)), schema, spec) == false,
+      "file strictly above the literal must prune for <=")
+    // and the symmetric case: file [base, base+400], literal .000500
+    val fLow = fileWith(base, base + 400L)
+    assert(FilePruning.mayMatch(
+      fLow, Seq(GreaterThanOrEqual("ts", lit)), schema, spec) == false,
+      "file strictly below the literal must prune for >=")
+    // lossy conversion would also wrongly keep EqualTo at base+0 when
+    // the true literal base+500 is outside [base+600, base+700]
+    assert(FilePruning.mayMatch(
+      fHigh, Seq(EqualTo("ts", lit)), schema, spec) == false)
+  }
+
+  test("Instant and LocalDateTime literals convert at micro precision") {
+    val base = 1700000000000000L
+    val f = fileWith(base + 600L, base + 700L)
+    val inst = java.time.Instant.ofEpochSecond(1700000000L, 650000) // +650us
+    assert(FilePruning.mayMatch(f, Seq(EqualTo("ts", inst)), schema, spec))
+    val instOut = java.time.Instant.ofEpochSecond(1700000000L, 500000)
+    assert(!FilePruning.mayMatch(f, Seq(EqualTo("ts", instOut)), schema, spec))
+
+    val ntzSchema = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      1700000000L, 650000, java.time.ZoneOffset.UTC)
+    assert(FilePruning.mayMatch(f, Seq(EqualTo("ts", ldt)), ntzSchema, spec))
+  }
+
+  test("integer range pruning basics stay exact") {
+    val f = DataFile("/tmp/g.parquet", 100L, 10L, 0, Map.empty,
+      Map("v" -> ColumnStat(Some("10"), Some("20"), Some(0L))))
+    assert(FilePruning.mayMatch(f, Seq(EqualTo("v", 15)), schema, spec))
+    assert(!FilePruning.mayMatch(f, Seq(EqualTo("v", 25)), schema, spec))
+    assert(!FilePruning.mayMatch(f, Seq(GreaterThan("v", 20)), schema, spec))
+    assert(FilePruning.mayMatch(f, Seq(GreaterThanOrEqual("v", 20)), schema, spec))
+    assert(!FilePruning.mayMatch(f, Seq(LessThan("v", 10)), schema, spec))
+  }
+}
