@@ -28,11 +28,16 @@ import graft.store.TabularId
   * parser help.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
+    // view reads: substitute graft-view relations with their stored SQL
+    ext.injectResolutionRule(session => ResolveGraftViews(session))
+  }
 }
 
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
 
   private val CreateRefRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(TAG|BRANCH)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*(?:RETAIN\s+(\d+)\s+DAYS)?\s*;?\s*""".r
@@ -42,9 +47,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val DropPartFieldRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  // view DDL: intercepted only when the target is a graft catalog —
+  // TEMPORARY/GLOBAL variants deliberately don't match and stay stock
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
+  private val RenameViewRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*""".r
+  private val ShowViewsRe =
+    """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+)\s*;?\s*""".r
 
   private def multipart(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  private def graft(name: String): Boolean =
+    GraftViewSql.isGraft(session, multipart(name))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CreateRefRe(tbl, kind, name, retain) =>
@@ -57,6 +75,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterPartitionFieldCommand(multipart(tbl), transform, add = true)
     case DropPartFieldRe(tbl, transform) =>
       AlterPartitionFieldCommand(multipart(tbl), transform, add = false)
+    case CreateViewRe(orReplace, ifNotExists, name, query) if graft(name) =>
+      CreateGraftViewCommand(multipart(name), query,
+        orReplace = orReplace != null, ifNotExists = ifNotExists != null)
+    case DropViewRe(ifExists, name) if graft(name) =>
+      DropGraftViewCommand(multipart(name), ifExists = ifExists != null)
+    case RenameViewRe(from, to) if graft(from) =>
+      RenameGraftViewCommand(multipart(from), multipart(to))
+    case ShowViewsRe(ns)
+        if GraftViewSql.isGraftNamespace(session, multipart(ns)) =>
+      ShowGraftViewsCommand(multipart(ns))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -1,0 +1,188 @@
+package graft.connector
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType}
+
+/** SQL routing for catalog views (reference:
+  * tests/python/tests/test_spark.py:68-153 — test_create_view,
+  * test_create_replace_view, test_rename_view, test_create_drop_view,
+  * test_view_exists). Stock Spark parses CREATE/DROP/ALTER VIEW but
+  * routes them to the session catalog only; these commands drive the
+  * DSv2 ViewCatalog already implemented by GraftCatalog, and
+  * [[ResolveGraftViews]] makes `SELECT ... FROM <view>` resolve by
+  * substituting the stored SQL.
+  */
+object GraftViewSql {
+
+  /** Multipart name → (graft catalog, v2 identifier); None when the
+    * target catalog is not graft (caller falls back to stock Spark).
+    */
+  def viewTarget(
+      spark: SparkSession, name: Seq[String]): Option[(GraftCatalog, Identifier)] =
+    try {
+      val cm = spark.sessionState.catalogManager
+      val (catalogName, parts) =
+        if (name.length > 1 && cm.isCatalogRegistered(name.head))
+          (name.head, name.tail)
+        else (cm.currentCatalog.name(), name)
+      cm.catalog(catalogName) match {
+        case g: GraftCatalog if parts.nonEmpty =>
+          val ns = if (parts.length > 1) parts.dropRight(1)
+            else cm.currentNamespace.toSeq
+          Some((g, Identifier.of(ns.toArray, parts.last)))
+        case _ => None
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** True when the statement's target name lives in a graft catalog —
+    * the parse-time gate deciding interception vs delegation.
+    */
+  def isGraft(spark: SparkSession, name: Seq[String]): Boolean =
+    viewTarget(spark, name).isDefined
+
+  /** Namespace-shaped name (SHOW VIEWS IN x[.y]): x may itself be the
+    * catalog, unlike view names where the last part is the view.
+    */
+  def isGraftNamespace(spark: SparkSession, name: Seq[String]): Boolean =
+    try {
+      val cm = spark.sessionState.catalogManager
+      val catalogName =
+        if (name.nonEmpty && cm.isCatalogRegistered(name.head)) name.head
+        else cm.currentCatalog.name()
+      cm.catalog(catalogName).isInstanceOf[GraftCatalog]
+    } catch { case NonFatal(_) => false }
+}
+
+/** CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name AS query. The query
+  * is analyzed eagerly so the stored view metadata carries its schema
+  * (the reference stores versioned schemas per view the same way).
+  */
+final case class CreateGraftViewCommand(
+    name: Seq[String], query: String,
+    orReplace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, ident) = GraftViewSql.viewTarget(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"${name.mkString(".")} is not in a graft catalog"))
+    if (ifNotExists && catalog.viewExists(ident)) return Nil
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parseQuery(query)).analyzed
+    val cm = spark.sessionState.catalogManager
+    val info = new ViewInfo(ident, query,
+      cm.currentCatalog.name(), cm.currentNamespace,
+      analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty[String], Array.empty[String],
+      new java.util.HashMap[String, String]())
+    if (orReplace) catalog.replaceView(info, orCreate = true)
+    else catalog.createView(info)
+    Nil
+  }
+}
+
+final case class DropGraftViewCommand(name: Seq[String], ifExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, ident) = GraftViewSql.viewTarget(spark, name).get
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new NoSuchViewException(ident)
+    Nil
+  }
+}
+
+/** ALTER VIEW a.b RENAME TO a.c (rename across namespaces is allowed,
+  * across catalogs is not — mirrors renameTable).
+  */
+final case class RenameGraftViewCommand(from: Seq[String], to: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, fromIdent) = GraftViewSql.viewTarget(spark, from).get
+    val (toCatalog, toIdent) = GraftViewSql.viewTarget(spark, to).getOrElse(
+      throw new IllegalArgumentException(
+        s"Cannot rename view across catalogs: ${to.mkString(".")}"))
+    if (toCatalog ne catalog)
+      throw new IllegalArgumentException(
+        s"Cannot rename view across catalogs: ${to.mkString(".")}")
+    catalog.renameView(fromIdent, toIdent)
+    Nil
+  }
+}
+
+/** SHOW VIEWS IN ns — same output columns as Spark's session-catalog
+  * command so drop-in assertions (`df["viewName"]`) keep working.
+  */
+final case class ShowGraftViewsCommand(namespace: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val (catalog, ns) =
+      if (namespace.nonEmpty && cm.isCatalogRegistered(namespace.head))
+        (cm.catalog(namespace.head), namespace.tail)
+      else (cm.currentCatalog, namespace)
+    catalog match {
+      case g: GraftCatalog =>
+        g.listViews(ns: _*).toSeq.map(ident =>
+          Row(ns.mkString("."), ident.name, false))
+      case other => throw new IllegalArgumentException(
+        s"SHOW VIEWS routed to non-graft catalog ${other.name()}")
+    }
+  }
+}
+
+/** Analyzer rule: an unresolved relation naming a graft view becomes
+  * the parsed view SQL under a SubqueryAlias — Spark's own analyzer
+  * then resolves the substituted subtree (same substitution shape the
+  * analyzer applies to session-catalog views). Bare table names inside
+  * the view body are qualified with the view's stored default
+  * catalog/namespace, so the view is robust to the reader's current
+  * namespace.
+  */
+final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        substitute(parts).getOrElse(u)
+    }
+
+  private def substitute(parts: Seq[String]): Option[LogicalPlan] = try {
+    GraftViewSql.viewTarget(spark, parts).flatMap { case (catalog, ident) =>
+      if (!catalog.viewExists(ident)) None
+      else {
+        val view = catalog.loadView(ident)
+        val defaultPrefix =
+          Option(view.currentCatalog).toSeq ++ view.currentNamespace.toSeq
+        val parsed = spark.sessionState.sqlParser.parseQuery(view.query)
+        val qualified =
+          if (defaultPrefix.isEmpty) parsed
+          else parsed.transformUp {
+            case r @ UnresolvedRelation(p, _, false) if p.length == 1 =>
+              r.copy(multipartIdentifier = defaultPrefix ++ p)
+          }
+        Some(SubqueryAlias(ident.name, qualified))
+      }
+    }
+  } catch { case NonFatal(_) => None }
+}

@@ -275,6 +275,28 @@ object CatalogOps {
            |  variant_get(props, '$$.name', 'string') AS name,
            |  CAST(variant_get(props, '$$.region', 'long') AS BIGINT) AS region
            |FROM $CatalogName.$db.vdoc ORDER BY id""".stripMargin)
+    },
+
+    // view SQL routing (reference test_create_view family): CREATE OR
+    // REPLACE VIEW through spark.sql, then query THROUGH the view —
+    // result must equal the oracle aggregating the raw parquet directly
+    Q(
+      "qc11_view_roundtrip",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP VIEW IF EXISTS $CatalogName.$db.orders_f_v")
+      s.sql(
+        s"""CREATE OR REPLACE VIEW $CatalogName.$db.orders_f_v AS
+           |SELECT o_orderpriority, o_totalprice
+           |FROM $CatalogName.$db.orders_p WHERE o_orderstatus = 'F'""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $CatalogName.$db.orders_f_v
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }
   )
 }

@@ -222,6 +222,71 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("view DDL through spark.sql (reference test_create_view family)") {
+    // replay of tests/python/tests/test_spark.py:68-153:
+    // test_create_view / test_create_replace_view / test_rename_view /
+    // test_create_drop_view / test_view_exists, statement-for-statement
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.test_create_view")
+    spark.sql(
+      """CREATE TABLE graft.test_create_view.my_table (
+        |  my_ints INT, my_floats DOUBLE, strings STRING)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.test_create_view.my_table VALUES " +
+        "(1, 1.5, 'a'), (2, 2.5, 'b')")
+
+    spark.sql(
+      """CREATE VIEW graft.test_create_view.my_view AS
+        |SELECT my_ints, my_floats FROM graft.test_create_view.my_table""".stripMargin)
+    val df = spark.sql("SELECT * from graft.test_create_view.my_view")
+    assert(df.columns.toSeq == Seq("my_ints", "my_floats"))
+    assert(df.count() == 2)
+
+    // CREATE OR REPLACE flips the column order (test_create_replace_view)
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.test_create_view.my_view AS
+        |SELECT my_floats, my_ints FROM graft.test_create_view.my_table""".stripMargin)
+    assert(spark.sql("SELECT * from graft.test_create_view.my_view")
+      .columns.toSeq == Seq("my_floats", "my_ints"))
+
+    // IF NOT EXISTS on an existing view is a no-op (test_view_exists)
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.test_create_view.my_view AS
+        |SELECT strings FROM graft.test_create_view.my_table""".stripMargin)
+    assert(spark.sql("SELECT * from graft.test_create_view.my_view")
+      .columns.toSeq == Seq("my_floats", "my_ints"))
+
+    // SHOW VIEWS (test_rename_view asserts viewName values)
+    val shown = spark.sql("SHOW VIEWS IN graft.test_create_view").collect()
+    assert(shown.length == 1 && shown.head.getString(1) == "my_view")
+
+    // rename (test_rename_view)
+    spark.sql(
+      """ALTER VIEW graft.test_create_view.my_view
+        |RENAME TO graft.test_create_view.my_view_renamed""".stripMargin)
+    val renamed = spark.sql("SHOW VIEWS IN graft.test_create_view").collect()
+    assert(renamed.length == 1 && renamed.head.getString(1) == "my_view_renamed")
+    assert(spark.sql("SELECT * from graft.test_create_view.my_view_renamed")
+      .count() == 2)
+
+    // aggregate through the view — full Catalyst plan over substituted SQL
+    spark.sql(
+      """CREATE VIEW graft.test_create_view.agg_view AS
+        |SELECT CAST(SUM(my_ints) AS BIGINT) AS s
+        |FROM graft.test_create_view.my_table""".stripMargin)
+    assert(spark.sql("SELECT s FROM graft.test_create_view.agg_view")
+      .collect().head.getLong(0) == 3L)
+
+    // drop (test_create_drop_view)
+    spark.sql("DROP VIEW graft.test_create_view.my_view_renamed")
+    spark.sql("DROP VIEW graft.test_create_view.agg_view")
+    assert(spark.sql("SHOW VIEWS IN graft.test_create_view").count() == 0)
+    // IF EXISTS on a missing view succeeds; plain drop throws
+    spark.sql("DROP VIEW IF EXISTS graft.test_create_view.my_view_renamed")
+    assertThrows[Exception] {
+      spark.sql("DROP VIEW graft.test_create_view.my_view_renamed")
+    }
+  }
+
   test("MERGE INTO: matched update + not-matched insert (reference test_merge_into)") {
     // replay of tests/python/tests/test_spark.py:155-173 statement-for-statement
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.test_merge_into")
