@@ -28,7 +28,8 @@ object MetadataTables {
 
   val names: Set[String] = Set(
     "snapshots", "history", "refs", "metadata_log_entries", "files",
-    "all_data_files", "manifests", "all_manifests", "partitions",
+    "all_data_files", "delete_files", "all_delete_files",
+    "manifests", "all_manifests", "partitions",
     "entries", "all_entries", "properties")
 
   private val fileSchema = StructType(Seq(
@@ -49,10 +50,20 @@ object MetadataTables {
     case "files" | "all_data_files" =>
       val snaps = if (kind == "files") meta.currentSnapshot.toSeq
         else meta.snapshots.values.toSeq
+      // a manifest reachable from several snapshots contributes its
+      // files once (dedupe by manifest path; snapshot attribution only
+      // matters for the entries family)
       val inputs = snaps.flatMap(s => s.manifests.map(m =>
         ManifestInput(store.resolvePath(meta.location, m),
-          meta.location, s.snapshotId))).distinct
+          meta.location, s.snapshotId)))
+        .groupBy(_.absPath).values.map(_.head).toSeq
       new ManifestTable(s"$id.$kind", fileSchema, inputs, emitEntries = false)
+
+    case "delete_files" | "all_delete_files" =>
+      // copy-on-write engine: no delete files ever exist, but the
+      // reference asserts the table resolves and returns 0 rows
+      // (test_spark.py:1262-1265) — schema-correct empty scan
+      new ManifestTable(s"$id.$kind", fileSchema, Nil, emitEntries = false)
 
     case "entries" | "all_entries" =>
       val snaps = if (kind == "entries") meta.currentSnapshot.toSeq

@@ -153,6 +153,11 @@ class ConnectorE2ESpec extends AnyFunSuite {
       "SELECT operation FROM graft.db.mt.snapshots ORDER BY committed_at")
       .collect().map(_.getString(0)).toSeq
     assert(ops == Seq("append", "append"))
+    // reference test_metadata_queries_tables asserts the delete-file
+    // family resolves and is empty on a COW table (test_spark.py:1262)
+    assert(spark.sql("SELECT * FROM graft.db.mt.all_delete_files").count() == 0)
+    assert(spark.sql("SELECT * FROM graft.db.mt.delete_files").count() == 0)
+    assert(spark.sql("SELECT * FROM graft.db.mt.all_data_files").count() == 5)
   }
 
   test("schema evolution: add and drop column") {
