@@ -28,6 +28,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
       graft.queries.CatalogOps.warmup(spark, sfDir)
+      graft.queries.Similarity.warmup(spark, sfDir)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized ANN index layouts written through the graft connector,
+  * so a probe is a partition-PRUNED scan instead of a full-corpus
+  * filter (the 100 TB path; [[Ann]]/[[Ivf]] keep the scan-based
+  * fallback for un-indexed data).
+  *
+  * - IVF: each vector belongs to exactly one coarse list → the table
+  *   is written `PARTITIONED BY (list_id)` (identity transform). A
+  *   probe reads the `nprobe` matching partitions' files — nprobe/K of
+  *   the corpus — because every file carries list_id min==max stats
+  *   that [[graft.connector.FilePruning]] decides exactly.
+  * - LSH: the classic posting-list layout — one row per (hash table,
+  *   row), `PARTITIONED BY (table_id, bucket)`. L× storage
+  *   amplification buys probes that read exactly the L buckets the
+  *   query's signature selects; the OR-of-ANDs probe filter is
+  *   decidable per file from the two partition columns' stats, so all
+  *   other buckets' files prune away.
+  *
+  * Both probes exact-rerank candidates with the same fold-based cosine
+  * as the fallback paths, so results are bit-identical to the
+  * scan-based operators (and to the DuckDB oracles that simulate them).
+  */
+object AnnIndex {
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Assign every vector to its nearest centroid and write the corpus
+    * partitioned by `list_id` (offline index build; rebuild on codebook
+    * change).
+    */
+  def buildIvf(
+      df: DataFrame,
+      table: String,
+      embCol: String,
+      numLists: Int,
+      dim: Int,
+      seed: Long = 42L): Unit = {
+    val cents = Ivf.centroids(numLists, dim, seed)
+    df.withColumn("list_id", Ivf.listId(col(embCol), cents))
+      .writeTo(table)
+      .partitionedBy(col("list_id"))
+      .createOrReplace()
+  }
+
+  /** IVF probe against a built index: partition-pruned scan of the
+    * query's `nprobe` lists, exact cosine rerank. Result-identical to
+    * [[Ivf.topK]] on the same corpus/parameters.
+    */
+  def probeIvf(
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      numLists: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cents = Ivf.centroids(numLists, queryVec.length, seed)
+    val probes = Ivf.probeLists(queryVec, cents, nprobe)
+    val qLit = typedlit(queryVec.toSeq)
+    index
+      .filter(col("list_id").isin(probes: _*))
+      .withColumn("cos_sim", round(Ann.cosine(col(embCol), qLit), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Build the LSH posting-list index: explode each row into its L
+    * (table_id, bucket) assignments and write partitioned by both.
+    */
+  def buildLsh(
+      df: DataFrame,
+      table: String,
+      embCol: String,
+      l: Int,
+      bits: Int,
+      dim: Int,
+      seed: Long = 42L): Unit = {
+    val ps = Ann.planes(l, bits, dim, seed)
+    val assignments = array(ps.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("table_id"), Ann.bucket(col(embCol), tp).as("bucket"))
+    }: _*)
+    val carried = df.columns.map(col).toSeq
+    df.select(col("*"), explode(assignments).as("tb"))
+      .select(col("tb.table_id").as("table_id") +:
+        col("tb.bucket").as("bucket") +: carried: _*)
+      .writeTo(table)
+      .partitionedBy(col("table_id"), col("bucket"))
+      .createOrReplace()
+  }
+
+  /** LSH probe: read exactly the L buckets the query's signature
+    * selects, dedupe candidates (a row can land in several probed
+    * tables), exact-rerank. Result-identical to [[Ann.topK]].
+    */
+  def probeLsh(
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      l: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = Ann.planes(l, bits, queryVec.length, seed)
+    val probe = ps.zipWithIndex.map { case (tp, t) =>
+      col("table_id") === lit(t) &&
+        col("bucket") === lit(Ann.bucketOf(queryVec, tp))
+    }.reduce(_ || _)
+    val qLit = typedlit(queryVec.toSeq)
+    index
+      .filter(probe)
+      .drop("table_id", "bucket")
+      .dropDuplicates(idCol)
+      .withColumn("cos_sim", round(Ann.cosine(col(embCol), qLit), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

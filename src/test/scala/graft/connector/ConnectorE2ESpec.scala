@@ -227,6 +227,57 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("ANN index probes prune files (LSH posting lists + IVF lists)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ann")
+    graft.ops.AnnIndex.buildIvf(df, "graft.ann.emb_ivf", "embedding",
+      numLists = 4, dim = dim, seed = 42L)
+    graft.ops.AnnIndex.buildLsh(df, "graft.ann.emb_lsh", "embedding",
+      l = 2, bits = 2, dim = dim, seed = 42L)
+    val qVec = rows.head._2.map(_.toDouble)
+
+    // the scan the optimizer builds for a probe must select a strict
+    // subset of the table's files (partition pruning from pushed
+    // filters) — this is the claim that makes ANN viable at 100 TB
+    def selectedVsTotal(dfq: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val scan = dfq.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.collectFirst { case g: GraftScan => g }.get
+      (scan.selectedFiles.size, scan.table.liveFiles.size)
+    }
+
+    val ivfProbe = graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.ann.emb_ivf"), "vec_id", "embedding", qVec,
+      k = 10, numLists = 4, nprobe = 1, seed = 42L)
+    val (ivfSel, ivfTotal) = selectedVsTotal(ivfProbe)
+    assert(ivfTotal >= 3, s"IVF table should have several files, got $ivfTotal")
+    assert(ivfSel < ivfTotal,
+      s"IVF probe must prune: selected $ivfSel of $ivfTotal files")
+
+    val lshProbe = graft.ops.AnnIndex.probeLsh(
+      spark.table("graft.ann.emb_lsh"), "vec_id", "embedding", qVec,
+      k = 10, l = 2, bits = 2, seed = 42L)
+    val (lshSel, lshTotal) = selectedVsTotal(lshProbe)
+    assert(lshTotal >= 3, s"LSH table should have several files, got $lshTotal")
+    assert(lshSel < lshTotal,
+      s"LSH probe must prune: selected $lshSel of $lshTotal files")
+
+    // probes are result-identical to the scan-based fallback operators
+    val ivfExpected = graft.ops.Ivf.topK(df, "vec_id", "embedding", qVec,
+      k = 10, numLists = 4, nprobe = 1, seed = 42L)
+      .select("vec_id", "cos_sim").collect().toSeq
+    assert(ivfProbe.select("vec_id", "cos_sim").collect().toSeq == ivfExpected)
+    val lshExpected = graft.ops.Ann.topK(df, "vec_id", "embedding", qVec,
+      k = 10, l = 2, bits = 2, seed = 42L)
+      .select("vec_id", "cos_sim").collect().toSeq
+    assert(lshProbe.select("vec_id", "cos_sim").collect().toSeq == lshExpected)
+  }
+
   test("view DDL through spark.sql (reference test_create_view family)") {
     // replay of tests/python/tests/test_spark.py:68-153:
     // test_create_view / test_create_replace_view / test_rename_view /
