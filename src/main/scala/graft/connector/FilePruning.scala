@@ -143,3 +143,62 @@ object FilePruning {
     case other => other
   }
 }
+
+/** Manifest-level pruning from write-time summaries: decides whole
+  * manifests BEFORE their entry lists are parsed. Reuses
+  * [[FilePruning]] on a synthetic "file" carrying the manifest's
+  * merged column stats (And/Or/range/null logic is identical and
+  * conservative over merged ranges), plus a bucket-membership check
+  * against the summary's bounded partition-value sets.
+  */
+object ManifestPruning {
+
+  def mayMatch(
+      summary: ManifestSummary,
+      filters: Seq[Filter],
+      schema: StructType,
+      specs: Map[Int, PartitionSpec],
+      defaultSpec: PartitionSpec): Boolean = {
+    val merged = DataFile("", summary.totalBytes, summary.totalRecords,
+      summary.specIds.headOption.getOrElse(0), Map.empty, summary.columnStats)
+    // empty spec: bucket checks are done set-wise below, not per-value
+    val statsOk = FilePruning.mayMatch(
+      merged, filters, schema, PartitionSpec(-1, Nil))
+    statsOk && (summary.specIds match {
+      // bucket membership is only decidable when every entry was
+      // written under the same spec (mixed-spec manifests stay)
+      case Seq(one) =>
+        val spec = specs.getOrElse(one, defaultSpec)
+        filters.forall(f => evalBuckets(summary, f, schema, spec))
+      case _ => true
+    })
+  }
+
+  private def evalBuckets(s: ManifestSummary, filter: Filter,
+      schema: StructType, spec: PartitionSpec): Boolean = filter match {
+    case And(l, r) =>
+      evalBuckets(s, l, schema, spec) && evalBuckets(s, r, schema, spec)
+    case Or(l, r) =>
+      evalBuckets(s, l, schema, spec) || evalBuckets(s, r, schema, spec)
+    case EqualTo(col, v) => bucketMayContain(s, col, v, schema, spec)
+    case In(col, vs) =>
+      vs == null || vs.isEmpty ||
+        vs.exists(v => v == null || bucketMayContain(s, col, v, schema, spec))
+    case _ => true
+  }
+
+  private def bucketMayContain(s: ManifestSummary, col: String, v: Any,
+      schema: StructType, spec: PartitionSpec): Boolean =
+    spec.fields.filter(_.sourceName.equalsIgnoreCase(col)).forall { pf =>
+      pf.transform match {
+        case b: Transform.Bucket =>
+          (s.partitionValues.get(pf.name),
+            schema.fields.find(_.name.equalsIgnoreCase(col)).map(_.dataType)) match {
+            case (Some(vals), Some(dt)) if v != null =>
+              vals.flatten.exists(_.toInt == b.eval(v, dt))
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+}

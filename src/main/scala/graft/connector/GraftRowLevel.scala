@@ -211,7 +211,8 @@ class GraftCowBatchWrite(
         val manifests = keptManifests ++ (
           if (newFiles.nonEmpty)
             Seq(table.store.writeManifest(current.location,
-              ManifestFile(newFiles, snapshotId)))
+              ManifestFile(newFiles, snapshotId),
+              Some(current.currentSchema.struct)))
           else Nil)
         val snap = Snapshot(
           snapshotId,

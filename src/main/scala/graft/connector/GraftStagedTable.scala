@@ -90,7 +90,8 @@ class GraftStagedTable(
     GraftBatchWrite.requireContained(stagedMeta.location, files)
     def snapshotUpdates(parent: TableMetadata, op: String): Seq[TableUpdate] = {
       val manifest = catalog.store.writeManifest(stagedMeta.location,
-        ManifestFile(files, snapshotId))
+        ManifestFile(files, snapshotId),
+        Some(stagedMeta.currentSchema.struct))
       Seq(
         TableUpdate.AddSnapshot(Snapshot(
           snapshotId,
@@ -125,7 +126,8 @@ class GraftStagedTable(
           TableUpdate.SetProperties(stagedMeta.properties)) ++ {
           // replace snapshot references ONLY the new files
           val manifest = catalog.store.writeManifest(current.location,
-            ManifestFile(files, snapshotId))
+            ManifestFile(files, snapshotId),
+            Some(stagedMeta.currentSchema.struct))
           Seq(
             TableUpdate.AddSnapshot(Snapshot(
               snapshotId,

@@ -75,10 +75,13 @@ class GraftTable(
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC).asJava
 
-  /** Live data files of the read snapshot (union of its manifests). */
+  /** Live data files of the read snapshot (union of its manifests,
+    * parsed in parallel). Full listing — scans go through
+    * GraftScan.statSelectedFiles, which prunes whole manifests first.
+    */
   def liveFiles: Seq[DataFile] =
-    readSnapshot.toSeq.flatMap(_.manifests).flatMap(m =>
-      store.readManifest(meta.location, m).entries)
+    store.readManifests(meta.location,
+      readSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
@@ -171,16 +174,27 @@ class GraftScan(
     if (fileColOrdinal < 0) requiredSchema
     else StructType(requiredSchema.fields.patch(fileColOrdinal, Nil, 1))
 
-  /** Manifest-stats + partition-transform pruned file list. */
-  /** Each file is pruned under the spec it was WRITTEN with — after
-    * partition evolution, files from different generations carry
-    * different specIds and evaluating the wrong transform would
-    * silently drop matching files.
+  /** Two-level pruned file list. Level 1: whole MANIFESTS are pruned
+    * from their write-time summaries before any entry list is parsed
+    * (planning cost tracks surviving manifests, not total files);
+    * survivors parse in parallel. Level 2: each file is pruned under
+    * the spec it was WRITTEN with — after partition evolution, files
+    * from different generations carry different specIds and evaluating
+    * the wrong transform would silently drop matching files.
     */
-  private lazy val statSelectedFiles: Seq[DataFile] =
-    table.liveFiles.filter(f =>
-      FilePruning.mayMatch(f, filters.toSeq, dataSchema,
-        table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
+  private lazy val statSelectedFiles: Seq[DataFile] = {
+    val loc = table.meta.location
+    val manifests = table.readSnapshot.toSeq.flatMap(_.manifests)
+    val surviving = manifests.filter { m =>
+      table.store.readManifestSummary(loc, m).forall(s =>
+        ManifestPruning.mayMatch(s, filters.toSeq, dataSchema,
+          table.meta.specs, table.meta.defaultSpec))
+    }
+    table.store.readManifests(loc, surviving).flatMap(_.entries)
+      .filter(f =>
+        FilePruning.mayMatch(f, filters.toSeq, dataSchema,
+          table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
+  }
 
   /** Runtime narrowing from SupportsRuntimeV2Filtering (rewrite scans). */
   private var runtimePaths: Option[Set[String]] = None

@@ -186,7 +186,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
     GraftBatchWrite.requireContained(table.meta.location, newFiles)
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val manifestPath = table.store.writeManifest(table.meta.location,
-      ManifestFile(newFiles, snapshotId))
+      ManifestFile(newFiles, snapshotId), Some(writeSchema))
 
     val targetRef = table.writeRef
     // Spark's write query UUID doubles as the idempotency key

@@ -89,8 +89,13 @@ object ManifestReplace {
         val dir = java.nio.file.Paths.get(location, "metadata", "manifests")
         java.nio.file.Files.createDirectories(dir)
         val p = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+        val keptManifest = ManifestFile(kept, snapshotId)
         java.nio.file.Files.write(p,
-          Json.manifestToJson(ManifestFile(kept, snapshotId))
+          Json.manifestToJson(keptManifest)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toString + ".sum"),
+          Json.manifestSummaryToJson(ManifestSummary.of(keptManifest, schema))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val rel = p.toString.stripPrefix(location.stripSuffix("/") + "/")
         (Some(rel), removed.size.toLong)

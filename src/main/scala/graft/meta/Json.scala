@@ -230,6 +230,48 @@ object Json {
       (j \ "added-snapshot-id").extract[Long])
   }
 
+  // -------------------------------------------------- manifest summary
+  def manifestSummaryToJson(s: ManifestSummary): String = render(
+    ("entry-count" -> s.entryCount) ~
+      ("total-records" -> s.totalRecords) ~
+      ("total-bytes" -> s.totalBytes) ~
+      ("spec-ids" -> s.specIds) ~
+      ("stats" -> JObject(s.columnStats.toList.sortBy(_._1).map {
+        case (k, st) => JField(k,
+          ("min" -> st.min) ~ ("max" -> st.max) ~
+            ("null-count" -> st.nullCount)) })) ~
+      ("partition-values" -> JObject(s.partitionValues.toList.sortBy(_._1).map {
+        case (k, vs) => JField(k,
+          JArray(vs.toList.map(_.map(JString(_)).getOrElse(JNull)))) })))
+
+  def manifestSummaryFromJson(text: String): ManifestSummary = {
+    val j = parse(text)
+    ManifestSummary(
+      (j \ "entry-count").extract[Int],
+      (j \ "total-records").extract[Long],
+      (j \ "total-bytes").extract[Long],
+      (j \ "spec-ids").extract[Seq[Int]],
+      (j \ "stats") match {
+        case JObject(fields) => fields.map { case JField(k, v) =>
+          k -> ColumnStat(
+            optField(v, "min")(_.extract[String]),
+            optField(v, "max")(_.extract[String]),
+            optField(v, "null-count")(_.extract[Long]))
+        }.toMap
+        case _ => Map.empty[String, ColumnStat]
+      },
+      (j \ "partition-values") match {
+        case JObject(fields) => fields.map { case JField(k, v) =>
+          k -> v.children.map {
+            case JNull => None
+            case JString(s) => Some(s)
+            case other => Some(other.extract[String])
+          }
+        }.toMap
+        case _ => Map.empty[String, Seq[Option[String]]]
+      })
+  }
+
   // ---------------------------------------------------------------- view
   def viewMetadataToJson(v: ViewMetadata): String = render(
     ("view-uuid" -> v.viewUuid) ~

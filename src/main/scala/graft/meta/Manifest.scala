@@ -102,3 +102,68 @@ final case class ManifestFile(
   def totalRecords: Long = entries.map(_.recordCount).sum
   def totalBytes: Long = entries.map(_.fileSizeBytes).sum
 }
+
+/** Write-time aggregation of a manifest's entries — the analog of the
+  * per-manifest partition/stat ranges an Iceberg manifest LIST carries.
+  * Planning prunes whole manifests from these tiny summaries BEFORE
+  * parsing any entry list, so driver planning cost tracks the number
+  * of SURVIVING manifests, not total files.
+  *
+  * Conservative by construction: a column appears in `columnStats`
+  * only when every entry carried a stat for it; `partitionValues`
+  * keeps a partition field only when the distinct value set is small
+  * (≤ [[ManifestSummary.MaxPartitionValues]]) and present in every
+  * entry. Anything absent ⇒ "unknown" ⇒ the manifest is kept.
+  */
+final case class ManifestSummary(
+    entryCount: Int,
+    totalRecords: Long,
+    totalBytes: Long,
+    specIds: Seq[Int],
+    columnStats: Map[String, ColumnStat],
+    partitionValues: Map[String, Seq[Option[String]]])
+
+object ManifestSummary {
+  val MaxPartitionValues = 32
+
+  /** Merge entry stats under the write schema's types (string compare
+    * would mis-order numerics).
+    */
+  def of(m: ManifestFile, schema: StructType): ManifestSummary = {
+    val entries = m.entries
+    val statNames =
+      if (entries.isEmpty) Set.empty[String]
+      else entries.map(_.columnStats.keySet).reduce(_ intersect _)
+
+    def mergeBound(vals: Seq[String], dt: DataType, takeMin: Boolean): Option[String] =
+      vals.reduceOption { (a, b) =>
+        val c = ColumnStat.compare(a, ColumnStat.parse(b, dt), dt)
+        if ((takeMin && c <= 0) || (!takeMin && c >= 0)) a else b
+      }
+
+    val merged = statNames.toSeq.flatMap { n =>
+      schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType).map { dt =>
+        val sts = entries.map(_.columnStats(n))
+        val nulls =
+          if (sts.forall(_.nullCount.isDefined)) Some(sts.flatMap(_.nullCount).sum)
+          else None
+        n -> ColumnStat(
+          mergeBound(sts.flatMap(_.min), dt, takeMin = true),
+          mergeBound(sts.flatMap(_.max), dt, takeMin = false),
+          nulls)
+      }
+    }.toMap
+
+    val fieldNames = entries.flatMap(_.partition.keySet).distinct
+    val pv = fieldNames.flatMap { fn =>
+      if (!entries.forall(_.partition.contains(fn))) None
+      else {
+        val vals = entries.map(_.partition(fn)).distinct
+        if (vals.size <= MaxPartitionValues) Some(fn -> vals) else None
+      }
+    }.toMap
+
+    ManifestSummary(entries.size, m.totalRecords, m.totalBytes,
+      entries.map(_.specId).distinct, merged, pv)
+  }
+}

@@ -654,19 +654,76 @@ class FileCatalogStore(val root: String) {
     if (path.startsWith("/")) path
     else s"${location.stripSuffix("/")}/$path"
 
-  def writeManifest(location: String, manifest: ManifestFile): String = {
+  def writeManifest(location: String, manifest: ManifestFile,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
     val dir = Paths.get(location, "metadata", "manifests")
     val rel = manifest.copy(entries = manifest.entries.map(f =>
       f.copy(path = relativize(location, f.path))))
     val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
     writeString(p, Json.manifestToJson(rel))
+    // write-time aggregation: the tiny sidecar planning prunes whole
+    // manifests from, before parsing any entry list
+    schema.foreach { sc =>
+      writeString(Paths.get(p.toString + ".sum"),
+        Json.manifestSummaryToJson(ManifestSummary.of(rel, sc)))
+    }
     relativize(location, p.toString)
   }
 
-  def readManifest(location: String, path: String): ManifestFile = {
-    val m = Json.manifestFromJson(
-      readString(Paths.get(resolvePath(location, path))))
-    m.copy(entries = m.entries.map(f =>
-      f.copy(path = resolvePath(location, f.path))))
+  /** Write-time summary of a manifest, if its writer produced one
+    * (legacy manifests without sidecars are conservatively parsed).
+    */
+  def readManifestSummary(location: String, path: String): Option[ManifestSummary] = {
+    val p = Paths.get(resolvePath(location, path) + ".sum")
+    if (!Files.exists(p)) None
+    else scala.util.Try(
+      Json.manifestSummaryFromJson(readString(p))).toOption
   }
+
+  def readManifest(location: String, path: String): ManifestFile = {
+    FileCatalogStore.manifestOpens.incrementAndGet()
+    val abs = resolvePath(location, path)
+    FileCatalogStore.manifestCache.synchronized {
+      val hit = FileCatalogStore.manifestCache.get(abs)
+      if (hit != null) return hit
+    }
+    val m = Json.manifestFromJson(readString(Paths.get(abs)))
+    val resolved = m.copy(entries = m.entries.map(f =>
+      f.copy(path = resolvePath(location, f.path))))
+    FileCatalogStore.manifestCache.synchronized {
+      FileCatalogStore.manifestCache.put(abs, resolved)
+    }
+    resolved
+  }
+
+  /** Parse many manifests in parallel (planning path: survivors of
+    * manifest-level pruning; driver cost = surviving manifests / cores).
+    */
+  def readManifests(location: String, paths: Seq[String]): Seq[ManifestFile] = {
+    if (paths.size <= 2) return paths.map(readManifest(location, _))
+    val out = new Array[ManifestFile](paths.size)
+    val idx = paths.toIndexedSeq
+    java.util.stream.IntStream.range(0, idx.size).parallel()
+      .forEach(i => out(i) = readManifest(location, idx(i)))
+    out.toSeq
+  }
+}
+
+object FileCatalogStore {
+  /** Logical manifest opens (cache hits included) — lets tests assert
+    * how many manifests a scan NEEDED, independent of caching.
+    */
+  val manifestOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Manifest files are immutable and UUID-named, so an LRU cache by
+    * absolute path can never serve stale content.
+    */
+  private val manifestCacheSize =
+    sys.props.getOrElse("graft.manifest.cache.size", "64").toInt
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, ManifestFile](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestFile]): Boolean =
+        size() > manifestCacheSize
+    }
 }

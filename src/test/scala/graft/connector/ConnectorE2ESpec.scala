@@ -227,6 +227,40 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("manifest-level pruning: non-matching manifests are never parsed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.mprune (id BIGINT, v STRING)")
+    // three inserts → three manifests with disjoint id ranges
+    spark.sql("INSERT INTO graft.db.mprune SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.db.mprune SELECT id, 'b' FROM range(100, 200)")
+    spark.sql("INSERT INTO graft.db.mprune SELECT id, 'c' FROM range(200, 300)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val tid = graft.store.TabularId(Seq("db"), "mprune")
+    val meta = cat.store.loadTableMetadata(tid).get._1
+    val manifests = meta.currentSnapshot.get.manifests
+    assert(manifests.size == 3)
+    // every manifest has a write-time summary sidecar
+    assert(manifests.forall(m =>
+      cat.store.readManifestSummary(meta.location, m).isDefined))
+
+    // planning a point query must OPEN only the matching manifest
+    import org.apache.spark.sql.sources.EqualTo
+    val g = new GraftTable(cat.store, tid, meta, None)
+    val scan = new GraftScan(g, Array(EqualTo("id", 150L)), g.schema())
+    val before = graft.store.FileCatalogStore.manifestOpens.get()
+    val selected = scan.selectedFiles
+    val opened = graft.store.FileCatalogStore.manifestOpens.get() - before
+    assert(opened == 1, s"expected 1 manifest opened, got $opened")
+    assert(selected.nonEmpty)
+
+    // and the result through SQL stays exact
+    val result = spark.sql("SELECT v FROM graft.db.mprune WHERE id = 150")
+      .collect().map(_.getString(0)).toSeq
+    assert(result == Seq("b"))
+  }
+
   test("ANN index probes prune files (LSH posting lists + IVF lists)") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val dim = 8
