@@ -28,6 +28,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private var catalogName: String = _
   private[graft] var store: FileCatalogStore = _
+  private[graft] var scheduler: Option[graft.maintenance.TaskScheduler] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -35,6 +36,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'"))
     store = new FileCatalogStore(warehouse)
+    // background maintenance daemon (reference: queue workers spawned
+    // with the service — config.rs:1057-1061 poll interval, grace)
+    if (Option(options.get("scheduler.enabled")).contains("true")) {
+      val s = new graft.maintenance.TaskScheduler(store,
+        pollMs = Option(options.get("scheduler.poll-ms"))
+          .map(_.toLong).getOrElse(10000L),
+        graceMs = Option(options.get("scheduler.expiration-grace-ms"))
+          .map(_.toLong)
+          .getOrElse(graft.maintenance.ExpirationQueue.DefaultGraceMs))
+      s.start()
+      scheduler = Some(s)
+    }
   }
 
   override def name(): String = catalogName

@@ -29,7 +29,7 @@ object Procedures {
     "expire_snapshots", "remove_orphan_files",
     "search_tabular", "warehouse_statistics", "endpoint_statistics",
     "undrop_table", "set_protection", "list_deleted_tabulars",
-    "expire_deleted_tabulars", "create_generic_table")
+    "expire_deleted_tabulars", "create_generic_table", "process_tasks")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -47,6 +47,7 @@ object Procedures {
         Some(ExpireDeletedTabularsProcedure(catalog))
       case "create_generic_table" =>
         Some(CreateGenericTableProcedure(catalog))
+      case "process_tasks" => Some(ProcessTasksProcedure(catalog))
       case _ => None
     }
 
@@ -347,6 +348,28 @@ final case class ExpireDeletedTabularsProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema,
       purged.map(id => new GenericInternalRow(
         Array[Any](Procedures.utf8(id.toString))): InternalRow))
+  }
+}
+
+/** One synchronous scheduler poll (reference: the queue workers run
+  * continuously; `CALL system.process_tasks()` drains due tasks on
+  * demand — useful when the background daemon is disabled).
+  */
+final case class ProcessTasksProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "process_tasks"
+  override def description(): String =
+    "Claim and run all due background maintenance tasks"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val sched = catalog.scheduler.getOrElse(
+      new graft.maintenance.TaskScheduler(catalog.store))
+    val ran = sched.runOnce(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("tasks_run", IntegerType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](ran)): InternalRow))
   }
 }
 

@@ -1,0 +1,150 @@
+package graft.maintenance
+
+import scala.util.control.NonFatal
+
+import graft.store.{FileCatalogStore, TabularId, TaskRecord}
+
+/** Background task scheduler (reference: service/tasks/mod.rs — poll
+  * loop over catalog-persisted queue state, per-queue handlers,
+  * bounded retries with exponential backoff, heartbeats with
+  * stale-claim recovery; docs/docs/table-maintenance.md:20-58 for the
+  * maintenance wiring).
+  *
+  * The driver-side daemon thread is the analog of the reference's
+  * queue workers: tasks live in the catalog (surviving restarts), the
+  * scheduler claims due ones each poll and runs the queue's handler.
+  * `runOnce(now)` is the test seam — the poll body with an injected
+  * clock, no thread needed.
+  */
+class TaskScheduler(
+    store: FileCatalogStore,
+    pollMs: Long = 10000L,
+    graceMs: Long = ExpirationQueue.DefaultGraceMs,
+    backoffMs: Long = 30000L,
+    extraQueues: Map[String, TaskRecord => Unit] = Map.empty,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  /** Built-in queue handlers (reference queues of the same names). */
+  private def handlers: Map[String, TaskRecord => Unit] = Map[String, TaskRecord => Unit](
+    // deferred purge of a soft-deleted tabular once its grace expired;
+    // undrop in the meantime cancels (tabular_expiration_queue.rs:155-245)
+    "tabular_expiration" -> { t =>
+      val id = taskTabularId(t)
+      store.loadTabularInfo(id) match {
+        case Some(info) if info.deletedMs.isDefined && !info.protected_ =>
+          store.dropTabular(id, purge = true, force = false, softDelete = false)
+        case _ => // undropped, protected, or already gone — nothing to do
+      }
+    },
+    "tabular_purge" -> { t =>
+      store.dropTabular(taskTabularId(t), purge = true, force = false,
+        softDelete = false)
+    },
+    "task_log_cleanup" -> { t =>
+      TaskLogCleanup.run(store,
+        t.payload.get("older-than-ms").map(_.toLong)
+          .getOrElse(clock() - 30L * 24 * 3600 * 1000))
+    },
+    "expire_snapshots" -> { t =>
+      ExpireSnapshots.run(store, taskTabularId(t))
+    }) ++ extraQueues
+
+  private def taskTabularId(t: TaskRecord): TabularId =
+    TabularId(t.payload("namespace").split('.').toSeq, t.payload("name"))
+
+  /** Snapshot-count threshold for adaptive expire_snapshots enqueue. */
+  private val AdaptiveSnapshotThreshold =
+    sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toInt
+
+  @volatile private var running = false
+  private var thread: Option[Thread] = None
+
+  def start(): Unit = synchronized {
+    if (running) return
+    running = true
+    val th = new Thread(() => {
+      while (running) {
+        try runOnce(clock())
+        catch { case NonFatal(_) => } // the loop itself never dies
+        try Thread.sleep(pollMs) catch { case _: InterruptedException => }
+      }
+    }, "graft-task-scheduler")
+    th.setDaemon(true)
+    th.start()
+    thread = Some(th)
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    thread.foreach(_.interrupt())
+    thread = None
+  }
+
+  /** One poll round: (1) ensure queue tasks exist for work the catalog
+    * implies (soft-deleted tabulars → tabular_expiration at
+    * deletedMs+grace; snapshot-heavy tables → expire_snapshots — the
+    * adaptive scheduling of table-maintenance.md:20-58), (2) claim due
+    * tasks, (3) run handlers with retry/backoff bookkeeping.
+    *
+    * @return number of tasks that ran (successfully or not)
+    */
+  def runOnce(nowMs: Long): Int = {
+    ensureImpliedTasks(nowMs)
+    val due = store.claimDueTasks(nowMs)
+    due.count { t =>
+      handlers.get(t.queue) match {
+        case None =>
+          store.updateTask(t.copy(status = "failed",
+            lastError = Some(s"no handler for queue ${t.queue}")))
+          false
+        case Some(h) =>
+          try {
+            h(t)
+            store.updateTask(t.copy(status = "done",
+              heartbeatMs = Some(nowMs), lastError = None))
+            true
+          } catch {
+            case NonFatal(e) =>
+              val attempt = t.attempt + 1
+              if (attempt >= t.maxAttempts)
+                store.updateTask(t.copy(status = "failed", attempt = attempt,
+                  lastError = Some(e.toString)))
+              else
+                // exponential backoff, capped at 32× the base
+                store.updateTask(t.copy(status = "pending", attempt = attempt,
+                  scheduledAtMs =
+                    nowMs + backoffMs * math.min(32L, 1L << attempt),
+                  lastError = Some(e.toString)))
+              true
+          }
+      }
+    }
+  }
+
+  /** Idempotent: dedupe keys make repeated polls enqueue nothing new. */
+  private def ensureImpliedTasks(nowMs: Long): Unit = {
+    store.listDeletedTabulars().foreach { info =>
+      info.deletedMs.foreach { del =>
+        store.enqueueTask("tabular_expiration",
+          Map("namespace" -> info.id.namespace.mkString("."),
+            "name" -> info.id.name),
+          runAtMs = del + graceMs,
+          dedupeKey = Some(s"${info.id}-$del"))
+      }
+    }
+    // adaptive expire_snapshots: tables whose snapshot count crossed
+    // the threshold get a cleanup task (re-armed per snapshot count,
+    // so continued write pressure keeps rescheduling)
+    store.listAllTabulars(includeDeleted = false)
+      .filter(_.kind == "table").foreach { info =>
+        try store.loadTableMetadata(info.id).foreach { case (meta, _) =>
+          if (meta.snapshots.size >= AdaptiveSnapshotThreshold)
+            store.enqueueTask("expire_snapshots",
+              Map("namespace" -> info.id.namespace.mkString("."),
+                "name" -> info.id.name),
+              runAtMs = nowMs,
+              dedupeKey = Some(s"${info.id}-snaps-${meta.snapshots.size}"))
+        } catch { case NonFatal(_) => }
+      }
+  }
+}

@@ -30,6 +30,21 @@ final case class TabularInfo(
     protected_ : Boolean,
     metadataLocation: Option[String])
 
+/** One persisted background task (reference: service/tasks/mod.rs —
+  * the queue row: queue name, payload, scheduled-at, attempts,
+  * status, heartbeat).
+  */
+final case class TaskRecord(
+    taskId: String,
+    queue: String,
+    payload: Map[String, String],
+    scheduledAtMs: Long,
+    attempt: Int,
+    maxAttempts: Int,
+    status: String, // pending | running | done | failed
+    lastError: Option[String],
+    heartbeatMs: Option[Long])
+
 class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
 class NoSuchTabularException(msg: String) extends RuntimeException(msg)
 class AlreadyExistsException(msg: String) extends RuntimeException(msg)
@@ -653,6 +668,104 @@ class FileCatalogStore(val root: String) {
   def resolvePath(location: String, path: String): String =
     if (path.startsWith("/")) path
     else s"${location.stripSuffix("/")}/$path"
+
+  // ------------------------------------------------------------ task queue
+  // Catalog-persisted background-task state (reference:
+  // service/tasks/mod.rs — pending/running/done/failed lifecycle,
+  // scheduled-at, attempt counts, retry backoff, heartbeats). One JSON
+  // file per task under <warehouse>/.tasks.
+  private def tasksDir: Path = rootPath.resolve(".tasks")
+  private val taskLock = new Object
+
+  private def taskPath(taskId: String): Path =
+    tasksDir.resolve(s"$taskId.json")
+
+  private def taskToJson(t: TaskRecord): String = {
+    import org.json4s.JsonDSL._
+    Json.render(
+      ("task-id" -> t.taskId) ~ ("queue" -> t.queue) ~
+        ("payload" -> t.payload) ~ ("scheduled-at-ms" -> t.scheduledAtMs) ~
+        ("attempt" -> t.attempt) ~ ("max-attempts" -> t.maxAttempts) ~
+        ("status" -> t.status) ~ ("last-error" -> t.lastError) ~
+        ("heartbeat-ms" -> t.heartbeatMs))
+  }
+
+  private def taskFromJson(s: String): TaskRecord = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = Json.parse(s)
+    TaskRecord(
+      (j \ "task-id").extract[String],
+      (j \ "queue").extract[String],
+      (j \ "payload").extract[Map[String, String]],
+      (j \ "scheduled-at-ms").extract[Long],
+      (j \ "attempt").extract[Int],
+      (j \ "max-attempts").extract[Int],
+      (j \ "status").extract[String],
+      (j \ "last-error") match {
+        case JNothing | JNull => None; case v => Some(v.extract[String]) },
+      (j \ "heartbeat-ms") match {
+        case JNothing | JNull => None; case v => Some(v.extract[Long]) })
+  }
+
+  /** Enqueue; `dedupeKey` makes repeated enqueues of the same logical
+    * task (e.g. per soft-delete event) idempotent.
+    */
+  def enqueueTask(queue: String, payload: Map[String, String],
+      runAtMs: Long, maxAttempts: Int = 5,
+      dedupeKey: Option[String] = None): TaskRecord = taskLock.synchronized {
+    val id = dedupeKey.map(k => s"$queue-${fold(k).replaceAll("[^a-z0-9-]", "_")}")
+      .getOrElse(s"$queue-${UUID.randomUUID()}")
+    val existing = taskPath(id)
+    if (Files.exists(existing)) return taskFromJson(readString(existing))
+    val t = TaskRecord(id, queue, payload, runAtMs, 0, maxAttempts,
+      "pending", None, None)
+    writeString(existing, taskToJson(t))
+    t
+  }
+
+  def listTasks(queue: Option[String] = None,
+      status: Option[String] = None): Seq[TaskRecord] = taskLock.synchronized {
+    if (!Files.isDirectory(tasksDir)) return Nil
+    val s = Files.list(tasksDir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => scala.util.Try(taskFromJson(readString(p))).toOption)
+      .filter(t => queue.forall(_ == t.queue) && status.forall(_ == t.status))
+      .toSeq
+    finally s.close()
+  }
+
+  def updateTask(t: TaskRecord): Unit = taskLock.synchronized {
+    writeString(taskPath(t.taskId), taskToJson(t))
+  }
+
+  /** Due pending tasks transitioned to running (claimed) atomically
+    * under the store lock; stale "running" tasks (heartbeat older than
+    * `staleMs`) are re-claimed — crash recovery.
+    */
+  def claimDueTasks(nowMs: Long, staleMs: Long = 10 * 60 * 1000L): Seq[TaskRecord] =
+    taskLock.synchronized {
+      listTasksUnlocked().filter { t =>
+        (t.status == "pending" && t.scheduledAtMs <= nowMs) ||
+          (t.status == "running" &&
+            t.heartbeatMs.forall(_ + staleMs <= nowMs))
+      }.map { t =>
+        val claimed = t.copy(status = "running", heartbeatMs = Some(nowMs))
+        writeString(taskPath(t.taskId), taskToJson(claimed))
+        claimed
+      }
+    }
+
+  private def listTasksUnlocked(): Seq[TaskRecord] = {
+    if (!Files.isDirectory(tasksDir)) return Nil
+    val s = Files.list(tasksDir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => scala.util.Try(taskFromJson(readString(p))).toOption)
+      .toSeq
+    finally s.close()
+  }
 
   def writeManifest(location: String, manifest: ManifestFile,
       schema: Option[org.apache.spark.sql.types.StructType] = None): String = {

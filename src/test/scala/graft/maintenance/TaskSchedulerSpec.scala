@@ -1,0 +1,140 @@
+package graft.maintenance
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+import graft.store._
+
+/** Scheduler lifecycle with an injected clock: tasks are
+  * catalog-persisted, claimed when due, retried with backoff, and the
+  * maintenance queues run WITHOUT any explicit CALL.
+  */
+class TaskSchedulerSpec extends AnyFunSuite {
+
+  private def freshStore(): FileCatalogStore =
+    new FileCatalogStore(Files.createTempDirectory("graft-sched").toString)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mkTable(store: FileCatalogStore, id: TabularId): TableMetadata =
+    store.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, store.tableLocation(id), schema))
+
+  test("soft-delete → grace passes → scheduler purges without a CALL") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t1")
+    mkTable(s, id)
+    s.dropTabular(id, purge = false) // soft delete
+    assert(s.listDeletedTabulars().map(_.id) == Seq(id))
+
+    val grace = 1000L * 60
+    var now = System.currentTimeMillis()
+    val sched = new TaskScheduler(s, graceMs = grace, clock = () => now)
+
+    // before grace: the expiration task exists but is not due
+    sched.runOnce(now)
+    val pending = s.listTasks(queue = Some("tabular_expiration"))
+    assert(pending.size == 1 && pending.head.status == "pending")
+    assert(s.listDeletedTabulars().nonEmpty, "must not purge inside grace")
+
+    // past grace: the poll claims and purges
+    now += grace + 1
+    val ran = sched.runOnce(now)
+    assert(ran == 1)
+    assert(s.listDeletedTabulars().isEmpty, "tombstone purged")
+    assert(s.loadTabularInfo(id).isEmpty, "tabular directory gone")
+    assert(s.listTasks(status = Some("done")).size == 1)
+
+    // further polls do nothing (dedupe key + done status)
+    assert(sched.runOnce(now + 1000) == 0)
+  }
+
+  test("undrop inside grace cancels the purge") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t2")
+    mkTable(s, id)
+    s.dropTabular(id, purge = false)
+    var now = System.currentTimeMillis()
+    val sched = new TaskScheduler(s, graceMs = 1000L, clock = () => now)
+    sched.runOnce(now)
+    assert(s.undrop(id))
+    now += 2000L
+    sched.runOnce(now)
+    // the handler saw a live tabular and did nothing
+    assert(s.loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+    assert(s.listTasks(status = Some("done")).size == 1)
+  }
+
+  test("failed handler retries with backoff then lands in failed") {
+    val s = freshStore()
+    var attempts = 0
+    val boom: TaskRecord => Unit = _ => { attempts += 1; sys.error("boom") }
+    var now = 1000000L
+    val sched = new TaskScheduler(s, backoffMs = 100L,
+      extraQueues = Map("explode" -> boom), clock = () => now)
+    s.enqueueTask("explode", Map.empty, runAtMs = now, maxAttempts = 3)
+
+    sched.runOnce(now) // attempt 1 → pending with backoff
+    val afterFirst = s.listTasks(queue = Some("explode")).head
+    assert(afterFirst.status == "pending" && afterFirst.attempt == 1)
+    assert(afterFirst.scheduledAtMs > now)
+
+    sched.runOnce(now) // not due yet
+    assert(attempts == 1)
+
+    now = afterFirst.scheduledAtMs + 1
+    sched.runOnce(now) // attempt 2
+    now = s.listTasks(queue = Some("explode")).head.scheduledAtMs + 1
+    sched.runOnce(now) // attempt 3 → failed
+    val terminal = s.listTasks(queue = Some("explode")).head
+    assert(terminal.status == "failed" && terminal.attempt == 3)
+    assert(terminal.lastError.exists(_.contains("boom")))
+    assert(attempts == 3)
+    assert(sched.runOnce(now + 10000) == 0, "failed tasks never re-run")
+  }
+
+  test("stale running task is re-claimed (crash recovery)") {
+    val s = freshStore()
+    var ran = 0
+    var now = 5000000L
+    val sched = new TaskScheduler(s,
+      extraQueues = Map("work" -> (_ => ran += 1)), clock = () => now)
+    val t = s.enqueueTask("work", Map.empty, runAtMs = now)
+    // simulate a claim by a crashed worker long ago
+    s.updateTask(t.copy(status = "running", heartbeatMs = Some(now)))
+    sched.runOnce(now + 1000) // heartbeat fresh → not stale, not re-run
+    assert(ran == 0)
+    now += 11 * 60 * 1000L // past the 10 min stale window
+    sched.runOnce(now)
+    assert(ran == 1)
+    assert(s.listTasks(status = Some("done")).size == 1)
+  }
+
+  test("adaptive expire_snapshots task appears for snapshot-heavy tables") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "hot")
+    val meta = mkTable(s, id)
+    // cross the (overridden) threshold with tiny snapshots
+    System.setProperty("graft.scheduler.snapshot.threshold", "3")
+    try {
+      (1 to 3).foreach { i =>
+        s.commitTable(id, Nil, Seq(
+          TableUpdate.AddSnapshot(Snapshot(i.toLong, None, i.toLong,
+            1000L + i, "append", Map.empty, Nil, 0)),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+            SnapshotRef(i.toLong, isBranch = true))))
+      }
+      val now = System.currentTimeMillis()
+      val sched = new TaskScheduler(s, clock = () => now)
+      sched.runOnce(now)
+      assert(s.listTasks(queue = Some("expire_snapshots")).nonEmpty)
+    } finally System.clearProperty("graft.scheduler.snapshot.threshold")
+    assert(meta.tableUuid.nonEmpty)
+  }
+}
