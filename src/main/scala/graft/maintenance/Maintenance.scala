@@ -21,6 +21,31 @@ private[maintenance] object ManifestIO {
         if (f.path.startsWith("/")) f.path else s"$tableLocation/${f.path}")
 }
 
+/** Micro-batched distributed deletes (reference contract:
+  * table-maintenance.md:70 — "files are deleted in micro-batches").
+  * Small sets stay on the driver (job launch overhead beats
+  * parallelism); large sets fan out so a million-orphan cleanup is
+  * bounded by executor parallelism, not one driver thread.
+  */
+private[maintenance] object DeleteFiles {
+  private val DriverThreshold = 256
+  private val BatchPerPartition = 1024
+
+  def run(paths: Seq[String]): Unit = {
+    def del(p: String): Unit =
+      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
+    if (paths.isEmpty) ()
+    else if (paths.size <= DriverThreshold) paths.foreach(del)
+    else {
+      val spark = SparkSession.active
+      val partitions =
+        math.max(1, math.min(paths.size / BatchPerPartition + 1, 64))
+      spark.sparkContext.parallelize(paths, partitions)
+        .foreachPartition(_.foreach(del))
+    }
+  }
+}
+
 /** Table-maintenance jobs — the most Spark-shaped computations in the
   * reference (docs/docs/table-maintenance.md:8-124 specifies the
   * semantics; the enterprise edition implements them as queue
@@ -112,14 +137,13 @@ object ExpireSnapshots {
 
     // commit snapshot removal first; file deletes only after success
     store.commitTable(id, Nil, Seq(TableUpdate.RemoveSnapshots(expired.toSeq)))
-    deletable.foreach { p =>
-      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
-    }
-    // manifests referenced by no surviving snapshot
-    (expiredManifests.toSet -- keptManifests.toSet).foreach { m =>
-      try Files.deleteIfExists(Paths.get(store.resolvePath(meta.location, m)))
-      catch { case NonFatal(_) => }
-    }
+    DeleteFiles.run(deletable)
+    // manifests referenced by no surviving snapshot (+ their summary
+    // sidecars)
+    DeleteFiles.run(
+      (expiredManifests.toSet -- keptManifests.toSet).toSeq
+        .map(store.resolvePath(meta.location, _))
+        .flatMap(p => Seq(p, p + ".sum")))
     Result(expired.size.toLong, deletable.size.toLong)
   }
 }
@@ -190,14 +214,16 @@ object RemoveOrphanFiles {
       // metadata/ is judged by reference
       meta.metadataLog.map(_.metadataFile).toSet ++
         (if (Files.isDirectory(dir))
-          Files.list(dir).iterator().asScala
+          FileCatalogStore.listDir(dir)
             .filter(p => p.getFileName.toString.endsWith(".metadata.json"))
             .map(_.toString).toSet
         else Set.empty[String])
     }
     val manifests = meta.snapshots.values.flatMap(_.manifests).toSeq.distinct
-    val manifestPaths =
-      manifests.map(m => store.resolvePath(meta.location, m)).toSet
+    // a live manifest keeps its write-time summary sidecar too
+    val manifestPaths = manifests
+      .map(m => store.resolvePath(meta.location, m))
+      .flatMap(p => Seq(p, p + ".sum")).toSet
     val statsPaths = (meta.statistics ++ meta.partitionStatistics)
       .map(_.path).toSet
     metadataFiles ++ manifestPaths ++ statsPaths
@@ -221,15 +247,15 @@ object RemoveOrphanFiles {
     // task walks its subtree (data/ is partition-dir structured, so
     // the fan-out matches partitioning). Dotfiles are catalog-internal
     // sidecars (.grafttabular.json, commit tmp files) — never touched.
-    val top = Files.list(Paths.get(root)).iterator().asScala
+    val top = FileCatalogStore.listDir(Paths.get(root))
       .filterNot(_.getFileName.toString.startsWith("."))
-      .map(_.toString).toSeq
+      .map(_.toString)
     val listed = spark.createDataset(top)
       .repartition(math.max(1, math.min(math.max(top.size, 1), 32)))
       .mapPartitions { it =>
         def walk(p: Path): Iterator[(String, Long)] =
           if (Files.isDirectory(p))
-            Files.list(p).iterator().asScala
+            FileCatalogStore.listDir(p).iterator
               .filterNot(_.getFileName.toString.startsWith("."))
               .flatMap(walk)
           else Iterator((p.toString, Files.getLastModifiedTime(p).toMillis))
@@ -252,9 +278,7 @@ object RemoveOrphanFiles {
       .filter($"mtime" < cutoff)
       .select("path").as[String].collect().toSeq
 
-    if (!dryRun) orphans.foreach { p =>
-      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
-    }
+    if (!dryRun) DeleteFiles.run(orphans)
     orphans
   }
 }

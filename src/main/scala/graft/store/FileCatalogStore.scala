@@ -193,10 +193,10 @@ class FileCatalogStore(val root: String) {
     if (parent.nonEmpty && !namespaceExists(parent))
       throw new NoSuchNamespaceException(parent.mkString("."))
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    FileCatalogStore.listDir(dir)
       .filter(p => Files.exists(p.resolve(NsMeta)))
       .map(p => loadNamespace(parent :+ p.getFileName.toString)._1)
-      .toSeq.sortBy(_.mkString(""))
+      .sortBy(_.mkString(""))
   }
 
   def dropNamespace(ns: Seq[String], recursive: Boolean): Boolean = {
@@ -212,7 +212,7 @@ class FileCatalogStore(val root: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      FileCatalogStore.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -255,7 +255,7 @@ class FileCatalogStore(val root: String) {
       kind: Option[String] = None): Seq[TabularInfo] = {
     val dir = nsPath(ns)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    FileCatalogStore.listDir(dir).iterator
       .filter(p => Files.exists(p.resolve(TabMeta)))
       .flatMap(p => loadTabularInfo(
         TabularId(ns, p.getFileName.toString)))
@@ -315,7 +315,7 @@ class FileCatalogStore(val root: String) {
   def currentVersion(id: TabularId): Int = {
     val dir = metadataDir(id)
     if (!Files.isDirectory(dir)) -1
-    else Files.list(dir).iterator().asScala
+    else FileCatalogStore.listDir(dir)
       .flatMap(p => p.getFileName.toString match {
         case VersionRe(n) => Some(n.toInt); case _ => None })
       .foldLeft(-1)(math.max)
@@ -439,7 +439,7 @@ class FileCatalogStore(val root: String) {
     val dir = metadataDir(id)
     val cutoff = committedVersion - keep - 1
     if (cutoff < 0) return
-    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+    FileCatalogStore.listDir(dir).foreach { p =>
       p.getFileName.toString match {
         case VersionRe(n) if n.toInt <= cutoff =>
           try Files.deleteIfExists(p) catch { case NonFatal(_) => }
@@ -823,6 +823,14 @@ class FileCatalogStore(val root: String) {
 }
 
 object FileCatalogStore {
+  /** Materialized directory listing that always closes the stream
+    * (a bare Files.list leaks a file handle on a long-lived driver).
+    */
+  def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Logical manifest opens (cache hits included) — lets tests assert
     * how many manifests a scan NEEDED, independent of caching.
     */
