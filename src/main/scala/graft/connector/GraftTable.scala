@@ -216,6 +216,37 @@ class GraftScan(
       java.util.OptionalLong.of(math.max(1L, selectedFiles.map(_.fileSizeBytes).sum))
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(selectedFiles.map(_.recordCount).sum)
+    /** ANALYZE-produced per-column NDV/null stats of the read snapshot
+      * (graft.maintenance.Analyze), surfaced so Spark's CBO sees real
+      * distinct counts when choosing join strategies.
+      */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      for {
+        snap <- table.readSnapshot
+        stats <- graft.maintenance.Analyze.forSnapshot(table.meta, snap.snapshotId)
+        f <- requiredSchema.fields
+        cs <- stats.columns.get(f.name)
+      } out.put(
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(cs.ndv)
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(cs.nullCount)
+          override def avgLen(): java.util.OptionalLong =
+            cs.avgLen.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+          override def maxLen(): java.util.OptionalLong =
+            cs.maxLen.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+        })
+      out
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -29,7 +29,8 @@ object Procedures {
     "expire_snapshots", "remove_orphan_files",
     "search_tabular", "warehouse_statistics", "endpoint_statistics",
     "undrop_table", "set_protection", "list_deleted_tabulars",
-    "expire_deleted_tabulars", "create_generic_table", "process_tasks")
+    "expire_deleted_tabulars", "create_generic_table", "process_tasks",
+    "analyze_table")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -48,6 +49,7 @@ object Procedures {
       case "create_generic_table" =>
         Some(CreateGenericTableProcedure(catalog))
       case "process_tasks" => Some(ProcessTasksProcedure(catalog))
+      case "analyze_table" => Some(AnalyzeTableProcedure(catalog))
       case _ => None
     }
 
@@ -370,6 +372,36 @@ final case class ProcessTasksProcedure(catalog: GraftCatalog)
     val schema = StructType(Seq(StructField("tasks_run", IntegerType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](ran)): InternalRow))
+  }
+}
+
+/** ANALYZE: one distributed pass computing per-column NDV/null/length
+  * statistics, persisted as a snapshot-keyed statistics file and
+  * committed via SetStatistics (reference: table statistics as
+  * first-class state, migrations/20241216114355_table_statistics.sql).
+  */
+final case class AnalyzeTableProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "analyze_table"
+  override def description(): String =
+    "Compute and commit per-column NDV/null statistics for the current snapshot"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val fqn = (catalog.name() +: id.namespace :+ id.name)
+      .map(p => s"`$p`").mkString(".")
+    val sf = graft.maintenance.Analyze.run(spark, catalog.store, id, fqn)
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("statistics_path", StringType),
+      StructField("file_size_bytes", LongType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](
+        sf.snapshotId, Procedures.utf8(sf.path), sf.fileSizeBytes)): InternalRow))
   }
 }
 

@@ -1,0 +1,128 @@
+package graft.maintenance
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta._
+import graft.store.{FileCatalogStore, TabularId}
+
+/** ANALYZE surface (reference: statistics files are first-class table
+  * state — iceberg-ext/src/spec/mod.rs:3-8,
+  * migrations/20241216114355_table_statistics.sql). One distributed
+  * pass computes per-column NDV sketches (HLL++ via
+  * approx_count_distinct), null counts, and string lengths; the
+  * result is persisted as a snapshot-keyed statistics file and
+  * committed through the SetStatistics table update, where scan
+  * planning surfaces it to Spark's optimizer as v2 column statistics.
+  */
+object Analyze {
+
+  final case class ColStats(
+      ndv: Long, nullCount: Long,
+      avgLen: Option[Long], maxLen: Option[Long])
+
+  final case class TableStats(
+      snapshotId: Long, rowCount: Long, columns: Map[String, ColStats])
+
+  private def analyzable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** One aggregation pass over `df` (all columns share the scan). */
+  def compute(df: DataFrame, snapshotId: Long): TableStats = {
+    val cols = df.schema.fields.filter(f => analyzable(f.dataType))
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        approx_count_distinct(c).as(s"ndv:${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls:${f.name}")) ++
+        (f.dataType match {
+          case StringType => Seq(
+            avg(length(c)).as(s"avglen:${f.name}"),
+            max(length(c)).as(s"maxlen:${f.name}"))
+          case _ => Nil
+        })
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def long(name: String): Long =
+      Option(row.getAs[Any](name)).map(_.toString.toDouble.toLong).getOrElse(0L)
+    def optLong(name: String): Option[Long] =
+      if (row.schema.fieldNames.contains(name))
+        Option(row.getAs[Any](name)).map(_.toString.toDouble.toLong)
+      else None
+    TableStats(snapshotId, long("_rows"),
+      cols.map(f => f.name -> ColStats(
+        long(s"ndv:${f.name}"), long(s"nulls:${f.name}"),
+        optLong(s"avglen:${f.name}"), optLong(s"maxlen:${f.name}"))).toMap)
+  }
+
+  // ------------------------------------------------------------- storage
+  private def statsToJson(s: TableStats): String = {
+    import org.json4s.JsonDSL._
+    Json.render(
+      ("snapshot-id" -> s.snapshotId) ~ ("row-count" -> s.rowCount) ~
+        ("columns" -> org.json4s.JObject(s.columns.toList.sortBy(_._1).map {
+          case (k, c) => org.json4s.JField(k,
+            ("ndv" -> c.ndv) ~ ("null-count" -> c.nullCount) ~
+              ("avg-len" -> c.avgLen) ~ ("max-len" -> c.maxLen))
+        })))
+  }
+
+  private def statsFromJson(text: String): TableStats = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = Json.parse(text)
+    TableStats(
+      (j \ "snapshot-id").extract[Long],
+      (j \ "row-count").extract[Long],
+      (j \ "columns") match {
+        case JObject(fields) => fields.map { case JField(k, v) =>
+          k -> ColStats(
+            (v \ "ndv").extract[Long],
+            (v \ "null-count").extract[Long],
+            (v \ "avg-len") match {
+              case JNothing | JNull => None; case x => Some(x.extract[Long]) },
+            (v \ "max-len") match {
+              case JNothing | JNull => None; case x => Some(x.extract[Long]) })
+        }.toMap
+        case _ => Map.empty[String, ColStats]
+      })
+  }
+
+  /** Analyze the CURRENT snapshot of `fqn` (a connector table name) and
+    * commit the statistics file. @return the committed StatisticsFile
+    */
+  def run(spark: SparkSession, store: FileCatalogStore, id: TabularId,
+      fqn: String): StatisticsFile = {
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val snapId = meta.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"$id has no snapshots to analyze"))
+    val stats = compute(spark.table(fqn), snapId)
+    val dir = Paths.get(meta.location, "metadata")
+    Files.createDirectories(dir)
+    val path = dir.resolve(s"stats-$snapId.json")
+    Files.write(path, statsToJson(stats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sf = StatisticsFile(snapId, path.toString, Files.size(path))
+    store.commitTable(id, Nil, Seq(TableUpdate.SetStatistics(sf)))
+    sf
+  }
+
+  /** Stats of a snapshot, if an ANALYZE ran for it (scan-planning path;
+    * missing file or unparseable content degrade to None).
+    */
+  def forSnapshot(meta: TableMetadata, snapshotId: Long): Option[TableStats] =
+    meta.statistics.find(_.snapshotId == snapshotId).flatMap { sf =>
+      scala.util.Try(statsFromJson(new String(
+        Files.readAllBytes(Paths.get(sf.path)),
+        java.nio.charset.StandardCharsets.UTF_8))).toOption
+    }
+}

@@ -227,6 +227,41 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("ANALYZE: CALL system.analyze_table commits NDV stats the scan surfaces") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.an (id BIGINT, grp STRING, v STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.an
+        |SELECT id, concat('g', CAST(id % 7 AS STRING)),
+        |  CASE WHEN id % 10 = 0 THEN NULL ELSE 'x' END
+        |FROM range(0, 1000)""".stripMargin)
+    val out = spark.sql("CALL graft.system.analyze_table(table => 'db.an')")
+      .collect()
+    assert(out.length == 1 && out.head.getString(1).endsWith(".json"))
+
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val tid = graft.store.TabularId(Seq("db"), "an")
+    val meta = cat.store.loadTableMetadata(tid).get._1
+    assert(meta.statistics.size == 1)
+    val stats = graft.maintenance.Analyze.forSnapshot(
+      meta, meta.currentSnapshotId.get).get
+    assert(stats.rowCount == 1000)
+    assert(stats.columns("grp").ndv >= 6 && stats.columns("grp").ndv <= 8,
+      s"grp NDV ~7, got ${stats.columns("grp").ndv}")
+    assert(stats.columns("v").nullCount == 100)
+    assert(stats.columns("grp").maxLen.contains(2L))
+
+    // the scan surfaces the committed NDV to the optimizer
+    val g = new GraftTable(cat.store, tid, meta, None)
+    val scan = new GraftScan(g, Array.empty, g.schema())
+    val cstats = scan.estimateStatistics().columnStats()
+    assert(!cstats.isEmpty)
+    val grpStat = cstats.entrySet().iterator().asScala
+      .find(_.getKey.fieldNames().head == "grp").get.getValue
+    assert(grpStat.distinctCount().getAsLong >= 6)
+  }
+
   test("manifest-level pruning: non-matching manifests are never parsed") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.mprune (id BIGINT, v STRING)")
