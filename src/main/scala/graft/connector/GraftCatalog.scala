@@ -238,7 +238,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     store.countOp("dropTable")
-    try store.dropTabular(tid(ident), purge = false)
+    // the warehouse delete profile decides tombstone vs immediate purge
+    // (reference: api/management/v1/warehouse/mod.rs:111)
+    try store.dropTabular(tid(ident), purge = false,
+      softDelete = store.warehouseProfile.deleteProfile == "soft")
     catch { case _: ProtectedException => false }
   }
 

@@ -30,7 +30,8 @@ object Procedures {
     "search_tabular", "warehouse_statistics", "endpoint_statistics",
     "undrop_table", "set_protection", "list_deleted_tabulars",
     "expire_deleted_tabulars", "create_generic_table", "process_tasks",
-    "analyze_table")
+    "analyze_table", "create_warehouse", "list_warehouses",
+    "delete_warehouse", "set_delete_profile", "set_warehouse_active")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -50,6 +51,11 @@ object Procedures {
         Some(CreateGenericTableProcedure(catalog))
       case "process_tasks" => Some(ProcessTasksProcedure(catalog))
       case "analyze_table" => Some(AnalyzeTableProcedure(catalog))
+      case "create_warehouse" => Some(CreateWarehouseProcedure(catalog))
+      case "list_warehouses" => Some(ListWarehousesProcedure(catalog))
+      case "delete_warehouse" => Some(DeleteWarehouseProcedure(catalog))
+      case "set_delete_profile" => Some(SetDeleteProfileProcedure(catalog))
+      case "set_warehouse_active" => Some(SetWarehouseActiveProcedure(catalog))
       case _ => None
     }
 
@@ -402,6 +408,114 @@ final case class AnalyzeTableProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](
         sf.snapshotId, Procedures.utf8(sf.path), sf.fileSizeBytes)): InternalRow))
+  }
+}
+
+/** Warehouse management plane (reference:
+  * api/management/v1/warehouse/mod.rs — warehouse CRUD; the delete
+  * profile at :111 drives DROP TABLE soft-vs-hard semantics).
+  */
+final case class CreateWarehouseProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_warehouse"
+  override def description(): String =
+    "Bootstrap a new warehouse root, mountable as another catalog"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.param("location", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val loc = catalog.store.createWarehouse(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val schema = StructType(Seq(StructField("location", StringType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](Procedures.utf8(loc))): InternalRow))
+  }
+}
+
+final case class ListWarehousesProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_warehouses"
+  override def description(): String = "List known warehouses"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("location", StringType)))
+    Procedures.resultScan(schema,
+      catalog.store.listWarehouses().toSeq.sortBy(_._1).map { case (n, l) =>
+        new GenericInternalRow(Array[Any](
+          Procedures.utf8(n), Procedures.utf8(l))): InternalRow })
+  }
+}
+
+final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "delete_warehouse"
+  override def description(): String =
+    "Delete a registered warehouse (force => true purges a non-empty one)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.paramWithDefault("force", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val deleted = catalog.store.deleteWarehouse(
+      input.getUTF8String(0).toString,
+      force = !input.isNullAt(1) && input.getBoolean(1))
+    val schema = StructType(Seq(StructField("deleted", BooleanType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
+  }
+}
+
+/** Delete-profile switch: `soft` tombstones dropped tables for the
+  * expiration queue; `hard` purges immediately. Optional grace
+  * overrides the scheduler default for this warehouse.
+  */
+final case class SetDeleteProfileProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_delete_profile"
+  override def description(): String =
+    "Set this warehouse's delete profile (soft | hard) and optional grace"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("profile", StringType),
+    Procedures.paramWithDefault("expiration_grace_ms", LongType, "null"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val current = catalog.store.warehouseProfile
+    catalog.store.setWarehouseProfile(current.copy(
+      deleteProfile = input.getUTF8String(0).toString,
+      expirationGraceMs =
+        if (input.isNullAt(1)) current.expirationGraceMs
+        else Some(input.getLong(1))))
+    val schema = StructType(Seq(StructField("profile", StringType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](
+        Procedures.utf8(catalog.store.warehouseProfile.deleteProfile))): InternalRow))
+  }
+}
+
+final case class SetWarehouseActiveProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_warehouse_active"
+  override def description(): String =
+    "Activate/deactivate this warehouse (deactivated rejects mutations)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("active", BooleanType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val current = catalog.store.warehouseProfile
+    catalog.store.setWarehouseProfile(
+      current.copy(active = input.getBoolean(0)))
+    val schema = StructType(Seq(StructField("active", BooleanType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](
+        catalog.store.warehouseProfile.active)): InternalRow))
   }
 }
 

@@ -121,6 +121,12 @@ class TaskScheduler(
     }
   }
 
+  /** Grace: explicit constructor value unless the warehouse profile
+    * sets its own (per-warehouse queue config, config.rs:1057-1061).
+    */
+  private def effectiveGraceMs: Long =
+    store.warehouseProfile.expirationGraceMs.getOrElse(graceMs)
+
   /** Idempotent: dedupe keys make repeated polls enqueue nothing new. */
   private def ensureImpliedTasks(nowMs: Long): Unit = {
     store.listDeletedTabulars().foreach { info =>
@@ -128,7 +134,7 @@ class TaskScheduler(
         store.enqueueTask("tabular_expiration",
           Map("namespace" -> info.id.namespace.mkString("."),
             "name" -> info.id.name),
-          runAtMs = del + graceMs,
+          runAtMs = del + effectiveGraceMs,
           dedupeKey = Some(s"${info.id}-$del"))
       }
     }

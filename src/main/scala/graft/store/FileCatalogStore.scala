@@ -30,6 +30,16 @@ final case class TabularInfo(
     protected_ : Boolean,
     metadataLocation: Option[String])
 
+/** Per-warehouse management profile (reference:
+  * api/management/v1/warehouse/mod.rs — the delete profile at :111
+  * decides whether DROP TABLE tombstones or purges).
+  */
+final case class WarehouseProfile(
+    name: String,
+    active: Boolean,
+    deleteProfile: String, // soft | hard
+    expirationGraceMs: Option[Long])
+
 /** One persisted background task (reference: service/tasks/mod.rs —
   * the queue row: queue name, payload, scheduled-at, attempts,
   * status, heartbeat).
@@ -375,6 +385,7 @@ class FileCatalogStore(val root: String) {
     // idempotent commits (reference: service/idempotency.rs, key insert
     // in the commit txn server/tables.rs:1691-1703): replaying a key
     // returns the previously committed metadata instead of re-applying
+    requireActive()
     idempotencyKey.foreach { key =>
       val guard = metadataDir(id).resolve(s".idem-${fold(key)}")
       if (Files.exists(guard)) {
@@ -454,6 +465,7 @@ class FileCatalogStore(val root: String) {
   def createTable(
       id: TabularId,
       metadata: TableMetadata): TableMetadata = {
+    requireActive()
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
     if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
@@ -480,6 +492,7 @@ class FileCatalogStore(val root: String) {
   // -------------------------------------------------- lifecycle / rename
   def dropTabular(id: TabularId, purge: Boolean, force: Boolean = false,
       softDelete: Boolean = true): Boolean = {
+    requireActive()
     loadTabularInfo(id) match {
       case None => false
       case Some(info) =>
@@ -668,6 +681,97 @@ class FileCatalogStore(val root: String) {
   def resolvePath(location: String, path: String): String =
     if (path.startsWith("/")) path
     else s"${location.stripSuffix("/")}/$path"
+
+  // ------------------------------------------------------ warehouse profile
+  // Management-plane warehouse state (reference:
+  // api/management/v1/warehouse/mod.rs — create/rename/(de)activate,
+  // delete-profile soft-vs-hard at mod.rs:111). One profile file per
+  // warehouse root; `create_warehouse` bootstraps a NEW root that can
+  // be mounted as another Spark catalog.
+  private val WarehouseMeta = ".warehouse.json"
+  @volatile private var profileCache: Option[WarehouseProfile] = None
+
+  def warehouseProfile: WarehouseProfile = {
+    profileCache.getOrElse {
+      val p = rootPath.resolve(WarehouseMeta)
+      val prof =
+        if (!Files.exists(p))
+          WarehouseProfile(rootPath.getFileName.toString, active = true,
+            deleteProfile = "soft", expirationGraceMs = None)
+        else {
+          val j = JsonMethods.parse(readString(p))
+          WarehouseProfile(
+            (j \ "name").extract[String],
+            (j \ "active").extract[Boolean],
+            (j \ "delete-profile").extract[String],
+            (j \ "expiration-grace-ms") match {
+              case JNothing | JNull => None; case v => Some(v.extract[Long]) })
+        }
+      profileCache = Some(prof)
+      prof
+    }
+  }
+
+  def setWarehouseProfile(p: WarehouseProfile): Unit = {
+    require(p.deleteProfile == "soft" || p.deleteProfile == "hard",
+      s"delete-profile must be soft or hard, got ${p.deleteProfile}")
+    writeString(rootPath.resolve(WarehouseMeta), Json.render(
+      ("name" -> p.name) ~ ("active" -> p.active) ~
+        ("delete-profile" -> p.deleteProfile) ~
+        ("expiration-grace-ms" -> p.expirationGraceMs)))
+    profileCache = Some(p)
+    logEvent("warehouse-updated", TabularId(Nil, p.name),
+      Map("active" -> p.active.toString, "delete-profile" -> p.deleteProfile))
+  }
+
+  /** Deactivated warehouses reject mutations (reference: inactive
+    * warehouses 404 their data plane).
+    */
+  def requireActive(): Unit =
+    if (!warehouseProfile.active)
+      throw new IllegalStateException(
+        s"Warehouse ${warehouseProfile.name} is deactivated")
+
+  // registry of additional warehouses created THROUGH this one
+  // (management plane: name → root location)
+  private def registryPath: Path = rootPath.resolve(".warehouses.json")
+
+  def listWarehouses(): Map[String, String] = taskLock.synchronized {
+    val self = Map(warehouseProfile.name -> root)
+    if (!Files.exists(registryPath)) self
+    else self ++ JsonMethods.parse(readString(registryPath))
+      .extract[Map[String, String]]
+  }
+
+  def createWarehouse(name: String, location: String): String =
+    taskLock.synchronized {
+      if (listWarehouses().contains(name))
+        throw new AlreadyExistsException(s"Warehouse $name already exists")
+      val other = new FileCatalogStore(location)
+      other.setWarehouseProfile(WarehouseProfile(name, active = true,
+        deleteProfile = "soft", expirationGraceMs = None))
+      val next = (listWarehouses() - warehouseProfile.name) + (name -> location)
+      writeString(registryPath, Json.render(next))
+      location
+    }
+
+  def deleteWarehouse(name: String, force: Boolean): Boolean =
+    taskLock.synchronized {
+      val entries = listWarehouses() - warehouseProfile.name
+      entries.get(name) match {
+        case None => false
+        case Some(loc) =>
+          val other = new FileCatalogStore(loc)
+          val tabs = other.listAllTabulars(includeDeleted = true)
+          if (tabs.nonEmpty && !force)
+            throw new IllegalStateException(
+              s"Warehouse $name is not empty (${tabs.size} tabulars); " +
+                "pass force => true to purge")
+          deleteRecursively(Paths.get(loc))
+          writeString(registryPath, Json.render(entries - name))
+          true
+      }
+    }
 
   // ------------------------------------------------------------ task queue
   // Catalog-persisted background-task state (reference:

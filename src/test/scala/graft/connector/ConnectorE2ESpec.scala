@@ -227,6 +227,58 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("warehouse management: delete profile, activation, CRUD") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.whmgmt")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+
+    // soft profile (default): DROP tombstones — undrop recovers
+    spark.sql("CREATE TABLE graft.whmgmt.t_soft (id BIGINT)")
+    spark.sql("DROP TABLE graft.whmgmt.t_soft")
+    assert(cat.store.listDeletedTabulars()
+      .exists(_.id.name.equalsIgnoreCase("t_soft")))
+    spark.sql("CALL graft.system.undrop_table(table => 'whmgmt.t_soft')")
+
+    // hard profile: DROP purges immediately, nothing to undrop
+    spark.sql("CALL graft.system.set_delete_profile(profile => 'hard')")
+    spark.sql("CREATE TABLE graft.whmgmt.t_hard (id BIGINT)")
+    spark.sql("DROP TABLE graft.whmgmt.t_hard")
+    assert(!cat.store.listDeletedTabulars()
+      .exists(_.id.name.equalsIgnoreCase("t_hard")))
+    spark.sql("CALL graft.system.set_delete_profile(profile => 'soft')")
+
+    // deactivation rejects mutations; reactivation restores them
+    spark.sql("CALL graft.system.set_warehouse_active(active => false)")
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.whmgmt.t_blocked (id BIGINT)")
+    }
+    assert(err.getMessage.contains("deactivated"))
+    spark.sql("CALL graft.system.set_warehouse_active(active => true)")
+    spark.sql("CREATE TABLE graft.whmgmt.t_ok (id BIGINT)")
+
+    // create a second warehouse, mount it as its own catalog, use it
+    val loc = java.nio.file.Files.createTempDirectory("graft-wh2").toString + "/wh2"
+    spark.sql(s"CALL graft.system.create_warehouse(name => 'wh2', location => '$loc')")
+    val listed = spark.sql("CALL graft.system.list_warehouses()").collect()
+      .map(r => r.getString(0)).toSet
+    assert(listed.contains("wh2"))
+    spark.conf.set("spark.sql.catalog.wh2",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wh2.warehouse", loc)
+    spark.sql("CREATE NAMESPACE wh2.db")
+    spark.sql("CREATE TABLE wh2.db.t (id BIGINT)")
+    spark.sql("INSERT INTO wh2.db.t VALUES (1)")
+    assert(spark.table("wh2.db.t").count() == 1)
+
+    // non-empty delete requires force
+    assertThrows[Exception] {
+      spark.sql("CALL graft.system.delete_warehouse(name => 'wh2')").collect()
+    }
+    spark.sql("CALL graft.system.delete_warehouse(name => 'wh2', force => true)")
+    assert(!spark.sql("CALL graft.system.list_warehouses()").collect()
+      .map(_.getString(0)).contains("wh2"))
+  }
+
   test("ANALYZE: CALL system.analyze_table commits NDV stats the scan surfaces") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.an (id BIGINT, grp STRING, v STRING)")
