@@ -79,12 +79,16 @@ object MinHashLSH {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** B band-bucket hashes (array<long>) over a K-minhash signature. */
+  /** B band-bucket hashes (array<long>) over a K-minhash signature.
+    * Pure long-domain fold — xxhash64 chained over the band's R
+    * minhashes — so banding never materializes strings (equal bands
+    * still hash equal; collisions only ever ADD candidates, which the
+    * exact-Jaccard verification removes).
+    */
   def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(b, concat_ws(":",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast(StringType)))))
+      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        xxhash64(b), (acc, x) => xxhash64(acc, x)))
 
   /** Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold).
     *
