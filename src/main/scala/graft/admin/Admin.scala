@@ -62,13 +62,33 @@ object Admin {
             col("extra")("kind") === "view", -1)
           .otherwise(0))
       .filter(col("table_delta") =!= 0 || col("view_delta") =!= 0)
-    val w = Window.orderBy(col("ts-ms"))
+    // two-level running total: cumulate WITHIN hour buckets (window
+    // partitioned by bucket → distributed), then add each bucket's
+    // offset (exclusive prefix over the tiny per-bucket totals) — a
+    // global Window.orderBy would funnel the whole change log through
+    // one task at high commit volume.
+    val bucketMs = 3600L * 1000
+    val withBucket = delta.withColumn("bucket",
+      (col("ts-ms") / bucketMs).cast(LongType))
+    val bucketOffsets = withBucket.groupBy(col("bucket"))
+      .agg(sum(col("table_delta")).as("bt"), sum(col("view_delta")).as("bv"))
+      .withColumn("table_offset",
+        coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("view_offset",
+        coalesce(sum(col("bv")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("table_offset"), col("view_offset"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("ts-ms"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    delta
+    withBucket
+      .withColumn("t_in", sum(col("table_delta")).over(wIn))
+      .withColumn("v_in", sum(col("view_delta")).over(wIn))
+      .join(broadcast(bucketOffsets), Seq("bucket"))
       .select(
         col("ts-ms").as("timestamp_ms"),
-        sum(col("table_delta")).over(w).as("number_of_tables"),
-        sum(col("view_delta")).over(w).as("number_of_views"))
+        (col("t_in") + col("table_offset")).as("number_of_tables"),
+        (col("v_in") + col("view_offset")).as("number_of_views"))
       .orderBy(col("timestamp_ms"))
   }
 
@@ -109,13 +129,19 @@ object Admin {
       .limit(10)
   }
 
-  /** Per-operation call counts (reference: loadEndpointStatistics). */
+  /** Per-operation call counts in timestamped flush windows
+    * (reference: loadEndpointStatistics,
+    * service/endpoint_statistics.rs:62-157 — a time axis, not one
+    * lifetime counter).
+    */
   def endpointStatistics(spark: SparkSession, store: FileCatalogStore): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    store.opCounts.asScala.toSeq
-      .map { case (op, n) => (op, n.get()) }
-      .toDF("operation", "count")
-      .orderBy(col("operation"))
+    store.windowedOpCounts.asScala.toSeq
+      .map { case ((windowStart, op), n) => (op, n.get(), windowStart) }
+      .toDF("operation", "count", "window_start_ms")
+      .withColumn("window_start", timestamp_millis(col("window_start_ms")))
+      .drop("window_start_ms")
+      .orderBy(col("window_start"), col("operation"))
   }
 }

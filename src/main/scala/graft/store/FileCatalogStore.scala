@@ -98,13 +98,26 @@ class FileCatalogStore(val root: String) {
   val changesDir: Path = rootPath.resolve("_changes")
 
   /** Per-operation call counters (reference: endpoint statistics,
-    * service/endpoint_statistics.rs — in-memory aggregation).
+    * service/endpoint_statistics.rs:62-157 — counts aggregate into
+    * timestamped flush windows, not one lifetime number). `opCounts`
+    * keeps the lifetime totals; `windowedOpCounts` buckets by
+    * flush-window start so the stats surface has a time axis.
     */
   val opCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  def countOp(op: String): Unit =
+  val windowedOpCounts = new java.util.concurrent.ConcurrentHashMap[(Long, String), java.util.concurrent.atomic.AtomicLong]()
+
+  private val statsWindowMs =
+    sys.props.getOrElse("graft.endpoint.stats.window.ms", "60000").toLong
+
+  def countOp(op: String): Unit = {
     opCounts.computeIfAbsent(op,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    val now = System.currentTimeMillis()
+    val windowStart = now - (now % statsWindowMs)
+    windowedOpCounts.computeIfAbsent((windowStart, op),
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  }
 
   private val eventLock = new Object
 

@@ -68,10 +68,15 @@ class AdminSpec extends AnyFunSuite {
   test("endpoint_statistics counts catalog operations") {
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.es (id BIGINT)")
     spark.table("gadmin.adb.es").count()
-    val stats = spark.sql("CALL gadmin.system.endpoint_statistics()")
+    val statsDf = spark.sql("CALL gadmin.system.endpoint_statistics()")
+    // flush-window time axis (reference endpoint_statistics.rs:62-157)
+    assert(statsDf.columns.toSeq ==
+      Seq("operation", "count", "window_start"))
+    val stats = statsDf
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats.getOrElse("loadTable", 0L) > 0)
     assert(stats.getOrElse("createTable", 0L) > 0)
+    assert(statsDf.collect().forall(r => !r.isNullAt(2)))
   }
 
   test("soft delete → list_deleted → undrop; expiration queue purges after grace") {
