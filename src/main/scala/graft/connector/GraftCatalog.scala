@@ -160,19 +160,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         // Spark's native DSv2 parquet table over the base location)
         val location = info.metadataLocation.getOrElse(
           throw new NoSuchTableException(ident))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val opts = new CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("path", location))
         info.format.map(_.toLowerCase) match {
           case Some("parquet") =>
             org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-              ident.toString,
-              org.apache.spark.sql.SparkSession.active,
-              new CaseInsensitiveStringMap(
-                java.util.Collections.singletonMap("path", location)),
-              Seq(location),
-              None,
+              ident.toString, spark, opts, Seq(location), None,
               classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+          case Some("orc") =>
+            org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
+              ident.toString, spark, opts, Seq(location), None,
+              classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
+          case Some("csv") =>
+            org.apache.spark.sql.execution.datasources.v2.csv.CSVTable(
+              ident.toString, spark, opts, Seq(location), None,
+              classOf[org.apache.spark.sql.execution.datasources.csv.CSVFileFormat])
+          case Some("json") =>
+            org.apache.spark.sql.execution.datasources.v2.json.JsonTable(
+              ident.toString, spark, opts, Seq(location), None,
+              classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat])
           case other => throw new UnsupportedOperationException(
             s"generic table format ${other.getOrElse("<none>")} has no " +
-              "reader in this environment")
+              "reader in this environment (parquet/orc/csv/json supported; " +
+              "the reference's Lance format needs the Lance reader, " +
+              "unavailable offline)")
         }
       case _ => throw new NoSuchTableException(ident)
     }

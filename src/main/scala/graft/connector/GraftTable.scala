@@ -276,22 +276,11 @@ class GraftScan(
       }
     }.sortBy(-_.length)
 
-    // greedy bin-packing into FilePartitions of ~targetSize
-    val partitions = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[PartitionedFile]]
-    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    splits.foreach { s =>
-      val idx = sizes.indices.find(i => sizes(i) + s.length + openCost <= targetSize)
-      idx match {
-        case Some(i) =>
-          partitions(i) += s; sizes(i) += s.length + openCost
-        case None =>
-          partitions += scala.collection.mutable.ArrayBuffer(s)
-          sizes += s.length + openCost
-      }
-    }
-    partitions.zipWithIndex.map { case (files, i) =>
-      FilePartition(i, files.toArray): InputPartition
-    }.toArray
+    // Spark's own size-descending sequential packing: O(splits), vs a
+    // first-fit scan over all open bins that goes quadratic at
+    // millions of splits
+    FilePartition.getFilePartitions(spark, splits, targetSize)
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

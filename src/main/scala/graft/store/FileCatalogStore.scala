@@ -409,31 +409,40 @@ class FileCatalogStore(val root: String) {
     }
     var attempt = 0
     while (true) {
-      val currentOpt = loadTableMetadata(id)
-      Commit.checkRequirements(currentOpt.map(_._1), requirements)
-      val current = currentOpt.map(_._1).getOrElse(
-        throw new NoSuchTabularException(id.toString))
-      val updates = mkUpdates(current)
-      // contract-verification hook (reference:
-      // service/contract_verification.rs, called server/tables.rs:1643)
-      contractVerifier.foreach { cv =>
-        cv.check(id, current, updates).foreach(reason =>
-          throw new ContractViolationException(
-            s"Contract verification rejected commit on $id: $reason"))
+      // single-table commits and multi-table transactions serialize
+      // through the same in-process lock: a transaction's write+rollback
+      // window must never interleave with a commit that builds on a
+      // version the rollback is about to delete
+      val done = commitLock.synchronized {
+        val currentOpt = loadTableMetadata(id)
+        Commit.checkRequirements(currentOpt.map(_._1), requirements)
+        val current = currentOpt.map(_._1).getOrElse(
+          throw new NoSuchTabularException(id.toString))
+        val updates = mkUpdates(current)
+        // contract-verification hook (reference:
+        // service/contract_verification.rs, called server/tables.rs:1643)
+        contractVerifier.foreach { cv =>
+          cv.check(id, current, updates).foreach(reason =>
+            throw new ContractViolationException(
+              s"Contract verification rejected commit on $id: $reason"))
+        }
+        val next = Commit.applyUpdates(current, updates)
+        val v = currentOpt.map(_._2).getOrElse(-1) + 1
+        val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        val withLog = next.copy(metadataLog =
+          (current.metadataLog :+ MetadataLogEntry(
+            System.currentTimeMillis(),
+            metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
+            .takeRight(maxPreviousVersions(next) + 1))
+        if (atomicCreate(target, Json.metadataToJson(withLog))) {
+          idempotencyKey.foreach(key => atomicCreate(
+            metadataDir(id).resolve(s".idem-${fold(key)}"), v.toString))
+          metaCache.put(id, (v, withLog))
+          cleanupOldMetadata(id, withLog, v)
+          Some((v, withLog))
+        } else None
       }
-      val next = Commit.applyUpdates(current, updates)
-      val v = currentOpt.map(_._2).getOrElse(-1) + 1
-      val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-      val withLog = next.copy(metadataLog =
-        (current.metadataLog :+ MetadataLogEntry(
-          System.currentTimeMillis(),
-          metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
-          .takeRight(maxPreviousVersions(next) + 1))
-      if (atomicCreate(target, Json.metadataToJson(withLog))) {
-        idempotencyKey.foreach(key => atomicCreate(
-          metadataDir(id).resolve(s".idem-${fold(key)}"), v.toString))
-        metaCache.put(id, (v, withLog))
-        cleanupOldMetadata(id, withLog, v)
+      done.foreach { case (v, withLog) =>
         logEvent("table-commit", id, Map("version" -> v.toString))
         return withLog
       }
@@ -444,6 +453,13 @@ class FileCatalogStore(val root: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** In-process commit arbitration shared by commitTableWith and
+    * commitTransaction (the .txlock file keeps cross-process
+    * transactions exclusive; this lock keeps same-JVM single-table
+    * commits out of a transaction's write+rollback window).
+    */
+  private val commitLock = new Object
 
   /** Pluggable pre-commit gate (reference trait:
     * service/contract_verification.rs — 314 LoC of hook machinery; the
@@ -592,7 +608,10 @@ class FileCatalogStore(val root: String) {
           Thread.sleep(5)
       }
     }
-    try {
+    try commitLock.synchronized {
+      // in-process, validate+write+rollback is one critical section —
+      // a concurrent single-table commit could otherwise build on a
+      // version the rollback below is about to delete
       // Phase 1: validate requirements AND fully apply every table's
       // updates in memory, so guard violations surface before any file
       // is written — all-or-none really means none on failure.
@@ -622,7 +641,10 @@ class FileCatalogStore(val root: String) {
         }
         written += target
       }
-      staged.foreach { case (id, v, meta) => cleanupOldMetadata(id, meta, v) }
+      staged.foreach { case (id, v, meta) =>
+        metaCache.put(id, (v, meta))
+        cleanupOldMetadata(id, meta, v)
+      }
     } finally Files.deleteIfExists(txLock)
   }
 

@@ -773,6 +773,24 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(spark.table("graft.db.gen_pq").count() == 10)
     assert(spark.sql("SELECT SUM(doubled) FROM graft.db.gen_pq")
       .collect().head.getLong(0) == 90)
+    // csv / json / orc dispatch through Spark's native DSv2 tables
+    val csvDir = Files.createTempDirectory("graft-generic-csv").toString
+    spark.range(5).selectExpr("id", "id * 3 AS tripled")
+      .write.mode("overwrite").csv(csvDir)
+    spark.sql(
+      s"CALL graft.system.create_generic_table(table => 'db.gen_csv', format => 'csv', location => '$csvDir')")
+    assert(spark.table("graft.db.gen_csv").count() == 5)
+    val jsonDir = Files.createTempDirectory("graft-generic-json").toString
+    spark.range(4).selectExpr("id").write.mode("overwrite").json(jsonDir)
+    spark.sql(
+      s"CALL graft.system.create_generic_table(table => 'db.gen_json', format => 'json', location => '$jsonDir')")
+    assert(spark.sql("SELECT SUM(id) FROM graft.db.gen_json")
+      .collect().head.getLong(0) == 6)
+    val orcDir = Files.createTempDirectory("graft-generic-orc").toString
+    spark.range(3).selectExpr("id").write.mode("overwrite").orc(orcDir)
+    spark.sql(
+      s"CALL graft.system.create_generic_table(table => 'db.gen_orc', format => 'orc', location => '$orcDir')")
+    assert(spark.table("graft.db.gen_orc").count() == 3)
     // unsupported format dispatch is an explicit error, not a misread
     spark.sql(
       s"CALL graft.system.create_generic_table(table => 'db.gen_lance', format => 'lance', location => '$dir')")
