@@ -227,8 +227,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    // custom LOCATION is honored after an overlap check — the
+    // reference rejects a table at the same location or inside
+    // another table's location (test_spark.py:832-929)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(custom) =>
+        val loc = GraftCatalog.stripFileScheme(custom)
+        store.requireLocationFree(loc)
+        loc
+      case None => store.tableLocation(id)
+    }
     val meta = TableMetadata.newTable(
-      UUID.randomUUID().toString, store.tableLocation(id), withIds,
+      UUID.randomUUID().toString, location, withIds,
       spec = partFields, properties = props,
       formatVersion = props.get("format-version").map(_.toInt).getOrElse(2))
     try store.createTable(id, meta)
@@ -374,9 +384,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(custom) if existing.isEmpty =>
+        val loc = GraftCatalog.stripFileScheme(custom)
+        store.requireLocationFree(loc)
+        loc
+      case _ => existing.map(_.location).getOrElse(store.tableLocation(id))
+    }
     TableMetadata.newTable(
       existing.map(_.tableUuid).getOrElse(UUID.randomUUID().toString),
-      existing.map(_.location).getOrElse(store.tableLocation(id)),
+      location,
       schema,
       spec = partitions.map(GraftCatalog.toPartitionField).toSeq,
       properties = props,
@@ -431,6 +448,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 }
 
 object GraftCatalog {
+
+  /** Spark normalizes LOCATION clauses to URIs (`file:/tmp/x`); the
+    * store works on plain local paths.
+    */
+  def stripFileScheme(location: String): String = {
+    val noScheme =
+      if (location.startsWith("file://")) location.stripPrefix("file://")
+      else if (location.startsWith("file:")) location.stripPrefix("file:")
+      else location
+    noScheme.stripSuffix("/")
+  }
 
   /** CatalogV2Util is private[sql]; these two conversions are trivial. */
   def v2ColumnsToStructType(columns: Array[Column]): StructType =

@@ -488,6 +488,27 @@ class FileCatalogStore(val root: String) {
     }
   }
 
+  /** Custom-location admission (reference: tables may not share or
+    * nest locations — test_spark.py:832-929; server-side overlap
+    * checks in the tabular layer). Compares against every live
+    * table's location; called only for explicit LOCATION clauses, so
+    * the O(tables) metadata walk is off the default create path.
+    */
+  def requireLocationFree(location: String): Unit = {
+    val candidate = location.stripSuffix("/") + "/"
+    listAllTabulars(includeDeleted = false)
+      .filter(_.kind == "table")
+      .foreach { info =>
+        loadTableMetadata(info.id).foreach { case (meta, _) =>
+          val existing = meta.location.stripSuffix("/") + "/"
+          if (existing == candidate || candidate.startsWith(existing) ||
+              existing.startsWith(candidate))
+            throw new AlreadyExistsException(
+              s"Location $location overlaps table ${info.id} at ${meta.location}")
+        }
+      }
+  }
+
   /** Create a table: namespace must exist; name must be free across
     * ALL tabular kinds (case-insensitive).
     */

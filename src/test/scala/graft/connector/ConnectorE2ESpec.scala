@@ -798,6 +798,33 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("custom LOCATION honored; same/sub-location creates rejected (reference :793-929)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cloc")
+    val custom = Files.createTempDirectory("graft-custom-loc").toString + "/t1"
+    spark.sql(s"CREATE TABLE graft.cloc.t1 (my_ints INT) LOCATION '$custom'")
+    spark.sql("INSERT INTO graft.cloc.t1 VALUES (1), (2)")
+    assert(spark.table("graft.cloc.t1").count() == 2)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val meta = cat.store.loadTableMetadata(
+      graft.store.TabularId(Seq("cloc"), "t1")).get._1
+    assert(meta.location == custom, s"got ${meta.location}")
+    // data actually lives under the custom location
+    assert(Files.isDirectory(java.nio.file.Paths.get(custom, "data")))
+
+    // same location → rejected; sub-location → rejected; parent → rejected
+    assertThrows[Exception] {
+      spark.sql(s"CREATE TABLE graft.cloc.t2 (my_ints INT) LOCATION '$custom'")
+    }
+    assertThrows[Exception] {
+      spark.sql(s"CREATE TABLE graft.cloc.t3 (my_ints INT) LOCATION '$custom/sub'")
+    }
+    // sibling with shared string prefix but distinct directory is fine
+    spark.sql(s"CREATE TABLE graft.cloc.t4 (my_ints INT) LOCATION '${custom}2'")
+    spark.sql("INSERT INTO graft.cloc.t4 VALUES (3)")
+    assert(spark.table("graft.cloc.t4").count() == 1)
+  }
+
   test("special-char column names round-trip (reference test :547-562)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.spec_cols (
