@@ -552,7 +552,18 @@ class FileCatalogStore(val root: String) {
           writeTabularInfo(info.copy(deletedMs = Some(System.currentTimeMillis())))
           logEvent("tabular-soft-deleted", id, Map("kind" -> info.kind))
         } else {
+          // custom-LOCATION tables keep their data outside the catalog
+          // directory — purge must delete it too (exact directory only;
+          // overlap admission guarantees no other table lives there)
+          val customLocation =
+            if (info.kind != "table") None
+            else scala.util.Try(loadTableMetadata(id)).toOption.flatten
+              .map(_._1.location)
+              .filterNot(_ == tableLocation(id))
           deleteRecursively(tabularPath(id))
+          customLocation.foreach(loc =>
+            try deleteRecursively(Paths.get(loc)) catch { case NonFatal(_) => })
+          metaCache.remove(id)
           logEvent("tabular-purged", id, Map("kind" -> info.kind))
         }
         true

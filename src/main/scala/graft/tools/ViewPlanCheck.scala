@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch audit: a query THROUGH a catalog view must keep filter
+  * pushdown — the view body's partition filter has to reach the scan
+  * and prune files exactly like the direct query.
+  */
+object ViewPlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.queries.CatalogOps.warmup(spark, sfDir)
+    val db = "d" + math.abs(sfDir.hashCode).toString
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW graftwh.$db.vpc AS
+         |SELECT o_orderpriority, o_totalprice
+         |FROM graftwh.$db.orders_p WHERE o_orderstatus = 'F'""".stripMargin)
+    val direct = spark.sql(
+      s"SELECT o_orderpriority FROM graftwh.$db.orders_p WHERE o_orderstatus = 'F'")
+    val throughView = spark.sql(s"SELECT o_orderpriority FROM graftwh.$db.vpc")
+    def scanLine(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split('\n')
+        .find(_.contains("GraftScan")).getOrElse("<no scan>")
+    println("direct : " + scanLine(direct).trim)
+    println("view   : " + scanLine(throughView).trim)
+    spark.stop()
+  }
+}

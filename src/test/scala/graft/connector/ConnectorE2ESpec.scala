@@ -823,6 +823,15 @@ class ConnectorE2ESpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE graft.cloc.t4 (my_ints INT) LOCATION '${custom}2'")
     spark.sql("INSERT INTO graft.cloc.t4 VALUES (3)")
     assert(spark.table("graft.cloc.t4").count() == 1)
+
+    // purging a custom-location table removes ITS data directory but
+    // never the shared-prefix sibling's (reference test_drop_with_shared_prefix)
+    spark.sql("DROP TABLE graft.cloc.t1 PURGE")
+    assert(!Files.exists(java.nio.file.Paths.get(custom)),
+      "purged custom location must be deleted")
+    assert(Files.isDirectory(java.nio.file.Paths.get(custom + "2", "data")),
+      "shared-prefix sibling data must survive")
+    assert(spark.table("graft.cloc.t4").count() == 1)
   }
 
   test("special-char column names round-trip (reference test :547-562)") {
