@@ -44,6 +44,14 @@ object FilePruning {
             ColumnStat.compare(st.min.get, v, dt) == 0)))
     case Not(_) => true
 
+    // `_file` is exact per definition: a file contains a row with
+    // _file=p iff it IS p — lets compaction/debug queries targeting
+    // specific files scan only those files
+    case EqualTo(col, v) if col == GraftTable.FileColumnName =>
+      v == file.path
+    case In(col, vs) if col == GraftTable.FileColumnName =>
+      vs != null && vs.contains(file.path)
+
     case EqualTo(col, v) =>
       checkRange(file, col, v, schema, minInclusive = true,
         maxInclusive = true) && bucketMayContain(file, col, v, schema, spec)
@@ -153,6 +161,21 @@ object FilePruning {
   */
 object ManifestPruning {
 
+  /** `_file` predicates are exact at FILE level but undecidable from a
+    * merged summary (whose synthetic path is empty) — replace them
+    * with always-true before manifest-level evaluation.
+    */
+  private def neutralizeFileFilters(f: Filter): Filter = {
+    def referencesFile(x: Filter): Boolean =
+      x.references.contains(GraftTable.FileColumnName)
+    f match {
+      case And(l, r) => And(neutralizeFileFilters(l), neutralizeFileFilters(r))
+      case Or(l, r) => Or(neutralizeFileFilters(l), neutralizeFileFilters(r))
+      case other if referencesFile(other) => AlwaysTrue
+      case other => other
+    }
+  }
+
   def mayMatch(
       summary: ManifestSummary,
       filters: Seq[Filter],
@@ -163,7 +186,7 @@ object ManifestPruning {
       summary.specIds.headOption.getOrElse(0), Map.empty, summary.columnStats)
     // empty spec: bucket checks are done set-wise below, not per-value
     val statsOk = FilePruning.mayMatch(
-      merged, filters, schema, PartitionSpec(-1, Nil))
+      merged, filters.map(neutralizeFileFilters), schema, PartitionSpec(-1, Nil))
     statsOk && (summary.specIds match {
       // bucket membership is only decidable when every entry was
       // written under the same spec (mixed-spec manifests stay)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -129,19 +129,47 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
       throw new IllegalArgumentException(s"No such table: $tableName"))
     val table = new GraftTable(catalog.store, id, meta, snapshotId = None)
     val files = table.liveFiles
+    val targetBytes = options.get("target-file-size-bytes")
+      .orElse(meta.properties.get("write.target-file-size-bytes"))
+      .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    // only files below the threshold are compaction INPUT (Trino's
+    // optimize file_size_threshold semantics) — big files are already
+    // right-sized and must not be rewritten at 100 TB
+    val thresholdBytes = options.get("file-size-threshold-bytes")
+      .map(_.toLong).getOrElse(targetBytes)
+    val small = files.filter(_.fileSizeBytes < thresholdBytes)
+    val fullName = s"${catalog.name()}.${id.namespace.mkString(".")}.${id.name}"
     val rewritten =
-      if (files.size <= 1) 0L
-      else {
-        val targetBytes = options.get("target-file-size-bytes")
-          .orElse(meta.properties.get("write.target-file-size-bytes"))
-          .map(_.toLong).getOrElse(512L * 1024 * 1024)
-        val totalBytes = files.map(_.fileSizeBytes).sum
-        val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val fullName = s"${catalog.name()}.${id.namespace.mkString(".")}.${id.name}"
-        // one atomic truncate-overwrite commit through the connector
+      if (small.size <= 1) 0L
+      else if (meta.defaultSpec.isUnpartitioned) {
+        // unpartitioned: the replace unit is the whole table
+        val n = math.max(1, math.ceil(
+          files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
         spark.table(fullName).repartition(n)
           .writeTo(fullName).overwrite(lit(true))
         files.size.toLong
+      } else {
+        // partitioned: rewrite ONLY partitions holding enough small
+        // files to be worth coalescing (a lone small file gains
+        // nothing) — read their rows via the exact `_file` pruning
+        // (scan touches just those partitions' files) and atomically
+        // replace the affected partitions with a dynamic overwrite
+        val minInput = options.get("min-input-files").map(_.toInt).getOrElse(2)
+        val affectedParts = small.groupBy(_.partition)
+          .filter(_._2.size >= minInput).keySet
+        val affectedFiles = files.filter(f => affectedParts.contains(f.partition))
+        if (affectedFiles.isEmpty) 0L
+        else {
+          val n = math.max(1, math.ceil(
+            affectedFiles.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+          spark.table(fullName)
+            .filter(col(GraftTable.FileColumnName)
+              .isin(affectedFiles.map(_.path): _*))
+            .drop(GraftTable.FileColumnName)
+            .repartition(n)
+            .writeTo(fullName).overwritePartitions()
+          affectedFiles.size.toLong
+        }
       }
     val schema = StructType(Seq(
       StructField("rewritten_data_files_count", LongType, nullable = false)))

@@ -798,6 +798,39 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("rewrite_data_files compacts only partitions with small files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.compact_p (id BIGINT, grp STRING)
+      PARTITIONED BY (grp)""")
+    // partition 'a': two small files; partition 'b': one file
+    spark.sql("INSERT INTO graft.db.compact_p SELECT id, 'a' FROM range(0, 50)")
+    spark.sql("INSERT INTO graft.db.compact_p SELECT id, 'a' FROM range(50, 100)")
+    spark.sql("INSERT INTO graft.db.compact_p SELECT id, 'b' FROM range(100, 200)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val tid = graft.store.TabularId(Seq("db"), "compact_p")
+    def filesByPart(): Map[Option[String], Seq[String]] = {
+      val meta = cat.store.loadTableMetadata(tid).get._1
+      new GraftTable(cat.store, tid, meta, None).liveFiles
+        .groupBy(_.partition.get("grp").flatten)
+        .map { case (k, fs) => k -> fs.map(_.path).sorted }
+    }
+    val before = filesByPart()
+    assert(before(Some("a")).size == 2 && before(Some("b")).size == 1)
+
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.compact_p')")
+    val after = filesByPart()
+    assert(after(Some("a")).size == 1, "small-file partition compacts to one file")
+    assert(after(Some("b")) == before(Some("b")),
+      "right-sized partition must be untouched (same file path)")
+    // data unchanged
+    assert(spark.table("graft.db.compact_p").count() == 200)
+    assert(spark.sql(
+      "SELECT CAST(SUM(id) AS BIGINT) FROM graft.db.compact_p WHERE grp = 'a'")
+      .collect().head.getLong(0) == (0L until 100L).sum)
+  }
+
   test("custom LOCATION honored; same/sub-location creates rejected (reference :793-929)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cloc")
     val custom = Files.createTempDirectory("graft-custom-loc").toString + "/t1"
