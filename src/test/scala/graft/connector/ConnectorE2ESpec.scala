@@ -464,6 +464,26 @@ class ConnectorE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("view on view resolves through chained substitution (reference trino :777)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vchain")
+    spark.sql("CREATE TABLE graft.vchain.base (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.vchain.base VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(
+      """CREATE VIEW graft.vchain.v1 AS
+        |SELECT id, upper(v) AS uv FROM graft.vchain.base WHERE id > 1""".stripMargin)
+    spark.sql(
+      """CREATE VIEW graft.vchain.v2 AS
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n FROM graft.vchain.v1""".stripMargin)
+    assert(spark.sql("SELECT n FROM graft.vchain.v2")
+      .collect().head.getLong(0) == 2L)
+    // joinable like any relation
+    val joined = spark.sql(
+      """SELECT b.v, x.uv FROM graft.vchain.base b
+        |JOIN graft.vchain.v1 x ON b.id = x.id ORDER BY b.id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(joined == Seq(("b", "B"), ("c", "C")))
+  }
+
   test("MERGE INTO: matched update + not-matched insert (reference test_merge_into)") {
     // replay of tests/python/tests/test_spark.py:155-173 statement-for-statement
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.test_merge_into")
