@@ -75,13 +75,14 @@ object MetadataTables {
 
     case "partitions" =>
       // distributed parse + aggregation; only one row per partition
-      // ever reaches the driver
-      val spark = org.apache.spark.sql.SparkSession.active
-      import spark.implicits._
-      val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
-        .map(m => store.resolvePath(meta.location, m))
-      val loc = meta.location
-      val rows: Seq[Row] =
+      // ever reaches the driver — and only when the scan actually
+      // builds (rows are by-name lazy; loading the table costs nothing)
+      def rows: Seq[Row] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
+          .map(m => store.resolvePath(meta.location, m))
+        val loc = meta.location
         if (manifests.isEmpty) Nil
         else spark.createDataset(manifests)
           .repartition(math.max(1, math.min(manifests.size, 64)))
@@ -100,6 +101,7 @@ object MetadataTables {
           }
           .collect().toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
           .map(t => Row(t._1, t._2, t._3, t._4, t._5))
+      }
       val schema = StructType(Seq(
         StructField("partition", MapType(StringType, StringType)),
         StructField("spec_id", IntegerType),
@@ -109,8 +111,8 @@ object MetadataTables {
       new LocalRowsTable(s"$id.partitions", schema, rows)
 
     case other =>
-      val (schema, rows) = computeSmall(store, id, meta, other)
-      new LocalRowsTable(s"$id.$other", schema, rows)
+      val (schema, smallRows) = computeSmall(store, id, meta, other)
+      new LocalRowsTable(s"$id.$other", schema, smallRows)
   }
 
   private def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
@@ -250,10 +252,14 @@ class ManifestTable(
 }
 
 /** A read-only table over driver-materialized rows (per-snapshot
-  * metadata tables only — bounded by snapshot count, never file count).
+  * metadata tables only — bounded by snapshot count, never file
+  * count). `rows` is by-name and memoized: computed on first scan
+  * build, not at loadTable.
   */
-class LocalRowsTable(tableName: String, tableSchema: StructType, rows: Seq[Row])
+class LocalRowsTable(tableName: String, tableSchema: StructType, rowsThunk: => Seq[Row])
   extends Table with SupportsRead {
+
+  private lazy val rows: Seq[Row] = rowsThunk
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
