@@ -24,7 +24,18 @@ import graft.store._
   * }}}
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-  with ProcedureCatalog with StagingTableCatalog {
+  with ProcedureCatalog with StagingTableCatalog with FunctionCatalog {
+
+  // ----------------------------------------------------------- functions
+  // v2 transform functions (GraftFunctions) — resolved by Spark when
+  // translating a scan's reported KeyGroupedPartitioning, enabling
+  // storage-partitioned joins on co-partitioned tables
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   private var catalogName: String = _
   private[graft] var store: FileCatalogStore = _

@@ -1,0 +1,119 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+import graft.meta.Transform
+
+/** V2 functions mirroring the partition transforms byte-for-byte
+  * (same `Transform.eval` the writer and pruner use). Spark resolves
+  * these through the catalog's FunctionCatalog when translating a
+  * scan's reported KeyGroupedPartitioning — the step that makes
+  * storage-partitioned joins plannable. canonicalName is keyed by the
+  * value type, so two scans report compatible partitioning iff their
+  * transforms AND source types agree.
+  */
+object GraftFunctions {
+
+  val names: Seq[String] =
+    Seq("bucket", "truncate", "years", "months", "days", "hours", "identity")
+
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "bucket" => Some(BucketFunction)
+    case "truncate" => Some(TruncateFunction)
+    case "years" | "year" => Some(datePart("years", Transform.Year))
+    case "months" | "month" => Some(datePart("months", Transform.Month))
+    case "days" | "day" => Some(datePart("days", Transform.Day))
+    case "hours" | "hour" => Some(datePart("hours", Transform.Hour))
+    case "identity" => Some(IdentityFunction)
+    case _ => None
+  }
+
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): pinned murmur3 bucket id (write/prune/join agree)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, value), got $inputType")
+      val valueType = inputType.fields(1).dataType
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] =
+          Array(IntegerType, valueType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = s"graft.bucket($valueType)"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Integer =
+          if (input.isNullAt(1)) null
+          else Integer.valueOf(Transform.Bucket.bucketOf(
+            input.get(1, valueType), valueType, input.getInt(0)))
+      }
+    }
+  }
+
+  object TruncateFunction extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String = "truncate(w, col): width truncation"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate expects (width, value), got $inputType")
+      val valueType = inputType.fields(1).dataType
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] =
+          Array(IntegerType, valueType)
+        override def resultType(): DataType = valueType
+        override def name(): String = "truncate"
+        override def canonicalName(): String = s"graft.truncate($valueType)"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Any =
+          if (input.isNullAt(1)) null
+          else Transform.Truncate(input.getInt(0))
+            .eval(input.get(1, valueType), valueType)
+      }
+    }
+  }
+
+  private def datePart(fname: String, t: Transform): UnboundFunction =
+    new UnboundFunction {
+      override def name(): String = fname
+      override def description(): String = s"$fname(col): ordinal from epoch"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.fields.length == 1,
+          s"$fname expects (value), got $inputType")
+        val valueType = inputType.fields(0).dataType
+        new ScalarFunction[Integer] {
+          override def inputTypes(): Array[DataType] = Array(valueType)
+          override def resultType(): DataType = IntegerType
+          override def name(): String = fname
+          override def canonicalName(): String = s"graft.$fname($valueType)"
+          override def isResultNullable: Boolean = true
+          override def produceResult(input: InternalRow): Integer =
+            if (input.isNullAt(0)) null
+            else t.eval(input.get(0, valueType), valueType) match {
+              case null => null
+              case i: Int => Integer.valueOf(i)
+              case other => Integer.valueOf(other.toString.toInt)
+            }
+        }
+      }
+    }
+
+  object IdentityFunction extends UnboundFunction {
+    override def name(): String = "identity"
+    override def description(): String = "identity(col)"
+    override def bind(inputType: StructType): BoundFunction = {
+      val valueType = inputType.fields(0).dataType
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] = Array(valueType)
+        override def resultType(): DataType = valueType
+        override def name(): String = "identity"
+        override def canonicalName(): String = s"graft.identity($valueType)"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Any =
+          if (input.isNullAt(0)) null else input.get(0, valueType)
+      }
+    }
+  }
+}

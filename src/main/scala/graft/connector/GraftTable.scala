@@ -151,7 +151,8 @@ class GraftScan(
     val table: GraftTable,
     filters: Array[Filter],
     requiredSchema: StructType)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val spark = SparkSession.active
   private val dataSchema = table.schema()
@@ -249,7 +250,73 @@ class GraftScan(
     }
   }
 
+  // ------------------------------------------- storage-partitioned joins
+  /** SPJ: when v2 bucketing is on and every selected file was written
+    * under the default spec with full partition tuples, the scan
+    * reports KeyGroupedPartitioning over the spec's transforms and
+    * emits one keyed input partition per partition tuple — equi-joins
+    * between co-partitioned tables then plan WITHOUT a shuffle
+    * (Iceberg's storage-partitioned join, natively on our layout).
+    */
+  private def v2BucketingEnabled: Boolean =
+    spark.sessionState.conf.getConfString(
+      "spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  private lazy val keyedSpec: Option[PartitionSpec] = {
+    val spec = table.meta.defaultSpec
+    if (spec.fields.isEmpty || !v2BucketingEnabled) None
+    else if (selectedFiles.nonEmpty && selectedFiles.forall(f =>
+        f.specId == spec.specId &&
+          spec.fields.forall(pf => f.partition.contains(pf.name))))
+      Some(spec)
+    else None
+  }
+
+  private def partitionKeyRow(f: DataFile, spec: PartitionSpec): InternalRow = {
+    val values: Seq[Any] = spec.fields.map { pf =>
+      f.partition.get(pf.name).flatten match {
+        case None => null
+        case Some(rendered) =>
+          val srcType = dataSchema.fields
+            .find(_.name.equalsIgnoreCase(pf.sourceName))
+            .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+          ColumnStat.parse(rendered, pf.transform.resultType(srcType)) match {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case bd: BigDecimal => org.apache.spark.sql.types.Decimal(bd)
+            case other => other
+          }
+      }
+    }
+    InternalRow.fromSeq(values)
+  }
+
+  private lazy val keyedPartitions: Option[Array[InputPartition]] =
+    keyedSpec.map { spec =>
+      selectedFiles.groupBy(_.partition).values.zipWithIndex.map {
+        case (fs, i) =>
+          val splits = fs.map(f => PartitionedFile(
+            InternalRow.empty, SparkPath.fromPathString(f.path), 0L,
+            f.fileSizeBytes, Array.empty[String], 0L, f.fileSizeBytes,
+            Map.empty)).toArray
+          new KeyedFilePartition(i, splits,
+            partitionKeyRow(fs.head, spec)): InputPartition
+      }.toArray
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedSpec match {
+      case Some(spec) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spec.fields.map(GraftCatalog.toSparkTransform)
+            .toArray[org.apache.spark.sql.connector.expressions.Expression],
+          keyedPartitions.map(_.length).getOrElse(0))
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    keyedPartitions.foreach { kps => return kps }
     // reportMetrics analog (reference: api/iceberg/v1/metrics.rs —
     // accepts engine scan reports as opaque payloads and logs them)
     table.store.logEvent("scan-report", table.tableId, Map(
@@ -337,6 +404,20 @@ class GraftScan(
 
   override def description(): String =
     s"GraftScan ${table.name()} files=${selectedFiles.size}"
+}
+
+/** One input partition per partition tuple, carrying its key for
+  * Spark's key-grouped (storage-partitioned) join planning. Extends
+  * FilePartition so the parquet reader factory's FilePartition cast
+  * keeps working.
+  */
+final class KeyedFilePartition(
+    index: Int,
+    files: Array[PartitionedFile],
+    key: InternalRow)
+  extends FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Row-based reader that appends the `_file` metadata column (the

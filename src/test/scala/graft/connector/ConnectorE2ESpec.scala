@@ -818,6 +818,41 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("storage-partitioned join: co-bucketed tables join without a shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("""CREATE TABLE graft.spj.fact (id BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""CREATE TABLE graft.spj.dim (id BIGINT, name STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO graft.spj.fact SELECT id, id * 1.5 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.spj.dim SELECT id, concat('n', id) FROM range(0, 1000)")
+
+    def runJoin(): org.apache.spark.sql.DataFrame = spark.sql(
+      """SELECT f.id, f.v, d.name FROM graft.spj.fact f
+        |JOIN graft.spj.dim d ON f.id = d.id""".stripMargin)
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = runJoin()
+      assert(df.count() == 1000)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n${plan.take(2000)}")
+      // sanity: with v2 bucketing OFF the same join shuffles
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = runJoin().queryExecution.executedPlan.toString
+      assert(off.contains("Exchange"), "without SPJ the join should shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rewrite_data_files compacts only partitions with small files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.compact_p (id BIGINT, grp STRING)
