@@ -115,6 +115,27 @@ class TaskSchedulerSpec extends AnyFunSuite {
     assert(s.listTasks(status = Some("done")).size == 1)
   }
 
+  test("repeated store listings leave the open-fd count flat (no stream leaks)") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    (1 to 5).foreach(i => mkTable(s, TabularId(Seq("db"), s"t$i")))
+    def openFds(): Int =
+      FileCatalogStore.listDir(java.nio.file.Paths.get("/proc/self/fd")).size
+    // warm any lazily-opened infrastructure first
+    (1 to 5).foreach { _ =>
+      s.listAllTabulars(); s.listNamespaces(Nil); s.listTasks()
+      s.listDeletedTabulars(); s.currentVersion(TabularId(Seq("db"), "t1"))
+    }
+    val before = openFds()
+    (1 to 200).foreach { _ =>
+      s.listAllTabulars(); s.listNamespaces(Nil); s.listTasks()
+      s.listDeletedTabulars(); s.currentVersion(TabularId(Seq("db"), "t1"))
+    }
+    val after = openFds()
+    assert(after - before <= 5,
+      s"fd count grew $before -> $after across 1000 listings")
+  }
+
   test("adaptive expire_snapshots task appears for snapshot-heavy tables") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)
