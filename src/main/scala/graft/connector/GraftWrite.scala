@@ -81,6 +81,54 @@ class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(table, writeSchema, mode, overwriteFilters, queryId)
+
+  /** Structured Streaming sink: each epoch is one snapshot commit,
+    * keyed by (query run, epoch) through the same idempotency
+    * mechanism as batch — a re-driven epoch never double-appends
+    * within a run. Append and Complete (truncate-per-epoch) modes.
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(table, writeSchema, mode, queryId)
+}
+
+class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
+    mode: String, queryId: Option[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    GraftStreamingWriterFactory(
+      table.meta.location, writeSchema, table.meta.defaultSpec,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    new GraftBatchWrite(table, writeSchema, mode, Array.empty,
+      queryId.map(q => s"$q-epoch-$epochId")).commit(messages)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+      catch { case _: Throwable => }
+    }
+}
+
+final case class GraftStreamingWriterFactory(
+    tableLocation: String,
+    schema: StructType,
+    spec: PartitionSpec,
+    conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableLocation, schema, spec, conf.value,
+      partitionId, taskId)
 }
 
 /** Commit message: the data files one task produced. */

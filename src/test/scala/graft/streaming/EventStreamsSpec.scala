@@ -110,4 +110,39 @@ class EventStreamsSpec extends AnyFunSuite {
       s"stream=${closed.length} batch=${batchClosed.length}")
     closed.zip(batchClosed).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
+
+  test("writeStream into a catalog table: one snapshot per epoch, exact contents") {
+    val wh = Files.createTempDirectory("graft-stream-sink-wh").toString
+    spark.conf.set("spark.sql.catalog.gsink",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.db")
+    spark.sql(
+      """CREATE TABLE gsink.db.events_sink (
+        |  event_id BIGINT, user_id BIGINT, event_type STRING)""".stripMargin)
+
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(sourceDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gsink.db.events_sink")
+    q.awaitTermination(120000)
+
+    val expected = spark.read.schema(rawSchema).parquet(sourceDir)
+      .select(col("event_id")).count()
+    assert(spark.table("gsink.db.events_sink").count() == expected)
+    // epoch commits are real snapshots with append semantics
+    val snaps = spark.sql("SELECT operation FROM gsink.db.events_sink.snapshots")
+      .collect().map(_.getString(0)).toSeq
+    assert(snaps.nonEmpty && snaps.forall(_ == "append"))
+    // contents match the batch read exactly
+    val got = spark.table("gsink.db.events_sink")
+      .agg(sum(col("event_id"))).collect().head.getLong(0)
+    val want = spark.read.schema(rawSchema).parquet(sourceDir)
+      .agg(sum(col("event_id"))).collect().head.getLong(0)
+    assert(got == want)
+  }
 }
