@@ -1,0 +1,96 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.paths.SparkPath
+
+import graft.meta._
+
+/** Offset = main-branch snapshot id (-1 before any snapshot). */
+final case class GraftStreamOffset(snapshotId: Long) extends Offset {
+  override def json(): String = s"""{"snapshot-id":$snapshotId}"""
+}
+
+object GraftStreamOffset {
+  def fromJson(s: String): GraftStreamOffset = {
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    GraftStreamOffset((j \ "snapshot-id").extract[Long])
+  }
+}
+
+/** Incremental table reads for Structured Streaming: each micro-batch
+  * covers the snapshots committed since the previous offset, reading
+  * only the manifests those snapshots ADDED (manifests are reused by
+  * path across snapshots, so "new manifests" is an O(#manifests) set
+  * difference, never a file diff). Non-append snapshots (overwrite /
+  * replace — compaction, row-level ops) are skipped: their added
+  * manifests re-list carried-over rows, and the streaming contract
+  * here is append-tailing, the same default Iceberg's streaming
+  * source ships with.
+  */
+class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream {
+
+  private def table = scan.table
+  private def currentMeta: TableMetadata =
+    table.store.loadTableMetadata(table.tableId).map(_._1).getOrElse(table.meta)
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(currentMeta.snapshotFor(table.writeRef)
+      .map(_.snapshotId).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  /** Files added by append snapshots in (start, end]. */
+  private def addedFiles(startSnap: Long, endSnap: Long): Seq[DataFile] = {
+    if (endSnap < 0 || startSnap == endSnap) return Nil
+    val meta = currentMeta
+    // ancestry walk from end back to start (exclusive)
+    val chain = Iterator.iterate(meta.snapshots.get(endSnap))(s =>
+      s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
+      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == startSnap))
+      .flatten.toSeq.reverse
+    chain.flatMap { snap =>
+      if (snap.operation != "append" && snap.parentSnapshotId.isDefined) Nil
+      else {
+        val parentManifests = snap.parentSnapshotId
+          .flatMap(meta.snapshots.get).map(_.manifests.toSet)
+          .getOrElse(Set.empty)
+        val newManifests = snap.manifests.filterNot(parentManifests)
+        table.store.readManifests(meta.location, newManifests)
+          .flatMap(_.entries)
+      }
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    val files =
+      if (s < 0 && e >= 0) {
+        // first batch: the full current snapshot
+        val meta = currentMeta
+        meta.snapshots.get(e).toSeq.flatMap(snap =>
+          table.store.readManifests(meta.location, snap.manifests)
+            .flatMap(_.entries))
+      } else addedFiles(s, e)
+    files.zipWithIndex.map { case (f, i) =>
+      FilePartition(i, Array(PartitionedFile(
+        InternalRow.empty, SparkPath.fromPathString(f.path), 0L,
+        f.fileSizeBytes, Array.empty[String], 0L, f.fileSizeBytes,
+        Map.empty))): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+}

@@ -70,6 +70,7 @@ class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
@@ -212,6 +213,11 @@ class GraftScan(
   override def readSchema(): StructType = requiredSchema
 
   override def toBatch: Batch = this
+
+  /** Incremental snapshot-tailing source (readStream.table). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =

@@ -145,4 +145,36 @@ class EventStreamsSpec extends AnyFunSuite {
       .agg(sum(col("event_id"))).collect().head.getLong(0)
     assert(got == want)
   }
+
+  test("readStream from a catalog table tails appended snapshots exactly once") {
+    val wh = Files.createTempDirectory("graft-stream-read-wh").toString
+    spark.conf.set("spark.sql.catalog.gtail",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtail.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtail.db")
+    spark.sql("CREATE TABLE gtail.db.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtail.db.src SELECT id, 'first' FROM range(0, 10)")
+
+    val q = spark.readStream.table("gtail.db.src")
+      .writeStream
+      .format("memory")
+      .queryName("tail_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tail-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM tail_sink")
+        .collect().head.getLong(0) == 10)
+
+      // an appended snapshot arrives incrementally — only the new rows
+      spark.sql("INSERT INTO gtail.db.src SELECT id, 'second' FROM range(100, 105)")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT v, COUNT(*) AS n FROM tail_sink GROUP BY v")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("first" -> 10L, "second" -> 5L),
+        s"each row exactly once, got $rows")
+    } finally q.stop()
+  }
 }
