@@ -144,11 +144,32 @@ class FileCatalogStore(val root: String) {
   // ------------------------------------------------------------ helpers
   private def fold(s: String): String = s.toLowerCase(Locale.ROOT)
 
+  /** Casefolded identifier → filesystem-safe directory key: ASCII
+    * letters/digits/_/-/. pass through, every other byte (UTF-8) is
+    * percent-encoded — identifiers with spaces, punctuation, or any
+    * unicode land on disk regardless of the JVM's native locale
+    * (reference certifies the full UTF-8 identifier matrix,
+    * test_spark.py:1014-1155). A leading '.' is encoded so keys can
+    * never collide with the dotfile sidecars.
+    */
+  private def dirKey(name: String): String = {
+    val folded = fold(name)
+    val sb = new StringBuilder
+    folded.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = b.toChar
+      val safe = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '_' || c == '-' || (c == '.' && sb.nonEmpty)
+      if (safe) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   private def nsPath(ns: Seq[String]): Path =
-    ns.foldLeft(rootPath)((p, part) => p.resolve(fold(part)))
+    ns.foldLeft(rootPath)((p, part) => p.resolve(dirKey(part)))
 
   private def tabularPath(id: TabularId): Path =
-    nsPath(id.namespace).resolve(fold(id.name))
+    nsPath(id.namespace).resolve(dirKey(id.name))
 
   private def writeString(p: Path, s: String): Unit = {
     Files.createDirectories(p.getParent)
@@ -218,7 +239,11 @@ class FileCatalogStore(val root: String) {
     if (!Files.isDirectory(dir)) return Nil
     FileCatalogStore.listDir(dir)
       .filter(p => Files.exists(p.resolve(NsMeta)))
-      .map(p => loadNamespace(parent :+ p.getFileName.toString)._1)
+      .map { p =>
+        // the sidecar carries the ORIGINAL name — dir keys are opaque
+        val j = JsonMethods.parse(readString(p.resolve(NsMeta)))
+        (j \ "name").extract[Seq[String]]
+      }
       .sortBy(_.mkString(""))
   }
 
@@ -253,8 +278,10 @@ class FileCatalogStore(val root: String) {
         ("protected" -> info.protected_) ~
         ("metadata-location" -> info.metadataLocation)))
 
-  def loadTabularInfo(id: TabularId): Option[TabularInfo] = {
-    val p = tabularInfoPath(id)
+  def loadTabularInfo(id: TabularId): Option[TabularInfo] =
+    loadTabularInfoAt(tabularInfoPath(id))
+
+  private def loadTabularInfoAt(p: Path): Option[TabularInfo] = {
     if (!Files.exists(p)) None
     else {
       val j = JsonMethods.parse(readString(p))
@@ -279,9 +306,7 @@ class FileCatalogStore(val root: String) {
     val dir = nsPath(ns)
     if (!Files.isDirectory(dir)) return Nil
     FileCatalogStore.listDir(dir).iterator
-      .filter(p => Files.exists(p.resolve(TabMeta)))
-      .flatMap(p => loadTabularInfo(
-        TabularId(ns, p.getFileName.toString)))
+      .flatMap(p => loadTabularInfoAt(p.resolve(TabMeta)))
       .filter(t => includeDeleted || t.deletedMs.isEmpty)
       .filter(t => kind.forall(_ == t.kind))
       .toSeq.sortBy(_.id.name)

@@ -922,6 +922,44 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(spark.table("graft.cloc.t4").count() == 1)
   }
 
+  test("special characters in namespace and table names (reference :1014-1155)") {
+    // representative subset of the reference's UTF-8 identifier matrix
+    val nsNames = Seq(
+      "ns with spaces", "ns-with-hyphens", "ns!with@special#chars$",
+      "ns_中文_日本語", "ns_🚀_emoji_✨", "ns%with%percent")
+    val tblNames = Seq(
+      "table with spaces", "tablé_with_àccents_ñ", "table_עברית_العربية",
+      "table-Mix!_OF_everything_中文_ä_🎉", "table,with,commas")
+    // SHOW output quotes identifiers needing it — compare unquoted
+    def unquote(s: String): String =
+      if (s.startsWith("`") && s.endsWith("`"))
+        s.stripPrefix("`").stripSuffix("`").replace("``", "`")
+      else s
+    nsNames.foreach { ns =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.`$ns`")
+      assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+        .map(r => unquote(r.getString(0))).contains(ns),
+        s"namespace <$ns> listed")
+    }
+    val ns = nsNames.head
+    tblNames.foreach { t =>
+      spark.sql(s"CREATE TABLE graft.`$ns`.`$t` (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO graft.`$ns`.`$t` VALUES (1, 'x'), (2, 'y')")
+      assert(spark.table(s"graft.`$ns`.`$t`").count() == 2, s"table <$t>")
+    }
+    val shown = spark.sql(s"SHOW TABLES IN graft.`$ns`").collect()
+      .map(r => unquote(r.getString(1))).toSet
+    tblNames.foreach(t => assert(shown.contains(t), s"<$t> in SHOW TABLES"))
+    // rename with special chars on both sides
+    spark.sql(s"ALTER TABLE graft.`$ns`.`${tblNames.head}` " +
+      s"RENAME TO graft.`$ns`.`renamed 🚀 table`")
+    assert(spark.table(s"graft.`$ns`.`renamed 🚀 table`").count() == 2)
+    // drop cleans up
+    tblNames.tail.foreach(t => spark.sql(s"DROP TABLE graft.`$ns`.`$t`"))
+    spark.sql(s"DROP TABLE graft.`$ns`.`renamed 🚀 table`")
+    assert(spark.sql(s"SHOW TABLES IN graft.`$ns`").count() == 0)
+  }
+
   test("special-char column names round-trip (reference test :547-562)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("""CREATE TABLE graft.db.spec_cols (
