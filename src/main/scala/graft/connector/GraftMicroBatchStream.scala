@@ -21,6 +21,31 @@ object GraftStreamOffset {
   }
 }
 
+/** Snapshot-diff shared by the streaming source and the
+  * incremental_scan procedure: files ADDED by append snapshots in
+  * (start, end], resolved through new-manifest set differences.
+  */
+object SnapshotDiff {
+  def addedFiles(store: graft.store.FileCatalogStore, meta: TableMetadata,
+      startSnap: Long, endSnap: Long): Seq[DataFile] = {
+    if (endSnap < 0 || startSnap == endSnap) return Nil
+    val chain = Iterator.iterate(meta.snapshots.get(endSnap))(s =>
+      s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
+      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == startSnap))
+      .flatten.toSeq.reverse
+    chain.flatMap { snap =>
+      if (snap.operation != "append" && snap.parentSnapshotId.isDefined) Nil
+      else {
+        val parentManifests = snap.parentSnapshotId
+          .flatMap(meta.snapshots.get).map(_.manifests.toSet)
+          .getOrElse(Set.empty)
+        val newManifests = snap.manifests.filterNot(parentManifests)
+        store.readManifests(meta.location, newManifests).flatMap(_.entries)
+      }
+    }
+  }
+}
+
 /** Incremental table reads for Structured Streaming: each micro-batch
   * covers the snapshots committed since the previous offset, reading
   * only the manifests those snapshots ADDED (manifests are reused by
@@ -50,28 +75,6 @@ class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream {
 
   override def stop(): Unit = ()
 
-  /** Files added by append snapshots in (start, end]. */
-  private def addedFiles(startSnap: Long, endSnap: Long): Seq[DataFile] = {
-    if (endSnap < 0 || startSnap == endSnap) return Nil
-    val meta = currentMeta
-    // ancestry walk from end back to start (exclusive)
-    val chain = Iterator.iterate(meta.snapshots.get(endSnap))(s =>
-      s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
-      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == startSnap))
-      .flatten.toSeq.reverse
-    chain.flatMap { snap =>
-      if (snap.operation != "append" && snap.parentSnapshotId.isDefined) Nil
-      else {
-        val parentManifests = snap.parentSnapshotId
-          .flatMap(meta.snapshots.get).map(_.manifests.toSet)
-          .getOrElse(Set.empty)
-        val newManifests = snap.manifests.filterNot(parentManifests)
-        table.store.readManifests(meta.location, newManifests)
-          .flatMap(_.entries)
-      }
-    }
-  }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
@@ -82,7 +85,7 @@ class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream {
         meta.snapshots.get(e).toSeq.flatMap(snap =>
           table.store.readManifests(meta.location, snap.manifests)
             .flatMap(_.entries))
-      } else addedFiles(s, e)
+      } else SnapshotDiff.addedFiles(table.store, currentMeta, s, e)
     files.zipWithIndex.map { case (f, i) =>
       FilePartition(i, Array(PartitionedFile(
         InternalRow.empty, SparkPath.fromPathString(f.path), 0L,

@@ -31,7 +31,8 @@ object Procedures {
     "undrop_table", "set_protection", "list_deleted_tabulars",
     "expire_deleted_tabulars", "create_generic_table", "process_tasks",
     "analyze_table", "create_warehouse", "list_warehouses",
-    "delete_warehouse", "set_delete_profile", "set_warehouse_active")
+    "delete_warehouse", "set_delete_profile", "set_warehouse_active",
+    "incremental_scan")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -56,6 +57,7 @@ object Procedures {
       case "delete_warehouse" => Some(DeleteWarehouseProcedure(catalog))
       case "set_delete_profile" => Some(SetDeleteProfileProcedure(catalog))
       case "set_warehouse_active" => Some(SetWarehouseActiveProcedure(catalog))
+      case "incremental_scan" => Some(IncrementalScanProcedure(catalog))
       case _ => None
     }
 
@@ -436,6 +438,45 @@ final case class AnalyzeTableProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](
         sf.snapshotId, Procedures.utf8(sf.path), sf.fileSizeBytes)): InternalRow))
+  }
+}
+
+/** Batch CDC: rows APPENDED between two snapshots — the batch twin of
+  * the streaming source's snapshot tailing. Reads through the
+  * connector with exact `_file` pruning, so only the added files are
+  * scanned and schema evolution is handled by the normal read path.
+  */
+final case class IncrementalScanProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "incremental_scan"
+  override def description(): String =
+    "Rows appended between from_snapshot_id (exclusive) and to_snapshot_id"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("from_snapshot_id", LongType),
+    Procedures.paramWithDefault("to_snapshot_id", LongType, "-1"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val spark = SparkSession.active
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val from = input.getLong(1)
+    val (meta, _) = catalog.store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val to =
+      if (input.isNullAt(2) || input.getLong(2) < 0)
+        meta.currentSnapshotId.getOrElse(-1L)
+      else input.getLong(2)
+    val added = graft.connector.SnapshotDiff
+      .addedFiles(catalog.store, meta, from, to).map(_.path)
+    val fqn = (catalog.name() +: id.namespace :+ id.name)
+      .map(p => s"`$p`").mkString(".")
+    val df =
+      if (added.isEmpty) spark.table(fqn).limit(0)
+      else spark.table(fqn)
+        .filter(col(GraftTable.FileColumnName).isin(added: _*))
+        .drop(GraftTable.FileColumnName)
+    DfResult(df)
   }
 }
 

@@ -818,6 +818,25 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("incremental_scan returns only rows appended after a snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
+    spark.sql("CREATE TABLE graft.cdc.t (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.cdc.t SELECT id, 'one' FROM range(0, 10)")
+    val snap1 = spark.sql("SELECT snapshot_id FROM graft.cdc.t.snapshots " +
+      "ORDER BY committed_at DESC").collect().head.getLong(0)
+    spark.sql("INSERT INTO graft.cdc.t SELECT id, 'two' FROM range(100, 103)")
+    spark.sql("INSERT INTO graft.cdc.t SELECT id, 'three' FROM range(200, 202)")
+
+    val inc = spark.sql(
+      s"CALL graft.system.incremental_scan(table => 'cdc.t', from_snapshot_id => $snap1)")
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(inc == Map("two" -> 3, "three" -> 2), s"got $inc")
+    // from the beginning (-1): everything
+    assert(spark.sql(
+      "CALL graft.system.incremental_scan(table => 'cdc.t', from_snapshot_id => -1)")
+      .count() == 15)
+  }
+
   test("storage-partitioned join: co-bucketed tables join without a shuffle") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     spark.sql("""CREATE TABLE graft.spj.fact (id BIGINT, v DOUBLE)
