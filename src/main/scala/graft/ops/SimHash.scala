@@ -60,6 +60,9 @@ object SimHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= Bands - 1,
       s"band bucketing is complete only up to hamming ${Bands - 1}")
+    // three consumers, but Catalyst reuses the aggregation exchange
+    // across them (verified: persisting here only ADDS materialization
+    // cost at sf0.1)
     val fp = fingerprints(df, idCol, textCol)
     val banded = fp.select(col("doc_id"),
       posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
