@@ -297,6 +297,59 @@ object CatalogOps {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM $CatalogName.$db.orders_f_v
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // storage-partitioned join: both sides bucketed by custkey with the
+    // SAME transform, joined with Spark's v2 bucketing on — the
+    // shuffle-free co-located join path — and the values must equal the
+    // oracle's plain join over raw parquet
+    Q(
+      "qc12_colocated_join",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_bkt")
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.customer_bkt")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.orders_bkt (
+           |  o_custkey BIGINT, o_totalprice DOUBLE)
+           |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.orders_bkt
+           |SELECT o_custkey, o_totalprice FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.customer_bkt (
+           |  c_custkey BIGINT, c_mktsegment STRING)
+           |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.customer_bkt
+           |SELECT c_custkey, c_mktsegment FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      val saved = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        // materialize UNDER the flag so the co-located path executes;
+        // the returned frame is the (tiny) grouped result
+        val rows = s.sql(
+          s"""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM $CatalogName.$db.orders_bkt o
+             |JOIN $CatalogName.$db.customer_bkt c ON o.o_custkey = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+          .collect().toSeq
+        import org.apache.spark.sql.types._
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          StructType(Seq(
+            StructField("c_mktsegment", StringType),
+            StructField("n", LongType, nullable = false),
+            StructField("total", DoubleType))))
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }
   )
 }
