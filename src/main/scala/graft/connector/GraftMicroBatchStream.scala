@@ -56,7 +56,10 @@ object SnapshotDiff {
   * here is append-tailing, the same default Iceberg's streaming
   * source ships with.
   */
-class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream {
+class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def table = scan.table
   private def currentMeta: TableMetadata =
@@ -67,6 +70,53 @@ class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream {
   override def latestOffset(): Offset =
     GraftStreamOffset(currentMeta.snapshotFor(table.writeRef)
       .map(_.snapshotId).getOrElse(-1L))
+
+  // ------------------------------------------------- admission control
+  override def getDefaultReadLimit: ReadLimit =
+    scan.streamMaxFilesPerTrigger
+      .map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate-limited offset: advance snapshot-by-snapshot until the file
+    * budget is spent (always at least one snapshot so the stream makes
+    * progress). Per-snapshot file counts come from the commit summary
+    * — no manifest reads on the admission path.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val meta = currentMeta
+    val head = meta.snapshotFor(table.writeRef)
+      .map(_.snapshotId).getOrElse(-1L)
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    limit match {
+      case f: ReadMaxFiles if head >= 0 && s != head =>
+        // oldest→newest chain in (s, head]
+        val chain = Iterator.iterate(meta.snapshots.get(head))(x =>
+          x.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
+          .takeWhile(x => x.isDefined && !x.exists(_.snapshotId == s))
+          .flatten.toSeq.reverse
+        var budget = f.maxFiles().toLong
+        var end = s
+        var admitted = 0
+        var stopped = false
+        chain.foreach { snap =>
+          if (!stopped) {
+            val files = snap.summary.get("added-data-files")
+              .flatMap(v => scala.util.Try(v.toLong).toOption)
+              .getOrElse(1L)
+            // offsets are contiguous: stop at the FIRST snapshot over
+            // budget (but always admit one so the stream progresses)
+            if (admitted == 0 || files <= budget) {
+              end = snap.snapshotId
+              budget -= files
+              admitted += 1
+            } else stopped = true
+          }
+        }
+        GraftStreamOffset(end)
+      case _ => GraftStreamOffset(head)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.fromJson(json)

@@ -86,7 +86,7 @@ class GraftTable(
       readSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -127,7 +127,8 @@ object GraftTable {
   * pruning inside Spark's parquet reader — and always returned as
   * residuals so Catalyst keeps exact semantics.
   */
-class GraftScanBuilder(table: GraftTable)
+class GraftScanBuilder(table: GraftTable,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
@@ -146,15 +147,22 @@ class GraftScanBuilder(table: GraftTable)
     this.requiredSchema = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(table, pushedFilters_, requiredSchema)
+    new GraftScan(table, pushedFilters_, requiredSchema, options)
 }
 
 class GraftScan(
     val table: GraftTable,
     filters: Array[Filter],
-    requiredSchema: StructType)
+    requiredSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** readStream.option("maxFilesPerTrigger", n) — streaming admission
+    * budget (files per micro-batch).
+    */
+  private[connector] def streamMaxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
 
   private val spark = SparkSession.active
   private val dataSchema = table.schema()

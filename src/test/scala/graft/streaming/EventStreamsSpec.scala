@@ -177,4 +177,36 @@ class EventStreamsSpec extends AnyFunSuite {
         s"each row exactly once, got $rows")
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger rate-limits catalog tailing to one snapshot per batch") {
+    val wh = Files.createTempDirectory("graft-ratelimit-wh").toString
+    spark.conf.set("spark.sql.catalog.grate",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grate.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grate.db")
+    spark.sql("CREATE TABLE grate.db.src (id BIGINT)")
+    // three snapshots of exactly one file each
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO grate.db.src " +
+        s"SELECT /*+ REPARTITION(1) */ id FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("grate.db.src")
+      .writeStream
+      .format("memory")
+      .queryName("rate_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rate-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM rate_sink")
+        .collect().head.getLong(0) == 30)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"1-file budget must split the 3 snapshots into >=3 batches, got $nonEmpty")
+    } finally q.stop()
+  }
 }
