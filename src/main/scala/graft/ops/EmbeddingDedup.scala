@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-cosine near-duplicate detection: pairs (a < b) whose
+  * embedding cosine similarity clears a threshold — the embedding-side
+  * sibling of MinHash/SimHash text dedup.
+  *
+  * 100 TB shape — never all-pairs: candidates come from sign-LSH
+  * posting lists (a pair is considered iff it shares a bucket in ANY
+  * of the L hash tables — one explode + one self-join on the small
+  * (table, bucket) key, skew-bounded by duplicate-cluster size), then
+  * ONLY candidates pay the exact cosine verification. Recall per pair
+  * at angle θ is 1-(1-(1-θ/π)^bits)^L — the (l, bits) knobs trade
+  * probe cost for recall exactly like MinHash's (bands, rows).
+  */
+object EmbeddingDedup {
+
+  /** Candidate pairs + exact cosine, filtered at `threshold`. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int,
+      l: Int = 4,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = Ann.planes(l, bits, dim, seed)
+    val base = df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val banded = base.select(col("vec_id"),
+      posexplode(array(ps.map(tp => Ann.bucket(col("emb"), tp)): _*))
+        .as(Seq("tbl", "bucket")))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    candidates
+      .join(base.select(col("vec_id").as("a"), col("emb").as("ea")), Seq("a"))
+      .join(base.select(col("vec_id").as("b"), col("emb").as("eb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(Ann.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** DuckDB oracle simulating the IDENTICAL pipeline — same plane
+    * literals, same sign-bit buckets, same any-table candidate rule,
+    * same rounded cosine verification — so the correctness gate checks
+    * the operator itself, not a weaker property of its output.
+    */
+  def duckDbOracle(threshold: Double, dim: Int, l: Int = 4, bits: Int = 8,
+      seed: Long = 42L): String = {
+    val planes = Ann.planes(l, bits, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ",", "]")
+    def bucketExpr(tp: Seq[Array[Double]]): String =
+      tp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = planes.zipWithIndex
+      .map { case (tp, t) => s"${bucketExpr(tp)} AS b$t" }.mkString(",\n  ")
+    val anyBucket = (0 until l).map(t => s"x.b$t = y.b$t").mkString(" OR ")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketCols
+       |FROM ev),
+       |cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+       |  FROM b x JOIN b y ON x.vec_id < y.vec_id AND ($anyBucket)),
+       |scored AS (
+       |  SELECT a, b,
+       |    round(list_dot_product(va, vb) /
+       |          (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
+       |  FROM cand)
+       |SELECT a, b, cos_sim FROM scored
+       |WHERE cos_sim >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
+}

@@ -180,6 +180,22 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("cos_sim"))
     },
 
+    // embedding-cosine near-dup: the embedding-side dedup operator —
+    // sign-LSH posting-list candidates, exact cosine verify. Oracle
+    // simulates the identical pipeline in DuckDB (same planes, same
+    // buckets, same candidate rule, same rounded cosine), verifying
+    // the operator literal-for-literal.
+    Q("qs5_embedding_neardup",
+      graft.ops.EmbeddingDedup.duckDbOracle(
+        threshold = 0.3, dim = AnnDim, l = AnnL, bits = AnnBits,
+        seed = AnnSeed)) { (s, dir) =>
+      graft.ops.EmbeddingDedup.nearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = AnnDim, l = AnnL, bits = AnnBits,
+        seed = AnnSeed)
+        .orderBy(col("a"), col("b"))
+    },
+
     // all-pairs centroid similarity by label: the "are my class
     // centroids separated" diagnostic — mean-pool then tiny NxN join
     Q(
