@@ -81,6 +81,50 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     (1 to 8).foreach(i => assert(finalMeta.properties(s"k$i") == s"$i"))
   }
 
+  test("transactions racing single-table commits never corrupt either table") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val a = TabularId(Seq("db"), "txa")
+    val b = TabularId(Seq("db"), "txb")
+    mkTable(s, a); mkTable(s, b)
+    val txnFailures = new java.util.concurrent.atomic.AtomicInteger()
+    val txnWins = new java.util.concurrent.atomic.AtomicInteger()
+    val threads =
+      (1 to 4).map { i =>
+        new Thread(() => (1 to 5).foreach { j =>
+          s.commitTable(a, Nil,
+            Seq(TableUpdate.SetProperties(Map(s"c$i-$j" -> "x"))),
+            maxRetries = 100)
+        })
+      } ++ (1 to 2).map { i =>
+        new Thread(() => (1 to 5).foreach { j =>
+          try {
+            s.commitTransaction(Seq(
+              (a, Nil, Seq(TableUpdate.SetProperties(Map(s"t$i-$j" -> "y")))),
+              (b, Nil, Seq(TableUpdate.SetProperties(Map(s"t$i-$j" -> "y"))))))
+            txnWins.incrementAndGet()
+          } catch {
+            case _: CommitFailedException => txnFailures.incrementAndGet()
+          }
+        })
+      }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (ma, va) = s.loadTableMetadata(a).get
+    val (mb, vb) = s.loadTableMetadata(b).get
+    // every single-table commit landed
+    for (i <- 1 to 4; j <- 1 to 5) assert(ma.properties.contains(s"c$i-$j"))
+    // transactions are all-or-nothing: a's txn keys == b's txn keys
+    val txnKeysA = ma.properties.keySet.filter(_.startsWith("t"))
+    val txnKeysB = mb.properties.keySet.filter(_.startsWith("t"))
+    assert(txnKeysA == txnKeysB,
+      s"half-applied transaction: a=$txnKeysA b=$txnKeysB")
+    assert(txnKeysA.size == txnWins.get())
+    // version chains are contiguous: current version readable and every
+    // logged predecessor resolvable by the version regex invariant
+    assert(va == 20 + txnWins.get())
+    assert(vb == txnWins.get())
+  }
+
   test("soft delete, list deleted, undrop, protection") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)
