@@ -362,6 +362,127 @@ object Relational {
         .orderBy(col("k"))
     },
 
+    // -------------------------------------------- q25: correlated max
+    // (TPC-H q02 machinery: per-group extreme matched back to rows —
+    // expressed as a window max, which Catalyst plans with one shuffle)
+    Q(
+      "q25_top_balance_per_nation",
+      """SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS bal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY n_name, c_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val w = Window.partitionBy(col("c_nationkey"))
+      c.withColumn("mx", max(col("c_acctbal")).over(w))
+        .filter(col("c_acctbal") === col("mx"))
+        .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("c_name"),
+          col("c_acctbal").cast(DoubleType).as("bal"))
+        .orderBy(col("n_name"), col("c_name"))
+    },
+
+    // ---------------------------------- q26: HAVING scalar subquery
+    // (TPC-H q11 machinery: group filter against a global aggregate)
+    Q(
+      "q26_heavy_nations",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY n.n_name
+        |HAVING CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) >
+        |  CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer) AS DOUBLE) / 25
+        |ORDER BY total_bal DESC, n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val global = c.agg(sum(dec("c_acctbal")).cast(DoubleType).as("g"))
+      c.join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec("c_acctbal")).as("tb"))
+        .join(broadcast(global))
+        .filter(col("tb").cast(DoubleType) > col("g") / 25)
+        .select(col("n_name"), col("tb").cast(DoubleType).as("total_bal"))
+        .orderBy(col("total_bal").desc, col("n_name"))
+    },
+
+    // ------------------------------------------------ q27: NOT IN
+    // (TPC-H q16 machinery: anti membership + distinct count)
+    Q(
+      "q27_clean_brands",
+      """SELECT p_brand, COUNT(DISTINCT p_partkey) AS n_parts
+        |FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE l_discount > 0.08)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      val l = Tables.load(s, dir, "lineitem")
+      // non-null key: NOT IN == left_anti (no null-semantics trap)
+      p.join(l.filter(col("l_discount") > 0.08)
+          .select(col("l_partkey").as("p_partkey")),
+        Seq("p_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("p_partkey")).as("n_parts"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---------------------- q28: EXISTS + NOT EXISTS on one relation
+    // (TPC-H q21 machinery: semi and anti correlation against the same
+    // fact table — planned as one semi and one anti join, no explosion)
+    Q(
+      "q28_returned_but_light_orders",
+      """SELECT o.o_orderpriority, COUNT(*) AS n
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+        .join(l.filter(col("l_quantity") > 49)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---------------------------------------- q29: CTE + global max
+    // (TPC-H q15 machinery: named subresult consumed twice — revenue
+    // per supplier, then the row(s) achieving the maximum)
+    Q(
+      "q29_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.r AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.r = (SELECT MAX(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val rev = l
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec("l_extendedprice") * oneMinusDisc).as("r"))
+      val mx = rev.agg(max(col("r")).as("mx"))
+      rev.join(broadcast(mx)).filter(col("r") === col("mx"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast(DoubleType).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // ------------------------------------------------------------ rollup
     Q(
       "q24_rollup_revenue",
