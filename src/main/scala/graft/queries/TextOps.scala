@@ -177,6 +177,109 @@ object TextOps {
         graft.ops.SimHash.nearDupPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
           .orderBy(col("a"), col("b"))
+    },
+
+    // ------------------------------------- exact n-gram Jaccard pairs
+    // Exact counterpart to qd3: ALL pairs with 2-gram-shingle Jaccard ≥
+    // threshold, no hashing, via the standard inverted-index self-join
+    // (explode shingles → join on the shingle → |intersection| = pair
+    // count, since shingles are distinct per doc). Never materializes
+    // the doc×doc cross product: only docs sharing ≥1 shingle meet.
+    // At 100 TB this is the exact-verification building block; for
+    // corpora where even the inverted join is too hot (stop-shingles
+    // with huge document frequency), qd3's MinHash-LSH is the lossy
+    // scale path. The oracle computes the same result with a different
+    // plan (list_intersect over the quadratic pair space) — agreement
+    // checks the algorithm, not the plan.
+    Q(
+      "qd5_ngram_jaccard",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingles
+         |  FROM toks WHERE len(t) >= 2),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a, b, round(j, 6) AS jaccard FROM pairs
+         |WHERE j >= 0.4 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          array_distinct(zip_with(
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("shingles"))
+      val inv = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("shingle"))
+      inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sz").as("sa"), col("y.sz").as("sb"))
+        .agg(count(lit(1)).as("common"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("j"))
+        .filter(col("j") >= 0.4)
+        .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // -------------------------------------------- language identification
+    // N-gram-frequency language ID (Cavnar–Trenkle-style, simplified to
+    // unigram count profiles): train per-language token profiles from
+    // the labeled corpus in one pass, then classify every document as
+    // the argmax over languages of the summed profile counts of its
+    // distinct tokens (ties broken by language name). Output is the
+    // lang × predicted-lang confusion matrix. At 100 TB: training is
+    // one map-side-combined groupBy; the profile table is tiny (langs ×
+    // vocab) so prediction is a broadcast join — no shuffle of the
+    // corpus beyond the per-doc score aggregation.
+    Q(
+      "qt4_language_id",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '$tokenRe')) AS tok
+         |  FROM documents),
+         |profile AS (
+         |  SELECT lang AS plang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |doc_toks AS (SELECT DISTINCT doc_id, tok FROM toks),
+         |scores AS (
+         |  SELECT t.doc_id, p.plang, SUM(p.c) AS s
+         |  FROM doc_toks t JOIN profile p USING (tok) GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT doc_id, plang AS pred_lang FROM (
+         |    SELECT doc_id, plang,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+         |    FROM scores) WHERE rn = 1)
+         |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).as("tok"))
+      val profile = toks
+        .groupBy(col("lang").as("plang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val docToks = toks.select(col("doc_id"), col("tok")).distinct()
+      val scores = docToks
+        .join(broadcast(profile), "tok")
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(sum(col("c")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("s").desc, col("plang"))
+      val pred = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"))
+      docs.join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
     }
   )
 }
