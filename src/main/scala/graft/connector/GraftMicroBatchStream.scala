@@ -40,7 +40,8 @@ object SnapshotDiff {
           .flatMap(meta.snapshots.get).map(_.manifests.toSet)
           .getOrElse(Set.empty)
         val newManifests = snap.manifests.filterNot(parentManifests)
-        store.readManifests(meta.location, newManifests).flatMap(_.entries)
+        store.readManifests(meta.location, newManifests)
+          .flatMap(_.entries).filter(_.isData)
       }
     }
   }
@@ -134,7 +135,7 @@ class GraftMicroBatchStream(scan: GraftScan) extends MicroBatchStream
         val meta = currentMeta
         meta.snapshots.get(e).toSeq.flatMap(snap =>
           table.store.readManifests(meta.location, snap.manifests)
-            .flatMap(_.entries))
+            .flatMap(_.entries).filter(_.isData))
       } else SnapshotDiff.addedFiles(table.store, currentMeta, s, e)
     files.zipWithIndex.map { case (f, i) =>
       FilePartition(i, Array(PartitionedFile(

@@ -3,6 +3,7 @@ package graft.connector
 import java.util.UUID
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => SparkSortOrder}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -242,4 +243,308 @@ class GraftCowBatchWrite(
       try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
       catch { case _: Throwable => }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Merge-on-read (position deletes) — SupportsDelta
+// ---------------------------------------------------------------------------
+
+/** Merge-on-read row-level operations, selected per command by the
+  * `write.{delete,update,merge}.mode = merge-on-read` table property.
+  *
+  * Instead of rewriting every candidate file (copy-on-write), the
+  * write emits POSITION-DELETE files — parquet of (file_path, pos)
+  * tuples — plus ordinary data files for inserts, and commits both
+  * without touching any existing data file. Scans apply the deletes
+  * (GraftScan / MetaDeleteReaderFactory), and compaction materializes
+  * them away. At 100 TB this turns "delete 100 rows" from a multi-GB
+  * rewrite into a kilobyte write — the trade the reference's ecosystem
+  * makes with Iceberg v2 position deletes.
+  *
+  * Spark's delta rewrite rules drive this through SupportsDelta:
+  * rowId = (_file, _pos); updates are represented as delete+insert.
+  */
+class GraftMorOperation(
+    table: GraftTable,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMorScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(table,
+          if (info.schema().fields.nonEmpty) info.schema() else table.schema())
+    }
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      Expressions.column(GraftTable.FileColumnName),
+      Expressions.column(GraftTable.PosColumnName))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty // rowId already carries (_file, _pos)
+
+  override def description(): String =
+    s"GraftMorOperation($cmd, ${table.name()})"
+}
+
+class GraftMorScanBuilder(table: GraftTable)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftMorScan(table, pushed, required)
+}
+
+/** Delta rewrite scan: file pruning + runtime group filtering like the
+  * COW scan, but rows flow straight to the DeltaWriter with their
+  * (_file, _pos) row id — no reader-filter suppression needed beyond
+  * what `_pos` already forces (whole-file unfiltered reads).
+  */
+class GraftMorScan(
+    table: GraftTable,
+    filters: Array[Filter],
+    requiredSchema: StructType)
+  extends GraftScan(table, filters, requiredSchema)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftTable.FileColumnName))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val paths = predicates.collect {
+      case p if p.name() == "IN" =>
+        p.children().collect {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString
+        }.toSet
+    }
+    if (paths.nonEmpty) restrictToFiles(paths.reduce(_ intersect _))
+  }
+
+  override def description(): String = s"GraftMorScan ${table.name()}"
+}
+
+/** Commit message of a delta write: new files (data + position-delete)
+  * plus the distinct data-file paths the delete tuples reference, for
+  * commit-time conflict validation.
+  */
+final case class GraftDeltaCommitMessage(
+    files: Seq[DataFile],
+    referencedPaths: Set[String]) extends WriterCommitMessage
+
+class GraftDeltaWrite(table: GraftTable, insertSchema: StructType)
+  extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(table, insertSchema)
+}
+
+class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
+  extends DeltaBatchWrite {
+
+  private val spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    GraftDeltaWriterFactory(
+      table.meta.location,
+      insertSchema,
+      table.meta.defaultSpec,
+      conf,
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val newFiles = msgs.flatMap(_.files).toSeq
+    val referenced = msgs.flatMap(_.referencedPaths).toSet
+    if (newFiles.isEmpty) return // no matches: nothing deleted or inserted
+    GraftBatchWrite.requireContained(table.meta.location, newFiles)
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val targetRef = table.writeRef
+    table.store.commitTableWith(table.tableId,
+      Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
+      current => {
+        val parentSnapshot = current.snapshotFor(targetRef)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        // serializable isolation on the referenced row set: every data
+        // file our delete tuples point into must still be live — a
+        // concurrent compaction/COW rewrite would have moved those rows
+        // to new positions, and committing would silently re-delete the
+        // wrong ordinals (or none)
+        if (referenced.nonEmpty) {
+          val live = table.store
+            .readManifests(current.location, parentManifests)
+            .flatMap(_.entries).filter(_.isData).map(_.path).toSet
+          val gone = referenced.diff(live)
+          if (gone.nonEmpty)
+            throw new CommitFailedException(
+              s"Delta commit conflict on ${table.tableId}: ${gone.size} " +
+                "referenced data file(s) were rewritten concurrently")
+        }
+        val deleteFiles = newFiles.filter(_.isPositionDeletes)
+        val dataFiles = newFiles.filter(_.isData)
+        val manifests = parentManifests ++
+          (if (newFiles.nonEmpty)
+            Seq(table.store.writeManifest(current.location,
+              ManifestFile(newFiles, snapshotId),
+              Some(current.currentSchema.struct)))
+          else Nil)
+        val snap = Snapshot(
+          snapshotId,
+          parentSnapshot.map(_.snapshotId),
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "overwrite", // non-append: streaming tails skip it
+          Map(
+            "added-data-files" -> dataFiles.size.toString,
+            "added-records" -> dataFiles.map(_.recordCount).sum.toString,
+            "added-delete-files" -> deleteFiles.size.toString,
+            "added-position-deletes" ->
+              deleteFiles.map(_.recordCount).sum.toString,
+            "spark.app.id" -> spark.sparkContext.applicationId),
+          manifests,
+          current.currentSchemaId)
+        val ref = current.refs.get(targetRef)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(targetRef, ref))
+      })
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaCommitMessage => m.files }
+      .flatten.foreach { f =>
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+        catch { case _: Throwable => }
+      }
+}
+
+final case class GraftDeltaWriterFactory(
+    tableLocation: String,
+    insertSchema: StructType,
+    spec: graft.meta.PartitionSpec,
+    conf: SerializableConfiguration,
+    sessionTz: String)
+  extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(tableLocation, insertSchema, spec, conf.value,
+      partitionId, taskId)
+}
+
+/** Task-side delta writer: inserts go through the ordinary partitioned
+  * data writer; deletes buffer (path → positions) and flush at commit
+  * as ONE sorted position-delete parquet per task. Buffer size is
+  * bounded by the rows this task deletes (runtime group filtering has
+  * already narrowed candidates), and positions are deduped+sorted so
+  * readers binary-search a primitive array.
+  */
+class GraftDeltaWriter(
+    tableLocation: String,
+    insertSchema: StructType,
+    spec: graft.meta.PartitionSpec,
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionId: Int,
+    taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private val dataWriter = new GraftDataWriter(
+    tableLocation, insertSchema, spec, conf, partitionId, taskId)
+  private val deletes =
+    scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val path = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    deletes.getOrElseUpdate(path,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += pos
+  }
+
+  // unused while representUpdateAsDeleteAndInsert=true, but correct
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  private def writeDeleteFile(): Option[DataFile] = {
+    if (deletes.isEmpty) return None
+    val dir = s"$tableLocation/data"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val path =
+      f"$dir/delete-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+    val writer = GraftDataWriter.newParquetWriter(
+      path, PositionDeletes.schema, conf, partitionId, taskId)
+    var count = 0L
+    var minPos = Long.MaxValue
+    var maxPos = Long.MinValue
+    val paths = deletes.keys.toSeq.sorted
+    paths.foreach { p =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(p)
+      val ps = deletes(p).distinct.sorted
+      ps.foreach { pos =>
+        writer.write(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](u, pos)))
+        count += 1
+        if (pos < minPos) minPos = pos
+        if (pos > maxPos) maxPos = pos
+      }
+    }
+    writer.close()
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    Some(DataFile(path, size, count, spec.specId, Map.empty,
+      Map(
+        PositionDeletes.PathColumn ->
+          ColumnStat(Some(paths.head), Some(paths.last), Some(0L)),
+        PositionDeletes.PosColumn ->
+          ColumnStat(Some(minPos.toString), Some(maxPos.toString), Some(0L))),
+      DataFile.ContentPositionDeletes))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataFiles = dataWriter.commit() match {
+      case GraftCommitMessage(fs) => fs
+      case _ => Nil
+    }
+    GraftDeltaCommitMessage(dataFiles ++ writeDeleteFile(),
+      deletes.keySet.toSet)
+  }
+
+  override def abort(): Unit = dataWriter.abort()
+
+  override def close(): Unit = ()
 }

@@ -84,6 +84,7 @@ class GraftTable(
   def liveFiles: Seq[DataFile] =
     store.readManifests(meta.location,
       readSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
+      .filter(_.isData)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, options)
@@ -95,23 +96,38 @@ class GraftTable(
 
   /** DELETE FROM / UPDATE / MERGE INTO route here (stock Spark only
     * plans row-level SQL against tables declaring this interface).
+    * Mode per op from `write.{delete,update,merge}.mode`:
+    * copy-on-write (default) rewrites the touched files; merge-on-read
+    * writes position-delete files instead (SupportsDelta), so deleting
+    * a handful of rows from a 100 TB table never rewrites data files.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info.command())
+    () => {
+      val key = info.command() match {
+        case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE => "write.delete.mode"
+        case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE => "write.update.mode"
+        case _ => "write.merge.mode"
+      }
+      if (meta.properties.getOrElse(key, "copy-on-write") == "merge-on-read")
+        new GraftMorOperation(this, info.command())
+      else new GraftRowLevelOperation(this, info.command())
+    }
 
-  /** `_file`: source data file of each row (Iceberg exposes the same).
-    * Row-level operations require it so Spark projects rewrite rows
-    * through ReplaceDataProjections, and runtime group filtering can
-    * narrow the rewrite to files that actually contain matches.
+  /** `_file`: source data file of each row; `_pos`: the row's ordinal
+    * within that file (Iceberg exposes the same pair). Row-level
+    * operations require them — `_file` for runtime group filtering and
+    * rewrite projections, (`_file`,`_pos`) as the row id of
+    * merge-on-read deletes.
     */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftTable.FileMetadataColumn)
+    Array(GraftTable.FileMetadataColumn, GraftTable.PosMetadataColumn)
 }
 
 object GraftTable {
   val FileColumnName = "_file"
+  val PosColumnName = "_pos"
 
   object FileMetadataColumn extends MetadataColumn {
     override def name(): String = FileColumnName
@@ -119,6 +135,14 @@ object GraftTable {
       org.apache.spark.sql.types.StringType
     override def isNullable: Boolean = false
     override def comment(): String = "Path of the data file holding the row"
+  }
+
+  object PosMetadataColumn extends MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "Row ordinal within its data file"
   }
 }
 
@@ -174,16 +198,19 @@ class GraftScan(
     */
   protected def readerFilters: Array[Filter] = filters
 
-  /** Position of the `_file` metadata column in the required schema,
-    * if requested; the parquet reader sees the schema without it and
-    * the per-file reader appends the path constant.
+  /** Positions of the `_file`/`_pos` metadata columns in the required
+    * schema, if requested; the parquet reader sees the schema without
+    * them and the per-file reader appends path constant / row ordinal.
     */
   private val fileColOrdinal: Int =
     requiredSchema.fieldNames.indexOf(GraftTable.FileColumnName)
+  private val posColOrdinal: Int =
+    requiredSchema.fieldNames.indexOf(GraftTable.PosColumnName)
 
   private val parquetReadSchema: StructType =
-    if (fileColOrdinal < 0) requiredSchema
-    else StructType(requiredSchema.fields.patch(fileColOrdinal, Nil, 1))
+    StructType(requiredSchema.fields.filterNot(f =>
+      f.name == GraftTable.FileColumnName ||
+        f.name == GraftTable.PosColumnName))
 
   /** Two-level pruned file list. Level 1: whole MANIFESTS are pruned
     * from their write-time summaries before any entry list is parsed
@@ -202,10 +229,39 @@ class GraftScan(
           table.meta.specs, table.meta.defaultSpec))
     }
     table.store.readManifests(loc, surviving).flatMap(_.entries)
+      .filter(_.isData)
       .filter(f =>
         FilePruning.mayMatch(f, filters.toSeq, dataSchema,
           table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
   }
+
+  /** Position-delete files of the read snapshot (merge-on-read).
+    * Located from manifest SUMMARIES (the deleteEntries counter), so
+    * the common all-data case costs zero manifest parses; a summary
+    * missing entirely is parsed to stay conservative.
+    */
+  private lazy val posDeleteFiles: Seq[DataFile] = {
+    val loc = table.meta.location
+    val manifests = table.readSnapshot.toSeq.flatMap(_.manifests)
+    val carrying = manifests.filter(m =>
+      table.store.readManifestSummary(loc, m).forall(_.deleteEntries > 0))
+    if (carrying.isEmpty) Nil
+    else table.store.readManifests(loc, carrying).flatMap(_.entries)
+      .filter(_.isPositionDeletes)
+  }
+
+  /** Delete files possibly covering `f`, matched by the delete file's
+    * file_path min/max stats — no delete parquet is opened at plan
+    * time; absent stats keep the delete file (conservative).
+    */
+  private def deleteFilesFor(f: DataFile): Seq[String] =
+    posDeleteFiles.filter { d =>
+      d.columnStats.get(PositionDeletes.PathColumn) match {
+        case Some(st) if st.min.isDefined && st.max.isDefined =>
+          st.min.get <= f.path && f.path <= st.max.get
+        case _ => true
+      }
+    }.map(_.path)
 
   /** Runtime narrowing from SupportsRuntimeV2Filtering (rewrite scans). */
   private var runtimePaths: Option[Set[String]] = None
@@ -231,7 +287,9 @@ class GraftScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, selectedFiles.map(_.fileSizeBytes).sum))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(selectedFiles.map(_.recordCount).sum)
+      java.util.OptionalLong.of(math.max(0L,
+        selectedFiles.map(_.recordCount).sum -
+          posDeleteFiles.map(_.recordCount).sum))
     /** ANALYZE-produced per-column NDV/null stats of the read snapshot
       * (graft.maintenance.Analyze), surfaced so Spark's CBO sees real
       * distinct counts when choosing join strategies.
@@ -279,7 +337,11 @@ class GraftScan(
 
   private lazy val keyedSpec: Option[PartitionSpec] = {
     val spec = table.meta.defaultSpec
-    if (spec.fields.isEmpty || !v2BucketingEnabled) None
+    // pending position deletes force the delete-applying row path, so
+    // keyed whole-file partitions are suspended until compaction
+    // materializes the deletes
+    if (spec.fields.isEmpty || !v2BucketingEnabled ||
+      posDeleteFiles.nonEmpty || posColOrdinal >= 0) None
     else if (selectedFiles.nonEmpty && selectedFiles.forall(f =>
         f.specId == spec.specId &&
           spec.fields.forall(pf => f.partition.contains(pf.name))))
@@ -338,6 +400,18 @@ class GraftScan(
       "pushed-filters" -> filters.mkString("; "),
       "selected-files" -> selectedFiles.size.toString,
       "selected-bytes" -> selectedFiles.map(_.fileSizeBytes).sum.toString))
+    // merge-on-read: rows needing true file positions (a requested
+    // `_pos`, or pending position deletes on the file) must be read
+    // WHOLE-FILE with no byte-range splits, so the reader's row
+    // ordinal equals the file position
+    val deletesByPath: Map[String, Seq[String]] =
+      if (posDeleteFiles.isEmpty) Map.empty
+      else selectedFiles.iterator.map(f => f.path -> deleteFilesFor(f))
+        .filter(_._2.nonEmpty).toMap
+    val (dirty, clean) =
+      if (posColOrdinal >= 0) (selectedFiles, Seq.empty[DataFile])
+      else selectedFiles.partition(f => deletesByPath.contains(f.path))
+
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val parallelism = spark.sparkContext.defaultParallelism
@@ -345,7 +419,7 @@ class GraftScan(
     val bytesPerCore = totalBytes / math.max(1, parallelism)
     val targetSize = math.min(maxSplit, math.max(openCost, bytesPerCore))
 
-    val splits = selectedFiles.flatMap { f =>
+    val splits = clean.flatMap { f =>
       // split large parquet files into row-group-aligned ranges (the
       // reader snaps to row-group boundaries)
       (0L until f.fileSizeBytes by targetSize).map { start =>
@@ -361,8 +435,20 @@ class GraftScan(
     // Spark's own size-descending sequential packing: O(splits), vs a
     // first-fit scan over all open bins that goes quadratic at
     // millions of splits
-    FilePartition.getFilePartitions(spark, splits, targetSize)
+    val packed = FilePartition.getFilePartitions(spark, splits, targetSize)
       .toArray[InputPartition]
+
+    // one partition per dirty file (they are whole-file units anyway;
+    // runtime group filtering has usually narrowed the set already)
+    val dirtyParts = dirty.zipWithIndex.map { case (f, i) =>
+      new DeleteAwareFilePartition(packed.length + i,
+        Array(PartitionedFile(
+          InternalRow.empty, SparkPath.fromPathString(f.path), 0L,
+          f.fileSizeBytes, Array.empty[String], 0L, f.fileSizeBytes,
+          Map.empty)),
+        Array(deletesByPath.getOrElse(f.path, Nil).toArray)): InputPartition
+    }
+    packed ++ dirtyParts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -402,19 +488,34 @@ class GraftScan(
         SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION).toString)
     val broadcastConf: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    val parquetFactory = ParquetPartitionReaderFactory(
+    def mkFactory(fs: Array[Filter]) = ParquetPartitionReaderFactory(
       spark.sessionState.conf,
       broadcastConf,
       dataSchema,
       parquetReadSchema,
       new StructType(), // partition columns live in the data files
-      readerFilters,
+      fs,
       None,
       new ParquetOptions(Map.empty[String, String],
         spark.sessionState.conf))
-    if (fileColOrdinal < 0) parquetFactory
-    else FileTaggingReaderFactory(parquetFactory, fileColOrdinal,
-      parquetReadSchema.fields.map(_.dataType))
+    // position semantics: when `_pos` is requested, parquet-side filter
+    // pushdown must be off EVERYWHERE (row-group skipping would shift
+    // ordinals); otherwise only delete-carrying files take the
+    // unfiltered path (via DeleteAwareFilePartition)
+    val effectiveFilters =
+      if (posColOrdinal >= 0) Array.empty[Filter] else readerFilters
+    val parquetFactory = mkFactory(effectiveFilters)
+    if (fileColOrdinal < 0 && posColOrdinal < 0 && posDeleteFiles.isEmpty)
+      parquetFactory
+    else {
+      val plainFactory =
+        if (effectiveFilters.isEmpty) parquetFactory
+        else mkFactory(Array.empty)
+      MetaDeleteReaderFactory(parquetFactory, plainFactory,
+        fileColOrdinal, posColOrdinal,
+        parquetReadSchema.fields.map(_.dataType),
+        new SerializableConfiguration(hadoopConf))
+    }
   }
 
   override def description(): String =
@@ -435,27 +536,95 @@ final class KeyedFilePartition(
   override def partitionKey(): InternalRow = key
 }
 
-/** Row-based reader that appends the `_file` metadata column (the
-  * source file path) to each row. Used only when a scan requests
-  * `_file` — normal scans stay on the vectorized columnar path.
+/** A file partition whose files must be read whole (no byte-range
+  * splits) with positions tracked: `deletes(i)` are the position-delete
+  * parquet paths covering `files(i)` (possibly empty when the partition
+  * exists only because `_pos` was requested).
   */
-final case class FileTaggingReaderFactory(
-    delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+final class DeleteAwareFilePartition(
+    index: Int,
+    files: Array[PartitionedFile],
+    val deletes: Array[Array[String]])
+  extends FilePartition(index, files)
+
+/** Executor-side loading of position-delete parquet files
+  * ((file_path, pos) tuples, the Iceberg position-delete shape).
+  */
+object PositionDeletes {
+  val PathColumn = "file_path"
+  val PosColumn = "pos"
+
+  val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(PathColumn,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(PosColumn,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Deleted positions of `dataPath`: union over `deleteFiles`, sorted
+    * ascending and deduped, as a primitive array (binary-searched per
+    * row — no boxing on the hot path).
+    */
+  def load(deleteFiles: Array[String], dataPath: String,
+      conf: Configuration): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    deleteFiles.foreach { df =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(df))
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getString(PathColumn, 0) == dataPath)
+            buf += g.getLong(PosColumn, 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val arr = buf.distinct.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+}
+
+/** Row-based reader that appends the `_file`/`_pos` metadata columns
+  * and filters out position-deleted rows. Used only when a scan
+  * requests metadata columns or the snapshot carries position deletes —
+  * normal scans stay on the vectorized columnar path.
+  *
+  * Delegate choice per file: files with pending deletes (and all files
+  * when `_pos` is requested) read through `plain` (no parquet filter
+  * pushdown — row-group skipping would shift ordinals); clean files
+  * keep `filtered`.
+  */
+final case class MetaDeleteReaderFactory(
+    filtered: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+    plain: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
     fileOrdinal: Int,
-    dataTypes: Array[org.apache.spark.sql.types.DataType])
+    posOrdinal: Int,
+    dataTypes: Array[org.apache.spark.sql.types.DataType],
+    conf: SerializableConfiguration)
   extends PartitionReaderFactory {
 
-  private def outputWidth = dataTypes.length + 1
+  private def outputWidth = dataTypes.length +
+    (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[FilePartition].files
+    val (files, deletes) = partition match {
+      case d: DeleteAwareFilePartition => (d.files, d.deletes)
+      case f: FilePartition =>
+        (f.files, Array.fill(f.files.length)(Array.empty[String]))
+    }
     new PartitionReader[InternalRow] {
       private var idx = -1
       private var current: PartitionReader[InternalRow] = _
       private var currentPath: org.apache.spark.unsafe.types.UTF8String = _
+      private var currentDeleted: Array[Long] = Array.emptyLongArray
+      private var pos = -1L
       private val out =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outputWidth)
 
@@ -465,9 +634,15 @@ final case class FileTaggingReaderFactory(
         if (idx >= files.length) false
         else {
           val f = files(idx)
-          current = delegate.buildReader(f)
+          val needsPositions = posOrdinal >= 0 || deletes(idx).nonEmpty
+          current = (if (needsPositions) plain else filtered).buildReader(f)
           currentPath = org.apache.spark.unsafe.types.UTF8String
             .fromString(f.filePath.toString)
+          currentDeleted =
+            if (deletes(idx).isEmpty) Array.emptyLongArray
+            else PositionDeletes.load(deletes(idx), f.filePath.toString,
+              conf.value)
+          pos = -1L
           true
         }
       }
@@ -475,9 +650,16 @@ final case class FileTaggingReaderFactory(
       override def next(): Boolean = {
         while (true) {
           if (current == null && !advanceFile()) return false
-          if (current.next()) return true
-          current.close()
-          current = null
+          if (current.next()) {
+            pos += 1
+            if (currentDeleted.isEmpty ||
+              java.util.Arrays.binarySearch(currentDeleted, pos) < 0)
+              return true
+            // else: row is position-deleted, keep scanning
+          } else {
+            current.close()
+            current = null
+          }
         }
         false
       }
@@ -488,6 +670,7 @@ final case class FileTaggingReaderFactory(
         var j = 0
         while (i < outputWidth) {
           if (i == fileOrdinal) out.update(i, currentPath)
+          else if (i == posOrdinal) out.update(i, pos)
           else {
             out.update(i, if (row.isNullAt(j)) null else row.get(j, dataTypes(j)))
             j += 1

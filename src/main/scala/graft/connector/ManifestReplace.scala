@@ -79,8 +79,13 @@ object ManifestReplace {
           java.nio.file.Paths.get(abs(relPath))),
         java.nio.charset.StandardCharsets.UTF_8)
       val mf = Json.manifestFromJson(text)
+      // position-delete entries are only ever removed by an EXPLICIT
+      // path set (compaction / delete-file GC): a partition- or
+      // filter-scoped overwrite removing them would resurrect deleted
+      // rows in data files the overwrite did not touch
       val (removed, kept) = mf.entries.partition(f =>
-        spec.removes(f.copy(path = abs(f.path)), specs, schema, defaultSpec))
+        (f.isData || spec.isInstanceOf[ByPath]) &&
+          spec.removes(f.copy(path = abs(f.path)), specs, schema, defaultSpec))
       if (removed.isEmpty) (Some(relPath), 0L)
       else if (kept.isEmpty) (None, removed.size.toLong)
       else {

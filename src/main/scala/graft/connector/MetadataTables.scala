@@ -47,23 +47,23 @@ object MetadataTables {
 
   def table(store: FileCatalogStore, id: TabularId, meta: TableMetadata,
       kind: String): Table = kind match {
-    case "files" | "all_data_files" =>
-      val snaps = if (kind == "files") meta.currentSnapshot.toSeq
-        else meta.snapshots.values.toSeq
+    case "files" | "all_data_files" | "delete_files" | "all_delete_files" =>
+      val snaps = if (kind == "files" || kind == "delete_files")
+        meta.currentSnapshot.toSeq
+      else meta.snapshots.values.toSeq
       // a manifest reachable from several snapshots contributes its
       // files once (dedupe by manifest path; snapshot attribution only
-      // matters for the entries family)
+      // matters for the entries family). The files family lists data
+      // entries; the delete family lists position-delete entries
+      // (merge-on-read), empty on copy-on-write-only tables.
+      val content = if (kind.contains("delete")) DataFile.ContentPositionDeletes
+        else DataFile.ContentData
       val inputs = snaps.flatMap(s => s.manifests.map(m =>
         ManifestInput(store.resolvePath(meta.location, m),
           meta.location, s.snapshotId)))
         .groupBy(_.absPath).values.map(_.head).toSeq
-      new ManifestTable(s"$id.$kind", fileSchema, inputs, emitEntries = false)
-
-    case "delete_files" | "all_delete_files" =>
-      // copy-on-write engine: no delete files ever exist, but the
-      // reference asserts the table resolves and returns 0 rows
-      // (test_spark.py:1262-1265) — schema-correct empty scan
-      new ManifestTable(s"$id.$kind", fileSchema, Nil, emitEntries = false)
+      new ManifestTable(s"$id.$kind", fileSchema, inputs,
+        emitEntries = false, content = content)
 
     case "entries" | "all_entries" =>
       val snaps = if (kind == "entries") meta.currentSnapshot.toSeq
@@ -86,7 +86,7 @@ object MetadataTables {
         if (manifests.isEmpty) Nil
         else spark.createDataset(manifests)
           .repartition(math.max(1, math.min(manifests.size, 64)))
-          .flatMap(m => ManifestRead.parse(m, loc).map { f =>
+          .flatMap(m => ManifestRead.parse(m, loc).filter(_.isData).map { f =>
             (f.partition.toSeq.sortBy(_._1)
               .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
               .mkString("/"),
@@ -227,7 +227,8 @@ class ManifestTable(
     tableName: String,
     tableSchema: StructType,
     inputs: Seq[ManifestInput],
-    emitEntries: Boolean)
+    emitEntries: Boolean,
+    content: Int = DataFile.ContentData)
   extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -245,7 +246,7 @@ class ManifestTable(
         override def planInputPartitions(): Array[InputPartition] =
           inputs.toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          ManifestReaderFactory(tableSchema, emitEntries)
+          ManifestReaderFactory(tableSchema, emitEntries, content)
         override def description(): String = s"ManifestScan $tableName"
       }
     }
@@ -283,7 +284,8 @@ class LocalRowsTable(tableName: String, tableSchema: StructType, rowsThunk: => S
 }
 
 final case class ManifestReaderFactory(
-    tableSchema: StructType, emitEntries: Boolean)
+    tableSchema: StructType, emitEntries: Boolean,
+    content: Int = DataFile.ContentData)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -294,6 +296,7 @@ final case class ManifestReaderFactory(
         CatalystTypeConverters.createToCatalystConverter(tableSchema)
       private lazy val iter: Iterator[InternalRow] = {
         val files = ManifestRead.parse(in.absPath, in.location)
+          .filter(f => emitEntries || f.content == content)
         val rows =
           if (emitEntries) {
             val added = ManifestRead.addedSnapshotId(in.absPath)

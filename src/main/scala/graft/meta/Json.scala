@@ -192,6 +192,7 @@ object Json {
           ("file-size-bytes" -> f.fileSizeBytes) ~
           ("record-count" -> f.recordCount) ~
           ("spec-id" -> f.specId) ~
+          ("content" -> f.content) ~
           ("partition" -> JObject(f.partition.toList.sortBy(_._1).map {
             case (k, v) => JField(k, v.map(JString(_)).getOrElse(JNull)) })) ~
           ("stats" -> JObject(f.columnStats.toList.sortBy(_._1).map {
@@ -225,7 +226,9 @@ object Json {
                 optField(v, "null-count")(_.extract[Long]))
             }.toMap
             case _ => Map.empty[String, ColumnStat]
-          })
+          },
+          optField(f, "content")(_.extract[Int])
+            .getOrElse(DataFile.ContentData))
       },
       (j \ "added-snapshot-id").extract[Long])
   }
@@ -242,7 +245,8 @@ object Json {
             ("null-count" -> st.nullCount)) })) ~
       ("partition-values" -> JObject(s.partitionValues.toList.sortBy(_._1).map {
         case (k, vs) => JField(k,
-          JArray(vs.toList.map(_.map(JString(_)).getOrElse(JNull)))) })))
+          JArray(vs.toList.map(_.map(JString(_)).getOrElse(JNull)))) })) ~
+      ("delete-entries" -> s.deleteEntries))
 
   def manifestSummaryFromJson(text: String): ManifestSummary = {
     val j = parse(text)
@@ -269,7 +273,8 @@ object Json {
           }
         }.toMap
         case _ => Map.empty[String, Seq[Option[String]]]
-      })
+      },
+      optField(j, "delete-entries")(_.extract[Int]).getOrElse(0))
   }
 
   // ---------------------------------------------------------------- view

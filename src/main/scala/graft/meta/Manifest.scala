@@ -81,8 +81,14 @@ object ColumnStat {
   }
 }
 
-/** One data file tracked by a manifest. `partition` maps partition
+/** One file tracked by a manifest. `partition` maps partition
   * field name → rendered transform value (null encoded as None).
+  *
+  * `content` mirrors Iceberg's manifest-entry content field: 0 = data
+  * file, 1 = position-delete file (parquet of (file_path, pos) tuples
+  * marking rows of data files as deleted — the merge-on-read path).
+  * Delete files carry columnStats on `file_path` so scans can match
+  * them to the data files they cover without opening them.
   */
 final case class DataFile(
     path: String,
@@ -90,7 +96,16 @@ final case class DataFile(
     recordCount: Long,
     specId: Int,
     partition: Map[String, Option[String]],
-    columnStats: Map[String, ColumnStat])
+    columnStats: Map[String, ColumnStat],
+    content: Int = DataFile.ContentData) {
+  def isData: Boolean = content == DataFile.ContentData
+  def isPositionDeletes: Boolean = content == DataFile.ContentPositionDeletes
+}
+
+object DataFile {
+  val ContentData = 0
+  val ContentPositionDeletes = 1
+}
 
 /** A manifest: the unit of commit. Status ADDED vs EXISTING mirrors
   * Iceberg manifest entries; DELETED files simply stop being listed
@@ -121,7 +136,13 @@ final case class ManifestSummary(
     totalBytes: Long,
     specIds: Seq[Int],
     columnStats: Map[String, ColumnStat],
-    partitionValues: Map[String, Seq[Option[String]]])
+    partitionValues: Map[String, Seq[Option[String]]],
+    /** Count of position-delete entries — lets scans find the (rare)
+      * delete-carrying manifests from summaries alone, and keeps data
+      * pruning from dropping them (delete files carry no data-column
+      * stats, but the count makes the intent explicit).
+      */
+    deleteEntries: Int = 0)
 
 object ManifestSummary {
   val MaxPartitionValues = 32
@@ -164,6 +185,7 @@ object ManifestSummary {
     }.toMap
 
     ManifestSummary(entries.size, m.totalRecords, m.totalBytes,
-      entries.map(_.specId).distinct, merged, pv)
+      entries.map(_.specId).distinct, merged, pv,
+      entries.count(_.isPositionDeletes))
   }
 }

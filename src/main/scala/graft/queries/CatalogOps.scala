@@ -350,6 +350,40 @@ object CatalogOps {
         case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
         case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       }
+    },
+
+    // merge-on-read DELETE: position-delete files instead of rewriting
+    // data files (write.delete.mode=merge-on-read → SupportsDelta).
+    // The read applies the deletes at scan time; the query ASSERTS no
+    // data file was rewritten (file count unchanged, ≥1 delete file)
+    // before returning the post-delete rows the oracle recomputes.
+    Q(
+      "qc13_mor_delete",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_mor")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.orders_mor
+           |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      val before = s.sql(
+        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.files")
+        .collect()(0).getLong(0)
+      s.sql(s"DELETE FROM $CatalogName.$db.orders_mor " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
+      val after = s.sql(
+        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.files")
+        .collect()(0).getLong(0)
+      val dels = s.sql(
+        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.delete_files")
+        .collect()(0).getLong(0)
+      require(after == before && dels >= 1,
+        s"expected merge-on-read (files $before->$after, deletes $dels)")
+      s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM $CatalogName.$db.orders_mor ORDER BY o_orderkey")
     }
   )
 }

@@ -1,0 +1,184 @@
+package graft.connector
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read row-level operations: `write.*.mode=merge-on-read`
+  * writes position-delete files instead of rewriting data files
+  * (SupportsDelta; Iceberg v2 position-delete semantics). Every test
+  * drives plain SQL through the catalog plugin.
+  */
+class MergeOnReadSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-mor").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mor-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dataFileCount(t: String): Long =
+    spark.sql(s"SELECT COUNT(*) FROM graft.db.$t.files").collect()(0).getLong(0)
+
+  private def deleteFileCount(t: String): Long =
+    spark.sql(s"SELECT COUNT(*) FROM graft.db.$t.delete_files")
+      .collect()(0).getLong(0)
+
+  private def mkTable(name: String, morOps: Seq[String]): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val props = morOps.map(op => s"'write.$op.mode'='merge-on-read'")
+      .mkString(", ")
+    val tbl = if (props.isEmpty) "" else s" TBLPROPERTIES ($props)"
+    spark.sql(s"CREATE TABLE graft.db.$name (id BIGINT, v STRING)$tbl")
+    // three inserts → three data files with disjoint id ranges
+    spark.sql(s"INSERT INTO graft.db.$name SELECT id, 'a' FROM range(0, 100)")
+    spark.sql(s"INSERT INTO graft.db.$name SELECT id, 'b' FROM range(100, 200)")
+    spark.sql(s"INSERT INTO graft.db.$name SELECT id, 'c' FROM range(200, 300)")
+  }
+
+  test("MOR DELETE writes position deletes, rewrites no data file") {
+    mkTable("mor1", Seq("delete"))
+    val base = dataFileCount("mor1")
+    assert(base >= 3)
+    assert(deleteFileCount("mor1") == 0)
+
+    spark.sql("DELETE FROM graft.db.mor1 WHERE id IN (5, 150, 155)")
+
+    assert(spark.table("graft.db.mor1").count() == 297)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.mor1 WHERE id IN (5, 150, 155)")
+      .collect()(0).getLong(0) == 0)
+    // every original data file is still live — only delete files added
+    assert(dataFileCount("mor1") == base)
+    assert(deleteFileCount("mor1") >= 1)
+    val summary = spark.sql(
+      "SELECT summary FROM graft.db.mor1.snapshots ORDER BY committed_at DESC")
+      .collect()(0).getMap[String, String](0)
+    assert(summary("added-position-deletes") == "3")
+    assert(summary("added-data-files") == "0")
+  }
+
+  test("MOR deletes accumulate across commits") {
+    val base = dataFileCount("mor1")
+    spark.sql("DELETE FROM graft.db.mor1 WHERE id >= 290")
+    assert(spark.table("graft.db.mor1").count() == 287)
+    assert(dataFileCount("mor1") == base)
+    // filters still correct on a delete-carrying file
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.mor1 WHERE id BETWEEN 140 AND 160")
+      .collect()(0).getLong(0) == 19) // 21 ids minus 150, 155
+  }
+
+  test("time travel before the delete sees all rows") {
+    val firstSnap = spark.sql(
+      """SELECT snapshot_id FROM graft.db.mor1.snapshots
+        |ORDER BY committed_at""".stripMargin).collect()(2).getLong(0)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.db.mor1 VERSION AS OF $firstSnap")
+      .collect()(0).getLong(0) == 300)
+  }
+
+  test("MOR UPDATE = position delete + insert, no data file rewritten") {
+    mkTable("mor2", Seq("update"))
+    val base = dataFileCount("mor2")
+    spark.sql("UPDATE graft.db.mor2 SET v = 'z' WHERE id = 42")
+    assert(spark.table("graft.db.mor2").count() == 300)
+    val r = spark.sql("SELECT v FROM graft.db.mor2 WHERE id = 42").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("z"))
+    // original files all remain; the update only ADDED files
+    assert(dataFileCount("mor2") == base + 1)
+    assert(deleteFileCount("mor2") == 1)
+  }
+
+  test("MOR MERGE upsert") {
+    mkTable("mor3", Seq("merge"))
+    val baseMor3 = dataFileCount("mor3")
+    spark.sql(
+      """MERGE INTO graft.db.mor3 t
+        |USING (SELECT id, 'new' AS v FROM range(295, 305)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.db.mor3").count() == 305)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.mor3 WHERE v = 'new'")
+      .collect()(0).getLong(0) == 10)
+    assert(dataFileCount("mor3") >= baseMor3 + 1)
+    assert(deleteFileCount("mor3") >= 1)
+  }
+
+  test("compaction materializes position deletes away") {
+    mkTable("mor4", Seq("delete"))
+    spark.sql("DELETE FROM graft.db.mor4 WHERE id % 10 = 0")
+    assert(spark.table("graft.db.mor4").count() == 270)
+    assert(deleteFileCount("mor4") >= 1)
+
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.mor4')")
+
+    assert(spark.table("graft.db.mor4").count() == 270)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor4 WHERE id % 10 = 0")
+      .collect()(0).getLong(0) == 0)
+    // the truncate-replace dropped the delete files with the old data
+    assert(deleteFileCount("mor4") == 0)
+  }
+
+  test("copy-on-write remains the default") {
+    mkTable("cow1", Nil)
+    spark.sql("DELETE FROM graft.db.cow1 WHERE id = 5")
+    assert(spark.table("graft.db.cow1").count() == 299)
+    assert(deleteFileCount("cow1") == 0) // rewrote the file instead
+  }
+
+  test("partitioned MOR delete keeps partition pruning intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.mor5 (id BIGINT, p STRING)
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.mor5
+        |SELECT id, CASE WHEN id < 50 THEN 'x' ELSE 'y' END FROM range(0, 100)
+        |""".stripMargin)
+    spark.sql("DELETE FROM graft.db.mor5 WHERE id IN (10, 60)")
+    assert(spark.table("graft.db.mor5").count() == 98)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor5 WHERE p = 'x'")
+      .collect()(0).getLong(0) == 49)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor5 WHERE p = 'y'")
+      .collect()(0).getLong(0) == 49)
+    // dynamic overwrite of partition x must NOT drop the delete file
+    // that also covers partition y (resurrection guard)
+    spark.sql(
+      """INSERT OVERWRITE graft.db.mor5 PARTITION (p = 'x')
+        |SELECT id FROM range(0, 10)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor5 WHERE p = 'y'")
+      .collect()(0).getLong(0) == 49)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.mor5 WHERE id = 60")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("_pos metadata column reflects true file ordinals") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.posmeta (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.posmeta SELECT id FROM range(0, 10)")
+    // within every data file, ordinals are exactly 0..count-1
+    val perFile = spark.sql(
+      """SELECT _file, COUNT(*) AS n, MIN(_pos) AS mn, MAX(_pos) AS mx,
+        |       COUNT(DISTINCT _pos) AS d
+        |FROM graft.db.posmeta GROUP BY _file""".stripMargin).collect()
+    assert(perFile.map(_.getAs[Long]("n")).sum == 10)
+    perFile.foreach { r =>
+      assert(r.getAs[Long]("mn") == 0L)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("d") == r.getAs[Long]("n"))
+    }
+  }
+}
