@@ -165,6 +165,40 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("rewrite_position_delete_files compacts and drops dangling tuples") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.mor6 (id BIGINT, p STRING)
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.mor6
+        |SELECT id, CASE WHEN id < 50 THEN 'x' ELSE 'y' END FROM range(0, 100)
+        |""".stripMargin)
+    spark.sql("DELETE FROM graft.db.mor6 WHERE id IN (1, 2, 60)")
+    spark.sql("DELETE FROM graft.db.mor6 WHERE id IN (3, 61)")
+    assert(deleteFileCount("mor6") >= 2)
+    assert(spark.table("graft.db.mor6").count() == 95)
+
+    // replacing partition x makes the tuples for ids 1,2,3 dangling
+    spark.sql(
+      """INSERT OVERWRITE graft.db.mor6 PARTITION (p = 'x')
+        |SELECT id FROM range(0, 50)""".stripMargin)
+    assert(spark.table("graft.db.mor6").count() == 98) // 50 x + 48 y
+
+    val res = spark.sql(
+      "CALL graft.system.rewrite_position_delete_files(table => 'db.mor6')")
+      .collect()(0)
+    assert(res.getLong(0) == 1) // one compacted delete file
+    assert(res.getLong(1) == 3) // ids 1,2,3 tuples were dangling
+    assert(deleteFileCount("mor6") == 1)
+    // results unchanged: y deletes still apply, x fully restored
+    assert(spark.table("graft.db.mor6").count() == 98)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.mor6 WHERE id IN (60, 61)")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("_pos metadata column reflects true file ordinals") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.posmeta (id BIGINT)")
