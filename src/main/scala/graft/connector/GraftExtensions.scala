@@ -47,6 +47,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val DropPartFieldRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  // write order DDL (Iceberg's ALTER TABLE ... WRITE ORDERED BY)
+  private val WriteOrderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+(LOCALLY\s+)?ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val WriteUnorderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
   // view DDL: intercepted only when the target is a graft catalog —
   // TEMPORARY/GLOBAL variants deliberately don't match and stay stock
   private val CreateViewRe =
@@ -75,6 +80,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       AlterPartitionFieldCommand(multipart(tbl), transform, add = true)
     case DropPartFieldRe(tbl, transform) =>
       AlterPartitionFieldCommand(multipart(tbl), transform, add = false)
+    case WriteOrderedRe(tbl, locally, order) =>
+      SetWriteOrderCommand(multipart(tbl), Some(order), locally != null)
+    case WriteUnorderedRe(tbl) =>
+      SetWriteOrderCommand(multipart(tbl), None, locally = false)
     case CreateViewRe(orReplace, ifNotExists, name, query) if graft(name) =>
       CreateGraftViewCommand(multipart(name), query,
         orReplace = orReplace != null, ifNotExists = ifNotExists != null)
@@ -154,6 +163,69 @@ object GraftCommands {
       case col =>
         PartitionField(clean(col), -1, clean(col), Transform.Identity)
     }
+  }
+}
+
+/** ALTER TABLE … WRITE [LOCALLY] ORDERED BY (col [ASC|DESC]
+  * [NULLS FIRST|LAST], …) / WRITE UNORDERED — Iceberg's write-order
+  * DDL. Commits AddSortOrder + SetDefaultSortOrder; plain ORDERED BY
+  * also sets write.distribution-mode=range so subsequent writes are
+  * GLOBALLY range-partitioned on the sort key (disjoint per-file
+  * ranges → max pruning), LOCALLY keeps the write distribution and
+  * only sorts within tasks. Defaults mirror Iceberg: ASC → NULLS
+  * FIRST, DESC → NULLS LAST.
+  */
+final case class SetWriteOrderCommand(
+    table: Seq[String], orderText: Option[String], locally: Boolean)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  /** Split on top-level commas only (truncate(4, col) stays whole). */
+  private def splitFields(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val FieldRe =
+    """(?is)(.+?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*""".r
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (catalog, id) = GraftCommands.resolve(spark, table)
+    orderText match {
+      case None =>
+        catalog.store.commitTable(id, Nil, Seq(
+          TableUpdate.SetDefaultSortOrder(0),
+          TableUpdate.SetProperties(
+            Map("write.distribution-mode" -> "none"))))
+      case Some(text) =>
+        val body = text.trim.stripPrefix("(").stripSuffix(")")
+        val fields = splitFields(body).map {
+          case FieldRe(expr, dir, nulls) =>
+            val pf = GraftCommands.parseTransform(expr.trim)
+            val asc = dir == null || dir.equalsIgnoreCase("ASC")
+            val nullsFirst =
+              if (nulls == null) asc else nulls.equalsIgnoreCase("FIRST")
+            SortField(pf.sourceName, pf.transform, asc, nullsFirst)
+        }
+        if (fields.isEmpty)
+          throw new IllegalArgumentException("Empty write order")
+        catalog.store.commitTable(id, Nil, Seq(
+          TableUpdate.AddSortOrder(SortOrder(-1, fields)),
+          TableUpdate.SetDefaultSortOrder(-1),
+          TableUpdate.SetProperties(Map("write.distribution-mode" ->
+            (if (locally) "none" else "range")))))
+    }
+    Nil
   }
 }
 

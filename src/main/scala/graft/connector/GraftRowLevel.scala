@@ -153,7 +153,8 @@ class GraftCowWrite(
       spec.fields.map(f => Expressions.column(f.sourceName)).toArray)
   }
 
-  override def requiredOrdering(): Array[SparkSortOrder] = Array.empty
+  override def requiredOrdering(): Array[SparkSortOrder] =
+    GraftWrite.sortOrderExprs(table.meta) // rewrites keep the write order
 
   override def distributionStrictlyRequired(): Boolean = false
 

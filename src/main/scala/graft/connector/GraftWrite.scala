@@ -70,12 +70,23 @@ class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
 
   override def requiredDistribution(): Distribution = {
     val spec = table.meta.defaultSpec
-    if (spec.isUnpartitioned) Distributions.unspecified()
+    val sorts = GraftWrite.sortOrderExprs(table.meta)
+    // WRITE ORDERED BY (distribution-mode=range) on an unpartitioned
+    // table: globally range-partition on the sort key so per-file
+    // value ranges are DISJOINT — point/range queries then prune to
+    // one file. Partitioned tables keep partition clustering (the
+    // in-task sort below still tightens per-file stats).
+    if (sorts.nonEmpty && spec.isUnpartitioned &&
+        table.meta.properties.getOrElse(
+          "write.distribution-mode", "range") == "range")
+      Distributions.ordered(sorts)
+    else if (spec.isUnpartitioned) Distributions.unspecified()
     else Distributions.clustered(
       spec.fields.map(f => Expressions.column(f.sourceName)).toArray)
   }
 
-  override def requiredOrdering(): Array[SparkSortOrder] = Array.empty
+  override def requiredOrdering(): Array[SparkSortOrder] =
+    GraftWrite.sortOrderExprs(table.meta)
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -132,6 +143,32 @@ final case class GraftStreamingWriterFactory(
 }
 
 /** Commit message: the data files one task produced. */
+object GraftWrite {
+  /** The table's default sort order as Spark connector sort
+    * expressions (WRITE ORDERED BY DDL). Transforms reuse the
+    * partition-transform mapping, so ordering by truncate/date
+    * transforms sorts by the transformed value like Iceberg.
+    */
+  def sortOrderExprs(meta: TableMetadata): Array[SparkSortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val order = meta.sortOrders.getOrElse(
+      meta.defaultSortOrderId, graft.meta.SortOrder.unsorted)
+    order.fields.map { f =>
+      val expr: org.apache.spark.sql.connector.expressions.Expression =
+        f.transform match {
+          case Transform.Identity => Expressions.column(f.sourceName)
+          case _ => GraftCatalog.toSparkTransform(
+            PartitionField(f.sourceName, -1, f.sourceName, f.transform))
+        }
+      Expressions.sort(expr,
+        if (f.ascending) SortDirection.ASCENDING
+        else SortDirection.DESCENDING,
+        if (f.nullsFirst) NullOrdering.NULLS_FIRST
+        else NullOrdering.NULLS_LAST)
+    }.toArray
+  }
+}
+
 final case class GraftCommitMessage(files: Seq[DataFile])
   extends WriterCommitMessage
 

@@ -1,0 +1,113 @@
+package graft.connector
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.Transform
+
+/** ALTER TABLE … WRITE [LOCALLY] ORDERED BY / WRITE UNORDERED:
+  * sort-order metadata commits plus the write-side contract — plain
+  * ORDERED BY makes inserts globally range-partitioned on the sort
+  * key, so per-file value ranges are disjoint and a point query
+  * prunes to a single file.
+  */
+class WriteOrderSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-order").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-order-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def store =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].store
+
+  test("WRITE ORDERED BY commits sort-order metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord1 (id BIGINT, v STRING)")
+    spark.sql(
+      "ALTER TABLE graft.db.ord1 WRITE ORDERED BY (id DESC NULLS LAST, v)")
+    val meta = store.loadTableMetadata(
+      graft.store.TabularId(Seq("db"), "ord1")).get._1
+    val order = meta.sortOrders(meta.defaultSortOrderId)
+    assert(order.fields.map(f =>
+      (f.sourceName, f.transform, f.ascending, f.nullsFirst)) == Seq(
+      ("id", Transform.Identity, false, false),
+      ("v", Transform.Identity, true, true)))
+    assert(meta.properties("write.distribution-mode") == "range")
+
+    spark.sql("ALTER TABLE graft.db.ord1 WRITE UNORDERED")
+    val meta2 = store.loadTableMetadata(
+      graft.store.TabularId(Seq("db"), "ord1")).get._1
+    assert(meta2.defaultSortOrderId == 0)
+    assert(meta2.properties("write.distribution-mode") == "none")
+  }
+
+  test("ordered writes produce disjoint per-file ranges and prune") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord2 (id BIGINT, v STRING)")
+    spark.sql("ALTER TABLE graft.db.ord2 WRITE ORDERED BY (id)")
+    // scrambled input: without the range distribution every task would
+    // see the full id range and file ranges would all overlap. AQE
+    // would rightly coalesce this tiny shuffle into one partition, so
+    // pin it off to observe the multi-file layout.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql(
+      """INSERT INTO graft.db.ord2
+        |SELECT (id * 37) % 1000 AS id, CAST(id AS STRING) AS v
+        |FROM range(0, 1000)""".stripMargin)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+    val ranges = spark.sql(
+      """SELECT _file, MIN(id) AS mn, MAX(id) AS mx
+        |FROM graft.db.ord2 GROUP BY _file""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1) // the global sort fanned out
+    ranges.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 < mn2)
+      case _ =>
+    }
+
+    // point query prunes to exactly one file via manifest stats
+    import org.apache.spark.sql.sources.EqualTo
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "ord2")).asInstanceOf[GraftTable]
+    val builder = new GraftScanBuilder(table)
+    builder.pushFilters(Array(EqualTo("id", 500L)))
+    val scan = builder.build().asInstanceOf[GraftScan]
+    assert(scan.selectedFiles.size == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.ord2 WHERE id = 500")
+      .collect()(0).getLong(0) === 1L)
+  }
+
+  test("LOCALLY ORDERED BY sorts within tasks without redistribution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord3 (id BIGINT)")
+    spark.sql("ALTER TABLE graft.db.ord3 WRITE LOCALLY ORDERED BY id")
+    val meta = store.loadTableMetadata(
+      graft.store.TabularId(Seq("db"), "ord3")).get._1
+    assert(meta.properties("write.distribution-mode") == "none")
+    spark.sql(
+      "INSERT INTO graft.db.ord3 SELECT (id * 37) % 1000 FROM range(0, 1000)")
+    // rows within each file are sorted (positions follow id order)
+    val bad = spark.sql(
+      """SELECT COUNT(*) FROM (
+        |  SELECT id, LAG(id) OVER (PARTITION BY _file ORDER BY _pos) AS prev
+        |  FROM graft.db.ord3)
+        |WHERE prev IS NOT NULL AND prev > id""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(bad == 0)
+  }
+}
