@@ -248,9 +248,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         loc
       case None => store.tableLocation(id)
     }
+    // format-version is metadata, not a free-form property: stored
+    // properties must not shadow later UpgradeFormatVersion commits
+    // (GraftTable.properties surfaces the live value)
     val meta = TableMetadata.newTable(
       UUID.randomUUID().toString, location, withIds,
-      spec = partFields, properties = props,
+      spec = partFields, properties = props - "format-version",
       formatVersion = props.get("format-version").map(_.toInt).getOrElse(2))
     try store.createTable(id, meta)
     catch { case _: AlreadyExistsException =>

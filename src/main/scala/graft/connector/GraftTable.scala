@@ -66,7 +66,8 @@ class GraftTable(
   override def partitioning(): Array[SparkTransform] =
     meta.defaultSpec.fields.map(GraftCatalog.toSparkTransform).toArray
 
-  override def properties(): util.Map[String, String] = meta.properties.asJava
+  override def properties(): util.Map[String, String] =
+    (meta.properties + ("format-version" -> meta.formatVersion.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,

@@ -718,6 +718,30 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .collect().head.getLong(0) == 9)
   }
 
+  test("upgrade v2 table with data to v3, keep reading and writing") {
+    // replay of test_upgrade_v2_table_with_data_to_v3 (test_spark.py:1283)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.upgrade_table (id BIGINT)
+      TBLPROPERTIES ('format-version' = '2')""")
+    spark.sql("INSERT INTO graft.db.upgrade_table VALUES (1)")
+    spark.sql("INSERT INTO graft.db.upgrade_table VALUES (2)")
+    spark.sql(
+      "ALTER TABLE graft.db.upgrade_table SET TBLPROPERTIES ('format-version' = '3')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.upgrade_table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("format-version").contains("3"))
+    assert(spark.sql("SELECT id FROM graft.db.upgrade_table ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spark.sql("INSERT INTO graft.db.upgrade_table VALUES (3)")
+    assert(spark.sql("SELECT id FROM graft.db.upgrade_table ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // downgrade must fail (Commit guard)
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.db.upgrade_table SET TBLPROPERTIES ('format-version' = '2')")
+    }
+  }
+
   test("VARIANT: create v3 table, insert parse_json, variant_get, join on extracted field") {
     // replay of test_variant_create_table / test_variant_insert_and_read /
     // variant join (test_spark.py:1343-1500)
