@@ -29,6 +29,7 @@ object MetadataTables {
   val names: Set[String] = Set(
     "snapshots", "history", "refs", "metadata_log_entries", "files",
     "all_data_files", "delete_files", "all_delete_files",
+    "position_deletes",
     "manifests", "all_manifests", "partitions",
     "entries", "all_entries", "properties")
 
@@ -64,6 +65,15 @@ object MetadataTables {
         .groupBy(_.absPath).values.map(_.head).toSeq
       new ManifestTable(s"$id.$kind", fileSchema, inputs,
         emitEntries = false, content = content)
+
+    case "position_deletes" =>
+      // tuple-level view of the delete files (Iceberg's
+      // position_deletes): one input partition per delete file, tuples
+      // read executor-side — never a driver list
+      val deleteFiles = meta.currentSnapshot.toSeq
+        .flatMap(s => store.readManifests(meta.location, s.manifests))
+        .flatMap(_.entries).filter(_.isPositionDeletes)
+      new PositionDeletesTable(s"$id.position_deletes", deleteFiles)
 
     case "entries" | "all_entries" =>
       val snaps = if (kind == "entries") meta.currentSnapshot.toSeq
@@ -281,6 +291,77 @@ class LocalRowsTable(tableName: String, tableSchema: StructType, rowsThunk: => S
         override def description(): String = s"LocalScan $tableName"
       }
     }
+}
+
+final case class DeleteFileInput(absPath: String, specId: Int)
+  extends InputPartition
+
+/** `t.position_deletes`: the (file_path, pos) tuples inside every live
+  * position-delete file, plus which delete file holds each tuple.
+  */
+class PositionDeletesTable(tableName: String, deleteFiles: Seq[DataFile])
+  extends Table with SupportsRead {
+
+  private val tableSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("delete_file_path", StringType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          deleteFiles.map(f =>
+            DeleteFileInput(f.path, f.specId): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          PositionDeletesReaderFactory()
+        override def description(): String =
+          s"PositionDeletesScan $tableName"
+      }
+    }
+}
+
+final case class PositionDeletesReaderFactory() extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = partition.asInstanceOf[DeleteFileInput]
+    new PartitionReader[InternalRow] {
+      private val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(in.absPath))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      private val deletePathUtf8 =
+        org.apache.spark.unsafe.types.UTF8String.fromString(in.absPath)
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) false
+        else {
+          cur = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                g.getString(PositionDeletes.PathColumn, 0)),
+              g.getLong(PositionDeletes.PosColumn, 0),
+              in.specId,
+              deletePathUtf8))
+          true
+        }
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 final case class ManifestReaderFactory(

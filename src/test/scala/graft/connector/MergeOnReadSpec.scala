@@ -199,6 +199,20 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("position_deletes metadata table lists the live tuples") {
+    val rows = spark.sql(
+      """SELECT file_path, pos, delete_file_path
+        |FROM graft.db.mor1.position_deletes ORDER BY file_path, pos
+        |""".stripMargin).collect()
+    // mor1 accumulated 3 + 10 deleted ids across two commits
+    assert(rows.length == 13)
+    assert(rows.forall(_.getString(2).endsWith(".parquet")))
+    // tuples point at live data files of the table
+    val files = spark.sql("SELECT file_path FROM graft.db.mor1.files")
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet.subsetOf(files))
+  }
+
   test("_pos metadata column reflects true file ordinals") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.posmeta (id BIGINT)")
