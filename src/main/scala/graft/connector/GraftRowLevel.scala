@@ -200,15 +200,15 @@ class GraftCowBatchWrite(
         // path; serializable isolation checked via the removed count —
         // every scanned file must still be live, or this rewrite sits
         // on stale data
-        val (keptManifests, removedCount) = ManifestReplace(
+        val (keptManifests, removed) = ManifestReplace(
           current.location, parentManifests,
           ManifestReplace.ByPath(replacedPaths),
           current.specs, current.currentSchema.struct,
           current.defaultSpec, snapshotId)
-        if (removedCount != replacedPaths.size)
+        if (removed.count != replacedPaths.size)
           throw new CommitFailedException(
             s"Row-level operation conflict on ${table.tableId}: " +
-              s"${replacedPaths.size - removedCount} scanned file(s) " +
+              s"${replacedPaths.size - removed.count} scanned file(s) " +
               "were rewritten concurrently")
         val manifests = keptManifests ++ (
           if (newFiles.nonEmpty)
@@ -227,7 +227,8 @@ class GraftCowBatchWrite(
             "removed-data-files" -> replacedPaths.size.toString,
             "added-data-files" -> newFiles.size.toString,
             "added-records" -> newFiles.map(_.recordCount).sum.toString,
-            "spark.app.id" -> spark.sparkContext.applicationId),
+            "spark.app.id" -> spark.sparkContext.applicationId) ++
+            GraftWrite.totalsSummary(parentSnapshot, newFiles, removed),
           manifests,
           current.currentSchemaId)
         val ref = current.refs.get(targetRef)
@@ -399,8 +400,13 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
         // file our delete tuples point into must still be live — a
         // concurrent compaction/COW rewrite would have moved those rows
         // to new positions, and committing would silently re-delete the
-        // wrong ordinals (or none)
-        if (referenced.nonEmpty) {
+        // wrong ordinals (or none). FAST PATH: when the commit parent
+        // IS the snapshot the rewrite scanned, nothing committed in
+        // between and no manifest needs parsing — the O(files)
+        // validation runs only under real write-write concurrency.
+        val scannedSnapshotId = table.readSnapshot.map(_.snapshotId)
+        if (referenced.nonEmpty &&
+            parentSnapshot.map(_.snapshotId) != scannedSnapshotId) {
           val live = table.store
             .readManifests(current.location, parentManifests)
             .flatMap(_.entries).filter(_.isData).map(_.path).toSet
@@ -430,7 +436,9 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
             "added-delete-files" -> deleteFiles.size.toString,
             "added-position-deletes" ->
               deleteFiles.map(_.recordCount).sum.toString,
-            "spark.app.id" -> spark.sparkContext.applicationId),
+            "spark.app.id" -> spark.sparkContext.applicationId) ++
+            GraftWrite.totalsSummary(parentSnapshot, newFiles,
+              ManifestReplace.Removed.zero),
           manifests,
           current.currentSchemaId)
         val ref = current.refs.get(targetRef)

@@ -144,6 +144,47 @@ final case class GraftStreamingWriterFactory(
 
 /** Commit message: the data files one task produced. */
 object GraftWrite {
+
+  private val TotalKeys = Seq("total-data-files", "total-records",
+    "total-files-size", "total-delete-files", "total-position-deletes")
+
+  /** Iceberg-parity running totals for a snapshot summary: parent
+    * totals + added − removed, computed WITHOUT any manifest read.
+    * `parent = None` means "starts empty" (first snapshot, truncate).
+    * If the parent predates totals (registered/imported lineage), the
+    * totals are omitted rather than guessed — they resume on the next
+    * truncate/replace-all.
+    */
+  def totalsSummary(
+      parent: Option[Snapshot],
+      added: Seq[DataFile],
+      removed: ManifestReplace.Removed): Map[String, String] = {
+    val base: Map[String, Long] = parent match {
+      case None => TotalKeys.map(_ -> 0L).toMap
+      case Some(p) =>
+        val vals = TotalKeys.map(k => k ->
+          p.summary.get(k).flatMap(v => scala.util.Try(v.toLong).toOption))
+        if (vals.exists(_._2.isEmpty)) return Map.empty
+        vals.map { case (k, v) => k -> v.get }.toMap
+    }
+    val (data, del) = added.partition(_.isData)
+    Map(
+      "total-data-files" ->
+        (base("total-data-files") + data.size - removed.dataFiles),
+      "total-records" ->
+        (base("total-records") + data.map(_.recordCount).sum -
+          removed.dataRecords),
+      "total-files-size" ->
+        (base("total-files-size") + data.map(_.fileSizeBytes).sum -
+          removed.dataBytes),
+      "total-delete-files" ->
+        (base("total-delete-files") + del.size - removed.deleteFiles),
+      "total-position-deletes" ->
+        (base("total-position-deletes") + del.map(_.recordCount).sum -
+          removed.deleteRecords)
+    ).map { case (k, v) => k -> v.toString }
+  }
+
   /** The table's default sort order as Spark connector sort
     * expressions (WRITE ORDERED BY DDL). Transforms reuse the
     * partition-transform mapping, so ordering by truncate/date
@@ -283,29 +324,35 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
       mkUpdates = current => {
         val parentSnapshot = current.snapshotFor(targetRef)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
-        val (manifests, op) = mode match {
-          case "append" => (parentManifests :+ manifestPath, "append")
-          case "truncate" => (Seq(manifestPath), "overwrite")
+        val (manifests, op, totals) = mode match {
+          case "append" => (parentManifests :+ manifestPath, "append",
+            GraftWrite.totalsSummary(parentSnapshot, newFiles,
+              ManifestReplace.Removed.zero))
+          case "truncate" => (Seq(manifestPath), "overwrite",
+            GraftWrite.totalsSummary(None, newFiles,
+              ManifestReplace.Removed.zero))
           case "dynamic" =>
             // replace only the partitions the new files touch; manifest
             // processing is per-manifest and distributed — untouched
             // manifests survive by path, no O(total-files) driver work
             val newParts = newFiles.map(_.partition).toSet
-            val (keptManifests, _) = ManifestReplace(
+            val (keptManifests, removed) = ManifestReplace(
               current.location, parentManifests,
               ManifestReplace.ByPartition(newParts),
               current.specs, current.currentSchema.struct,
               current.defaultSpec, snapshotId)
-            (keptManifests :+ manifestPath, "overwrite")
+            (keptManifests :+ manifestPath, "overwrite",
+              GraftWrite.totalsSummary(parentSnapshot, newFiles, removed))
           case "filter" =>
             // static overwrite: drop whole files whose identity
             // partition values satisfy every filter
-            val (keptManifests, _) = ManifestReplace(
+            val (keptManifests, removed) = ManifestReplace(
               current.location, parentManifests,
               ManifestReplace.ByStaticFilter(overwriteFilters),
               current.specs, current.currentSchema.struct,
               current.defaultSpec, snapshotId)
-            (keptManifests :+ manifestPath, "overwrite")
+            (keptManifests :+ manifestPath, "overwrite",
+              GraftWrite.totalsSummary(parentSnapshot, newFiles, removed))
         }
         val snap = Snapshot(
           snapshotId,
@@ -317,7 +364,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
             "added-data-files" -> newFiles.size.toString,
             "added-records" -> newFiles.map(_.recordCount).sum.toString,
             "added-files-size" -> newFiles.map(_.fileSizeBytes).sum.toString,
-            "spark.app.id" -> spark.sparkContext.applicationId),
+            "spark.app.id" -> spark.sparkContext.applicationId) ++ totals,
           manifests,
           current.currentSchemaId)
         // advancing an existing ref keeps its retention settings

@@ -56,7 +56,30 @@ object ManifestReplace {
     */
   private val DistributeThreshold = 16
 
-  /** @return (new manifest list for kept content, removed file count).
+  /** What a replace removed, split by content — `count` drives the
+    * conflict checks, the rest feeds the snapshot's running totals.
+    */
+  final case class Removed(
+      count: Long,
+      dataFiles: Long, dataRecords: Long, dataBytes: Long,
+      deleteFiles: Long, deleteRecords: Long) {
+    def +(o: Removed): Removed = Removed(count + o.count,
+      dataFiles + o.dataFiles, dataRecords + o.dataRecords,
+      dataBytes + o.dataBytes, deleteFiles + o.deleteFiles,
+      deleteRecords + o.deleteRecords)
+  }
+
+  object Removed {
+    val zero: Removed = Removed(0, 0, 0, 0, 0, 0)
+    def of(entries: Seq[DataFile]): Removed = {
+      val (data, del) = entries.partition(_.isData)
+      Removed(entries.size.toLong, data.size.toLong,
+        data.map(_.recordCount).sum, data.map(_.fileSizeBytes).sum,
+        del.size.toLong, del.map(_.recordCount).sum)
+    }
+  }
+
+  /** @return (new manifest list for kept content, removed stats).
     * Untouched manifests appear under their ORIGINAL path; the new
     * files' manifest is appended by the caller.
     */
@@ -67,9 +90,9 @@ object ManifestReplace {
       specs: Map[Int, PartitionSpec],
       schema: StructType,
       defaultSpec: PartitionSpec,
-      snapshotId: Long): (Seq[String], Long) = {
+      snapshotId: Long): (Seq[String], Removed) = {
 
-    def processOne(relPath: String): (Option[String], Long) = {
+    def processOne(relPath: String): (Option[String], Removed) = {
       // predicate sees ABSOLUTE paths (scans report absolute); the
       // rewrite keeps the stored location-relative form
       def abs(p: String) = if (p.startsWith("/")) p
@@ -86,8 +109,8 @@ object ManifestReplace {
       val (removed, kept) = mf.entries.partition(f =>
         (f.isData || spec.isInstanceOf[ByPath]) &&
           spec.removes(f.copy(path = abs(f.path)), specs, schema, defaultSpec))
-      if (removed.isEmpty) (Some(relPath), 0L)
-      else if (kept.isEmpty) (None, removed.size.toLong)
+      if (removed.isEmpty) (Some(relPath), Removed.zero)
+      else if (kept.isEmpty) (None, Removed.of(removed))
       else {
         // rewrite in place of the touched manifest (entry paths are
         // already location-relative inside the JSON, keep them so)
@@ -103,11 +126,11 @@ object ManifestReplace {
           Json.manifestSummaryToJson(ManifestSummary.of(keptManifest, schema))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val rel = p.toString.stripPrefix(location.stripSuffix("/") + "/")
-        (Some(rel), removed.size.toLong)
+        (Some(rel), Removed.of(removed))
       }
     }
 
-    val results: Seq[(Option[String], Long)] =
+    val results: Seq[(Option[String], Removed)] =
       if (parentManifests.size <= DistributeThreshold) {
         parentManifests.map(processOne)
       } else {
@@ -118,6 +141,6 @@ object ManifestReplace {
           .map(processOne)
           .collect().toSeq
       }
-    (results.flatMap(_._1), results.map(_._2).sum)
+    (results.flatMap(_._1), results.map(_._2).foldLeft(Removed.zero)(_ + _))
   }
 }

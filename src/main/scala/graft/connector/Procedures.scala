@@ -778,15 +778,15 @@ final case class RewritePositionDeletesProcedure(catalog: GraftCatalog)
       current => {
         val parentSnapshot = current.snapshotFor(TableMetadata.MainBranch)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
-        val (kept, removedCount) = ManifestReplace(
+        val (kept, removed) = ManifestReplace(
           current.location, parentManifests,
           ManifestReplace.ByPath(oldPaths),
           current.specs, current.currentSchema.struct,
           current.defaultSpec, snapshotId)
-        if (removedCount != oldPaths.size)
+        if (removed.count != oldPaths.size)
           throw new CommitFailedException(
             s"rewrite_position_delete_files conflict on $id: " +
-              s"${oldPaths.size - removedCount} delete file(s) changed")
+              s"${oldPaths.size - removed.count} delete file(s) changed")
         val manifests = kept ++ (
           if (written.nonEmpty)
             Seq(catalog.store.writeManifest(current.location,
@@ -802,7 +802,8 @@ final case class RewritePositionDeletesProcedure(catalog: GraftCatalog)
           Map(
             "rewritten-delete-files" -> oldPaths.size.toString,
             "added-delete-files" -> written.size.toString,
-            "removed-position-deletes" -> (before - survivingCount).toString),
+            "removed-position-deletes" -> (before - survivingCount).toString) ++
+            GraftWrite.totalsSummary(parentSnapshot, written, removed),
           manifests,
           current.currentSchemaId)
         val ref = current.refs.get(TableMetadata.MainBranch)

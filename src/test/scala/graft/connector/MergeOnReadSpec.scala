@@ -199,6 +199,30 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("snapshot summaries carry running totals across commit kinds") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.tot1 (id BIGINT)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.tot1 SELECT id FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.db.tot1 SELECT id FROM range(100, 200)")
+    spark.sql("DELETE FROM graft.db.tot1 WHERE id IN (5, 6)")
+
+    def latest: Map[String, String] = spark.sql(
+      "SELECT summary FROM graft.db.tot1.snapshots ORDER BY committed_at")
+      .collect().last.getMap[String, String](0).toMap
+    assert(latest("total-records") == "200")
+    assert(latest("total-position-deletes") == "2")
+    assert(latest("total-delete-files").toLong >= 1)
+
+    // COW-style full rewrite resets delete totals with the data swap
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.tot1')")
+    assert(latest("total-records") == "198") // deletes materialized
+    assert(latest("total-position-deletes") == "0")
+    assert(latest("total-data-files") == spark.sql(
+      "SELECT COUNT(*) FROM graft.db.tot1.files").collect()(0).getLong(0).toString)
+  }
+
   test("position_deletes metadata table lists the live tuples") {
     val rows = spark.sql(
       """SELECT file_path, pos, delete_file_path
