@@ -26,10 +26,13 @@ import graft.store.{FileCatalogStore, TabularId}
   */
 object MetadataTables {
 
+  /** Content filter wildcard for the all_files table. */
+  val AnyContent: Int = -1
+
   val names: Set[String] = Set(
     "snapshots", "history", "refs", "metadata_log_entries", "files",
-    "all_data_files", "delete_files", "all_delete_files",
-    "position_deletes",
+    "data_files", "all_files", "all_data_files",
+    "delete_files", "all_delete_files", "position_deletes",
     "manifests", "all_manifests", "partitions",
     "entries", "all_entries", "properties")
 
@@ -48,16 +51,19 @@ object MetadataTables {
 
   def table(store: FileCatalogStore, id: TabularId, meta: TableMetadata,
       kind: String): Table = kind match {
-    case "files" | "all_data_files" | "delete_files" | "all_delete_files" =>
-      val snaps = if (kind == "files" || kind == "delete_files")
-        meta.currentSnapshot.toSeq
-      else meta.snapshots.values.toSeq
+    case "files" | "data_files" | "all_files" | "all_data_files" |
+         "delete_files" | "all_delete_files" =>
+      val snaps = if (kind.startsWith("all_")) meta.snapshots.values.toSeq
+        else meta.currentSnapshot.toSeq
       // a manifest reachable from several snapshots contributes its
       // files once (dedupe by manifest path; snapshot attribution only
       // matters for the entries family). The files family lists data
       // entries; the delete family lists position-delete entries
-      // (merge-on-read), empty on copy-on-write-only tables.
-      val content = if (kind.contains("delete")) DataFile.ContentPositionDeletes
+      // (merge-on-read), empty on copy-on-write-only tables; all_files
+      // lists both contents.
+      val content =
+        if (kind == "all_files") MetadataTables.AnyContent
+        else if (kind.contains("delete")) DataFile.ContentPositionDeletes
         else DataFile.ContentData
       val inputs = snaps.flatMap(s => s.manifests.map(m =>
         ManifestInput(store.resolvePath(meta.location, m),
@@ -377,7 +383,8 @@ final case class ManifestReaderFactory(
         CatalystTypeConverters.createToCatalystConverter(tableSchema)
       private lazy val iter: Iterator[InternalRow] = {
         val files = ManifestRead.parse(in.absPath, in.location)
-          .filter(f => emitEntries || f.content == content)
+          .filter(f => emitEntries ||
+            content == MetadataTables.AnyContent || f.content == content)
         val rows =
           if (emitEntries) {
             val added = ManifestRead.addedSnapshotId(in.absPath)
