@@ -110,11 +110,15 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .orderBy("o_orderstatus").collect().map(r =>
       (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
-    // partition dirs exist on disk (resolve the warehouse from the
-    // LIVE session: suites share one SparkSession, so the first
-    // suite's builder config wins regardless of this suite's val)
-    val liveWarehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
-    val tdir = java.nio.file.Paths.get(liveWarehouse, "db", "orders_p", "data")
+    // partition dirs exist on disk. Resolve the table's location from
+    // its own metadata: suites share one SparkSession AND one cached
+    // catalog instance, so neither this suite's warehouse val nor the
+    // live conf is authoritative.
+    val loc = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].store
+      .loadTableMetadata(graft.store.TabularId(Seq("db"), "orders_p"))
+      .get._1.location
+    val tdir = java.nio.file.Paths.get(loc, "data")
     assert(Files.list(tdir).iterator().asScala.exists(
       _.getFileName.toString.startsWith("o_orderstatus=")))
   }
