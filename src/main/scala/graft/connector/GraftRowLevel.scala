@@ -213,7 +213,7 @@ class GraftCowBatchWrite(
         val manifests = keptManifests ++ (
           if (newFiles.nonEmpty)
             Seq(table.store.writeManifest(current.location,
-              ManifestFile(newFiles, snapshotId),
+              ManifestFile(GraftWrite.assignRowIds(current, newFiles), snapshotId),
               Some(current.currentSchema.struct)))
           else Nil)
         val snap = Snapshot(
@@ -421,7 +421,7 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
         val manifests = parentManifests ++
           (if (newFiles.nonEmpty)
             Seq(table.store.writeManifest(current.location,
-              ManifestFile(newFiles, snapshotId),
+              ManifestFile(GraftWrite.assignRowIds(current, newFiles), snapshotId),
               Some(current.currentSchema.struct)))
           else Nil)
         val snap = Snapshot(

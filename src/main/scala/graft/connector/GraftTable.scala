@@ -123,12 +123,14 @@ class GraftTable(
     * merge-on-read deletes.
     */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftTable.FileMetadataColumn, GraftTable.PosMetadataColumn)
+    Array(GraftTable.FileMetadataColumn, GraftTable.PosMetadataColumn,
+      GraftTable.RowIdMetadataColumn)
 }
 
 object GraftTable {
   val FileColumnName = "_file"
   val PosColumnName = "_pos"
+  val RowIdColumnName = "_row_id"
 
   object FileMetadataColumn extends MetadataColumn {
     override def name(): String = FileColumnName
@@ -144,6 +146,17 @@ object GraftTable {
       org.apache.spark.sql.types.LongType
     override def isNullable: Boolean = false
     override def comment(): String = "Row ordinal within its data file"
+  }
+
+  /** v3 row lineage: file's first-row-id + ordinal; NULL for files
+    * without an assigned range (v1/v2, pre-upgrade files).
+    */
+  object RowIdMetadataColumn extends MetadataColumn {
+    override def name(): String = RowIdColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String = "Row lineage id (format v3)"
   }
 }
 
@@ -207,11 +220,18 @@ class GraftScan(
     requiredSchema.fieldNames.indexOf(GraftTable.FileColumnName)
   private val posColOrdinal: Int =
     requiredSchema.fieldNames.indexOf(GraftTable.PosColumnName)
+  private val rowIdColOrdinal: Int =
+    requiredSchema.fieldNames.indexOf(GraftTable.RowIdColumnName)
+
+  /** `_pos` and `_row_id` both need true file ordinals. */
+  private def needPositions: Boolean =
+    posColOrdinal >= 0 || rowIdColOrdinal >= 0
 
   private val parquetReadSchema: StructType =
     StructType(requiredSchema.fields.filterNot(f =>
       f.name == GraftTable.FileColumnName ||
-        f.name == GraftTable.PosColumnName))
+        f.name == GraftTable.PosColumnName ||
+        f.name == GraftTable.RowIdColumnName))
 
   /** Two-level pruned file list. Level 1: whole MANIFESTS are pruned
     * from their write-time summaries before any entry list is parsed
@@ -342,7 +362,7 @@ class GraftScan(
     // keyed whole-file partitions are suspended until compaction
     // materializes the deletes
     if (spec.fields.isEmpty || !v2BucketingEnabled ||
-      posDeleteFiles.nonEmpty || posColOrdinal >= 0) None
+      posDeleteFiles.nonEmpty || needPositions) None
     else if (selectedFiles.nonEmpty && selectedFiles.forall(f =>
         f.specId == spec.specId &&
           spec.fields.forall(pf => f.partition.contains(pf.name))))
@@ -410,7 +430,7 @@ class GraftScan(
       else selectedFiles.iterator.map(f => f.path -> deleteFilesFor(f))
         .filter(_._2.nonEmpty).toMap
     val (dirty, clean) =
-      if (posColOrdinal >= 0) (selectedFiles, Seq.empty[DataFile])
+      if (needPositions) (selectedFiles, Seq.empty[DataFile])
       else selectedFiles.partition(f => deletesByPath.contains(f.path))
 
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
@@ -504,16 +524,22 @@ class GraftScan(
     // ordinals); otherwise only delete-carrying files take the
     // unfiltered path (via DeleteAwareFilePartition)
     val effectiveFilters =
-      if (posColOrdinal >= 0) Array.empty[Filter] else readerFilters
+      if (needPositions) Array.empty[Filter] else readerFilters
     val parquetFactory = mkFactory(effectiveFilters)
-    if (fileColOrdinal < 0 && posColOrdinal < 0 && posDeleteFiles.isEmpty)
+    if (fileColOrdinal < 0 && !needPositions && posDeleteFiles.isEmpty)
       parquetFactory
     else {
       val plainFactory =
         if (effectiveFilters.isEmpty) parquetFactory
         else mkFactory(Array.empty)
+      // per-file lineage ranges ship to tasks only when `_row_id` is
+      // actually requested (the map is O(selected files))
+      val firstRowIds: Map[String, Long] =
+        if (rowIdColOrdinal < 0) Map.empty
+        else selectedFiles.flatMap(f =>
+          f.firstRowId.map(f.path -> _)).toMap
       MetaDeleteReaderFactory(parquetFactory, plainFactory,
-        fileColOrdinal, posColOrdinal,
+        fileColOrdinal, posColOrdinal, rowIdColOrdinal, firstRowIds,
         parquetReadSchema.fields.map(_.dataType),
         new SerializableConfiguration(hadoopConf))
     }
@@ -604,12 +630,15 @@ final case class MetaDeleteReaderFactory(
     plain: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
     fileOrdinal: Int,
     posOrdinal: Int,
+    rowIdOrdinal: Int,
+    firstRowIds: Map[String, Long],
     dataTypes: Array[org.apache.spark.sql.types.DataType],
     conf: SerializableConfiguration)
   extends PartitionReaderFactory {
 
   private def outputWidth = dataTypes.length +
-    (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
+    (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0) +
+    (if (rowIdOrdinal >= 0) 1 else 0)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
@@ -625,6 +654,7 @@ final case class MetaDeleteReaderFactory(
       private var current: PartitionReader[InternalRow] = _
       private var currentPath: org.apache.spark.unsafe.types.UTF8String = _
       private var currentDeleted: Array[Long] = Array.emptyLongArray
+      private var currentFirstRowId: java.lang.Long = _
       private var pos = -1L
       private val out =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outputWidth)
@@ -635,10 +665,13 @@ final case class MetaDeleteReaderFactory(
         if (idx >= files.length) false
         else {
           val f = files(idx)
-          val needsPositions = posOrdinal >= 0 || deletes(idx).nonEmpty
+          val needsPositions =
+            posOrdinal >= 0 || rowIdOrdinal >= 0 || deletes(idx).nonEmpty
           current = (if (needsPositions) plain else filtered).buildReader(f)
           currentPath = org.apache.spark.unsafe.types.UTF8String
             .fromString(f.filePath.toString)
+          currentFirstRowId = firstRowIds.get(f.filePath.toString)
+            .map(Long.box).orNull
           currentDeleted =
             if (deletes(idx).isEmpty) Array.emptyLongArray
             else PositionDeletes.load(deletes(idx), f.filePath.toString,
@@ -672,6 +705,9 @@ final case class MetaDeleteReaderFactory(
         while (i < outputWidth) {
           if (i == fileOrdinal) out.update(i, currentPath)
           else if (i == posOrdinal) out.update(i, pos)
+          else if (i == rowIdOrdinal) out.update(i,
+            if (currentFirstRowId == null) null
+            else currentFirstRowId.longValue() + pos)
           else {
             out.update(i, if (row.isNullAt(j)) null else row.get(j, dataTypes(j)))
             j += 1

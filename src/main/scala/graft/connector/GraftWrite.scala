@@ -145,6 +145,25 @@ final case class GraftStreamingWriterFactory(
 /** Commit message: the data files one task produced. */
 object GraftWrite {
 
+  /** v3 row lineage: give every new DATA file its first-row-id from
+    * the table's next-row-id counter, in manifest order. Consumes
+    * exactly `added-records` ids — the same amount Commit.applyUpdates
+    * advances the counter by when the snapshot lands.
+    */
+  def assignRowIds(current: TableMetadata, files: Seq[DataFile]): Seq[DataFile] =
+    if (current.formatVersion < 3) files
+    else {
+      var next = current.nextRowId
+      files.map { f =>
+        if (!f.isData) f
+        else {
+          val assigned = f.copy(firstRowId = Some(next))
+          next += f.recordCount
+          assigned
+        }
+      }
+    }
+
   private val TotalKeys = Seq("total-data-files", "total-records",
     "total-files-size", "total-delete-files", "total-position-deletes")
 
@@ -311,8 +330,6 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
       case GraftCommitMessage(fs) => fs }.flatten.toSeq
     GraftBatchWrite.requireContained(table.meta.location, newFiles)
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    val manifestPath = table.store.writeManifest(table.meta.location,
-      ManifestFile(newFiles, snapshotId), Some(writeSchema))
 
     val targetRef = table.writeRef
     // Spark's write query UUID doubles as the idempotency key
@@ -324,6 +341,11 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
       mkUpdates = current => {
         val parentSnapshot = current.snapshotFor(targetRef)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        // written inside the commit loop: v3 row-id assignment reads
+        // the CURRENT next-row-id, which a retry may have advanced
+        val manifestPath = table.store.writeManifest(table.meta.location,
+          ManifestFile(GraftWrite.assignRowIds(current, newFiles),
+            snapshotId), Some(writeSchema))
         val (manifests, op, totals) = mode match {
           case "append" => (parentManifests :+ manifestPath, "append",
             GraftWrite.totalsSummary(parentSnapshot, newFiles,

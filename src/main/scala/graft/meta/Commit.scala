@@ -219,8 +219,22 @@ object Commit {
       case AddSnapshot(s0) =>
         // schemaId -1 = "current schema at apply time" (lets one commit
         // add a schema and a snapshot referencing it, e.g. RTAS)
-        val s = if (s0.schemaId == -1) s0.copy(schemaId = m.currentSchemaId)
+        val s1 = if (s0.schemaId == -1) s0.copy(schemaId = m.currentSchemaId)
           else s0
+        // v3 row lineage: stamp the snapshot with the id range its new
+        // rows received (Iceberg's first-row-id / added-rows snapshot
+        // fields) and advance the table counter. The issue the
+        // reference fixed in lakekeeper#1690 — v3 snapshots without
+        // these fields — cannot occur: assignment is centralized here.
+        val s =
+          if (m.formatVersion < 3) s1
+          else {
+            val rowsAdded = s1.summary.get("added-records")
+              .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+            s1.copy(summary = s1.summary +
+              ("first-row-id" -> m.nextRowId.toString) +
+              ("added-rows" -> rowsAdded.toString))
+          }
         if (m.snapshots.contains(s.snapshotId))
           fail(s"Snapshot ${s.snapshotId} already exists")
         if (s.sequenceNumber <= m.lastSequenceNumber && m.snapshots.nonEmpty)
@@ -228,7 +242,9 @@ object Commit {
             s"${m.lastSequenceNumber}")
         m = m.copy(
           snapshots = m.snapshots + (s.snapshotId -> s),
-          lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber))
+          lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
+          nextRowId = m.nextRowId + (if (m.formatVersion < 3) 0L
+            else s.summary.get("added-rows").map(_.toLong).getOrElse(0L)))
 
       case SetSnapshotRef(name, ref) =>
         if (!m.snapshots.contains(ref.snapshotId))

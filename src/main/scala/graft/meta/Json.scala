@@ -142,7 +142,8 @@ object Json {
       ("partition-statistics" -> m.partitionStatistics.map(s =>
         ("snapshot-id" -> s.snapshotId) ~ ("path" -> s.path) ~
           ("file-size-bytes" -> s.fileSizeBytes))) ~
-      ("encryption-keys" -> m.encryptionKeys))
+      ("encryption-keys" -> m.encryptionKeys) ~
+      ("next-row-id" -> m.nextRowId))
 
   private def statsFromJson(j: JValue): Seq[StatisticsFile] =
     j.children.map { s =>
@@ -181,7 +182,8 @@ object Json {
       },
       statsFromJson(j \ "statistics"),
       statsFromJson(j \ "partition-statistics"),
-      (j \ "encryption-keys").extract[Map[String, String]])
+      (j \ "encryption-keys").extract[Map[String, String]],
+      optField(j, "next-row-id")(_.extract[Long]).getOrElse(0L))
   }
 
   // ------------------------------------------------------------ manifest
@@ -193,6 +195,7 @@ object Json {
           ("record-count" -> f.recordCount) ~
           ("spec-id" -> f.specId) ~
           ("content" -> f.content) ~
+          ("first-row-id" -> f.firstRowId) ~
           ("partition" -> JObject(f.partition.toList.sortBy(_._1).map {
             case (k, v) => JField(k, v.map(JString(_)).getOrElse(JNull)) })) ~
           ("stats" -> JObject(f.columnStats.toList.sortBy(_._1).map {
@@ -228,7 +231,8 @@ object Json {
             case _ => Map.empty[String, ColumnStat]
           },
           optField(f, "content")(_.extract[Int])
-            .getOrElse(DataFile.ContentData))
+            .getOrElse(DataFile.ContentData),
+          optField(f, "first-row-id")(_.extract[Long]))
       },
       (j \ "added-snapshot-id").extract[Long])
   }

@@ -97,7 +97,13 @@ final case class DataFile(
     specId: Int,
     partition: Map[String, Option[String]],
     columnStats: Map[String, ColumnStat],
-    content: Int = DataFile.ContentData) {
+    content: Int = DataFile.ContentData,
+    /** v3 row lineage: the row id of this file's first row, assigned
+      * at commit from the table's next-row-id counter. None on
+      * delete files, on v1/v2 tables, and on files written before a
+      * v3 upgrade (their `_row_id` reads as NULL).
+      */
+    firstRowId: Option[Long] = None) {
   def isData: Boolean = content == DataFile.ContentData
   def isPositionDeletes: Boolean = content == DataFile.ContentPositionDeletes
 }

@@ -121,7 +121,11 @@ final case class TableMetadata(
     refs: Map[String, SnapshotRef],
     statistics: Seq[StatisticsFile],
     partitionStatistics: Seq[StatisticsFile],
-    encryptionKeys: Map[String, String]) {
+    encryptionKeys: Map[String, String],
+    /** v3 row lineage: the first row id the NEXT snapshot's new data
+      * rows will receive (Iceberg's next-row-id). Stays 0 on v1/v2.
+      */
+    nextRowId: Long = 0L) {
 
   def currentSchema: TableSchema = schemas(currentSchemaId)
   def defaultSpec: PartitionSpec = specs(defaultSpecId)
