@@ -32,7 +32,7 @@ object Procedures {
     "expire_deleted_tabulars", "create_generic_table", "process_tasks",
     "analyze_table", "create_warehouse", "list_warehouses",
     "delete_warehouse", "set_delete_profile", "set_warehouse_active",
-    "incremental_scan", "rewrite_position_delete_files")
+    "incremental_scan", "rewrite_position_delete_files", "changelog_scan")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -60,6 +60,7 @@ object Procedures {
       case "incremental_scan" => Some(IncrementalScanProcedure(catalog))
       case "rewrite_position_delete_files" =>
         Some(RewritePositionDeletesProcedure(catalog))
+      case "changelog_scan" => Some(ChangelogScanProcedure(catalog))
       case _ => None
     }
 
@@ -814,5 +815,114 @@ final case class RewritePositionDeletesProcedure(catalog: GraftCatalog)
           TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
       })
     result(written.size.toLong, before - survivingCount)
+  }
+}
+
+/** CDC changelog between two snapshots: each row of the table's schema
+  * plus `_change_type` ('insert' | 'delete') and
+  * `_commit_snapshot_id`. Inserts come from the data files each
+  * append/delta snapshot ADDED (manifest set difference — never a file
+  * diff); merge-on-read deletes are RECONSTRUCTED by joining the
+  * snapshot's new position-delete tuples back to the parent snapshot's
+  * rows on (_file, _pos) — the rows a delete tuple killed are, by
+  * definition, live at the parent. A MOR UPDATE therefore shows as
+  * delete + insert, the standard CDC rendering.
+  *
+  * Copy-on-write overwrite/replace snapshots are rejected: their file
+  * diffs mix carried-over and changed rows, so no row-level delta is
+  * derivable from metadata alone (same restriction Iceberg's
+  * changelog reader has without net-change tracking).
+  */
+final case class ChangelogScanProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "changelog_scan"
+  override def description(): String =
+    "Row-level changes (insert/delete) between two snapshots"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("from_snapshot_id", LongType),
+    Procedures.paramWithDefault("to_snapshot_id", LongType, "-1"))
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    import graft.meta._
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val from = input.getLong(1)
+    val (meta, _) = catalog.store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val to =
+      if (input.isNullAt(2) || input.getLong(2) < 0)
+        meta.currentSnapshotId.getOrElse(-1L)
+      else input.getLong(2)
+    val fqn = (catalog.name() +: id.namespace :+ id.name)
+      .map(p => s"`$p`").mkString(".")
+
+    // oldest→newest snapshot chain in (from, to]
+    val chain: Seq[Snapshot] =
+      Iterator.iterate(meta.snapshots.get(to))(s =>
+        s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
+        .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == from))
+        .flatten.toSeq.reverse
+
+    val file = GraftTable.FileColumnName
+    val pos = GraftTable.PosColumnName
+    def baseCols(df: org.apache.spark.sql.DataFrame) =
+      df.drop(file, pos)
+
+    val changes: Seq[org.apache.spark.sql.DataFrame] = chain.flatMap { snap =>
+      val isDelta = snap.summary.get("added-delete-files").exists(_ != "0")
+      val isAppend = snap.operation == "append"
+      if (!isAppend && !isDelta)
+        throw new IllegalArgumentException(
+          s"changelog not derivable across '${snap.operation}' snapshot " +
+            s"${snap.snapshotId} (copy-on-write rewrite)")
+      val parentManifests = snap.parentSnapshotId
+        .flatMap(meta.snapshots.get).map(_.manifests.toSet)
+        .getOrElse(Set.empty)
+      val newEntries = catalog.store.readManifests(meta.location,
+        snap.manifests.filterNot(parentManifests)).flatMap(_.entries)
+
+      val inserts = {
+        val paths = newEntries.filter(_.isData).map(_.path)
+        if (paths.isEmpty) Nil
+        else Seq(baseCols(
+          spark.sql(s"SELECT *, $file FROM $fqn VERSION AS OF ${snap.snapshotId}")
+            .filter(col(file).isin(paths: _*)))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(snap.snapshotId)))
+      }
+      val deletes = {
+        val delPaths = newEntries.filter(_.isPositionDeletes).map(_.path)
+        val parent = snap.parentSnapshotId
+        if (delPaths.isEmpty || parent.isEmpty) Nil
+        else {
+          val tuples = spark.read.schema(PositionDeletes.schema)
+            .parquet(delPaths: _*)
+          Seq(baseCols(
+            spark.sql(
+              s"SELECT *, $file, $pos FROM $fqn VERSION AS OF ${parent.get}")
+              .join(tuples,
+                col(file) === col(PositionDeletes.PathColumn) &&
+                  col(pos) === col(PositionDeletes.PosColumn),
+                "left_semi"))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(snap.snapshotId)))
+        }
+      }
+      inserts ++ deletes
+    }
+
+    val empty = baseCols(spark.table(fqn)).limit(0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_snapshot_id", lit(-1L))
+    DfResult(changes.foldLeft(empty)(_ unionByName _)
+      .filter(col("_commit_snapshot_id") >= 0))
   }
 }

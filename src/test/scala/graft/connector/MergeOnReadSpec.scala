@@ -199,6 +199,41 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("changelog_scan reconstructs inserts and MOR deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.cdc1 (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.cdc1 SELECT id, 'a' FROM range(0, 10)")
+    val s0 = spark.sql(
+      """SELECT snapshot_id FROM graft.db.cdc1.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+    spark.sql("INSERT INTO graft.db.cdc1 SELECT id, 'b' FROM range(10, 15)")
+    spark.sql("DELETE FROM graft.db.cdc1 WHERE id IN (3, 12)")
+
+    val changes = spark.sql(
+      s"""CALL graft.system.changelog_scan(
+         |  table => 'db.cdc1', from_snapshot_id => $s0)""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val inserts = changes.filter(_._3 == "insert").map(_._1).sorted.toSeq
+    val deletes = changes.filter(_._3 == "delete").map(_._1).sorted.toSeq
+    assert(inserts == (10L until 15L))
+    assert(deletes == Seq(3L, 12L))
+    // the deleted rows carry their original column values
+    assert(changes.filter(_._3 == "delete").map(_._2).toSet == Set("a", "b"))
+
+    // COW rewrite snapshots are rejected, not silently wrong
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.cdc1')")
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.system.changelog_scan(
+           |  table => 'db.cdc1', from_snapshot_id => $s0)""".stripMargin)
+        .collect()
+    }
+    assert(err.getMessage.contains("changelog not derivable"))
+  }
+
   test("snapshot summaries carry running totals across commit kinds") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(
