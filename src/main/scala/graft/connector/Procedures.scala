@@ -32,7 +32,8 @@ object Procedures {
     "expire_deleted_tabulars", "create_generic_table", "process_tasks",
     "analyze_table", "create_warehouse", "list_warehouses",
     "delete_warehouse", "set_delete_profile", "set_warehouse_active",
-    "incremental_scan", "rewrite_position_delete_files", "changelog_scan")
+    "incremental_scan", "rewrite_position_delete_files", "changelog_scan",
+    "rollback_to_snapshot", "set_current_snapshot")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -61,6 +62,10 @@ object Procedures {
       case "rewrite_position_delete_files" =>
         Some(RewritePositionDeletesProcedure(catalog))
       case "changelog_scan" => Some(ChangelogScanProcedure(catalog))
+      case "rollback_to_snapshot" =>
+        Some(SetCurrentSnapshotProcedure(catalog, requireAncestor = true))
+      case "set_current_snapshot" =>
+        Some(SetCurrentSnapshotProcedure(catalog, requireAncestor = false))
       case _ => None
     }
 
@@ -924,5 +929,63 @@ final case class ChangelogScanProcedure(catalog: GraftCatalog)
       .withColumn("_commit_snapshot_id", lit(-1L))
     DfResult(changes.foldLeft(empty)(_ unionByName _)
       .filter(col("_commit_snapshot_id") >= 0))
+  }
+}
+
+/** Point main at an older snapshot (Iceberg's rollback_to_snapshot /
+  * set_current_snapshot procedures). Rollback insists the target is an
+  * ancestor of the current head — the "undo recent commits" contract —
+  * while set_current_snapshot accepts any live snapshot (e.g. jumping
+  * back past a rollback). Both are pure ref commits: no file I/O, and
+  * expire_snapshots retention still governs cleanup of the abandoned
+  * lineage.
+  */
+final case class SetCurrentSnapshotProcedure(
+    catalog: GraftCatalog, requireAncestor: Boolean)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String =
+    if (requireAncestor) "rollback_to_snapshot" else "set_current_snapshot"
+  override def description(): String =
+    if (requireAncestor) "Roll main back to an ancestor snapshot"
+    else "Point main at any live snapshot"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("snapshot_id", LongType))
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    import graft.meta._
+    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val target = input.getLong(1)
+    var previous: Long = -1L
+    catalog.store.commitTableWith(id, Nil, current => {
+      if (!current.snapshots.contains(target))
+        throw new IllegalArgumentException(
+          s"Unknown snapshot $target for $id")
+      previous = current.currentSnapshotId.getOrElse(-1L)
+      if (requireAncestor) {
+        val ancestors = Iterator.iterate(current.currentSnapshot)(s =>
+          s.flatMap(_.parentSnapshotId).flatMap(current.snapshots.get))
+          .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+        if (!ancestors.contains(target))
+          throw new IllegalArgumentException(
+            s"Snapshot $target is not an ancestor of the current " +
+              s"snapshot of $id; use set_current_snapshot to jump")
+      }
+      val ref = current.refs.get(TableMetadata.MainBranch)
+        .map(_.copy(snapshotId = target))
+        .getOrElse(SnapshotRef(target, isBranch = true))
+      Seq(TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
+    })
+    val schema = StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](previous, target))))
   }
 }

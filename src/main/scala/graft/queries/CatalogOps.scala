@@ -384,6 +384,46 @@ object CatalogOps {
         s"expected merge-on-read (files $before->$after, deletes $dels)")
       s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
         s"FROM $CatalogName.$db.orders_mor ORDER BY o_orderkey")
+    },
+
+    // CDC changelog over insert + merge-on-read delete commits: the
+    // oracle recomputes the exact change set (a row inserted then
+    // deleted appears twice — once per change). Deleted rows are
+    // reconstructed from position-delete tuples joined back to the
+    // parent snapshot on (_file, _pos), so this verifies the whole
+    // MOR delete→changelog pipeline row-for-row.
+    Q(
+      "qc14_changelog",
+      """SELECT o_orderkey, o_totalprice, 'insert' AS change_type
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'delete' AS change_type
+        |FROM orders WHERE o_totalprice < 50000.0
+        |ORDER BY change_type, o_orderkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_cdc")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.orders_cdc
+           |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
+           |SELECT o_orderkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0
+           |""".stripMargin)
+      val s0 = s.sql(
+        s"""SELECT snapshot_id FROM $CatalogName.$db.orders_cdc.snapshots
+           |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.orders_cdc
+           |SELECT o_orderkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1
+           |""".stripMargin)
+      s.sql(s"DELETE FROM $CatalogName.$db.orders_cdc " +
+        "WHERE o_totalprice < 50000.0")
+      s.sql(
+        s"""CALL $CatalogName.system.changelog_scan(
+           |  table => '$db.orders_cdc', from_snapshot_id => $s0)""".stripMargin)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("_change_type").as("change_type"))
+        .orderBy(col("change_type"), col("o_orderkey"))
     }
   )
 }

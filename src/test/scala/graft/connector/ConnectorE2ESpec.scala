@@ -725,6 +725,35 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .collect().head.getLong(0) == 9)
   }
 
+  test("rollback_to_snapshot and set_current_snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.rb (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.rb SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.db.rb SELECT id FROM range(10, 20)")
+    val snaps = spark.sql(
+      """SELECT snapshot_id FROM graft.db.rb.snapshots
+        |ORDER BY committed_at""".stripMargin).collect().map(_.getLong(0))
+    assert(spark.table("graft.db.rb").count() == 20)
+
+    spark.sql(s"CALL graft.system.rollback_to_snapshot(" +
+      s"table => 'db.rb', snapshot_id => ${snaps(0)})")
+    assert(spark.table("graft.db.rb").count() == 10)
+
+    // the second snapshot is no longer an ancestor → rollback refuses,
+    // set_current_snapshot jumps anywhere live
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.system.rollback_to_snapshot(" +
+        s"table => 'db.rb', snapshot_id => ${snaps(1)})").collect()
+    }
+    assert(err.getMessage.contains("not an ancestor"))
+    spark.sql(s"CALL graft.system.set_current_snapshot(" +
+      s"table => 'db.rb', snapshot_id => ${snaps(1)})")
+    assert(spark.table("graft.db.rb").count() == 20)
+    // writes continue cleanly from the restored head
+    spark.sql("INSERT INTO graft.db.rb SELECT id FROM range(20, 25)")
+    assert(spark.table("graft.db.rb").count() == 25)
+  }
+
   test("upgrade v2 table with data to v3, keep reading and writing") {
     // replay of test_upgrade_v2_table_with_data_to_v3 (test_spark.py:1283)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
