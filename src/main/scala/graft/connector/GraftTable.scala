@@ -205,6 +205,25 @@ class GraftScan(
   private val spark = SparkSession.active
   private val dataSchema = table.schema()
 
+  /** Snapshot this scan reads: DataFrame read options
+    * (`option("snapshot-id", …)` / `option("as-of-timestamp", ms)`,
+    * Iceberg's read-option time travel) override the table-level pin
+    * (VERSION/TIMESTAMP AS OF), which overrides the branch/main head.
+    */
+  protected lazy val scanSnapshot: Option[Snapshot] = {
+    val byId = Option(options.get("snapshot-id")).map { v =>
+      table.meta.snapshots.getOrElse(v.toLong,
+        throw new IllegalArgumentException(
+          s"Unknown snapshot-id $v for ${table.name()}"))
+    }
+    val byTs = Option(options.get("as-of-timestamp")).map { v =>
+      table.meta.snapshotAsOfTime(v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"No snapshot as of timestamp $v for ${table.name()}"))
+    }
+    byId.orElse(byTs).orElse(table.readSnapshot)
+  }
+
   /** Filters handed to the parquet reader for row-group/page pruning.
     * Copy-on-write rewrite scans override this to NONE: they must
     * return every row of each selected file, because unselected rows
@@ -243,7 +262,7 @@ class GraftScan(
     */
   private lazy val statSelectedFiles: Seq[DataFile] = {
     val loc = table.meta.location
-    val manifests = table.readSnapshot.toSeq.flatMap(_.manifests)
+    val manifests = scanSnapshot.toSeq.flatMap(_.manifests)
     val surviving = manifests.filter { m =>
       table.store.readManifestSummary(loc, m).forall(s =>
         ManifestPruning.mayMatch(s, filters.toSeq, dataSchema,
@@ -263,7 +282,7 @@ class GraftScan(
     */
   private lazy val posDeleteFiles: Seq[DataFile] = {
     val loc = table.meta.location
-    val manifests = table.readSnapshot.toSeq.flatMap(_.manifests)
+    val manifests = scanSnapshot.toSeq.flatMap(_.manifests)
     val carrying = manifests.filter(m =>
       table.store.readManifestSummary(loc, m).forall(_.deleteEntries > 0))
     if (carrying.isEmpty) Nil
@@ -322,7 +341,7 @@ class GraftScan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       for {
-        snap <- table.readSnapshot
+        snap <- scanSnapshot
         stats <- graft.maintenance.Analyze.forSnapshot(table.meta, snap.snapshotId)
         f <- requiredSchema.fields
         cs <- stats.columns.get(f.name)

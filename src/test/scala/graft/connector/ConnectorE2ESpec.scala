@@ -754,6 +754,31 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(spark.table("graft.db.rb").count() == 25)
   }
 
+  test("DataFrame read options: snapshot-id and as-of-timestamp time travel") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ttopt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ttopt SELECT id FROM range(0, 10)")
+    val snap1 = spark.sql(
+      """SELECT snapshot_id FROM graft.db.ttopt.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+    Thread.sleep(5)
+    // wall-clock between the commits: after snap1's ref-log entry,
+    // before the second commit
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.ttopt SELECT id FROM range(10, 30)")
+
+    assert(spark.table("graft.db.ttopt").count() == 30)
+    assert(spark.read.option("snapshot-id", snap1)
+      .table("graft.db.ttopt").count() == 10)
+    assert(spark.read.option("as-of-timestamp", ts1)
+      .table("graft.db.ttopt").count() == 10)
+    intercept[Exception] {
+      spark.read.option("snapshot-id", 424242L)
+        .table("graft.db.ttopt").count()
+    }
+  }
+
   test("upgrade v2 table with data to v3, keep reading and writing") {
     // replay of test_upgrade_v2_table_with_data_to_v3 (test_spark.py:1283)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
