@@ -221,7 +221,13 @@ class GraftScan(
         throw new IllegalArgumentException(
           s"No snapshot as of timestamp $v for ${table.name()}"))
     }
-    byId.orElse(byTs).orElse(table.readSnapshot)
+    val byRef = (Option(options.get("branch")) orElse
+      Option(options.get("tag"))).map { r =>
+      table.meta.snapshotFor(r).getOrElse(
+        throw new IllegalArgumentException(
+          s"Unknown ref $r for ${table.name()}"))
+    }
+    byId.orElse(byTs).orElse(byRef).orElse(table.readSnapshot)
   }
 
   /** Filters handed to the parquet reader for row-group/page pruning.

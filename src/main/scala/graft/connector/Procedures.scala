@@ -152,11 +152,17 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
     val rewritten =
       if (small.size <= 1) 0L
       else if (meta.defaultSpec.isUnpartitioned) {
-        // unpartitioned: the replace unit is the whole table
+        // unpartitioned: the replace unit is the whole table. When the
+        // table carries a write order the write's own required
+        // (range) distribution + sort produces the layout — an
+        // explicit repartition would just add a second exchange.
         val n = math.max(1, math.ceil(
           files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
-        spark.table(fullName).repartition(n)
-          .writeTo(fullName).overwrite(lit(true))
+        val src = spark.table(fullName)
+        val shaped =
+          if (GraftWrite.sortOrderExprs(meta).nonEmpty) src
+          else src.repartition(n)
+        shaped.writeTo(fullName).overwrite(lit(true))
         files.size.toLong
       } else {
         // partitioned: rewrite ONLY partitions holding enough small

@@ -92,6 +92,38 @@ class WriteOrderSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 1L)
   }
 
+  test("compaction keeps the table's write order (disjoint ranges)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord4 (id BIGINT)")
+    spark.sql("ALTER TABLE graft.db.ord4 WRITE ORDERED BY (id)")
+    spark.sql(
+      "INSERT INTO graft.db.ord4 SELECT (id * 37) % 500 FROM range(0, 500)")
+    spark.sql(
+      "INSERT INTO graft.db.ord4 SELECT 500 + (id * 37) % 500 FROM range(0, 500)")
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.ord4')")
+    assert(spark.table("graft.db.ord4").count() == 1000)
+    // post-compaction files remain range-disjoint on the sort key
+    val ranges = spark.sql(
+      """SELECT _file, MIN(id) AS mn, MAX(id) AS mx
+        |FROM graft.db.ord4 GROUP BY _file""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 < mn2)
+      case _ =>
+    }
+  }
+
+  test("branch read option reads the branch head") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord5 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ord5 SELECT id FROM range(0, 5)")
+    spark.sql("ALTER TABLE graft.db.ord5 CREATE BRANCH audit")
+    spark.sql("INSERT INTO graft.db.ord5 SELECT id FROM range(5, 20)")
+    assert(spark.table("graft.db.ord5").count() == 20)
+    assert(spark.read.option("branch", "audit")
+      .table("graft.db.ord5").count() == 5)
+  }
+
   test("LOCALLY ORDERED BY sorts within tasks without redistribution") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.ord3 (id BIGINT)")
