@@ -693,139 +693,16 @@ final case class RewritePositionDeletesProcedure(catalog: GraftCatalog)
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): JIterator[Scan] = {
-    import graft.meta._
-    val spark = SparkSession.active
     val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
     val targetPerFile =
       if (input.isNullAt(1)) 10000000L else math.max(1L, input.getLong(1))
-    val (meta, _) = catalog.store.loadTableMetadata(id).getOrElse(
-      throw new IllegalArgumentException(s"No such table: $id"))
-    val entries = catalog.store.readManifests(meta.location,
-      meta.currentSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
-    val deleteFiles = entries.filter(_.isPositionDeletes)
+    val (files, removed) = graft.maintenance.RewritePositionDeletes
+      .run(catalog.store, id, targetPerFile)
     val schema = StructType(Seq(
       StructField("rewritten_delete_files_count", LongType, nullable = false),
       StructField("removed_positions", LongType, nullable = false)))
-    def result(files: Long, removed: Long): JIterator[Scan] =
-      Procedures.resultScan(schema,
-        Seq(new GenericInternalRow(Array[Any](files, removed))))
-    if (deleteFiles.isEmpty) return result(0L, 0L)
-
-    val livePaths = entries.filter(_.isData).map(_.path)
-    val before = deleteFiles.map(_.recordCount).sum
-    import spark.implicits._
-    val tuples = spark.read.schema(PositionDeletes.schema)
-      .parquet(deleteFiles.map(_.path): _*)
-    val liveDf = livePaths.toDF(PositionDeletes.PathColumn)
-    val surviving = tuples
-      .join(liveDf, Seq(PositionDeletes.PathColumn), "left_semi")
-      .distinct()
-    val survivingCount = surviving.count()
-    val nOut = math.max(1L,
-      math.ceil(survivingCount.toDouble / targetPerFile).toLong).toInt
-
-    val location = meta.location
-    val specId = meta.defaultSpec.specId
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val written: Seq[DataFile] =
-      if (survivingCount == 0) Nil
-      else surviving
-        .repartitionByRange(nOut, col(PositionDeletes.PathColumn),
-          col(PositionDeletes.PosColumn))
-        .sortWithinPartitions(col(PositionDeletes.PathColumn),
-          col(PositionDeletes.PosColumn))
-        .as[(String, Long)]
-        .mapPartitions { it =>
-          if (!it.hasNext) Iterator.empty
-          else {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val dir = s"$location/data"
-            java.nio.file.Files.createDirectories(
-              java.nio.file.Paths.get(dir))
-            val path = f"$dir/delete-rw-$pid%05d-" +
-              s"${java.util.UUID.randomUUID()}.parquet"
-            val writer = GraftDataWriter.newParquetWriter(
-              path, PositionDeletes.schema, conf.value, pid, 0L)
-            var count = 0L
-            var minPath: String = null
-            var maxPath: String = null
-            var minPos = Long.MaxValue
-            var maxPos = Long.MinValue
-            it.foreach { case (p, pos) =>
-              writer.write(
-                new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(Array[Any](
-                    org.apache.spark.unsafe.types.UTF8String.fromString(p),
-                    pos)))
-              count += 1
-              if (minPath == null) minPath = p
-              maxPath = p
-              if (pos < minPos) minPos = pos
-              if (pos > maxPos) maxPos = pos
-            }
-            writer.close()
-            val size = java.nio.file.Files.size(
-              java.nio.file.Paths.get(path))
-            Iterator((path, size, count, minPath, maxPath, minPos, maxPos))
-          }
-        }
-        .collect().toSeq
-        .map { case (path, size, count, mnP, mxP, mnPos, mxPos) =>
-          DataFile(path, size, count, specId, Map.empty,
-            Map(
-              PositionDeletes.PathColumn ->
-                ColumnStat(Some(mnP), Some(mxP), Some(0L)),
-              PositionDeletes.PosColumn ->
-                ColumnStat(Some(mnPos.toString), Some(mxPos.toString),
-                  Some(0L))),
-            DataFile.ContentPositionDeletes)
-        }
-
-    val oldPaths = deleteFiles.map(_.path).toSet
-    val snapshotId =
-      math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    catalog.store.commitTableWith(id,
-      Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
-      current => {
-        val parentSnapshot = current.snapshotFor(TableMetadata.MainBranch)
-        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
-        val (kept, removed) = ManifestReplace(
-          current.location, parentManifests,
-          ManifestReplace.ByPath(oldPaths),
-          current.specs, current.currentSchema.struct,
-          current.defaultSpec, snapshotId)
-        if (removed.count != oldPaths.size)
-          throw new CommitFailedException(
-            s"rewrite_position_delete_files conflict on $id: " +
-              s"${oldPaths.size - removed.count} delete file(s) changed")
-        val manifests = kept ++ (
-          if (written.nonEmpty)
-            Seq(catalog.store.writeManifest(current.location,
-              ManifestFile(written, snapshotId),
-              Some(current.currentSchema.struct)))
-          else Nil)
-        val snap = Snapshot(
-          snapshotId,
-          parentSnapshot.map(_.snapshotId),
-          current.lastSequenceNumber + 1,
-          System.currentTimeMillis(),
-          "replace",
-          Map(
-            "rewritten-delete-files" -> oldPaths.size.toString,
-            "added-delete-files" -> written.size.toString,
-            "removed-position-deletes" -> (before - survivingCount).toString) ++
-            GraftWrite.totalsSummary(parentSnapshot, written, removed),
-          manifests,
-          current.currentSchemaId)
-        val ref = current.refs.get(TableMetadata.MainBranch)
-          .map(_.copy(snapshotId = snapshotId))
-          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
-        Seq(
-          TableUpdate.AddSnapshot(snap),
-          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
-      })
-    result(written.size.toLong, before - survivingCount)
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](files, removed))))
   }
 }
 

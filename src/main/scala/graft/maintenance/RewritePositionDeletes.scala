@@ -1,0 +1,157 @@
+package graft.maintenance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.connector.{GraftBatchWrite => _, _}
+import graft.meta._
+import graft.store.{FileCatalogStore, TabularId}
+
+/** Core of `CALL system.rewrite_position_delete_files`, shared with the
+  * background scheduler's `rewrite_position_deletes` queue: compact the
+  * accumulated position-delete files into few sorted ones and drop
+  * dangling tuples, without touching any data file. See
+  * RewritePositionDeletesProcedure for the full contract.
+  */
+object RewritePositionDeletes {
+
+  /** Delete-file count of the current snapshot, from manifest
+    * SUMMARIES only (the scheduler's cheap implied-task probe; a
+    * missing summary conservatively counts one).
+    */
+  def deleteFileCount(store: FileCatalogStore, meta: TableMetadata): Int =
+    meta.currentSnapshot.toSeq.flatMap(_.manifests).map { m =>
+      store.readManifestSummary(meta.location, m).map(_.deleteEntries)
+        .getOrElse(1)
+    }.sum
+
+  /** @return (rewritten delete files, removed dangling positions) */
+  def run(store: FileCatalogStore, id: TabularId,
+      targetPerFile: Long = 10000000L): (Long, Long) = {
+    val spark = SparkSession.active
+    val (meta, _) = store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val entries = store.readManifests(meta.location,
+      meta.currentSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
+    val deleteFiles = entries.filter(_.isPositionDeletes)
+    if (deleteFiles.isEmpty) return (0L, 0L)
+
+    val livePaths = entries.filter(_.isData).map(_.path)
+    val before = deleteFiles.map(_.recordCount).sum
+    import spark.implicits._
+    val tuples = spark.read.schema(PositionDeletes.schema)
+      .parquet(deleteFiles.map(_.path): _*)
+    val liveDf = livePaths.toDF(PositionDeletes.PathColumn)
+    val surviving = tuples
+      .join(liveDf, Seq(PositionDeletes.PathColumn), "left_semi")
+      .distinct()
+    val survivingCount = surviving.count()
+    val nOut = math.max(1L,
+      math.ceil(survivingCount.toDouble / math.max(1L, targetPerFile))
+        .toLong).toInt
+
+    val location = meta.location
+    val specId = meta.defaultSpec.specId
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val written: Seq[DataFile] =
+      if (survivingCount == 0) Nil
+      else surviving
+        .repartitionByRange(nOut, col(PositionDeletes.PathColumn),
+          col(PositionDeletes.PosColumn))
+        .sortWithinPartitions(col(PositionDeletes.PathColumn),
+          col(PositionDeletes.PosColumn))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val dir = s"$location/data"
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            val path = f"$dir/delete-rw-$pid%05d-" +
+              s"${java.util.UUID.randomUUID()}.parquet"
+            val writer = GraftDataWriter.newParquetWriter(
+              path, PositionDeletes.schema, conf.value, pid, 0L)
+            var count = 0L
+            var minPos = Long.MaxValue
+            var maxPos = Long.MinValue
+            var minPath: String = null
+            var maxPath: String = null
+            it.foreach { case (p, pos) =>
+              writer.write(
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(p),
+                    pos)))
+              count += 1
+              if (minPath == null) minPath = p
+              maxPath = p
+              if (pos < minPos) minPos = pos
+              if (pos > maxPos) maxPos = pos
+            }
+            writer.close()
+            val size = java.nio.file.Files.size(
+              java.nio.file.Paths.get(path))
+            Iterator((path, size, count, minPath, maxPath, minPos, maxPos))
+          }
+        }
+        .collect().toSeq
+        .map { case (path, size, count, mnP, mxP, mnPos, mxPos) =>
+          DataFile(path, size, count, specId, Map.empty,
+            Map(
+              PositionDeletes.PathColumn ->
+                ColumnStat(Some(mnP), Some(mxP), Some(0L)),
+              PositionDeletes.PosColumn ->
+                ColumnStat(Some(mnPos.toString), Some(mxPos.toString),
+                  Some(0L))),
+            DataFile.ContentPositionDeletes)
+        }
+
+    val oldPaths = deleteFiles.map(_.path).toSet
+    val snapshotId =
+      math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    store.commitTableWith(id,
+      Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
+      current => {
+        val parentSnapshot = current.snapshotFor(TableMetadata.MainBranch)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        val (kept, removed) = ManifestReplace(
+          current.location, parentManifests,
+          ManifestReplace.ByPath(oldPaths),
+          current.specs, current.currentSchema.struct,
+          current.defaultSpec, snapshotId)
+        if (removed.count != oldPaths.size)
+          throw new CommitFailedException(
+            s"rewrite_position_delete_files conflict on $id: " +
+              s"${oldPaths.size - removed.count} delete file(s) changed")
+        val manifests = kept ++ (
+          if (written.nonEmpty)
+            Seq(store.writeManifest(current.location,
+              ManifestFile(written, snapshotId),
+              Some(current.currentSchema.struct)))
+          else Nil)
+        val snap = Snapshot(
+          snapshotId,
+          parentSnapshot.map(_.snapshotId),
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "replace",
+          Map(
+            "rewritten-delete-files" -> oldPaths.size.toString,
+            "added-delete-files" -> written.size.toString,
+            "removed-position-deletes" ->
+              (before - survivingCount).toString) ++
+            GraftWrite.totalsSummary(parentSnapshot, written, removed),
+          manifests,
+          current.currentSchemaId)
+        val ref = current.refs.get(TableMetadata.MainBranch)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
+      })
+    (written.size.toLong, before - survivingCount)
+  }
+}

@@ -47,6 +47,9 @@ class TaskScheduler(
     },
     "expire_snapshots" -> { t =>
       ExpireSnapshots.run(store, taskTabularId(t))
+    },
+    "rewrite_position_deletes" -> { t =>
+      RewritePositionDeletes.run(store, taskTabularId(t))
     }) ++ extraQueues
 
   private def taskTabularId(t: TaskRecord): TabularId =
@@ -55,6 +58,14 @@ class TaskScheduler(
   /** Snapshot-count threshold for adaptive expire_snapshots enqueue. */
   private val AdaptiveSnapshotThreshold =
     sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toInt
+
+  /** Delete-file-count threshold for adaptive position-delete GC
+    * (merge-on-read tables under delete pressure accumulate one delete
+    * file per task per commit; compacting them restores the clean-scan
+    * fast path).
+    */
+  private val AdaptiveDeleteFileThreshold =
+    sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toInt
 
   @volatile private var running = false
   private var thread: Option[Thread] = None
@@ -150,6 +161,16 @@ class TaskScheduler(
                 "name" -> info.id.name),
               runAtMs = nowMs,
               dedupeKey = Some(s"${info.id}-snaps-${meta.snapshots.size}"))
+          // adaptive delete-file GC: probe is summary-only (no manifest
+          // parse); re-armed per count, so continued MOR delete
+          // pressure keeps rescheduling
+          val delFiles = RewritePositionDeletes.deleteFileCount(store, meta)
+          if (delFiles >= AdaptiveDeleteFileThreshold)
+            store.enqueueTask("rewrite_position_deletes",
+              Map("namespace" -> info.id.namespace.mkString("."),
+                "name" -> info.id.name),
+              runAtMs = nowMs,
+              dedupeKey = Some(s"${info.id}-delfiles-$delFiles"))
         } catch { case NonFatal(_) => }
       }
   }

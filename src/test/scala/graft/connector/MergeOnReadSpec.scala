@@ -272,6 +272,25 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet.subsetOf(files))
   }
 
+  test("scheduler auto-compacts delete files under MOR delete pressure") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.mor7 (id BIGINT)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.mor7 SELECT id FROM range(0, 100)")
+    (0 until 8).foreach(i =>
+      spark.sql(s"DELETE FROM graft.db.mor7 WHERE id = $i"))
+    assert(deleteFileCount("mor7") >= 8)
+
+    val store = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].store
+    val ran = new graft.maintenance.TaskScheduler(store)
+      .runOnce(System.currentTimeMillis())
+    assert(ran >= 1)
+    assert(deleteFileCount("mor7") == 1)
+    assert(spark.table("graft.db.mor7").count() == 92)
+  }
+
   test("_pos metadata column reflects true file ordinals") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.posmeta (id BIGINT)")
