@@ -35,6 +35,7 @@ class GraftTable(
     val branch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** Snapshot this table instance reads: explicit pin (time travel) >
@@ -116,6 +117,25 @@ class GraftTable(
       else new GraftRowLevelOperation(this, info.command())
     }
 
+  /** Metadata-only DELETE (Spark's OptimizeMetadataOnlyDeleteFromTable):
+    * when the predicate is whole-partition-decidable on identity
+    * partition columns, matching files are dropped in one metadata
+    * commit — no read, no rewrite, no job. `DELETE WHERE day = X` on a
+    * day-partitioned 100 TB table costs one manifest pass. Anything
+    * not decidable falls through to the row-level (COW/MOR) path.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = {
+    val v1 = predicates.map(GraftTable.predicateToV1)
+    v1.forall(_.isDefined) &&
+      GraftBatchWrite.partitionDecidable(v1.flatten, meta)
+  }
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = GraftTable.metadataDelete(this, predicates)
+
   /** `_file`: source data file of each row; `_pos`: the row's ordinal
     * within that file (Iceberg exposes the same pair). Row-level
     * operations require them — `_file` for runtime group filtering and
@@ -131,6 +151,100 @@ object GraftTable {
   val FileColumnName = "_file"
   val PosColumnName = "_pos"
   val RowIdColumnName = "_row_id"
+
+  /** v2 Predicate → v1 Filter for the shapes metadata deletes accept
+    * (=, <=>, IN, IS_NULL, AND, OR, ALWAYS_TRUE on plain columns).
+    * Anything else → None ⇒ canDeleteWhere false ⇒ row-level path.
+    */
+  private[connector] def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Or => VOr}
+    import org.apache.spark.sql.sources._
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def valOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: VLit[_] => Some(l.value() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      })
+      case _ => None
+    }
+    p match {
+      case a: VAnd =>
+        for {l <- predicateToV1(a.left()); r <- predicateToV1(a.right())}
+          yield And(l, r)
+      case o: VOr =>
+        for {l <- predicateToV1(o.left()); r <- predicateToV1(o.right())}
+          yield Or(l, r)
+      case _ => (p.name(), p.children()) match {
+        case ("ALWAYS_TRUE", _) => Some(AlwaysTrue)
+        case ("IS_NULL", Array(c)) => colOf(c).map(IsNull)
+        case ("=", Array(c, v)) =>
+          for {cn <- colOf(c); vv <- valOf(v)} yield EqualTo(cn, vv)
+        case ("<=>", Array(c, v)) =>
+          for {cn <- colOf(c); vv <- valOf(v)} yield EqualNullSafe(cn, vv)
+        case ("IN", children) if children.length >= 2 =>
+          for {
+            cn <- colOf(children.head)
+            vs <- Some(children.tail.map(valOf))
+            if vs.forall(_.isDefined)
+          } yield In(cn, vs.flatten)
+        case _ => None
+      }
+    }
+  }
+
+  /** Whole-file metadata delete: one replace commit dropping every
+    * file whose identity partition satisfies the predicates. Position-
+    * delete entries are untouched (ByStaticFilter never removes them);
+    * tuples referencing dropped files dangle harmlessly until GC.
+    */
+  private[connector] def metadataDelete(
+      table: GraftTable,
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val filters = predicates.flatMap(predicateToV1)
+    val snapshotId = math.abs(
+      java.util.UUID.randomUUID().getMostSignificantBits)
+    val targetRef = table.writeRef
+    table.store.commitTableWith(table.tableId,
+      Seq(TableRequirement.AssertTableUuid(table.meta.tableUuid)),
+      current => {
+        val parentSnapshot = current.snapshotFor(targetRef)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        val (kept, removed) = ManifestReplace(
+          current.location, parentManifests,
+          ManifestReplace.ByStaticFilter(filters),
+          current.specs, current.currentSchema.struct,
+          current.defaultSpec, snapshotId)
+        val snap = Snapshot(
+          snapshotId,
+          parentSnapshot.map(_.snapshotId),
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "delete",
+          Map(
+            "removed-data-files" -> removed.dataFiles.toString,
+            "removed-records" -> removed.dataRecords.toString,
+            "metadata-delete" -> "true") ++
+            GraftWrite.totalsSummary(parentSnapshot, Nil, removed),
+          kept,
+          current.currentSchemaId)
+        val ref = current.refs.get(targetRef)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(targetRef, ref))
+      })
+  }
 
   object FileMetadataColumn extends MetadataColumn {
     override def name(): String = FileColumnName

@@ -254,11 +254,12 @@ object GraftBatchWrite {
     meta.specs.values.flatMap(_.fields)
       .filter(_.transform == Transform.Identity).map(_.sourceName).toSet
 
-  /** Static overwrite filters must be whole-partition-decidable:
-    * conjunctions/disjunctions of equality/membership tests on
-    * identity-partition columns.
+  /** Whole-partition-decidable filters: conjunctions/disjunctions of
+    * equality/membership tests on identity-partition columns. Every
+    * file then wholly matches or wholly misses — the precondition for
+    * static overwrite AND metadata-only deletes.
     */
-  def requirePartitionDecidable(filters: Array[Filter], meta: TableMetadata): Unit = {
+  def partitionDecidable(filters: Array[Filter], meta: TableMetadata): Boolean = {
     val idents = identityFields(meta)
     def ok(f: Filter): Boolean = f match {
       case EqualTo(c, _) => idents.contains(c)
@@ -270,11 +271,14 @@ object GraftBatchWrite {
       case _: AlwaysTrue => true
       case _ => false
     }
-    val bad = filters.filterNot(ok)
-    if (bad.nonEmpty) throw new UnsupportedOperationException(
-      s"static overwrite supports only identity-partition predicates; got: " +
-        bad.mkString(", "))
+    filters.forall(ok)
   }
+
+  def requirePartitionDecidable(filters: Array[Filter], meta: TableMetadata): Unit =
+    if (!partitionDecidable(filters, meta))
+      throw new UnsupportedOperationException(
+        s"static overwrite supports only identity-partition predicates; got: " +
+          filters.mkString(", "))
 
   /** Exact match of a file's identity partition values against the
     * overwrite filters (AND across the array).

@@ -272,6 +272,44 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet.subsetOf(files))
   }
 
+  test("partition-aligned DELETE is metadata-only; others fall through") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.md1 (id BIGINT, p STRING)
+        |PARTITIONED BY (p)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.md1
+        |SELECT id, CASE WHEN id < 50 THEN 'x' ELSE 'y' END FROM range(0, 100)
+        |""".stripMargin)
+    val filesBefore = spark.sql(
+      "SELECT file_path FROM graft.db.md1.files").collect()
+      .map(_.getString(0)).toSet
+
+    spark.sql("DELETE FROM graft.db.md1 WHERE p = 'x'")
+    assert(spark.table("graft.db.md1").count() == 50)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.md1 WHERE p = 'x'")
+      .collect()(0).getLong(0) == 0)
+    // metadata-only: snapshot op 'delete', zero files written, and the
+    // surviving files are a strict subset of the originals
+    val last = spark.sql(
+      """SELECT operation, summary FROM graft.db.md1.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0)
+    assert(last.getString(0) == "delete")
+    assert(last.getMap[String, String](1)("metadata-delete") == "true")
+    val filesAfter = spark.sql(
+      "SELECT file_path FROM graft.db.md1.files").collect()
+      .map(_.getString(0)).toSet
+    assert(filesAfter.subsetOf(filesBefore))
+
+    // a non-partition predicate must take the row-level path (rewrite)
+    spark.sql("DELETE FROM graft.db.md1 WHERE id = 60")
+    assert(spark.table("graft.db.md1").count() == 49)
+    val last2 = spark.sql(
+      """SELECT operation FROM graft.db.md1.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getString(0)
+    assert(last2 == "overwrite")
+  }
+
   test("scheduler auto-compacts delete files under MOR delete pressure") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(
