@@ -310,6 +310,26 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(last2 == "overwrite")
   }
 
+  test("TRUNCATE TABLE is a metadata-only commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.md2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.md2 SELECT id FROM range(0, 100)")
+    spark.sql("TRUNCATE TABLE graft.db.md2")
+    assert(spark.table("graft.db.md2").count() == 0)
+    val last = spark.sql(
+      """SELECT operation, summary FROM graft.db.md2.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0)
+    assert(last.getString(0) == "delete")
+    assert(last.getMap[String, String](1)("total-records") == "0")
+    // history intact: time travel still sees the pre-truncate rows
+    val prev = spark.sql(
+      """SELECT snapshot_id FROM graft.db.md2.snapshots
+        |ORDER BY committed_at""".stripMargin).collect()(0).getLong(0)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.db.md2 VERSION AS OF $prev")
+      .collect()(0).getLong(0) == 100)
+  }
+
   test("scheduler auto-compacts delete files under MOR delete pressure") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(
