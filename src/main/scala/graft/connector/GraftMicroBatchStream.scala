@@ -26,13 +26,29 @@ object GraftStreamOffset {
   * (start, end], resolved through new-manifest set differences.
   */
 object SnapshotDiff {
-  def addedFiles(store: graft.store.FileCatalogStore, meta: TableMetadata,
-      startSnap: Long, endSnap: Long): Seq[DataFile] = {
-    if (endSnap < 0 || startSnap == endSnap) return Nil
+  /** Oldest→newest snapshots in (startSnap, endSnap]. Fails when
+    * startSnap ≥ 0 is not an ancestor of endSnap — silently returning
+    * the full history would misreport every pre-existing row as new.
+    * (startSnap < 0 deliberately means "from the beginning".)
+    */
+  def chainBetween(meta: TableMetadata,
+      startSnap: Long, endSnap: Long): Seq[Snapshot] = {
     val chain = Iterator.iterate(meta.snapshots.get(endSnap))(s =>
       s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
       .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == startSnap))
       .flatten.toSeq.reverse
+    if (startSnap >= 0 &&
+      !chain.headOption.flatMap(_.parentSnapshotId).contains(startSnap))
+      throw new IllegalArgumentException(
+        s"Snapshot $startSnap is not an ancestor of $endSnap " +
+          "(expired, rolled back, or from another branch)")
+    chain
+  }
+
+  def addedFiles(store: graft.store.FileCatalogStore, meta: TableMetadata,
+      startSnap: Long, endSnap: Long): Seq[DataFile] = {
+    if (endSnap < 0 || startSnap == endSnap) return Nil
+    val chain = chainBetween(meta, startSnap, endSnap)
     chain.flatMap { snap =>
       if (snap.operation != "append" && snap.parentSnapshotId.isDefined) Nil
       else {

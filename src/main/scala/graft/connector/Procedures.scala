@@ -752,12 +752,11 @@ final case class ChangelogScanProcedure(catalog: GraftCatalog)
     val fqn = (catalog.name() +: id.namespace :+ id.name)
       .map(p => s"`$p`").mkString(".")
 
-    // oldest→newest snapshot chain in (from, to]
+    // oldest→newest snapshot chain in (from, to]; fails on a
+    // non-ancestor `from` instead of silently replaying all history
     val chain: Seq[Snapshot] =
-      Iterator.iterate(meta.snapshots.get(to))(s =>
-        s.flatMap(_.parentSnapshotId).flatMap(meta.snapshots.get))
-        .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == from))
-        .flatten.toSeq.reverse
+      if (from == to) Nil
+      else SnapshotDiff.chainBetween(meta, from, to)
 
     val file = GraftTable.FileColumnName
     val pos = GraftTable.PosColumnName

@@ -349,6 +349,33 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(spark.table("graft.db.mor7").count() == 92)
   }
 
+  test("clean tables keep the bare vectorized reader factory") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.fastpath (id BIGINT)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.fastpath SELECT id FROM range(0, 50)")
+
+    def factoryFor(): String = {
+      val table = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "fastpath")).asInstanceOf[GraftTable]
+      new GraftScanBuilder(table).build().asInstanceOf[GraftScan]
+        .createReaderFactory().getClass.getSimpleName
+    }
+    // no metadata cols, no deletes → the un-wrapped parquet factory
+    // (vectorized, columnar) must come back
+    assert(factoryFor() == "ParquetPartitionReaderFactory")
+
+    spark.sql("DELETE FROM graft.db.fastpath WHERE id = 7")
+    assert(factoryFor() == "MetaDeleteReaderFactory")
+
+    // compaction clears the deletes → fast path restored
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.fastpath')")
+    assert(factoryFor() == "ParquetPartitionReaderFactory")
+  }
+
   test("_pos metadata column reflects true file ordinals") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.posmeta (id BIGINT)")
