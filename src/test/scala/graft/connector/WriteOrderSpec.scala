@@ -118,10 +118,31 @@ class WriteOrderSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graft.db.ord5 (id BIGINT)")
     spark.sql("INSERT INTO graft.db.ord5 SELECT id FROM range(0, 5)")
     spark.sql("ALTER TABLE graft.db.ord5 CREATE BRANCH audit")
+    spark.sql("ALTER TABLE graft.db.ord5 CREATE TAG v1")
     spark.sql("INSERT INTO graft.db.ord5 SELECT id FROM range(5, 20)")
     assert(spark.table("graft.db.ord5").count() == 20)
     assert(spark.read.option("branch", "audit")
       .table("graft.db.ord5").count() == 5)
+    assert(spark.read.option("tag", "v1")
+      .table("graft.db.ord5").count() == 5)
+  }
+
+  test("incremental and changelog scans reject a non-ancestor from") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ord6 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ord6 SELECT id FROM range(0, 5)")
+    // a snapshot id that never existed on this table
+    val bogus = 123456789L
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.incremental_scan(" +
+        s"table => 'db.ord6', from_snapshot_id => $bogus)").collect()
+    }
+    assert(e1.getMessage.contains("not an ancestor"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.changelog_scan(" +
+        s"table => 'db.ord6', from_snapshot_id => $bogus)").collect()
+    }
+    assert(e2.getMessage.contains("not an ancestor"))
   }
 
   test("LOCALLY ORDERED BY sorts within tasks without redistribution") {
