@@ -6,11 +6,20 @@ import org.apache.spark.sql.SparkSession
   * Failures are recorded as -1 (never a fake timing) and listed under
   * "failed"; catalog DDL prep and JVM/codegen warm-up run untimed so
   * timings measure the queries, not session setup.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the MIN
+  * is reported, so round-over-round comparisons measure the plan, not
+  * scheduler contention noise (r3: driver 85.4 s vs builder 64.3 s on
+  * the same commit). The whole suite completes before any repeat pass
+  * starts, and the cache is cleared between passes so persisted
+  * intermediates (MinHashLSH/SimHash/qd5) are recomputed, never served
+  * from the previous pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,7 +42,7 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -43,6 +52,15 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val passes = (1 to runs).map { i =>
+      if (i > 1) spark.catalog.clearCache()
+      onePass()
+    }
+    // min over passes; a query that failed in ANY pass reports -1
+    val results: Map[String, Double] = passes.head.keys.map { name =>
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -27,6 +27,17 @@ object Analyze {
   final case class TableStats(
       snapshotId: Long, rowCount: Long, columns: Map[String, ColStats])
 
+  /** Per-partition slice: partition values keyed by partition-field
+    * name (stringified; nulls as "null"), with the same per-column
+    * stats as the table level.
+    */
+  final case class PartitionStats(
+      partition: Map[String, String], rowCount: Long,
+      columns: Map[String, ColStats])
+
+  final case class TablePartitionStats(
+      snapshotId: Long, specId: Int, partitions: Seq[PartitionStats])
+
   private def analyzable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | DoubleType |
          FloatType | BooleanType | StringType | DateType | TimestampType |
@@ -35,10 +46,8 @@ object Analyze {
     case _ => false
   }
 
-  /** One aggregation pass over `df` (all columns share the scan). */
-  def compute(df: DataFrame, snapshotId: Long): TableStats = {
-    val cols = df.schema.fields.filter(f => analyzable(f.dataType))
-    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { f =>
+  private def statAggs(cols: Array[StructField]): Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("_rows") +: cols.toSeq.flatMap { f =>
       val c = col(s"`${f.name}`")
       Seq(
         approx_count_distinct(c).as(s"ndv:${f.name}"),
@@ -49,18 +58,63 @@ object Analyze {
             max(length(c)).as(s"maxlen:${f.name}"))
           case _ => Nil
         })
-    }.toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    }
+
+  private def statsOfRow(row: org.apache.spark.sql.Row,
+      cols: Array[StructField]): (Long, Map[String, ColStats]) = {
     def long(name: String): Long =
       Option(row.getAs[Any](name)).map(_.toString.toDouble.toLong).getOrElse(0L)
     def optLong(name: String): Option[Long] =
       if (row.schema.fieldNames.contains(name))
         Option(row.getAs[Any](name)).map(_.toString.toDouble.toLong)
       else None
-    TableStats(snapshotId, long("_rows"),
+    (long("_rows"),
       cols.map(f => f.name -> ColStats(
         long(s"ndv:${f.name}"), long(s"nulls:${f.name}"),
         optLong(s"avglen:${f.name}"), optLong(s"maxlen:${f.name}"))).toMap)
+  }
+
+  /** One aggregation pass over `df` (all columns share the scan). */
+  def compute(df: DataFrame, snapshotId: Long): TableStats = {
+    val cols = df.schema.fields.filter(f => analyzable(f.dataType))
+    val aggs = statAggs(cols)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val (rows, colStats) = statsOfRow(row, cols)
+    TableStats(snapshotId, rows, colStats)
+  }
+
+  /** Table-level AND per-partition stats in ONE scan, via grouping
+    * sets {(partition cols), ()}: the global set is the table stats,
+    * the fully-grouped set is one row per partition. At 100 TB this is
+    * a single map-side-combined pass — data files are already
+    * partition-clustered, so the grouped half shuffles nearly nothing —
+    * and only (n_partitions + 1) rows reach the driver.
+    */
+  def computeBoth(df: DataFrame, spec: PartitionSpec,
+      snapshotId: Long): (TableStats, TablePartitionStats) = {
+    val schema = df.schema
+    val cols = schema.fields.filter(f => analyzable(f.dataType))
+    val partCols = spec.fields.map { f =>
+      val srcType = schema(f.sourceName).dataType
+      f.transform.apply(col(s"`${f.sourceName}`"), srcType).as(s"_p:${f.name}")
+    }
+    val aggs = statAggs(cols) :+ grouping_id().as("_gid")
+    val grouped = df
+      .groupingSets(Seq(partCols, Nil), partCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val globalGid = (1L << spec.fields.size) - 1
+    val globalRow = grouped.find(_.getAs[Long]("_gid") == globalGid).get
+    val (rows, colStats) = statsOfRow(globalRow, cols)
+    val parts = grouped.filter(_.getAs[Long]("_gid") == 0L).map { r =>
+      val pvals = spec.fields.map(f =>
+        f.name -> Option(r.getAs[Any](s"_p:${f.name}"))
+          .map(_.toString).getOrElse("null")).toMap
+      val (prows, pcols) = statsOfRow(r, cols)
+      PartitionStats(pvals, prows, pcols)
+    }.sortBy(_.partition.toSeq.sortBy(_._1).mkString(","))
+    (TableStats(snapshotId, rows, colStats),
+      TablePartitionStats(snapshotId, spec.specId, parts.toSeq))
   }
 
   // ------------------------------------------------------------- storage
@@ -73,6 +127,64 @@ object Analyze {
             ("ndv" -> c.ndv) ~ ("null-count" -> c.nullCount) ~
               ("avg-len" -> c.avgLen) ~ ("max-len" -> c.maxLen))
         })))
+  }
+
+  private def colStatsJson(c: ColStats): org.json4s.JObject = {
+    import org.json4s.JsonDSL._
+    ("ndv" -> c.ndv) ~ ("null-count" -> c.nullCount) ~
+      ("avg-len" -> c.avgLen) ~ ("max-len" -> c.maxLen)
+  }
+
+  private def partStatsToJson(s: TablePartitionStats): String = {
+    import org.json4s.JsonDSL._
+    Json.render(
+      ("snapshot-id" -> s.snapshotId) ~ ("spec-id" -> s.specId) ~
+        ("partitions" -> s.partitions.map { p =>
+          ("partition" -> org.json4s.JObject(
+            p.partition.toList.sortBy(_._1).map { case (k, v) =>
+              org.json4s.JField(k, org.json4s.JString(v)) })) ~
+            ("row-count" -> p.rowCount) ~
+            ("columns" -> org.json4s.JObject(p.columns.toList.sortBy(_._1).map {
+              case (k, c) => org.json4s.JField(k, colStatsJson(c)) }))
+        }))
+  }
+
+  private def colStatsFrom(v: org.json4s.JValue): ColStats = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    ColStats(
+      (v \ "ndv").extract[Long],
+      (v \ "null-count").extract[Long],
+      (v \ "avg-len") match {
+        case JNothing | JNull => None; case x => Some(x.extract[Long]) },
+      (v \ "max-len") match {
+        case JNothing | JNull => None; case x => Some(x.extract[Long]) })
+  }
+
+  private def partStatsFromJson(text: String): TablePartitionStats = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = Json.parse(text)
+    TablePartitionStats(
+      (j \ "snapshot-id").extract[Long],
+      (j \ "spec-id").extract[Int],
+      (j \ "partitions") match {
+        case JArray(items) => items.map { p =>
+          PartitionStats(
+            (p \ "partition") match {
+              case JObject(fs) => fs.map { case JField(k, JString(v)) => k -> v
+                case JField(k, v) => k -> v.toString }.toMap
+              case _ => Map.empty[String, String]
+            },
+            (p \ "row-count").extract[Long],
+            (p \ "columns") match {
+              case JObject(fs) => fs.map { case JField(k, v) =>
+                k -> colStatsFrom(v) }.toMap
+              case _ => Map.empty[String, ColStats]
+            })
+        }
+        case _ => Nil
+      })
   }
 
   private def statsFromJson(text: String): TableStats = {

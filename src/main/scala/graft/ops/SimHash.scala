@@ -60,10 +60,15 @@ object SimHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= Bands - 1,
       s"band bucketing is complete only up to hamming ${Bands - 1}")
-    // three consumers, but Catalyst reuses the aggregation exchange
-    // across them (verified: persisting here only ADDS materialization
-    // cost at sf0.1)
+    // three consumers (banding + both hamming-verify legs): persist the
+    // fingerprints so the tokenize/md5/64-sum scan runs exactly once.
+    // Catalyst CAN reuse the aggregation exchange here, but that reuse
+    // proved fragile under executor contention (r2→r3 bench swung 2.2×
+    // with unchanged code); an explicit persist of the tiny
+    // (doc_id, 4×long) relation pins the plan — same fix as
+    // MinHashLSH.signatures.
     val fp = fingerprints(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"),
       posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "value")))

@@ -326,30 +326,19 @@ object CatalogOps {
       s.sql(
         s"""INSERT INTO $CatalogName.$db.customer_bkt
            |SELECT c_custkey, c_mktsegment FROM parquet.`$dir/customer.parquet`""".stripMargin)
-      val saved = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      // v2 bucketing must be on when the LAZY frame below is planned —
+      // at execution time, by the caller — so the flag stays set rather
+      // than being restored around a collect. It is a pure plan enabler
+      // (shuffle-free co-located joins where partitionings already
+      // match) and safe as a session-wide setting; the bench therefore
+      // times the join itself, not a collect + driver re-create.
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      try {
-        // materialize UNDER the flag so the co-located path executes;
-        // the returned frame is the (tiny) grouped result
-        val rows = s.sql(
-          s"""SELECT c_mktsegment, COUNT(*) AS n,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM $CatalogName.$db.orders_bkt o
-             |JOIN $CatalogName.$db.customer_bkt c ON o.o_custkey = c.c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-          .collect().toSeq
-        import org.apache.spark.sql.types._
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          StructType(Seq(
-            StructField("c_mktsegment", StringType),
-            StructField("n", LongType, nullable = false),
-            StructField("total", DoubleType))))
-      } finally saved match {
-        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-      }
+      s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $CatalogName.$db.orders_bkt o
+           |JOIN $CatalogName.$db.customer_bkt c ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
 
     // merge-on-read DELETE: position-delete files instead of rewriting

@@ -75,11 +75,13 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
       val l = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
-      // customer is the small side → broadcast; orders⨝lineitem shuffles
-      // on the join key which is also the aggregation key, so the agg
-      // reuses the join partitioning (one shuffle, no extra exchange).
+      // customer scales with the corpus → no forced broadcast; AQE picks
+      // broadcast when the filtered side is actually small and falls back
+      // to a shuffle join at scale. orders⨝lineitem shuffles on the join
+      // key which is also the aggregation key, so the agg reuses the join
+      // partitioning (one shuffle, no extra exchange).
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
@@ -131,12 +133,13 @@ object Relational {
       val sup = Tables.load(s, dir, "supplier")
       val nat = Tables.load(s, dir, "nation")
       val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
-      // dims (region/nation/supplier/customer) are tiny relative to the
-      // facts at every SF → broadcast them all; only orders⨝lineitem
-      // is a real shuffle.
+      // nation/region are constant-size → broadcast them; customer and
+      // supplier grow linearly with the corpus, so no forced hint — AQE
+      // broadcasts them only while they actually fit, and shuffles at
+      // 100×. orders⨝lineitem is always a real shuffle.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -201,8 +204,9 @@ object Relational {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val n = Tables.load(s, dir, "nation")
+      // customer scales → AQE decides; nation is constant-size → hint ok
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"))
@@ -286,8 +290,9 @@ object Relational {
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
+      // customer scales with the corpus → let AQE choose the strategy
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
         .agg(sum(dec("l_quantity")).as("qty_dec"))
         .filter(col("qty_dec") > 150)
@@ -311,7 +316,8 @@ object Relational {
         (col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
         (col("p_size").between(16, 30) && col("l_quantity").between(10, 30)) ||
         (col("p_size").between(31, 50) && col("l_quantity").between(20, 40))
-      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      // part scales with the corpus → no forced broadcast; AQE decides
+      l.join(p, col("p_partkey") === col("l_partkey"))
         .filter(pred)
         .agg(
           sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType).as("revenue"),

@@ -18,6 +18,10 @@ object TextOps {
   private val tokenRe = "[a-z0-9]+"
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
+    * the qt4 profile broadcast at langs × N rows at any corpus size. */
+  private val langIdProfileSize = 300
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------- tokens
     Q(
@@ -181,18 +185,21 @@ object TextOps {
 
     // ------------------------------------- exact n-gram Jaccard pairs
     // Exact counterpart to qd3: ALL pairs with 2-gram-shingle Jaccard ≥
-    // threshold, no hashing, via the inverted-index self-join with the
-    // All-Pairs LENGTH filter (Bayardo et al.): J ≥ t forces
-    // t·|A| ≤ |B|, so size-incompatible postings are dropped inside the
-    // join probe, before the pair-count shuffle. Counting common
-    // shingles IN the join (groupBy pair → count) verifies without
-    // ever shuffling the shingle arrays per pair — on corpora with hot
-    // shingles (like this synthetic one, where prefix filtering
-    // degenerates: candidates ≈ all pairs but each still needs its
-    // array pair materialized), the count-in-join plan wins by an
-    // order of magnitude. For corpora too hot even for this, qd3's
-    // MinHash-LSH is the lossy scale path. The oracle computes the
-    // same result through the quadratic all-pairs plan — agreement
+    // threshold, no hashing, via the All-Pairs/PPJoin scheme (Bayardo
+    // et al. 2007; Xiao et al. 2008):
+    //   1. LENGTH filter — J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+    //      size-incompatible postings are dropped inside the join probe.
+    //   2. PREFIX filter — order every doc's shingles by ascending
+    //      global document frequency (rarest first, ties by string) and
+    //      index only the first |A| − ⌈t·|A|⌉ + 1: any pair with J ≥ t
+    //      must collide in those prefixes, and the hot shingles that
+    //      would otherwise generate quadratic candidates rank past the
+    //      prefix and never enter the index.
+    //   3. Exact verify — candidates (deduped pairs) re-join the two
+    //      shingle arrays and compute true Jaccard via array_intersect.
+    // For corpora whose TRUE near-dup pair count is itself quadratic,
+    // qd3's MinHash-LSH is the lossy scale path. The oracle computes
+    // the same result through the quadratic all-pairs plan — agreement
     // checks the algorithm, not the plan.
     Q(
       "qd5_ngram_jaccard",
@@ -210,6 +217,8 @@ object TextOps {
          |SELECT a, b, round(j, 6) AS jaccard FROM pairs
          |WHERE j >= 0.4 ORDER BY a, b""".stripMargin) { (s, dir) =>
       val t = 0.4
+      // shingle arrays are consumed 3× (inverted index + both verify
+      // legs) — persist so the tokenize/shingle scan runs once
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
@@ -219,17 +228,35 @@ object TextOps {
             slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
             slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
             (a, b) => concat(a, lit(" "), b))).as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
         explode(col("shingles")).as("shingle"))
-      inv.as("x").join(inv.as("y"),
+      // prefix filter: rank each doc's shingles rarest-first by global
+      // document frequency (total order: df, then string) and keep only
+      // the first sz − ⌈t·sz⌉ + 1 — complete for J ≥ t by Bayardo's
+      // prefix principle, and hot shingles never enter the index
+      val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val prefix = inv.join(freq, "shingle")
+        .withColumn("rk", row_number().over(wd))
+        .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
+        .select(col("doc_id"), col("sz"), col("shingle"))
+      val cands = prefix.as("x").join(prefix.as("y"),
           col("x.shingle") === col("y.shingle") &&
             col("x.doc_id") < col("y.doc_id") &&
             // length filter: t·|A| ≤ |B| ≤ |A|/t or J < t is impossible
             col("x.sz") * lit(t) <= col("y.sz") &&
             col("y.sz") * lit(t) <= col("x.sz"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sz").as("sa"), col("y.sz").as("sb"))
-        .agg(count(lit(1)).as("common"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      // exact verify confined to candidates
+      cands
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("sha"), col("shb"))).as("common"),
+          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
         .select(col("a"), col("b"),
           (col("common").cast(DoubleType) /
             (col("sa") + col("sb") - col("common"))).as("j"))
@@ -241,20 +268,28 @@ object TextOps {
     // -------------------------------------------- language identification
     // N-gram-frequency language ID (Cavnar–Trenkle-style, simplified to
     // unigram count profiles): train per-language token profiles from
-    // the labeled corpus in one pass, then classify every document as
-    // the argmax over languages of the summed profile counts of its
+    // the labeled corpus in one pass, CAP each profile at the top-N
+    // most-frequent tokens per language (Cavnar–Trenkle's defining
+    // move — N = 300 below), then classify every document as the
+    // argmax over languages of the summed profile counts of its
     // distinct tokens (ties broken by language name). Output is the
     // lang × predicted-lang confusion matrix. At 100 TB: training is
-    // one map-side-combined groupBy; the profile table is tiny (langs ×
-    // vocab) so prediction is a broadcast join — no shuffle of the
+    // one map-side-combined groupBy; the CAPPED profile is provably
+    // ≤ langs × N rows — bounded regardless of corpus vocabulary — so
+    // prediction is a safe broadcast join with no shuffle of the
     // corpus beyond the per-doc score aggregation.
     Q(
       "qt4_language_id",
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '$tokenRe')) AS tok
          |  FROM documents),
-         |profile AS (
+         |prof_counts AS (
          |  SELECT lang AS plang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |profile AS (
+         |  SELECT plang, tok, c FROM (
+         |    SELECT plang, tok, c,
+         |      ROW_NUMBER() OVER (PARTITION BY plang ORDER BY c DESC, tok) AS rn
+         |    FROM prof_counts) WHERE rn <= $langIdProfileSize),
          |doc_toks AS (SELECT DISTINCT doc_id, tok FROM toks),
          |scores AS (
          |  SELECT t.doc_id, p.plang, SUM(p.c) AS s
@@ -270,9 +305,17 @@ object TextOps {
       val docs = Tables.load(s, dir, "documents")
       val toks = docs.select(col("doc_id"), col("lang"),
         explode(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).as("tok"))
+      // top-N per language: the window runs over the already-aggregated
+      // (langs × vocab) counts, and its output is ≤ langs × N rows —
+      // the broadcast below is bounded no matter how large the corpus.
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("plang")).orderBy(col("c").desc, col("tok"))
       val profile = toks
         .groupBy(col("lang").as("plang"), col("tok"))
         .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= langIdProfileSize)
+        .drop("rn")
       val docToks = toks.select(col("doc_id"), col("tok")).distinct()
       val scores = docToks
         .join(broadcast(profile), "tok")
