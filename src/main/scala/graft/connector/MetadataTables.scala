@@ -96,6 +96,20 @@ object MetadataTables {
       def rows: Seq[Row] = {
         val spark = org.apache.spark.sql.SparkSession.active
         import spark.implicits._
+        // ANALYZE-committed per-partition stats for the current
+        // snapshot, keyed by the same sorted k=v rendering the
+        // manifests use (Analyze renders transform values through
+        // ColumnStat.render, identical to the write path)
+        val analyzed: Map[String, (Long, Map[String, Long])] =
+          meta.currentSnapshotId
+            .flatMap(sid => graft.maintenance.Analyze
+              .forSnapshotPartitions(meta, sid))
+            .map(_.partitions.map { p =>
+              p.partition.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString("/") ->
+                (p.rowCount, p.columns.map { case (k, c) => k -> c.ndv })
+            }.toMap)
+            .getOrElse(Map.empty)
         val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
           .map(m => store.resolvePath(meta.location, m))
         val loc = meta.location
@@ -110,20 +124,27 @@ object MetadataTables {
               f.specId, f.recordCount, f.fileSizeBytes)
           })
           .groupByKey(_._1)
-          .mapGroups { (_, it) =>
+          .mapGroups { (key, it) =>
             val fs = it.toSeq
-            (fs.head._2, fs.head._3, fs.map(_._4).sum, fs.size,
+            (key, fs.head._2, fs.head._3, fs.map(_._4).sum, fs.size,
               fs.map(_._5).sum)
           }
-          .collect().toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-          .map(t => Row(t._1, t._2, t._3, t._4, t._5))
+          .collect().toSeq.sortBy(_._2.toSeq.sortBy(_._1).mkString(","))
+          .map { t =>
+            val st = analyzed.get(t._1)
+            Row(t._2, t._3, t._4, t._5, t._6,
+              st.map(s => java.lang.Long.valueOf(s._1)).orNull,
+              st.map(_._2).orNull)
+          }
       }
       val schema = StructType(Seq(
         StructField("partition", MapType(StringType, StringType)),
         StructField("spec_id", IntegerType),
         StructField("record_count", LongType),
         StructField("file_count", IntegerType),
-        StructField("total_size_in_bytes", LongType)))
+        StructField("total_size_in_bytes", LongType),
+        StructField("analyzed_record_count", LongType),
+        StructField("analyzed_ndv", MapType(StringType, LongType))))
       new LocalRowsTable(s"$id.partitions", schema, rows)
 
     case other =>

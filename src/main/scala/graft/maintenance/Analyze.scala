@@ -83,6 +83,43 @@ object Analyze {
     TableStats(snapshotId, rows, colStats)
   }
 
+  /** Partition-transform column rendered EXACTLY as the write path
+    * renders DataFile.partition (Transform.eval over internal values +
+    * ColumnStat.render), so per-partition stats key-match the manifest
+    * entries byte-for-byte — including bucket[n], which has no Column
+    * form. A Scala UDF is fine here: ANALYZE is a maintenance pass,
+    * not the query hot path, and the UDF runs once per row in a single
+    * map-side-combined scan.
+    */
+  private def renderedTransform(f: PartitionField, sourceType: DataType)
+      : org.apache.spark.sql.Column = {
+    val t = f.transform
+    val rt = t.resultType(sourceType)
+    val fn = udf((r: org.apache.spark.sql.Row) => {
+      val v = if (r.isNullAt(0)) null else r.get(0)
+      if (v == null) null
+      else {
+        // internalize external row values to the representations
+        // Transform.eval and ColumnStat.render see on the write path
+        val iv = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+          case ts: java.sql.Timestamp =>
+            ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          case ldt: java.time.LocalDateTime =>
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L
+          case other => other
+        }
+        val res = t.eval(iv, sourceType)
+        if (res == null) null else ColumnStat.render(res, rt)
+      }
+    })
+    fn(struct(col(s"`${f.sourceName}`")))
+  }
+
   /** Table-level AND per-partition stats in ONE scan, via grouping
     * sets {(partition cols), ()}: the global set is the table stats,
     * the fully-grouped set is one row per partition. At 100 TB this is
@@ -94,12 +131,18 @@ object Analyze {
       snapshotId: Long): (TableStats, TablePartitionStats) = {
     val schema = df.schema
     val cols = schema.fields.filter(f => analyzable(f.dataType))
-    val partCols = spec.fields.map { f =>
+    // materialize the rendered partition values as real columns first:
+    // grouping sets must reference plain attributes — aliased
+    // expressions inside the set lists don't bind to the output
+    // columns (each alias counts as a distinct grouping expression and
+    // the values come back null)
+    val withParts = spec.fields.foldLeft(df) { (d, f) =>
       val srcType = schema(f.sourceName).dataType
-      f.transform.apply(col(s"`${f.sourceName}`"), srcType).as(s"_p:${f.name}")
+      d.withColumn(s"_p:${f.name}", renderedTransform(f, srcType))
     }
+    val partCols = spec.fields.map(f => col(s"`_p:${f.name}`"))
     val aggs = statAggs(cols) :+ grouping_id().as("_gid")
-    val grouped = df
+    val grouped = withParts
       .groupingSets(Seq(partCols, Nil), partCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -209,7 +252,12 @@ object Analyze {
   }
 
   /** Analyze the CURRENT snapshot of `fqn` (a connector table name) and
-    * commit the statistics file. @return the committed StatisticsFile
+    * commit the statistics file. On a partitioned table the SAME scan
+    * also produces per-partition stats (grouping sets — no second
+    * pass), committed as a partition-statistics file alongside
+    * (reference: first-class partition statistics,
+    * migrations/20241216114355_table_statistics.sql).
+    * @return the committed table-level StatisticsFile
     */
   def run(spark: SparkSession, store: FileCatalogStore, id: TabularId,
       fqn: String): StatisticsFile = {
@@ -217,15 +265,31 @@ object Analyze {
       throw new IllegalArgumentException(s"No such table: $id"))
     val snapId = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"$id has no snapshots to analyze"))
-    val stats = compute(spark.table(fqn), snapId)
+    val df = spark.table(fqn)
     val dir = Paths.get(meta.location, "metadata")
     Files.createDirectories(dir)
-    val path = dir.resolve(s"stats-$snapId.json")
-    Files.write(path, statsToJson(stats)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sf = StatisticsFile(snapId, path.toString, Files.size(path))
-    store.commitTable(id, Nil, Seq(TableUpdate.SetStatistics(sf)))
-    sf
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val spec = meta.defaultSpec
+    if (spec.fields.nonEmpty) {
+      val (stats, pstats) = computeBoth(df, spec, snapId)
+      val path = dir.resolve(s"stats-$snapId.json")
+      Files.write(path, statsToJson(stats).getBytes(utf8))
+      val ppath = dir.resolve(s"partition-stats-$snapId.json")
+      Files.write(ppath, partStatsToJson(pstats).getBytes(utf8))
+      val sf = StatisticsFile(snapId, path.toString, Files.size(path))
+      val psf = StatisticsFile(snapId, ppath.toString, Files.size(ppath))
+      store.commitTable(id, Nil, Seq(
+        TableUpdate.SetStatistics(sf),
+        TableUpdate.SetPartitionStatistics(psf)))
+      sf
+    } else {
+      val stats = compute(df, snapId)
+      val path = dir.resolve(s"stats-$snapId.json")
+      Files.write(path, statsToJson(stats).getBytes(utf8))
+      val sf = StatisticsFile(snapId, path.toString, Files.size(path))
+      store.commitTable(id, Nil, Seq(TableUpdate.SetStatistics(sf)))
+      sf
+    }
   }
 
   /** Stats of a snapshot, if an ANALYZE ran for it (scan-planning path;
@@ -234,6 +298,17 @@ object Analyze {
   def forSnapshot(meta: TableMetadata, snapshotId: Long): Option[TableStats] =
     meta.statistics.find(_.snapshotId == snapshotId).flatMap { sf =>
       scala.util.Try(statsFromJson(new String(
+        Files.readAllBytes(Paths.get(sf.path)),
+        java.nio.charset.StandardCharsets.UTF_8))).toOption
+    }
+
+  /** Per-partition stats of a snapshot, if a partitioned ANALYZE ran
+    * for it (same degrade-to-None contract as [[forSnapshot]]).
+    */
+  def forSnapshotPartitions(meta: TableMetadata,
+      snapshotId: Long): Option[TablePartitionStats] =
+    meta.partitionStatistics.find(_.snapshotId == snapshotId).flatMap { sf =>
+      scala.util.Try(partStatsFromJson(new String(
         Files.readAllBytes(Paths.get(sf.path)),
         java.nio.charset.StandardCharsets.UTF_8))).toOption
     }

@@ -1169,4 +1169,53 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(spark.table("graft.db.nation_copy").count() ==
       spark.read.parquet(s"$sf/nation.parquet").count())
   }
+
+  test("ANALYZE on a partitioned table commits per-partition stats " +
+      "surfaced in .partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.anp (id BIGINT, grp STRING, v STRING)
+      PARTITIONED BY (grp, bucket(4, id))""")
+    spark.sql(
+      """INSERT INTO graft.db.anp
+        |SELECT id, concat('g', CAST(id % 3 AS STRING)),
+        |  CASE WHEN id % 10 = 0 THEN NULL ELSE 'x' END
+        |FROM range(0, 600)""".stripMargin)
+    spark.sql("CALL graft.system.analyze_table(table => 'db.anp')").collect()
+
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val tid = graft.store.TabularId(Seq("db"), "anp")
+    val meta = cat.store.loadTableMetadata(tid).get._1
+    assert(meta.partitionStatistics.size == 1)
+    val pstats = graft.maintenance.Analyze.forSnapshotPartitions(
+      meta, meta.currentSnapshotId.get).get
+    assert(pstats.specId == meta.defaultSpec.specId)
+    assert(pstats.partitions.map(_.rowCount).sum == 600)
+    // 3 groups × 4 buckets = at most 12 slices, all keyed by BOTH fields
+    assert(pstats.partitions.nonEmpty && pstats.partitions.size <= 12)
+    assert(pstats.partitions.forall(_.partition.keySet ==
+      meta.defaultSpec.fields.map(_.name).toSet))
+
+    // .partitions joins the committed stats against the manifest rows:
+    // the analyzed count must agree with the manifest record count for
+    // EVERY partition — this is what proves the bucket/identity value
+    // rendering matches the write path byte-for-byte
+    val rows = spark.sql(
+      """SELECT record_count, analyzed_record_count, analyzed_ndv
+        |FROM graft.db.anp.partitions""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), s"partition missing analyzed stats: $r")
+      assert(r.getLong(0) == r.getLong(1))
+      val ndv = r.getMap[String, Long](2)
+      assert(ndv.contains("id") && ndv("id") >= 1)
+    }
+
+    // a new snapshot invalidates the per-partition stats surface (they
+    // are keyed to the analyzed snapshot, not silently reused)
+    spark.sql("INSERT INTO graft.db.anp VALUES (1000, 'g0', 'x')")
+    val after = spark.sql(
+      "SELECT analyzed_record_count FROM graft.db.anp.partitions").collect()
+    assert(after.forall(_.isNullAt(0)))
+  }
 }
