@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions",
         classOf[graft.connector.GraftExtensions].getName)
+      // pure plan enabler (shuffle-free SPJ when partitionings already
+      // match, e.g. qc12): set once here so all passes plan identically
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions",
         classOf[graft.connector.GraftExtensions].getName)
+      // pure plan enabler (shuffle-free SPJ when partitionings already
+      // match, e.g. qc12): set once so every query plans identically
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -92,6 +92,33 @@ object Admin {
       .orderBy(col("timestamp_ms"))
   }
 
+  /** Exact-leg + trigram-KNN scoring shared by every search surface
+    * (reference pattern: searchTabular / search_user / search_role all
+    * rank `exact match first, then <-> KNN distance, LIMIT 10` —
+    * tabular/mod.rs:1037-1147, user.rs:337-365, role.rs:266-285).
+    * Adds a `similarity` column: 2.0 on the exact leg, else trigram
+    * Jaccard of `textCol` (already lowercased) against `query`.
+    */
+  private def trigramScored(df: DataFrame, textCol: String,
+      exactCol: String, query: String): DataFrame = {
+    val q = query.toLowerCase
+    def trigrams(s: String): Seq[String] =
+      if (s.length < 3) Seq(s) else s.sliding(3).toSeq
+    val qLit = typedlit(trigrams(q))
+    // trigram similarity = |intersection| / |union| over 3-gram sets,
+    // computed with codegen'd array functions
+    val grams = filter(
+      transform(sequence(lit(0), greatest(length(col(textCol)) - 3, lit(0))),
+        i => col(textCol).substr(lit(1) + i, lit(3))),
+      g => length(g) >= 1)
+    df.withColumn("grams", array_distinct(grams))
+      .withColumn("sim",
+        when(lower(col(exactCol)) === q, lit(2.0)) // exact leg ranks first
+          .otherwise(
+            size(array_intersect(col("grams"), qLit)).cast(DoubleType) /
+              greatest(size(array_union(col("grams"), qLit)), lit(1))))
+  }
+
   /** Fuzzy tabular search (reference: searchTabular — pg_trgm KNN,
     * lakekeeper-storage-postgres/src/tabular/mod.rs:1037-1147).
     * Two legs like the reference: exact matches first, then trigram
@@ -104,28 +131,47 @@ object Admin {
       (t.id.namespace.mkString("."), t.id.name, t.kind,
         (t.id.namespace :+ t.id.name).mkString(".").toLowerCase))
       .toDF("namespace", "name", "kind", "full_name")
-    val q = query.toLowerCase
-    def trigrams(s: String): Seq[String] =
-      if (s.length < 3) Seq(s) else s.sliding(3).toSeq
-    val qGrams = trigrams(q)
-    val qLit = typedlit(qGrams)
-    // trigram similarity = |intersection| / |union| over 3-gram sets,
-    // computed with codegen'd array functions
-    val grams = filter(
-      transform(sequence(lit(0), greatest(length(col("full_name")) - 3, lit(0))),
-        i => col("full_name").substr(lit(1) + i, lit(3))),
-      g => length(g) >= 1)
-    val scored = all
-      .withColumn("grams", array_distinct(grams))
-      .withColumn("sim",
-        when(col("full_name") === q, lit(2.0)) // exact leg ranks first
-          .otherwise(
-            size(array_intersect(col("grams"), qLit)).cast(DoubleType) /
-              greatest(size(array_union(col("grams"), qLit)), lit(1))))
-    scored.filter(col("sim") > 0)
+    trigramScored(all, "full_name", "full_name", query)
+      .filter(col("sim") > 0)
       .select(col("namespace"), col("name"), col("kind"),
         round(col("sim"), 4).as("similarity"))
       .orderBy(col("similarity").desc, col("namespace"), col("name"))
+      .limit(10)
+  }
+
+  /** Fuzzy user search (reference: search_user, user.rs:337-365 —
+    * exact-id leg unioned ahead of the KNN leg over
+    * `coalesce(name,'') || ' ' || coalesce(email,'')`; top 10).
+    */
+  def searchUser(spark: SparkSession, store: FileCatalogStore,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val all = store.listUsers().map(u =>
+      (u.id, u.name, u.email.orNull, u.userType,
+        (u.name + " " + u.email.getOrElse("")).toLowerCase))
+      .toDF("id", "name", "email", "user_type", "hay")
+    trigramScored(all, "hay", "id", query)
+      .filter(col("sim") > 0)
+      .select(col("id"), col("name"), col("email"), col("user_type"),
+        round(col("sim"), 4).as("similarity"))
+      .orderBy(col("similarity").desc, col("id"))
+      .limit(10)
+  }
+
+  /** Fuzzy role search (reference: search_role, role.rs:266-285 —
+    * exact-id ranks first, then `name <-> term`; top 10).
+    */
+  def searchRole(spark: SparkSession, store: FileCatalogStore,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val all = store.listRoles().map(r =>
+      (r.id, r.name, r.description.orNull, r.name.toLowerCase))
+      .toDF("id", "name", "description", "hay")
+    trigramScored(all, "hay", "id", query)
+      .filter(col("sim") > 0)
+      .select(col("id"), col("name"), col("description"),
+        round(col("sim"), 4).as("similarity"))
+      .orderBy(col("similarity").desc, col("id"))
       .limit(10)
   }
 

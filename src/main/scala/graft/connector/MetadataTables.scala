@@ -100,10 +100,16 @@ object MetadataTables {
         // snapshot, keyed by the same sorted k=v rendering the
         // manifests use (Analyze renders transform values through
         // ColumnStat.render, identical to the write path)
+        val analyzedStats = meta.currentSnapshotId
+          .flatMap(sid => graft.maintenance.Analyze
+            .forSnapshotPartitions(meta, sid))
+        // spec the ANALYZE grouped by: after partition evolution, old-spec
+        // file groups may RENDER identically (e.g. bucket[8] → bucket[4]
+        // keeps the field name) yet mean a different grouping — stats are
+        // only attached to groups of the same spec
+        val analyzedSpec = analyzedStats.map(_.specId)
         val analyzed: Map[String, (Long, Map[String, Long])] =
-          meta.currentSnapshotId
-            .flatMap(sid => graft.maintenance.Analyze
-              .forSnapshotPartitions(meta, sid))
+          analyzedStats
             .map(_.partitions.map { p =>
               p.partition.toSeq.sortBy(_._1)
                 .map { case (k, v) => s"$k=$v" }.mkString("/") ->
@@ -131,7 +137,12 @@ object MetadataTables {
           }
           .collect().toSeq.sortBy(_._2.toSeq.sortBy(_._1).mkString(","))
           .map { t =>
-            val st = analyzed.get(t._1)
+            // analyzed_record_count counts LIVE rows (the ANALYZE scan
+            // applies merge-on-read position deletes) while record_count
+            // is the manifest's pre-delete count — on tables carrying
+            // delete files the two columns legitimately differ
+            val st = if (analyzedSpec.contains(t._3)) analyzed.get(t._1)
+              else None
             Row(t._2, t._3, t._4, t._5, t._6,
               st.map(s => java.lang.Long.valueOf(s._1)).orNull,
               st.map(_._2).orNull)

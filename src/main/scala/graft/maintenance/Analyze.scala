@@ -265,7 +265,10 @@ object Analyze {
       throw new IllegalArgumentException(s"No such table: $id"))
     val snapId = meta.currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"$id has no snapshots to analyze"))
-    val df = spark.table(fqn)
+    // pin the scan to the snapshot the stats are keyed by — a commit
+    // racing between loadTableMetadata and the scan would otherwise
+    // attribute the NEW snapshot's rows to snapId
+    val df = spark.read.option("snapshot-id", snapId.toString).table(fqn)
     val dir = Paths.get(meta.location, "metadata")
     Files.createDirectories(dir)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

@@ -168,7 +168,8 @@ object ExpirationQueue {
       .filter(t => t.deletedMs.exists(_ + graceMs <= nowMs))
       .filterNot(_.protected_)
       .map { t =>
-        store.dropTabular(t.id, purge = true, force = false, softDelete = false)
+        // by UUID: the name may already belong to a new live table
+        store.purgeTombstone(t.uuid)
         t.id
       }
 }

@@ -27,18 +27,21 @@ class TaskScheduler(
   /** Built-in queue handlers (reference queues of the same names). */
   private def handlers: Map[String, TaskRecord => Unit] = Map[String, TaskRecord => Unit](
     // deferred purge of a soft-deleted tabular once its grace expired;
-    // undrop in the meantime cancels (tabular_expiration_queue.rs:155-245)
+    // undrop in the meantime cancels (tabular_expiration_queue.rs:155-245).
+    // Tombstones are addressed by UUID, never name — a live table may
+    // have reused the name since the drop (purge tasks carry tabular_id
+    // in the reference too, tasks/tabular_purge_queue.rs:146-225).
     "tabular_expiration" -> { t =>
-      val id = taskTabularId(t)
-      store.loadTabularInfo(id) match {
-        case Some(info) if info.deletedMs.isDefined && !info.protected_ =>
-          store.dropTabular(id, purge = true, force = false, softDelete = false)
-        case _ => // undropped, protected, or already gone — nothing to do
-      }
+      t.payload.get("uuid").foreach(store.purgeTombstone)
+      // protected / undropped / already-purged tombstones: no-op
     },
     "tabular_purge" -> { t =>
-      store.dropTabular(taskTabularId(t), purge = true, force = false,
-        softDelete = false)
+      t.payload.get("uuid") match {
+        case Some(u) => store.purgeTombstone(u)
+        case None => // direct purge of a live table, addressed by name
+          store.dropTabular(taskTabularId(t), purge = true, force = false,
+            softDelete = false)
+      }
     },
     "task_log_cleanup" -> { t =>
       TaskLogCleanup.run(store,
@@ -144,9 +147,10 @@ class TaskScheduler(
       info.deletedMs.foreach { del =>
         store.enqueueTask("tabular_expiration",
           Map("namespace" -> info.id.namespace.mkString("."),
-            "name" -> info.id.name),
+            "name" -> info.id.name,
+            "uuid" -> info.uuid),
           runAtMs = del + effectiveGraceMs,
-          dedupeKey = Some(s"${info.id}-$del"))
+          dedupeKey = Some(s"${info.uuid}-$del"))
       }
     }
     // adaptive expire_snapshots: tables whose snapshot count crossed

@@ -27,6 +27,27 @@ object CatalogOps {
   /** Untimed warm-up hook for the bench harness. */
   def warmup(spark: SparkSession, sfDir: String): Unit = prepare(spark, sfDir)
 
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val lastScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch-table name for a mutation query (qc6-qc14): soft-drops the
+    * previous invocation's generation, then hands out a FRESH name, so
+    * repeated bench passes never share state — a pass-2 failure can't
+    * be masked by pass-1 leftovers — while each pass still times
+    * DROP+CREATE+DML+read as one unit. Accumulating tombstones also
+    * exercise the catalog's live/deleted name independence on every
+    * repeated run.
+    */
+  private def scratch(s: SparkSession, db: String, base: String): String = {
+    val key = s"$db.$base"
+    val prev = lastScratch.get(key)
+    if (prev != null) s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.$prev")
+    val name = s"${base}_${scratchSeq.incrementAndGet()}"
+    lastScratch.put(key, name)
+    name
+  }
+
   /** Idempotent per-JVM setup: register the catalog, create + load the
     * test tables for this sfDir.
     */
@@ -167,14 +188,14 @@ object CatalogOps {
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
       // fresh target each run: the mutation + post-state read IS the op
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.cust_d")
+      val tbl = scratch(s, db, "cust_d")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.cust_d AS
+        s"""CREATE TABLE $CatalogName.$db.$tbl AS
            |SELECT c_custkey, c_name, c_acctbal
            |FROM parquet.`$dir/customer.parquet`""".stripMargin)
-      s.sql(s"DELETE FROM $CatalogName.$db.cust_d WHERE c_acctbal < 0")
+      s.sql(s"DELETE FROM $CatalogName.$db.$tbl WHERE c_acctbal < 0")
       s.sql(s"SELECT c_custkey, c_name, c_acctbal " +
-        s"FROM $CatalogName.$db.cust_d ORDER BY c_custkey")
+        s"FROM $CatalogName.$db.$tbl ORDER BY c_custkey")
     },
 
     // MERGE INTO upsert via copy-on-write: part rows update matching
@@ -193,20 +214,20 @@ object CatalogOps {
         |  WHERE c.c_custkey IS NULL)
         |ORDER BY id""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.merge_t")
+      val tbl = scratch(s, db, "merge_t")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.merge_t AS
+        s"""CREATE TABLE $CatalogName.$db.$tbl AS
            |SELECT c_custkey AS id, c_acctbal AS bal, 'existing' AS src
            |FROM parquet.`$dir/customer.parquet`""".stripMargin)
       s.sql(
-        s"""MERGE INTO $CatalogName.$db.merge_t t
+        s"""MERGE INTO $CatalogName.$db.$tbl t
            |USING (SELECT p_partkey AS id, p_retailprice AS bal
            |       FROM parquet.`$dir/part.parquet`) s
            |ON t.id = s.id
            |WHEN MATCHED THEN UPDATE SET t.bal = s.bal, t.src = 'updated'
            |WHEN NOT MATCHED THEN INSERT (id, bal, src)
            |  VALUES (s.id, s.bal, 'inserted')""".stripMargin)
-      s.sql(s"SELECT id, bal, src FROM $CatalogName.$db.merge_t ORDER BY id")
+      s.sql(s"SELECT id, bal, src FROM $CatalogName.$db.$tbl ORDER BY id")
     },
 
     // tag + time travel by ref name: tagged state must equal the oracle
@@ -216,17 +237,17 @@ object CatalogOps {
       """SELECT r_regionkey AS k, r_name AS name FROM region
         |ORDER BY k""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.tagged")
-      s.sql(s"CREATE TABLE $CatalogName.$db.tagged (k INT, name STRING)")
+      val tbl = scratch(s, db, "tagged")
+      s.sql(s"CREATE TABLE $CatalogName.$db.$tbl (k INT, name STRING)")
       s.sql(
-        s"""INSERT INTO $CatalogName.$db.tagged
+        s"""INSERT INTO $CatalogName.$db.$tbl
            |SELECT r_regionkey, r_name FROM parquet.`$dir/region.parquet`""".stripMargin)
-      s.sql(s"ALTER TABLE $CatalogName.$db.tagged CREATE TAG after_regions")
+      s.sql(s"ALTER TABLE $CatalogName.$db.$tbl CREATE TAG after_regions")
       s.sql(
-        s"""INSERT INTO $CatalogName.$db.tagged
+        s"""INSERT INTO $CatalogName.$db.$tbl
            |SELECT n_nationkey + 5000, n_name
            |FROM parquet.`$dir/nation.parquet`""".stripMargin)
-      s.sql(s"SELECT k, name FROM $CatalogName.$db.tagged " +
+      s.sql(s"SELECT k, name FROM $CatalogName.$db.$tbl " +
         "VERSION AS OF 'after_regions' ORDER BY k")
     },
 
@@ -237,18 +258,18 @@ object CatalogOps {
       """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.compact_t")
-      s.sql(s"""CREATE TABLE $CatalogName.$db.compact_t AS
+      val tbl = scratch(s, db, "compact_t")
+      s.sql(s"""CREATE TABLE $CatalogName.$db.$tbl AS
         |SELECT * FROM parquet.`$dir/nation.parquet`
         |WHERE n_nationkey % 2 = 0""".stripMargin)
-      s.sql(s"""INSERT INTO $CatalogName.$db.compact_t
+      s.sql(s"""INSERT INTO $CatalogName.$db.$tbl
         |SELECT * FROM parquet.`$dir/nation.parquet`
         |WHERE n_nationkey % 2 = 1""".stripMargin)
       s.sql(s"CALL $CatalogName.system.rewrite_data_files(" +
-        s"table => '$db.compact_t')")
+        s"table => '$db.$tbl')")
       s.sql(
         s"""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
-           |FROM $CatalogName.$db.compact_t
+           |FROM $CatalogName.$db.$tbl
            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     },
 
@@ -262,9 +283,9 @@ object CatalogOps {
         |  CAST(n_regionkey AS BIGINT) AS region
         |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.vdoc")
+      val tbl = scratch(s, db, "vdoc")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.vdoc
+        s"""CREATE TABLE $CatalogName.$db.$tbl
            |TBLPROPERTIES ('format-version' = '3') AS
            |SELECT n_nationkey AS id,
            |  parse_json(to_json(named_struct(
@@ -274,7 +295,7 @@ object CatalogOps {
         s"""SELECT id,
            |  variant_get(props, '$$.name', 'string') AS name,
            |  CAST(variant_get(props, '$$.region', 'long') AS BIGINT) AS region
-           |FROM $CatalogName.$db.vdoc ORDER BY id""".stripMargin)
+           |FROM $CatalogName.$db.$tbl ORDER BY id""".stripMargin)
     },
 
     // view SQL routing (reference test_create_view family): CREATE OR
@@ -310,34 +331,34 @@ object CatalogOps {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_bkt")
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.customer_bkt")
+      val obkt = scratch(s, db, "orders_bkt")
+      val cbkt = scratch(s, db, "customer_bkt")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.orders_bkt (
+        s"""CREATE TABLE $CatalogName.$db.$obkt (
            |  o_custkey BIGINT, o_totalprice DOUBLE)
            |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
       s.sql(
-        s"""INSERT INTO $CatalogName.$db.orders_bkt
+        s"""INSERT INTO $CatalogName.$db.$obkt
            |SELECT o_custkey, o_totalprice FROM parquet.`$dir/orders.parquet`""".stripMargin)
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.customer_bkt (
+        s"""CREATE TABLE $CatalogName.$db.$cbkt (
            |  c_custkey BIGINT, c_mktsegment STRING)
            |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
       s.sql(
-        s"""INSERT INTO $CatalogName.$db.customer_bkt
+        s"""INSERT INTO $CatalogName.$db.$cbkt
            |SELECT c_custkey, c_mktsegment FROM parquet.`$dir/customer.parquet`""".stripMargin)
-      // v2 bucketing must be on when the LAZY frame below is planned —
-      // at execution time, by the caller — so the flag stays set rather
-      // than being restored around a collect. It is a pure plan enabler
-      // (shuffle-free co-located joins where partitionings already
-      // match) and safe as a session-wide setting; the bench therefore
-      // times the join itself, not a collect + driver re-create.
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the shuffle-free co-located plan needs
+      // spark.sql.sources.v2.bucketing.enabled at planning time; the
+      // harness (Bench/Verify session builders) sets it once at startup
+      // so every query in a run plans under the same config — a query
+      // body must never mutate session state mid-suite. Without the
+      // flag the join still returns identical values, just shuffled
+      // (the plan-shape assertion lives in ConnectorE2ESpec).
       s.sql(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-           |FROM $CatalogName.$db.orders_bkt o
-           |JOIN $CatalogName.$db.customer_bkt c ON o.o_custkey = c.c_custkey
+           |FROM $CatalogName.$db.$obkt o
+           |JOIN $CatalogName.$db.$cbkt c ON o.o_custkey = c.c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
 
@@ -352,27 +373,27 @@ object CatalogOps {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_mor")
+      val tbl = scratch(s, db, "orders_mor")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.orders_mor
+        s"""CREATE TABLE $CatalogName.$db.$tbl
            |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
            |SELECT o_orderkey, o_orderstatus, o_totalprice
            |FROM parquet.`$dir/orders.parquet`""".stripMargin)
       val before = s.sql(
-        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.files")
+        s"SELECT COUNT(*) FROM $CatalogName.$db.$tbl.files")
         .collect()(0).getLong(0)
-      s.sql(s"DELETE FROM $CatalogName.$db.orders_mor " +
+      s.sql(s"DELETE FROM $CatalogName.$db.$tbl " +
         "WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
       val after = s.sql(
-        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.files")
+        s"SELECT COUNT(*) FROM $CatalogName.$db.$tbl.files")
         .collect()(0).getLong(0)
       val dels = s.sql(
-        s"SELECT COUNT(*) FROM $CatalogName.$db.orders_mor.delete_files")
+        s"SELECT COUNT(*) FROM $CatalogName.$db.$tbl.delete_files")
         .collect()(0).getLong(0)
       require(after == before && dels >= 1,
         s"expected merge-on-read (files $before->$after, deletes $dels)")
       s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
-        s"FROM $CatalogName.$db.orders_mor ORDER BY o_orderkey")
+        s"FROM $CatalogName.$db.$tbl ORDER BY o_orderkey")
     },
 
     // CDC changelog over insert + merge-on-read delete commits: the
@@ -390,26 +411,26 @@ object CatalogOps {
         |FROM orders WHERE o_totalprice < 50000.0
         |ORDER BY change_type, o_orderkey""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
-      s.sql(s"DROP TABLE IF EXISTS $CatalogName.$db.orders_cdc")
+      val tbl = scratch(s, db, "orders_cdc")
       s.sql(
-        s"""CREATE TABLE $CatalogName.$db.orders_cdc
+        s"""CREATE TABLE $CatalogName.$db.$tbl
            |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
            |SELECT o_orderkey, o_totalprice
            |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0
            |""".stripMargin)
       val s0 = s.sql(
-        s"""SELECT snapshot_id FROM $CatalogName.$db.orders_cdc.snapshots
+        s"""SELECT snapshot_id FROM $CatalogName.$db.$tbl.snapshots
            |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
       s.sql(
-        s"""INSERT INTO $CatalogName.$db.orders_cdc
+        s"""INSERT INTO $CatalogName.$db.$tbl
            |SELECT o_orderkey, o_totalprice
            |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1
            |""".stripMargin)
-      s.sql(s"DELETE FROM $CatalogName.$db.orders_cdc " +
+      s.sql(s"DELETE FROM $CatalogName.$db.$tbl " +
         "WHERE o_totalprice < 50000.0")
       s.sql(
         s"""CALL $CatalogName.system.changelog_scan(
-           |  table => '$db.orders_cdc', from_snapshot_id => $s0)""".stripMargin)
+           |  table => '$db.$tbl', from_snapshot_id => $s0)""".stripMargin)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("_change_type").as("change_type"))
         .orderBy(col("change_type"), col("o_orderkey"))

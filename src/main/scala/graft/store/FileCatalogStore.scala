@@ -40,6 +40,29 @@ final case class WarehouseProfile(
     deleteProfile: String, // soft | hard
     expirationGraceMs: Option[Long])
 
+/** A registered user (reference: users table,
+  * lakekeeper-storage-postgres/src/user.rs — id, name, email,
+  * user_type; RBAC/authz itself is out of scope per SURVEY §7, this is
+  * the principal REGISTRY the search surface runs over).
+  */
+final case class UserRecord(
+    id: String,
+    name: String,
+    email: Option[String],
+    userType: String, // human | application
+    createdMs: Long,
+    updatedMs: Long)
+
+/** A registered role (reference: role table,
+  * lakekeeper-storage-postgres/src/role.rs — id, name, description).
+  */
+final case class RoleRecord(
+    id: String,
+    name: String,
+    description: Option[String],
+    createdMs: Long,
+    updatedMs: Long)
+
 /** One persisted background task (reference: service/tasks/mod.rs —
   * the queue row: queue name, payload, scheduled-at, attempts,
   * status, heartbeat).
@@ -268,8 +291,34 @@ class FileCatalogStore(val root: String) {
   private def tabularInfoPath(id: TabularId): Path =
     tabularPath(id).resolve(TabMeta)
 
+  /** Where a soft-deleted tabular's directory lives: keyed by UUID, not
+    * name, so the NAME is free for re-CREATE immediately — the reference
+    * enforces name uniqueness only among live tabulars
+    * (migrations/20250623114333_fix_soft_deleted_tabulars.sql:27-42;
+    * docs/docs/concepts.md:132-139, tabulars are tabular_id-keyed).
+    * `dirKey` never emits a leading '.', so tombstone dirs can never
+    * collide with a live table's directory key.
+    */
+  private def tombstonePath(ns: Seq[String], uuid: String): Path =
+    nsPath(ns).resolve(s".deleted-$uuid")
+
+  /** Tombstones in a namespace whose original name casefolds to
+    * `id.name` (there may be several: drop → create → drop again).
+    */
+  private def tombstonesOf(id: TabularId): Seq[TabularInfo] = {
+    val dir = nsPath(id.namespace)
+    if (!Files.isDirectory(dir)) Nil
+    else FileCatalogStore.listDir(dir)
+      .filter(_.getFileName.toString.startsWith(".deleted-"))
+      .flatMap(p => loadTabularInfoAt(p.resolve(TabMeta)))
+      .filter(t => fold(t.id.name) == fold(id.name))
+  }
+
   private def writeTabularInfo(info: TabularInfo): Unit =
-    writeString(tabularInfoPath(info.id), Json.render(
+    writeTabularInfoAt(tabularInfoPath(info.id), info)
+
+  private def writeTabularInfoAt(p: Path, info: TabularInfo): Unit =
+    writeString(p, Json.render(
       ("namespace" -> info.id.namespace) ~ ("name" -> info.id.name) ~
         ("kind" -> info.kind) ~ ("uuid" -> info.uuid) ~
         ("format" -> info.format) ~
@@ -360,14 +409,14 @@ class FileCatalogStore(val root: String) {
 
   def metadataDir(id: TabularId): Path = tabularPath(id).resolve("metadata")
 
-  def currentVersion(id: TabularId): Int = {
-    val dir = metadataDir(id)
+  private def versionIn(dir: Path): Int =
     if (!Files.isDirectory(dir)) -1
     else FileCatalogStore.listDir(dir)
       .flatMap(p => p.getFileName.toString match {
         case VersionRe(n) => Some(n.toInt); case _ => None })
       .foldLeft(-1)(math.max)
-  }
+
+  def currentVersion(id: TabularId): Int = versionIn(metadataDir(id))
 
   /** Parsed-metadata cache keyed by version — the ETag/304 analog
     * (reference: load_table.rs:268-296 revalidates by metadata
@@ -543,7 +592,10 @@ class FileCatalogStore(val root: String) {
     requireActive()
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
-    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+    // only LIVE tabulars occupy the name key — tombstones were moved to
+    // their UUID-keyed directory at soft delete, so re-CREATE of a
+    // dropped name never collides
+    if (loadTabularInfo(id).isDefined)
       throw new AlreadyExistsException(s"Tabular $id already exists")
     Files.createDirectories(tabularPath(id))
     val target = metadataDir(id).resolve(f"v${0}%05d.metadata.json")
@@ -575,6 +627,12 @@ class FileCatalogStore(val root: String) {
           throw new ProtectedException(s"$id is protected from deletion")
         if (softDelete && !purge) {
           writeTabularInfo(info.copy(deletedMs = Some(System.currentTimeMillis())))
+          // move the directory aside, keyed by UUID: the name becomes
+          // free for re-CREATE immediately (reference: uniqueness holds
+          // only among live tabulars, fix_soft_deleted_tabulars.sql:27-42)
+          Files.move(tabularPath(id), tombstonePath(id.namespace, info.uuid),
+            StandardCopyOption.ATOMIC_MOVE)
+          metaCache.remove(id)
           logEvent("tabular-soft-deleted", id, Map("kind" -> info.kind))
         } else {
           // custom-LOCATION tables keep their data outside the catalog
@@ -595,11 +653,53 @@ class FileCatalogStore(val root: String) {
     }
   }
 
+  /** Cancel a soft delete: move the UUID-keyed tombstone directory back
+    * under its name key. If several tombstones share the name, the most
+    * recently deleted one is restored. An undrop whose name now
+    * conflicts with a LIVE tabular is rejected — the reference
+    * migration resolves exactly this conflict by keeping the live row
+    * and refusing the restore (fix_soft_deleted_tabulars.sql:27-42).
+    */
   def undrop(id: TabularId): Boolean =
-    loadTabularInfo(id) match {
-      case Some(info) if info.deletedMs.isDefined =>
+    tombstonesOf(id).sortBy(_.deletedMs.getOrElse(0L)).lastOption match {
+      case Some(info) =>
+        if (loadTabularInfo(id).isDefined)
+          throw new AlreadyExistsException(
+            s"Cannot undrop $id: a live tabular holds the name")
+        Files.move(tombstonePath(id.namespace, info.uuid), tabularPath(id),
+          StandardCopyOption.ATOMIC_MOVE)
         writeTabularInfo(info.copy(deletedMs = None))
+        metaCache.remove(id)
         logEvent("tabular-undropped", id, Map("kind" -> info.kind))
+        true
+      case None => false
+    }
+
+  /** Physically delete one soft-deleted tabular, addressed by UUID —
+    * name addressing would be ambiguous (a live table may have reused
+    * the name; reference purge tasks carry tabular_id,
+    * tasks/tabular_purge_queue.rs:146-225). Protected tombstones are
+    * skipped. @return true if a tombstone was purged
+    */
+  def purgeTombstone(uuid: String): Boolean =
+    listDeletedTabulars().find(_.uuid == uuid) match {
+      case Some(info) if !info.protected_ =>
+        val dir = tombstonePath(info.id.namespace, info.uuid)
+        // custom-LOCATION tables keep their data outside the catalog
+        // directory — purge must delete it too (exact directory only)
+        if (info.kind == "table") {
+          val v = versionIn(dir.resolve("metadata"))
+          if (v >= 0) {
+            val meta = Json.metadataFromJson(readString(
+              dir.resolve("metadata").resolve(f"v$v%05d.metadata.json")))
+            if (meta.location != tableLocation(info.id))
+              try deleteRecursively(Paths.get(meta.location))
+              catch { case NonFatal(_) => }
+          }
+        }
+        deleteRecursively(dir)
+        logEvent("tabular-purged", info.id,
+          Map("kind" -> info.kind, "uuid" -> info.uuid))
         true
       case _ => false
     }
@@ -607,10 +707,21 @@ class FileCatalogStore(val root: String) {
   def listDeletedTabulars(): Seq[TabularInfo] =
     listAllTabulars(includeDeleted = true).filter(_.deletedMs.isDefined)
 
+  /** Protection applies to the live holder of the name, else to the
+    * most recently deleted tombstone (so a pending expiration can still
+    * be blocked — the reference keeps protection togglable on deleted
+    * tabulars awaiting purge).
+    */
   def setProtection(id: TabularId, prot: Boolean): Unit =
     loadTabularInfo(id) match {
       case Some(info) => writeTabularInfo(info.copy(protected_ = prot))
-      case None => throw new NoSuchTabularException(id.toString)
+      case None =>
+        tombstonesOf(id).sortBy(_.deletedMs.getOrElse(0L)).lastOption match {
+          case Some(info) => writeTabularInfoAt(
+            tombstonePath(id.namespace, info.uuid).resolve(TabMeta),
+            info.copy(protected_ = prot))
+          case None => throw new NoSuchTabularException(id.toString)
+        }
     }
 
   def renameTabular(from: TabularId, to: TabularId): Unit = {
@@ -709,7 +820,7 @@ class FileCatalogStore(val root: String) {
   def createView(id: TabularId, metadata: ViewMetadata): ViewMetadata = {
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
-    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+    if (loadTabularInfo(id).isDefined)
       throw new AlreadyExistsException(s"Tabular $id already exists")
     Files.createDirectories(tabularPath(id))
     val target = metadataDir(id).resolve(f"v${0}%05d.metadata.json")
@@ -744,7 +855,7 @@ class FileCatalogStore(val root: String) {
       baseLocation: String, props: Map[String, String]): TabularInfo = {
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
-    if (loadTabularInfo(id).exists(_.deletedMs.isEmpty))
+    if (loadTabularInfo(id).isDefined)
       throw new AlreadyExistsException(s"Tabular $id already exists")
     Files.createDirectories(tabularPath(id))
     val info = TabularInfo(id, "generic", UUID.randomUUID().toString,
@@ -756,6 +867,74 @@ class FileCatalogStore(val root: String) {
     logEvent("generic-table-created", id, Map("format" -> format))
     info
   }
+
+  // ----------------------------------------------------------- principals
+  // Minimal user/role registry (reference: users/role tables — the
+  // entities search_user/search_role rank over; authz graph itself is
+  // out of scope per SURVEY §7).
+  private def principalDir(kind: String): Path =
+    rootPath.resolve("_principals").resolve(kind)
+
+  /** Upsert a user (reference: create_or_update_user,
+    * user.rs:278-335). @return true if created, false if updated
+    */
+  def createOrUpdateUser(id: String, name: String, email: Option[String],
+      userType: String): Boolean = {
+    val p = principalDir("users").resolve(dirKey(id) + ".json")
+    val existing = if (Files.exists(p)) Some(JsonMethods.parse(readString(p)))
+      else None
+    val createdMs = existing.map(j => (j \ "created-ms").extract[Long])
+      .getOrElse(System.currentTimeMillis())
+    writeString(p, Json.render(
+      ("id" -> id) ~ ("name" -> name) ~ ("email" -> email) ~
+        ("user-type" -> userType) ~ ("created-ms" -> createdMs) ~
+        ("updated-ms" -> System.currentTimeMillis())))
+    existing.isEmpty
+  }
+
+  def listUsers(): Seq[UserRecord] = {
+    val dir = principalDir("users")
+    if (!Files.isDirectory(dir)) Nil
+    else FileCatalogStore.listDir(dir).map { p =>
+      val j = JsonMethods.parse(readString(p))
+      UserRecord((j \ "id").extract[String], (j \ "name").extract[String],
+        (j \ "email") match { case JNothing | JNull => None
+          case v => Some(v.extract[String]) },
+        (j \ "user-type").extract[String],
+        (j \ "created-ms").extract[Long], (j \ "updated-ms").extract[Long])
+    }.sortBy(_.id)
+  }
+
+  def deleteUser(id: String): Boolean =
+    Files.deleteIfExists(principalDir("users").resolve(dirKey(id) + ".json"))
+
+  /** Create a role; name must be unique (role.rs unique constraint). */
+  def createRole(id: String, name: String, description: Option[String]): RoleRecord = {
+    if (listRoles().exists(r => fold(r.name) == fold(name) || r.id == id))
+      throw new AlreadyExistsException(s"Role $name already exists")
+    val now = System.currentTimeMillis()
+    val rec = RoleRecord(id, name, description, now, now)
+    writeString(principalDir("roles").resolve(dirKey(id) + ".json"),
+      Json.render(("id" -> id) ~ ("name" -> name) ~
+        ("description" -> description) ~ ("created-ms" -> now) ~
+        ("updated-ms" -> now)))
+    rec
+  }
+
+  def listRoles(): Seq[RoleRecord] = {
+    val dir = principalDir("roles")
+    if (!Files.isDirectory(dir)) Nil
+    else FileCatalogStore.listDir(dir).map { p =>
+      val j = JsonMethods.parse(readString(p))
+      RoleRecord((j \ "id").extract[String], (j \ "name").extract[String],
+        (j \ "description") match { case JNothing | JNull => None
+          case v => Some(v.extract[String]) },
+        (j \ "created-ms").extract[Long], (j \ "updated-ms").extract[Long])
+    }.sortBy(_.id)
+  }
+
+  def deleteRole(id: String): Boolean =
+    Files.deleteIfExists(principalDir("roles").resolve(dirKey(id) + ".json"))
 
   // ------------------------------------------------------------ manifests
   // Manifest and data-file paths are persisted RELATIVE to the table's

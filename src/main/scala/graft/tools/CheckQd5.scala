@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Disposable correctness check: new qd5 plan vs brute-force all-pairs
+  * (the oracle semantics) at sf0.01, then a timing pass at sf0.1.
+  */
+object CheckQd5 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tokenRe = "[a-z0-9]+"
+
+    // brute force at sf0.01
+    val sh = graft.queries.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("shingles"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast(DoubleType) /
+          size(array_union(col("a.shingles"), col("b.shingles")))).as("j"))
+      .filter(col("j") >= 0.4)
+      .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+      .collect().map(_.toString).toSeq
+    val got = graft.SparkEntry.queries("qd5_ngram_jaccard")(
+      spark, "/root/testdata/sf0.01").collect().map(_.toString).toSeq
+    println(s"brute=${brute.size} got=${got.size} equal=${brute == got}")
+    if (brute != got) {
+      println("MISMATCH")
+      (brute.toSet -- got.toSet).take(5).foreach(r => println("missing: " + r))
+      (got.toSet -- brute.toSet).take(5).foreach(r => println("extra:   " + r))
+      spark.stop(); sys.exit(1)
+    }
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    spark.catalog.clearCache()
+    time("qd5 sf0.1 pass1")(println("rows=" + graft.SparkEntry
+      .queries("qd5_ngram_jaccard")(spark, "/root/testdata/sf0.1").count()))
+    spark.catalog.clearCache()
+    time("qd5 sf0.1 pass2")(println("rows=" + graft.SparkEntry
+      .queries("qd5_ngram_jaccard")(spark, "/root/testdata/sf0.1").count()))
+    spark.stop()
+  }
+}

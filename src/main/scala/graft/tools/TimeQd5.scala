@@ -1,0 +1,176 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Disposable profiling harness for qd5 verify-plan variants (not part
+  * of the product surface).
+  */
+object TimeQd5 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val tokenRe = "[a-z0-9]+"
+    val t = 0.4
+    val sh = graft.queries.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("docs")(println("n_docs=" + sh.count()))
+    println("avg shingles=" + sh.select(avg(size(col("shingles")))).first().getDouble(0))
+    val inv = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("shingle"))
+    val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("df dist") {
+      freq.select(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df") * col("df")).as("sum_df2"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > 100, col("df") * col("df"))).as("sum_df2_hot"),
+        count(when(col("df") > 100, 1)).as("n_hot")).show(false)
+    }
+    // prefix index
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
+      .select(col("doc_id"), col("sz"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("prefix size")(println("n_prefix_rows=" + prefix.count()))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") * lit(t) <= col("y.sz") &&
+          col("y.sz") * lit(t) <= col("x.sz"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("candidates")(println("n_cand=" + cands.count()))
+
+    if (args.contains("r3")) {
+      // variant A: r3 full count-in-join (no prefix)
+      val out = time("A: full count-in-join") {
+        inv.as("x").join(inv.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              col("x.sz") * lit(t) <= col("y.sz") &&
+              col("y.sz") * lit(t) <= col("x.sz"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.sz").as("sa"), col("y.sz").as("sb"))
+          .agg(count(lit(1)).as("common"))
+          .select(col("a"), col("b"),
+            (col("common").cast(DoubleType) /
+              (col("sa") + col("sb") - col("common"))).as("j"))
+          .filter(col("j") >= t).count()
+      }
+      println("A rows=" + out)
+    }
+
+    // variant B: candidates -> expand a-side shingles -> join on (b, shingle)
+    val out2 = time("B: cand expand-join") {
+      val invK = inv.select(col("doc_id"), col("shingle"))
+      cands
+        .join(sh.select(col("doc_id").as("a"), size(col("shingles")).as("sa"),
+          explode(col("shingles")).as("shingle")), Seq("a"))
+        .join(invK.select(col("doc_id").as("b"), col("shingle")),
+          Seq("b", "shingle"))
+        .groupBy(col("a"), col("b"), col("sa"))
+        .agg(count(lit(1)).as("common"))
+        .join(sh.select(col("doc_id").as("b"), size(col("shingles")).as("sb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("j"))
+        .filter(col("j") >= t).count()
+    }
+    println("B rows=" + out2)
+
+    // variant C: full self-join pair rows, semi-join to candidates
+    val out3 = time("C: self-join + semi to cands") {
+      inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            col("x.sz") * lit(t) <= col("y.sz") &&
+            col("y.sz") * lit(t) <= col("x.sz"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sz").as("sa"), col("y.sz").as("sb"))
+        .join(cands, Seq("a", "b"), "left_semi")
+        .groupBy(col("a"), col("b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("common"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("j"))
+        .filter(col("j") >= t).count()
+    }
+    println("C rows=" + out3)
+
+    // variant D: dictionary-encode shingles to dense int ids, then full
+    // count-in-join on int keys
+    val dict = freq.withColumn("sid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df"), col("shingle"))))
+      .select(col("shingle"), col("sid"))
+    val invI = inv.join(broadcast(dict), "shingle")
+      .select(col("doc_id"), col("sz"), col("sid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("invI build")(invI.count())
+    val out4 = time("D: int count-in-join") {
+      invI.as("x").join(invI.as("y"),
+          col("x.sid") === col("y.sid") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            col("x.sz") * lit(t) <= col("y.sz") &&
+            col("y.sz") * lit(t) <= col("x.sz"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sz").as("sa"), col("y.sz").as("sb"))
+        .agg(count(lit(1)).as("common"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("j"))
+        .filter(col("j") >= t).count()
+    }
+    println("D rows=" + out4)
+
+    // variant E: candidates + sorted-int-array verify via zip-free
+    // array_intersect on int arrays (arrays joined per pair, but int
+    // arrays, not strings)
+    val vecs = invI.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("vec"),
+        first(col("sz")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("vecs build")(vecs.count())
+    val out5 = time("E: cand + int-array intersect") {
+      cands
+        .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
+          col("sz").as("sa")), Seq("a"))
+        .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb"),
+          col("sz").as("sb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("va"), col("vb"))).as("common"),
+          col("sa"), col("sb"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("j"))
+        .filter(col("j") >= t).count()
+    }
+    println("E rows=" + out5)
+    spark.stop()
+  }
+}

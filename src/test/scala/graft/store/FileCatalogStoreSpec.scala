@@ -136,12 +136,47 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     assert(s.dropTabular(id, purge = false))
     assert(s.listTabulars(Seq("db")).isEmpty)
     assert(s.listDeletedTabulars().map(_.id.name) == Seq("t"))
-    assert(s.loadTabularInfo(id).get.deletedMs.isDefined)
+    // the tombstone no longer occupies the name key
+    assert(s.loadTabularInfo(id).isEmpty)
     assert(s.undrop(id))
     assert(s.listTabulars(Seq("db")).map(_.id.name) == Seq("t"))
     // hard purge removes the directory
     assert(s.dropTabular(id, purge = true))
     assert(s.loadTabularInfo(id).isEmpty)
+  }
+
+  test("soft-deleted name is free for re-CREATE; undrop conflict rejected") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    val gen1 = mkTable(s, id)
+    assert(s.dropTabular(id, purge = false)) // tombstone gen1
+    // re-CREATE of the same name must succeed while the tombstone lives
+    // (reference: uniqueness only among live tabulars,
+    // fix_soft_deleted_tabulars.sql:27-42)
+    val gen2 = mkTable(s, id)
+    assert(gen2.tableUuid != gen1.tableUuid)
+    // both generations visible: gen2 live, gen1 tombstoned
+    assert(s.listTabulars(Seq("db")).map(_.uuid) == Seq(gen2.tableUuid))
+    assert(s.listDeletedTabulars().map(_.uuid) == Seq(gen1.tableUuid))
+    // undrop while the name is occupied by a live table is rejected
+    assertThrows[AlreadyExistsException] { s.undrop(id) }
+    // drop gen2 too: two tombstones share the name; undrop restores the
+    // most recently deleted one
+    Thread.sleep(2)
+    assert(s.dropTabular(id, purge = false))
+    assert(s.listDeletedTabulars().map(_.uuid).toSet ==
+      Set(gen1.tableUuid, gen2.tableUuid))
+    assert(s.undrop(id))
+    assert(s.loadTabularInfo(id).get.uuid == gen2.tableUuid)
+    assert(s.loadTableMetadata(id).get._1.tableUuid == gen2.tableUuid)
+    // purge of the remaining gen1 tombstone is UUID-addressed and must
+    // not touch the live gen2 table
+    assert(s.purgeTombstone(gen1.tableUuid))
+    assert(s.listDeletedTabulars().isEmpty)
+    assert(s.loadTableMetadata(id).get._1.tableUuid == gen2.tableUuid)
+    // purging an already-purged / unknown uuid is a no-op
+    assert(!s.purgeTombstone(gen1.tableUuid))
   }
 
   test("rename across namespaces, case rules") {
