@@ -90,73 +90,31 @@ object MetadataTables {
       new ManifestTable(s"$id.$kind", entrySchema, inputs, emitEntries = true)
 
     case "partitions" =>
-      // distributed parse + aggregation; only one row per partition
-      // ever reaches the driver — and only when the scan actually
-      // builds (rows are by-name lazy; loading the table costs nothing)
-      def rows: Seq[Row] = {
-        val spark = org.apache.spark.sql.SparkSession.active
-        import spark.implicits._
-        // ANALYZE-committed per-partition stats for the current
-        // snapshot, keyed by the same sorted k=v rendering the
-        // manifests use (Analyze renders transform values through
-        // ColumnStat.render, identical to the write path)
-        val analyzedStats = meta.currentSnapshotId
-          .flatMap(sid => graft.maintenance.Analyze
-            .forSnapshotPartitions(meta, sid))
-        // spec the ANALYZE grouped by: after partition evolution, old-spec
-        // file groups may RENDER identically (e.g. bucket[8] → bucket[4]
-        // keeps the field name) yet mean a different grouping — stats are
-        // only attached to groups of the same spec
-        val analyzedSpec = analyzedStats.map(_.specId)
-        val analyzed: Map[String, (Long, Map[String, Long])] =
-          analyzedStats
-            .map(_.partitions.map { p =>
-              p.partition.toSeq.sortBy(_._1)
-                .map { case (k, v) => s"$k=$v" }.mkString("/") ->
-                (p.rowCount, p.columns.map { case (k, c) => k -> c.ndv })
-            }.toMap)
-            .getOrElse(Map.empty)
-        val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
-          .map(m => store.resolvePath(meta.location, m))
-        val loc = meta.location
-        if (manifests.isEmpty) Nil
-        else spark.createDataset(manifests)
-          .repartition(math.max(1, math.min(manifests.size, 64)))
-          .flatMap(m => ManifestRead.parse(m, loc).filter(_.isData).map { f =>
-            (f.partition.toSeq.sortBy(_._1)
-              .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
-              .mkString("/"),
-              f.partition.map { case (k, v) => k -> v.orNull },
-              f.specId, f.recordCount, f.fileSizeBytes)
-          })
-          .groupByKey(_._1)
-          .mapGroups { (key, it) =>
-            val fs = it.toSeq
-            (key, fs.head._2, fs.head._3, fs.map(_._4).sum, fs.size,
-              fs.map(_._5).sum)
-          }
-          .collect().toSeq.sortBy(_._2.toSeq.sortBy(_._1).mkString(","))
-          .map { t =>
-            // analyzed_record_count counts LIVE rows (the ANALYZE scan
-            // applies merge-on-read position deletes) while record_count
-            // is the manifest's pre-delete count — on tables carrying
-            // delete files the two columns legitimately differ
-            val st = if (analyzedSpec.contains(t._3)) analyzed.get(t._1)
-              else None
-            Row(t._2, t._3, t._4, t._5, t._6,
-              st.map(s => java.lang.Long.valueOf(s._1)).orNull,
-              st.map(_._2).orNull)
-          }
-      }
-      val schema = StructType(Seq(
-        StructField("partition", MapType(StringType, StringType)),
-        StructField("spec_id", IntegerType),
-        StructField("record_count", LongType),
-        StructField("file_count", IntegerType),
-        StructField("total_size_in_bytes", LongType),
-        StructField("analyzed_record_count", LongType),
-        StructField("analyzed_ndv", MapType(StringType, LongType))))
-      new LocalRowsTable(s"$id.partitions", schema, rows)
+      // ANALYZE-committed per-partition stats for the current
+      // snapshot, keyed by the same sorted k=v rendering the
+      // manifests use (Analyze renders transform values through
+      // ColumnStat.render, identical to the write path). One small
+      // entry per partition — safe to ship inside the reader factory.
+      val analyzedStats = meta.currentSnapshotId
+        .flatMap(sid => graft.maintenance.Analyze
+          .forSnapshotPartitions(meta, sid))
+      // spec the ANALYZE grouped by: after partition evolution, old-spec
+      // file groups may RENDER identically (e.g. bucket[8] → bucket[4]
+      // keeps the field name) yet mean a different grouping — stats are
+      // only attached to groups of the same spec
+      val analyzedSpec = analyzedStats.map(_.specId)
+      val analyzed: Map[String, (Long, Map[String, Long])] =
+        analyzedStats
+          .map(_.partitions.map { p =>
+            p.partition.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString("/") ->
+              (p.rowCount, p.columns.map { case (k, c) => k -> c.ndv })
+          }.toMap)
+          .getOrElse(Map.empty)
+      val manifests = meta.currentSnapshot.toSeq.flatMap(_.manifests)
+        .map(m => store.resolvePath(meta.location, m))
+      new PartitionsTable(s"$id.partitions", manifests, meta.location,
+        analyzedSpec, analyzed)
 
     case other =>
       val (schema, smallRows) = computeSmall(store, id, meta, other)
@@ -329,6 +287,119 @@ class LocalRowsTable(tableName: String, tableSchema: StructType, rowsThunk: => S
         override def description(): String = s"LocalScan $tableName"
       }
     }
+}
+
+final case class PartitionsBucket(bucket: Int, nBuckets: Int)
+  extends InputPartition
+
+/** `t.partitions`: one row per (rendered) partition of the current
+  * snapshot, aggregated ENTIRELY executor-side. The key space is hash-
+  * bucketed into K input partitions; each reader parses the manifest
+  * list and keeps only its bucket's keys, so no per-partition row is
+  * ever assembled on the driver — at millions of partitions the driver
+  * holds nothing but the scan plan. The tradeoff is K parses of each
+  * (small, JSON) manifest across the cluster instead of a shuffle; K
+  * scales with manifest count, so the per-reader work stays bounded.
+  */
+class PartitionsTable(
+    tableName: String,
+    manifests: Seq[String],
+    location: String,
+    analyzedSpec: Option[Int],
+    analyzed: Map[String, (Long, Map[String, Long])])
+  extends Table with SupportsRead {
+
+  private val tableSchema = StructType(Seq(
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("spec_id", IntegerType),
+    StructField("record_count", LongType),
+    StructField("file_count", IntegerType),
+    StructField("total_size_in_bytes", LongType),
+    StructField("analyzed_record_count", LongType),
+    StructField("analyzed_ndv", MapType(StringType, LongType))))
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def columns(): Array[Column] =
+    GraftCatalog.structTypeToV2Columns(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val n = math.max(1, math.min(32, manifests.size / 4))
+          if (manifests.isEmpty) Array.empty
+          else (0 until n)
+            .map(i => PartitionsBucket(i, n): InputPartition).toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          PartitionsReaderFactory(tableSchema, manifests, location,
+            analyzedSpec, analyzed)
+        override def description(): String = s"PartitionsScan $tableName"
+      }
+    }
+}
+
+final case class PartitionsReaderFactory(
+    tableSchema: StructType,
+    manifests: Seq[String],
+    location: String,
+    analyzedSpec: Option[Int],
+    analyzed: Map[String, (Long, Map[String, Long])])
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = partition.asInstanceOf[PartitionsBucket]
+    new PartitionReader[InternalRow] {
+      private val converter =
+        CatalystTypeConverters.createToCatalystConverter(tableSchema)
+      private lazy val iter: Iterator[InternalRow] = {
+        // (partitionMap, specId, records, fileCount, bytes) per key —
+        // only this bucket's share of the key space
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Map[String, String], Int, Long, Int, Long)]
+        manifests.foreach { m =>
+          ManifestRead.parse(m, location).filter(_.isData).foreach { f =>
+            val key = f.partition.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
+              .mkString("/")
+            if (java.lang.Math.floorMod(key.hashCode, in.nBuckets) == in.bucket) {
+              val prev = acc.get(key)
+              acc(key) = prev match {
+                case Some((pm, sid, rec, fc, by)) =>
+                  (pm, sid, rec + f.recordCount, fc + 1,
+                    by + f.fileSizeBytes)
+                case None =>
+                  (f.partition.map { case (k, v) => k -> v.orNull },
+                    f.specId, f.recordCount, 1, f.fileSizeBytes)
+              }
+            }
+          }
+        }
+        acc.iterator.map { case (key, (pm, sid, rec, fc, by)) =>
+          // analyzed_record_count counts LIVE rows (the ANALYZE scan
+          // applies merge-on-read position deletes) while record_count
+          // is the manifest's pre-delete count — on tables carrying
+          // delete files the two columns legitimately differ
+          val st = if (analyzedSpec.contains(sid)) analyzed.get(key)
+            else None
+          converter(Row(pm, sid, rec, fc, by,
+            st.map(s => java.lang.Long.valueOf(s._1)).orNull,
+            st.map(_._2).orNull)).asInstanceOf[InternalRow]
+        }
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (iter.hasNext) { cur = iter.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class DeleteFileInput(absPath: String, specId: Int)

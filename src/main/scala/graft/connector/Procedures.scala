@@ -33,7 +33,8 @@ object Procedures {
     "analyze_table", "create_warehouse", "list_warehouses",
     "delete_warehouse", "set_delete_profile", "set_warehouse_active",
     "incremental_scan", "rewrite_position_delete_files", "changelog_scan",
-    "rollback_to_snapshot", "set_current_snapshot")
+    "rollback_to_snapshot", "set_current_snapshot",
+    "create_or_update_user", "create_role", "search_user", "search_role")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -66,6 +67,10 @@ object Procedures {
         Some(SetCurrentSnapshotProcedure(catalog, requireAncestor = true))
       case "set_current_snapshot" =>
         Some(SetCurrentSnapshotProcedure(catalog, requireAncestor = false))
+      case "create_or_update_user" => Some(CreateOrUpdateUserProcedure(catalog))
+      case "create_role" => Some(CreateRoleProcedure(catalog))
+      case "search_user" => Some(SearchUserProcedure(catalog))
+      case "search_role" => Some(SearchRoleProcedure(catalog))
       case _ => None
     }
 
@@ -282,6 +287,86 @@ final case class SearchTabularProcedure(catalog: GraftCatalog)
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] =
     DfResult(graft.admin.Admin.searchTabular(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString))
+}
+
+/** Upsert a user in the principal registry (reference:
+  * create_or_update_user, user.rs:278-335).
+  */
+final case class CreateOrUpdateUserProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_or_update_user"
+  override def description(): String = "Register or update a user"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("id", StringType),
+    Procedures.param("name", StringType),
+    Procedures.paramWithDefault("email", StringType, "NULL"),
+    Procedures.paramWithDefault("user_type", StringType, "'human'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val created = catalog.store.createOrUpdateUser(
+      input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString,
+      if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString),
+      if (input.isNullAt(3)) "human" else input.getUTF8String(3).toString)
+    val schema = StructType(Seq(
+      StructField("created", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](created))))
+  }
+}
+
+/** Create a role in the principal registry (reference: create_role,
+  * role.rs — unique name).
+  */
+final case class CreateRoleProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_role"
+  override def description(): String = "Register a role"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("id", StringType),
+    Procedures.param("name", StringType),
+    Procedures.paramWithDefault("description", StringType, "NULL"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.createRole(
+      input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString,
+      if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString))
+    val schema = StructType(Seq(
+      StructField("created", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true))))
+  }
+}
+
+/** Fuzzy user search (reference: search_user, user.rs:337-365). */
+final case class SearchUserProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "search_user"
+  override def description(): String = "Fuzzy search over registered users"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.param("query", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.searchUser(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString))
+}
+
+/** Fuzzy role search (reference: search_role, role.rs:266-285). */
+final case class SearchRoleProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "search_role"
+  override def description(): String = "Fuzzy search over registered roles"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.param("query", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.searchRole(SparkSession.active,
       catalog.store, input.getUTF8String(0).toString))
 }
 

@@ -65,6 +65,57 @@ class AdminSpec extends AnyFunSuite {
     assert(hits.length <= 10)
   }
 
+  test("search_user / search_role rank exact id first, trigram next, top-10") {
+    // registry upserts (create_or_update_user semantics: second call
+    // with the same id is an update, not a duplicate)
+    assert(spark.sql(
+      """CALL gadmin.system.create_or_update_user(
+        |  id => 'u-1', name => 'Alice Anderson',
+        |  email => 'alice@example.com')""".stripMargin)
+      .collect()(0).getBoolean(0))
+    assert(!spark.sql(
+      """CALL gadmin.system.create_or_update_user(
+        |  id => 'u-1', name => 'Alice B Anderson',
+        |  email => 'alice@example.com')""".stripMargin)
+      .collect()(0).getBoolean(0))
+    spark.sql("""CALL gadmin.system.create_or_update_user(
+      |  id => 'u-2', name => 'Alicia Andrews', email => 'alicia@example.com')""".stripMargin)
+    spark.sql("""CALL gadmin.system.create_or_update_user(
+      |  id => 'u-3', name => 'Bob Brown', user_type => 'application')""".stripMargin)
+    // exact-id leg ranks first regardless of name similarity
+    val byId = spark.sql("CALL gadmin.system.search_user(query => 'u-3')")
+      .collect()
+    assert(byId.head.getString(0) == "u-3")
+    assert(byId.head.getDouble(4) == 2.0)
+    // trigram leg: both Alices rank above Bob, closest name first
+    val fuzzy = spark.sql(
+      "CALL gadmin.system.search_user(query => 'alice anderson')")
+      .collect().map(_.getString(0)).toSeq
+    assert(fuzzy.take(2).toSet == Set("u-1", "u-2"), s"got $fuzzy")
+    assert(fuzzy.head == "u-1")
+    assert(!fuzzy.contains("u-3")) // zero-similarity rows are dropped
+
+    spark.sql(
+      "CALL gadmin.system.create_role(id => 'r-1', name => 'data-engineers')")
+    spark.sql(
+      "CALL gadmin.system.create_role(id => 'r-2', name => 'data-analysts')")
+    // duplicate role name rejected (reference unique constraint)
+    val dup = intercept[Exception] {
+      spark.sql(
+        "CALL gadmin.system.create_role(id => 'r-3', name => 'Data-Engineers')")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"))
+    val roles = spark.sql(
+      "CALL gadmin.system.search_role(query => 'data-engineer')")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(roles.head._1 == "r-1", s"got $roles")
+    assert(roles.map(_._1).contains("r-2"))
+    val byRoleId = spark.sql("CALL gadmin.system.search_role(query => 'r-2')")
+      .collect()
+    assert(byRoleId.head.getString(0) == "r-2" &&
+      byRoleId.head.getDouble(3) == 2.0)
+  }
+
   test("endpoint_statistics counts catalog operations") {
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.es (id BIGINT)")
     spark.table("gadmin.adb.es").count()

@@ -387,6 +387,70 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(result == Seq("b"))
   }
 
+  test("planning budget at ~10k files: a 1-partition query opens 1 " +
+      "manifest and plans within a wall-time bound") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.budget (id BIGINT, grp STRING,
+      v DOUBLE) PARTITIONED BY (grp)""")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val tid = graft.store.TabularId(Seq("db"), "budget")
+    val meta0 = cat.store.loadTableMetadata(tid).get._1
+
+    // synthesize the FILE COUNT the two-level pruning was built for
+    // without 10k physical writes: 100 manifests × 100 files, each
+    // manifest covering one grp partition and a disjoint id range —
+    // planning only reads manifests/summaries, never data files
+    val nManifests = 100
+    val filesPer = 100
+    val schema = meta0.currentSchema.struct
+    val snapId = 424242L
+    val manifestPaths = (0 until nManifests).map { j =>
+      val entries = (0 until filesPer).map { k =>
+        val lo = j.toLong * 100000 + k * 1000
+        graft.meta.DataFile(
+          s"${meta0.location}/data/synth-$j-$k.parquet", 1000000L, 5000L,
+          meta0.defaultSpec.specId,
+          Map("grp" -> Some(s"g$j")),
+          Map("id" -> graft.meta.ColumnStat(
+            Some(lo.toString), Some((lo + 999).toString), Some(0L))))
+      }
+      cat.store.writeManifest(meta0.location,
+        graft.meta.ManifestFile(entries, snapId), Some(schema))
+    }
+    cat.store.commitTable(tid, Nil, Seq(
+      graft.meta.TableUpdate.AddSnapshot(graft.meta.Snapshot(
+        snapId, meta0.currentSnapshotId, meta0.lastSequenceNumber + 1,
+        System.currentTimeMillis(), "append",
+        Map("added-data-files" -> (nManifests * filesPer).toString),
+        manifestPaths, meta0.currentSchemaId)),
+      graft.meta.TableUpdate.SetSnapshotRef(
+        graft.meta.TableMetadata.MainBranch,
+        graft.meta.SnapshotRef(snapId, isBranch = true))))
+
+    val meta = cat.store.loadTableMetadata(tid).get._1
+    assert(meta.currentSnapshot.get.manifests.size == nManifests)
+
+    // a 1-partition point query must open exactly ONE manifest (the
+    // other 99 prune from their summaries) and select exactly 1 file
+    import org.apache.spark.sql.sources.EqualTo
+    val g = new GraftTable(cat.store, tid, meta, None)
+    val before = graft.store.FileCatalogStore.manifestOpens.get()
+    val t0 = System.nanoTime()
+    val scan = new GraftScan(g,
+      Array(EqualTo("grp", "g42"), EqualTo("id", 4242500L)), g.schema())
+    val selected = scan.selectedFiles
+    val planMs = (System.nanoTime() - t0) / 1e6
+    val opened = graft.store.FileCatalogStore.manifestOpens.get() - before
+    assert(opened == 1, s"expected 1 manifest opened of $nManifests, got $opened")
+    assert(selected.size == 1, s"expected 1 file selected, got ${selected.size}")
+    // wall-time budget: summary pruning + one 100-entry parse. The
+    // bound is deliberately loose for CI noise but far below what
+    // parsing all 10k entries costs — a regression to O(total files)
+    // planning trips it.
+    assert(planMs < 1500, f"planning took $planMs%.0f ms at 10k files")
+  }
+
   test("ANN index probes prune files (LSH posting lists + IVF lists)") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val dim = 8
