@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected-component cluster formation over near-duplicate pairs —
+  * the last step of a dedup pipeline. Pair detectors (MinHash, SimHash,
+  * exact Jaccard) emit edges, not groups: A~B and B~C routinely arrive
+  * without A~C, so keeping "one doc per pair" both over- and
+  * under-deletes. The training set needs one survivor per CONNECTED
+  * COMPONENT of the pair graph.
+  *
+  * Algorithm: iterative min-label propagation (the Pregel
+  * connected-components kernel re-expressed on DataFrames):
+  *
+  *   label(v) ← min(label(v), min over neighbors u of label(u))
+  *
+  * repeated to fixpoint. Each round is one edge join + one
+  * map-side-combined min-groupBy — fully distributed; the driver only
+  * inspects the changed-label count. Rounds needed = longest min-label
+  * propagation path (bounded by component diameter); near-dup clusters
+  * are dense and shallow, so a handful of rounds is typical. For
+  * adversarial high-diameter graphs (a 100 TB path graph needs O(n)
+  * rounds) the alternating large-star/small-star scheme (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  * converges in O(log² n) rounds; dedup workloads don't need it, so
+  * this sticks with the simpler kernel and a maxIters guard.
+  *
+  * Every round truncates lineage via an eager localCheckpoint —
+  * without it the fixpoint loop's plan grows linearly and the
+  * optimizer re-analyzes an ever-deeper tree each round.
+  */
+object DedupClusters {
+
+  /** Cluster assignment for every node appearing in `pairs`.
+    *
+    * @param pairs    near-dup pair edges; two columns of the same type
+    * @param aCol     first endpoint column name
+    * @param bCol     second endpoint column name
+    * @param maxIters fixpoint-round bound (throws if exceeded rather
+    *                 than silently returning partial clusters)
+    * @return columns (doc_id, cluster_id): cluster_id is the minimum
+    *         node id in the component under the id type's natural
+    *         ordering — deterministic, join-free survivor choice
+    */
+  def clusters(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 50): DataFrame = {
+    // undirected: materialize both directions once; consumed every round
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged) {
+      it += 1
+      if (it > maxIters) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"DedupClusters: no fixpoint after $maxIters rounds — " +
+            "component diameter exceeds the bound; raise maxIters or " +
+            "switch to large-star/small-star for this graph shape")
+      }
+      val viaNeighbor = edges.as("e")
+        .join(labels.as("l"), col("e.u") === col("l.node"))
+        .select(col("e.v").as("node"), col("l.label").as("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so fixpoint == zero changed rows
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+}

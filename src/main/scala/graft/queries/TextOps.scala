@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,6 +23,86 @@ object TextOps {
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
+
+  /** Shared DuckDB CTE text: all doc pairs with 2-gram-shingle Jaccard
+    * ≥ t, exposed as `pairs(a, b, j)`. Consumed by the qd5 pair oracle
+    * and the qd6 clustering oracle.
+    */
+  private def pairOracleCte(t: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingles
+       |  FROM toks WHERE len(t) >= 2),
+       |pairs AS (
+       |  SELECT a, b, j FROM (
+       |    SELECT a.doc_id AS a, b.doc_id AS b,
+       |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE j >= $t)""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard ≥ t — the All-Pairs/PPJoin scheme
+    * over a dictionary-encoded corpus (design notes on the qd5 entry
+    * below). Returns (a, b, jaccard) with a < b, unordered, unrounded.
+    */
+  private[queries] def exactJaccardPairs(
+      s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
+    // the frequency pass and the encode pass)
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // rarity-ordered dense ids over the DISTINCT vocabulary:
+    // orderBy range-partitions + sorts, zipWithIndex stamps global
+    // offsets in two passes — both fully distributed
+    val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("shingle"))
+      .select(col("shingle")).rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getString(0), idx) }
+      .toDF("shingle", "sid")
+    // per-doc sorted int vector (ascending sid = rarest first); the
+    // vector is consumed 3× (prefix index + both verify legs)
+    val vecs = inv.join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("vec"))
+      .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = vecs.select(col("doc_id"), col("sz"),
+        explode(slice(col("vec"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))).as("sid"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.sid") === col("y.sid") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter: t·|A| ≤ |B| ≤ |A|/t or J < t is impossible
+          col("x.sz") * lit(t) <= col("y.sz") &&
+          col("y.sz") * lit(t) <= col("x.sz"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // exact verify confined to candidates, on int vectors
+    cands
+      .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
+        col("sz").as("sa")), "a")
+      .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb"),
+        col("sz").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("va"), col("vb"))).as("common"),
+        col("sa"), col("sb"))
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("sa") + col("sb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
 
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------- tokens
@@ -212,75 +294,47 @@ object TextOps {
     // checks the algorithm, not the plan.
     Q(
       "qd5_ngram_jaccard",
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingles
-         |  FROM toks WHERE len(t) >= 2),
-         |pairs AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b,
-         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH ${pairOracleCte(0.4)}
          |SELECT a, b, round(j, 6) AS jaccard FROM pairs
-         |WHERE j >= 0.4 ORDER BY a, b""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val t = 0.4
-      // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
-      // the frequency pass and the encode pass)
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          array_distinct(zip_with(
-            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-            (a, b) => concat(a, lit(" "), b))).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      // rarity-ordered dense ids over the DISTINCT vocabulary:
-      // orderBy range-partitions + sorts, zipWithIndex stamps global
-      // offsets in two passes — both fully distributed
-      val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df"), col("shingle"))
-        .select(col("shingle")).rdd.zipWithIndex()
-        .map { case (row, idx) => (row.getString(0), idx) }
-        .toDF("shingle", "sid")
-      // per-doc sorted int vector (ascending sid = rarest first); the
-      // vector is consumed 3× (prefix index + both verify legs)
-      val vecs = inv.join(dict, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("sid"))).as("vec"))
-        .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prefix = vecs.select(col("doc_id"), col("sz"),
-          explode(slice(col("vec"), lit(1),
-            (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))).as("sid"))
-      val cands = prefix.as("x").join(prefix.as("y"),
-          col("x.sid") === col("y.sid") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            // length filter: t·|A| ≤ |B| ≤ |A|/t or J < t is impossible
-            col("x.sz") * lit(t) <= col("y.sz") &&
-            col("y.sz") * lit(t) <= col("x.sz"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      // exact verify confined to candidates, on int vectors
-      cands
-        .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
-          col("sz").as("sa")), "a")
-        .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb"),
-          col("sz").as("sb")), "b")
-        .select(col("a"), col("b"),
-          size(array_intersect(col("va"), col("vb"))).as("common"),
-          col("sa"), col("sb"))
-        .select(col("a"), col("b"),
-          (col("common").cast(DoubleType) /
-            (col("sa") + col("sb") - col("common"))).as("j"))
-        .filter(col("j") >= t)
-        .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      exactJaccardPairs(s, dir, 0.4)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // ------------------------------------- near-dup cluster formation
+    // graft.ops.DedupClusters: connected components over the exact
+    // Jaccard pair graph (distributed min-label propagation, one
+    // join + min-groupBy per round), cluster_id = min doc_id in the
+    // component — the deterministic survivor. The transitive closure
+    // exists ONLY in the DuckDB oracle (recursive CTE); Spark's rounds
+    // are each a single distributed join.
+    Q(
+      "qd6_neardup_clusters",
+      s"""WITH RECURSIVE ${pairOracleCte(0.4)},
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_survivor,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = exactJaccardPairs(s, dir, 0.4).select(col("a"), col("b"))
+      graft.ops.DedupClusters.clusters(pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
+            .as("is_survivor"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+        .orderBy(col("doc_id"))
     },
 
     // -------------------------------------------- language identification

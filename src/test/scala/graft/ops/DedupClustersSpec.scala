@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupClustersSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-clusters-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def assignments(pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    DedupClusters.clusters(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle collapses to one cluster under the min id") {
+    assert(assignments((1L, 2L), (2L, 3L), (1L, 3L)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("disjoint components keep separate labels") {
+    assert(assignments((1L, 2L), (5L, 9L), (9L, 7L)) ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 5L, 9L -> 5L))
+  }
+
+  test("transitive chain needs multi-round propagation") {
+    // a 12-node path: the min label walks one hop per round, so this
+    // exercises ~11 fixpoint rounds, not just the first join
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val got = assignments(chain: _*)
+    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("min-id survivor is independent of edge orientation") {
+    // edges deliberately listed high-to-low; labels must still converge
+    // to the global component minimum
+    assert(assignments((9L, 3L), (3L, 7L), (7L, 1L)) ===
+      Map(1L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
+  test("maxIters guard throws instead of returning partial clusters") {
+    import spark.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      DedupClusters.clusters(chain.toDF("a", "b"), maxIters = 3).collect()
+    }
+  }
+
+  test("string document ids cluster under lexicographic minimum") {
+    import spark.implicits._
+    val got = DedupClusters
+      .clusters(Seq(("docB", "docC"), ("docA", "docC")).toDF("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
+  }
+}
