@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Deterministic sampling for training-data curation. Both variants
+  * key the decision on a content-independent md5 hash of the document
+  * id, so
+  *  - the sample is REPRODUCIBLE: re-running on the same corpus (or a
+  *    re-partitioned / re-ordered copy) selects the same documents;
+  *  - the decision is a codegen'd per-row expression — rate-based
+  *    sampling is a pure filter with no shuffle and no driver state;
+  *  - the identical expression exists in ANSI/DuckDB SQL (hex-digit
+  *    parse of md5), so sampled sets are oracle-checkable, unlike
+  *    rand()-based sampling.
+  */
+object Sampling {
+
+  /** Buckets per unit of sampling rate: 3 md5 hex digits = 12 bits. */
+  val Buckets = 4096
+
+  /** Uniform deterministic bucket in [0, 4096) from the id's md5. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 3), 16, 10).cast(IntegerType)
+
+  /** Boolean keep-expression for rate-based stratified sampling:
+    * keep iff hashBucket(id) < rate(stratum) × 4096.
+    */
+  def stratifiedKeep(
+      id: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double): Column = {
+    def thr(rate: Double) = (rate * Buckets).toInt
+    val threshold = rates.foldLeft(lit(thr(defaultRate))) {
+      case (acc, (k, rate)) => when(stratum === lit(k), thr(rate)).otherwise(acc)
+    }
+    hashBucket(id) < threshold
+  }
+
+  /** Rate-based stratified sample: one scan, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame =
+    df.filter(stratifiedKeep(col(idCol), col(stratumCol), rates, defaultRate))
+
+  /** Exact-K deterministic sample per stratum: the K rows with the
+    * smallest (hashBucket, id) — i.e. a reproducible uniform draw of
+    * exactly min(K, |stratum|) rows.
+    *
+    * Top-K is associative, so this runs the two-level tournament
+    * instead of one window per stratum: a salted partial top-K first
+    * (windows over (stratum, salt) — `salt`× the parallelism, no
+    * stratum-sized task), then the final top-K over ≤ salt×K
+    * survivors per stratum. Output is identical to the single-window
+    * plan; only the physical shape changes.
+    */
+  def exactKSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: Int = 16): DataFrame = {
+    require(k > 0 && salt > 0)
+    val u = hashBucket(col(idCol))
+    val partial = df
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salt)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(stratumCol), col("_salt"))
+          .orderBy(u, col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk", "_salt")
+    partial
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(u, col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+}

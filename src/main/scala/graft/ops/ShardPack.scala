@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget shard packing for training-data export: assign each
+  * document to the shard where its global token offset starts, so
+  * shards are contiguous in document order and hold ≈ `budget` tokens
+  * (a document never splits; a shard can exceed the budget by at most
+  * one document's weight).
+  *
+  * The kernel is a GLOBAL prefix sum, and the naive formulation — one
+  * `SUM OVER (ORDER BY id)` window with no PARTITION BY — collapses to
+  * a single task at scale. This runs the classic distributed scan
+  * instead:
+  *
+  *   1. range-partition by id (disjoint ordered ranges, K partitions)
+  *   2. per-partition inclusive cumsum — a window PARTITIONED by the
+  *      range bucket, so all K buckets run in parallel
+  *   3. per-partition totals (K rows) to the driver; exclusive
+  *      partition offsets broadcast back as a K-row join
+  *
+  * Result is invariant to where the range boundaries land, so the
+  * sampling inside repartitionByRange never affects output — only the
+  * parallelism.
+  */
+object ShardPack {
+
+  /** @param df        input; one row per document
+    * @param idCol     globally unique, orderable id column
+    * @param weightCol per-row weight (token count); cast to long
+    * @param budget    target weight per shard, > 0
+    * @return (idCol, weight, start_offset, shard_id): start_offset is
+    *         the exclusive prefix sum of weight in id order;
+    *         shard_id = floor(start_offset / budget)
+    */
+  def pack(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "shard budget must be positive")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    // persisted: the partition-id column must be IDENTICAL for the
+    // totals pass and the cumsum pass
+    val data = df
+      .select(col(idCol), col(weightCol).cast(LongType).as("_w"))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("_part", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val w = Window.partitionBy(col("_part")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = data.withColumn("_local_end", sum(col("_w")).over(w))
+
+    // K partition totals -> exclusive global offsets, driver-side
+    // (K rows, not data rows)
+    val totals = data.groupBy(col("_part")).agg(sum(col("_w")).as("_t"))
+      .orderBy(col("_part")).collect()
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_part", "_off")
+
+    val startOff = col("_local_end") - col("_w") + col("_off")
+    local.join(broadcast(offDf), Seq("_part"))
+      .select(col(idCol), col("_w").as("weight"),
+        startOff.as("start_offset"),
+        floor(startOff / lit(budget.toDouble)).cast(LongType).as("shard_id"))
+  }
+}

@@ -402,6 +402,99 @@ object TextOps {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // --------------------------------------- token-budget shard packing
+    // graft.ops.ShardPack: contiguous-in-id shards of ≈8192 tokens via
+    // a DISTRIBUTED prefix sum (range partition → per-bucket window
+    // cumsum → K driver-side offsets broadcast back). The oracle's
+    // single global window is exactly the plan the operator exists to
+    // avoid — DuckDB runs it single-node where that's fine.
+    Q(
+      "qt5_token_shard_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id, len(regexp_extract_all(text, '$tokenRe')) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |      AS start_offset
+         |  FROM t)
+         |SELECT CAST(FLOOR(start_offset / 8192.0) AS BIGINT) AS shard_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+            .as("n_tokens"))
+      graft.ops.ShardPack.pack(docs, "doc_id", "n_tokens", budget = 8192L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    },
+
+    // ------------------------------------ deterministic stratified sample
+    // graft.ops.Sampling: md5-keyed rate-based downsampling per lang
+    // (en kept at 25%, zh at 50%, rest whole) — a codegen'd filter
+    // with NO shuffle and no rand() (reproducible and
+    // oracle-checkable). id_checksum pins the exact sampled id set,
+    // not just its size.
+    Q(
+      "qt6_stratified_sample",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS u,
+         |    CASE lang WHEN 'en' THEN 1024 WHEN 'zh' THEN 2048 ELSE 4096 END AS thr
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN u < thr THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val keep = graft.ops.Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1).otherwise(0)).cast(LongType).as("n_sampled"),
+          sum(when(keep, col("doc_id")).otherwise(0)).as("id_checksum"))
+        .orderBy(col("lang"))
+    },
+
+    // --------------------------------------- exact-K per-stratum sample
+    // graft.ops.Sampling.exactKSample: exactly min(K, |stratum|) rows
+    // per lang, drawn by smallest (md5-bucket, id) through a salted
+    // two-level tournament — no stratum-sized window task. The oracle
+    // is the single-window formulation; outputs must agree exactly.
+    Q(
+      "qt7_exactk_sample",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+         |  FROM h)
+         |SELECT lang, COUNT(*) AS n_sampled,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM r WHERE rk <= 50 GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Sampling.exactKSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang", k = 50)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("lang"))
     }
   )
 }

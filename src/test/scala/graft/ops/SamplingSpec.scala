@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sampling-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang").persist()
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val s1 = Sampling.stratifiedSample(corpus, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+    val s2 = Sampling.stratifiedSample(
+      corpus.repartition(11), "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2), "sample must not depend on partitioning")
+
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = corpus.filter(col("lang") === "en").count()
+    val deTotal = corpus.filter(col("lang") === "de").count()
+    assert(byLang("de") === deTotal, "default rate 1.0 keeps everything")
+    val enRate = byLang("en").toDouble / enTotal
+    assert(enRate > 0.15 && enRate < 0.35,
+      s"en rate $enRate should be near 0.25")
+  }
+
+  test("rate 0 drops the stratum entirely") {
+    val s = Sampling.stratifiedSample(corpus, "doc_id", "lang",
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(s.filter(col("lang") === "en").count() === 0L)
+  }
+
+  test("exactKSample matches the single-window reference plan exactly") {
+    val got = Sampling.exactKSample(corpus, "doc_id", "lang", k = 37, salt = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val u = Sampling.hashBucket(col("doc_id"))
+    val ref = corpus
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(u, col("doc_id"))))
+      .filter(col("rk") <= 37)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(ref))
+    assert(got.length === 74, "exactly K per stratum when strata are large")
+  }
+
+  test("exactKSample returns the whole stratum when it has fewer than K rows") {
+    import spark.implicits._
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang")
+    val got = Sampling.exactKSample(tiny, "doc_id", "lang", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)))
+  }
+}

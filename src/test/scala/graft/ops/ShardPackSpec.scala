@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShardPackSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-shardpack-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("start offsets equal the sequential prefix sum regardless of partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, 1 + rnd.nextInt(40)))
+    // deliberately shuffled input order and a skewed partition count
+    val df = spark.createDataset(rnd.shuffle(rows)).repartition(7)
+      .toDF("doc_id", "w")
+    val got = ShardPack.pack(df, "doc_id", "w", budget = 100L, numPartitions = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, w) =>
+      val o = acc; acc += w; (id, w.toLong, o, o / 100L)
+    }
+    assert(got.toSeq === expect)
+  }
+
+  test("a document never splits and shards are contiguous in id order") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, 30L)).toDF("doc_id", "w")
+    val packed = ShardPack.pack(df, "doc_id", "w", budget = 100L)
+      .orderBy("doc_id").collect()
+    // shard ids are non-decreasing in doc order and start at 0
+    val shards = packed.map(_.getLong(3))
+    assert(shards.head === 0L)
+    assert(shards.sliding(2).forall(p => p(1) - p(0) >= 0))
+    // every shard's token total ≤ budget + max single weight
+    val totals = packed.groupBy(_.getLong(3)).map { case (_, rs) =>
+      rs.map(_.getLong(1)).sum
+    }
+    assert(totals.forall(_ <= 100L + 30L))
+  }
+
+  test("single-row and empty inputs") {
+    import spark.implicits._
+    val one = ShardPack.pack(Seq((5L, 7L)).toDF("doc_id", "w"), "doc_id", "w", 10L)
+      .collect()
+    assert(one.length === 1 && one.head.getLong(2) === 0L &&
+      one.head.getLong(3) === 0L)
+    val none = ShardPack.pack(
+      Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", "w", 10L).collect()
+    assert(none.isEmpty)
+  }
+}
