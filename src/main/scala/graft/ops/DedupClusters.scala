@@ -69,18 +69,22 @@ object DedupClusters {
             "component diameter exceeds the bound; raise maxIters or " +
             "switch to large-star/small-star for this graph shape")
       }
+      // each node's own row carries its previous label through the
+      // min-groupBy (max over one non-null + nulls), so the changed
+      // count is a scan of the checkpointed result — no compare join
       val viaNeighbor = edges.as("e")
         .join(labels.as("l"), col("e.u") === col("l.node"))
-        .select(col("e.v").as("node"), col("l.label").as("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("e.v").as("node"), col("l.label").as("label"),
+          lit(null).cast(labels.schema("label").dataType).as("prev"))
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("prev"))
+        .union(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
       // labels only ever decrease, so fixpoint == zero changed rows
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
     }
     edges.unpersist()
