@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-likelihood quality scoring — the unigram cousin of the
+  * perplexity filtering used by CCNet-style training-data pipelines
+  * (score each document by how typical its tokens are of the corpus;
+  * flag the tail).
+  *
+  * Design constraints, both load-bearing:
+  *
+  *  - BOUNDED MODEL: the token-probability table is capped at the
+  *    top-V tokens by (count desc, token) — same move as the
+  *    language-ID profiles — so scoring is a broadcast join of ≤ V
+  *    rows at ANY corpus size; out-of-vocabulary tokens contribute 0.
+  *    The top-V itself is orderBy(...).limit(V), which Spark plans as
+  *    TakeOrderedAndProject: per-partition partial top-V, then a
+  *    V-row merge — never a global sort.
+  *
+  *  - DETERMINISTIC ARITHMETIC: probabilities are parts-per-million
+  *    LONGS via integer division ((1000000·c) div N), and per-doc
+  *    scores are long-sum ratios — no floating-point log/exp whose
+  *    last-ulp behavior differs across engines, so results are
+  *    EXACTLY reproducible and oracle-checkable. A doc's score is
+  *    mean token ppm = sum(ppm over token OCCURRENCES) div n_tokens.
+  */
+object UnigramLM {
+
+  /** Parts-per-million fixed-point scale. */
+  val Scale = 1000000L
+
+  /** Token-probability model: (token, ppm) for the top-V tokens.
+    *
+    * @param tok one row per token OCCURRENCE, column `tokCol`
+    */
+  def model(tok: DataFrame, tokCol: String, topV: Int): DataFrame = {
+    val cnt = tok.groupBy(col(tokCol)).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    cnt.orderBy(col("c").desc, col(tokCol)).limit(topV)
+      .crossJoin(broadcast(tot))
+      .select(col(tokCol), expr(s"($Scale * c) div n").as("ppm"))
+  }
+
+  /** Mean token ppm per document (long; OOV tokens score 0).
+    *
+    * @param tok    one row per token occurrence with the doc's key
+    *               columns intact
+    * @param keyCols grouping columns carried to the output
+    */
+  def docScores(
+      tok: DataFrame,
+      tokCol: String,
+      keyCols: Seq[String],
+      topV: Int): DataFrame = {
+    val m = model(tok, tokCol, topV)
+    tok.join(broadcast(m), Seq(tokCol), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("sum(coalesce(ppm, 0)) div count(1)").as("mean_ppm"))
+  }
+}

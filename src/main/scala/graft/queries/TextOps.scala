@@ -495,6 +495,48 @@ object TextOps {
           .agg(count(lit(1)).as("n_sampled"),
             sum(col("doc_id")).as("id_checksum"))
           .orderBy(col("lang"))
+    },
+
+    // ------------------------------------ corpus-likelihood scoring
+    // graft.ops.UnigramLM: CCNet-style quality filtering by corpus
+    // typicality, in deterministic fixed-point (token probabilities as
+    // ppm longs via integer division; per-doc score = mean token ppm)
+    // so the oracle matches bit-for-bit — no cross-engine float log
+    // drift. The top-5000 model is broadcast-bounded at any corpus
+    // size; the top-V runs as TakeOrderedAndProject, not a global sort.
+    Q(
+      "qt8_unigram_logprob",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '$tokenRe')) AS t
+         |  FROM documents),
+         |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+         |topv AS (
+         |  SELECT t, c FROM (
+         |    SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt)
+         |  WHERE rk <= 5000),
+         |ppm AS (
+         |  SELECT t, (1000000 * c) // (SELECT n FROM tot) AS ppm FROM topv),
+         |docscore AS (
+         |  SELECT doc_id, lang,
+         |    CAST(SUM(COALESCE(ppm, 0)) // COUNT(*) AS BIGINT) AS mean_ppm
+         |  FROM tok LEFT JOIN ppm USING (t)
+         |  GROUP BY doc_id, lang)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN mean_ppm < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low_quality,
+         |  CAST(SUM(mean_ppm) AS BIGINT) AS ppm_checksum
+         |FROM docscore GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).as("t"))
+      graft.ops.UnigramLM.docScores(tok, "t", Seq("doc_id", "lang"), topV = 5000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mean_ppm") < 500, 1).otherwise(0)).cast(LongType)
+            .as("n_low_quality"),
+          sum(col("mean_ppm")).as("ppm_checksum"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnigramLMSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-unigram-lm-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("model is capped at topV with deterministic count-then-token ties") {
+    import spark.implicits._
+    // 4 distinct tokens; "bb" and "cc" tie on count — "bb" wins the
+    // final slot lexicographically
+    val tok = Seq("aa", "aa", "aa", "bb", "bb", "cc", "cc", "dd")
+      .map(Tuple1(_)).toDF("t")
+    val m = UnigramLM.model(tok, "t", topV = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("aa", "bb"))
+    // 8 occurrences total: aa = 3/8 = 375000 ppm, bb = 2/8 = 250000
+    assert(m("aa") === 375000L && m("bb") === 250000L)
+  }
+
+  test("docScores: OOV tokens contribute zero; score is mean over occurrences") {
+    import spark.implicits._
+    val tok = Seq(
+      (1L, "aa"), (1L, "aa"), (1L, "zz"),
+      (2L, "zz"), (2L, "zz")).toDF("doc_id", "t")
+    // topV=1 keeps only "zz" (count 3 beats "aa"'s 2): 3 of 5
+    // occurrences -> 600000 ppm; "aa" is OOV and scores 0
+    val got = UnigramLM.docScores(tok, "t", Seq("doc_id"), topV = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: (0 + 0 + 600000) div 3 = 200000; doc 2: (600000+600000) div 2
+    assert(got === Map(1L -> 200000L, 2L -> 600000L))
+  }
+}
