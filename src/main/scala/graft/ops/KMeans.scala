@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Distributed Lloyd's k-means over an embedding column — the IVF
+  * training path (random centroids make unbalanced inverted lists;
+  * trained centroids equalize list sizes, which is what bounds probe
+  * fan-out at scale).
+  *
+  * Shape per iteration: ASSIGN is a single scan with the argmin over
+  * k broadcast centroid literals evaluated per row (no join, no
+  * shuffle); UPDATE is one posexplode + map-side-combined avg groupBy
+  * on (cid, dim) — k×dim result rows to the driver, never the data.
+  * Driver state is k×dim doubles; everything else stays distributed.
+  *
+  * Determinism (the result is DuckDB-oracle-checkable):
+  *  - seeds are the k vectors with the smallest (md5-bucket, id) —
+  *    the same reproducible draw as [[Sampling]];
+  *  - assignment breaks distance ties by ascending centroid id;
+  *  - every updated centroid dimension is rounded to 6 decimals
+  *    (HALF_UP, matching SQL round()), so float summation noise from
+  *    either engine is quantized away between iterations;
+  *  - a cluster that receives no vectors is DROPPED (both engines
+  *    derive surviving centroids from the same grouped result).
+  */
+object KMeans {
+
+  /** One centroid: stable id (seed rank, 1-based) + rounded vector. */
+  final case class Centroid(cid: Int, v: Array[Double])
+
+  /** Sequential left-fold dot product in double precision (same
+    * summation order as DuckDB's list_dot_product).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotLit(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedlit(c.toSeq), (x, p) => x.cast(DoubleType) * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ||e−c||² ranking term ||c||² − 2·e·c (||e||² is row-constant). */
+  private def rankDist(emb: Column, c: Array[Double]): Column = {
+    val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+    lit(cNormSq) - lit(2.0) * dotLit(emb, c)
+  }
+
+  /** Assigned centroid id: argmin of rank distance, first minimum in
+    * ascending-cid order on ties.
+    */
+  def assignCol(emb: Column, cents: Seq[Centroid]): Column = {
+    val sorted = cents.sortBy(_.cid)
+    val dists = array(sorted.map(c => rankDist(emb, c.v)): _*)
+    val cids = array(sorted.map(c => lit(c.cid)): _*)
+    element_at(cids, array_position(dists, array_min(dists)).cast(IntegerType))
+  }
+
+  /** Full squared distance to the assigned centroid. */
+  def assignedDist(emb: Column, cents: Seq[Centroid]): Column = {
+    val sorted = cents.sortBy(_.cid)
+    val dists = array(sorted.map(c => rankDist(emb, c.v)): _*)
+    dot(emb, emb) + array_min(dists)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train k centroids with `iters` Lloyd iterations.
+    *
+    * @param df     input; `idCol` orderable unique id, `embCol` a
+    *               numeric array column (cast up to double)
+    * @return surviving centroids, ascending cid
+    */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int): Seq[Centroid] = {
+    require(k > 0 && iters >= 0)
+    val emb = df.select(col(idCol), col(embCol).as("v"))
+
+    // deterministic seed draw: smallest (md5-bucket, id), cid = rank
+    var cents: Seq[Centroid] = emb
+      .orderBy(Sampling.hashBucket(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        Centroid(i + 1,
+          r.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue).toArray)
+      }.toSeq
+
+    for (_ <- 1 to iters) {
+      val upd = emb
+        .select(assignCol(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+      cents = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        val v = rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2)))
+        Centroid(cid, v.toArray)
+      }.sortBy(_.cid)
+    }
+    cents
+  }
+
+  /** DuckDB oracle: the identical computation (seed draw, `iters`
+    * unrolled assign/update rounds, per-cluster stats) in SQL over the
+    * `embeddings` parquet table. Kept as generated SQL for the same
+    * reason as [[SimHash.duckDbOracle]]: the unrolling is mechanical.
+    */
+  def duckDbOracle(k: Int, iters: Int, dim: Int): String = {
+    val hb = (p: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)"
+    val bucket = s"${hb(1)} * 256 + ${hb(2)} * 16 + ${hb(3)}"
+    def assign(a: String, cPrev: String) =
+      s"""$a AS (
+         |  SELECT vec_id, v, cid, d FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v) AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cid) AS rk
+         |    FROM e, $cPrev c) WHERE rk = 1)""".stripMargin
+    def update(cNext: String, a: String) =
+      s"""$cNext AS (
+         |  SELECT cid, list(round(m, 6) ORDER BY i) AS v FROM (
+         |    SELECT cid, i, AVG(v[i]) AS m
+         |    FROM $a, range(1, ${dim + 1}) t(i) GROUP BY cid, i)
+         |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i"))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id, v FROM e ORDER BY $bucket, vec_id LIMIT $k),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY $bucket, vec_id) AS cid, v
+       |  FROM seeds),
+       |$rounds,
+       |${assign("afinal", s"c$iters")}
+       |SELECT a.cid AS list_id, COUNT(*) AS n_vectors,
+       |  round(MAX(list_dot_product(c.v, c.v)), 4) AS centroid_norm,
+       |  round(AVG(list_dot_product(a.v, a.v) + a.d), 4) AS mean_sq_dist
+       |FROM afinal a JOIN c$iters c ON a.cid = c.cid
+       |GROUP BY a.cid ORDER BY list_id""".stripMargin
+  }
+}

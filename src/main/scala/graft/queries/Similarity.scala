@@ -209,6 +209,40 @@ object Similarity {
           count(lit(1)).as("n_vecs"),
           round(avg(dot(col("embedding"), col("embedding"))), 6).as("avg_sq_norm"))
         .orderBy(col("label"))
+    },
+
+    // ------------------------------------------ IVF centroid training
+    // graft.ops.KMeans: distributed Lloyd's iterations (assign = argmin
+    // over broadcast centroid literals, one scan, no shuffle; update =
+    // posexplode + avg groupBy returning k×dim rows). Deterministic
+    // md5-keyed seeds, 6-decimal centroid quantization between rounds,
+    // ascending-cid tie-break — so the DuckDB oracle (the same two
+    // unrolled rounds in SQL) matches exactly. Output: per-list sizes
+    // and dispersion, the balance diagnostic IVF training exists for.
+    Q("qs6_kmeans_train", graft.ops.KMeans.duckDbOracle(k = 8, iters = 2,
+      dim = AnnDim)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val normOf = cents.map { c =>
+        val n = c.v.foldLeft(0.0)((a, x) => a + x * x)
+        c.cid -> BigDecimal(n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+      val normExpr = normOf.foldLeft(lit(null).cast(DoubleType)) {
+        case (acc, (cid, n)) => when(col("list_id") === cid, n).otherwise(acc)
+      }
+      emb
+        .select(
+          graft.ops.KMeans.assignCol(col("embedding"), cents).as("list_id"),
+          graft.ops.KMeans.assignedDist(col("embedding"), cents).as("d"))
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("d")), 4).as("mean_sq_dist"))
+        .select(col("list_id").cast(LongType).as("list_id"),
+          col("n_vectors"), normExpr.as("centroid_norm"),
+          col("mean_sq_dist"))
+        .orderBy(col("list_id"))
     }
   )
 }

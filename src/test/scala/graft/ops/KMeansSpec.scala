@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kmeans-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // two tight blobs far apart: k=2 must split them exactly in one round
+  private lazy val blobs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 60L).map { i =>
+      val center = if (i % 2 == 0) 0.0 else 100.0
+      (i, Array.fill(4)((center + rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("separated blobs are recovered and assignment is consistent") {
+    val cents = KMeans.train(blobs, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.size === 2)
+    val centers = cents.map(_.v.sum / 4).sorted
+    assert(math.abs(centers(0)) < 2.0 && math.abs(centers(1) - 100.0) < 2.0)
+
+    val assigned = blobs
+      .select(col("vec_id"), KMeans.assignCol(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all evens together, all odds together
+    assert(assigned.filterKeys(_ % 2 == 0).values.toSet.size === 1)
+    assert(assigned.filterKeys(_ % 2 == 1).values.toSet.size === 1)
+    assert(assigned(0L) !== assigned(1L))
+  }
+
+  test("training is invariant to input partitioning") {
+    val a = KMeans.train(blobs, "vec_id", "embedding", k = 3, iters = 2)
+    val b = KMeans.train(blobs.repartition(7), "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(a.map(c => (c.cid, c.v.toSeq)) === b.map(c => (c.cid, c.v.toSeq)))
+  }
+
+  test("iters=0 returns the deterministic seed draw") {
+    val a = KMeans.train(blobs, "vec_id", "embedding", k = 4, iters = 0)
+    val b = KMeans.train(blobs, "vec_id", "embedding", k = 4, iters = 0)
+    assert(a.map(_.cid) === Seq(1, 2, 3, 4))
+    assert(a.map(_.v.toSeq) === b.map(_.v.toSeq))
+  }
+}
