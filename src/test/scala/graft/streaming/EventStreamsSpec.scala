@@ -209,4 +209,62 @@ class EventStreamsSpec extends AnyFunSuite {
         s"1-file budget must split the 3 snapshots into >=3 batches, got $nonEmpty")
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicate deliveries, first arrival wins") {
+    // stage the events file TWICE (every event delivered twice, in
+    // separate source files) plus a third file with a fresh event
+    val dir = Files.createTempDirectory("graft-dedup-src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+    val q = EventStreams.dedupWithinHorizon(src, Seq("event_id"),
+      horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batchDistinct = spark.read.parquet(s"$dir/a.parquet").count()
+    val streamed = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink")
+      .collect().head
+    assert(streamed.getLong(0) === batchDistinct,
+      "duplicated deliveries must collapse to the distinct event set")
+    assert(streamed.getLong(0) === streamed.getLong(1))
+  }
+
+  test("fingerprint dedup collapses content-identical rows and keeps the fp column off the output") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fpdedup-src")
+    // same content under different event ids -> one survivor per text
+    Seq((1L, 1000L, "same text"), (2L, 2000L, "same text"),
+      (3L, 3000L, "other text"))
+      .toDF("event_id", "sec", "body")
+      .write.parquet(s"$dir/in.parquet")
+    val src = spark.readStream
+      .schema("event_id LONG, sec LONG, body STRING")
+      .parquet(s"$dir/in.parquet")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+
+    val q = EventStreams.dedupByFingerprint(src, Seq("body"), "1 hour")
+      .writeStream.format("memory").queryName("fp_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fpdedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.sql("SELECT body FROM fp_sink").collect()
+      .map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("other text", "same text"))
+    assert(!spark.table("fp_sink").columns.contains("_fp"))
+  }
 }
