@@ -40,6 +40,14 @@ class SamplingSpec extends AnyFunSuite {
       s"en rate $enRate should be near 0.25")
   }
 
+  test("rate-based sampling plans as a pure filter — no shuffle, no window") {
+    val plan = Sampling.stratifiedSample(corpus, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in sampling plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in sampling plan:\n$plan")
+  }
+
   test("rate 0 drops the stratum entirely") {
     val s = Sampling.stratifiedSample(corpus, "doc_id", "lang",
       Map("en" -> 0.0), defaultRate = 1.0)

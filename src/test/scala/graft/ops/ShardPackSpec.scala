@@ -47,6 +47,18 @@ class ShardPackSpec extends AnyFunSuite {
     assert(totals.forall(_ <= 100L + 30L))
   }
 
+  test("plan never funnels data through a single partition") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, 1L)).toDF("doc_id", "w")
+    val plan = ShardPack.pack(df, "doc_id", "w", budget = 10L)
+      .queryExecution.executedPlan.toString
+    // the global window formulation would show 'Exchange SinglePartition'
+    // feeding the Window; the distributed scan must not
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in plan:\n$plan")
+    assert(plan.contains("Window"), "per-bucket cumsum window expected")
+  }
+
   test("single-row and empty inputs") {
     import spark.implicits._
     val one = ShardPack.pack(Seq((5L, 7L)).toDF("doc_id", "w"), "doc_id", "w", 10L)
