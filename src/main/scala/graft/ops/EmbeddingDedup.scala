@@ -53,7 +53,11 @@ object EmbeddingDedup {
     * same rounded cosine verification — so the correctness gate checks
     * the operator itself, not a weaker property of its output.
     */
-  def duckDbOracle(threshold: Double, dim: Int, l: Int = 4, bits: Int = 8,
+  /** The oracle's CTE body alone (exposes `scored(a, b, cos_sim)`), so
+    * composite-pipeline oracles (hybrid dedup) can build on the same
+    * pair set.
+    */
+  def duckDbOracleCtes(dim: Int, l: Int = 4, bits: Int = 8,
       seed: Long = 42L): String = {
     val planes = Ann.planes(l, bits, dim, seed)
     def planeLit(p: Array[Double]): String =
@@ -65,7 +69,7 @@ object EmbeddingDedup {
     val bucketCols = planes.zipWithIndex
       .map { case (tp, t) => s"${bucketExpr(tp)} AS b$t" }.mkString(",\n  ")
     val anyBucket = (0 until l).map(t => s"x.b$t = y.b$t").mkString(" OR ")
-    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
        |  $bucketCols
        |FROM ev),
@@ -76,9 +80,13 @@ object EmbeddingDedup {
        |  SELECT a, b,
        |    round(list_dot_product(va, vb) /
        |          (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+  }
+
+  def duckDbOracle(threshold: Double, dim: Int, l: Int = 4, bits: Int = 8,
+      seed: Long = 42L): String =
+    s"""WITH ${duckDbOracleCtes(dim, l, bits, seed)}
        |SELECT a, b, cos_sim FROM scored
        |WHERE cos_sim >= $threshold
        |ORDER BY a, b""".stripMargin
-  }
 }

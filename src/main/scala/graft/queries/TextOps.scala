@@ -337,6 +337,59 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ----------------------------------------- hybrid dedup pipeline
+    // The end-to-end shape of a production dedup pass: edge sources of
+    // DIFFERENT modalities — exact text duplicates (md5 fingerprint
+    // groups) ∪ embedding near-duplicates (sign-LSH + cosine ≥ 0.3,
+    // the qs5 operator, treating vec_id as the document's vector) —
+    // fused into one graph and clustered by DedupClusters, one
+    // survivor per component. Neither source alone finds these
+    // clusters; the composition is the operator.
+    Q(
+      "qd7_hybrid_dedup",
+      s"""WITH RECURSIVE ${graft.ops.EmbeddingDedup.duckDbOracleCtes(
+             dim = 64, l = 4, bits = 8, seed = 42L)},
+         |tfp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |tpairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b FROM tfp x JOIN tfp y
+         |  ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |allpairs AS (
+         |  SELECT a, b FROM tpairs
+         |  UNION
+         |  SELECT a, b FROM scored WHERE cos_sim >= 0.3),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM allpairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM allpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_survivor,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val textPairs = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val embPairs = graft.ops.EmbeddingDedup.nearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, l = 4, bits = 8, seed = 42L)
+        .select(col("a"), col("b"))
+      graft.ops.DedupClusters.clusters(textPairs.union(embPairs))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
+            .as("is_survivor"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
     // -------------------------------------------- language identification
     // N-gram-frequency language ID (Cavnar–Trenkle-style, simplified to
     // unigram count profiles): train per-language token profiles from
