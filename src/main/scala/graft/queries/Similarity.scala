@@ -221,7 +221,11 @@ object Similarity {
     // and dispersion, the balance diagnostic IVF training exists for.
     Q("qs6_kmeans_train", graft.ops.KMeans.duckDbOracle(k = 8, iters = 2,
       dim = AnnDim)) { (s, dir) =>
+      // persisted once: the seed draw, each Lloyd round (assign +
+      // update), and the final stats pass are all full scans of the
+      // same vectors
       val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
         k = 8, iters = 2)
       val normOf = cents.map { c =>
