@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object TimeClusters {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def time[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $l: ${(System.nanoTime()-t0)/1e9}%.2f s"); r }
+    // materialize the qd7 edge set locally, then time clustering alone
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val textPairs = fp.as("x").join(fp.as("y"),
+      col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val embPairs = graft.ops.EmbeddingDedup.nearDupPairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+      threshold = 0.3, dim = 64).select(col("a"), col("b"))
+    val local = time("pair materialize")(
+      textPairs.union(embPairs).collect().map(r => (r.getLong(0), r.getLong(1))))
+    println(s"[time] n_edges=${local.length}")
+    val pairsDf = local.toSeq.toDF("a", "b")
+    time("clusters cold")(graft.ops.DedupClusters.clusters(pairsDf).count())
+    time("clusters warm")(graft.ops.DedupClusters.clusters(pairsDf).count())
+    spark.stop()
+  }
+}

@@ -29,11 +29,11 @@ class DedupClustersSpec extends AnyFunSuite {
   }
 
   test("transitive chain needs multi-round propagation") {
-    // a 12-node path: the min label walks one hop per round, so this
-    // exercises ~11 fixpoint rounds, not just the first join
-    val chain = (1L until 12L).map(i => (i, i + 1))
+    // a 40-node path: the min label walks one hop per round, so this
+    // exercises ~39 fixpoint rounds, not just the first join
+    val chain = (1L until 40L).map(i => (i, i + 1))
     val got = assignments(chain: _*)
-    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+    assert(got === (1L to 40L).map(_ -> 1L).toMap)
   }
 
   test("min-id survivor is independent of edge orientation") {
@@ -45,7 +45,7 @@ class DedupClustersSpec extends AnyFunSuite {
 
   test("maxIters guard throws instead of returning partial clusters") {
     import spark.implicits._
-    val chain = (1L until 12L).map(i => (i, i + 1))
+    val chain = (1L until 400L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {
       DedupClusters.clusters(chain.toDF("a", "b"), maxIters = 3).collect()
     }
