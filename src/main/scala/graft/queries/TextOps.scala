@@ -79,14 +79,28 @@ object TextOps {
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = vecs.select(col("doc_id"), col("sz"),
-        explode(slice(col("vec"), lit(1),
-          (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))).as("sid"))
+        posexplode(slice(col("vec"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")))
+          .as(Seq("pos", "sid")))
+    // J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|). With both vectors in the
+    // same global rarity order, a pair's FIRST prefix collision at
+    // 0-based positions (px, py) has no common tokens before it, so
+    // the true overlap is ≤ 1 + min(|A|−px−1, |B|−py−1) — PPJoin's
+    // positional filter (Xiao et al. '08). ANY-collision semantics
+    // (the distinct) keeps soundness: a qualifying pair always passes
+    // at its first collision. The 1e-9 slack only ADMITS borderline
+    // candidates — false positives die in verification, false
+    // negatives would be correctness bugs.
+    val overlapReq =
+      (col("x.sz") + col("y.sz")) * lit(t / (1 + t)) - lit(1e-9)
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.sid") === col("y.sid") &&
           col("x.doc_id") < col("y.doc_id") &&
           // length filter: t·|A| ≤ |B| ≤ |A|/t or J < t is impossible
           col("x.sz") * lit(t) <= col("y.sz") &&
-          col("y.sz") * lit(t) <= col("x.sz"))
+          col("y.sz") * lit(t) <= col("x.sz") &&
+          (lit(1) + least(col("x.sz") - col("x.pos") - 1,
+            col("y.sz") - col("y.pos") - 1)) >= overlapReq)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact verify confined to candidates, on int vectors
