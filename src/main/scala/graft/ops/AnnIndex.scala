@@ -31,6 +31,11 @@ object AnnIndex {
   /** Assign every vector to its nearest centroid and write the corpus
     * partitioned by `list_id` (offline index build; rebuild on codebook
     * change).
+    *
+    * @param centroids codebook override — pass [[KMeans.train]] output
+    *                  vectors for TRAINED lists (balanced sizes bound
+    *                  probe fan-out); default is the seeded random
+    *                  codebook. Probes must use the same codebook.
     */
   def buildIvf(
       df: DataFrame,
@@ -38,8 +43,9 @@ object AnnIndex {
       embCol: String,
       numLists: Int,
       dim: Int,
-      seed: Long = 42L): Unit = {
-    val cents = Ivf.centroids(numLists, dim, seed)
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(Ivf.centroids(numLists, dim, seed))
     df.withColumn("list_id", Ivf.listId(col(embCol), cents))
       .writeTo(table)
       .partitionedBy(col("list_id"))
@@ -58,8 +64,10 @@ object AnnIndex {
       k: Int,
       numLists: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val cents = Ivf.centroids(numLists, queryVec.length, seed)
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(Ivf.centroids(numLists, queryVec.length, seed))
     val probes = Ivf.probeLists(queryVec, cents, nprobe)
     val qLit = typedlit(queryVec.toSeq)
     index

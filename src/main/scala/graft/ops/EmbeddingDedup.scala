@@ -48,17 +48,54 @@ object EmbeddingDedup {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** DuckDB oracle simulating the IDENTICAL pipeline — same plane
-    * literals, same sign-bit buckets, same any-table candidate rule,
-    * same rounded cosine verification — so the correctness gate checks
-    * the operator itself, not a weaker property of its output.
+  /** Cross-set near-dup: for each `newDf` row, the `corpusDf` rows
+    * whose cosine clears the threshold — the INCREMENTAL-dedup kernel
+    * (dedup a new batch against the historical corpus without
+    * re-pairing the corpus with itself). Same sign-LSH candidate rule
+    * as [[nearDupPairs]] but the bucket join is two-sided: cost scales
+    * with |new| × bucket density, never with |corpus|².
+    *
+    * @return (new_id, corpus_id, cos_sim)
     */
-  /** The oracle's CTE body alone (exposes `scored(a, b, cos_sim)`), so
-    * composite-pipeline oracles (hybrid dedup) can build on the same
-    * pair set.
+  def crossNearDups(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int,
+      l: Int = 4,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = Ann.planes(l, bits, dim, seed)
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    def banded(base: DataFrame) = base.select(col("vec_id"),
+      posexplode(array(ps.map(tp => Ann.bucket(col("emb"), tp)): _*))
+        .as(Seq("tbl", "bucket")))
+    val nw = prep(newDf)
+    val corpus = prep(corpusDf)
+    val candidates = banded(nw).as("n")
+      .join(banded(corpus).as("c"),
+        col("n.tbl") === col("c.tbl") &&
+          col("n.bucket") === col("c.bucket"))
+      .select(col("n.vec_id").as("new_id"), col("c.vec_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(nw.select(col("vec_id").as("new_id"), col("emb").as("en")),
+        Seq("new_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("emb").as("ec")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(Ann.cosine(col("en"), col("ec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Shared SQL fragments: per-table sign-bucket columns over `v`, and
+    * the any-table collision predicate between aliases x and y.
     */
-  def duckDbOracleCtes(dim: Int, l: Int = 4, bits: Int = 8,
-      seed: Long = 42L): String = {
+  private def bucketSql(dim: Int, l: Int, bits: Int,
+      seed: Long): (String, String) = {
     val planes = Ann.planes(l, bits, dim, seed)
     def planeLit(p: Array[Double]): String =
       p.map(_.toString).mkString("[", ",", "]")
@@ -69,6 +106,19 @@ object EmbeddingDedup {
     val bucketCols = planes.zipWithIndex
       .map { case (tp, t) => s"${bucketExpr(tp)} AS b$t" }.mkString(",\n  ")
     val anyBucket = (0 until l).map(t => s"x.b$t = y.b$t").mkString(" OR ")
+    (bucketCols, anyBucket)
+  }
+
+  /** DuckDB oracle CTE body simulating the IDENTICAL self-join
+    * pipeline (exposes `scored(a, b, cos_sim)`) — same plane literals,
+    * same sign-bit buckets, same any-table candidate rule, same
+    * rounded cosine — so the correctness gate checks the operator
+    * itself, not a weaker property of its output. Composite-pipeline
+    * oracles (hybrid dedup) build on the same pair set.
+    */
+  def duckDbOracleCtes(dim: Int, l: Int = 4, bits: Int = 8,
+      seed: Long = 42L): String = {
+    val (bucketCols, anyBucket) = bucketSql(dim, l, bits, seed)
     s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
        |  $bucketCols
@@ -81,6 +131,28 @@ object EmbeddingDedup {
        |    round(list_dot_product(va, vb) /
        |          (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
        |  FROM cand)""".stripMargin
+  }
+
+  /** DuckDB oracle for the incremental (cross-set) variant: corpus =
+    * `WHERE $corpusPred`, increment = `WHERE $newPred`; emits
+    * (vec_id, is_dup) over the increment.
+    */
+  def duckDbCrossOracle(threshold: Double, dim: Int, corpusPred: String,
+      newPred: String, l: Int = 4, bits: Int = 8, seed: Long = 42L): String = {
+    val (bucketCols, anyBucket) = bucketSql(dim, l, bits, seed)
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketCols
+       |FROM ev),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id AS n FROM b x JOIN b y
+       |  ON (x.$corpusPred) AND (y.$newPred) AND ($anyBucket)
+       |  WHERE round(list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+       |      >= $threshold)
+       |SELECT vec_id, CASE WHEN vec_id IN (SELECT n FROM dup)
+       |  THEN 1 ELSE 0 END AS is_dup
+       |FROM embeddings WHERE $newPred ORDER BY vec_id""".stripMargin
   }
 
   def duckDbOracle(threshold: Double, dim: Int, l: Int = 4, bits: Int = 8,

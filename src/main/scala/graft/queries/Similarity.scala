@@ -247,6 +247,30 @@ object Similarity {
           col("n_vectors"), normExpr.as("centroid_norm"),
           col("mean_sq_dist"))
         .orderBy(col("list_id"))
+    },
+
+    // --------------------------------------- incremental semantic dedup
+    // graft.ops.EmbeddingDedup.crossNearDups: dedup a NEW batch (odd
+    // vec_ids) against the historical corpus (even vec_ids) — the
+    // daily-increment production pattern. The two-sided LSH bucket
+    // join scales with |new| × bucket density, never |corpus|²; the
+    // corpus is never self-paired. Output flags each increment row.
+    Q("qs7_incremental_dedup", graft.ops.EmbeddingDedup.duckDbCrossOracle(
+      threshold = 0.3, dim = AnnDim, corpusPred = "vec_id % 2 = 0",
+      newPred = "vec_id % 2 = 1", l = AnnL, bits = AnnBits,
+      seed = AnnSeed)) { (s, dir) =>
+      val all = Tables.load(s, dir, "embeddings")
+      val hist = all.filter(col("vec_id") % 2 === 0)
+      val inc = all.filter(col("vec_id") % 2 === 1)
+      val dupIds = graft.ops.EmbeddingDedup.crossNearDups(
+        inc, hist, "vec_id", "embedding", threshold = 0.3, dim = AnnDim,
+        l = AnnL, bits = AnnBits, seed = AnnSeed)
+        .select(col("new_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      inc.join(dupIds, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -502,6 +502,47 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(lshProbe.select("vec_id", "cos_sim").collect().toSeq == lshExpected)
   }
 
+  test("IVF index built from trained k-means centroids probes correctly") {
+    import org.apache.spark.sql.functions.{col, round, typedlit}
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    // two separated blobs: trained lists must split them while random
+    // centroids at this seed need not
+    val rows = (0L until 200L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 8.0
+      (i, Array.fill(dim)((c + rnd.nextGaussian()).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ann")
+    val trained = graft.ops.KMeans.train(df, "vec_id", "embedding",
+      k = 4, iters = 2).map(_.v)
+    graft.ops.AnnIndex.buildIvf(df, "graft.ann.emb_ivf_trained", "embedding",
+      numLists = 4, dim = dim, centroids = Some(trained))
+    val qVec = rows.head._2.map(_.toDouble)
+
+    val probe = graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.ann.emb_ivf_trained"), "vec_id", "embedding",
+      qVec, k = 10, nprobe = 2, centroids = Some(trained))
+    // identical to the scan-based fallback evaluated with the SAME
+    // trained codebook: candidates = vectors in the probed lists
+    val probes = graft.ops.Ivf.probeLists(qVec, trained, 2)
+    val expected = df
+      .filter(graft.ops.Ivf.listId(col("embedding"), trained)
+        .isin(probes: _*))
+      .withColumn("cos_sim", round(
+        graft.ops.Ann.cosine(col("embedding"),
+          typedlit(qVec.toSeq)), 6))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).select("vec_id", "cos_sim").collect().toSeq
+    assert(probe.select("vec_id", "cos_sim").collect().toSeq == expected)
+    // trained lists are populated sensibly: every list the corpus maps
+    // to exists in the index, none dominates completely
+    val sizes = spark.table("graft.ann.emb_ivf_trained")
+      .groupBy("list_id").count().collect().map(_.getLong(1))
+    assert(sizes.length >= 2, "trained codebook should use several lists")
+    assert(sizes.max < 200, "one list must not swallow the corpus")
+  }
+
   test("view DDL through spark.sql (reference test_create_view family)") {
     // replay of tests/python/tests/test_spark.py:68-153:
     // test_create_view / test_create_replace_view / test_rename_view /
