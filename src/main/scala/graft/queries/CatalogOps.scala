@@ -434,6 +434,49 @@ object CatalogOps {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("_change_type").as("change_type"))
         .orderBy(col("change_type"), col("o_orderkey"))
+    },
+
+    // Incremental dedup driven entirely through the CATALOG: history
+    // CTAS'd into a table, the increment INSERTed, CDC incremental_scan
+    // yields exactly the new rows, and the historical side is a
+    // snapshot-pinned time-travel read — then the same cross-set LSH
+    // dedup as qs7. The oracle is qs7's raw-parquet oracle verbatim:
+    // agreement proves the catalog CDC path (snapshots, incremental
+    // scan, time travel) reproduces the raw-data computation
+    // bit-for-bit.
+    Q("qc15_incremental_dedup_cdc",
+      graft.ops.EmbeddingDedup.duckDbCrossOracle(
+        threshold = 0.3, dim = 64, corpusPred = "vec_id % 2 = 0",
+        newPred = "vec_id % 2 = 1")) { (s, dir) =>
+      val db = prepare(s, dir)
+      val tbl = scratch(s, db, "emb_cdc")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.$tbl AS
+           |SELECT vec_id, embedding
+           |FROM parquet.`$dir/embeddings.parquet` WHERE vec_id % 2 = 0
+           |""".stripMargin)
+      val s0 = s.sql(
+        s"""SELECT snapshot_id FROM $CatalogName.$db.$tbl.snapshots
+           |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.$tbl
+           |SELECT vec_id, embedding
+           |FROM parquet.`$dir/embeddings.parquet` WHERE vec_id % 2 = 1
+           |""".stripMargin)
+      val inc = s.sql(
+        s"""CALL $CatalogName.system.incremental_scan(
+           |  table => '$db.$tbl', from_snapshot_id => $s0)""".stripMargin)
+        .select(col("vec_id"), col("embedding"))
+      val hist = s.read.option("snapshot-id", s0)
+        .table(s"$CatalogName.$db.$tbl")
+      val dupIds = graft.ops.EmbeddingDedup.crossNearDups(
+        inc, hist, "vec_id", "embedding", threshold = 0.3, dim = 64)
+        .select(col("new_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      inc.join(dupIds, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .orderBy(col("vec_id"))
     }
   )
 }
