@@ -308,7 +308,8 @@ class GraftScan(
     requiredSchema: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   /** readStream.option("maxFilesPerTrigger", n) — streaming admission
     * budget (files per micro-batch).
@@ -429,9 +430,39 @@ class GraftScan(
   protected def restrictToFiles(paths: Set[String]): Unit =
     runtimePaths = Some(runtimePaths.fold(paths)(_ intersect paths))
 
-  def selectedFiles: Seq[DataFile] = runtimePaths match {
-    case Some(ps) => statSelectedFiles.filter(f => ps.contains(f.path))
-    case None => statSelectedFiles
+  /** Join-key runtime filters: the V2 analog of dynamic partition
+    * pruning. Spark evaluates the dimension side of a join first and
+    * hands this scan IN/= predicates over the attributes advertised
+    * below; they re-prune the file list through the SAME stats +
+    * partition-transform machinery as static pushdown, so a star join
+    * on a partitioned fact table reads only the files the dim filter
+    * selects. Pruning stays advisory — rows are re-checked by the
+    * join itself — so unconvertible predicates are simply ignored.
+    */
+  private var runtimeFilters: Seq[Filter] = Nil
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.meta.specs.values.flatMap(_.fields.map(_.sourceName))
+      .toSeq.distinct.sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val converted = predicates.toSeq.flatMap(GraftScan.toSourceFilter)
+    if (converted.nonEmpty) runtimeFilters ++= converted
+  }
+
+  def selectedFiles: Seq[DataFile] = {
+    val base = runtimePaths match {
+      case Some(ps) => statSelectedFiles.filter(f => ps.contains(f.path))
+      case None => statSelectedFiles
+    }
+    if (runtimeFilters.isEmpty) base
+    else base.filter(f => FilePruning.mayMatch(f, runtimeFilters, dataSchema,
+      table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
   }
 
   override def readSchema(): StructType = requiredSchema
@@ -686,6 +717,46 @@ class GraftScan(
 
   override def description(): String =
     s"GraftScan ${table.name()} files=${selectedFiles.size}"
+}
+
+object GraftScan {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  /** Convert a runtime V2 predicate to a `sources.Filter` the file
+    * pruner understands. Runtime filters arrive as IN (dynamic
+    * pruning's shape) or = over a column reference plus literals;
+    * literal values are catalyst-internal (UTF8String, Decimal…) and
+    * must convert to external Scala values because pruning compares
+    * them against manifest stats. Anything else → None (advisory
+    * pruning: ignoring a filter is always safe).
+    */
+  private[connector] def toSourceFilter(
+      p: V2Predicate): Option[Filter] = {
+    def colName(r: NamedReference) = r.fieldNames().mkString(".")
+    def external(l: V2Literal[_]): Any =
+      CatalystTypeConverters.convertToScala(l.value(), l.dataType())
+    p.name() match {
+      case "IN" => p.children().toSeq match {
+        case (ref: NamedReference) +: rest
+            if rest.nonEmpty && rest.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(org.apache.spark.sql.sources.In(colName(ref),
+            rest.map(c => external(c.asInstanceOf[V2Literal[_]])).toArray))
+        case _ => None
+      }
+      case "=" => p.children().toSeq match {
+        case Seq(ref: NamedReference, lit: V2Literal[_]) =>
+          Some(org.apache.spark.sql.sources.EqualTo(colName(ref),
+            external(lit)))
+        case Seq(lit: V2Literal[_], ref: NamedReference) =>
+          Some(org.apache.spark.sql.sources.EqualTo(colName(ref),
+            external(lit)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
 /** One input partition per partition tuple, carrying its key for

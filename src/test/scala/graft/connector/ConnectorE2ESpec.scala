@@ -543,6 +543,50 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(sizes.max < 200, "one list must not swallow the corpus")
   }
 
+  test("runtime join-key filtering prunes fact files (DPP analog)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp")
+    spark.sql(
+      "CREATE TABLE graft.dpp.fact (k INT, v DOUBLE) PARTITIONED BY (k)")
+    spark.sql(
+      "INSERT INTO graft.dpp.fact SELECT CAST(id % 8 AS INT), id * 1.0 " +
+        "FROM range(800)")
+    spark.sql("CREATE TABLE graft.dpp.dim (k INT, grp STRING)")
+    spark.sql(
+      "INSERT INTO graft.dpp.dim VALUES (1, 'a'), (2, 'a'), (3, 'b'), (9, 'a')")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the dim predicate must be LIKELY-SELECTIVE (a comparison, not a
+      // bare boolean attribute) or Spark's PartitionPruning rule skips
+      // the scan entirely
+      val q = spark.sql(
+        """SELECT f.k, COUNT(*) AS n, SUM(f.v) AS s
+          |FROM graft.dpp.fact f JOIN graft.dpp.dim d ON f.k = d.k
+          |WHERE d.grp = 'a' GROUP BY f.k ORDER BY f.k""".stripMargin)
+      val rows = q.collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 100L))
+
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+          b -> b.scan.asInstanceOf[GraftScan]
+      }
+      val (exec, scan) = scans
+        .find(_._2.table.name().contains("fact"))
+        .getOrElse(fail("no fact-table scan in plan"))
+      assert(exec.runtimeFilters.nonEmpty,
+        "planner must attach a runtime pruning filter to the fact scan")
+      val total = scan.table.liveFiles.size
+      assert(total >= 8, s"fact table should have >=8 files, got $total")
+      assert(scan.selectedFiles.size < total,
+        s"runtime filter must prune: ${scan.selectedFiles.size} of $total")
+      assert(scan.selectedFiles.size <= 2 * total / 8 + 1,
+        s"only k=1,2 partitions should survive, got ${scan.selectedFiles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("view DDL through spark.sql (reference test_create_view family)") {
     // replay of tests/python/tests/test_spark.py:68-153:
     // test_create_view / test_create_replace_view / test_rename_view /
