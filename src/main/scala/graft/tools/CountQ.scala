@@ -1,0 +1,12 @@
+package graft.tools
+object CountQ {
+  def main(args: Array[String]): Unit = {
+    val qs = graft.SparkEntry.queries
+    val os = graft.SparkEntry.oracleSql
+    println(s"[count] queries=${qs.size} oracles=${os.size}")
+    val missing = qs.keySet -- os.keySet
+    println(s"[count] no-oracle: ${missing.toSeq.sorted.mkString(",")}")
+    val orphan = os.keySet -- qs.keySet
+    println(s"[count] orphan oracles: ${orphan.toSeq.sorted.mkString(",")}")
+  }
+}
