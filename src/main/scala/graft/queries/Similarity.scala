@@ -51,6 +51,29 @@ object Similarity {
   private val IvfLists = 16
   private val IvfProbe = 4
 
+  /** Memoized + persisted embedding near-dup pair set at the shared
+    * threshold — consumed by qs5 and by the hybrid dedup pipeline
+    * (qd7); the pair table is tiny, so persisting the RESULT lets the
+    * second consumer skip the whole LSH pipeline. Re-armed if an
+    * external clearCache dropped it.
+    */
+  private val embPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[queries] def embeddingNearDupPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s),
+      dir)
+    val pairs = embPairsCache.computeIfAbsent(key, _ =>
+      graft.ops.EmbeddingDedup.nearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = AnnDim, l = AnnL, bits = AnnBits,
+        seed = AnnSeed))
+    if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+  }
+
   private val CatalogName = "graftann"
   private val lock = new Object
   private var built = Set.empty[String]
@@ -189,11 +212,7 @@ object Similarity {
       graft.ops.EmbeddingDedup.duckDbOracle(
         threshold = 0.3, dim = AnnDim, l = AnnL, bits = AnnBits,
         seed = AnnSeed)) { (s, dir) =>
-      graft.ops.EmbeddingDedup.nearDupPairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, dim = AnnDim, l = AnnL, bits = AnnBits,
-        seed = AnnSeed)
-        .orderBy(col("a"), col("b"))
+      embeddingNearDupPairs(s, dir).orderBy(col("a"), col("b"))
     },
 
     // all-pairs centroid similarity by label: the "are my class
