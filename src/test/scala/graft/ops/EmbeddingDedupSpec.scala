@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddingDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-embdedup-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 8
+
+  private def vecs(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("crossNearDups finds cross-set duplicates and never pairs the corpus with itself") {
+    val rnd = new scala.util.Random(5)
+    def rand() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val shared = rand()
+    // corpus: ids 0,2,4 — two random + one 'shared'; increment: ids
+    // 1,3 — one exact copy of 'shared' + one random
+    val corpus = vecs(0L -> rand(), 2L -> shared, 4L -> rand())
+    val inc = vecs(1L -> shared.clone(), 3L -> rand())
+    val got = EmbeddingDedup.crossNearDups(inc, corpus, "vec_id",
+      "embedding", threshold = 0.95, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (n, c, cos) => n == 1L && c == 2L && cos == 1.0 },
+      s"the exact copy must be flagged against its corpus twin, got ${got.toSeq}")
+    // every reported pair is (increment id, corpus id) — no corpus
+    // self-pairs, no increment self-pairs
+    assert(got.forall { case (n, c, _) => n % 2 == 1 && c % 2 == 0 })
+  }
+
+  test("an increment with no corpus neighbors yields no pairs") {
+    // orthogonal one-hot vectors: all cosines are exactly 0
+    def oneHot(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val corpus = vecs(0L -> oneHot(0), 2L -> oneHot(1))
+    val inc = vecs(1L -> oneHot(2), 3L -> oneHot(3))
+    val got = EmbeddingDedup.crossNearDups(inc, corpus, "vec_id",
+      "embedding", threshold = 0.5, dim = dim).collect()
+    assert(got.isEmpty)
+  }
+}

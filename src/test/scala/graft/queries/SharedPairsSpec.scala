@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup pair sets are shared per (session, dir, threshold) at the
+  * DataFrame-object level (plan-equality caching cannot match the
+  * RDD-backed dictionary rank). These guards pin the contract: same
+  * object returned, and persistence re-armed after an external
+  * clearCache.
+  */
+class SharedPairsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-shared-pairs-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exactJaccardPairs memoizes per session/dir/threshold") {
+    val a = TextOps.exactJaccardPairs(spark, dir, 0.4)
+    val b = TextOps.exactJaccardPairs(spark, dir, 0.4)
+    assert(a eq b, "same invocation key must return the same DataFrame")
+    val c = TextOps.exactJaccardPairs(spark, dir, 0.5)
+    assert(!(a eq c), "a different threshold is a different pair set")
+    assert(a.count() >= c.count(),
+      "a higher threshold can only shrink the pair set")
+  }
+
+  test("persisted legs are re-armed after clearCache and results stay stable") {
+    val before = TextOps.exactJaccardPairs(spark, dir, 0.4)
+      .orderBy("a", "b").collect().toSeq
+    spark.catalog.clearCache()
+    val pairs = TextOps.exactJaccardPairs(spark, dir, 0.4)
+    assert(pairs.storageLevel != StorageLevel.NONE,
+      "accessor must re-arm persistence after an external clearCache")
+    assert(pairs.orderBy("a", "b").collect().toSeq == before)
+  }
+
+  test("embeddingNearDupPairs memoizes and re-arms too") {
+    val a = Similarity.embeddingNearDupPairs(spark, dir)
+    assert(a eq Similarity.embeddingNearDupPairs(spark, dir))
+    spark.catalog.clearCache()
+    val b = Similarity.embeddingNearDupPairs(spark, dir)
+    assert(b.storageLevel != StorageLevel.NONE)
+  }
+}
