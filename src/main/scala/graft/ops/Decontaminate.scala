@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share ANY
+  * word n-gram with a held-out evaluation set — the GPT-3/Pile-style
+  * overlap filter. This is NOT near-dup detection: one shared n-gram
+  * flags the document regardless of overall similarity, which is what
+  * leakage control needs.
+  *
+  * 100 TB shape: the benchmark's distinct n-grams are the ONLY
+  * state; training docs stream through one explode + left-semi join
+  * keyed on the n-gram. The benchmark side is small by definition
+  * (eval sets are ≪ the corpus), so the join broadcasts under AQE;
+  * the training corpus is never self-joined and never collected.
+  */
+object Decontaminate {
+
+  private val tokenRe = "[a-z0-9]+"
+
+  /** Word n-grams of `text` as space-joined strings (empty array when
+    * the doc has fewer than n tokens).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(text, lit(tokenRe), lit(0))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ids of `train` docs sharing at least one n-gram with `benchmark`.
+    *
+    * @param idCol   unique id column present in `train`
+    * @param textCol text column present in both inputs
+    */
+  def contaminatedIds(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+}

@@ -631,6 +631,49 @@ object TextOps {
             .as("n_low_quality"),
           sum(col("mean_ppm")).as("ppm_checksum"))
         .orderBy(col("lang"))
+    },
+
+    // ------------------------------------------- decontamination
+    // graft.ops.Decontaminate: flag training docs sharing ANY 5-gram
+    // with the held-out set (doc_id % 20 = 0 plays the benchmark) —
+    // the GPT-3/Pile leakage filter. One shared n-gram flags the doc;
+    // no similarity computation. The benchmark's distinct grams are
+    // the only state; the corpus is never self-joined.
+    Q(
+      "qt9_decontamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i ->
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |  FROM toks),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bg))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+         |FROM documents WHERE doc_id % 20 <> 0
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val flagged = graft.ops.Decontaminate
+        .contaminatedIds(train, bench, "doc_id", "text", n = 5)
+        .withColumn("is_c", lit(1))
+      train.select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_c"), lit(0))).cast(LongType)
+            .as("n_contaminated"),
+          sum(when(col("is_c") === 1, col("doc_id")).otherwise(0L))
+            .as("id_checksum"))
+        .orderBy(col("source"))
     }
   )
 }
