@@ -558,7 +558,17 @@ class GraftScan(
     InternalRow.fromSeq(values)
   }
 
-  private lazy val keyedPartitions: Option[Array[InputPartition]] =
+  /** Recomputed per call — NOT cached: runtime join-key filters
+    * (SupportsRuntimeV2Filtering) arrive AFTER outputPartitioning()
+    * froze the plan-time decision, and BatchScanExec re-invokes
+    * planInputPartitions() post-filter. A cached grouping would
+    * silently ignore the runtime narrowing whenever SPJ reporting is
+    * on (the Bench/Verify default). keyedSpec itself stays a stable
+    * plan-time lazy val: narrowing only removes files, which cannot
+    * invalidate its all-default-spec/full-tuple conditions, and the
+    * reported partitioning must not flip after planning.
+    */
+  private def keyedPartitions: Option[Array[InputPartition]] =
     keyedSpec.map { spec =>
       selectedFiles.groupBy(_.partition).values.zipWithIndex.map {
         case (fs, i) =>

@@ -168,8 +168,10 @@ object ExpirationQueue {
       .filter(t => t.deletedMs.exists(_ + graceMs <= nowMs))
       .filterNot(_.protected_)
       .map { t =>
-        // by UUID: the name may already belong to a new live table
-        store.purgeTombstone(t.uuid)
+        // by (namespace, uuid): the name may already belong to a new
+        // live table, and direct addressing avoids re-walking the
+        // warehouse per tombstone
+        store.purgeTombstone(t.id.namespace, t.uuid)
         t.id
       }
 }

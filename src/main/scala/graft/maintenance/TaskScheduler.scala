@@ -32,12 +32,13 @@ class TaskScheduler(
     // have reused the name since the drop (purge tasks carry tabular_id
     // in the reference too, tasks/tabular_purge_queue.rs:146-225).
     "tabular_expiration" -> { t =>
-      t.payload.get("uuid").foreach(store.purgeTombstone)
+      t.payload.get("uuid").foreach(u =>
+        store.purgeTombstone(taskTabularId(t).namespace, u))
       // protected / undropped / already-purged tombstones: no-op
     },
     "tabular_purge" -> { t =>
       t.payload.get("uuid") match {
-        case Some(u) => store.purgeTombstone(u)
+        case Some(u) => store.purgeTombstone(taskTabularId(t).namespace, u)
         case None => // direct purge of a live table, addressed by name
           store.dropTabular(taskTabularId(t), purge = true, force = false,
             softDelete = false)

@@ -64,6 +64,10 @@ object Similarity {
       s: SparkSession, dir: String): DataFrame = {
     val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s),
       dir)
+    // bounded like TextOps.pairsCache: full clear on overflow beats
+    // pinning dead sessions' DataFrames forever
+    if (embPairsCache.size > 16 && !embPairsCache.containsKey(key))
+      embPairsCache.clear()
     val pairs = embPairsCache.computeIfAbsent(key, _ =>
       graft.ops.EmbeddingDedup.nearDupPairs(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",

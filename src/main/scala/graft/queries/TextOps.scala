@@ -58,6 +58,12 @@ object TextOps {
       s: SparkSession, dir: String, t: Double): DataFrame = {
     val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s),
       dir, t)
+    // bounded: entries pin DataFrames (and their persisted legs) for
+    // dead sessions otherwise; the working set is a handful of
+    // (session, dir, threshold) combinations, so a full clear on
+    // overflow is simpler than LRU and never wrong (just a recompute)
+    if (pairsCache.size > 16 && !pairsCache.containsKey(key))
+      pairsCache.clear()
     val (pairs, persistedLegs) = pairsCache.computeIfAbsent(key, _ =>
       buildExactJaccardPairs(s, dir, t))
     persistedLegs.foreach { leg =>

@@ -681,10 +681,15 @@ class FileCatalogStore(val root: String) {
     * tasks/tabular_purge_queue.rs:146-225). Protected tombstones are
     * skipped. @return true if a tombstone was purged
     */
-  def purgeTombstone(uuid: String): Boolean =
-    listDeletedTabulars().find(_.uuid == uuid) match {
+  /** Purge addressed directly by (namespace, uuid): constant-time — no
+    * warehouse walk. The expiration sweep and the task queue both know
+    * the namespace, so the whole-catalog resolution below is only the
+    * fallback for uuid-only callers.
+    */
+  def purgeTombstone(ns: Seq[String], uuid: String): Boolean =
+    loadTabularInfoAt(tombstonePath(ns, uuid).resolve(TabMeta)) match {
       case Some(info) if !info.protected_ =>
-        val dir = tombstonePath(info.id.namespace, info.uuid)
+        val dir = tombstonePath(ns, info.uuid)
         // custom-LOCATION tables keep their data outside the catalog
         // directory — purge must delete it too (exact directory only)
         if (info.kind == "table") {
@@ -702,6 +707,12 @@ class FileCatalogStore(val root: String) {
           Map("kind" -> info.kind, "uuid" -> info.uuid))
         true
       case _ => false
+    }
+
+  def purgeTombstone(uuid: String): Boolean =
+    listDeletedTabulars().find(_.uuid == uuid) match {
+      case Some(info) => purgeTombstone(info.id.namespace, info.uuid)
+      case None => false
     }
 
   def listDeletedTabulars(): Seq[TabularInfo] =
@@ -875,12 +886,30 @@ class FileCatalogStore(val root: String) {
   private def principalDir(kind: String): Path =
     rootPath.resolve("_principals").resolve(kind)
 
+  /** File key for a principal id: percent-encoded but CASE-PRESERVING —
+    * unlike tabular names, principal ids (e.g. OIDC subjects) are
+    * opaque case-sensitive strings, so `oidc~Abc` and `oidc~abc` are
+    * distinct principals and must not collide on one file.
+    */
+  private def principalKey(id: String): String = {
+    val sb = new StringBuilder
+    id.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = b.toChar
+      val safe = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' ||
+        (c == '.' && sb.nonEmpty)
+      if (safe) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   /** Upsert a user (reference: create_or_update_user,
     * user.rs:278-335). @return true if created, false if updated
     */
   def createOrUpdateUser(id: String, name: String, email: Option[String],
       userType: String): Boolean = {
-    val p = principalDir("users").resolve(dirKey(id) + ".json")
+    val p = principalDir("users").resolve(principalKey(id) + ".json")
     val existing = if (Files.exists(p)) Some(JsonMethods.parse(readString(p)))
       else None
     val createdMs = existing.map(j => (j \ "created-ms").extract[Long])
@@ -906,7 +935,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def deleteUser(id: String): Boolean =
-    Files.deleteIfExists(principalDir("users").resolve(dirKey(id) + ".json"))
+    Files.deleteIfExists(principalDir("users").resolve(principalKey(id) + ".json"))
 
   /** Create a role; name must be unique (role.rs unique constraint). */
   def createRole(id: String, name: String, description: Option[String]): RoleRecord = {
@@ -914,7 +943,7 @@ class FileCatalogStore(val root: String) {
       throw new AlreadyExistsException(s"Role $name already exists")
     val now = System.currentTimeMillis()
     val rec = RoleRecord(id, name, description, now, now)
-    writeString(principalDir("roles").resolve(dirKey(id) + ".json"),
+    writeString(principalDir("roles").resolve(principalKey(id) + ".json"),
       Json.render(("id" -> id) ~ ("name" -> name) ~
         ("description" -> description) ~ ("created-ms" -> now) ~
         ("updated-ms" -> now)))
@@ -934,7 +963,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def deleteRole(id: String): Boolean =
-    Files.deleteIfExists(principalDir("roles").resolve(dirKey(id) + ".json"))
+    Files.deleteIfExists(principalDir("roles").resolve(principalKey(id) + ".json"))
 
   // ------------------------------------------------------------ manifests
   // Manifest and data-file paths are persisted RELATIVE to the table's

@@ -194,4 +194,17 @@ class AdminSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n >= 1)
   }
+
+  test("principal ids are case-sensitive: Abc and abc are distinct users") {
+    assert(cat.store.createOrUpdateUser("oidc~Abc", "Upper", None, "human"))
+    assert(cat.store.createOrUpdateUser("oidc~abc", "Lower", None, "human"),
+      "a case-variant id must CREATE a new principal, not update")
+    val byId = cat.store.listUsers()
+      .filter(_.id.toLowerCase.endsWith("abc"))
+      .map(u => u.id -> u.name).toMap
+    assert(byId === Map("oidc~Abc" -> "Upper", "oidc~abc" -> "Lower"))
+    assert(cat.store.deleteUser("oidc~Abc"))
+    assert(cat.store.listUsers().exists(_.id == "oidc~abc"),
+      "deleting the upper-case id must not remove the lower-case one")
+  }
 }

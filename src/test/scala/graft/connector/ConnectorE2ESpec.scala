@@ -587,6 +587,40 @@ class ConnectorE2ESpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("runtime filtering still prunes when SPJ key-grouped reporting is on") {
+    // the Bench/Verify configuration: v2 bucketing enabled makes the
+    // partitioned fact scan report KeyGroupedPartitioning — the keyed
+    // input partitions must be rebuilt AFTER the runtime filter lands,
+    // not served from a plan-time cache
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBucket = spark.conf.get(
+      "spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = spark.sql(
+        """SELECT f.k, COUNT(*) AS n
+          |FROM graft.dpp.fact f JOIN graft.dpp.dim d ON f.k = d.k
+          |WHERE d.grp = 'a' GROUP BY f.k ORDER BY f.k""".stripMargin)
+      val rows = q.collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 100L))
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+          b.scan.asInstanceOf[GraftScan]
+      }.find(_.table.name().contains("fact"))
+        .getOrElse(fail("no fact-table scan in plan"))
+      val total = scan.table.liveFiles.size
+      assert(scan.selectedFiles.size < total,
+        s"runtime filter must prune under SPJ reporting too: " +
+          s"${scan.selectedFiles.size} of $total")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucket)
+    }
+  }
+
   test("view DDL through spark.sql (reference test_create_view family)") {
     // replay of tests/python/tests/test_spark.py:68-153:
     // test_create_view / test_create_replace_view / test_rename_view /
