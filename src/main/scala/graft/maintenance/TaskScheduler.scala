@@ -32,8 +32,18 @@ class TaskScheduler(
     // have reused the name since the drop (purge tasks carry tabular_id
     // in the reference too, tasks/tabular_purge_queue.rs:146-225).
     "tabular_expiration" -> { t =>
-      t.payload.get("uuid").foreach(u =>
-        store.purgeTombstone(taskTabularId(t).namespace, u))
+      t.payload.get("uuid") match {
+        case Some(u) => store.purgeTombstone(taskTabularId(t).namespace, u)
+        case None =>
+          // legacy payloads (pre-uuid) resolve by name; only tombstones
+          // past their grace are due — a newer same-name drop keeps its
+          // own window (mirrors the tabular_purge fallback)
+          val id = taskTabularId(t)
+          val now = clock()
+          store.deletedTabularsNamed(id)
+            .filter(_.deletedMs.exists(_ + graceMs <= now))
+            .foreach(i => store.purgeTombstone(id.namespace, i.uuid))
+      }
       // protected / undropped / already-purged tombstones: no-op
     },
     "tabular_purge" -> { t =>

@@ -91,7 +91,10 @@ object DedupClusters {
       // running it every third round fuses three propagation hops into
       // one job (overshoot past the fixpoint costs ≤ 2 cheap no-op
       // rounds, far less than a count job per round).
-      if (it % 3 == 0) {
+      // force a check on the final permitted round too, so a graph that
+      // converges between the last sampled check and the bound doesn't
+      // spuriously throw
+      if (it % 3 == 0 || it == maxIters) {
         val changed = next.filter(col("label") =!= col("prev")).count()
         converged = changed == 0
       }

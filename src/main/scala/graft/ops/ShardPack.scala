@@ -73,9 +73,12 @@ object ShardPack {
     val offDf = offsets.toSeq.toDF("_part", "_off")
 
     val startOff = col("_local_end") - col("_w") + col("_off")
+    // integral floor division (`div`): double division loses exactness
+    // once total weight exceeds 2^53, misassigning docs that start
+    // exactly on a shard boundary at extreme scale
     local.join(broadcast(offDf), Seq("_part"))
       .select(col(idCol), col("_w").as("weight"),
-        startOff.as("start_offset"),
-        floor(startOff / lit(budget.toDouble)).cast(LongType).as("shard_id"))
+        startOff.as("start_offset"))
+      .withColumn("shard_id", expr(s"start_offset div ${budget}L"))
   }
 }

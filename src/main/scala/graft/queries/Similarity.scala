@@ -62,8 +62,9 @@ object Similarity {
 
   private[queries] def embeddingNearDupPairs(
       s: SparkSession, dir: String): DataFrame = {
-    val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s),
-      dir)
+    // sessionUUID: collision-free across live sessions (identity hash
+    // can collide — see TextOps.exactJaccardPairs)
+    val key = (TextOps.sessionKey(s), dir)
     // bounded like TextOps.pairsCache: full clear on overflow beats
     // pinning dead sessions' DataFrames forever
     if (embPairsCache.size > 16 && !embPairsCache.containsKey(key))

@@ -54,10 +54,23 @@ object TextOps {
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Double), (DataFrame, Seq[DataFrame])]()
 
+  /** Collision-free cache key for a live session: a fresh UUID per
+    * session OBJECT, held under a weak key so dead sessions drop out.
+    * (identityHashCode alone can collide between two live sessions,
+    * handing one a DataFrame bound to the other — possibly stopped —
+    * session; sessionUUID would be ideal but is private[sql].)
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[queries] def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double): DataFrame = {
-    val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s),
-      dir, t)
+    // sessionUUID is collision-free across live sessions (identity hash
+    // is not: two sessions can collide and hand a DataFrame bound to a
+    // stopped session to the other)
+    val key = (TextOps.sessionKey(s), dir, t)
     // bounded: entries pin DataFrames (and their persisted legs) for
     // dead sessions otherwise; the working set is a handful of
     // (session, dir, threshold) combinations, so a full clear on
@@ -521,7 +534,7 @@ object TextOps {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
          |      AS start_offset
          |  FROM t)
-         |SELECT CAST(FLOOR(start_offset / 8192.0) AS BIGINT) AS shard_id,
+         |SELECT CAST(start_offset // 8192 AS BIGINT) AS shard_id,
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

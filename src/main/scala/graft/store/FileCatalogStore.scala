@@ -314,6 +314,11 @@ class FileCatalogStore(val root: String) {
       .filter(t => fold(t.id.name) == fold(id.name))
   }
 
+  /** Tombstones matching a (namespace, name) — for legacy task payloads
+    * enqueued before uuids were stamped into the payload.
+    */
+  def deletedTabularsNamed(id: TabularId): Seq[TabularInfo] = tombstonesOf(id)
+
   private def writeTabularInfo(info: TabularInfo): Unit =
     writeTabularInfoAt(tabularInfoPath(info.id), info)
 

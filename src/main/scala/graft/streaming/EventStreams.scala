@@ -64,13 +64,16 @@ object EventStreams {
     *
     * @param keyCols dedup identity; e.g. event_id for delivery dedup,
     *                or a content fingerprint column for document dedup
+    * @param tsCol   event-time column the watermark is defined on; the
+    *                frame MUST contain it (timestamp-typed)
     */
   def dedupWithinHorizon(
       events: DataFrame,
       keyCols: Seq[String],
-      horizon: String = "10 minutes"): DataFrame =
+      horizon: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", horizon)
+      .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Content-keyed variant: dedup on an md5 fingerprint of `cols`
@@ -79,11 +82,12 @@ object EventStreams {
   def dedupByFingerprint(
       events: DataFrame,
       cols: Seq[String],
-      horizon: String = "10 minutes"): DataFrame =
+      horizon: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
     dedupWithinHorizon(
       events.withColumn("_fp",
         md5(to_json(struct(cols.map(col): _*)))),
-      Seq("_fp"), horizon).drop("_fp")
+      Seq("_fp"), horizon, tsCol).drop("_fp")
 
   final case class SessionState(
       sessionId: Long, startSec: Long, lastSec: Long, nEvents: Long)
