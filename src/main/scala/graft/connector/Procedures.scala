@@ -740,12 +740,23 @@ final case class RemoveOrphanFilesProcedure(catalog: GraftCatalog)
     val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
     val olderThan = if (input.isNullAt(1)) None else Some(input.getLong(1))
     val dryRun = !input.isNullAt(2) && input.getBoolean(2)
-    val removed = graft.maintenance.RemoveOrphanFiles.run(
-      catalog.store, id, olderThan, dryRun)
-    val schema = StructType(Seq(
-      StructField("orphan_file_location", StringType, nullable = false)))
-    Procedures.resultScan(schema,
-      removed.map(p => new GenericInternalRow(Array[Any](Procedures.utf8(p)))))
+    if (dryRun) {
+      // listing surface: paths ARE the result
+      val listed = graft.maintenance.RemoveOrphanFiles.list(
+        catalog.store, id, olderThan)
+      val schema = StructType(Seq(
+        StructField("orphan_file_location", StringType, nullable = false)))
+      Procedures.resultScan(schema,
+        listed.map(p => new GenericInternalRow(Array[Any](Procedures.utf8(p)))))
+    } else {
+      // delete path stays distributed end-to-end; report the count
+      val removed = graft.maintenance.RemoveOrphanFiles.run(
+        catalog.store, id, olderThan)
+      val schema = StructType(Seq(
+        StructField("orphan_files_count", LongType, nullable = false)))
+      Procedures.resultScan(schema,
+        Seq(new GenericInternalRow(Array[Any](removed))))
+    }
   }
 }
 

@@ -31,9 +31,14 @@ private[maintenance] object DeleteFiles {
   private val DriverThreshold = 256
   private val BatchPerPartition = 1024
 
+  private def del(p: String): Unit =
+    try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
+
+  /** Driver-side variant for sets that are ALREADY small and local by
+    * construction (e.g. the expired-manifest list, bounded by snapshot
+    * count) — never hand this a collected distributed set.
+    */
   def run(paths: Seq[String]): Unit = {
-    def del(p: String): Unit =
-      try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
     if (paths.isEmpty) ()
     else if (paths.size <= DriverThreshold) paths.foreach(del)
     else {
@@ -44,6 +49,26 @@ private[maintenance] object DeleteFiles {
         .foreachPartition(_.foreach(del))
     }
   }
+
+  /** Distributed variant: the delete set never visits the driver — at
+    * 100 TB an orphan sweep can name tens of millions of paths
+    * (hundreds of MB of strings). Deletes run per-partition in
+    * micro-batches (reference contract: table-maintenance.md:70) and
+    * the count comes back through an accumulator, not a collect.
+    *
+    * @param paths single string column of absolute paths
+    * @return number of paths processed
+    */
+  def runDistributed(paths: org.apache.spark.sql.DataFrame): Long = {
+    val acc = paths.sparkSession.sparkContext.longAccumulator("deleted_files")
+    import org.apache.spark.sql.Row
+    paths.foreachPartition { it: Iterator[Row] =>
+      it.map(_.getString(0)).grouped(BatchPerPartition).foreach { batch =>
+        batch.foreach(del); acc.add(batch.size.toLong)
+      }
+    }
+    acc.value
+  }
 }
 
 /** Table-maintenance jobs — the most Spark-shaped computations in the
@@ -52,9 +77,11 @@ private[maintenance] object DeleteFiles {
   * workers, we implement them as Spark anti-join jobs).
   *
   * Both jobs compute the "reachable" file set as a distributed
-  * DataFrame (manifest paths parallelized, parsed per task) so a table
-  * with millions of files never materializes its file list on the
-  * driver; only the (small) delete set is collected.
+  * DataFrame (manifest paths parallelized, parsed per task) AND keep
+  * the delete set distributed end-to-end (foreachPartition deletes,
+  * accumulator counts) — neither the file list nor the delete set ever
+  * materializes on the driver. Only the dry-run listing surface
+  * collects, because its whole point is returning paths to the caller.
   */
 object ExpireSnapshots {
 
@@ -129,22 +156,24 @@ object ExpireSnapshots {
         .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root)))
         .toDF("path")
 
-    val deletable =
-      if (expiredManifests.isEmpty) Nil
-      else filesDf(expiredManifests).distinct()
-        .join(filesDf(keptManifests), Seq("path"), "left_anti")
-        .as[String].collect().toSeq
-
-    // commit snapshot removal first; file deletes only after success
+    // commit snapshot removal first; file deletes only after success.
+    // The deletable set stays a distributed DataFrame end-to-end (never
+    // collected: a 100 TB table's expired set can be millions of paths)
+    // — the anti-join re-reads the expired manifest FILES, which are
+    // only removed in the manifest sweep below, after the data deletes.
     store.commitTable(id, Nil, Seq(TableUpdate.RemoveSnapshots(expired.toSeq)))
-    DeleteFiles.run(deletable)
+    val deletedFiles =
+      if (expiredManifests.isEmpty) 0L
+      else DeleteFiles.runDistributed(
+        filesDf(expiredManifests).distinct()
+          .join(filesDf(keptManifests), Seq("path"), "left_anti"))
     // manifests referenced by no surviving snapshot (+ their summary
-    // sidecars)
+    // sidecars) — bounded by snapshot count, driver-local by construction
     DeleteFiles.run(
       (expiredManifests.toSet -- keptManifests.toSet).toSeq
         .map(store.resolvePath(meta.location, _))
         .flatMap(p => Seq(p, p + ".sum")))
-    Result(expired.size.toLong, deletable.size.toLong)
+    Result(expired.size.toLong, deletedFiles)
   }
 }
 
@@ -232,11 +261,13 @@ object RemoveOrphanFiles {
     metadataFiles ++ manifestPaths ++ statsPaths
   }
 
-  def run(
+  /** The distributed orphan set: every file under the table location
+    * older than the cutoff that no snapshot/metadata references.
+    */
+  private def orphanSet(
       store: FileCatalogStore,
       id: TabularId,
-      olderThanMs: Option[Long] = None,
-      dryRun: Boolean = false): Seq[String] = {
+      olderThanMs: Option[Long]): org.apache.spark.sql.DataFrame = {
     val (meta, _) = store.loadTableMetadata(id).getOrElse(
       throw new IllegalArgumentException(s"No such table: $id"))
     val cutoff = olderThanMs.getOrElse(
@@ -276,12 +307,30 @@ object RemoveOrphanFiles {
     val fixed = referencedPaths(store, id, meta).toSeq.toDF("path")
     val referenced = dataFiles.union(fixed).distinct()
 
-    val orphans = listed
+    listed
       .join(referenced, Seq("path"), "left_anti")
       .filter($"mtime" < cutoff)
-      .select("path").as[String].collect().toSeq
-
-    if (!dryRun) DeleteFiles.run(orphans)
-    orphans
+      .select("path")
   }
+
+  /** Dry run: list orphan paths — the one surface that collects,
+    * because returning the paths to the caller IS the result.
+    */
+  def list(
+      store: FileCatalogStore,
+      id: TabularId,
+      olderThanMs: Option[Long] = None): Seq[String] = {
+    val df = orphanSet(store, id, olderThanMs)
+    import df.sparkSession.implicits._
+    df.as[String].collect().toSeq
+  }
+
+  /** Delete orphans, distributed end-to-end (no driver round-trip of
+    * the path set); returns the number of files removed.
+    */
+  def run(
+      store: FileCatalogStore,
+      id: TabularId,
+      olderThanMs: Option[Long] = None): Long =
+    DeleteFiles.runDistributed(orphanSet(store, id, olderThanMs))
 }
