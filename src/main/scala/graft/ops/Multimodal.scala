@@ -134,6 +134,75 @@ object Multimodal {
       .toDF("media_id", "frame_index", "frame")
   }
 
+  /** Deterministic synthetic media corpus derived from a document id
+    * column — the fixture generator for the oracle-backed qm1 query.
+    * Blob construction happens executor-side (a Dataset map): the
+    * driver never sees a byte of media. Every quantity is a closed
+    * form of doc_id so a SQL oracle can recompute expected features
+    * without decoding:
+    *   type  = id%3 → image|audio|video
+    *   image: w=8+id%9, h=4+id%5, payload w×h bytes
+    *   audio: rate=8000+(id%5)*4000, payload 64+id%32 bytes
+    *   video: 16-byte frames, 2+id%6 of them
+    *   byte[i] = (id*31 + i*17 + 7) % 256
+    * Rows with id%37==0 get an undecodable blob — exercising the
+    * corrupt-row path (decode drops them, it never throws).
+    */
+  def syntheticMedia(docIds: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      // static access, not a captured Charset (Charset isn't serializable)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val tpe = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val content: Array[Byte] =
+        if (id % 37 == 0) "corrupt-blob".getBytes(ascii)
+        else {
+          val (header, plen) = tpe match {
+            case "image" =>
+              val w = 8 + (id % 9).toInt; val h = 4 + (id % 5).toInt
+              (s"IMG:${w}x$h:", w * h)
+            case "audio" =>
+              val sr = 8000 + (id % 5).toInt * 4000
+              (s"AUD:$sr:", 64 + (id % 32).toInt)
+            case _ =>
+              (s"VID:16:", 16 * (2 + (id % 6).toInt))
+          }
+          val payload =
+            Array.tabulate(plen)(i => ((id * 31 + i * 17 + 7) % 256).toByte)
+          header.getBytes(ascii) ++ payload
+        }
+      (id, tpe, content, Map.empty[String, String])
+    }.toDF("media_id", "media_type", "content", "meta")
+  }
+
+  /** Integer-exact per-blob features — the oracle-checkable face of
+    * extractFeatures: payload length, byte sum, and the dominant
+    * 16-bin histogram bucket (max count, lowest bin on ties). Same
+    * bounded-batch decode underneath; exact integers instead of
+    * normalized floats so results hash-match across engines.
+    */
+  def byteFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media, batchSize).map { d =>
+      val hist = new Array[Long](16)
+      var sum = 0L
+      d.payload.foreach { b =>
+        val v = b & 0xFF; hist(v >> 4) += 1; sum += v
+      }
+      var top = 0
+      var i = 1
+      while (i < 16) { if (hist(i) > hist(top)) top = i; i += 1 }
+      (d.media_id, d.media_type, d.width.toLong, d.height.toLong,
+        d.sample_rate.toLong, d.n_frames.toLong, d.payload.length.toLong,
+        sum, top.toLong)
+    }.toDF("media_id", "media_type", "width", "height", "sample_rate",
+      "n_frames", "payload_bytes", "byte_sum", "top_bin")
+  }
+
   /** Feature extraction: a 16-bin byte histogram per blob, L1
     * normalized — the shape (fixed-width Array[Float] per row) of a
     * real embedding model's output, computed deterministically.

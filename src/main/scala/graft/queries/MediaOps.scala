@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline as a first-class, oracle-verified query.
+  *
+  * The corpus is a deterministic synthetic media table derived from
+  * `documents.doc_id` (graft.ops.Multimodal.syntheticMedia): typed
+  * binary blobs with self-describing headers, a corrupt-row subset,
+  * and payload bytes in closed form. The query runs the REAL pipeline
+  * — executor-side blob construction → bounded-batch decode (the
+  * codec seam) → integer-exact feature extraction → per-type
+  * aggregates — while the DuckDB oracle recomputes expected features
+  * from the same closed forms without ever seeing a blob. A hash match
+  * therefore proves the decode + feature path end-to-end, including
+  * that corrupt blobs are dropped by the decoder (n_raw vs n_decoded).
+  *
+  * 100 TB shape: blobs never leave executors, decode memory is
+  * batchSize × max-blob-size per task, features are a narrow
+  * fixed-width projection, and the final aggregate is a map-side
+  * combined groupBy on a 3-value key.
+  */
+object MediaOps {
+
+  def all: Seq[Q] = Seq(
+    Q(
+      "qm1_media_features",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    doc_id % 37 = 0 AS corrupt,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN (8 + doc_id % 9) * (4 + doc_id % 5)
+        |      WHEN 1 THEN 64 + doc_id % 32
+        |      ELSE 16 * (2 + doc_id % 6) END AS plen,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9 ELSE 0 END AS w,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5 ELSE 0 END AS h,
+        |    CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000
+        |      ELSE 0 END AS sr,
+        |    CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 0 END AS nf
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, media_type, unnest(range(0, plen)) AS i
+        |  FROM m WHERE NOT corrupt),
+        |bytes AS (
+        |  SELECT doc_id, media_type,
+        |    (doc_id * 31 + i * 17 + 7) % 256 AS byte
+        |  FROM idx),
+        |hist AS (
+        |  SELECT doc_id, byte // 16 AS bin, COUNT(*) AS c
+        |  FROM bytes GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, bin AS top_bin FROM (
+        |    SELECT doc_id, bin,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC, bin ASC) AS rn
+        |    FROM hist) WHERE rn = 1),
+        |sums AS (
+        |  SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS byte_sum
+        |  FROM bytes GROUP BY 1),
+        |raw AS (
+        |  SELECT media_type, COUNT(*) AS n_raw FROM m GROUP BY 1)
+        |SELECT m.media_type, r.n_raw,
+        |  COUNT(*) AS n_decoded,
+        |  CAST(SUM(m.plen) AS BIGINT) AS payload_bytes,
+        |  CAST(SUM(s.byte_sum) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(m.w) AS BIGINT) AS total_width,
+        |  CAST(SUM(m.h) AS BIGINT) AS total_height,
+        |  CAST(SUM(m.sr) AS BIGINT) AS total_sample_rate,
+        |  CAST(SUM(m.nf) AS BIGINT) AS total_frames,
+        |  CAST(SUM(t.top_bin) AS BIGINT) AS sum_top_bin
+        |FROM m
+        |  JOIN sums s USING (doc_id)
+        |  JOIN top t USING (doc_id)
+        |  JOIN raw r ON r.media_type = m.media_type
+        |WHERE NOT m.corrupt
+        |GROUP BY m.media_type, r.n_raw
+        |ORDER BY m.media_type""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      // raw counts BEFORE decode: proves the decoder (not the
+      // generator) dropped the corrupt rows
+      val raw = media.groupBy("media_type").agg(count(lit(1)).as("n_raw"))
+      graft.ops.Multimodal.byteFeatures(media)
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_decoded"),
+          sum("payload_bytes").as("payload_bytes"),
+          sum("byte_sum").as("byte_sum"),
+          sum("width").as("total_width"),
+          sum("height").as("total_height"),
+          sum("sample_rate").as("total_sample_rate"),
+          sum("n_frames").as("total_frames"),
+          sum("top_bin").as("sum_top_bin"))
+        .join(raw, Seq("media_type"))
+        .select(col("media_type"), col("n_raw"), col("n_decoded"),
+          col("payload_bytes"), col("byte_sum"), col("total_width"),
+          col("total_height"), col("total_sample_rate"),
+          col("total_frames"), col("sum_top_bin"))
+        .orderBy("media_type")
+    })
+}

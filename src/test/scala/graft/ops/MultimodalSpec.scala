@@ -62,6 +62,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.find(_._2 == 2).get._3 == Seq[Byte](8, 9, 10, 11))
   }
 
+  test("byteFeatures: integer-exact features, hand-computed blob") {
+    // blob 2: IMG:2x2: with payload [0, 16, 32, 48] — byte_sum 96,
+    // histogram bins 0..3 each 1 → tie broken to lowest bin (0)
+    val f = Multimodal.byteFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f.keySet == Set(1L, 2L, 3L, 4L))
+    val b2 = f(2L)
+    assert(b2.getLong(6) == 4L)   // payload_bytes
+    assert(b2.getLong(7) == 96L)  // byte_sum
+    assert(b2.getLong(8) == 0L)   // top_bin: tie → lowest
+    val b1 = f(1L)                // payload 0..7 → all bin 0
+    assert(b1.getLong(7) == 28L && b1.getLong(8) == 0L)
+  }
+
+  test("syntheticMedia: closed-form blobs round-trip through decode") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 37L, 111L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(ids)
+    assert(media.count() == 7)
+    val d = Multimodal.decode(media).collect().map(x => x.media_id -> x).toMap
+    // 0 and 37 (id%37==0) and 111 (3*37) are corrupt → dropped by decode
+    assert(d.keySet == Set(1L, 2L, 3L, 4L))
+    assert(d(3L).width == 8 + 3 % 9 && d(3L).height == 4 + 3 % 5)
+    assert(d(1L).sample_rate == 8000 + (1 % 5) * 4000)
+    assert(d(2L).n_frames == 2 + 2 % 6)
+    // payload byte closed form
+    assert((d(3L).payload(5) & 0xFF) == ((3 * 31 + 5 * 17 + 7) % 256))
+  }
+
   test("feature extraction yields fixed-width normalized vectors, distributed") {
     val feats = Multimodal.extractFeatures(media)
     // plan is a distributed map over partitions, not a collect
