@@ -175,6 +175,132 @@ object Admin {
       .limit(10)
   }
 
+  // ---------------------------------------------------- role membership
+  // Listings over the role-membership graph (reference:
+  // api/management/v1/role_membership.rs — /members, /member-of,
+  // /user/{id}/roles, each with a /transitive variant;
+  // service/catalog_store/role_assignment.rs for the store semantics).
+  // The closure is an iterative frontier-join to fixpoint — the
+  // DedupClusters kernel shape — so a listing over millions of
+  // user→role edges stays distributed; cycle rejection happens at
+  // assign time in the store, and the depth bound here is the
+  // reference's RoleMembershipDepthExceeded guard (explicit failure,
+  // never a silent partial closure).
+
+  /** Reference max membership depth (role_assignment.rs:562). */
+  val MaxMembershipDepth = 32
+
+  private def edgesDf(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+    import spark.implicits._
+    store.roleEdges().map(e => (e.roleId, e.memberType, e.memberId))
+      .toDF("role_id", "member_type", "member_id")
+  }
+
+  private def depthExceeded(): Nothing =
+    throw new IllegalStateException(
+      s"Role membership graph deeper than $MaxMembershipDepth — " +
+        "exceeds the maximum supported membership depth")
+
+  /** Members of a role: users ∪ member roles, hydrated. Direct, or the
+    * full transitive closure (`GET /role/{id}/members[/transitive]`).
+    * Unprovisioned users list with null identity fields
+    * (role_membership.rs:123-131); dangling role edges are dropped,
+    * never surfaced with a null identity (role_membership.rs:247-252).
+    */
+  def roleMembers(spark: SparkSession, store: FileCatalogStore,
+      roleId: String, transitive: Boolean): DataFrame = {
+    import spark.implicits._
+    val edges = edgesDf(spark, store)
+    var acc = edges.filter(col("role_id") === roleId)
+      .select("member_type", "member_id").distinct().localCheckpoint(true)
+    if (transitive) {
+      var frontier = acc.filter(col("member_type") === "role")
+        .select(col("member_id").as("rid")).localCheckpoint(true)
+      var depth = 1
+      while (frontier.count() > 0) {
+        depth += 1
+        if (depth > MaxMembershipDepth) depthExceeded()
+        // expand one hop; `except` keeps only unseen members, so the
+        // loop terminates on any graph (cycles are store-rejected, but
+        // the kernel must not rely on that)
+        val next = edges.join(frontier, edges("role_id") === frontier("rid"))
+          .select("member_type", "member_id").except(acc)
+          .localCheckpoint(true)
+        frontier = next.filter(col("member_type") === "role")
+          .select(col("member_id").as("rid")).localCheckpoint(true)
+        acc = acc.union(next).localCheckpoint(true)
+      }
+    }
+    val users = store.listUsers()
+      .map(u => (u.id, u.name, u.email.orNull, u.userType))
+      .toDF("mid", "u_name", "u_email", "u_type")
+    val roles = store.listRoles().map(r => (r.id, r.name))
+      .toDF("mid", "r_name")
+    val userRows = acc.filter(col("member_type") === "user")
+      .join(users, col("member_id") === col("mid"), "left")
+      .select(col("member_type"), col("member_id"),
+        col("u_name").as("name"), col("u_email").as("email"),
+        col("u_type").as("user_type"))
+    val roleRows = acc.filter(col("member_type") === "role")
+      .join(roles, col("member_id") === col("mid"))
+      .select(col("member_type"), col("member_id"),
+        col("r_name").as("name"),
+        lit(null).cast(StringType).as("email"),
+        lit(null).cast(StringType).as("user_type"))
+    userRows.union(roleRows).orderBy("member_type", "member_id")
+  }
+
+  /** Reverse reachability: the roles a seed principal is a member of,
+    * direct or transitive — backs both `/user/{id}/roles[/transitive]`
+    * and `/role/{id}/member-of[/transitive]`.
+    */
+  private def memberOfSet(spark: SparkSession, store: FileCatalogStore,
+      seedType: String, seedId: String, transitive: Boolean): DataFrame = {
+    val edges = edgesDf(spark, store)
+    var acc = edges
+      .filter(col("member_type") === seedType && col("member_id") === seedId)
+      .select("role_id").distinct().localCheckpoint(true)
+    if (transitive) {
+      var frontier = acc
+      var depth = 1
+      while (frontier.count() > 0) {
+        depth += 1
+        if (depth > MaxMembershipDepth) depthExceeded()
+        val next = edges.filter(col("member_type") === "role")
+          .join(frontier.withColumnRenamed("role_id", "mid"),
+            col("member_id") === col("mid"))
+          .select("role_id").except(acc).localCheckpoint(true)
+        acc = acc.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    acc
+  }
+
+  private def hydrateRoles(store: FileCatalogStore, ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val roles = store.listRoles().map(r => (r.id, r.name, r.description.orNull))
+      .toDF("rid", "name", "description")
+    ids.join(roles, col("role_id") === col("rid"))
+      .select(col("role_id"), col("name"), col("description"))
+      .orderBy("role_id")
+  }
+
+  /** `GET /user/{id}/roles[/transitive]` — a user's direct or full
+    * effective role set.
+    */
+  def userRoles(spark: SparkSession, store: FileCatalogStore,
+      userId: String, transitive: Boolean): DataFrame =
+    hydrateRoles(store, memberOfSet(spark, store, "user", userId, transitive))
+
+  /** `GET /role/{id}/member-of[/transitive]` — the roles a role is a
+    * member of.
+    */
+  def roleMemberOf(spark: SparkSession, store: FileCatalogStore,
+      roleId: String, transitive: Boolean): DataFrame =
+    hydrateRoles(store, memberOfSet(spark, store, "role", roleId, transitive))
+
   /** Per-operation call counts in timestamped flush windows
     * (reference: loadEndpointStatistics,
     * service/endpoint_statistics.rs:62-157 — a time axis, not one

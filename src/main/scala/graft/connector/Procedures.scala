@@ -34,7 +34,9 @@ object Procedures {
     "delete_warehouse", "set_delete_profile", "set_warehouse_active",
     "incremental_scan", "rewrite_position_delete_files", "changelog_scan",
     "rollback_to_snapshot", "set_current_snapshot",
-    "create_or_update_user", "create_role", "search_user", "search_role")
+    "create_or_update_user", "create_role", "search_user", "search_role",
+    "assign_role", "unassign_role", "list_role_members",
+    "list_user_roles", "list_role_member_of")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -71,6 +73,11 @@ object Procedures {
       case "create_role" => Some(CreateRoleProcedure(catalog))
       case "search_user" => Some(SearchUserProcedure(catalog))
       case "search_role" => Some(SearchRoleProcedure(catalog))
+      case "assign_role" => Some(AssignRoleProcedure(catalog))
+      case "unassign_role" => Some(UnassignRoleProcedure(catalog))
+      case "list_role_members" => Some(ListRoleMembersProcedure(catalog))
+      case "list_user_roles" => Some(ListUserRolesProcedure(catalog))
+      case "list_role_member_of" => Some(ListRoleMemberOfProcedure(catalog))
       case _ => None
     }
 
@@ -368,6 +375,116 @@ final case class SearchRoleProcedure(catalog: GraftCatalog)
   override def call(input: InternalRow): JIterator[Scan] =
     DfResult(graft.admin.Admin.searchRole(SparkSession.active,
       catalog.store, input.getUTF8String(0).toString))
+}
+
+/** Add a member (user or role) to a role — idempotent; role→role
+  * edges that would close a cycle are rejected (reference: POST
+  * /role/{id}/members, api/management/v1/role_membership.rs:211-227;
+  * cycle semantics role_assignment.rs:505-540).
+  */
+final case class AssignRoleProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "assign_role"
+  override def description(): String =
+    "Add a user or role as a member of a role"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("role", StringType),
+    Procedures.param("member_type", StringType), // user | role
+    Procedures.param("member_id", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.addRoleMembers(
+      input.getUTF8String(0).toString,
+      Seq((input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)))
+    val schema = StructType(Seq(
+      StructField("assigned", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true))))
+  }
+}
+
+/** Remove a member edge (reference: DELETE /role/{id}/members —
+  * returns whether the edge existed).
+  */
+final case class UnassignRoleProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "unassign_role"
+  override def description(): String = "Remove a member from a role"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("role", StringType),
+    Procedures.param("member_type", StringType),
+    Procedures.param("member_id", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val removed = catalog.store.removeRoleMember(
+      input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("removed", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](removed))))
+  }
+}
+
+/** Role member listing, direct or transitive (reference: GET
+  * /role/{id}/members[/transitive], role_membership.rs:640,1026).
+  */
+final case class ListRoleMembersProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_role_members"
+  override def description(): String =
+    "Members of a role (users and roles), direct or transitive"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("role", StringType),
+    Procedures.paramWithDefault("transitive", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.roleMembers(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString,
+      !input.isNullAt(1) && input.getBoolean(1)))
+}
+
+/** A user's roles, direct or effective/transitive (reference: GET
+  * /user/{id}/roles[/transitive], role_membership.rs:955,1092).
+  */
+final case class ListUserRolesProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_user_roles"
+  override def description(): String =
+    "Roles a user is assigned to, direct or transitive"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("user", StringType),
+    Procedures.paramWithDefault("transitive", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.userRoles(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString,
+      !input.isNullAt(1) && input.getBoolean(1)))
+}
+
+/** The roles a role is a member of (reference: GET
+  * /role/{id}/member-of[/transitive], role_membership.rs:894,1144).
+  */
+final case class ListRoleMemberOfProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_role_member_of"
+  override def description(): String =
+    "Roles a role is a member of, direct or transitive"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("role", StringType),
+    Procedures.paramWithDefault("transitive", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.roleMemberOf(SparkSession.active,
+      catalog.store, input.getUTF8String(0).toString,
+      !input.isNullAt(1) && input.getBoolean(1)))
 }
 
 /** Warehouse stats time-series (reference: getWarehouseStatistics). */

@@ -63,6 +63,17 @@ final case class RoleRecord(
     createdMs: Long,
     updatedMs: Long)
 
+/** One role-membership edge: `memberId` (a user or another role) is a
+  * direct member of `roleId` (reference: role_membership table,
+  * service/catalog_store/role_assignment.rs — parent role, typed
+  * member; api/management/v1/role_membership.rs for the listing
+  * surface).
+  */
+final case class RoleMemberEdge(
+    roleId: String,
+    memberType: String, // user | role
+    memberId: String)
+
 /** One persisted background task (reference: service/tasks/mod.rs —
   * the queue row: queue name, payload, scheduled-at, attempts,
   * status, heartbeat).
@@ -967,8 +978,117 @@ class FileCatalogStore(val root: String) {
     }.sortBy(_.id)
   }
 
-  def deleteRole(id: String): Boolean =
+  def deleteRole(id: String): Boolean = {
+    // a deleted role's edges go with it (both directions) — no dangling
+    // parents; dangling MEMBER ids elsewhere are dropped at listing time
+    val f = membersPath(id)
+    Files.deleteIfExists(f)
+    roleEdges().filter(e => e.memberType == "role" && e.memberId == id)
+      .foreach(e => removeRoleMember(e.roleId, "role", id))
     Files.deleteIfExists(principalDir("roles").resolve(principalKey(id) + ".json"))
+  }
+
+  // ------------------------------------------------------ role membership
+  // Edges persisted one file per PARENT role (the add-batch is atomic
+  // per role, matching the reference's all-or-nothing POST
+  // /role/{id}/members). Reference semantics implemented: idempotent
+  // add, typed members (user|role), cycle rejection for role→role
+  // edges (RoleMembershipCycle, role_assignment.rs:505-540), member
+  // roles must resolve, users may be assigned before provisioning
+  // (role_membership.rs:123-131 — identity hydrates as null).
+
+  private def membersPath(roleId: String): Path =
+    principalDir("role_members").resolve(principalKey(roleId) + ".json")
+
+  private def requireRole(id: String): Unit =
+    if (!Files.exists(principalDir("roles").resolve(principalKey(id) + ".json")))
+      throw new IllegalArgumentException(s"No such role: $id")
+
+  /** Direct members of a role as (memberType, memberId). */
+  def listRoleMembers(roleId: String): Seq[(String, String)] = {
+    val p = membersPath(roleId)
+    if (!Files.exists(p)) Nil
+    else (JsonMethods.parse(readString(p)) \ "members") match {
+      case JArray(ms) => ms.map(m =>
+        ((m \ "type").extract[String], (m \ "id").extract[String]))
+      case _ => Nil
+    }
+  }
+
+  /** Every membership edge in the catalog. */
+  def roleEdges(): Seq[RoleMemberEdge] = {
+    val dir = principalDir("role_members")
+    if (!Files.isDirectory(dir)) Nil
+    else FileCatalogStore.listDir(dir).flatMap { p =>
+      val j = JsonMethods.parse(readString(p))
+      val parent = (j \ "role-id").extract[String]
+      (j \ "members") match {
+        case JArray(ms) => ms.map(m => RoleMemberEdge(parent,
+          (m \ "type").extract[String], (m \ "id").extract[String]))
+        case _ => Nil
+      }
+    }.sortBy(e => (e.roleId, e.memberType, e.memberId))
+  }
+
+  private def writeMembers(roleId: String,
+      members: Seq[(String, String)]): Unit =
+    writeString(membersPath(roleId), Json.render(
+      ("role-id" -> roleId) ~
+        ("members" -> members.map(m => ("type" -> m._1) ~ ("id" -> m._2)))))
+
+  /** True if `to` is reachable from `from` over role→role edges — the
+    * assign-time cycle probe. The role graph is catalog metadata
+    * (bounded by role count, not user count), so a driver-side BFS is
+    * right-sized here; the potentially-large LISTINGS (millions of
+    * users) are the distributed Spark queries in admin.Admin.
+    */
+  private def roleReachable(from: String, to: String): Boolean = {
+    val out = roleEdges().filter(_.memberType == "role")
+      .groupBy(_.roleId).view.mapValues(_.map(_.memberId)).toMap
+    val seen = scala.collection.mutable.Set(from)
+    var frontier = List(from)
+    while (frontier.nonEmpty) {
+      if (seen(to)) return true
+      frontier = frontier.flatMap(r => out.getOrElse(r, Nil))
+        .filterNot(seen)
+      frontier.foreach(seen.add)
+    }
+    seen(to)
+  }
+
+  /** Add members to a role — batch, atomic per role, idempotent
+    * (already-present members confirm silently, reference
+    * AddRoleMembersResponse). Role→role edges that would close a cycle
+    * are rejected before anything is written (all-or-nothing).
+    * @param members (memberType, memberId) pairs, types user|role
+    */
+  def addRoleMembers(roleId: String,
+      members: Seq[(String, String)]): Unit = {
+    requireRole(roleId)
+    members.foreach { case (t, id) =>
+      if (t != "user" && t != "role")
+        throw new IllegalArgumentException(s"Bad member type: $t")
+      if (t == "role") {
+        requireRole(id)
+        if (id == roleId || roleReachable(id, roleId))
+          throw new IllegalArgumentException(
+            s"Adding role '$id' as a member of role '$roleId' would " +
+              "create a cycle in the role membership graph")
+      }
+    }
+    val current = listRoleMembers(roleId)
+    val added = members.filterNot(current.contains)
+    if (added.nonEmpty) writeMembers(roleId, current ++ added)
+  }
+
+  /** Remove one member edge; true if it existed. */
+  def removeRoleMember(roleId: String, memberType: String,
+      memberId: String): Boolean = {
+    val current = listRoleMembers(roleId)
+    val next = current.filterNot(_ == (memberType, memberId))
+    if (next.size == current.size) false
+    else { writeMembers(roleId, next); true }
+  }
 
   // ------------------------------------------------------------ manifests
   // Manifest and data-file paths are persisted RELATIVE to the table's

@@ -207,4 +207,87 @@ class AdminSpec extends AnyFunSuite {
     assert(cat.store.listUsers().exists(_.id == "oidc~abc"),
       "deleting the upper-case id must not remove the lower-case one")
   }
+
+  test("role membership: 3-level DAG transitive closure, cycles rejected") {
+    val st = cat.store
+    // DAG: admins ← engineers ← interns  (interns member of engineers,
+    // engineers member of admins); users at every level + one user in
+    // two roles + one unprovisioned member
+    st.createRole("r-admins", "admins", None)
+    st.createRole("r-eng", "engineers", None)
+    st.createRole("r-interns", "interns", None)
+    st.createOrUpdateUser("u-alice", "Alice", Some("a@x"), "human")
+    st.createOrUpdateUser("u-bob", "Bob", None, "human")
+    st.createOrUpdateUser("u-carol", "Carol", None, "human")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-admins', member_type => 'role', member_id => 'r-eng')")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-eng', member_type => 'role', member_id => 'r-interns')")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-admins', member_type => 'user', member_id => 'u-alice')")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-eng', member_type => 'user', member_id => 'u-bob')")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-interns', member_type => 'user', member_id => 'u-carol')")
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-interns', member_type => 'user', member_id => 'u-bob')")
+    // unprovisioned: assigned before any create_or_update_user
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-eng', member_type => 'user', member_id => 'u-ghost')")
+    // idempotent re-add
+    spark.sql("CALL gadmin.system.assign_role(role => 'r-admins', member_type => 'user', member_id => 'u-alice')")
+
+    // direct members of admins: exactly one user + one role edge
+    val direct = spark.sql(
+      "CALL gadmin.system.list_role_members(role => 'r-admins')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(direct == Set(("user", "u-alice"), ("role", "r-eng")))
+
+    // hand-computed transitive closure of admins: users alice, bob,
+    // carol, ghost (via eng/interns); roles eng, interns
+    val trans = spark.sql(
+      "CALL gadmin.system.list_role_members(role => 'r-admins', transitive => true)")
+      .collect()
+    val transSet = trans.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(transSet == Set(
+      ("user", "u-alice"), ("user", "u-bob"), ("user", "u-carol"),
+      ("user", "u-ghost"),
+      ("role", "r-eng"), ("role", "r-interns")), s"got $transSet")
+    // unprovisioned member hydrates with null identity, never dropped
+    val ghost = trans.find(_.getString(1) == "u-ghost").get
+    assert(ghost.isNullAt(2) && ghost.isNullAt(4))
+    // provisioned users hydrate
+    assert(trans.find(_.getString(1) == "u-alice").get.getString(2) == "Alice")
+
+    // bob's effective roles: direct (eng, interns) + transitive (admins)
+    val bobDirect = spark.sql(
+      "CALL gadmin.system.list_user_roles(user => 'u-bob')")
+      .collect().map(_.getString(0)).toSet
+    assert(bobDirect == Set("r-eng", "r-interns"))
+    val bobAll = spark.sql(
+      "CALL gadmin.system.list_user_roles(user => 'u-bob', transitive => true)")
+      .collect().map(_.getString(0)).toSet
+    assert(bobAll == Set("r-eng", "r-interns", "r-admins"))
+
+    // member-of: interns is transitively a member of eng and admins
+    val internsOf = spark.sql(
+      "CALL gadmin.system.list_role_member_of(role => 'r-interns', transitive => true)")
+      .collect().map(_.getString(0)).toSet
+    assert(internsOf == Set("r-eng", "r-admins"))
+
+    // cycle: admins is already a transitive ancestor → rejected
+    val ex = intercept[Exception] {
+      spark.sql("CALL gadmin.system.assign_role(role => 'r-interns', member_type => 'role', member_id => 'r-admins')")
+    }
+    assert(ex.getMessage.contains("cycle"), ex.getMessage)
+    // self-edge also rejected
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.assign_role(role => 'r-eng', member_type => 'role', member_id => 'r-eng')")
+    }
+
+    // unassign removes the edge; closure shrinks accordingly
+    val removed = spark.sql(
+      "CALL gadmin.system.unassign_role(role => 'r-eng', member_type => 'role', member_id => 'r-interns')")
+      .collect().head.getBoolean(0)
+    assert(removed)
+    val after = spark.sql(
+      "CALL gadmin.system.list_role_members(role => 'r-admins', transitive => true)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(
+      ("user", "u-alice"), ("user", "u-bob"), ("user", "u-ghost"),
+      ("role", "r-eng")), s"got $after")
+  }
 }
