@@ -49,22 +49,48 @@ object KMeans {
     lit(cNormSq) - lit(2.0) * dotLit(emb, c)
   }
 
+  /** Above this k the unrolled literal tree would blow past JVM codegen
+    * limits (64KB method / constant pool): k×dim literals, one aggregate
+    * expression per centroid. Measured fast below it; the array form
+    * takes over above.
+    */
+  private val LiteralTreeMaxK = 64
+
+  /** Per-centroid rank-distance array, ascending-cid order. Two plans
+    * for one semantics:
+    *  - k ≤ 64: unrolled expression per centroid (whole-stage codegen
+    *    inlines the constants — fastest at IVF-scale k);
+    *  - k > 64: centroids as ONE 2-D array literal (a broadcast-style
+    *    constant, O(1) codegen size in k) with nested higher-order
+    *    functions computing ||c||² − 2·e·c per element.
+    */
+  private def distArray(emb: Column, cents: Seq[Centroid]): Column = {
+    val sorted = cents.sortBy(_.cid)
+    if (sorted.size <= LiteralTreeMaxK)
+      array(sorted.map(c => rankDist(emb, c.v)): _*)
+    else {
+      val cvecs = typedlit(sorted.map(_.v.toSeq))
+      val norms = typedlit(sorted.map(_.v.foldLeft(0.0)((a, x) => a + x * x)))
+      zip_with(cvecs, norms, (cv, n) =>
+        n - lit(2.0) * aggregate(
+          zip_with(emb, cv, (x, p) => x.cast(DoubleType) * p),
+          lit(0.0), (acc, x) => acc + x))
+    }
+  }
+
   /** Assigned centroid id: argmin of rank distance, first minimum in
     * ascending-cid order on ties.
     */
   def assignCol(emb: Column, cents: Seq[Centroid]): Column = {
     val sorted = cents.sortBy(_.cid)
-    val dists = array(sorted.map(c => rankDist(emb, c.v)): _*)
-    val cids = array(sorted.map(c => lit(c.cid)): _*)
+    val dists = distArray(emb, cents)
+    val cids = typedlit(sorted.map(_.cid))
     element_at(cids, array_position(dists, array_min(dists)).cast(IntegerType))
   }
 
   /** Full squared distance to the assigned centroid. */
-  def assignedDist(emb: Column, cents: Seq[Centroid]): Column = {
-    val sorted = cents.sortBy(_.cid)
-    val dists = array(sorted.map(c => rankDist(emb, c.v)): _*)
-    dot(emb, emb) + array_min(dists)
-  }
+  def assignedDist(emb: Column, cents: Seq[Centroid]): Column =
+    dot(emb, emb) + array_min(distArray(emb, cents))
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

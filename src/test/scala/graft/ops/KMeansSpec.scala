@@ -51,4 +51,42 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.map(_.cid) === Seq(1, 2, 3, 4))
     assert(a.map(_.v.toSeq) === b.map(_.v.toSeq))
   }
+
+  test("k=256 assignment survives codegen (array path) and matches brute force") {
+    import spark.implicits._
+    val dim = 8
+    // 256 deterministic centroids + a handful of query vectors
+    val cents = (1 to 256).map { cid =>
+      KMeans.Centroid(cid,
+        Array.tabulate(dim)(d => ((cid * 31 + d * 17) % 97).toDouble))
+    }
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(dim)(d => ((i * 13 + d * 7) % 97).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = vecs
+      .select(col("vec_id"), KMeans.assignCol(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // brute-force argmin with the same tie-break (lowest cid)
+    val expected = (0L until 20L).map { i =>
+      val e = Array.tabulate(dim)(d => ((i * 13 + d * 7) % 97).toDouble)
+      val best = cents.minBy(c =>
+        (c.v.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum, c.cid))
+      i -> best.cid
+    }.toMap
+    assert(got === expected)
+    // boundary pin: k=64 (literal-tree path) and k=65 (array path) each
+    // match the same brute-force reference on their own centroid sets
+    for (k <- Seq(64, 65)) {
+      val sub = cents.take(k)
+      val gotK = vecs
+        .select(col("vec_id"), KMeans.assignCol(col("embedding"), sub).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expK = (0L until 20L).map { i =>
+        val e = Array.tabulate(dim)(d => ((i * 13 + d * 7) % 97).toDouble)
+        i -> sub.minBy(c =>
+          (c.v.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum, c.cid)).cid
+      }.toMap
+      assert(gotK === expK, s"k=$k")
+    }
+  }
 }
