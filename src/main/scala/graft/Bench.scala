@@ -45,15 +45,31 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+    // The dedup pair sets are memoized per session and shared by
+    // qd5/qd6/qd7/qs5; after each pass's clearCache they re-materialize
+    // on first touch. Timing that materialization as its OWN row keeps
+    // it out of whichever consumer runs first (r5: qd7 showed ±3 s of
+    // spread that was really this cost moving between queries).
+    def onePass(): Map[String, Double] = {
+      val w0 = System.nanoTime()
+      val warmOk =
+        try { graft.queries.TextOps.warmSharedPairs(spark, sfDir); true }
         catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] shared-pairs warm FAILED: ${e.getMessage}")
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val warmRow = "shared_pairs_materialize" ->
+        (if (warmOk) (System.nanoTime() - w0) / 1e9 else -1.0)
+      Map(warmRow) ++ SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
     val passes = (1 to runs).map { i =>
       if (i > 1) spark.catalog.clearCache()

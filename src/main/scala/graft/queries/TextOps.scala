@@ -86,6 +86,18 @@ object TextOps {
     pairs
   }
 
+  /** Materialize the session-memoized pair sets shared by qd5/qd6/qd7
+    * (exact-Jaccard at the 0.4 production threshold) and qs5/qd7
+    * (embedding near-dup). Bench times this as its OWN row so the
+    * first-touch materialization cost is never attributed to whichever
+    * consumer happens to run first — the source of qd7's ±3 s
+    * run-to-run spread in round 5.
+    */
+  def warmSharedPairs(s: SparkSession, dir: String): Unit = {
+    exactJaccardPairs(s, dir, 0.4).count()
+    Similarity.embeddingNearDupPairs(s, dir).count()
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ t — the All-Pairs/PPJoin scheme
     * over a dictionary-encoded corpus (design notes on the qd5 entry
     * below). Returns (a, b, jaccard) with a < b, unordered, unrounded,
