@@ -175,6 +175,32 @@ object Admin {
       .limit(10)
   }
 
+  /** Per-project rollup of warehouse contents (reference: the
+    * project-scoped statistics hanging off the project entity,
+    * api/endpoints.rs:258-259): for every warehouse in scope, live
+    * table/view counts from its catalog, aggregated per project.
+    */
+  def projectStatistics(spark: SparkSession, store: FileCatalogStore,
+      project: Option[String]): DataFrame = {
+    import spark.implicits._
+    val rows = store.listWarehouseEntries()
+      .filter(e => project.forall(_ == e.project))
+      .map { e =>
+        val st = if (e.location == store.root) store
+          else new FileCatalogStore(e.location)
+        val live = st.listAllTabulars(includeDeleted = false)
+        (e.project, e.name,
+          live.count(_.kind == "table").toLong,
+          live.count(_.kind == "view").toLong)
+      }
+    rows.toDF("project", "warehouse", "tables", "views")
+      .groupBy("project")
+      .agg(count(lit(1)).as("n_warehouses"),
+        sum("tables").as("n_tables"),
+        sum("views").as("n_views"))
+      .orderBy("project")
+  }
+
   // ---------------------------------------------------- role membership
   // Listings over the role-membership graph (reference:
   // api/management/v1/role_membership.rs — /members, /member-of,

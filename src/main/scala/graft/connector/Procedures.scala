@@ -36,7 +36,9 @@ object Procedures {
     "rollback_to_snapshot", "set_current_snapshot",
     "create_or_update_user", "create_role", "search_user", "search_role",
     "assign_role", "unassign_role", "list_role_members",
-    "list_user_roles", "list_role_member_of")
+    "list_user_roles", "list_role_member_of",
+    "create_project", "list_projects", "rename_project", "delete_project",
+    "project_statistics")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -78,6 +80,11 @@ object Procedures {
       case "list_role_members" => Some(ListRoleMembersProcedure(catalog))
       case "list_user_roles" => Some(ListUserRolesProcedure(catalog))
       case "list_role_member_of" => Some(ListRoleMemberOfProcedure(catalog))
+      case "create_project" => Some(CreateProjectProcedure(catalog))
+      case "list_projects" => Some(ListProjectsProcedure(catalog))
+      case "rename_project" => Some(RenameProjectProcedure(catalog))
+      case "delete_project" => Some(DeleteProjectProcedure(catalog))
+      case "project_statistics" => Some(ProjectStatisticsProcedure(catalog))
       case _ => None
     }
 
@@ -708,11 +715,14 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
   override def bind(inputType: StructType): BoundProcedure = this
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("name", StringType),
-    Procedures.param("location", StringType))
+    Procedures.param("location", StringType),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val loc = catalog.store.createWarehouse(
-      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      if (input.isNullAt(2)) catalog.store.DefaultProject
+      else input.getUTF8String(2).toString)
     val schema = StructType(Seq(StructField("location", StringType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](Procedures.utf8(loc))): InternalRow))
@@ -722,17 +732,26 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
 final case class ListWarehousesProcedure(catalog: GraftCatalog)
   extends UnboundProcedure with BoundProcedure {
   override def name(): String = "list_warehouses"
-  override def description(): String = "List known warehouses"
+  override def description(): String =
+    "List known warehouses, optionally project-filtered"
   override def bind(inputType: StructType): BoundProcedure = this
-  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("project", StringType, "NULL"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    val project =
+      if (input.numFields < 1 || input.isNullAt(0)) None
+      else Some(input.getUTF8String(0).toString)
     val schema = StructType(Seq(
-      StructField("name", StringType), StructField("location", StringType)))
+      StructField("name", StringType), StructField("location", StringType),
+      StructField("project", StringType)))
     Procedures.resultScan(schema,
-      catalog.store.listWarehouses().toSeq.sortBy(_._1).map { case (n, l) =>
-        new GenericInternalRow(Array[Any](
-          Procedures.utf8(n), Procedures.utf8(l))): InternalRow })
+      catalog.store.listWarehouseEntries()
+        .filter(e => project.forall(_ == e.project))
+        .map { e =>
+          new GenericInternalRow(Array[Any](
+            Procedures.utf8(e.name), Procedures.utf8(e.location),
+            Procedures.utf8(e.project))): InternalRow })
   }
 }
 
@@ -744,16 +763,117 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
   override def bind(inputType: StructType): BoundProcedure = this
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("name", StringType),
-    Procedures.paramWithDefault("force", BooleanType, "false"))
+    Procedures.paramWithDefault("force", BooleanType, "false"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val deleted = catalog.store.deleteWarehouse(
       input.getUTF8String(0).toString,
-      force = !input.isNullAt(1) && input.getBoolean(1))
+      force = !input.isNullAt(1) && input.getBoolean(1),
+      project = if (input.numFields < 3 || input.isNullAt(2))
+        catalog.store.DefaultProject else input.getUTF8String(2).toString)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
   }
+}
+
+/** Project CRUD (reference: api/endpoints.rs:216-221 — ListProjects /
+  * CreateProject / GetProject / DeleteProject / RenameProject;
+  * management/v1/project.rs). Warehouses scope under a project; the
+  * bootstrap warehouse lives in the always-present default project.
+  */
+final case class CreateProjectProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_project"
+  override def description(): String = "Create a project"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("id", StringType),
+    Procedures.param("name", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val rec = catalog.store.createProject(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(rec.id), Procedures.utf8(rec.name))): InternalRow))
+  }
+}
+
+final case class ListProjectsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_projects"
+  override def description(): String = "List projects"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("created_ms", LongType)))
+    Procedures.resultScan(schema, catalog.store.listProjects().map { p =>
+      new GenericInternalRow(Array[Any](
+        Procedures.utf8(p.id), Procedures.utf8(p.name),
+        p.createdMs)): InternalRow })
+  }
+}
+
+final case class RenameProjectProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "rename_project"
+  override def description(): String = "Rename a project"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("id", StringType),
+    Procedures.param("new_name", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.renameProject(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val schema = StructType(Seq(
+      StructField("renamed", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
+  }
+}
+
+final case class DeleteProjectProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "delete_project"
+  override def description(): String =
+    "Delete an empty project (conflicts while warehouses remain)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("id", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.deleteProject(input.getUTF8String(0).toString)
+    val schema = StructType(Seq(
+      StructField("deleted", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
+  }
+}
+
+/** Per-project rollup of warehouse contents (reference:
+  * project-scoped statistics, api/endpoints.rs:258-259).
+  */
+final case class ProjectStatisticsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "project_statistics"
+  override def description(): String =
+    "Warehouse/table/view counts rolled up per project"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("project", StringType, "NULL"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] =
+    DfResult(graft.admin.Admin.projectStatistics(SparkSession.active,
+      catalog.store,
+      if (input.numFields < 1 || input.isNullAt(0)) None
+      else Some(input.getUTF8String(0).toString)))
 }
 
 /** Delete-profile switch: `soft` tombstones dropped tables for the

@@ -74,6 +74,18 @@ final case class RoleMemberEdge(
     memberType: String, // user | role
     memberId: String)
 
+/** A project — the entity warehouses are scoped under (reference:
+  * api/endpoints.rs:216-221 ListProjects/Create/Get/Delete/Rename,
+  * api/management/v1/project.rs).
+  */
+final case class ProjectRecord(id: String, name: String, createdMs: Long)
+
+/** A registered warehouse with its project scope (reference:
+  * lakekeeper-storage-postgres/src/warehouse.rs WarehouseRecord —
+  * project_id + warehouse_name, name unique per project).
+  */
+final case class WarehouseEntry(name: String, location: String, project: String)
+
 /** One persisted background task (reference: service/tasks/mod.rs —
   * the queue row: queue name, payload, scheduled-at, attempts,
   * status, heartbeat).
@@ -1157,43 +1169,155 @@ class FileCatalogStore(val root: String) {
       throw new IllegalStateException(
         s"Warehouse ${warehouseProfile.name} is deactivated")
 
-  // registry of additional warehouses created THROUGH this one
-  // (management plane: name → root location)
-  private def registryPath: Path = rootPath.resolve(".warehouses.json")
+  // ------------------------------------------------------------- projects
+  // The entity layer warehouses are scoped under (reference:
+  // api/endpoints.rs:216-221, management/v1/project.rs; postgres arm
+  // warehouse.rs:295 — DELETE conflicts with "ProjectNotEmpty" while
+  // any warehouse still references the project). The bootstrap
+  // warehouse lives in the always-present default project.
 
-  def listWarehouses(): Map[String, String] = taskLock.synchronized {
-    val self = Map(warehouseProfile.name -> root)
-    if (!Files.exists(registryPath)) self
-    else self ++ JsonMethods.parse(readString(registryPath))
-      .extract[Map[String, String]]
+  val DefaultProject = "default"
+
+  private def projectsPath: Path = rootPath.resolve(".projects.json")
+
+  def listProjects(): Seq[ProjectRecord] = taskLock.synchronized {
+    val default = ProjectRecord(DefaultProject, DefaultProject, 0L)
+    val extra =
+      if (!Files.exists(projectsPath)) Nil
+      else (JsonMethods.parse(readString(projectsPath)) \ "projects") match {
+        case JArray(ps) => ps.map(p => ProjectRecord(
+          (p \ "id").extract[String], (p \ "name").extract[String],
+          (p \ "created-ms").extract[Long]))
+        case _ => Nil
+      }
+    default +: extra.sortBy(_.id)
   }
 
-  def createWarehouse(name: String, location: String): String =
+  private def writeProjects(ps: Seq[ProjectRecord]): Unit =
+    writeString(projectsPath, Json.render(
+      "projects" -> ps.map(p => ("id" -> p.id) ~ ("name" -> p.name) ~
+        ("created-ms" -> p.createdMs))))
+
+  def getProject(id: String): Option[ProjectRecord] =
+    listProjects().find(_.id == id)
+
+  def createProject(id: String, name: String): ProjectRecord =
     taskLock.synchronized {
-      if (listWarehouses().contains(name))
-        throw new AlreadyExistsException(s"Warehouse $name already exists")
+      val existing = listProjects()
+      if (existing.exists(p => p.id == id || fold(p.name) == fold(name)))
+        throw new AlreadyExistsException(s"Project $name already exists")
+      val rec = ProjectRecord(id, name, System.currentTimeMillis())
+      writeProjects(existing.filterNot(_.id == DefaultProject) :+ rec)
+      logEvent("project-created", TabularId(Nil, name), Map("id" -> id))
+      rec
+    }
+
+  def renameProject(id: String, newName: String): Unit =
+    taskLock.synchronized {
+      if (id == DefaultProject) throw new IllegalArgumentException(
+        "The default project cannot be renamed")
+      val existing = listProjects()
+      val rec = existing.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(s"Project not found: $id"))
+      if (existing.exists(p => p.id != id && fold(p.name) == fold(newName)))
+        throw new AlreadyExistsException(s"Project $newName already exists")
+      writeProjects(existing.filterNot(_.id == DefaultProject)
+        .map(p => if (p.id == id) p.copy(name = newName) else p))
+      logEvent("project-renamed", TabularId(Nil, newName),
+        Map("id" -> id, "old-name" -> rec.name))
+    }
+
+  /** Delete an EMPTY project (reference: FK violation → conflict
+    * "ProjectNotEmpty"; missing → not found).
+    */
+  def deleteProject(id: String): Unit = taskLock.synchronized {
+    if (id == DefaultProject) throw new IllegalArgumentException(
+      "The default project cannot be deleted")
+    val existing = listProjects()
+    if (!existing.exists(_.id == id))
+      throw new IllegalArgumentException(s"Project not found: $id")
+    val whs = listWarehouseEntries().filter(_.project == id)
+    if (whs.nonEmpty) throw new IllegalStateException(
+      s"Project is not empty: ${whs.size} warehouse(s) still in $id")
+    writeProjects(existing.filterNot(p => p.id == DefaultProject || p.id == id))
+    logEvent("project-deleted", TabularId(Nil, id), Map("id" -> id))
+  }
+
+  // registry of additional warehouses created THROUGH this one
+  // (management plane: name + root location, scoped to a project;
+  // names are unique WITHIN a project, mirroring the reference's
+  // (project_id, warehouse_name) uniqueness)
+  private def registryPath: Path = rootPath.resolve(".warehouses.json")
+
+  /** All known warehouses incl. this one, with project scope. Reads
+    * both registry formats (pre-project files were a flat name→location
+    * map; those entries belong to the default project).
+    */
+  def listWarehouseEntries(): Seq[WarehouseEntry] = taskLock.synchronized {
+    val self = WarehouseEntry(warehouseProfile.name, root, DefaultProject)
+    val extra =
+      if (!Files.exists(registryPath)) Nil
+      else JsonMethods.parse(readString(registryPath)) match {
+        case JObject(fields) if fields.exists(_._1 == "entries") =>
+          (JObject(fields) \ "entries") match {
+            case JArray(es) => es.map(e => WarehouseEntry(
+              (e \ "name").extract[String], (e \ "location").extract[String],
+              (e \ "project").extract[String]))
+            case _ => Nil
+          }
+        case flat => flat.extract[Map[String, String]].toSeq
+          .map { case (n, l) => WarehouseEntry(n, l, DefaultProject) }
+      }
+    self +: extra.sortBy(e => (e.project, e.name))
+  }
+
+  /** name → location over every project (legacy surface; names can
+    * repeat across projects — project-qualified callers should use
+    * [[listWarehouseEntries]]).
+    */
+  def listWarehouses(): Map[String, String] =
+    listWarehouseEntries().map(e => e.name -> e.location).toMap
+
+  private def writeRegistry(entries: Seq[WarehouseEntry]): Unit =
+    writeString(registryPath, Json.render(
+      "entries" -> entries.map(e => ("name" -> e.name) ~
+        ("location" -> e.location) ~ ("project" -> e.project))))
+
+  def createWarehouse(name: String, location: String,
+      project: String = DefaultProject): String =
+    taskLock.synchronized {
+      if (getProject(project).isEmpty)
+        throw new IllegalArgumentException(s"Project not found: $project")
+      if (listWarehouseEntries().exists(e =>
+          e.project == project && e.name == name))
+        throw new AlreadyExistsException(
+          s"Warehouse $name already exists in project $project")
       val other = new FileCatalogStore(location)
       other.setWarehouseProfile(WarehouseProfile(name, active = true,
         deleteProfile = "soft", expirationGraceMs = None))
-      val next = (listWarehouses() - warehouseProfile.name) + (name -> location)
-      writeString(registryPath, Json.render(next))
+      // self (this root) is implicit in every listing, never persisted
+      val next = listWarehouseEntries().filterNot(_.location == root) :+
+        WarehouseEntry(name, location, project)
+      writeRegistry(next)
       location
     }
 
-  def deleteWarehouse(name: String, force: Boolean): Boolean =
+  def deleteWarehouse(name: String, force: Boolean,
+      project: String = DefaultProject): Boolean =
     taskLock.synchronized {
-      val entries = listWarehouses() - warehouseProfile.name
-      entries.get(name) match {
+      val entries = listWarehouseEntries().filterNot(_.location == root)
+      entries.find(e => e.project == project && e.name == name) match {
         case None => false
-        case Some(loc) =>
-          val other = new FileCatalogStore(loc)
+        case Some(e) =>
+          val other = new FileCatalogStore(e.location)
           val tabs = other.listAllTabulars(includeDeleted = true)
           if (tabs.nonEmpty && !force)
             throw new IllegalStateException(
               s"Warehouse $name is not empty (${tabs.size} tabulars); " +
                 "pass force => true to purge")
-          deleteRecursively(Paths.get(loc))
-          writeString(registryPath, Json.render(entries - name))
+          deleteRecursively(Paths.get(e.location))
+          writeRegistry(entries.filterNot(x =>
+            x.project == project && x.name == name))
           true
       }
     }

@@ -208,6 +208,71 @@ class AdminSpec extends AnyFunSuite {
       "deleting the upper-case id must not remove the lower-case one")
   }
 
+  test("project entity: CRUD, warehouse scoping, per-project stats rollup") {
+    val tmp = Files.createTempDirectory("graft-proj").toString
+    // create / list
+    spark.sql("CALL gadmin.system.create_project(id => 'p1', name => 'research')")
+    spark.sql("CALL gadmin.system.create_project(id => 'p2', name => 'prod')")
+    val projects = spark.sql("CALL gadmin.system.list_projects()")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(projects == Map(
+      "default" -> "default", "p1" -> "research", "p2" -> "prod"))
+    // duplicate id/name rejected
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.create_project(id => 'p1', name => 'other')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.create_project(id => 'p3', name => 'research')")
+    }
+
+    // warehouses scope under projects; same name allowed across projects
+    spark.sql(s"CALL gadmin.system.create_warehouse(name => 'wh', location => '$tmp/a', project => 'p1')")
+    spark.sql(s"CALL gadmin.system.create_warehouse(name => 'wh', location => '$tmp/b', project => 'p2')")
+    intercept[Exception] { // duplicate within a project rejected
+      spark.sql(s"CALL gadmin.system.create_warehouse(name => 'wh', location => '$tmp/c', project => 'p1')")
+    }
+    // unknown project rejected
+    intercept[Exception] {
+      spark.sql(s"CALL gadmin.system.create_warehouse(name => 'x', location => '$tmp/d', project => 'nope')")
+    }
+    val p1whs = spark.sql(
+      "CALL gadmin.system.list_warehouses(project => 'p1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(p1whs == Seq("wh"))
+
+    // put a table in p1's warehouse → stats roll up per project
+    spark.conf.set("spark.sql.catalog.gp1",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gp1.warehouse", s"$tmp/a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gp1.db")
+    spark.sql("CREATE TABLE gp1.db.t (id BIGINT)")
+    val stats = spark.sql(
+      "CALL gadmin.system.project_statistics(project => 'p1')")
+      .collect()
+    assert(stats.length == 1)
+    assert(stats.head.getString(0) == "p1")
+    assert(stats.head.getLong(1) == 1L) // n_warehouses
+    assert(stats.head.getLong(2) == 1L, s"n_tables: ${stats.head}")
+
+    // rename; delete blocked while non-empty, allowed once empty
+    spark.sql("CALL gadmin.system.rename_project(id => 'p1', new_name => 'research2')")
+    assert(spark.sql("CALL gadmin.system.list_projects()")
+      .collect().exists(r => r.getString(0) == "p1" &&
+        r.getString(1) == "research2"))
+    val notEmpty = intercept[Exception] {
+      spark.sql("CALL gadmin.system.delete_project(id => 'p1')")
+    }
+    assert(notEmpty.getMessage.contains("not empty"), notEmpty.getMessage)
+    spark.sql("CALL gadmin.system.delete_warehouse(name => 'wh', force => true, project => 'p1')")
+    spark.sql("CALL gadmin.system.delete_project(id => 'p1')")
+    assert(!spark.sql("CALL gadmin.system.list_projects()")
+      .collect().exists(_.getString(0) == "p1"))
+    // default project is protected
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.delete_project(id => 'default')")
+    }
+  }
+
   test("role membership: 3-level DAG transitive closure, cycles rejected") {
     val st = cat.store
     // DAG: admins ← engineers ← interns  (interns member of engineers,
