@@ -99,5 +99,81 @@ object MediaOps {
           col("total_height"), col("total_sample_rate"),
           col("total_frames"), col("sum_top_bin"))
         .orderBy("media_type")
+    },
+
+    // ------------------------------------------------ video frame sampling
+    // Multimodal.sampleFrames: every 2nd frame of each video blob,
+    // re-verified per media id against the closed-form payload. Frame f
+    // of video id covers payload bytes [16f, 16f+16); sampled frames
+    // are f = 0, 2, ... < nf.
+    Q(
+      "qm2_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS nf
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 37 <> 0),
+        |f AS (
+        |  SELECT doc_id, nf, unnest(range(0, nf, 2)) AS frame_index
+        |  FROM v),
+        |b AS (
+        |  SELECT doc_id, frame_index,
+        |    unnest(range(frame_index * 16, frame_index * 16 + 16)) AS i
+        |  FROM f)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(MAX(v.nf) AS BIGINT) AS n_frames,
+        |  COUNT(DISTINCT b.frame_index) AS n_sampled,
+        |  CAST(MAX(b.frame_index) AS BIGINT) AS max_frame_index,
+        |  CAST(SUM((b.doc_id * 31 + b.i * 17 + 7) % 256) AS BIGINT)
+        |    AS sampled_byte_sum
+        |FROM b JOIN v ON b.doc_id = v.doc_id
+        |GROUP BY b.doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      val frames = graft.ops.Multimodal.sampleFrames(media, stride = 2)
+      val decoded = graft.ops.Multimodal.byteFeatures(
+        media.filter(col("media_type") === "video"))
+        .select(col("media_id"), col("n_frames"))
+      frames.as[(Long, Int, Array[Byte])]
+        .map { case (id, fi, frame) =>
+          (id, fi, frame.foldLeft(0L)((acc, b) => acc + (b & 0xFF)))
+        }
+        .toDF("media_id", "frame_index", "frame_sum")
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_index")).cast("long").as("max_frame_index"),
+          sum(col("frame_sum")).as("sampled_byte_sum"))
+        .join(decoded, Seq("media_id"))
+        .select(col("media_id"), col("n_frames"), col("n_sampled"),
+          col("max_frame_index"), col("sampled_byte_sum"))
+        .orderBy("media_id")
+    },
+
+    // ---------------------------------------------------- image resizing
+    // Multimodal.resizeImages: nearest-neighbor subsample to 4x2,
+    // re-encoded as fake blobs; the oracle recomputes each output
+    // pixel's source index (i*plen)//8 and the same byte closed form.
+    Q(
+      "qm3_image_resize",
+      """WITH im AS (
+        |  SELECT doc_id, (8 + doc_id % 9) * (4 + doc_id % 5) AS plen
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 37 <> 0),
+        |px AS (
+        |  SELECT doc_id, plen, unnest(range(0, 8)) AS i
+        |  FROM im)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM((doc_id * 31 + ((i * plen) // 8) * 17 + 7) % 256)
+        |    AS BIGINT) AS resized_byte_sum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      val resized = graft.ops.Multimodal.resizeImages(media,
+        targetW = 4, targetH = 2)
+      // the resized output is itself a decodable media frame — run it
+      // back through the decoder and sum the new payload
+      graft.ops.Multimodal.byteFeatures(resized)
+        .select(col("media_id"), col("byte_sum").as("resized_byte_sum"))
+        .orderBy("media_id")
     })
 }
