@@ -21,19 +21,27 @@ import org.apache.spark.storage.StorageLevel
   * inspects the changed-label count every third round (lazy
   * checkpoints fuse the intermediate rounds into the materializing
   * job). Rounds needed = longest min-label propagation path (bounded
-  * by component diameter). Measured on the sf0.1 hybrid dedup graph
-  * (1.1k edges, ~24 rounds, warm ≈ 6 s): round cost at this scale is
-  * per-round shuffle-task overhead; single-variable A/Bs of eager vs
-  * lazy checkpointing, count-every-round vs every-3, and pointer
-  * jumping (label ← label(label)) all land within the ±0.7 s noise
-  * band, with the jump's extra self-join never paying for the rounds
-  * it saves. For adversarial high-diameter graphs the alternating
-  * large-star/small-star scheme (Kiveris et al., SoCC'14) is the
-  * known O(log² n) upgrade; dedup graphs don't need it.
+  * by component diameter; 31 rounds on the sf0.1 hybrid dedup graph).
   *
-  * Every round truncates lineage via an eager localCheckpoint —
-  * without it the fixpoint loop's plan grows linearly and the
-  * optimizer re-analyzes an ever-deeper tree each round.
+  * Pointer jumping (adding a label(label(v)) term) was re-measured
+  * precisely in round 6 and REJECTED with mechanism, not just noise:
+  * it does cut rounds (31 → 24 here; a 64-chain converges in 8), but
+  * the jump leg makes the round plan reference the label table three
+  * times, which (a) silently degrades to a no-op if expressed as a
+  * Dataset self-join (ambiguous alias resolution binds both sides to
+  * one plan — verify round counts when touching this), and (b) breaks
+  * the lazy-fusion trick: three references re-expand an unmaterialized
+  * plan 3^cadence-fold (measured 83 s vs 10 s) and even eager
+  * per-round RDD materialization costs ~0.55 s × 24 rounds = 13.4 s
+  * vs 10.5 s for lazy cadence-3 propagation. Fewer, eager rounds lose
+  * to more, fused ones at this graph size. For adversarial
+  * high-diameter graphs the alternating large-star/small-star scheme
+  * (Kiveris et al., SoCC'14) is the known O(log² n) upgrade; dedup
+  * graphs don't need it.
+  *
+  * Every round truncates lineage via a checkpoint — without it the
+  * fixpoint loop's plan grows linearly and the optimizer re-analyzes
+  * an ever-deeper tree each round.
   */
 object DedupClusters {
 
