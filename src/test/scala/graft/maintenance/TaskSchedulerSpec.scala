@@ -53,6 +53,40 @@ class TaskSchedulerSpec extends AnyFunSuite {
     assert(sched.runOnce(now + 1000) == 0)
   }
 
+  test("legacy tabular_expiration task without uuid resolves by name") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "legacy")
+    mkTable(s, id)
+    s.dropTabular(id, purge = false) // soft delete → tombstone + implied task
+    // simulate a pre-uuid queue entry: re-enqueue WITHOUT the uuid key
+    // (distinct dedupe key so it coexists with the implied task)
+    val grace = 1000L * 60
+    var now = System.currentTimeMillis()
+    s.enqueueTask("tabular_expiration",
+      Map("namespace" -> "db", "name" -> "legacy"),
+      runAtMs = now, dedupeKey = Some("legacy-task"))
+    // drop the implied (uuid-carrying) task so only the legacy one runs
+    s.listTasks(queue = Some("tabular_expiration"))
+      .filter(_.payload.contains("uuid"))
+      .foreach(t => s.updateTask(t.copy(status = "done")))
+
+    val sched = new TaskScheduler(s, graceMs = grace, clock = () => now)
+    // inside grace the legacy task must NOT purge (its tombstone keeps
+    // its window even though the task itself is due)
+    sched.runOnce(now)
+    assert(s.listDeletedTabulars().nonEmpty, "must not purge inside grace")
+
+    // past grace: re-enqueue (first run consumed the task) and purge
+    now += grace + 1
+    s.enqueueTask("tabular_expiration",
+      Map("namespace" -> "db", "name" -> "legacy"),
+      runAtMs = now, dedupeKey = Some("legacy-task-2"))
+    sched.runOnce(now)
+    assert(s.listDeletedTabulars().isEmpty,
+      "legacy (no-uuid) task must resolve the tombstone by name")
+  }
+
   test("undrop inside grace cancels the purge") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)
