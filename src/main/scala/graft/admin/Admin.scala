@@ -183,19 +183,28 @@ object Admin {
   def projectStatistics(spark: SparkSession, store: FileCatalogStore,
       project: Option[String]): DataFrame = {
     import spark.implicits._
-    val rows = store.listWarehouseEntries()
+    // seed from the PROJECT registry, not the warehouse list: a project
+    // with zero warehouses must report a (p, 0, 0, 0) row — an empty
+    // result means "no such project", never "empty project". Unknown
+    // explicit project → error (the reference 404s).
+    project.foreach(p => if (store.getProject(p).isEmpty)
+      throw new IllegalArgumentException(s"Project not found: $p"))
+    val projects = store.listProjects().map(_.id)
+      .filter(p => project.forall(_ == p))
+    val perWh = store.listWarehouseEntries()
       .filter(e => project.forall(_ == e.project))
       .map { e =>
         val st = if (e.location == store.root) store
           else new FileCatalogStore(e.location)
         val live = st.listAllTabulars(includeDeleted = false)
-        (e.project, e.name,
+        (e.project, 1L,
           live.count(_.kind == "table").toLong,
           live.count(_.kind == "view").toLong)
       }
-    rows.toDF("project", "warehouse", "tables", "views")
+    val seeded = perWh ++ projects.map(p => (p, 0L, 0L, 0L))
+    seeded.toDF("project", "wh", "tables", "views")
       .groupBy("project")
-      .agg(count(lit(1)).as("n_warehouses"),
+      .agg(sum("wh").as("n_warehouses"),
         sum("tables").as("n_tables"),
         sum("views").as("n_views"))
       .orderBy("project")
@@ -236,6 +245,9 @@ object Admin {
   def roleMembers(spark: SparkSession, store: FileCatalogStore,
       roleId: String, transitive: Boolean): DataFrame = {
     import spark.implicits._
+    // unknown role → error, not an empty listing (the reference 404s;
+    // "empty" must mean "exists with no members")
+    store.requireRole(roleId)
     val edges = edgesDf(spark, store)
     var acc = edges.filter(col("role_id") === roleId)
       .select("member_type", "member_id").distinct().localCheckpoint(true)
@@ -324,8 +336,13 @@ object Admin {
     * member of.
     */
   def roleMemberOf(spark: SparkSession, store: FileCatalogStore,
-      roleId: String, transitive: Boolean): DataFrame =
+      roleId: String, transitive: Boolean): DataFrame = {
+    // unknown role → error (userRoles deliberately does NOT require a
+    // provisioned user: assignment before provisioning is legal, so an
+    // unknown user id legitimately lists its — possibly empty — edges)
+    store.requireRole(roleId)
     hydrateRoles(store, memberOfSet(spark, store, "role", roleId, transitive))
+  }
 
   /** Per-operation call counts in timestamped flush windows
     * (reference: loadEndpointStatistics,

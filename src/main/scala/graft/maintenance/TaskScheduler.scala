@@ -37,11 +37,14 @@ class TaskScheduler(
         case None =>
           // legacy payloads (pre-uuid) resolve by name; only tombstones
           // past their grace are due — a newer same-name drop keeps its
-          // own window (mirrors the tabular_purge fallback)
+          // own window (mirrors the tabular_purge fallback). The grace
+          // is the EFFECTIVE one (warehouse expirationGraceMs override
+          // wins), matching ensureImpliedTasks — the two paths must
+          // never disagree on when a purge is allowed
           val id = taskTabularId(t)
           val now = clock()
           store.deletedTabularsNamed(id)
-            .filter(_.deletedMs.exists(_ + graceMs <= now))
+            .filter(_.deletedMs.exists(_ + effectiveGraceMs <= now))
             .foreach(i => store.purgeTombstone(id.namespace, i.uuid))
       }
       // protected / undropped / already-purged tombstones: no-op

@@ -1012,7 +1012,7 @@ class FileCatalogStore(val root: String) {
   private def membersPath(roleId: String): Path =
     principalDir("role_members").resolve(principalKey(roleId) + ".json")
 
-  private def requireRole(id: String): Unit =
+  def requireRole(id: String): Unit =
     if (!Files.exists(principalDir("roles").resolve(principalKey(id) + ".json")))
       throw new IllegalArgumentException(s"No such role: $id")
 
@@ -1089,7 +1089,8 @@ class FileCatalogStore(val root: String) {
       }
     }
     val current = listRoleMembers(roleId)
-    val added = members.filterNot(current.contains)
+    // distinct: a duplicate WITHIN the batch must not persist twice
+    val added = members.distinct.filterNot(current.contains)
     if (added.nonEmpty) writeMembers(roleId, current ++ added)
   }
 
@@ -1256,9 +1257,15 @@ class FileCatalogStore(val root: String) {
   def listWarehouseEntries(): Seq[WarehouseEntry] = taskLock.synchronized {
     val self = WarehouseEntry(warehouseProfile.name, root, DefaultProject)
     val extra =
-      if (!Files.exists(registryPath)) Nil
-      else JsonMethods.parse(readString(registryPath)) match {
-        case JObject(fields) if fields.exists(_._1 == "entries") =>
+      JsonMethods.parse(
+        if (!Files.exists(registryPath)) "{}" else readString(registryPath)
+      ) match {
+        // new format is discriminated by the VALUE being an array — a
+        // legacy flat map could legally contain a warehouse literally
+        // named "entries" (whose value is a location string)
+        case JObject(fields)
+            if fields.exists { case (k, v) =>
+              k == "entries" && v.isInstanceOf[JArray] } =>
           (JObject(fields) \ "entries") match {
             case JArray(es) => es.map(e => WarehouseEntry(
               (e \ "name").extract[String], (e \ "location").extract[String],

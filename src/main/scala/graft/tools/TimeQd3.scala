@@ -32,8 +32,10 @@ object TimeQd3 {
     val sigs = graft.ops.MinHashLSH.signatures(base, "doc_id", "text", 64)
     time("signatures")(sigs.count())
     val sigArr = array((0 until 64).map(i => col(s"s$i")): _*)
+    // (bands, r) mirror nearDupPairs' production default — B=16/R=4
+    // since the round-6 threshold alignment; keep in sync
     val banded = sigs.select(col("doc_id"),
-      posexplode(graft.ops.MinHashLSH.bandBuckets(sigArr, 32, 2))
+      posexplode(graft.ops.MinHashLSH.bandBuckets(sigArr, 16, 4))
         .as(Seq("band", "bucket")))
     time("banded")(banded.count())
     val candidates = banded.as("x").join(banded.as("y"),

@@ -271,6 +271,18 @@ class AdminSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("CALL gadmin.system.delete_project(id => 'default')")
     }
+
+    // an EMPTY project reports a zero row, never an empty result
+    spark.sql("CALL gadmin.system.create_project(id => 'p-empty', name => 'empty')")
+    val empty = spark.sql(
+      "CALL gadmin.system.project_statistics(project => 'p-empty')").collect()
+    assert(empty.length == 1 && empty.head.getLong(1) == 0L
+      && empty.head.getLong(2) == 0L, s"got ${empty.toSeq}")
+    // unknown project errors instead of returning nothing
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.project_statistics(project => 'nope')")
+    }
+    spark.sql("CALL gadmin.system.delete_project(id => 'p-empty')")
   }
 
   test("role membership: 3-level DAG transitive closure, cycles rejected") {
@@ -332,6 +344,19 @@ class AdminSpec extends AnyFunSuite {
       "CALL gadmin.system.list_role_member_of(role => 'r-interns', transitive => true)")
       .collect().map(_.getString(0)).toSet
     assert(internsOf == Set("r-eng", "r-admins"))
+
+    // unknown role in a LISTING errors (reference 404) — empty must
+    // mean "exists with no members"; unknown USER listings stay legal
+    // (assignment before provisioning)
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.list_role_members(role => 'r-nope')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.list_role_member_of(role => 'r-nope')")
+    }
+    assert(spark.sql(
+      "CALL gadmin.system.list_user_roles(user => 'never-assigned')")
+      .collect().isEmpty)
 
     // cycle: admins is already a transitive ancestor → rejected
     val ex = intercept[Exception] {

@@ -87,6 +87,36 @@ class TaskSchedulerSpec extends AnyFunSuite {
       "legacy (no-uuid) task must resolve the tombstone by name")
   }
 
+  test("legacy fallback honors the warehouse expirationGraceMs override") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "graced")
+    mkTable(s, id)
+    // warehouse grace 10 minutes, scheduler constructor grace 1 minute:
+    // the EFFECTIVE grace must win on the legacy path too
+    s.setWarehouseProfile(s.warehouseProfile.copy(
+      expirationGraceMs = Some(10L * 60 * 1000)))
+    s.dropTabular(id, purge = false)
+    var now = System.currentTimeMillis()
+    val sched = new TaskScheduler(s, graceMs = 60 * 1000L, clock = () => now)
+    s.listTasks(queue = Some("tabular_expiration"))
+      .filter(_.payload.contains("uuid"))
+      .foreach(t => s.updateTask(t.copy(status = "done")))
+    now += 2 * 60 * 1000 // past constructor grace, inside warehouse grace
+    s.enqueueTask("tabular_expiration",
+      Map("namespace" -> "db", "name" -> "graced"),
+      runAtMs = now, dedupeKey = Some("graced-1"))
+    sched.runOnce(now)
+    assert(s.listDeletedTabulars().nonEmpty,
+      "legacy path must not purge before the warehouse grace")
+    now += 10L * 60 * 1000
+    s.enqueueTask("tabular_expiration",
+      Map("namespace" -> "db", "name" -> "graced"),
+      runAtMs = now, dedupeKey = Some("graced-2"))
+    sched.runOnce(now)
+    assert(s.listDeletedTabulars().isEmpty)
+  }
+
   test("undrop inside grace cancels the purge") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)

@@ -356,4 +356,30 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     val path = s.writeManifest(loc, mf)
     assert(s.readManifest(loc, path).copy(entries = s.readManifest(loc, path).entries.map(f => f.copy(path = f.path.split("/").last))) == mf.copy(entries = mf.entries.map(f => f.copy(path = f.path.split("/").last))))
   }
+
+  test("legacy flat warehouse registry with a warehouse named 'entries' parses") {
+    val s = freshStore()
+    // pre-project format: flat name -> location map, where one name
+    // collides with the new format's discriminator field
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s.root, ".warehouses.json"),
+      """{"entries": "/tmp/wh-entries", "other": "/tmp/wh-other"}""")
+    val got = s.listWarehouseEntries().filterNot(_.location == s.root)
+    assert(got.map(e => e.name -> e.location).toSet ==
+      Set("entries" -> "/tmp/wh-entries", "other" -> "/tmp/wh-other"),
+      s"got $got")
+    assert(got.forall(_.project == s.DefaultProject))
+  }
+
+  test("addRoleMembers dedupes duplicates within one batch") {
+    val s = freshStore()
+    s.createRole("r-dup", "dup-role", None)
+    s.createOrUpdateUser("u1", "U One", None, "human")
+    s.addRoleMembers("r-dup", Seq(("user", "u1"), ("user", "u1")))
+    assert(s.listRoleMembers("r-dup") == Seq(("user", "u1")),
+      "a duplicate within the batch must persist once")
+    // and a re-add stays idempotent
+    s.addRoleMembers("r-dup", Seq(("user", "u1")))
+    assert(s.listRoleMembers("r-dup") == Seq(("user", "u1")))
+  }
 }
