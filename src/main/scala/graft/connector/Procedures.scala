@@ -598,12 +598,16 @@ final case class ExpireDeletedTabularsProcedure(catalog: GraftCatalog)
     "Purge soft-deleted tabulars whose grace period expired"
   override def bind(inputType: StructType): BoundProcedure = this
   override def parameters(): Array[ProcedureParameter] = Array(
-    Procedures.paramWithDefault("grace_ms", LongType,
-      graft.maintenance.ExpirationQueue.DefaultGraceMs.toString))
+    Procedures.paramWithDefault("grace_ms", LongType, "NULL"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    // omitted grace resolves to the warehouse's configured override
+    // first (set_delete_profile), then the global default — the same
+    // precedence the scheduler's implied tasks use
     val grace = if (input.isNullAt(0))
-      graft.maintenance.ExpirationQueue.DefaultGraceMs else input.getLong(0)
+      catalog.store.warehouseProfile.expirationGraceMs
+        .getOrElse(graft.maintenance.ExpirationQueue.DefaultGraceMs)
+    else input.getLong(0)
     val purged = graft.maintenance.ExpirationQueue.run(catalog.store, grace)
     val schema = StructType(Seq(StructField("purged", StringType)))
     Procedures.resultScan(schema,
