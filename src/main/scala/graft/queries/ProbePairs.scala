@@ -30,6 +30,9 @@ object ProbePairs {
       case Array("text") =>
         t("exactJaccardPairs(0.4)")(
           TextOps.exactJaccardPairs(spark, dir, 0.4).count())
+      case Array("text", w) =>
+        t(s"exactJaccardPairs(0.4, width=$w)")(
+          TextOps.exactJaccardPairs(spark, dir, 0.4, w.toInt).count())
       case Array("emb") =>
         t("embeddingNearDupPairs")(
           Similarity.embeddingNearDupPairs(spark, dir).count())

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,7 +52,7 @@ object TextOps {
     * persisted legs, they are re-armed on next access.
     */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double), (DataFrame, Seq[DataFrame])]()
+    (String, String, Double, Int), (DataFrame, Seq[DataFrame])]()
 
   /** Collision-free cache key for a live session: a fresh UUID per
     * session OBJECT, held under a weak key so dead sessions drop out.
@@ -66,11 +66,12 @@ object TextOps {
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   private[queries] def exactJaccardPairs(
-      s: SparkSession, dir: String, t: Double): DataFrame = {
+      s: SparkSession, dir: String, t: Double,
+      width: Int = 2): DataFrame = {
     // sessionUUID is collision-free across live sessions (identity hash
     // is not: two sessions can collide and hand a DataFrame bound to a
     // stopped session to the other)
-    val key = (TextOps.sessionKey(s), dir, t)
+    val key = (TextOps.sessionKey(s), dir, t, width)
     // bounded: entries pin DataFrames (and their persisted legs) for
     // dead sessions otherwise; the working set is a handful of
     // (session, dir, threshold) combinations, so a full clear on
@@ -78,7 +79,7 @@ object TextOps {
     if (pairsCache.size > 16 && !pairsCache.containsKey(key))
       pairsCache.clear()
     val (pairs, persistedLegs) = pairsCache.computeIfAbsent(key, _ =>
-      buildExactJaccardPairs(s, dir, t))
+      buildExactJaccardPairs(s, dir, t, width))
     persistedLegs.foreach { leg =>
       if (leg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         leg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,25 +99,47 @@ object TextOps {
     Similarity.embeddingNearDupPairs(s, dir).count()
   }
 
+  /** Distinct word w-gram shingles of a token-array column. w=2 keeps
+    * the exact zip_with plan qd5's oracle was verified against; wider
+    * shingles are THE scale lane for saturated vocabularies (SURVEY §8
+    * round 6): a |V|-word vocab yields |V|^w possible shingles, so
+    * raising w restores the rare-prefix property PPJoin's candidate
+    * pruning lives on (e.g. the 31-word synthetic corpus: 961 bigrams
+    * — every prefix list ~n/961 docs — vs 29,791 trigrams).
+    */
+  private def shingleCol(toks: Column, w: Int): Column =
+    if (w == 2)
+      array_distinct(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    else
+      // sequence(1, n-w+1) is only valid when n >= w (Spark's sequence
+      // DESCENDS when stop < start); callers filter size >= w upstream,
+      // the guard keeps the expression total anyway
+      when(size(toks) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - lit(w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+
   /** Exact all-pairs n-gram Jaccard ≥ t — the All-Pairs/PPJoin scheme
     * over a dictionary-encoded corpus (design notes on the qd5 entry
     * below). Returns (a, b, jaccard) with a < b, unordered, unrounded,
     * plus the internally persisted legs for re-arming.
     */
   private def buildExactJaccardPairs(
-      s: SparkSession, dir: String, t: Double): (DataFrame, Seq[DataFrame]) = {
+      s: SparkSession, dir: String, t: Double,
+      width: Int = 2): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
+    require(width >= 2, s"shingle width must be >= 2, got $width")
     // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
     // the frequency pass and the encode pass)
     val sh = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        array_distinct(zip_with(
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("shingles"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), shingleCol(col("toks"), width).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // rarity-ordered dense ids over the DISTINCT vocabulary:

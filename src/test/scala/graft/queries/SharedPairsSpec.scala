@@ -49,4 +49,46 @@ class SharedPairsSpec extends AnyFunSuite {
     val b = Similarity.embeddingNearDupPairs(spark, dir)
     assert(b.storageLevel != StorageLevel.NONE)
   }
+
+  test("wider shingles (the saturated-vocab scale lane) match brute force") {
+    import spark.implicits._
+    // tiny vocab to force shingle saturation, plus injected near-dups
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map { _ =>
+      Array.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(5)))
+    }
+    val texts = base.zipWithIndex.map { case (w, i) =>
+      if (i % 7 == 3 && i >= 7) {
+        val copy = base(i - 7).clone; copy(0) = "omega"; copy.mkString(" ")
+      } else w.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-widesh").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    def brute(w: Int): Map[(Long, Long), Double] = {
+      def sh(t: String) = t.split(" ").sliding(w).map(_.mkString(" ")).toSet
+      val ss = texts.map(sh)
+      (for {
+        i <- texts.indices; j <- (i + 1) until texts.size
+        inter = (ss(i) & ss(j)).size
+        if inter > 0
+        jac = inter.toDouble / (ss(i) | ss(j)).size
+        if jac >= 0.3
+      } yield (i.toLong, j.toLong) -> jac).toMap
+    }
+    for (w <- Seq(2, 3, 4)) {
+      val got = TextOps.exactJaccardPairs(spark, tmp, 0.3, width = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val want = brute(w)
+      assert(got.keySet == want.keySet, s"width=$w pair sets differ")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-12, s"width=$w jaccard($k)")
+      }
+      assert(want.nonEmpty, s"fixture must produce pairs at width=$w")
+    }
+  }
 }
