@@ -38,7 +38,7 @@ object Procedures {
     "assign_role", "unassign_role", "list_role_members",
     "list_user_roles", "list_role_member_of",
     "create_project", "list_projects", "rename_project", "delete_project",
-    "project_statistics")
+    "project_statistics", "rename_warehouse")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -85,6 +85,7 @@ object Procedures {
       case "rename_project" => Some(RenameProjectProcedure(catalog))
       case "delete_project" => Some(DeleteProjectProcedure(catalog))
       case "project_statistics" => Some(ProjectStatisticsProcedure(catalog))
+      case "rename_warehouse" => Some(RenameWarehouseProcedure(catalog))
       case _ => None
     }
 
@@ -779,6 +780,32 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
+  }
+}
+
+/** Warehouse rename (reference: POST /warehouse/{id}/rename,
+  * api/endpoints.rs RenameWarehouse — name unique within the project).
+  */
+final case class RenameWarehouseProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "rename_warehouse"
+  override def description(): String = "Rename a warehouse"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.param("new_name", StringType),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.renameWarehouse(
+      input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString,
+      if (input.numFields < 3 || input.isNullAt(2))
+        catalog.store.DefaultProject else input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("renamed", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
   }
 }
 

@@ -1309,6 +1309,34 @@ class FileCatalogStore(val root: String) {
       location
     }
 
+  /** Rename a warehouse (reference: POST /warehouse/{id}/rename,
+    * api/endpoints.rs RenameWarehouse). Renaming the bootstrap
+    * warehouse updates its own profile; a registered warehouse updates
+    * both the registry entry and the target root's profile. The new
+    * name must be free within the project.
+    */
+  def renameWarehouse(name: String, newName: String,
+      project: String = DefaultProject): Unit = taskLock.synchronized {
+    val all = listWarehouseEntries()
+    if (all.exists(e => e.project == project && e.name == newName))
+      throw new AlreadyExistsException(
+        s"Warehouse $newName already exists in project $project")
+    val entry = all.find(e => e.project == project && e.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No such warehouse: $name in project $project"))
+    if (entry.location == root) {
+      setWarehouseProfile(warehouseProfile.copy(name = newName))
+    } else {
+      val other = new FileCatalogStore(entry.location)
+      other.setWarehouseProfile(other.warehouseProfile.copy(name = newName))
+      writeRegistry(all.filterNot(_.location == root)
+        .map(e => if (e.project == project && e.name == name)
+          e.copy(name = newName) else e))
+    }
+    logEvent("warehouse-renamed", TabularId(Nil, newName),
+      Map("old-name" -> name, "project" -> project))
+  }
+
   def deleteWarehouse(name: String, force: Boolean,
       project: String = DefaultProject): Boolean =
     taskLock.synchronized {

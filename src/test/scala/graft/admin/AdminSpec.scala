@@ -254,6 +254,24 @@ class AdminSpec extends AnyFunSuite {
     assert(stats.head.getLong(1) == 1L) // n_warehouses
     assert(stats.head.getLong(2) == 1L, s"n_tables: ${stats.head}")
 
+    // warehouse rename: registry + target profile both updated; the
+    // old name frees up, the new one conflicts
+    spark.sql("CALL gadmin.system.rename_warehouse(name => 'wh', new_name => 'wh-renamed', project => 'p1')")
+    val renamed = spark.sql(
+      "CALL gadmin.system.list_warehouses(project => 'p1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(renamed == Seq("wh-renamed"), s"got $renamed")
+    assert(new graft.store.FileCatalogStore(s"$tmp/a")
+      .warehouseProfile.name == "wh-renamed",
+      "target warehouse's own profile must carry the new name")
+    intercept[Exception] { // unknown source name
+      spark.sql("CALL gadmin.system.rename_warehouse(name => 'wh', new_name => 'x', project => 'p1')")
+    }
+    // p2 still has its own 'wh' — rename scoping is per project
+    assert(spark.sql("CALL gadmin.system.list_warehouses(project => 'p2')")
+      .collect().map(_.getString(0)).toSeq == Seq("wh"))
+    spark.sql("CALL gadmin.system.rename_warehouse(name => 'wh-renamed', new_name => 'wh', project => 'p1')")
+
     // rename; delete blocked while non-empty, allowed once empty
     spark.sql("CALL gadmin.system.rename_project(id => 'p1', new_name => 'research2')")
     assert(spark.sql("CALL gadmin.system.list_projects()")
