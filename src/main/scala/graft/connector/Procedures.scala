@@ -38,7 +38,8 @@ object Procedures {
     "assign_role", "unassign_role", "list_role_members",
     "list_user_roles", "list_role_member_of",
     "create_project", "list_projects", "rename_project", "delete_project",
-    "project_statistics", "rename_warehouse")
+    "project_statistics", "rename_warehouse",
+    "set_task_queue_config", "get_task_queue_config")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -86,6 +87,8 @@ object Procedures {
       case "delete_project" => Some(DeleteProjectProcedure(catalog))
       case "project_statistics" => Some(ProjectStatisticsProcedure(catalog))
       case "rename_warehouse" => Some(RenameWarehouseProcedure(catalog))
+      case "set_task_queue_config" => Some(SetTaskQueueConfigProcedure(catalog))
+      case "get_task_queue_config" => Some(GetTaskQueueConfigProcedure(catalog))
       case _ => None
     }
 
@@ -780,6 +783,61 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
+  }
+}
+
+/** Per-queue task config (reference: POST/GET
+  * /warehouse/{id}/task-queue/{queue}/config,
+  * api/management/v1/task_queue.rs:21-63 — an opaque JSON payload the
+  * queue's worker interprets, plus the stale-claim heartbeat
+  * override). The scheduler consumes `snapshot-threshold` /
+  * `delete-file-threshold` keys for its adaptive enqueues and the
+  * heartbeat override for stale re-claims.
+  */
+final case class SetTaskQueueConfigProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_task_queue_config"
+  override def description(): String =
+    "Set a task queue's worker config (JSON) and heartbeat override"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("queue", StringType),
+    Procedures.param("config", StringType), // JSON payload
+    Procedures.paramWithDefault("max_seconds_since_last_heartbeat",
+      LongType, "NULL"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.setTaskQueueConfig(
+      input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString,
+      if (input.isNullAt(2)) None else Some(input.getLong(2)))
+    val schema = StructType(Seq(
+      StructField("updated", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
+  }
+}
+
+final case class GetTaskQueueConfigProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "get_task_queue_config"
+  override def description(): String = "Read a task queue's config"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("queue", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val queue = input.getUTF8String(0).toString
+    val schema = StructType(Seq(
+      StructField("queue_name", StringType, nullable = false),
+      StructField("config", StringType, nullable = false),
+      StructField("max_seconds_since_last_heartbeat", LongType,
+        nullable = true)))
+    Procedures.resultScan(schema,
+      catalog.store.getTaskQueueConfig(queue).toSeq.map { case (cfg, hb) =>
+        new GenericInternalRow(Array[Any](
+          Procedures.utf8(queue), Procedures.utf8(cfg),
+          hb.map(Long.box).orNull)): InternalRow })
   }
 }
 

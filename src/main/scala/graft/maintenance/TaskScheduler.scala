@@ -72,17 +72,26 @@ class TaskScheduler(
   private def taskTabularId(t: TaskRecord): TabularId =
     TabularId(t.payload("namespace").split('.').toSeq, t.payload("name"))
 
-  /** Snapshot-count threshold for adaptive expire_snapshots enqueue. */
-  private val AdaptiveSnapshotThreshold =
-    sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toInt
+  /** Snapshot-count threshold for adaptive expire_snapshots enqueue.
+    * Precedence: per-queue task config (`snapshot-threshold` on the
+    * expire_snapshots queue — the reference's SetTaskQueueConfig
+    * payload is exactly this kind of worker knob) → system property →
+    * default.
+    */
+  private def adaptiveSnapshotThreshold: Long =
+    store.queueConfigLong("expire_snapshots", "snapshot-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toLong)
 
   /** Delete-file-count threshold for adaptive position-delete GC
     * (merge-on-read tables under delete pressure accumulate one delete
     * file per task per commit; compacting them restores the clean-scan
-    * fast path).
+    * fast path). Same precedence as [[adaptiveSnapshotThreshold]].
     */
-  private val AdaptiveDeleteFileThreshold =
-    sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toInt
+  private def adaptiveDeleteFileThreshold: Long =
+    store.queueConfigLong("rewrite_position_deletes", "delete-file-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toLong)
 
   @volatile private var running = false
   private var thread: Option[Thread] = None
@@ -173,7 +182,7 @@ class TaskScheduler(
     store.listAllTabulars(includeDeleted = false)
       .filter(_.kind == "table").foreach { info =>
         try store.loadTableMetadata(info.id).foreach { case (meta, _) =>
-          if (meta.snapshots.size >= AdaptiveSnapshotThreshold)
+          if (meta.snapshots.size >= adaptiveSnapshotThreshold)
             store.enqueueTask("expire_snapshots",
               Map("namespace" -> info.id.namespace.mkString("."),
                 "name" -> info.id.name),
@@ -183,7 +192,7 @@ class TaskScheduler(
           // parse); re-armed per count, so continued MOR delete
           // pressure keeps rescheduling
           val delFiles = RewritePositionDeletes.deleteFileCount(store, meta)
-          if (delFiles >= AdaptiveDeleteFileThreshold)
+          if (delFiles >= adaptiveDeleteFileThreshold)
             store.enqueueTask("rewrite_position_deletes",
               Map("namespace" -> info.id.namespace.mkString("."),
                 "name" -> info.id.name),

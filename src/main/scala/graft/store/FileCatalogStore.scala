@@ -1428,16 +1428,70 @@ class FileCatalogStore(val root: String) {
     writeString(taskPath(t.taskId), taskToJson(t))
   }
 
+  // --------------------------------------------------- task-queue config
+  // Per-queue management config (reference: SetTaskQueueConfig /
+  // GetTaskQueueConfig, api/management/v1/task_queue.rs:21-63 — an
+  // OPAQUE JSON payload the queue's worker interprets, plus the
+  // max-seconds-since-last-heartbeat stale-claim override).
+
+  private def queueConfigPath(queue: String): Path =
+    rootPath.resolve(".task_queue_config").resolve(principalKey(queue) + ".json")
+
+  def setTaskQueueConfig(queue: String, configJson: String,
+      maxSecondsSinceLastHeartbeat: Option[Long]): Unit =
+    taskLock.synchronized {
+      // validate it IS json (the payload itself is queue-defined)
+      JsonMethods.parse(configJson)
+      writeString(queueConfigPath(queue), Json.render(
+        ("queue-name" -> queue) ~ ("config" -> JsonMethods.parse(configJson)) ~
+          ("max-seconds-since-last-heartbeat" -> maxSecondsSinceLastHeartbeat)))
+    }
+
+  /** (configJson, maxSecondsSinceLastHeartbeat) for a queue, if set. */
+  def getTaskQueueConfig(queue: String): Option[(String, Option[Long])] =
+    taskLock.synchronized {
+      val p = queueConfigPath(queue)
+      if (!Files.exists(p)) None
+      else {
+        val j = JsonMethods.parse(readString(p))
+        Some((
+          Json.render(j \ "config"),
+          (j \ "max-seconds-since-last-heartbeat") match {
+            case JNothing | JNull => None
+            case v => Some(v.extract[Long])
+          }))
+      }
+    }
+
+  /** A long-valued key from a queue's config payload, if present —
+    * the typed accessor queue workers use for their knobs.
+    */
+  def queueConfigLong(queue: String, key: String): Option[Long] =
+    getTaskQueueConfig(queue).flatMap { case (cfg, _) =>
+      (JsonMethods.parse(cfg) \ key) match {
+        case JNothing | JNull => None
+        case v => scala.util.Try(v.extract[Long]).toOption
+      }
+    }
+
   /** Due pending tasks transitioned to running (claimed) atomically
     * under the store lock; stale "running" tasks (heartbeat older than
-    * `staleMs`) are re-claimed — crash recovery.
+    * `staleMs`, per-queue overridable via task-queue config) are
+    * re-claimed — crash recovery.
     */
   def claimDueTasks(nowMs: Long, staleMs: Long = 10 * 60 * 1000L): Seq[TaskRecord] =
     taskLock.synchronized {
+      // per-queue heartbeat override (reference:
+      // max_seconds_since_last_heartbeat), resolved once per poll
+      val staleOf = scala.collection.mutable.Map.empty[String, Long]
+      def staleFor(queue: String): Long =
+        staleOf.getOrElseUpdate(queue,
+          getTaskQueueConfig(queue).flatMap(_._2)
+            .map(_ * 1000L).getOrElse(staleMs))
       listTasksUnlocked().filter { t =>
         (t.status == "pending" && t.scheduledAtMs <= nowMs) ||
           (t.status == "running" &&
-            t.heartbeatMs.forall(_ + staleMs <= nowMs))
+            t.heartbeatMs.forall(_ + staleFor(t.queue) <= nowMs))
       }.map { t =>
         val claimed = t.copy(status = "running", heartbeatMs = Some(nowMs))
         writeString(taskPath(t.taskId), taskToJson(claimed))

@@ -117,6 +117,49 @@ class TaskSchedulerSpec extends AnyFunSuite {
     assert(s.listDeletedTabulars().isEmpty)
   }
 
+  test("task-queue config: adaptive threshold + heartbeat override consumed") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "cfg")
+    mkTable(s, id)
+    // 3 snapshots via 3 commits — far below the default threshold (50)
+    (1 to 3).foreach { i =>
+      val (meta, _) = s.loadTableMetadata(id).get
+      s.commitTable(id, Nil, Seq(
+        TableUpdate.AddSnapshot(Snapshot(1000L + i,
+          meta.currentSnapshotId, meta.lastSequenceNumber + 1,
+          System.currentTimeMillis(), "append", Map.empty, Nil,
+          meta.currentSchemaId)),
+        TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+          SnapshotRef(1000L + i, isBranch = true))))
+    }
+    var now = System.currentTimeMillis()
+    val sched = new TaskScheduler(s, clock = () => now)
+    sched.runOnce(now)
+    assert(s.listTasks(queue = Some("expire_snapshots")).isEmpty,
+      "below the default threshold: no adaptive task")
+    // lower the threshold via queue config → adaptive task appears
+    s.setTaskQueueConfig("expire_snapshots",
+      """{"snapshot-threshold": 2}""", None)
+    sched.runOnce(now)
+    assert(s.listTasks(queue = Some("expire_snapshots")).nonEmpty,
+      "queue config must override the adaptive threshold")
+
+    // heartbeat override: a running task with a 2s-old heartbeat is
+    // stale under a 1-second override, fresh under the 10-min default
+    val t = s.enqueueTask("work", Map.empty, runAtMs = now)
+    s.updateTask(t.copy(status = "running", heartbeatMs = Some(now)))
+    now += 2000
+    assert(!s.claimDueTasks(now).exists(_.taskId == t.taskId),
+      "fresh under the default stale window")
+    s.setTaskQueueConfig("work", "{}", Some(1L))
+    assert(s.claimDueTasks(now).exists(_.taskId == t.taskId),
+      "stale under the per-queue heartbeat override")
+    // roundtrip (config compared structurally — rendering may differ)
+    val Some((cfgJson, hb)) = s.getTaskQueueConfig("work")
+    assert(cfgJson.replaceAll("\\s", "") == "{}" && hb == Some(1L))
+  }
+
   test("undrop inside grace cancels the purge") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)
