@@ -254,7 +254,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val meta = TableMetadata.newTable(
       UUID.randomUUID().toString, location, withIds,
       spec = partFields, properties = props - "format-version",
-      formatVersion = props.get("format-version").map(_.toInt).getOrElse(2))
+      formatVersion = resolveFormatVersion(props.get("format-version")))
     try store.createTable(id, meta)
     catch { case _: AlreadyExistsException =>
       throw new TableAlreadyExistsException(ident) }
@@ -267,6 +267,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val (current, _) = store.loadTableMetadata(id).getOrElse(
       throw new NoSuchTableException(ident))
     val updates = GraftCatalog.tableChangesToUpdates(current, changes)
+    // format-version upgrades must land on a policy-allowed version
+    updates.foreach {
+      case TableUpdate.UpgradeFormatVersion(v) =>
+        resolveFormatVersion(Some(v.toString))
+      case _ =>
+    }
     val next = store.commitTable(id,
       Seq(TableRequirement.AssertTableUuid(current.tableUuid)), updates)
     new GraftTable(store, id, next, snapshotId = None)
@@ -411,8 +417,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       schema,
       spec = partitions.map(GraftCatalog.toPartitionField).toSeq,
       properties = props,
-      formatVersion = props.get("format-version").map(_.toInt)
-        .orElse(existing.map(_.formatVersion)).getOrElse(2))
+      formatVersion = props.get("format-version").map { v =>
+        resolveFormatVersion(Some(v))
+      }.orElse(existing.map(_.formatVersion))
+        .getOrElse(resolveFormatVersion(None)))
+  }
+
+  /** Resolve a requested format version against the warehouse policy
+    * (reference: WarehouseFormatVersionPolicy — an explicit version
+    * must be allowed; an omitted one takes the policy default, which
+    * resolves to 2-if-allowed else the highest allowed).
+    */
+  private def resolveFormatVersion(requested: Option[String]): Int = {
+    val policy = store.warehouseProfile
+    requested match {
+      case Some(v) =>
+        val n = v.toInt
+        if (!policy.allowedFormatVersions.contains(n))
+          throw new IllegalArgumentException(
+            s"format-version $n is not allowed by this warehouse " +
+              s"(allowed: ${policy.allowedFormatVersions.mkString(", ")})")
+        n
+      case None => policy.resolvedDefaultFormatVersion
+    }
   }
 
   override def stageCreate(

@@ -39,7 +39,8 @@ object Procedures {
     "list_user_roles", "list_role_member_of",
     "create_project", "list_projects", "rename_project", "delete_project",
     "project_statistics", "rename_warehouse",
-    "set_task_queue_config", "get_task_queue_config")
+    "set_task_queue_config", "get_task_queue_config",
+    "set_format_version_policy")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -89,6 +90,8 @@ object Procedures {
       case "rename_warehouse" => Some(RenameWarehouseProcedure(catalog))
       case "set_task_queue_config" => Some(SetTaskQueueConfigProcedure(catalog))
       case "get_task_queue_config" => Some(GetTaskQueueConfigProcedure(catalog))
+      case "set_format_version_policy" =>
+        Some(SetFormatVersionPolicyProcedure(catalog))
       case _ => None
     }
 
@@ -783,6 +786,36 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
+  }
+}
+
+/** Warehouse format-version policy (reference:
+  * UpdateWarehouseFormatVersionPolicy, service/catalog_store/
+  * warehouse.rs:222-228 — which table format versions may be created
+  * or upgraded to, and the default when CREATE omits one).
+  */
+final case class SetFormatVersionPolicyProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_format_version_policy"
+  override def description(): String =
+    "Restrict/default table format versions for this warehouse"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("allowed", StringType), // e.g. '2,3' or '3'
+    Procedures.paramWithDefault("default_version", IntegerType, "NULL"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val allowed = input.getUTF8String(0).toString
+      .split(',').map(_.trim.toInt).toSeq
+    val default =
+      if (input.isNullAt(1)) None else Some(input.getInt(1))
+    catalog.store.setWarehouseProfile(
+      catalog.store.warehouseProfile.copy(
+        allowedFormatVersions = allowed, defaultFormatVersion = default))
+    val schema = StructType(Seq(
+      StructField("updated", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
   }
 }
 

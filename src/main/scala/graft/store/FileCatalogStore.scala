@@ -38,7 +38,18 @@ final case class WarehouseProfile(
     name: String,
     active: Boolean,
     deleteProfile: String, // soft | hard
-    expirationGraceMs: Option[Long])
+    expirationGraceMs: Option[Long],
+    // format-version policy (reference: WarehouseFormatVersionPolicy,
+    // service/catalog_store/warehouse.rs:222-228): versions that may be
+    // created in or upgraded to; default used when CREATE omits one —
+    // None resolves to 2 if allowed, else the highest allowed
+    allowedFormatVersions: Seq[Int] = Seq(2, 3),
+    defaultFormatVersion: Option[Int] = None) {
+
+  def resolvedDefaultFormatVersion: Int =
+    defaultFormatVersion.getOrElse(
+      if (allowedFormatVersions.contains(2)) 2 else allowedFormatVersions.max)
+}
 
 /** A registered user (reference: users table,
   * lakekeeper-storage-postgres/src/user.rs — id, name, email,
@@ -1143,7 +1154,12 @@ class FileCatalogStore(val root: String) {
             (j \ "active").extract[Boolean],
             (j \ "delete-profile").extract[String],
             (j \ "expiration-grace-ms") match {
-              case JNothing | JNull => None; case v => Some(v.extract[Long]) })
+              case JNothing | JNull => None; case v => Some(v.extract[Long]) },
+            (j \ "allowed-format-versions") match {
+              case JArray(vs) => vs.map(_.extract[Int])
+              case _ => Seq(2, 3) },
+            (j \ "default-format-version") match {
+              case JNothing | JNull => None; case v => Some(v.extract[Int]) })
         }
       profileCache = Some(prof)
       prof
@@ -1153,10 +1169,17 @@ class FileCatalogStore(val root: String) {
   def setWarehouseProfile(p: WarehouseProfile): Unit = {
     require(p.deleteProfile == "soft" || p.deleteProfile == "hard",
       s"delete-profile must be soft or hard, got ${p.deleteProfile}")
+    require(p.allowedFormatVersions.nonEmpty &&
+      p.allowedFormatVersions.forall(v => v == 2 || v == 3) &&
+      p.defaultFormatVersion.forall(p.allowedFormatVersions.contains),
+      s"invalid format-version policy: allowed=${p.allowedFormatVersions} " +
+        s"default=${p.defaultFormatVersion}")
     writeString(rootPath.resolve(WarehouseMeta), Json.render(
       ("name" -> p.name) ~ ("active" -> p.active) ~
         ("delete-profile" -> p.deleteProfile) ~
-        ("expiration-grace-ms" -> p.expirationGraceMs)))
+        ("expiration-grace-ms" -> p.expirationGraceMs) ~
+        ("allowed-format-versions" -> p.allowedFormatVersions) ~
+        ("default-format-version" -> p.defaultFormatVersion)))
     profileCache = Some(p)
     logEvent("warehouse-updated", TabularId(Nil, p.name),
       Map("active" -> p.active.toString, "delete-profile" -> p.deleteProfile))

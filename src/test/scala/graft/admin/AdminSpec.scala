@@ -303,6 +303,44 @@ class AdminSpec extends AnyFunSuite {
     spark.sql("CALL gadmin.system.delete_project(id => 'p-empty')")
   }
 
+  test("format-version policy gates CREATE defaults and upgrades") {
+    val st = cat.store
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.fvp")
+    try {
+      // policy: only v3 allowed → omitted version defaults to 3
+      spark.sql("CALL gadmin.system.set_format_version_policy(allowed => '3')")
+      spark.sql("CREATE TABLE gadmin.fvp.t3 (id BIGINT)")
+      val v3 = spark.sql("SHOW TBLPROPERTIES gadmin.fvp.t3")
+        .collect().find(_.getString(0) == "format-version").get.getString(1)
+      assert(v3 == "3", s"default must resolve to the only allowed version, got $v3")
+      // explicit v2 rejected under the policy
+      val ex = intercept[Exception] {
+        spark.sql("CREATE TABLE gadmin.fvp.t2 (id BIGINT) TBLPROPERTIES ('format-version'='2')")
+      }
+      assert(ex.getMessage.contains("not allowed"), ex.getMessage)
+
+      // open the policy back up: v2 creates again, default resolves to 2
+      spark.sql("CALL gadmin.system.set_format_version_policy(allowed => '2,3')")
+      spark.sql("CREATE TABLE gadmin.fvp.t2 (id BIGINT)")
+      assert(spark.sql("SHOW TBLPROPERTIES gadmin.fvp.t2").collect()
+        .find(_.getString(0) == "format-version").get.getString(1) == "2")
+
+      // restrict to v2 → upgrade to 3 rejected; allow again → upgrade ok
+      spark.sql("CALL gadmin.system.set_format_version_policy(allowed => '2')")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gadmin.fvp.t2 SET TBLPROPERTIES ('format-version'='3')")
+      }
+      spark.sql("CALL gadmin.system.set_format_version_policy(allowed => '2,3')")
+      spark.sql("ALTER TABLE gadmin.fvp.t2 SET TBLPROPERTIES ('format-version'='3')")
+      assert(spark.sql("SHOW TBLPROPERTIES gadmin.fvp.t2").collect()
+        .find(_.getString(0) == "format-version").get.getString(1) == "3")
+    } finally {
+      // restore the default policy for other suites sharing the catalog
+      st.setWarehouseProfile(st.warehouseProfile.copy(
+        allowedFormatVersions = Seq(2, 3), defaultFormatVersion = None))
+    }
+  }
+
   test("role membership: 3-level DAG transitive closure, cycles rejected") {
     val st = cat.store
     // DAG: admins ← engineers ← interns  (interns member of engineers,
