@@ -40,7 +40,7 @@ object Procedures {
     "create_project", "list_projects", "rename_project", "delete_project",
     "project_statistics", "rename_warehouse",
     "set_task_queue_config", "get_task_queue_config",
-    "set_format_version_policy")
+    "set_format_version_policy", "get_warehouse")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -92,6 +92,7 @@ object Procedures {
       case "get_task_queue_config" => Some(GetTaskQueueConfigProcedure(catalog))
       case "set_format_version_policy" =>
         Some(SetFormatVersionPolicyProcedure(catalog))
+      case "get_warehouse" => Some(GetWarehouseProcedure(catalog))
       case _ => None
     }
 
@@ -786,6 +787,56 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
+  }
+}
+
+/** Warehouse detail read (reference: GET /warehouse/{id} — name,
+  * project scope, activation state, delete profile, format-version
+  * policy). Defaults to THIS warehouse; a named registered warehouse
+  * reads its own profile.
+  */
+final case class GetWarehouseProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "get_warehouse"
+  override def description(): String = "Warehouse management state"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("name", StringType, "NULL"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val store = catalog.store
+    val project = if (input.numFields < 2 || input.isNullAt(1))
+      store.DefaultProject else input.getUTF8String(1).toString
+    val (entry, profile) =
+      if (input.isNullAt(0)) {
+        val self = store.listWarehouseEntries()
+          .find(_.location == store.root).get
+        (self, store.warehouseProfile)
+      } else {
+        val name = input.getUTF8String(0).toString
+        val e = store.listWarehouseEntries()
+          .find(x => x.project == project && x.name == name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"No such warehouse: $name in project $project"))
+        val p = if (e.location == store.root) store.warehouseProfile
+          else new graft.store.FileCatalogStore(e.location).warehouseProfile
+        (e, p)
+      }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("location", StringType),
+      StructField("project", StringType), StructField("active", BooleanType),
+      StructField("delete_profile", StringType),
+      StructField("expiration_grace_ms", LongType, nullable = true),
+      StructField("allowed_format_versions", StringType),
+      StructField("default_format_version", IntegerType, nullable = true)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(profile.name), Procedures.utf8(entry.location),
+      Procedures.utf8(entry.project), profile.active,
+      Procedures.utf8(profile.deleteProfile),
+      profile.expirationGraceMs.map(Long.box).orNull,
+      Procedures.utf8(profile.allowedFormatVersions.mkString(",")),
+      profile.defaultFormatVersion.map(Int.box).orNull)): InternalRow))
   }
 }
 

@@ -303,6 +303,17 @@ class AdminSpec extends AnyFunSuite {
     spark.sql("CALL gadmin.system.delete_project(id => 'p-empty')")
   }
 
+  test("get_warehouse reads management state incl. the policy") {
+    val row = spark.sql("CALL gadmin.system.get_warehouse()").collect().head
+    assert(row.getString(2) == "default") // project
+    assert(row.getBoolean(3))             // active
+    assert(row.getString(4) == "soft")
+    assert(row.getString(6) == "2,3")     // default policy
+    intercept[Exception] {
+      spark.sql("CALL gadmin.system.get_warehouse(name => 'nope')")
+    }
+  }
+
   test("format-version policy gates CREATE defaults and upgrades") {
     val st = cat.store
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.fvp")
