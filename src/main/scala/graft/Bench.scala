@@ -1,8 +1,15 @@
 package graft
+
 import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: one JSON line with per-query seconds.
+/** Per-round benchmark: one JSON line with per-query seconds, plus a
+  * SELF-CONTAINED artifact file (default `BENCH_SELF.json`, override
+  * with SPARK_GRAFT_BENCH_OUT) holding every row — per-query minima,
+  * all raw passes, and the sf0.5 scale-lane block — so perf claims are
+  * gradeable even when a log-capture window truncates the stdout line
+  * (round 6 lost 11 of 66 rows that way).
+  *
   * Failures are recorded as -1 (never a fake timing) and listed under
   * "failed"; catalog DDL prep and JVM/codegen warm-up run untimed so
   * timings measure the queries, not session setup.
@@ -14,12 +21,33 @@ import org.apache.spark.sql.SparkSession
   * starts, and the cache is cleared between passes so persisted
   * intermediates (MinHashLSH/SimHash/qd5) are recomputed, never served
   * from the previous pass.
+  *
+  * After the timed passes, the SCALE LANE (graft.queries.ScaleLane)
+  * runs the dedup/similarity family once on a deterministic 25k-doc /
+  * 10k-vector fixture with the production auto-sizing knobs, recording
+  * wall seconds AND candidate counts — the per-round regression guard
+  * for the banding/bits/width quadratics round 6 caught as a one-off
+  * probe. Disable with SPARK_GRAFT_SCALE=0.
   */
 object Bench {
+
+  private def js(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def jn(v: Double): String =
+    if (v < 0) "-1" else f"$v%.6f"
+
+  private def queriesJson(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => js(k) + ":" + jn(v) }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    val scaleOn = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,12 +108,58 @@ object Bench {
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+
+    // scale lane: once, untimed against the sf0.1 totals, after all
+    // passes so its persists never feed a timed query
+    val scale: Option[graft.queries.ScaleLane.Report] =
+      if (!scaleOn) None
+      else {
+        spark.catalog.clearCache()
+        try Some(graft.queries.ScaleLane.run(spark))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] scale lane FAILED: ${e.getMessage}")
+          None
+        }
+      }
+
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => js(k) }
+      .mkString("[", ",", "]")
+
+    val scaleJson = scale.map { r =>
+      val legs = r.legs.map { l =>
+        val extra = l.candidates.map(c => s""","candidates":$c""").getOrElse("") +
+          l.err.map(e => s""","err":${js(e)}""").getOrElse("")
+        s"""${js(l.name)}:{"sec":${jn(l.sec)},"rows":${l.rows}$extra}"""
+      }.mkString("{", ",", "}")
+      s"""{"dir":${js(r.dir)},"n_docs":${r.nDocs},"n_emb":${r.nEmb},""" +
+        s""""generated":${r.generated},"gen_sec":${jn(r.genSec)},""" +
+        s""""legs":$legs}"""
+    }.getOrElse("null")
+
+    // the complete artifact: stdout-line fields + raw passes + scale
+    val artifact =
+      s"""{
+         |"schema":"graft-bench-v2",
+         |"sf":${js(sfDir)},
+         |"cpus":${js(cpus)},
+         |"runs":$runs,
+         |"metric":"total","value":${jn(total)},"unit":"sec",
+         |"failed":$failed,
+         |"queries":${queriesJson(results)},
+         |"passes":[${passes.map(queriesJson).mkString(",\n")}],
+         |"scale":$scaleJson
+         |}""".stripMargin
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+
+    // driver contract: ONE JSON line on stdout (artifact path included
+    // so a truncated capture still points at the full record)
+    println(s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":${queriesJson(results)},"failed":$failed,"sf":${js(sfDir)},"artifact":${js(outPath)}}""")
     spark.stop()
     if (results.values.exists(_ < 0)) sys.exit(1)
   }

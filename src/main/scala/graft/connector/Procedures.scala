@@ -40,7 +40,8 @@ object Procedures {
     "create_project", "list_projects", "rename_project", "delete_project",
     "project_statistics", "rename_warehouse",
     "set_task_queue_config", "get_task_queue_config",
-    "set_format_version_policy", "get_warehouse")
+    "set_format_version_policy", "get_warehouse",
+    "set_maintenance_mode", "get_maintenance_mode")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -93,6 +94,10 @@ object Procedures {
       case "set_format_version_policy" =>
         Some(SetFormatVersionPolicyProcedure(catalog))
       case "get_warehouse" => Some(GetWarehouseProcedure(catalog))
+      case "set_maintenance_mode" =>
+        Some(SetMaintenanceModeProcedure(catalog))
+      case "get_maintenance_mode" =>
+        Some(GetMaintenanceModeProcedure(catalog))
       case _ => None
     }
 
@@ -1375,5 +1380,46 @@ final case class SetCurrentSnapshotProcedure(
       StructField("current_snapshot_id", LongType, nullable = false)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](previous, target))))
+  }
+}
+
+/** Read-only maintenance window (reference: api/maintenance.rs — the
+  * operator flips the flag, mutating requests fail with the typed
+  * MaintenanceModeError while reads proceed, then the flag is removed
+  * after the migration). The toggle itself is never gated — it is the
+  * operator's way out of the window.
+  */
+final case class SetMaintenanceModeProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_maintenance_mode"
+  override def description(): String =
+    "Enter/leave read-only maintenance mode"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("read_only", BooleanType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val on = input.getBoolean(0)
+    catalog.store.setMaintenanceMode(on)
+    val schema = StructType(Seq(
+      StructField("read_only", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](on)): InternalRow))
+  }
+}
+
+final case class GetMaintenanceModeProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "get_maintenance_mode"
+  override def description(): String = "Read the maintenance-mode flag"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val schema = StructType(Seq(
+      StructField("read_only", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(
+        Array[Any](catalog.store.maintenanceMode)): InternalRow))
   }
 }

@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   */
 object EmbeddingDedup {
 
+  /** Sentinel for the `bits` knob: size from the corpus via
+    * [[autoBits]] (one count pass) instead of a fixed bucket space.
+    * This is the PRODUCTION default — the round-6 scale probe proved
+    * any fixed `bits` quadratic in corpus size; oracle queries that
+    * need run-to-run determinism pass their pinned value explicitly.
+    */
+  val Auto: Int = -1
+
   /** bits that keep expected bucket occupancy ≈ `targetPerBucket`
     * as the corpus grows: ceil(log2(n / target)), floored at 4.
     */
@@ -34,6 +42,40 @@ object EmbeddingDedup {
     math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPerBucket)) /
         math.log(2.0)).toInt)
+
+  /** The bits [[Auto]] resolves to for this corpus (counts it). */
+  def bitsFor(df: DataFrame): Int = autoBits(df.count())
+
+  private def resolveBits(bits: Int, n: => Long): Int =
+    if (bits > 0) bits else autoBits(n)
+
+  /** Sign-LSH candidate pairs (a < b, any-table bucket collision) —
+    * the banding stage alone, exposed so scale probes can count
+    * candidates (the quantity that explodes when `bits` stops
+    * matching the corpus size) without paying verification.
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      l: Int = 4,
+      bits: Int = Auto,
+      seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val b = resolveBits(bits, base.count())
+    val ps = Ann.planes(l, b, dim, seed)
+    val banded = base.select(col("vec_id"),
+      posexplode(array(ps.map(tp => Ann.bucket(col("emb"), tp)): _*))
+        .as(Seq("tbl", "bucket")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
 
   /** Candidate pairs + exact cosine, filtered at `threshold`. */
   def nearDupPairs(
@@ -43,26 +85,32 @@ object EmbeddingDedup {
       threshold: Double,
       dim: Int,
       l: Int = 4,
-      bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val ps = Ann.planes(l, bits, dim, seed)
+      bits: Int = Auto,
+      seed: Long = 42L): DataFrame =
+    candidatesAndPairs(df, idCol, embCol, threshold, dim, l, bits, seed)._2
+
+  /** (candidates, verified pairs) — candidate leg exposed for the
+    * per-round scale probe's candidate-count regression guard, same
+    * shape as [[MinHashLSH.candidatesAndPairs]].
+    */
+  def candidatesAndPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int,
+      l: Int = 4,
+      bits: Int = Auto,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-    val banded = base.select(col("vec_id"),
-      posexplode(array(ps.map(tp => Ann.bucket(col("emb"), tp)): _*))
-        .as(Seq("tbl", "bucket")))
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.tbl") === col("y.tbl") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
-    candidates
+    val candidates = candidatePairs(df, idCol, embCol, dim, l, bits, seed)
+    val pairs = candidates
       .join(base.select(col("vec_id").as("a"), col("emb").as("ea")), Seq("a"))
       .join(base.select(col("vec_id").as("b"), col("emb").as("eb")), Seq("b"))
       .select(col("a"), col("b"),
         round(Ann.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    (candidates, pairs)
   }
 
   /** Cross-set near-dup: for each `newDf` row, the `corpusDf` rows
@@ -82,9 +130,13 @@ object EmbeddingDedup {
       threshold: Double,
       dim: Int,
       l: Int = 4,
-      bits: Int = 8,
+      bits: Int = Auto,
       seed: Long = 42L): DataFrame = {
-    val ps = Ann.planes(l, bits, dim, seed)
+    // size buckets for the DENSER side: the corpus usually dominates,
+    // but a large increment against a small corpus is just as quadratic
+    val b = resolveBits(bits,
+      math.max(corpusDf.count(), newDf.count()))
+    val ps = Ann.planes(l, b, dim, seed)
     def prep(df: DataFrame) =
       df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
     def banded(base: DataFrame) = base.select(col("vec_id"),

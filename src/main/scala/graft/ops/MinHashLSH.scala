@@ -134,7 +134,25 @@ object MinHashLSH {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    candidatesAndPairs(df, idCol, textCol, threshold, numHashes, bands,
+      seed)._2
+
+  /** (candidate pairs, verified pairs) sharing one persisted corpus
+    * encoding. The candidate leg is exposed so scale probes can count
+    * candidates — the quantity that explodes when banding stops
+    * matching the corpus (round 6: B=32/R=2 → 9.7M candidates at 25k
+    * docs vs 10.7k at B=16/R=4) — as a per-round regression guard,
+    * without recomputing the signature pass.
+    */
+  def candidatesAndPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
     val (as, bs) = coefficients(numHashes, seed)
@@ -210,7 +228,7 @@ object MinHashLSH {
       .distinct()
 
     // exact verification on long vectors, confined to candidates
-    candidates
+    val pairs = candidates
       .join(docs.select(col("doc_id").as("a"), col("vec").as("va"),
         col("sz").as("sa")), Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("vec").as("vb"),
@@ -222,5 +240,6 @@ object MinHashLSH {
         (col("common").cast(DoubleType) /
           (col("sa") + col("sb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (candidates, pairs)
   }
 }

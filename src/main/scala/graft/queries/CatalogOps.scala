@@ -169,14 +169,40 @@ object CatalogOps {
         s"FROM $CatalogName.$db.nation_evo ORDER BY n_nationkey")
     },
 
-    // metadata tables: commit history of the two-snapshot table
-    Q.noOracle("qc5_snapshot_history") { (s, dir) =>
+    // metadata tables: commit history of the two-snapshot table.
+    // Snapshot ids/timestamps are nondeterministic, but the HISTORY
+    // SHAPE is fully determined by prepare()'s own mutation script:
+    // CREATE (no snapshot) + 2 INSERTs = 2 append snapshots, both
+    // current ancestors, adding exactly |region| = 5 and |nation| = 25
+    // rows (fixed-size tables at every SF), each chained to its
+    // predecessor (parent_ok folds the id lineage into a deterministic
+    // bit). The oracle is that closed form as a VALUES literal — a
+    // strict upgrade over the former rows-only check: operation,
+    // ancestry, per-commit row accounting, and parent chaining are all
+    // hash-verified.
+    Q(
+      "qc5_snapshot_history",
+      """SELECT * FROM (VALUES
+        |  (1, 'append', 1, CAST(5 AS BIGINT), 1),
+        |  (2, 'append', 1, CAST(25 AS BIGINT), 1))
+        |AS t(seq, operation, is_current_ancestor, added_records, parent_ok)
+        |ORDER BY seq""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
       s.sql(
-        s"""SELECT s.operation, s.snapshot_id, h.is_current_ancestor
-           |FROM $CatalogName.$db.tt.snapshots s
-           |JOIN $CatalogName.$db.tt.history h USING (snapshot_id)
-           |ORDER BY s.committed_at""".stripMargin)
+        s"""WITH sh AS (
+           |  SELECT
+           |    row_number() OVER (ORDER BY s.committed_at, s.snapshot_id) AS seq,
+           |    s.operation,
+           |    CAST(h.is_current_ancestor AS INT) AS is_current_ancestor,
+           |    CAST(s.summary['added-records'] AS BIGINT) AS added_records,
+           |    s.snapshot_id, s.parent_id
+           |  FROM $CatalogName.$db.tt.snapshots s
+           |  JOIN $CatalogName.$db.tt.history h USING (snapshot_id))
+           |SELECT seq, operation, is_current_ancestor, added_records,
+           |  CAST(CASE WHEN seq = 1 THEN parent_id IS NULL
+           |    ELSE parent_id = lag(snapshot_id) OVER (ORDER BY seq)
+           |  END AS INT) AS parent_ok
+           |FROM sh ORDER BY seq""".stripMargin)
     },
 
     // DELETE FROM via copy-on-write: post-state must equal the oracle's
@@ -469,8 +495,11 @@ object CatalogOps {
         .select(col("vec_id"), col("embedding"))
       val hist = s.read.option("snapshot-id", s0)
         .table(s"$CatalogName.$db.$tbl")
+      // l/bits pinned to the oracle's literals (production default is
+      // bits = Auto; determinism here must match duckDbCrossOracle)
       val dupIds = graft.ops.EmbeddingDedup.crossNearDups(
-        inc, hist, "vec_id", "embedding", threshold = 0.3, dim = 64)
+        inc, hist, "vec_id", "embedding", threshold = 0.3, dim = 64,
+        l = 4, bits = 8)
         .select(col("new_id").as("vec_id")).distinct()
         .withColumn("is_dup", lit(1))
       inc.join(dupIds, Seq("vec_id"), "left")

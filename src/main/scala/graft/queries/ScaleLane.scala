@@ -1,0 +1,108 @@
+package graft.queries
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Per-round scale probe: runs the dedup/similarity family on a
+  * deterministic 5×-sf0.1 fixture (25k docs / 10k embeddings — the
+  * corpus size where round 6 caught the B=32/R=2 banding quadratic:
+  * 9.7M candidates vs 10.7k after threshold alignment) and reports
+  * wall seconds, output rows, and — for the banded-LSH legs — the
+  * CANDIDATE counts, the quantity that explodes first when a fixed
+  * (bands, bits, width) knob stops matching the corpus size.
+  *
+  * Runs once per bench invocation (graft.Bench, after the timed
+  * sf0.1 passes) so the quadratic-regression guards are a committed
+  * per-round artifact instead of a one-off probe under target/.
+  * Fixture generation (graft.tools.GenScale) is idempotent per
+  * checkout: ~15 s on first run, skipped while the parquet footprint
+  * is intact.
+  *
+  * The embedding legs run with bits = [[graft.ops.EmbeddingDedup.Auto]]
+  * and the Jaccard leg with the [[TextOps.autoWidth]] width — the
+  * PRODUCTION defaults — so a regression in the auto-sizing rules
+  * shows up here, not at 100× in the field.
+  */
+object ScaleLane {
+
+  final case class Leg(name: String, sec: Double, rows: Long,
+      candidates: Option[Long], err: Option[String])
+  final case class Report(dir: String, nDocs: Int, nEmb: Int,
+      generated: Boolean, genSec: Double, legs: Seq[Leg])
+
+  private val NDocs = 25000
+  private val NEmb = 10000
+
+  def run(spark: SparkSession,
+      dir: String = "target/scale/sf0.5"): Report = {
+    val docsOk = new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
+    val embOk = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+    val needGen = !(docsOk && embOk)
+    val g0 = System.nanoTime()
+    if (needGen) graft.tools.GenScale.generate(spark, dir, NDocs, NEmb)
+    val genSec = if (needGen) (System.nanoTime() - g0) / 1e9 else 0.0
+
+    val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
+    def leg(name: String)(body: => (Long, Option[Long])): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val (rows, cands) = body
+        legs += Leg(name, (System.nanoTime() - t0) / 1e9, rows, cands, None)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] scale leg $name FAILED: ${e.getMessage}")
+        legs += Leg(name, -1.0, -1L, None, Some(e.toString.take(200)))
+      }
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    leg("qd3_minhash") {
+      val (cands, pairs) = graft.ops.MinHashLSH.candidatesAndPairs(
+        docs, "doc_id", "text", threshold = 0.5, bands = 16)
+      val c = cands.persist()
+      val nCand = c.count()
+      val rows = pairs.count()
+      c.unpersist()
+      (rows, Some(nCand))
+    }
+    leg("qd4_simhash") {
+      (graft.ops.SimHash.nearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3).count(), None)
+    }
+    leg("qd5_jaccard_autowidth") {
+      val w = TextOps.autoWidth(NDocs, 31)
+      (TextOps.exactJaccardPairs(spark, dir, 0.4, width = w).count(), None)
+    }
+    // persisted: qd7 reuses this pair set (same sharing the production
+    // pipeline and the sf0.1 bench queries do)
+    val embPairs = {
+      val (cands, pairs) = graft.ops.EmbeddingDedup.candidatesAndPairs(
+        emb, "vec_id", "embedding", threshold = 0.3, dim = 64)
+      (cands.persist(), pairs.persist())
+    }
+    leg("qs5_embedding_autobits") {
+      val nCand = embPairs._1.count()
+      (embPairs._2.count(), Some(nCand))
+    }
+    leg("qs7_incremental") {
+      val hist = emb.filter(col("vec_id") % 2 === 0)
+      val inc = emb.filter(col("vec_id") % 2 === 1)
+      (graft.ops.EmbeddingDedup.crossNearDups(
+        inc, hist, "vec_id", "embedding", threshold = 0.3, dim = 64)
+        .count(), None)
+    }
+    leg("qd7_hybrid_clusters") {
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val textPairs = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val edges = textPairs.union(embPairs._2.select(col("a"), col("b")))
+      (graft.ops.DedupClusters.clusters(edges).count(), None)
+    }
+    embPairs._1.unpersist()
+    embPairs._2.unpersist()
+    Report(dir, NDocs, NEmb, needGen, genSec, legs.toSeq)
+  }
+}

@@ -65,6 +65,25 @@ object TextOps {
   private[queries] def sessionKey(s: SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
+  /** Shingle width that keeps PPJoin's rare-prefix property as the
+    * corpus grows: smallest w ≥ 2 with nDocs / |V|^w ≤ targetDensity.
+    * When the shingle space saturates (density ≫ 1, e.g. 25k docs over
+    * a 31-word vocab's 961 bigrams) every "rare" prefix has df ≈ n/|V|^w
+    * and candidates grow quadratically (measured: 280 s at sf0.5 with
+    * w=2 vs 14.6 s at w=3, identical output). Widening multiplies the
+    * space by |V|, restoring bounded prefix dfs — real corpora also
+    * grow |V| with n (Heaps' law), so w rarely needs to exceed 3-4;
+    * capped at 8. Oracle queries pin `width` explicitly for
+    * determinism; this rule is the production sizing guide.
+    */
+  def autoWidth(nDocs: Long, vocabSize: Long,
+      targetDensity: Double = 2.0): Int = {
+    val v = math.max(2L, vocabSize).toDouble
+    var w = 2
+    while (w < 8 && nDocs.toDouble / math.pow(v, w) > targetDensity) w += 1
+    w
+  }
+
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
       width: Int = 2): DataFrame = {

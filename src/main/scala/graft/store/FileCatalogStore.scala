@@ -118,6 +118,13 @@ class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 class ProtectedException(msg: String) extends RuntimeException(msg)
 class ContractViolationException(msg: String) extends RuntimeException(msg)
 
+/** Typed rejection for mutations during a read-only maintenance window
+  * (reference: api/maintenance.rs MAINTENANCE_ERROR_TYPE — clients
+  * branch on the error type to distinguish a planned window from an
+  * outage, and may honor retry-after).
+  */
+class MaintenanceModeException(msg: String) extends RuntimeException(msg)
+
 /** Pre-commit policy hook (reference: service/contract_verification.rs).
   * @return None to accept, Some(reason) to reject the change.
   */
@@ -255,6 +262,7 @@ class FileCatalogStore(val root: String) {
   private implicit val fmts: Formats = DefaultFormats
 
   def createNamespace(ns: Seq[String], props: Map[String, String]): Unit = {
+    requireMutable()
     require(ns.nonEmpty, "namespace must have at least one part")
     if (ns.size > 1 && !namespaceExists(ns.dropRight(1)))
       throw new NoSuchNamespaceException(ns.dropRight(1).mkString("."))
@@ -281,6 +289,7 @@ class FileCatalogStore(val root: String) {
   def updateNamespaceProperties(
       ns: Seq[String], removals: Seq[String], updates: Map[String, String])
       : (Seq[String], Seq[String], Seq[String]) = {
+    requireMutable()
     val (name, props) = loadNamespace(ns)
     val missing = removals.filterNot(props.contains)
     val next = props -- removals ++ updates
@@ -305,6 +314,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def dropNamespace(ns: Seq[String], recursive: Boolean): Boolean = {
+    requireMutable()
     val dir = nsPath(ns)
     if (!namespaceExists(ns)) return false
     val children = listNamespaces(ns) ++ listTabulars(ns, includeDeleted = true)
@@ -651,6 +661,7 @@ class FileCatalogStore(val root: String) {
     * (reference: server/tables.rs:268 registerTable).
     */
   def registerTable(id: TabularId, metadataFile: String): TableMetadata = {
+    requireMutable()
     val meta = Json.metadataFromJson(readString(Paths.get(metadataFile)))
     createTable(id, meta)
   }
@@ -699,7 +710,8 @@ class FileCatalogStore(val root: String) {
     * migration resolves exactly this conflict by keeping the live row
     * and refusing the restore (fix_soft_deleted_tabulars.sql:27-42).
     */
-  def undrop(id: TabularId): Boolean =
+  def undrop(id: TabularId): Boolean = {
+    requireMutable()
     tombstonesOf(id).sortBy(_.deletedMs.getOrElse(0L)).lastOption match {
       case Some(info) =>
         if (loadTabularInfo(id).isDefined)
@@ -713,6 +725,7 @@ class FileCatalogStore(val root: String) {
         true
       case None => false
     }
+  }
 
   /** Physically delete one soft-deleted tabular, addressed by UUID —
     * name addressing would be ambiguous (a live table may have reused
@@ -725,7 +738,8 @@ class FileCatalogStore(val root: String) {
     * the namespace, so the whole-catalog resolution below is only the
     * fallback for uuid-only callers.
     */
-  def purgeTombstone(ns: Seq[String], uuid: String): Boolean =
+  def purgeTombstone(ns: Seq[String], uuid: String): Boolean = {
+    requireMutable()
     loadTabularInfoAt(tombstonePath(ns, uuid).resolve(TabMeta)) match {
       case Some(info) if !info.protected_ =>
         val dir = tombstonePath(ns, info.uuid)
@@ -747,6 +761,7 @@ class FileCatalogStore(val root: String) {
         true
       case _ => false
     }
+  }
 
   def purgeTombstone(uuid: String): Boolean =
     listDeletedTabulars().find(_.uuid == uuid) match {
@@ -762,7 +777,8 @@ class FileCatalogStore(val root: String) {
     * be blocked — the reference keeps protection togglable on deleted
     * tabulars awaiting purge).
     */
-  def setProtection(id: TabularId, prot: Boolean): Unit =
+  def setProtection(id: TabularId, prot: Boolean): Unit = {
+    requireMutable()
     loadTabularInfo(id) match {
       case Some(info) => writeTabularInfo(info.copy(protected_ = prot))
       case None =>
@@ -773,8 +789,10 @@ class FileCatalogStore(val root: String) {
           case None => throw new NoSuchTabularException(id.toString)
         }
     }
+  }
 
   def renameTabular(from: TabularId, to: TabularId): Unit = {
+    requireMutable()
     val info = loadTabularInfo(from).getOrElse(
       throw new NoSuchTabularException(from.toString))
     if (!namespaceExists(to.namespace))
@@ -814,6 +832,7 @@ class FileCatalogStore(val root: String) {
     */
   def commitTransaction(
       changes: Seq[(TabularId, Seq[TableRequirement], Seq[TableUpdate])]): Unit = {
+    requireMutable()
     var locked = false
     var spins = 0
     while (!locked) {
@@ -868,6 +887,7 @@ class FileCatalogStore(val root: String) {
 
   // ---------------------------------------------------------------- views
   def createView(id: TabularId, metadata: ViewMetadata): ViewMetadata = {
+    requireMutable()
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
     if (loadTabularInfo(id).isDefined)
@@ -891,6 +911,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def commitView(id: TabularId, updates: Seq[Commit.ViewUpdate]): ViewMetadata = {
+    requireMutable()
     val (current, v) = loadViewMetadata(id).getOrElse(
       throw new NoSuchTabularException(id.toString))
     val next = Commit.applyViewUpdates(current, updates)
@@ -903,6 +924,7 @@ class FileCatalogStore(val root: String) {
   // -------------------------------------------------------- generic tables
   def createGenericTable(id: TabularId, format: String,
       baseLocation: String, props: Map[String, String]): TabularInfo = {
+    requireMutable()
     if (!namespaceExists(id.namespace))
       throw new NoSuchNamespaceException(id.namespace.mkString("."))
     if (loadTabularInfo(id).isDefined)
@@ -948,6 +970,7 @@ class FileCatalogStore(val root: String) {
     */
   def createOrUpdateUser(id: String, name: String, email: Option[String],
       userType: String): Boolean = {
+    requireMutable()
     val p = principalDir("users").resolve(principalKey(id) + ".json")
     val existing = if (Files.exists(p)) Some(JsonMethods.parse(readString(p)))
       else None
@@ -973,11 +996,14 @@ class FileCatalogStore(val root: String) {
     }.sortBy(_.id)
   }
 
-  def deleteUser(id: String): Boolean =
+  def deleteUser(id: String): Boolean = {
+    requireMutable()
     Files.deleteIfExists(principalDir("users").resolve(principalKey(id) + ".json"))
+  }
 
   /** Create a role; name must be unique (role.rs unique constraint). */
   def createRole(id: String, name: String, description: Option[String]): RoleRecord = {
+    requireMutable()
     if (listRoles().exists(r => fold(r.name) == fold(name) || r.id == id))
       throw new AlreadyExistsException(s"Role $name already exists")
     val now = System.currentTimeMillis()
@@ -1002,6 +1028,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def deleteRole(id: String): Boolean = {
+    requireMutable()
     // a deleted role's edges go with it (both directions) — no dangling
     // parents; dangling MEMBER ids elsewhere are dropped at listing time
     val f = membersPath(id)
@@ -1087,6 +1114,7 @@ class FileCatalogStore(val root: String) {
     */
   def addRoleMembers(roleId: String,
       members: Seq[(String, String)]): Unit = {
+    requireMutable()
     requireRole(roleId)
     members.foreach { case (t, id) =>
       if (t != "user" && t != "role")
@@ -1108,6 +1136,7 @@ class FileCatalogStore(val root: String) {
   /** Remove one member edge; true if it existed. */
   def removeRoleMember(roleId: String, memberType: String,
       memberId: String): Boolean = {
+    requireMutable()
     val current = listRoleMembers(roleId)
     val next = current.filterNot(_ == (memberType, memberId))
     if (next.size == current.size) false
@@ -1167,6 +1196,7 @@ class FileCatalogStore(val root: String) {
   }
 
   def setWarehouseProfile(p: WarehouseProfile): Unit = {
+    requireMutable()
     require(p.deleteProfile == "soft" || p.deleteProfile == "hard",
       s"delete-profile must be soft or hard, got ${p.deleteProfile}")
     require(p.allowedFormatVersions.nonEmpty &&
@@ -1188,10 +1218,60 @@ class FileCatalogStore(val root: String) {
   /** Deactivated warehouses reject mutations (reference: inactive
     * warehouses 404 their data plane).
     */
-  def requireActive(): Unit =
+  def requireActive(): Unit = {
+    requireMutable()
     if (!warehouseProfile.active)
       throw new IllegalStateException(
         s"Warehouse ${warehouseProfile.name} is deactivated")
+  }
+
+  // ------------------------------------------------- maintenance mode
+  // Catalog-level read-only switch (reference: api/maintenance.rs —
+  // middleware 503s every mutating request during a migration window
+  // while reads proceed; service/admission.rs:161-215 is the general
+  // admission-gate shape). In-process analog: a persisted marker file
+  // checked at every mutation choke point. Unlike the reference's
+  // startup-captured CONFIG flag, this one is dynamic — the toggling
+  // operator IS an in-process caller here, with no rolling restart to
+  // hide behind. Scope mirrors the reference middleware: the whole
+  // catalog/management mutation surface (tables, namespaces, views,
+  // users/roles, projects, warehouses) is gated; reads — scans,
+  // metadata tables, time travel, listings, statistics — proceed, as
+  // do operational write side-effects of reads (metrics, event log:
+  // the reference suppresses read side-effects per-handler, it never
+  // fails the read). Task-queue internals (heartbeat/complete) stay
+  // open so in-flight work can drain — the reference's queue workers
+  // are in-process and simply idle during its window.
+
+  private def maintenancePath: Path = rootPath.resolve(".maintenance")
+  @volatile private var maintenanceCache: Option[Boolean] = None
+
+  def maintenanceMode: Boolean = maintenanceCache.getOrElse {
+    val v = Files.exists(maintenancePath)
+    maintenanceCache = Some(v)
+    v
+  }
+
+  /** Toggle read-only maintenance mode. The switch itself is never
+    * gated (it is the operator's way OUT of the window).
+    */
+  def setMaintenanceMode(readOnly: Boolean): Unit = {
+    if (readOnly) writeString(maintenancePath, "read-only")
+    else Files.deleteIfExists(maintenancePath)
+    maintenanceCache = Some(readOnly)
+    logEvent("maintenance-mode", TabularId(Nil, warehouseProfile.name),
+      Map("read-only" -> readOnly.toString))
+  }
+
+  /** Gate for every catalog mutation (the analog of the reference's
+    * is_mutating middleware check).
+    */
+  def requireMutable(): Unit =
+    if (maintenanceMode)
+      throw new MaintenanceModeException(
+        "Catalog is in read-only maintenance mode. Mutating requests " +
+          "are temporarily rejected; retry after the maintenance " +
+          "window completes.")
 
   // ------------------------------------------------------------- projects
   // The entity layer warehouses are scoped under (reference:
@@ -1225,7 +1305,8 @@ class FileCatalogStore(val root: String) {
   def getProject(id: String): Option[ProjectRecord] =
     listProjects().find(_.id == id)
 
-  def createProject(id: String, name: String): ProjectRecord =
+  def createProject(id: String, name: String): ProjectRecord = {
+    requireMutable()
     taskLock.synchronized {
       val existing = listProjects()
       if (existing.exists(p => p.id == id || fold(p.name) == fold(name)))
@@ -1235,8 +1316,10 @@ class FileCatalogStore(val root: String) {
       logEvent("project-created", TabularId(Nil, name), Map("id" -> id))
       rec
     }
+  }
 
-  def renameProject(id: String, newName: String): Unit =
+  def renameProject(id: String, newName: String): Unit = {
+    requireMutable()
     taskLock.synchronized {
       if (id == DefaultProject) throw new IllegalArgumentException(
         "The default project cannot be renamed")
@@ -1250,11 +1333,13 @@ class FileCatalogStore(val root: String) {
       logEvent("project-renamed", TabularId(Nil, newName),
         Map("id" -> id, "old-name" -> rec.name))
     }
+  }
 
   /** Delete an EMPTY project (reference: FK violation → conflict
     * "ProjectNotEmpty"; missing → not found).
     */
   def deleteProject(id: String): Unit = taskLock.synchronized {
+    requireMutable()
     if (id == DefaultProject) throw new IllegalArgumentException(
       "The default project cannot be deleted")
     val existing = listProjects()
@@ -1314,7 +1399,8 @@ class FileCatalogStore(val root: String) {
         ("location" -> e.location) ~ ("project" -> e.project))))
 
   def createWarehouse(name: String, location: String,
-      project: String = DefaultProject): String =
+      project: String = DefaultProject): String = {
+    requireMutable()
     taskLock.synchronized {
       if (getProject(project).isEmpty)
         throw new IllegalArgumentException(s"Project not found: $project")
@@ -1331,6 +1417,7 @@ class FileCatalogStore(val root: String) {
       writeRegistry(next)
       location
     }
+  }
 
   /** Rename a warehouse (reference: POST /warehouse/{id}/rename,
     * api/endpoints.rs RenameWarehouse). Renaming the bootstrap
@@ -1340,6 +1427,7 @@ class FileCatalogStore(val root: String) {
     */
   def renameWarehouse(name: String, newName: String,
       project: String = DefaultProject): Unit = taskLock.synchronized {
+    requireMutable()
     val all = listWarehouseEntries()
     if (all.exists(e => e.project == project && e.name == newName))
       throw new AlreadyExistsException(
@@ -1361,7 +1449,8 @@ class FileCatalogStore(val root: String) {
   }
 
   def deleteWarehouse(name: String, force: Boolean,
-      project: String = DefaultProject): Boolean =
+      project: String = DefaultProject): Boolean = {
+    requireMutable()
     taskLock.synchronized {
       val entries = listWarehouseEntries().filterNot(_.location == root)
       entries.find(e => e.project == project && e.name == name) match {
@@ -1379,6 +1468,7 @@ class FileCatalogStore(val root: String) {
           true
       }
     }
+  }
 
   // ------------------------------------------------------------ task queue
   // Catalog-persisted background-task state (reference:
@@ -1461,7 +1551,8 @@ class FileCatalogStore(val root: String) {
     rootPath.resolve(".task_queue_config").resolve(principalKey(queue) + ".json")
 
   def setTaskQueueConfig(queue: String, configJson: String,
-      maxSecondsSinceLastHeartbeat: Option[Long]): Unit =
+      maxSecondsSinceLastHeartbeat: Option[Long]): Unit = {
+    requireMutable()
     taskLock.synchronized {
       // validate it IS json (the payload itself is queue-defined)
       JsonMethods.parse(configJson)
@@ -1469,6 +1560,7 @@ class FileCatalogStore(val root: String) {
         ("queue-name" -> queue) ~ ("config" -> JsonMethods.parse(configJson)) ~
           ("max-seconds-since-last-heartbeat" -> maxSecondsSinceLastHeartbeat)))
     }
+  }
 
   /** (configJson, maxSecondsSinceLastHeartbeat) for a queue, if set. */
   def getTaskQueueConfig(queue: String): Option[(String, Option[Long])] =

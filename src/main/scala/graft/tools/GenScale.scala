@@ -10,17 +10,16 @@ import org.apache.spark.sql.SparkSession
   * testdata structure: labels carry no geometry, pair density is the
   * random-unit-vector tail). Output goes under the repo's target/
   * (never /root/testdata, which is read-only).
+  *
+  * [[generate]] is called per-round by the bench's scale lane
+  * (graft.queries.ScaleLane) so the quadratic-regression guards run
+  * on every committed bench, not just one-off probes.
   */
 object GenScale {
-  def main(args: Array[String]): Unit = {
-    val out = args(0)
-    val nDocs = args(1).toInt
-    val nEmb = args(2).toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Write the deterministic fixture into an existing session. */
+  def generate(spark: SparkSession, out: String, nDocs: Int,
+      nEmb: Int): Unit = {
     import spark.implicits._
 
     val vocab = Array("a", "agg", "batch", "big", "column", "customer",
@@ -57,6 +56,18 @@ object GenScale {
 
     docs.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
     emb.coalesce(2).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toInt
+    val nEmb = args(2).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, nDocs, nEmb)
     println(s"[gen] wrote $nDocs docs, $nEmb embeddings to $out")
     spark.stop()
   }

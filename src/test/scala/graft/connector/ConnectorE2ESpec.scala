@@ -1463,4 +1463,48 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(rows("g0") == ((50L, 40L)), s"g0 was ${rows("g0")}")
     assert(rows("g1") == ((50L, 50L)), s"g1 was ${rows("g1")}")
   }
+
+  test("maintenance mode blocks mutations, reads proceed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mm")
+    spark.sql("CREATE TABLE graft.mm.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mm.t VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("CALL graft.system.set_maintenance_mode(read_only => true)")
+      .collect()
+    assert(spark.sql("CALL graft.system.get_maintenance_mode()")
+      .collect()(0).getBoolean(0))
+    try {
+      // the full mutation surface rejects with the TYPED error
+      def mustBlock(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql).collect())
+        def chain = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+          .takeWhile(_ != null)
+        assert(chain.exists(
+          _.isInstanceOf[graft.store.MaintenanceModeException]),
+          s"$sql should have failed with MaintenanceModeException, got $e")
+      }
+      mustBlock("INSERT INTO graft.mm.t VALUES (3, 'c')")
+      mustBlock("DELETE FROM graft.mm.t WHERE id = 1")
+      mustBlock("CREATE TABLE graft.mm.t2 (id BIGINT)")
+      mustBlock("DROP TABLE graft.mm.t")
+      mustBlock("CREATE NAMESPACE graft.mm2")
+      mustBlock("ALTER TABLE graft.mm.t RENAME TO graft.mm.t_renamed")
+      mustBlock(
+        "CALL graft.system.create_warehouse(name => 'mmwh', location => '/tmp/mmwh')")
+      mustBlock("CALL graft.system.create_project(id => 'p9', name => 'P9')")
+
+      // reads proceed: scans, aggregates, metadata tables, listings
+      assert(spark.table("graft.mm.t").count() == 2)
+      assert(spark.sql("SELECT sum(id) FROM graft.mm.t")
+        .collect()(0).getLong(0) == 3)
+      assert(spark.sql("SELECT * FROM graft.mm.t.snapshots").count() >= 1)
+      assert(spark.sql("SHOW TABLES IN graft.mm").count() >= 1)
+    } finally {
+      spark.sql("CALL graft.system.set_maintenance_mode(read_only => false)")
+        .collect()
+    }
+    // the window is over: mutations work again
+    spark.sql("INSERT INTO graft.mm.t VALUES (3, 'c')")
+    assert(spark.table("graft.mm.t").count() == 3)
+  }
 }

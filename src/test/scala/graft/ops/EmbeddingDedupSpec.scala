@@ -56,4 +56,24 @@ class EmbeddingDedupSpec extends AnyFunSuite {
     // doubling n adds exactly one bit
     assert(EmbeddingDedup.autoBits(40000) === EmbeddingDedup.autoBits(20000) + 1)
   }
+
+  test("the default path sizes bits from the corpus automatically") {
+    // a 10k-vector corpus must pick bits = 10 (10000/16 = 625 -> 2^10)
+    import spark.implicits._
+    val tenK = spark.range(10000)
+      .map(i => (i, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    assert(EmbeddingDedup.bitsFor(tenK) === 10)
+    // and Auto resolves through the same rule inside nearDupPairs:
+    // identical output to the explicitly-sized call on a real corpus
+    val rnd = new scala.util.Random(11)
+    val corpus = vecs((0L until 64L).map(i =>
+      i -> Array.fill(dim)(rnd.nextGaussian().toFloat)): _*)
+    val auto = EmbeddingDedup.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = EmbeddingDedup.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.5, dim = dim, bits = EmbeddingDedup.autoBits(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === pinned)
+  }
 }

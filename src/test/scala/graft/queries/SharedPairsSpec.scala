@@ -91,4 +91,18 @@ class SharedPairsSpec extends AnyFunSuite {
       assert(want.nonEmpty, s"fixture must produce pairs at width=$w")
     }
   }
+
+  test("autoWidth widens the shingle as corpus density saturates the space") {
+    // 31-word vocab: 961 bigrams, 29,791 trigrams
+    assert(TextOps.autoWidth(500, 31) === 2)    // 500/961 = 0.5 <= 2
+    assert(TextOps.autoWidth(5000, 31) === 3)   // 5000/961 = 5.2 > 2
+    assert(TextOps.autoWidth(25000, 31) === 3)  // 25k/29791 = 0.84
+    assert(TextOps.autoWidth(50000, 31) === 3)  // 1.68 <= 2
+    assert(TextOps.autoWidth(500000, 31) === 4)
+    // Heaps-law corpora: a 100k vocab never needs more than bigrams
+    // until the corpus passes 2e10 docs
+    assert(TextOps.autoWidth(1000000000L, 100000) === 2)
+    // capped — even an adversarial 2-word vocab terminates
+    assert(TextOps.autoWidth(Long.MaxValue, 2) === 8)
+  }
 }
