@@ -35,9 +35,16 @@ import org.apache.spark.storage.StorageLevel
   * per-round RDD materialization costs ~0.55 s × 24 rounds = 13.4 s
   * vs 10.5 s for lazy cadence-3 propagation. Fewer, eager rounds lose
   * to more, fused ones at this graph size. For adversarial
-  * high-diameter graphs the alternating large-star/small-star scheme
-  * (Kiveris et al., SoCC'14) is the known O(log² n) upgrade; dedup
-  * graphs don't need it.
+  * high-diameter graphs (long chains — not a shape near-dup edges
+  * produce, but reachable through arbitrary edge inputs) pass
+  * `highDiameter = true` to switch to the alternating
+  * large-star/small-star scheme (Kiveris et al., SoCC'14), which
+  * converges in O(log² n) rounds regardless of diameter: a 500-node
+  * chain clusters in 8 alternations where propagation would need 499
+  * rounds. It is NOT the default because each alternation is two
+  * grouped joins + a set-difference convergence check — strictly more
+  * expensive per round than propagation on the low-diameter graphs
+  * dedup actually emits.
   *
   * Every round truncates lineage via a checkpoint — without it the
   * fixpoint loop's plan grows linearly and the optimizer re-analyzes
@@ -60,7 +67,10 @@ object DedupClusters {
       pairs: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      highDiameter: Boolean = false): DataFrame = {
+    if (highDiameter) return clustersAlternatingStars(pairs, aCol, bCol,
+      maxIters.min(30))
     // undirected: materialize both directions once; consumed every round
     val edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
@@ -79,7 +89,8 @@ object DedupClusters {
         throw new IllegalStateException(
           s"DedupClusters: no fixpoint after $maxIters rounds — " +
             "component diameter exceeds the bound; raise maxIters or " +
-            "switch to large-star/small-star for this graph shape")
+            "re-run with highDiameter = true (alternating " +
+            "large-star/small-star, O(log² n) rounds) for this graph")
       }
       // each node's own row carries its previous label through the
       // min-groupBy (max over one non-null + nulls), so the changed
@@ -110,5 +121,81 @@ object DedupClusters {
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * — the diameter-independent fallback behind `highDiameter = true`.
+    *
+    * Each alternation rewires the edge set toward a star forest rooted
+    * at every component's minimum node:
+    *  - LARGE-STAR (per node u over its full neighborhood Γ(u)):
+    *    connect every STRICTLY LARGER neighbor v > u to
+    *    m = min(Γ(u) ∪ {u}). Doubles the reach of small labels along
+    *    chains each round.
+    *  - SMALL-STAR (per node u over its smaller neighbors, i.e. the
+    *    `lo` side of canonical hi>lo edges): connect every such
+    *    neighbor and u itself to their minimum.
+    * Both emit only (bigger, smaller) pairs, so the edge set stays
+    * canonical; convergence = the edge set reaches a fixpoint (then it
+    * IS the star forest, child → component-min). Rounds are O(log² n)
+    * in the worst case — independent of diameter, unlike propagation.
+    *
+    * Per round: two grouped joins, one distinct, one anti-join
+    * convergence check; lineage truncated by a lazy checkpoint whose
+    * materializing action is the convergence count.
+    */
+  private def clustersAlternatingStars(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int): DataFrame = {
+    // all nodes (self-pairs label themselves via the final left join)
+    val nodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node")))
+      .distinct()
+    var edges = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var it = 0
+    var converged = nEdges == 0
+    while (!converged) {
+      it += 1
+      if (it > maxIters)
+        throw new IllegalStateException(
+          s"DedupClusters: star alternation did not converge after " +
+            s"$maxIters rounds (O(log² n) expected — pathological input?)")
+      // LARGE-STAR over the symmetric adjacency
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR on the canonical (hi > lo) edges
+      val smins = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(smins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(smins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false)
+      val nNext = next.count()
+      val changed = next.join(edges, Seq("hi", "lo"), "left_anti").count()
+      converged = changed == 0 && nNext == nEdges
+      edges = next
+      nEdges = nNext
+    }
+    // star forest: every non-center node is `hi` of exactly one edge
+    nodes.join(edges.select(col("hi").as("node"), col("lo").as("label")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("cluster_id"))
   }
 }

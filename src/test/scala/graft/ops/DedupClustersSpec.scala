@@ -58,4 +58,33 @@ class DedupClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got === Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
   }
+
+  test("highDiameter clusters a 500-chain where propagation exceeds its bound") {
+    import spark.implicits._
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    // propagation needs ~500 rounds — over the default 50 bound
+    assertThrows[IllegalStateException] {
+      DedupClusters.clusters(chain).collect()
+    }
+    // large-star/small-star converges in O(log² n) alternations
+    val got = DedupClusters.clusters(chain, highDiameter = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 500L).map(_ -> 0L).toMap)
+  }
+
+  test("highDiameter agrees with propagation on random low-diameter graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 seeded graphs: 60 nodes, ~70 random edges + a few self-pairs
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(70)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) ++
+        Seq((7L, 7L), (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val df = edges.toDF("a", "b")
+      val viaProp = DedupClusters.clusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = DedupClusters.clusters(df, highDiameter = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars === viaProp, s"trial $trial diverged")
+    }
+  }
 }
