@@ -73,11 +73,54 @@ object Multimodal {
     }
   }
 
+  /** A pluggable decoder: the seam's TYPE. [[decodeOne]] (fake header)
+    * and [[pngCodec]] (real javax.imageio PNG decode) both satisfy it;
+    * a deployment's JPEG/ffmpeg decoder is one more instance.
+    */
+  type Codec = (Long, String, Array[Byte]) => Option[Decoded]
+
+  /** REAL image decoding through the same seam: javax.imageio (ships
+    * in the JDK — PNG/BMP/GIF decode with no external dependency).
+    * The payload is the first band of the raster in row-major order —
+    * for the gray PNGs [[syntheticPngMedia]] writes, exactly the
+    * encoder's input bytes (PNG is lossless), so the closed-form
+    * oracle carries over unchanged while the bytes genuinely round
+    * through a real encoder and decoder. Garbage bytes make
+    * ImageIO.read return null (or throw) → None: the corrupt-row
+    * contract holds for the real library too.
+    */
+  def pngCodec(mediaId: Long, mediaType: String,
+      content: Array[Byte]): Option[Decoded] = {
+    if (content == null || mediaType != "image") return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val payload = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          payload(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(mediaId, mediaType, w, h, 0, 0, payload))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decode a media DataFrame into typed rows, partition-parallel in
     * bounded batches. Undecodable rows are dropped (count them
-    * upstream with a filter if needed).
+    * upstream with a filter if needed). `codec` picks the decoder —
+    * default is the fake-header parser; pass [[pngCodec]] (or a real
+    * deployment codec) for genuine decoding through the same plumbing.
     */
-  def decode(media: DataFrame, batchSize: Int = 64): Dataset[Decoded] = {
+  def decode(media: DataFrame, batchSize: Int = 64,
+      codec: Codec = decodeOne): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media_type", "content")
@@ -86,7 +129,7 @@ object Multimodal {
         // bounded-batch iteration: the mapInPandas batch shape — a
         // real decoder amortizes per-batch setup (model load, JNI)
         it.grouped(batchSize).flatMap { batch =>
-          batch.flatMap { case (id, tpe, bytes) => decodeOne(id, tpe, bytes) }
+          batch.flatMap { case (id, tpe, bytes) => codec(id, tpe, bytes) }
         }
       }
   }
@@ -178,16 +221,62 @@ object Multimodal {
     }.toDF("media_id", "media_type", "content", "meta")
   }
 
+  /** Deterministic REAL-PNG media corpus: same id-derived dimensions
+    * and pixel closed form as [[syntheticMedia]]'s image leg
+    * (w = 8+id%9, h = 4+id%5, pixel[i] = (id*31 + i*17 + 7) % 256),
+    * but each blob is an actual PNG written by javax.imageio from a
+    * TYPE_BYTE_GRAY BufferedImage, executor-side. PNG being lossless,
+    * [[pngCodec]] recovers exactly those pixel bytes — so the SQL
+    * oracle stays a closed form of doc_id while the bytes round-trip
+    * a genuine image library. id%37==0 rows get non-PNG garbage
+    * (ImageIO must reject them, not the generator).
+    */
+  def syntheticPngMedia(docIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 37 == 0)
+          "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        else {
+          val w = 8 + (id % 9).toInt
+          val h = 4 + (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + (y * w + x) * 17 + 7) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          // in-memory ImageOutputStream: never spill executor tmp files
+          // for KB-sized encodes
+          javax.imageio.ImageIO.setUseCache(false)
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+      (id, "image", content, Map.empty[String, String])
+    }.toDF("media_id", "media_type", "content", "meta")
+  }
+
   /** Integer-exact per-blob features — the oracle-checkable face of
     * extractFeatures: payload length, byte sum, and the dominant
     * 16-bin histogram bucket (max count, lowest bin on ties). Same
     * bounded-batch decode underneath; exact integers instead of
     * normalized floats so results hash-match across engines.
     */
-  def byteFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def byteFeatures(media: DataFrame, batchSize: Int = 64,
+      codec: Codec = decodeOne): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    decode(media, batchSize).map { d =>
+    decode(media, batchSize, codec).map { d =>
       val hist = new Array[Long](16)
       var sum = 0L
       d.payload.foreach { b =>

@@ -175,5 +175,54 @@ object MediaOps {
       graft.ops.Multimodal.byteFeatures(resized)
         .select(col("media_id"), col("byte_sum").as("resized_byte_sum"))
         .orderBy("media_id")
+    },
+
+    // ------------------------------------------- REAL image decoding
+    // Same pipeline as qm1's image leg but the blobs are genuine PNGs
+    // (javax.imageio both sides — see Multimodal.syntheticPngMedia /
+    // pngCodec): encoder writes the closed-form pixels into a real
+    // PNG, decoder recovers width/height/pixels FROM THE PNG (the
+    // self-describing header is gone), and the oracle recomputes the
+    // same features from the closed form without decoding anything.
+    // Per-media rows (not aggregates): each row hash-checks one real
+    // encode→decode round trip; corrupt (non-PNG) rows must be absent
+    // because ImageIO rejected them.
+    Q(
+      "qm4_png_decode",
+      """WITH m AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 37 <> 0),
+        |idx AS (
+        |  SELECT doc_id, unnest(range(0, w * h)) AS i FROM m),
+        |bytes AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 17 + 7) % 256 AS byte
+        |  FROM idx),
+        |hist AS (
+        |  SELECT doc_id, byte // 16 AS bin, COUNT(*) AS c
+        |  FROM bytes GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, bin AS top_bin FROM (
+        |    SELECT doc_id, bin,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC, bin ASC) AS rn
+        |    FROM hist) WHERE rn = 1),
+        |sums AS (
+        |  SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS byte_sum
+        |  FROM bytes GROUP BY 1)
+        |SELECT m.doc_id AS media_id,
+        |  CAST(m.w AS BIGINT) AS width,
+        |  CAST(m.h AS BIGINT) AS height,
+        |  CAST(m.w * m.h AS BIGINT) AS payload_bytes,
+        |  s.byte_sum,
+        |  CAST(t.top_bin AS BIGINT) AS top_bin
+        |FROM m JOIN sums s USING (doc_id) JOIN top t USING (doc_id)
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticPngMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.byteFeatures(media,
+          codec = graft.ops.Multimodal.pngCodec)
+        .select(col("media_id"), col("width"), col("height"),
+          col("payload_bytes"), col("byte_sum"), col("top_bin"))
+        .orderBy("media_id")
     })
 }
