@@ -13,6 +13,13 @@ import graft.meta._
   * O(#manifests), not O(#files) — the property that keeps dynamic
   * overwrite / static overwrite / row-level commits viable when a
   * table has millions of files across thousands of manifests.
+  *
+  * The one collect in this path returns exactly (kept-manifest path
+  * option, removed-stats counts) per manifest — i.e. the snapshot's
+  * manifest LIST plus the conflict-check/summary numbers, both of
+  * which the commit protocol itself must hold driver-side. File
+  * entries never transit the driver; they are parsed, filtered, and
+  * rewritten where they were read.
   */
 object ManifestReplace {
 

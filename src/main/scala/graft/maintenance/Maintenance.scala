@@ -19,6 +19,20 @@ private[maintenance] object ManifestIO {
       java.nio.charset.StandardCharsets.UTF_8))
       .entries.map(f =>
         if (f.path.startsWith("/")) f.path else s"$tableLocation/${f.path}")
+
+  /** Typed entry rows for consumers that need more than paths:
+    * (absolute path, isData, isPositionDeletes, recordCount).
+    */
+  def entryRows(absManifest: String, tableLocation: String)
+      : Seq[(String, Boolean, Boolean, Long)] =
+    Json.manifestFromJson(new String(
+      Files.readAllBytes(Paths.get(absManifest)),
+      java.nio.charset.StandardCharsets.UTF_8))
+      .entries.map { f =>
+        val abs = if (f.path.startsWith("/")) f.path
+          else s"$tableLocation/${f.path}"
+        (abs, f.isData, f.isPositionDeletes, f.recordCount)
+      }
 }
 
 /** Micro-batched distributed deletes (reference contract:

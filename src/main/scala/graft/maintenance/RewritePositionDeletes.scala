@@ -25,23 +25,70 @@ object RewritePositionDeletes {
         .getOrElse(1)
     }.sum
 
-  /** @return (rewritten delete files, removed dangling positions) */
+  /** Manifests below this stay on the driver (job-launch overhead
+    * beats parallelism for a handful of manifests) — same constant
+    * rationale as ManifestReplace.DistributeThreshold.
+    */
+  private val DistributeThreshold = 16
+
+  /** @return (rewritten delete files, removed dangling positions)
+    *
+    * Scale shape: manifest ENTRIES are parsed executor-side into a
+    * DataFrame — the live data-file path set (O(#data-files), the
+    * thing that grows 100× with the table) is never materialized on
+    * the driver; it feeds the dangling-tuple semi-join as a
+    * distributed relation. The driver holds only what the commit
+    * protocol itself needs: the position-delete file list being
+    * compacted (the procedure's own working set, needed to open the
+    * scan and form the replace-commit's path set) and the NEW files'
+    * stats (the manifest content, bounded by output count).
+    */
   def run(store: FileCatalogStore, id: TabularId,
       targetPerFile: Long = 10000000L): (Long, Long) = {
     val spark = SparkSession.active
     val (meta, _) = store.loadTableMetadata(id).getOrElse(
       throw new IllegalArgumentException(s"No such table: $id"))
-    val entries = store.readManifests(meta.location,
-      meta.currentSnapshot.toSeq.flatMap(_.manifests)).flatMap(_.entries)
-    val deleteFiles = entries.filter(_.isPositionDeletes)
-    if (deleteFiles.isEmpty) return (0L, 0L)
-
-    val livePaths = entries.filter(_.isData).map(_.path)
-    val before = deleteFiles.map(_.recordCount).sum
+    val manifestPaths = meta.currentSnapshot.toSeq.flatMap(_.manifests)
+    if (manifestPaths.isEmpty) return (0L, 0L)
+    val root = meta.location
     import spark.implicits._
+    val entriesDf =
+      (if (manifestPaths.size <= DistributeThreshold)
+        spark.createDataset(manifestPaths
+          .map(store.resolvePath(root, _))
+          .flatMap(ManifestIO.entryRows(_, root)))
+      else
+        spark.createDataset(manifestPaths.map(store.resolvePath(root, _)))
+          .repartition(math.min(manifestPaths.size, 64))
+          .mapPartitions(_.flatMap(ManifestIO.entryRows(_, root))))
+        .toDF("path", "is_data", "is_pos_del", "record_count")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      runOn(store, id, meta, entriesDf, targetPerFile)
+    } finally {
+      entriesDf.unpersist()
+    }
+  }
+
+  private def runOn(store: FileCatalogStore, id: TabularId,
+      meta: TableMetadata,
+      entriesDf: org.apache.spark.sql.DataFrame,
+      targetPerFile: Long): (Long, Long) = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    // O(#position-delete-files): the set being compacted — the scan
+    // needs concrete paths and the replace commit needs the path set
+    val delRows = entriesDf.filter(col("is_pos_del"))
+      .select(col("path"), col("record_count")).collect()
+    if (delRows.isEmpty) return (0L, 0L)
+    val deletePaths = delRows.map(_.getString(0)).toSeq
+    val before = delRows.map(_.getLong(1)).sum
+
     val tuples = spark.read.schema(PositionDeletes.schema)
-      .parquet(deleteFiles.map(_.path): _*)
-    val liveDf = livePaths.toDF(PositionDeletes.PathColumn)
+      .parquet(deletePaths: _*)
+    // live data paths stay distributed end-to-end
+    val liveDf = entriesDf.filter(col("is_data"))
+      .select(col("path").as(PositionDeletes.PathColumn))
     val surviving = tuples
       .join(liveDf, Seq(PositionDeletes.PathColumn), "left_semi")
       .distinct()
@@ -108,7 +155,7 @@ object RewritePositionDeletes {
             DataFile.ContentPositionDeletes)
         }
 
-    val oldPaths = deleteFiles.map(_.path).toSet
+    val oldPaths = deletePaths.toSet
     val snapshotId =
       math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     store.commitTableWith(id,
