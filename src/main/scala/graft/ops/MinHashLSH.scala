@@ -242,4 +242,114 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
     (candidates, pairs)
   }
+
+  /** Cross-set text near-dup: for each `newDf` document, the
+    * `corpusDf` documents whose exact shingle Jaccard clears the
+    * threshold — the INCREMENTAL text-dedup kernel (dedup a new crawl
+    * batch against the historical corpus without re-pairing the
+    * corpus with itself), the MinHash sibling of
+    * [[EmbeddingDedup.crossNearDups]].
+    *
+    * One shingle/signature pass encodes BOTH corpora (union tagged by
+    * side, so the injectivity proof and any dictionary fallback span
+    * the combined vocabulary — a cross-side hash collision would
+    * inflate a cross Jaccard); the band join is two-sided, so cost
+    * scales with |new| × bucket density, never |corpus|². Candidate
+    * recall follows the same S-curve argument as [[nearDupPairs]] —
+    * banding is threshold-aligned and the exact verification runs on
+    * every candidate.
+    *
+    * Ids must be unique within each side; the same id MAY appear on
+    * both sides (encoding groups by (side, id)).
+    *
+    * @return (new_id, corpus_id, jaccard)
+    */
+  def crossNearDups(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val r = numHashes / bands
+    val (as, bs) = coefficients(numHashes, seed)
+    import newDf.sparkSession.implicits._
+
+    def tagged(df: DataFrame, side: String) = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("side", lit(side))
+    val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+    val sh = tagged(newDf, "n").union(tagged(corpusDf, "c"))
+      .select(col("side"), col("doc_id"), toks.as("toks"))
+      .select(col("side"), col("doc_id"), array_distinct(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("sh"))
+    val inv = sh.select(col("side"), col("doc_id"),
+      explode(col("sh")).as("shingle"))
+
+    // injectivity over the COMBINED vocabulary (see nearDupPairs)
+    val counts = inv.agg(
+      countDistinct(col("shingle")).as("ns"),
+      countDistinct(xxhash64(col("shingle"))).as("nh")).head()
+    val injective = counts.getLong(0) == counts.getLong(1)
+
+    val hashed = inv.select(col("side"), col("doc_id"),
+      xxhash64(col("shingle")).as("h64"))
+      .select(col("side"), col("doc_id"), col("h64"),
+        pmod(col("h64"), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+
+    val vecsAndSigs: DataFrame = if (injective) {
+      val aggExprs = aggs :+ sort_array(collect_set(col("h64"))).as("vec")
+      hashed.groupBy(col("side"), col("doc_id"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(col("side"), col("doc_id"), sigArr.as("sig"), col("vec"))
+    } else {
+      val dict = inv.select(col("shingle")).distinct().rdd.zipWithIndex()
+        .map { case (row, idx) => (row.getString(0), idx) }
+        .toDF("shingle", "sid")
+      val vecs = inv.join(dict, "shingle")
+        .groupBy(col("side"), col("doc_id"))
+        .agg(sort_array(collect_list(col("sid"))).as("vec"))
+      hashed.groupBy(col("side"), col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("side"), col("doc_id"), sigArr.as("sig"))
+        .join(vecs, Seq("side", "doc_id"))
+    }
+    val docs = vecsAndSigs
+      .select(col("side"), col("doc_id"), col("sig"), col("vec"),
+        size(col("vec")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def banded(side: String) = docs.filter(col("side") === side)
+      .select(col("doc_id"),
+        posexplode(bandBuckets(col("sig"), bands, r)).as(Seq("band", "bucket")))
+
+    val candidates = banded("n").as("x")
+      .join(banded("c").as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+
+    candidates
+      .join(docs.filter(col("side") === "n")
+        .select(col("doc_id").as("new_id"), col("vec").as("va"),
+          col("sz").as("sa")), Seq("new_id"))
+      .join(docs.filter(col("side") === "c")
+        .select(col("doc_id").as("corpus_id"), col("vec").as("vb"),
+          col("sz").as("sb")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("va"), col("vb"))).as("common"),
+        col("sa"), col("sb"))
+      .select(col("new_id"), col("corpus_id"),
+        (col("common").cast(DoubleType) /
+          (col("sa") + col("sb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

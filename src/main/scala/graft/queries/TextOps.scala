@@ -278,6 +278,79 @@ object TextOps {
         .orderBy(col("lang"))
     },
 
+    // --------------------------------------- repetition signals (Gopher)
+    // Per-document repetition metrics from the Gopher quality-filter
+    // family (Rae et al. 2021, §A1.1: "fraction of characters in the
+    // most frequent n-gram" / duplicate-content rules), word-level
+    // because the synthetic corpus is single-line: duplicate-word
+    // counts and the most-frequent word bigram's share of all bigrams.
+    // Everything is EXACT INTEGERS (counts, not fractions) so the
+    // cross-engine hash can't trip on double rounding; the standard
+    // Gopher cut (top-2-gram share > 0.18) is folded in as integer
+    // arithmetic (100·top > 18·total). Tie-break for the top bigram:
+    // smallest string — via min(struct(-count, bigram)), which is a
+    // per-doc aggregate, NOT a corpus-wide window: one explode + two
+    // map-side-combined groupBys, the same 100 TB shape as qt1/qt2.
+    Q(
+      "qt10_repetition_signals",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    len(t) AS total_words,
+         |    len(list_distinct(t)) AS distinct_words,
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bgs
+         |  FROM toks),
+         |bg AS (SELECT doc_id, unnest(bgs) AS bg FROM w),
+         |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, bg, c FROM (
+         |    SELECT doc_id, bg, c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY c DESC, bg ASC) AS rn
+         |    FROM cnt) WHERE rn = 1),
+         |tot AS (SELECT doc_id, SUM(c) AS total_bigrams FROM cnt GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CAST(w.total_words AS BIGINT) AS total_words,
+         |  CAST(w.distinct_words AS BIGINT) AS distinct_words,
+         |  COALESCE(top.bg, '') AS top_bigram,
+         |  CAST(COALESCE(top.c, 0) AS BIGINT) AS top_bigram_count,
+         |  CAST(COALESCE(tot.total_bigrams, 0) AS BIGINT) AS total_bigrams,
+         |  CASE WHEN COALESCE(top.c, 0) * 100 >
+         |    18 * COALESCE(tot.total_bigrams, 0)
+         |    THEN 1 ELSE 0 END AS gopher_repetitive
+         |FROM w LEFT JOIN top USING (doc_id) LEFT JOIN tot USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      val words = base.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("total_words"),
+        size(array_distinct(col("toks"))).cast(LongType).as("distinct_words"))
+      val bigrams = base.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val cnt = bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      val top = cnt.groupBy(col("doc_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("bg"))).as("m"),
+          sum(col("c")).as("total_bigrams"))
+        .select(col("doc_id"), col("m.bg").as("top_bigram"),
+          (-col("m.nc")).as("top_bigram_count"), col("total_bigrams"))
+      words.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total_words"), col("distinct_words"),
+          coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+          coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+          coalesce(col("total_bigrams"), lit(0L)).as("total_bigrams"),
+          when(coalesce(col("top_bigram_count"), lit(0L)) * 100 >
+            lit(18) * coalesce(col("total_bigrams"), lit(0L)), 1)
+            .otherwise(0).as("gopher_repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----------------------------------------------------- fingerprint
     Q(
       "qt3_fingerprint",
@@ -511,6 +584,47 @@ object TextOps {
             .as("is_survivor"),
           count(lit(1)).over(Window.partitionBy(col("cluster_id")))
             .as("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------- incremental text dedup
+    // graft.ops.MinHashLSH.crossNearDups: dedup a NEW crawl batch (odd
+    // doc_ids) against the historical corpus (even doc_ids) — the text
+    // sibling of qs7's embedding increment. One signature pass encodes
+    // both corpora; the band join is two-sided (|new| × bucket
+    // density, never |corpus|²); the corpus is never self-paired.
+    // The oracle computes ALL cross-set pairs at J ≥ 0.5, so recall
+    // of the banded candidates is verified, not assumed.
+    Q(
+      "qd8_incremental_text_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS shingles
+        |  FROM toks WHERE len(t) >= 2),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id AS n FROM sh a JOIN sh b
+        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |      >= 0.5)
+        |SELECT doc_id, CASE WHEN doc_id IN (SELECT n FROM dup)
+        |  THEN 1 ELSE 0 END AS is_dup
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val inc = docs.filter(col("doc_id") % 2 === 1)
+      val dupIds = graft.ops.MinHashLSH.crossNearDups(
+        inc, hist, "doc_id", "text", threshold = 0.5)
+        .select(col("new_id").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      inc.select(col("doc_id")).join(dupIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinHashLSHSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-minhash-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("crossNearDups flags the planted copy and never self-pairs a side") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs(
+      0L -> shared,
+      2L -> "completely different words about spark catalyst execution plans",
+      4L -> "unrelated sentence with its own vocabulary entirely here now")
+    // increment: one exact copy of corpus doc 0, one near copy of it,
+    // one fresh doc; also two increment docs that are copies of EACH
+    // OTHER — which must NOT be flagged (cross-set only)
+    val inc = docs(
+      1L -> shared,
+      3L -> (shared + " extra"),
+      5L -> "novel content that matches nothing in the historical set",
+      7L -> "twin text inside the increment only repeated twin text",
+      9L -> "twin text inside the increment only repeated twin text")
+    val got = MinHashLSH.crossNearDups(inc, corpus, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (n, c, j) => n == 1L && c == 0L && j == 1.0 },
+      s"exact copy must be flagged with jaccard 1.0, got ${got.toSeq}")
+    assert(got.exists { case (n, c, j) => n == 3L && c == 0L && j >= 0.5 },
+      s"near copy must be flagged, got ${got.toSeq}")
+    // every pair is (odd increment id, even corpus id): the increment
+    // twins 7/9 and corpus-internal pairs never appear
+    assert(got.forall { case (n, c, _) => n % 2 == 1 && c % 2 == 0 },
+      s"cross-set only, got ${got.toSeq}")
+    assert(!got.exists { case (n, c, _) => (n == 7L || n == 9L) })
+  }
+
+  test("crossNearDups with disjoint vocabularies yields nothing") {
+    val corpus = docs(0L -> "alpha beta gamma delta epsilon zeta")
+    val inc = docs(1L -> "one two three four five six seven")
+    assert(MinHashLSH.crossNearDups(inc, corpus, "doc_id", "text",
+      threshold = 0.5).collect().isEmpty)
+  }
+}
