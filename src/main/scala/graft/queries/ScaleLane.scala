@@ -99,7 +99,9 @@ object ScaleLane {
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       val edges = textPairs.union(embPairs._2.select(col("a"), col("b")))
-      (graft.ops.DedupClusters.clusters(edges).count(), None)
+      // same strategy as the qd7 production query (chain-heavy graph)
+      (graft.ops.DedupClusters.clusters(edges, highDiameter = true)
+        .count(), None)
     }
     embPairs._1.unpersist()
     embPairs._2.unpersist()

@@ -578,7 +578,14 @@ object TextOps {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       val embPairs = Similarity.embeddingNearDupPairs(s, dir)
         .select(col("a"), col("b"))
-      graft.ops.DedupClusters.clusters(textPairs.union(embPairs))
+      // highDiameter: the hybrid graph's random-geometry embedding
+      // edges chain near the threshold — min-label propagation needs
+      // 31 rounds here where alternating stars needs ~8 heavier ones
+      // (measured at sf0.1: 5.8 s vs 4.5 s warm, identical labels —
+      // graft.tools.TimeClusters). qd6's exact-Jaccard graph stays on
+      // propagation: its components are compact dup clusters.
+      graft.ops.DedupClusters.clusters(textPairs.union(embPairs),
+        highDiameter = true)
         .select(col("doc_id"), col("cluster_id"),
           when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
             .as("is_survivor"),

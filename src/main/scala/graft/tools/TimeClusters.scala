@@ -21,13 +21,17 @@ object TimeClusters {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val embPairs = graft.ops.EmbeddingDedup.nearDupPairs(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
-      threshold = 0.3, dim = 64).select(col("a"), col("b"))
+      threshold = 0.3, dim = 64, l = 4, bits = 8).select(col("a"), col("b"))
     val local = time("pair materialize")(
       textPairs.union(embPairs).collect().map(r => (r.getLong(0), r.getLong(1))))
     println(s"[time] n_edges=${local.length}")
     val pairsDf = local.toSeq.toDF("a", "b")
     time("clusters cold")(graft.ops.DedupClusters.clusters(pairsDf).count())
     time("clusters warm")(graft.ops.DedupClusters.clusters(pairsDf).count())
+    time("stars cold")(graft.ops.DedupClusters.clusters(pairsDf,
+      highDiameter = true).count())
+    time("stars warm")(graft.ops.DedupClusters.clusters(pairsDf,
+      highDiameter = true).count())
     spark.stop()
   }
 }
