@@ -31,11 +31,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def js(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string escape incl. ALL control chars — a multi-line
+    * exception message in a scale-leg err must not corrupt the
+    * artifact (same contract as Verify's oracle_sql escape).
+    */
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
+  /** Locale-pinned numeric formatting: a comma-decimal default locale
+    * must not produce invalid JSON.
+    */
   private def jn(v: Double): String =
-    if (v < 0) "-1" else f"$v%.6f"
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
   private def queriesJson(m: Map[String, Double]): String =
     m.toSeq.sortBy(_._1)

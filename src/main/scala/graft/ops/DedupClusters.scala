@@ -69,8 +69,11 @@ object DedupClusters {
       bCol: String = "b",
       maxIters: Int = 50,
       highDiameter: Boolean = false): DataFrame = {
+    // stars converge in O(log² n) rounds, so the caller's bound is
+    // passed through untouched — capping it here would contradict the
+    // propagation error message that advises raising maxIters
     if (highDiameter) return clustersAlternatingStars(pairs, aCol, bCol,
-      maxIters.min(30))
+      maxIters)
     // undirected: materialize both directions once; consumed every round
     val edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))

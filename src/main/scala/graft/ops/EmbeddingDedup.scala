@@ -133,7 +133,11 @@ object EmbeddingDedup {
       bits: Int = Auto,
       seed: Long = 42L): DataFrame = {
     // size buckets for the DENSER side: the corpus usually dominates,
-    // but a large increment against a small corpus is just as quadratic
+    // but a large increment against a small corpus is just as quadratic.
+    // NOTE: Auto pays two count() actions at plan time — a per-batch
+    // incremental pipeline over a large fixed corpus should compute
+    // autoBits(n) once and pass `bits` explicitly instead of re-counting
+    // the history every batch.
     val b = resolveBits(bits,
       math.max(corpusDf.count(), newDf.count()))
     val ps = Ann.planes(l, b, dim, seed)

@@ -145,6 +145,77 @@ object MinHashLSH {
     * docs vs 10.7k at B=16/R=4) — as a per-round regression guard,
     * without recomputing the signature pass.
     */
+  /** Shared corpus encoder for the self- and cross-set variants:
+    * (side, doc_id, text) → persisted (side, doc_id, sig, vec, sz).
+    *
+    * - tokenize + shingle ONCE, persisted: consumed by the injectivity
+    *   check and the signature/vector pass (re-running the regex over
+    *   the corpus is the single most expensive leg); ~a few hundred
+    *   bytes per doc, disk-backed at scale
+    * - one pass proves (or refutes) xxhash64 injectivity over the
+    *   WHOLE tagged input — for the cross variant that is the combined
+    *   vocabulary, since a cross-side collision would inflate a cross
+    *   Jaccard
+    * - K-minhash signatures in one map-side-combined groupBy over the
+    *   hashed-shingle rows (each shingle hashed once; K min-aggregates;
+    *   the signature domain pmod(h64, P) is IDENTICAL on both encoding
+    *   paths, so candidate generation does not depend on the choice).
+    *   On the injective fast path the same groupBy also materializes
+    *   the verification vector; the dictionary fallback assigns dense
+    *   exact ids via distributed two-pass zipWithIndex (no
+    *   single-partition window).
+    */
+  private def encode(tagged: DataFrame, numHashes: Int,
+      seed: Long): DataFrame = {
+    val (as, bs) = coefficients(numHashes, seed)
+    import tagged.sparkSession.implicits._
+    val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+    val sh = tagged
+      .select(col("side"), col("doc_id"), toks.as("toks"))
+      .select(col("side"), col("doc_id"), array_distinct(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("side"), col("doc_id"),
+      explode(col("sh")).as("shingle"))
+
+    val counts = inv.agg(
+      countDistinct(col("shingle")).as("ns"),
+      countDistinct(xxhash64(col("shingle"))).as("nh")).head()
+    val injective = counts.getLong(0) == counts.getLong(1)
+
+    val hashed = inv.select(col("side"), col("doc_id"),
+      xxhash64(col("shingle")).as("h64"))
+      .select(col("side"), col("doc_id"), col("h64"),
+        pmod(col("h64"), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+
+    val vecsAndSigs: DataFrame = if (injective) {
+      val aggExprs = aggs :+ sort_array(collect_set(col("h64"))).as("vec")
+      hashed.groupBy(col("side"), col("doc_id"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(col("side"), col("doc_id"), sigArr.as("sig"), col("vec"))
+    } else {
+      val dict = inv.select(col("shingle")).distinct().rdd.zipWithIndex()
+        .map { case (row, idx) => (row.getString(0), idx) }
+        .toDF("shingle", "sid")
+      val vecs = inv.join(dict, "shingle")
+        .groupBy(col("side"), col("doc_id"))
+        .agg(sort_array(collect_list(col("sid"))).as("vec"))
+      hashed.groupBy(col("side"), col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("side"), col("doc_id"), sigArr.as("sig"))
+        .join(vecs, Seq("side", "doc_id"))
+    }
+    // persisted: consumed by banding and both verify legs; ~1 KB/doc
+    vecsAndSigs
+      .select(col("side"), col("doc_id"), col("sig"), col("vec"),
+        size(col("vec")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def candidatesAndPairs(
       df: DataFrame,
       idCol: String,
@@ -155,62 +226,11 @@ object MinHashLSH {
       seed: Long = 42L): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
-    val (as, bs) = coefficients(numHashes, seed)
-    import df.sparkSession.implicits._
-
-    // tokenize + shingle ONCE, persisted: consumed by the injectivity
-    // check and the signature/vector pass (re-running the regex over
-    // the corpus is the single most expensive leg); ~a few hundred
-    // bytes per doc, disk-backed at scale
-    val toks = regexp_extract_all(col(textCol), lit(tokenRe), lit(0))
-    val sh = df
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), array_distinct(zip_with(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-
-    // one pass proves (or refutes) hash injectivity on this corpus
-    val counts = inv.agg(
-      countDistinct(col("shingle")).as("ns"),
-      countDistinct(xxhash64(col("shingle"))).as("nh")).head()
-    val injective = counts.getLong(0) == counts.getLong(1)
-
-    // K-minhash signatures in one map-side-combined groupBy over the
-    // hashed-shingle rows (each shingle hashed once; K min-aggregates;
-    // the signature domain pmod(h64, P) is IDENTICAL either way, so
-    // candidate generation does not depend on the encoding choice).
-    // On the injective fast path the same groupBy also materializes
-    // the verification vector.
-    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h64"))
-      .select(col("doc_id"), col("h64"), pmod(col("h64"), lit(P)).as("h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
-    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-
-    val vecsAndSigs: DataFrame = if (injective) {
-      val aggExprs = aggs :+ sort_array(collect_set(col("h64"))).as("vec")
-      hashed.groupBy(col("doc_id")).agg(aggExprs.head, aggExprs.tail: _*)
-        .select(col("doc_id"), sigArr.as("sig"), col("vec"))
-    } else {
-      // dictionary fallback: dense exact ids via distributed two-pass
-      // zipWithIndex (no single-partition window)
-      val dict = inv.select(col("shingle")).distinct().rdd.zipWithIndex()
-        .map { case (row, idx) => (row.getString(0), idx) }
-        .toDF("shingle", "sid")
-      val vecs = inv.join(dict, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("sid"))).as("vec"))
-      hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), sigArr.as("sig"))
-        .join(vecs, Seq("doc_id"))
-    }
-    // persisted: consumed by banding and both verify legs; ~1 KB/doc
-    val docs = vecsAndSigs
-      .select(col("doc_id"), col("sig"), col("vec"), size(col("vec")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = encode(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("side", lit("s")),
+      numHashes, seed)
+      .select(col("doc_id"), col("sig"), col("vec"), col("sz"))
 
     val banded = docs
       .select(col("doc_id"),
@@ -275,56 +295,11 @@ object MinHashLSH {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
-    val (as, bs) = coefficients(numHashes, seed)
-    import newDf.sparkSession.implicits._
-
     def tagged(df: DataFrame, side: String) = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("side", lit(side))
-    val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
-    val sh = tagged(newDf, "n").union(tagged(corpusDf, "c"))
-      .select(col("side"), col("doc_id"), toks.as("toks"))
-      .select(col("side"), col("doc_id"), array_distinct(zip_with(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("sh"))
-    val inv = sh.select(col("side"), col("doc_id"),
-      explode(col("sh")).as("shingle"))
-
-    // injectivity over the COMBINED vocabulary (see nearDupPairs)
-    val counts = inv.agg(
-      countDistinct(col("shingle")).as("ns"),
-      countDistinct(xxhash64(col("shingle"))).as("nh")).head()
-    val injective = counts.getLong(0) == counts.getLong(1)
-
-    val hashed = inv.select(col("side"), col("doc_id"),
-      xxhash64(col("shingle")).as("h64"))
-      .select(col("side"), col("doc_id"), col("h64"),
-        pmod(col("h64"), lit(P)).as("h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
-    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-
-    val vecsAndSigs: DataFrame = if (injective) {
-      val aggExprs = aggs :+ sort_array(collect_set(col("h64"))).as("vec")
-      hashed.groupBy(col("side"), col("doc_id"))
-        .agg(aggExprs.head, aggExprs.tail: _*)
-        .select(col("side"), col("doc_id"), sigArr.as("sig"), col("vec"))
-    } else {
-      val dict = inv.select(col("shingle")).distinct().rdd.zipWithIndex()
-        .map { case (row, idx) => (row.getString(0), idx) }
-        .toDF("shingle", "sid")
-      val vecs = inv.join(dict, "shingle")
-        .groupBy(col("side"), col("doc_id"))
-        .agg(sort_array(collect_list(col("sid"))).as("vec"))
-      hashed.groupBy(col("side"), col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        .select(col("side"), col("doc_id"), sigArr.as("sig"))
-        .join(vecs, Seq("side", "doc_id"))
-    }
-    val docs = vecsAndSigs
-      .select(col("side"), col("doc_id"), col("sig"), col("vec"),
-        size(col("vec")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = encode(tagged(newDf, "n").union(tagged(corpusDf, "c")),
+      numHashes, seed)
 
     def banded(side: String) = docs.filter(col("side") === side)
       .select(col("doc_id"),

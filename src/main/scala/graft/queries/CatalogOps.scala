@@ -188,10 +188,15 @@ object CatalogOps {
         |AS t(seq, operation, is_current_ancestor, added_records, parent_ok)
         |ORDER BY seq""".stripMargin) { (s, dir) =>
       val db = prepare(s, dir)
+      // seq derives from the PARENT CHAIN (root = no parent), never
+      // from committed_at: both commits can land in the same
+      // millisecond, and tie-breaking on the random snapshot_id would
+      // make the hash-verified oracle flaky
       s.sql(
         s"""WITH sh AS (
            |  SELECT
-           |    row_number() OVER (ORDER BY s.committed_at, s.snapshot_id) AS seq,
+           |    row_number() OVER (ORDER BY
+           |      CASE WHEN s.parent_id IS NULL THEN 0 ELSE 1 END) AS seq,
            |    s.operation,
            |    CAST(h.is_current_ancestor AS INT) AS is_current_ancestor,
            |    CAST(s.summary['added-records'] AS BIGINT) AS added_records,

@@ -1244,13 +1244,15 @@ class FileCatalogStore(val root: String) {
   // are in-process and simply idle during its window.
 
   private def maintenancePath: Path = rootPath.resolve(".maintenance")
-  @volatile private var maintenanceCache: Option[Boolean] = None
 
-  def maintenanceMode: Boolean = maintenanceCache.getOrElse {
-    val v = Files.exists(maintenancePath)
-    maintenanceCache = Some(v)
-    v
-  }
+  /** Deliberately UNCACHED: the marker is persisted to disk precisely
+    * so OTHER store instances over the same warehouse root (a second
+    * session, the admin plane) observe the window opening and closing
+    * — a memoized check would let an instance that probed before the
+    * toggle keep mutating through the whole window. One stat call per
+    * mutation is noise next to the mutation's own metadata I/O.
+    */
+  def maintenanceMode: Boolean = Files.exists(maintenancePath)
 
   /** Toggle read-only maintenance mode. The switch itself is never
     * gated (it is the operator's way OUT of the window).
@@ -1258,7 +1260,6 @@ class FileCatalogStore(val root: String) {
   def setMaintenanceMode(readOnly: Boolean): Unit = {
     if (readOnly) writeString(maintenancePath, "read-only")
     else Files.deleteIfExists(maintenancePath)
-    maintenanceCache = Some(readOnly)
     logEvent("maintenance-mode", TabularId(Nil, warehouseProfile.name),
       Map("read-only" -> readOnly.toString))
   }

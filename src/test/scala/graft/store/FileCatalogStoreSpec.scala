@@ -382,4 +382,22 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     s.addRoleMembers("r-dup", Seq(("user", "u1")))
     assert(s.listRoleMembers("r-dup") == Seq(("user", "u1")))
   }
+
+  test("maintenance mode is observed across store instances over one root") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val a = new FileCatalogStore(root)
+    val b = new FileCatalogStore(root)
+    // instance b probes BEFORE the toggle — a memoized check here
+    // would let it mutate through the whole window
+    assert(!b.maintenanceMode)
+    a.setMaintenanceMode(true)
+    assert(b.maintenanceMode, "second instance must see the window open")
+    assertThrows[MaintenanceModeException] {
+      b.createNamespace(Seq("blocked"), Map.empty)
+    }
+    a.setMaintenanceMode(false)
+    assert(!b.maintenanceMode, "second instance must see the window close")
+    b.createNamespace(Seq("allowed"), Map.empty)
+    assert(b.namespaceExists(Seq("allowed")))
+  }
 }
