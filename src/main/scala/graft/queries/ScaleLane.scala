@@ -32,11 +32,15 @@ object ScaleLane {
   final case class Report(dir: String, nDocs: Int, nEmb: Int,
       generated: Boolean, genSec: Double, legs: Seq[Leg])
 
-  private val NDocs = 25000
-  private val NEmb = 10000
+  private val DefaultDocs = 25000
+  private val DefaultEmb = 10000
 
   def run(spark: SparkSession,
-      dir: String = "target/scale/sf0.5"): Report = {
+      dir: String = "target/scale/sf0.5",
+      nDocs: Int = DefaultDocs,
+      nEmb: Int = DefaultEmb): Report = {
+    val NDocs = nDocs
+    val NEmb = nEmb
     // reuse only a fixture that actually holds the expected row counts
     // (a stale dir from a manual GenScale run with other sizes would
     // silently skew the committed regression-guard numbers); the
@@ -79,7 +83,7 @@ object ScaleLane {
         maxHamming = 3).count(), None)
     }
     leg("qd5_jaccard_autowidth") {
-      val w = TextOps.autoWidth(NDocs, 31)
+      val w = TextOps.autoWidth(NDocs.toLong, 31)
       (TextOps.exactJaccardPairs(spark, dir, 0.4, width = w).count(), None)
     }
     // persisted: qd7 reuses this pair set (same sharing the production

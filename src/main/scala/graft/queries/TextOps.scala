@@ -75,14 +75,26 @@ object TextOps {
     * grow |V| with n (Heaps' law), so w rarely needs to exceed 3-4;
     * capped at 8. Oracle queries pin `width` explicitly for
     * determinism; this rule is the production sizing guide.
+    *
+    * targetDensity = 1.0 sits on the MEASURED crossover (round-7 width
+    * sweep on the synthetic fixtures): at density 0.84 (25k docs, w=3)
+    * the narrower width wins 10.7 s vs 20.6 s — wider shingles cost
+    * more to build than their pruning returns — while at density 1.68
+    * (50k docs, w=3) the wider width wins 17.9 s vs 85.3 s as prefix
+    * lists start growing with n. Identical pair sets at every point.
     */
   def autoWidth(nDocs: Long, vocabSize: Long,
-      targetDensity: Double = 2.0): Int = {
+      targetDensity: Double = 1.0): Int = {
     val v = math.max(2L, vocabSize).toDouble
     var w = 2
     while (w < 8 && nDocs.toDouble / math.pow(v, w) > targetDensity) w += 1
     w
   }
+
+  /** Probe hook for graft.tools width sweeps (same memoized path). */
+  def exactJaccardPairsProbe(s: SparkSession, dir: String, t: Double,
+      width: Int): Long =
+    exactJaccardPairs(s, dir, t, width).count()
 
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,

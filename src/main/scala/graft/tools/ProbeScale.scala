@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off scale probe at arbitrary fixture sizes (the bench's
+  * ScaleLane at its fixed sf0.5 size runs per-round; this drives the
+  * same legs at sf1-style sizes for SURVEY §8 evidence).
+  * Usage: ProbeScale <dir> <nDocs> <nEmb>
+  */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nDocs = args(1).toInt
+    val nEmb = args(2).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = graft.queries.ScaleLane.run(spark, dir, nDocs, nEmb)
+    println(s"[probe] dir=${r.dir} nDocs=${r.nDocs} nEmb=${r.nEmb} " +
+      s"generated=${r.generated} genSec=${r.genSec}")
+    r.legs.foreach { l =>
+      println(f"[probe] ${l.name}%-28s ${l.sec}%8.2f s rows=${l.rows}" +
+        l.candidates.map(c => s" candidates=$c").getOrElse("") +
+        l.err.map(e => s" ERR=$e").getOrElse(""))
+    }
+    spark.stop()
+  }
+}

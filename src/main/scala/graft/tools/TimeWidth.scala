@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Width-sweep probe for the exact-Jaccard scale lane. */
+object TimeWidth {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val widths = args.drop(1).map(_.toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (w <- widths) {
+      val t0 = System.nanoTime()
+      val n = graft.queries.TextOps.exactJaccardPairsProbe(spark, dir, 0.4, w)
+      println(f"[time] width=$w: ${(System.nanoTime()-t0)/1e9}%.2f s ($n pairs)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -93,14 +93,15 @@ class SharedPairsSpec extends AnyFunSuite {
   }
 
   test("autoWidth widens the shingle as corpus density saturates the space") {
-    // 31-word vocab: 961 bigrams, 29,791 trigrams
-    assert(TextOps.autoWidth(500, 31) === 2)    // 500/961 = 0.5 <= 2
-    assert(TextOps.autoWidth(5000, 31) === 3)   // 5000/961 = 5.2 > 2
-    assert(TextOps.autoWidth(25000, 31) === 3)  // 25k/29791 = 0.84
-    assert(TextOps.autoWidth(50000, 31) === 3)  // 1.68 <= 2
+    // 31-word vocab: 961 bigrams, 29,791 trigrams, 923,521 4-grams
+    assert(TextOps.autoWidth(500, 31) === 2)    // 500/961 = 0.52 <= 1
+    assert(TextOps.autoWidth(5000, 31) === 3)   // 5000/961 = 5.2 > 1
+    assert(TextOps.autoWidth(25000, 31) === 3)  // 25k/29791 = 0.84 <= 1
+    assert(TextOps.autoWidth(50000, 31) === 4)  // 1.68 > 1 (measured
+    // crossover: w4 17.9 s vs w3 85.3 s at 50k docs)
     assert(TextOps.autoWidth(500000, 31) === 4)
     // Heaps-law corpora: a 100k vocab never needs more than bigrams
-    // until the corpus passes 2e10 docs
+    // until the corpus passes 1e10 docs
     assert(TextOps.autoWidth(1000000000L, 100000) === 2)
     // capped — even an adversarial 2-word vocab terminates
     assert(TextOps.autoWidth(Long.MaxValue, 2) === 8)
