@@ -670,7 +670,8 @@ final case class AnalyzeTableProcedure(catalog: GraftCatalog)
     val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
     val fqn = (catalog.name() +: id.namespace :+ id.name)
       .map(p => s"`$p`").mkString(".")
-    val sf = graft.maintenance.Analyze.run(spark, catalog.store, id, fqn)
+    val sf = graft.maintenance.Analyze.run(spark, catalog.store, id, fqn,
+      functionCatalog = Some(catalog.name()))
     val schema = StructType(Seq(
       StructField("snapshot_id", LongType),
       StructField("statistics_path", StringType),

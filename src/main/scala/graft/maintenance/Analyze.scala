@@ -86,12 +86,92 @@ object Analyze {
   /** Partition-transform column rendered EXACTLY as the write path
     * renders DataFile.partition (Transform.eval over internal values +
     * ColumnStat.render), so per-partition stats key-match the manifest
-    * entries byte-for-byte — including bucket[n], which has no Column
-    * form. A Scala UDF is fine here: ANALYZE is a maintenance pass,
-    * not the query hot path, and the UDF runs once per row in a single
-    * map-side-combined scan.
+    * entries byte-for-byte.
+    *
+    * Built from codegen'd built-in Columns wherever the rendering
+    * provably matches eval's — all date/timestamp math in epoch
+    * ordinals (`unix_micros`/`datediff`/`date_from_unix_date`), never
+    * the session timezone, with an exact decimal floorDiv so large
+    * magnitudes don't round through doubles. bucket[n] resolves
+    * through the SAME V2 BucketFunction that storage-partitioned
+    * joins use (identical Transform.eval over internal values, no
+    * external-row conversion). Only corner types fall back to the
+    * per-row UDF: TIMESTAMP_NTZ (no tz-free micros builtin),
+    * float/double/decimal identity (Java toString vs CAST edge
+    * cases), string truncate (writer semantics are UTF-16 `take`,
+    * SUBSTRING counts code points), and bucket when no function
+    * catalog is in scope. Keeps the ANALYZE scan inside whole-stage
+    * codegen for the common specs.
     */
-  private def renderedTransform(f: PartitionField, sourceType: DataType)
+  private[maintenance] def renderedTransform(
+      functionCatalog: Option[String], f: PartitionField,
+      sourceType: DataType): org.apache.spark.sql.Column = {
+    def q(ident: String): String = s"`${ident.replace("`", "``")}`"
+    val src = col(q(f.sourceName))
+    val epoch = lit("1970-01-01").cast(DateType)
+    // floorDiv(x, d) for a long column, exact at any long magnitude:
+    // subtract the positive mod first (the decimal quotient is then an
+    // exact integer — no double rounding, no scale truncation)
+    def floorDiv(x: org.apache.spark.sql.Column, d: Long)
+        : org.apache.spark.sql.Column = {
+      val xd = x.cast(DecimalType(38, 0))
+      ((xd - pmod(xd, lit(d))) / lit(java.math.BigDecimal.valueOf(d)))
+        .cast(LongType)
+    }
+    def datePart(dp: Transform.DatePart): Option[org.apache.spark.sql.Column] =
+      sourceType match {
+        case DateType =>
+          val days = datediff(src, epoch)
+          Some(dp match {
+            case Transform.Year => year(src) - lit(1970)
+            case Transform.Month =>
+              (year(src) - lit(1970)) * lit(12) + month(src) - lit(1)
+            case Transform.Day => days
+            case Transform.Hour => days * lit(24)
+          })
+        case TimestampType =>
+          val us = unix_micros(src)
+          lazy val cal = date_from_unix_date(
+            floorDiv(us, 86400000000L).cast(IntegerType))
+          Some(dp match {
+            case Transform.Year => year(cal) - lit(1970)
+            case Transform.Month =>
+              (year(cal) - lit(1970)) * lit(12) + month(cal) - lit(1)
+            case Transform.Day => floorDiv(us, 86400000000L)
+            case Transform.Hour => floorDiv(us, 3600000000L)
+          })
+        case _ => None
+      }
+    val native: Option[org.apache.spark.sql.Column] =
+      (f.transform, sourceType) match {
+        case (Transform.Void, _) => Some(lit(null).cast(StringType))
+        case (Transform.Identity, StringType) => Some(src)
+        case (Transform.Identity,
+            ByteType | ShortType | IntegerType | LongType | BooleanType) =>
+          Some(src.cast(StringType))
+        case (Transform.Identity, DateType) =>
+          Some(datediff(src, epoch).cast(StringType))
+        case (Transform.Identity, TimestampType) =>
+          Some(unix_micros(src).cast(StringType))
+        case (Transform.Truncate(w), IntegerType | LongType) =>
+          Some((src - pmod(src, lit(w))).cast(StringType))
+        case (dp: Transform.DatePart, _) =>
+          datePart(dp).map(_.cast(StringType))
+        case (Transform.Bucket(n), _) if functionCatalog.isDefined =>
+          Some(expr(s"${q(functionCatalog.get)}.`system`.`bucket`" +
+            s"($n, ${q(f.sourceName)})").cast(StringType))
+        case _ => None
+      }
+    native.getOrElse(legacyRenderedUdf(f, sourceType))
+  }
+
+  /** Fallback per-row rendering for the transform/type corners the
+    * native path can't express (see [[renderedTransform]]); calls the
+    * very same eval+render the writer does, so it is byte-correct by
+    * construction — just not codegen'd.
+    */
+  private[maintenance] def legacyRenderedUdf(
+      f: PartitionField, sourceType: DataType)
       : org.apache.spark.sql.Column = {
     val t = f.transform
     val rt = t.resultType(sourceType)
@@ -127,8 +207,9 @@ object Analyze {
     * partition-clustered, so the grouped half shuffles nearly nothing —
     * and only (n_partitions + 1) rows reach the driver.
     */
-  def computeBoth(df: DataFrame, spec: PartitionSpec,
-      snapshotId: Long): (TableStats, TablePartitionStats) = {
+  def computeBoth(df: DataFrame, spec: PartitionSpec, snapshotId: Long,
+      functionCatalog: Option[String] = None)
+      : (TableStats, TablePartitionStats) = {
     val schema = df.schema
     val cols = schema.fields.filter(f => analyzable(f.dataType))
     // materialize the rendered partition values as real columns first:
@@ -138,7 +219,8 @@ object Analyze {
     // the values come back null)
     val withParts = spec.fields.foldLeft(df) { (d, f) =>
       val srcType = schema(f.sourceName).dataType
-      d.withColumn(s"_p:${f.name}", renderedTransform(f, srcType))
+      d.withColumn(s"_p:${f.name}",
+        renderedTransform(functionCatalog, f, srcType))
     }
     val partCols = spec.fields.map(f => col(s"`_p:${f.name}`"))
     val aggs = statAggs(cols) :+ grouping_id().as("_gid")
@@ -260,7 +342,8 @@ object Analyze {
     * @return the committed table-level StatisticsFile
     */
   def run(spark: SparkSession, store: FileCatalogStore, id: TabularId,
-      fqn: String): StatisticsFile = {
+      fqn: String, functionCatalog: Option[String] = None)
+      : StatisticsFile = {
     val (meta, _) = store.loadTableMetadata(id).getOrElse(
       throw new IllegalArgumentException(s"No such table: $id"))
     val snapId = meta.currentSnapshotId.getOrElse(
@@ -274,7 +357,7 @@ object Analyze {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val spec = meta.defaultSpec
     if (spec.fields.nonEmpty) {
-      val (stats, pstats) = computeBoth(df, spec, snapId)
+      val (stats, pstats) = computeBoth(df, spec, snapId, functionCatalog)
       val path = dir.resolve(s"stats-$snapId.json")
       Files.write(path, statsToJson(stats).getBytes(utf8))
       val ppath = dir.resolve(s"partition-stats-$snapId.json")

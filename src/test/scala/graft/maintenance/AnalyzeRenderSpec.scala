@@ -1,0 +1,108 @@
+package graft.maintenance
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.{PartitionField, Transform}
+
+/** Proves the native (codegen'd Column) partition rendering in
+  * [[Analyze.renderedTransform]] is byte-identical to the
+  * eval+render UDF the writer's semantics define
+  * ([[Analyze.legacyRenderedUdf]]), across every natively-expressed
+  * transform × type combination, over nulls, negatives, pre-1970
+  * values and year-9999 timestamps (whose epoch micros exceed
+  * double's 2^53 — exercising the exact decimal floorDiv).
+  *
+  * The session timezone is deliberately NON-UTC: Transform.eval works
+  * in epoch ordinals (UTC calendar), so a rendering that leaked the
+  * session zone through a cast would fail here even though the e2e
+  * suite (UTC sessions) would miss it. bucket[n]'s native path needs
+  * a live FunctionCatalog and is covered by the ConnectorE2ESpec
+  * partition-stats test, which asserts analyzed keys match manifest
+  * keys byte-for-byte on a bucket(4) table.
+  */
+class AnalyzeRenderSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-analyze-render-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val df = {
+    val s = spark
+    import s.implicits._
+    Seq[(Integer, java.lang.Long, String, Date, Timestamp, java.lang.Boolean)](
+      (1, 1L, "alpha", Date.valueOf("2024-02-29"),
+        Timestamp.valueOf("2024-02-29 23:59:59.999999"), true),
+      (-17, -17L, "", Date.valueOf("1969-12-31"),
+        Timestamp.valueOf("1969-12-31 23:59:59.000001"), false),
+      (0, 0L, "Ünïcodé-Ẁörd", Date.valueOf("1970-01-01"),
+        Timestamp.valueOf("1970-01-01 00:00:00"), true),
+      (Int.MaxValue, Long.MaxValue / 1024, "x" * 40,
+        Date.valueOf("9999-12-31"),
+        Timestamp.valueOf("9999-12-31 23:59:59.123456"), false),
+      (Int.MinValue + 7, Long.MinValue / 1024, "émile",
+        Date.valueOf("1583-01-01"),
+        Timestamp.valueOf("1583-01-01 00:00:00.5"), true),
+      (null, null, null, null, null, null))
+      .toDF("i", "l", "s", "d", "ts", "b")
+  }
+
+  private def assertSameRendering(
+      field: PartitionField, sourceType: DataType): Unit = {
+    val native = Analyze.renderedTransform(None, field, sourceType)
+    val oracle = Analyze.legacyRenderedUdf(field, sourceType)
+    val mismatches = df.select(
+        col(s"`${field.sourceName}`").cast(StringType).as("src"),
+        native.as("native"), oracle.as("oracle"))
+      .filter(!(col("native") <=> col("oracle")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"${field.transform.name} over $sourceType diverges: " +
+        mismatches.map(r => s"src=${r.get(0)} native=${r.get(1)} " +
+          s"oracle=${r.get(2)}").mkString("; "))
+  }
+
+  private val combos: Seq[(String, DataType, Transform)] = {
+    val dateParts =
+      Seq(Transform.Year, Transform.Month, Transform.Day, Transform.Hour)
+    Seq[(String, DataType, Transform)](
+      ("i", IntegerType, Transform.Identity),
+      ("l", LongType, Transform.Identity),
+      ("s", StringType, Transform.Identity),
+      ("d", DateType, Transform.Identity),
+      ("ts", TimestampType, Transform.Identity),
+      ("b", BooleanType, Transform.Identity),
+      ("i", IntegerType, Transform.Truncate(7)),
+      ("l", LongType, Transform.Truncate(1000)),
+      ("i", IntegerType, Transform.Void),
+      ("s", StringType, Transform.Void)) ++
+      dateParts.map(dp => ("d", DateType: DataType, dp: Transform)) ++
+      dateParts.map(dp => ("ts", TimestampType: DataType, dp: Transform))
+  }
+
+  for ((src, tpe, t) <- combos)
+    test(s"native rendering == eval+render for ${t.name} over $src:$tpe") {
+      assertSameRendering(PartitionField(src, 1000, s"p_$src", t), tpe)
+    }
+
+  test("the natively-rendered scan plan carries no Scala UDF") {
+    val f = PartitionField("ts", 1000, "p_ts", Transform.Month)
+    val plan = df.select(Analyze.renderedTransform(None, f, TimestampType))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"expected UDF-free plan, got:\n$plan")
+    // and the corner types do still route through the fallback UDF
+    val ntz = PartitionField("ts", 1000, "p_ts", Transform.Identity)
+    val fallback = df.select(col("ts").cast(TimestampNTZType).as("ts"))
+      .select(Analyze.renderedTransform(None, ntz, TimestampNTZType))
+      .queryExecution.executedPlan.toString
+    assert(fallback.contains("UDF"))
+  }
+}
