@@ -647,6 +647,84 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // --------------------------------------- duplicate-span coverage
+    // Sub-document exact-substring dedup signal (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better":
+    // ExactSubstr removes 50-token spans shared between documents;
+    // the scalable n-gram formulation below marks every token covered
+    // by an 8-gram that occurs more than once anywhere in the corpus).
+    // The doc-level ops qd1-qd8 can only keep or drop whole documents;
+    // this is the signal that catches boilerplate and quoted passages
+    // INSIDE otherwise-unique documents. Output is exact integers
+    // (covered-token counts, the >50 % drop rule as 2·covered >
+    // n_tokens) so the cross-engine hash never touches a double.
+    //
+    // 100 TB shape — every stage is linear in corpus token count:
+    // one explode to (gram, doc, pos) rows, one map-side-combined
+    // groupBy counting gram occurrences, a left-semi join back on the
+    // gram (shuffle keyed by gram, the n-gram analog of qd1's hash
+    // bucketing), then a bounded per-occurrence position expansion
+    // (×8) and a distinct+count per doc. No pairwise comparisons
+    // anywhere — unlike suffix arrays, which are exact for arbitrary
+    // span lengths but need a global sort; at cluster scale the
+    // groupBy would key on (xxhash64(gram), gram) so shuffle keys stay
+    // 8 bytes wide without admitting hash-collision false positives.
+    // The gram array is materialized in its own projection BEFORE the
+    // posexplode so the slice/array_join work runs once per document,
+    // not once per generated row.
+    Q(
+      "qd9_dupspan_coverage",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+         |  WHERE len(t) >= 8),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, cp FROM g JOIN dup USING (gram),
+         |    LATERAL (SELECT unnest(range(pos, pos + 8)) AS cp) c),
+         |covc AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM cov GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  CASE WHEN COALESCE(c.covered_tokens, 0) * 2 > len(t.t)
+         |    THEN 1 ELSE 0 END AS drop_flag
+         |FROM toks t LEFT JOIN covc c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val n = 8
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"))
+      // gram strings built once per doc, then exploded with positions
+      val withGrams = toks.select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= n,
+          transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+            i => array_join(slice(col("toks"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType))).as("grams"))
+      val occ = withGrams
+        .select(col("doc_id"), posexplode(col("grams")).as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      val dupGrams = occ.groupBy(col("gram"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      val covered = occ
+        .join(dupGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("covpos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          when(coalesce(col("covered_tokens"), lit(0L)) * 2 > col("n_tokens"),
+            1).otherwise(0).as("drop_flag"))
+        .orderBy(col("doc_id"))
+    },
+
     // -------------------------------------------- language identification
     // N-gram-frequency language ID (Cavnar–Trenkle-style, simplified to
     // unigram count profiles): train per-language token profiles from
