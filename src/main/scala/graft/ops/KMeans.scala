@@ -140,12 +140,14 @@ object KMeans {
     cents
   }
 
-  /** DuckDB oracle: the identical computation (seed draw, `iters`
-    * unrolled assign/update rounds, per-cluster stats) in SQL over the
-    * `embeddings` parquet table. Kept as generated SQL for the same
-    * reason as [[SimHash.duckDbOracle]]: the unrolling is mechanical.
+  /** WITH-body CTE chain reproducing [[train]] in DuckDB SQL — seed
+    * draw, `iters` unrolled assign/update rounds — ending in
+    * `afinal(vec_id, v, cid, d)` (final assignments) and
+    * `c$iters(cid, v)` (final centroids). Shared by the training
+    * oracle below and the SemDeDup oracle ([[SemDedup.duckDbOracle]]),
+    * which consumes the final assignments.
     */
-  def duckDbOracle(k: Int, iters: Int, dim: Int): String = {
+  def assignmentCteBody(k: Int, iters: Int, dim: Int): String = {
     val hb = (p: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)"
     val bucket = s"${hb(1)} * 256 + ${hb(2)} * 16 + ${hb(3)}"
@@ -166,7 +168,7 @@ object KMeans {
     val rounds = (1 to iters).map(i =>
       assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i"))
       .mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
        |  SELECT vec_id, v FROM e ORDER BY $bucket, vec_id LIMIT $k),
@@ -174,11 +176,19 @@ object KMeans {
        |  SELECT ROW_NUMBER() OVER (ORDER BY $bucket, vec_id) AS cid, v
        |  FROM seeds),
        |$rounds,
-       |${assign("afinal", s"c$iters")}
+       |${assign("afinal", s"c$iters")}""".stripMargin
+  }
+
+  /** DuckDB oracle: the identical computation (seed draw, `iters`
+    * unrolled assign/update rounds, per-cluster stats) in SQL over the
+    * `embeddings` parquet table. Kept as generated SQL for the same
+    * reason as [[SimHash.duckDbOracle]]: the unrolling is mechanical.
+    */
+  def duckDbOracle(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${assignmentCteBody(k, iters, dim)}
        |SELECT a.cid AS list_id, COUNT(*) AS n_vectors,
        |  round(MAX(list_dot_product(c.v, c.v)), 4) AS centroid_norm,
        |  round(AVG(list_dot_product(a.v, a.v) + a.d), 4) AS mean_sq_dist
        |FROM afinal a JOIN c$iters c ON a.cid = c.cid
        |GROUP BY a.cid ORDER BY list_id""".stripMargin
-  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.
+  * 2023, arXiv:2303.09540): k-means-partition the embedding space,
+  * then compare pairs ONLY within a cluster. Clustering is what makes
+  * semantic dedup tractable: global pairing is O(n²), but with k ∝ n
+  * (fixed expected cluster size, [[autoK]]) the within-cluster pair
+  * count stays O(n · clusterSize) — linear in the corpus.
+  *
+  * Removal policy is deterministic and engine-checkable: a vector is
+  * `removed` iff some SMALLER-id vector in the same cluster clears the
+  * cosine threshold (keep-first-by-id, the same convention as the
+  * text-side dedup family). Cosine is computed in double, sequential
+  * fold on both engines, rounded to 6 decimals BEFORE the threshold
+  * compare — identical to [[EmbeddingDedup]]'s convention.
+  *
+  * Plan shape: assignment is a narrow projection over broadcast
+  * centroid literals ([[KMeans.assignCol]] — no join, no shuffle);
+  * the within-cluster pairing is ONE shuffle on cluster id. At small
+  * k that shuffle is coarse (≤ k partitions); at production k ∝ n it
+  * is a fine, even partitioning, and AQE's skew-join split handles a
+  * hot cluster. The assigned frame is persisted so the self-join's
+  * two sides share one assignment pass.
+  *
+  * Reference behavior anchor: lakekeeper has no embedding ops; this
+  * extends the engine's training-data lane (SURVEY §2 LLM-ops).
+  */
+object SemDedup {
+
+  /** Cluster count holding expected cluster size at `target` as the
+    * corpus grows; k ∝ n keeps within-cluster pair work linear.
+    */
+  def autoK(n: Long, target: Int = 1024): Int =
+    math.max(8, ((n + target - 1) / target).toInt)
+
+  /** Removed-vector report: (vec_id, list_id, n_dups, max_cos) for
+    * every vector with at least one smaller-id same-cluster neighbor
+    * at `round(cos, 6) >= threshold`.
+    *
+    * @param emb    input frame; should already be persisted by the
+    *               caller if [[KMeans.train]] ran on it (training and
+    *               this pass all rescan it)
+    * @param cents  trained centroids (broadcast as literals)
+    */
+  def removed(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      cents: Seq[KMeans.Centroid],
+      threshold: Double): DataFrame = {
+    val assigned = emb
+      .select(col(idCol).as("vid"), col(embCol).as("v"))
+      .select(col("vid"), col("v"),
+        KMeans.assignCol(col("v"), cents).cast(LongType).as("list_id"))
+      .persist()
+    val x = assigned
+      .select(col("list_id"), col("vid").as("a"), col("v").as("va"))
+    val y = assigned
+      .select(col("list_id"), col("vid").as("b"), col("v").as("vb"))
+    x.join(y, Seq("list_id"))
+      .where(col("a") < col("b"))
+      .select(col("list_id"), col("b"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .groupBy(col("b"), col("list_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cos_sim")).as("max_cos"))
+      .select(col("b").as("vec_id"), col("list_id"), col("n_dups"),
+        col("max_cos"))
+  }
+
+  /** DuckDB oracle: [[KMeans.assignmentCteBody]]'s final assignments,
+    * then the identical within-cluster pairing and removal rule.
+    */
+  def duckDbOracle(k: Int, iters: Int, dim: Int, threshold: Double): String =
+    s"""WITH ${KMeans.assignmentCteBody(k, iters, dim)},
+       |pairs AS (
+       |  SELECT y.vec_id AS b, y.cid AS list_id,
+       |    round(list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+       |  FROM afinal x JOIN afinal y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT b AS vec_id, CAST(list_id AS BIGINT) AS list_id,
+       |  COUNT(*) AS n_dups, MAX(cos_sim) AS max_cos
+       |FROM pairs WHERE cos_sim >= $threshold
+       |GROUP BY b, list_id ORDER BY vec_id""".stripMargin
+}

@@ -295,6 +295,26 @@ object Similarity {
         .select(col("vec_id"),
           coalesce(col("is_dup"), lit(0)).as("is_dup"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------- SemDeDup
+    // graft.ops.SemDedup: cluster-scoped semantic dedup (Abbas et al.
+    // 2023) — k-means partitions the space, pairs are compared only
+    // within a cluster, a vector is removed iff a smaller-id cluster
+    // neighbor clears the cosine threshold. k is pinned to 8 here so
+    // the oracle (unrolled Lloyd rounds + within-cluster pairing in
+    // SQL) is tractable; production sizing is SemDedup.autoK(n) —
+    // k ∝ n holds cluster size constant, keeping total pair work
+    // linear where global pairing would be quadratic.
+    Q("qs8_semdedup", graft.ops.SemDedup.duckDbOracle(
+      k = 8, iters = 2, dim = AnnDim, threshold = 0.3)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      graft.ops.SemDedup.removed(emb, "vec_id", "embedding", cents,
+        threshold = 0.3)
+        .orderBy(col("vec_id"))
     }
   )
 }

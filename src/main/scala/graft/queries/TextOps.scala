@@ -20,6 +20,15 @@ object TextOps {
   private val tokenRe = "[a-z0-9]+"
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** PII patterns for qt11, written in the Java-regex ∩ RE2 common
+    * dialect (no backreferences, no lookaround) so Spark and DuckDB
+    * compile identical automata. Kept deliberately simple — the point
+    * is the redaction *pipeline shape*, not regex completeness.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -967,6 +976,130 @@ object TextOps {
             .as("n_contaminated"),
           sum(when(col("is_c") === 1, col("doc_id")).otherwise(0L))
             .as("id_checksum"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------ PII redaction
+    // The C4/RefinedWeb-style scrub step: detect + mask emails, phone
+    // numbers and IPv4 addresses before training. The corpus text is
+    // letters-and-digits words (no '@'/dots/dashes), so both engines
+    // first graft deterministic PII spans onto a doc_id-keyed subset —
+    // exercising hits AND clean rows — then count and redact. Patterns
+    // are restricted to the Java-regex ∩ RE2 common dialect (\d, \b,
+    // classes, bounded repeats; no backreferences/lookaround) so Spark
+    // and DuckDB compile the same automaton. Pure per-row projection:
+    // no shuffle at any scale; md5 fingerprints prove the redacted
+    // strings byte-identical across engines without hashing megabytes
+    // of text through the driver.
+    Q(
+      "qt11_pii_redaction",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail.example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+         |    len(regexp_extract_all(t, '$phoneRe')) AS n_phones,
+         |    len(regexp_extract_all(t, '$ipv4Re')) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$emailRe', '<EMAIL>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g'),
+         |      '$ipv4Re', '<IP>', 'g') AS clean
+         |  FROM aug)
+         |SELECT doc_id,
+         |  CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_phones AS BIGINT) AS n_phones,
+         |  CAST(n_ips AS BIGINT) AS n_ips,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_fp
+         |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com now"))).otherwise(""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+              (col("doc_id") * 7) % 256)).otherwise("")).as("t"))
+      aug.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ipv4Re), lit(0)))
+          .cast(LongType).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipv4Re), lit("<IP>")).as("clean"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"),
+          length(col("clean")).cast(LongType).as("clean_len"),
+          md5(col("clean")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------- mixture rebalancing
+    // Dataset-mixing math: given per-source token counts and a target
+    // mixture (here ∝ √tokens — a sqrt-smoothed reweighting in the
+    // multilingual-sampling tradition, derived from the data so the
+    // query needs no hardcoded source list), compute the largest total
+    // T s.t. w_s·T ≤ tokens_s for every source (no upsampling), then
+    // per-source keep-rates and expected sampled tokens. Two tiny
+    // aggregates over |sources| rows after one map-side-combined token
+    // count — the planning step of every mixture-weighted pretraining
+    // run, and trivially linear at any corpus size.
+    Q(
+      "qt12_mixture_rebalance",
+      s"""WITH toks AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    SUM(len(regexp_extract_all(text, '$tokenRe'))) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    sqrt(CAST(n_tokens AS DOUBLE)) / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS share
+         |  FROM toks),
+         |t AS (
+         |  SELECT *, MIN(n_tokens / share) OVER () AS t_max FROM w)
+         |SELECT source,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(share, 6) AS target_share,
+         |  round(share * t_max / n_tokens, 6) AS keep_rate,
+         |  CAST(round(share * t_max) AS BIGINT) AS sampled_tokens
+         |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+            .as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast(LongType).as("n_tokens"))
+      val all = Window.partitionBy()
+      val w = toks.withColumn("share",
+        sqrt(col("n_tokens").cast(DoubleType)) /
+          sum(sqrt(col("n_tokens").cast(DoubleType))).over(all))
+      w.withColumn("t_max",
+        min(col("n_tokens") / col("share")).over(all))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("target_share"),
+          round(col("share") * col("t_max") / col("n_tokens"), 6)
+            .as("keep_rate"),
+          round(col("share") * col("t_max"), 0).cast(LongType)
+            .as("sampled_tokens"))
         .orderBy(col("source"))
     }
   )

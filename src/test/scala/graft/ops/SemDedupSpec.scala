@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup kernel: cluster-scoped pairing must agree with a global
+  * brute force whenever clusters are well-separated (no cross-cluster
+  * near-dups to miss), and the removal rule is keep-first-by-id.
+  */
+class SemDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-semdedup-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("autoK holds expected cluster size as the corpus grows") {
+    assert(SemDedup.autoK(500) === 8)        // floor
+    assert(SemDedup.autoK(10_000) === 10)    // 10k / 1024 → 10
+    assert(SemDedup.autoK(1_000_000) === 977)
+    assert(SemDedup.autoK(1_000_000, target = 4096) === 245)
+    // k ∝ n ⇒ pair work n·target stays linear: doubling n doubles k
+    assert(SemDedup.autoK(2_000_000) === 2 * SemDedup.autoK(1_000_000) - 1 ||
+      SemDedup.autoK(2_000_000) === 2 * SemDedup.autoK(1_000_000))
+  }
+
+  test("cluster-scoped removal matches global brute force") {
+    import spark.implicits._
+    // 20 groups of random direction, ids 2g and 2g+1 near-identical
+    // (tiny jitter). Random 8-d directions are far from parallel, so
+    // the only pairs clearing 0.99 cosine are within a group — and
+    // near-identical vectors always co-assign, so cluster-scoped
+    // pairing must reproduce the GLOBAL brute force exactly whatever
+    // clusters k-means picks.
+    val rows = (0L until 40L).map { i =>
+      val dirRnd = new scala.util.Random(1000 + i / 2)
+      val jitRnd = new scala.util.Random(2000 + i)
+      val v = Array.fill(8)(
+        (dirRnd.nextGaussian() + jitRnd.nextGaussian() * 0.001).toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").persist()
+
+    val cents = KMeans.train(df, "vec_id", "embedding", k = 4, iters = 2)
+    val got = SemDedup.removed(df, "vec_id", "embedding", cents,
+      threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+
+    // global brute force with the same rounded-cosine rule
+    val vecs = rows.map { case (i, v) => i -> v.map(_.toDouble) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && cos(vi, vj) >= 0.99
+    } yield j).toSet
+
+    assert(got === want)
+    assert(want.size === 20, "every odd id must be removed, nothing else")
+  }
+}

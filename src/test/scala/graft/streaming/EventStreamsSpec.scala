@@ -22,9 +22,12 @@ class EventStreamsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** events.parquet staged alone in a stream-source dir; ns timestamps
-    * arrive as long (nanosAsLong) so rebuild the µs timestamp exactly
-    * like graft.queries.Tables.load does.
+  /** events.parquet staged alone in a stream-source dir. The fixture
+    * has shipped with ns-as-long ts (read via nanosAsLong) in some
+    * testdata generations and plain µs timestamps in others —
+    * normalize either to a µs TimestampType exactly like
+    * graft.queries.Tables.load does, so the spec survives a driver
+    * regeneration that flips the physical encoding.
     */
   private lazy val sourceDir: String = {
     val dir = Files.createTempDirectory("graft-stream-src")
@@ -33,23 +36,23 @@ class EventStreamsSpec extends AnyFunSuite {
     dir.toString
   }
 
-  private def rawSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts",
-      org.apache.spark.sql.types.LongType), // ns-as-long
-    org.apache.spark.sql.types.StructField("user_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value",
-      org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props",
-      org.apache.spark.sql.types.StringType)))
+  /** Physical schema as this session's parquet reader infers it. */
+  private lazy val rawSchema: org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$sourceDir/events.parquet").schema
 
-  private def eventsStream = spark.readStream.schema(rawSchema)
-    .parquet(sourceDir)
-    .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  private def normTs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long
+        df.withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => // µs timestamp (possibly NTZ); session TZ is UTC
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  private def eventsStream =
+    normTs(spark.readStream.schema(rawSchema).parquet(sourceDir))
 
   test("minutelyRollup stream equals the batch aggregation on finite input") {
     val q = EventStreams.minutelyRollup(eventsStream)
@@ -62,8 +65,7 @@ class EventStreamsSpec extends AnyFunSuite {
       """SELECT minute_ts, event_type, n_events, total_value FROM roll
         |ORDER BY minute_ts, event_type""".stripMargin).collect()
 
-    val batch = spark.read.parquet(s"$sourceDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val batch = normTs(spark.read.parquet(s"$sourceDir/events.parquet"))
       .groupBy(date_trunc("minute", col("ts")).as("minute_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
@@ -90,8 +92,8 @@ class EventStreamsSpec extends AnyFunSuite {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     val bySec = Window.partitionBy(col("user_id")).orderBy(col("sec"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val batchSessions = spark.read.parquet(s"$sourceDir/events.parquet")
-      .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+    val batchSessions = normTs(spark.read.parquet(s"$sourceDir/events.parquet"))
+      .withColumn("sec", col("ts").cast("long"))
       .withColumn("prev", lag(col("sec"), 1).over(w))
       .withColumn("new_session",
         when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
@@ -218,8 +220,7 @@ class EventStreamsSpec extends AnyFunSuite {
       dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val src = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val src = normTs(spark.readStream.schema(rawSchema).parquet(dir.toString))
 
     val q = EventStreams.dedupWithinHorizon(src, Seq("event_id"),
       horizon = "1 hour")
