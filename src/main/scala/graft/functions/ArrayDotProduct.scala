@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric array columns.
+  *
+  * The embedding kernels (cosine verify, k-means assignment, centroid
+  * diagnostics) originally computed dot products as
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — correct, but Spark's
+  * higher-order functions are CodegenFallback: every pair evaluation
+  * walks an interpreted lambda tree, which at millions of candidate
+  * pairs × 3 dot products each dominated the wall clock (measured
+  * 100.9 s for the 5M-pair SemDeDup scale leg at 10k vectors).
+  * This expression is the same arithmetic as a tight generated loop.
+  *
+  * Bit-exactness contract (the DuckDB oracles depend on it): elements
+  * are widened to double and accumulated LEFT-TO-RIGHT from 0.0 —
+  * `acc + (a(i) * b(i))` in index order — exactly the summation order
+  * of both the replaced higher-order fold and DuckDB's
+  * `list_dot_product`. Length mismatch or a null element yields NULL,
+  * matching the zip_with(+pad)/aggregate semantics it replaces.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "graft_array_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric array elements, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  /** NULL on length mismatch / null element even for non-null inputs. */
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = acc + getDouble(a, i, lt) * getDouble(b, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(v: String, i: String, t: DataType): String = t match {
+    case DoubleType => s"$v.getDouble($i)"
+    case FloatType => s"(double) $v.getFloat($i)"
+    case LongType => s"(double) $v.getLong($i)"
+    case IntegerType => s"(double) $v.getInt($i)"
+    case ShortType => s"(double) $v.getShort($i)"
+    case ByteType => s"(double) $v.getByte($i)"
+    case d: DecimalType =>
+      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc = $acc + ${genGet(a, i, elemType(left))} *
+         |      ${genGet(b, i, elemType(right))};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotProduct {
+  /** Column-level entry point used by every embedding kernel. */
+  def dot(a: Column, b: Column): Column =
+    Shim.column(ArrayDotProduct(Shim.expression(a), Shim.expression(b)))
+}

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
-  /** Sequential left-fold dot product in double precision. */
+  /** Sequential left-fold dot product in double precision — a
+    * codegen'd Catalyst expression with the identical summation order
+    * (see [[graft.functions.ArrayDotProduct]]; the interpreted
+    * higher-order-function fold it replaced dominated candidate
+    * verification at millions of pairs).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,9 +40,7 @@ object Ann {
   }
 
   private def dotLit(emb: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, typedlit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(emb, typedlit(plane.toSeq))
 
   /** Bucket id of one hash table: sign bits packed into a long. */
   def bucket(emb: Column, tablePlanes: Seq[Array[Double]]): Column =

@@ -27,9 +27,7 @@ object Ivf {
   }
 
   private def dotLit(emb: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, typedlit(c.toSeq), (x, p) => x.cast(DoubleType) * p),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(emb, typedlit(c.toSeq))
 
   /** Squared-distance ranking terms: ||e-c||² ordered by
     * ||c||² - 2·e·c (the ||e||² term is constant per row).

@@ -31,17 +31,14 @@ object KMeans {
   final case class Centroid(cid: Int, v: Array[Double])
 
   /** Sequential left-fold dot product in double precision (same
-    * summation order as DuckDB's list_dot_product).
+    * summation order as DuckDB's list_dot_product), codegen'd — see
+    * [[graft.functions.ArrayDotProduct]].
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(a, b)
 
   private def dotLit(emb: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, typedlit(c.toSeq), (x, p) => x.cast(DoubleType) * p),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(emb, typedlit(c.toSeq))
 
   /** ||e−c||² ranking term ||c||² − 2·e·c (||e||² is row-constant). */
   private def rankDist(emb: Column, c: Array[Double]): Column = {

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product in double precision. */
+  /** Sequential left-fold dot product in double precision, codegen'd
+    * (see [[graft.functions.ArrayDotProduct]] — same summation order
+    * as the interpreted fold it replaced and as DuckDB's
+    * list_dot_product, so every rounded-to-6 oracle stays bit-exact).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

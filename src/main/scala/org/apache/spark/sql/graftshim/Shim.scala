@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column↔Expression converters —
+  * the standard extension-library pattern for shipping custom Catalyst
+  * expressions (a `Column` can only be built from an `Expression`
+  * through sql-package-private API since Spark 4 split sql-api out).
+  * Kept to exactly these two calls.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd dot product must be BIT-IDENTICAL to the interpreted
+  * higher-order-function fold it replaced — the DuckDB oracles round
+  * its result to 6 decimals and compare exactly, so even a one-ulp
+  * drift from a different summation order would surface as a
+  * correctness failure.
+  */
+class ArrayDotProductSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-arraydot-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hofDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("bit-identical to the higher-order fold on random float arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 500).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      (i, Array.fill(n)(rnd.nextFloat() * 100 - 50),
+        Array.fill(n)(rnd.nextFloat() * 100 - 50))
+    }.toDF("id", "a", "b").persist()
+
+    val rows = df.select(
+      ArrayDotProduct.dot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("ref")).collect()
+    rows.foreach { r =>
+      // exact bit equality, not tolerance
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("bit-identical on a float×double-literal (plane) combination") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val plane = Array.fill(64)(rnd.nextGaussian())
+    val df = (0 until 200).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 4 - 2))
+    }.toDF("id", "a")
+    val rows = df.select(
+      ArrayDotProduct.dot(col("a"), typedlit(plane.toSeq)).as("fast"),
+      hofDot(col("a"), typedlit(plane.toSeq)).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null semantics match the zip_with/aggregate fold") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Array(1.0f, 2.0f)), Some(Array(3.0f))), // length mismatch
+      (2, None, Some(Array(1.0f))),                     // null input
+      (3, Some(Array[Float]()), Some(Array[Float]())),  // empty → 0.0
+      (4, Some(Array(1.5f, -2.0f)), Some(Array(2.0f, 4.0f)))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      ArrayDotProduct.dot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("ref"))
+      .orderBy(col("id")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"row ${r.getInt(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    }
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) === 0.0)
+    assert(rows(3).getDouble(1) === (1.5f.toDouble * 2.0f.toDouble +
+      (-2.0f).toDouble * 4.0f.toDouble))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val data = (0 until 100).map { i =>
+      (i, Array.fill(32)(rnd.nextFloat()), Array.fill(32)(rnd.nextFloat()))
+    }
+    val df = data.toDF("id", "a", "b")
+    val withCodegen = df.select(
+      ArrayDotProduct.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(
+        ArrayDotProduct.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+      withCodegen.zip(interpreted).foreach { case (c, i) =>
+        assert(java.lang.Double.doubleToLongBits(c) ===
+          java.lang.Double.doubleToLongBits(i))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
