@@ -46,33 +46,19 @@ object KMeans {
     lit(cNormSq) - lit(2.0) * dotLit(emb, c)
   }
 
-  /** Above this k the unrolled literal tree would blow past JVM codegen
-    * limits (64KB method / constant pool): k×dim literals, one aggregate
-    * expression per centroid. Measured fast below it; the array form
-    * takes over above.
-    */
-  private val LiteralTreeMaxK = 64
-
-  /** Per-centroid rank-distance array, ascending-cid order. Two plans
-    * for one semantics:
-    *  - k ≤ 64: unrolled expression per centroid (whole-stage codegen
-    *    inlines the constants — fastest at IVF-scale k);
-    *  - k > 64: centroids as ONE 2-D array literal (a broadcast-style
-    *    constant, O(1) codegen size in k) with nested higher-order
-    *    functions computing ||c||² − 2·e·c per element.
+  /** Per-centroid rank-distance array, ascending-cid order: one
+    * codegen'd [[graft.functions.ArrayDotProduct]] loop per centroid.
+    * A single path serves every k — array literals codegen as
+    * reference objects (not inline constants), so per-centroid cost is
+    * one small generated loop and the historical k > 64 interpreted
+    * 2-D-literal fallback (needed when each dot was an
+    * aggregate/zip_with expression TREE) is gone; Spark's
+    * splitExpressions keeps the generated method under JVM limits at
+    * large k (k=256 unit-tested through codegen).
     */
   private def distArray(emb: Column, cents: Seq[Centroid]): Column = {
     val sorted = cents.sortBy(_.cid)
-    if (sorted.size <= LiteralTreeMaxK)
-      array(sorted.map(c => rankDist(emb, c.v)): _*)
-    else {
-      val cvecs = typedlit(sorted.map(_.v.toSeq))
-      val norms = typedlit(sorted.map(_.v.foldLeft(0.0)((a, x) => a + x * x)))
-      zip_with(cvecs, norms, (cv, n) =>
-        n - lit(2.0) * aggregate(
-          zip_with(emb, cv, (x, p) => x.cast(DoubleType) * p),
-          lit(0.0), (acc, x) => acc + x))
-    }
+    array(sorted.map(c => rankDist(emb, c.v)): _*)
   }
 
   /** Assigned centroid id: argmin of rank distance, first minimum in
