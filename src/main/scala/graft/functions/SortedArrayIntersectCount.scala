@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** Codegen'd intersection COUNT of two sorted-ascending, duplicate-free
+  * integral arrays — a two-pointer merge with zero allocation.
+  *
+  * The dedup verify kernels (exact Jaccard in MinHashLSH and the
+  * PPJoin query) compute per-candidate overlap as
+  * `size(array_intersect(va, vb))`: correct, but `array_intersect`
+  * builds a hash set and materializes the intersection ARRAY per pair
+  * just to take its length. Both verify paths already hold their
+  * vectors sorted (`sort_array(collect_set/collect_list-of-distinct)`)
+  * precisely so the comparison order is deterministic — the merge walk
+  * exploits that for free.
+  *
+  * Contract: inputs must be sorted ascending and duplicate-free (the
+  * producers guarantee both); the result then equals
+  * `size(array_intersect(va, vb))` exactly. NULL input or a null
+  * element yields NULL.
+  */
+case class SortedArrayIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  private val integral: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if integral(l) && integral(r) && l == r =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same integral element " +
+          s"type, got ${left.dataType.simpleString} and " +
+          s"${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getLong(a: ArrayData, i: Int): Long = elemType match {
+    case LongType => a.getLong(i)
+    case IntegerType => a.getInt(i).toLong
+    case ShortType => a.getShort(i).toLong
+    case ByteType => a.getByte(i).toLong
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (n1, n2) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < n1 && j < n2) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = getLong(a, i)
+      val y = getLong(b, j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { cnt += 1; i += 1; j += 1 }
+    }
+    cnt
+  }
+
+  private def genGet(v: String, i: String): String = elemType match {
+    case LongType => s"$v.getLong($i)"
+    case IntegerType => s"(long) $v.getInt($i)"
+    case ShortType => s"(long) $v.getShort($i)"
+    case ByteType => s"(long) $v.getByte($i)"
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n1 = $a.numElements();
+         |final int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
+         |  final long $x = ${genGet(a, i)};
+         |  final long $y = ${genGet(b, j)};
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedArrayIntersectCount {
+  /** Column-level entry point for the Jaccard verify kernels. */
+  def count(a: Column, b: Column): Column =
+    Shim.column(
+      SortedArrayIntersectCount(Shim.expression(a), Shim.expression(b)))
+}

@@ -254,7 +254,10 @@ object MinHashLSH {
       .join(docs.select(col("doc_id").as("b"), col("vec").as("vb"),
         col("sz").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("va"), col("vb"))).as("common"),
+        // sorted-distinct long vectors: two-pointer codegen'd count,
+        // no per-pair hash set (graft.functions.SortedArrayIntersectCount)
+        graft.functions.SortedArrayIntersectCount
+          .count(col("va"), col("vb")).as("common"),
         col("sa"), col("sb"))
       .select(col("a"), col("b"),
         (col("common").cast(DoubleType) /
@@ -320,7 +323,8 @@ object MinHashLSH {
         .select(col("doc_id").as("corpus_id"), col("vec").as("vb"),
           col("sz").as("sb")), Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
-        size(array_intersect(col("va"), col("vb"))).as("common"),
+        graft.functions.SortedArrayIntersectCount
+          .count(col("va"), col("vb")).as("common"),
         col("sa"), col("sb"))
       .select(col("new_id"), col("corpus_id"),
         (col("common").cast(DoubleType) /

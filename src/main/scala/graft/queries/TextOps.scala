@@ -229,7 +229,10 @@ object TextOps {
       .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb"),
         col("sz").as("sb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("va"), col("vb"))).as("common"),
+        // sorted-distinct int vectors: two-pointer codegen'd count,
+        // no per-pair hash set (graft.functions.SortedArrayIntersectCount)
+        graft.functions.SortedArrayIntersectCount
+          .count(col("va"), col("vb")).as("common"),
         col("sa"), col("sb"))
       .select(col("a"), col("b"),
         (col("common").cast(DoubleType) /

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-pointer count must equal `size(array_intersect(...))` on
+  * exactly the inputs the verify kernels produce: sorted-ascending,
+  * duplicate-free integral arrays.
+  */
+class SortedArrayIntersectCountSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sortedintersect-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("equals size(array_intersect) on random sorted-distinct long arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val df = (0 until 500).map { i =>
+      def arr() = Array.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      (i, arr(), arr())
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      SortedArrayIntersectCount.count(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("null input yields null; empty arrays yield 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Array(1L, 2L)), None: Option[Array[Long]]),
+      (2, Some(Array[Long]()), Some(Array(1L, 2L))),
+      (3, Some(Array(1L, 5L, 9L)), Some(Array(5L, 9L, 12L)))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      SortedArrayIntersectCount.count(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getInt(1) === 0)
+    assert(rows(2).getInt(1) === 2)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 200).map { i =>
+      def arr() = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted
+      (i, arr(), arr())
+    }.toDF("id", "a", "b")
+    val withCodegen = df.select(
+      SortedArrayIntersectCount.count(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(
+        SortedArrayIntersectCount.count(col("a"), col("b")))
+        .collect().map(_.getInt(0))
+      assert(withCodegen.toSeq === interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
