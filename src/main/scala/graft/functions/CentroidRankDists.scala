@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** Per-centroid k-means rank-distance array (||c||² − 2·e·c, ascending
+  * centroid order) with the centroid matrix held as ONE codegen
+  * reference object — O(1) generated-code size in k.
+  *
+  * The unrolled per-centroid form ([[ArrayDotProduct]] per centroid)
+  * is fastest at moderate k but emits k expressions; at production
+  * sizing (`SemDedup.autoK` reaches k ≈ n/1024, e.g. 977 at 1M
+  * vectors) the whole-stage method would blow past JVM codegen limits
+  * and Spark would fall back off codegen — an interpreted-speed cliff
+  * in exactly the large-corpus path. This expression is one nested
+  * k×dim loop regardless of k.
+  *
+  * Bit-exactness: rd[c] = norms[c] − 2·Σᵢ (double)e[i]·C[c][i], the
+  * dot accumulated left-to-right from 0.0 and the norms precomputed
+  * driver-side with the same fold — identical to the unrolled
+  * `lit(cNormSq) - 2.0 * ArrayDotProduct` form, so both paths assign
+  * identical centroids. NULL embedding, a null element, or a
+  * dimension mismatch yields NULL.
+  */
+case class CentroidRankDists(
+    child: Expression,
+    cents: Seq[Seq[Double]],
+    norms: Seq[Double])
+  extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroids must be non-empty and share one dimension")
+  require(norms.length == cents.length, "one norm per centroid")
+
+  override def prettyName: String = "graft_centroid_rank_dists"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric array embedding, got " +
+          other.simpleString)
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val cMat: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val nArr: Array[Double] = norms.toArray
+
+  private def getDouble(a: ArrayData, i: Int): Double = elemType match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val dim = cMat(0).length
+    if (e.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (e.isNullAt(i)) return null
+      i += 1
+    }
+    val rd = new Array[Double](cMat.length)
+    var c = 0
+    while (c < cMat.length) {
+      val cv = cMat(c)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        dot = dot + getDouble(e, d) * cv(d)
+        d += 1
+      }
+      rd(c) = nArr(c) - 2.0 * dot
+      c += 1
+    }
+    new GenericArrayData(rd)
+  }
+
+  private def genGet(v: String, i: String): String = elemType match {
+    case DoubleType => s"$v.getDouble($i)"
+    case FloatType => s"(double) $v.getFloat($i)"
+    case LongType => s"(double) $v.getLong($i)"
+    case IntegerType => s"(double) $v.getInt($i)"
+    case ShortType => s"(double) $v.getShort($i)"
+    case ByteType => s"(double) $v.getByte($i)"
+    case d: DecimalType =>
+      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val cRef = ctx.addReferenceObj("cents", cMat, "double[][]")
+      val nRef = ctx.addReferenceObj("norms", nArr, "double[]")
+      val dim = ctx.freshName("dim")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val rd = ctx.freshName("rd")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $dim = $cRef[0].length;
+         |boolean $bad = $e.numElements() != $dim;
+         |for (int $i = 0; !$bad && $i < $dim; $i++) {
+         |  if ($e.isNullAt($i)) { $bad = true; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $rd = new double[$cRef.length];
+         |  for (int $c = 0; $c < $cRef.length; $c++) {
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $dot = $dot + ${genGet(e, d)} * $cRef[$c][$d];
+         |    }
+         |    $rd[$c] = $nRef[$c] - 2.0 * $dot;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($rd);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidRankDists =
+    copy(child = newChild)
+}
+
+object CentroidRankDists {
+  /** Rank-distance array for `vectors` (ascending order as given);
+    * norms derived with the same driver-side fold the unrolled path
+    * uses.
+    */
+  def of(emb: Column, vectors: Seq[Array[Double]]): Column = {
+    val norms = vectors.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    Shim.column(CentroidRankDists(
+      Shim.expression(emb), vectors.map(_.toSeq), norms))
+  }
+}

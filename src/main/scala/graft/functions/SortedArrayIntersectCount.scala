@@ -20,10 +20,15 @@ import org.apache.spark.sql.types._
   * precisely so the comparison order is deterministic — the merge walk
   * exploits that for free.
   *
-  * Contract: inputs must be sorted ascending and duplicate-free (the
-  * producers guarantee both); the result then equals
-  * `size(array_intersect(va, vb))` exactly. NULL input or a null
-  * element yields NULL.
+  * Contract: inputs must be sorted ascending, duplicate-free, AND
+  * null-element-free (every producer builds them from
+  * `collect_set`/`array_distinct` over non-null values, which
+  * guarantees all three); the result then equals
+  * `size(array_intersect(va, vb))` exactly. A NULL input array yields
+  * NULL. A null element yields NULL only if the merge inspects it —
+  * elements past the shorter array's exhaustion point are never
+  * visited — so null-element inputs are OUT OF CONTRACT, not
+  * best-effort detected.
   */
 case class SortedArrayIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {

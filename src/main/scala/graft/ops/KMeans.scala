@@ -46,19 +46,31 @@ object KMeans {
     lit(cNormSq) - lit(2.0) * dotLit(emb, c)
   }
 
-  /** Per-centroid rank-distance array, ascending-cid order: one
-    * codegen'd [[graft.functions.ArrayDotProduct]] loop per centroid.
-    * A single path serves every k — array literals codegen as
-    * reference objects (not inline constants), so per-centroid cost is
-    * one small generated loop and the historical k > 64 interpreted
-    * 2-D-literal fallback (needed when each dot was an
-    * aggregate/zip_with expression TREE) is gone; Spark's
-    * splitExpressions keeps the generated method under JVM limits at
-    * large k (k=256 unit-tested through codegen).
+  /** Above this k the unrolled form's per-centroid expressions bloat
+    * the whole-stage method toward JVM codegen limits (production
+    * autoK sizing reaches k ≈ n/1024 — 977 at 1M vectors — where a
+    * codegen bailout would mean an interpreted-speed cliff).
+    */
+  private val UnrolledMaxK = 64
+
+  /** Per-centroid rank-distance array, ascending-cid order. Two
+    * CODEGEN'D plans for one bit-identical semantics:
+    *  - k ≤ 64: one [[graft.functions.ArrayDotProduct]] loop per
+    *    centroid (literals are reference objects, measured fastest at
+    *    moderate k);
+    *  - k > 64: [[graft.functions.CentroidRankDists]] — the whole
+    *    matrix as ONE reference object and a single generated k×dim
+    *    loop, O(1) code size in k (k=256 and k=1000 unit-tested
+    *    through codegen against brute force).
+    * The historical k > 64 interpreted 2-D-literal fallback (needed
+    * when each dot was an aggregate/zip_with expression TREE) is gone.
     */
   private def distArray(emb: Column, cents: Seq[Centroid]): Column = {
     val sorted = cents.sortBy(_.cid)
-    array(sorted.map(c => rankDist(emb, c.v)): _*)
+    if (sorted.size <= UnrolledMaxK)
+      array(sorted.map(c => rankDist(emb, c.v)): _*)
+    else
+      graft.functions.CentroidRankDists.of(emb, sorted.map(_.v))
   }
 
   /** Assigned centroid id: argmin of rank distance, first minimum in

@@ -37,26 +37,27 @@ object SemDedup {
   def autoK(n: Long, target: Int = 1024): Int =
     math.max(8, ((n + target - 1) / target).toInt)
 
-  /** Removed-vector report: (vec_id, list_id, n_dups, max_cos) for
-    * every vector with at least one smaller-id same-cluster neighbor
-    * at `round(cos, 6) >= threshold`.
-    *
-    * @param emb    input frame; should already be persisted by the
-    *               caller if [[KMeans.train]] ran on it (training and
-    *               this pass all rescan it)
-    * @param cents  trained centroids (broadcast as literals)
+  /** Cluster assignment as a narrow projection over broadcast centroid
+    * literals: (vid, v, list_id). The caller persists it if reused —
+    * the self-join in [[removedFromAssigned]] and any diagnostics
+    * (cluster-size counts, pair-count guards) should share ONE
+    * assignment pass.
     */
-  def removed(
+  def assign(
       emb: DataFrame,
       idCol: String,
       embCol: String,
-      cents: Seq[KMeans.Centroid],
-      threshold: Double): DataFrame = {
-    val assigned = emb
+      cents: Seq[KMeans.Centroid]): DataFrame =
+    emb
       .select(col(idCol).as("vid"), col(embCol).as("v"))
       .select(col("vid"), col("v"),
         KMeans.assignCol(col("v"), cents).cast(LongType).as("list_id"))
-      .persist()
+
+  /** Within-cluster pairing + removal rule over an [[assign]] frame
+    * (persist it first — both join sides scan it).
+    */
+  def removedFromAssigned(
+      assigned: DataFrame, threshold: Double): DataFrame = {
     val x = assigned
       .select(col("list_id"), col("vid").as("a"), col("v").as("va"))
     val y = assigned
@@ -70,6 +71,29 @@ object SemDedup {
       .agg(count(lit(1)).as("n_dups"), max(col("cos_sim")).as("max_cos"))
       .select(col("b").as("vec_id"), col("list_id"), col("n_dups"),
         col("max_cos"))
+  }
+
+  /** Removed-vector report: (vec_id, list_id, n_dups, max_cos) for
+    * every vector with at least one smaller-id same-cluster neighbor
+    * at `round(cos, 6) >= threshold`. Returns the result plus the
+    * persisted legs backing it (here: the assignment), following the
+    * same contract as the text-side pair builders — the CALLER
+    * unpersists the legs when done with the result, so nothing leaks
+    * cache entries for the session's lifetime.
+    *
+    * @param emb    input frame; should already be persisted by the
+    *               caller if [[KMeans.train]] ran on it (training and
+    *               this pass all rescan it)
+    * @param cents  trained centroids (broadcast as literals)
+    */
+  def removed(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      cents: Seq[KMeans.Centroid],
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val assigned = assign(emb, idCol, embCol, cents).persist()
+    (removedFromAssigned(assigned, threshold), Seq(assigned))
   }
 
   /** DuckDB oracle: [[KMeans.assignmentCteBody]]'s final assignments,

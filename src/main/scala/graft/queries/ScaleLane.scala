@@ -110,19 +110,27 @@ object ScaleLane {
       // production sizing: k = autoK(n) holds cluster size ~1k, so the
       // within-cluster pair count (the candidates metric here) grows
       // linearly with n — a fixed k would make it quadratic, which is
-      // exactly what this guard would catch
-      val k = graft.ops.SemDedup.autoK(NEmb.toLong)
-      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
-        k = k, iters = 2)
-      val rows = graft.ops.SemDedup.removed(emb, "vec_id", "embedding",
-        cents, threshold = 0.3).count()
-      val nPairs = emb
-        .select(graft.ops.KMeans.assignCol(col("embedding"), cents).as("c"))
-        .groupBy(col("c")).count()
-        .agg(sum(col("count") * (col("count") - 1) / 2).cast(
-          org.apache.spark.sql.types.LongType))
-        .collect()(0).getLong(0)
-      (rows, Some(nPairs))
+      // exactly what this guard would catch. Training, pairing, and
+      // the pair-count diagnostic all share one persisted input and
+      // ONE persisted assignment pass.
+      val e = emb.persist()
+      try {
+        val k = graft.ops.SemDedup.autoK(NEmb.toLong)
+        val cents = graft.ops.KMeans.train(e, "vec_id", "embedding",
+          k = k, iters = 2)
+        val assigned = graft.ops.SemDedup
+          .assign(e, "vec_id", "embedding", cents).persist()
+        try {
+          val rows = graft.ops.SemDedup
+            .removedFromAssigned(assigned, threshold = 0.3).count()
+          val nPairs = assigned
+            .groupBy(col("list_id")).count()
+            .agg(sum(col("count") * (col("count") - 1) / 2).cast(
+              org.apache.spark.sql.types.LongType))
+            .collect()(0).getLong(0)
+          (rows, Some(nPairs))
+        } finally assigned.unpersist()
+      } finally e.unpersist()
     }
     leg("qd7_hybrid_clusters") {
       val pairs = embPairs.map(_._2).getOrElse(

@@ -1070,10 +1070,12 @@ object TextOps {
       s"""WITH toks AS (
          |  SELECT source, COUNT(*) AS n_docs,
          |    SUM(len(regexp_extract_all(text, '$tokenRe'))) AS n_tokens
-         |  FROM documents GROUP BY source),
+         |  FROM documents GROUP BY source
+         |  HAVING SUM(len(regexp_extract_all(text, '$tokenRe'))) > 0),
          |w AS (
          |  SELECT source, n_docs, n_tokens,
-         |    sqrt(CAST(n_tokens AS DOUBLE)) / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS share
+         |    sqrt(CAST(n_tokens AS DOUBLE)) /
+         |      CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12))) OVER () AS DOUBLE) AS share
          |  FROM toks),
          |t AS (
          |  SELECT *, MIN(n_tokens / share) OVER () AS t_max FROM w)
@@ -1084,6 +1086,13 @@ object TextOps {
          |  round(share * t_max / n_tokens, 6) AS keep_rate,
          |  CAST(round(share * t_max) AS BIGINT) AS sampled_tokens
          |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      // zero-token sources are excluded (HAVING > 0 on both sides):
+      // they contribute nothing to the mixture and their share would
+      // divide by zero — where Spark yields NULL but DuckDB IEEE math
+      // yields NaN/Inf, poisoning the exact compare. The √tokens sum
+      // is accumulated in DECIMAL so it is order-independent — a raw
+      // double window sum over unordered rows could drift a ulp
+      // between engines (or runs) and flip a round(·, 6) boundary.
       val toks = Tables.load(s, dir, "documents")
         .select(col("source"),
           size(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
@@ -1091,10 +1100,12 @@ object TextOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
       val all = Window.partitionBy()
       val w = toks.withColumn("share",
         sqrt(col("n_tokens").cast(DoubleType)) /
-          sum(sqrt(col("n_tokens").cast(DoubleType))).over(all))
+          sum(sqrt(col("n_tokens").cast(DoubleType))
+            .cast(DecimalType(38, 12))).over(all).cast(DoubleType))
       w.withColumn("t_max",
         min(col("n_tokens") / col("share")).over(all))
         .select(col("source"), col("n_docs"), col("n_tokens"),

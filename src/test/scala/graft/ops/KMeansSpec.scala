@@ -89,4 +89,25 @@ class KMeansSpec extends AnyFunSuite {
       assert(gotK === expK, s"k=$k")
     }
   }
+
+  test("k=1000 assignment (production autoK scale) matches brute force") {
+    import spark.implicits._
+    val dim = 8
+    val cents = (1 to 1000).map { cid =>
+      KMeans.Centroid(cid,
+        Array.tabulate(dim)(d => ((cid * 31 + d * 17) % 997).toDouble))
+    }
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(dim)(d => ((i * 13 + d * 7) % 997).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = vecs
+      .select(col("vec_id"), KMeans.assignCol(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = (0L until 20L).map { i =>
+      val e = Array.tabulate(dim)(d => ((i * 13 + d * 7) % 997).toDouble)
+      i -> cents.minBy(c =>
+        (c.v.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum, c.cid)).cid
+    }.toMap
+    assert(got === expected)
+  }
 }

@@ -45,9 +45,10 @@ class SemDedupSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding").persist()
 
     val cents = KMeans.train(df, "vec_id", "embedding", k = 4, iters = 2)
-    val got = SemDedup.removed(df, "vec_id", "embedding", cents,
+    val (res, legs) = SemDedup.removed(df, "vec_id", "embedding", cents,
       threshold = 0.99)
-      .select("vec_id").as[Long].collect().toSet
+    val got = res.select("vec_id").as[Long].collect().toSet
+    legs.foreach(_.unpersist())
 
     // global brute force with the same rounded-cosine rule
     val vecs = rows.map { case (i, v) => i -> v.map(_.toDouble) }
