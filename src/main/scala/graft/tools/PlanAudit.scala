@@ -46,6 +46,27 @@ object PlanAudit {
          |JOIN (SELECT l_partkey, 0.2*AVG(l_quantity) AS lim
          |      FROM graftwh.$db.lineitem_c GROUP BY l_partkey) t
          |ON l.l_partkey = t.l_partkey WHERE l.l_quantity < t.lim""".stripMargin)
+
+    // qt11 PII redaction: must be scan→project in ONE WholeStageCodegen
+    // span — no shuffle, no CodegenFallback from the regex/concat stack
+    println("\n===== qt11 PII redaction (single codegen'd projection) =====")
+    val qt11 = graft.SparkEntry.queries("qt11_pii_redaction")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    println(qt11.split('\n').take(8).mkString("\n"))
+
+    // qs8 SemDeDup: assignment must be a projection (no join) feeding
+    // ONE hash-partitioned self-join on list_id; the codegen'd
+    // graft_array_dot / centroid expressions must appear, never
+    // an interpreted aggregate(zip_with(...)) lambda
+    println("\n===== qs8 semdedup (cluster-scoped self-join) =====")
+    val emb = graft.queries.Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val (qs8res, qs8legs) = graft.ops.SemDedup.removed(
+      emb, "vec_id", "embedding", cents, threshold = 0.3)
+    println(qs8res.queryExecution.executedPlan.toString
+      .split('\n').take(14).mkString("\n"))
+    qs8legs.foreach(_.unpersist())
     spark.stop()
   }
 }
