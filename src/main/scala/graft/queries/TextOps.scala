@@ -1115,6 +1115,47 @@ object TextOps {
           round(col("share") * col("t_max"), 0).cast(LongType)
             .as("sampled_tokens"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------ context-window chunking
+    // The tokenization prep step of every pretraining run: split each
+    // document into fixed-size token windows with stride (overlap =
+    // W − S keeps context across boundaries; the last window may be
+    // short). One explode over per-doc window starts — output rows ∝
+    // total tokens / stride, linear at any corpus size, no shuffle
+    // before the final orderBy. W=32/S=24 are sized to the fixture's
+    // short docs so multi-window docs are actually exercised; md5 of
+    // the space-joined window proves the slice contents byte-identical
+    // across engines.
+    Q(
+      "qt13_token_chunking",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t), 24)) AS s, t
+         |  FROM toks WHERE len(t) >= 1)
+         |SELECT doc_id,
+         |  CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(t, s, s + 31), ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val W = 32
+      val S = 24
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
+        .filter(size(col("t")) >= 1)
+      toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(S))).as("st"))
+        .select(col("doc_id"),
+          floor((col("st") - 1) / S).cast(LongType).as("chunk_id"),
+          size(slice(col("t"), col("st"), lit(W))).cast(LongType)
+            .as("n_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("st"), lit(W))))
+            .as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
 }
