@@ -48,18 +48,6 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  private def getDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
-    case DoubleType => a.getDouble(i)
-    case FloatType => a.getFloat(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case IntegerType => a.getInt(i).toDouble
-    case ShortType => a.getShort(i).toDouble
-    case ByteType => a.getByte(i).toDouble
-    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
-    case other => throw new IllegalStateException(
-      s"unreachable: checkInputDataTypes admitted $other")
-  }
-
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -70,23 +58,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc = acc + getDouble(a, i, lt) * getDouble(b, i, rt)
+      acc = acc + NumericArrayGet.getDouble(a, i, lt) *
+        NumericArrayGet.getDouble(b, i, rt)
       i += 1
     }
     acc
-  }
-
-  private def genGet(v: String, i: String, t: DataType): String = t match {
-    case DoubleType => s"$v.getDouble($i)"
-    case FloatType => s"(double) $v.getFloat($i)"
-    case LongType => s"(double) $v.getLong($i)"
-    case IntegerType => s"(double) $v.getInt($i)"
-    case ShortType => s"(double) $v.getShort($i)"
-    case ByteType => s"(double) $v.getByte($i)"
-    case d: DecimalType =>
-      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
-    case other => throw new IllegalStateException(
-      s"unreachable: checkInputDataTypes admitted $other")
   }
 
   override protected def doGenCode(
@@ -106,8 +82,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |      ${ev.isNull} = true;
          |      break;
          |    }
-         |    $acc = $acc + ${genGet(a, i, elemType(left))} *
-         |      ${genGet(b, i, elemType(right))};
+         |    $acc = $acc + ${NumericArrayGet.genGet(a, i, elemType(left))} *
+         |      ${NumericArrayGet.genGet(b, i, elemType(right))};
          |  }
          |  ${ev.value} = $acc;
          |}

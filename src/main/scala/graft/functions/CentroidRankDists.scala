@@ -58,25 +58,18 @@ case class CentroidRankDists(
     cents.map(_.toArray).toArray
   @transient private lazy val nArr: Array[Double] = norms.toArray
 
-  private def getDouble(a: ArrayData, i: Int): Double = elemType match {
-    case DoubleType => a.getDouble(i)
-    case FloatType => a.getFloat(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case IntegerType => a.getInt(i).toDouble
-    case ShortType => a.getShort(i).toDouble
-    case ByteType => a.getByte(i).toDouble
-    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
-    case other => throw new IllegalStateException(
-      s"unreachable: checkInputDataTypes admitted $other")
-  }
-
   override def nullSafeEval(v: Any): Any = {
     val e = v.asInstanceOf[ArrayData]
     val dim = cMat(0).length
     if (e.numElements() != dim) return null
+    // decode the embedding ONCE — the centroid loop reads the local
+    // double[] k times instead of re-dispatching ArrayData getters
+    val ev0 = new Array[Double](dim)
+    val t = elemType
     var i = 0
     while (i < dim) {
       if (e.isNullAt(i)) return null
+      ev0(i) = NumericArrayGet.getDouble(e, i, t)
       i += 1
     }
     val rd = new Array[Double](cMat.length)
@@ -86,26 +79,13 @@ case class CentroidRankDists(
       var dot = 0.0
       var d = 0
       while (d < dim) {
-        dot = dot + getDouble(e, d) * cv(d)
+        dot = dot + ev0(d) * cv(d)
         d += 1
       }
       rd(c) = nArr(c) - 2.0 * dot
       c += 1
     }
     new GenericArrayData(rd)
-  }
-
-  private def genGet(v: String, i: String): String = elemType match {
-    case DoubleType => s"$v.getDouble($i)"
-    case FloatType => s"(double) $v.getFloat($i)"
-    case LongType => s"(double) $v.getLong($i)"
-    case IntegerType => s"(double) $v.getInt($i)"
-    case ShortType => s"(double) $v.getShort($i)"
-    case ByteType => s"(double) $v.getByte($i)"
-    case d: DecimalType =>
-      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
-    case other => throw new IllegalStateException(
-      s"unreachable: checkInputDataTypes admitted $other")
   }
 
   override protected def doGenCode(
@@ -120,11 +100,14 @@ case class CentroidRankDists(
       val dot = ctx.freshName("dot")
       val rd = ctx.freshName("rd")
       val bad = ctx.freshName("bad")
+      val ev0 = ctx.freshName("emb")
       s"""
          |final int $dim = $cRef[0].length;
          |boolean $bad = $e.numElements() != $dim;
+         |final double[] $ev0 = new double[$dim];
          |for (int $i = 0; !$bad && $i < $dim; $i++) {
          |  if ($e.isNullAt($i)) { $bad = true; }
+         |  else { $ev0[$i] = ${NumericArrayGet.genGet(e, i, elemType)}; }
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;
@@ -133,7 +116,7 @@ case class CentroidRankDists(
          |  for (int $c = 0; $c < $cRef.length; $c++) {
          |    double $dot = 0.0;
          |    for (int $d = 0; $d < $dim; $d++) {
-         |      $dot = $dot + ${genGet(e, d)} * $cRef[$c][$d];
+         |      $dot = $dot + $ev0[$d] * $cRef[$c][$d];
          |    }
          |    $rd[$c] = $nRef[$c] - 2.0 * $dot;
          |  }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared element-decode dispatch for the numeric-array expressions —
+  * ONE place defines how an array element widens to double, in both
+  * interpreted and generated form, so [[ArrayDotProduct]] and
+  * [[CentroidRankDists]] can never silently diverge (their bit-
+  * identity across the k≤64/k>64 assignment boundary is an oracle-
+  * checked invariant).
+  */
+private[functions] object NumericArrayGet {
+
+  def getDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
+  /** Java source decoding `$v.get…($i)` widened to double. */
+  def genGet(v: String, i: String, t: DataType): String = t match {
+    case DoubleType => s"$v.getDouble($i)"
+    case FloatType => s"(double) $v.getFloat($i)"
+    case LongType => s"(double) $v.getLong($i)"
+    case IntegerType => s"(double) $v.getInt($i)"
+    case ShortType => s"(double) $v.getShort($i)"
+    case ByteType => s"(double) $v.getByte($i)"
+    case d: DecimalType =>
+      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+}

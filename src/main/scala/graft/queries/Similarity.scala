@@ -314,12 +314,18 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
         k = 8, iters = 2)
-      // the assignment leg stays persisted for the result's lifetime
-      // (the query result IS its consumer); bench passes clearCache
-      // between runs, which re-arms it
-      val (res, _) = graft.ops.SemDedup.removed(emb, "vec_id",
-        "embedding", cents, threshold = 0.3)
-      res.orderBy(col("vec_id"))
+      // the assignment is NOT persisted here: a Q result is a lazy
+      // frame consumed by a long-lived Verify/Bench session, so a
+      // pinned leg would leak for the session (the removed() contract
+      // makes the CALLER unpersist, which a lazy result can't honor).
+      // Recomputing the narrow argmin projection per join side atop
+      // the already-persisted emb is cheap at oracle scale; callers
+      // that CAN manage lifetime (scale lane, production) use
+      // removed()/assign().persist() instead.
+      graft.ops.SemDedup.removedFromAssigned(
+        graft.ops.SemDedup.assign(emb, "vec_id", "embedding", cents),
+        threshold = 0.3)
+        .orderBy(col("vec_id"))
     }
   )
 }

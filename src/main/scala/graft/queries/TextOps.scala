@@ -29,6 +29,13 @@ object TextOps {
   private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** qt13 window geometry, interpolated into BOTH engines' plans so a
+    * retune can never leave the oracle on the old shape. Sized to the
+    * fixture's short docs so multi-window docs are actually exercised.
+    */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -1133,27 +1140,25 @@ object TextOps {
          |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
          |  FROM documents),
          |c AS (
-         |  SELECT doc_id, unnest(generate_series(1, len(t), 24)) AS s, t
+         |  SELECT doc_id, unnest(generate_series(1, len(t), $ChunkS)) AS s, t
          |  FROM toks WHERE len(t) >= 1)
          |SELECT doc_id,
-         |  CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
-         |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
-         |  md5(array_to_string(list_slice(t, s, s + 31), ' ')) AS chunk_fp
+         |  CAST((s - 1) // $ChunkS AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(t, s, s + ${ChunkW - 1})) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(t, s, s + ${ChunkW - 1}), ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      val W = 32
-      val S = 24
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
         .filter(size(col("t")) >= 1)
       toks
         .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), size(col("t")), lit(S))).as("st"))
+          explode(sequence(lit(1), size(col("t")), lit(ChunkS))).as("st"))
         .select(col("doc_id"),
-          floor((col("st") - 1) / S).cast(LongType).as("chunk_id"),
-          size(slice(col("t"), col("st"), lit(W))).cast(LongType)
+          floor((col("st") - 1) / ChunkS).cast(LongType).as("chunk_id"),
+          size(slice(col("t"), col("st"), lit(ChunkW))).cast(LongType)
             .as("n_tokens"),
-          md5(concat_ws(" ", slice(col("t"), col("st"), lit(W))))
+          md5(concat_ws(" ", slice(col("t"), col("st"), lit(ChunkW))))
             .as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }
