@@ -137,12 +137,21 @@ object KMeans {
 
   /** WITH-body CTE chain reproducing [[train]] in DuckDB SQL — seed
     * draw, `iters` unrolled assign/update rounds — ending in
-    * `afinal(vec_id, v, cid, d)` (final assignments) and
-    * `c$iters(cid, v)` (final centroids). Shared by the training
-    * oracle below and the SemDeDup oracle ([[SemDedup.duckDbOracle]]),
-    * which consumes the final assignments.
+    * `${prefix}afinal(vec_id, v, cid, d)` (final assignments) and
+    * `${prefix}c$iters(cid, v)` (final centroids). Shared by the
+    * training oracle below, the SemDeDup oracle
+    * ([[SemDedup.duckDbOracle]]), and — via `vExpr`/`prefix` — the
+    * product-quantization oracle ([[Pq.duckDbOracle]]), which unrolls
+    * one chain per subspace over sliced vectors.
+    *
+    * @param vExpr  SQL expression for the training vector (a DOUBLE[]
+    *               over the `embeddings` row)
+    * @param prefix CTE-name prefix, so multiple chains can coexist in
+    *               one WITH clause
     */
-  def assignmentCteBody(k: Int, iters: Int, dim: Int): String = {
+  def assignmentCteBody(k: Int, iters: Int, dim: Int,
+      vExpr: String = "CAST(embedding AS DOUBLE[])",
+      prefix: String = ""): String = {
     val hb = (p: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)"
     val bucket = s"${hb(1)} * 256 + ${hb(2)} * 16 + ${hb(3)}"
@@ -153,7 +162,7 @@ object KMeans {
          |      list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v) AS d,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cid) AS rk
-         |    FROM e, $cPrev c) WHERE rk = 1)""".stripMargin
+         |    FROM ${prefix}e e, $cPrev c) WHERE rk = 1)""".stripMargin
     def update(cNext: String, a: String) =
       s"""$cNext AS (
          |  SELECT cid, list(round(m, 6) ORDER BY i) AS v FROM (
@@ -161,17 +170,18 @@ object KMeans {
          |    FROM $a, range(1, ${dim + 1}) t(i) GROUP BY cid, i)
          |  GROUP BY cid)""".stripMargin
     val rounds = (1 to iters).map(i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i"))
+      assign(s"${prefix}a$i", s"${prefix}c${i - 1}") + ",\n" +
+        update(s"${prefix}c$i", s"${prefix}a$i"))
       .mkString(",\n")
-    s"""e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (
-       |  SELECT vec_id, v FROM e ORDER BY $bucket, vec_id LIMIT $k),
-       |c0 AS (
+    s"""${prefix}e AS (
+       |  SELECT vec_id, $vExpr AS v FROM embeddings),
+       |${prefix}seeds AS (
+       |  SELECT vec_id, v FROM ${prefix}e ORDER BY $bucket, vec_id LIMIT $k),
+       |${prefix}c0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY $bucket, vec_id) AS cid, v
-       |  FROM seeds),
+       |  FROM ${prefix}seeds),
        |$rounds,
-       |${assign("afinal", s"c$iters")}""".stripMargin
+       |${assign(s"${prefix}afinal", s"${prefix}c$iters")}""".stripMargin
   }
 
   /** DuckDB oracle: the identical computation (seed draw, `iters`

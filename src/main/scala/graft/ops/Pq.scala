@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Product quantization (PQ) — the memory-bound ANN path (Jégou et
+  * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011). The embedding space is split into `numSub` orthogonal
+  * subspaces; each subspace gets its own small k-means codebook
+  * (reusing [[KMeans.train]], so the whole derivation stays
+  * deterministic and oracle-checkable); a vector is stored as
+  * `numSub` small code ids instead of `dim` floats.
+  *
+  * Why this matters at 100 TB: a 64-dim float corpus is 256 bytes per
+  * vector; 8 subspaces × 16 codes is 8 bytes — 32× less. The encoded
+  * table fits in executor memory where raw vectors spill, and a query
+  * never touches the raw vectors at all: asymmetric distance
+  * computation (ADC) precomputes the `numSub × k` table of exact
+  * query-to-codeword distances once per query (driver-side, tiny) and
+  * scores each row with `numSub` array lookups + adds — one codegen'd
+  * scan over the codes, `TakeOrderedAndProject` keeps top-k per
+  * partition, no join, no shuffle. Composes with IVF
+  * ([[AnnIndex.buildIvf]]) for list-pruned scans at cluster scale.
+  *
+  * Determinism (DuckDB-oracle-checkable end to end): subspace
+  * codebooks inherit [[KMeans.train]]'s guarantees (md5-bucket seed
+  * draw, round-6 centroid quantization, ascending-cid tie-break);
+  * code assignment breaks distance ties by ascending cid; ADC entries
+  * are sequential left-fold double arithmetic in the same order as
+  * DuckDB's `list_dot_product`; the final per-row distance sums the
+  * subspace terms in ascending-subspace order and rounds to 6.
+  */
+object Pq {
+
+  /** Trained per-subspace codebooks. `books(m)` quantizes dims
+    * `[m·subDim, (m+1)·subDim)`; cids are 1-based and may be sparse
+    * (empty clusters drop, same as [[KMeans.train]]).
+    */
+  final case class Codebooks(numSub: Int, subDim: Int,
+      books: Seq[Seq[KMeans.Centroid]])
+
+  private def subCol(embCol: Column, m: Int, subDim: Int): Column =
+    slice(embCol, m * subDim + 1, subDim)
+
+  /** Train `numSub` codebooks of `k` codewords each. One
+    * [[KMeans.train]] per subspace over the sliced vectors — driver
+    * state is numSub × k × subDim doubles (= one full-dim codebook).
+    */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      numSub: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int): Codebooks = {
+    require(numSub > 0 && subDim > 0)
+    val books = (0 until numSub).map { m =>
+      KMeans.train(
+        df.select(col(idCol), subCol(col(embCol), m, subDim).as("sub")),
+        idCol, "sub", k, iters)
+    }
+    Codebooks(numSub, subDim, books)
+  }
+
+  /** Encode each vector as its `numSub` nearest-codeword ids — one
+    * codegen'd scan ([[KMeans.assignCol]] per subspace), output
+    * `(idCol, codes array<int>)`. This is the table a production
+    * deployment materializes; everything downstream reads codes only.
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      cb: Codebooks): DataFrame =
+    df.select(col(idCol),
+      array((0 until cb.numSub).map { m =>
+        KMeans.assignCol(subCol(col(embCol), m, cb.subDim), cb.books(m))
+          .cast(IntegerType)
+      }: _*).as("codes"))
+
+  /** Exact squared distance from the query's m-th subvector to each
+    * codeword, indexed by cid (1-based; dropped cids hold MaxValue and
+    * are never referenced by codes). Sequential left-fold double
+    * arithmetic in `qq − 2·qc + cc` order — bit-matching the oracle's
+    * `list_dot_product` expression.
+    */
+  private def distTable(queryVec: Array[Double], m: Int,
+      cb: Codebooks): Array[Double] = {
+    val q = queryVec.slice(m * cb.subDim, (m + 1) * cb.subDim)
+    val qq = q.foldLeft(0.0)((a, x) => a + x * x)
+    val dt = Array.fill(cb.books(m).map(_.cid).max)(Double.MaxValue)
+    cb.books(m).foreach { c =>
+      val qc = q.indices.foldLeft(0.0)((a, j) => a + q(j) * c.v(j))
+      val cc = c.v.foldLeft(0.0)((a, x) => a + x * x)
+      dt(c.cid - 1) = qq - 2 * qc + cc
+    }
+    dt
+  }
+
+  /** ADC top-k over an encoded corpus: `numSub` element_at lookups into
+    * the broadcast distance tables, summed in subspace order — codes
+    * only, the raw vectors are never read.
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      idCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      cb: Codebooks): DataFrame = {
+    val terms = (0 until cb.numSub).map { m =>
+      element_at(typedlit(distTable(queryVec, m, cb).toSeq),
+        element_at(col("codes"), m + 1))
+    }
+    encoded
+      .select(col(idCol), round(terms.reduce(_ + _), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle: one [[KMeans.assignmentCteBody]] chain per
+    * subspace over the sliced vectors (`prefix = s$m`), then the
+    * identical ADC sum — each row's per-subspace assigned centroid
+    * joined back and scored against the query's slices, rounded to 6.
+    * Verifies training, encoding, and ADC scoring end to end.
+    */
+  def duckDbOracle(queryId: Long, k: Int, numSub: Int, subDim: Int,
+      kPerSub: Int, iters: Int): String = {
+    val bodies = (0 until numSub).map { m =>
+      val lo = m * subDim + 1
+      val hi = (m + 1) * subDim
+      KMeans.assignmentCteBody(kPerSub, iters, subDim,
+        vExpr = s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]",
+        prefix = s"s$m")
+    }
+    val qCtes = (0 until numSub).map(m =>
+      s"q$m AS (SELECT v FROM s${m}e WHERE vec_id = $queryId)")
+    val dTerms = (0 until numSub).map(m =>
+      s"(list_dot_product(q$m.v, q$m.v) - 2 * list_dot_product(q$m.v, k$m.v)" +
+        s" + list_dot_product(k$m.v, k$m.v))").mkString("\n    + ")
+    val joins = (0 until numSub).map { m =>
+      val af = if (m == 0) s"s0afinal a0"
+        else s"JOIN s${m}afinal a$m ON a$m.vec_id = a0.vec_id"
+      val cj = s"JOIN s${m}c$iters k$m ON k$m.cid = a$m.cid"
+      if (m == 0) s"FROM $af $cj" else s"  $af $cj"
+    }.mkString("\n")
+    val qFrom = (0 until numSub).map(m => s"q$m").mkString(", ")
+    s"""WITH ${bodies.mkString(",\n")},
+       |${qCtes.mkString(",\n")}
+       |SELECT a0.vec_id, round($dTerms, 6) AS adc_dist
+       |$joins
+       |  , $qFrom
+       |WHERE a0.vec_id <> $queryId
+       |ORDER BY adc_dist, a0.vec_id LIMIT $k""".stripMargin
+  }
+}

@@ -326,6 +326,27 @@ object Similarity {
         graft.ops.SemDedup.assign(emb, "vec_id", "embedding", cents),
         threshold = 0.3)
         .orderBy(col("vec_id"))
+    },
+
+    // -------------------------------------------- product quantization
+    // graft.ops.Pq: the memory-bound ANN path — 8 subspace codebooks
+    // (16 codes each, trained with the deterministic KMeans trainer),
+    // vectors stored as 8 code ids (32× smaller than raw floats), and
+    // query scoring = asymmetric distance computation over the CODES
+    // ONLY (8 broadcast table lookups per row, one codegen'd scan, no
+    // join). The oracle re-derives all 8 codebooks in SQL (one unrolled
+    // Lloyd chain per subspace) and recomputes the identical ADC sum,
+    // verifying training + encoding + scoring end to end.
+    Q("qs9_pq_topk", graft.ops.Pq.duckDbOracle(0L, 20, numSub = 8,
+      subDim = 8, kPerSub = 16, iters = 2)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        numSub = 8, subDim = 8, k = 16, iters = 2)
+      val qVec = queryVec(s, dir, 0L)
+      val encoded = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+      graft.ops.Pq.adcTopK(encoded.filter(col("vec_id") =!= 0L),
+        "vec_id", qVec, k = 20, cb)
     }
   )
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pq-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 16
+  private val numSub = 4
+  private val subDim = 4
+
+  // deterministic pseudo-random vectors (no Random: reproducible here
+  // AND in the brute-force reference below)
+  private def vec(i: Long): Array[Double] =
+    Array.tabulate(dim)(d => (((i * 37 + d * 11) % 101) - 50) / 10.0)
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0L until 200L).map(i => (i, vec(i).map(_.toFloat))).toDF(
+      "vec_id", "embedding")
+  }
+
+  test("encode assigns every subspace the brute-force nearest codeword") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", numSub, subDim,
+      k = 8, iters = 2)
+    assert(cb.books.size === numSub)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for (i <- 0L until 200L; m <- 0 until numSub) {
+      val sub = vec(i).slice(m * subDim, (m + 1) * subDim)
+      val want = cb.books(m).minBy { c =>
+        (c.v.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum, c.cid)
+      }.cid
+      assert(codes(i)(m) === want, s"vec $i subspace $m")
+    }
+  }
+
+  test("adcTopK equals a brute-force ADC recompute (dist + order)") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", numSub, subDim,
+      k = 8, iters = 2)
+    val q = vec(0L)
+    val got = Pq.adcTopK(
+      Pq.encode(corpus, "vec_id", "embedding", cb)
+        .filter(col("vec_id") =!= 0L),
+      "vec_id", q, k = 10, cb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // reference: assign each subvector to its nearest codeword, sum the
+    // exact query-to-codeword squared distances in subspace order
+    def adc(i: Long): Double = (0 until numSub).map { m =>
+      val sub = vec(i).slice(m * subDim, (m + 1) * subDim)
+      val qm = q.slice(m * subDim, (m + 1) * subDim)
+      val c = cb.books(m).minBy { c =>
+        (c.v.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum, c.cid)
+      }
+      val qq = qm.foldLeft(0.0)((a, x) => a + x * x)
+      val qc = qm.indices.foldLeft(0.0)((a, j) => a + qm(j) * c.v(j))
+      val ccn = c.v.foldLeft(0.0)((a, x) => a + x * x)
+      qq - 2 * qc + ccn
+    }.sum
+    val want = (1L until 200L)
+      .map(i => (i, BigDecimal(adc(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got.toSeq === want)
+  }
+
+  test("encoded size is numSub small ints — the 32x-at-dim-64 compression") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", numSub, subDim,
+      k = 8, iters = 1)
+    val enc = Pq.encode(corpus, "vec_id", "embedding", cb)
+    assert(enc.schema.fieldNames.toSeq === Seq("vec_id", "codes"))
+    val row = enc.head()
+    assert(row.getSeq[Int](1).size === numSub)
+    // every code refers to a live codeword
+    val live = cb.books.map(_.map(_.cid).toSet)
+    enc.collect().foreach { r =>
+      r.getSeq[Int](1).zipWithIndex.foreach { case (c, m) =>
+        assert(live(m).contains(c))
+      }
+    }
+  }
+}
