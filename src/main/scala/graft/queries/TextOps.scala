@@ -36,6 +36,20 @@ object TextOps {
   private val ChunkW = 32
   private val ChunkS = 24
 
+  /** qt14 URL-component patterns (Java ∩ RE2 common dialect, like the
+    * PII set). The host charset excludes ':' so the port group is
+    * unambiguous without backtracking; the path's authority part
+    * excludes '/' for the same reason.
+    */
+  private val urlSchemeRe = "^[A-Za-z]+"
+  private val urlHostRe = "^[A-Za-z]+://([^/:?#]+)"
+  private val urlPortRe = "^[A-Za-z]+://[^/:?#]+(:[0-9]+)"
+  private val urlPathRe = "^[A-Za-z]+://[^/?#]+(/[^?#]*)"
+  private val urlQueryRe = "\\?([^#]*)"
+  private val urlUtmRe = "(^|&)utm_[a-z_]+=[^&#]*"
+  private val urlDomainRe = "[^.]+\\.[^.]+$"
+  private val urlWwwRe = "^www\\."
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -1161,6 +1175,117 @@ object TextOps {
           md5(concat_ws(" ", slice(col("t"), col("st"), lit(ChunkW))))
             .as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // --------------------------------------- URL canonicalize + dedup
+    // The CommonCrawl-pipeline front door (C4/RefinedWeb): canonicalize
+    // each document's source URL — lowercase scheme/host, strip "www.",
+    // default ports, tracking (utm_*) params, and fragments — then
+    // keep-first dedup by canonical URL and drop blocklisted domains.
+    // The corpus has no URL column, so both engines derive one in
+    // closed form from doc_id (the qm1/qt11 move), constructed so that
+    // case/www/utm/fragment variants AND true duplicates (ids 12 apart
+    // inside a 17-wide path window agree on every varying component)
+    // both occur. Shape at scale: pure per-row projections + the one
+    // unavoidable dedup shuffle on the canonical key + a low-
+    // cardinality domain rollup — no joins, nothing quadratic.
+    Q(
+      "qt14_url_canonicalize",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+         |    (CASE doc_id % 4 WHEN 0 THEN 'News.Example.COM' WHEN 1 THEN 'blog.example.org'
+         |      WHEN 2 THEN 'Docs.Example.com' ELSE 'spam.Tracker.NET' END) ||
+         |    (CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+         |    '/article/' || CAST(doc_id // 17 AS VARCHAR) ||
+         |    (CASE doc_id % 3
+         |      WHEN 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || CAST(doc_id % 2 AS VARCHAR)
+         |      WHEN 1 THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '$urlSchemeRe')) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url, '$urlHostRe', 1)), '$urlWwwRe', '') AS host,
+         |    regexp_extract(url, '$urlPortRe', 1) AS port,
+         |    regexp_extract(url, '$urlPathRe', 1) AS path,
+         |    regexp_replace(regexp_replace(regexp_extract(url, '$urlQueryRe', 1),
+         |      '$urlUtmRe', '', 'g'), '^&+', '') AS q
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || host ||
+         |    (CASE WHEN (scheme = 'https' AND port = ':443')
+         |       OR (scheme = 'http' AND port = ':80') THEN '' ELSE port END) ||
+         |    path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon,
+         |    regexp_extract(host, '$urlDomainRe') AS domain
+         |  FROM p),
+         |k AS (
+         |  SELECT doc_id, canon, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rk
+         |  FROM c)
+         |SELECT domain,
+         |  COUNT(*) AS n_urls,
+         |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+         |  MIN(canon) AS sample_canonical,
+         |  CAST(SUM(CASE WHEN rk = 1 AND domain <> 'tracker.net' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk = 1 AND domain <> 'tracker.net' THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, "HTTPS").otherwise("http"),
+          lit("://"),
+          when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
+          when(col("doc_id") % 4 === 0, "News.Example.COM")
+            .when(col("doc_id") % 4 === 1, "blog.example.org")
+            .when(col("doc_id") % 4 === 2, "Docs.Example.com")
+            .otherwise("spam.Tracker.NET"),
+          when(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0, ":443")
+            .otherwise(""),
+          lit("/article/"), floor(col("doc_id") / 17).cast(StringType),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&utm_campaign=c"),
+              (col("doc_id") % 7).cast(StringType),
+              lit("&ref="), (col("doc_id") % 2).cast(StringType)))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?ref="), (col("doc_id") % 2).cast(StringType)))
+            .otherwise(""),
+          when(col("doc_id") % 6 === 0, "#Section-2").otherwise(""))
+          .as("url"))
+      val p = u.select(
+        col("doc_id"),
+        lower(regexp_extract(col("url"), urlSchemeRe, 0)).as("scheme"),
+        regexp_replace(lower(regexp_extract(col("url"), urlHostRe, 1)),
+          urlWwwRe, "").as("host"),
+        regexp_extract(col("url"), urlPortRe, 1).as("port"),
+        regexp_extract(col("url"), urlPathRe, 1).as("path"),
+        regexp_replace(regexp_replace(
+          regexp_extract(col("url"), urlQueryRe, 1),
+          urlUtmRe, ""), "^&+", "").as("q"))
+      val c = p.select(
+        col("doc_id"),
+        concat(col("scheme"), lit("://"), col("host"),
+          when((col("scheme") === "https" && col("port") === ":443") ||
+            (col("scheme") === "http" && col("port") === ":80"), "")
+            .otherwise(col("port")),
+          col("path"),
+          when(col("q") === "", "").otherwise(concat(lit("?"), col("q"))))
+          .as("canon"),
+        regexp_extract(col("host"), urlDomainRe, 0).as("domain"))
+      val k = c.withColumn("rk",
+        row_number().over(Window.partitionBy(col("canon"))
+          .orderBy(col("doc_id"))))
+      val keeper = col("rk") === 1 && col("domain") =!= "tracker.net"
+      k.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon")).as("n_canonical"),
+          min(col("canon")).as("sample_canonical"),
+          sum(when(keeper, 1).otherwise(0)).cast(LongType).as("n_kept"),
+          sum(when(keeper, col("doc_id")).otherwise(0L)).cast(LongType)
+            .as("kept_id_sum"))
+        .orderBy(col("domain"))
     }
   )
 }
