@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** DSIR-style data selection: score raw-corpus documents by how much
+  * more typical they are of a small target domain than of the raw
+  * corpus, under hashed-n-gram bag-of-words models (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023). The pretraining-pipeline use: pick the slice of a
+  * web crawl that "looks like" a curated target (Wikipedia, books)
+  * without training a classifier.
+  *
+  * Hashing is the scale lever: profiles are bucket histograms of FIXED
+  * size `Buckets`, not vocabulary-sized — two ≤`Buckets`-row broadcast
+  * tables at any corpus size, so scoring is one scan over candidate
+  * gram occurrences with two broadcast joins + one per-doc groupBy;
+  * nothing grows with corpus size except the linear scan itself.
+  *
+  * Determinism (DuckDB-oracle-checkable): the paper's
+  * log(p_t/p_r) importance weight is replaced by the fixed-point ppm
+  * DIFFERENCE p̂_t − p̂_r per feature occurrence (the [[UnigramLM]]
+  * move: integer parts-per-million with add-1 smoothing, `div`
+  * arithmetic, no float log whose last ulp differs across engines).
+  * The sign of the per-doc sum — the keep decision — agrees with the
+  * log-ratio rule at the decision boundary p̂_t = p̂_r, and the
+  * monotone per-feature transform preserves the "target-leaning"
+  * ordering the selection step consumes.
+  */
+object Dsir {
+
+  /** Parts-per-million fixed-point scale (shared with [[UnigramLM]]). */
+  val Scale = 1000000L
+
+  /** Hashed feature space size: first 2 md5 hex digits. */
+  val Buckets = 256
+
+  /** Hashed feature id of one n-gram, in [0, Buckets). */
+  def bucket(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast(IntegerType)
+
+  /** One row per word-bigram OCCURRENCE: key columns + feature id `b`.
+    * Docs with fewer than 2 tokens contribute no rows (no features —
+    * excluded from scoring on both engines).
+    */
+  def featurize(df: DataFrame, textCol: String, tokenRe: String,
+      keyCols: Seq[String]): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(tokenRe), lit(0))
+    df.select(keyCols.map(col) :+ toks.as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select(keyCols.map(col) :+ explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"): _*)
+      .select(keyCols.map(col) :+ bucket(col("g")).as("b"): _*)
+  }
+
+  /** Per-document fixed-point importance scores for `cand` against a
+    * `target` feature sample. Both inputs are [[featurize]] outputs;
+    * `cand` must carry `docCol` (+ any extra key columns to keep).
+    *
+    * score(doc) = Σ_occurrences ppm_t(b) − ppm_r(b), where
+    * ppm_p(b) = (Scale · (c_p(b)+1)) div (N_p + Buckets) — add-1
+    * smoothing over the fixed bucket space, raw profile fitted on the
+    * candidates themselves.
+    */
+  def scores(cand: DataFrame, target: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val tProf = target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rProf = cand.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tot = target.agg(count(lit(1)).as("tn"))
+      .crossJoin(cand.agg(count(lit(1)).as("rn")))
+    cand
+      .join(broadcast(tProf), Seq("b"), "left")
+      .join(broadcast(rProf), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(expr(
+        s"(($Scale * (coalesce(ct, 0) + 1)) div (tn + $Buckets)) - " +
+          s"(($Scale * (coalesce(cr, 0) + 1)) div (rn + $Buckets))"))
+        .as("dsir_score"))
+  }
+
+  /** DuckDB expression for [[bucket]] over a gram column `g`. */
+  def bucketSql(g: String): String = {
+    def hx(p: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($g), $p, 1)) - 1)"
+    s"(${hx(1)} * 16 + ${hx(2)})"
+  }
+}

@@ -1286,6 +1286,62 @@ object TextOps {
           sum(when(keeper, col("doc_id")).otherwise(0L)).cast(LongType)
             .as("kept_id_sum"))
         .orderBy(col("domain"))
+    },
+
+    // ------------------------------------------- DSIR data selection
+    // graft.ops.Dsir: importance-resampling selection (Xie et al.
+    // 2023) — score each raw-corpus doc by hashed-bigram typicality of
+    // a target domain (source = 'src0' here) minus typicality of the
+    // raw corpus itself, in fixed-point ppm arithmetic (no float log;
+    // see the Dsir scaladoc for why the keep decision is preserved).
+    // Profiles are 256-bucket histograms regardless of corpus size, so
+    // the plan is: featurize scan → two ≤256-row broadcast joins →
+    // per-doc groupBy → per-source rollup. The candidate featurization
+    // feeds both its own profile and the scoring join; a production
+    // run would persist it (cheap recompute here keeps the Q lazy).
+    Q(
+      "qt15_dsir_selection",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |f AS (SELECT doc_id, source, ${graft.ops.Dsir.bucketSql("g")} AS b FROM g),
+         |tprof AS (SELECT b, COUNT(*) AS ct FROM f WHERE source = 'src0' GROUP BY b),
+         |rprof AS (SELECT b, COUNT(*) AS cr FROM f WHERE source <> 'src0' GROUP BY b),
+         |tot AS (SELECT
+         |  (SELECT COUNT(*) FROM f WHERE source = 'src0') AS tn,
+         |  (SELECT COUNT(*) FROM f WHERE source <> 'src0') AS rn),
+         |scored AS (
+         |  SELECT x.doc_id, x.source,
+         |    SUM(((${graft.ops.Dsir.Scale} * (COALESCE(tp.ct, 0) + 1)) // (tot.tn + ${graft.ops.Dsir.Buckets})) -
+         |        ((${graft.ops.Dsir.Scale} * (COALESCE(rp.cr, 0) + 1)) // (tot.rn + ${graft.ops.Dsir.Buckets}))) AS score
+         |  FROM f x LEFT JOIN tprof tp ON x.b = tp.b
+         |           LEFT JOIN rprof rp ON x.b = rp.b, tot
+         |  WHERE x.source <> 'src0'
+         |  GROUP BY x.doc_id, x.source)
+         |SELECT source, COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(score) AS BIGINT) AS score_sum,
+         |  CAST(SUM(CASE WHEN score > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val feat = graft.ops.Dsir.featurize(
+        Tables.load(s, dir, "documents"), "text", tokenRe,
+        Seq("doc_id", "source"))
+      val sc = graft.ops.Dsir.scores(
+        feat.filter(col("source") =!= "src0"),
+        feat.filter(col("source") === "src0"),
+        Seq("doc_id", "source"))
+      sc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("dsir_score") > 0, 1).otherwise(0)).cast(LongType)
+            .as("n_kept"),
+          sum(col("dsir_score")).cast(LongType).as("score_sum"),
+          sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
+            .cast(LongType).as("kept_id_sum"))
+        .orderBy(col("source"))
     }
   )
 }
