@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: physical plans of the round's new queries. */
+object PlanNewQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1) match { case _ => () }
+    for (q <- Seq("qs9_pq_topk", "qt14_url_canonicalize",
+        "qt15_dsir_selection")) {
+      println(s"\n===== $q =====")
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      println(plan.split('\n').take(36).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
