@@ -146,6 +146,43 @@ object ScaleLane {
         .count(), None)
     }
     embPairs.foreach { case (c, p) => c.unpersist(); p.unpersist() }
+    leg("qs9_pq_adc") {
+      // PQ at production shape: train 8 subspace codebooks, encode the
+      // corpus (the one-time index build), then the per-query op — an
+      // ADC scan over codes only. Linear in n at every stage; the
+      // training collects are k×subDim rows per round, never the data.
+      val e = emb.persist()
+      try {
+        val cb = graft.ops.Pq.train(e, "vec_id", "embedding",
+          numSub = 8, subDim = 8, k = 16, iters = 2)
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()
+          .head.getSeq[Float](0).map(_.toDouble).toArray
+        val enc = graft.ops.Pq.encode(e, "vec_id", "embedding", cb)
+          .persist()
+        try {
+          val nEnc = enc.count()
+          val rows = graft.ops.Pq.adcTopK(
+            enc.filter(col("vec_id") =!= 0L), "vec_id", q, k = 20, cb)
+            .count()
+          (rows, Some(nEnc))
+        } finally enc.unpersist()
+      } finally e.unpersist()
+    }
+    leg("qt15_dsir") {
+      // DSIR selection: profile size is FIXED (256 buckets) at any n,
+      // so wall time must track the featurize scan linearly. rows =
+      // scored candidate docs.
+      val feat = graft.ops.Dsir.featurize(docs, "text", "[a-z0-9]+",
+        Seq("doc_id", "source")).persist()
+      try {
+        feat.count()
+        (graft.ops.Dsir.scores(
+          feat.filter(col("source") =!= "src0"),
+          feat.filter(col("source") === "src0"),
+          Seq("doc_id", "source")).count(), None)
+      } finally feat.unpersist()
+    }
     Report(dir, NDocs, NEmb, needGen, genSec, legs.toSeq)
   }
 }

@@ -347,6 +347,47 @@ object Similarity {
       val encoded = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
       graft.ops.Pq.adcTopK(encoded.filter(col("vec_id") =!= 0L),
         "vec_id", qVec, k = 20, cb)
+    },
+
+    // ---------------------------------- two-stage truncated rerank
+    // The adaptive-retrieval pattern (matryoshka-style): stage 1
+    // shortlists by cosine over the FIRST 16 dims only — at scale the
+    // prefix is its own stored column, so the coarse scan reads 1/4 of
+    // the bytes and TakeOrderedAndProject keeps top-100 per partition;
+    // stage 2 exact-reranks the 100-row shortlist at full dimension.
+    // Both stages round to 6 with vec_id tie-breaks so the shortlist
+    // BOUNDARY is deterministic cross-engine, making the composition
+    // oracle-checkable (same CTEs in DuckDB).
+    Q("qs10_truncated_rerank",
+      s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v FROM ev WHERE vec_id = 0),
+         |coarse AS (
+         |  SELECT e.vec_id, e.label, e.v,
+         |    round(list_dot_product(e.v[1:16], q.v[1:16]) /
+         |      (sqrt(list_dot_product(e.v[1:16], e.v[1:16])) *
+         |       sqrt(list_dot_product(q.v[1:16], q.v[1:16]))), 6) AS coarse_sim
+         |  FROM ev e, q WHERE e.vec_id <> 0
+         |  ORDER BY coarse_sim DESC, vec_id LIMIT 100)
+         |SELECT c.vec_id, c.label, c.coarse_sim,
+         |  round(list_dot_product(c.v, q.v) /
+         |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+         |FROM coarse c, q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val qVec = queryVec(s, dir, 0L)
+      val qFull = typedlit(qVec.toSeq)
+      val qPre = typedlit(qVec.take(16).toSeq)
+      val coarse = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          round(cosine(slice(col("embedding"), 1, 16), qPre), 6)
+            .as("coarse_sim"))
+        .orderBy(col("coarse_sim").desc, col("vec_id"))
+        .limit(100)
+      coarse
+        .select(col("vec_id"), col("label"), col("coarse_sim"),
+          round(cosine(col("embedding"), qFull), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
     }
   )
 }
