@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Product quantization (PQ) — the memory-bound ANN path (Jégou et
   * al., "Product Quantization for Nearest Neighbor Search", TPAMI
@@ -43,9 +43,24 @@ object Pq {
   private def subCol(embCol: Column, m: Int, subDim: Int): Column =
     slice(embCol, m * subDim + 1, subDim)
 
-  /** Train `numSub` codebooks of `k` codewords each. One
-    * [[KMeans.train]] per subspace over the sliced vectors — driver
-    * state is numSub × k × subDim doubles (= one full-dim codebook).
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train `numSub` codebooks of `k` codewords each — semantically one
+    * [[KMeans.train]] per subspace over the sliced vectors, but FUSED:
+    * all subspaces share one seed collect and ONE scan per Lloyd
+    * iteration (every subspace's assignment in a single projection,
+    * then a subspace-tagged explode feeding one (m, cid, pos) avg
+    * groupBy). 1 + iters jobs total instead of numSub × (1 + iters) —
+    * at bench scale the 24 sequential job submissions of the unfused
+    * form dominated the wall clock (9.7 s → see scaladoc history).
+    * Equivalence: seeds are the same smallest-(md5-bucket, id) rows
+    * (slicing commutes with collecting), assignments are the same
+    * [[KMeans.assignCol]] expressions, and the per-(m, cid, pos) means
+    * aggregate the same rows with the same round-6 quantization —
+    * oracle results are bit-identical (re-verified at all three SFs).
+    * Driver state is numSub × k × subDim doubles (= one full-dim
+    * codebook).
     */
   def train(
       df: DataFrame,
@@ -55,11 +70,49 @@ object Pq {
       subDim: Int,
       k: Int,
       iters: Int): Codebooks = {
-    require(numSub > 0 && subDim > 0)
-    val books = (0 until numSub).map { m =>
-      KMeans.train(
-        df.select(col(idCol), subCol(col(embCol), m, subDim).as("sub")),
-        idCol, "sub", k, iters)
+    require(numSub > 0 && subDim > 0 && k > 0 && iters >= 0)
+    val emb = df.select(col(idCol).as("_pq_id"), col(embCol).as("v"))
+
+    // one seed collect of k FULL vectors, sliced driver-side — the
+    // per-subspace seed draw orders by the same (md5-bucket, id), so
+    // each subspace's seeds are exactly these rows' slices
+    val seedRows = emb
+      .orderBy(Sampling.hashBucket(col("_pq_id")), col("_pq_id"))
+      .limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Any](0).map(x =>
+        x.asInstanceOf[Number].doubleValue).toArray)
+    var books: Seq[Seq[KMeans.Centroid]] = (0 until numSub).map { m =>
+      seedRows.zipWithIndex.map { case (r, i) =>
+        KMeans.Centroid(i + 1, r.slice(m * subDim, (m + 1) * subDim))
+      }.toSeq
+    }
+
+    for (_ <- 1 to iters) {
+      // assignments in their OWN projection, generators in the next
+      // two — a Generate that re-evaluated the argmin per exploded row
+      // would recompute it subDim× (the KMeans.train lesson)
+      val assigned = emb.select(
+        (0 until numSub).flatMap { m =>
+          val sub = subCol(col("v"), m, subDim)
+          Seq(KMeans.assignCol(sub, books(m)).as(s"c$m"), sub.as(s"s$m"))
+        }: _*)
+      val upd = assigned
+        .select(explode(array((0 until numSub).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("cid"),
+            col(s"s$m").as("sv"))): _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("mean"))
+        .collect()
+      books = (0 until numSub).map { m =>
+        upd.filter(_.getInt(0) == m).groupBy(_.getInt(1)).toSeq
+          .map { case (cid, rows) =>
+            KMeans.Centroid(cid, rows.sortBy(_.getInt(2))
+              .map(r => round6(r.getDouble(3))).toArray)
+          }.sortBy(_.cid)
+      }
     }
     Codebooks(numSub, subDim, books)
   }
