@@ -242,25 +242,63 @@ object Multimodal {
         else {
           val w = 8 + (id % 9).toInt
           val h = 4 + (id % 5).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0,
-                ((id * 31 + (y * w + x) * 17 + 7) % 256).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val out = new java.io.ByteArrayOutputStream()
-          // in-memory ImageOutputStream: never spill executor tmp files
-          // for KB-sized encodes
-          javax.imageio.ImageIO.setUseCache(false)
-          javax.imageio.ImageIO.write(img, "png", out)
-          out.toByteArray
+          grayPng(w, h, i => ((id * 31 + i * 17 + 7) % 256).toInt)
+        }
+      (id, "image", content, Map.empty[String, String])
+    }.toDF("media_id", "media_type", "content", "meta")
+  }
+
+  /** Encode one grayscale PNG from a row-major pixel closed form —
+    * executor-side, in-memory (never spill executor tmp files for
+    * KB-sized encodes).
+    */
+  private def grayPng(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixel(y * w + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-PNG corpus with INJECTED NEAR-DUPLICATES, for perceptual
+    * dedup ([[PHash]]): ids ≡ 7 (mod 10) replicate the image of
+    * id − 7 (same dims, same pixel closed form seeded by the BASE id)
+    * with a one-pixel perturbation (+1 on pixel 0, mod 256) — a
+    * minimal edit a perceptual hash must see through. Pixel values
+    * use a per-image stride (17 + 2·(base%5)) so unrelated images
+    * differ structurally, not by a constant brightness shift (aHash
+    * is shift-invariant by design — constant-shifted copies would be
+    * legitimate matches, but they'd swamp the injected signal the
+    * oracle wants to isolate). Corrupt rows as in
+    * [[syntheticPngMedia]].
+    */
+  def syntheticPngNearDupMedia(docIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 37 == 0)
+          "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        else {
+          val base = if (id % 10 == 7) id - 7 else id
+          val w = 8 + (base % 9).toInt
+          val h = 4 + (base % 5).toInt
+          val stride = 17 + 2 * (base % 5).toInt
+          grayPng(w, h, i =>
+            ((base * 31 + i * stride + 7 +
+              (if (i == 0 && id % 10 == 7) 1 else 0)) % 256).toInt)
         }
       (id, "image", content, Map.empty[String, String])
     }.toDF("media_id", "media_type", "content", "meta")

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Perceptual-hash near-duplicate detection for image columns — the
+  * multimodal member of the dedup family (qd1-qd9 cover text, qs5
+  * embeddings; this covers pixels). Classic average-hash (aHash):
+  * subsample the decoded grayscale payload to 64 values, threshold
+  * each against the image mean, pack the sign bits into a 64-bit
+  * fingerprint. Re-encoded, resized, or slightly-edited copies of an
+  * image land within a few bits of each other.
+  *
+  * Determinism: the subsample index is integer arithmetic
+  * ((j·n) div 64), the threshold is the integer comparison
+  * 64·px ≥ Σpx (no float mean), so a SQL oracle can recompute every
+  * fingerprint from closed-form pixels without decoding.
+  *
+  * Scale shape — identical to [[SimHash]] (the pigeonhole banding is
+  * the same): fingerprints are one decode scan (blobs never leave
+  * executors, the fingerprint relation is media_id + 4 longs); the
+  * 4×16-bit band self-join is a complete candidate generator for
+  * Hamming ≤ 3; verification is bit_count(xor) on the tiny joined
+  * relation. Never all-pairs.
+  */
+object PHash {
+
+  val Bits = 64
+  val Bands = 4
+  val BitsPerBand = 16
+
+  /** aHash fingerprints of every decodable image: (media_id, b0..b3)
+    * 16-bit band ints. One bounded-batch decode scan.
+    */
+  def fingerprints(media: DataFrame,
+      codec: Multimodal.Codec = Multimodal.decodeOne,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Multimodal.decode(media, batchSize, codec)
+      .filter(_.payload.nonEmpty)
+      .map { d =>
+        val n = d.payload.length
+        val px = Array.tabulate(Bits)(j =>
+          d.payload(((j.toLong * n) / Bits).toInt) & 0xFF)
+        val sum = px.sum
+        val bands = Array.fill(Bands)(0L)
+        var j = 0
+        while (j < Bits) {
+          if (Bits.toLong * px(j) >= sum)
+            bands(j / BitsPerBand) |= 1L << (j % BitsPerBand)
+          j += 1
+        }
+        (d.media_id, bands(0), bands(1), bands(2), bands(3))
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-dup pairs (a < b) within `maxHamming` bits — complete for
+    * maxHamming ≤ 3 via the 4-band pigeonhole (two hashes ≤ 3 bits
+    * apart agree on at least one band).
+    */
+  def nearDupPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= Bands - 1,
+      s"band bucketing is complete only up to hamming ${Bands - 1}")
+    val pinned = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = pinned.select(col("media_id"),
+      posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
+        .as(Seq("band", "value")))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.value") === col("y.value") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .distinct()
+    val fpa = pinned.select(col("media_id").as("a") +:
+      (0 until Bands).map(j => col(s"b$j").as(s"xa$j")): _*)
+    val fpb = pinned.select(col("media_id").as("b") +:
+      (0 until Bands).map(j => col(s"b$j").as(s"xb$j")): _*)
+    val hamming = (0 until Bands).map(j =>
+      bit_count(col(s"xa$j").bitwiseXOR(col(s"xb$j")))).reduce(_ + _)
+    candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
+      .select(col("a"), col("b"), hamming.cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

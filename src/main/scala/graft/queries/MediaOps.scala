@@ -224,5 +224,54 @@ object MediaOps {
         .select(col("media_id"), col("width"), col("height"),
           col("payload_bytes"), col("byte_sum"), col("top_bin"))
         .orderBy("media_id")
+    },
+
+    // --------------------------------------- perceptual image dedup
+    // graft.ops.PHash over real PNG blobs with injected near-dup pairs
+    // (ids ≡ 7 mod 10 replicate id−7's image, one pixel perturbed):
+    // decode with javax.imageio → 64-bit average-hash (integer
+    // subsample + integer mean threshold) → 4×16-bit band candidate
+    // join → Hamming ≤ 3 verify. The oracle recomputes every
+    // fingerprint from the pixel closed form WITHOUT decoding and goes
+    // all-pairs (test-SF only; the Spark side never does). This is the
+    // multimodal member of the dedup family — image re-encodes/edits
+    // that survive doc-level and embedding dedup.
+    Q(
+      "qm5_phash_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 37 <> 0),
+        |d AS (SELECT id,
+        |  CASE WHEN id % 10 = 7 THEN id - 7 ELSE id END AS base FROM ids),
+        |g AS (SELECT id, base, 8 + base % 9 AS w, 4 + base % 5 AS h,
+        |  17 + 2 * (base % 5) AS stride FROM d),
+        |px AS (
+        |  SELECT id, j,
+        |    (base * 31 + ((j * (w * h)) // 64) * stride + 7 +
+        |     CASE WHEN (j * (w * h)) // 64 = 0 AND id % 10 = 7 THEN 1 ELSE 0 END) % 256 AS p
+        |  FROM g, (SELECT unnest(range(0, 64)) AS j)),
+        |s AS (SELECT id, SUM(p) AS tot FROM px GROUP BY id),
+        |bits AS (
+        |  SELECT px.id, px.j, CASE WHEN 64 * px.p >= s.tot THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN s ON px.id = s.id),
+        |fp AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY id)
+        |SELECT x.id AS a, y.id AS b,
+        |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+        |FROM fp x JOIN fp y ON x.id < y.id
+        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticPngNearDupMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      val fp = graft.ops.PHash.fingerprints(media,
+        codec = graft.ops.Multimodal.pngCodec)
+      graft.ops.PHash.nearDupPairs(fp, maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     })
 }

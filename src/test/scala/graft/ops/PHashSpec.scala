@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PHashSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-phash-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("injected one-pixel-edit pairs are found within hamming 3") {
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    val media = Multimodal.syntheticPngNearDupMedia(ids)
+    val fp = PHash.fingerprints(media, codec = Multimodal.pngCodec)
+    val pairs = PHash.nearDupPairs(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every (10k, 10k+7) pair with neither side corrupt must be found:
+    // a one-pixel edit moves the average hash at most a few bits
+    for (k <- 0L until 10L) {
+      val (a, b) = (10 * k, 10 * k + 7)
+      if (a % 37 != 0 && b % 37 != 0) {
+        assert(pairs.contains((a, b)), s"injected pair ($a,$b) missing")
+        assert(pairs((a, b)) <= 3)
+      }
+    }
+  }
+
+  test("fingerprints skip corrupt blobs and band ints stay in 16 bits") {
+    import spark.implicits._
+    val ids = (0L until 80L).toDF("doc_id")
+    val fp = PHash.fingerprints(
+      Multimodal.syntheticPngNearDupMedia(ids),
+      codec = Multimodal.pngCodec).collect()
+    val idSet = fp.map(_.getLong(0)).toSet
+    assert(!idSet.contains(0L) && !idSet.contains(37L) &&
+      !idSet.contains(74L))
+    assert(fp.length == 80 - 3)
+    fp.foreach { r =>
+      for (j <- 1 to 4) {
+        val v = r.getLong(j)
+        assert(v >= 0L && v < (1L << 16), s"band ${j - 1} out of range: $v")
+      }
+    }
+  }
+
+  test("band bucketing finds exactly the brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    val ids = (0L until 150L).toDF("doc_id")
+    val fp = PHash.fingerprints(
+      Multimodal.syntheticPngNearDupMedia(ids),
+      codec = Multimodal.pngCodec)
+      .persist()
+    val got = PHash.nearDupPairs(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = fp.collect().map(r =>
+      (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    val want = (for {
+      (a, ba) <- rows; (b, bb) <- rows if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === want)
+    fp.unpersist()
+  }
+}
