@@ -50,6 +50,9 @@ object TextOps {
   private val urlDomainRe = "[^.]+\\.[^.]+$"
   private val urlWwwRe = "^www\\."
 
+  /** qd10 containment threshold, interpolated into both engines. */
+  private val ContainT = 0.8
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -1342,6 +1345,90 @@ object TextOps {
           sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
             .cast(LongType).as("kept_id_sum"))
         .orderBy(col("source"))
+    },
+
+    // -------------------------------------------- containment dedup
+    // Asymmetric set containment C(A,B) = |A∩B|/|A| ≥ t over distinct
+    // bigram shingles: catches a SHORT doc whose content sits inside a
+    // LONG one — the quote/partial-copy case symmetric Jaccard (qd5)
+    // misses (the union is dominated by the long doc) and dupspan
+    // (qd9) only sees when verbatim. Candidate generation is the
+    // asymmetric prefix-filter join: the probe side is each doc's
+    // sz − ⌈t·sz⌉ + 1 RAREST shingles (rarity-ordered dense ids, so
+    // prefix postings are the short ones), the index side is the FULL
+    // posting list (the container's matches can sit anywhere in it),
+    // with the positional overlap bound and the |B| ≥ t·|A| length
+    // filter pruning before the join output; exact verification runs
+    // the codegen'd two-pointer intersect count on the candidates
+    // only. The oracle goes all-pairs (test SF only); both engines
+    // compare the DIVISION common/|A| against t so the boundary
+    // agrees bit-for-bit.
+    Q(
+      "qd10_containment_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS s
+         |  FROM toks WHERE len(t) >= 2)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 6) AS containment
+         |FROM sh x, sh y
+         |WHERE x.doc_id <> y.doc_id
+         |  AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) >= $ContainT
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = ContainT
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), shingleCol(col("toks"), 2).as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("shingle"))
+        .select(col("shingle")).rdd.zipWithIndex()
+        .map { case (row, idx) => (row.getString(0), idx) }
+        .toDF("shingle", "sid")
+      val vecs = inv.join(dict, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("sid"))).as("vec"))
+        .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // probe = A's prefix: overlap ≥ ⌈t·|A|⌉ forces a hit among the
+      // first |A| − ⌈t·|A|⌉ + 1 rarity-ordered items (the 1e-9 slack
+      // keeps ceil() from rounding an exact t·|A| product UP a notch —
+      // that would shorten the prefix and can only LOSE true pairs)
+      val prefix = vecs.select(col("doc_id"), col("sz"),
+        posexplode(slice(col("vec"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1)
+            .cast("int"))).as(Seq("pos", "sid")))
+      // index = FULL postings with positions (container side)
+      val full = vecs.select(col("doc_id"), col("sz"),
+        posexplode(col("vec")).as(Seq("pos", "sid")))
+      val needed = col("x.sz") * lit(t) - lit(1e-9)
+      val cands = prefix.as("x").join(full.as("y"),
+          col("x.sid") === col("y.sid") &&
+            col("x.doc_id") =!= col("y.doc_id") &&
+            // |A∩B| ≤ |B|: containers shorter than t·|A| are impossible
+            col("y.sz") >= needed &&
+            // positional bound at the first (rarity-ordered) collision
+            (lit(1) + least(col("x.sz") - col("x.pos") - 1,
+              col("y.sz") - col("y.pos") - 1)) >= needed)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      cands
+        .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
+          col("sz").as("sa")), "a")
+        .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb")), "b")
+        .select(col("a"), col("b"),
+          (graft.functions.SortedArrayIntersectCount
+            .count(col("va"), col("vb")).cast(DoubleType) /
+            col("sa")).as("c"))
+        .filter(col("c") >= t)
+        .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }
