@@ -169,6 +169,13 @@ object ScaleLane {
         } finally enc.unpersist()
       } finally e.unpersist()
     }
+    leg("qd10_containment_autowidth") {
+      // containment shares qd5's saturated-vocab failure mode (the
+      // probe prefix only prunes while shingles are rare): width=2 at
+      // 25k docs measured 206 s; autoWidth restores rare prefixes
+      val w = TextOps.autoWidth(NDocs.toLong, 31)
+      (TextOps.containmentPairs(spark, dir, 0.8, w).count(), None)
+    }
     leg("qt15_dsir") {
       // DSIR selection: profile size is FIXED (256 buckets) at any n,
       // so wall time must track the featurize scan linearly. rows =

@@ -129,6 +129,11 @@ object TextOps {
       width: Int): Long =
     exactJaccardPairs(s, dir, t, width).count()
 
+  /** Probe hook for graft.tools containment width sweeps. */
+  def containmentPairsProbe(s: SparkSession, dir: String, t: Double,
+      width: Int): Long =
+    containmentPairs(s, dir, t, width).count()
+
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
       width: Int = 2): DataFrame = {
@@ -1377,58 +1382,73 @@ object TextOps {
          |WHERE x.doc_id <> y.doc_id
          |  AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) >= $ContainT
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val t = ContainT
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), shingleCol(col("toks"), 2).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df"), col("shingle"))
-        .select(col("shingle")).rdd.zipWithIndex()
-        .map { case (row, idx) => (row.getString(0), idx) }
-        .toDF("shingle", "sid")
-      val vecs = inv.join(dict, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("sid"))).as("vec"))
-        .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // probe = A's prefix: overlap ≥ ⌈t·|A|⌉ forces a hit among the
-      // first |A| − ⌈t·|A|⌉ + 1 rarity-ordered items (the 1e-9 slack
-      // keeps ceil() from rounding an exact t·|A| product UP a notch —
-      // that would shorten the prefix and can only LOSE true pairs)
-      val prefix = vecs.select(col("doc_id"), col("sz"),
-        posexplode(slice(col("vec"), lit(1),
-          (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1)
-            .cast("int"))).as(Seq("pos", "sid")))
-      // index = FULL postings with positions (container side)
-      val full = vecs.select(col("doc_id"), col("sz"),
-        posexplode(col("vec")).as(Seq("pos", "sid")))
-      val needed = col("x.sz") * lit(t) - lit(1e-9)
-      val cands = prefix.as("x").join(full.as("y"),
-          col("x.sid") === col("y.sid") &&
-            col("x.doc_id") =!= col("y.doc_id") &&
-            // |A∩B| ≤ |B|: containers shorter than t·|A| are impossible
-            col("y.sz") >= needed &&
-            // positional bound at the first (rarity-ordered) collision
-            (lit(1) + least(col("x.sz") - col("x.pos") - 1,
-              col("y.sz") - col("y.pos") - 1)) >= needed)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      cands
-        .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
-          col("sz").as("sa")), "a")
-        .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb")), "b")
-        .select(col("a"), col("b"),
-          (graft.functions.SortedArrayIntersectCount
-            .count(col("va"), col("vb")).cast(DoubleType) /
-            col("sa")).as("c"))
-        .filter(col("c") >= t)
-        .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
+      // width pinned to 2 for the oracle (its CTE builds bigrams);
+      // production sizing is autoWidth — the scale lane runs that path
+      containmentPairs(s, dir, ContainT, width = 2)
         .orderBy(col("a"), col("b"))
     }
   )
+
+  /** Asymmetric containment pairs C(A,B) = |A∩B|/|A| ≥ t over distinct
+    * word `width`-gram shingles (qd10's engine; see the qd10 entry for
+    * the candidate-generation design). `width` is the saturated-vocab
+    * scale knob exactly as in [[exactJaccardPairs]]: the probe prefix
+    * only prunes while its shingles are rare, so callers at scale pass
+    * [[autoWidth]]. Returns (a = contained, b = container,
+    * containment) unordered.
+    */
+  private[queries] def containmentPairs(
+      s: SparkSession, dir: String, t: Double, width: Int): DataFrame = {
+    import s.implicits._
+    require(width >= 2, s"shingle width must be >= 2, got $width")
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), shingleCol(col("toks"), width).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("shingle"))
+      .select(col("shingle")).rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getString(0), idx) }
+      .toDF("shingle", "sid")
+    val vecs = inv.join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("vec"))
+      .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe = A's prefix: overlap ≥ ⌈t·|A|⌉ forces a hit among the
+    // first |A| − ⌈t·|A|⌉ + 1 rarity-ordered items (the 1e-9 slack
+    // keeps ceil() from rounding an exact t·|A| product UP a notch —
+    // that would shorten the prefix and can only LOSE true pairs)
+    val prefix = vecs.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("vec"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1)
+          .cast("int"))).as(Seq("pos", "sid")))
+    // index = FULL postings with positions (container side)
+    val full = vecs.select(col("doc_id"), col("sz"),
+      posexplode(col("vec")).as(Seq("pos", "sid")))
+    val needed = col("x.sz") * lit(t) - lit(1e-9)
+    val cands = prefix.as("x").join(full.as("y"),
+        col("x.sid") === col("y.sid") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          // |A∩B| ≤ |B|: containers shorter than t·|A| are impossible
+          col("y.sz") >= needed &&
+          // positional bound at the first (rarity-ordered) collision
+          (lit(1) + least(col("x.sz") - col("x.pos") - 1,
+            col("y.sz") - col("y.pos") - 1)) >= needed)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
+        col("sz").as("sa")), "a")
+      .join(vecs.select(col("doc_id").as("b"), col("vec").as("vb")), "b")
+      .select(col("a"), col("b"),
+        (graft.functions.SortedArrayIntersectCount
+          .count(col("va"), col("vb")).cast(DoubleType) /
+          col("sa")).as("c"))
+      .filter(col("c") >= t)
+      .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
+  }
 }

@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev harness: containmentPairs wall time at a given width. */
+object TimeContain {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val width = args(1).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    for (pass <- 1 to 2) {
+      if (pass > 1) spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val c = graft.queries.TextOps.containmentPairsProbe(spark, dir, 0.8, width)
+      println(f"[time] containment w=$width pass$pass: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
+    }
+    spark.stop()
+  }
+}

@@ -42,6 +42,29 @@ class SharedPairsSpec extends AnyFunSuite {
     assert(pairs.orderBy("a", "b").collect().toSeq == before)
   }
 
+  test("containmentPairs matches brute force at widths 2 and 3") {
+    for (w <- Seq(2, 3)) {
+      val got = TextOps.containmentPairs(spark, dir, 0.8, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val re = "[a-z0-9]+".r
+      val sets = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> {
+          val t = re.findAllIn(r.getString(1)).toArray
+          t.sliding(w).filter(_.length == w).map(_.mkString(" ")).toSet
+        })
+        .filter(_._2.nonEmpty).toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        c = sa.intersect(sb).size.toDouble / sa.size
+        if c >= 0.8
+      } yield (a, b, BigDecimal(c)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got === want, s"width $w")
+    }
+  }
+
   test("embeddingNearDupPairs memoizes and re-arms too") {
     val a = Similarity.embeddingNearDupPairs(spark, dir)
     assert(a eq Similarity.embeddingNearDupPairs(spark, dir))
