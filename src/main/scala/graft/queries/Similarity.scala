@@ -388,6 +388,42 @@ object Similarity {
           round(cosine(col("embedding"), qFull), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ------------------------------------ cluster-balanced sampling
+    // Diversity sampling for training-set construction: k-means
+    // partitions the embedding space (the qs6 trainer), then exactly
+    // min(K, |cluster|) rows per cluster via the deterministic salted
+    // tournament (the qt7 sampler) — equal representation from every
+    // region of the space instead of frequency-proportional draws
+    // (the SemDeDup paper's "prototypicality" cousin). Composes two
+    // already-verified families; the oracle chains the unrolled-Lloyd
+    // assignment CTEs into qt7's single-window sampling formulation.
+    Q("qs11_cluster_sample",
+      s"""WITH ${graft.ops.KMeans.assignmentCteBody(8, 2, 64)},
+         |h AS (
+         |  SELECT a.cid AS list_id, a.vec_id, e.label,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 2, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 3, 1)) - 1) AS u
+         |  FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |r AS (
+         |  SELECT list_id, vec_id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY u, vec_id) AS rk
+         |  FROM h)
+         |SELECT CAST(list_id AS BIGINT) AS list_id, vec_id, label
+         |FROM r WHERE rk <= 5 ORDER BY list_id, vec_id""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val assigned = emb.select(col("vec_id"), col("label"),
+        graft.ops.KMeans.assignCol(col("embedding"), cents)
+          .cast(LongType).as("list_id"))
+      graft.ops.Sampling.exactKSample(assigned, "vec_id", "list_id", k = 5)
+        .select(col("list_id"), col("vec_id"), col("label"))
+        .orderBy(col("list_id"), col("vec_id"))
     }
   )
 }
