@@ -131,6 +131,45 @@ object Events {
           min(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("min_value"),
           max(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("max_value"))
         .orderBy(col("event_type"))
+    },
+
+    // cohort retention: the classic activity matrix — users cohorted
+    // by first-active day, counted at each later active-day offset.
+    // Day boundaries are computed on day-truncated timestamps so both
+    // engines count whole days. Shape at scale: the first-activity
+    // table is |users| rows (shuffle join on user_id); everything else
+    // is map-side-combined aggregation; output is |days|²/2 rows.
+    Q(
+      "qe5_retention_cohorts",
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_day,
+        |    date_diff('day', f.cohort_day, e.d) AS day_offset
+        |  FROM e JOIN f ON e.user_id = f.user_id),
+        |sz AS (
+        |  SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY cohort_day)
+        |SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_active, sz.cohort_size
+        |FROM act a JOIN sz ON sz.cohort_day = a.cohort_day
+        |GROUP BY a.cohort_day, a.day_offset, sz.cohort_size
+        |ORDER BY a.cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      val f = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val act = e.join(f, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast(LongType)
+            .as("day_offset"))
+        .distinct()
+      val sz = f.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      act.groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sz, "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_size"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }
   )
 }
