@@ -170,6 +170,58 @@ object Events {
         .select(col("cohort_day"), col("day_offset"), col("n_active"),
           col("cohort_size"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // ordered funnel: view → click (after the first view) → purchase
+    // (after that click), per user, with strict time ordering on
+    // second-truncated timestamps (the ns caveat above). Three
+    // successively-filtered min-aggregations — each stage is one
+    // map-side-combined groupBy + one join against the (≤ |users|)
+    // previous stage, never a per-user window over all events.
+    Q(
+      "qe6_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS sec
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(sec) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.sec) AS c_ts
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.sec > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.sec) AS p_ts
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+        |  CAST((SELECT SUM(date_diff('second', v.v_ts, p.p_ts))
+        |        FROM p JOIN v ON p.user_id = v.user_id) AS BIGINT)
+        |    AS total_conversion_s""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("sec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("sec") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("sec") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        .crossJoin(p.join(v, "user_id")
+          .agg(sum(col("p_ts").cast(LongType) - col("v_ts").cast(LongType))
+            .as("total_conversion_s")))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"), col("total_conversion_s"))
     }
   )
 }

@@ -424,6 +424,44 @@ object Similarity {
       graft.ops.Sampling.exactKSample(assigned, "vec_id", "list_id", k = 5)
         .select(col("list_id"), col("vec_id"), col("label"))
         .orderBy(col("list_id"), col("vec_id"))
+    },
+
+    // ------------------------------------------ ANN recall evaluation
+    // The index-quality measurement step every ANN deployment runs:
+    // recall@20 of the LSH probe and the PQ/ADC scorer against the
+    // exact brute-force top-20, as hit COUNTS (exact integers). Each
+    // leg is the same pipeline its own query (qs1/qs3/qs9) verifies;
+    // the oracle nests those three oracles as CTEs and intersects —
+    // so this checks the three paths against each other, not just
+    // each against DuckDB.
+    Q("qs12_ann_recall",
+      s"""WITH exact AS (${bruteForceOracle(0L, 20)}),
+         |lsh AS (${lshOracle(0L, 20, AnnL, AnnBits)}),
+         |pq AS (${graft.ops.Pq.duckDbOracle(0L, 20, numSub = 8,
+        subDim = 8, kPerSub = 16, iters = 2)})
+         |SELECT 20 AS k,
+         |  CAST((SELECT COUNT(*) FROM lsh l JOIN exact e ON l.vec_id = e.vec_id) AS BIGINT) AS lsh_hits,
+         |  CAST((SELECT COUNT(*) FROM pq p JOIN exact e ON p.vec_id = e.vec_id) AS BIGINT) AS pq_hits""".stripMargin) {
+      (s, dir) =>
+      val exact = bruteForceTopK(s, dir, 0L, 20).select(col("vec_id"))
+      val db = ensureIndexes(s, dir)
+      val qVec = queryVec(s, dir, 0L)
+      val lsh = graft.ops.AnnIndex.probeLsh(
+        s.table(s"$CatalogName.$db.emb_lsh").filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", qVec, k = 20, l = AnnL, bits = AnnBits,
+        seed = AnnSeed).select(col("vec_id"))
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        numSub = 8, subDim = 8, k = 16, iters = 2)
+      val pq = graft.ops.Pq.adcTopK(
+        graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+          .filter(col("vec_id") =!= 0L),
+        "vec_id", qVec, k = 20, cb).select(col("vec_id"))
+      lsh.join(exact, "vec_id").agg(count(lit(1)).as("lsh_hits"))
+        .crossJoin(pq.join(exact, "vec_id").agg(count(lit(1)).as("pq_hits")))
+        .select(lit(20).as("k"), col("lsh_hits").cast(LongType),
+          col("pq_hits").cast(LongType))
     }
   )
 }
