@@ -1352,6 +1352,48 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // --------------------------------------- chunk-level exact dedup
+    // Dedup at TRAINING-WINDOW granularity: split every doc into
+    // non-overlapping 32-token windows (the qt13 chunker at stride =
+    // width) and group identical windows by md5 — the dedup actually
+    // applied to context windows before batching, catching whole-doc
+    // copies AND repeated leading/trailing blocks that doc-level qd1
+    // treats as distinct documents. One explode + one map-side-combined
+    // groupBy on the fingerprint; output is only the duplicate groups.
+    Q(
+      "qd11_chunk_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t), $ChunkW)) AS s, t
+         |  FROM toks WHERE len(t) >= 1),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(t, s, s + ${ChunkW - 1}), ' ')) AS chunk_fp
+         |  FROM c)
+         |SELECT chunk_fp, COUNT(*) AS n_copies,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+         |FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1
+         |ORDER BY chunk_fp""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(ChunkW))).as("st"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("t"), col("st"), lit(ChunkW))))
+            .as("chunk_fp"))
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("chunk_fp"))
+    },
+
     // -------------------------------------------- containment dedup
     // Asymmetric set containment C(A,B) = |A∩B|/|A| ≥ t over distinct
     // bigram shingles: catches a SHORT doc whose content sits inside a
