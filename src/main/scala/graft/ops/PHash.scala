@@ -64,7 +64,12 @@ object PHash {
   def nearDupPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= Bands - 1,
       s"band bucketing is complete only up to hamming ${Bands - 1}")
-    val pinned = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers (banding + both hamming-verify legs); respect a
+    // caller-managed persist, pin only when the caller didn't
+    val pinned =
+      if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fp
     val banded = pinned.select(col("media_id"),
       posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "value")))

@@ -13,7 +13,6 @@ object PlanNewQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.drop(1) match { case _ => () }
     for (q <- Seq("qs9_pq_topk", "qt14_url_canonicalize",
         "qt15_dsir_selection")) {
       println(s"\n===== $q =====")
