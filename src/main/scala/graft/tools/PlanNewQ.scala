@@ -14,7 +14,9 @@ object PlanNewQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("qs9_pq_topk", "qt14_url_canonicalize",
-        "qt15_dsir_selection")) {
+        "qt15_dsir_selection", "qd10_containment_dedup",
+        "qd11_chunk_dedup", "qs11_cluster_sample", "qs12_ann_recall",
+        "qe5_retention_cohorts", "qe6_funnel", "qm5_phash_neardup")) {
       println(s"\n===== $q =====")
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
