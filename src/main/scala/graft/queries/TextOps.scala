@@ -53,6 +53,10 @@ object TextOps {
   /** qd10 containment threshold, interpolated into both engines. */
   private val ContainT = 0.8
 
+  /** qt16 bigram-model size — small enough that the unigram-backoff
+    * path genuinely fires on this corpus (≤961 distinct bigrams). */
+  private val BigramTopB = 300
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -1354,6 +1358,87 @@ object TextOps {
           sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
             .cast(LongType).as("kept_id_sum"))
         .orderBy(col("source"))
+    },
+
+    // -------------------------------------- bigram-LM quality scoring
+    // The higher-order member of the perplexity-filter family (qt8 is
+    // the unigram case; CCNet uses 5-gram KenLM): per-doc mean of the
+    // conditional bigram probability p(w2|w1) in fixed-point ppm, with
+    // unigram BACKOFF (ppm div 10) when the bigram falls outside the
+    // top-B model — B = 300 is sized so the backoff path genuinely
+    // fires on this corpus. The bigram model carries its own
+    // denominator (c(w1) joined at model-build time), so scoring is
+    // two ≤B/≤V-row broadcast joins over the bigram-occurrence scan —
+    // nothing vocabulary-sized ships to executors. All-integer
+    // arithmetic keeps both engines bit-identical.
+    Q(
+      "qt16_bigram_lm",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, regexp_extract_all(text, '$tokenRe') AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+         |  FROM tok WHERE len(t) >= 2),
+         |uc AS (
+         |  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM tok)
+         |  GROUP BY w),
+         |bc AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+         |topb AS (
+         |  SELECT g, c FROM (
+         |    SELECT g, c, ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rk FROM bc)
+         |  WHERE rk <= $BigramTopB),
+         |bmodel AS (
+         |  SELECT tb.g, (1000000 * tb.c) // uc.c AS cond_ppm
+         |  FROM topb tb JOIN uc ON uc.w = split_part(tb.g, ' ', 1)),
+         |utot AS (SELECT SUM(c) AS n FROM uc),
+         |uni AS (
+         |  SELECT w, (1000000 * c) // (SELECT n FROM utot) AS ppm FROM uc),
+         |score AS (
+         |  SELECT doc_id, lang,
+         |    SUM(COALESCE(bm.cond_ppm, u.ppm // 10, 0)) // COUNT(*) AS mean_ppm
+         |  FROM bg LEFT JOIN bmodel bm ON bg.g = bm.g
+         |          LEFT JOIN uni u ON u.w = bg.w2
+         |  GROUP BY doc_id, lang)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(mean_ppm) AS BIGINT) AS ppm_checksum,
+         |  CAST(MIN(mean_ppm) AS BIGINT) AS min_ppm,
+         |  CAST(MAX(mean_ppm) AS BIGINT) AS max_ppm
+         |FROM score GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
+      val bg = tok.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), col("t"),
+          posexplode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+            .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("lang"), col("g"),
+          element_at(col("t"), col("pos") + 2).as("w2"))
+      val uc = tok.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val topb = bg.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(BigramTopB)
+      val bmodel = broadcast(topb.withColumnRenamed("c", "bcnt"))
+        .join(uc.select(col("w").as("w1"), col("c").as("ucnt")),
+          col("w1") === substring_index(col("g"), " ", 1))
+        .select(col("g"), expr("(1000000 * bcnt) div ucnt").as("cond_ppm"))
+      val utot = uc.agg(sum(col("c")).as("n"))
+      val uni = uc.crossJoin(broadcast(utot))
+        .select(col("w"), expr("(1000000 * c) div n").as("ppm"))
+      bg
+        .join(broadcast(bmodel), Seq("g"), "left")
+        .join(broadcast(uni), bg("w2") === uni("w"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(coalesce(cond_ppm, ppm div 10, 0)) div count(1)")
+          .as("mean_ppm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mean_ppm")).cast(LongType).as("ppm_checksum"),
+          min(col("mean_ppm")).cast(LongType).as("min_ppm"),
+          max(col("mean_ppm")).cast(LongType).as("max_ppm"))
+        .orderBy(col("lang"))
     },
 
     // --------------------------------------- chunk-level exact dedup
