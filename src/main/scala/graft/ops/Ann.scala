@@ -82,4 +82,52 @@ object Ann {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batch kNN JOIN — the production shape when queries arrive as a
+    * TABLE, not one vector at a time: both sides compute the same
+    * sign-LSH buckets in one scan each, candidates come from the
+    * (table, bucket) equi-join (cost ∝ |queries| × bucket density,
+    * never |queries| × |corpus|), exact cosine reranks, and a
+    * per-query window keeps top-k. At scale the window partitions by
+    * query id over candidate sets only — no per-query driver round
+    * trips, no broadcast of either side.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      dim: Int,
+      l: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = planes(l, bits, dim, seed)
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    def banded(base: DataFrame) = base.select(col("vec_id"),
+      posexplode(array(ps.map(tp => bucket(col("emb"), tp)): _*))
+        .as(Seq("tbl", "bucket")))
+    val q = prep(queries)
+    val c = prep(corpus)
+    val cand = banded(q).as("q")
+      .join(banded(c).as("c"),
+        col("q.tbl") === col("c.tbl") &&
+          col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("q_id"), col("emb").as("qe")),
+        Seq("q_id"))
+      .join(c.select(col("vec_id").as("n_id"), col("emb").as("ne")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("qe"), col("ne")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+  }
 }

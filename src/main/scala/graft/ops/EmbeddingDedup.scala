@@ -234,4 +234,32 @@ object EmbeddingDedup {
        |SELECT a, b, cos_sim FROM scored
        |WHERE cos_sim >= $threshold
        |ORDER BY a, b""".stripMargin
+
+  /** DuckDB oracle for [[Ann.knnJoin]]: queries = `WHERE $qPred`
+    * rows, identical plane literals / bucket collision rule / rounded
+    * rerank / per-query top-k window.
+    */
+  def duckDbKnnOracle(qPred: String, k: Int, dim: Int, l: Int = 8,
+      bits: Int = 8, seed: Long = 42L): String = {
+    val (bucketCols, anyBucket) = bucketSql(dim, l, bits, seed)
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketCols
+       |FROM ev),
+       |cand AS (
+       |  SELECT x.vec_id AS q_id, y.vec_id AS n_id, x.v AS qv, y.v AS nv
+       |  FROM b x JOIN b y
+       |  ON (x.$qPred) AND x.vec_id <> y.vec_id AND ($anyBucket)),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    round(list_dot_product(qv, nv) /
+       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cos_sim
+       |  FROM cand),
+       |r AS (
+       |  SELECT q_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cos_sim
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 }

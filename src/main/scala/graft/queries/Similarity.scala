@@ -478,6 +478,25 @@ object Similarity {
         .crossJoin(pq.join(exact, "vec_id").agg(count(lit(1)).as("pq_hits")))
         .select(lit(20).as("k"), col("lsh_hits").cast(LongType),
           col("pq_hits").cast(LongType))
+    },
+
+    // ------------------------------------------------ batch kNN join
+    // Ann.knnJoin: the production retrieval shape when queries arrive
+    // as a TABLE (RAG batch lookup, embedding-join between datasets) —
+    // both sides bucket in one scan each, candidates from the
+    // (table, bucket) equi-join, exact rerank, per-query top-k window.
+    // Cost ∝ |queries| × bucket density, never |queries| × |corpus|.
+    Q("qs13_knn_join", graft.ops.EmbeddingDedup.duckDbKnnOracle(
+      qPred = "vec_id % 100 = 7", k = 5, dim = AnnDim, l = AnnL,
+      bits = AnnBits, seed = AnnSeed)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Ann.knnJoin(
+        emb.filter(col("vec_id") % 100 === 7), emb,
+        "vec_id", "embedding", k = 5, dim = AnnDim, l = AnnL,
+        bits = AnnBits, seed = AnnSeed)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 }
