@@ -57,6 +57,10 @@ object TextOps {
     * path genuinely fires on this corpus (≤961 distinct bigrams). */
   private val BigramTopB = 300
 
+  /** qt17 host-graph size and power-iteration count. */
+  private val HostN = 50
+  private val HostRankIters = 3
+
   /** Cavnar–Trenkle profile size: top-N tokens kept per language. Bounds
     * the qt4 profile broadcast at langs × N rows at any corpus size. */
   private val langIdProfileSize = 300
@@ -1358,6 +1362,67 @@ object TextOps {
           sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
             .cast(LongType).as("kept_id_sum"))
         .orderBy(col("source"))
+    },
+
+    // ----------------------------------------------- host PageRank
+    // The CommonCrawl-pipeline authority signal: PageRank over the
+    // host link graph (host rankings drive crawl-quality filters the
+    // way CC's harmonic-centrality lists do). The corpus has no link
+    // column, so both engines derive a deterministic host graph from
+    // doc_id (edge host(id) → host(id·7+3), the qm1/qt14 closed-form
+    // move). Three unrolled power iterations with damping 0.85 in
+    // fixed-point ppm LONGS — every step integer division in the same
+    // order in both engines, so ranks match bit-for-bit. Shape at
+    // scale: per iteration one (edges ⋈ outdeg ⋈ ranks) join + one
+    // map-side-combined groupBy on the destination — the textbook
+    // distributed PageRank round; ranks/outdeg are |hosts|-sized,
+    // edges |edges|-sized, nothing quadratic.
+    Q(
+      "qt17_host_rank", {
+        val iters = (1 to HostRankIters).map { i =>
+          val prev = s"r${i - 1}"
+          s"""c$i AS (
+             |  SELECT e.d AS h, SUM($prev.r // o.od) AS c
+             |  FROM edges e JOIN outdeg o ON o.s = e.s
+             |    JOIN $prev ON $prev.h = e.s
+             |  GROUP BY e.d),
+             |r$i AS (
+             |  SELECT hosts.h,
+             |    (15 * 1000000) // (100 * $HostN) + (85 * COALESCE(c$i.c, 0)) // 100 AS r
+             |  FROM hosts LEFT JOIN c$i ON c$i.h = hosts.h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH hosts AS (SELECT DISTINCT doc_id % $HostN AS h FROM documents),
+           |edges AS (
+           |  SELECT DISTINCT doc_id % $HostN AS s, (doc_id * 7 + 3) % $HostN AS d
+           |  FROM documents WHERE doc_id % $HostN <> (doc_id * 7 + 3) % $HostN),
+           |outdeg AS (SELECT s, COUNT(*) AS od FROM edges GROUP BY s),
+           |r0 AS (SELECT h, 1000000 // $HostN AS r FROM hosts),
+           |$iters
+           |SELECT h AS host_id, CAST(r AS BIGINT) AS rank_ppm
+           |FROM r$HostRankIters ORDER BY host_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val hosts = docs.select((col("doc_id") % HostN).as("h")).distinct()
+      val edges = docs.select((col("doc_id") % HostN).as("s"),
+        ((col("doc_id") * 7 + 3) % HostN).as("d"))
+        .filter(col("s") =!= col("d")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outdeg = edges.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      var rank = hosts.select(col("h"), expr(s"1000000 div $HostN").as("r"))
+      for (_ <- 1 to HostRankIters) {
+        val contrib = edges.join(outdeg, "s")
+          .join(rank.select(col("h").as("s"), col("r").as("rs")), "s")
+          .groupBy(col("d"))
+          .agg(sum(expr("rs div od")).as("c"))
+        rank = hosts.join(contrib.select(col("d").as("h"), col("c")),
+          Seq("h"), "left")
+          .select(col("h"), expr(
+            s"(15 * 1000000) div (100 * $HostN) + (85 * coalesce(c, 0)) div 100")
+            .as("r"))
+      }
+      rank.select(col("h").as("host_id"),
+        col("r").cast(LongType).as("rank_ppm"))
+        .orderBy(col("host_id"))
     },
 
     // -------------------------------------- bigram-LM quality scoring
