@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for each left row, attach the single
+  * right row with the greatest `rightTime <= leftTime` among rows
+  * sharing the join keys — the lookup every feature-store /
+  * attribution / slowly-changing-dimension pipeline needs and Spark
+  * has no native operator for.
+  *
+  * The naive formulations both die at scale: an inequality-only theta
+  * join plans as BroadcastNestedLoop (per-row scan of the whole right
+  * side), and a per-left-row `max` subquery re-aggregates the right
+  * side once per probe. This instead runs the sort-merge formulation:
+  *
+  *   1. tag right rows side=0 / left rows side=1 and UNION them
+  *   2. one shuffle: window partitioned by the join keys, ordered by
+  *      (time, side, tie) — right rows sort before left rows at equal
+  *      times, so "at-or-before" ties match
+  *   3. `last(payload, ignoreNulls)` over the unbounded-preceding
+  *      frame carries the most recent right payload forward
+  *   4. keep side=1
+  *
+  * Cost is one shuffle of |left| + |right| and a linear per-partition
+  * sweep — the same work a dedicated as-of merge operator does. Ties
+  * WITHIN the right side at equal time resolve to the greatest
+  * `rightTie`, so results are deterministic.
+  *
+  * All right payload columns ride in one struct so step 3 is a single
+  * window expression regardless of payload width.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns are kept
+    * @param right     build side (the "quotes"/history table)
+    * @param keys      equi-join key column names present on both sides
+    * @param leftTime  ordering column on `left` (any orderable type)
+    * @param rightTime ordering column on `right` (same type)
+    * @param rightCols (srcCol, alias) payload columns copied from the
+    *                  matched right row; null when no right row is
+    *                  at-or-before the left row
+    * @param rightTie  deterministic tie-break among right rows with
+    *                  equal time (greatest wins)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[(String, String)],
+      rightTie: String): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equi key")
+    require(rightCols.nonEmpty, "as-of join needs right payload columns")
+
+    val payload = struct(rightCols.map { case (src, as) =>
+      right(src).as(as)
+    }: _*)
+    val payloadType = right.select(payload.as("_p")).schema("_p").dataType
+
+    val leftCols = left.columns.toSeq
+    val k: Seq[Column] = keys.map(col)
+
+    val taggedRight = right.select(
+      k ++ Seq(
+        col(rightTime).as("_t"),
+        lit(0).as("_side"),
+        col(rightTie).as("_tie"),
+        payload.as("_rpay")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val taggedLeft = left.select(
+      k ++ Seq(
+        col(leftTime).as("_t"),
+        lit(1).as("_side"),
+        // left rows never win a right-side tie; any constant works
+        lit(null).cast(right.schema(rightTie).dataType).as("_tie"),
+        lit(null).cast(payloadType).as("_rpay")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val w = Window.partitionBy(k: _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        leftCols.map(col) ++
+          rightCols.map { case (_, as) => col("_match").getField(as).as(as) }: _*)
+  }
+}

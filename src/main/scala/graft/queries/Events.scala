@@ -222,6 +222,97 @@ object Events {
             .as("total_conversion_s")))
         .select(col("n_view"), col("n_view_click"),
           col("n_view_click_purchase"), col("total_conversion_s"))
+    },
+
+    // as-of join ([[graft.ops.AsOfJoin]]): each purchase attributed to
+    // the most recent click at-or-before it by the same user — the
+    // point-in-time lookup Spark has no native operator for. The
+    // sort-merge formulation (union + tagged window) is one shuffle of
+    // |clicks| + |purchases|; the oracle spells the identical window
+    // in SQL. Second-truncated timestamps (the ns caveat above); ties
+    // among same-second clicks resolve to the greatest event_id in
+    // both engines.
+    Q(
+      "qe7_asof_attribution",
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('second', ts) AS sec, 0 AS side,
+        |         event_id AS tie, event_id AS click_id,
+        |         CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, date_trunc('second', ts), 1, NULL, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, sec, side, purchase_id,
+        |    last_value(click_id IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, side, tie
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS click_id,
+        |    last_value(CASE WHEN side = 0 THEN sec END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, side, tie
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS click_sec
+        |  FROM u)
+        |SELECT purchase_id AS event_id, user_id, sec AS purchase_sec,
+        |       click_id, date_diff('second', click_sec, sec) AS gap_s
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sec"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"))
+      graft.ops.AsOfJoin.asOf(
+          purchases, clicks,
+          keys = Seq("user_id"),
+          leftTime = "sec", rightTime = "sec",
+          rightCols = Seq("event_id" -> "click_id", "sec" -> "click_sec"),
+          rightTie = "event_id")
+        .select(
+          col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+          col("click_id"),
+          (col("sec").cast(LongType) - col("click_sec").cast(LongType))
+            .as("gap_s"))
+        .orderBy(col("event_id"))
+    },
+
+    // range join ([[graft.ops.RangeJoin]]): clicks within 5 minutes
+    // AFTER each view, per user. The bucketed-equi-join formulation
+    // replaces the BroadcastNestedLoop a pure inequality join would
+    // plan; the oracle is the declarative inequality join DuckDB can
+    // afford at oracle scale.
+    Q(
+      "qe8_clicks_after_view",
+      """WITH v AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS view_sec
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, date_trunc('second', ts) AS csec
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, v.view_sec,
+        |       COUNT(c.csec) AS n_clicks_5m
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |  AND c.csec > v.view_sec
+        |  AND c.csec <= v.view_sec + INTERVAL 300 SECONDS
+        |GROUP BY 1, 2, 3
+        |ORDER BY v.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          col("sec").as("view_sec"),
+          col("sec").cast(LongType).as("vt"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sec").cast(LongType).as("ct"))
+      val matched = graft.ops.RangeJoin.joinRange(
+          views, clicks, keys = Seq("user_id"),
+          leftTime = "vt", rightTime = "ct", lo = 0L, hi = 300L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_matched"))
+      views.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("view_sec"),
+          coalesce(col("n_matched"), lit(0L)).as("n_clicks_5m"))
+        .orderBy(col("event_id"))
     }
   )
 }

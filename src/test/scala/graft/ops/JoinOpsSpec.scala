@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the two time-join operators: as-of (point-in-time
+  * lookup) and range (bounded-window pairing). Both are checked
+  * against a brute-force formulation on the same data, including the
+  * boundary/tie cases the bucketing and window tricks must not bend.
+  */
+class JoinOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-joinops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asOf picks the latest right row at-or-before, per key") {
+    import spark.implicits._
+    // key 1: quotes at t=10,20,20,30 (tie at 20 → id 202 wins)
+    val right = Seq(
+      (1L, 10L, 101L, "a"), (1L, 20L, 201L, "b"), (1L, 20L, 202L, "c"),
+      (1L, 30L, 301L, "d"), (2L, 50L, 501L, "e"))
+      .toDF("k", "rt", "rid", "tag")
+    val left = Seq(
+      (1L, 5L, 1L),   // before any quote → null
+      (1L, 20L, 2L),  // exact tie → latest rid at t=20
+      (1L, 25L, 3L),  // between → t=20 row
+      (1L, 99L, 4L),  // after all → t=30 row
+      (2L, 50L, 5L),  // other key, at-time match
+      (3L, 50L, 6L))  // key with no right rows → null
+      .toDF("k", "lt", "lid")
+
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt",
+        Seq("rid" -> "rid", "tag" -> "tag"), rightTie = "rid")
+      .select("lid", "rid", "tag").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2)))
+      .sortBy(_._1)
+
+    assert(got === Seq(
+      (1L, -1L, ""), (2L, 202L, "c"), (3L, 202L, "c"),
+      (4L, 301L, "d"), (5L, 501L, "e"), (6L, -1L, "")))
+  }
+
+  test("asOf is invariant to input partitioning") {
+    import spark.implicits._
+    val right = (0L until 500L).map(i => (i % 7, i, i * 10)).toDF("k", "rt", "rid")
+    val left = (0L until 300L).map(i => (i % 7, i * 2 + 1, i)).toDF("k", "lt", "lid")
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt", Seq("rid" -> "rid"), "rid")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(run(left, right) === run(left.repartition(13), right.repartition(3)))
+  }
+
+  test("joinRange matches brute force incl. both boundaries") {
+    import spark.implicits._
+    val left = (0L until 200L).map(i => (i % 5, i * 3, i)).toDF("k", "lt", "lid")
+    val right = (0L until 300L).map(i => (i % 5, i * 2, i + 1000)).toDF("k", "rt", "rid")
+
+    val got = RangeJoin.joinRange(left, right, Seq("k"), "lt", "rt",
+        lo = 0L, hi = 7L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // brute force: plain inequality join (fine at test scale)
+    val want = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.rt") > col("l.lt") && col("r.rt") <= col("l.lt") + 7)
+      .select(col("l.lid"), col("r.rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(got.nonEmpty && got === want)
+    // boundary semantics: lo exclusive, hi inclusive
+    val self = Seq((1L, 100L, 1L)).toDF("k", "lt", "lid")
+    val probe = Seq((1L, 100L, 10L), (1L, 101L, 11L), (1L, 107L, 12L),
+      (1L, 108L, 13L)).toDF("k", "rt", "rid")
+    val hits = RangeJoin.joinRange(self, probe, Seq("k"), "lt", "rt", 0L, 7L)
+      .select("rid").collect().map(_.getLong(0)).sorted
+    assert(hits === Seq(11L, 12L), "rt=lt excluded, rt=lt+hi included")
+  }
+
+  test("joinRange handles negative times (floor bucketing)") {
+    import spark.implicits._
+    val left = Seq((1L, -10L, 1L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, -9L, 1L), (1L, -3L, 2L), (1L, -2L, 3L))
+      .toDF("k", "rt", "rid")
+    val hits = RangeJoin.joinRange(left, right, Seq("k"), "lt", "rt", 0L, 7L)
+      .select("rid").collect().map(_.getLong(0)).sorted
+    assert(hits === Seq(1L, 2L))
+  }
+}
