@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval — the inverted-index ranking every
+  * text-retrieval stack (Lucene/Elasticsearch, web-corpus data
+  * selection, RAG keyword legs) runs. Given a small query table
+  * (query_id, term) and a token-occurrence table, ranks documents per
+  * query by Okapi BM25 with k1 = 1.2, b = 0.75.
+  *
+  * Plan shape at scale — the inverted-index probe, not a scoring scan:
+  *
+  *   1. tf  = groupBy(doc, term).count          — map-side combined
+  *   2. dl  = groupBy(doc).sum(tf)              — map-side combined
+  *   3. df  = groupBy(term).count over tf       — ≤ |vocab| rows
+  *   4. queries (tiny) BROADCAST-join postings on term: only documents
+  *      containing a query term are ever scored — cost ∝ posting-list
+  *      length, never |corpus|
+  *   5. per-(query, doc) long sum; top-k per query by a window over
+  *      the already-pruned candidate set
+  *
+  * DETERMINISTIC ARITHMETIC (the [[UnigramLM]] convention): no
+  * floating-point log whose last ulp differs across engines. The
+  * Lucene idf argument (N + 1)/(df + 0.5) = (2N + 2)/(2df + 1) is kept
+  * as a RATIONAL weight in milli-units rather than passed through ln —
+  * a monotone per-term transform (single-term rankings identical to
+  * textbook BM25; multi-term scores weight rare terms more sharply).
+  * The tf-saturation leg is exact: with avgdl fixed-pointed to
+  * milli-tokens a_m, tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
+  * 22000·tf·a_m div (10·a_m·tf + 3·a_m + 9000·dl) ∈ [0, 2200] —
+  * integer magnitudes bounded by avgdl and tf only, independent of
+  * corpus size, so the arithmetic never overflows at any N.
+  */
+object Bm25 {
+
+  /** Per-(query, doc) BM25 scores over token occurrences.
+    *
+    * @param tok     one row per token occurrence: (docCol, termCol)
+    * @param queries (queryIdCol, termCol) — small; broadcast
+    * @param k       results per query (ties broken by ascending doc)
+    * @return (queryIdCol, docCol, score_micro, rank), rank 1..k per
+    *         query by (score desc, doc asc)
+    */
+  def topk(
+      tok: DataFrame,
+      queries: DataFrame,
+      docCol: String,
+      termCol: String,
+      queryIdCol: String,
+      k: Int): DataFrame = {
+    val tf = tok.groupBy(col(docCol), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col(termCol)).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+
+    // postings restricted to query terms: broadcast the tiny query
+    // table; df rides along (vocab-bounded, broadcast too)
+    val probe = tf
+      .join(broadcast(queries), Seq(termCol))
+      .join(broadcast(df), Seq(termCol))
+      .join(dl, Seq(docCol))
+      .crossJoin(broadcast(stats))
+
+    val scored = probe
+      .withColumn("a_m", expr("(1000 * n_tokens) div n_docs"))
+      .withColumn("idf_m", expr("(1000 * (2 * n_docs + 2)) div (2 * df + 1)"))
+      .withColumn("tfn_m",
+        expr("(22000 * tf * a_m) div (10 * a_m * tf + 3 * a_m + 9000 * dl)"))
+      .groupBy(col(queryIdCol), col(docCol))
+      .agg(sum(col("idf_m") * col("tfn_m")).as("score_micro"))
+
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_micro").desc, col(docCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

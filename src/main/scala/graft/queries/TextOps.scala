@@ -1582,8 +1582,77 @@ object TextOps {
       // production sizing is autoWidth — the scale lane runs that path
       containmentPairs(s, dir, ContainT, width = 2)
         .orderBy(col("a"), col("b"))
+    },
+
+    // --------------------------------------------- BM25 retrieval
+    // Okapi BM25 keyword search ([[graft.ops.Bm25]]) — the
+    // inverted-index ranking of Lucene/Elasticsearch and the keyword
+    // leg of RAG/data-selection stacks. Only documents containing a
+    // query term are scored (broadcast query-term probe into the
+    // postings), fixed-point integer arithmetic throughout (the
+    // UnigramLM convention: no cross-engine ln; the Lucene idf
+    // argument is kept as a milli-scaled rational — monotone per
+    // term). Both engines run the identical integer formula, so every
+    // score and the top-10 boundary hash-match exactly.
+    Q(
+      "qt18_bm25_search",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$tokenRe')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+         |q(query_id, term) AS (VALUES $Bm25QueriesSql),
+         |probe AS (
+         |  SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, df.df,
+         |         st.n_docs, st.n_tokens
+         |  FROM tf
+         |  JOIN q USING (term) JOIN df USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN st),
+         |sc AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(SUM(((1000 * (2 * n_docs + 2)) // (2 * df + 1)) *
+         |      ((22000 * tf * ((1000 * n_tokens) // n_docs)) //
+         |       (10 * ((1000 * n_tokens) // n_docs) * tf +
+         |        3 * ((1000 * n_tokens) // n_docs) + 9000 * dl)))
+         |      AS BIGINT) AS score_micro
+         |  FROM probe GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS rnk
+         |  FROM sc)
+         |SELECT query_id, doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+            .as("term"))
+      val queries = Bm25Queries.toDF("query_id", "term")
+      graft.ops.Bm25.topk(tok, queries, "doc_id", "term", "query_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("score_micro"),
+          col("rank").cast(LongType).as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
     }
   )
+
+  /** Literal keyword queries for qt18 — over the synthetic corpus
+    * vocabulary, mixing rare and saturated terms so idf ordering and
+    * the top-10 boundary are both exercised.
+    */
+  private lazy val Bm25Queries: Seq[(String, String)] = Seq(
+    "kw1" -> "spark", "kw1" -> "join",
+    "kw2" -> "hash", "kw2" -> "table", "kw2" -> "scan",
+    "kw3" -> "vector",
+    "kw4" -> "window", "kw4" -> "group", "kw4" -> "sort",
+    "kw5" -> "customer", "kw5" -> "order",
+    "kw6" -> "data", "kw6" -> "stream", "kw6" -> "batch")
+
+  private lazy val Bm25QueriesSql: String =
+    Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
 
   /** Asymmetric containment pairs C(A,B) = |A∩B|/|A| ≥ t over distinct
     * word `width`-gram shingles (qd10's engine; see the qd10 entry for

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bm25-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 4 docs; "rare" appears only in doc 1, "common" in all
+  private def tok = {
+    import spark.implicits._
+    Seq(
+      1L -> "rare", 1L -> "common",
+      2L -> "common", 2L -> "common", 2L -> "filler",
+      3L -> "common", 3L -> "filler",
+      4L -> "common", 4L -> "filler", 4L -> "filler")
+      .toDF("doc_id", "term")
+  }
+
+  /** The op's own fixed-point formula, reimplemented scalar-side. */
+  private def expectedMicro(
+      tf: Long, df: Long, dl: Long, nDocs: Long, nTokens: Long): Long = {
+    val aM = 1000 * nTokens / nDocs
+    val idfM = 1000 * (2 * nDocs + 2) / (2 * df + 1)
+    val tfnM = 22000 * tf * aM / (10 * aM * tf + 3 * aM + 9000 * dl)
+    idfM * tfnM
+  }
+
+  test("scores match the fixed-point formula; only matching docs appear") {
+    import spark.implicits._
+    val queries = Seq("q1" -> "rare", "q2" -> "common", "q3" -> "absent")
+      .toDF("query_id", "term")
+    val got = Bm25.topk(tok, queries, "doc_id", "term", "query_id", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // N=4, T=10; "rare": df=1, tf=1 in doc 1 (dl=2)
+    assert(got(("q1", 1L)) === expectedMicro(1, 1, 2, 4, 10))
+    assert(!got.keys.exists { case (q, d) => q == "q1" && d != 1L },
+      "docs without the query term must not be scored")
+    assert(!got.keys.exists(_._1 == "q3"), "no hits for an absent term")
+
+    // "common": df=4; doc 2 has tf=2 dl=3
+    assert(got(("q2", 2L)) === expectedMicro(2, 4, 3, 4, 10))
+    assert(got.keys.count(_._1 == "q2") === 4)
+  }
+
+  test("rare terms outrank common ones; tf saturates, never dominates") {
+    import spark.implicits._
+    val queries = Seq("q" -> "rare", "q" -> "common").toDF("query_id", "term")
+    val ranked = Bm25.topk(tok, queries, "doc_id", "term", "query_id", 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    // doc 1 holds the only "rare" occurrence → rank 1 despite tf=1
+    assert(ranked.head === (1L, 1))
+    // ranks are 1..4 dense
+    assert(ranked.map(_._2).toSeq === Seq(1, 2, 3, 4))
+  }
+}
