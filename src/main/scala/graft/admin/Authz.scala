@@ -1,0 +1,516 @@
+package graft.admin
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.{FileCatalogStore, GrantTuple}
+
+/** The permission-model evaluator — a faithful in-process transcription
+  * of the reference's OpenFGA authorization model
+  * (authz/openfga/v4.7/components/{server,project,warehouse,namespace,
+  * lakekeeper_table,lakekeeper_view,role,user}.fga; the Rust side
+  * resolves the same model remotely via
+  * crates/authz-openfga/src/authorizer.rs).
+  *
+  * Every `define` in the model appears below as one match arm, in the
+  * model's own terms:
+  *
+  *  - ASSIGNABLE relations (`[user, role#assignee]` brackets) read the
+  *    tuple store ([[FileCatalogStore.addGrant]]); role subjects match
+  *    through the TRANSITIVE assignee closure of the role-membership
+  *    graph (role.fga `assignee: [user, role#assignee] or ownership`).
+  *  - DERIVED privileges and `can_*` actions are computed, never
+  *    stored: `or`/`and`/`but not` map to Scala operators, `X from
+  *    parent` walks the object hierarchy (table → namespace chain →
+  *    warehouse → project → server), and the two child-propagating
+  *    rules (`can_get_metadata from child` / `from namespace` /
+  *    `from warehouse`) recurse DOWN the containment tree.
+  *
+  * Evaluation is memoized per (object, relation) inside one
+  * [[Evaluator]], so a batch of checks — the reference's
+  * `batch_check` — shares all intermediate derivations; the hierarchy
+  * is a tree, so recursion terminates. Authorization metadata is
+  * catalog-bounded (like the rest of the store), so the evaluator is
+  * driver-side; the LARGE side — filtering millions of tabulars down
+  * to what a principal may list — is [[authorizedTabulars]], which
+  * evaluates each namespace once and emits a DataFrame for plan
+  * composition.
+  *
+  * Scope note: namespace/table objects resolve inside THIS store's
+  * warehouse; registry warehouses (created through the management
+  * plane) participate at warehouse granularity. Roles are project
+  * entities in the reference; the in-process role registry is
+  * store-global, so role rules bind to the default project.
+  */
+object Authz {
+
+  /** Canonical object-key separator for namespace/tabular paths —
+    * outside every legal identifier byte sequence worth worrying
+    * about (identifiers may contain dots).
+    */
+  val KeySep = "\u001f"
+
+  /** An authorization object: server, project, warehouse, namespace,
+    * table, view, or role.
+    */
+  final case class Obj(kind: String, parts: Seq[String]) {
+    def key: String = parts.mkString(KeySep)
+  }
+
+  def server: Obj = Obj("server", Nil)
+  def project(id: String): Obj = Obj("project", Seq(id))
+  def warehouse(name: String): Obj = Obj("warehouse", Seq(name))
+  def namespace(ns: Seq[String]): Obj = Obj("namespace", ns)
+  def table(ns: Seq[String], name: String): Obj = Obj("table", ns :+ name)
+  def view(ns: Seq[String], name: String): Obj = Obj("view", ns :+ name)
+  def role(id: String): Obj = Obj("role", Seq(id))
+
+  /** The `can_*` actions per object type — the reference's
+    * CatalogXxxAction variants (service/authz/mod.rs) in model terms.
+    */
+  val actions: Map[String, Seq[String]] = Map(
+    "server" -> Seq("can_create_project", "can_list_all_projects",
+      "can_list_users", "can_provision_users", "can_update_users",
+      "can_delete_users", "can_read_assignments", "can_grant_admin",
+      "can_grant_operator"),
+    "project" -> Seq("can_get_endpoint_statistics", "can_create_warehouse",
+      "can_delete", "can_rename", "can_get_metadata",
+      "can_list_warehouses", "can_include_in_list", "can_create_role",
+      "can_list_roles", "can_search_roles", "can_read_assignments",
+      "can_get_project_tasks", "can_control_project_tasks",
+      "can_get_task_queue_config", "can_modify_task_queue_config",
+      "can_grant_role_creator", "can_grant_create", "can_grant_describe",
+      "can_grant_modify", "can_grant_select", "can_grant_project_admin",
+      "can_grant_security_admin", "can_grant_data_admin"),
+    "warehouse" -> Seq("can_create_namespace", "can_delete",
+      "can_update_storage", "can_update_storage_credential",
+      "can_get_metadata", "can_get_config", "can_set_protection",
+      "can_set_format_version_policy", "can_list_namespaces",
+      "can_list_everything", "can_use", "can_include_in_list",
+      "can_deactivate", "can_activate", "can_rename",
+      "can_list_deleted_tabulars", "can_modify_soft_deletion",
+      "can_get_endpoint_statistics", "can_get_all_tasks",
+      "can_control_all_tasks", "can_read_assignments",
+      "can_get_task_queue_config", "can_modify_task_queue_config",
+      "can_grant_create", "can_grant_describe", "can_grant_modify",
+      "can_grant_select", "can_grant_pass_grants",
+      "can_grant_manage_grants", "can_change_ownership",
+      "can_set_managed_access"),
+    "namespace" -> Seq("can_create_table", "can_create_view",
+      "can_create_generic_table", "can_create_namespace", "can_delete",
+      "can_update_properties", "can_get_metadata", "can_list_tables",
+      "can_list_views", "can_list_generic_tables", "can_list_namespaces",
+      "can_list_everything", "can_include_in_list",
+      "can_read_assignments", "can_set_protection", "can_grant_create",
+      "can_grant_describe", "can_grant_modify", "can_grant_select",
+      "can_grant_pass_grants", "can_grant_manage_grants",
+      "can_change_ownership", "can_set_managed_access"),
+    "table" -> Seq("can_drop", "can_undrop", "can_write_data",
+      "can_read_data", "can_get_metadata", "can_commit", "can_rename",
+      "can_include_in_list", "can_read_assignments", "can_set_protection",
+      "can_get_tasks", "can_control_tasks", "can_grant_pass_grants",
+      "can_grant_manage_grants", "can_grant_describe", "can_grant_select",
+      "can_grant_modify", "can_change_ownership"),
+    "view" -> Seq("can_drop", "can_undrop", "can_commit",
+      "can_get_metadata", "can_select", "can_rename",
+      "can_include_in_list", "can_read_assignments", "can_set_protection",
+      "can_get_tasks", "can_control_tasks", "can_grant_pass_grants",
+      "can_grant_manage_grants", "can_grant_describe", "can_grant_select",
+      "can_grant_modify", "can_change_ownership"),
+    "role" -> Seq("can_assume", "can_grant_assignee",
+      "can_change_ownership", "can_delete", "can_update",
+      "can_update_source_system", "can_read", "can_read_assignments"))
+
+  /** One principal's memoized view of the model. Build once per
+    * request batch; every check shares the derivations.
+    */
+  final class Evaluator(store: FileCatalogStore, userId: String) {
+
+    private val tuples: Seq[GrantTuple] = store.listGrantTuples()
+
+    /** The principal's subject set: itself plus the TRANSITIVE closure
+      * of roles it may assume (role.fga: `assignee: [user,
+      * role#assignee] or ownership` — membership edges AND role
+      * ownership both confer assignee, and a member role passes its
+      * assignees through).
+      */
+    val subjects: Set[(String, String)] = {
+      val edges = store.roleEdges()
+      val roleOwn = tuples.filter(t =>
+        t.objType == "role" && t.relation == "ownership")
+      var s = Set[(String, String)](("user", userId))
+      var grew = true
+      while (grew) {
+        val more = (edges.iterator
+          .filter(e => s((e.memberType, e.memberId)))
+          .map(e => ("role", e.roleId)) ++
+          roleOwn.iterator
+            .filter(t => s((t.subjType, t.subjId)))
+            .map(t => ("role", t.objId))).toSet -- s
+        grew = more.nonEmpty
+        s ++= more
+      }
+      s
+    }
+
+    private val memo = mutable.Map.empty[(String, String, String), Boolean]
+
+    /** Direct tuple hit: a stored grant of `relation` on `o` to the
+      * principal (via any subject in the closure) or to the wildcard.
+      */
+    private def direct(o: Obj, relation: String): Boolean =
+      tuples.exists(t => t.objType == o.kind && t.objId == o.key &&
+        t.relation == relation &&
+        (t.subjType == "*" || subjects((t.subjType, t.subjId))))
+
+    // ---------------------------------------------- object hierarchy
+
+    private def ownWarehouse: String = store.warehouseProfile.name
+
+    /** warehouse → owning project (registry entries carry it; the
+      * bootstrap warehouse lives in the default project).
+      */
+    private def projectOf(wh: String): String =
+      store.listWarehouseEntries().find(_.name == wh).map(_.project)
+        .getOrElse(store.DefaultProject)
+
+    private def parentOf(o: Obj): Obj = o.kind match {
+      case "table" | "view" => namespace(o.parts.init)
+      case "namespace" =>
+        if (o.parts.size > 1) namespace(o.parts.init)
+        else warehouse(ownWarehouse)
+      case "warehouse" => project(projectOf(o.parts.head))
+      case "project" => server
+      case k => throw new IllegalArgumentException(s"$k has no parent")
+    }
+
+    /** Containment children for the downward can_get_metadata rules.
+      * Namespace resolution exists only for THIS store's warehouse.
+      */
+    private def childrenOf(o: Obj): Seq[Obj] = o.kind match {
+      case "project" =>
+        // the registry includes the bootstrap warehouse itself
+        store.listWarehouseEntries().filter(_.project == o.parts.head)
+          .map(e => warehouse(e.name)).distinct
+      case "warehouse" =>
+        if (o.parts.head == ownWarehouse)
+          store.listNamespaces(Nil).map(namespace)
+        else Nil
+      case "namespace" =>
+        store.listNamespaces(o.parts).map(namespace) ++
+          store.listTabulars(o.parts).map(t =>
+            Obj(if (t.kind == "view") "view" else "table",
+              o.parts :+ t.id.name))
+      case _ => Nil
+    }
+
+    // --------------------------------------------- model transcription
+
+    /** Evaluate `relation` on `o` for this principal — one match arm
+      * per model `define`, same order as the .fga sources.
+      */
+    def rel(o: Obj, relation: String): Boolean =
+      memo.getOrElseUpdate((o.kind, o.key, relation), compute(o, relation))
+
+    private def compute(o: Obj, r: String): Boolean = (o.kind, r) match {
+      // ----------------------------------------------- server.fga
+      case ("server", "admin") => direct(o, "admin")
+      case ("server", "operator") => direct(o, "operator")
+      case ("server", "can_create_project" | "can_list_all_projects" |
+          "can_list_users" | "can_provision_users" | "can_update_users" |
+          "can_delete_users" | "can_read_assignments" | "can_grant_admin" |
+          "can_grant_operator") =>
+        rel(o, "admin") || rel(o, "operator")
+
+      // ---------------------------------------------- project.fga
+      case ("project", "project_admin") =>
+        direct(o, "project_admin") || rel(server, "operator")
+      case ("project", "security_admin") =>
+        direct(o, "security_admin") || rel(o, "project_admin")
+      case ("project", "data_admin") =>
+        direct(o, "data_admin") || rel(o, "project_admin")
+      case ("project", "role_creator") =>
+        direct(o, "role_creator") || rel(o, "security_admin")
+      case ("project", "describe") =>
+        direct(o, "describe") || rel(o, "select") || rel(o, "create") ||
+          rel(o, "data_admin") || rel(o, "security_admin")
+      case ("project", "select") => direct(o, "select") || rel(o, "modify")
+      case ("project", "create") => direct(o, "create") || rel(o, "data_admin")
+      case ("project", "modify") =>
+        direct(o, "modify") || rel(o, "project_admin")
+      case ("project", "can_get_endpoint_statistics") => rel(o, "describe")
+      case ("project", "can_create_warehouse") => rel(o, "create")
+      case ("project", "can_delete" | "can_rename") => rel(o, "modify")
+      case ("project", "can_get_metadata") =>
+        rel(o, "describe") || rel(server, "admin") ||
+          childrenOf(o).exists(rel(_, "can_get_metadata"))
+      case ("project", "can_list_warehouses" | "can_include_in_list" |
+          "can_get_task_queue_config") =>
+        rel(o, "can_get_metadata")
+      case ("project", "can_create_role") => rel(o, "role_creator")
+      case ("project", "can_list_roles") =>
+        rel(o, "can_get_metadata") || rel(server, "admin")
+      case ("project", "can_search_roles") =>
+        rel(o, "can_list_roles") || rel(server, "admin")
+      case ("project", "can_read_assignments") =>
+        rel(o, "security_admin") || rel(o, "project_admin") ||
+          rel(server, "admin")
+      case ("project", "can_get_project_tasks") =>
+        rel(o, "describe") || rel(server, "admin")
+      case ("project", "can_control_project_tasks") =>
+        rel(o, "modify") || rel(server, "admin")
+      case ("project", "can_modify_task_queue_config") => rel(o, "modify")
+      case ("project", "can_grant_project_admin") =>
+        rel(o, "project_admin") || rel(server, "admin")
+      case ("project", "can_grant_role_creator" | "can_grant_create" |
+          "can_grant_describe" | "can_grant_modify" | "can_grant_select" |
+          "can_grant_security_admin" | "can_grant_data_admin") =>
+        rel(o, "security_admin") || rel(server, "admin")
+
+      // -------------------------------------------- warehouse.fga
+      case ("warehouse", "ownership") => direct(o, "ownership")
+      case ("warehouse", "pass_grants") => direct(o, "pass_grants")
+      case ("warehouse", "manage_grants") =>
+        direct(o, "manage_grants") || rel(o, "ownership") ||
+          rel(parentOf(o), "security_admin")
+      case ("warehouse", "describe") =>
+        direct(o, "describe") || rel(o, "ownership") || rel(o, "select") ||
+          rel(o, "create") || rel(parentOf(o), "describe")
+      case ("warehouse", "select") =>
+        direct(o, "select") || rel(o, "ownership") || rel(o, "modify") ||
+          rel(parentOf(o), "select")
+      case ("warehouse", "create") =>
+        direct(o, "create") || rel(o, "ownership") ||
+          rel(parentOf(o), "create")
+      case ("warehouse", "modify") =>
+        direct(o, "modify") || rel(o, "ownership") ||
+          rel(parentOf(o), "modify") || rel(parentOf(o), "data_admin")
+      case ("warehouse", "managed_access") => direct(o, "managed_access")
+      case ("warehouse", "managed_access_inheritance") =>
+        rel(o, "managed_access")
+      case ("warehouse", "can_create_namespace") => rel(o, "create")
+      case ("warehouse", "can_delete" | "can_update_storage" |
+          "can_update_storage_credential" | "can_set_protection" |
+          "can_set_format_version_policy" | "can_deactivate" |
+          "can_activate" | "can_rename" | "can_modify_soft_deletion" |
+          "can_control_all_tasks" | "can_modify_task_queue_config") =>
+        rel(o, "modify")
+      case ("warehouse", "can_get_metadata") =>
+        rel(o, "describe") ||
+          childrenOf(o).exists(rel(_, "can_get_metadata"))
+      case ("warehouse", "can_get_config" | "can_list_namespaces" |
+          "can_use" | "can_include_in_list" | "can_list_deleted_tabulars" |
+          "can_get_task_queue_config") =>
+        rel(o, "can_get_metadata")
+      case ("warehouse", "can_list_everything" |
+          "can_get_endpoint_statistics" | "can_get_all_tasks") =>
+        rel(o, "describe")
+      case ("warehouse", "can_read_assignments") =>
+        rel(o, "can_grant_create") || rel(o, "can_grant_describe") ||
+          rel(o, "can_grant_modify") || rel(o, "can_grant_select") ||
+          rel(o, "can_grant_pass_grants") ||
+          rel(o, "can_grant_manage_grants") || rel(o, "can_change_ownership")
+      case ("warehouse", "can_grant_create") =>
+        rel(o, "manage_grants") || (rel(o, "create") && rel(o, "pass_grants"))
+      case ("warehouse", "can_grant_describe") =>
+        rel(o, "manage_grants") || (rel(o, "describe") && rel(o, "pass_grants"))
+      case ("warehouse", "can_grant_modify") =>
+        rel(o, "manage_grants") || (rel(o, "modify") && rel(o, "pass_grants"))
+      case ("warehouse", "can_grant_select") =>
+        rel(o, "manage_grants") || (rel(o, "select") && rel(o, "pass_grants"))
+      case ("warehouse", "can_grant_pass_grants" |
+          "can_grant_manage_grants" | "can_change_ownership" |
+          "can_set_managed_access") =>
+        rel(o, "manage_grants")
+
+      // -------------------------------------------- namespace.fga
+      case ("namespace", "ownership") => direct(o, "ownership")
+      case ("namespace", "pass_grants") => direct(o, "pass_grants")
+      case ("namespace", "manage_grants") =>
+        direct(o, "manage_grants") ||
+          (rel(o, "ownership") &&
+            !rel(parentOf(o), "managed_access_inheritance")) ||
+          rel(parentOf(o), "manage_grants")
+      case ("namespace", "describe") =>
+        direct(o, "describe") || rel(o, "ownership") || rel(o, "select") ||
+          rel(o, "create") || rel(parentOf(o), "describe")
+      case ("namespace", "select") =>
+        direct(o, "select") || rel(o, "ownership") || rel(o, "modify") ||
+          rel(parentOf(o), "select")
+      case ("namespace", "create") =>
+        direct(o, "create") || rel(o, "ownership") ||
+          rel(parentOf(o), "create")
+      case ("namespace", "modify") =>
+        direct(o, "modify") || rel(o, "ownership") ||
+          rel(parentOf(o), "modify")
+      case ("namespace", "managed_access") => direct(o, "managed_access")
+      case ("namespace", "managed_access_inheritance") =>
+        rel(o, "managed_access") ||
+          rel(parentOf(o), "managed_access_inheritance")
+      case ("namespace", "can_create_table" | "can_create_view" |
+          "can_create_generic_table" | "can_create_namespace") =>
+        rel(o, "create")
+      case ("namespace", "can_delete" | "can_update_properties" |
+          "can_set_protection") =>
+        rel(o, "modify")
+      case ("namespace", "can_get_metadata") =>
+        rel(o, "describe") ||
+          childrenOf(o).exists(rel(_, "can_get_metadata"))
+      case ("namespace", "can_list_tables" | "can_list_views" |
+          "can_list_generic_tables" | "can_list_namespaces" |
+          "can_include_in_list") =>
+        rel(o, "can_get_metadata")
+      case ("namespace", "can_list_everything") => rel(o, "describe")
+      case ("namespace", "can_read_assignments") =>
+        rel(o, "can_grant_create") || rel(o, "can_grant_describe") ||
+          rel(o, "can_grant_modify") || rel(o, "can_grant_select") ||
+          rel(o, "can_grant_pass_grants") ||
+          rel(o, "can_grant_manage_grants") || rel(o, "can_change_ownership")
+      case ("namespace", "can_grant_create") =>
+        rel(o, "manage_grants") || (rel(o, "create") && rel(o, "pass_grants"))
+      case ("namespace", "can_grant_describe") =>
+        rel(o, "manage_grants") || (rel(o, "describe") && rel(o, "pass_grants"))
+      case ("namespace", "can_grant_modify") =>
+        rel(o, "manage_grants") || (rel(o, "modify") && rel(o, "pass_grants"))
+      case ("namespace", "can_grant_select") =>
+        rel(o, "manage_grants") || (rel(o, "select") && rel(o, "pass_grants"))
+      case ("namespace", "can_grant_pass_grants" |
+          "can_grant_manage_grants" | "can_change_ownership" |
+          "can_set_managed_access") =>
+        rel(o, "manage_grants")
+
+      // ---------------------- lakekeeper_table.fga / lakekeeper_view.fga
+      case (("table" | "view"), "ownership") => direct(o, "ownership")
+      case (("table" | "view"), "pass_grants") => direct(o, "pass_grants")
+      case (("table" | "view"), "manage_grants") =>
+        direct(o, "manage_grants") ||
+          (rel(o, "ownership") &&
+            !rel(parentOf(o), "managed_access_inheritance")) ||
+          rel(parentOf(o), "manage_grants")
+      case (("table" | "view"), "describe") =>
+        direct(o, "describe") || rel(o, "ownership") || rel(o, "select") ||
+          rel(parentOf(o), "describe")
+      case (("table" | "view"), "select") =>
+        direct(o, "select") || rel(o, "ownership") || rel(o, "modify") ||
+          rel(parentOf(o), "select")
+      case (("table" | "view"), "modify") =>
+        direct(o, "modify") || rel(o, "ownership") ||
+          rel(parentOf(o), "modify")
+      case ("table", "can_drop" | "can_undrop" | "can_write_data" |
+          "can_commit" | "can_rename" | "can_set_protection" |
+          "can_control_tasks") =>
+        rel(o, "modify")
+      case ("table", "can_read_data") => rel(o, "select")
+      case ("view", "can_drop" | "can_undrop" | "can_commit" |
+          "can_rename" | "can_set_protection" | "can_control_tasks") =>
+        rel(o, "modify")
+      case ("view", "can_select") => rel(o, "select")
+      case (("table" | "view"), "can_get_metadata" | "can_get_tasks") =>
+        rel(o, "describe")
+      case (("table" | "view"), "can_include_in_list") =>
+        rel(o, "can_get_metadata")
+      case (("table" | "view"), "can_read_assignments") =>
+        rel(o, "can_grant_pass_grants") || rel(o, "can_grant_manage_grants") ||
+          rel(o, "can_grant_describe") || rel(o, "can_grant_select") ||
+          rel(o, "can_grant_modify") || rel(o, "can_change_ownership")
+      case (("table" | "view"), "can_grant_pass_grants" |
+          "can_grant_manage_grants" | "can_change_ownership") =>
+        rel(o, "manage_grants")
+      case (("table" | "view"), "can_grant_describe") =>
+        rel(o, "manage_grants") || (rel(o, "describe") && rel(o, "pass_grants"))
+      case (("table" | "view"), "can_grant_select") =>
+        rel(o, "manage_grants") || (rel(o, "select") && rel(o, "pass_grants"))
+      case (("table" | "view"), "can_grant_modify") =>
+        rel(o, "manage_grants") || (rel(o, "modify") && rel(o, "pass_grants"))
+
+      // ------------------------------------------------- role.fga
+      // (roles bind to the default project in-process; see class doc)
+      case ("role", "ownership") => direct(o, "ownership")
+      case ("role", "assignee") =>
+        subjects(("role", o.parts.head)) || rel(o, "ownership")
+      case ("role", "can_assume") =>
+        rel(o, "assignee") || rel(o, "ownership")
+      case ("role", "can_grant_assignee") =>
+        rel(o, "ownership") ||
+          rel(project(store.DefaultProject), "security_admin")
+      case ("role", "can_change_ownership" | "can_delete" | "can_update" |
+          "can_update_source_system") =>
+        rel(o, "can_grant_assignee")
+      case ("role", "can_read" | "can_read_assignments") =>
+        rel(project(store.DefaultProject), "can_list_roles")
+
+      case (k, r0) => throw new IllegalArgumentException(
+        s"Unknown relation $r0 for object type $k")
+    }
+  }
+
+  // ---------------------------------------------------- public surface
+
+  /** Single check — the reference's `is_allowed_*_action`. */
+  def check(store: FileCatalogStore, userId: String, obj: Obj,
+      action: String): Boolean =
+    new Evaluator(store, userId).rel(obj, action)
+
+  /** Batch check sharing one memoized evaluator — the reference's
+    * `batch_check` (crates/authz-openfga/src/check.rs).
+    */
+  def batchCheck(store: FileCatalogStore, userId: String,
+      requests: Seq[(Obj, String)]): Seq[Boolean] = {
+    val ev = new Evaluator(store, userId)
+    requests.map { case (o, a) => ev.rel(o, a) }
+  }
+
+  /** All allowed `can_*` actions on an object — the reference's
+    * `get_allowed_*_actions` (are_allowed_x_actions over all
+    * variants, service/authz/mod.rs:1633-1726).
+    */
+  def allowedActions(store: FileCatalogStore, userId: String,
+      obj: Obj): Seq[String] = {
+    val ev = new Evaluator(store, userId)
+    actions(obj.kind).filter(ev.rel(obj, _))
+  }
+
+  /** User-entity actions (CatalogUserAction) — these are not FGA
+    * relations; the reference evaluates them against the server
+    * (authorizer.rs:284-380): self may do anything, anyone may read
+    * metadata, update/delete need the server's user-admin actions,
+    * and reading another user's role assignments needs
+    * can_list_users.
+    */
+  def checkUserAction(store: FileCatalogStore, actorId: String,
+      targetUserId: String, action: String): Boolean = {
+    if (actorId == targetUserId) return true
+    if (action == "read") return true
+    val ev = new Evaluator(store, actorId)
+    action match {
+      case "update" => ev.rel(server, "can_update_users")
+      case "delete" => ev.rel(server, "can_delete_users")
+      case "read_role_assignments" => ev.rel(server, "can_list_users")
+      case a => throw new IllegalArgumentException(s"Unknown user action: $a")
+    }
+  }
+
+  /** The LARGE-cardinality leg: every tabular in the store with this
+    * principal's decision for `action` — the filtered-listing path
+    * (the reference filters list responses per-item with batch
+    * checks). Namespace-level derivations are computed ONCE each via
+    * the shared evaluator; the result is a DataFrame so callers can
+    * anti-join scans or listings against it.
+    */
+  def authorizedTabulars(spark: SparkSession, store: FileCatalogStore,
+      userId: String, action: String): DataFrame = {
+    val ev = new Evaluator(store, userId)
+    def walk(ns: Seq[String]): Seq[(String, String, String, Boolean)] = {
+      val here = store.listTabulars(ns).map { t =>
+        val kind = if (t.kind == "view") "view" else "table"
+        val o = Obj(kind, ns :+ t.id.name)
+        (ns.mkString("."), t.id.name, kind, ev.rel(o, action))
+      }
+      here ++ store.listNamespaces(ns).flatMap(walk)
+    }
+    val rows = store.listNamespaces(Nil).flatMap(walk)
+    import spark.implicits._
+    rows.toDF("namespace", "name", "kind", "allowed")
+  }
+}

@@ -41,7 +41,9 @@ object Procedures {
     "project_statistics", "rename_warehouse",
     "set_task_queue_config", "get_task_queue_config",
     "set_format_version_policy", "get_warehouse",
-    "set_maintenance_mode", "get_maintenance_mode")
+    "set_maintenance_mode", "get_maintenance_mode",
+    "grant_privilege", "revoke_privilege", "check_action",
+    "allowed_actions")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -96,6 +98,10 @@ object Procedures {
       case "get_warehouse" => Some(GetWarehouseProcedure(catalog))
       case "set_maintenance_mode" =>
         Some(SetMaintenanceModeProcedure(catalog))
+      case "grant_privilege" => Some(GrantPrivilegeProcedure(catalog))
+      case "revoke_privilege" => Some(RevokePrivilegeProcedure(catalog))
+      case "check_action" => Some(CheckActionProcedure(catalog))
+      case "allowed_actions" => Some(AllowedActionsProcedure(catalog))
       case "get_maintenance_mode" =>
         Some(GetMaintenanceModeProcedure(catalog))
       case _ => None
@@ -1422,5 +1428,131 @@ final case class GetMaintenanceModeProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(
         Array[Any](catalog.store.maintenanceMode)): InternalRow))
+  }
+}
+
+/** Grant an assignable privilege relation on a catalog object
+  * (reference: POST /permissions/... assignment updates,
+  * crates/authz-openfga/src/api.rs; model authz/openfga/v4.7). Object
+  * paths use dot-joined identifiers; actions themselves are computed
+  * by graft.admin.Authz and can never be granted directly.
+  */
+final case class GrantPrivilegeProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "grant_privilege"
+  override def description(): String =
+    "Grant a relation (e.g. select, modify, ownership) on an object"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("object_type", StringType), // server|project|warehouse|namespace|table|view|role
+    Procedures.param("object", StringType),      // dot-joined path ("" for server)
+    Procedures.param("relation", StringType),
+    Procedures.param("subject_type", StringType), // user | role | *
+    Procedures.param("subject_id", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.addGrant(ProcedureAuthz.tuple(input))
+    val schema = StructType(Seq(
+      StructField("granted", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
+  }
+}
+
+final case class RevokePrivilegeProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "revoke_privilege"
+  override def description(): String = "Revoke a granted relation"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("object_type", StringType),
+    Procedures.param("object", StringType),
+    Procedures.param("relation", StringType),
+    Procedures.param("subject_type", StringType),
+    Procedures.param("subject_id", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    catalog.store.removeGrant(ProcedureAuthz.tuple(input))
+    val schema = StructType(Seq(
+      StructField("revoked", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](true)): InternalRow))
+  }
+}
+
+/** Single permission check (reference: is_allowed_*_action via the
+  * OpenFGA check API; authorizer.rs).
+  */
+final case class CheckActionProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "check_action"
+  override def description(): String =
+    "Evaluate one can_* action for a user on an object"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("user", StringType),
+    Procedures.param("object_type", StringType),
+    Procedures.param("object", StringType),
+    Procedures.param("action", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val allowed = graft.admin.Authz.check(catalog.store,
+      input.getUTF8String(0).toString,
+      ProcedureAuthz.obj(input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString),
+      input.getUTF8String(3).toString)
+    val schema = StructType(Seq(
+      StructField("allowed", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](allowed)): InternalRow))
+  }
+}
+
+/** All allowed actions on an object (reference:
+  * get_allowed_*_actions, service/authz/mod.rs:1633-1726).
+  */
+final case class AllowedActionsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "allowed_actions"
+  override def description(): String =
+    "Every can_* action the user holds on an object"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("user", StringType),
+    Procedures.param("object_type", StringType),
+    Procedures.param("object", StringType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val acts = graft.admin.Authz.allowedActions(catalog.store,
+      input.getUTF8String(0).toString,
+      ProcedureAuthz.obj(input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString))
+    val schema = StructType(Seq(
+      StructField("action", StringType, nullable = false)))
+    Procedures.resultScan(schema, acts.map(a => new GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(a)))
+      : InternalRow))
+  }
+}
+
+private[connector] object ProcedureAuthz {
+  /** (object_type, dot-path) → Authz object. The SQL surface uses
+    * dot-joined paths for convenience; identifiers containing literal
+    * dots go through the Scala API instead.
+    */
+  def obj(objType: String, path: String): graft.admin.Authz.Obj = {
+    val parts = if (path.isEmpty) Nil else path.split("\\.").toSeq
+    graft.admin.Authz.Obj(objType, parts)
+  }
+
+  def tuple(input: org.apache.spark.sql.catalyst.InternalRow)
+      : graft.store.GrantTuple = {
+    val objType = input.getUTF8String(0).toString
+    graft.store.GrantTuple(
+      objType,
+      obj(objType, input.getUTF8String(1).toString).key,
+      input.getUTF8String(2).toString,
+      input.getUTF8String(3).toString,
+      input.getUTF8String(4).toString)
   }
 }

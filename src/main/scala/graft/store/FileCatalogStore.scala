@@ -91,6 +91,21 @@ final case class RoleMemberEdge(
   */
 final case class ProjectRecord(id: String, name: String, createdMs: Long)
 
+/** One authorization relation tuple: `subject` holds `relation` on the
+  * object (reference: the OpenFGA tuples crates/authz-openfga writes;
+  * model authz/openfga/v4.7). `objId` is the canonical object key —
+  * "" for the server singleton, a project id, a warehouse name, or a
+  * namespace/tabular path joined by [[graft.admin.Authz.KeySep]]
+  * (identifiers may themselves contain dots). Wildcard managed_access
+  * tuples carry subjType "*".
+  */
+final case class GrantTuple(
+    objType: String,
+    objId: String,
+    relation: String,
+    subjType: String,
+    subjId: String)
+
 /** A registered warehouse with its project scope (reference:
   * lakekeeper-storage-postgres/src/warehouse.rs WarehouseRecord —
   * project_id + warehouse_name, name unique per project).
@@ -1666,6 +1681,110 @@ class FileCatalogStore(val root: String) {
     }
     resolved
   }
+
+  // ----------------------------------------------------- authz grants
+  // Relation-tuple store for the permission model (reference:
+  // authz/openfga/v4.7/components/*.fga — the tuple store OpenFGA
+  // holds; crates/authz-openfga/src/tuples.rs writes the same shapes).
+  // Only ASSIGNABLE relations (the bracketed `[user, role#assignee]`
+  // defines) are storable — every action (`can_*`) and derived
+  // privilege is COMPUTED by graft.admin.Authz, never persisted, so
+  // the store can't drift from the model. Grant volume is catalog
+  // metadata (bounded by principals × objects an admin touches), so a
+  // single JSON registry with the same taskLock discipline as
+  // .projects.json is right-sized.
+
+  private def authzPath: Path = rootPath.resolve(".authz.json")
+
+  /** The assignable relations per object type — the `[user,
+    * role#assignee]`-bracketed defines of each .fga type. managed_access
+    * is wildcard-only (`[user:*, role:*]`): it flags the OBJECT, not a
+    * principal. Role `assignee` tuples live in the role-membership
+    * store ([[addRoleMembers]]), not here, so there is exactly one
+    * source of truth for membership.
+    */
+  private val assignableRelations: Map[String, Set[String]] = Map(
+    "server" -> Set("admin", "operator"),
+    "project" -> Set("project_admin", "security_admin", "data_admin",
+      "role_creator", "describe", "select", "create", "modify"),
+    "warehouse" -> Set("ownership", "pass_grants", "manage_grants",
+      "describe", "select", "create", "modify", "managed_access"),
+    "namespace" -> Set("ownership", "pass_grants", "manage_grants",
+      "describe", "select", "create", "modify", "managed_access"),
+    "table" -> Set("ownership", "pass_grants", "manage_grants",
+      "describe", "select", "modify"),
+    "view" -> Set("ownership", "pass_grants", "manage_grants",
+      "describe", "select", "modify"),
+    "role" -> Set("ownership"))
+
+  def listGrantTuples(): Seq[GrantTuple] = taskLock.synchronized {
+    if (!Files.exists(authzPath)) Nil
+    else (JsonMethods.parse(readString(authzPath)) \ "tuples") match {
+      case JArray(ts) => ts.map(t => GrantTuple(
+        (t \ "object-type").extract[String],
+        (t \ "object-id").extract[String],
+        (t \ "relation").extract[String],
+        (t \ "subject-type").extract[String],
+        (t \ "subject-id").extract[String]))
+      case _ => Nil
+    }
+  }
+
+  private def writeGrantTuples(ts: Seq[GrantTuple]): Unit =
+    writeString(authzPath, Json.render("tuples" -> ts.map(t =>
+      ("object-type" -> t.objType) ~ ("object-id" -> t.objId) ~
+        ("relation" -> t.relation) ~ ("subject-type" -> t.subjType) ~
+        ("subject-id" -> t.subjId))))
+
+  private def validateGrant(t: GrantTuple): Unit = {
+    val rels = assignableRelations.getOrElse(t.objType,
+      throw new IllegalArgumentException(
+        s"Unknown authz object type: ${t.objType}"))
+    if (!rels(t.relation))
+      throw new IllegalArgumentException(
+        s"Relation ${t.relation} is not assignable on ${t.objType} " +
+          s"(assignable: ${rels.toSeq.sorted.mkString(", ")})")
+    if (t.relation == "managed_access") {
+      if (t.subjType != "*")
+        throw new IllegalArgumentException(
+          "managed_access is a wildcard flag: subject must be '*'")
+    } else if (t.subjType != "user" && t.subjType != "role")
+      throw new IllegalArgumentException(
+        s"Grant subject type must be user|role, got: ${t.subjType}")
+    // role subjects must resolve (users may pre-date provisioning,
+    // the same asymmetry addRoleMembers honors)
+    if (t.subjType == "role") requireRole(t.subjId)
+  }
+
+  /** Idempotent grant (reference: OpenFGA write with duplicate-tuple
+    * tolerance in tuples.rs).
+    */
+  def addGrant(t: GrantTuple): Unit = taskLock.synchronized {
+    requireMutable()
+    validateGrant(t)
+    val cur = listGrantTuples()
+    if (!cur.contains(t)) {
+      writeGrantTuples(cur :+ t)
+      logEvent("grant-added", TabularId(Nil, t.objId),
+        Map("object-type" -> t.objType, "relation" -> t.relation,
+          "subject" -> s"${t.subjType}:${t.subjId}"))
+    }
+  }
+
+  /** Idempotent revoke. */
+  def removeGrant(t: GrantTuple): Unit = taskLock.synchronized {
+    requireMutable()
+    val cur = listGrantTuples()
+    if (cur.contains(t)) {
+      writeGrantTuples(cur.filterNot(_ == t))
+      logEvent("grant-removed", TabularId(Nil, t.objId),
+        Map("object-type" -> t.objType, "relation" -> t.relation,
+          "subject" -> s"${t.subjType}:${t.subjId}"))
+    }
+  }
+
+  def listGrants(objType: String, objId: String): Seq[GrantTuple] =
+    listGrantTuples().filter(t => t.objType == objType && t.objId == objId)
 
   /** Parse many manifests in parallel (planning path: survivors of
     * manifest-level pruning; driver cost = surviving manifests / cores).

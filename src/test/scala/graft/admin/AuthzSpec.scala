@@ -1,0 +1,252 @@
+package graft.admin
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.types._
+
+import graft.meta.TableMetadata
+import graft.store.{FileCatalogStore, GrantTuple, TabularId}
+
+/** Permission-model conformance against hand-derived truth from the
+  * reference model (authz/openfga/v4.7/components FGA files): built-in
+  * role cascades, privilege lattices, hierarchy inheritance, the
+  * managed_access but-not carve-out, upward can_get_metadata
+  * propagation, role-closure subjects, and the user-entity rules.
+  */
+class AuthzSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(StructField("id", LongType)))
+
+  private def freshStore(): FileCatalogStore =
+    new FileCatalogStore(Files.createTempDirectory("graft-authz").toString)
+
+  private def mkTable(s: FileCatalogStore, id: TabularId): Unit =
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema))
+
+  /** db.t1, db.inner.t2 under the store's own warehouse. */
+  private def withTables(): FileCatalogStore = {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    s.createNamespace(Seq("db", "inner"), Map.empty)
+    mkTable(s, TabularId(Seq("db"), "t1"))
+    mkTable(s, TabularId(Seq("db", "inner"), "t2"))
+    s
+  }
+
+  private def grant(s: FileCatalogStore, objType: String, obj: Authz.Obj,
+      rel: String, user: String): Unit =
+    s.addGrant(GrantTuple(objType, obj.key, rel, "user", user))
+
+  test("server operator cascades through project_admin to everything") {
+    val s = withTables()
+    s.addGrant(GrantTuple("server", "", "operator", "user", "ops"))
+    val p = Authz.project(s.DefaultProject)
+    assert(Authz.check(s, "ops", p, "can_create_warehouse"))
+    assert(Authz.check(s, "ops", p, "can_grant_security_admin"))
+    val t1 = Authz.table(Seq("db"), "t1")
+    assert(Authz.check(s, "ops", t1, "can_write_data"))
+    assert(Authz.check(s, "ops", t1, "can_read_data"))
+    assert(Authz.check(s, "ops", Authz.server, "can_create_project"))
+    // an unrelated user has none of it
+    assert(!Authz.check(s, "alice", t1, "can_read_data"))
+    assert(!Authz.check(s, "alice", p, "can_create_warehouse"))
+  }
+
+  test("project privilege lattice: modify => select => describe") {
+    val s = withTables()
+    val p = Authz.project(s.DefaultProject)
+    grant(s, "project", p, "modify", "m")
+    val ev = new Authz.Evaluator(s, "m")
+    assert(ev.rel(p, "select") && ev.rel(p, "describe"))
+    assert(!ev.rel(p, "create"), "modify does not imply create")
+    // data_admin implies create + describe but not select
+    grant(s, "project", p, "data_admin", "da")
+    val ev2 = new Authz.Evaluator(s, "da")
+    assert(ev2.rel(p, "create") && ev2.rel(p, "describe"))
+    assert(!ev2.rel(p, "select"))
+  }
+
+  test("warehouse/namespace/table inherit project + warehouse privileges") {
+    val s = withTables()
+    val p = Authz.project(s.DefaultProject)
+    grant(s, "project", p, "select", "reader")
+    // select from project -> warehouse select -> ns select -> table select
+    val t2 = Authz.table(Seq("db", "inner"), "t2")
+    assert(Authz.check(s, "reader", t2, "can_read_data"))
+    assert(Authz.check(s, "reader", t2, "can_get_metadata"))
+    assert(!Authz.check(s, "reader", t2, "can_write_data"))
+    // create at warehouse level -> namespace can_create_table, but no reads
+    val wh = Authz.warehouse(s.warehouseProfile.name)
+    grant(s, "warehouse", wh, "create", "builder")
+    assert(Authz.check(s, "builder", Authz.namespace(Seq("db")),
+      "can_create_table"))
+    assert(!Authz.check(s, "builder", t2, "can_read_data"))
+    // but create DOES confer describe (describe: ... or create ...)
+    assert(Authz.check(s, "builder", Authz.namespace(Seq("db")),
+      "can_get_metadata"))
+  }
+
+  test("role closure: nested role membership confers table grants") {
+    val s = withTables()
+    s.createRole("r1", "analysts", None)
+    s.createRole("r2", "all-readers", None)
+    s.addRoleMembers("r1", Seq("user" -> "alice"))
+    s.addRoleMembers("r2", Seq("role" -> "r1"))
+    val t1 = Authz.table(Seq("db"), "t1")
+    s.addGrant(GrantTuple("table", t1.key, "select", "role", "r2"))
+    assert(Authz.check(s, "alice", t1, "can_read_data"))
+    assert(!Authz.check(s, "bob", t1, "can_read_data"))
+    // alice may assume both roles; bob neither
+    assert(Authz.check(s, "alice", Authz.role("r2"), "can_assume"))
+    assert(!Authz.check(s, "bob", Authz.role("r1"), "can_assume"))
+  }
+
+  test("managed_access carves ownership out of manage_grants") {
+    val s = withTables()
+    val t1 = Authz.table(Seq("db"), "t1")
+    grant(s, "table", t1, "ownership", "own")
+    // without managed_access: ownership => manage_grants => can_grant_select
+    assert(Authz.check(s, "own", t1, "can_grant_select"))
+    // flag the parent namespace managed
+    s.addGrant(GrantTuple("namespace", Authz.namespace(Seq("db")).key,
+      "managed_access", "*", "*"))
+    assert(!Authz.check(s, "own", t1, "can_grant_select"),
+      "managed_access_inheritance from parent blocks owner grant rights")
+    // ownership still confers the data privileges themselves
+    assert(Authz.check(s, "own", t1, "can_write_data"))
+    assert(Authz.check(s, "own", t1, "can_read_data"))
+    // and managed access inherits DOWN: t2 under db.inner is covered too
+    grant(s, "table", Authz.table(Seq("db", "inner"), "t2"), "ownership", "o2")
+    assert(!Authz.check(s, "o2", Authz.table(Seq("db", "inner"), "t2"),
+      "can_grant_select"))
+  }
+
+  test("can_get_metadata propagates UP from a granted descendant") {
+    val s = withTables()
+    val t2 = Authz.table(Seq("db", "inner"), "t2")
+    grant(s, "table", t2, "describe", "peek")
+    val ev = new Authz.Evaluator(s, "peek")
+    // ancestors become listable…
+    assert(ev.rel(Authz.namespace(Seq("db", "inner")), "can_get_metadata"))
+    assert(ev.rel(Authz.namespace(Seq("db")), "can_include_in_list"))
+    assert(ev.rel(Authz.warehouse(s.warehouseProfile.name), "can_use"))
+    assert(ev.rel(Authz.project(s.DefaultProject), "can_include_in_list"))
+    // …but not describable, and siblings stay invisible
+    assert(!ev.rel(Authz.namespace(Seq("db")), "can_list_everything"))
+    assert(!ev.rel(Authz.table(Seq("db"), "t1"), "can_include_in_list"))
+  }
+
+  test("pass_grants gates grant rights by held privilege") {
+    val s = withTables()
+    val t1 = Authz.table(Seq("db"), "t1")
+    grant(s, "table", t1, "select", "g")
+    grant(s, "table", t1, "pass_grants", "g")
+    val ev = new Authz.Evaluator(s, "g")
+    assert(ev.rel(t1, "can_grant_select"))
+    assert(ev.rel(t1, "can_grant_describe"), "select implies describe")
+    assert(!ev.rel(t1, "can_grant_modify"), "cannot pass what you lack")
+    assert(!ev.rel(t1, "can_change_ownership"), "needs manage_grants")
+    assert(ev.rel(t1, "can_read_assignments"))
+  }
+
+  test("role actions: ownership and project security_admin control grants") {
+    val s = withTables()
+    s.createRole("r1", "analysts", None)
+    s.addGrant(GrantTuple("role", "r1", "ownership", "user", "own"))
+    assert(Authz.check(s, "own", Authz.role("r1"), "can_grant_assignee"))
+    assert(Authz.check(s, "own", Authz.role("r1"), "can_delete"))
+    // owner is assignee (role.fga: assignee ... or ownership)
+    assert(Authz.check(s, "own", Authz.role("r1"), "can_assume"))
+    // project security_admin controls every role
+    grant(s, "project", Authz.project(s.DefaultProject),
+      "security_admin", "sec")
+    assert(Authz.check(s, "sec", Authz.role("r1"), "can_grant_assignee"))
+    // can_read needs project can_list_roles (describe-level), which
+    // security_admin has via describe
+    assert(Authz.check(s, "sec", Authz.role("r1"), "can_read"))
+    assert(!Authz.check(s, "rando", Authz.role("r1"), "can_read"))
+  }
+
+  test("user-entity actions follow the authorizer rules") {
+    val s = freshStore()
+    // self: everything; anyone: read
+    assert(Authz.checkUserAction(s, "u1", "u1", "update"))
+    assert(Authz.checkUserAction(s, "u1", "u2", "read"))
+    assert(!Authz.checkUserAction(s, "u1", "u2", "update"))
+    assert(!Authz.checkUserAction(s, "u1", "u2", "read_role_assignments"))
+    s.addGrant(GrantTuple("server", "", "admin", "user", "root"))
+    assert(Authz.checkUserAction(s, "root", "u2", "update"))
+    assert(Authz.checkUserAction(s, "root", "u2", "delete"))
+    assert(Authz.checkUserAction(s, "root", "u2", "read_role_assignments"))
+  }
+
+  test("allowedActions returns exactly the model's decisions") {
+    val s = withTables()
+    val t1 = Authz.table(Seq("db"), "t1")
+    grant(s, "table", t1, "select", "r")
+    val allowed = Authz.allowedActions(s, "r", t1).toSet
+    assert(allowed === Set("can_read_data", "can_get_metadata",
+      "can_include_in_list", "can_get_tasks"))
+    // batchCheck agrees with single checks
+    val reqs = Authz.actions("table").map(a => (t1, a))
+    val batch = Authz.batchCheck(s, "r", reqs)
+    assert(reqs.map(_._2).zip(batch).filter(_._2).map(_._1).toSet === allowed)
+  }
+
+  test("grant-store validation: relations, wildcard, role subjects") {
+    val s = freshStore()
+    // action relations are computed, never assignable
+    assertThrows[IllegalArgumentException] {
+      s.addGrant(GrantTuple("table", "x", "can_read_data", "user", "u"))
+    }
+    // table has no create relation in the model
+    assertThrows[IllegalArgumentException] {
+      s.addGrant(GrantTuple("table", "x", "create", "user", "u"))
+    }
+    // managed_access must be the wildcard subject
+    assertThrows[IllegalArgumentException] {
+      s.addGrant(GrantTuple("namespace", "x", "managed_access", "user", "u"))
+    }
+    // role subjects must exist
+    assertThrows[IllegalArgumentException] {
+      s.addGrant(GrantTuple("warehouse", "w", "select", "role", "ghost"))
+    }
+    // idempotent add/remove
+    val t = GrantTuple("warehouse", "w", "select", "user", "u")
+    s.addGrant(t); s.addGrant(t)
+    assert(s.listGrants("warehouse", "w") === Seq(t))
+    s.removeGrant(t); s.removeGrant(t)
+    assert(s.listGrants("warehouse", "w").isEmpty)
+  }
+
+  test("authorizedTabulars filters listings by decision") {
+    // extensions ride along: sbt shares one JVM session across suites,
+    // and a session created WITHOUT them would poison later connector
+    // suites (the AdminSpec convention)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-authz-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val s = withTables()
+    val t1 = Authz.table(Seq("db"), "t1")
+    grant(s, "table", t1, "select", "viewer")
+    val rows = Authz.authorizedTabulars(spark, s, "viewer",
+        "can_include_in_list")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3))
+      .toMap
+    assert(rows(("db", "t1")) && !rows(("db.inner", "t2")))
+    // namespace-level select exposes both
+    s.addGrant(GrantTuple("namespace", Authz.namespace(Seq("db")).key,
+      "select", "user", "viewer"))
+    val rows2 = Authz.authorizedTabulars(spark, s, "viewer",
+        "can_include_in_list")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3))
+      .toMap
+    assert(rows2(("db", "t1")) && rows2(("db.inner", "t2")))
+  }
+}

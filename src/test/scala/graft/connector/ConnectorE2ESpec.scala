@@ -1507,4 +1507,53 @@ class ConnectorE2ESpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.mm.t VALUES (3, 'c')")
     assert(spark.table("graft.mm.t").count() == 3)
   }
+
+  test("authz procedures: grant, check, allowed_actions, revoke") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.authz_ns")
+    spark.sql("CREATE TABLE graft.authz_ns.secrets (id BIGINT)")
+
+    def check(user: String, objType: String, obj: String,
+        action: String): Boolean =
+      spark.sql(s"CALL graft.system.check_action(user => '$user', " +
+          s"object_type => '$objType', object => '$obj', " +
+          s"action => '$action')")
+        .collect()(0).getBoolean(0)
+
+    assert(!check("ana", "table", "authz_ns.secrets", "can_read_data"))
+    // grant select to a role, put ana in the role → access via closure
+    spark.sql("CALL graft.system.create_role(id => 'readers', name => 'readers')")
+    spark.sql("CALL graft.system.assign_role(role => 'readers', " +
+      "member_type => 'user', member_id => 'ana')")
+    spark.sql("CALL graft.system.grant_privilege(object_type => 'table', " +
+      "object => 'authz_ns.secrets', relation => 'select', " +
+      "subject_type => 'role', subject_id => 'readers')")
+    assert(check("ana", "table", "authz_ns.secrets", "can_read_data"))
+    assert(!check("ana", "table", "authz_ns.secrets", "can_write_data"))
+    // allowed_actions lists exactly the read-side actions
+    val acts = spark.sql("CALL graft.system.allowed_actions(user => 'ana', " +
+        "object_type => 'table', object => 'authz_ns.secrets')")
+      .collect().map(_.getString(0)).toSet
+    assert(acts === Set("can_read_data", "can_get_metadata",
+      "can_include_in_list", "can_get_tasks"))
+    // the granted descendant makes ancestors listable (upward
+    // can_get_metadata), but nothing else in the warehouse
+    assert(check("ana", "namespace", "authz_ns", "can_include_in_list"))
+    val whName = spark.sql("CALL graft.system.get_warehouse()")
+      .collect()(0).getString(0)
+    assert(check("ana", "warehouse", whName, "can_use"))
+    assert(!check("ana", "warehouse", whName, "can_list_everything"))
+    // revoke closes the door again
+    spark.sql("CALL graft.system.revoke_privilege(object_type => 'table', " +
+      "object => 'authz_ns.secrets', relation => 'select', " +
+      "subject_type => 'role', subject_id => 'readers')")
+    assert(!check("ana", "table", "authz_ns.secrets", "can_read_data"))
+    // grants of computed actions are rejected at the store
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.grant_privilege(object_type => 'table', " +
+        "object => 'authz_ns.secrets', relation => 'can_read_data', " +
+        "subject_type => 'user', subject_id => 'ana')").collect())
+    assert(Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null)
+      .exists(_.getMessage.contains("not assignable")))
+  }
 }
