@@ -304,6 +304,121 @@ object Multimodal {
     }.toDF("media_id", "media_type", "content", "meta")
   }
 
+  /** Deterministic REAL-WAV media corpus — the audio sibling of
+    * [[syntheticPngMedia]]: each blob is a genuine RIFF/WAVE container
+    * (PCM_SIGNED 16-bit little-endian mono) written by
+    * javax.sound.sampled executor-side, with samples in closed form
+    * of the id so a SQL oracle recomputes every feature without
+    * decoding:
+    *   n       = 256 + (id%8)·64 samples (whole 64-sample frames)
+    *   rate    = 8000 + (id%5)·1000 Hz
+    *   s[i]    = ((id·31 + i·17) % 2048) − 1024
+    * WAV PCM is lossless, so [[wavCodec]] recovers exactly these
+    * samples. id%37==0 rows carry non-RIFF garbage — the audio parser
+    * must reject them (corrupt rows are data, not exceptions).
+    */
+  def syntheticWavMedia(docIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 37 == 0)
+          "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        else {
+          val n = 256 + (id % 8).toInt * 64
+          val rate = 8000f + (id % 5).toInt * 1000f
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + i * 17) % 2048) - 1024).toShort
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          out.toByteArray
+        }
+      (id, "audio", content, Map.empty[String, String])
+    }.toDF("media_id", "media_type", "content", "meta")
+  }
+
+  /** REAL audio decoding through the same seam: javax.sound.sampled
+    * parses the RIFF/WAVE container (ships in the JDK, no audio device
+    * needed). Payload = raw PCM bytes as stored (16-bit LE mono),
+    * sample_rate from the parsed format header. Non-WAV bytes make
+    * AudioSystem throw UnsupportedAudioFileException → None.
+    */
+  def wavCodec(mediaId: Long, mediaType: String,
+      content: Array[Byte]): Option[Decoded] = {
+    if (content == null || mediaType != "audio") return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) return None
+      val pcm = ais.readAllBytes()
+      Some(Decoded(mediaId, mediaType, 0, 0,
+        math.round(fmt.getSampleRate), 0, pcm))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame-level audio DSP over decoded PCM — the feature pass a
+    * speech/audio training pipeline runs before filtering (energy
+    * gating, silence/noise detection): non-overlapping `frame`-sample
+    * windows (trailing partial dropped), per-frame energy Σs² and
+    * zero-crossing count, aggregated per blob. All integer arithmetic
+    * → hash-exact across engines. One row per blob out of the decode
+    * map itself: no shuffle at any scale (the aggregation is within a
+    * single row's samples).
+    */
+  def audioFeatures(media: DataFrame, frame: Int = 64,
+      batchSize: Int = 64, codec: Codec = wavCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media.filter(col("media_type") === "audio"), batchSize, codec)
+      .map { d =>
+        val n = d.payload.length / 2
+        def sample(i: Int): Int =
+          ((d.payload(2 * i) & 0xFF) | (d.payload(2 * i + 1) << 8)).toShort.toInt
+        val nFrames = n / frame
+        var totalEnergy = 0L
+        var totalZc = 0L
+        var maxFrame = 0L
+        var f = 0
+        while (f < nFrames) {
+          var fe = 0L
+          var zc = 0L
+          var i = f * frame
+          val end = (f + 1) * frame
+          var prev = 0
+          while (i < end) {
+            val s = sample(i)
+            fe += s.toLong * s
+            if (i > f * frame && prev * s < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          totalEnergy += fe
+          totalZc += zc
+          if (fe > maxFrame) maxFrame = fe
+          f += 1
+        }
+        (d.media_id, d.sample_rate.toLong, n.toLong, nFrames.toLong,
+          totalEnergy, totalZc, maxFrame)
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "n_frames",
+        "total_energy", "total_zc", "max_frame_energy")
+  }
+
   /** Integer-exact per-blob features — the oracle-checkable face of
     * extractFeatures: payload length, byte sum, and the dominant
     * 16-bin histogram bucket (max count, lowest bin on ties). Same

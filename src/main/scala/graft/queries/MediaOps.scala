@@ -273,5 +273,48 @@ object MediaOps {
         codec = graft.ops.Multimodal.pngCodec)
       graft.ops.PHash.nearDupPairs(fp, maxHamming = 3)
         .orderBy(col("a"), col("b"))
+    },
+
+    // ------------------------------------------- real audio decode
+    // The audio sibling of qm4: genuine RIFF/WAVE containers written
+    // AND parsed by javax.sound.sampled (Multimodal.syntheticWavMedia
+    // / wavCodec — a second real JDK codec through the same seam),
+    // then frame-level DSP (64-sample windows: energy Σs², zero
+    // crossings) in the decode map itself — one output row per blob,
+    // no shuffle at any scale. All integers, so the oracle recomputes
+    // every feature from the sample closed form s[i] = ((id·31 +
+    // i·17) % 2048) − 1024 without touching a byte of audio; corrupt
+    // (non-RIFF) rows must be absent because the parser rejected them.
+    Q(
+      "qm6_audio_features",
+      """WITH par AS (
+        |  SELECT doc_id AS d, 256 + (doc_id % 8) * 64 AS n,
+        |         8000 + (doc_id % 5) * 1000 AS rate
+        |  FROM documents WHERE doc_id % 37 <> 0),
+        |samp AS (
+        |  SELECT d, i, ((d * 31 + i * 17) % 2048) - 1024 AS s, i // 64 AS f
+        |  FROM par, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+        |fr AS (
+        |  SELECT d, f, SUM(s * s) AS fe,
+        |    SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+        |        THEN 1 ELSE 0 END) AS zc
+        |  FROM (SELECT d, f, i, s,
+        |          lag(s) OVER (PARTITION BY d, f ORDER BY i) AS prev
+        |        FROM samp)
+        |  GROUP BY d, f)
+        |SELECT par.d AS media_id,
+        |  CAST(par.rate AS BIGINT) AS sample_rate,
+        |  CAST(par.n AS BIGINT) AS n_samples,
+        |  CAST(par.n // 64 AS BIGINT) AS n_frames,
+        |  CAST(SUM(fe) AS BIGINT) AS total_energy,
+        |  CAST(SUM(zc) AS BIGINT) AS total_zc,
+        |  CAST(MAX(fe) AS BIGINT) AS max_frame_energy
+        |FROM fr JOIN par ON fr.d = par.d
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticWavMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.audioFeatures(media)
+        .orderBy("media_id")
     })
 }

@@ -130,4 +130,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(d.payload.toSeq == want.toSeq, s"id=$id payload")
     }
   }
+
+  test("wavCodec: real WAV round trip recovers closed-form samples") {
+    import spark.implicits._
+    val media = Multimodal.syntheticWavMedia(
+      (0L until 120L).toDF("doc_id"))
+    // blobs really are RIFF/WAVE containers
+    val firstBlob = media.filter(col("media_id") === 1L)
+      .select("content").collect()(0).getAs[Array[Byte]](0)
+    assert(firstBlob.take(4).toSeq == "RIFF".getBytes.toSeq)
+    val decoded = Multimodal.decode(media, codec = Multimodal.wavCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    // corrupt (non-WAV) rows were rejected BY javax.sound
+    assert(!decoded.contains(0L) && !decoded.contains(37L))
+    assert(decoded.size == 120 - 4)
+    for (id <- Seq(1L, 9L, 44L, 119L)) {
+      val d = decoded(id)
+      assert(d.sample_rate == 8000 + (id % 5).toInt * 1000, s"id=$id rate")
+      val n = 256 + (id % 8).toInt * 64
+      assert(d.payload.length == n * 2, s"id=$id n")
+      // LE 16-bit samples match the closed form exactly (lossless PCM)
+      val s0 = ((d.payload(0) & 0xFF) | (d.payload(1) << 8)).toShort.toInt
+      assert(s0 == ((id * 31) % 2048 - 1024).toInt, s"id=$id s[0]")
+      val i = 100
+      val si = ((d.payload(2 * i) & 0xFF) | (d.payload(2 * i + 1) << 8))
+        .toShort.toInt
+      assert(si == ((id * 31 + i * 17) % 2048 - 1024).toInt, s"id=$id s[100]")
+    }
+  }
+
+  test("audioFeatures match a scalar reimplementation") {
+    import spark.implicits._
+    val media = Multimodal.syntheticWavMedia((0L until 60L).toDF("doc_id"))
+    val got = Multimodal.audioFeatures(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for (id <- Seq(1L, 13L, 59L)) {
+      val n = 256 + (id % 8).toInt * 64
+      val samples = Array.tabulate(n)(i => ((id * 31 + i * 17) % 2048 - 1024).toInt)
+      val frames = samples.grouped(64).toSeq
+      val fes = frames.map(f => f.map(s => s.toLong * s).sum)
+      val zcs = frames.map(f =>
+        f.sliding(2).count(p => p(0) * p(1) < 0).toLong)
+      assert(got(id) == ((n.toLong, (n / 64).toLong, fes.sum, zcs.sum,
+        fes.max)), s"id=$id")
+    }
+  }
 }
