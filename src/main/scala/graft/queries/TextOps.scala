@@ -1584,6 +1584,52 @@ object TextOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---------------------------------------- leakage-safe splitting
+    // Train/test split that respects NEAR-DUPLICATE structure: a
+    // doc-level hash split leaks test content into train whenever two
+    // near-identical docs hash to different sides (the contamination
+    // mode qt9 measures after the fact). Assign at the CLUSTER level
+    // instead — qd6's connected components, singletons for unclustered
+    // docs — so a whole duplicate family lands on one side. The split
+    // hash is a Lehmer LCG step on the cluster id (exact int64
+    // arithmetic in both engines at any corpus size; ~10% test). The
+    // only work beyond the memoized qd6 clustering is one left join
+    // and a projection.
+    Q(
+      "qt19_leakage_safe_split",
+      s"""WITH RECURSIVE ${pairOracleCte(0.4)},
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |assign AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ((cluster_id % 2147483647) * 48271) % 2147483647
+         |            % 10 = 0
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM assign ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = exactJaccardPairs(s, dir, 0.4).select(col("a"), col("b"))
+      val labels = graft.ops.DedupClusters.clusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("split",
+          when(expr("((cluster_id % 2147483647) * 48271) % 2147483647 % 10") === 0,
+            "test").otherwise("train"))
+        .orderBy(col("doc_id"))
+    },
+
     // --------------------------------------------- BM25 retrieval
     // Okapi BM25 keyword search ([[graft.ops.Bm25]]) — the
     // inverted-index ranking of Lucene/Elasticsearch and the keyword
