@@ -89,6 +89,37 @@ object EventStreams {
         md5(to_json(struct(cols.map(col): _*)))),
       Seq("_fp"), horizon, tsCol).drop("_fp")
 
+  /** Stream-stream INTERVAL join — the streaming twin of the batch
+    * range join (graft.ops.RangeJoin / qe8): every click within
+    * `windowSeconds` after a view by the same user, as the views and
+    * clicks arrive. Spark's native stream-stream join with an
+    * event-time range condition: the watermarks + the time bound let
+    * the engine expire buffered rows once no future match is possible,
+    * so join state is bounded by (arrival rate × (window + watermark)),
+    * not stream history — the property that makes the join runnable
+    * forever. Emits matched pairs in append mode.
+    */
+  def clickAttributionJoin(
+      events: DataFrame,
+      windowSeconds: Long = 300L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks, expr(
+        s"""view_user = click_user AND
+           |click_ts > view_ts AND
+           |click_ts <= view_ts + interval $windowSeconds seconds"""
+          .stripMargin))
+      .select(col("view_id"), col("view_user").as("user_id"),
+        col("view_ts"), col("click_id"), col("click_ts"))
+  }
+
   final case class SessionState(
       sessionId: Long, startSec: Long, lastSec: Long, nEvents: Long)
 

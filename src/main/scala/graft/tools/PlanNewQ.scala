@@ -13,10 +13,12 @@ object PlanNewQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("qs9_pq_topk", "qt14_url_canonicalize",
+    val qs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("qs9_pq_topk", "qt14_url_canonicalize",
         "qt15_dsir_selection", "qd10_containment_dedup",
         "qd11_chunk_dedup", "qs11_cluster_sample", "qs12_ann_recall",
-        "qe5_retention_cohorts", "qe6_funnel", "qm5_phash_neardup")) {
+        "qe5_retention_cohorts", "qe6_funnel", "qm5_phash_neardup")
+    for (q <- qs) {
       println(s"\n===== $q =====")
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString

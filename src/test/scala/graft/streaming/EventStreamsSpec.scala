@@ -268,4 +268,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("other text", "same text"))
     assert(!spark.table("fp_sink").columns.contains("_fp"))
   }
+
+  test("stream-stream interval join equals the batch range join on finite input") {
+    val q = EventStreams.clickAttributionJoin(eventsStream)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-attr-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT view_id, click_id FROM attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val batch = normTs(spark.read.parquet(s"$sourceDir/events.parquet"))
+    val v = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("vu"), col("ts").as("vts"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val want = v.join(c, expr(
+        "vu = cu AND cts > vts AND cts <= vts + interval 300 seconds"))
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(streamed.nonEmpty, "fixture must produce at least one match")
+    assert(streamed.toSeq === want.toSeq)
+  }
 }
