@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new GraftSqlParser(session, delegate))
     // view reads: substitute graft-view relations with their stored SQL
     ext.injectResolutionRule(session => ResolveGraftViews(session))
+    // pure range joins (no equi conjunct) → bucketed equi-join instead
+    // of BroadcastNestedLoopJoin (graft.plans.RangeJoinRewrite doc)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 

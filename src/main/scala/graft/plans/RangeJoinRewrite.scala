@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite PURE range joins — an inner join whose only
+  * cross-side predicates bound the difference of two integral columns,
+  * `rt − lt ∈ [a, b]` — into the bucketed equi-join formulation.
+  *
+  * Spark plans a join with no equi conjunct as
+  * BroadcastNestedLoopJoin: every row of one side scans the entire
+  * other side, O(|L|·|R|) at any cluster size — the classic interval-
+  * join trap (same target as Databricks' range-join optimization and
+  * Flink's interval join; users hit it with plain SQL like
+  * `ON r.ts > l.ts AND r.ts <= l.ts + 300`). The rewrite quantizes
+  * both sides into buckets of width `b − a + 1`: the right side lands
+  * in exactly one bucket, the left side generates the ≤ 2 buckets its
+  * window spans, the join becomes a plain shuffled equi-join on the
+  * bucket, and the ORIGINAL condition re-applies as a post-join
+  * filter — so the rewrite is correctness-preserving by construction
+  * and only the matching work changes: cost ∝ true pair density per
+  * bucket, never |L|×|R|.
+  *
+  * Deliberately narrow trigger (rewrites must never fire on a plan
+  * Spark already handles well):
+  *  - INNER join only, with NO cross-side equality conjunct (if one
+  *    exists, Spark hash/sort-merge-joins on it already);
+  *  - exactly one lower and one upper bound on the same (lt, rt)
+  *    attribute pair, both integral types, literal offsets;
+  *  - every other conjunct is side-local or joins the same pair (all
+  *    conjuncts re-check in the post-filter regardless).
+  * After the rewrite the join HAS an equality conjunct, so the rule
+  * never re-fires on its own output. Bucket arithmetic uses double
+  * floor-division — exact for |t| < 2^53 (any epoch encoding).
+  * [[graft.ops.RangeJoin]] is the DataFrame-level sibling for callers
+  * who also want equi keys bucketed; this rule is the safety net under
+  * declarative SQL.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** e as (attribute, constant offset): `t`, `t + 3`, `3 + t`, `t - 3`. */
+  private def attrOffset(e: Expression): Option[(AttributeReference, Long)] =
+    e match {
+      case a: AttributeReference if integral(a.dataType) => Some((a, 0L))
+      case Add(a: AttributeReference, Literal(v, t), _) if integral(t) =>
+        Some((a, toLong(v, t)))
+      case Add(Literal(v, t), a: AttributeReference, _) if integral(t) =>
+        Some((a, toLong(v, t)))
+      case Subtract(a: AttributeReference, Literal(v, t), _) if integral(t) =>
+        Some((a, -toLong(v, t)))
+      case _ => None
+    }
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def toLong(v: Any, t: DataType): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case _ => 0L
+  }
+
+  /** One conjunct as a bound on (rt − lt): Lower(a) ⇒ rt − lt ≥ a,
+    * Upper(b) ⇒ rt − lt ≤ b, tagged with the attribute pair.
+    */
+  private sealed trait Bound {
+    def lt: AttributeReference; def rt: AttributeReference
+  }
+  private case class Lower(lt: AttributeReference, rt: AttributeReference,
+      a: Long) extends Bound
+  private case class Upper(lt: AttributeReference, rt: AttributeReference,
+      b: Long) extends Bound
+
+  /** Classify `cmp` as a bound, given which side each attr belongs to. */
+  private def asBound(cmp: Expression, leftOut: AttributeSet,
+      rightOut: AttributeSet): Option[Bound] = {
+    def sides(x: (AttributeReference, Long), y: (AttributeReference, Long))
+        : Option[(AttributeReference, Long, AttributeReference, Long)] =
+      // returns (lt, cL, rt, cR) regardless of which operand was which
+      if (leftOut.contains(x._1) && rightOut.contains(y._1))
+        Some((x._1, x._2, y._1, y._2))
+      else None
+    cmp match {
+      // X > Y / X >= Y / X < Y / X <= Y with X,Y = attr ± literal
+      case GreaterThan(xe, ye) =>
+        (attrOffset(xe), attrOffset(ye)) match {
+          case (Some(x), Some(y)) =>
+            // rt + cR > lt + cL  ⇒  rt − lt ≥ cL − cR + 1
+            sides(y, x).map { case (lt, cL, rt, cR) => Lower(lt, rt, cL - cR + 1) }
+              // lt + cL > rt + cR  ⇒  rt − lt ≤ cL − cR − 1
+              .orElse(sides(x, y).map { case (lt, cL, rt, cR) =>
+                Upper(lt, rt, cL - cR - 1) })
+          case _ => None
+        }
+      case GreaterThanOrEqual(xe, ye) =>
+        (attrOffset(xe), attrOffset(ye)) match {
+          case (Some(x), Some(y)) =>
+            sides(y, x).map { case (lt, cL, rt, cR) => Lower(lt, rt, cL - cR) }
+              .orElse(sides(x, y).map { case (lt, cL, rt, cR) =>
+                Upper(lt, rt, cL - cR) })
+          case _ => None
+        }
+      case LessThan(xe, ye) =>
+        asBound(GreaterThan(ye, xe), leftOut, rightOut)
+      case LessThanOrEqual(xe, ye) =>
+        asBound(GreaterThanOrEqual(ye, xe), leftOut, rightOut)
+      case _ => None
+    }
+  }
+
+  private def crossSide(e: Expression, l: AttributeSet,
+      r: AttributeSet): Boolean =
+    e.references.intersect(l).nonEmpty && e.references.intersect(r).nonEmpty
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved && !j.isStreaming =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val lOut = left.outputSet
+      val rOut = right.outputSet
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+            (a.references.subsetOf(rOut) && b.references.subsetOf(lOut))
+        case EqualNullSafe(a, b) =>
+          (a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+            (a.references.subsetOf(rOut) && b.references.subsetOf(lOut))
+        case _ => false
+      }
+      val bounds = conjuncts.flatMap(asBound(_, lOut, rOut))
+      val pair = bounds.groupBy(b => (b.lt, b.rt)).collectFirst {
+        case (_, bs)
+            if bs.exists(_.isInstanceOf[Lower]) &&
+              bs.exists(_.isInstanceOf[Upper]) =>
+          val a = bs.collect { case Lower(_, _, x) => x }.max
+          val b = bs.collect { case Upper(_, _, x) => x }.min
+          (bs.head.lt, bs.head.rt, a, b)
+      }
+      // only cross-side predicates that are bounds on this pair may
+      // exist (anything else cross-side means a different join shape)
+      pair match {
+        case Some((lt, rt, a, b)) if !hasEqui && b >= a &&
+            conjuncts.forall(c => !crossSide(c, lOut, rOut) ||
+              asBound(c, lOut, rOut).exists(x => x.lt == lt && x.rt == rt)) =>
+          rewrite(j, left, right, lt, rt, a, b, cond, hint)
+        case _ => j
+      }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      lt: AttributeReference, rt: AttributeReference, a: Long, b: Long,
+      cond: Expression, hint: JoinHint): LogicalPlan = {
+    val width = b - a + 1
+    def bucketOf(t: Expression): Expression =
+      Cast(Floor(Divide(Cast(t, DoubleType), Literal(width.toDouble))),
+        LongType)
+
+    val rBucket = Alias(bucketOf(rt), "_graft_range_bucket_r")()
+    val rightB = Project(right.output :+ rBucket, right)
+
+    val lBucketAttr = AttributeReference("_graft_range_bucket_l", LongType,
+      nullable = true)()
+    val ltLong = Cast(lt, LongType)
+    // Sequence is TimeZoneAware: unresolved until a zone is pinned,
+    // even for integral sequences
+    val gen = Explode(Sequence(
+      bucketOf(Add(ltLong, Literal(a))), bucketOf(Add(ltLong, Literal(b))),
+      None, Some(conf.sessionLocalTimeZone)))
+    val leftB = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(lBucketAttr), child = left)
+
+    val bucketJoin = Join(leftB, rightB, Inner,
+      Some(EqualTo(lBucketAttr, rBucket.toAttribute)), hint)
+    // the ORIGINAL condition re-applies in full: the rewrite can only
+    // under-approximate never-matching pairs away, never add pairs
+    Project(j.output, Filter(cond, bucketJoin))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The range-join rewrite must (1) remove BroadcastNestedLoopJoin from
+  * pure range joins, (2) return exactly the rows the un-rewritten plan
+  * returns, boundaries included, (3) never fire on joins Spark already
+  * handles (equi conjunct present, outer joins, unbounded ranges).
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rangejoin-rule-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ruleName = RangeJoinRewrite.ruleName
+
+  private lazy val fixture: Unit = {
+    import spark.implicits._
+    (0L until 400L).map(i => (i, i * 3 % 997)).toDF("lid", "lt")
+      .createOrReplaceTempView("rl")
+    (0L until 600L).map(i => (i + 1000, i * 2 % 997)).toDF("rid", "rt")
+      .createOrReplaceTempView("rr")
+  }
+
+  private def withRuleDisabled[T](f: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  test("pure range join loses its nested loop and keeps its rows") {
+    fixture
+    val sql =
+      """SELECT lid, rid FROM rl JOIN rr
+        |ON rr.rt > rl.lt AND rr.rt <= rl.lt + 7""".stripMargin
+    assert(!planOf(sql).contains("BroadcastNestedLoopJoin"),
+      "rewrite must replace the nested loop")
+    val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = withRuleDisabled {
+      assert(planOf(sql).contains("BroadcastNestedLoopJoin"),
+        "without the rule this IS a nested loop (the problem being solved)")
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("bound variants normalize: >=, <, BETWEEN-style, reversed operands") {
+    fixture
+    for (cond <- Seq(
+        "rr.rt >= rl.lt - 2 AND rr.rt < rl.lt + 5",
+        "rl.lt < rr.rt AND rr.rt <= rl.lt + 7",
+        "rr.rt - 3 <= rl.lt AND rl.lt <= rr.rt")) {
+      val sql = s"SELECT lid, rid FROM rl JOIN rr ON $cond"
+      assert(!planOf(sql).contains("BroadcastNestedLoopJoin"), cond)
+      val got = spark.sql(sql).count()
+      val want = withRuleDisabled(spark.sql(sql).count())
+      assert(got == want, s"$cond: $got != $want")
+    }
+  }
+
+  test("no fire: equi conjunct present, outer join, one-sided bound") {
+    fixture
+    // equi conjunct → Spark hash-joins already; rule must stay away
+    val equi = """SELECT lid, rid FROM rl JOIN rr
+      |ON rl.lid % 7 = rr.rid % 7 AND rr.rt > rl.lt AND rr.rt <= rl.lt + 7"""
+      .stripMargin
+    assert(planOf(equi).contains("Join") &&
+      !planOf(equi).contains("_graft_range_bucket"))
+    val gotEqui = spark.sql(equi).count()
+    assert(gotEqui == withRuleDisabled(spark.sql(equi).count()))
+    // outer join → untouched (nested loop is the honest plan there)
+    val outer = """SELECT lid, rid FROM rl LEFT JOIN rr
+      |ON rr.rt > rl.lt AND rr.rt <= rl.lt + 7""".stripMargin
+    assert(!planOf(outer).contains("_graft_range_bucket"))
+    // one-sided bound (no upper) → cannot bucket, untouched
+    val oneSided = "SELECT lid, rid FROM rl JOIN rr ON rr.rt > rl.lt"
+    assert(!planOf(oneSided).contains("_graft_range_bucket"))
+  }
+
+  test("negative and boundary offsets are exact") {
+    import spark.implicits._
+    Seq((1L, -10L)).toDF("lid", "lt").createOrReplaceTempView("nl")
+    Seq((10L, -10L), (11L, -9L), (12L, -3L), (13L, -2L), (14L, 5L))
+      .toDF("rid", "rt").createOrReplaceTempView("nr")
+    val sql = "SELECT rid FROM nl JOIN nr ON nr.rt > nl.lt AND nr.rt <= nl.lt + 7"
+    assert(!planOf(sql).contains("BroadcastNestedLoopJoin"))
+    // window is (−10, −3]: rt=−9 and rt=−3 match; rt=−10 (strict
+    // lower), rt=−2 and rt=5 (above upper) do not
+    val got = spark.sql(sql).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 12L), "strict lower, inclusive upper")
+  }
+}
