@@ -313,6 +313,44 @@ object Events {
         .select(col("event_id"), col("user_id"), col("view_sec"),
           coalesce(col("n_matched"), lit(0L)).as("n_clicks_5m"))
         .orderBy(col("event_id"))
+    },
+
+    // GLOBAL range correlation — deliberately written as the NAIVE
+    // pure range join (no key, no bucketing): errors vs signups
+    // within 60 s across ALL users. Stock Spark plans this as
+    // BroadcastNestedLoopJoin, O(|errors|·|signups|);
+    // [[graft.plans.RangeJoinRewrite]] (injected by GraftExtensions)
+    // rewrites it to the bucketed equi-join automatically — this row
+    // keeps the RULE itself oracle-verified every round, not just
+    // spec-tested. Zero-match errors are preserved by the outer join
+    // back (the inner leg is what the rule rewrites).
+    Q(
+      "qe9_error_signup_correlation",
+      """WITH e AS (
+        |  SELECT event_id, date_trunc('second', ts) AS sec, event_type
+        |  FROM events),
+        |err AS (SELECT event_id, sec FROM e WHERE event_type = 'error'),
+        |sg AS (SELECT sec AS ssec FROM e WHERE event_type = 'signup')
+        |SELECT err.event_id, err.sec AS err_sec,
+        |       COUNT(sg.ssec) AS n_signups_60s
+        |FROM err LEFT JOIN sg
+        |  ON sg.ssec > err.sec AND sg.ssec <= err.sec + INTERVAL 60 SECONDS
+        |GROUP BY 1, 2 ORDER BY err.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("sec"),
+          col("sec").cast(LongType).as("et"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("sec").cast(LongType).as("st"))
+      // the naive inequality join — the rule's rewrite target
+      val matched = errs.join(signups,
+          col("st") > col("et") && col("st") <= col("et") + 60L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_matched"))
+      errs.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("sec").as("err_sec"),
+          coalesce(col("n_matched"), lit(0L)).as("n_signups_60s"))
+        .orderBy(col("event_id"))
     }
   )
 }
