@@ -419,6 +419,44 @@ object Multimodal {
         "total_energy", "total_zc", "max_frame_energy")
   }
 
+  /** Shot-boundary detection over video blobs — the scene-cut pass a
+    * video training pipeline runs BEFORE frame sampling (sample per
+    * shot, not per stride, so long static scenes don't dominate).
+    * Kernel: per-frame byte sum, a boundary wherever consecutive
+    * frames differ by more than `threshold` — the integer skeleton of
+    * real histogram-difference shot detection. Computed inside the
+    * decode map (one row per video, shuffle-free); all integers, so
+    * the oracle recomputes from the payload closed form.
+    */
+  def shotBoundaries(media: DataFrame, threshold: Long,
+      batchSize: Int = 64, codec: Codec = decodeOne): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decode(media.filter(col("media_type") === "video"), batchSize, codec)
+      .map { d =>
+        val frameSize =
+          if (d.n_frames > 0) d.payload.length / d.n_frames else 0
+        val sums = Array.tabulate(d.n_frames) { f =>
+          var s = 0L
+          var i = f * frameSize
+          val end = (f + 1) * frameSize
+          while (i < end) { s += d.payload(i) & 0xFF; i += 1 }
+          s
+        }
+        var boundaries = 0L
+        var maxDelta = 0L
+        var f = 1
+        while (f < sums.length) {
+          val delta = math.abs(sums(f) - sums(f - 1))
+          if (delta > threshold) boundaries += 1
+          if (delta > maxDelta) maxDelta = delta
+          f += 1
+        }
+        (d.media_id, d.n_frames.toLong, boundaries, maxDelta)
+      }
+      .toDF("media_id", "n_frames", "n_boundaries", "max_frame_delta")
+  }
+
   /** Integer-exact per-blob features — the oracle-checkable face of
     * extractFeatures: payload length, byte sum, and the dominant
     * 16-bin histogram bucket (max count, lowest bin on ties). Same

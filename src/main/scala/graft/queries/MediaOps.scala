@@ -316,5 +316,39 @@ object MediaOps {
         Tables.load(s, dir, "documents").select("doc_id"))
       graft.ops.Multimodal.audioFeatures(media)
         .orderBy("media_id")
+    },
+
+    // --------------------------------------- video shot boundaries
+    // Scene-cut detection over the synthetic video corpus (qm1's VID
+    // blobs: 16-byte frames, byte[i] = (id·31 + i·17 + 7) % 256): a
+    // boundary wherever consecutive per-frame byte sums differ by
+    // more than 40. One row per video out of the decode map — the
+    // pass that drives per-shot (not per-stride) frame sampling in a
+    // video training pipeline. Oracle recomputes frame sums from the
+    // byte closed form.
+    Q(
+      "qm7_shot_boundaries",
+      """WITH vids AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 37 <> 0),
+        |fr AS (
+        |  SELECT doc_id, nf, f,
+        |    (SELECT SUM((doc_id * 31 + i * 17 + 7) % 256)
+        |     FROM unnest(range(f * 16, f * 16 + 16)) AS t(i)) AS fsum
+        |  FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) g),
+        |deltas AS (
+        |  SELECT doc_id, nf,
+        |    abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f))
+        |      AS delta
+        |  FROM fr)
+        |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN delta > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boundaries,
+        |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_frame_delta
+        |FROM deltas GROUP BY 1, 2 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.shotBoundaries(media, threshold = 40L)
+        .orderBy("media_id")
     })
 }

@@ -497,6 +497,59 @@ object Similarity {
         .select(col("q_id"), col("rank").cast(LongType).as("rank"),
           col("n_id"), col("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ------------------------------------- scalar quantization (SQ8)
+    // graft.ops.Sq8: the third memory-bound retrieval layout next to
+    // PQ (qs9) and the LSH/IVF indexes — per-dimension byte codes
+    // against corpus [min, max] bounds (FAISS ScalarQuantizer), 4×
+    // smaller than float32. Scoring is the ADC decomposition: one
+    // codegen'd dot product against the code array per vector, the
+    // query-side constants folded into C0 — no per-dimension
+    // reconstruct in the hot loop. The oracle re-derives min/max,
+    // codes, and the identical decomposition in SQL; both engines run
+    // the same left-to-right double arithmetic so the rounded scores
+    // and the top-10 boundary hash-match.
+    Q(
+      "qs14_sq8_topk",
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |dims AS (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM (
+        |    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        |    FROM embeddings) GROUP BY i),
+        |stat AS (
+        |  SELECT list(mn ORDER BY i) AS mnl,
+        |         list((mx - mn) / 255.0 ORDER BY i) AS scl
+        |  FROM dims),
+        |qc AS (
+        |  SELECT mnl, scl,
+        |    list_transform(range(1, 65), i -> qe[i] * scl[i]) AS qpl,
+        |    list_dot_product(qe, mnl) AS qmn
+        |  FROM q, stat),
+        |qc2 AS (
+        |  SELECT mnl, scl, qpl,
+        |    qmn + 0.5 * list_dot_product(qpl,
+        |      list_transform(range(1, 65), i -> 1.0)) AS c0
+        |  FROM qc),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(c.c0 + list_dot_product(c.qpl,
+        |      list_transform(range(1, 65), i ->
+        |        CAST(least(floor((CAST(e.embedding AS DOUBLE[])[i] - c.mnl[i])
+        |                          / c.scl[i]), 255) AS DOUBLE))), 6)
+        |      AS adc_score
+        |  FROM embeddings e, qc2 c WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, adc_score FROM scored
+        |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ops.Sq8.train(emb, "embedding")
+      graft.ops.Sq8.topk(emb, "vec_id", "embedding",
+          queryId = 0L, queryVec = queryVec(s, dir, 0L), model,
+          k = 10, extraCols = Seq("label"))
+        .select(col("vec_id"), col("label"), col("adc_score"))
     }
   )
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class Sq8Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sq8-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 8
+
+  private def corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0L until 200L).map { id =>
+      (id, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ADC top-k equals a scalar reimplementation of the same math") {
+    val df = corpus.cache()
+    val model = Sq8.train(df, "embedding")
+    assert(model.mn.length == dim)
+    assert(model.mn.indices.forall(i => model.mn(i) < model.mx(i)))
+
+    val all = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val qv = all(0L)
+
+    // scalar replica of the op's decomposition
+    val qp = Array.tabulate(dim)(d => qv(d) * model.sc(d))
+    var c0 = 0.0
+    for (d <- 0 until dim) c0 += qv(d) * model.mn(d)
+    var s = 0.0
+    for (d <- 0 until dim) s += qp(d) * 1.0
+    c0 += 0.5 * s
+    def score(x: Array[Double]): Double = {
+      var acc = 0.0
+      for (d <- 0 until dim) {
+        val code = math.min(
+          math.floor((x(d) - model.mn(d)) / model.sc(d)), 255.0)
+        acc += qp(d) * code
+      }
+      BigDecimal(c0 + acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val want = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, x) => (id, score(x)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(5)
+
+    val got = Sq8.topk(df, "vec_id", "embedding", 0L, qv, model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    assert(got.toSeq == want)
+  }
+
+  test("codes are within [0, 255] and quantization error is bounded") {
+    val df = corpus
+    val model = Sq8.train(df, "embedding")
+    val all = df.collect()
+      .map(r => r.getSeq[Float](0 + 1).map(_.toDouble).toArray)
+    all.foreach { x =>
+      for (d <- 0 until dim) {
+        val code = math.min(
+          math.floor((x(d) - model.mn(d)) / model.sc(d)), 255.0)
+        assert(code >= 0 && code <= 255)
+        val rec = model.mn(d) + (code + 0.5) * model.sc(d)
+        assert(math.abs(rec - x(d)) <= model.sc(d),
+          s"reconstruction off by more than one quantization step")
+      }
+    }
+  }
+}
