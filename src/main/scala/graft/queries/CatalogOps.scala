@@ -511,6 +511,45 @@ object CatalogOps {
         .select(col("vec_id"),
           coalesce(col("is_dup"), lit(0)).as("is_dup"))
         .orderBy(col("vec_id"))
+    },
+
+    // -------------------------------------- authz filtered listing
+    // The permission model (graft.admin.Authz — the OpenFGA v4.7
+    // transcription) driving a FILTERED LISTING, the reference's
+    // can_include_in_list response filtering: three tables, a
+    // role-routed select grant on t1, a direct describe grant on t2,
+    // nothing on t3. Expected decisions are a closed form of the
+    // model: select ⇒ listable + readable; describe ⇒ listable only;
+    // ungranted ⇒ invisible. Setup is idempotent (IF NOT EXISTS +
+    // idempotent grants), so repeated bench passes converge on the
+    // same literal-verified state.
+    Q(
+      "qc16_authz_filtered_listing",
+      """SELECT * FROM (VALUES
+        |  ('t1', 1, 1), ('t2', 1, 0), ('t3', 0, 0))
+        |AS t(name, listable, readable) ORDER BY name""".stripMargin) { (s, dir) =>
+      prepare(s, dir)
+      val store = s.sessionState.catalogManager.catalog(CatalogName)
+        .asInstanceOf[GraftCatalog].store
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.authz_q")
+      Seq("t1", "t2", "t3").foreach(t => s.sql(
+        s"CREATE TABLE IF NOT EXISTS $CatalogName.authz_q.$t (id BIGINT)"))
+      if (!store.listRoles().exists(_.id == "qreaders"))
+        store.createRole("qreaders", "qreaders", None)
+      store.addRoleMembers("qreaders", Seq("user" -> "qana"))
+      store.addGrant(graft.store.GrantTuple("table",
+        graft.admin.Authz.table(Seq("authz_q"), "t1").key,
+        "select", "role", "qreaders"))
+      store.addGrant(graft.store.GrantTuple("table",
+        graft.admin.Authz.table(Seq("authz_q"), "t2").key,
+        "describe", "user", "qana"))
+      def decisions(action: String, as: String) =
+        graft.admin.Authz.authorizedTabulars(s, store, "qana", action)
+          .filter(col("namespace") === "authz_q")
+          .select(col("name"), col("allowed").cast("int").as(as))
+      decisions("can_include_in_list", "listable")
+        .join(decisions("can_read_data", "readable"), "name")
+        .orderBy(col("name"))
     }
   )
 }
