@@ -50,15 +50,25 @@ object Bm25 {
       termCol: String,
       queryIdCol: String,
       k: Int): DataFrame = {
-    val tf = tok.groupBy(col(docCol), col(termCol))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col(termCol)).agg(count(lit(1)).as("df"))
+    // doc length and corpus totals never need per-(doc, term) keys:
+    // one map-side-combined per-doc count covers both
+    val dl = tok.groupBy(col(docCol)).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
 
-    // postings restricted to query terms: broadcast the tiny query
-    // table; df rides along (vocab-bounded, broadcast too)
+    // tf is aggregated ONLY over query-term occurrences — the
+    // broadcast semi-probe runs before the shuffle, so the
+    // (doc, term) aggregation keys are query-sized, not vocab×docs
+    // (at corpus scale this is the difference between shuffling the
+    // whole posting space and just the probed lists)
+    val qTerms = queries.select(col(termCol)).distinct()
+    val tf = tok
+      .join(broadcast(qTerms), Seq(termCol), "left_semi")
+      .groupBy(col(docCol), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    // df of a query term = its posting-list length in the filtered tf
+    val df = tf.groupBy(col(termCol)).agg(count(lit(1)).as("df"))
+
     val probe = tf
       .join(broadcast(queries), Seq(termCol))
       .join(broadcast(df), Seq(termCol))
