@@ -1630,6 +1630,37 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------------ dataset card
+    // The corpus report every released training set ships with
+    // (dataset-card numbers): per (source, lang) document and token
+    // counts, distinct content fingerprints, and exact-duplicate
+    // counts — one scan, two map-side-combined aggregations, output
+    // |sources|×|langs| rows at any corpus size. All integers.
+    Q(
+      "qt20_dataset_card",
+      s"""SELECT source, lang,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '$tokenRe'))) AS BIGINT)
+         |    AS total_tokens,
+         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq_fps,
+         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         |FROM documents
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))))
+            .as("total_tokens"),
+          countDistinct(md5(col("text"))).as("uniq_fps"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // --------------------------------------------- BM25 retrieval
     // Okapi BM25 keyword search ([[graft.ops.Bm25]]) — the
     // inverted-index ranking of Lucene/Elasticsearch and the keyword
