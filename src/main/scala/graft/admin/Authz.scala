@@ -505,7 +505,11 @@ object Authz {
       val here = store.listTabulars(ns).map { t =>
         val kind = if (t.kind == "view") "view" else "table"
         val o = Obj(kind, ns :+ t.id.name)
-        (ns.mkString("."), t.id.name, kind, ev.rel(o, action))
+        // an action one tabular kind doesn't define (e.g.
+        // can_read_data on a view — views have can_select) is simply
+        // not held, matching the reference's per-type action variants
+        val allowed = actions(kind).contains(action) && ev.rel(o, action)
+        (ns.mkString("."), t.id.name, kind, allowed)
       }
       here ++ store.listNamespaces(ns).flatMap(walk)
     }
