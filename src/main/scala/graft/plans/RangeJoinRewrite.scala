@@ -119,7 +119,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       r: AttributeSet): Boolean =
     e.references.intersect(l).nonEmpty && e.references.intersect(r).nonEmpty
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUpWithPruning(
+    _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !j.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)

@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object RuleAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    for (mode <- Seq("on", "off", "on", "off", "on", "off", "on", "off")) {
+      if (mode == "off")
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          "graft.plans.RangeJoinRewrite")
+      else spark.conf.unset("spark.sql.optimizer.excludedRules")
+      spark.catalog.clearCache()
+      graft.queries.TextOps.warmSharedPairs(spark, sfDir)
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries("qd7_hybrid_dedup")(spark, sfDir).count()
+      println(f"[ab] rule=$mode qd7: ${(System.nanoTime()-t0)/1e9}%.2f s ($c)")
+    }
+    spark.stop()
+  }
+}
