@@ -190,6 +190,70 @@ object ScaleLane {
           Seq("doc_id", "source")).count(), None)
       } finally feat.unpersist()
     }
+    leg("qt18_bm25") {
+      // BM25 probe: candidates = scored (query, doc) pairs BEFORE the
+      // top-k cut — the posting-list volume. Must track the probed
+      // lists (linear in matching docs), never vocab × docs: a
+      // regression that aggregates the full posting space shows up
+      // here as wall time, a probe that stops filtering as candidates.
+      import spark.implicits._
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val queries = Seq("kw1" -> "spark", "kw1" -> "join", "kw2" -> "vector",
+        "kw3" -> "hash", "kw3" -> "table", "kw3" -> "scan")
+        .toDF("query_id", "term")
+      val ranked = graft.ops.Bm25.topk(tok, queries, "doc_id", "term",
+        "query_id", k = 10)
+      // scored-pair volume via the same probe shape (cheap re-derive)
+      val nScored = tok
+        .join(broadcast(queries.select("term").distinct()), Seq("term"),
+          "left_semi")
+        .select("doc_id", "term").distinct().count()
+      (ranked.count(), Some(nScored))
+    }
+    leg("qs14_sq8") {
+      // SQ8: training two aggregates + a brute ADC scan — linear in n
+      // by design; rows = corpus size scored.
+      val model = graft.ops.Sq8.train(emb, "embedding")
+      val qv = emb.filter(col("vec_id") === 1L)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0).toArray
+      (graft.ops.Sq8.topk(emb, "vec_id", "embedding", 1L, qv, model,
+        k = 10).count(), Some(NEmb.toLong - 1))
+    }
+    leg("qe_time_joins") {
+      // as-of + range join on a deterministic 500k-row event set
+      // (users × minutes; no fixture file needed — spark.range is the
+      // generator). candidates = range-join matched pairs (the output
+      // volume the bucketing must track); the as-of result is |left|
+      // by construction.
+      import spark.implicits._
+      val n = 500000L
+      // xxhash64 times: any AFFINE map of id keeps one user's events
+      // in an arithmetic progression (same-user deltas share a large
+      // gcd — zero range matches, a useless guard); a real hash makes
+      // them interleave
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        (col("id") / 4L % 5000L).cast("long").as("user_id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("t"),
+        (col("id") % 4L).as("kind"))
+        .persist()
+      try {
+        ev.count()
+        val left = ev.filter(col("kind") === 0)
+          .select(col("event_id"), col("user_id"), col("t"))
+        val right = ev.filter(col("kind") === 1)
+          .select(col("user_id"), col("t").as("rt"),
+            col("event_id").as("rid"))
+        val asof = graft.ops.AsOfJoin.asOf(left, right, Seq("user_id"),
+          "t", "rt", Seq("rid" -> "rid"), rightTie = "rid").count()
+        val matched = graft.ops.RangeJoin.joinRange(left, right,
+          Seq("user_id"), "t", "rt", lo = 0L, hi = 600L).count()
+        (asof, Some(matched))
+      } finally ev.unpersist()
+    }
     Report(dir, NDocs, NEmb, needGen, genSec, legs.toSeq)
   }
 }
