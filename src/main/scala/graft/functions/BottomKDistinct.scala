@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** Mergeable bottom-k-distinct aggregate: the k smallest DISTINCT
+  * values of a long column, as a sorted ascending array.
+  *
+  * This is the KMV / bottom-k distinct-count sketch primitive
+  * (Bar-Yossef et al. 2002; the Apache DataSketches theta family): a
+  * FIXED-size state per group — a `java.util.TreeSet` capped at k
+  * entries — updated map-side and merged associatively, so a
+  * 100 TB scan reduces each group to k longs before the shuffle.
+  * The alternative formulations all break at scale: `collect_set` is
+  * unbounded per group, and a `row_number` window must first shuffle
+  * and sort EVERY distinct value per group. This is the reason sketch
+  * libraries integrate with Spark as imperative aggregates rather
+  * than SQL rewrites.
+  *
+  * Determinism contract (the DuckDB oracles depend on it): the result
+  * is a pure set function of the input values — bottom-k of a union
+  * is the bottom-k of the unions' bottom-k's, so partial aggregation,
+  * merge order, and partitioning cannot change the answer. Nulls are
+  * skipped; fewer than k distinct values yield a shorter (exact)
+  * array, which is the KMV "count exactly below k" branch.
+  */
+case class BottomKDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 1 && k <= 65536, s"bottom-k size out of range: $k")
+
+  override def prettyName: String = "graft_bottom_k_distinct"
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integral column, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // Bounded insert: only admit values below the current k-th
+    // smallest once the buffer is full, then evict the new maximum.
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(
+      buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKDistinct =
+    copy(child = newChildren.head)
+}
+
+object BottomKDistinct {
+  /** Column-level aggregate: sorted array of the k smallest distinct
+    * values of an integral column (skips nulls; shorter when the
+    * group has fewer than k distinct values).
+    */
+  def bottomK(c: Column, k: Int): Column =
+    Shim.column(
+      BottomKDistinct(Shim.expression(c), k).toAggregateExpression())
+}

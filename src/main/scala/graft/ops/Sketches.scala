@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.BottomKDistinct
+
+/** Approximate-analytics sketches: KMV/theta distinct counting and
+  * count-min heavy hitters — the Druid/Pinot/Apache-DataSketches
+  * operator family, built deterministic so DuckDB oracles can verify
+  * them exactly.
+  *
+  * Scale rationale (the reason these exist at 100 TB): an exact
+  * `COUNT(DISTINCT)` shuffles every distinct key; a KMV sketch
+  * reduces each group to k longs map-side ([[BottomKDistinct]] keeps
+  * fixed-size state through partial aggregation), merges
+  * associatively across partitions/days/segments, and supports set
+  * algebra (union/intersection cardinalities) that exact rollups
+  * cannot answer after the fact. A count-min sketch bounds frequency-
+  * table state at d×w counters regardless of key cardinality.
+  *
+  * Determinism contract: every estimate is a pure function of
+  * md5-derived 60-bit hashes and IEEE double arithmetic written
+  * identically in both engines — no RNG, no platform-dependent hash.
+  */
+object Sketches {
+
+  /** 2^60 — the hash domain size, exactly representable as a double. */
+  val DomainD: Double = 1152921504606846976.0
+
+  private val Domain: Long = 1L << 60
+
+  /** Uniform 60-bit hash both engines compute identically:
+    * first 15 hex chars of md5 of the value's decimal string.
+    * (The engine-portable sibling of the xxhash64 the LSH ops use.)
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** DuckDB spelling of [[hash60]] over SQL expression `expr`. */
+  def hash60Sql(expr: String): String =
+    s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** KMV distinct-count estimate from a sorted bottom-k array:
+    * exact size below k, else (k-1) * 2^60 / h_(k) floored — the
+    * classic k-minimum-values estimator on the 60-bit hash domain.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast(LongType))
+      .otherwise(
+        floor(lit((k - 1).toDouble) * lit(DomainD) /
+          element_at(sk, k).cast(DoubleType)).cast(LongType))
+
+  /** DuckDB spelling of [[kmvEstimate]] given the sketch's size and
+    * k-th (= max retained) hash value.
+    */
+  def kmvEstimateSql(sizeExpr: String, kthExpr: String, k: Int): String =
+    s"""CASE WHEN $sizeExpr < $k THEN CAST($sizeExpr AS BIGINT)
+       |ELSE CAST(floor(${(k - 1).toDouble} * $DomainD /
+       |  CAST($kthExpr AS DOUBLE)) AS BIGINT) END""".stripMargin
+
+  /** Theta of a bottom-k sketch: the k-th smallest hash once the
+    * sketch is full, else the full domain (the sketch is exact).
+    * Set-operation estimates count hashes below min(theta_a, theta_b)
+    * and rescale by 2^60/theta — exact by construction whenever both
+    * inputs are exact (theta = 2^60 makes the scale factor 1.0).
+    */
+  def thetaOf(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(Domain)).otherwise(element_at(sk, k))
+
+  /** DuckDB spelling of [[thetaOf]]. */
+  def thetaOfSql(sizeExpr: String, kthExpr: String, k: Int): String =
+    s"CASE WHEN $sizeExpr < $k THEN ${Domain}::BIGINT ELSE $kthExpr END"
+
+  /** Theta-scaled cardinality estimate: cnt hashes observed below
+    * theta, scaled to the full domain.
+    */
+  def thetaEstimate(cnt: Column, theta: Column): Column =
+    floor(cnt.cast(DoubleType) * lit(DomainD) / theta.cast(DoubleType))
+      .cast(LongType)
+
+  /** DuckDB spelling of [[thetaEstimate]]. */
+  def thetaEstimateSql(cntExpr: String, thetaExpr: String): String =
+    s"""CAST(floor(CAST($cntExpr AS DOUBLE) * $DomainD /
+       |  CAST($thetaExpr AS DOUBLE)) AS BIGINT)""".stripMargin
+
+  /** Bottom-k-distinct sketch aggregate (re-export for query code). */
+  def bottomK(c: Column, k: Int): Column = BottomKDistinct.bottomK(c, k)
+
+  /** Count-min bucket for `keyCol` under seed row `seed` (width w):
+    * seeded 60-bit hash mod w. Seeds are baked into the hashed string
+    * so both engines derive all d rows from the same md5 primitive.
+    */
+  def cmsBucket(keyCol: Column, seed: Int, w: Int): Column =
+    pmod(hash60(concat(lit(s"$seed|"), keyCol)), lit(w.toLong))
+
+  /** DuckDB spelling of [[cmsBucket]]. */
+  def cmsBucketSql(keyExpr: String, seed: Int, w: Int): String =
+    s"(${hash60Sql(s"'$seed|' || $keyExpr")}) % $w"
+}

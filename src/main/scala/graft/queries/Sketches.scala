@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Sketches._
+
+/** Approximate-analytics sketches over the `events` and `documents`
+  * tables — KMV/theta distinct counting, mergeable sketch rollups,
+  * theta set operations, and count-min heavy hitters (the
+  * Druid/Pinot/Apache-DataSketches family; see [[graft.ops.Sketches]]
+  * and the bounded-state [[graft.functions.BottomKDistinct]]
+  * aggregate).
+  *
+  * Oracle strategy: every sketch here is DETERMINISTIC — a pure
+  * function of md5-derived 60-bit hashes plus IEEE double scaling —
+  * so DuckDB recomputes the identical sketches (bottom-k via a
+  * row_number window, affordable at oracle scale) and the driver's
+  * hash-compare verifies estimates EXACTLY, not within tolerance.
+  * Each query also emits the exact cardinalities next to the
+  * estimates, so the artifacts document the sketch error itself.
+  *
+  * The k=64 sketch size is chosen so the testdata exercises both
+  * branches of the estimator: at sf0.001 every group has < 64
+  * distinct users (sketch exact), at sf0.01+ the (k-1)·2^60/h_(k)
+  * estimation path is live.
+  */
+object SketchQueries {
+
+  /** Sketch size: fixed per-group state = 64 longs at any scale. */
+  val SketchK = 64
+
+  /** Count-min geometry: 4 seeded rows × 1024 buckets = 4096 counters
+    * regardless of key cardinality.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Heavy hitters reported: top-25 by CMS estimate. */
+  val CmsTopK = 25
+
+  private val tokenRe = "[a-z0-9]+"
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------ KMV distinct counting
+    // Per-event-type distinct-user estimate from a bottom-64 sketch.
+    // The Spark side aggregates with fixed 64-long state map-side
+    // (BottomKDistinct); the oracle affords the full sort at oracle
+    // scale. exact_users sits beside est_users so the sketch error is
+    // part of the verified artifact.
+    Q(
+      "qa1_kmv_distinct",
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ${hash60Sql("user_id")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS sk_size,
+         |         max(h) AS kth
+         |  FROM r WHERE rn <= $SketchK GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, e.exact_users, s.sk_size,
+         |  ${kmvEstimateSql("s.sk_size", "s.kth", SketchK)} AS est_users
+         |FROM ex e JOIN sk s USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          hash60(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(
+          bottomK(col("h"), SketchK).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"), col("exact_users"),
+          size(col("sk")).cast(LongType).as("sk_size"),
+          kmvEstimate(col("sk"), SketchK).as("est_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------- sketch rollup merge
+    // Mergeability made verifiable: the Spark side builds DAILY
+    // sketches, then merges them to per-type and to one global
+    // ('*all*') sketch by re-aggregating the retained hashes — the
+    // rollup pattern that lets a 100 TB pipeline keep per-segment
+    // sketches and answer coarser distinct counts without re-scanning
+    // raw data. The oracle computes every sketch DIRECTLY from raw
+    // rows; the hash-match is therefore a proof that bottom-k merge
+    // is lossless (bottom-k of a union = bottom-k of the parts'
+    // bottom-k's).
+    Q(
+      "qa2_sketch_rollup",
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ${hash60Sql("user_id")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS sk_size,
+         |         max(h) AS kth
+         |  FROM r WHERE rn <= $SketchK GROUP BY event_type),
+         |ha AS (SELECT DISTINCT ${hash60Sql("user_id")} AS h FROM events),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+         |ska AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS sk_size, max(h) AS kth
+         |  FROM ra WHERE rn <= $SketchK)
+         |SELECT event_type, sk_size,
+         |  ${kmvEstimateSql("sk_size", "kth", SketchK)} AS est_users
+         |FROM sk
+         |UNION ALL
+         |SELECT '*all*' AS event_type, sk_size,
+         |  ${kmvEstimateSql("sk_size", "kth", SketchK)} AS est_users
+         |FROM ska
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          hash60(col("user_id")).as("h"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(bottomK(col("h"), SketchK).as("sk"))
+      // merge = re-aggregate the retained hashes; never touches raw rows
+      val perType = daily
+        .select(col("event_type"), explode(col("sk")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(bottomK(col("h"), SketchK).as("sk"))
+      val global = daily
+        .select(explode(col("sk")).as("h"))
+        .agg(bottomK(col("h"), SketchK).as("sk"))
+        .select(lit("*all*").as("event_type"), col("sk"))
+      perType.unionByName(global)
+        .select(col("event_type"),
+          size(col("sk")).cast(LongType).as("sk_size"),
+          kmvEstimate(col("sk"), SketchK).as("est_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // --------------------------------------- theta set operations
+    // Distinct-user cardinalities of click ∪ purchase and
+    // click ∩ purchase estimated from the two sketches alone — the
+    // question exact per-type rollups cannot answer after the fact,
+    // and the theta-sketch family's reason to exist. theta =
+    // min(theta_a, theta_b); counts of retained hashes below theta
+    // rescale by 2^60/theta (scale factor exactly 1.0 when both
+    // sketches are exact, so the formula needs no branch).
+    Q(
+      "qa3_theta_setops",
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type, ${hash60Sql("user_id")} AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM du),
+         |ska AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS sza, max(h) AS ktha,
+         |         list(h ORDER BY h) AS la
+         |  FROM r WHERE rn <= $SketchK AND event_type = 'click'),
+         |skb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS szb, max(h) AS kthb,
+         |         list(h ORDER BY h) AS lb
+         |  FROM r WHERE rn <= $SketchK AND event_type = 'purchase'),
+         |ex AS (
+         |  SELECT
+         |    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+         |      AS exact_click,
+         |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+         |      AS exact_purchase
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |eb AS (
+         |  SELECT count(*) AS exact_both FROM
+         |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+         |    JOIN (SELECT DISTINCT user_id FROM events
+         |          WHERE event_type = 'purchase') b USING (user_id)),
+         |th AS (
+         |  SELECT least(
+         |    ${thetaOfSql("sza", "ktha", SketchK)},
+         |    ${thetaOfSql("szb", "kthb", SketchK)}) AS theta
+         |  FROM ska, skb),
+         |cnts AS (
+         |  SELECT
+         |    len(list_filter(list_distinct(list_concat(la, lb)),
+         |        x -> x < theta)) AS n_union,
+         |    len(list_filter(list_intersect(la, lb),
+         |        x -> x < theta)) AS n_inter
+         |  FROM ska, skb, th)
+         |SELECT ex.exact_click, ex.exact_purchase, eb.exact_both,
+         |  ${kmvEstimateSql("sza", "ktha", SketchK)} AS est_click,
+         |  ${kmvEstimateSql("szb", "kthb", SketchK)} AS est_purchase,
+         |  ${thetaEstimateSql("cnts.n_union", "th.theta")} AS est_union,
+         |  ${thetaEstimateSql("cnts.n_inter", "th.theta")} AS est_inter
+         |FROM ex, eb, th, ska, skb, cnts""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val sk = ev
+        .select(col("event_type"), col("user_id"),
+          hash60(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(bottomK(col("h"), SketchK).as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+      // two rows → one: each first() sees exactly one non-null value
+      val one = sk.groupBy().agg(
+        first(when(col("event_type") === "click", col("sk")),
+          ignoreNulls = true).as("ska"),
+        first(when(col("event_type") === "purchase", col("sk")),
+          ignoreNulls = true).as("skb"),
+        first(when(col("event_type") === "click", col("exact")),
+          ignoreNulls = true).as("exact_click"),
+        first(when(col("event_type") === "purchase", col("exact")),
+          ignoreNulls = true).as("exact_purchase"))
+      val both = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("exact_both"))
+      // 1-row × 1-row combine (the UnigramLM scalar-broadcast idiom)
+      one.crossJoin(broadcast(both))
+        .withColumn("theta", least(
+          thetaOf(col("ska"), SketchK), thetaOf(col("skb"), SketchK)))
+        .select(
+          col("exact_click"), col("exact_purchase"), col("exact_both"),
+          kmvEstimate(col("ska"), SketchK).as("est_click"),
+          kmvEstimate(col("skb"), SketchK).as("est_purchase"),
+          thetaEstimate(
+            size(filter(array_union(col("ska"), col("skb")),
+              x => x < col("theta"))), col("theta")).as("est_union"),
+          thetaEstimate(
+            size(filter(array_intersect(col("ska"), col("skb")),
+              x => x < col("theta"))), col("theta")).as("est_inter"))
+    },
+
+    // ------------------------------------- count-min heavy hitters
+    // Top-25 3-gram shingles by count-min estimate: every occurrence
+    // increments one bucket per seeded hash row (groupBy on
+    // (seed, bucket) — at most 4×1024 = 4096 reduce keys with
+    // map-side combine, regardless of shingle cardinality), a
+    // candidate's estimate is the min over its 4 buckets, and the
+    // report is the top-25 by (est DESC, shingle) — the deterministic
+    // total order both engines share. exact_cnt rides along so
+    // collision inflation (est ≥ exact, the CMS one-sided guarantee,
+    // and real on this corpus: ~27k shingles into 4096 buckets) is
+    // visible in the verified artifact.
+    Q(
+      "qa4_cms_heavy_hitters",
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(text, '$tokenRe') AS t FROM documents),
+         |sh AS (
+         |  SELECT unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks),
+         |exact AS (
+         |  SELECT shingle, count(*) AS exact_cnt FROM sh GROUP BY shingle),
+         |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+         |pairs AS (
+         |  SELECT seed,
+         |    (${hash60Sql("CAST(seed AS VARCHAR) || '|' || shingle")})
+         |      % $CmsWidth AS bucket
+         |  FROM sh CROSS JOIN seeds),
+         |cms AS (
+         |  SELECT seed, bucket, count(*) AS c
+         |  FROM pairs GROUP BY seed, bucket),
+         |cand AS (
+         |  SELECT e.shingle, e.exact_cnt, seed,
+         |    (${hash60Sql("CAST(seed AS VARCHAR) || '|' || e.shingle")})
+         |      % $CmsWidth AS bucket
+         |  FROM exact e CROSS JOIN seeds),
+         |est AS (
+         |  SELECT c2.shingle, c2.exact_cnt, CAST(min(m.c) AS BIGINT) AS est_cnt
+         |  FROM cand c2 JOIN cms m USING (seed, bucket)
+         |  GROUP BY c2.shingle, c2.exact_cnt)
+         |SELECT shingle, exact_cnt, est_cnt FROM est
+         |QUALIFY row_number() OVER (ORDER BY est_cnt DESC, shingle) <= $CmsTopK
+         |ORDER BY est_cnt DESC, shingle""".stripMargin) { (s, dir) =>
+      val seeds = 0 until CmsDepth
+      val sh = Tables.load(s, dir, "documents")
+        .select(regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
+        .select(explode(transform(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 2, lit(0))),
+          (x, i) => concat(x, lit(" "), get(col("t"), i + lit(1)),
+            lit(" "), get(col("t"), i + lit(2))))).as("shingle"))
+      val exactCnt = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val cms = sh
+        .select(explode(array(seeds.map(sd => struct(
+          lit(sd).as("seed"),
+          cmsBucket(col("shingle"), sd, CmsWidth).as("bucket"))): _*)).as("sb"))
+        .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      exactCnt
+        .select(col("shingle"), col("exact_cnt"),
+          explode(array(seeds.map(sd => struct(
+            lit(sd).as("seed"),
+            cmsBucket(col("shingle"), sd, CmsWidth).as("bucket"))): _*)).as("sb"))
+        .select(col("shingle"), col("exact_cnt"),
+          col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+        .join(broadcast(cms), Seq("seed", "bucket"))
+        .groupBy(col("shingle"), col("exact_cnt"))
+        .agg(min(col("c")).cast(LongType).as("est_cnt"))
+        // TakeOrderedAndProject: the deterministic (est DESC, shingle)
+        // total order, never a single-partition global sort
+        .orderBy(col("est_cnt").desc, col("shingle"))
+        .limit(CmsTopK)
+        .select(col("shingle"), col("exact_cnt"), col("est_cnt"))
+    }
+  )
+}

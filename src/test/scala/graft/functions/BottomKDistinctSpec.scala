@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded bottom-k-distinct aggregate must be a pure SET function
+  * of its input: identical under any partitioning (partial-aggregate
+  * merge order), duplicate-insensitive, null-skipping, and exactly the
+  * k smallest distinct values — the DuckDB sketch oracles recompute it
+  * with a row_number window and hash-compare, so any drift is a
+  * correctness failure, not an accuracy one.
+  */
+class BottomKDistinctSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bottomk-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def brute(vs: Seq[Long], k: Int): Seq[Long] =
+    vs.distinct.sorted.take(k)
+
+  test("matches brute force with duplicates, negatives, and groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { _ =>
+      (rnd.nextInt(4), rnd.nextInt(400).toLong - 200L)
+    }
+    val got = rows.toDF("g", "v")
+      .groupBy($"g")
+      .agg(BottomKDistinct.bottomK($"v", 16).as("sk"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> brute(vs.map(_._2), 16)
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, w) => assert(got(g) === w, s"group $g") }
+  }
+
+  test("partitioning-invariant: 1 partition ≡ 13 partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val df = (0 until 20000).map(_ => rnd.nextLong() >>> 4).toDF("v")
+    val a = df.repartition(1)
+      .agg(BottomKDistinct.bottomK($"v", 64)).head.getSeq[Long](0)
+    val b = df.repartition(13)
+      .agg(BottomKDistinct.bottomK($"v", 64)).head.getSeq[Long](0)
+    assert(a === b)
+    assert(a.length === 64)
+    assert(a === a.sorted)
+  }
+
+  test("fewer than k distinct values → exact sorted distinct set") {
+    import spark.implicits._
+    val df = Seq(5L, 3L, 5L, 9L, 3L, 1L).toDF("v")
+    val sk = df.agg(BottomKDistinct.bottomK($"v", 64)).head.getSeq[Long](0)
+    assert(sk === Seq(1L, 3L, 5L, 9L))
+  }
+
+  test("nulls are skipped; all-null group yields an empty array") {
+    import spark.implicits._
+    val df = Seq[(Int, java.lang.Long)]((0, 4L), (0, null), (1, null))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(BottomKDistinct.bottomK($"v", 8).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0) === Seq(4L))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("merge of per-part sketches ≡ sketch of the union (rollup)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 8000).map(_ => (rnd.nextInt(9), (rnd.nextLong() >>> 8)))
+    val df = rows.toDF("part", "v")
+    // two-level: bottom-k per part, explode, bottom-k of the merge
+    val merged = df.groupBy($"part")
+      .agg(BottomKDistinct.bottomK($"v", 32).as("sk"))
+      .select(explode($"sk").as("v"))
+      .agg(BottomKDistinct.bottomK($"v", 32)).head.getSeq[Long](0)
+    val direct = df.agg(BottomKDistinct.bottomK($"v", 32)).head.getSeq[Long](0)
+    assert(merged === direct)
+    assert(direct === brute(rows.map(_._2), 32))
+  }
+
+  test("KMV estimate from a uniform-hash sketch lands near the truth") {
+    import spark.implicits._
+    val n = 5000
+    val df = (0 until n).map(i => s"user$i").toDF("u")
+    val k = 64
+    val est = df.select(graft.ops.Sketches.hash60($"u").as("h"))
+      .agg(BottomKDistinct.bottomK($"h", k).as("sk"))
+      .select(graft.ops.Sketches.kmvEstimate($"sk", k))
+      .head.getLong(0)
+    // standard error of KMV at k=64 is ~n/sqrt(k-1) ≈ 12.6%; 4σ bound
+    assert(math.abs(est - n).toDouble / n < 0.5, s"est=$est for n=$n")
+  }
+}
