@@ -53,6 +53,23 @@ object EventStreams {
         col("event_type"), col("n_events"), col("total_value"),
         col("approx_users"))
 
+  /** Streaming twin of qa1_kmv_distinct: per-type KMV distinct-user
+    * sketches maintained incrementally — the bounded bottom-k state
+    * ([[graft.functions.BottomKDistinct]], k longs per group) lives in
+    * the streaming state store and merges associatively per
+    * micro-batch, so the distinct-count estimate never keys state by
+    * user (an exact streaming countDistinct would grow state with
+    * cardinality; the sketch holds it at k longs per event_type).
+    */
+  def kmvDistinctRollup(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .select(col("event_type"),
+        graft.ops.Sketches.hash60(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("sk"))
+      .select(col("event_type"),
+        graft.ops.Sketches.kmvEstimate(col("sk"), k).as("est_users"))
+
   /** Streaming exact dedup — the streaming twin of the batch qd1
     * operator: first arrival wins, duplicate deliveries are dropped.
     * State holds one entry per key and EXPIRES with the watermark, so

@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit for the sketch family (qa1-qa4): partial aggregation of
+  * the bounded bottom-k state must happen map-side, the CMS table must
+  * broadcast, and no query may fall back to a cartesian product.
+  */
+object PlanSketch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- graft.queries.SketchQueries.all) {
+      println(s"\n===== ${q.name} =====")
+      println(q.run(spark, sfDir).queryExecution.executedPlan.toString.take(6000))
+    }
+    spark.stop()
+  }
+}

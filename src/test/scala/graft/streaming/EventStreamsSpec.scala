@@ -75,6 +75,26 @@ class EventStreamsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("kmvDistinctRollup: bounded sketch state through streaming equals batch") {
+    val q = EventStreams.kmvDistinctRollup(eventsStream, k = 8)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT event_type, est_users FROM kmv ORDER BY event_type").collect()
+
+    // the sketch is a pure set function, so the streaming incremental
+    // merge through the state store must equal the batch aggregate
+    val batch = EventStreams.kmvDistinctRollup(
+      normTs(spark.read.parquet(s"$sourceDir/events.parquet")), k = 8)
+      .orderBy(col("event_type")).collect()
+
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
   test("sessionize emits gap-closed sessions matching the batch window computation") {
     val q = EventStreams.sessionize(eventsStream)
       .writeStream.format("memory").queryName("sess")
