@@ -71,10 +71,13 @@ object Ivf {
       .limit(k)
   }
 
-  /** DuckDB oracle running the identical IVF (same centroid literals,
-    * same argmin rule, same probe set, same rerank).
+  /** Shared oracle CTE block `ev, assigned, ivfq, probes`: coarse
+    * assignment of every vector (same centroid literals and argmin
+    * rule as [[listId]]) and the query's nprobe probe lists — used by
+    * both the IVF oracle and the IVFPQ composition
+    * ([[Pq.duckDbOracle]] with a probe filter).
     */
-  def duckDbOracle(queryId: Long, k: Int, numLists: Int, nprobe: Int,
+  def assignProbeCtesSql(queryId: Long, numLists: Int, nprobe: Int,
       dim: Int, seed: Long = 42L): String = {
     val cents = centroids(numLists, dim, seed)
     def lit(c: Array[Double]) = c.map(_.toString).mkString("[", ",", "]")
@@ -83,19 +86,27 @@ object Ivf {
       s"($cNormSq - 2.0 * list_dot_product(v, ${lit(c)}))"
     }
     val distList = distDefs.mkString("[", ",\n      ", "]")
-    s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |assigned AS (
        |  SELECT vec_id, label, v, d,
        |    list_indexof(d, list_min(d)) AS list_id
        |  FROM (SELECT vec_id, label, v,
        |    $distList AS d
        |  FROM ev)),
-       |q AS (SELECT * FROM assigned WHERE vec_id = $queryId),
+       |ivfq AS (SELECT * FROM assigned WHERE vec_id = $queryId),
        |probes AS (
        |  SELECT i AS list_id FROM (
        |    SELECT UNNEST(d) AS dist, UNNEST(range(1, ${numLists + 1})) AS i
-       |    FROM q)
-       |  ORDER BY dist, i LIMIT $nprobe),
+       |    FROM ivfq)
+       |  ORDER BY dist, i LIMIT $nprobe)""".stripMargin
+  }
+
+  /** DuckDB oracle running the identical IVF (same centroid literals,
+    * same argmin rule, same probe set, same rerank).
+    */
+  def duckDbOracle(queryId: Long, k: Int, numLists: Int, nprobe: Int,
+      dim: Int, seed: Long = 42L): String = {
+    s"""WITH ${assignProbeCtesSql(queryId, numLists, nprobe, dim, seed)},
        |cand AS (
        |  SELECT a.vec_id, a.label, a.v FROM assigned a
        |  WHERE a.vec_id <> $queryId
@@ -104,7 +115,7 @@ object Ivf {
        |  SELECT c.vec_id, c.label,
        |    round(list_dot_product(c.v, q.v) /
        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
-       |  FROM cand c, q)
+       |  FROM cand c, ivfq q)
        |SELECT vec_id, label, cos_sim FROM scored
        |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
   }

@@ -179,7 +179,8 @@ object Pq {
     * Verifies training, encoding, and ADC scoring end to end.
     */
   def duckDbOracle(queryId: Long, k: Int, numSub: Int, subDim: Int,
-      kPerSub: Int, iters: Int): String = {
+      kPerSub: Int, iters: Int, prependCtes: String = "",
+      extraWhere: String = ""): String = {
     val bodies = (0 until numSub).map { m =>
       val lo = m * subDim + 1
       val hi = (m + 1) * subDim
@@ -199,12 +200,29 @@ object Pq {
       if (m == 0) s"FROM $af $cj" else s"  $af $cj"
     }.mkString("\n")
     val qFrom = (0 until numSub).map(m => s"q$m").mkString(", ")
-    s"""WITH ${bodies.mkString(",\n")},
+    val prepend = if (prependCtes.isEmpty) "" else s"$prependCtes,\n"
+    s"""WITH $prepend${bodies.mkString(",\n")},
        |${qCtes.mkString(",\n")}
        |SELECT a0.vec_id, round($dTerms, 6) AS adc_dist
        |$joins
        |  , $qFrom
-       |WHERE a0.vec_id <> $queryId
+       |WHERE a0.vec_id <> $queryId$extraWhere
        |ORDER BY adc_dist, a0.vec_id LIMIT $k""".stripMargin
   }
+
+  /** DuckDB oracle for the IVF+PQ composition (qs15): the PQ oracle's
+    * codebook/ADC chain restricted to the vectors whose coarse list is
+    * probed — [[Ivf.assignProbeCtesSql]] supplies `assigned`/`probes`.
+    * Non-residual IVFPQ: codes quantize the raw vectors (not the
+    * residual to the coarse centroid), so the two verified derivations
+    * compose without a third training path.
+    */
+  def ivfPqDuckDbOracle(queryId: Long, k: Int, numSub: Int, subDim: Int,
+      kPerSub: Int, iters: Int, numLists: Int, nprobe: Int,
+      seed: Long = 42L): String =
+    duckDbOracle(queryId, k, numSub, subDim, kPerSub, iters,
+      prependCtes = Ivf.assignProbeCtesSql(
+        queryId, numLists, nprobe, numSub * subDim, seed),
+      extraWhere = "\n  AND a0.vec_id IN (SELECT vec_id FROM assigned" +
+        "\n    WHERE list_id IN (SELECT list_id FROM probes))")
 }

@@ -550,6 +550,34 @@ object Similarity {
           queryId = 0L, queryVec = queryVec(s, dir, 0L), model,
           k = 10, extraCols = Seq("label"))
         .select(col("vec_id"), col("label"), col("adc_score"))
+    },
+
+    // --------------------------------------------- IVF + PQ combined
+    // The FAISS-IVFPQ production shape (non-residual variant): coarse
+    // IVF pruning cuts the scan to nprobe/numLists of the corpus, then
+    // PQ/ADC scores the survivors over their 8-byte codes — the two
+    // separately-verified layers (qs4 coarse probe incl. its
+    // file-pruned catalog table, qs9 codebooks + ADC) composed the way
+    // a deployment runs them: at scale the encoded table is written
+    // partitioned by list_id, so a query reads nprobe/numLists of the
+    // FILES and 1/32 of the BYTES per row, and scoring stays one
+    // codegen'd scan with TakeOrderedAndProject. The oracle chains
+    // both derivations (coarse assignment CTEs + 8 Lloyd chains) and
+    // re-applies the identical probe filter.
+    Q("qs15_ivfpq_topk", graft.ops.Pq.ivfPqDuckDbOracle(0L, 20,
+      numSub = 8, subDim = 8, kPerSub = 16, iters = 2,
+      numLists = IvfLists, nprobe = IvfProbe, seed = AnnSeed)) { (s, dir) =>
+      val cb = pqCodebooks(s, dir)
+      val qVec = queryVec(s, dir, 0L)
+      val cents = graft.ops.Ivf.centroids(IvfLists, AnnDim, AnnSeed)
+      val probes = graft.ops.Ivf.probeLists(qVec, cents, IvfProbe)
+      val pruned = Tables.load(s, dir, "embeddings")
+        .filter(graft.ops.Ivf.listId(col("embedding"), cents)
+          .isin(probes: _*))
+        .filter(col("vec_id") =!= 0L)
+      graft.ops.Pq.adcTopK(
+        graft.ops.Pq.encode(pruned, "vec_id", "embedding", cb),
+        "vec_id", qVec, k = 20, cb)
     }
   )
 }
