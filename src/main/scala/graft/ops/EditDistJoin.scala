@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Distributed string-similarity self-join under Levenshtein distance
+  * ≤ k — the typo/OCR-noise dedup case token-set similarity cannot see
+  * (one character edit rewrites a whole shingle).
+  *
+  * Candidate generation is the PassJoin partition scheme (Li, Deng,
+  * Wang, Feng: "PassJoin: A Partition-based Method for Similarity
+  * Joins", VLDB 2011): each index string splits into k+1 disjoint
+  * segments; any single edit (a substitution/deletion of an index
+  * char, or an insertion landing inside a segment's image) damages at
+  * most one segment, so by pigeonhole ≥ 1 segment of the index string
+  * survives VERBATIM in every probe string within distance k, shifted
+  * by at most the k net indels preceding it. The probe side therefore
+  * emits, for each candidate index length l ∈ [len−k, len+k] and
+  * segment ordinal j, its substring at the segment's (start + δ)
+  * position for δ ∈ [-k, k]; candidates are the (segment, j, l)
+  * equi-join — never an all-pairs.
+  *
+  * Scale shape: per-string fan-out is a CONSTANT — k+1 index rows and
+  * ≤ (2k+1)²·(k+1) probe rows (75 at k=2) — so the plan is two narrow
+  * projections feeding one shuffle-hash equi-join at any corpus size.
+  * A pathologically frequent segment value skews its bucket; that is
+  * AQE-skew-splittable, the same posture as MinHash band buckets.
+  * Verification runs Spark's banded `levenshtein(l, r, threshold)`
+  * (codegen'd, O(k·len) per candidate with early exit) on candidates
+  * only.
+  *
+  * Reference behavior anchor: dedup over near-identical identifiers is
+  * the fuzzy side of the reference's search surface (search_tabular's
+  * similarity listing, crates/lakekeeper/src/api/management.rs); this
+  * operator generalizes it to corpus-scale joins.
+  */
+object EditDistJoin {
+
+  /** Unordered pairs (left_id < right_id) within Levenshtein distance
+    * ≤ k, with the exact distance. `df` must carry a unique numeric id
+    * column `idCol` and the string column `strCol`.
+    */
+  def pairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4, s"supported thresholds are 1..4, got $k")
+    val nSeg = k + 1
+    val titles = df.select(col(idCol).as("id"), col(strCol).as("t"))
+      .withColumn("len", length(col("t")))
+    // even-split segment boundary, 0-based: start_j(l) = floor(j*l/(k+1))
+    def segStart(l: Column, j: Int): Column =
+      floor(l * j / nSeg).cast(IntegerType)
+
+    val segArr = array((0 until nSeg).map { j =>
+      val st = segStart(col("len"), j)
+      val slen = segStart(col("len"), j + 1) - st
+      struct(lit(j).as("j"), st.as("st"), slen.as("slen"))
+    }: _*)
+    val index = titles
+      .select(col("id").as("i_id"), col("t").as("i_t"),
+        col("len").as("i_len"), explode(segArr).as("g"))
+      .filter(col("g.slen") >= 1)
+      .select(col("i_id"), col("i_t"), col("i_len"), col("g.j").as("j"),
+        col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
+
+    val combos = for { dl <- -k to k; j <- 0 until nSeg; d <- -k to k }
+      yield (dl, j, d)
+    val probeArr = array(combos.map { case (dl, j, d) =>
+      val tl = col("len") + dl
+      val st = segStart(tl, j)
+      val slen = segStart(tl, j + 1) - st
+      struct(lit(j).as("j"), tl.cast(IntegerType).as("tl"),
+        (st + d).as("start"), slen.as("slen"))
+    }: _*)
+    val probe = titles
+      .select(col("id").as("p_id"), col("t").as("p_t"),
+        col("len").as("p_len"), explode(probeArr).as("g"))
+      .filter(col("g.slen") >= 1 && col("g.start") >= 0 &&
+        col("g.start") + col("g.slen") <= col("p_len"))
+      .select(col("p_id"), col("p_t"), col("g.j").as("j"),
+        col("g.tl").as("tl"),
+        col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
+      // distinct probe keys: different (dl, δ) combos can land on the
+      // same substring — dedup before the join, not after
+      .dropDuplicates("p_id", "j", "tl", "seg")
+
+    probe.join(index,
+        probe("seg") === index("seg") && probe("j") === index("j") &&
+          probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
+      .withColumn("dist",
+        levenshtein(col("p_t"), col("i_t"), k).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select(least(col("p_id"), col("i_id")).as("left_id"),
+        greatest(col("p_id"), col("i_id")).as("right_id"), col("dist"))
+      .distinct()
+  }
+}

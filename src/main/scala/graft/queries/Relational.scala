@@ -489,6 +489,93 @@ object Relational {
         .orderBy(col("s_suppkey"))
     },
 
+    // ------------------------- q08: national market share (TPC-H q8)
+    // 7-table snowflake join + CASE-conditional share ratio per year.
+    // Both legs of the ratio are exact decimal sums; the single IEEE
+    // division on the cast doubles is bit-identical across engines.
+    Q(
+      "q08_market_share",
+      """SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+        |        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS total_volume,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+        |        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS mkt_share
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part").filter(col("p_type") === "STANDARD")
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val c = Tables.load(s, dir, "customer")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val sup = Tables.load(s, dir, "supplier")
+      // nation/region are constant-size (25/5 rows) at ANY corpus scale →
+      // forced broadcast; part/customer/supplier scale → AQE decides.
+      val vol = dec("l_extendedprice") * oneMinusDisc
+      val germanVol = when(col("supp_nation") === "NATION_7", vol)
+        .otherwise(lit(0).cast(DecimalType(18, 2)))
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), Seq("c_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), Seq("s_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+        .agg(
+          sum(germanVol).cast(DoubleType).as("nation_volume"),
+          sum(vol).cast(DoubleType).as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+        .orderBy(col("o_year"))
+    },
+
+    // ------------------------------ q14: promo revenue ratio (TPC-H q14)
+    Q(
+      "q14_promo_revenue",
+      """SELECT
+        |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_volume,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS total_volume,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-03-01").cast(TimestampType))
+      val p = Tables.load(s, dir, "part")
+      val vol = dec("l_extendedprice") * oneMinusDisc
+      val promoVol = when(col("p_type") === "PROMO", vol)
+        .otherwise(lit(0).cast(DecimalType(18, 2)))
+      // the date filter cuts lineitem ~30× before the join; part scales
+      // with the corpus → AQE picks broadcast when the small side fits
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(promoVol).cast(DoubleType).as("promo_volume"),
+          sum(vol).cast(DoubleType).as("total_volume"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // ------------------------------------------------------------ rollup
     Q(
       "q24_rollup_revenue",

@@ -1713,6 +1713,34 @@ object TextOps {
         .select(col("query_id"), col("doc_id"), col("score_micro"),
           col("rank").cast(LongType).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // ------------------------------ edit-distance similarity join
+    // Levenshtein-distance-≤2 self-join over doc "titles" (a fixed
+    // 24-char prefix — every fixture doc is ≥ 44 chars, so titles are
+    // full-length): the typo/OCR-noise dedup case the token-set family
+    // (qd5/qd10) cannot see, because one character edit rewrites a
+    // whole shingle. Candidate generation is the PassJoin partition
+    // scheme — see graft.ops.EditDistJoin for the design and the
+    // completeness argument. The oracle goes all-pairs with the
+    // identical integer distance (test SF only).
+    Q(
+      "qd12_editdist_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         a.title AS ta, b.title AS tb
+        |  FROM t a JOIN t b
+        |    ON a.doc_id < b.doc_id
+        |   AND abs(length(a.title) - length(b.title)) <= 2)
+        |SELECT left_id, right_id, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(ta, tb) <= 2
+        |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+      val titles = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      graft.ops.EditDistJoin.pairs(titles, "doc_id", "title", k = 2)
+        .orderBy(col("left_id"), col("right_id"))
     }
   )
 

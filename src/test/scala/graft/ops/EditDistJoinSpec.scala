@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PassJoin completeness/correctness guards: the segment-signature
+  * candidate generation must find EVERY pair within the threshold —
+  * including insertions/deletions landing in each segment and at the
+  * boundaries, where the position-shift logic earns its keep — and
+  * nothing outside it survives verification.
+  */
+class EditDistJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-editdist-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def brute(s1: String, s2: String): Int = {
+    val (a, b) = (s1.toCharArray, s2.toCharArray)
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def check(strs: Seq[String], k: Int): Unit = {
+    import spark.implicits._
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = EditDistJoin.pairs(df, "id", "t", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = brute(strs(i), strs(j)) if d <= k
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(got == want,
+      s"k=$k: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("finds every edit type at every segment position (k=2)") {
+    val base = "abcdefghijklmnopqrstuvwx" // 24 chars, like the qd12 titles
+    val edits = (0 until base.length).flatMap { p =>
+      Seq(
+        base.updated(p, 'Z'),                               // substitution
+        base.substring(0, p) + base.substring(p + 1),       // deletion
+        base.substring(0, p) + "Q" + base.substring(p))     // insertion
+    } ++ Seq(
+      base,
+      base.updated(0, 'Y').updated(23, 'Y'),                // 2 subs, far apart
+      "Q" + base.substring(0, 22) + "Q",                    // indel both ends
+      base.substring(2),                                    // 2 deletions front
+      base + "QQ",                                          // 2 insertions back
+      base.reverse)                                         // far outside
+    check(edits.distinct, k = 2)
+  }
+
+  test("threshold k=1 and k=3 agree with brute force") {
+    val base = "the quick brown fox jump"
+    val variants = Seq(base, base.updated(5, 'x'), base.drop(3),
+      base.take(20), "the quick brown fox jumps!", base.updated(0, 'z'),
+      "xx" + base.drop(2), base.replace("quick", "quack"))
+    check(variants.distinct, k = 1)
+    check(variants.distinct, k = 3)
+  }
+
+  test("variable-length strings exercise the cross-length probe") {
+    val strs = Seq("kitten", "sitting", "mitten", "kittens", "kit",
+      "bitten", "fitting", "written", "kite", "kitchen", "smitten")
+    check(strs, k = 2)
+  }
+
+  test("no pair beyond the threshold survives verification") {
+    import spark.implicits._
+    val strs = Seq("aaaaaaaaaaaa", "aaaaaaaaazzz", "zzzaaaaaaaaa")
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    // dist(0,1)=3, dist(0,2)=3, dist(1,2)=6 — all out at k=2
+    assert(EditDistJoin.pairs(df, "id", "t", 2).count() == 0)
+  }
+}
