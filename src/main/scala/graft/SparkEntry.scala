@@ -14,7 +14,8 @@ object SparkEntry {
   /** All verifiable operators, grouped by module. */
   def allQ: Seq[Q] =
     Relational.all ++ Events.all ++ TextOps.all ++ Similarity.all ++
-      MediaOps.all ++ CatalogOps.all ++ SketchQueries.all
+      MediaOps.all ++ CatalogOps.all ++ SketchQueries.all ++
+      LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

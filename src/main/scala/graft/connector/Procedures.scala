@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max, min}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -187,6 +187,41 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
       .map(_.toLong).getOrElse(targetBytes)
     val small = files.filter(_.fileSizeBytes < thresholdBytes)
     val fullName = s"${catalog.name()}.${id.namespace.mkString(".")}.${id.name}"
+    // sort-strategy clustering (Iceberg rewrite_data_files
+    // strategy => 'sort' with a zorder sort_order; Delta OPTIMIZE
+    // ZORDER BY): cluster the rewritten files along the Morton curve
+    // of the named columns so min/max file stats stay tight on EVERY
+    // named column — single-dimension predicates then prune files
+    // regardless of which column they hit. One repartitionByRange on
+    // the z-value (the same shuffle a sorted write pays) + a
+    // within-partition sort; the curve arithmetic is graft.ops.ZOrder,
+    // oracle-verified by qz1_zorder_curve.
+    val zorderCols: Seq[String] = options.get("zorder-by")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def zcluster(src: org.apache.spark.sql.DataFrame, n: Int)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.ops.ZOrder
+      val longs = zorderCols.map(c =>
+        floor(col(c).cast(org.apache.spark.sql.types.DoubleType))
+          .cast(org.apache.spark.sql.types.LongType).as(s"__z_$c"))
+      val aggExprs = zorderCols.flatMap(c => Seq(
+        min(col(s"__z_$c")).as(s"__mn_$c"),
+        max(col(s"__z_$c")).as(s"__mx_$c")))
+      val bounds = src.select(longs: _*).agg(aggExprs.head, aggExprs.tail: _*)
+      val withZ = src
+        .join(broadcast(bounds))
+        .withColumn("__zv", ZOrder.interleave(
+          zorderCols.map { c =>
+            val v = floor(col(c).cast(org.apache.spark.sql.types.DoubleType))
+              .cast(org.apache.spark.sql.types.LongType)
+            ZOrder.normalize(v, col(s"__mn_$c"), col(s"__mx_$c"), 16)
+          }, 16))
+      withZ.repartitionByRange(n, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop((zorderCols.map(c => s"__mn_$c") ++
+          zorderCols.map(c => s"__mx_$c") :+ "__zv"): _*)
+    }
     val rewritten =
       if (small.size <= 1) 0L
       else if (meta.defaultSpec.isUnpartitioned) {
@@ -198,7 +233,8 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
           files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
         val src = spark.table(fullName)
         val shaped =
-          if (GraftWrite.sortOrderExprs(meta).nonEmpty) src
+          if (zorderCols.nonEmpty) zcluster(src, n)
+          else if (GraftWrite.sortOrderExprs(meta).nonEmpty) src
           else src.repartition(n)
         shaped.writeTo(fullName).overwrite(lit(true))
         files.size.toLong

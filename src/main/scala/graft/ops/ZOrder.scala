@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Z-order (Morton) curve mapping for multi-column data clustering —
+  * the lakehouse layout move (Delta OPTIMIZE ZORDER BY, Iceberg's
+  * sort-strategy rewrite): files written in z-value order carry tight
+  * min/max ranges on EVERY participating column simultaneously, so
+  * single-column point/range predicates prune files no matter which
+  * dimension they hit — where a lexicographic sort only prunes on its
+  * leading column.
+  *
+  * The mapping is two codegen'd builtin steps, no UDF and no custom
+  * expression:
+  *   1. normalize: each column linearly rescaled to `bits` levels via
+  *      floor(((v − min) · (2^bits − 1)) / (max − min)) — BIGINT
+  *      subtraction/multiplication (exact), one IEEE double division
+  *      shared bit-for-bit by Spark and DuckDB, making the whole curve
+  *      oracle-checkable;
+  *   2. interleave: bit b of column i lands at position b·n + i, built
+  *      from shiftleft/shiftright/AND/OR terms folded into one
+  *      whole-stage-codegen expression.
+  *
+  * Scale posture: normalization needs only per-column min/max (one
+  * map-side-combined aggregate, 2·n scalars); the curve itself is a
+  * narrow projection. Clustering a 100 TB table is then ONE
+  * repartitionByRange on the z-value — the same shuffle a plain sorted
+  * write pays.
+  *
+  * The multiplication (v − min)·(2^bits − 1) must stay within 2^63 and
+  * the division's numerator within 2^53 for cross-engine bit equality:
+  * with bits = 16, column ranges up to ~2^36 are safe — far beyond any
+  * key domain in the fixtures; wider domains should pre-scale.
+  */
+object ZOrder {
+
+  def maxLevel(bits: Int): Long = (1L << bits) - 1
+
+  /** Rescale a BIGINT column to [0, 2^bits − 1]; constant → 0. */
+  def normalize(v: Column, min: Column, max: Column, bits: Int): Column =
+    when(max <= min, lit(0L)).otherwise(
+      floor((v - min) * lit(maxLevel(bits)) / (max - min)).cast(LongType))
+
+  /** Morton-interleave already-normalized columns (bit b of column i →
+    * position b·n + i). Total width n·bits must fit a signed long.
+    */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && n * bits <= 63,
+      s"z-value width ${n * bits} exceeds a signed long")
+    val terms = for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
+      yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The oracle-side renderings of the identical arithmetic (DuckDB
+    * dialect; `>>`/`&`/`<<`/`|` are its BIGINT bit operators).
+    */
+  def normalizeSql(v: String, min: String, max: String, bits: Int): String =
+    s"(CASE WHEN $max <= $min THEN 0 ELSE " +
+      s"CAST(floor((($v - $min) * ${maxLevel(bits)}) / ($max - $min)) AS BIGINT) END)"
+
+  def interleaveSql(cols: Seq[String], bits: Int): String =
+    (for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
+      yield s"((($c >> $b) & 1) << ${b * cols.size + i})").mkString("(", " | ", ")")
+}

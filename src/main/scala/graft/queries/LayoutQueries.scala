@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.ZOrder
+
+/** Data-layout analytics: the z-order curve that drives the
+  * rewrite_data_files sort strategy (graft.connector.Procedures),
+  * oracle-verified end-to-end — DuckDB recomputes the identical
+  * normalize + interleave arithmetic, so the curve definition the
+  * clustering writes files by is itself under the per-round
+  * correctness gate. The file-level pruning EFFECT of the rewrite is
+  * asserted in the connector e2e suite (ZOrderSpec).
+  */
+object LayoutQueries {
+
+  private val Bits = 16
+  private val BucketShift = 2 * Bits - 6 // top 6 bits → 64 curve cells
+
+  val all: Seq[Q] = Seq(
+    // Per-curve-cell occupancy + per-dimension ranges over orders
+    // (o_custkey × floor(o_totalprice)): adjacent cells holding tight
+    // min/max ranges on BOTH columns is exactly the property that
+    // makes z-ordered files prunable on either predicate alone.
+    Q(
+      "qz1_zorder_curve", {
+        val nck = ZOrder.normalizeSql("ck", "mnc", "mxc", Bits)
+        val ntp = ZOrder.normalizeSql("tp", "mnt", "mxt", Bits)
+        s"""WITH t AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+           |         CAST(floor(o_totalprice) AS BIGINT) AS tp
+           |  FROM orders),
+           |m AS (
+           |  SELECT min(ck) AS mnc, max(ck) AS mxc,
+           |         min(tp) AS mnt, max(tp) AS mxt FROM t),
+           |nz AS (
+           |  SELECT ck, tp, $nck AS nck, $ntp AS ntp FROM t, m),
+           |z AS (
+           |  SELECT ck, tp,
+           |    ${ZOrder.interleaveSql(Seq("nck", "ntp"), Bits)} AS zv
+           |  FROM nz)
+           |SELECT (zv >> $BucketShift) AS cell, COUNT(*) AS n,
+           |  min(ck) AS min_ck, max(ck) AS max_ck,
+           |  min(tp) AS min_tp, max(tp) AS max_tp
+           |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables.load(s, dir, "orders").select(
+        col("o_custkey").cast(LongType).as("ck"),
+        floor(col("o_totalprice")).cast(LongType).as("tp"))
+      val m = t.agg(
+        min(col("ck")).as("mnc"), max(col("ck")).as("mxc"),
+        min(col("tp")).as("mnt"), max(col("tp")).as("mxt"))
+      // 1-row bounds aggregate broadcast against the scan — no collect
+      val z = t.join(broadcast(m))
+        .withColumn("zv", ZOrder.interleave(Seq(
+          ZOrder.normalize(col("ck"), col("mnc"), col("mxc"), Bits),
+          ZOrder.normalize(col("tp"), col("mnt"), col("mxt"), Bits)), Bits))
+      z.groupBy(shiftright(col("zv"), BucketShift).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("tp")).as("min_tp"), max(col("tp")).as("max_tp"))
+        .orderBy(col("cell"))
+    }
+  )
+}

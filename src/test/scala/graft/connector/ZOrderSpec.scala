@@ -1,0 +1,95 @@
+package graft.connector
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** rewrite_data_files with the z-order sort strategy: after the
+  * rewrite, file-level min/max stats must be tight on BOTH named
+  * columns, so a single-column range predicate on EITHER dimension
+  * prunes files — the property a lexicographic layout only gives its
+  * leading column.
+  */
+class ZOrderSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-zorder").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-zorder-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def graftTable(name: String): GraftTable =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), name)).asInstanceOf[GraftTable]
+
+  private def selectedFor(name: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+    val builder = new GraftScanBuilder(graftTable(name))
+    builder.pushFilters(filters)
+    builder.build().asInstanceOf[GraftScan].selectedFiles.size
+  }
+
+  private def yRange = Array[org.apache.spark.sql.sources.Filter](
+    And(GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 63L)))
+  private def xRange = Array[org.apache.spark.sql.sources.Filter](
+    And(GreaterThanOrEqual("x", 3L), LessThanOrEqual("x", 3L)))
+
+  test("z-order rewrite makes files prunable on every named column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.z1 (x BIGINT, y BIGINT, v STRING)")
+    // 8 slices → 8 files, each a contiguous id block: x = id div 512 is
+    // file-clustered, y = (id·37) mod 4096 (a permutation — 37 ⟂ 4096)
+    // spans the full range in EVERY file
+    spark.sql(
+      """INSERT INTO graft.db.z1
+        |SELECT id DIV 512 AS x, (id * 37) % 4096 AS y,
+        |       CAST(id AS STRING) AS v
+        |FROM range(0, 4096, 1, 8)""".stripMargin)
+
+    val before = graftTable("z1").liveFiles
+    assert(before.size == 8, s"expected 8 input files, got ${before.size}")
+    // x-clustered layout: x prunes, y cannot
+    assert(selectedFor("z1", xRange) == 1)
+    assert(selectedFor("z1", yRange) == 8,
+      "scattered y must defeat pruning before the rewrite")
+
+    // rewrite into ~8 z-ordered files
+    val target = math.max(1L, before.map(_.fileSizeBytes).sum / 8)
+    spark.sql(
+      s"""CALL graft.system.rewrite_data_files(table => 'db.z1',
+         |  options => map('zorder-by', 'x,y',
+         |                 'target-file-size-bytes', '$target'))""".stripMargin)
+
+    val after = graftTable("z1").liveFiles
+    assert(after.size > 1, "z-order rewrite should fan out across files")
+    assert(spark.table("graft.db.z1").count() == 4096)
+    // y ∈ [0, 63] → normalized y < 2^10, the top two interleaved y bits
+    // are 0 → at most ~1/4 of the curve (allow range-boundary slack)
+    val ySel = selectedFor("z1", yRange)
+    assert(ySel <= after.size / 2,
+      s"y-range must prune z-ordered files: $ySel of ${after.size}")
+    // x = 3 → one of 8 x values → half the curve at worst (x's top bit
+    // fixed); must beat a full scan
+    val xSel = selectedFor("z1", xRange)
+    assert(xSel < after.size,
+      s"x-range must still prune z-ordered files: $xSel of ${after.size}")
+    // and the answers are unchanged
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.z1 WHERE y BETWEEN 0 AND 63")
+      .collect()(0).getLong(0) == 64L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.z1 WHERE x = 3")
+      .collect()(0).getLong(0) == 512L)
+  }
+}
