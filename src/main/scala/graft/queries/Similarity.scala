@@ -52,6 +52,8 @@ object Similarity {
   private val AnnSeed = 42L
   private val IvfLists = 16
   private val IvfProbe = 4
+  private val MmrC = 40
+  private val MmrK = 10
 
   /** Memoized + persisted embedding near-dup pair set at the shared
     * threshold — consumed by qs5 and by the hybrid dedup pipeline
@@ -578,6 +580,101 @@ object Similarity {
       graft.ops.Pq.adcTopK(
         graft.ops.Pq.encode(pruned, "vec_id", "embedding", cb),
         "vec_id", qVec, k = 20, cb)
+    },
+
+    // MMR diversified rerank (Carbonell & Goldstein 1998): retrieval's
+    // answer to near-duplicate result lists — greedily pick k results
+    // maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so each pick is
+    // relevant AND far from everything already picked (RAG context
+    // assembly, dataset curation). Two distributed stages + a
+    // constant-size greedy: (1) shortlist top-C by query cosine
+    // (TakeOrderedAndProject — the same scan shape as qs1), (2) the
+    // C×C pairwise similarity matrix via a broadcast self-join; the
+    // greedy selection then runs driver-side over the collected C²
+    // integer entries — C is a CONSTANT (40) independent of corpus
+    // size, the same bounded-metadata status as the k×dim KMeans seed
+    // collect. λ = 0.7 in exact integer deci-units (score = 7·rel −
+    // 3·maxsim on micro-scaled cosines), so the selection boundary is
+    // bit-stable cross-engine; the oracle unrolls the identical greedy
+    // as k chained argmax CTEs.
+    Q("qs16_mmr_rerank", mmrOracle(0L, MmrC, MmrK)) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qe"))
+      val cand = e.join(broadcast(q)).filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          col("embedding"),
+          round(cosine(col("embedding"), col("qe")) * 1000000)
+            .cast(LongType).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(MmrC)
+      val a = cand.select(col("vec_id").as("pa"), col("embedding").as("va"),
+        col("rel"))
+      val b = cand.select(col("vec_id").as("pb"), col("embedding").as("vb"))
+      val pairRows = a.join(broadcast(b), col("pa") =!= col("pb"))
+        .select(col("pa"), col("rel"),
+          col("pb"),
+          round(cosine(col("va"), col("vb")) * 1000000)
+            .cast(LongType).as("sim"))
+        .collect()
+      val rel = pairRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sim = pairRows
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+      val picks = Vector.newBuilder[(Long, Long, Long, Long)]
+      var chosen = Set.empty[Long]
+      for (i <- 1 to math.min(MmrK, rel.size)) {
+        val (bestId, bestScore) = rel.keysIterator.filterNot(chosen)
+          .map { id =>
+            val maxSim =
+              if (chosen.isEmpty) 0L
+              else chosen.iterator.map(sid => sim((id, sid))).max
+            (id, 7L * rel(id) - 3L * maxSim)
+          }
+          .reduce { (x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+          }
+        chosen += bestId
+        picks += ((i.toLong, bestId, rel(bestId), bestScore))
+      }
+      picks.result()
+        .toDF("rnk", "vec_id", "rel_micro", "score_micro")
     }
   )
+
+  /** The unrolled-greedy DuckDB mirror of qs16: shortlist + pairwise
+    * CTEs (MATERIALIZED — inlining would reopen the parquet per step),
+    * then k chained argmax steps, each excluding the accumulated
+    * selection and penalizing by its max pairwise similarity.
+    */
+  private def mmrOracle(queryId: Long, c: Int, k: Int): String = {
+    def cosMicro(a: String, b: String): String =
+      s"round(1000000 * list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    val head =
+      s"""q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = $queryId),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |    CAST(${cosMicro("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS BIGINT) AS rel
+         |  FROM embeddings e, q WHERE e.vec_id <> $queryId
+         |  ORDER BY rel DESC, e.vec_id LIMIT $c),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb, CAST(${cosMicro("a.v", "b.v")} AS BIGINT) AS sim
+         |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel, 7 * rel AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel,
+         |    7 * c.rel - 3 * (SELECT max(p.sim) FROM pairs p JOIN sel${i - 1} s ON p.pb = s.vec_id WHERE p.pa = c.vec_id) AS score
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, " +
+        s"rel AS rel_micro, score AS score_micro FROM s$i")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ steps).mkString("WITH ", ",\n", "\n") +
+      union + " ORDER BY rnk"
+  }
 }
