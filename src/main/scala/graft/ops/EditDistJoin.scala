@@ -41,7 +41,24 @@ object EditDistJoin {
     * ≤ k, with the exact distance. `df` must carry a unique numeric id
     * column `idCol` and the string column `strCol`.
     */
-  def pairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+  def pairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame =
+    verify(candidatePairs(df, idCol, strCol, k), k)
+
+  /** Exact banded-levenshtein verification of a candidate set. */
+  def verify(cand: DataFrame, k: Int): DataFrame =
+    cand
+      .withColumn("dist",
+        levenshtein(col("l_t"), col("r_t"), k).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist"))
+
+  /** The PassJoin candidate set: unique unordered id pairs sharing an
+    * aligned segment signature, with both strings attached — the
+    * quantity that explodes first if a segment value saturates (the
+    * scale lane counts it per round).
+    */
+  def candidatePairs(
+      df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 4, s"supported thresholds are 1..4, got $k")
     val nSeg = k + 1
     val titles = df.select(col(idCol).as("id"), col(strCol).as("t"))
@@ -83,14 +100,15 @@ object EditDistJoin {
       // same substring — dedup before the join, not after
       .dropDuplicates("p_id", "j", "tl", "seg")
 
+    // canonicalize the pair BEFORE verification so each unordered pair
+    // is levenshtein'd exactly once (distance is symmetric, so which
+    // string lands in l_t/r_t is immaterial)
     probe.join(index,
         probe("seg") === index("seg") && probe("j") === index("j") &&
           probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
-      .withColumn("dist",
-        levenshtein(col("p_t"), col("i_t"), k).cast(LongType))
-      .filter(col("dist") >= 0)
       .select(least(col("p_id"), col("i_id")).as("left_id"),
-        greatest(col("p_id"), col("i_id")).as("right_id"), col("dist"))
-      .distinct()
+        greatest(col("p_id"), col("i_id")).as("right_id"),
+        col("p_t").as("l_t"), col("i_t").as("r_t"))
+      .dropDuplicates("left_id", "right_id")
   }
 }

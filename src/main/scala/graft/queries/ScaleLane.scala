@@ -176,6 +176,22 @@ object ScaleLane {
       val w = TextOps.autoWidth(NDocs.toLong, 31)
       (TextOps.containmentPairs(spark, dir, 0.8, w).count(), None)
     }
+    leg("qd12_editdist") {
+      // PassJoin edit-distance join: candidates = unique unordered id
+      // pairs sharing an aligned 8-char segment signature. Per-string
+      // fan-out is constant, so candidates grow with true segment-value
+      // collision density — a saturated segment value (the qd5/qd10
+      // failure mode transposed to character space) explodes THIS
+      // number first, wall time second.
+      val titles = docs.select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"))
+      val c = graft.ops.EditDistJoin
+        .candidatePairs(titles, "doc_id", "title", 2).persist()
+      try {
+        val nCand = c.count()
+        (graft.ops.EditDistJoin.verify(c, 2).count(), Some(nCand))
+      } finally c.unpersist()
+    }
     leg("qt15_dsir") {
       // DSIR selection: profile size is FIXED (256 buckets) at any n,
       // so wall time must track the featurize scan linearly. rows =
