@@ -351,6 +351,52 @@ object Events {
         .select(col("event_id"), col("sec").as("err_sec"),
           coalesce(col("n_matched"), lit(0L)).as("n_signups_60s"))
         .orderBy(col("event_id"))
+    },
+
+    // -------------------------- the analytic-window function family
+    // rank/dense_rank/percent_rank/cume_dist with REAL peer groups
+    // (ordering on floor(value) manufactures ties, and those four are
+    // peer-group functions — deterministic under ties by definition)
+    // plus ntile/lag/lead on the tie-broken total order (they depend
+    // on row order, so their window adds event_id). Both windows share
+    // the partition key: ONE shuffle on event_type, two in-partition
+    // sorts — the plan shape a 100 TB leaderboard query needs. rank
+    // ≤ 15 keeps whole peer groups, so the output set is deterministic.
+    Q(
+      "qe10_window_family",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value) AS BIGINT) AS fv
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id, fv,
+        |    rank()         OVER (PARTITION BY event_type ORDER BY fv DESC) AS rnk,
+        |    dense_rank()   OVER (PARTITION BY event_type ORDER BY fv DESC) AS drnk,
+        |    round(percent_rank() OVER (PARTITION BY event_type ORDER BY fv DESC), 6) AS pr,
+        |    round(cume_dist()    OVER (PARTITION BY event_type ORDER BY fv DESC), 6) AS cd,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS BIGINT) AS tile,
+        |    lag(fv)  OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS prev_fv,
+        |    lead(fv) OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS next_fv
+        |  FROM v)
+        |SELECT * FROM w WHERE rnk <= 15
+        |ORDER BY event_type, fv DESC, event_id""".stripMargin) { (s, dir) =>
+      val v = Tables.load(s, dir, "events").select(
+        col("event_type"), col("event_id"),
+        floor(col("value")).cast(LongType).as("fv"))
+      val peers = Window.partitionBy(col("event_type"))
+        .orderBy(col("fv").desc)
+      val total = Window.partitionBy(col("event_type"))
+        .orderBy(col("fv").desc, col("event_id"))
+      v.select(col("event_type"), col("event_id"), col("fv"),
+          rank().over(peers).cast(LongType).as("rnk"),
+          dense_rank().over(peers).cast(LongType).as("drnk"),
+          round(percent_rank().over(peers), 6).as("pr"),
+          round(cume_dist().over(peers), 6).as("cd"),
+          ntile(10).over(total).cast(LongType).as("tile"),
+          lag(col("fv"), 1).over(total).as("prev_fv"),
+          lead(col("fv"), 1).over(total).as("next_fv"))
+        .filter(col("rnk") <= 15)
+        .orderBy(col("event_type"), col("fv").desc, col("event_id"))
     }
   )
 }
