@@ -322,32 +322,145 @@ object Multimodal {
     val spark = docIds.sparkSession
     import spark.implicits._
     docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
-      val content: Array[Byte] =
-        if (id % 37 == 0)
-          "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        else {
-          val n = 256 + (id % 8).toInt * 64
-          val rate = 8000f + (id % 5).toInt * 1000f
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val s = (((id * 31 + i * 17) % 2048) - 1024).toShort
-            pcm(2 * i) = (s & 0xFF).toByte
-            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            rate, 16, 1, 2, rate, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-          out.toByteArray
-        }
-      (id, "audio", content, Map.empty[String, String])
+      (id, "audio", wavContent(id), Map.empty[String, String])
     }.toDF("media_id", "media_type", "content", "meta")
+  }
+
+  /** The WAV blob of `id` (see [[syntheticWavMedia]] for the closed
+    * form). */
+  private def wavContent(id: Long): Array[Byte] =
+    if (id % 37 == 0)
+      "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    else {
+      val n = 256 + (id % 8).toInt * 64
+      val rate = 8000f + (id % 5).toInt * 1000f
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (((id * 31 + i * 17) % 2048) - 1024).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+  /** Offset distinguishing injected near-dup copies from base ids in
+    * [[syntheticWavNearDupMedia]] — far above any fixture doc_id.
+    */
+  val WavCopyIdOffset: Long = 100000000L
+
+  /** A SECOND waveform closed form for the dedup corpus:
+    *   s[i] = ((id·48271 + i·16807 + (id%997)·i² + (id%31)·i³)
+    *           % 2048) − 1024
+    * The quadratic/cubic terms break the phase structure of
+    * [[syntheticWavMedia]]'s sawtooth (a pure linear progression
+    * collapses to ≤ 2048 distinct signals, which ARE mutual
+    * near-dups — measured: 1.6M hamming-≤3 pairs at 5k docs), so
+    * distinct ids decorrelate and only the injected copies pair up
+    * (measured: 973 pairs at 5k docs, all copy-vs-base). Same n/rate
+    * envelope and corrupt rule as the qm6 corpus.
+    */
+  private def wavRichContent(id: Long, perturb: Boolean): Array[Byte] =
+    if (id % 37 == 0)
+      "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    else {
+      val n = 256 + (id % 8).toInt * 64
+      val rate = 8000f + (id % 5).toInt * 1000f
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val li = i.toLong
+        val base = (((id * 48271 + li * 16807 + (id % 997) * li * li +
+          (id % 31) * li * li * li) % 2048) - 1024).toInt
+        val s = (if (perturb && i == (id % 256).toInt) base + 4 else base)
+          .toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+  /** Rich-waveform WAV corpus plus a one-sample-perturbed copy
+    * (media_id = base + [[WavCopyIdOffset]]) for every id with
+    * id % 5 == 2 — the slightly-re-encoded duplicate an audio dedup
+    * pass must catch.
+    */
+  def syntheticWavNearDupMedia(docIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    val ids = docIds.select(col(idCol).cast(LongType)).as[Long]
+    val base = ids.map(id =>
+      (id, "audio", wavRichContent(id, perturb = false),
+        Map.empty[String, String]))
+    val copies = ids.filter(id => id % 5 == 2 && id % 37 != 0)
+      .map(id => (id + WavCopyIdOffset, "audio",
+        wavRichContent(id, perturb = true), Map.empty[String, String]))
+    base.union(copies).toDF("media_id", "media_type", "content", "meta")
+  }
+
+  /** 64-bit audio energy-profile fingerprint — the audio member of
+    * the perceptual dedup family ([[PHash]] covers pixels; this
+    * covers waveforms): the first 256 decoded samples split into 64
+    * non-overlapping 4-sample frames, frame energy Σs² thresholded
+    * against the blob mean by the exact integer comparison
+    * 64·e_f > Σe (no float mean), the 64 sign bits packed as 4×16-bit
+    * bands directly consumable by [[PHash.nearDupPairs]] (the 4-band
+    * pigeonhole is complete for Hamming ≤ 3). A re-encoded or
+    * slightly-edited copy preserves nearly every frame's
+    * above/below-mean sign, so copies land within a few bits. One
+    * bounded-batch decode scan, blobs never leave executors; all
+    * integers, so a SQL oracle recomputes every fingerprint from the
+    * sample closed form.
+    */
+  def audioFingerprints(media: DataFrame, batchSize: Int = 64,
+      codec: Codec = wavCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val Frames = 64
+    val FrameLen = 4
+    decode(media.filter(col("media_type") === "audio"), batchSize, codec)
+      .filter(_.payload.length >= 2 * Frames * FrameLen)
+      .map { d =>
+        def sample(i: Int): Int =
+          ((d.payload(2 * i) & 0xFF) | (d.payload(2 * i + 1) << 8))
+            .toShort.toInt
+        val e = Array.tabulate(Frames) { f =>
+          var fe = 0L
+          var i = f * FrameLen
+          while (i < (f + 1) * FrameLen) {
+            val s = sample(i); fe += s.toLong * s; i += 1
+          }
+          fe
+        }
+        val tot = e.sum
+        val bands = Array.fill(4)(0L)
+        var f = 0
+        while (f < Frames) {
+          if (Frames.toLong * e(f) > tot) bands(f / 16) |= 1L << (f % 16)
+          f += 1
+        }
+        (d.media_id, bands(0), bands(1), bands(2), bands(3))
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
   }
 
   /** REAL audio decoding through the same seam: javax.sound.sampled

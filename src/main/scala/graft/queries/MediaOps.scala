@@ -350,5 +350,56 @@ object MediaOps {
         Tables.load(s, dir, "documents").select("doc_id"))
       graft.ops.Multimodal.shotBoundaries(media, threshold = 40L)
         .orderBy("media_id")
+    },
+
+    // ------------------------------- audio-fingerprint near-dup
+    // The audio member of the perceptual dedup family (qm5 = pixels,
+    // qd* = text, qs5 = embeddings): real WAV decode through the qm6
+    // codec seam → 64-bit energy-profile fingerprint (64 frames × 4
+    // samples, integer mean threshold 64·e > Σe — see
+    // Multimodal.audioFingerprints) → the SAME 4-band pigeonhole
+    // candidate join + bit_count(xor) verify PHash uses (complete for
+    // Hamming ≤ 3, never all-pairs). The corpus is the rich (phase-
+    // decorrelated) waveform with one-sample-perturbed copies injected
+    // at id % 5 == 2 → media_id + 1e8, so the answer is output-bound:
+    // ~0.2·n copy-vs-base pairs and nothing else (measured 973 pairs
+    // at 5k docs). The oracle recomputes every fingerprint from the
+    // sample closed form and goes all-pairs (test SF only).
+    Q(
+      "qm8_audio_fingerprint_dedup",
+      """WITH ids AS (
+        |  SELECT doc_id AS mid, doc_id AS base, 0 AS pert
+        |  FROM documents WHERE doc_id % 37 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, doc_id, 1
+        |  FROM documents WHERE doc_id % 5 = 2 AND doc_id % 37 <> 0),
+        |samp AS (
+        |  SELECT mid, i,
+        |    ((base * 48271 + i * 16807 + (base % 997) * i * i +
+        |      (base % 31) * i * i * i) % 2048) - 1024 +
+        |      CASE WHEN pert = 1 AND i = base % 256 THEN 4 ELSE 0 END AS s
+        |  FROM ids, (SELECT unnest(range(0, 256)) AS i)),
+        |fe AS (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+        |       FROM samp GROUP BY 1, 2),
+        |tot AS (SELECT mid, SUM(e) AS te FROM fe GROUP BY 1),
+        |fp AS (
+        |  SELECT fe.mid,
+        |    CAST(SUM(CASE WHEN 64 * e > te AND f // 16 = 0 THEN 1 << (f % 16) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN 64 * e > te AND f // 16 = 1 THEN 1 << (f % 16) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN 64 * e > te AND f // 16 = 2 THEN 1 << (f % 16) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN 64 * e > te AND f // 16 = 3 THEN 1 << (f % 16) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM fe JOIN tot ON fe.mid = tot.mid GROUP BY 1)
+        |SELECT x.mid AS a, y.mid AS b,
+        |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+        |FROM fp x JOIN fp y ON x.mid < y.mid
+        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticWavNearDupMedia(
+        Tables.load(s, dir, "documents").select("doc_id"))
+      val fp = graft.ops.Multimodal.audioFingerprints(media)
+      graft.ops.PHash.nearDupPairs(fp, maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     })
 }
