@@ -67,6 +67,11 @@ object EditDistJoin {
     def segStart(l: Column, j: Int): Column =
       floor(l * j / nSeg).cast(IntegerType)
 
+    // Both dedup layers below group by IDS (+ the seg string as a KEY,
+    // never an aggregate buffer), so they plan as HashAggregates; the
+    // strings re-attach through two narrow joins against `titles`
+    // afterward — carrying them through the dedups would force
+    // SortAggregate (string aggregation buffers are not mutable).
     val segArr = array((0 until nSeg).map { j =>
       val st = segStart(col("len"), j)
       val slen = segStart(col("len"), j + 1) - st
@@ -76,7 +81,7 @@ object EditDistJoin {
       .select(col("id").as("i_id"), col("t").as("i_t"),
         col("len").as("i_len"), explode(segArr).as("g"))
       .filter(col("g.slen") >= 1)
-      .select(col("i_id"), col("i_t"), col("i_len"), col("g.j").as("j"),
+      .select(col("i_id"), col("i_len"), col("g.j").as("j"),
         col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
 
     val combos = for { dl <- -k to k; j <- 0 until nSeg; d <- -k to k }
@@ -93,12 +98,11 @@ object EditDistJoin {
         col("len").as("p_len"), explode(probeArr).as("g"))
       .filter(col("g.slen") >= 1 && col("g.start") >= 0 &&
         col("g.start") + col("g.slen") <= col("p_len"))
-      .select(col("p_id"), col("p_t"), col("g.j").as("j"),
-        col("g.tl").as("tl"),
+      .select(col("p_id"), col("g.j").as("j"), col("g.tl").as("tl"),
         col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
       // distinct probe keys: different (dl, δ) combos can land on the
       // same substring — dedup before the join, not after
-      .dropDuplicates("p_id", "j", "tl", "seg")
+      .distinct()
 
     // canonicalize the pair BEFORE verification so each unordered pair
     // is levenshtein'd exactly once (distance is symmetric, so which
@@ -107,8 +111,12 @@ object EditDistJoin {
         probe("seg") === index("seg") && probe("j") === index("j") &&
           probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
       .select(least(col("p_id"), col("i_id")).as("left_id"),
-        greatest(col("p_id"), col("i_id")).as("right_id"),
-        col("p_t").as("l_t"), col("i_t").as("r_t"))
-      .dropDuplicates("left_id", "right_id")
+        greatest(col("p_id"), col("i_id")).as("right_id"))
+      .distinct()
+      .join(titles.select(col("id").as("left_id"), col("t").as("l_t")),
+        Seq("left_id"))
+      .join(titles.select(col("id").as("right_id"), col("t").as("r_t")),
+        Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("l_t"), col("r_t"))
   }
 }
