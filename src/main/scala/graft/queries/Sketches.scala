@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -306,6 +307,119 @@ object SketchQueries {
         .orderBy(col("est_cnt").desc, col("shingle"))
         .limit(CmsTopK)
         .select(col("shingle"), col("exact_cnt"), col("est_cnt"))
+    },
+
+    // -------------------------------------- exact group quantiles
+    // Per-type p50/p90/p99 of `value` as explicit order statistics:
+    // rn = row_number over the value order, pos = (n−1)·p, and the
+    // linearly-interpolated quantile v_lo·(hi−pos) + v_hi·(pos−lo)
+    // assembled by a conditional SUM over the ≤ 2 contributing rows
+    // per p. Using the same literal formula in both engines makes the
+    // continuous quantile EXACTLY comparable — engine-native
+    // percentile/quantile_cont implementations differ in summation
+    // detail, the spelled-out arithmetic cannot. One shuffle (the
+    // rank window), then a map-side-combined SUM. At 100 TB the
+    // full-sort rank is the exact-answer cost; the approximate path
+    // is approx_percentile over the same partitioning.
+    Q(
+      "qa5_group_quantiles",
+      """WITH v AS (
+        |  SELECT event_type, value AS v, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) - 1 AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, v, rn, n,
+        |    (n - 1) * CAST(0.5 AS DOUBLE) AS pos50,
+        |    (n - 1) * CAST(0.9 AS DOUBLE) AS pos90,
+        |    (n - 1) * CAST(0.99 AS DOUBLE) AS pos99
+        |  FROM v)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  SUM(CASE WHEN CAST(floor(pos50) AS BIGINT) = CAST(ceil(pos50) AS BIGINT) AND rn = CAST(floor(pos50) AS BIGINT) THEN v
+        |           WHEN rn = CAST(floor(pos50) AS BIGINT) THEN v * (ceil(pos50) - pos50)
+        |           WHEN rn = CAST(ceil(pos50) AS BIGINT) THEN v * (pos50 - floor(pos50))
+        |           ELSE 0 END) AS p50,
+        |  SUM(CASE WHEN CAST(floor(pos90) AS BIGINT) = CAST(ceil(pos90) AS BIGINT) AND rn = CAST(floor(pos90) AS BIGINT) THEN v
+        |           WHEN rn = CAST(floor(pos90) AS BIGINT) THEN v * (ceil(pos90) - pos90)
+        |           WHEN rn = CAST(ceil(pos90) AS BIGINT) THEN v * (pos90 - floor(pos90))
+        |           ELSE 0 END) AS p90,
+        |  SUM(CASE WHEN CAST(floor(pos99) AS BIGINT) = CAST(ceil(pos99) AS BIGINT) AND rn = CAST(floor(pos99) AS BIGINT) THEN v
+        |           WHEN rn = CAST(floor(pos99) AS BIGINT) THEN v * (ceil(pos99) - pos99)
+        |           WHEN rn = CAST(ceil(pos99) AS BIGINT) THEN v * (pos99 - floor(pos99))
+        |           ELSE 0 END) AS p99
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val ranked = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value").as("v"), col("event_id"))
+        .withColumn("rn",
+          (row_number().over(byType.orderBy(col("v"), col("event_id"))) - 1)
+            .cast(LongType))
+        .withColumn("n", count(lit(1)).over(byType).cast(LongType))
+      def quantile(p: Double, name: String): Column = {
+        val pos = (col("n") - 1) * lit(p)
+        val lo = floor(pos).cast(LongType)
+        val hi = ceil(pos).cast(LongType)
+        sum(when(lo === hi && col("rn") === lo, col("v"))
+          .when(col("rn") === lo, col("v") * (ceil(pos) - pos))
+          .when(col("rn") === hi, col("v") * (pos - floor(pos)))
+          .otherwise(lit(0))).as(name)
+      }
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          quantile(0.5, "p50"), quantile(0.9, "p90"), quantile(0.99, "p99"))
+        .orderBy(col("event_type"))
+    },
+
+    // ----------------------- correlation / regression from exact sums
+    // Pearson r and the OLS slope of value against hour-of-day, per
+    // event type — the statistical-aggregate family done the
+    // cross-engine-exact way: the five co-moments are EXACT decimal
+    // sums (order-independent), cast to double once, and the closed
+    // forms r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) and
+    // β = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) are the same IEEE expression
+    // in both engines — where engine-native corr()/covar() differ in
+    // merge order and are NOT bit-comparable. One map-side-combined
+    // aggregate, no window, no shuffle beyond the groupBy.
+    Q(
+      "qa6_corr_regression",
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM v GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_r,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = Tables.load(s, dir, "events").select(
+        col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("x"),
+        hour(col("ts")).cast(LongType).as("y"))
+      v.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_r"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+        .orderBy(col("event_type"))
     }
   )
 }
