@@ -111,9 +111,11 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    GraftDataWriter.applyParquetProperties(table.meta.properties, hadoopConf)
     GraftStreamingWriterFactory(
       table.meta.location, writeSchema, table.meta.defaultSpec,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(hadoopConf))
   }
 
   override def commit(epochId: Long,
@@ -319,8 +321,9 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    GraftDataWriter.applyParquetProperties(table.meta.properties, hadoopConf)
+    val conf = new SerializableConfiguration(hadoopConf)
     GraftDataWriterFactory(
       table.meta.location,
       writeSchema,
@@ -564,6 +567,33 @@ object GraftDataWriter {
 
   def escapePathValue(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Iceberg-convention parquet write properties → parquet-mr conf
+    * (TableProperties in the Iceberg spec; the same names the
+    * reference's catalog stores and vends to engines). Bloom filters
+    * are the file-format side of data skipping: a point predicate on
+    * a high-cardinality NON-sort column can skip row groups the
+    * min/max stats cannot (values interleave across the range), which
+    * is exactly the 100 TB needle-lookup case. Spark's vectorized
+    * parquet reader applies them automatically to pushed filters.
+    */
+  def applyParquetProperties(props: Map[String, String],
+      conf: Configuration): Unit = {
+    val BloomCol = "write.parquet.bloom-filter-enabled.column."
+    props.foreach {
+      case (k, v) if k.startsWith(BloomCol) =>
+        conf.set(s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomCol)}", v)
+      case ("write.parquet.bloom-filter-max-bytes", v) =>
+        conf.set("parquet.bloom.filter.max.bytes", v)
+      case ("write.parquet.compression-codec", v) =>
+        conf.set("parquet.compression", v)
+      case ("write.parquet.row-group-size-bytes", v) =>
+        conf.set("parquet.block.size", v)
+      case ("write.parquet.page-size-bytes", v) =>
+        conf.set("parquet.page.size", v)
+      case _ =>
+    }
+  }
 
   /** A parquet writer for InternalRows via Spark's ParquetWriteSupport
     * (vector-friendly layout, field-ids written for schema evolution).

@@ -1,0 +1,114 @@
+package graft.connector
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg-convention parquet write properties must reach the files:
+  * `write.parquet.bloom-filter-enabled.column.<col>` plants a bloom
+  * filter for that column (the row-group skipping lever for point
+  * predicates on non-sort columns), `write.parquet.compression-codec`
+  * picks the codec. Verified by reading the parquet footers back with
+  * parquet-mr directly.
+  */
+class ParquetPropertiesSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-pqprops").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pqprops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def liveFiles(name: String): Seq[String] =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), name)).asInstanceOf[GraftTable]
+      .liveFiles.map(_.path)
+
+  private def footerInfo(path: String): (Set[String], Set[String]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(path), spark.sessionState.newHadoopConf()))
+    try {
+      val withBloom = scala.collection.mutable.Set.empty[String]
+      val codecs = scala.collection.mutable.Set.empty[String]
+      reader.getRowGroups.asScala.foreach { block =>
+        val bfr = reader.getBloomFilterDataReader(block)
+        block.getColumns.asScala.foreach { col =>
+          codecs += col.getCodec.name
+          if (bfr.readBloomFilter(col) != null)
+            withBloom += col.getPath.toDotString
+        }
+      }
+      (withBloom.toSet, codecs.toSet)
+    } finally reader.close()
+  }
+
+  test("bloom-filter and codec table properties reach the parquet files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.props (id BIGINT, v STRING)
+        |TBLPROPERTIES (
+        |  'write.parquet.bloom-filter-enabled.column.id' = 'true',
+        |  'write.parquet.compression-codec' = 'gzip')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.props SELECT id, CAST(id AS STRING) " +
+        "FROM range(0, 20000)")
+
+    val files = liveFiles("props")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val (bloomCols, codecs) = footerInfo(f)
+      assert(bloomCols.contains("id"),
+        s"bloom filter missing for 'id' in $f")
+      assert(!bloomCols.contains("v"),
+        s"no bloom was requested for 'v' in $f")
+      assert(codecs == Set("GZIP"), s"codec not honored in $f: $codecs")
+    }
+    // answers unaffected
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.props WHERE id = 4242")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("without the property no bloom is written and snappy stands") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.noprops (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.noprops SELECT id, CAST(id AS STRING) " +
+        "FROM range(0, 1000)")
+    liveFiles("noprops").foreach { f =>
+      val (bloomCols, codecs) = footerInfo(f)
+      assert(bloomCols.isEmpty, s"unexpected bloom filters in $f: $bloomCols")
+      assert(codecs == Set("SNAPPY"), s"default codec changed in $f: $codecs")
+    }
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES applies to subsequent writes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.alterprops (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.alterprops SELECT id FROM range(0, 100)")
+    spark.sql(
+      """ALTER TABLE graft.db.alterprops SET TBLPROPERTIES (
+        |  'write.parquet.bloom-filter-enabled.column.id' = 'true')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.alterprops SELECT id FROM range(100, 200)")
+    val infos = liveFiles("alterprops").map(footerInfo)
+    assert(infos.exists(_._1.contains("id")),
+      "post-ALTER file must carry the bloom filter")
+    assert(infos.exists(_._1.isEmpty),
+      "pre-ALTER file must not carry a bloom filter")
+  }
+}
