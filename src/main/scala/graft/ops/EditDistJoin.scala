@@ -24,11 +24,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Scale shape: per-string fan-out is a CONSTANT — k+1 index rows and
   * ≤ (2k+1)²·(k+1) probe rows (75 at k=2) — so the plan is two narrow
   * projections feeding one shuffle-hash equi-join at any corpus size.
-  * A pathologically frequent segment value skews its bucket; that is
-  * AQE-skew-splittable, the same posture as MinHash band buckets.
-  * Verification runs Spark's banded `levenshtein(l, r, threshold)`
-  * (codegen'd, O(k·len) per candidate with early exit) on candidates
-  * only.
+  * CANDIDATE volume, however, tracks segment-bucket density: if the
+  * segment-value space saturates (short segments over a tiny
+  * alphabet), buckets grow linearly with n and candidates
+  * quadratically — the same saturated-vocab failure mode as
+  * fixed-width shingle joins. Measured on the 31-word synthetic
+  * fixture at 8-char segments: ~600 aligned-segment pairs at 500
+  * docs → 44k at 5k → 2.6M at 25k (the per-round scale-lane leg
+  * guards this count). The knob is segment ENTROPY: longer input
+  * strings (or larger k+1 splits of longer strings) thin the
+  * buckets, exactly as autoWidth does for shingles; residual hot
+  * values are AQE-skew-splittable. Verification runs Spark's banded
+  * `levenshtein(l, r, threshold)` (codegen'd, O(k·len) per candidate
+  * with early exit) on candidates only.
   *
   * Reference behavior anchor: dedup over near-identical identifiers is
   * the fuzzy side of the reference's search surface (search_tabular's
