@@ -92,7 +92,11 @@ object EditDistJoin {
       .select(col("i_id"), col("i_len"), col("g.j").as("j"),
         col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
 
-    val combos = for { dl <- -k to k; j <- 0 until nSeg; d <- -k to k }
+    // dl ≤ 0 only: every string indexes, so for a pair (a, b) with
+    // |a| ≤ |b| the LONGER string b probes a's length (tl = |a| =
+    // |b| + dl with dl ≤ 0) against a's index rows — probing upward
+    // too would only rediscover each pair from the other side
+    val combos = for { dl <- -k to 0; j <- 0 until nSeg; d <- -k to k }
       yield (dl, j, d)
     val probeArr = array(combos.map { case (dl, j, d) =>
       val tl = col("len") + dl
@@ -108,6 +112,13 @@ object EditDistJoin {
         col("g.start") + col("g.slen") <= col("p_len"))
       .select(col("p_id"), col("g.j").as("j"), col("g.tl").as("tl"),
         col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
+      // only lengths that actually occur can match an index row — the
+      // semi-join against the (tiny, broadcast) distinct-length set
+      // drops dead probe rows before the dedup and the big join (on a
+      // fixed-length corpus this is most of them)
+      .join(broadcast(
+          titles.select(col("len").as("tl")).distinct()),
+        Seq("tl"), "left_semi")
       // distinct probe keys: different (dl, δ) combos can land on the
       // same substring — dedup before the join, not after
       .distinct()
