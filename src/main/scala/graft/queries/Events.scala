@@ -397,6 +397,45 @@ object Events {
           lead(col("fv"), 1).over(total).as("next_fv"))
         .filter(col("rnk") <= 15)
         .orderBy(col("event_type"), col("fv").desc, col("event_id"))
+    },
+
+    // ------------------------- behavioral transition matrix (Markov)
+    // P(next event type | current type) per user stream — the
+    // product-analytics kernel behind funnel discovery and
+    // session-model features. One lag window per user (shuffle on
+    // user_id), then a map-side-combined count per (prev, next) and a
+    // broadcast of the 5-row per-prev totals for the probability —
+    // the division is one IEEE op on exact longs, bit-identical
+    // cross-engine.
+    Q(
+      "qe11_transition_matrix",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+      val c = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast(DoubleType) / col("tot")).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
     }
   )
 }

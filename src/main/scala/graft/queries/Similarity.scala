@@ -54,6 +54,8 @@ object Similarity {
   private val IvfProbe = 4
   private val MmrC = 40
   private val MmrK = 10
+  private val HardNegAnchors = 20
+  private val HardNegK = 5
 
   /** Memoized + persisted embedding near-dup pair set at the shared
     * threshold — consumed by qs5 and by the hybrid dedup pipeline
@@ -638,6 +640,58 @@ object Similarity {
       }
       picks.result()
         .toDF("rnk", "vec_id", "rel_micro", "score_micro")
+    },
+
+    // Hard-negative mining (contrastive-training data prep, the
+    // SBERT/DPR move): for each anchor, the k most-similar vectors
+    // with a DIFFERENT label — the near-misses a contrastive loss
+    // learns the most from; same-label neighbors are excluded because
+    // they are (pseudo-)positives. Plan: the anchor set is a bounded
+    // query table (broadcast), one corpus scan computes all
+    // anchor×corpus cosines, a per-anchor rank window keeps top-k —
+    // the qs13 batch-kNN shape plus the label-aware filter; at 100 TB
+    // the LSH-bucketed knnJoin path drops in for the scan. Micro-int
+    // cosines make the rank boundary exact.
+    Q(
+      "qs17_hard_negatives", {
+        s"""WITH a AS (
+           |  SELECT vec_id AS anchor_id, label AS a_label,
+           |         CAST(embedding AS DOUBLE[]) AS av
+           |  FROM embeddings WHERE vec_id < $HardNegAnchors),
+           |sc AS (
+           |  SELECT a.anchor_id, e.vec_id, e.label,
+           |    CAST(round(1000000 * list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av) /
+           |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |       sqrt(list_dot_product(a.av, a.av)))) AS BIGINT) AS sim_micro
+           |  FROM embeddings e, a
+           |  WHERE e.label <> a.a_label),
+           |r AS (
+           |  SELECT anchor_id, vec_id, label, sim_micro,
+           |    row_number() OVER (PARTITION BY anchor_id
+           |      ORDER BY sim_micro DESC, vec_id) AS rnk
+           |  FROM sc)
+           |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label,
+           |       sim_micro
+           |FROM r WHERE rnk <= $HardNegK
+           |ORDER BY anchor_id, rnk""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < HardNegAnchors)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("av"))
+      val scored = e.join(broadcast(anchors),
+          col("label") =!= col("a_label"))
+        .select(col("anchor_id"), col("vec_id"), col("label"),
+          round(cosine(col("embedding"), col("av")) * 1000000)
+            .cast(LongType).as("sim_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id"))
+        .orderBy(col("sim_micro").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= HardNegK)
+        .select(col("anchor_id"), col("rnk"), col("vec_id"), col("label"),
+          col("sim_micro"))
+        .orderBy(col("anchor_id"), col("rnk"))
     }
   )
 

@@ -87,4 +87,19 @@ class EditDistJoinSpec extends AnyFunSuite {
     // dist(0,1)=3, dist(0,2)=3, dist(1,2)=6 — all out at k=2
     assert(EditDistJoin.pairs(df, "id", "t", 2).count() == 0)
   }
+
+  test("randomized corpora agree with brute force (seeded, 3-letter alphabet)") {
+    // a tiny alphabet + short strings maximizes accidental near-pairs,
+    // boundary ties, and equal-length collisions — the regimes where a
+    // signature-scheme bug would hide
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val strs = (0 until 40).map { _ =>
+        val n = 3 + rnd.nextInt(10)
+        (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val k = 1 + trial % 3
+      check(strs, k)
+    }
+  }
 }
