@@ -20,6 +20,15 @@ object TextOps {
   private val tokenRe = "[a-z0-9]+"
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** qt21 phrase queries: two bigrams + one trigram over the corpus
+    * vocabulary (each occurs a few dozen times per 500 docs, so all
+    * three SFs exercise real matches and the trigram's second join).
+    */
+  private val SearchPhrases: Seq[(String, Seq[String])] = Seq(
+    "hash join" -> Seq("hash", "join"),
+    "table scan" -> Seq("table", "scan"),
+    "data stream batch" -> Seq("data", "stream", "batch"))
+
   /** PII patterns for qt11, written in the Java-regex ∩ RE2 common
     * dialect (no backreferences, no lookaround) so Spark and DuckDB
     * compile identical automata. Kept deliberately simple — the point
@@ -1713,6 +1722,69 @@ object TextOps {
         .select(col("query_id"), col("doc_id"), col("score_micro"),
           col("rank").cast(LongType).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // --------------------------------- positional phrase search
+    // Exact phrase matching over an inverted index WITH POSITIONS —
+    // the search-engine operation BM25's bag-of-words probe cannot
+    // answer. Postings = one posexplode; an m-word phrase is m−1
+    // equi-joins on (doc_id, start): leg i filters term = wᵢ and
+    // normalizes its position to pos − i, so every leg joins on the
+    // phrase START — the classic positional-intersection plan, cost ∝
+    // the RAREST term's postings (the other legs semi-filter it),
+    // never a full-text rescan. At 100 TB the postings relation is
+    // the materialized index table and each leg is a file-pruned scan
+    // of one term's posting range. The oracle replays the identical
+    // positional joins from the token closed form.
+    Q(
+      "qt21_phrase_search", {
+        val phraseCtes = SearchPhrases.zipWithIndex.map {
+          case ((_, words), pi) =>
+            val legs = words.zipWithIndex.map { case (w, i) =>
+              s"(SELECT doc_id, pos - $i AS s FROM p WHERE term = '$w') l$i"
+            }
+            val joins = legs.tail.zipWithIndex.foldLeft(legs.head) {
+              case (acc, (leg, i)) =>
+                s"$acc JOIN $leg ON l0.doc_id = l${i + 1}.doc_id AND l0.s = l${i + 1}.s"
+            }
+            s"ph$pi AS (SELECT l0.doc_id, l0.s FROM $joins)"
+        }
+        val selects = SearchPhrases.zipWithIndex.map { case ((name, _), pi) =>
+          s"""SELECT '$name' AS phrase, COUNT(*) AS n_hits,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+             |FROM ph$pi""".stripMargin
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS t
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, t[i + 1] AS term, i AS pos
+           |  FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i) g),
+           |${phraseCtes.mkString(",\n")}
+           |${selects.mkString("\nUNION ALL\n")}
+           |ORDER BY phrase""".stripMargin
+      }) { (s, dir) =>
+      val postings = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+            .as(Seq("pos", "term")))
+      val perPhrase = SearchPhrases.map { case (name, words) =>
+        val legs = words.zipWithIndex.map { case (w, i) =>
+          postings.filter(col("term") === w)
+            .select(col("doc_id"), (col("pos") - i).as("s"))
+        }
+        val hits = legs.reduce(_.join(_, Seq("doc_id", "s")))
+        hits.agg(
+          count(lit(1)).as("n_hits"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+          .select(lit(name).as("phrase"), col("n_hits"), col("n_docs"),
+            col("first_doc"), col("last_doc"))
+      }
+      perPhrase.reduce(_.unionByName(_)).orderBy(col("phrase"))
     },
 
     // ------------------------------ edit-distance similarity join
