@@ -692,6 +692,46 @@ object Similarity {
         .select(col("anchor_id"), col("rnk"), col("vec_id"), col("label"),
           col("sim_micro"))
         .orderBy(col("anchor_id"), col("rnk"))
+    },
+
+    // Distributed gram matrix XᵀX — the covariance/whitening/PCA prep
+    // step of an embedding pipeline (the eigen-solve that follows is a
+    // dim×dim driver-side problem; the DATA-sized work is this one
+    // aggregation). Plan: double posexplode fans each vector into its
+    // upper-triangle coordinate products, map-side combine collapses
+    // every partition to ≤ dim·(dim+1)/2 = 2,080 partial sums before
+    // the single shuffle — the classic outer-product-accumulation
+    // matrix multiply, one scan at any corpus size. Per-row products
+    // quantize to integer picos via floor(x·10¹²) — two IEEE ops both
+    // engines execute bit-identically (a decimal CAST would not:
+    // Spark rounds the double's shortest string, DuckDB the exact
+    // binary value, and they disagree by 1 ULP on straddling digits —
+    // measured at sf0.1) — so the sums are exact integers.
+    Q(
+      "qs18_gram_matrix",
+      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT v, CAST(i AS BIGINT) AS i, v[i + 1] AS xi
+         |  FROM v, LATERAL (SELECT unnest(range(0, $AnnDim)) AS i) g),
+         |p AS (
+         |  SELECT i, CAST(j AS BIGINT) AS j,
+         |    CAST(floor(xi * v[j + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS p
+         |  FROM x, LATERAL (SELECT unnest(range(0, $AnnDim)) AS j) h
+         |  WHERE j >= i)
+         |SELECT i, j, SUM(p) AS s_pico
+         |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "embeddings")
+        .select(col("embedding").as("v"),
+          posexplode(col("embedding")).as(Seq("i", "xi")))
+      a.select(col("i").cast(LongType).as("i"), col("xi"),
+          posexplode(col("v")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .select(col("i"), col("j").cast(LongType).as("j"),
+          floor(col("xi").cast(DoubleType) * col("xj").cast(DoubleType) *
+            lit(1.0e12)).cast(LongType).as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("s_pico"))
+        .orderBy(col("i"), col("j"))
     }
   )
 
