@@ -1639,6 +1639,67 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------- canonical selection per cluster
+    // The step AFTER near-dup clustering: each duplicate family keeps
+    // exactly one representative — the longest member (token count;
+    // doc_id breaks ties), everything else is dropped. This is how a
+    // production dedup actually mutates the corpus (qd6 only labels
+    // it). One left join against the memoized qd6 clustering, one
+    // rank window per cluster; output restricted to real families
+    // (size > 1) so the artifact is the drop list. All integers.
+    Q(
+      "qd13_canonical_selection",
+      s"""WITH RECURSIVE ${pairOracleCte(0.4)},
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |nt AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |assign AS (
+         |  SELECT nt.doc_id, COALESCE(l.cluster_id, nt.doc_id) AS cluster_id,
+         |         nt.n_tokens
+         |  FROM nt LEFT JOIN labels l ON nt.doc_id = l.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, cluster_id, n_tokens,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS fam
+         |  FROM assign)
+         |SELECT doc_id, cluster_id, n_tokens,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM ranked WHERE fam > 1
+         |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+      val pairs = exactJaccardPairs(s, dir, 0.4).select(col("a"), col("b"))
+      val labels = graft.ops.DedupClusters.clusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val nt = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+            .cast(LongType).as("n_tokens"))
+      val assign = nt.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_tokens"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      assign
+        .withColumn("rk", row_number().over(
+          byCluster.orderBy(col("n_tokens").desc, col("doc_id"))))
+        .withColumn("fam", count(lit(1)).over(byCluster))
+        .filter(col("fam") > 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+          when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    },
+
     // ------------------------------------------------ dataset card
     // The corpus report every released training set ships with
     // (dataset-card numbers): per (source, lang) document and token
