@@ -431,8 +431,11 @@ object Events {
         .filter(col("prev_type").isNotNull)
       val c = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
-      val t = c.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
-      c.join(broadcast(t), Seq("prev_type"))
+      // per-prev totals as a window over the |types|² aggregate — a
+      // self-join formulation would re-expand (and re-scan) the whole
+      // lag-window subtree, which Spark does not share across branches
+      c.withColumn("tot",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
         .select(col("prev_type"), col("next_type"), col("n"),
           (col("n").cast(DoubleType) / col("tot")).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
