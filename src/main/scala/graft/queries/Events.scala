@@ -399,6 +399,48 @@ object Events {
         .orderBy(col("event_type"), col("fv").desc, col("event_id"))
     },
 
+    // ----------------------- native session windows (session_window)
+    // The same gap-based sessionization as qe3 through Spark's NATIVE
+    // session_window operator (Catalyst SessionWindow + merging
+    // session aggregation — the idiomatic path, and the one that
+    // carries over to Structured Streaming state merging verbatim).
+    // Boundary semantics differ from qe3's hand-rolled cumsum and are
+    // encoded exactly: Spark MERGES an event arriving at exactly
+    // t_last + gap into the session (measured — one such pair exists
+    // at sf0.1), so the oracle's island rule is diff > gap, and the
+    // reported end is t_last + gap. Timestamps truncate to seconds
+    // first so both engines see identical instants.
+    Q(
+      "qe12_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, date_trunc('second', ts) AS sec,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second',
+        |                lag(date_trunc('second', ts)) OVER w,
+        |                date_trunc('second', ts)) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(sec) AS s_start,
+        |  MAX(sec) + INTERVAL 1800 SECONDS AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")))
+        .groupBy(col("user_id"),
+          session_window(col("sec"), "1800 seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("n_events"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
     // ------------------------- behavioral transition matrix (Markov)
     // P(next event type | current type) per user stream — the
     // product-analytics kernel behind funnel discovery and
