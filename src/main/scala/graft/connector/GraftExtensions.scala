@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pure range joins (no equi conjunct) → bucketed equi-join instead
     // of BroadcastNestedLoopJoin (graft.plans.RangeJoinRewrite doc)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // naive levenshtein(l, r) <= k joins → PassJoin segment-signature
+    // equi-join (graft.plans.EditDistJoinRewrite doc)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistJoinRewrite)
   }
 }
 

@@ -123,14 +123,30 @@ object EditDistJoin {
       // same substring — dedup before the join, not after
       .distinct()
 
-    // canonicalize the pair BEFORE verification so each unordered pair
-    // is levenshtein'd exactly once (distance is symmetric, so which
-    // string lands in l_t/r_t is immaterial)
-    probe.join(index,
+    val sigPairs = probe.join(index,
         probe("seg") === index("seg") && probe("j") === index("j") &&
           probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
       .select(least(col("p_id"), col("i_id")).as("left_id"),
         greatest(col("p_id"), col("i_id")).as("right_id"))
+
+    // Short-string fallback: the pigeonhole needs ≥ 1 intact NONEMPTY
+    // segment, which requires len ≥ k+1 on the index side — a string
+    // of length ≤ k can have every nonempty segment damaged ("ab" vs
+    // "xy" at k=2). Pair those few strings all-pairs against the only
+    // possible partners (length ≤ 2k — anything longer is > k away by
+    // length alone); both sets are tiny in any real corpus.
+    val shortL = titles.filter(col("len") <= k)
+      .select(col("id").as("s_a"))
+    val shortR = titles.filter(col("len") <= 2 * k)
+      .select(col("id").as("s_b"))
+    val shortPairs = shortL.join(shortR, col("s_a") =!= col("s_b"))
+      .select(least(col("s_a"), col("s_b")).as("left_id"),
+        greatest(col("s_a"), col("s_b")).as("right_id"))
+
+    // canonicalize the pair BEFORE verification so each unordered pair
+    // is levenshtein'd exactly once (distance is symmetric, so which
+    // string lands in l_t/r_t is immaterial)
+    sigPairs.unionByName(shortPairs)
       .distinct()
       .join(titles.select(col("id").as("left_id"), col("t").as("l_t")),
         Seq("left_id"))

@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite similarity joins written as the naive
+  * `levenshtein(l, r) <= k` inner join into the PassJoin
+  * segment-signature equi-join (the [[graft.ops.EditDistJoin]] plan,
+  * derived automatically under declarative SQL).
+  *
+  * Stock Spark plans a join whose only condition is a levenshtein
+  * bound as BroadcastNestedLoopJoin — |L|·|R| distance computations at
+  * any cluster size. The rewrite:
+  *   1. the right side explodes into its k+1 disjoint segments
+  *      (PassJoin, Li et al. VLDB 2011: ≤ k edits leave ≥ 1 segment
+  *      intact, position-shifted by at most the k preceding indels);
+  *   2. the left side explodes into the candidate substrings at each
+  *      segment position of each nearby length, shifted by δ ∈ [-k, k];
+  *   3. they equi-join on (substring, segment ordinal, target length)
+  *      — cost ∝ signature-bucket density, never |L|×|R|;
+  *   4. strings of length ≤ k (whose segments can ALL be damaged —
+  *      the pigeonhole needs an intact NONEMPTY segment) meet every
+  *      possible partner (length ≤ 2k) in a shared sentinel bucket
+  *      (j = -1, seg = '', tl = 0) — the in-plan form of an all-pairs
+  *      fallback over the few tiny strings;
+  *   5. the ORIGINAL condition re-applies as a post-join filter, so
+  *      the rewrite is correctness-preserving by construction;
+  *   6. a pair can share several signatures, so both inputs are tagged
+  *      with monotonically-increasing row ids and an Aggregate over
+  *      (lid, rid, output) collapses duplicate matches — the join's
+  *      contract of one row per qualifying (left row, right row) pair
+  *      is preserved exactly, including duplicate-VALUE rows from
+  *      distinct input rows.
+  *
+  * Both Generates explode LITERAL combo arrays and compute the segment
+  * arithmetic once in the downstream Project (inlining it per struct
+  * blows the 64 KB codegen method limit at k = 2's 76 combos).
+  *
+  * Narrow trigger: INNER join, no cross-side equality conjunct (Spark
+  * hash-joins those already), some conjunct bounding an UN-thresholded
+  * levenshtein of two side-local string expressions by a literal
+  * 1 ≤ k ≤ 4. Every other conjunct — including other cross-side
+  * predicates like `a.id < b.id`, which the optimizer pushes into the
+  * join condition — re-checks in the post-filter. After the rewrite
+  * the join has equality conjuncts, so the rule never re-fires on its
+  * own output.
+  */
+object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def intLit(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** A conjunct as `levenshtein(l, r) <= k`, any operand order,
+    * strict or non-strict.
+    */
+  private def asLevBound(cmp: Expression, lOut: AttributeSet,
+      rOut: AttributeSet): Option[(Expression, Expression, Int)] = {
+    def oriented(ls: Expression, rs: Expression, k: Long)
+        : Option[(Expression, Expression, Int)] =
+      if (k < 1 || k > 4 || !ls.deterministic || !rs.deterministic) None
+      else if (ls.references.subsetOf(lOut) && ls.references.nonEmpty &&
+        rs.references.subsetOf(rOut) && rs.references.nonEmpty)
+        Some((ls, rs, k.toInt))
+      else if (ls.references.subsetOf(rOut) && ls.references.nonEmpty &&
+        rs.references.subsetOf(lOut) && rs.references.nonEmpty)
+        Some((rs, ls, k.toInt)) // distance is symmetric
+      else None
+    cmp match {
+      case LessThanOrEqual(Levenshtein(ls, rs, None), Literal(v, _)) =>
+        intLit(v).flatMap(k => oriented(ls, rs, k))
+      case LessThan(Levenshtein(ls, rs, None), Literal(v, _)) =>
+        intLit(v).flatMap(k => oriented(ls, rs, k - 1))
+      case GreaterThanOrEqual(Literal(v, _), Levenshtein(ls, rs, None)) =>
+        intLit(v).flatMap(k => oriented(ls, rs, k))
+      case GreaterThan(Literal(v, _), Levenshtein(ls, rs, None)) =>
+        intLit(v).flatMap(k => oriented(ls, rs, k - 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && !j.isStreaming =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val lOut = left.outputSet
+        val rOut = right.outputSet
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+              (a.references.subsetOf(rOut) && b.references.subsetOf(lOut))
+          case EqualNullSafe(a, b) =>
+            (a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+              (a.references.subsetOf(rOut) && b.references.subsetOf(lOut))
+          case _ => false
+        }
+        val bound = conjuncts.view.flatMap(asLevBound(_, lOut, rOut))
+          .headOption
+        bound match {
+          case Some((ls, rs, k)) if !hasEqui =>
+            rewrite(j, left, right, ls, rs, k, cond, hint)
+          case _ => j
+        }
+    }
+
+  // ---- expression helpers (mirror graft.ops.EditDistJoin exactly) ----
+
+  /** 0-based even-split segment start: floor(len·j / (k+1)); `j` may
+    * be a dynamic column (the exploded combo), len the sentinel-zeroed
+    * effective length — 0·j keeps the sentinel's arithmetic at 0.
+    */
+  private def segStart(len: Expression, j: Expression,
+      nSeg: Int): Expression =
+    Cast(Floor(Divide(
+      Cast(Multiply(len, j), DoubleType),
+      Literal(nSeg.toDouble))), IntegerType)
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      ls: Expression, rs: Expression, k: Int, cond: Expression,
+      hint: JoinHint): LogicalPlan = {
+    val nSeg = k + 1
+
+    // ---- index side (right): segment ordinals 0..k plus sentinel -1 ----
+    val rid = Alias(MonotonicallyIncreasingID(), "_graft_ed_rid")()
+    val rLen = Length(rs)
+    val iGenAttr = AttributeReference("_graft_ed_ijraw", IntegerType,
+      nullable = false)()
+    val rightTag = Project(right.output :+ rid, right)
+    val iGen = Generate(
+      Explode(CreateArray((0 until nSeg).map(Literal(_)) :+ Literal(-1))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iGenAttr), child = rightTag)
+    val iSentinel = EqualTo(iGenAttr, Literal(-1))
+    val iEffLen = If(iSentinel, Literal(0), rLen)
+    val iSt = segStart(iEffLen, iGenAttr, nSeg)
+    val iSlen = Subtract(segStart(iEffLen, Add(iGenAttr, Literal(1)), nSeg), iSt)
+    val iFiltered = Filter(Or(
+      GreaterThanOrEqual(iSlen, Literal(1)),
+      And(iSentinel, LessThanOrEqual(rLen, Literal(k)))), iGen)
+    val iJ = Alias(iGenAttr, "_graft_ed_ij")()
+    val iLen = Alias(iEffLen, "_graft_ed_ilen")()
+    val iSeg = Alias(Substring(rs, Add(iSt, Literal(1)), iSlen),
+      "_graft_ed_iseg")()
+    val index = Project(rightTag.output ++ Seq(iJ, iLen, iSeg), iFiltered)
+
+    // ---- probe side (left): literal (dl, j, δ) combos plus sentinel ----
+    val lid = Alias(MonotonicallyIncreasingID(), "_graft_ed_lid")()
+    val lLen = Length(ls)
+    // full dl range: unlike the self-join op (where every string sits
+    // on both sides, so probing only downward lengths suffices), a
+    // general L ⋈ R must probe both directions — a left string shorter
+    // than its right match only meets it at tl > |l|
+    val combos: Seq[Expression] = (for {
+      dl <- -k to k; jj <- 0 until nSeg; d <- -k to k
+    } yield CreateNamedStruct(Seq(
+      Literal("dl"), Literal(dl),
+      Literal("j"), Literal(jj),
+      Literal("d"), Literal(d)))) :+ CreateNamedStruct(Seq(
+      Literal("dl"), Literal(0),
+      Literal("j"), Literal(-1),
+      Literal("d"), Literal(0)))
+    val comboType = StructType(Seq(
+      StructField("dl", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("d", IntegerType, nullable = false)))
+    val pGenAttr = AttributeReference("_graft_ed_pg", comboType,
+      nullable = false)()
+    val leftTag = Project(left.output :+ lid, left)
+    val pGen = Generate(Explode(CreateArray(combos)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(pGenAttr), child = leftTag)
+    val pJraw = GetStructField(pGenAttr, 1, Some("j"))
+    val pDl = GetStructField(pGenAttr, 0, Some("dl"))
+    val pD = GetStructField(pGenAttr, 2, Some("d"))
+    val pSentinel = EqualTo(pJraw, Literal(-1))
+    val pTlE = If(pSentinel, Literal(0), Add(lLen, pDl))
+    val pSt = segStart(pTlE, pJraw, nSeg)
+    val pSlen = Subtract(segStart(pTlE, Add(pJraw, Literal(1)), nSeg), pSt)
+    val pStart = Add(pSt, pD)
+    val pFiltered = Filter(Or(And(And(
+      GreaterThanOrEqual(pSlen, Literal(1)),
+      GreaterThanOrEqual(pStart, Literal(0))),
+      LessThanOrEqual(Add(pStart, pSlen), lLen)),
+      // probe-side sentinel: only strings short enough to be within k
+      // of a ≤ k index string can live in the sentinel bucket
+      And(pSentinel, LessThanOrEqual(lLen, Literal(2 * k)))), pGen)
+    val pJ = Alias(pJraw, "_graft_ed_pj")()
+    val pTl = Alias(pTlE, "_graft_ed_ptl")()
+    val pSeg = Alias(Substring(ls, Add(pStart, Literal(1)), pSlen),
+      "_graft_ed_pseg")()
+    val probe = Project(leftTag.output ++ Seq(pJ, pTl, pSeg), pFiltered)
+
+    // ---- signature equi-join + exact post-filter + pair dedup ----
+    val joinCond = And(And(
+      EqualTo(pSeg.toAttribute, iSeg.toAttribute),
+      EqualTo(pJ.toAttribute, iJ.toAttribute)),
+      EqualTo(pTl.toAttribute, iLen.toAttribute))
+    val sigJoin = Join(probe, index, Inner, Some(joinCond), hint)
+    val verified = Filter(cond, sigJoin)
+    // one output row per qualifying (left row, right row) pair — the
+    // group-by includes the join's full output, so duplicate-value
+    // rows from DISTINCT input pairs survive while repeated signature
+    // matches of the SAME pair collapse
+    val dedupKeys: Seq[NamedExpression] =
+      Seq(lid.toAttribute, rid.toAttribute) ++ j.output
+    val deduped = Aggregate(dedupKeys, dedupKeys, verified)
+    Project(j.output, deduped)
+  }
+}

@@ -1639,6 +1639,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // --------------------- edit-distance join through the OPTIMIZER
+    // The same answer as qd12, written the way a SQL user would write
+    // it — a naive `levenshtein(ta, tb) <= 2` inner join, which stock
+    // Spark plans as BroadcastNestedLoopJoin. The session extensions'
+    // EditDistJoinRewrite rule (graft.plans) must turn it into the
+    // PassJoin signature equi-join, so THIS row oracle-verifies the
+    // optimizer rule end-to-end every round (the qe9 pattern: the
+    // naive SQL is the rule's regression test). The plan assertion
+    // lives in EditDistJoinRewriteSpec.
+    Q(
+      "qd14_editdist_rewrite",
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b
+        |  ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 2
+        |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      val a = t.select(col("doc_id").as("left_id"), col("title").as("ta"))
+      val b = t.select(col("doc_id").as("right_id"), col("title").as("tb"))
+      a.join(b, col("left_id") < col("right_id") &&
+          levenshtein(col("ta"), col("tb")) <= 2)
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("ta"), col("tb")).cast(LongType).as("dist"))
+        .orderBy(col("left_id"), col("right_id"))
+    },
+
     // ------------------------------- canonical selection per cluster
     // The step AFTER near-dup clustering: each duplicate family keeps
     // exactly one representative — the longest member (token count;

@@ -88,6 +88,12 @@ class EditDistJoinSpec extends AnyFunSuite {
     assert(EditDistJoin.pairs(df, "id", "t", 2).count() == 0)
   }
 
+  test("strings shorter than k+1 fall back to the all-pairs leg") {
+    // empty segments void the pigeonhole ("ab" vs "xy" shares nothing
+    // yet is distance 2) — these must come from the short-string leg
+    check(Seq("ab", "xy", "a", "abcd", "", "q", "qq", "xyz"), k = 2)
+  }
+
   test("randomized corpora agree with brute force (seeded, 3-letter alphabet)") {
     // a tiny alphabet + short strings maximizes accidental near-pairs,
     // boundary ties, and equal-length collisions — the regimes where a
@@ -95,7 +101,7 @@ class EditDistJoinSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 5) {
       val strs = (0 until 40).map { _ =>
-        val n = 3 + rnd.nextInt(10)
+        val n = 1 + rnd.nextInt(12)
         (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
       }.distinct
       val k = 1 + trial % 3

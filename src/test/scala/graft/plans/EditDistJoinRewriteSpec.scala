@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The levenshtein-join rewrite must (1) remove BroadcastNestedLoopJoin
+  * from naive `levenshtein(l, r) <= k` joins, (2) return EXACTLY the
+  * rows the un-rewritten plan returns — one row per qualifying input
+  * pair, duplicates-by-value included — and (3) never fire on joins
+  * Spark already handles or thresholds the scheme cannot serve.
+  */
+class EditDistJoinRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-editdist-rule-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ruleName = EditDistJoinRewrite.ruleName
+
+  private lazy val fixture: Unit = {
+    import spark.implicits._
+    val words = Seq("kitten", "sitting", "mitten", "kittens", "kit",
+      "bitten", "fitting", "written", "kite", "kitchen", "smitten",
+      "mittens", "bittern", "sitter", "fitter")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("aid", "aw").createOrReplaceTempView("ea")
+    // includes duplicate VALUES with distinct ids — the dedup step must
+    // keep one row per input PAIR, not one per distinct value
+    (words ++ Seq("kitten", "sitting")).zipWithIndex
+      .map { case (w, i) => (i.toLong + 100, w) }
+      .toDF("bid", "bw").createOrReplaceTempView("eb")
+  }
+
+  private def withRuleDisabled[T](f: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def rows(sql: String): Seq[(Long, Long)] =
+    spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+
+  test("levenshtein join loses its nested loop and keeps exact multiplicity") {
+    fixture
+    val sql =
+      """SELECT aid, bid FROM ea JOIN eb
+        |ON levenshtein(aw, bw) <= 2""".stripMargin
+    assert(!planOf(sql).contains("BroadcastNestedLoopJoin"),
+      "rewrite must replace the nested loop")
+    val got = rows(sql)
+    val want = withRuleDisabled {
+      assert(planOf(sql).contains("BroadcastNestedLoopJoin"),
+        "without the rule this IS a nested loop (the problem being solved)")
+      rows(sql)
+    }
+    assert(got.nonEmpty && got == want)
+    // duplicate right VALUES must appear once per right ROW
+    assert(got.count { case (a, b) => a == 0L } ==
+      want.count { case (a, b) => a == 0L })
+  }
+
+  test("bound variants and extra cross-side conjuncts ride along") {
+    fixture
+    for (cond <- Seq(
+        "levenshtein(aw, bw) < 3",
+        "2 >= levenshtein(aw, bw)",
+        "3 > levenshtein(bw, aw)",
+        "levenshtein(aw, bw) <= 2 AND aid + 100 < bid")) {
+      val sql = s"SELECT aid, bid FROM ea JOIN eb ON $cond"
+      assert(!planOf(sql).contains("BroadcastNestedLoopJoin"),
+        s"no rewrite for: $cond")
+      assert(rows(sql) == withRuleDisabled(rows(sql)), s"rows differ: $cond")
+    }
+  }
+
+  test("no-fire guards: equi conjunct, outer join, k out of range, threshold form") {
+    fixture
+    val guarded = Seq(
+      // equi conjunct: Spark hash-joins already
+      "SELECT aid, bid FROM ea JOIN eb ON aw = bw AND levenshtein(aw, bw) <= 2",
+      // threshold >= 5 is outside the supported banding
+      "SELECT aid, bid FROM ea JOIN eb ON levenshtein(aw, bw) <= 5",
+      // thresholded levenshtein form is already banded
+      "SELECT aid, bid FROM ea JOIN eb ON levenshtein(aw, bw, 2) >= 0")
+    for (sql <- guarded)
+      assert(rows(sql) == withRuleDisabled(rows(sql)), s"rows differ: $sql")
+    // LEFT OUTER must not rewrite (trigger is inner-only)
+    val outer =
+      "SELECT aid, bid FROM ea LEFT JOIN eb ON levenshtein(aw, bw) <= 2"
+    assert(spark.sql(outer).count() ==
+      withRuleDisabled(spark.sql(outer).count()))
+  }
+
+  test("variable lengths across the two relations stay complete") {
+    import spark.implicits._
+    Seq((1L, "ab"), (2L, "abcd"), (3L, "abcdef"), (4L, "x"))
+      .toDF("aid", "aw").createOrReplaceTempView("va")
+    Seq((11L, "abc"), (12L, "abcde"), (13L, "abcdefgh"), (14L, "xy"))
+      .toDF("bid", "bw").createOrReplaceTempView("vb")
+    val sql =
+      "SELECT aid, bid FROM va JOIN vb ON levenshtein(aw, bw) <= 2"
+    assert(rows(sql) == withRuleDisabled(rows(sql)))
+    assert(!planOf(sql).contains("BroadcastNestedLoopJoin"))
+  }
+}
