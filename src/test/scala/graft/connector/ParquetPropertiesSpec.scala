@@ -83,6 +83,41 @@ class ParquetPropertiesSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("bloom filters actually exclude absent values (skipping effect)") {
+    // the same test parquet-mr's own row-group filter runs at scan
+    // time: a bloom lookup of a value NOT in the file must answer
+    // "definitely absent" for at least the overwhelming majority of
+    // probes (false positives are allowed, misses are not)
+    val files = liveFiles("props")
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(f), conf))
+      try {
+        val block = reader.getRowGroups.asScala.head
+        val col = block.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        val bloom = reader.getBloomFilterDataReader(block)
+          .readBloomFilter(col)
+        assert(bloom != null)
+        // present values (from THIS file — inserts split the id range
+        // across files) must always hit
+        val present = spark.read.parquet(f).select("id")
+          .limit(30).collect().map(_.getLong(0))
+        assert(present.nonEmpty && present.forall(v =>
+          bloom.findHash(bloom.hash(java.lang.Long.valueOf(v)))),
+          "a bloom filter can never miss a present value")
+        // absent values must mostly be excluded
+        val absentHits = (1000000L until 1000400L).count { v =>
+          bloom.findHash(bloom.hash(java.lang.Long.valueOf(v)))
+        }
+        assert(absentHits < 40,
+          s"bloom should exclude most absent probes, hit $absentHits/400")
+      } finally reader.close()
+    }
+  }
+
   test("without the property no bloom is written and snappy stands") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.noprops (id BIGINT, v STRING)")

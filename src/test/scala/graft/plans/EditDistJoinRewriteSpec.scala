@@ -99,6 +99,24 @@ class EditDistJoinRewriteSpec extends AnyFunSuite {
       withRuleDisabled(spark.sql(outer).count()))
   }
 
+  test("randomized corpora through SQL agree with the un-rewritten plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val mk = () => (0 until 30).map { _ =>
+        val n = 1 + rnd.nextInt(10)
+        (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      mk().zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("aid", "aw").createOrReplaceTempView("fa")
+      mk().zipWithIndex.map { case (w, i) => (i.toLong + 500, w) }
+        .toDF("bid", "bw").createOrReplaceTempView("fb")
+      val k = 1 + trial % 3
+      val sql = s"SELECT aid, bid FROM fa JOIN fb ON levenshtein(aw, bw) <= $k"
+      assert(rows(sql) == withRuleDisabled(rows(sql)), s"trial $trial k=$k")
+    }
+  }
+
   test("variable lengths across the two relations stay complete") {
     import spark.implicits._
     Seq((1L, "ab"), (2L, "abcd"), (3L, "abcdef"), (4L, "x"))
