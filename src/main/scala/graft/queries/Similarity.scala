@@ -54,6 +54,7 @@ object Similarity {
   private val IvfProbe = 4
   private val MmrC = 40
   private val MmrK = 10
+  private val PcaIters = 6
   private val HardNegAnchors = 20
   private val HardNegK = 5
 
@@ -709,31 +710,112 @@ object Similarity {
     // measured at sf0.1) — so the sums are exact integers.
     Q(
       "qs18_gram_matrix",
-      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (
-         |  SELECT v, CAST(i AS BIGINT) AS i, v[i + 1] AS xi
-         |  FROM v, LATERAL (SELECT unnest(range(0, $AnnDim)) AS i) g),
-         |p AS (
-         |  SELECT i, CAST(j AS BIGINT) AS j,
-         |    CAST(floor(xi * v[j + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS p
-         |  FROM x, LATERAL (SELECT unnest(range(0, $AnnDim)) AS j) h
-         |  WHERE j >= i)
-         |SELECT i, j, SUM(p) AS s_pico
-         |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val a = Tables.load(s, dir, "embeddings")
-        .select(col("embedding").as("v"),
-          posexplode(col("embedding")).as(Seq("i", "xi")))
-      a.select(col("i").cast(LongType).as("i"), col("xi"),
-          posexplode(col("v")).as(Seq("j", "xj")))
-        .filter(col("j") >= col("i"))
-        .select(col("i"), col("j").cast(LongType).as("j"),
-          floor(col("xi").cast(DoubleType) * col("xj").cast(DoubleType) *
-            lit(1.0e12)).cast(LongType).as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).as("s_pico"))
-        .orderBy(col("i"), col("j"))
+      s"""WITH $gramSql
+         |SELECT i, j, s_pico FROM gram ORDER BY i, j""".stripMargin) {
+      (s, dir) => gramPico(s, dir).orderBy(col("i"), col("j"))
+    },
+
+    // PCA through power iteration — the whitening/dim-reduction step
+    // on top of qs18's gram matrix, made cross-engine EXACT: the
+    // 64×64 matvec runs in integer micro/pico units (exact,
+    // order-independent sums), each iteration renormalizes by the max
+    // |component| (power iteration converges under ANY normalization,
+    // and max is an exact integer compare where an L2 norm would
+    // square int64 out of range), and the single division per
+    // iteration + the final projection round with an explicit
+    // floor(x + 0.5) (Java's Math.round and DuckDB's round() disagree
+    // on negative halves). The gram collect is dim²/2 rows — bounded
+    // metadata, the KMeans-seed precedent — and the 6 iterations are
+    // driver-side 64×64 work; the DATA-sized pass is the projection:
+    // one codegen'd sequential-fold dot product per vector (the qs1
+    // machinery) against the broadcast eigenvector literal. The
+    // oracle unrolls the identical six iterations as chained CTEs.
+    Q(
+      "qs19_pca_projection", {
+        val iters = (1 to PcaIters).map { t =>
+          s"""w$t AS (
+             |  SELECT g.i, SUM(g.gm * v${t - 1}.vm) AS w
+             |  FROM g JOIN v${t - 1} ON g.j = v${t - 1}.i GROUP BY g.i),
+             |m$t AS (SELECT MAX(abs(w)) AS mx FROM w$t),
+             |v$t AS (
+             |  SELECT i, CAST(floor(1000000 * CAST(w AS DOUBLE) / mx + 0.5) AS BIGINT) AS vm
+             |  FROM w$t, m$t)""".stripMargin
+        }
+        s"""WITH $gramSql,
+           |g AS (
+           |  SELECT i, j, s_pico // 1000000 AS gm FROM gram
+           |  UNION ALL
+           |  SELECT j, i, s_pico // 1000000 AS gm FROM gram WHERE i <> j),
+           |v0 AS (SELECT unnest(range(0, $AnnDim)) AS i,
+           |       CAST(1000000 AS BIGINT) AS vm),
+           |${iters.mkString(",\n")},
+           |vl AS (SELECT list(CAST(vm AS DOUBLE) ORDER BY i) AS pc
+           |       FROM v$PcaIters)
+           |SELECT e.vec_id, e.label,
+           |  CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), vl.pc) + 0.5) AS BIGINT) AS proj_q
+           |FROM embeddings e, vl
+           |ORDER BY proj_q DESC, vec_id LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      val dim = AnnDim
+      val rows = gramPico(s, dir).collect()
+      val gm = Array.ofDim[Long](dim, dim)
+      rows.foreach { r =>
+        val (i, j, sp) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+        // DuckDB's // TRUNCATES toward zero (measured: -7 // 2 = -3),
+        // exactly Java's long division — NOT Math.floorDiv
+        val v = sp / 1000000L
+        gm(i)(j) = v
+        gm(j)(i) = v
+      }
+      var vm = Array.fill(dim)(1000000L)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dim) { acc += gm(i)(j) * vm(j); j += 1 }
+          acc
+        }
+        val mx = w.map(math.abs).max
+        vm = w.map(x =>
+          math.floor(1000000.0 * x.toDouble / mx.toDouble + 0.5).toLong)
+      }
+      val pc = array(vm.map(x => lit(x.toDouble)): _*)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          floor(dot(col("embedding"), pc) + lit(0.5)).cast(LongType)
+            .as("proj_q"))
+        .orderBy(col("proj_q").desc, col("vec_id"))
+        .limit(20)
     }
   )
+
+  /** The XᵀX upper triangle in exact integer picos (see qs18). */
+  private def gramPico(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "embeddings")
+      .select(col("embedding").as("v"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+    a.select(col("i").cast(LongType).as("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j").cast(LongType).as("j"),
+        floor(col("xi").cast(DoubleType) * col("xj").cast(DoubleType) *
+          lit(1.0e12)).cast(LongType).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("s_pico"))
+  }
+
+  /** The DuckDB mirror of [[gramPico]] as a `gram` CTE body. */
+  private def gramSql: String =
+    s"""ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (
+       |  SELECT v, CAST(i AS BIGINT) AS i, v[i + 1] AS xi
+       |  FROM ev, LATERAL (SELECT unnest(range(0, $AnnDim)) AS i) gg),
+       |pp AS (
+       |  SELECT i, CAST(j AS BIGINT) AS j,
+       |    CAST(floor(xi * v[j + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS p
+       |  FROM x, LATERAL (SELECT unnest(range(0, $AnnDim)) AS j) hh
+       |  WHERE j >= i),
+       |gram AS (SELECT i, j, SUM(p) AS s_pico FROM pp GROUP BY 1, 2)""".stripMargin
 
   /** The unrolled-greedy DuckDB mirror of qs16: shortlist + pairwise
     * CTEs (MATERIALIZED — inlining would reopen the parquet per step),
