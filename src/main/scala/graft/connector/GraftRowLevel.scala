@@ -171,7 +171,9 @@ class GraftCowBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val hc = spark.sessionState.newHadoopConf()
+    GraftDataWriter.applyParquetProperties(table.meta.properties, hc)
+    val conf = new SerializableConfiguration(hc)
     GraftDataWriterFactory(
       table.meta.location,
       writeSchema,
@@ -373,7 +375,9 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val hc = spark.sessionState.newHadoopConf()
+    GraftDataWriter.applyParquetProperties(table.meta.properties, hc)
+    val conf = new SerializableConfiguration(hc)
     GraftDeltaWriterFactory(
       table.meta.location,
       insertSchema,

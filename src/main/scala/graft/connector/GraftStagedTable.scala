@@ -63,12 +63,13 @@ class GraftStagedTable(
           override def createBatchWriterFactory(
               info2: PhysicalWriteInfo): DataWriterFactory = {
             val spark = SparkSession.active
+            val hc = spark.sessionState.newHadoopConf()
+            GraftDataWriter.applyParquetProperties(stagedMeta.properties, hc)
             GraftDataWriterFactory(
               stagedMeta.location,
               info.schema(),
               stagedMeta.defaultSpec,
-              new SerializableConfiguration(
-                spark.sessionState.newHadoopConf()),
+              new SerializableConfiguration(hc),
               spark.sessionState.conf.sessionLocalTimeZone)
           }
           // files are only RECORDED here; publication happens in

@@ -201,22 +201,50 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
       .getOrElse(Seq.empty)
     def zcluster(src: org.apache.spark.sql.DataFrame, n: Int)
         : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType, LongType,
+        IntegerType, ShortType, ByteType}
       import graft.ops.ZOrder
-      val longs = zorderCols.map(c =>
-        floor(col(c).cast(org.apache.spark.sql.types.DoubleType))
-          .cast(org.apache.spark.sql.types.LongType).as(s"__z_$c"))
-      val aggExprs = zorderCols.flatMap(c => Seq(
-        min(col(s"__z_$c")).as(s"__mn_$c"),
-        max(col(s"__z_$c")).as(s"__mx_$c")))
-      val bounds = src.select(longs: _*).agg(aggExprs.head, aggExprs.tail: _*)
-      val withZ = src
-        .join(broadcast(bounds))
-        .withColumn("__zv", ZOrder.interleave(
-          zorderCols.map { c =>
-            val v = floor(col(c).cast(org.apache.spark.sql.types.DoubleType))
-              .cast(org.apache.spark.sql.types.LongType)
-            ZOrder.normalize(v, col(s"__mn_$c"), col(s"__mx_$c"), 16)
-          }, 16))
+      def zlong(c: String) = floor(col(c).cast(DoubleType)).cast(LongType)
+      // normalization bounds come from the manifests' file-level
+      // min/max stats when every live file carries them (driver-held
+      // metadata — no extra table scan; a superset range from
+      // unaffected partitions only widens the curve, never breaks it);
+      // the aggregate-scan fallback covers stat-less columns
+      val numeric: Set[org.apache.spark.sql.types.DataType] =
+        Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+      def statBound(c: String): Option[(Long, Long)] =
+        if (!src.schema.fields.exists(f => f.name == c &&
+            numeric.contains(f.dataType))) None
+        else {
+          val per = files.map(_.columnStats.get(c))
+          if (per.isEmpty || per.exists(s =>
+              s.isEmpty || s.get.min.isEmpty || s.get.max.isEmpty)) None
+          else try Some((
+            per.map(s => math.floor(s.get.min.get.toDouble).toLong).min,
+            per.map(s => math.floor(s.get.max.get.toDouble).toLong).max))
+          catch { case _: NumberFormatException => None }
+        }
+      val statBounds = zorderCols.map(statBound)
+      val withZ =
+        if (statBounds.forall(_.isDefined)) {
+          src.withColumn("__zv", ZOrder.interleave(
+            zorderCols.zip(statBounds).map { case (c, b) =>
+              val (mn, mx) = b.get
+              ZOrder.normalize(zlong(c), lit(mn), lit(mx), 16)
+            }, 16))
+        } else {
+          val longs = zorderCols.map(c => zlong(c).as(s"__z_$c"))
+          val aggExprs = zorderCols.flatMap(c => Seq(
+            min(col(s"__z_$c")).as(s"__mn_$c"),
+            max(col(s"__z_$c")).as(s"__mx_$c")))
+          val bounds = src.select(longs: _*)
+            .agg(aggExprs.head, aggExprs.tail: _*)
+          src.join(broadcast(bounds))
+            .withColumn("__zv", ZOrder.interleave(
+              zorderCols.map { c =>
+                ZOrder.normalize(zlong(c), col(s"__mn_$c"), col(s"__mx_$c"), 16)
+              }, 16))
+        }
       withZ.repartitionByRange(n, col("__zv"))
         .sortWithinPartitions("__zv")
         .drop((zorderCols.map(c => s"__mn_$c") ++
@@ -252,12 +280,16 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
         else {
           val n = math.max(1, math.ceil(
             affectedFiles.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
-          spark.table(fullName)
+          val src = spark.table(fullName)
             .filter(col(GraftTable.FileColumnName)
               .isin(affectedFiles.map(_.path): _*))
             .drop(GraftTable.FileColumnName)
-            .repartition(n)
-            .writeTo(fullName).overwritePartitions()
+          // zorder-by applies within the affected partitions too — the
+          // dynamic overwrite keeps partition boundaries, the z-curve
+          // clusters files inside them
+          val shapedPart =
+            if (zorderCols.nonEmpty) zcluster(src, n) else src.repartition(n)
+          shapedPart.writeTo(fullName).overwritePartitions()
           affectedFiles.size.toLong
         }
       }

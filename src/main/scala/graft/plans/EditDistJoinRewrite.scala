@@ -205,14 +205,34 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       EqualTo(pJ.toAttribute, iJ.toAttribute)),
       EqualTo(pTl.toAttribute, iLen.toAttribute))
     val sigJoin = Join(probe, index, Inner, Some(joinCond), hint)
-    val verified = Filter(cond, sigJoin)
-    // one output row per qualifying (left row, right row) pair — the
-    // group-by includes the join's full output, so duplicate-value
-    // rows from DISTINCT input pairs survive while repeated signature
-    // matches of the SAME pair collapse
-    val dedupKeys: Seq[NamedExpression] =
-      Seq(lid.toAttribute, rid.toAttribute) ++ j.output
-    val deduped = Aggregate(dedupKeys, dedupKeys, verified)
+    // the exact verification uses the BANDED levenshtein (early exit,
+    // O(k·len) per candidate) in place of the matched conjunct — the
+    // full-DP form would pay O(len²) on the hot path; every other
+    // conjunct re-applies verbatim
+    val banded = splitConjunctivePredicates(cond).map { c =>
+      // only the conjunct(s) expressing THIS bound swap to the banded
+      // form; bounds on other column pairs (or tighter ones) re-check
+      // verbatim
+      if (asLevBound(c, left.outputSet, right.outputSet)
+          .contains((ls, rs, k)))
+        GreaterThanOrEqual(
+          Levenshtein(ls, rs, Some(Literal(k))), Literal(0))
+      else c
+    }.reduce(And)
+    val verified = Filter(banded, sigJoin)
+    // one output row per qualifying (left row, right row) pair: group
+    // on the row-id pair ALONE (grouping on the full output would
+    // shuffle-hash every output column and crash on non-hashable types
+    // like maps) and carry the outputs — functionally determined by
+    // the pair — via first(), re-aliased under their ORIGINAL exprIds
+    // so parent plans still bind
+    val aggExprs: Seq[NamedExpression] = j.output.map { a =>
+      Alias(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .First(a, ignoreNulls = false).toAggregateExpression(),
+        a.name)(a.exprId, a.qualifier)
+    }
+    val deduped = Aggregate(
+      Seq(lid.toAttribute, rid.toAttribute), aggExprs, verified)
     Project(j.output, deduped)
   }
 }

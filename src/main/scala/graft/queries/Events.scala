@@ -413,7 +413,7 @@ object Events {
     Q(
       "qe12_session_window",
       """WITH marked AS (
-        |  SELECT user_id, date_trunc('second', ts) AS sec,
+        |  SELECT user_id, ts, event_id, date_trunc('second', ts) AS sec,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR date_diff('second',
         |                lag(date_trunc('second', ts)) OVER w,
@@ -423,7 +423,8 @@ object Events {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, sec,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, MIN(sec) AS s_start,

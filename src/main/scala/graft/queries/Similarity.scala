@@ -611,18 +611,23 @@ object Similarity {
           round(cosine(col("embedding"), col("qe")) * 1000000)
             .cast(LongType).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(MmrC)
-      val a = cand.select(col("vec_id").as("pa"), col("embedding").as("va"),
-        col("rel"))
-      val b = cand.select(col("vec_id").as("pb"), col("embedding").as("vb"))
-      val pairRows = a.join(broadcast(b), col("pa") =!= col("pb"))
-        .select(col("pa"), col("rel"),
-          col("pb"),
+      // relevance from the shortlist ITSELF (deriving it from the pair
+      // join breaks on a 1-candidate shortlist, whose pair set is
+      // empty while the oracle still emits the rank-1 pick)
+      val candPinned = cand.persist()
+      val rel = candPinned.select(col("vec_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val a = candPinned.select(col("vec_id").as("pa"),
+        col("embedding").as("va"))
+      val b = candPinned.select(col("vec_id").as("pb"),
+        col("embedding").as("vb"))
+      val sim = a.join(broadcast(b), col("pa") =!= col("pb"))
+        .select(col("pa"), col("pb"),
           round(cosine(col("va"), col("vb")) * 1000000)
             .cast(LongType).as("sim"))
         .collect()
-      val rel = pairRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val sim = pairRows
-        .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      candPinned.unpersist()
       val picks = Vector.newBuilder[(Long, Long, Long, Long)]
       var chosen = Set.empty[Long]
       for (i <- 1 to math.min(MmrK, rel.size)) {

@@ -131,6 +131,29 @@ class ParquetPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS and row-level rewrites honor the properties too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.ctasprops
+        |TBLPROPERTIES (
+        |  'write.parquet.bloom-filter-enabled.column.id' = 'true',
+        |  'write.parquet.compression-codec' = 'gzip')
+        |AS SELECT id, CAST(id AS STRING) AS v FROM range(0, 5000)""".stripMargin)
+    liveFiles("ctasprops").foreach { f =>
+      val (bloomCols, codecs) = footerInfo(f)
+      assert(bloomCols.contains("id"), s"CTAS file missing bloom: $f")
+      assert(codecs == Set("GZIP"), s"CTAS codec not honored: $f")
+    }
+    // a copy-on-write UPDATE rewrites files — the rewritten files must
+    // keep the bloom filter and codec
+    spark.sql("UPDATE graft.db.ctasprops SET v = 'x' WHERE id % 100 = 0")
+    liveFiles("ctasprops").foreach { f =>
+      val (bloomCols, codecs) = footerInfo(f)
+      assert(bloomCols.contains("id"), s"post-UPDATE file missing bloom: $f")
+      assert(codecs == Set("GZIP"), s"post-UPDATE codec not honored: $f")
+    }
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES applies to subsequent writes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.alterprops (id BIGINT)")

@@ -99,6 +99,24 @@ class EditDistJoinRewriteSpec extends AnyFunSuite {
       withRuleDisabled(spark.sql(outer).count()))
   }
 
+  test("outputs with non-hashable types (maps) survive the dedup aggregate") {
+    import spark.implicits._
+    // grouping the dedup on the join's full output would shuffle-hash
+    // a MapType column and crash; the pair-id grouping must not
+    Seq((1L, "kitten", Map("a" -> "1")), (2L, "mitten", Map("b" -> "2")))
+      .toDF("mid", "mw", "meta").createOrReplaceTempView("ma")
+    Seq((11L, "sitten"), (12L, "xyzzyx"))
+      .toDF("nid", "nw").createOrReplaceTempView("mb")
+    val sql =
+      """SELECT mid, nid, meta FROM ma JOIN mb
+        |ON levenshtein(mw, nw) <= 2""".stripMargin
+    assert(!planOf(sql).contains("BroadcastNestedLoopJoin"))
+    val got = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getMap[String, String](2)))
+    assert(got.toSet == Set((1L, 11L, Map("a" -> "1")),
+      (2L, 11L, Map("b" -> "2"))))
+  }
+
   test("randomized corpora through SQL agree with the un-rewritten plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
