@@ -442,6 +442,43 @@ object Events {
         .orderBy(col("user_id"), col("s_start"))
     },
 
+    // ----------------------- time-weighted average (TWAP/telemetry)
+    // Each reading holds until the next one of the same type, so the
+    // honest average weights each value by its holding DURATION — the
+    // finance/telemetry aggregate a row-weighted AVG silently gets
+    // wrong. One lead window per type (shuffle on event_type), exact
+    // decimal·seconds products, one IEEE division at the end.
+    Q(
+      "qe13_time_weighted_value",
+      """WITH iv AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    date_diff('second', date_trunc('second', ts),
+        |      lead(date_trunc('second', ts)) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id)) AS dur
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n_intervals,
+        |  CAST(SUM(dur) AS BIGINT) AS total_dur_s,
+        |  CAST(SUM(v * dur) AS DOUBLE) / SUM(dur) AS twap
+        |FROM iv WHERE dur IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val iv = Tables.load(s, dir, "events")
+        .withColumn("sec", date_trunc("second", col("ts")).cast(LongType))
+        .select(col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("v"),
+          (lead(col("sec"), 1).over(w) - col("sec")).as("dur"))
+        .filter(col("dur").isNotNull)
+      iv.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("total_dur_s"),
+          (sum(col("v") * col("dur")).cast(DoubleType) /
+            sum(col("dur"))).as("twap"))
+        .orderBy(col("event_type"))
+    },
+
     // ------------------------- behavioral transition matrix (Markov)
     // P(next event type | current type) per user stream — the
     // product-analytics kernel behind funnel discovery and
