@@ -707,12 +707,14 @@ object Similarity {
     // upper-triangle coordinate products, map-side combine collapses
     // every partition to ≤ dim·(dim+1)/2 = 2,080 partial sums before
     // the single shuffle — the classic outer-product-accumulation
-    // matrix multiply, one scan at any corpus size. Per-row products
-    // quantize to integer picos via floor(x·10¹²) — two IEEE ops both
-    // engines execute bit-identically (a decimal CAST would not:
-    // Spark rounds the double's shortest string, DuckDB the exact
-    // binary value, and they disagree by 1 ULP on straddling digits —
-    // measured at sf0.1) — so the sums are exact integers.
+    // matrix multiply, one scan at any corpus size. Each component
+    // quantizes to integer micros via floor(x·10⁶) BEFORE the
+    // multiply, so every per-row product is an exact int64 pico and
+    // the sums carry zero IEEE-order dependence; the oracle CASTs its
+    // SUM back to BIGINT because DuckDB's SUM(BIGINT) returns HUGEINT
+    // (int128), which the driver's pandas bridge can only hold as
+    // float64 — lossy above 2⁵³, exactly where s_pico lands at sf0.1
+    // (the round-7 hash mismatch).
     Q(
       "qs18_gram_matrix",
       s"""WITH $gramSql
@@ -803,8 +805,9 @@ object Similarity {
         posexplode(col("v")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .select(col("i"), col("j").cast(LongType).as("j"),
-        floor(col("xi").cast(DoubleType) * col("xj").cast(DoubleType) *
-          lit(1.0e12)).cast(LongType).as("p"))
+        (floor(col("xi").cast(DoubleType) * lit(1.0e6)).cast(LongType) *
+          floor(col("xj").cast(DoubleType) * lit(1.0e6)).cast(LongType))
+          .as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p")).as("s_pico"))
   }
@@ -817,10 +820,11 @@ object Similarity {
        |  FROM ev, LATERAL (SELECT unnest(range(0, $AnnDim)) AS i) gg),
        |pp AS (
        |  SELECT i, CAST(j AS BIGINT) AS j,
-       |    CAST(floor(xi * v[j + 1] * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS p
+       |    CAST(floor(xi * 1000000.0) AS BIGINT) *
+       |      CAST(floor(v[j + 1] * 1000000.0) AS BIGINT) AS p
        |  FROM x, LATERAL (SELECT unnest(range(0, $AnnDim)) AS j) hh
        |  WHERE j >= i),
-       |gram AS (SELECT i, j, SUM(p) AS s_pico FROM pp GROUP BY 1, 2)""".stripMargin
+       |gram AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s_pico FROM pp GROUP BY 1, 2)""".stripMargin
 
   /** The unrolled-greedy DuckDB mirror of qs16: shortlist + pairwise
     * CTEs (MATERIALIZED — inlining would reopen the parquet per step),

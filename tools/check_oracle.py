@@ -47,6 +47,18 @@ def main(sf_dir, out_dir):
         for c in got.columns:
             g, w = got[c], want[c]
             try:
+                # Dtype-class check first: a DuckDB HUGEINT (SUM over
+                # BIGINT) arrives as float64 while Spark emits int64 —
+                # values can stringify/float-compare equal here yet
+                # hash-mismatch at the driver (round 7, qs18). Integer
+                # vs float dtype class is therefore itself a failure.
+                kinds = {g.dtype.kind, w.dtype.kind}
+                if kinds & {'i', 'u'} and 'f' in kinds:
+                    print(f"FAIL {name}: col {c} dtype class mismatch "
+                          f"spark={g.dtype} duck={w.dtype} "
+                          f"(uncast HUGEINT/DECIMAL in oracle?)")
+                    ok = False
+                    continue
                 gv, wv = g.to_numpy(), w.to_numpy()
                 if gv.dtype.kind == 'f' or wv.dtype.kind == 'f':
                     same = np.array_equal(gv.astype(float), wv.astype(float), equal_nan=True)
