@@ -550,6 +550,49 @@ object CatalogOps {
       decisions("can_include_in_list", "listable")
         .join(decisions("can_read_data", "readable"), "name")
         .orderBy(col("name"))
+    },
+
+    // ------------------------------------------- q15 (TPC-H q15, views)
+    // Top supplier by quarterly revenue, with the revenue relation as a
+    // CATALOG VIEW (reference: server/views/ — the view SQL is stored
+    // in graft view metadata and re-expanded by Catalyst on every read,
+    // cf. migrations/20240620151544_views.sql:37-79): the aggregation
+    // runs THROUGH the view over the connector-backed lineitem table.
+    // The correlated `= (SELECT MAX(...))` becomes a broadcast 1-row
+    // max joined back — the view subtree is read twice but AQE reuses
+    // the exchange. Revenue sums are exact decimals; the final equality
+    // compares identical exact values.
+    Q(
+      "q15_top_supplier_view",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      s.sql(
+        s"""CREATE OR REPLACE VIEW $CatalogName.$db.revenue_v AS
+           |SELECT l_suppkey AS supplier_no,
+           |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |      (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS total_revenue
+           |FROM $CatalogName.$db.lineitem_c
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           |GROUP BY l_suppkey""".stripMargin)
+      val rev = s.table(s"$CatalogName.$db.revenue_v")
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val sup = Tables.load(s, dir, "supplier")
+      rev.join(broadcast(mx)).filter(col("total_revenue") === col("mx"))
+        .join(sup, col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast(DoubleType).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

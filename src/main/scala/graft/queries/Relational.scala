@@ -576,6 +576,271 @@ object Relational {
           count(lit(1)).as("n_lines"))
     },
 
+    // ------------------------------------------------- q02 (TPC-H q2)
+    // Minimum-cost supplier: the correlated-MIN subquery re-expressed
+    // as a window MIN over the eligible (region-filtered) supply
+    // pairs — one shuffle on l_partkey instead of a per-row rescan.
+    // partsupp does not exist in this schema; the supply relation is
+    // derived as MIN(l_extendedprice/l_quantity) per (part, supplier)
+    // — a double division both engines execute bit-identically, so
+    // the equality against the window minimum is exact.
+    Q(
+      "q02_min_cost_supplier",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+        |       p.p_partkey, p.p_name
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+        |  AND ps.unit_cost = (
+        |    SELECT MIN(ps2.unit_cost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE r2.r_name = 'EUROPE' AND ps2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val p = Tables.load(s, dir, "part").filter(col("p_size") === 15)
+      val ps = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      // eligible supply pairs: supplier in the region (nation/region are
+      // constant-size → broadcast; supplier scales → AQE decides)
+      val eligible = ps
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      eligible
+        .withColumn("mn", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("mn"))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .select(col("s_acctbal").cast(DoubleType).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------- q09 (TPC-H q9)
+    // Product-type profit by supplier nation and year. partsupp's
+    // ps_supplycost is replaced by p_retailprice × l_quantity (exact
+    // decimal product); the profit expression stays exact decimal all
+    // the way to the final DOUBLE cast of the sum.
+    Q(
+      "q09_product_type_profit",
+      """WITH profit AS (
+        |  SELECT n.n_name AS nation,
+        |    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))
+        |      - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE p.p_name LIKE '%gear%')
+        |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM profit GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part").filter(col("p_name").like("%gear%"))
+      val sup = Tables.load(s, dir, "supplier")
+      val o = Tables.load(s, dir, "orders")
+      val n = Tables.load(s, dir, "nation")
+      val amount = dec("l_extendedprice") * oneMinusDisc -
+        dec("p_retailprice") * dec("l_quantity")
+      // the p_name filter cuts lineitem ~10× at the first join; nation
+      // is constant-size → broadcast; part/supplier scale → AQE decides
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // ------------------------------------------------ q11 (TPC-H q11)
+    // Important supply values: per-part value within one region's
+    // suppliers (a region, not q11's single nation, so the row set is
+    // non-empty at every SF of this synthetic data), kept when value
+    // exceeds 1.2× the region's per-part average — the
+    // HAVING-against-global-aggregate machinery, with the threshold
+    // RELATIVE to the average (q11's absolute fraction empties out on
+    // this flat synthetic distribution as part count grows). The
+    // compare is value×count×5 > total×6: decimal×int is exact;
+    // multiplying by a fraction would round.
+    Q(
+      "q11_important_parts",
+      """WITH ps AS (
+        |  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+        |FROM ps
+        |WHERE value * (SELECT COUNT(*) FROM ps) * 5 > (SELECT SUM(value) FROM ps) * 6
+        |ORDER BY value DESC, p_partkey""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val ps = l
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec("l_extendedprice")).as("value"))
+      // scalar subqueries = 1-row aggregate broadcast back over ps
+      val total = ps.agg(sum(col("value")).as("tot"),
+        count(lit(1)).as("n_parts"))
+      ps.join(broadcast(total))
+        .filter(col("value") * col("n_parts") * 5 > col("tot") * 6)
+        .select(col("l_partkey").as("p_partkey"),
+          col("value").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    // ------------------------------------------------ q16 (TPC-H q16)
+    // Supplier counts by part descriptor, excluding "complaint"
+    // suppliers (negative balance stands in for the comment scan) via
+    // NOT IN → left_anti, over the distinct supply relation.
+    Q(
+      "q16_parts_supplier_counts",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 9, 15, 22, 30, 44, 49)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").like("MEDIUM%") &&
+          col("p_size").isin(1, 9, 15, 22, 30, 44, 49))
+      val complainers = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      // non-null key: NOT IN == left_anti; DISTINCT pairs collapse in
+      // the same shuffle the join needs
+      l.select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(complainers, Seq("l_suppkey"), "left_anti")
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // ------------------------------------------------ q20 (TPC-H q20)
+    // Promotion candidates: suppliers of a named part family whose
+    // all-time supplied quantity exceeds twice what they shipped in
+    // 1996 — the oracle keeps q20's nested correlated-aggregate shape;
+    // the Spark plan computes both sums in ONE conditional aggregation
+    // over (part, supplier), then semi-joins — no per-row rescan.
+    // Quantities are small integers in doubles, so sums and the ×2
+    // compare are exact.
+    Q(
+      "q20_potential_promotion",
+      """SELECT s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_regionkey IN (SELECT r_regionkey FROM region
+        |                        WHERE r_name IN ('ASIA', 'EUROPE'))
+        |  AND s.s_suppkey IN (
+        |    SELECT g.l_suppkey FROM (
+        |      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_all
+        |      FROM lineitem GROUP BY 1, 2) g
+        |    WHERE g.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND g.qty_all > 2 * (
+        |        SELECT COALESCE(SUM(l2.l_quantity), 0) FROM lineitem l2
+        |        WHERE l2.l_partkey = g.l_partkey AND l2.l_suppkey = g.l_suppkey
+        |          AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val redParts = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("red%"))
+        .select(col("p_partkey").as("l_partkey"))
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+      val in96 = col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType)
+      // the correlated subquery folds into the same groupBy: total and
+      // in-window sums come out of one shuffle on (partkey, suppkey)
+      val g = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_all"),
+          sum(when(in96, col("l_quantity")).otherwise(0.0)).as("qty_96"))
+      val promoSupp = g
+        .join(redParts, Seq("l_partkey"), "left_semi")
+        .filter(col("qty_all") > lit(2) * col("qty_96"))
+        .select(col("l_suppkey").as("s_suppkey"))
+      sup
+        .join(promoSupp, Seq("s_suppkey"), "left_semi")
+        .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(reg.select(col("r_regionkey").as("n_regionkey"))),
+          Seq("n_regionkey"), "left_semi")
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    },
+
+    // ------------------------------------------------ q21 (TPC-H q21)
+    // Suppliers who kept orders waiting: the EXISTS / NOT EXISTS pair
+    // against the same fact table with a suppkey INEQUALITY in the
+    // correlation — planned as one semi and one anti join, each an
+    // equi-join on l_orderkey carrying the <> as a residual condition.
+    // l_returnflag='R' stands in for the missing receipt-vs-commit
+    // date columns as the "failed delivery" marker.
+    Q(
+      "q21_suppliers_kept_waiting",
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val sup = Tables.load(s, dir, "supplier")
+      val l2 = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l.filter(col("l_returnflag") === "R")
+        .join(o, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(l2, col("ok2") === col("l_orderkey") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("ok3") === col("l_orderkey") &&
+          col("sk3") =!= col("l_suppkey"), "left_anti")
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
     // ------------------------------------------------------------ rollup
     Q(
       "q24_rollup_revenue",
