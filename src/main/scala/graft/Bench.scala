@@ -136,12 +136,29 @@ object Bench {
           None
         }
       }
+    // sf1 lane: the historically-quadratic four at DOUBLE the sf0.5
+    // size (50k docs / 20k vectors) — candidate growth across the
+    // doubling is the committed regression guard for saturation
+    // quadratics that only appear above sf0.5 (r7: qd12's 4.1×)
+    val scaleSf1: Option[graft.queries.ScaleLane.Report] =
+      if (!scaleOn) None
+      else {
+        spark.catalog.clearCache()
+        try Some(graft.queries.ScaleLane.run(spark,
+          dir = "target/scale/sf1", nDocs = 50000, nEmb = 20000,
+          only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+            "qd12_editdist", "qs5_embedding_autobits")))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] sf1 scale lane FAILED: ${e.getMessage}")
+          None
+        }
+      }
 
     val total = results.values.filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => js(k) }
       .mkString("[", ",", "]")
 
-    val scaleJson = scale.map { r =>
+    def scaleReportJson(r: graft.queries.ScaleLane.Report): String = {
       val legs = r.legs.map { l =>
         val extra = l.candidates.map(c => s""","candidates":$c""").getOrElse("") +
           l.err.map(e => s""","err":${js(e)}""").getOrElse("")
@@ -150,7 +167,9 @@ object Bench {
       s"""{"dir":${js(r.dir)},"n_docs":${r.nDocs},"n_emb":${r.nEmb},""" +
         s""""generated":${r.generated},"gen_sec":${jn(r.genSec)},""" +
         s""""legs":$legs}"""
-    }.getOrElse("null")
+    }
+    val scaleJson = scale.map(scaleReportJson).getOrElse("null")
+    val scaleSf1Json = scaleSf1.map(scaleReportJson).getOrElse("null")
 
     // the complete artifact: stdout-line fields + raw passes + scale
     val artifact =
@@ -163,7 +182,8 @@ object Bench {
          |"failed":$failed,
          |"queries":${queriesJson(results)},
          |"passes":[${passes.map(queriesJson).mkString(",\n")}],
-         |"scale":$scaleJson
+         |"scale":$scaleJson,
+         |"scale_sf1":$scaleSf1Json
          |}""".stripMargin
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -10,33 +10,44 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Candidate generation is the PassJoin partition scheme (Li, Deng,
   * Wang, Feng: "PassJoin: A Partition-based Method for Similarity
-  * Joins", VLDB 2011): each index string splits into k+1 disjoint
+  * Joins", VLDB 2011): each index string splits into m ≥ k+1 disjoint
   * segments; any single edit (a substitution/deletion of an index
   * char, or an insertion landing inside a segment's image) damages at
-  * most one segment, so by pigeonhole ≥ 1 segment of the index string
-  * survives VERBATIM in every probe string within distance k, shifted
-  * by at most the k net indels preceding it. The probe side therefore
-  * emits, for each candidate index length l ∈ [len−k, len+k] and
-  * segment ordinal j, its substring at the segment's (start + δ)
-  * position for δ ∈ [-k, k]; candidates are the (segment, j, l)
-  * equi-join — never an all-pairs.
+  * most one segment, so by pigeonhole ≥ m−k segments of the index
+  * string survive VERBATIM in every probe string within distance k,
+  * each shifted by at most the k net indels preceding it. The probe
+  * side therefore emits, for each candidate index length
+  * l ∈ [len−k, len] and segment choice, its substring at the
+  * segment's (start + δ) position for δ ∈ [-k, k]; candidates are the
+  * aligned-signature equi-join — never an all-pairs.
   *
-  * Scale shape: per-string fan-out is a CONSTANT — k+1 index rows and
-  * ≤ (2k+1)²·(k+1) probe rows (75 at k=2) — so the plan is two narrow
-  * projections feeding one shuffle-hash equi-join at any corpus size.
-  * CANDIDATE volume, however, tracks segment-bucket density: if the
-  * segment-value space saturates (short segments over a tiny
-  * alphabet), buckets grow linearly with n and candidates
+  * Scale shape: per-string fan-out is a CONSTANT, so the plan is two
+  * narrow projections feeding one shuffle-hash equi-join at any
+  * corpus size. CANDIDATE volume, however, tracks signature-bucket
+  * density: if the segment-value space saturates (short segments over
+  * a tiny alphabet), buckets grow linearly with n and candidates
   * quadratically — the same saturated-vocab failure mode as
-  * fixed-width shingle joins. Measured on the 31-word synthetic
-  * fixture at 8-char segments: ~600 aligned-segment pairs at 500
-  * docs → 44k at 5k → 2.6M at 25k (the per-round scale-lane leg
-  * guards this count). The knob is segment ENTROPY: longer input
-  * strings (or larger k+1 splits of longer strings) thin the
-  * buckets, exactly as autoWidth does for shingles; residual hot
-  * values are AQE-skew-splittable. Verification runs Spark's banded
-  * `levenshtein(l, r, threshold)` (codegen'd, O(k·len) per candidate
-  * with early exit) on candidates only.
+  * fixed-width shingle joins (measured on the 31-word synthetic
+  * fixture at 8-char segments: candidates grew 4.1× for 2× docs at
+  * sf1). The entropy knob is the SEGMENT COUNT m:
+  *
+  *  - m = k+1 (classic PassJoin): 1 surviving segment guaranteed;
+  *    cheapest fan-out, candidates ∝ n²/|seg space|.
+  *  - m = k+2 (two-match): 2 surviving segments guaranteed, so the
+  *    join key carries TWO aligned segments — bucket density falls
+  *    multiplicatively (≈ squared for independent segment values) at
+  *    the cost of a constant-factor larger probe fan-out. This is the
+  *    banding trade of MinHash LSH transposed to character space.
+  *
+  * [[autoSegments]] picks m from the measured density of the base
+  * (k+1)-segmentation — one cheap aggregate over the index
+  * projection, the same measurement-calibrated pattern as
+  * `TextOps.autoWidth` and `EmbeddingDedup.autoBits`. A hard
+  * `maxCandidates` ceiling (estimated from the bucket histogram
+  * BEFORE the join materializes anything) aborts degenerate corpora
+  * instead of silently going quadratic. Verification runs Spark's
+  * banded `levenshtein(l, r, threshold)` (codegen'd, O(k·len) per
+  * candidate with early exit) on candidates only.
   *
   * Reference behavior anchor: dedup over near-identical identifiers is
   * the fuzzy side of the reference's search surface (search_tabular's
@@ -45,12 +56,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object EditDistJoin {
 
+  /** Segment count from measured bucket density of the base
+    * (k+1)-segmentation: `indexRows` aligned segment rows spread over
+    * `segSpace` distinct (j, len, value) signatures. Density at or
+    * under `targetDensity` keeps classic PassJoin; saturation above it
+    * switches to two-match signatures. The default target of 8 sits
+    * well above organic-text densities (≈1–2 measured at sf0.1) and
+    * well below the saturated fixture's (>40 at 25k docs).
+    */
+  def autoSegments(k: Int, indexRows: Long, segSpace: Long,
+      targetDensity: Double = 8.0): Int = {
+    val d = indexRows.toDouble / math.max(1L, segSpace).toDouble
+    if (d > targetDensity) k + 2 else k + 1
+  }
+
   /** Unordered pairs (left_id < right_id) within Levenshtein distance
     * ≤ k, with the exact distance. `df` must carry a unique numeric id
     * column `idCol` and the string column `strCol`.
+    *
+    * `m` = 0 measures the corpus and picks the segment count via
+    * [[autoSegments]]; explicit k+1 / k+2 pin it (tests, oracles).
+    * `maxCandidates` aborts with the estimated count when the
+    * signature histogram predicts a larger candidate set.
     */
-  def pairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame =
-    verify(candidatePairs(df, idCol, strCol, k), k)
+  def pairs(df: DataFrame, idCol: String, strCol: String, k: Int,
+      m: Int = 0, maxCandidates: Option[Long] = None): DataFrame =
+    verify(candidatePairs(df, idCol, strCol, k, m, maxCandidates), k)
 
   /** Exact banded-levenshtein verification of a candidate set. */
   def verify(cand: DataFrame, k: Int): DataFrame =
@@ -61,87 +92,56 @@ object EditDistJoin {
       .select(col("left_id"), col("right_id"), col("dist"))
 
   /** The PassJoin candidate set: unique unordered id pairs sharing an
-    * aligned segment signature, with both strings attached — the
-    * quantity that explodes first if a segment value saturates (the
-    * scale lane counts it per round).
+    * aligned signature (one segment at m = k+1, two at m = k+2), with
+    * both strings attached — the quantity that explodes first if the
+    * signature space saturates (the scale lane counts it per round).
     */
   def candidatePairs(
-      df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, strCol: String, k: Int,
+      m: Int = 0, maxCandidates: Option[Long] = None): DataFrame = {
     require(k >= 1 && k <= 4, s"supported thresholds are 1..4, got $k")
-    val nSeg = k + 1
     val titles = df.select(col(idCol).as("id"), col(strCol).as("t"))
       .withColumn("len", length(col("t")))
-    // even-split segment boundary, 0-based: start_j(l) = floor(j*l/(k+1))
-    def segStart(l: Column, j: Int): Column =
-      floor(l * j / nSeg).cast(IntegerType)
 
-    // Both dedup layers below group by IDS (+ the seg string as a KEY,
-    // never an aggregate buffer), so they plan as HashAggregates; the
-    // strings re-attach through two narrow joins against `titles`
-    // afterward — carrying them through the dedups would force
-    // SortAggregate (string aggregation buffers are not mutable).
-    val segArr = array((0 until nSeg).map { j =>
-      val st = segStart(col("len"), j)
-      val slen = segStart(col("len"), j + 1) - st
-      struct(lit(j).as("j"), st.as("st"), slen.as("slen"))
-    }: _*)
-    val index = titles
-      .select(col("id").as("i_id"), col("t").as("i_t"),
-        col("len").as("i_len"), explode(segArr).as("g"))
-      .filter(col("g.slen") >= 1)
-      .select(col("i_id"), col("i_len"), col("g.j").as("j"),
-        col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
+    val nSeg =
+      if (m != 0) m
+      else {
+        // one aggregate over the base index projection: rows vs
+        // distinct signatures — the autoWidth/autoBits measurement
+        val base = indexSegments(titles, k, k + 1)
+        val r = base.agg(count(lit(1)).as("rows"),
+          count_distinct(col("j"), col("i_len"), col("seg")).as("space"))
+          .head()
+        autoSegments(k, r.getLong(0), r.getLong(1))
+      }
+    require(nSeg == k + 1 || nSeg == k + 2,
+      s"segment count must be k+1 or k+2, got $nSeg for k=$k")
 
-    // dl ≤ 0 only: every string indexes, so for a pair (a, b) with
-    // |a| ≤ |b| the LONGER string b probes a's length (tl = |a| =
-    // |b| + dl with dl ≤ 0) against a's index rows — probing upward
-    // too would only rediscover each pair from the other side
-    val combos = for { dl <- -k to 0; j <- 0 until nSeg; d <- -k to k }
-      yield (dl, j, d)
-    val probeArr = array(combos.map { case (dl, j, d) =>
-      val tl = col("len") + dl
-      val st = segStart(tl, j)
-      val slen = segStart(tl, j + 1) - st
-      struct(lit(j).as("j"), tl.cast(IntegerType).as("tl"),
-        (st + d).as("start"), slen.as("slen"))
-    }: _*)
-    val probe = titles
-      .select(col("id").as("p_id"), col("t").as("p_t"),
-        col("len").as("p_len"), explode(probeArr).as("g"))
-      .filter(col("g.slen") >= 1 && col("g.start") >= 0 &&
-        col("g.start") + col("g.slen") <= col("p_len"))
-      .select(col("p_id"), col("g.j").as("j"), col("g.tl").as("tl"),
-        col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
-      // only lengths that actually occur can match an index row — the
-      // semi-join against the (tiny, broadcast) distinct-length set
-      // drops dead probe rows before the dedup and the big join (on a
-      // fixed-length corpus this is most of them)
-      .join(broadcast(
-          titles.select(col("len").as("tl")).distinct()),
-        Seq("tl"), "left_semi")
-      // distinct probe keys: different (dl, δ) combos can land on the
-      // same substring — dedup before the join, not after
-      .distinct()
+    val sigPairs =
+      if (nSeg == k + 1) oneMatchPairs(titles, k)
+      else twoMatchPairs(titles, k)
 
-    val sigPairs = probe.join(index,
-        probe("seg") === index("seg") && probe("j") === index("j") &&
-          probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
-      .select(least(col("p_id"), col("i_id")).as("left_id"),
-        greatest(col("p_id"), col("i_id")).as("right_id"))
-
-    // Short-string fallback: the pigeonhole needs ≥ 1 intact NONEMPTY
-    // segment, which requires len ≥ k+1 on the index side — a string
-    // of length ≤ k can have every nonempty segment damaged ("ab" vs
-    // "xy" at k=2). Pair those few strings all-pairs against the only
-    // possible partners (length ≤ 2k — anything longer is > k away by
-    // length alone); both sets are tiny in any real corpus.
-    val shortL = titles.filter(col("len") <= k)
+    // Short-string fallback: the pigeonhole needs m−k intact NONEMPTY
+    // segments, which requires len ≥ nSeg on the index side (every
+    // segment nonempty). Pair shorter strings all-pairs against the
+    // only possible partners (length ≤ len+k — anything longer is > k
+    // away by length alone); both sets are tiny in any real corpus.
+    val shortL = titles.filter(col("len") <= nSeg - 1)
       .select(col("id").as("s_a"))
-    val shortR = titles.filter(col("len") <= 2 * k)
+    val shortR = titles.filter(col("len") <= nSeg - 1 + k)
       .select(col("id").as("s_b"))
     val shortPairs = shortL.join(shortR, col("s_a") =!= col("s_b"))
       .select(least(col("s_a"), col("s_b")).as("left_id"),
         greatest(col("s_a"), col("s_b")).as("right_id"))
+
+    maxCandidates.foreach { ceiling =>
+      val est = estimateCandidates(titles, k, nSeg)
+      if (est > ceiling) throw new IllegalStateException(
+        s"EditDistJoin: estimated candidate count $est exceeds the " +
+          s"ceiling $ceiling (m=$nSeg, k=$k) — the segment-value space " +
+          "is saturated for this corpus; raise the ceiling, lengthen " +
+          "the join strings, or pre-bucket the corpus")
+    }
 
     // canonicalize the pair BEFORE verification so each unordered pair
     // is levenshtein'd exactly once (distance is symmetric, so which
@@ -153,5 +153,174 @@ object EditDistJoin {
       .join(titles.select(col("id").as("right_id"), col("t").as("r_t")),
         Seq("right_id"))
       .select(col("left_id"), col("right_id"), col("l_t"), col("r_t"))
+  }
+
+  /** even-split segment boundary, 0-based: start_j(l) = floor(j*l/m) */
+  private def segStart(l: Column, j: Int, m: Int): Column =
+    floor(l * j / m).cast(IntegerType)
+
+  /** Index-side aligned segments of the m-way even split: one row per
+    * nonempty (string, segment ordinal).
+    */
+  private def indexSegments(titles: DataFrame, k: Int, m: Int): DataFrame = {
+    val segArr = array((0 until m).map { j =>
+      val st = segStart(col("len"), j, m)
+      val slen = segStart(col("len"), j + 1, m) - st
+      struct(lit(j).as("j"), st.as("st"), slen.as("slen"))
+    }: _*)
+    titles
+      .select(col("id").as("i_id"), col("t").as("i_t"),
+        col("len").as("i_len"), explode(segArr).as("g"))
+      .filter(col("g.slen") >= 1)
+      .select(col("i_id"), col("i_len"), col("g.j").as("j"),
+        col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
+  }
+
+  /** Probe-side aligned substrings: for each target length
+    * tl = len + dl (dl ≤ 0 only: every string indexes, so for a pair
+    * (a, b) with |a| ≤ |b| the LONGER string b probes a's length
+    * against a's index rows — probing upward too would only
+    * rediscover each pair from the other side) and segment ordinal j,
+    * the substring at the segment's start shifted by δ ∈ [-k, k].
+    * Rows carry (p_id, j, tl, d, seg); validity-filtered, NOT
+    * deduped (the callers dedup at their own key granularity).
+    */
+  private def probeSegments(titles: DataFrame, k: Int, m: Int): DataFrame = {
+    val combos = for { dl <- -k to 0; j <- 0 until m; d <- -k to k }
+      yield (dl, j, d)
+    val probeArr = array(combos.map { case (dl, j, d) =>
+      val tl = col("len") + dl
+      val st = segStart(tl, j, m)
+      val slen = segStart(tl, j + 1, m) - st
+      struct(lit(j).as("j"), tl.cast(IntegerType).as("tl"),
+        lit(d).as("d"), (st + d).as("start"), slen.as("slen"))
+    }: _*)
+    titles
+      .select(col("id").as("p_id"), col("t").as("p_t"),
+        col("len").as("p_len"), explode(probeArr).as("g"))
+      .filter(col("g.slen") >= 1 && col("g.start") >= 0 &&
+        col("g.start") + col("g.slen") <= col("p_len"))
+      .select(col("p_id"), col("g.j").as("j"), col("g.tl").as("tl"),
+        col("g.d").as("d"),
+        col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
+      // only lengths that actually occur can match an index row — the
+      // semi-join against the (tiny, broadcast) distinct-length set
+      // drops dead probe rows before the dedup and the big join (on a
+      // fixed-length corpus this is most of them)
+      .join(broadcast(
+          titles.select(col("len").as("tl")).distinct()),
+        Seq("tl"), "left_semi")
+  }
+
+  /** Classic PassJoin: candidates share ONE aligned segment. */
+  private def oneMatchPairs(titles: DataFrame, k: Int): DataFrame = {
+    val m = k + 1
+    val index = indexSegments(titles, k, m)
+    val probe = probeSegments(titles, k, m)
+      // distinct probe keys: different (dl, δ) combos can land on the
+      // same substring — dedup before the join, not after
+      .select(col("p_id"), col("j"), col("tl"), col("seg"))
+      .distinct()
+    probe.join(index,
+        probe("seg") === index("seg") && probe("j") === index("j") &&
+          probe("tl") === index("i_len") && probe("p_id") =!= index("i_id"))
+      .select(least(col("p_id"), col("i_id")).as("left_id"),
+        greatest(col("p_id"), col("i_id")).as("right_id"))
+  }
+
+  /** Two-match PassJoin (m = k+2): ≥ 2 segments survive, so the join
+    * key is a PAIR of aligned segments (j1 < j2) — the index side
+    * emits C(m,2) signature rows per string, the probe side the
+    * shifted (δ1, δ2) grid with |δ1|, |δ2|, |δ2−δ1| ≤ k (both shifts
+    * are net-indel counts before their segment; their difference is
+    * bounded by the total indels between the two segments). Bucket
+    * density falls roughly with the SQUARE of the single-segment
+    * density, which is what kills the saturated-fixture quadratic.
+    */
+  private def twoMatchPairs(titles: DataFrame, k: Int): DataFrame = {
+    val m = k + 2
+    val index = indexSegments(titles, k, m)
+    val i1 = index.select(col("i_id"), col("i_len"),
+      col("j").as("j1"), col("seg").as("seg1"))
+    val i2 = index.select(col("i_id").as("i_id2"), col("i_len").as("i_len2"),
+      col("j").as("j2"), col("seg").as("seg2"))
+    val indexSig = i1.join(i2,
+        col("i_id") === col("i_id2") && col("i_len") === col("i_len2") &&
+          col("j1") < col("j2"))
+      .select(col("i_id"), col("i_len"), col("j1"), col("j2"),
+        col("seg1"), col("seg2"))
+
+    val probe = probeSegments(titles, k, m)
+    val p1 = probe.select(col("p_id"), col("tl"),
+      col("j").as("j1"), col("d").as("d1"), col("seg").as("seg1"))
+    val p2 = probe.select(col("p_id").as("p_id2"), col("tl").as("tl2"),
+      col("j").as("j2"), col("d").as("d2"), col("seg").as("seg2"))
+    val probeSig = p1.join(p2,
+        col("p_id") === col("p_id2") && col("tl") === col("tl2") &&
+          col("j1") < col("j2") &&
+          abs(col("d2") - col("d1")) <= k)
+      .select(col("p_id"), col("tl"), col("j1"), col("j2"),
+        col("seg1"), col("seg2"))
+      .distinct()
+
+    probeSig.join(indexSig,
+        probeSig("seg1") === indexSig("seg1") &&
+          probeSig("seg2") === indexSig("seg2") &&
+          probeSig("j1") === indexSig("j1") &&
+          probeSig("j2") === indexSig("j2") &&
+          probeSig("tl") === indexSig("i_len") &&
+          probeSig("p_id") =!= indexSig("i_id"))
+      .select(least(col("p_id"), col("i_id")).as("left_id"),
+        greatest(col("p_id"), col("i_id")).as("right_id"))
+  }
+
+  /** Estimated candidate count from the signature histograms: Σ over
+    * join keys of index-bucket × probe-bucket size — an upper bound on
+    * join output rows (includes the p_id = i_id self-hits), computed
+    * from two narrow aggregations BEFORE the join runs.
+    */
+  private def estimateCandidates(titles: DataFrame, k: Int, m: Int): Long = {
+    val (idxKeyed, prbKeyed) =
+      if (m == k + 1) {
+        val idx = indexSegments(titles, k, m)
+          .groupBy(col("j"), col("i_len").as("tl"), col("seg"))
+          .agg(count(lit(1)).as("ni"))
+        val prb = probeSegments(titles, k, m)
+          .select(col("p_id"), col("j"), col("tl"), col("seg")).distinct()
+          .groupBy(col("j"), col("tl"), col("seg"))
+          .agg(count(lit(1)).as("np"))
+        (idx, prb)
+      } else {
+        val index = indexSegments(titles, k, m)
+        val i1 = index.select(col("i_id"), col("i_len"),
+          col("j").as("j1"), col("seg").as("seg1"))
+        val i2 = index.select(col("i_id").as("i_id2"),
+          col("i_len").as("i_len2"), col("j").as("j2"),
+          col("seg").as("seg2"))
+        val idx = i1.join(i2,
+            col("i_id") === col("i_id2") && col("i_len") === col("i_len2") &&
+              col("j1") < col("j2"))
+          .groupBy(col("j1"), col("j2"), col("i_len").as("tl"),
+            col("seg1"), col("seg2"))
+          .agg(count(lit(1)).as("ni"))
+        val probe = probeSegments(titles, k, m)
+        val p1 = probe.select(col("p_id"), col("tl"),
+          col("j").as("j1"), col("d").as("d1"), col("seg").as("seg1"))
+        val p2 = probe.select(col("p_id").as("p_id2"), col("tl").as("tl2"),
+          col("j").as("j2"), col("d").as("d2"), col("seg").as("seg2"))
+        val prb = p1.join(p2,
+            col("p_id") === col("p_id2") && col("tl") === col("tl2") &&
+              col("j1") < col("j2") && abs(col("d2") - col("d1")) <= k)
+          .select(col("p_id"), col("tl"), col("j1"), col("j2"),
+            col("seg1"), col("seg2"))
+          .distinct()
+          .groupBy(col("j1"), col("j2"), col("tl"), col("seg1"), col("seg2"))
+          .agg(count(lit(1)).as("np"))
+        (idx, prb)
+      }
+    val joinCols = idxKeyed.columns.filterNot(_ == "ni").toSeq
+    idxKeyed.join(prbKeyed, joinCols)
+      .agg(coalesce(sum(col("ni") * col("np")), lit(0L)))
+      .head().getLong(0)
   }
 }

@@ -35,10 +35,15 @@ object ScaleLane {
   private val DefaultDocs = 25000
   private val DefaultEmb = 10000
 
+  /** `only` non-empty restricts the lane to the named legs (the sf1
+    * lane runs just the historically-quadratic four at double size —
+    * full coverage at 25k, growth guard at 50k).
+    */
   def run(spark: SparkSession,
       dir: String = "target/scale/sf0.5",
       nDocs: Int = DefaultDocs,
-      nEmb: Int = DefaultEmb): Report = {
+      nEmb: Int = DefaultEmb,
+      only: Set[String] = Set.empty): Report = {
     val NDocs = nDocs
     val NEmb = nEmb
     // reuse only a fixture that actually holds the expected row counts
@@ -57,6 +62,7 @@ object ScaleLane {
 
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
     def leg(name: String)(body: => (Long, Option[Long])): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       try {
         val (rows, cands) = body
@@ -177,12 +183,15 @@ object ScaleLane {
       (TextOps.containmentPairs(spark, dir, 0.8, w).count(), None)
     }
     leg("qd12_editdist") {
-      // PassJoin edit-distance join: candidates = unique unordered id
-      // pairs sharing an aligned 8-char segment signature. Per-string
-      // fan-out is constant, so candidates grow with true segment-value
-      // collision density — a saturated segment value (the qd5/qd10
-      // failure mode transposed to character space) explodes THIS
-      // number first, wall time second.
+      // PassJoin edit-distance join with the PRODUCTION auto segment
+      // knob (m = 0): candidates = unique unordered id pairs sharing
+      // an aligned signature. On this saturated 31-word fixture the
+      // TRUE pair output is itself quadratic (475 pairs at 25k docs →
+      // 1,905 at 50k — title-space saturation), so the guarded
+      // quantity is candidates-per-true-pair: ~1,100 under two-match
+      // signatures vs ~5,500 under classic PassJoin (measured r8).
+      // autoSegments switches to two-match above density 8, which the
+      // 50k lane crosses.
       val titles = docs.select(col("doc_id"),
         substring(col("text"), 1, 24).as("title"))
       val c = graft.ops.EditDistJoin

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Focused qd12 scale probe: candidate counts of the PassJoin
+  * edit-distance join on the 31-word fixture at two corpus sizes, for
+  * classic (m=k+1), two-match (m=k+2), and the production auto knob —
+  * the evidence row for the saturation quadratic and its fix.
+  * Usage: ProbeEditDist <baseDir> <nDocs1> <nDocs2>
+  */
+object ProbeEditDist {
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val sizes = args.drop(1).map(_.toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sizes.foreach { n =>
+      val dir = s"$base/n$n"
+      val ok = new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
+      if (!ok) graft.tools.GenScale.generate(spark, dir, n, 100)
+      val titles = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+        .persist()
+      titles.count()
+      Seq("m3" -> 3, "m4" -> 4, "auto" -> 0).foreach { case (tag, m) =>
+        val t0 = System.nanoTime()
+        val c = graft.ops.EditDistJoin
+          .candidatePairs(titles, "doc_id", "title", 2, m = m).persist()
+        val nCand = c.count()
+        val pairs = graft.ops.EditDistJoin.verify(c, 2).count()
+        c.unpersist()
+        println(f"[probe] n=$n%-6d $tag%-5s cand=$nCand%-10d pairs=$pairs%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
+      titles.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,12 @@ class EditDistJoinSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-editdist-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // register the extensions even though this spec doesn't need them:
+    // getOrCreate() reuses the first session of the JVM, and a session
+    // WITHOUT the graft rules would break any later suite (e.g.
+    // EditDistJoinRewriteSpec) that asserts on them
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -92,6 +98,79 @@ class EditDistJoinSpec extends AnyFunSuite {
     // empty segments void the pigeonhole ("ab" vs "xy" shares nothing
     // yet is distance 2) — these must come from the short-string leg
     check(Seq("ab", "xy", "a", "abcd", "", "q", "qq", "xyz"), k = 2)
+  }
+
+  private def checkM(strs: Seq[String], k: Int, m: Int): Unit = {
+    import spark.implicits._
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = EditDistJoin.pairs(df, "id", "t", k, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = brute(strs(i), strs(j)) if d <= k
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(got == want,
+      s"k=$k m=$m: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("two-match signatures (m=k+2) find every edit type at every position") {
+    val base = "abcdefghijklmnopqrstuvwx"
+    val edits = (0 until base.length).flatMap { p =>
+      Seq(base.updated(p, 'Z'),
+        base.substring(0, p) + base.substring(p + 1),
+        base.substring(0, p) + "Q" + base.substring(p))
+    } ++ Seq(base, base.updated(0, 'Y').updated(23, 'Y'),
+      "Q" + base.substring(0, 22) + "Q", base.substring(2), base + "QQ",
+      base.reverse)
+    checkM(edits.distinct, k = 2, m = 4)
+    checkM(edits.distinct, k = 1, m = 3)
+  }
+
+  test("two-match on variable lengths and short strings stays complete") {
+    checkM(Seq("kitten", "sitting", "mitten", "kittens", "kit",
+      "bitten", "fitting", "written", "kite", "kitchen", "smitten"),
+      k = 2, m = 4)
+    // len < m strings must route through the widened short-string leg
+    checkM(Seq("ab", "xy", "a", "abc", "abcd", "", "q", "qq", "xyz"),
+      k = 2, m = 4)
+  }
+
+  test("two-match randomized corpora agree with brute force") {
+    val rnd = new scala.util.Random(8L)
+    for (trial <- 1 to 5) {
+      val strs = (0 until 40).map { _ =>
+        val n = 1 + rnd.nextInt(12)
+        (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val k = 1 + trial % 3
+      checkM(strs, k, m = k + 2)
+    }
+  }
+
+  test("autoSegments switches on measured density, not corpus size") {
+    // organic density (~1 row per signature) keeps classic PassJoin
+    assert(EditDistJoin.autoSegments(2, indexRows = 3000, segSpace = 2800) == 3)
+    // saturated space (many strings per signature) switches to two-match
+    assert(EditDistJoin.autoSegments(2, indexRows = 75000, segSpace = 900) == 4)
+    // the boundary is the target density itself
+    assert(EditDistJoin.autoSegments(2, 800, 100, targetDensity = 8.0) == 3)
+    assert(EditDistJoin.autoSegments(2, 801, 100, targetDensity = 8.0) == 4)
+  }
+
+  test("candidate ceiling aborts before the join materializes") {
+    import spark.implicits._
+    val strs = (0 until 30).map(i => "aaaaaaaaaaaa") // fully saturated
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val e = intercept[IllegalStateException] {
+      EditDistJoin.candidatePairs(df, "id", "t", 2,
+        maxCandidates = Some(10L)).count()
+    }
+    assert(e.getMessage.contains("ceiling"))
+    // a generous ceiling lets the same corpus through
+    assert(EditDistJoin.pairs(df, "id", "t", 2,
+      maxCandidates = Some(1000000L)).count() == 30L * 29 / 2)
   }
 
   test("randomized corpora agree with brute force (seeded, 3-letter alphabet)") {
