@@ -1,0 +1,9 @@
+package graft
+
+/** Library identity reported by the `server_info` procedure (the
+  * reference reports its crate version the same way,
+  * api/management/v1/server.rs:321).
+  */
+object BuildInfo {
+  val Version: String = "0.8.0"
+}

@@ -43,7 +43,8 @@ object Procedures {
     "set_format_version_policy", "get_warehouse",
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
-    "allowed_actions")
+    "allowed_actions",
+    "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -102,6 +103,9 @@ object Procedures {
       case "revoke_privilege" => Some(RevokePrivilegeProcedure(catalog))
       case "check_action" => Some(CheckActionProcedure(catalog))
       case "allowed_actions" => Some(AllowedActionsProcedure(catalog))
+      case "bootstrap" => Some(BootstrapProcedure(catalog))
+      case "server_info" => Some(ServerInfoProcedure(catalog))
+      case "health" => Some(HealthProcedure(catalog))
       case "get_maintenance_mode" =>
         Some(GetMaintenanceModeProcedure(catalog))
       case _ => None
@@ -1600,6 +1604,103 @@ final case class AllowedActionsProcedure(catalog: GraftCatalog)
     Procedures.resultScan(schema, acts.map(a => new GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(a)))
       : InternalRow))
+  }
+}
+
+/** Bootstrap the catalog: stamp the server id, optionally creating the
+  * initial (operator) user — reference BootstrapRequest
+  * (api/management/v1/server.rs:304-) with the same mandatory
+  * terms-of-use acceptance and already-bootstrapped rejection.
+  */
+final case class BootstrapProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "bootstrap"
+  override def description(): String =
+    "Bootstrap the catalog (server id, optional initial operator user)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("accept_terms_of_use", BooleanType, "false"),
+    Procedures.paramWithDefault("user_name", StringType, "NULL"),
+    Procedures.paramWithDefault("is_operator", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val accept = input.numFields > 0 && !input.isNullAt(0) &&
+      input.getBoolean(0)
+    val user =
+      if (input.numFields < 2 || input.isNullAt(1)) None
+      else Some(input.getUTF8String(1).toString)
+    val isOp = input.numFields > 2 && !input.isNullAt(2) &&
+      input.getBoolean(2)
+    val id = catalog.store.bootstrapServer(accept, user, isOp)
+    val schema = StructType(Seq(
+      StructField("server_id", StringType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(
+        Array[Any](Procedures.utf8(id))): InternalRow))
+  }
+}
+
+/** Server identity + capability row — reference ServerInfo
+  * (api/management/v1/server.rs:137-181): version, bootstrapped flag,
+  * server id (null until bootstrap), default project, authz backend
+  * name, sorted registered queue names. The HTTP-config fields
+  * (system identities, console, license) have no in-process analog
+  * and are omitted — documented in SURVEY §2.6/README.
+  */
+final case class ServerInfoProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "server_info"
+  override def description(): String =
+    "Server identity: version, bootstrap state, authz backend, queues"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val info = catalog.store.serverInfo()
+    val queues = graft.maintenance.TaskScheduler.builtinQueues.sorted
+    val schema = StructType(Seq(
+      StructField("version", StringType, nullable = false),
+      StructField("bootstrapped", BooleanType, nullable = false),
+      StructField("server_id", StringType, nullable = true),
+      StructField("default_project_id", StringType, nullable = false),
+      StructField("authz_backend", StringType, nullable = false),
+      StructField("queues", StringType, nullable = false),
+      StructField("maintenance_mode", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](
+        Procedures.utf8(graft.BuildInfo.Version),
+        info.isDefined,
+        info.map(i => Procedures.utf8(i._1)).orNull,
+        Procedures.utf8(catalog.store.DefaultProject),
+        Procedures.utf8("graft-authz/openfga-v4.7"),
+        Procedures.utf8(queues.mkString(",")),
+        catalog.store.maintenanceMode)): InternalRow))
+  }
+}
+
+/** Per-component health rows — the in-process analog of the
+  * reference's health endpoint aggregating HealthExt providers
+  * (service/health.rs): one row per component with the reference's
+  * serialized "ok"/"error" statuses and a check timestamp.
+  */
+final case class HealthProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "health"
+  override def description(): String = "Per-component catalog health"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array.empty
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val now = System.currentTimeMillis()
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("last_check_ms", LongType, nullable = false)))
+    Procedures.resultScan(schema,
+      catalog.store.serverHealth().map { case (n, s) =>
+        new GenericInternalRow(Array[Any](
+          Procedures.utf8(n), Procedures.utf8(s), now)): InternalRow
+      })
   }
 }
 

@@ -202,3 +202,12 @@ class TaskScheduler(
       }
   }
 }
+
+object TaskScheduler {
+  /** Queue names the scheduler serves out of the box — the registered
+    * task queues the reference's ServerInfo lists (server.rs `queues`).
+    */
+  val builtinQueues: Seq[String] = Seq(
+    "tabular_expiration", "tabular_purge", "task_log_cleanup",
+    "expire_snapshots", "rewrite_position_deletes")
+}

@@ -1289,6 +1289,88 @@ class FileCatalogStore(val root: String) {
           "are temporarily rejected; retry after the maintenance " +
           "window completes.")
 
+  // ----------------------------------------------------------- server info
+  // The management-plane identity surface (reference:
+  // api/management/v1/server.rs bootstrap/server_info;
+  // service/catalog_store/server.rs ServerInfo { server_id,
+  // open_for_bootstrap }; service/health.rs Health { name, lastCheck,
+  // status }). Bootstrap stamps a server id once; re-bootstrap is
+  // rejected while the catalog holds one, and terms-of-use acceptance
+  // is mandatory — both reference behaviors.
+
+  private def serverInfoPath: Path = rootPath.resolve(".server.json")
+
+  /** (serverId, bootstrappedAtMs, operatorUser) when bootstrapped. */
+  def serverInfo(): Option[(String, Long, Option[String])] =
+    taskLock.synchronized {
+      if (!Files.exists(serverInfoPath)) None
+      else {
+        val j = JsonMethods.parse(readString(serverInfoPath))
+        Some((
+          (j \ "server-id").extract[String],
+          (j \ "bootstrapped-at-ms").extract[Long],
+          (j \ "operator") match {
+            case JNothing | JNull => None
+            case v => Some(v.extract[String])
+          }))
+      }
+    }
+
+  def isBootstrapped: Boolean = serverInfo().isDefined
+
+  /** Bootstrap the catalog: record the server id and, optionally, the
+    * initial operator user (reference BootstrapRequest { user_name,
+    * accept_terms_of_use, is_operator }).
+    */
+  def bootstrapServer(acceptTermsOfUse: Boolean,
+      userName: Option[String] = None,
+      isOperator: Boolean = false): String = {
+    requireMutable()
+    if (!acceptTermsOfUse)
+      throw new IllegalArgumentException(
+        "Terms of use must be accepted to bootstrap the catalog")
+    taskLock.synchronized {
+      if (isBootstrapped)
+        throw new IllegalStateException(
+          "Catalog is already bootstrapped and not open for re-bootstrap")
+      val id = UUID.randomUUID().toString
+      userName.foreach { u =>
+        createOrUpdateUser(u, u, None, if (isOperator) "application" else "human")
+      }
+      writeString(serverInfoPath, Json.render(
+        ("server-id" -> id) ~
+          ("bootstrapped-at-ms" -> System.currentTimeMillis()) ~
+          ("operator" -> userName)))
+      logEvent("bootstrap", TabularId(Nil, warehouseProfile.name),
+        Map("server-id" -> id))
+      id
+    }
+  }
+
+  /** Component health probes over catalog state — the in-process analog
+    * of the reference's HealthExt providers (each reports name +
+    * status; the HTTP health endpoint aggregates). Statuses use the
+    * reference's serialized forms: "ok" / "error".
+    */
+  def serverHealth(): Seq[(String, String)] = {
+    def probe(body: => Unit): String =
+      try { body; "ok" } catch { case scala.util.control.NonFatal(_) => "error" }
+    Seq(
+      // store root reachable and listable (the postgres pool ping analog)
+      "catalog-store" -> probe {
+        require(Files.isDirectory(rootPath), s"missing root $rootPath")
+        Files.list(rootPath).close()
+      },
+      // namespace walk functional
+      "namespaces" -> probe { listNamespaces(Nil) },
+      // task queue dir creatable/listable (queue worker liveness analog)
+      "task-queue" -> probe { listTasks() },
+      // principal store readable (authorizer health analog)
+      "authz" -> probe { listUsers(); listRoles() },
+      // warehouse registry parses
+      "warehouses" -> probe { listWarehouses() })
+  }
+
   // ------------------------------------------------------------- projects
   // The entity layer warehouses are scoped under (reference:
   // api/endpoints.rs:216-221, management/v1/project.rs; postgres arm

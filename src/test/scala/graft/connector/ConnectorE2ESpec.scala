@@ -1556,4 +1556,55 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .takeWhile(_ != null)
       .exists(_.getMessage.contains("not assignable")))
   }
+
+  test("server_info / bootstrap / health (reference endpoints.rs:187-189)") {
+    // pre-bootstrap: not bootstrapped, null server id, fields present
+    val pre = spark.sql("CALL graft.system.server_info()").collect()(0)
+    val cols = spark.sql("CALL graft.system.server_info()").columns.toSeq
+    // the reference ServerInfo fields an in-process engine can carry
+    assert(cols == Seq("version", "bootstrapped", "server_id",
+      "default_project_id", "authz_backend", "queues", "maintenance_mode"))
+    assert(pre.getString(0).nonEmpty)              // version
+    assert(!pre.getBoolean(1))                     // bootstrapped = false
+    assert(pre.isNullAt(2))                        // server_id null until bootstrap
+    assert(pre.getString(3) == "default")          // default project
+    assert(pre.getString(4).contains("openfga"))   // authz backend name
+    assert(pre.getString(5).split(",").toSeq ==
+      Seq("expire_snapshots", "rewrite_position_deletes",
+        "tabular_expiration", "tabular_purge", "task_log_cleanup"))
+
+    // bootstrap requires terms acceptance (reference server.rs:312-320)
+    val denied = intercept[Exception](spark.sql(
+      "CALL graft.system.bootstrap(accept_terms_of_use => false)").collect())
+    assert(Iterator.iterate(denied.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("Terms of use"))))
+
+    val sid = spark.sql(
+      """CALL graft.system.bootstrap(accept_terms_of_use => true,
+        |user_name => 'op1', is_operator => true)""".stripMargin)
+      .collect()(0).getString(0)
+    assert(sid.nonEmpty)
+    // re-bootstrap rejected while bootstrapped (server.rs open_for_bootstrap)
+    val again = intercept[Exception](spark.sql(
+      "CALL graft.system.bootstrap(accept_terms_of_use => true)").collect())
+    assert(Iterator.iterate(again.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("already bootstrapped"))))
+
+    // post-bootstrap: id echoes, operator user exists
+    val post = spark.sql("CALL graft.system.server_info()").collect()(0)
+    assert(post.getBoolean(1) && post.getString(2) == sid)
+    assert(spark.sql("CALL graft.system.search_user(query => 'op1')")
+      .collect().exists(_.getString(0) == "op1"))
+
+    // health: every component row reports the reference's "ok" status
+    val health = spark.sql("CALL graft.system.health()").collect()
+    val byName = health.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName.keySet == Set("catalog-store", "namespaces",
+      "task-queue", "authz", "warehouses"))
+    assert(byName.values.forall(_ == "ok"), byName.toString)
+    assert(health.forall(_.getLong(2) > 0))
+  }
 }
