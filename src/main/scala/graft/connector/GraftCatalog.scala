@@ -123,7 +123,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     store.loadTabularInfo(tid(ident))
-      .exists(t => t.kind == "table" && t.deletedMs.isEmpty)
+      // generic tables answer the TABLE existence surface too — DROP
+      // TABLE routes through tableExists before dropTable (reference:
+      // generic tabulars share the tabular namespace with tables)
+      .exists(t => (t.kind == "table" || t.kind == "generic") &&
+        t.deletedMs.isEmpty)
 
   override def loadTable(ident: Identifier): Table = {
     store.countOp("loadTable")
@@ -191,11 +195,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             org.apache.spark.sql.execution.datasources.v2.json.JsonTable(
               ident.toString, spark, opts, Seq(location), None,
               classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat])
+          case Some(graft.sources.ColDir.FormatName) =>
+            // a NON-BUILTIN columnar format through the same seam the
+            // reference proves with Lance (test_lance.py:128-266) —
+            // fragment-parallel, column-pruned DSv2 reader
+            new graft.sources.ColDirTable(ident.toString, location)
           case other => throw new UnsupportedOperationException(
             s"generic table format ${other.getOrElse("<none>")} has no " +
-              "reader in this environment (parquet/orc/csv/json supported; " +
-              "the reference's Lance format needs the Lance reader, " +
-              "unavailable offline)")
+              "reader in this environment (parquet/orc/csv/json/coldir " +
+              "supported; the reference's Lance format needs the Lance " +
+              "reader, unavailable offline)")
         }
       case _ => throw new NoSuchTableException(ident)
     }

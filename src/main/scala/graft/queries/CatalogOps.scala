@@ -552,6 +552,40 @@ object CatalogOps {
         .orderBy(col("name"))
     },
 
+    // --------------------------------- generic non-builtin format scan
+    // The documents corpus written as a COLDIR table (the Lance
+    // stand-in: manifest + per-(fragment, column) binary files, a
+    // format Spark does not ship — graft.sources.ColDir), registered
+    // through the generic-table seam and aggregated THROUGH the
+    // catalog; the oracle aggregates the raw parquet. Proves the
+    // format dispatch carries third-party formats end-to-end
+    // (reference: tests/integration-tests/lance/test_lance.py:128-266).
+    // The scan is column-pruned to (source, text, doc_id) — n_chars'
+    // column files are never opened.
+    Q(
+      "qc17_generic_coldir",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      val tbl = scratch(s, db, "docs_coldir")
+      val loc = Files.createTempDirectory("graft-coldir-q").toString
+      graft.sources.ColDir.write(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")),
+        loc, fragments = 8)
+      s.sql(s"CALL $CatalogName.system.create_generic_table(" +
+        s"table => '$db.$tbl', format => 'coldir', location => '$loc')")
+      s.sql(
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           |  SUM(doc_id) AS id_sum
+           |FROM $CatalogName.$db.$tbl
+           |GROUP BY source ORDER BY source""".stripMargin)
+    },
+
     // ------------------------------------------- q15 (TPC-H q15, views)
     // Top supplier by quarterly revenue, with the revenue relation as a
     // CATALOG VIEW (reference: server/views/ — the view SQL is stored

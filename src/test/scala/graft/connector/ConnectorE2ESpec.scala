@@ -1118,6 +1118,49 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(err.getMessage.contains("lance"))
   }
 
+  test("generic tables: NON-BUILTIN columnar format (coldir, the Lance " +
+    "stand-in — reference test_lance.py:128-266)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val dir = Files.createTempDirectory("graft-coldir").toString
+    val src = spark.range(1000).selectExpr(
+      "id", "CAST(id AS INT) AS small",
+      "CAST(id AS DOUBLE) / 4 AS ratio",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('name_', id) END AS name")
+    graft.sources.ColDir.write(src, dir, fragments = 4)
+
+    // create / load / scan through the catalog
+    spark.sql(s"CALL graft.system.create_generic_table(table => 'db.gen_cd', " +
+      s"format => 'coldir', location => '$dir')")
+    val t = spark.table("graft.db.gen_cd")
+    assert(t.count() == 1000)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "small", "ratio", "name"))
+    // values round-trip, incl. nulls
+    assert(spark.sql("SELECT SUM(id), SUM(small), SUM(ratio) FROM graft.db.gen_cd")
+      .collect().head.toSeq == Seq(499500L, 499500L, 499500.0 / 4))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.gen_cd WHERE name IS NULL")
+      .collect().head.getLong(0) == 143) // multiples of 7 in [0, 1000)
+    assert(spark.sql(
+      "SELECT name FROM graft.db.gen_cd WHERE id = 3")
+      .collect().head.getString(0) == "name_3")
+
+    // fragment parallelism: 4 input partitions in the physical plan
+    val rdd = spark.table("graft.db.gen_cd").rdd
+    assert(rdd.getNumPartitions == 4)
+
+    // COLUMN PRUNING: the scan's read schema carries only the
+    // projected column (description exposes it)
+    val plan = spark.sql("SELECT small FROM graft.db.gen_cd")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[small]"), plan)
+
+    // drop releases the name; the data directory is untouched
+    // (registered location, not managed storage)
+    spark.sql("DROP TABLE graft.db.gen_cd")
+    assert(!spark.catalog.tableExists("graft.db.gen_cd"))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "manifest.json")))
+  }
+
   test("incremental_scan returns only rows appended after a snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
     spark.sql("CREATE TABLE graft.cdc.t (id BIGINT, tag STRING)")
