@@ -77,6 +77,58 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Batch kNN JOIN over the IVF index: every query row computes its
+    * nprobe probe lists in one codegen'd scan
+    * ([[Ivf.probeListsCol]] — no driver round-trip per query), the
+    * index is STATICALLY pruned to the union of probed lists (the
+    * distinct set is bounded by numLists — driver metadata, not data —
+    * so the list_id IN (...) filter reaches
+    * [[graft.connector.FilePruning]] and only the probed partitions'
+    * files are read), and candidates come from one equi-join on
+    * list_id. Per-query top-k is a rank window, which Spark plans as
+    * WindowGroupLimit — partial top-k per partition before the
+    * shuffle. Cost ∝ queries × probed-list density, never
+    * queries × corpus.
+    *
+    * Result-identical to per-query [[probeIvf]] loops and to
+    * [[Ivf.duckDbKnnJoinOracle]].
+    */
+  def knnJoinIvf(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      numLists: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val dim = queries.select(size(col(queryEmbCol))).head().getInt(0)
+    val cents = centroids.getOrElse(Ivf.centroids(numLists, dim, seed))
+    val probes = queries
+      .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
+        explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))
+          .as("list_id"))
+    // bounded metadata: ≤ numLists distinct ids — the static filter
+    // that makes the index scan a pruned-file subset
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = index.filter(col("list_id").isin(probedLists: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    probes.join(pruned, Seq("list_id"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(Ann.cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("rnk", row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .filter(col("rnk") <= k)
+      .drop("q_emb", "list_id", embCol)
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Build the LSH posting-list index: explode each row into its L

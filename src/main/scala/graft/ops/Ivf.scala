@@ -52,6 +52,21 @@ object Ivf {
       (cNormSq - 2.0 * dot, (i + 1).toLong)
     }.sortBy(_._1).take(nprobe).map(_._2)
 
+  /** The same probe rule as a COLUMN — array of the `nprobe` nearest
+    * list ids (1-based), tie-broken by list id — so a BATCH of query
+    * rows computes its probe sets in one codegen'd scan, no driver
+    * round-trip per query (the [[graft.ops.AnnIndex.knnJoinIvf]]
+    * path).
+    */
+  def probeListsCol(emb: Column, cents: Seq[Array[Double]],
+      nprobe: Int): Column = {
+    val ranked = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distCol(emb, c).as("dist"),
+        lit((i + 1).toLong).as("i"))
+    }: _*)
+    transform(slice(array_sort(ranked), 1, nprobe), x => x.getField("i"))
+  }
+
   /** IVF top-k: probe the query's nprobe lists, exact cosine rerank. */
   def topK(
       df: DataFrame,
@@ -99,6 +114,51 @@ object Ivf {
        |    SELECT UNNEST(d) AS dist, UNNEST(range(1, ${numLists + 1})) AS i
        |    FROM ivfq)
        |  ORDER BY dist, i LIMIT $nprobe)""".stripMargin
+  }
+
+  /** DuckDB oracle of the BATCH IVF kNN join ([[graft.ops.AnnIndex
+    * .knnJoinIvf]]): every query row (selected by `querySql`, a
+    * predicate over vec_id) probes its own nprobe lists, candidates
+    * come from list membership, ranks are per-query. Identical
+    * centroid literals, argmin rule, (dist, i) probe order, and
+    * rounded-cosine rerank as the Spark side.
+    */
+  def duckDbKnnJoinOracle(querySql: String, k: Int, numLists: Int,
+      nprobe: Int, dim: Int, seed: Long = 42L): String = {
+    val cents = centroids(numLists, dim, seed)
+    def clit(c: Array[Double]) = c.map(_.toString).mkString("[", ",", "]")
+    val distDefs = cents.map { c =>
+      val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+      s"($cNormSq - 2.0 * list_dot_product(v, ${clit(c)}))"
+    }
+    val distList = distDefs.mkString("[", ",\n      ", "]")
+    s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, label, v, d,
+       |    list_indexof(d, list_min(d)) AS list_id
+       |  FROM (SELECT vec_id, label, v,
+       |    $distList AS d
+       |  FROM ev)),
+       |qs AS (SELECT * FROM assigned WHERE $querySql),
+       |probes AS (
+       |  SELECT vec_id AS q_id, i AS list_id FROM (
+       |    SELECT vec_id, UNNEST(d) AS dist,
+       |           UNNEST(range(1, ${numLists + 1})) AS i FROM qs)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY dist, i) <= $nprobe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, a.label, a.v
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, c.label,
+       |    round(list_dot_product(c.v, q.v) /
+       |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+       |  FROM cand c JOIN qs q ON q.vec_id = c.q_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   /** DuckDB oracle running the identical IVF (same centroid literals,

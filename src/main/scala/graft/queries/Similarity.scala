@@ -700,6 +700,30 @@ object Similarity {
         .orderBy(col("anchor_id"), col("rnk"))
     },
 
+    // Batch kNN join THROUGH the IVF index (qs13's shape, but against
+    // the materialized list_id-partitioned table instead of two-sided
+    // LSH bucketing): each of the 10 query vectors computes its nprobe
+    // probe lists in-plan, the index scan is statically pruned to the
+    // union of probed lists (FilePruning reads only those partitions'
+    // files — audited in FilePruningSpec), and per-query top-5 is a
+    // rank window (WindowGroupLimit). Oracle mirrors the identical
+    // codebook, probe order, and rerank per query.
+    Q("qs20_ivf_knn_join",
+      graft.ops.Ivf.duckDbKnnJoinOracle("vec_id < 10", k = 5,
+        numLists = IvfLists, nprobe = IvfProbe, dim = AnnDim)) { (s, dir) =>
+      val db = ensureIndexes(s, dir)
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.AnnIndex.knnJoinIvf(
+        s.table(s"$CatalogName.$db.emb_ivf"),
+        queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, numLists = IvfLists, nprobe = IvfProbe, seed = AnnSeed)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("label"),
+          col("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Distributed gram matrix XᵀX — the covariance/whitening/PCA prep
     // step of an embedding pipeline (the eigen-solve that follows is a
     // dim×dim driver-side problem; the DATA-sized work is this one

@@ -500,6 +500,32 @@ class ConnectorE2ESpec extends AnyFunSuite {
       k = 10, l = 2, bits = 2, seed = 42L)
       .select("vec_id", "cos_sim").collect().toSeq
     assert(lshProbe.select("vec_id", "cos_sim").collect().toSeq == lshExpected)
+
+    // BATCH kNN join over the same IVF index: the scan must read the
+    // pruned subset covering the UNION of the batch's probe lists —
+    // still a strict subset of the table's files — and each query's
+    // rows must equal its single-query probe
+    val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val knn = graft.ops.AnnIndex.knnJoinIvf(
+      spark.table("graft.ann.emb_ivf"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, numLists = 4, nprobe = 1, seed = 42L)
+    val (knnSel, knnTotal) = selectedVsTotal(knn)
+    assert(knnSel < knnTotal,
+      s"batch kNN join must prune: selected $knnSel of $knnTotal files")
+    val got = knn.select("q_id", "rnk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0L until 3L).flatMap { q =>
+      graft.ops.AnnIndex.probeIvf(
+        spark.table("graft.ann.emb_ivf")
+          .filter(org.apache.spark.sql.functions.col("vec_id") =!= q),
+        "vec_id", "embedding", rows(q.toInt)._2.map(_.toDouble),
+        k = 10, numLists = 4, nprobe = 1, seed = 42L)
+        .select("vec_id").collect().zipWithIndex
+        .map { case (r, i) => (q, i.toLong + 1, r.getLong(0)) }
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
   test("IVF index built from trained k-means centroids probes correctly") {
