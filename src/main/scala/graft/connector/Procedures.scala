@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max, min}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, conv, datediff, encode, floor, hex, lit, max, min, rpad, substring}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -203,22 +204,57 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
     val zorderCols: Seq[String] = options.get("zorder-by")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    def zcluster(src: org.apache.spark.sql.DataFrame, n: Int)
+    // fail-fast validation: a zorder column that silently produced
+    // null z-values (e.g. a string cast through DOUBLE) would collapse
+    // repartitionByRange into one partition and write a single giant
+    // file with no warning
+    zorderCols.foreach { c =>
+      val f = meta.currentSchema.struct.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"zorder-by column '$c' does not exist in ${id.name}"))
+      val ok = f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"zorder-by column '$c' has unsupported type ${f.dataType.sql}; " +
+          "supported: numeric, string, date, timestamp")
+    }
+    def zcluster(src: org.apache.spark.sql.DataFrame, n: Int,
+        partCols: Seq[String])
         : org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.types.{DoubleType, FloatType, LongType,
-        IntegerType, ShortType, ByteType}
+        IntegerType, ShortType, ByteType, StringType, DateType,
+        TimestampType}
       import graft.ops.ZOrder
-      def zlong(c: String) = floor(col(c).cast(DoubleType)).cast(LongType)
+      // monotone long proxy per supported type: numerics through floor;
+      // timestamps/dates through their epoch ordinals; strings through
+      // the big-endian value of the first 7 UTF-8 bytes right-padded in
+      // hex (prefix order == lexicographic order, the same trick Delta
+      // uses via range-partition ids)
+      def zlong(c: String): Column = src.schema(c).dataType match {
+        case StringType =>
+          coalesce(
+            conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 7)),
+              14, "0"), 16, 10).cast(LongType),
+            lit(0L))
+        case DateType => datediff(col(c), lit("1970-01-01")).cast(LongType)
+        case TimestampType => col(c).cast(LongType)
+        case _ => floor(col(c).cast(DoubleType)).cast(LongType)
+      }
       // normalization bounds come from the manifests' file-level
       // min/max stats when every live file carries them (driver-held
       // metadata — no extra table scan; a superset range from
       // unaffected partitions only widens the curve, never breaks it);
       // the aggregate-scan fallback covers stat-less columns
-      val numeric: Set[org.apache.spark.sql.types.DataType] =
+      val statNumeric: Set[org.apache.spark.sql.types.DataType] =
         Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
       def statBound(c: String): Option[(Long, Long)] =
         if (!src.schema.fields.exists(f => f.name == c &&
-            numeric.contains(f.dataType))) None
+            statNumeric.contains(f.dataType))) None
         else {
           val per = files.map(_.columnStats.get(c))
           if (per.isEmpty || per.exists(s =>
@@ -249,8 +285,14 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
                 ZOrder.normalize(zlong(c), col(s"__mn_$c"), col(s"__mx_$c"), 16)
               }, 16))
         }
-      withZ.repartitionByRange(n, col("__zv"))
-        .sortWithinPartitions("__zv")
+      // range-partition on (table partition columns, __zv): a task's
+      // rows then stay within one table partition, so each task emits
+      // ONE file instead of one per partition it touches, and the
+      // z-clustering stays tight WITHIN each partition
+      val rangeCols = partCols.filter(src.columns.contains)
+        .map(col) :+ col("__zv")
+      withZ.repartitionByRange(n, rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*)
         .drop((zorderCols.map(c => s"__mn_$c") ++
           zorderCols.map(c => s"__mx_$c") :+ "__zv"): _*)
     }
@@ -265,7 +307,7 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
           files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
         val src = spark.table(fullName)
         val shaped =
-          if (zorderCols.nonEmpty) zcluster(src, n)
+          if (zorderCols.nonEmpty) zcluster(src, n, Nil)
           else if (GraftWrite.sortOrderExprs(meta).nonEmpty) src
           else src.repartition(n)
         shaped.writeTo(fullName).overwrite(lit(true))
@@ -292,7 +334,9 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
           // dynamic overwrite keeps partition boundaries, the z-curve
           // clusters files inside them
           val shapedPart =
-            if (zorderCols.nonEmpty) zcluster(src, n) else src.repartition(n)
+            if (zorderCols.nonEmpty)
+              zcluster(src, n, meta.defaultSpec.fields.map(_.sourceName))
+            else src.repartition(n)
           shapedPart.writeTo(fullName).overwritePartitions()
           affectedFiles.size.toLong
         }

@@ -105,8 +105,23 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
         val bound = conjuncts.view.flatMap(asLevBound(_, lOut, rOut))
           .headOption
+        // Pair identity for the dedup Aggregate rests on
+        // MonotonicallyIncreasingID tagging each input row once: if a
+        // retried stage recomputes an upstream whose row production is
+        // itself nondeterministic (rand(), sampling, an input that
+        // changed between attempts), the re-assigned ids could emit
+        // duplicate or dropped pairs. Guard: only rewrite when every
+        // expression in both subtrees is deterministic — the
+        // post-shuffle row-ORDER nondeterminism that remains is the
+        // same exposure every Spark zipWithIndex/mono-id consumer has
+        // on retry, and Spark re-runs ALL partitions of a stage whose
+        // output disappeared before a nondeterministic consumer, which
+        // keeps the tag-once invariant.
+        def allExprsDeterministic(p: LogicalPlan): Boolean =
+          p.find(n => n.expressions.exists(e => !e.deterministic)).isEmpty
         bound match {
-          case Some((ls, rs, k)) if !hasEqui =>
+          case Some((ls, rs, k)) if !hasEqui &&
+              allExprsDeterministic(left) && allExprsDeterministic(right) =>
             rewrite(j, left, right, ls, rs, k, cond, hint)
           case _ => j
         }

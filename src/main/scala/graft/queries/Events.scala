@@ -372,8 +372,11 @@ object Events {
         |  SELECT event_type, event_id, fv,
         |    rank()         OVER (PARTITION BY event_type ORDER BY fv DESC) AS rnk,
         |    dense_rank()   OVER (PARTITION BY event_type ORDER BY fv DESC) AS drnk,
-        |    round(percent_rank() OVER (PARTITION BY event_type ORDER BY fv DESC), 6) AS pr,
-        |    round(cume_dist()    OVER (PARTITION BY event_type ORDER BY fv DESC), 6) AS cd,
+        |    rank() OVER (PARTITION BY event_type ORDER BY fv DESC) - 1 AS pr_num,
+        |    COUNT(*) OVER (PARTITION BY event_type) - 1 AS pr_den,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY fv DESC
+        |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd_num,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cd_den,
         |    CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS BIGINT) AS tile,
         |    lag(fv)  OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS prev_fv,
         |    lead(fv) OVER (PARTITION BY event_type ORDER BY fv DESC, event_id) AS next_fv
@@ -385,13 +388,23 @@ object Events {
         floor(col("value")).cast(LongType).as("fv"))
       val peers = Window.partitionBy(col("event_type"))
         .orderBy(col("fv").desc)
+      val part = Window.partitionBy(col("event_type"))
       val total = Window.partitionBy(col("event_type"))
         .orderBy(col("fv").desc, col("event_id"))
+      // percent_rank/cume_dist as EXACT integer numerator/denominator:
+      // round-on-double differs by engine on digit-straddling
+      // quotients (the qs18 ULP hazard), and (rank-1, n-1,
+      // peer-cumulative-count, n) carry the same information
+      // losslessly. The peers window's default frame (RANGE unbounded
+      // preceding → current row) is peer-INCLUSIVE, matching
+      // cume_dist's numerator.
       v.select(col("event_type"), col("event_id"), col("fv"),
           rank().over(peers).cast(LongType).as("rnk"),
           dense_rank().over(peers).cast(LongType).as("drnk"),
-          round(percent_rank().over(peers), 6).as("pr"),
-          round(cume_dist().over(peers), 6).as("cd"),
+          (rank().over(peers) - 1).cast(LongType).as("pr_num"),
+          (count(lit(1)).over(part) - 1).cast(LongType).as("pr_den"),
+          count(lit(1)).over(peers).cast(LongType).as("cd_num"),
+          count(lit(1)).over(part).cast(LongType).as("cd_den"),
           ntile(10).over(total).cast(LongType).as("tile"),
           lag(col("fv"), 1).over(total).as("prev_fv"),
           lead(col("fv"), 1).over(total).as("next_fv"))

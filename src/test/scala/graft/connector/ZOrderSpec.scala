@@ -92,4 +92,92 @@ class ZOrderSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM graft.db.z1 WHERE x = 3")
       .collect()(0).getLong(0) == 512L)
   }
+
+  test("string zorder column clusters (prefix order), never collapses " +
+    "to one file") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.zs")
+    spark.sql("CREATE TABLE graft.db.zs (id BIGINT, host STRING)")
+    // many small inserts → many small files, hosts interleaved
+    (0 until 6).foreach { b =>
+      spark.range(b * 500, (b + 1) * 500)
+        .selectExpr("id", s"concat('host-', id % 16, '.example.com') AS host")
+        .createOrReplaceTempView("zs_src")
+      spark.sql("INSERT INTO graft.db.zs SELECT * FROM zs_src")
+    }
+    val before = graftTable("zs").liveFiles
+    val target = math.max(1L, before.map(_.fileSizeBytes).sum / 4)
+    spark.sql(
+      s"""CALL graft.system.rewrite_data_files(table => 'db.zs',
+         |  options => map('zorder-by', 'host',
+         |                 'target-file-size-bytes', '$target'))""".stripMargin)
+    val after = graftTable("zs").liveFiles
+    // a silent null z-value would collapse repartitionByRange to one
+    // partition → one file; the string mapping must keep the fan-out
+    assert(after.size > 1,
+      s"string zorder must not collapse to a single file (got ${after.size})")
+    assert(spark.table("graft.db.zs").count() == 3000)
+    // files are clustered by host prefix: a single-host predicate must
+    // not select every file
+    val hostSel = selectedFor("zs",
+      Array(org.apache.spark.sql.sources.EqualTo("host",
+        "host-3.example.com")))
+    assert(hostSel < after.size,
+      s"host predicate should prune: $hostSel of ${after.size}")
+  }
+
+  test("unsupported zorder column types fail fast, missing columns too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.zbad")
+    spark.sql(
+      "CREATE TABLE graft.db.zbad (id BIGINT, tags ARRAY<STRING>)")
+    spark.sql(
+      "INSERT INTO graft.db.zbad VALUES (1, array('a')), (2, array('b'))")
+    spark.sql("INSERT INTO graft.db.zbad VALUES (3, array('c'))")
+    val e1 = intercept[Exception](spark.sql(
+      """CALL graft.system.rewrite_data_files(table => 'db.zbad',
+        |  options => map('zorder-by', 'tags'))""".stripMargin).collect())
+    assert(Iterator.iterate(e1.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("unsupported type"))))
+    val e2 = intercept[Exception](spark.sql(
+      """CALL graft.system.rewrite_data_files(table => 'db.zbad',
+        |  options => map('zorder-by', 'nope'))""".stripMargin).collect())
+    assert(Iterator.iterate(e2.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("does not exist"))))
+  }
+
+  test("partitioned-table zorder keeps each write task inside one " +
+    "partition (no small-file multiplication)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.zp")
+    spark.sql(
+      """CREATE TABLE graft.db.zp (id BIGINT, x BIGINT, cat STRING)
+        |PARTITIONED BY (cat)""".stripMargin)
+    (0 until 5).foreach { b =>
+      spark.range(b * 400, (b + 1) * 400)
+        .selectExpr("id", "id % 64 AS x",
+          "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS cat")
+        .createOrReplaceTempView("zp_src")
+      spark.sql("INSERT INTO graft.db.zp SELECT * FROM zp_src")
+    }
+    val before = graftTable("zp").liveFiles
+    val target = math.max(1L, before.map(_.fileSizeBytes).sum / 4)
+    spark.sql(
+      s"""CALL graft.system.rewrite_data_files(table => 'db.zp',
+         |  options => map('zorder-by', 'x',
+         |                 'target-file-size-bytes', '$target'))""".stripMargin)
+    val after = graftTable("zp").liveFiles
+    assert(spark.table("graft.db.zp").count() == 2000)
+    // ranging on (cat, __zv) means every task's rows stay in ONE
+    // partition: file count stays ~#tasks, not #tasks × #partitions.
+    // With interleaved ranging the 2 partitions would roughly double
+    // the file count; allow one boundary-straddling task.
+    val tasks = math.max(1, math.ceil(
+      before.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    assert(after.size <= tasks + 1,
+      s"expected ≤ ${tasks + 1} files (one per range task + boundary), " +
+        s"got ${after.size}")
+  }
 }
