@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The coldir format's writer/reader pair in isolation: binary
+  * round-trip fidelity (nulls, empty strings, multi-byte UTF-8, empty
+  * fragments), and the reader's column pruning.
+  */
+class ColDirSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-coldir-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame,
+      fragments: Int): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("coldir-spec").toString
+    ColDir.write(df, dir, fragments)
+    val t = new ColDirTable("t", dir)
+    // the full DSv2 path is covered e2e via the graft generic
+    // dispatch; here drive the partition readers directly
+    val parts = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build().toBatch
+    val schema = t.schema()
+    val rows = parts.planInputPartitions().flatMap { p =>
+      val r = parts.createReaderFactory().createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      while (r.next()) {
+        val ir = r.get()
+        buf += org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            if (ir.isNullAt(i)) null
+            else f.dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                ir.getUTF8String(i).toString
+              case dt => ir.get(i, dt)
+            }
+        }.toSeq)
+      }
+      buf
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+
+  test("values, nulls, empty and multi-byte strings round-trip") {
+    val df = spark.range(100).selectExpr(
+      "id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS INT) END AS iv",
+      "CAST(id AS DOUBLE) / 3 AS dv",
+      """CASE WHEN id % 7 = 0 THEN NULL
+        |     WHEN id % 7 = 1 THEN ''
+        |     WHEN id % 7 = 2 THEN 'héllo wörld ≠ ascii'
+        |     ELSE concat('s', id) END AS sv""".stripMargin)
+    val back = roundTrip(df, 3)
+    assert(back.count() == 100)
+    val want = df.collect().map(_.toSeq).toSet
+    val got = back.collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("more fragments than rows leaves empty fragments readable") {
+    val df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS d")
+    val back = roundTrip(df, 8)
+    assert(back.count() == 3)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 3L)
+  }
+
+  test("reader opens only projected columns' files") {
+    val dir = Files.createTempDirectory("coldir-prune").toString
+    ColDir.write(spark.range(10).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS d"), dir, 2)
+    // delete the d column files: a pruned id-only scan must not touch them
+    (0 until 2).foreach { f =>
+      Files.delete(java.nio.file.Paths.get(dir, s"frag-$f", "d.bin"))
+    }
+    val t = new ColDirTable("t", dir)
+    val sb = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val batch = sb.build().toBatch
+    var n = 0L
+    batch.planInputPartitions().foreach { p =>
+      val r = batch.createReaderFactory().createReader(p)
+      while (r.next()) n += 1
+    }
+    assert(n == 10, "id-only scan must succeed with d.bin files gone")
+  }
+}
