@@ -39,14 +39,33 @@ object MinHashLSH {
 
   private val tokenRe = "[a-z0-9]+"
 
+  /** Distinct word `width`-gram shingles of a token array. `width` is
+    * the saturated-vocab scale knob shared with the exact-Jaccard
+    * family (`TextOps.autoWidth`): on a tiny vocabulary the 2-gram
+    * space saturates, background Jaccard rises, and the banding
+    * S-curve pays its quadratic collision floor (measured on the
+    * 31-word fixture: candidates 10.7k at 25k docs -> 44k at 50k, 4.1x
+    * for 2x, while true pairs only doubled); wider shingles restore a
+    * sparse space. Width changes the SIMILARITY DEFINITION (Jaccard
+    * over w-grams), so oracles pin width = 2 and scale callers pass
+    * the corpus-derived value.
+    */
+  private def shingleCol(toks: Column, w: Int): Column =
+    if (w == 2)
+      array_distinct(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    else
+      when(size(toks) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - lit(w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+
   /** Distinct word 2-gram shingles of a text column. */
-  def shingles(text: Column): Column = {
-    val toks = regexp_extract_all(text, lit(tokenRe), lit(0))
-    array_distinct(zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b)))
-  }
+  def shingles(text: Column): Column =
+    shingleCol(regexp_extract_all(text, lit(tokenRe), lit(0)), 2)
 
   /** Hash-family coefficients for (a·x + b) mod P. */
   private def coefficients(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
@@ -67,7 +86,7 @@ object MinHashLSH {
     * array expression.)
     */
   def signatures(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, numHashes: Int, seed: Long = 42L)
+      textCol: String, numHashes: Int, seed: Long = 42L, width: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val (as, bs) = coefficients(numHashes, seed)
     // tokenize in its own projection: the shingle expression references
@@ -76,10 +95,8 @@ object MinHashLSH {
     val toks = regexp_extract_all(col(textCol), lit(tokenRe), lit(0))
     val exploded = df
       .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(array_distinct(zip_with(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)))).as("sh"))
+      .select(col("doc_id"),
+        explode(shingleCol(col("toks"), width)).as("sh"))
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
@@ -134,9 +151,10 @@ object MinHashLSH {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      width: Int = 2): DataFrame =
     candidatesAndPairs(df, idCol, textCol, threshold, numHashes, bands,
-      seed)._2
+      seed, width)._2
 
   /** (candidate pairs, verified pairs) sharing one persisted corpus
     * encoding. The candidate leg is exposed so scale probes can count
@@ -166,16 +184,14 @@ object MinHashLSH {
     *   single-partition window).
     */
   private def encode(tagged: DataFrame, numHashes: Int,
-      seed: Long): DataFrame = {
+      seed: Long, width: Int): DataFrame = {
     val (as, bs) = coefficients(numHashes, seed)
     import tagged.sparkSession.implicits._
     val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
     val sh = tagged
       .select(col("side"), col("doc_id"), toks.as("toks"))
-      .select(col("side"), col("doc_id"), array_distinct(zip_with(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("sh"))
+      .select(col("side"), col("doc_id"),
+        shingleCol(col("toks"), width).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("side"), col("doc_id"),
       explode(col("sh")).as("shingle"))
@@ -223,13 +239,14 @@ object MinHashLSH {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L,
+      width: Int = 2): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
     val docs = encode(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("side", lit("s")),
-      numHashes, seed)
+      numHashes, seed, width)
       .select(col("doc_id"), col("sig"), col("vec"), col("sz"))
 
     val banded = docs
@@ -295,14 +312,15 @@ object MinHashLSH {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      width: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
     def tagged(df: DataFrame, side: String) = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("side", lit(side))
     val docs = encode(tagged(newDf, "n").union(tagged(corpusDf, "c")),
-      numHashes, seed)
+      numHashes, seed, width)
 
     def banded(side: String) = docs.filter(col("side") === side)
       .select(col("doc_id"),

@@ -76,8 +76,14 @@ object ScaleLane {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
     leg("qd3_minhash") {
+      // production shingle width = autoWidth: the fixed 2-gram space
+      // saturates on this 31-word fixture and banding pays its
+      // quadratic collision floor (measured r8: 10.7k candidates at
+      // 25k docs → 44k at 50k, 4.1× for 2× docs, true pairs only 2×);
+      // the corpus-derived width keeps the shingle space sparse
+      val w = TextOps.autoWidth(NDocs.toLong, 31)
       val (cands, pairs) = graft.ops.MinHashLSH.candidatesAndPairs(
-        docs, "doc_id", "text", threshold = 0.5, bands = 16)
+        docs, "doc_id", "text", threshold = 0.5, bands = 16, width = w)
       val c = cands.persist()
       val nCand = c.count()
       val rows = pairs.count()

@@ -1,0 +1,24 @@
+package graft.tools
+
+/** One-off qd3 width probe: candidates at two lane sizes with the
+  * production autoWidth shingles (SURVEY §8 evidence).
+  */
+object ProbeQd3 {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((dir, n) <- Seq(("target/scale/sf0.5", 25000), ("target/scale/sf1", 50000))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val w = graft.queries.TextOps.autoWidth(n.toLong, 31)
+      val t0 = System.nanoTime()
+      val (c, p) = graft.ops.MinHashLSH.candidatesAndPairs(
+        docs, "doc_id", "text", 0.5, bands = 16, width = w)
+      val cc = c.persist(); val nc = cc.count(); val np = p.count()
+      cc.unpersist()
+      println(f"[probe] n=$n w=$w cand=$nc pairs=$np ${(System.nanoTime() - t0) / 1e9}%5.1f s")
+    }
+    spark.stop()
+  }
+}

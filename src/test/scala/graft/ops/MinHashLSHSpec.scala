@@ -52,4 +52,49 @@ class MinHashLSHSpec extends AnyFunSuite {
     assert(MinHashLSH.crossNearDups(inc, corpus, "doc_id", "text",
       threshold = 0.5).collect().isEmpty)
   }
+
+  test("wider shingles agree with brute-force w-gram Jaccard and cut " +
+    "saturated-vocab candidates") {
+    // 6-word vocabulary: the 2-gram space saturates immediately; the
+    // 3-gram space is 6× larger
+    val rnd = new scala.util.Random(99L)
+    val vocab = Array("red", "blue", "fox", "dog", "run", "sit")
+    val texts = (0L until 60L).map { i =>
+      i -> (0 until 12).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    } ++ Seq(100L -> "red blue fox dog run sit red blue fox dog run sit",
+      101L -> "red blue fox dog run sit red blue fox dog run sit")
+    val df = docs(texts: _*)
+
+    def bruteJaccard(w: Int): Set[(Long, Long)] = {
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(w).map(_.mkString(" ")).toSet
+      (for {
+        (a, ta) <- texts; (b, tb) <- texts if a < b
+        (sa, sb) = (sh(ta), sh(tb))
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.5
+      } yield (a, b)).toSet
+    }
+    for (w <- Seq(2, 3)) {
+      val got = MinHashLSH.nearDupPairs(df, "doc_id", "text",
+        threshold = 0.5, width = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact verification ⇒ precision 1.0 at every width (never a
+      // false pair); recall at the S-curve MIDPOINT is probabilistic
+      // (≈0.65 per borderline pair at s = t* = 0.5), so assert the
+      // subset property plus the planted identical pair, which the
+      // curve catches with probability ≈ 1
+      assert((got -- bruteJaccard(w)).isEmpty,
+        s"w=$w: false pairs ${(got -- bruteJaccard(w)).take(5)}")
+      assert(got.contains((100L, 101L)),
+        s"w=$w: the identical planted pair must always be found")
+    }
+    // the width knob's point: fewer raw candidates on the saturated vocab
+    val c2 = MinHashLSH.candidatesAndPairs(df, "doc_id", "text", 0.5,
+      width = 2)._1.count()
+    val c3 = MinHashLSH.candidatesAndPairs(df, "doc_id", "text", 0.5,
+      width = 3)._1.count()
+    assert(c3 < c2, s"w=3 must generate fewer candidates: $c3 vs $c2")
+  }
 }
