@@ -420,6 +420,74 @@ object SketchQueries {
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
         .orderBy(col("event_type"))
+    },
+
+    // ------------------------- hash-rank sample quantiles (mergeable)
+    // Approximate group quantiles from a DETERMINISTIC uniform sample:
+    // the rows whose hash60(event_id) falls at or below the group's
+    // k-th smallest hash — the KMV property (the bottom-k of a uniform
+    // hash is a uniform k-sample of the keys), so the sample is
+    // mergeable exactly like qa1/qa2 (bottom-k of a union = bottom-k
+    // of the parts) and the per-group state is 64 longs at ANY scale.
+    // Two passes: the bottom-k aggregate (one map-side-combined
+    // shuffle of fixed-size state), then a broadcast of the ≤
+    // #groups × (kth, n) thresholds filters ~k rows per group whose
+    // sorted values answer nearest-rank p50/p90. Quantile indices are
+    // element PICKS (nearest-rank, floor(q·(n−1)+0.5)), not
+    // interpolation — no arithmetic on the sampled doubles, so the
+    // reported quantiles are raw parquet values both engines agree on
+    // bit-for-bit. exact_n sits beside the estimates so sampling
+    // error is part of the verified artifact (qa1's pattern).
+    Q(
+      "qa7_sample_quantiles",
+      s"""WITH h AS (
+         |  SELECT event_type, event_id, value, ${hash60Sql("event_id")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |kth AS (
+         |  SELECT event_type, max(h) AS kth
+         |  FROM r WHERE rn <= $SketchK GROUP BY event_type),
+         |samp AS (
+         |  SELECT h.event_type, h.value, h.event_id FROM h
+         |  JOIN kth USING (event_type) WHERE h.h <= kth.kth),
+         |ord AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM samp),
+         |ex AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1)
+         |SELECT o.event_type, e.exact_n, CAST(max(o.n) AS BIGINT) AS n_sample,
+         |  MAX(CASE WHEN o.rn = CAST(floor(0.5 * (o.n - 1) + 0.5) AS BIGINT) + 1
+         |           THEN o.value END) AS p50_est,
+         |  MAX(CASE WHEN o.rn = CAST(floor(0.9 * (o.n - 1) + 0.5) AS BIGINT) + 1
+         |           THEN o.value END) AS p90_est
+         |FROM ord o JOIN ex e USING (event_type)
+         |GROUP BY o.event_type, e.exact_n
+         |ORDER BY o.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          hash60(col("event_id")).as("h"))
+      val kth = ev.groupBy(col("event_type"))
+        .agg(bottomK(col("h"), SketchK).as("sk"),
+          count(lit(1)).as("exact_n"))
+        .select(col("event_type"), col("exact_n"),
+          element_at(col("sk"), size(col("sk"))).as("kth"))
+      val samp = ev.join(broadcast(kth), Seq("event_type"))
+        .filter(col("h") <= col("kth"))
+        .groupBy(col("event_type"), col("exact_n"))
+        .agg(sort_array(collect_list(struct(col("value"), col("event_id"))))
+          .as("sv"))
+      def pick(q: Double) = element_at(col("sv"),
+        (floor(lit(q) * (size(col("sv")) - 1) + 0.5).cast(IntegerType) + 1))
+        .getField("value")
+      samp.select(col("event_type"), col("exact_n"),
+          size(col("sv")).cast(LongType).as("n_sample"),
+          pick(0.5).as("p50_est"), pick(0.9).as("p90_est"))
+        .orderBy(col("event_type"))
     }
   )
 }
