@@ -76,8 +76,11 @@ object EditDistJoin {
     *
     * `m` = 0 measures the corpus and picks the segment count via
     * [[autoSegments]]; explicit k+1 / k+2 pin it (tests, oracles).
-    * `maxCandidates` aborts with the estimated count when the
-    * signature histogram predicts a larger candidate set.
+    * The measurement is one extra narrow aggregate over the index
+    * projection — at repeated-invocation or 100 TB scale, measure once
+    * and pass `m` explicitly. `maxCandidates` aborts with the
+    * estimated count when the signature histogram predicts a larger
+    * candidate set.
     */
   def pairs(df: DataFrame, idCol: String, strCol: String, k: Int,
       m: Int = 0, maxCandidates: Option[Long] = None): DataFrame =
