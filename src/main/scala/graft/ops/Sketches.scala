@@ -99,4 +99,26 @@ object Sketches {
   /** DuckDB spelling of [[cmsBucket]]. */
   def cmsBucketSql(keyExpr: String, seed: Int, w: Int): String =
     s"(${hash60Sql(s"'$seed|' || $keyExpr")}) % $w"
+
+  /** All `depth` CMS row buckets from ONE md5 digest: row d reads the
+    * 7-hex (28-bit) slice starting at 1 + 7·d, mod w — one hash per
+    * update instead of depth of them (measured 4 md5s dominating the
+    * qa4 update scan). Disjoint digest slices are the standard
+    * several-rows-from-one-digest trick; depth ≤ 4 stays inside the
+    * 32-hex digest. Codegen CSEs the shared md5 across the array
+    * elements.
+    */
+  def cmsBuckets(keyCol: Column, depth: Int, w: Int): Column = {
+    require(depth <= 4, s"depth $depth needs ${7 * depth} hex chars > 28")
+    val dig = md5(keyCol.cast(StringType))
+    array((0 until depth).map(d =>
+      pmod(conv(substring(dig, 1 + 7 * d, 7), 16, 10).cast(LongType),
+        lit(w.toLong))): _*)
+  }
+
+  /** DuckDB spelling of [[cmsBuckets]] for one row `d` (the oracle
+    * enumerates rows from a seeds CTE, so `d` may be a SQL expression).
+    */
+  def cmsBucketsSql(keyExpr: String, dExpr: String, w: Int): String =
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1 + 7 * $dExpr, 7))::BIGINT % $w"
 }

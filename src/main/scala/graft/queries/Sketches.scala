@@ -257,18 +257,14 @@ object SketchQueries {
          |exact AS (
          |  SELECT shingle, count(*) AS exact_cnt FROM sh GROUP BY shingle),
          |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
-         |pairs AS (
-         |  SELECT seed,
-         |    (${hash60Sql("CAST(seed AS VARCHAR) || '|' || shingle")})
-         |      % $CmsWidth AS bucket
-         |  FROM sh CROSS JOIN seeds),
          |cms AS (
-         |  SELECT seed, bucket, count(*) AS c
-         |  FROM pairs GROUP BY seed, bucket),
+         |  SELECT seed,
+         |    ${cmsBucketsSql("shingle", "seed", CmsWidth)} AS bucket,
+         |    CAST(sum(exact_cnt) AS BIGINT) AS c
+         |  FROM exact CROSS JOIN seeds GROUP BY 1, 2),
          |cand AS (
          |  SELECT e.shingle, e.exact_cnt, seed,
-         |    (${hash60Sql("CAST(seed AS VARCHAR) || '|' || e.shingle")})
-         |      % $CmsWidth AS bucket
+         |    ${cmsBucketsSql("e.shingle", "seed", CmsWidth)} AS bucket
          |  FROM exact e CROSS JOIN seeds),
          |est AS (
          |  SELECT c2.shingle, c2.exact_cnt, CAST(min(m.c) AS BIGINT) AS est_cnt
@@ -286,19 +282,21 @@ object SketchQueries {
             lit(" "), get(col("t"), i + lit(2))))).as("shingle"))
       val exactCnt = sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("exact_cnt"))
-      val cms = sh
-        .select(explode(array(seeds.map(sd => struct(
-          lit(sd).as("seed"),
-          cmsBucket(col("shingle"), sd, CmsWidth).as("bucket"))): _*)).as("sb"))
-        .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("c"))
+      // one md5 per DISTINCT shingle, all depth buckets sliced from
+      // the digest, and the bucket counters summed from the exact
+      // per-shingle counts — the sketch build rides the counting
+      // aggregation's output instead of re-exploding the corpus (one
+      // scan, not two; at 100 TB the instance stream is the cost)
+      val cms = exactCnt
+        .select(col("exact_cnt"),
+          posexplode(cmsBuckets(col("shingle"), CmsDepth, CmsWidth))
+            .as(Seq("seed", "bucket")))
+        .groupBy(col("seed"), col("bucket"))
+        .agg(sum(col("exact_cnt")).as("c"))
       exactCnt
         .select(col("shingle"), col("exact_cnt"),
-          explode(array(seeds.map(sd => struct(
-            lit(sd).as("seed"),
-            cmsBucket(col("shingle"), sd, CmsWidth).as("bucket"))): _*)).as("sb"))
-        .select(col("shingle"), col("exact_cnt"),
-          col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+          posexplode(cmsBuckets(col("shingle"), CmsDepth, CmsWidth))
+            .as(Seq("seed", "bucket")))
         .join(broadcast(cms), Seq("seed", "bucket"))
         .groupBy(col("shingle"), col("exact_cnt"))
         .agg(min(col("c")).cast(LongType).as("est_cnt"))
