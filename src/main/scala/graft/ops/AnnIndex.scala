@@ -105,8 +105,14 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    val dim = queries.select(size(col(queryEmbCol))).head().getInt(0)
-    val cents = centroids.getOrElse(Ivf.centroids(numLists, dim, seed))
+    // dim is only needed to derive a default codebook; an explicitly
+    // supplied one skips the probe job, and an EMPTY query batch uses a
+    // placeholder dim (no row ever evaluates the probe expressions)
+    val cents = centroids.getOrElse {
+      val dim = queries.select(size(col(queryEmbCol))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      Ivf.centroids(numLists, dim, seed)
+    }
     val probes = queries
       .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
         explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))

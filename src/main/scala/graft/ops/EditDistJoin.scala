@@ -105,6 +105,14 @@ object EditDistJoin {
     require(k >= 1 && k <= 4, s"supported thresholds are 1..4, got $k")
     val titles = df.select(col(idCol).as("id"), col(strCol).as("t"))
       .withColumn("len", length(col("t")))
+    // the auto measurement and the ceiling estimate are EAGER passes
+    // over titles-derived pipelines before the lazy join is even
+    // built — persist the narrow projection for their duration so the
+    // input scan/regex isn't re-paid per pass (the lazy result
+    // recomputes titles once more; it is a cheap narrow projection)
+    val eagerPhases = (m == 0) || maxCandidates.isDefined
+    if (eagerPhases)
+      titles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nSeg =
       if (m != 0) m
@@ -138,13 +146,24 @@ object EditDistJoin {
         greatest(col("s_a"), col("s_b")).as("right_id"))
 
     maxCandidates.foreach { ceiling =>
-      val est = estimateCandidates(titles, k, nSeg)
-      if (est > ceiling) throw new IllegalStateException(
-        s"EditDistJoin: estimated candidate count $est exceeds the " +
-          s"ceiling $ceiling (m=$nSeg, k=$k) — the segment-value space " +
-          "is saturated for this corpus; raise the ceiling, lengthen " +
-          "the join strings, or pre-bucket the corpus")
+      // the short-string all-pairs leg counts toward the ceiling too —
+      // a corpus of 1-3 char codes goes quadratic THERE, not in the
+      // signature join (two tiny count aggregates; shortL ⊆ shortR so
+      // the product bounds the leg's output)
+      val nShortL = shortL.count()
+      val shortEst =
+        if (nShortL == 0) 0L else nShortL * shortR.count()
+      val est = shortEst + estimateCandidates(titles, k, nSeg)
+      if (est > ceiling) {
+        if (eagerPhases) titles.unpersist()
+        throw new IllegalStateException(
+          s"EditDistJoin: estimated candidate count $est exceeds the " +
+            s"ceiling $ceiling (m=$nSeg, k=$k) — the segment-value space " +
+            "is saturated for this corpus; raise the ceiling, lengthen " +
+            "the join strings, or pre-bucket the corpus")
+      }
     }
+    if (eagerPhases) titles.unpersist()
 
     // canonicalize the pair BEFORE verification so each unordered pair
     // is levenshtein'd exactly once (distance is symmetric, so which
@@ -280,7 +299,12 @@ object EditDistJoin {
   /** Estimated candidate count from the signature histograms: Σ over
     * join keys of index-bucket × probe-bucket size — an upper bound on
     * join output rows (includes the p_id = i_id self-hits), computed
-    * from two narrow aggregations BEFORE the join runs.
+    * BEFORE the join runs. For m = k+1 this is two narrow
+    * aggregations; for m = k+2 the probe histogram needs the same
+    * pair-signature self-join the real join uses, so the ceiling
+    * check costs roughly one extra pass of that stage — the price of
+    * an exact per-m estimate (a cheaper one-segment bound would abort
+    * exactly the corpora two-match exists to save).
     */
   private def estimateCandidates(titles: DataFrame, k: Int, m: Int): Long = {
     val (idxKeyed, prbKeyed) =

@@ -93,13 +93,6 @@ object Sketches {
     * seeded 60-bit hash mod w. Seeds are baked into the hashed string
     * so both engines derive all d rows from the same md5 primitive.
     */
-  def cmsBucket(keyCol: Column, seed: Int, w: Int): Column =
-    pmod(hash60(concat(lit(s"$seed|"), keyCol)), lit(w.toLong))
-
-  /** DuckDB spelling of [[cmsBucket]]. */
-  def cmsBucketSql(keyExpr: String, seed: Int, w: Int): String =
-    s"(${hash60Sql(s"'$seed|' || $keyExpr")}) % $w"
-
   /** All `depth` CMS row buckets from ONE md5 digest: row d reads the
     * 7-hex (28-bit) slice starting at 1 + 7·d, mod w — one hash per
     * update instead of depth of them (measured 4 md5s dominating the
@@ -109,7 +102,8 @@ object Sketches {
     * elements.
     */
   def cmsBuckets(keyCol: Column, depth: Int, w: Int): Column = {
-    require(depth <= 4, s"depth $depth needs ${7 * depth} hex chars > 28")
+    require(depth <= 4,
+      s"depth $depth needs ${7 * depth} hex chars; the md5 digest has 32")
     val dig = md5(keyCol.cast(StringType))
     array((0 until depth).map(d =>
       pmod(conv(substring(dig, 1 + 7 * d, 7), 16, 10).cast(LongType),

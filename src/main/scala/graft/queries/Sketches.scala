@@ -273,7 +273,6 @@ object SketchQueries {
          |SELECT shingle, exact_cnt, est_cnt FROM est
          |QUALIFY row_number() OVER (ORDER BY est_cnt DESC, shingle) <= $CmsTopK
          |ORDER BY est_cnt DESC, shingle""".stripMargin) { (s, dir) =>
-      val seeds = 0 until CmsDepth
       val sh = Tables.load(s, dir, "documents")
         .select(regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
         .select(explode(transform(

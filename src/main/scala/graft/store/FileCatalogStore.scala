@@ -1335,7 +1335,15 @@ class FileCatalogStore(val root: String) {
           "Catalog is already bootstrapped and not open for re-bootstrap")
       val id = UUID.randomUUID().toString
       userName.foreach { u =>
-        createOrUpdateUser(u, u, None, if (isOperator) "application" else "human")
+        // user_type mirrors the reference's BootstrapRequest.user_type
+        // default (human); is_operator is an AUTHZ property, granted as
+        // the server-level operator relation below (reference: the
+        // bootstrap user becomes server operator/admin in the OpenFGA
+        // model, not a different principal kind)
+        createOrUpdateUser(u, u, None, "human")
+        if (isOperator)
+          addGrant(GrantTuple("server", graft.admin.Authz.server.key,
+            "operator", "user", u))
       }
       writeString(serverInfoPath, Json.render(
         ("server-id" -> id) ~

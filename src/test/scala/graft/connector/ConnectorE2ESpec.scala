@@ -1662,11 +1662,19 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage)
         .exists(_.contains("already bootstrapped"))))
 
-    // post-bootstrap: id echoes, operator user exists
+    // post-bootstrap: id echoes, operator user exists and HOLDS the
+    // server-level operator relation (the reference's bootstrap user
+    // becomes server operator in the authz model, not a different
+    // principal kind)
     val post = spark.sql("CALL graft.system.server_info()").collect()(0)
     assert(post.getBoolean(1) && post.getString(2) == sid)
     assert(spark.sql("CALL graft.system.search_user(query => 'op1')")
       .collect().exists(_.getString(0) == "op1"))
+    assert(spark.sql(
+      """CALL graft.system.check_action(user => 'op1',
+        |object_type => 'server', object => '', action => 'operator')"""
+        .stripMargin).collect()(0).getBoolean(0),
+      "bootstrap is_operator must grant the server operator relation")
 
     // health: every component row reports the reference's "ok" status
     val health = spark.sql("CALL graft.system.health()").collect()
