@@ -161,6 +161,62 @@ object AnnIndex {
       .createOrReplace()
   }
 
+  /** Batch kNN JOIN over the LSH posting-list index: each query row
+    * computes its L (table_id, bucket) signatures in one codegen'd
+    * scan, the index is statically pruned to the union of probed
+    * buckets (≤ L × |batch| literal (t, b) pairs — driver metadata
+    * for query batches; at larger batch sizes drop the filter and let
+    * the equi-join's shuffle carry it), candidates come from the
+    * (table_id, bucket) equi-join deduped per (query, vector) —
+    * a pair can collide in several tables — then exact rerank and a
+    * per-query rank window. Result-identical to the scan-based
+    * [[Ann.knnJoin]] on the same corpus/parameters.
+    */
+  def knnJoinLsh(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      l: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = queries.select(size(col(queryEmbCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val ps = Ann.planes(l, bits, dim, seed)
+    val sigArr = array(ps.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("table_id"),
+        Ann.bucket(col(queryEmbCol), tp).as("bucket"))
+    }: _*)
+    val probes = queries
+      .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
+        explode(sigArr).as("tb"))
+      .select(col("q_id"), col("q_emb"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    val probed = probes.select(col("table_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pruned =
+      if (probed.isEmpty) index.limit(0)
+      else index.filter(probed.map { case (t, b) =>
+        col("table_id") === lit(t) && col("bucket") === lit(b)
+      }.reduce(_ || _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    probes.join(pruned, Seq("table_id", "bucket"))
+      .filter(col(idCol) =!= col("q_id"))
+      .drop("table_id", "bucket")
+      .dropDuplicates("q_id", idCol)
+      .withColumn("cos_sim",
+        round(Ann.cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+      .drop("q_emb", embCol)
+  }
+
   /** LSH probe: read exactly the L buckets the query's signature
     * selects, dedupe candidates (a row can land in several probed
     * tables), exact-rerank. Result-identical to [[Ann.topK]].

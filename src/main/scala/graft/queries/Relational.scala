@@ -841,6 +841,92 @@ object Relational {
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     },
 
+    // ------------------------------------------------------------ cube
+    // GROUP BY CUBE — the full 2ⁿ grouping-set lattice through
+    // Catalyst's Expand operator (rollup q24 only exercises the
+    // hierarchical prefix sets). One Expand + one hash aggregate; at
+    // scale the fact stream is read once and fanned 4× map-side.
+    Q(
+      "q30_cube_revenue",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          sum(dec("o_totalprice")).cast(DoubleType).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ----------------------------------------------------------- pivot
+    // PIVOT with pinned spread values — Catalyst rewrites it into one
+    // conditional aggregation (the oracle's CASE sums are literally
+    // the plan), so a 100 TB pivot is a single scan + one shuffle on
+    // the group key, never a per-value pass.
+    Q(
+      "q31_pivot_priority_matrix",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_unspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", vals)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus"),
+          col("1-URGENT").as("p_urgent"), col("2-HIGH").as("p_high"),
+          col("3-MEDIUM").as("p_medium"),
+          col("4-NOT SPECIFIED").as("p_unspec"), col("5-LOW").as("p_low"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // --------------------------------------------------- grouping sets
+    // Explicit GROUPING SETS with the grouping() marker — the
+    // non-hierarchical lattice rollup/cube cannot express (two
+    // disjoint single-column sets + the grand total), plus the
+    // grouping() bit that disambiguates a NULL group key from a
+    // super-aggregate row. Same single Expand + hash-agg plan shape
+    // as q24/q30.
+    Q(
+      "q32_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(LongType).as("g_prio"),
+          count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_prio"), col("n"), col("total"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // ------------------------------------------------------------ rollup
     Q(
       "q24_rollup_revenue",

@@ -724,6 +724,30 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // qs13's batch kNN join served from the MATERIALIZED posting-list
+    // index instead of bucketing both sides at query time: the same
+    // planes/buckets/rerank (oracle literally shared with qs13), but
+    // the corpus side is the (table_id, bucket)-partitioned table and
+    // the scan reads only the batch's probed buckets' files. The
+    // index build amortizes across every batch — the difference
+    // between "two scans per batch" and "one bounded probe per batch"
+    // at 100 TB.
+    Q("qs21_lsh_index_knn_join", graft.ops.EmbeddingDedup.duckDbKnnOracle(
+      qPred = "vec_id % 100 = 7", k = 5, dim = AnnDim, l = AnnL,
+      bits = AnnBits, seed = AnnSeed)) { (s, dir) =>
+      val db = ensureIndexes(s, dir)
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.AnnIndex.knnJoinLsh(
+        s.table(s"$CatalogName.$db.emb_lsh"),
+        queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, l = AnnL, bits = AnnBits, seed = AnnSeed)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Distributed gram matrix XᵀX — the covariance/whitening/PCA prep
     // step of an embedding pipeline (the eigen-solve that follows is a
     // dim×dim driver-side problem; the DATA-sized work is this one

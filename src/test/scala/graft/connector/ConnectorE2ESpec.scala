@@ -526,6 +526,25 @@ class ConnectorE2ESpec extends AnyFunSuite {
     }.toSet
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // batch kNN join over the LSH posting lists: pruned scan + results
+    // identical to the scan-based Ann.knnJoin on the same corpus
+    val knnL = graft.ops.AnnIndex.knnJoinLsh(
+      spark.table("graft.ann.emb_lsh"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, l = 2, bits = 2, seed = 42L)
+    val (lSel, lTotal) = selectedVsTotal(knnL)
+    assert(lSel < lTotal,
+      s"batch LSH kNN join must prune: selected $lSel of $lTotal files")
+    val gotL = knnL.select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantL = graft.ops.Ann.knnJoin(queries, df,
+        "vec_id", "embedding", k = 10, dim = dim, l = 2, bits = 2,
+        seed = 42L)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(gotL == wantL,
+      s"missing=${(wantL -- gotL).take(5)} extra=${(gotL -- wantL).take(5)}")
   }
 
   test("IVF index built from trained k-means centroids probes correctly") {
