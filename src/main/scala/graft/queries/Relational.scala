@@ -368,6 +368,52 @@ object Relational {
         .orderBy(col("k"))
     },
 
+    // -------------------------------------------------- multiset ops
+    // INTERSECT ALL / EXCEPT ALL — the MULTISET variants q23's
+    // set-semantics trio doesn't reach (Catalyst plans them as
+    // count-bearing aggregates + generate, not semi/anti joins):
+    // per-supplier line counts survive with multiplicity
+    // min(n_a, n_b) and max(n_a − n_b, 0) respectively.
+    Q(
+      "q33_multiset_ops",
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+        |  INTERSECT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05
+        |  EXCEPT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_tax > 0.07)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      l.filter(col("l_quantity") > 40).select(col("l_suppkey").as("k"))
+        .intersectAll(
+          l.filter(col("l_discount") > 0.05).select(col("l_suppkey").as("k")))
+        .exceptAll(
+          l.filter(col("l_tax") > 0.07).select(col("l_suppkey").as("k")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
+    // ------------------------------------------- limit/offset paging
+    // OFFSET pagination through GlobalLimit-with-offset (the REST
+    // page-2 shape; the catalog's own listings use keyset tokens —
+    // FileCatalogStore pagination — precisely because at 100 TB OFFSET
+    // still SORTS the skipped prefix; this row verifies the operator
+    // exists and is exact, the keyset tests verify the scalable path).
+    Q(
+      "q34_offset_page",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15 OFFSET 25""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .offset(25)
+        .limit(15)
+    },
+
     // -------------------------------------------- q25: correlated max
     // (TPC-H q02 machinery: per-group extreme matched back to rows —
     // expressed as a window max, which Catalyst plans with one shuffle)

@@ -545,6 +545,17 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
     assert(gotL == wantL,
       s"missing=${(wantL -- gotL).take(5)} extra=${(gotL -- wantL).take(5)}")
+
+    // empty query batches return empty results, no crash (review r8)
+    val none = df.filter(org.apache.spark.sql.functions.lit(false))
+    assert(graft.ops.AnnIndex.knnJoinIvf(
+      spark.table("graft.ann.emb_ivf"), none,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numLists = 4, nprobe = 1, seed = 42L).count() == 0)
+    assert(graft.ops.AnnIndex.knnJoinLsh(
+      spark.table("graft.ann.emb_lsh"), none,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, l = 2, bits = 2, seed = 42L).count() == 0)
   }
 
   test("IVF index built from trained k-means centroids probes correctly") {

@@ -158,6 +158,22 @@ class EditDistJoinSpec extends AnyFunSuite {
     assert(EditDistJoin.autoSegments(2, 801, 100, targetDensity = 8.0) == 4)
   }
 
+  test("candidate ceiling counts the short-string all-pairs leg") {
+    import spark.implicits._
+    // every string is <= k chars: the SIGNATURE estimate is ~0, all
+    // pairs come from the short-string fallback — the ceiling must
+    // still fire (review finding r8)
+    val strs = (0 until 40).map(i => ((i % 4) match {
+      case 0 => "a"; case 1 => "b"; case 2 => "ab"; case _ => "" }))
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val e = intercept[IllegalStateException] {
+      EditDistJoin.candidatePairs(df, "id", "t", 2,
+        maxCandidates = Some(100L)).count()
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
+
   test("candidate ceiling aborts before the join materializes") {
     import spark.implicits._
     val strs = (0 until 30).map(i => "aaaaaaaaaaaa") // fully saturated
