@@ -196,9 +196,15 @@ object AnnIndex {
       .select(col("q_id"), col("q_emb"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     val probed = probes.select(col("table_id"), col("bucket")).distinct()
+      .limit(4097)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val pruned =
       if (probed.isEmpty) index.limit(0)
+      else if (probed.length > 4096)
+        // batch too large for a literal OR-of-ANDs prune (driver-side
+        // filter + planning cost would outgrow the saving) — the
+        // (table_id, bucket) equi-join carries the selection instead
+        index
       else index.filter(probed.map { case (t, b) =>
         col("table_id") === lit(t) && col("bucket") === lit(b)
       }.reduce(_ || _))
