@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive levenshtein(l, r) <= k joins → PassJoin segment-signature
     // equi-join (graft.plans.EditDistJoinRewrite doc)
     ext.injectOptimizerRule(_ => graft.plans.EditDistJoinRewrite)
+    // joins keyed on a graft table's partition columns get a
+    // DETERMINISTIC runtime file-pruning subquery (the DPP analog
+    // stock heuristics miss for computed probe frames — see doc)
+    ext.injectOptimizerRule(_ => graft.plans.RuntimePartitionPruning)
   }
 }
 

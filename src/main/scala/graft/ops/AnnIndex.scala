@@ -16,9 +16,24 @@ import org.apache.spark.sql.functions._
   * - LSH: the classic posting-list layout — one row per (hash table,
   *   row), `PARTITIONED BY (table_id, bucket)`. L× storage
   *   amplification buys probes that read exactly the L buckets the
-  *   query's signature selects; the OR-of-ANDs probe filter is
-  *   decidable per file from the two partition columns' stats, so all
-  *   other buckets' files prune away.
+  *   query's signature selects.
+  *
+  * Single-query probes prune STATICALLY (the query's own buckets are
+  * literals in the filter). Batch kNN JOINS prune at RUNTIME: the
+  * (list_id / table_id, bucket) equi-join key is a partition column,
+  * so [[graft.plans.RuntimePartitionPruning]] attaches a dynamic
+  * pruning subquery whose IN-filter reaches
+  * [[graft.connector.GraftScan]]'s SupportsRuntimeV2Filtering hook and
+  * re-prunes the file list before any index file is opened — no
+  * driver-side bucket collection, no batch-size cap (the round-8
+  * literal OR-of-ANDs prune died at 4096 buckets and fell back to a
+  * full index scan).
+  *
+  * Index tables are SELF-DESCRIBING: build*() stamps the geometry
+  * (dim, lists/tables/bits, seed, codebook hash) into table
+  * properties; probes read them — zero extra jobs before the probe
+  * plan — and REFUSE parameters that disagree with the build instead
+  * of silently bucketing differently.
   *
   * Both probes exact-rerank candidates with the same fold-based cosine
   * as the fallback paths, so results are bit-identical to the
@@ -26,11 +41,54 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  private[graft] val KindProp = "graft.ann.kind"
+  private[graft] val DimProp = "graft.ann.dim"
+  private[graft] val ListsProp = "graft.ann.num-lists"
+  private[graft] val SeedProp = "graft.ann.seed"
+  private[graft] val CodebookProp = "graft.ann.codebook-hash"
+  private[graft] val LProp = "graft.ann.l"
+  private[graft] val BitsProp = "graft.ann.bits"
+
+  /** Order-sensitive digest of a codebook's raw doubles — two builds
+    * agree iff their centroid sets are bitwise identical.
+    */
+  private[graft] def codebookHash(cents: Seq[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cents.foreach(_.foreach { d =>
+      bb.clear(); bb.putDouble(d); md.update(bb.array())
+    })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Table properties of the DataFrame's underlying catalog table —
+    * empty for plain (non-catalog) frames.
+    */
+  private def tableProps(df: DataFrame): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.properties().asScala.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Probe parameter `got` must match the stamped build value (when
+    * the index is a stamped catalog table) — a mismatch would silently
+    * probe the WRONG buckets and return plausible garbage.
+    */
+  private def checkProp(props: Map[String, String], key: String,
+      got: String, what: String): Unit =
+    props.get(key).foreach { stored =>
+      require(stored == got,
+        s"ANN index/probe parameter mismatch: $what was built with " +
+          s"$stored but probed with $got (property $key)")
+    }
+
   // ------------------------------------------------------------------ IVF
 
   /** Assign every vector to its nearest centroid and write the corpus
     * partitioned by `list_id` (offline index build; rebuild on codebook
-    * change).
+    * change). Stamps the index geometry into table properties.
     *
     * @param centroids codebook override — pass [[KMeans.train]] output
     *                  vectors for TRAINED lists (balanced sizes bound
@@ -49,7 +107,42 @@ object AnnIndex {
     df.withColumn("list_id", Ivf.listId(col(embCol), cents))
       .writeTo(table)
       .partitionedBy(col("list_id"))
+      .tableProperty(KindProp, "ivf")
+      .tableProperty(DimProp, dim.toString)
+      .tableProperty(ListsProp, numLists.toString)
+      .tableProperty(SeedProp, seed.toString)
+      .tableProperty(CodebookProp, codebookHash(cents))
       .createOrReplace()
+  }
+
+  /** The codebook a probe must use: explicit centroids are verified
+    * against the stamped hash; derived ones are rebuilt from verified
+    * (numLists, dim, seed). Zero Spark jobs when the index is stamped;
+    * un-stamped plain frames fall back to a one-row dim probe.
+    */
+  private def resolveIvfCodebook(
+      index: DataFrame,
+      queries: => DataFrame,
+      queryEmbCol: String,
+      numLists: Int,
+      seed: Long,
+      centroids: Option[Seq[Array[Double]]]): Seq[Array[Double]] = {
+    val props = tableProps(index)
+    centroids match {
+      case Some(cs) =>
+        checkProp(props, CodebookProp, codebookHash(cs), "the codebook")
+        cs
+      case None =>
+        checkProp(props, ListsProp, numLists.toString, "numLists")
+        checkProp(props, SeedProp, seed.toString, "the seed")
+        val dim = props.get(DimProp).map(_.toInt).getOrElse {
+          // not a stamped catalog table: derive dim from one query row
+          // (empty batch → placeholder; no row evaluates the probes)
+          queries.select(size(col(queryEmbCol))).take(1)
+            .headOption.map(_.getInt(0)).getOrElse(1)
+        }
+        Ivf.centroids(numLists, dim, seed)
+    }
   }
 
   /** IVF probe against a built index: partition-pruned scan of the
@@ -66,8 +159,17 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    val cents = centroids
-      .getOrElse(Ivf.centroids(numLists, queryVec.length, seed))
+    val props = tableProps(index)
+    checkProp(props, DimProp, queryVec.length.toString, "the dimension")
+    val cents = centroids match {
+      case Some(cs) =>
+        checkProp(props, CodebookProp, codebookHash(cs), "the codebook")
+        cs
+      case None =>
+        checkProp(props, ListsProp, numLists.toString, "numLists")
+        checkProp(props, SeedProp, seed.toString, "the seed")
+        Ivf.centroids(numLists, queryVec.length, seed)
+    }
     val probes = Ivf.probeLists(queryVec, cents, nprobe)
     val qLit = typedlit(queryVec.toSeq)
     index
@@ -80,15 +182,14 @@ object AnnIndex {
   /** Batch kNN JOIN over the IVF index: every query row computes its
     * nprobe probe lists in one codegen'd scan
     * ([[Ivf.probeListsCol]] — no driver round-trip per query), the
-    * index is STATICALLY pruned to the union of probed lists (the
-    * distinct set is bounded by numLists — driver metadata, not data —
-    * so the list_id IN (...) filter reaches
-    * [[graft.connector.FilePruning]] and only the probed partitions'
-    * files are read), and candidates come from one equi-join on
-    * list_id. Per-query top-k is a rank window, which Spark plans as
-    * WindowGroupLimit — partial top-k per partition before the
-    * shuffle. Cost ∝ queries × probed-list density, never
-    * queries × corpus.
+    * index side is pruned at RUNTIME by
+    * [[graft.plans.RuntimePartitionPruning]]'s dynamic subquery over
+    * the list_id equi-join key (only the probed partitions' files are
+    * read, at any batch size, with zero driver-side collection), and
+    * candidates come from one equi-join on list_id. Per-query top-k is
+    * a rank window, which Spark plans as WindowGroupLimit — partial
+    * top-k per partition before the shuffle. Cost ∝ queries ×
+    * probed-list density, never queries × corpus.
     *
     * Result-identical to per-query [[probeIvf]] loops and to
     * [[Ivf.duckDbKnnJoinOracle]].
@@ -105,33 +206,22 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    // dim is only needed to derive a default codebook; an explicitly
-    // supplied one skips the probe job, and an EMPTY query batch uses a
-    // placeholder dim (no row ever evaluates the probe expressions)
-    val cents = centroids.getOrElse {
-      val dim = queries.select(size(col(queryEmbCol))).take(1)
-        .headOption.map(_.getInt(0)).getOrElse(1)
-      Ivf.centroids(numLists, dim, seed)
-    }
+    val cents = resolveIvfCodebook(index, queries, queryEmbCol,
+      numLists, seed, centroids)
     val probes = queries
       .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
         explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))
           .as("list_id"))
-    // bounded metadata: ≤ numLists distinct ids — the static filter
-    // that makes the index scan a pruned-file subset
-    val probedLists = probes.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val pruned = index.filter(col("list_id").isin(probedLists: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(pruned, Seq("list_id"))
+    probes.join(index, Seq("list_id"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim",
         round(Ann.cosine(col(embCol), col("q_emb")), 6))
-      .withColumn("rnk", row_number().over(w).cast(
+      .withColumn("rank", row_number().over(w).cast(
         org.apache.spark.sql.types.LongType))
-      .filter(col("rnk") <= k)
+      .filter(col("rank") <= k)
       .drop("q_emb", "list_id", embCol)
   }
 
@@ -139,6 +229,7 @@ object AnnIndex {
 
   /** Build the LSH posting-list index: explode each row into its L
     * (table_id, bucket) assignments and write partitioned by both.
+    * Stamps (l, bits, dim, seed) into table properties.
     */
   def buildLsh(
       df: DataFrame,
@@ -158,19 +249,39 @@ object AnnIndex {
         col("tb.bucket").as("bucket") +: carried: _*)
       .writeTo(table)
       .partitionedBy(col("table_id"), col("bucket"))
+      .tableProperty(KindProp, "lsh")
+      .tableProperty(DimProp, dim.toString)
+      .tableProperty(LProp, l.toString)
+      .tableProperty(BitsProp, bits.toString)
+      .tableProperty(SeedProp, seed.toString)
       .createOrReplace()
+  }
+
+  /** Verified LSH geometry for a probe: (l, bits, seed) must match the
+    * stamp; dim comes from the stamp with zero jobs (plain frames fall
+    * back to a one-row probe of `dimOf`).
+    */
+  private def resolveLshDim(index: DataFrame, l: Int, bits: Int,
+      seed: Long, dimOf: => Option[Int]): Int = {
+    val props = tableProps(index)
+    checkProp(props, LProp, l.toString, "the table count L")
+    checkProp(props, BitsProp, bits.toString, "bits per table")
+    checkProp(props, SeedProp, seed.toString, "the seed")
+    props.get(DimProp).map(_.toInt).orElse(dimOf).getOrElse(1)
   }
 
   /** Batch kNN JOIN over the LSH posting-list index: each query row
     * computes its L (table_id, bucket) signatures in one codegen'd
-    * scan, the index is statically pruned to the union of probed
-    * buckets (≤ L × |batch| literal (t, b) pairs — driver metadata
-    * for query batches; at larger batch sizes drop the filter and let
-    * the equi-join's shuffle carry it), candidates come from the
-    * (table_id, bucket) equi-join deduped per (query, vector) —
-    * a pair can collide in several tables — then exact rerank and a
-    * per-query rank window. Result-identical to the scan-based
-    * [[Ann.knnJoin]] on the same corpus/parameters.
+    * scan, the index side is pruned at RUNTIME by
+    * [[graft.plans.RuntimePartitionPruning]]'s dynamic subqueries over
+    * the (table_id, bucket) equi-join keys — the scan reads only files
+    * of probed table_ids × probed buckets, at ANY batch size, with no
+    * driver-side bucket collection (the former 4096-literal cap and
+    * its full-scan fallback are gone). Candidates come from the
+    * (table_id, bucket) equi-join deduped per (query, vector) — a pair
+    * can collide in several tables — then exact rerank and a per-query
+    * rank window. Result-identical to the scan-based [[Ann.knnJoin]]
+    * on the same corpus/parameters.
     */
   def knnJoinLsh(
       index: DataFrame,
@@ -183,8 +294,9 @@ object AnnIndex {
       l: Int = 8,
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = queries.select(size(col(queryEmbCol))).take(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
+    val dim = resolveLshDim(index, l, bits, seed,
+      queries.select(size(col(queryEmbCol))).take(1)
+        .headOption.map(_.getInt(0)))
     val ps = Ann.planes(l, bits, dim, seed)
     val sigArr = array(ps.zipWithIndex.map { case (tp, t) =>
       struct(lit(t).as("table_id"),
@@ -195,23 +307,10 @@ object AnnIndex {
         explode(sigArr).as("tb"))
       .select(col("q_id"), col("q_emb"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
-    val probed = probes.select(col("table_id"), col("bucket")).distinct()
-      .limit(4097)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val pruned =
-      if (probed.isEmpty) index.limit(0)
-      else if (probed.length > 4096)
-        // batch too large for a literal OR-of-ANDs prune (driver-side
-        // filter + planning cost would outgrow the saving) — the
-        // (table_id, bucket) equi-join carries the selection instead
-        index
-      else index.filter(probed.map { case (t, b) =>
-        col("table_id") === lit(t) && col("bucket") === lit(b)
-      }.reduce(_ || _))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(pruned, Seq("table_id", "bucket"))
+    probes.join(index, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col("q_id"))
       .drop("table_id", "bucket")
       .dropDuplicates("q_id", idCol)
@@ -236,6 +335,10 @@ object AnnIndex {
       l: Int = 8,
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
+    val dim = resolveLshDim(index, l, bits, seed, Some(queryVec.length))
+    require(dim == queryVec.length,
+      s"ANN index/probe parameter mismatch: the index was built at " +
+        s"dim=$dim but the query vector has ${queryVec.length} components")
     val ps = Ann.planes(l, bits, queryVec.length, seed)
     val probe = ps.zipWithIndex.map { case (tp, t) =>
       col("table_id") === lit(t) &&

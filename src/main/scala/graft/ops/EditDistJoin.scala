@@ -114,56 +114,64 @@ object EditDistJoin {
     if (eagerPhases)
       titles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nSeg =
-      if (m != 0) m
-      else {
-        // one aggregate over the base index projection: rows vs
-        // distinct signatures — the autoWidth/autoBits measurement
-        val base = indexSegments(titles, k, k + 1)
-        val r = base.agg(count(lit(1)).as("rows"),
-          count_distinct(col("j"), col("i_len"), col("seg")).as("space"))
-          .head()
-        autoSegments(k, r.getLong(0), r.getLong(1))
+    // the eager phases run arbitrary Spark jobs — unpersist on EVERY
+    // exit path (incl. job failures and the ceiling abort), or the
+    // cached projection leaks for the session's lifetime
+    val (sigPairs, shortPairs) = try {
+      val nSeg =
+        if (m != 0) m
+        else {
+          // one aggregate over the base index projection: rows vs
+          // distinct signatures — the autoWidth/autoBits measurement
+          val base = indexSegments(titles, k, k + 1)
+          val r = base.agg(count(lit(1)).as("rows"),
+            count_distinct(col("j"), col("i_len"), col("seg")).as("space"))
+            .head()
+          autoSegments(k, r.getLong(0), r.getLong(1))
+        }
+      require(nSeg == k + 1 || nSeg == k + 2,
+        s"segment count must be k+1 or k+2, got $nSeg for k=$k")
+
+      val sig =
+        if (nSeg == k + 1) oneMatchPairs(titles, k)
+        else twoMatchPairs(titles, k)
+
+      // Short-string fallback: the pigeonhole needs m−k intact NONEMPTY
+      // segments, which requires len ≥ nSeg on the index side (every
+      // segment nonempty). Pair shorter strings all-pairs against the
+      // only possible partners (length ≤ len+k — anything longer is > k
+      // away by length alone); both sets are tiny in any real corpus.
+      val shortL = titles.filter(col("len") <= nSeg - 1)
+        .select(col("id").as("s_a"))
+      val shortR = titles.filter(col("len") <= nSeg - 1 + k)
+        .select(col("id").as("s_b"))
+      val short = shortL.join(shortR, col("s_a") =!= col("s_b"))
+        .select(least(col("s_a"), col("s_b")).as("left_id"),
+          greatest(col("s_a"), col("s_b")).as("right_id"))
+
+      maxCandidates.foreach { ceiling =>
+        // the short-string all-pairs leg counts toward the ceiling too —
+        // a corpus of 1-3 char codes goes quadratic THERE, not in the
+        // signature join (two tiny count aggregates; shortL ⊆ shortR so
+        // the product bounds the leg's output). Estimates are DOUBLES:
+        // the degenerate corpora this ceiling exists to abort are
+        // exactly the ones whose products overflow an int64 and would
+        // wrap negative, silently passing the check.
+        val nShortL = shortL.count()
+        val shortEst =
+          if (nShortL == 0) 0.0 else nShortL.toDouble * shortR.count()
+        val est = shortEst + estimateCandidates(titles, k, nSeg)
+        if (est > ceiling.toDouble)
+          throw new IllegalStateException(
+            f"EditDistJoin: estimated candidate count $est%.0f exceeds " +
+              s"the ceiling $ceiling (m=$nSeg, k=$k) — the segment-value " +
+              "space is saturated for this corpus; raise the ceiling, " +
+              "lengthen the join strings, or pre-bucket the corpus")
       }
-    require(nSeg == k + 1 || nSeg == k + 2,
-      s"segment count must be k+1 or k+2, got $nSeg for k=$k")
-
-    val sigPairs =
-      if (nSeg == k + 1) oneMatchPairs(titles, k)
-      else twoMatchPairs(titles, k)
-
-    // Short-string fallback: the pigeonhole needs m−k intact NONEMPTY
-    // segments, which requires len ≥ nSeg on the index side (every
-    // segment nonempty). Pair shorter strings all-pairs against the
-    // only possible partners (length ≤ len+k — anything longer is > k
-    // away by length alone); both sets are tiny in any real corpus.
-    val shortL = titles.filter(col("len") <= nSeg - 1)
-      .select(col("id").as("s_a"))
-    val shortR = titles.filter(col("len") <= nSeg - 1 + k)
-      .select(col("id").as("s_b"))
-    val shortPairs = shortL.join(shortR, col("s_a") =!= col("s_b"))
-      .select(least(col("s_a"), col("s_b")).as("left_id"),
-        greatest(col("s_a"), col("s_b")).as("right_id"))
-
-    maxCandidates.foreach { ceiling =>
-      // the short-string all-pairs leg counts toward the ceiling too —
-      // a corpus of 1-3 char codes goes quadratic THERE, not in the
-      // signature join (two tiny count aggregates; shortL ⊆ shortR so
-      // the product bounds the leg's output)
-      val nShortL = shortL.count()
-      val shortEst =
-        if (nShortL == 0) 0L else nShortL * shortR.count()
-      val est = shortEst + estimateCandidates(titles, k, nSeg)
-      if (est > ceiling) {
-        if (eagerPhases) titles.unpersist()
-        throw new IllegalStateException(
-          s"EditDistJoin: estimated candidate count $est exceeds the " +
-            s"ceiling $ceiling (m=$nSeg, k=$k) — the segment-value space " +
-            "is saturated for this corpus; raise the ceiling, lengthen " +
-            "the join strings, or pre-bucket the corpus")
-      }
+      (sig, short)
+    } finally {
+      if (eagerPhases) titles.unpersist()
     }
-    if (eagerPhases) titles.unpersist()
 
     // canonicalize the pair BEFORE verification so each unordered pair
     // is levenshtein'd exactly once (distance is symmetric, so which
@@ -306,7 +314,7 @@ object EditDistJoin {
     * an exact per-m estimate (a cheaper one-segment bound would abort
     * exactly the corpora two-match exists to save).
     */
-  private def estimateCandidates(titles: DataFrame, k: Int, m: Int): Long = {
+  private def estimateCandidates(titles: DataFrame, k: Int, m: Int): Double = {
     val (idxKeyed, prbKeyed) =
       if (m == k + 1) {
         val idx = indexSegments(titles, k, m)
@@ -346,8 +354,12 @@ object EditDistJoin {
         (idx, prb)
       }
     val joinCols = idxKeyed.columns.filterNot(_ == "ni").toSeq
+    // double-precision sum: bucket products on degenerate corpora can
+    // exceed int64 — the wrap-to-negative would defeat the ceiling
     idxKeyed.join(prbKeyed, joinCols)
-      .agg(coalesce(sum(col("ni") * col("np")), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(
+        sum(col("ni").cast(org.apache.spark.sql.types.DoubleType) *
+          col("np")), lit(0.0)))
+      .head().getDouble(0)
   }
 }

@@ -155,7 +155,7 @@ object Ivf {
        |    round(list_dot_product(c.v, q.v) /
        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
        |  FROM cand c JOIN qs q ON q.vec_id = c.q_id)
-       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label, cos_sim FROM (
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, label, cos_sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
        |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+/** Deterministic dynamic file pruning for equi-joins whose key is a
+  * PARTITION SOURCE COLUMN of a graft table — the DPP-style runtime
+  * filter that lets an index-served batch kNN join (qs20/qs21) read
+  * only the probed partitions' files at ANY batch size, where a
+  * driver-side literal IN prune stops scaling (the round-8 design
+  * capped it at 4096 buckets and fell back to a FULL index scan —
+  * exactly the workload the index exists for).
+  *
+  * Stock Spark's `PartitionPruning` rule supports DSv2 scans through
+  * `SupportsRuntimeFiltering`, but gates insertion on heuristics
+  * (a selective Filter on the other side, size-estimate benefit) that
+  * never fire for computed probe frames: a probe side built by
+  * explode()ing LSH signatures has its filters constant-folded or its
+  * stats inflated by the generator, so the fact-side scan reads every
+  * file. This rule replaces the heuristic with the structural
+  * condition that actually matters on our tables:
+  *
+  *   - the join key equals an identity/bucket/date partition SOURCE
+  *     column of a [[graft.connector.GraftScan]] relation — so an IN
+  *     filter over the key provably prunes whole files through
+  *     [[graft.connector.FilePruning]] (partition transforms give
+  *     every file min==max stats or an exact bucket value on the key);
+  *   - the other side is NOT itself a bare graft table scan — joins
+  *     between two stored tables keep Spark's own planning (storage-
+  *     partitioned joins / stock DPP); this rule targets probe frames
+  *     COMPUTED in-plan, whose distinct key set is execution-time
+  *     metadata.
+  *
+  * Mechanism: wrap the scan side in
+  * `Filter(DynamicPruningSubquery(key, otherSide, otherKey, …,
+  * onlyInBroadcast = false), side)`. Spark's own machinery does the
+  * rest — `PlanDynamicPruningFilters` plans the subquery (reusing the
+  * probe side's broadcast when the join broadcasts it, else as a
+  * standalone distinct-aggregate), `DataSourceV2Strategy` routes the
+  * predicate to `BatchScanExec.runtimeFilters`, and the scan's
+  * `SupportsRuntimeV2Filtering.filter()` re-prunes the file list
+  * before `planInputPartitions()` — cost ∝ probed partitions, never
+  * corpus size. `onlyInBroadcast = false` keeps the pruning
+  * DETERMINISTIC: a huge probe batch that stops broadcasting still
+  * prunes (one extra distinct-aggregate over the probe side — always
+  * cheaper than un-pruning an L×-amplified posting-list scan).
+  *
+  * Idempotent: a side already carrying a DynamicPruningSubquery on the
+  * same key is left alone (also keeps the operator-optimization
+  * fixpoint converging, and stock PartitionPruning skips keys we
+  * already pruned). Kill switch: spark.graft.runtimeFilter.enabled.
+  */
+object RuntimePartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.runtimeFilter.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUpWithPruning(_.containsPattern(TreePattern.JOIN)) {
+      case j @ Join(left, right, joinType, Some(cond), _)
+          if j.resolved && !j.isStreaming =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // prune a side only when the join drops its non-matching rows
+        val newLeft =
+          if (canPruneLeft(joinType)) prune(left, right, conjuncts) else left
+        val newRight =
+          if (canPruneRight(joinType)) prune(right, left, conjuncts) else right
+        if ((newLeft eq left) && (newRight eq right)) j
+        else j.copy(left = newLeft, right = newRight)
+    }
+  }
+
+  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+
+  private def canPruneRight(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter => true
+    case _ => false
+  }
+
+  /** The graft relation under projections/filters, if that's all there
+    * is on this side — matched in both optimizer phases (injected rules
+    * run BEFORE early scan pushdown, so the usual shape is the
+    * pre-pushdown DataSourceV2Relation; post-pushdown ScanRelations are
+    * handled for completeness).
+    */
+  private def graftRelOf(side: LogicalPlan)
+      : Option[(LogicalPlan, graft.meta.TableMetadata)] =
+    side match {
+      case PhysicalOperation(_, _,
+          r @ DataSourceV2Relation(t: graft.connector.GraftTable, _, _, _, _, _)) =>
+        Some((r, t.meta))
+      case PhysicalOperation(_, _,
+          r @ DataSourceV2ScanRelation(_, scan: graft.connector.GraftScan, _, _, _)) =>
+        Some((r, scan.table.meta))
+      case _ => None
+    }
+
+  private def hasPruningOn(side: LogicalPlan, key: Attribute): Boolean =
+    side.exists(_.expressions.exists(_.exists {
+      case d: DynamicPruningSubquery => d.pruningKey.semanticEquals(key)
+      case _ => false
+    }))
+
+  private def prune(side: LogicalPlan, other: LogicalPlan,
+      conjuncts: Seq[Expression]): LogicalPlan =
+    graftRelOf(side) match {
+      // the other side being a stored table itself → leave it to
+      // storage-partitioned joins / stock DPP (a subquery per key
+      // would re-scan that table once per key)
+      case Some((rel, meta)) if graftRelOf(other).isEmpty =>
+        val partitionCols: Set[String] = meta.specs.values
+          .flatMap(_.fields.map(_.sourceName.toLowerCase)).toSet
+        val relOut = rel.outputSet
+        val otherOut = other.outputSet
+        // (scan-side partition-column attribute, other-side key expr)
+        def oriented(a: Expression, b: Expression)
+            : Option[(Attribute, Expression)] = (a, b) match {
+          case (attr: Attribute, e)
+              if relOut.contains(attr) &&
+                partitionCols.contains(attr.name.toLowerCase) &&
+                e.references.subsetOf(otherOut) && e.references.nonEmpty &&
+                e.deterministic =>
+            Some((attr, e))
+          case _ => None
+        }
+        val keyPairs = conjuncts.flatMap {
+          case EqualTo(a, b) => oriented(a, b) orElse oriented(b, a)
+          case _ => None
+        }.distinct
+        keyPairs.foldLeft(side) { case (acc, (attr, otherKey)) =>
+          if (hasPruningOn(acc, attr)) acc
+          else Filter(DynamicPruningSubquery(
+            attr, other, Seq(otherKey), Seq(0), onlyInBroadcast = false), acc)
+        }
+      case _ => side
+    }
+}

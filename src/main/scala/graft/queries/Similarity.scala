@@ -719,9 +719,9 @@ object Similarity {
         s.table(s"$CatalogName.$db.emb_ivf"),
         queries, "vec_id", "embedding", "vec_id", "embedding",
         k = 5, numLists = IvfLists, nprobe = IvfProbe, seed = AnnSeed)
-        .select(col("q_id"), col("rnk"), col("vec_id"), col("label"),
+        .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
           col("cos_sim"))
-        .orderBy(col("q_id"), col("rnk"))
+        .orderBy(col("q_id"), col("rank"))
     },
 
     // qs13's batch kNN join served from the MATERIALIZED posting-list

@@ -441,9 +441,13 @@ object SketchQueries {
          |  SELECT event_type, event_id, value, ${hash60Sql("event_id")} AS h
          |  FROM events),
          |r AS (
+         |  -- DISTINCT h mirrors the Spark side's BottomKDistinct state:
+         |  -- with a duplicated event_id (or a 60-bit collision) a
+         |  -- duplicate-counting row_number would pick a different kth
+         |  -- threshold than the distinct bottom-k
          |  SELECT event_type, h,
          |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-         |  FROM h),
+         |  FROM (SELECT DISTINCT event_type, h FROM h)),
          |kth AS (
          |  SELECT event_type, max(h) AS kth
          |  FROM r WHERE rn <= $SketchK GROUP BY event_type),

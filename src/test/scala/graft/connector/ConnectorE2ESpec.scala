@@ -27,6 +27,30 @@ class ConnectorE2ESpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Post-execution (selected, total) file counts of the graft scan in
+    * an EXECUTED dataset's plan — runtime pruning filters
+    * (SupportsRuntimeV2Filtering) only narrow the file list during
+    * execution, so plan-time selectedFiles would overcount. The caller
+    * must have run an action on `dfq` itself (same QueryExecution).
+    */
+  private def executedSelectedVsTotal(
+      dfq: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p.collect {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty => Seq(l)
+      }.flatten
+    }
+    val scan = leaves(dfq.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case g: GraftScan => g }.get
+    (scan.selectedFiles.size, scan.table.liveFiles.size)
+  }
+
   test("namespace DDL through SQL") {
     spark.sql("CREATE NAMESPACE graft.sales")
     spark.sql("CREATE NAMESPACE graft.sales.eu")
@@ -501,20 +525,24 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .select("vec_id", "cos_sim").collect().toSeq
     assert(lshProbe.select("vec_id", "cos_sim").collect().toSeq == lshExpected)
 
-    // BATCH kNN join over the same IVF index: the scan must read the
-    // pruned subset covering the UNION of the batch's probe lists —
-    // still a strict subset of the table's files — and each query's
-    // rows must equal its single-query probe
+    // BATCH kNN join over the same IVF index: the equi-join on the
+    // list_id partition column gets a RUNTIME pruning subquery
+    // (graft.plans.RuntimePartitionPruning), so the executed scan must
+    // have read only the files covering the union of the batch's probe
+    // lists — a strict subset — and each query's rows must equal its
+    // single-query probe
     val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
     val knn = graft.ops.AnnIndex.knnJoinIvf(
       spark.table("graft.ann.emb_ivf"), queries,
       "vec_id", "embedding", "vec_id", "embedding",
       k = 10, numLists = 4, nprobe = 1, seed = 42L)
-    val (knnSel, knnTotal) = selectedVsTotal(knn)
+    val knnRows = knn.collect()
+    val (knnSel, knnTotal) = executedSelectedVsTotal(knn)
     assert(knnSel < knnTotal,
       s"batch kNN join must prune: selected $knnSel of $knnTotal files")
-    val got = knn.select("q_id", "rnk", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = knnRows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
     val want = (0L until 3L).flatMap { q =>
       graft.ops.AnnIndex.probeIvf(
         spark.table("graft.ann.emb_ivf")
@@ -527,17 +555,19 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
 
-    // batch kNN join over the LSH posting lists: pruned scan + results
-    // identical to the scan-based Ann.knnJoin on the same corpus
+    // batch kNN join over the LSH posting lists: runtime-pruned scan +
+    // results identical to the scan-based Ann.knnJoin on the same corpus
     val knnL = graft.ops.AnnIndex.knnJoinLsh(
       spark.table("graft.ann.emb_lsh"), queries,
       "vec_id", "embedding", "vec_id", "embedding",
       k = 10, l = 2, bits = 2, seed = 42L)
-    val (lSel, lTotal) = selectedVsTotal(knnL)
+    val knnLRows = knnL.collect()
+    val (lSel, lTotal) = executedSelectedVsTotal(knnL)
     assert(lSel < lTotal,
       s"batch LSH kNN join must prune: selected $lSel of $lTotal files")
-    val gotL = knnL.select("q_id", "rank", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotL = knnLRows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
     val wantL = graft.ops.Ann.knnJoin(queries, df,
         "vec_id", "embedding", k = 10, dim = dim, l = 2, bits = 2,
         seed = 42L)
@@ -556,6 +586,104 @@ class ConnectorE2ESpec extends AnyFunSuite {
       spark.table("graft.ann.emb_lsh"), none,
       "vec_id", "embedding", "vec_id", "embedding",
       k = 5, l = 2, bits = 2, seed = 42L).count() == 0)
+  }
+
+  test("LSH batch kNN join prunes at runtime past 4096 probed buckets") {
+    import org.apache.spark.sql.functions.col
+    // 16-bit buckets over one table: the probe batch below selects
+    // >4096 DISTINCT buckets — the round-8 literal prune's cliff —
+    // and the runtime subquery must still reduce the scan to the
+    // (rare) files whose bucket any query actually probes
+    val dim = 8
+    val l = 2
+    val bits = 16
+    val rnd = new scala.util.Random(3)
+    val corpus = spark.createDataFrame(
+      (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annbig")
+    graft.ops.AnnIndex.buildLsh(corpus, "graft.annbig.emb_lsh", "embedding",
+      l = l, bits = bits, dim = dim, seed = 42L)
+
+    val queries = spark.createDataFrame(
+      (10000L until 16000L).map(i =>
+        (i, Array.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    // sanity: this batch really does probe more distinct (table,
+    // bucket) pairs than the old literal-prune cap
+    val ps = graft.ops.Ann.planes(l, bits, dim, 42L)
+    val probedBuckets = ps.zipWithIndex.map { case (tp, t) =>
+      queries.select(graft.ops.Ann.bucket(col("embedding"), tp).as("b"))
+        .distinct().count()
+    }.sum
+    assert(probedBuckets > 4096, s"fixture probes only $probedBuckets buckets")
+
+    val knn = graft.ops.AnnIndex.knnJoinLsh(
+      spark.table("graft.annbig.emb_lsh"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, l = l, bits = bits, seed = 42L)
+    val got = knn.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val (sel, total) = executedSelectedVsTotal(knn)
+    assert(sel < total,
+      s"large-batch LSH kNN join must runtime-prune: $sel of $total files")
+
+    // identical to the scan-based two-sided bucketing join
+    val want = graft.ops.Ann.knnJoin(queries, corpus,
+        "vec_id", "embedding", k = 3, dim = dim, l = l, bits = bits,
+        seed = 42L)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("stamped index tables refuse mismatched probe parameters") {
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    val df = spark.createDataFrame(
+      (0L until 50L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annmm")
+    graft.ops.AnnIndex.buildIvf(df, "graft.annmm.ivf", "embedding",
+      numLists = 4, dim = dim, seed = 42L)
+    graft.ops.AnnIndex.buildLsh(df, "graft.annmm.lsh", "embedding",
+      l = 2, bits = 4, dim = dim, seed = 42L)
+    val q = Array.fill(dim)(0.5)
+
+    // wrong numLists / seed / dim / bits / codebook all fail loudly
+    // instead of silently probing the wrong buckets
+    def mismatches(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("mismatch"), e.getMessage)
+    }
+    mismatches(graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.annmm.ivf"), "vec_id", "embedding", q,
+      k = 3, numLists = 8, nprobe = 1, seed = 42L).collect())
+    mismatches(graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.annmm.ivf"), "vec_id", "embedding", q,
+      k = 3, numLists = 4, nprobe = 1, seed = 7L).collect())
+    mismatches(graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.annmm.ivf"), "vec_id", "embedding",
+      Array.fill(dim + 1)(0.5), k = 3, numLists = 4, nprobe = 1,
+      seed = 42L).collect())
+    mismatches(graft.ops.AnnIndex.knnJoinIvf(
+      spark.table("graft.annmm.ivf"), df, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, numLists = 4, nprobe = 1, seed = 42L,
+      centroids = Some(Seq(Array.fill(dim)(1.0)))).collect())
+    mismatches(graft.ops.AnnIndex.knnJoinLsh(
+      spark.table("graft.annmm.lsh"), df, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, l = 2, bits = 8, seed = 42L).collect())
+    mismatches(graft.ops.AnnIndex.probeLsh(
+      spark.table("graft.annmm.lsh"), "vec_id", "embedding", q,
+      k = 3, l = 3, bits = 4, seed = 42L).collect())
+
+    // matching parameters still work, with the dim taken from the
+    // stamp (no take(1) job on the query side)
+    assert(graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.annmm.ivf"), "vec_id", "embedding", q,
+      k = 3, numLists = 4, nprobe = 1, seed = 42L).count() == 3)
   }
 
   test("IVF index built from trained k-means centroids probes correctly") {

@@ -1,0 +1,116 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connector.{GraftCatalog, GraftExtensions, GraftScan}
+
+/** The deterministic runtime file-pruning rule: equi-joins keyed on a
+  * graft table's partition columns must read only the files the other
+  * side's distinct keys select — and must stay OUT of the way for
+  * table-to-table joins and when disabled.
+  */
+class RuntimePartitionPruningSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-rpp").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rpp-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def executedGraftScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[GraftScan] = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p.collect {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty => Seq(l)
+      }.flatten
+    }
+    leaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case g: GraftScan => g }
+  }
+
+  private lazy val fixture: Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rpp")
+    spark.sql("""CREATE TABLE graft.rpp.fact (k INT, v BIGINT)
+      PARTITIONED BY (k)""")
+    spark.sql("""INSERT INTO graft.rpp.fact
+      SELECT id % 16 AS k, id AS v FROM range(0, 1600)""")
+    spark.sql("CREATE TABLE graft.rpp.dim (k INT, name STRING)")
+    spark.sql("""INSERT INTO graft.rpp.dim
+      SELECT id AS k, CAST(id AS STRING) FROM range(0, 16)""")
+  }
+
+  test("computed probe side prunes the partitioned fact scan at runtime") {
+    fixture
+    // probe frame computed in-plan (range + transform): joins two of
+    // the 16 k-partitions, so the executed scan must read ~2/16 files
+    val probes = spark.range(0, 2).select((col("id") * 7).cast("int").as("k"))
+    val joined = probes.join(spark.table("graft.rpp.fact"), Seq("k"))
+    val n = joined.collect().length
+    assert(n == 200, s"expected 2 partitions x 100 rows, got $n")
+    val scan = executedGraftScans(joined).head
+    assert(scan.selectedFiles.size < scan.table.liveFiles.size,
+      s"${scan.selectedFiles.size} of ${scan.table.liveFiles.size}")
+
+    // results identical with the rule off (and no runtime pruning then)
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    try {
+      val off = probes.join(spark.table("graft.rpp.fact"), Seq("k"))
+      assert(off.collect().length == n)
+      val offScan = executedGraftScans(off).head
+      assert(offScan.selectedFiles.size == offScan.table.liveFiles.size,
+        "kill switch must disable runtime pruning")
+    } finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+  }
+
+  test("graft-to-graft table joins are left to storage-partitioned planning") {
+    fixture
+    val j = spark.table("graft.rpp.dim")
+      .filter(col("k") < 2)
+      .join(spark.table("graft.rpp.fact"), Seq("k"))
+    // apply THIS rule directly to the analyzed plan: it must be a
+    // no-op when both sides are stored graft tables (stock DPP /
+    // storage-partitioned joins own that case — and stock DPP does
+    // fire here on its own, which is the intended division of labor)
+    val analyzed = j.queryExecution.analyzed
+    assert(RuntimePartitionPruning(analyzed).fastEquals(analyzed),
+      "rule must not inject subqueries between two stored graft tables")
+    assert(j.collect().length == 200)
+  }
+
+  test("outer joins only prune the side whose rows the join can drop") {
+    fixture
+    val probes = spark.range(0, 2).select((col("id") * 7).cast("int").as("k"),
+      col("id").as("tag"))
+    // fact LEFT OUTER probe: fact rows survive unmatched — fact (left)
+    // must NOT be pruned
+    val lo = spark.table("graft.rpp.fact").join(probes, Seq("k"), "left_outer")
+    assert(lo.collect().length == 1600)
+    val loScan = executedGraftScans(lo).head
+    assert(loScan.selectedFiles.size == loScan.table.liveFiles.size)
+
+    // probe LEFT SEMI fact: no pruning of fact needed for semantics,
+    // but fact is droppable... (semi keeps left, prunes right? no —
+    // canPruneRight excludes LeftSemi); probe LEFT OUTER fact: fact is
+    // the right side and IS droppable-joined — prunable
+    val ro = probes.join(spark.table("graft.rpp.fact"), Seq("k"), "inner")
+    ro.collect()
+    val roScan = executedGraftScans(ro).head
+    assert(roScan.selectedFiles.size < roScan.table.liveFiles.size)
+  }
+}
