@@ -1,0 +1,203 @@
+package graft.connector
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.meta._
+import graft.store.TabularId
+
+/** Equality deletes (Iceberg content = 2): delete files holding KEY
+  * TUPLES over a declared column subset; a row of any data file with a
+  * strictly SMALLER sequence number matching a key tuple is deleted at
+  * read time. This is the merge-on-read shape streaming upsert writers
+  * (Flink CDC ingestion) produce — they cannot know row positions, so
+  * they delete by key. The reference serves full Iceberg metadata where
+  * such files occur (iceberg-ext/src/spec/mod.rs:3-8 re-exports the
+  * spec types; its certified engines read tables carrying them) — a
+  * reader that ignores them silently returns deleted rows.
+  *
+  * Write path: the key frame is deduplicated, written DISTRIBUTED as
+  * ordinary parquet through [[GraftDataWriter]] (per-file min/max stats
+  * on every key column), and committed as content-2 entries stamped
+  * with the commit's sequence number. Read path: [[GraftScan]] matches
+  * delete files to data files by sequence + key-column stat overlap,
+  * and [[MetaDeleteReaderFactory]] drops matching rows executor-side
+  * (the key sets load once per (task, delete file) from the delete
+  * parquet — never through the driver).
+  *
+  * 100 TB posture: delete files are small relative to data (they hold
+  * keys, not rows) and transient — `rewrite_data_files` reads through
+  * the scan (deletes applied) and re-stamps survivors with a newer
+  * sequence, after which the delete entries cover nothing and
+  * [[graft.maintenance.RewritePositionDeletes]]-style maintenance can
+  * drop them. Scans pay: one manifest-summary check when no deletes
+  * exist (the common case), and per-affected-file key-set membership
+  * when they do.
+  */
+object EqualityDeletes {
+
+  /** Equality-key column types the executor-side loader can read back
+    * from the delete parquet byte-identically to the scan's row values.
+    */
+  def supportedKeyType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Write one equality-delete commit: every row of `keys` (projected
+    * to `equalityIds`, deduplicated) becomes a delete key applying to
+    * all CURRENT data (strictly older sequence). Returns the number of
+    * distinct keys written; an empty key set commits nothing.
+    */
+  def write(
+      spark: SparkSession,
+      catalog: GraftCatalog,
+      id: TabularId,
+      keys: DataFrame,
+      equalityIds: Seq[String]): Long = {
+    require(equalityIds.nonEmpty, "equalityIds must be non-empty")
+    val (meta, _) = catalog.store.loadTableMetadata(id).getOrElse(
+      throw new IllegalArgumentException(s"No such table: $id"))
+    val schema = meta.currentSchema.struct
+    val keyFields = equalityIds.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality column '$c' does not exist in $id"))
+      require(supportedKeyType(f.dataType),
+        s"equality column '$c' has unsupported type ${f.dataType.sql}; " +
+          "supported: string, integral, double, float, boolean, date")
+      f
+    }
+    val keySchema = StructType(keyFields)
+    // project + cast to the TABLE's column types (a LONG key frame
+    // deleting an INT column would otherwise never match) and dedup
+    val proj = keys.select(keyFields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*).distinct()
+
+    val hc = spark.sessionState.newHadoopConf()
+    GraftDataWriter.applyParquetProperties(meta.properties, hc)
+    val conf = new SerializableConfiguration(hc)
+    val location = meta.location
+    // distributed write of the key tuples: one GraftDataWriter per
+    // task (unpartitioned spec — equality deletes here are global),
+    // per-file min/max stats on every key column for delete-to-data
+    // matching
+    val unpartitioned = PartitionSpec(meta.defaultSpec.specId, Nil)
+    val written: Seq[DataFile] = proj.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val w = new GraftDataWriter(location, keySchema, unpartitioned,
+            conf.value, pid, pid.toLong)
+          rows.foreach(w.write)
+          w.commit() match {
+            case GraftCommitMessage(fs) => fs.iterator
+            case _ => Iterator.empty
+          }
+        }
+      }.collect().toSeq // bounded metadata: one DataFile per task
+    if (written.isEmpty) return 0L
+
+    // delete files live under data/ but with a marker name, and the
+    // manifest entry carries content=2 + the key column list
+    val eqFiles = written.map(f => f.copy(
+      content = DataFile.ContentEqualityDeletes,
+      equalityIds = equalityIds.map(c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)))
+
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    catalog.store.commitTableWith(id,
+      Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
+      current => {
+        val parentSnapshot = current.currentSnapshot
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        val manifest = catalog.store.writeManifest(current.location,
+          ManifestFile(GraftWrite.assignRowIds(current, eqFiles), snapshotId),
+          Some(current.currentSchema.struct))
+        val snap = Snapshot(
+          snapshotId,
+          parentSnapshot.map(_.snapshotId),
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "overwrite", // non-append: streaming tails skip it
+          Map(
+            "added-delete-files" -> eqFiles.size.toString,
+            "added-equality-deletes" ->
+              eqFiles.map(_.recordCount).sum.toString,
+            "equality-ids" -> equalityIds.mkString(","),
+            "spark.app.id" -> spark.sparkContext.applicationId) ++
+            GraftWrite.totalsSummary(parentSnapshot, eqFiles,
+              ManifestReplace.Removed.zero),
+          parentManifests :+ manifest,
+          current.currentSchemaId)
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+            current.refs.get(TableMetadata.MainBranch)
+              .map(_.copy(snapshotId = snapshotId))
+              .getOrElse(SnapshotRef(snapshotId, isBranch = true))))
+      })
+    eqFiles.map(_.recordCount).sum
+  }
+
+  // ---------------------------------------------------------------------
+  // executor-side key loading
+  // ---------------------------------------------------------------------
+
+  /** Per-file delete spec shipped inside input partitions. */
+  final case class EqDeleteSpec(path: String, ids: Seq[String])
+    extends Serializable
+
+  /** Load a delete file's key tuples as a hash set of value lists,
+    * with every value normalized to the SAME representation
+    * InternalRow.get returns for the column's Spark type (UTF8String
+    * for strings, Int for dates, …) so set membership is exact.
+    * `types` must align with `ids`.
+    */
+  def load(path: String, ids: Seq[String], types: Seq[DataType],
+      conf: Configuration): java.util.HashSet[List[Any]] = {
+    val out = new java.util.HashSet[List[Any]]()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(conf)
+      .build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val key = ids.zip(types).map { case (c, dt) =>
+          if (g.getType.containsField(c) &&
+              g.getFieldRepetitionCount(c) > 0) value(g, c, dt)
+          else null
+        }.toList
+        out.add(key)
+        g = reader.read()
+      }
+    } finally reader.close()
+    out
+  }
+
+  private def value(g: org.apache.parquet.example.data.Group,
+      name: String, dt: DataType): Any = dt match {
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        g.getBinary(name, 0).getBytes)
+    case LongType => g.getLong(name, 0)
+    case IntegerType => g.getInteger(name, 0)
+    case ShortType => g.getInteger(name, 0).toShort
+    case ByteType => g.getInteger(name, 0).toByte
+    case DoubleType => g.getDouble(name, 0)
+    case FloatType => g.getFloat(name, 0)
+    case BooleanType => g.getBoolean(name, 0)
+    case DateType => g.getInteger(name, 0) // days since epoch
+    case other =>
+      throw new IllegalStateException(
+        s"unsupported equality-delete key type $other")
+  }
+}

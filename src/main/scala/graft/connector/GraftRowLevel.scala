@@ -212,6 +212,26 @@ class GraftCowBatchWrite(
             s"Row-level operation conflict on ${table.tableId}: " +
               s"${replacedPaths.size - removed.count} scanned file(s) " +
               "were rewritten concurrently")
+        // an equality delete committed AFTER the snapshot this rewrite
+        // read would be lost: the rewrite resurrects its rows into new
+        // files whose (new) sequence the delete no longer covers —
+        // Iceberg's validateNoNewDeleteFiles. Fast path: parent IS the
+        // scanned snapshot → nothing landed in between.
+        val scannedId = table.readSnapshot.map(_.snapshotId)
+        if (parentSnapshot.map(_.snapshotId) != scannedId) {
+          val scannedSeq = table.readSnapshot.map(_.sequenceNumber)
+            .getOrElse(0L)
+          val fresh = table.store
+            .readManifests(current.location, keptManifests)
+            .flatMap(_.entries)
+            .filter(d => d.isEqualityDeletes &&
+              d.sequenceOrOldest > scannedSeq)
+          if (fresh.nonEmpty)
+            throw new CommitFailedException(
+              s"Row-level operation conflict on ${table.tableId}: " +
+                s"${fresh.size} equality-delete file(s) were committed " +
+                "after the snapshot this rewrite read")
+        }
         val manifests = keptManifests ++ (
           if (newFiles.nonEmpty)
             Seq(table.store.writeManifest(current.location,

@@ -91,7 +91,7 @@ class GraftStagedTable(
     GraftBatchWrite.requireContained(stagedMeta.location, files)
     def snapshotUpdates(parent: TableMetadata, op: String): Seq[TableUpdate] = {
       val manifest = catalog.store.writeManifest(stagedMeta.location,
-        ManifestFile(files, snapshotId),
+        ManifestFile(GraftWrite.assignRowIds(parent, files), snapshotId),
         Some(stagedMeta.currentSchema.struct))
       Seq(
         TableUpdate.AddSnapshot(Snapshot(
@@ -127,7 +127,7 @@ class GraftStagedTable(
           TableUpdate.SetProperties(stagedMeta.properties)) ++ {
           // replace snapshot references ONLY the new files
           val manifest = catalog.store.writeManifest(current.location,
-            ManifestFile(files, snapshotId),
+            ManifestFile(GraftWrite.assignRowIds(current, files), snapshotId),
             Some(stagedMeta.currentSchema.struct))
           Seq(
             TableUpdate.AddSnapshot(Snapshot(

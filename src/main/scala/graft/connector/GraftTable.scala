@@ -373,6 +373,21 @@ class GraftScan(
         f.name == GraftTable.PosColumnName ||
         f.name == GraftTable.RowIdColumnName))
 
+  /** Parquet projection actually read: the required data columns plus
+    * any equality-delete KEY columns the query pruned — they must be
+    * read to test key membership, but the row assembler never copies
+    * them into the output (MetaDeleteReaderFactory.outputDataWidth).
+    */
+  private lazy val scanReadSchema: StructType =
+    if (eqDeleteFiles.isEmpty) parquetReadSchema
+    else {
+      val present = parquetReadSchema.fieldNames.map(_.toLowerCase).toSet
+      StructType(parquetReadSchema.fields ++
+        eqDeleteFiles.flatMap(_.equalityIds).distinct
+          .filterNot(c => present.contains(c.toLowerCase))
+          .flatMap(c => dataSchema.fields.find(_.name.equalsIgnoreCase(c))))
+    }
+
   /** Two-level pruned file list. Level 1: whole MANIFESTS are pruned
     * from their write-time summaries before any entry list is parsed
     * (planning cost tracks surviving manifests, not total files);
@@ -396,24 +411,32 @@ class GraftScan(
           table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
   }
 
-  /** Position-delete files of the read snapshot (merge-on-read).
-    * Located from manifest SUMMARIES (the deleteEntries counter), so
-    * the common all-data case costs zero manifest parses; a summary
-    * missing entirely is parsed to stay conservative.
+  /** Delete files (position + equality) of the read snapshot
+    * (merge-on-read). Located from manifest SUMMARIES (the
+    * deleteEntries counter), so the common all-data case costs zero
+    * manifest parses; a summary missing entirely is parsed to stay
+    * conservative.
     */
-  private lazy val posDeleteFiles: Seq[DataFile] = {
+  private lazy val allDeleteFiles: Seq[DataFile] = {
     val loc = table.meta.location
     val manifests = scanSnapshot.toSeq.flatMap(_.manifests)
     val carrying = manifests.filter(m =>
       table.store.readManifestSummary(loc, m).forall(_.deleteEntries > 0))
     if (carrying.isEmpty) Nil
     else table.store.readManifests(loc, carrying).flatMap(_.entries)
-      .filter(_.isPositionDeletes)
+      .filterNot(_.isData)
   }
 
-  /** Delete files possibly covering `f`, matched by the delete file's
-    * file_path min/max stats — no delete parquet is opened at plan
-    * time; absent stats keep the delete file (conservative).
+  private lazy val posDeleteFiles: Seq[DataFile] =
+    allDeleteFiles.filter(_.isPositionDeletes)
+
+  private lazy val eqDeleteFiles: Seq[DataFile] =
+    allDeleteFiles.filter(_.isEqualityDeletes)
+
+  /** Position-delete files possibly covering `f`, matched by the
+    * delete file's file_path min/max stats — no delete parquet is
+    * opened at plan time; absent stats keep the delete file
+    * (conservative).
     */
   private def deleteFilesFor(f: DataFile): Seq[String] =
     posDeleteFiles.filter { d =>
@@ -423,6 +446,33 @@ class GraftScan(
         case _ => true
       }
     }.map(_.path)
+
+  /** Equality-delete files possibly covering `f`: the delete must be
+    * STRICTLY NEWER (sequence) than the data file, and every key
+    * column's [min, max] must overlap the data file's — a provably
+    * disjoint key range can't delete anything here. Absent stats on
+    * either side keep the delete (conservative).
+    */
+  private def eqDeletesFor(f: DataFile): Seq[DataFile] =
+    eqDeleteFiles.filter { d =>
+      d.sequenceOrOldest > f.sequenceOrOldest &&
+        d.equalityIds.forall { c =>
+          (d.columnStats.get(c), f.columnStats.find(
+            _._1.equalsIgnoreCase(c)).map(_._2),
+            dataSchema.fields.find(_.name.equalsIgnoreCase(c))
+              .map(_.dataType)) match {
+            case (Some(ds), Some(fs), Some(dt))
+                if ds.min.isDefined && ds.max.isDefined &&
+                  fs.min.isDefined && fs.max.isDefined =>
+              // [dMin, dMax] ∩ [fMin, fMax] ≠ ∅
+              ColumnStat.compare(ds.min.get,
+                ColumnStat.parse(fs.max.get, dt), dt) <= 0 &&
+                ColumnStat.compare(ds.max.get,
+                  ColumnStat.parse(fs.min.get, dt), dt) >= 0
+            case _ => true
+          }
+        }
+    }
 
   /** Runtime narrowing from SupportsRuntimeV2Filtering (rewrite scans). */
   private var runtimePaths: Option[Set[String]] = None
@@ -528,11 +578,11 @@ class GraftScan(
 
   private lazy val keyedSpec: Option[PartitionSpec] = {
     val spec = table.meta.defaultSpec
-    // pending position deletes force the delete-applying row path, so
-    // keyed whole-file partitions are suspended until compaction
-    // materializes the deletes
+    // pending deletes (position or equality) force the delete-applying
+    // row path, so keyed whole-file partitions are suspended until
+    // compaction materializes the deletes
     if (spec.fields.isEmpty || !v2BucketingEnabled ||
-      posDeleteFiles.nonEmpty || needPositions) None
+      allDeleteFiles.nonEmpty || needPositions) None
     else if (selectedFiles.nonEmpty && selectedFiles.forall(f =>
         f.specId == spec.specId &&
           spec.fields.forall(pf => f.partition.contains(pf.name))))
@@ -604,14 +654,24 @@ class GraftScan(
     // merge-on-read: rows needing true file positions (a requested
     // `_pos`, or pending position deletes on the file) must be read
     // WHOLE-FILE with no byte-range splits, so the reader's row
-    // ordinal equals the file position
+    // ordinal equals the file position. Equality-delete-affected files
+    // also route through the delete-aware partitions (one per file) so
+    // their readers know which key sets to apply — value matching
+    // would tolerate splits, but delete-carrying states are transient
+    // (compaction clears them) and per-file units keep the plumbing
+    // one shape.
     val deletesByPath: Map[String, Seq[String]] =
       if (posDeleteFiles.isEmpty) Map.empty
       else selectedFiles.iterator.map(f => f.path -> deleteFilesFor(f))
         .filter(_._2.nonEmpty).toMap
+    val eqByPath: Map[String, Seq[DataFile]] =
+      if (eqDeleteFiles.isEmpty) Map.empty
+      else selectedFiles.iterator.map(f => f.path -> eqDeletesFor(f))
+        .filter(_._2.nonEmpty).toMap
     val (dirty, clean) =
       if (needPositions) (selectedFiles, Seq.empty[DataFile])
-      else selectedFiles.partition(f => deletesByPath.contains(f.path))
+      else selectedFiles.partition(f =>
+        deletesByPath.contains(f.path) || eqByPath.contains(f.path))
 
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
@@ -647,7 +707,10 @@ class GraftScan(
           InternalRow.empty, SparkPath.fromPathString(f.path), 0L,
           f.fileSizeBytes, Array.empty[String], 0L, f.fileSizeBytes,
           Map.empty)),
-        Array(deletesByPath.getOrElse(f.path, Nil).toArray)): InputPartition
+        Array(deletesByPath.getOrElse(f.path, Nil).toArray),
+        Array(eqByPath.getOrElse(f.path, Nil).map(d =>
+          EqualityDeletes.EqDeleteSpec(d.path, d.equalityIds))
+          .toArray)): InputPartition
     }
     packed ++ dirtyParts
   }
@@ -656,7 +719,7 @@ class GraftScan(
     // mirror of Spark's ParquetScan.createReaderFactory conf handshake
     val hadoopConf = spark.sessionState.newHadoopConf()
     val sqlConf = spark.sessionState.conf
-    val readDataSchemaAsJson = parquetReadSchema.json
+    val readDataSchemaAsJson = scanReadSchema.json
     hadoopConf.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     hadoopConf.set(
@@ -669,7 +732,7 @@ class GraftScan(
     hadoopConf.setBoolean("spark.sql.caseSensitive",
       sqlConf.caseSensitiveAnalysis)
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(parquetReadSchema, hadoopConf)
+      .setSchema(scanReadSchema, hadoopConf)
     hadoopConf.setBoolean("spark.sql.parquet.binaryAsString",
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean("spark.sql.parquet.int96AsTimestamp",
@@ -693,7 +756,7 @@ class GraftScan(
       spark.sessionState.conf,
       broadcastConf,
       dataSchema,
-      parquetReadSchema,
+      scanReadSchema,
       new StructType(), // partition columns live in the data files
       fs,
       None,
@@ -705,10 +768,10 @@ class GraftScan(
     // unfiltered path (via DeleteAwareFilePartition)
     val effectiveFilters =
       if (needPositions) Array.empty[Filter] else readerFilters
-    val parquetFactory = mkFactory(effectiveFilters)
-    if (fileColOrdinal < 0 && !needPositions && posDeleteFiles.isEmpty)
-      parquetFactory
+    if (fileColOrdinal < 0 && !needPositions && allDeleteFiles.isEmpty)
+      mkFactory(effectiveFilters)
     else {
+      val parquetFactory = mkFactory(effectiveFilters)
       val plainFactory =
         if (effectiveFilters.isEmpty) parquetFactory
         else mkFactory(Array.empty)
@@ -720,7 +783,10 @@ class GraftScan(
           f.firstRowId.map(f.path -> _)).toMap
       MetaDeleteReaderFactory(parquetFactory, plainFactory,
         fileColOrdinal, posColOrdinal, rowIdColOrdinal, firstRowIds,
-        parquetReadSchema.fields.map(_.dataType),
+        scanReadSchema.fields.map(_.dataType),
+        parquetReadSchema.length,
+        scanReadSchema.fieldNames.zipWithIndex
+          .map { case (n, i) => n.toLowerCase -> i }.toMap,
         new SerializableConfiguration(hadoopConf))
     }
   }
@@ -786,12 +852,14 @@ final class KeyedFilePartition(
 /** A file partition whose files must be read whole (no byte-range
   * splits) with positions tracked: `deletes(i)` are the position-delete
   * parquet paths covering `files(i)` (possibly empty when the partition
-  * exists only because `_pos` was requested).
+  * exists only because `_pos` was requested), and `eqDeletes(i)` the
+  * equality-delete files whose key sets apply to `files(i)`.
   */
 final class DeleteAwareFilePartition(
     index: Int,
     files: Array[PartitionedFile],
-    val deletes: Array[Array[String]])
+    val deletes: Array[Array[String]],
+    val eqDeletes: Array[Array[EqualityDeletes.EqDeleteSpec]])
   extends FilePartition(index, files)
 
 /** Executor-side loading of position-delete parquet files
@@ -836,14 +904,21 @@ object PositionDeletes {
 }
 
 /** Row-based reader that appends the `_file`/`_pos` metadata columns
-  * and filters out position-deleted rows. Used only when a scan
-  * requests metadata columns or the snapshot carries position deletes —
+  * and filters out position- and equality-deleted rows. Used only when
+  * a scan requests metadata columns or the snapshot carries deletes —
   * normal scans stay on the vectorized columnar path.
   *
-  * Delegate choice per file: files with pending deletes (and all files
-  * when `_pos` is requested) read through `plain` (no parquet filter
-  * pushdown — row-group skipping would shift ordinals); clean files
-  * keep `filtered`.
+  * Delegate choice per file: files with pending position deletes (and
+  * all files when `_pos` is requested) read through `plain` (no
+  * parquet filter pushdown — row-group skipping would shift ordinals);
+  * clean and equality-delete-only files keep `filtered` (value
+  * matching is position-independent).
+  *
+  * `dataTypes` covers the full read projection INCLUDING trailing
+  * equality-key columns the query pruned; only the first
+  * `outputDataWidth` data columns are copied to output rows.
+  * Equality key sets load once per (reader, delete file) from the
+  * delete parquet — executor-side, cached across the partition's files.
   */
 final case class MetaDeleteReaderFactory(
     filtered: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
@@ -853,10 +928,12 @@ final case class MetaDeleteReaderFactory(
     rowIdOrdinal: Int,
     firstRowIds: Map[String, Long],
     dataTypes: Array[org.apache.spark.sql.types.DataType],
+    outputDataWidth: Int,
+    colOrdinals: Map[String, Int],
     conf: SerializableConfiguration)
   extends PartitionReaderFactory {
 
-  private def outputWidth = dataTypes.length +
+  private def outputWidth = outputDataWidth +
     (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0) +
     (if (rowIdOrdinal >= 0) 1 else 0)
 
@@ -864,16 +941,24 @@ final case class MetaDeleteReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val (files, deletes) = partition match {
-      case d: DeleteAwareFilePartition => (d.files, d.deletes)
+    val empty = Array.empty[EqualityDeletes.EqDeleteSpec]
+    val (files, deletes, eqDeletes) = partition match {
+      case d: DeleteAwareFilePartition => (d.files, d.deletes, d.eqDeletes)
       case f: FilePartition =>
-        (f.files, Array.fill(f.files.length)(Array.empty[String]))
+        (f.files, Array.fill(f.files.length)(Array.empty[String]),
+          Array.fill(f.files.length)(empty))
     }
     new PartitionReader[InternalRow] {
       private var idx = -1
       private var current: PartitionReader[InternalRow] = _
       private var currentPath: org.apache.spark.unsafe.types.UTF8String = _
       private var currentDeleted: Array[Long] = Array.emptyLongArray
+      // (key-column ordinals, key-column types, key set) per delete file
+      private var currentEq
+          : Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
+            java.util.HashSet[List[Any]])] = Array.empty
+      private val eqCache = scala.collection.mutable.HashMap
+        .empty[String, java.util.HashSet[List[Any]]]
       private var currentFirstRowId: java.lang.Long = _
       private var pos = -1L
       private val out =
@@ -896,9 +981,36 @@ final case class MetaDeleteReaderFactory(
             if (deletes(idx).isEmpty) Array.emptyLongArray
             else PositionDeletes.load(deletes(idx), f.filePath.toString,
               conf.value)
+          currentEq = eqDeletes(idx).map { spec =>
+            val ords = spec.ids.map(c =>
+              colOrdinals(c.toLowerCase)).toArray
+            val types = ords.map(dataTypes)
+            val keys = eqCache.getOrElseUpdate(spec.path,
+              EqualityDeletes.load(spec.path, spec.ids,
+                ords.map(dataTypes).toSeq, conf.value))
+            (ords, types, keys)
+          }
           pos = -1L
           true
         }
+      }
+
+      private def eqDeleted(row: InternalRow): Boolean = {
+        var d = 0
+        while (d < currentEq.length) {
+          val (ords, types, keys) = currentEq(d)
+          val key = new Array[Any](ords.length)
+          var i = 0
+          while (i < ords.length) {
+            key(i) =
+              if (row.isNullAt(ords(i))) null
+              else row.get(ords(i), types(i))
+            i += 1
+          }
+          if (keys.contains(key.toList)) return true
+          d += 1
+        }
+        false
       }
 
       override def next(): Boolean = {
@@ -906,10 +1018,12 @@ final case class MetaDeleteReaderFactory(
           if (current == null && !advanceFile()) return false
           if (current.next()) {
             pos += 1
-            if (currentDeleted.isEmpty ||
-              java.util.Arrays.binarySearch(currentDeleted, pos) < 0)
+            val posLive = currentDeleted.isEmpty ||
+              java.util.Arrays.binarySearch(currentDeleted, pos) < 0
+            if (posLive &&
+                (currentEq.isEmpty || !eqDeleted(current.get())))
               return true
-            // else: row is position-deleted, keep scanning
+            // else: row is deleted, keep scanning
           } else {
             current.close()
             current = null

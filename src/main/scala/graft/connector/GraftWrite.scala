@@ -147,16 +147,26 @@ final case class GraftStreamingWriterFactory(
 /** Commit message: the data files one task produced. */
 object GraftWrite {
 
-  /** v3 row lineage: give every new DATA file its first-row-id from
-    * the table's next-row-id counter, in manifest order. Consumes
-    * exactly `added-records` ids — the same amount Commit.applyUpdates
-    * advances the counter by when the snapshot lands.
+  /** Commit-time stamping of NEW files (never re-applied to kept /
+    * rewritten manifest entries, which keep their original values):
+    *
+    *  - every file gets the sequence number its snapshot will commit
+    *    under (`lastSequenceNumber + 1` — the same value
+    *    Commit.applyUpdates records). Equality deletes apply only to
+    *    data files with a strictly smaller sequence, so same-commit
+    *    inserts survive and compacted files shed old deletes.
+    *  - v3 row lineage: every new DATA file gets its first-row-id from
+    *    the table's next-row-id counter, in manifest order. Consumes
+    *    exactly `added-records` ids — the amount Commit.applyUpdates
+    *    advances the counter by when the snapshot lands.
     */
-  def assignRowIds(current: TableMetadata, files: Seq[DataFile]): Seq[DataFile] =
-    if (current.formatVersion < 3) files
+  def assignRowIds(current: TableMetadata, files: Seq[DataFile]): Seq[DataFile] = {
+    val seq = current.lastSequenceNumber + 1
+    val stamped = files.map(_.copy(dataSequenceNumber = Some(seq)))
+    if (current.formatVersion < 3) stamped
     else {
       var next = current.nextRowId
-      files.map { f =>
+      stamped.map { f =>
         if (!f.isData) f
         else {
           val assigned = f.copy(firstRowId = Some(next))
@@ -165,6 +175,7 @@ object GraftWrite {
         }
       }
     }
+  }
 
   private val TotalKeys = Seq("total-data-files", "total-records",
     "total-files-size", "total-delete-files", "total-position-deletes")

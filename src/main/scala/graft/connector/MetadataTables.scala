@@ -28,6 +28,8 @@ object MetadataTables {
 
   /** Content filter wildcard for the all_files table. */
   val AnyContent: Int = -1
+  /** Sentinel matching every delete content (position + equality). */
+  val AnyDeletes: Int = -2
 
   val names: Set[String] = Set(
     "snapshots", "history", "refs", "metadata_log_entries", "files",
@@ -41,7 +43,12 @@ object MetadataTables {
     StructField("file_size_in_bytes", LongType),
     StructField("record_count", LongType),
     StructField("spec_id", IntegerType),
-    StructField("partition", MapType(StringType, StringType))))
+    StructField("partition", MapType(StringType, StringType)),
+    // Iceberg parity: 0 = data, 1 = position deletes, 2 = equality
+    // deletes; equality_ids lists the key columns of content-2 files
+    StructField("content", IntegerType),
+    StructField("equality_ids", ArrayType(StringType)),
+    StructField("sequence_number", LongType)))
 
   private val entrySchema = StructType(Seq(
     StructField("status", IntegerType), // 1=added, 0=existing
@@ -58,12 +65,12 @@ object MetadataTables {
       // a manifest reachable from several snapshots contributes its
       // files once (dedupe by manifest path; snapshot attribution only
       // matters for the entries family). The files family lists data
-      // entries; the delete family lists position-delete entries
-      // (merge-on-read), empty on copy-on-write-only tables; all_files
-      // lists both contents.
+      // entries; the delete family lists position- AND equality-delete
+      // entries (merge-on-read), empty on copy-on-write-only tables;
+      // all_files lists every content.
       val content =
         if (kind == "all_files") MetadataTables.AnyContent
-        else if (kind.contains("delete")) DataFile.ContentPositionDeletes
+        else if (kind.contains("delete")) MetadataTables.AnyDeletes
         else DataFile.ContentData
       val inputs = snaps.flatMap(s => s.manifests.map(m =>
         ManifestInput(store.resolvePath(meta.location, m),
@@ -487,7 +494,9 @@ final case class ManifestReaderFactory(
       private lazy val iter: Iterator[InternalRow] = {
         val files = ManifestRead.parse(in.absPath, in.location)
           .filter(f => emitEntries ||
-            content == MetadataTables.AnyContent || f.content == content)
+            content == MetadataTables.AnyContent ||
+            (content == MetadataTables.AnyDeletes && !f.isData) ||
+            f.content == content)
         val rows =
           if (emitEntries) {
             val added = ManifestRead.addedSnapshotId(in.absPath)
@@ -496,7 +505,10 @@ final case class ManifestReaderFactory(
               in.snapshotId, f.path, f.recordCount))
           } else files.map(f => Row(
             f.path, f.fileSizeBytes, f.recordCount, f.specId,
-            f.partition.map { case (k, v) => k -> v.orNull }))
+            f.partition.map { case (k, v) => k -> v.orNull },
+            f.content,
+            if (f.equalityIds.isEmpty) null else f.equalityIds,
+            f.dataSequenceNumber.orNull))
         rows.iterator.map(r => converter(r).asInstanceOf[InternalRow])
       }
       private var cur: InternalRow = _

@@ -44,12 +44,14 @@ object Procedures {
     "set_format_version_policy", "get_warehouse",
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
-    "allowed_actions",
+    "allowed_actions", "add_equality_deletes",
     "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "rewrite_data_files" => Some(RewriteDataFilesProcedure(catalog))
+      case "add_equality_deletes" =>
+        Some(AddEqualityDeletesProcedure(catalog))
       case "register_table" => Some(RegisterTableProcedure(catalog))
       case "expire_snapshots" => Some(ExpireSnapshotsProcedure(catalog))
       case "remove_orphan_files" => Some(RemoveOrphanFilesProcedure(catalog))
@@ -345,6 +347,50 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
       StructField("rewritten_data_files_count", LongType, nullable = false)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](rewritten))))
+  }
+}
+
+/** Commit EQUALITY-DELETE files for every current row matching a
+  * predicate — the merge-on-read delete shape streaming upsert writers
+  * (Flink CDC) produce, which the reference's metadata surface carries
+  * as Iceberg content-2 entries (iceberg-ext/src/spec/mod.rs:3-8).
+  * Unlike DELETE FROM in merge-on-read mode (position deletes), no
+  * data file is even READ here beyond the key projection: the commit
+  * writes key tuples that delete by VALUE from every older file, so
+  * "retract these keys" costs one key-column scan + a kilobyte-scale
+  * write at any table size. Scala-side entry point for arbitrary key
+  * frames: [[EqualityDeletes.write]].
+  */
+final case class AddEqualityDeletesProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "add_equality_deletes"
+  override def description(): String =
+    "Write equality-delete files for rows matching a predicate"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("equality_columns", StringType), // comma-separated
+    Procedures.param("predicate", StringType))
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val spark = SparkSession.active
+    val tableName = input.getUTF8String(0).toString
+    val cols = input.getUTF8String(1).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val predicate = input.getUTF8String(2).toString
+    val id = Procedures.tableId(catalog, tableName)
+    val fullName = s"${catalog.name()}.${id.namespace.mkString(".")}.${id.name}"
+    val keys = spark.table(fullName).filter(predicate)
+    val written = EqualityDeletes.write(spark, catalog, id, keys, cols)
+    val schema = StructType(Seq(
+      StructField("deleted_keys_count", LongType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](written))))
   }
 }
 

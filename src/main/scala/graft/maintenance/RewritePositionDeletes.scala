@@ -175,7 +175,9 @@ object RewritePositionDeletes {
         val manifests = kept ++ (
           if (written.nonEmpty)
             Seq(store.writeManifest(current.location,
-              ManifestFile(written, snapshotId),
+              ManifestFile(
+                graft.connector.GraftWrite.assignRowIds(current, written),
+                snapshotId),
               Some(current.currentSchema.struct)))
           else Nil)
         val snap = Snapshot(

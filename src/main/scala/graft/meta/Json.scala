@@ -196,6 +196,9 @@ object Json {
           ("spec-id" -> f.specId) ~
           ("content" -> f.content) ~
           ("first-row-id" -> f.firstRowId) ~
+          ("equality-ids" ->
+            (if (f.equalityIds.isEmpty) None else Some(f.equalityIds.toList))) ~
+          ("sequence-number" -> f.dataSequenceNumber) ~
           ("partition" -> JObject(f.partition.toList.sortBy(_._1).map {
             case (k, v) => JField(k, v.map(JString(_)).getOrElse(JNull)) })) ~
           ("stats" -> JObject(f.columnStats.toList.sortBy(_._1).map {
@@ -232,7 +235,10 @@ object Json {
           },
           optField(f, "content")(_.extract[Int])
             .getOrElse(DataFile.ContentData),
-          optField(f, "first-row-id")(_.extract[Long]))
+          optField(f, "first-row-id")(_.extract[Long]),
+          optField(f, "equality-ids")(_.extract[List[String]])
+            .getOrElse(Nil),
+          optField(f, "sequence-number")(_.extract[Long]))
       },
       (j \ "added-snapshot-id").extract[Long])
   }

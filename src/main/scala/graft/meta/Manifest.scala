@@ -86,9 +86,14 @@ object ColumnStat {
   *
   * `content` mirrors Iceberg's manifest-entry content field: 0 = data
   * file, 1 = position-delete file (parquet of (file_path, pos) tuples
-  * marking rows of data files as deleted — the merge-on-read path).
-  * Delete files carry columnStats on `file_path` so scans can match
-  * them to the data files they cover without opening them.
+  * marking rows of data files as deleted — the merge-on-read path),
+  * 2 = equality-delete file (parquet of key tuples over `equalityIds`
+  * columns: a row of any OLDER data file matching a key tuple is
+  * deleted — the shape streaming upsert writers produce; reference
+  * spec surface: iceberg-ext/src/spec/mod.rs:3-8).
+  * Position-delete files carry columnStats on `file_path`; equality
+  * deletes carry stats on their key columns — both let scans match
+  * delete files to the data files they may cover without opening them.
   */
 final case class DataFile(
     path: String,
@@ -103,14 +108,27 @@ final case class DataFile(
       * delete files, on v1/v2 tables, and on files written before a
       * v3 upgrade (their `_row_id` reads as NULL).
       */
-    firstRowId: Option[Long] = None) {
+    firstRowId: Option[Long] = None,
+    /** Key columns of an equality-delete file (content = 2 only). */
+    equalityIds: Seq[String] = Nil,
+    /** The sequence number this file was committed under (Iceberg's
+      * data_sequence_number) — stamped at commit for every new file.
+      * Equality deletes apply only to data files with a STRICTLY
+      * SMALLER sequence, so same-commit inserts and later rewrites
+      * are never re-deleted. None = written before sequence stamping
+      * existed → treated as 0 (older than every delete).
+      */
+    dataSequenceNumber: Option[Long] = None) {
   def isData: Boolean = content == DataFile.ContentData
   def isPositionDeletes: Boolean = content == DataFile.ContentPositionDeletes
+  def isEqualityDeletes: Boolean = content == DataFile.ContentEqualityDeletes
+  def sequenceOrOldest: Long = dataSequenceNumber.getOrElse(0L)
 }
 
 object DataFile {
   val ContentData = 0
   val ContentPositionDeletes = 1
+  val ContentEqualityDeletes = 2
 }
 
 /** A manifest: the unit of commit. Status ADDED vs EXISTING mirrors
@@ -143,10 +161,11 @@ final case class ManifestSummary(
     specIds: Seq[Int],
     columnStats: Map[String, ColumnStat],
     partitionValues: Map[String, Seq[Option[String]]],
-    /** Count of position-delete entries — lets scans find the (rare)
-      * delete-carrying manifests from summaries alone, and keeps data
-      * pruning from dropping them (delete files carry no data-column
-      * stats, but the count makes the intent explicit).
+    /** Count of delete entries (position + equality) — lets scans find
+      * the (rare) delete-carrying manifests from summaries alone, and
+      * keeps data pruning from dropping them (delete files carry no
+      * full data-column stats, but the count makes the intent
+      * explicit).
       */
     deleteEntries: Int = 0)
 
@@ -192,6 +211,6 @@ object ManifestSummary {
 
     ManifestSummary(entries.size, m.totalRecords, m.totalBytes,
       entries.map(_.specId).distinct, merged, pv,
-      entries.count(_.isPositionDeletes))
+      entries.count(f => !f.isData))
   }
 }

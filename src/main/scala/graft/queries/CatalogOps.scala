@@ -595,6 +595,55 @@ object CatalogOps {
            |GROUP BY source ORDER BY source""".stripMargin)
     },
 
+    // Equality deletes (Iceberg content=2 — the merge-on-read shape
+    // streaming upsert writers produce; reference spec surface:
+    // iceberg-ext/src/spec/mod.rs:3-8): delete BY KEY VALUE with no
+    // data file read or rewritten, sequence-scoped so a LATER insert
+    // of a deleted key survives. The query asserts the mechanics
+    // (file count unchanged, a content-2 delete entry) before reading
+    // back rows the oracle recomputes with plain predicates.
+    Q(
+      "qc18_equality_deletes",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey % 7 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey % 7 = 3 AND o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val db = prepare(s, dir)
+      val tbl = scratch(s, db, "orders_eq")
+      s.sql(
+        s"""CREATE TABLE $CatalogName.$db.$tbl AS
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      val before = s.sql(
+        s"SELECT COUNT(*) FROM $CatalogName.$db.$tbl.files")
+        .collect()(0).getLong(0)
+      s.sql(
+        s"""CALL $CatalogName.system.add_equality_deletes(
+           |  table => '$db.$tbl', equality_columns => 'o_custkey',
+           |  predicate => 'o_custkey % 7 = 3')""".stripMargin)
+      val after = s.sql(
+        s"SELECT COUNT(*) FROM $CatalogName.$db.$tbl.files")
+        .collect()(0).getLong(0)
+      val eqDels = s.sql(
+        s"""SELECT COUNT(*) FROM $CatalogName.$db.$tbl.delete_files
+           |WHERE content = 2""".stripMargin).collect()(0).getLong(0)
+      require(after == before && eqDels >= 1,
+        s"expected equality deletes (files $before->$after, eq $eqDels)")
+      // sequence semantics: re-inserting a subset of the deleted keys
+      // AFTER the delete commit must survive the read
+      s.sql(
+        s"""INSERT INTO $CatalogName.$db.$tbl
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE o_custkey % 7 = 3 AND o_orderkey % 10 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM $CatalogName.$db.$tbl
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ------------------------------------------- q15 (TPC-H q15, views)
     // Top supplier by quarterly revenue, with the revenue relation as a
     // CATALOG VIEW (reference: server/views/ — the view SQL is stored

@@ -392,4 +392,151 @@ class MergeOnReadSpec extends AnyFunSuite {
       assert(r.getAs[Long]("d") == r.getAs[Long]("n"))
     }
   }
+
+  // ------------------------------------------------------------------
+  // equality deletes (Iceberg content = 2)
+  // ------------------------------------------------------------------
+
+  private def graftCatalog: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+
+  private def eqWrite(table: String, keys: org.apache.spark.sql.DataFrame,
+      ids: Seq[String]): Long =
+    EqualityDeletes.write(spark, graftCatalog,
+      graft.store.TabularId(Seq("db"), table), keys, ids)
+
+  test("equality delete removes matching rows from OLDER files only") {
+    mkTable("eq1", Nil) // no MOR props needed: eq deletes are their own API
+    val base = dataFileCount("eq1")
+    import spark.implicits._
+
+    val written = eqWrite("eq1",
+      Seq(5L, 150L, 299L, 9999L).toDF("id"), Seq("id"))
+    assert(written == 4)
+    // no data file touched; one content-2 delete file committed
+    assert(dataFileCount("eq1") == base)
+    val dels = spark.sql(
+      """SELECT content, equality_ids FROM graft.db.eq1.delete_files""")
+      .collect()
+    assert(dels.length == 1)
+    assert(dels(0).getInt(0) == 2)
+    assert(dels(0).getSeq[String](1) == Seq("id"))
+
+    assert(spark.table("graft.db.eq1").count() == 297)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.eq1 WHERE id IN (5, 150, 299)")
+      .collect()(0).getLong(0) == 0)
+
+    // SEQUENCE semantics: a LATER insert of a deleted key survives —
+    // the delete only covers strictly older files
+    spark.sql("INSERT INTO graft.db.eq1 VALUES (5, 'reborn')")
+    assert(spark.sql("SELECT v FROM graft.db.eq1 WHERE id = 5")
+      .collect().map(_.getString(0)).toSeq == Seq("reborn"))
+    assert(spark.table("graft.db.eq1").count() == 298)
+
+    // column-pruned reads still apply the deletes (the key column is
+    // added to the parquet projection internally, never emitted)
+    assert(spark.sql("SELECT COUNT(v) FROM graft.db.eq1")
+      .collect()(0).getLong(0) == 298)
+    assert(!spark.sql("SELECT v FROM graft.db.eq1").columns.contains("id"))
+  }
+
+  test("multi-column equality keys and repeated commits accumulate") {
+    mkTable("eq2", Nil)
+    import spark.implicits._
+    eqWrite("eq2", Seq((5L, "a"), (6L, "WRONG")).toDF("id", "v"),
+      Seq("id", "v"))
+    // (5,'a') matches; (6,'WRONG') matches nothing (v is 'a' there)
+    assert(spark.table("graft.db.eq2").count() == 299)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.eq2 WHERE id = 6")
+      .collect()(0).getLong(0) == 1)
+    eqWrite("eq2", Seq((6L, "a")).toDF("id", "v"), Seq("id", "v"))
+    assert(spark.table("graft.db.eq2").count() == 298)
+    // time travel before the deletes still sees all rows
+    val firstSnap = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq2.snapshots
+        |ORDER BY committed_at ASC""".stripMargin).collect()
+    val preDelete = firstSnap(2).getLong(0) // third insert commit
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.db.eq2 VERSION AS OF $preDelete")
+      .collect()(0).getLong(0) == 300)
+  }
+
+  test("mixed position and equality deletes on the same file") {
+    mkTable("eq3", Seq("delete"))
+    import spark.implicits._
+    // position-delete id=5 (MOR DELETE), equality-delete id=6
+    spark.sql("DELETE FROM graft.db.eq3 WHERE id = 5")
+    eqWrite("eq3", Seq(6L).toDF("id"), Seq("id"))
+    assert(spark.table("graft.db.eq3").count() == 298)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.eq3 WHERE id IN (5, 6)")
+      .collect()(0).getLong(0) == 0)
+    assert(deleteFileCount("eq3") == 2) // one of each content
+    val contents = spark.sql(
+      "SELECT content FROM graft.db.eq3.delete_files ORDER BY content")
+      .collect().map(_.getInt(0)).toSeq
+    assert(contents == Seq(1, 2))
+  }
+
+  test("compaction materializes equality deletes away") {
+    mkTable("eq4", Nil)
+    import spark.implicits._
+    eqWrite("eq4", (0L until 50L).toDF("id"), Seq("id"))
+    assert(spark.table("graft.db.eq4").count() == 250)
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.eq4')")
+    // rows stay correct; rewritten files carry a NEWER sequence than
+    // the delete, so the eq entries cover nothing and the fast
+    // vectorized path returns
+    assert(spark.table("graft.db.eq4").count() == 250)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.eq4 WHERE id < 50")
+      .collect()(0).getLong(0) == 0)
+    val scan = new GraftScanBuilder(new GraftTable(graftCatalog.store,
+      graft.store.TabularId(Seq("db"), "eq4"),
+      graftCatalog.store.loadTableMetadata(
+        graft.store.TabularId(Seq("db"), "eq4")).get._1,
+      snapshotId = None)).build()
+    assert(scan.asInstanceOf[GraftScan].createReaderFactory()
+      .getClass.getSimpleName == "ParquetPartitionReaderFactory")
+  }
+
+  test("null equality keys match null column values") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq5 (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.eq5 VALUES (1, 'x'), (2, NULL), (3, NULL)")
+    import spark.implicits._
+    eqWrite("eq5", Seq((2L, Option.empty[String])).toDF("id", "v"),
+      Seq("id", "v"))
+    assert(spark.table("graft.db.eq5").count() == 2)
+    assert(spark.sql("SELECT id FROM graft.db.eq5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("add_equality_deletes procedure deletes by predicate") {
+    mkTable("eq6", Nil)
+    val res = spark.sql(
+      """CALL graft.system.add_equality_deletes(
+        |  table => 'db.eq6', equality_columns => 'id',
+        |  predicate => 'id % 10 = 7')""".stripMargin).collect()
+    assert(res(0).getLong(0) == 30)
+    assert(spark.table("graft.db.eq6").count() == 270)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.eq6 WHERE id % 10 = 7")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("equality deletes reject unsupported or unknown key columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")
+    spark.sql("INSERT INTO graft.db.eq7 VALUES (1, TIMESTAMP '2024-01-01')")
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      eqWrite("eq7", Seq(1L).toDF("nope"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      eqWrite("eq7", Seq(1L).toDF("ts"), Seq("ts")) // timestamp key
+    }
+  }
 }

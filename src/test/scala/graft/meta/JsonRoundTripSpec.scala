@@ -76,7 +76,14 @@ class JsonRoundTripSpec extends AnyFunSuite {
           "id" -> ColumnStat(Some("1"), Some("99"), Some(0)),
           "name" -> ColumnStat(Some("aardvark"), Some("zebra"), Some(3)),
           "ts" -> ColumnStat(None, None, Some(100)))),
-      DataFile("/data/f2.parquet", 99, 0, 0, Map.empty, Map.empty)),
+      DataFile("/data/f2.parquet", 99, 0, 0, Map.empty, Map.empty),
+      DataFile("/data/eqdel.parquet", 17, 4, 0, Map.empty,
+        Map("id" -> ColumnStat(Some("5"), Some("150"), Some(0))),
+        content = DataFile.ContentEqualityDeletes,
+        equalityIds = Seq("id", "v"),
+        dataSequenceNumber = Some(7L)),
+      DataFile("/data/f3.parquet", 10, 1, 0, Map.empty, Map.empty,
+        dataSequenceNumber = Some(3L))),
       addedSnapshotId = 42L)
     val back = Json.manifestFromJson(Json.manifestToJson(mf))
     assert(back == mf)
