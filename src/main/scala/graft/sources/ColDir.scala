@@ -1,25 +1,27 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
-import java.util.{Collections => JCollections}
+import java.util.{Collections => JCollections, UUID}
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 import org.json4s._
 import org.json4s.JsonDSL._
 
-import graft.meta.Json
+import graft.meta.{ColumnStat, Json, PartitionSpec}
 
 /** A minimal COLUMNAR DIRECTORY table format — the offline stand-in for
   * the reference's Lance generic tables
@@ -32,28 +34,46 @@ import graft.meta.Json
   *
   * Layout (all little-endian):
   * {{{
-  *   <location>/manifest.json      — version, schema, fragment row counts
-  *   <location>/frag-<i>/<col>.bin — one file per (fragment, column)
+  *   <location>/manifest.json            — schema, fragment dirs, rows,
+  *                                         per-(fragment, column) min/max
+  *   <location>/<fragDir>/<col>.bin      — one file per (fragment, column)
   * }}}
-  * Column encodings: long/int/double fixed-width; string as
-  * [i32 byteLen][utf8 bytes] sequences. Nulls are a leading i64 count
-  * + bitset words (1 bit per row, 1 = null).
+  * Column file format (v2, stream-encodable): the VALUES come first
+  * ([i32 byteLen][utf8] sequences for strings, fixed width otherwise),
+  * then the null bitset words (1 bit per row, 1 = null), then a 16-byte
+  * footer [rows i64][nullWords i32][magic i32]. A writer never buffers
+  * a fragment: values stream straight to the (Hadoop FileSystem)
+  * output; only the null bits (rows/8 bytes) stay in memory.
+  *
+  * Cluster posture: all IO goes through `org.apache.hadoop.fs.
+  * FileSystem` resolved from the location URI — local `file:`, HDFS or
+  * an object store behave identically. Each write task encodes its own
+  * fragment into a UNIQUE attempt directory; the MANIFEST (written
+  * last, temp + atomic rename) is the commit point, so retried or
+  * speculative attempts can never interleave partial fragment content
+  * — losers just leave unlisted orphan dirs (the same contract as our
+  * parquet writes + remove_orphan_files).
   *
   * The DSv2 reader implements REAL column pruning — only the `.bin`
-  * files of projected columns are opened (the property that makes a
-  * columnar format columnar) — and parallelizes by fragment, so scan
-  * parallelism scales with data like any file source.
+  * files of projected columns are opened — plus FRAGMENT SKIPPING from
+  * the manifest's per-column min/max (the property Lance's fragment
+  * metadata has, evaluated through the same [[graft.connector
+  * .FilePruning]] logic as our parquet tables), and parallelizes by
+  * fragment, so scan parallelism scales with data like any file source.
   */
 object ColDir {
 
   val FormatName = "coldir"
+  private val Magic = 0x434F4C32 // "COL2"
 
-  private[sources] case class Frag(id: Int, rows: Long)
+  private[sources] case class Frag(id: Int, dir: String, rows: Long,
+      stats: Map[String, ColumnStat])
 
   /** Write `df` at `location` as `fragments` fragments. The write is
-    * DISTRIBUTED (each task encodes and writes its own fragment's
-    * column files); only the manifest commit is driver-side — the same
-    * shape as any DSv2 file-source write.
+    * DISTRIBUTED (each task streams its own fragment's column files to
+    * a unique attempt dir through Hadoop FileSystem); only the manifest
+    * commit is driver-side — the same shape as any DSv2 file-source
+    * write.
     */
   def write(df: DataFrame, location: String, fragments: Int): Unit = {
     val schema = df.schema
@@ -61,44 +81,140 @@ object ColDir {
       require(supported(f.dataType),
         s"coldir supports long/int/double/string columns, got ${f.dataType} for ${f.name}")
     }
-    val root = Paths.get(location)
-    Files.createDirectories(root)
-    val rowCounts = df.repartition(fragments).queryExecution.toRdd
+    val conf = new SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val rootFs = new HPath(location).getFileSystem(conf.value)
+    rootFs.mkdirs(new HPath(location))
+    val results = df.repartition(fragments).queryExecution.toRdd
       .mapPartitionsWithIndex { case (pid, rows) =>
-        val dir = Paths.get(location, s"frag-$pid")
-        Files.createDirectories(dir)
+        val dirName = s"frag-$pid-${UUID.randomUUID()}"
+        val fs = new HPath(location).getFileSystem(conf.value)
+        val dir = new HPath(location, dirName)
+        fs.mkdirs(dir)
         val cols = schema.fields.zipWithIndex
-        val bufs = cols.map(_ => new java.io.ByteArrayOutputStream())
-        val nulls = cols.map(_ => scala.collection.mutable.ArrayBuffer.empty[Long])
+        val writers = cols.map { case (f, _) =>
+          new ColWriter(fs, new HPath(dir, s"${f.name}.bin"), f.dataType)
+        }
         var n = 0L
         rows.foreach { r =>
           cols.foreach { case (f, i) =>
-            if (r.isNullAt(i)) {
-              nulls(i) += n
-              appendValue(bufs(i), f.dataType, zeroOf(f.dataType))
-            } else appendValue(bufs(i), f.dataType, r.get(i, f.dataType))
+            if (r.isNullAt(i)) writers(i).writeNull(n)
+            else writers(i).write(r.get(i, f.dataType))
           }
           n += 1
         }
-        cols.foreach { case (f, i) =>
-          val out = new java.io.ByteArrayOutputStream()
-          writeNulls(out, n, nulls(i))
-          bufs(i).writeTo(out)
-          Files.write(dir.resolve(s"${f.name}.bin"), out.toByteArray)
-        }
-        Iterator.single((pid, n))
-      }.collect()
-    val frags = rowCounts.sortBy(_._1).map { case (id, rows) =>
-      ("id" -> id) ~ ("rows" -> rows)
+        writers.foreach(_.close(n))
+        val stats: Seq[(String, (Option[String], Option[String], Long))] =
+          cols.map { case (f, i) => f.name -> writers(i).stats }.toSeq
+        Iterator.single((pid, dirName, n, stats))
+      }.collect() // bounded metadata: one entry per fragment
+    val frags = results.sortBy(_._1).map { case (id, dirName, rows, stats) =>
+      ("id" -> id) ~ ("dir" -> dirName) ~ ("rows" -> rows) ~
+        ("stats" -> JObject(stats.toList.map { case (c, (mn, mx, nulls)) =>
+          JField(c, ("min" -> mn) ~ ("max" -> mx) ~ ("nulls" -> nulls))
+        }))
     }.toList
     val fieldsJson = schema.fields.map { f =>
       ("name" -> f.name) ~ ("type" -> typeTag(f.dataType)) ~
         ("nullable" -> f.nullable)
     }.toList
-    Files.write(root.resolve("manifest.json"), Json.render(
-      ("format" -> FormatName) ~ ("version" -> 1) ~
+    val manifestBytes = Json.render(
+      ("format" -> FormatName) ~ ("version" -> 2) ~
         ("schema" -> fieldsJson) ~ ("fragments" -> frags))
-      .getBytes(StandardCharsets.UTF_8))
+      .getBytes(StandardCharsets.UTF_8)
+    // temp + atomic rename: readers either see the old manifest or the
+    // new one, never a torn write
+    val tmp = new HPath(location, s".manifest-${UUID.randomUUID()}.json.tmp")
+    val out = rootFs.create(tmp, true)
+    try out.write(manifestBytes) finally out.close()
+    val dest = new HPath(location, "manifest.json")
+    rootFs.delete(dest, false)
+    if (!rootFs.rename(tmp, dest))
+      throw new java.io.IOException(s"coldir manifest commit failed: $dest")
+  }
+
+  /** Streams one column of one fragment: values straight to the output,
+    * null bits + min/max in bounded memory, footer appended at close.
+    */
+  private final class ColWriter(fs: FileSystem, path: HPath, dt: DataType) {
+    private val out = new BufferedOutputStream(fs.create(path, true), 1 << 16)
+    private val nullWords = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private var nullCount = 0L
+    private var min: Any = null
+    private var max: Any = null
+    private val b8 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+
+    private def putLong(v: Long): Unit = {
+      b8.clear(); b8.putLong(v); out.write(b8.array(), 0, 8)
+    }
+    private def putInt(v: Int): Unit = {
+      b8.clear(); b8.putInt(v); out.write(b8.array(), 0, 4)
+    }
+
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => x.compareTo(y)
+      case (x: Int, y: Int) => x.compareTo(y)
+      case (x: Double, y: Double) => x.compareTo(y)
+      case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+      case _ => 0
+    }
+
+    def write(v: Any): Unit = {
+      val owned = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      if (min == null || cmp(owned, min) < 0) min = owned
+      if (max == null || cmp(owned, max) > 0) max = owned
+      dt match {
+        case LongType => putLong(v.asInstanceOf[Long])
+        case IntegerType => putInt(v.asInstanceOf[Int])
+        case DoubleType =>
+          putLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+        case StringType =>
+          val bytes = v.asInstanceOf[UTF8String].getBytes
+          putInt(bytes.length)
+          out.write(bytes)
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+    }
+
+    def writeNull(row: Long): Unit = {
+      nullCount += 1
+      val w = (row / 64).toInt
+      while (nullWords.length <= w) nullWords += 0L
+      nullWords(w) |= (1L << (row % 64))
+      // placeholder value keeps the decode stream aligned
+      dt match {
+        case LongType => putLong(0L)
+        case IntegerType => putInt(0)
+        case DoubleType => putLong(0L)
+        case StringType => putInt(0)
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+    }
+
+    /** (min, max, nullCount) rendered for the manifest. */
+    def stats: (Option[String], Option[String], Long) = {
+      def render(v: Any): Option[String] = Option(v).map {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      (render(min), render(max), nullCount)
+    }
+
+    def close(rows: Long): Unit = {
+      val words = ((rows + 63) / 64).toInt
+      var i = 0
+      while (i < words) {
+        putLong(if (i < nullWords.length) nullWords(i) else 0L)
+        i += 1
+      }
+      putLong(rows)
+      putInt(words)
+      putInt(Magic)
+      out.close()
+    }
   }
 
   private def supported(dt: DataType): Boolean = dt match {
@@ -122,90 +238,114 @@ object ColDir {
     case other => throw new IllegalArgumentException(s"unknown coldir type $other")
   }
 
-  private def zeroOf(dt: DataType): Any = dt match {
-    case LongType => 0L
-    case IntegerType => 0
-    case DoubleType => 0.0
-    case StringType => UTF8String.EMPTY_UTF8
-  }
-
-  private def appendValue(out: java.io.ByteArrayOutputStream,
-      dt: DataType, v: Any): Unit = dt match {
-    case LongType =>
-      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        .putLong(v.asInstanceOf[Long]).array())
-    case IntegerType =>
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putInt(v.asInstanceOf[Int]).array())
-    case DoubleType =>
-      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        .putDouble(v.asInstanceOf[Double]).array())
-    case StringType =>
-      val b = v.asInstanceOf[UTF8String].getBytes
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putInt(b.length).array())
-      out.write(b)
-  }
-
-  private def writeNulls(out: java.io.ByteArrayOutputStream, rows: Long,
-      nullIdx: scala.collection.Seq[Long]): Unit = {
-    val words = ((rows + 63) / 64).toInt
-    val bits = new Array[Long](words)
-    nullIdx.foreach(i => bits((i / 64).toInt) |= (1L << (i % 64)))
-    val bb = ByteBuffer.allocate(8 + words * 8).order(ByteOrder.LITTLE_ENDIAN)
-    bb.putLong(rows)
-    bits.foreach(bb.putLong)
-    out.write(bb.array())
-  }
-
-  private[sources] def readManifest(location: String)
+  private[sources] def readManifest(location: String, conf: Configuration)
       : (StructType, Seq[Frag]) = {
-    val j = Json.parse(new String(
-      Files.readAllBytes(Paths.get(location, "manifest.json")),
-      StandardCharsets.UTF_8))
+    val path = new HPath(location, "manifest.json")
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val text =
+      try {
+        val len = fs.getFileStatus(path).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        new String(buf, StandardCharsets.UTF_8)
+      } finally in.close()
+    val j = Json.parse(text)
     implicit val fmts: Formats = DefaultFormats
+    val version = (j \ "version").extractOrElse[Int](1)
+    require(version == 2,
+      s"coldir manifest version $version unsupported (expected 2)")
     val fields = (j \ "schema").asInstanceOf[JArray].arr.map { f =>
       StructField((f \ "name").extract[String],
         typeOf((f \ "type").extract[String]),
         (f \ "nullable").extractOrElse[Boolean](true))
     }
     val frags = (j \ "fragments").asInstanceOf[JArray].arr.map { f =>
-      Frag((f \ "id").extract[Int], (f \ "rows").extract[Long])
+      val stats = (f \ "stats") match {
+        case JObject(cols) => cols.map { case JField(c, st) =>
+          c -> ColumnStat(
+            (st \ "min").extractOpt[String],
+            (st \ "max").extractOpt[String],
+            Some((st \ "nulls").extractOrElse[Long](0L)))
+        }.toMap
+        case _ => Map.empty[String, ColumnStat]
+      }
+      Frag((f \ "id").extract[Int], (f \ "dir").extract[String],
+        (f \ "rows").extract[Long], stats)
     }
     (StructType(fields), frags)
   }
 
-  /** One decoded column of one fragment. */
-  private[sources] final class ColReader(path: Path, dt: DataType) {
-    private val bytes = Files.readAllBytes(path)
-    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val rows: Long = bb.getLong()
-    private val nullWords = new Array[Long](((rows + 63) / 64).toInt)
-    (0 until nullWords.length).foreach(i => nullWords(i) = bb.getLong())
+  /** One streamed column of one fragment: footer + null words come from
+    * positioned reads; values decode sequentially from a buffered
+    * stream — no whole-file buffering at any fragment size.
+    */
+  private[sources] final class ColReader(fs: FileSystem, path: HPath,
+      dt: DataType) {
+    private val len = fs.getFileStatus(path).getLen
+    private val raw = fs.open(path)
+    private var nullWords: Array[Long] = Array.emptyLongArray
+    val rows: Long = {
+      val footer = new Array[Byte](16)
+      raw.readFully(len - 16, footer)
+      val bb = ByteBuffer.wrap(footer).order(ByteOrder.LITTLE_ENDIAN)
+      val r = bb.getLong()
+      val words = bb.getInt()
+      require(bb.getInt() == Magic, s"bad coldir column file: $path")
+      nullWords = new Array[Long](words)
+      if (words > 0) {
+        val nb = new Array[Byte](words * 8)
+        raw.readFully(len - 16 - words * 8L, nb)
+        val nbb = ByteBuffer.wrap(nb).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until words).foreach(i => nullWords(i) = nbb.getLong())
+      }
+      r
+    }
+    private val in = new DataInputStream(
+      new BufferedInputStream(raw, 1 << 16))
+    private val b8 = new Array[Byte](8)
+
+    private def readLong(): Long = {
+      in.readFully(b8, 0, 8)
+      ByteBuffer.wrap(b8).order(ByteOrder.LITTLE_ENDIAN).getLong()
+    }
+    private def readInt(): Int = {
+      in.readFully(b8, 0, 4)
+      ByteBuffer.wrap(b8, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    }
+
     def isNull(i: Long): Boolean =
       (nullWords((i / 64).toInt) & (1L << (i % 64))) != 0
+
     /** Sequential decode — call exactly once per row in order. */
     def next(): Any = dt match {
-      case LongType => bb.getLong()
-      case IntegerType => bb.getInt()
-      case DoubleType => bb.getDouble()
+      case LongType => readLong()
+      case IntegerType => readInt()
+      case DoubleType => java.lang.Double.longBitsToDouble(readLong())
       case StringType =>
-        val len = bb.getInt()
-        val b = new Array[Byte](len)
-        bb.get(b)
+        val n = readInt()
+        val b = new Array[Byte](n)
+        in.readFully(b)
         UTF8String.fromBytes(b)
+      case other => throw new IllegalArgumentException(other.toString)
     }
+
+    def close(): Unit = in.close()
   }
 }
 
 /** DSv2 table over a coldir location: read-only (the reference's
   * generic tables are registered, not written through the catalog),
-  * fragment-parallel, column-pruned.
+  * fragment-parallel, column-pruned, fragment-SKIPPED on pushed
+  * filters via the manifest's per-column min/max.
   */
 final class ColDirTable(tableName: String, location: String)
   extends Table with SupportsRead {
 
-  private lazy val (tableSchema, frags) = ColDir.readManifest(location)
+  private lazy val hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+  private lazy val (tableSchema, frags) =
+    ColDir.readManifest(location, hadoopConf)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -213,47 +353,73 @@ final class ColDirTable(tableName: String, location: String)
     JCollections.singleton(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
       private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         // preserve manifest column order; an empty projection (COUNT(*))
         // legitimately keeps zero columns
         required = StructType(
           tableSchema.fields.filter(f =>
             requiredSchema.fieldNames.contains(f.name)))
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // all residual: fragment skipping is advisory
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new ColDirScan(location, tableSchema,
-        required, frags.map(f => (f.id, f.rows)))
+        required, frags, pushed,
+        new SerializableConfiguration(hadoopConf))
     }
 
   private final class ColDirScan(loc: String, full: StructType,
-      required: StructType, fragments: Seq[(Int, Long)])
+      required: StructType, fragments: Seq[ColDir.Frag],
+      filters: Array[Filter], conf: SerializableConfiguration)
     extends Scan with Batch {
     override def readSchema(): StructType = required
+
+    /** Fragment skipping: evaluate the pushed filters against each
+      * fragment's per-column min/max through the SAME conservative
+      * logic as our parquet tables (a synthetic DataFile per fragment;
+      * unknown stats keep the fragment).
+      */
+    private[sources] lazy val selectedFragments: Seq[ColDir.Frag] =
+      fragments.filter { fr =>
+        graft.connector.FilePruning.mayMatch(
+          graft.meta.DataFile(fr.dir, 0L, fr.rows, -1, Map.empty, fr.stats),
+          filters.toSeq, full, PartitionSpec(-1, Nil))
+      }
+
     override def description(): String =
-      s"coldir $loc cols=[${required.fieldNames.mkString(",")}]"
+      s"coldir $loc cols=[${required.fieldNames.mkString(",")}] " +
+        s"fragments=${selectedFragments.size}/${fragments.size}"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      fragments.map { case (id, rows) =>
-        ColDirPartition(loc, id, rows, required.fields.map(f =>
+      selectedFragments.map { fr =>
+        ColDirPartition(loc, fr.dir, fr.rows, required.fields.map(f =>
           (f.name, f.dataType.catalogString)).toSeq): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      ColDirReaderFactory
+      ColDirReaderFactory(conf)
   }
 }
 
-private final case class ColDirPartition(location: String, frag: Int,
+private final case class ColDirPartition(location: String, dir: String,
     rows: Long, cols: Seq[(String, String)]) extends InputPartition
 
-private object ColDirReaderFactory extends PartitionReaderFactory {
+private final case class ColDirReaderFactory(conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ColDirPartition]
     new PartitionReader[InternalRow] {
       // only the PROJECTED columns' files are opened — the pruning
       // that makes the format columnar
       private val readers = part.cols.map { case (n, t) =>
-        new ColDir.ColReader(
-          Paths.get(part.location, s"frag-${part.frag}", s"$n.bin"),
+        val path = new HPath(
+          new HPath(part.location, part.dir), s"$n.bin")
+        new ColDir.ColReader(path.getFileSystem(conf.value), path,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseDataType(t))
       }
@@ -273,7 +439,7 @@ private object ColDirReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = readers.foreach(_.close())
     }
   }
 }

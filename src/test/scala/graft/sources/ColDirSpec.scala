@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The coldir format's writer/reader pair in isolation: binary
   * round-trip fidelity (nulls, empty strings, multi-byte UTF-8, empty
-  * fragments), and the reader's column pruning.
+  * fragments), the reader's column pruning, manifest-committed atomic
+  * writes, Hadoop `file:`-scheme IO, and min/max fragment skipping.
   */
 class ColDirSpec extends AnyFunSuite {
 
@@ -20,6 +21,22 @@ class ColDirSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private def batchOf(t: ColDirTable,
+      required: Option[org.apache.spark.sql.types.StructType] = None,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : org.apache.spark.sql.connector.read.Batch = {
+    val sb = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    required.foreach(r => sb.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(r))
+    if (filters.nonEmpty) sb.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(filters)
+    sb.build().toBatch
+  }
+
   private def roundTrip(df: org.apache.spark.sql.DataFrame,
       fragments: Int): org.apache.spark.sql.DataFrame = {
     val dir = Files.createTempDirectory("coldir-spec").toString
@@ -27,9 +44,7 @@ class ColDirSpec extends AnyFunSuite {
     val t = new ColDirTable("t", dir)
     // the full DSv2 path is covered e2e via the graft generic
     // dispatch; here drive the partition readers directly
-    val parts = t.newScanBuilder(
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Collections.emptyMap())).build().toBatch
+    val parts = batchOf(t)
     val schema = t.schema()
     val rows = parts.planInputPartitions().flatMap { p =>
       val r = parts.createReaderFactory().createReader(p)
@@ -80,24 +95,78 @@ class ColDirSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("coldir-prune").toString
     ColDir.write(spark.range(10).selectExpr(
       "id", "CAST(id AS DOUBLE) AS d"), dir, 2)
-    // delete the d column files: a pruned id-only scan must not touch them
-    (0 until 2).foreach { f =>
-      Files.delete(java.nio.file.Paths.get(dir, s"frag-$f", "d.bin"))
+    // delete the d column files: a pruned id-only scan must not touch
+    // them (fragment dirs come from the manifest — attempt-unique names)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+      val del = p.resolve("d.bin")
+      if (java.nio.file.Files.exists(del)) java.nio.file.Files.delete(del)
     }
     val t = new ColDirTable("t", dir)
-    val sb = t.newScanBuilder(
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Collections.emptyMap()))
-    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-      .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+    val batch = batchOf(t, required = Some(
+      org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType))))
-    val batch = sb.build().toBatch
+          org.apache.spark.sql.types.LongType)))))
     var n = 0L
     batch.planInputPartitions().foreach { p =>
       val r = batch.createReaderFactory().createReader(p)
       while (r.next()) n += 1
     }
     assert(n == 10, "id-only scan must succeed with d.bin files gone")
+  }
+
+  test("writes go through Hadoop FileSystem with an explicit file: scheme") {
+    val dir = "file://" + Files.createTempDirectory("coldir-hdfs").toString
+    val df = spark.range(50).selectExpr("id", "concat('v', id) AS s")
+    ColDir.write(df, dir, 3)
+    val back = roundTrip2(dir)
+    assert(back == 50L)
+  }
+
+  private def roundTrip2(dir: String): Long = {
+    val t = new ColDirTable("t", dir)
+    val batch = batchOf(t)
+    var n = 0L
+    batch.planInputPartitions().foreach { p =>
+      val r = batch.createReaderFactory().createReader(p)
+      while (r.next()) n += 1
+    }
+    n
+  }
+
+  test("fragment skipping from manifest min/max stats") {
+    val dir = Files.createTempDirectory("coldir-skip").toString
+    // two tables with disjoint id ranges — their manifests carry the
+    // ranges as per-fragment min/max
+    ColDir.write(spark.range(1000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS d"), dir, 1)
+    val dir2 = Files.createTempDirectory("coldir-skip2").toString
+    ColDir.write(spark.range(2000, 3000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS d"), dir2, 1)
+
+    // a filter inside the range keeps the fragment; one outside skips it
+    import org.apache.spark.sql.sources.GreaterThan
+    val t1 = new ColDirTable("t1", dir)
+    assert(batchOf(t1, filters = Array(GreaterThan("id", 5000L)))
+      .planInputPartitions().length == 0, "fragment must be skipped")
+    assert(batchOf(t1, filters = Array(GreaterThan("id", 500L)))
+      .planInputPartitions().length == 1, "fragment must be kept")
+    // rows still correct under a kept filter (residual re-check is
+    // Spark-side; the reader returns the whole fragment)
+    assert(roundTrip2(dir) == 1000L)
+    val t2 = new ColDirTable("t2", dir2)
+    assert(batchOf(t2, filters = Array(GreaterThan("id", 2999L)))
+      .planInputPartitions().length == 0)
+  }
+
+  test("orphan attempt directories are invisible until the manifest lists them") {
+    val dir = Files.createTempDirectory("coldir-orphan").toString
+    ColDir.write(spark.range(20).selectExpr("id"), dir, 2)
+    // simulate a failed/speculative attempt: an extra dir with garbage
+    val orphan = java.nio.file.Paths.get(dir, "frag-0-deadbeef-orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("id.bin"),
+      Array[Byte](1, 2, 3))
+    assert(roundTrip2(dir) == 20L,
+      "reads must see only manifest-listed fragments")
   }
 }
