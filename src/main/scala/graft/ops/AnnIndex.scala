@@ -225,6 +225,103 @@ object AnnIndex {
       .drop("q_emb", "list_id", embCol)
   }
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Build the IVF-PQ index: every vector is assigned its coarse list
+    * AND encoded to its `numSub` PQ codes in ONE scan, and the table
+    * stores list_id + codes ONLY — ~32× smaller than the raw corpus,
+    * the memory-bound layout a production RAG deployment materializes.
+    * Partitioned by list_id like [[buildIvf]], so probes file-prune;
+    * the codebook hash stamped into properties covers BOTH the coarse
+    * centroids and the PQ books.
+    */
+  def buildIvfPq(
+      df: DataFrame,
+      table: String,
+      idCol: String,
+      embCol: String,
+      numLists: Int,
+      dim: Int,
+      cb: Pq.Codebooks,
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(Ivf.centroids(numLists, dim, seed))
+    df.select(col(idCol),
+        Ivf.listId(col(embCol), cents).as("list_id"),
+        Pq.codesCol(col(embCol), cb).as("codes"))
+      .writeTo(table)
+      .partitionedBy(col("list_id"))
+      .tableProperty(KindProp, "ivfpq")
+      .tableProperty(DimProp, dim.toString)
+      .tableProperty(ListsProp, numLists.toString)
+      .tableProperty(SeedProp, seed.toString)
+      .tableProperty(CodebookProp,
+        codebookHash(cents ++ cb.books.flatten.map(_.v)))
+      .createOrReplace()
+  }
+
+  /** Batch kNN JOIN over the IVF-PQ index — the production RAG-ingest
+    * shape: each query row computes its nprobe probe lists AND its
+    * `numSub` ADC distance tables in one codegen'd scan over the
+    * (small) query batch; the CODES-ONLY index side is runtime-pruned
+    * to the probed lists ([[graft.plans.RuntimePartitionPruning]] on
+    * the list_id equi-join key); per-candidate scoring is `numSub`
+    * array lookups + adds — the asymmetric distance computation stays
+    * JOIN-FREE per candidate, and no full-dimension vector is ever
+    * read (there are none in the index). Per-query top-k is a rank
+    * window (WindowGroupLimit).
+    *
+    * Result-identical to [[Pq.duckDbBatchIvfPqOracle]].
+    */
+  def knnJoinIvfPq(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      idCol: String,
+      k: Int,
+      cb: Pq.Codebooks,
+      numLists: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val props = tableProps(index)
+    val cents = centroids.getOrElse {
+      checkProp(props, ListsProp, numLists.toString, "numLists")
+      checkProp(props, SeedProp, seed.toString, "the seed")
+      val dim = props.get(DimProp).map(_.toInt).getOrElse {
+        queries.select(size(col(queryEmbCol))).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(1)
+      }
+      Ivf.centroids(numLists, dim, seed)
+    }
+    checkProp(props, CodebookProp,
+      codebookHash(cents ++ cb.books.flatten.map(_.v)), "the codebook")
+    // per-QUERY work: nprobe lists + numSub ADC tables, evaluated once
+    // per query row before the join
+    val adcCols = (0 until cb.numSub).map(m =>
+      Pq.adcTableCol(col(queryEmbCol), m, cb).as(s"_adc$m"))
+    val probes = queries
+      .select(col(queryIdCol).as("q_id") +:
+        explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))
+          .as("list_id") +: adcCols: _*)
+    // per-CANDIDATE work: numSub array lookups + adds
+    val dist = round((0 until cb.numSub).map(m =>
+      element_at(col(s"_adc$m"), element_at(col("codes"), m + 1)))
+      .reduce(_ + _), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col(idCol))
+    probes.join(index, Seq("list_id"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+      .drop((0 until cb.numSub).map(m => s"_adc$m") :+ "codes" :+
+        "list_id": _*)
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Build the LSH posting-list index: explode each row into its L

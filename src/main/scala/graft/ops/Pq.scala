@@ -117,6 +117,15 @@ object Pq {
     Codebooks(numSub, subDim, books)
   }
 
+  /** The `numSub` nearest-codeword ids of one embedding column — the
+    * PQ code word as a single codegen'd array expression.
+    */
+  def codesCol(embCol: Column, cb: Codebooks): Column =
+    array((0 until cb.numSub).map { m =>
+      KMeans.assignCol(subCol(embCol, m, cb.subDim), cb.books(m))
+        .cast(IntegerType)
+    }: _*)
+
   /** Encode each vector as its `numSub` nearest-codeword ids — one
     * codegen'd scan ([[KMeans.assignCol]] per subspace), output
     * `(idCol, codes array<int>)`. This is the table a production
@@ -127,11 +136,7 @@ object Pq {
       idCol: String,
       embCol: String,
       cb: Codebooks): DataFrame =
-    df.select(col(idCol),
-      array((0 until cb.numSub).map { m =>
-        KMeans.assignCol(subCol(col(embCol), m, cb.subDim), cb.books(m))
-          .cast(IntegerType)
-      }: _*).as("codes"))
+    df.select(col(idCol), codesCol(col(embCol), cb).as("codes"))
 
   /** Exact squared distance from the query's m-th subvector to each
     * codeword, indexed by cid (1-based; dropped cids hold MaxValue and
@@ -150,6 +155,29 @@ object Pq {
       dt(c.cid - 1) = qq - 2 * qc + cc
     }
     dt
+  }
+
+  /** The m-th ADC distance table as a COLUMN over a (varying) query
+    * embedding — the in-plan form of [[distTable]] for BATCH queries:
+    * slot `cid − 1` holds `q_m·q_m − 2·q_m·c + c·c` with the codeword
+    * terms as literals and the query terms as codegen'd fold dot
+    * products. Evaluated ONCE PER QUERY ROW (before any join), so
+    * per-candidate scoring stays `numSub` array lookups.
+    */
+  def adcTableCol(qEmb: Column, m: Int, cb: Codebooks): Column = {
+    val q = subCol(qEmb, m, cb.subDim)
+    val qq = graft.functions.ArrayDotProduct.dot(q, q)
+    val maxCid = cb.books(m).map(_.cid).max
+    val byCid = cb.books(m).map(c => c.cid -> c).toMap
+    array((1 to maxCid).map { cid =>
+      byCid.get(cid) match {
+        case Some(c) =>
+          val cc = c.v.foldLeft(0.0)((a, x) => a + x * x)
+          qq - lit(2.0) * graft.functions.ArrayDotProduct.dot(
+            q, typedlit(c.v.toSeq)) + lit(cc)
+        case None => lit(Double.MaxValue) // dropped cid: never referenced
+      }
+    }: _*)
   }
 
   /** ADC top-k over an encoded corpus: `numSub` element_at lookups into
@@ -208,6 +236,71 @@ object Pq {
        |  , $qFrom
        |WHERE a0.vec_id <> $queryId$extraWhere
        |ORDER BY adc_dist, a0.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB oracle of the BATCH IVF-PQ kNN JOIN
+    * ([[graft.ops.AnnIndex.knnJoinIvfPq]]): every query row (selected
+    * by `querySql` over vec_id) probes its own nprobe coarse lists,
+    * candidates come from list membership over the ENCODED corpus, and
+    * scoring is the identical ADC sum per (query, candidate) — the
+    * codebook chains and coarse assignment reuse the same generated
+    * CTES as the single-query oracles, with the per-query slices
+    * joined from the s{m}e CTEs instead of pinned to one vec_id.
+    */
+  def duckDbBatchIvfPqOracle(querySql: String, k: Int, numSub: Int,
+      subDim: Int, kPerSub: Int, iters: Int, numLists: Int, nprobe: Int,
+      seed: Long = 42L): String = {
+    val dim = numSub * subDim
+    val cents = Ivf.centroids(numLists, dim, seed)
+    def clit(c: Array[Double]) = c.map(_.toString).mkString("[", ",", "]")
+    val distDefs = cents.map { c =>
+      val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
+      s"($cNormSq - 2.0 * list_dot_product(v, ${clit(c)}))"
+    }
+    val distList = distDefs.mkString("[", ",\n      ", "]")
+    val bodies = (0 until numSub).map { m =>
+      val lo = m * subDim + 1
+      val hi = (m + 1) * subDim
+      KMeans.assignmentCteBody(kPerSub, iters, subDim,
+        vExpr = s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]",
+        prefix = s"s$m")
+    }
+    val dTerms = (0 until numSub).map(m =>
+      s"(list_dot_product(q$m.v, q$m.v) - 2 * list_dot_product(q$m.v, k$m.v)" +
+        s" + list_dot_product(k$m.v, k$m.v))").mkString("\n    + ")
+    val joins = (0 until numSub).map { m =>
+      s"  JOIN s${m}afinal a$m ON a$m.vec_id = c.vec_id\n" +
+        s"  JOIN s${m}c$iters k$m ON k$m.cid = a$m.cid\n" +
+        s"  JOIN s${m}e q$m ON q$m.vec_id = c.q_id"
+    }.mkString("\n")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, d,
+       |    list_indexof(d, list_min(d)) AS list_id
+       |  FROM (SELECT vec_id, v,
+       |    $distList AS d
+       |  FROM ev)),
+       |qrows AS (SELECT * FROM assigned WHERE $querySql),
+       |probes AS (
+       |  SELECT vec_id AS q_id, i AS list_id FROM (
+       |    SELECT vec_id, UNNEST(d) AS dist,
+       |           UNNEST(range(1, ${numLists + 1})) AS i FROM qrows)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY dist, i) <= $nprobe),
+       |${bodies.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round($dTerms, 6) AS adc_dist
+       |  FROM cand c
+       |$joins)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc_dist, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   /** DuckDB oracle for the IVF+PQ composition (qs15): the PQ oracle's

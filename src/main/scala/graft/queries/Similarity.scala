@@ -137,6 +137,11 @@ object Similarity {
         "embedding", AnnL, AnnBits, AnnDim, AnnSeed)
       graft.ops.AnnIndex.buildIvf(e, s"$CatalogName.$db.emb_ivf",
         "embedding", IvfLists, AnnDim, AnnSeed)
+      // the codes-only IVF-PQ layout (qs22): list assignment + PQ
+      // encode in one scan, ~32× smaller than the raw index
+      graft.ops.AnnIndex.buildIvfPq(e, s"$CatalogName.$db.emb_ivfpq",
+        "vec_id", "embedding", IvfLists, AnnDim, pqCodebooks(s, dir),
+        AnnSeed)
       built += db
       db
     }
@@ -745,6 +750,35 @@ object Similarity {
         k = 5, l = AnnL, bits = AnnBits, seed = AnnSeed)
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
           col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // The production RAG-ingest form of IVF-PQ: a BATCH of queries
+    // joined against the MATERIALIZED codes-only index (qs15 proved
+    // the single-query composition over an in-plan encode; this is the
+    // amortized shape — the index stores (list_id, codes), 8 bytes of
+    // payload per vector, partitioned by list_id). Each query computes
+    // its probe lists AND its 8 ADC tables once, the index scan is
+    // runtime-pruned to the probed lists (RuntimePartitionPruning on
+    // the partition column), and per-candidate scoring is 8 array
+    // lookups — ADC stays join-free per candidate and NO full-dim
+    // vector exists in the index to rerank against. Oracle: the same
+    // coarse assignment + 8 Lloyd chains, per-query slices joined
+    // instead of pinned.
+    Q("qs22_ivfpq_knn_join", graft.ops.Pq.duckDbBatchIvfPqOracle(
+      "vec_id < 10", k = 5, numSub = 8, subDim = 8, kPerSub = 16,
+      iters = 2, numLists = IvfLists, nprobe = IvfProbe,
+      seed = AnnSeed)) { (s, dir) =>
+      val db = ensureIndexes(s, dir)
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.AnnIndex.knnJoinIvfPq(
+        s.table(s"$CatalogName.$db.emb_ivfpq"),
+        queries, "vec_id", "embedding", "vec_id",
+        k = 5, cb = pqCodebooks(s, dir), numLists = IvfLists,
+        nprobe = IvfProbe, seed = AnnSeed)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"))
         .orderBy(col("q_id"), col("rank"))
     },
 

@@ -639,6 +639,66 @@ class ConnectorE2ESpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("IVF-PQ batch kNN join: runtime-pruned codes-only scan, ADC join-free") {
+    import org.apache.spark.sql.functions.col
+    val dim = 16
+    val rnd = new scala.util.Random(9)
+    val rows = (0L until 300L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annpq")
+    val cb = graft.ops.Pq.train(df, "vec_id", "embedding",
+      numSub = 4, subDim = 4, k = 8, iters = 1)
+    graft.ops.AnnIndex.buildIvfPq(df, "graft.annpq.emb_ivfpq",
+      "vec_id", "embedding", numLists = 8, dim = dim, cb = cb, seed = 42L)
+
+    // codes-only layout: the index has NO embedding column at all —
+    // "no full-dim rerank before the PQ shortlist" holds structurally
+    val idx = spark.table("graft.annpq.emb_ivfpq")
+    assert(idx.columns.sorted.toSeq == Seq("codes", "list_id", "vec_id"))
+
+    val queries = df.filter(col("vec_id") < 3)
+    val knn = graft.ops.AnnIndex.knnJoinIvfPq(
+      idx, queries, "vec_id", "embedding", "vec_id",
+      k = 5, cb = cb, numLists = 8, nprobe = 2, seed = 42L)
+    val got = knn.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val (sel, total) = executedSelectedVsTotal(knn)
+    assert(sel < total,
+      s"IVF-PQ batch join must runtime-prune: $sel of $total files")
+
+    // identical to per-query scan-based IVF probe + ADC over the
+    // encoded survivors (the qs15 single-query machinery)
+    val cents = graft.ops.Ivf.centroids(8, dim, 42L)
+    val want = (0L until 3L).flatMap { q =>
+      val qVec = rows(q.toInt)._2.map(_.toDouble)
+      val probes = graft.ops.Ivf.probeLists(qVec, cents, 2)
+      val pruned = df
+        .filter(graft.ops.Ivf.listId(col("embedding"), cents)
+          .isin(probes: _*))
+        .filter(col("vec_id") =!= q)
+      graft.ops.Pq.adcTopK(
+        graft.ops.Pq.encode(pruned, "vec_id", "embedding", cb),
+        "vec_id", qVec, k = 5, cb)
+        .select("vec_id").collect().zipWithIndex
+        .map { case (r, i) => (q, i.toLong + 1, r.getLong(0)) }
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // codebook mismatch fails loudly
+    val otherCb = graft.ops.Pq.train(df.limit(50), "vec_id", "embedding",
+      numSub = 4, subDim = 4, k = 8, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.knnJoinIvfPq(idx, queries, "vec_id", "embedding",
+        "vec_id", k = 5, cb = otherCb, numLists = 8, nprobe = 2,
+        seed = 42L).collect()
+    }
+    assert(e.getMessage.contains("mismatch"))
+  }
+
   test("stamped index tables refuse mismatched probe parameters") {
     val dim = 8
     val rnd = new scala.util.Random(5)
