@@ -207,16 +207,21 @@ object EditDistJoin {
   }
 
   /** Probe-side aligned substrings: for each target length
-    * tl = len + dl (dl ≤ 0 only: every string indexes, so for a pair
-    * (a, b) with |a| ≤ |b| the LONGER string b probes a's length
-    * against a's index rows — probing upward too would only
-    * rediscover each pair from the other side) and segment ordinal j,
+    * tl = len + dl (dl ≤ 0 for SELF-joins: every string indexes, so
+    * for a pair (a, b) with |a| ≤ |b| the LONGER string b probes a's
+    * length against a's index rows — probing upward too would only
+    * rediscover each pair from the other side; a BIPARTITE caller
+    * passes `bothDirections = true` because a left string shorter than
+    * its right match only meets it at tl > |l|) and segment ordinal j,
     * the substring at the segment's start shifted by δ ∈ [-k, k].
     * Rows carry (p_id, j, tl, d, seg); validity-filtered, NOT
     * deduped (the callers dedup at their own key granularity).
     */
-  private def probeSegments(titles: DataFrame, k: Int, m: Int): DataFrame = {
-    val combos = for { dl <- -k to 0; j <- 0 until m; d <- -k to k }
+  private def probeSegments(titles: DataFrame, k: Int, m: Int,
+      bothDirections: Boolean = false,
+      indexTitles: DataFrame = null): DataFrame = {
+    val dlRange = if (bothDirections) -k to k else -k to 0
+    val combos = for { dl <- dlRange; j <- 0 until m; d <- -k to k }
       yield (dl, j, d)
     val probeArr = array(combos.map { case (dl, j, d) =>
       val tl = col("len") + dl
@@ -238,7 +243,8 @@ object EditDistJoin {
       // drops dead probe rows before the dedup and the big join (on a
       // fixed-length corpus this is most of them)
       .join(broadcast(
-          titles.select(col("len").as("tl")).distinct()),
+          Option(indexTitles).getOrElse(titles)
+            .select(col("len").as("tl")).distinct()),
         Seq("tl"), "left_semi")
   }
 
@@ -361,5 +367,95 @@ object EditDistJoin {
         sum(col("ni").cast(org.apache.spark.sql.types.DoubleType) *
           col("np")), lit(0.0)))
       .head().getDouble(0)
+  }
+
+  // ------------------------------------------------------------------
+  // hooks for the SQL-form rewrite (graft.plans.EditDistJoinRewrite):
+  // the same measurement-calibrated segment choice and histogram
+  // ceiling, applied at PLANNING time to naive levenshtein joins
+  // ------------------------------------------------------------------
+
+  /** `(id, t, len)` projection of a bare string frame. */
+  private def titled(strDf: DataFrame): DataFrame =
+    strDf.select(monotonically_increasing_id().as("id"), col("t"))
+      .withColumn("len", length(col("t")))
+
+  /** [[autoSegments]] measured over an arbitrary single-column string
+    * frame (column `t`) — the density aggregate the rewrite runs over
+    * a join's INDEX side before choosing its plan.
+    */
+  private[graft] def measureSegments(strDf: DataFrame, k: Int,
+      targetDensity: Double = 8.0): Int = {
+    val base = indexSegments(titled(strDf), k, k + 1)
+    val r = base.agg(count(lit(1)).as("rows"),
+      count_distinct(col("j"), col("i_len"), col("seg")).as("space"))
+      .head()
+    autoSegments(k, r.getLong(0), r.getLong(1), targetDensity)
+  }
+
+  /** Histogram upper bound on a BIPARTITE signature join's candidate
+    * count: index histogram from `indexStr`, probe histogram from
+    * `probeStr` with BOTH length directions (the L ⋈ R case probes
+    * upward too), joined and summed — plus the sentinel-bucket product
+    * (short index strings meet every short-enough probe string
+    * all-pairs). Same double-precision overflow posture as the
+    * self-join estimate.
+    */
+  private[graft] def estimateBipartite(probeStr: DataFrame,
+      indexStr: DataFrame, k: Int, m: Int): Double = {
+    val probeT = titled(probeStr)
+    val indexT = titled(indexStr)
+    val (idxKeyed, prbKeyed) =
+      if (m == k + 1) {
+        val idx = indexSegments(indexT, k, m)
+          .groupBy(col("j"), col("i_len").as("tl"), col("seg"))
+          .agg(count(lit(1)).as("ni"))
+        val prb = probeSegments(probeT, k, m, bothDirections = true,
+          indexTitles = indexT)
+          .select(col("p_id"), col("j"), col("tl"), col("seg")).distinct()
+          .groupBy(col("j"), col("tl"), col("seg"))
+          .agg(count(lit(1)).as("np"))
+        (idx, prb)
+      } else {
+        val index = indexSegments(indexT, k, m)
+        val i1 = index.select(col("i_id"), col("i_len"),
+          col("j").as("j1"), col("seg").as("seg1"))
+        val i2 = index.select(col("i_id").as("i_id2"),
+          col("i_len").as("i_len2"), col("j").as("j2"),
+          col("seg").as("seg2"))
+        val idx = i1.join(i2,
+            col("i_id") === col("i_id2") && col("i_len") === col("i_len2") &&
+              col("j1") < col("j2"))
+          .groupBy(col("j1"), col("j2"), col("i_len").as("tl"),
+            col("seg1"), col("seg2"))
+          .agg(count(lit(1)).as("ni"))
+        val probe = probeSegments(probeT, k, m, bothDirections = true,
+          indexTitles = indexT)
+        val p1 = probe.select(col("p_id"), col("tl"),
+          col("j").as("j1"), col("d").as("d1"), col("seg").as("seg1"))
+        val p2 = probe.select(col("p_id").as("p_id2"), col("tl").as("tl2"),
+          col("j").as("j2"), col("d").as("d2"), col("seg").as("seg2"))
+        val prb = p1.join(p2,
+            col("p_id") === col("p_id2") && col("tl") === col("tl2") &&
+              col("j1") < col("j2") && abs(col("d2") - col("d1")) <= k)
+          .select(col("p_id"), col("tl"), col("j1"), col("j2"),
+            col("seg1"), col("seg2"))
+          .distinct()
+          .groupBy(col("j1"), col("j2"), col("tl"), col("seg1"), col("seg2"))
+          .agg(count(lit(1)).as("np"))
+        (idx, prb)
+      }
+    val joinCols = idxKeyed.columns.filterNot(_ == "ni").toSeq
+    val sigEst = idxKeyed.join(prbKeyed, joinCols)
+      .agg(coalesce(
+        sum(col("ni").cast(org.apache.spark.sql.types.DoubleType) *
+          col("np")), lit(0.0)))
+      .head().getDouble(0)
+    val shortIdx = indexT.filter(col("len") <= m - 1).count()
+    val sentinelEst =
+      if (shortIdx == 0) 0.0
+      else shortIdx.toDouble *
+        probeT.filter(col("len") <= m - 1 + k).count()
+    sigEst + sentinelEst
   }
 }

@@ -122,10 +122,65 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         bound match {
           case Some((ls, rs, k)) if !hasEqui &&
               allExprsDeterministic(left) && allExprsDeterministic(right) =>
-            rewrite(j, left, right, ls, rs, k, cond, hint)
+            val nSeg = chooseSegments(right, rs, k)
+            checkCeiling(left, right, ls, rs, k, nSeg)
+            if (nSeg == k + 1) rewrite(j, left, right, ls, rs, k, cond, hint)
+            else rewriteTwoMatch(j, left, right, ls, rs, k, cond, hint)
           case _ => j
         }
     }
+
+  /** Segment count for the signature join, mirroring
+    * [[graft.ops.EditDistJoin.candidatePairs]]'s entropy knob:
+    * `spark.graft.editDistJoin.segments` = classic (k+1) | two-match
+    * (k+2) | auto (default). Auto runs the ONE density aggregate over
+    * the index side at planning time — the same measurement-calibrated
+    * choice the operator API makes, so a naive SQL join over a
+    * saturated corpus gets the two-match protection instead of a
+    * quadratic classic join. Any measurement failure falls back to
+    * classic (the rewrite stays correctness-preserving either way).
+    */
+  private def chooseSegments(right: LogicalPlan, rs: Expression,
+      k: Int): Int =
+    conf.getConfString("spark.graft.editDistJoin.segments", "auto") match {
+      case "classic" => k + 1
+      case "two-match" => k + 2
+      case _ =>
+        try graft.ops.EditDistJoin.measureSegments(strFrame(right, rs), k)
+        catch { case scala.util.control.NonFatal(_) => k + 1 }
+    }
+
+  /** `spark.graft.editDistJoin.maxCandidates` ≥ 0 arms the histogram
+    * ceiling: the bipartite signature-bucket estimate runs BEFORE the
+    * join is planned and aborts degenerate corpora with the same
+    * IllegalStateException as the operator API — at planning time,
+    * before anything materializes.
+    */
+  private def checkCeiling(left: LogicalPlan, right: LogicalPlan,
+      ls: Expression, rs: Expression, k: Int, nSeg: Int): Unit = {
+    val ceiling = conf.getConfString(
+      "spark.graft.editDistJoin.maxCandidates", "-1").toLong
+    if (ceiling >= 0) {
+      val est = graft.ops.EditDistJoin.estimateBipartite(
+        strFrame(left, ls), strFrame(right, rs), k, nSeg)
+      if (est > ceiling.toDouble)
+        throw new IllegalStateException(
+          f"EditDistJoinRewrite: estimated candidate count $est%.0f " +
+            s"exceeds the ceiling $ceiling (m=$nSeg, k=$k) — the " +
+            "segment-value space is saturated for this corpus; raise " +
+            "spark.graft.editDistJoin.maxCandidates, lengthen the join " +
+            "strings, or pre-bucket the corpus")
+    }
+  }
+
+  /** The side's string expression as a one-column frame (column `t`)
+    * for the measurement/estimate jobs.
+    */
+  private def strFrame(side: LogicalPlan, expr: Expression)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshim.Shim.ofRows(
+      org.apache.spark.sql.SparkSession.active,
+      Project(Seq(Alias(expr, "t")()), side))
 
   // ---- expression helpers (mirror graft.ops.EditDistJoin exactly) ----
 
@@ -241,6 +296,150 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // like maps) and carry the outputs — functionally determined by
     // the pair — via first(), re-aliased under their ORIGINAL exprIds
     // so parent plans still bind
+    val aggExprs: Seq[NamedExpression] = j.output.map { a =>
+      Alias(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .First(a, ignoreNulls = false).toAggregateExpression(),
+        a.name)(a.exprId, a.qualifier)
+    }
+    val deduped = Aggregate(
+      Seq(lid.toAttribute, rid.toAttribute), aggExprs, verified)
+    Project(j.output, deduped)
+  }
+
+  /** Two-match rewrite (m = k+2): the round-8 entropy knob in SQL
+    * form. ≥ 2 of the m even-split segments survive any ≤ k edits, so
+    * the join key carries a PAIR of aligned segments (j1 < j2) —
+    * bucket density falls roughly with the square of the one-segment
+    * density, which is what keeps a saturated segment-value space from
+    * going quadratic. Index side: C(m,2) pair signatures per string;
+    * probe side: the (dl, j1, δ1, j2, δ2) grid with |δ1|, |δ2|,
+    * |δ2−δ1| ≤ k (both shifts are net-indel counts before their
+    * segment). Strings too short for m nonempty segments (len ≤ k+1)
+    * meet every possible partner (len ≤ 2k+1) in the shared sentinel
+    * bucket. Verification and pair dedup are identical to the classic
+    * rewrite — correctness-preserving by construction; this plan
+    * exists purely to bound candidate volume.
+    */
+  private def rewriteTwoMatch(j: Join, left: LogicalPlan,
+      right: LogicalPlan, ls: Expression, rs: Expression, k: Int,
+      cond: Expression, hint: JoinHint): LogicalPlan = {
+    val m = k + 2
+
+    // ---- index side (right): segment ordinal PAIRS plus sentinel ----
+    val rid = Alias(MonotonicallyIncreasingID(), "_graft_ed_rid")()
+    val rLen = Length(rs)
+    val iPairType = StructType(Seq(
+      StructField("j1", IntegerType, nullable = false),
+      StructField("j2", IntegerType, nullable = false)))
+    val iCombos: Seq[Expression] = (for {
+      j1 <- 0 until m; j2 <- j1 + 1 until m
+    } yield CreateNamedStruct(Seq(
+      Literal("j1"), Literal(j1),
+      Literal("j2"), Literal(j2)))) :+ CreateNamedStruct(Seq(
+      Literal("j1"), Literal(-1),
+      Literal("j2"), Literal(-1)))
+    val iGenAttr = AttributeReference("_graft_ed_ig2", iPairType,
+      nullable = false)()
+    val rightTag = Project(right.output :+ rid, right)
+    val iGen = Generate(Explode(CreateArray(iCombos)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iGenAttr), child = rightTag)
+    val ij1 = GetStructField(iGenAttr, 0, Some("j1"))
+    val ij2 = GetStructField(iGenAttr, 1, Some("j2"))
+    val iSentinel = EqualTo(ij1, Literal(-1))
+    val iEffLen = If(iSentinel, Literal(0), rLen)
+    def iSt(jj: Expression) = segStart(iEffLen, jj, m)
+    val iSt1 = iSt(ij1)
+    val iSlen1 = Subtract(iSt(Add(ij1, Literal(1))), iSt1)
+    val iSt2 = iSt(ij2)
+    val iSlen2 = Subtract(iSt(Add(ij2, Literal(1))), iSt2)
+    val iFiltered = Filter(Or(
+      And(GreaterThanOrEqual(iSlen1, Literal(1)),
+        GreaterThanOrEqual(iSlen2, Literal(1))),
+      And(iSentinel, LessThanOrEqual(rLen, Literal(k + 1)))), iGen)
+    val iJ1 = Alias(ij1, "_graft_ed_ij1")()
+    val iJ2 = Alias(ij2, "_graft_ed_ij2")()
+    val iLen = Alias(iEffLen, "_graft_ed_ilen")()
+    val iSeg1 = Alias(Substring(rs, Add(iSt1, Literal(1)), iSlen1),
+      "_graft_ed_iseg1")()
+    val iSeg2 = Alias(Substring(rs, Add(iSt2, Literal(1)), iSlen2),
+      "_graft_ed_iseg2")()
+    val index = Project(rightTag.output ++ Seq(iJ1, iJ2, iLen, iSeg1, iSeg2),
+      iFiltered)
+
+    // ---- probe side (left): literal (dl, j1, d1, j2, d2) grid ----
+    val lid = Alias(MonotonicallyIncreasingID(), "_graft_ed_lid")()
+    val lLen = Length(ls)
+    val comboType = StructType(Seq(
+      StructField("dl", IntegerType, nullable = false),
+      StructField("j1", IntegerType, nullable = false),
+      StructField("d1", IntegerType, nullable = false),
+      StructField("j2", IntegerType, nullable = false),
+      StructField("d2", IntegerType, nullable = false)))
+    def combo(dl: Int, j1: Int, d1: Int, j2: Int, d2: Int): Expression =
+      CreateNamedStruct(Seq(
+        Literal("dl"), Literal(dl), Literal("j1"), Literal(j1),
+        Literal("d1"), Literal(d1), Literal("j2"), Literal(j2),
+        Literal("d2"), Literal(d2)))
+    val pCombos: Seq[Expression] = (for {
+      dl <- -k to k
+      j1 <- 0 until m; j2 <- j1 + 1 until m
+      d1 <- -k to k; d2 <- -k to k
+      if math.abs(d2 - d1) <= k
+    } yield combo(dl, j1, d1, j2, d2)) :+ combo(0, -1, 0, -1, 0)
+    val pGenAttr = AttributeReference("_graft_ed_pg2", comboType,
+      nullable = false)()
+    val leftTag = Project(left.output :+ lid, left)
+    val pGen = Generate(Explode(CreateArray(pCombos)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(pGenAttr), child = leftTag)
+    val pDl = GetStructField(pGenAttr, 0, Some("dl"))
+    val pJ1raw = GetStructField(pGenAttr, 1, Some("j1"))
+    val pD1 = GetStructField(pGenAttr, 2, Some("d1"))
+    val pJ2raw = GetStructField(pGenAttr, 3, Some("j2"))
+    val pD2 = GetStructField(pGenAttr, 4, Some("d2"))
+    val pSentinel = EqualTo(pJ1raw, Literal(-1))
+    val pTlE = If(pSentinel, Literal(0), Add(lLen, pDl))
+    def pSt(jj: Expression) = segStart(pTlE, jj, m)
+    val pSt1 = pSt(pJ1raw)
+    val pSlen1 = Subtract(pSt(Add(pJ1raw, Literal(1))), pSt1)
+    val pStart1 = Add(pSt1, pD1)
+    val pSt2 = pSt(pJ2raw)
+    val pSlen2 = Subtract(pSt(Add(pJ2raw, Literal(1))), pSt2)
+    val pStart2 = Add(pSt2, pD2)
+    def valid(slen: Expression, start: Expression): Expression =
+      And(And(GreaterThanOrEqual(slen, Literal(1)),
+        GreaterThanOrEqual(start, Literal(0))),
+        LessThanOrEqual(Add(start, slen), lLen))
+    val pFiltered = Filter(Or(
+      And(valid(pSlen1, pStart1), valid(pSlen2, pStart2)),
+      And(pSentinel, LessThanOrEqual(lLen, Literal(2 * k + 1)))), pGen)
+    val pJ1 = Alias(pJ1raw, "_graft_ed_pj1")()
+    val pJ2 = Alias(pJ2raw, "_graft_ed_pj2")()
+    val pTl = Alias(pTlE, "_graft_ed_ptl")()
+    val pSeg1 = Alias(Substring(ls, Add(pStart1, Literal(1)), pSlen1),
+      "_graft_ed_pseg1")()
+    val pSeg2 = Alias(Substring(ls, Add(pStart2, Literal(1)), pSlen2),
+      "_graft_ed_pseg2")()
+    val probe = Project(leftTag.output ++ Seq(pJ1, pJ2, pTl, pSeg1, pSeg2),
+      pFiltered)
+
+    // ---- pair-signature equi-join + exact post-filter + dedup ----
+    val joinCond = Seq(
+      EqualTo(pSeg1.toAttribute, iSeg1.toAttribute),
+      EqualTo(pSeg2.toAttribute, iSeg2.toAttribute),
+      EqualTo(pJ1.toAttribute, iJ1.toAttribute),
+      EqualTo(pJ2.toAttribute, iJ2.toAttribute),
+      EqualTo(pTl.toAttribute, iLen.toAttribute)).reduce(And)
+    val sigJoin = Join(probe, index, Inner, Some(joinCond), hint)
+    val banded = splitConjunctivePredicates(cond).map { c =>
+      if (asLevBound(c, left.outputSet, right.outputSet)
+          .contains((ls, rs, k)))
+        GreaterThanOrEqual(
+          Levenshtein(ls, rs, Some(Literal(k))), Literal(0))
+      else c
+    }.reduce(And)
+    val verified = Filter(banded, sigJoin)
     val aggExprs: Seq[NamedExpression] = j.output.map { a =>
       Alias(new org.apache.spark.sql.catalyst.expressions.aggregate
         .First(a, ignoreNulls = false).toAggregateExpression(),

@@ -146,4 +146,64 @@ class EditDistJoinRewriteSpec extends AnyFunSuite {
     assert(rows(sql) == withRuleDisabled(rows(sql)))
     assert(!planOf(sql).contains("BroadcastNestedLoopJoin"))
   }
+
+  /** Short strings over a 2-letter alphabet: the (k+1)-split segment
+    * space saturates, the exact corpus shape whose classic signature
+    * join goes quadratic (the round-8 EditDistJoin measurement).
+    */
+  private lazy val saturatedFixture: Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 6).map(_ =>
+      if (rnd.nextBoolean()) 'a' else 'b').mkString
+    (0 until 300).map(i => (i.toLong, word()))
+      .toDF("sid", "sw").createOrReplaceTempView("sat_a")
+    (0 until 300).map(i => (i.toLong + 1000, word()))
+      .toDF("tid", "tw").createOrReplaceTempView("sat_b")
+  }
+
+  private val satSql =
+    "SELECT sid, tid FROM sat_a JOIN sat_b ON levenshtein(sw, tw) <= 1"
+
+  test("auto mode gives a saturated corpus the two-match signature join") {
+    saturatedFixture
+    // default segments=auto: the density measurement must pick m=k+2 —
+    // the optimized plan carries the PAIR signature columns
+    val plan = spark.sql(satSql).queryExecution.optimizedPlan.toString
+    assert(plan.contains("_graft_ed_iseg2"),
+      "saturated corpus must get the two-match plan")
+    assert(!planOf(satSql).contains("BroadcastNestedLoopJoin"))
+    val got = rows(satSql)
+    assert(got == withRuleDisabled(rows(satSql)) && got.nonEmpty)
+  }
+
+  test("segments conf pins classic / two-match explicitly") {
+    fixture
+    val sql = "SELECT aid, bid FROM ea JOIN eb ON levenshtein(aw, bw) <= 2"
+    val want = withRuleDisabled(rows(sql))
+    try {
+      spark.conf.set("spark.graft.editDistJoin.segments", "two-match")
+      val p2 = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(p2.contains("_graft_ed_iseg2"))
+      assert(rows(sql) == want)
+      spark.conf.set("spark.graft.editDistJoin.segments", "classic")
+      val p1 = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(p1.contains("_graft_ed_iseg") && !p1.contains("_graft_ed_iseg2"))
+      assert(rows(sql) == want)
+    } finally spark.conf.unset("spark.graft.editDistJoin.segments")
+  }
+
+  test("maxCandidates ceiling aborts a saturated join at planning time") {
+    saturatedFixture
+    try {
+      spark.conf.set("spark.graft.editDistJoin.maxCandidates", "500")
+      val e = intercept[IllegalStateException] {
+        spark.sql(satSql).queryExecution.optimizedPlan
+      }
+      assert(e.getMessage.contains("ceiling"), e.getMessage)
+      // a generous ceiling lets the same join plan and run
+      spark.conf.set("spark.graft.editDistJoin.maxCandidates", "100000000")
+      assert(rows(satSql).nonEmpty)
+    } finally spark.conf.unset("spark.graft.editDistJoin.maxCandidates")
+  }
 }
