@@ -147,9 +147,28 @@ object Bench {
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf1", nDocs = 50000, nEmb = 20000,
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
-            "qd12_editdist", "qs5_embedding_autobits")))
+            "qd12_editdist", "qs5_embedding_autobits",
+            "qs20_ivf_knn_join", "qs21_lsh_knn_join")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf1 scale lane FAILED: ${e.getMessage}")
+          None
+        }
+      }
+    // sf2 lane: the four historically-quadratic legs + the index-served
+    // kNN join at DOUBLE the sf1 size (100k docs / 40k vectors) — the
+    // round-7 ad-hoc probe as a per-round artifact: the knobs must
+    // carry a 4× total spread from the bench SF
+    val scaleSf2: Option[graft.queries.ScaleLane.Report] =
+      if (!scaleOn) None
+      else {
+        spark.catalog.clearCache()
+        try Some(graft.queries.ScaleLane.run(spark,
+          dir = "target/scale/sf2", nDocs = 100000, nEmb = 40000,
+          only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+            "qd12_editdist", "qs5_embedding_autobits",
+            "qs21_lsh_knn_join")))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] sf2 scale lane FAILED: ${e.getMessage}")
           None
         }
       }
@@ -161,6 +180,8 @@ object Bench {
     def scaleReportJson(r: graft.queries.ScaleLane.Report): String = {
       val legs = r.legs.map { l =>
         val extra = l.candidates.map(c => s""","candidates":$c""").getOrElse("") +
+          l.metrics.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""","${k}":$v""" }.mkString +
           l.err.map(e => s""","err":${js(e)}""").getOrElse("")
         s"""${js(l.name)}:{"sec":${jn(l.sec)},"rows":${l.rows}$extra}"""
       }.mkString("{", ",", "}")
@@ -170,6 +191,7 @@ object Bench {
     }
     val scaleJson = scale.map(scaleReportJson).getOrElse("null")
     val scaleSf1Json = scaleSf1.map(scaleReportJson).getOrElse("null")
+    val scaleSf2Json = scaleSf2.map(scaleReportJson).getOrElse("null")
 
     // the complete artifact: stdout-line fields + raw passes + scale
     val artifact =
@@ -183,7 +205,8 @@ object Bench {
          |"queries":${queriesJson(results)},
          |"passes":[${passes.map(queriesJson).mkString(",\n")}],
          |"scale":$scaleJson,
-         |"scale_sf1":$scaleSf1Json
+         |"scale_sf1":$scaleSf1Json,
+         |"scale_sf2":$scaleSf2Json
          |}""".stripMargin
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

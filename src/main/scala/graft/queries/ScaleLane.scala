@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
 object ScaleLane {
 
   final case class Leg(name: String, sec: Double, rows: Long,
-      candidates: Option[Long], err: Option[String])
+      candidates: Option[Long], err: Option[String],
+      metrics: Map[String, Long] = Map.empty)
   final case class Report(dir: String, nDocs: Int, nEmb: Int,
       generated: Boolean, genSec: Double, legs: Seq[Leg])
 
@@ -61,17 +62,21 @@ object ScaleLane {
     val genSec = if (needGen) (System.nanoTime() - g0) / 1e9 else 0.0
 
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
-    def leg(name: String)(body: => (Long, Option[Long])): Unit = {
+    def legM(name: String)(
+        body: => (Long, Option[Long], Map[String, Long])): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       try {
-        val (rows, cands) = body
-        legs += Leg(name, (System.nanoTime() - t0) / 1e9, rows, cands, None)
+        val (rows, cands, metrics) = body
+        legs += Leg(name, (System.nanoTime() - t0) / 1e9, rows, cands, None,
+          metrics)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] scale leg $name FAILED: ${e.getMessage}")
         legs += Leg(name, -1.0, -1L, None, Some(e.toString.take(200)))
       }
     }
+    def leg(name: String)(body: => (Long, Option[Long])): Unit =
+      legM(name) { val (r, c) = body; (r, c, Map.empty) }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -252,6 +257,105 @@ object ScaleLane {
         .head.getSeq[Double](0).toArray
       (graft.ops.Sq8.topk(emb, "vec_id", "embedding", 1L, qv, model,
         k = 10).count(), Some(NEmb.toLong - 1))
+    }
+    // ---- index-served batch kNN joins (qs20/qs21 shapes) ----------
+    // The newest machinery gets the same per-round growth guard as the
+    // dedup quadratics: build the materialized index through the graft
+    // connector, run the batch join, and record the quantities that
+    // stop scaling first — files READ vs total (runtime pruning must
+    // keep reading a subset as the corpus doubles), probed partitions,
+    // and pre-top-k candidate rows (cost ∝ queries × bucket density).
+    def scaleCatalog(): String = {
+      val cat = "graftscale"
+      if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.connector.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-scale-wh").toString)
+      }
+      val ns = "s" + math.abs(dir.hashCode).toString
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+      s"$cat.$ns"
+    }
+    def executedScanCounts(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p.collect {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case q: QueryStageExec => leaves(q.plan)
+          case l if l.children.isEmpty => Seq(l)
+        }.flatten
+      }
+      leaves(df.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case g: graft.connector.GraftScan =>
+        (g.selectedFiles.size.toLong, g.table.liveFiles.size.toLong)
+      }.getOrElse((-1L, -1L))
+    }
+    legM("qs21_lsh_knn_join") {
+      val ns = scaleCatalog()
+      graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh", "embedding",
+        l = 4, bits = 8, dim = 64, seed = 42L)
+      val index = spark.table(s"$ns.emb_lsh")
+      val queries = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id"), col("embedding"))
+      val knn = graft.ops.AnnIndex.knnJoinLsh(index, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, l = 4, bits = 8, seed = 42L)
+      // collect through knn's OWN QueryExecution: the runtime filter
+      // mutates that plan's scan, which executedScanCounts inspects
+      val rows = knn.collect().length.toLong
+      val (read, total) = executedScanCounts(knn)
+      // probed partitions + candidate volume, re-derived with the same
+      // signature expressions (bounded extra jobs over the query batch)
+      val ps = graft.ops.Ann.planes(4, 8, 64, 42L)
+      val sigs = queries.select(col("vec_id").as("q_id"),
+        explode(array(ps.zipWithIndex.map { case (tp, t) =>
+          struct(lit(t).as("table_id"),
+            graft.ops.Ann.bucket(col("embedding"), tp).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col("q_id"), col("tb.table_id").as("table_id"),
+          col("tb.bucket").as("bucket"))
+      val probed = sigs.select(col("table_id"), col("bucket"))
+        .distinct().count()
+      val cand = sigs.join(index, Seq("table_id", "bucket"))
+        .filter(col("vec_id") =!= col("q_id")).count()
+      (rows, Some(cand), Map(
+        "files_read" -> read, "files_total" -> total,
+        "probed_partitions" -> probed))
+    }
+    legM("qs20_ivf_knn_join") {
+      val ns = scaleCatalog()
+      // TRAINED coarse lists — the production codebook: at dim 64 a
+      // random gaussian codebook degenerates (distance concentration
+      // routes nearly every vector to the smallest-norm centroid, so
+      // occupied lists collapse to a handful and the probe union stops
+      // pruning); k-means keeps list sizes balanced, which is exactly
+      // what bounds probe fan-out at scale
+      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
+        k = 32, iters = 2).map(_.v)
+      graft.ops.AnnIndex.buildIvf(emb, s"$ns.emb_ivf", "embedding",
+        numLists = 32, dim = 64, seed = 42L, centroids = Some(cents))
+      val index = spark.table(s"$ns.emb_ivf")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val knn = graft.ops.AnnIndex.knnJoinIvf(index, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, numLists = 32, nprobe = 2, seed = 42L,
+        centroids = Some(cents))
+      val rows = knn.collect().length.toLong
+      val (read, total) = executedScanCounts(knn)
+      val probes = queries.select(col("vec_id").as("q_id"),
+        explode(graft.ops.Ivf.probeListsCol(col("embedding"), cents, 2))
+          .as("list_id"))
+      val probed = probes.select(col("list_id")).distinct().count()
+      val cand = probes.join(index, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id")).count()
+      (rows, Some(cand), Map(
+        "files_read" -> read, "files_total" -> total,
+        "probed_partitions" -> probed))
     }
     leg("qe_time_joins") {
       // as-of + range join on a deterministic 500k-row event set

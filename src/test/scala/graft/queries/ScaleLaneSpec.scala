@@ -1,0 +1,39 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The index-served kNN scale legs (qs20/qs21 shapes) must report the
+  * scale-guard metrics — files read vs total (runtime pruning), probed
+  * partitions, candidate volume — and succeed on a small fixture.
+  */
+class ScaleLaneSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-scalelane-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("kNN join legs record pruning and candidate metrics") {
+    val dir = Files.createTempDirectory("graft-lane").toString
+    val report = ScaleLane.run(spark, dir = dir, nDocs = 400, nEmb = 800,
+      only = Set("qs20_ivf_knn_join", "qs21_lsh_knn_join"))
+    assert(report.legs.map(_.name).sorted ==
+      Seq("qs20_ivf_knn_join", "qs21_lsh_knn_join"))
+    report.legs.foreach { l =>
+      assert(l.err.isEmpty, s"${l.name}: ${l.err}")
+      assert(l.rows > 0, s"${l.name} returned no rows")
+      assert(l.candidates.exists(_ > 0), s"${l.name} candidates missing")
+      val read = l.metrics("files_read")
+      val total = l.metrics("files_total")
+      assert(read > 0 && total > 0 && read < total,
+        s"${l.name} must runtime-prune: $read of $total files")
+      assert(l.metrics("probed_partitions") > 0)
+    }
+  }
+}
