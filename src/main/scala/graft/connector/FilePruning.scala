@@ -24,6 +24,106 @@ object FilePruning {
       spec: PartitionSpec): Boolean =
     filters.forall(f => evalFilter(file, f, schema, spec))
 
+  /** How many IN values before [[optimize]] converts to the prepared
+    * sorted form (below it, the exists-scan's early exit wins).
+    */
+  private val PreparedInThreshold = 64
+
+  /** A filter pre-processed for repeated per-file evaluation
+    * ([[optimize]]): either a plain source filter, or a large IN whose
+    * values were parsed and sorted ONCE so each file checks range
+    * overlap with one binary search instead of an O(values) scan that
+    * re-parses the file's bounds per value. This is what keeps RUNTIME
+    * join-key filters (dynamic pruning hands the scan one IN per key —
+    * tens of thousands of values for a large kNN probe batch) at
+    * O(files · log values) instead of O(files · values) driver time.
+    */
+  sealed trait Prepared
+  final case class Plain(f: Filter) extends Prepared
+  final case class PreparedIn(
+      col: String,
+      dt: DataType,
+      sorted: Array[Any]) extends Prepared {
+
+    private val ord = new java.util.Comparator[Any] {
+      override def compare(a: Any, b: Any): Int =
+        ColumnStat.compare(ColumnStat.render(a, dt), b, dt)
+    }
+
+    /** Any value in [lo, hi]? (bounds given as stored stat strings) */
+    def anyInRange(lo: Option[String], hi: Option[String]): Boolean = {
+      if (sorted.isEmpty) return false
+      // first index with value >= lo
+      val from = lo match {
+        case None => 0
+        case Some(l) =>
+          val key = ColumnStat.parse(l, dt)
+          val i = java.util.Arrays.binarySearch(
+            sorted.asInstanceOf[Array[AnyRef]], key.asInstanceOf[AnyRef],
+            ord.asInstanceOf[java.util.Comparator[AnyRef]])
+          if (i >= 0) i else -i - 1
+      }
+      if (from >= sorted.length) return false
+      hi match {
+        case None => true
+        case Some(h) =>
+          ColumnStat.compare(ColumnStat.render(sorted(from), dt),
+            ColumnStat.parse(h, dt), dt) <= 0
+      }
+    }
+  }
+
+  /** Convert large IN filters into their prepared sorted form — call
+    * once per filter set, then [[mayMatchPrepared]] per file. IN lists
+    * over bucket-partitioned source columns keep the original form
+    * (their per-value hash check has no sorted shortcut); everything
+    * else is passed through untouched.
+    */
+  def optimize(filters: Seq[Filter], schema: StructType,
+      specs: Iterable[PartitionSpec]): Seq[Prepared] = {
+    val bucketCols: Set[String] = specs.flatMap(_.fields.collect {
+      case f if f.transform.isInstanceOf[Transform.Bucket] =>
+        f.sourceName.toLowerCase
+    }).toSet
+    filters.map {
+      case in @ In(c, vs)
+          if vs != null && vs.length > PreparedInThreshold &&
+            !vs.contains(null) && !bucketCols.contains(c.toLowerCase) =>
+        dataTypeOf(schema, c) match {
+          case Some(dt) =>
+            try {
+              // normalize external values through render→parse so the
+              // comparator sees the same JVM types ColumnStat uses
+              val arr: Array[Any] = vs.map(v =>
+                ColumnStat.parse(ColumnStat.render(v, dt), dt))
+              java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],
+                new java.util.Comparator[AnyRef] {
+                  override def compare(a: AnyRef, b: AnyRef): Int =
+                    ColumnStat.compare(ColumnStat.render(a, dt), b, dt)
+                })
+              PreparedIn(c, dt, arr)
+            } catch { case scala.util.control.NonFatal(_) => Plain(in) }
+          case None => Plain(in)
+        }
+      case other => Plain(other)
+    }
+  }
+
+  /** [[mayMatch]] over a prepared filter set. */
+  def mayMatchPrepared(
+      file: DataFile,
+      filters: Seq[Prepared],
+      schema: StructType,
+      spec: PartitionSpec): Boolean =
+    filters.forall {
+      case Plain(f) => evalFilter(file, f, schema, spec)
+      case p: PreparedIn =>
+        statOf(file, p.col) match {
+          case Some(st) => p.anyInRange(st.min, st.max)
+          case None => true
+        }
+    }
+
   private def dataTypeOf(schema: StructType, col: String): Option[DataType] =
     schema.fields.find(_.name.equalsIgnoreCase(col)).map(_.dataType)
 

@@ -511,8 +511,15 @@ class GraftScan(
       case None => statSelectedFiles
     }
     if (runtimeFilters.isEmpty) base
-    else base.filter(f => FilePruning.mayMatch(f, runtimeFilters, dataSchema,
-      table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
+    else {
+      // large runtime IN lists (dynamic pruning of a big probe batch)
+      // are parsed+sorted ONCE; each file then checks range overlap in
+      // O(log values) instead of re-scanning the whole value list
+      val prepared = FilePruning.optimize(runtimeFilters, dataSchema,
+        table.meta.specs.values)
+      base.filter(f => FilePruning.mayMatchPrepared(f, prepared, dataSchema,
+        table.meta.specs.getOrElse(f.specId, table.meta.defaultSpec)))
+    }
   }
 
   override def readSchema(): StructType = requiredSchema

@@ -81,4 +81,60 @@ class FilePruningSpec extends AnyFunSuite {
     assert(FilePruning.mayMatch(f, Seq(GreaterThanOrEqual("v", 20)), schema, spec))
     assert(!FilePruning.mayMatch(f, Seq(LessThan("v", 10)), schema, spec))
   }
+
+  test("optimize converts large INs to sorted prepared form, same decisions") {
+    val ischema = StructType(Seq(StructField("k", LongType)))
+    def fileK(mn: Long, mx: Long) = DataFile("/tmp/k.parquet", 10L, 5L, 0,
+      Map.empty, Map("k" -> ColumnStat(Some(mn.toString), Some(mx.toString),
+        Some(0L))))
+    // 1000 even values 0, 2, ..., 1998
+    val vs: Array[Any] = (0L until 1000L).map(i => (i * 2): Any).toArray
+    val in = In("k", vs)
+    val prepared = FilePruning.optimize(Seq(in), ischema,
+      Seq(PartitionSpec(0, Nil)))
+    assert(prepared.head.getClass.getSimpleName == "PreparedIn",
+      s"expected prepared form, got ${prepared.head}")
+    val cases = Seq(
+      fileK(0L, 10L) -> true,        // overlaps several values
+      fileK(5L, 5L) -> false,        // odd singleton: no even value
+      fileK(1999L, 5000L) -> false,  // above the max value (1998 < 1999)
+      fileK(1998L, 5000L) -> true,   // exactly the max value
+      fileK(-10L, -1L) -> false,     // below the min value
+      fileK(-10L, 0L) -> true,       // exactly the min value
+      fileK(101L, 101L) -> false,    // odd gap inside the range
+      fileK(100L, 100L) -> true)     // even singleton
+    cases.foreach { case (f, want) =>
+      assert(FilePruning.mayMatchPrepared(f, prepared, ischema,
+        PartitionSpec(0, Nil)) == want, s"prepared: ${f.columnStats}")
+      assert(FilePruning.mayMatch(f, Seq(in), ischema,
+        PartitionSpec(0, Nil)) == want, s"plain: ${f.columnStats}")
+    }
+    // missing stats keep the file (conservative), both forms
+    val noStats = DataFile("/tmp/n.parquet", 10L, 5L, 0, Map.empty, Map.empty)
+    assert(FilePruning.mayMatchPrepared(noStats, prepared, ischema,
+      PartitionSpec(0, Nil)))
+
+    // strings sort by ColumnStat semantics too
+    val sschema = StructType(Seq(StructField("s", StringType)))
+    val svs: Array[Any] = (0 until 200).map(i => f"v$i%03d": Any).toArray
+    val sPrepared = FilePruning.optimize(Seq(In("s", svs)), sschema,
+      Seq(PartitionSpec(0, Nil)))
+    def fileS(mn: String, mx: String) = DataFile("/tmp/s.parquet", 10L, 5L, 0,
+      Map.empty, Map("s" -> ColumnStat(Some(mn), Some(mx), Some(0L))))
+    assert(FilePruning.mayMatchPrepared(fileS("v100", "v1000"), sPrepared,
+      sschema, PartitionSpec(0, Nil)))
+    assert(!FilePruning.mayMatchPrepared(fileS("v200", "zzz"), sPrepared,
+      sschema, PartitionSpec(0, Nil)))
+
+    // bucket-transform source columns keep the plain IN (per-value hash)
+    val bucketSpec = PartitionSpec(0, Seq(PartitionField("k", 1, "k_bucket",
+      Transform.Bucket(8))))
+    val keptPlain = FilePruning.optimize(Seq(in), ischema, Seq(bucketSpec))
+    assert(keptPlain.head == FilePruning.Plain(in))
+
+    // small lists stay as-is (exists early-exit wins)
+    val small = In("k", Array[Any](1L, 2L, 3L))
+    assert(FilePruning.optimize(Seq(small), ischema,
+      Seq(PartitionSpec(0, Nil))).head == FilePruning.Plain(small))
+  }
 }
