@@ -5,5 +5,5 @@ package graft
   * api/management/v1/server.rs:321).
   */
 object BuildInfo {
-  val Version: String = "0.8.0"
+  val Version: String = "0.9.0"
 }
