@@ -60,7 +60,8 @@ object EqualityDeletes {
       catalog: GraftCatalog,
       id: TabularId,
       keys: DataFrame,
-      equalityIds: Seq[String]): Long = {
+      equalityIds: Seq[String],
+      ref: String = TableMetadata.MainBranch): Long = {
     require(equalityIds.nonEmpty, "equalityIds must be non-empty")
     val (meta, _) = catalog.store.loadTableMetadata(id).getOrElse(
       throw new IllegalArgumentException(s"No such table: $id"))
@@ -115,7 +116,9 @@ object EqualityDeletes {
     catalog.store.commitTableWith(id,
       Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
       current => {
-        val parentSnapshot = current.currentSnapshot
+        // branch-aware like every other write path: the commit parents
+        // on (and advances) `ref`, not unconditionally main
+        val parentSnapshot = current.snapshotFor(ref)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
         val manifest = catalog.store.writeManifest(current.location,
           ManifestFile(GraftWrite.assignRowIds(current, eqFiles), snapshotId),
@@ -138,8 +141,8 @@ object EqualityDeletes {
           current.currentSchemaId)
         Seq(
           TableUpdate.AddSnapshot(snap),
-          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
-            current.refs.get(TableMetadata.MainBranch)
+          TableUpdate.SetSnapshotRef(ref,
+            current.refs.get(ref)
               .map(_.copy(snapshotId = snapshotId))
               .getOrElse(SnapshotRef(snapshotId, isBranch = true))))
       })

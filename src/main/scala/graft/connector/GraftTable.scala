@@ -960,10 +960,11 @@ final case class MetaDeleteReaderFactory(
       private var current: PartitionReader[InternalRow] = _
       private var currentPath: org.apache.spark.unsafe.types.UTF8String = _
       private var currentDeleted: Array[Long] = Array.emptyLongArray
-      // (key-column ordinals, key-column types, key set) per delete file
+      // (key-column ordinals, key-column types, key set, reusable key
+      // buffer) per delete file
       private var currentEq
           : Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
-            java.util.HashSet[List[Any]])] = Array.empty
+            java.util.HashSet[List[Any]], Array[Any])] = Array.empty
       private val eqCache = scala.collection.mutable.HashMap
         .empty[String, java.util.HashSet[List[Any]]]
       private var currentFirstRowId: java.lang.Long = _
@@ -995,7 +996,7 @@ final case class MetaDeleteReaderFactory(
             val keys = eqCache.getOrElseUpdate(spec.path,
               EqualityDeletes.load(spec.path, spec.ids,
                 ords.map(dataTypes).toSeq, conf.value))
-            (ords, types, keys)
+            (ords, types, keys, new Array[Any](ords.length))
           }
           pos = -1L
           true
@@ -1005,16 +1006,20 @@ final case class MetaDeleteReaderFactory(
       private def eqDeleted(row: InternalRow): Boolean = {
         var d = 0
         while (d < currentEq.length) {
-          val (ords, types, keys) = currentEq(d)
-          val key = new Array[Any](ords.length)
+          val (ords, types, keys, buf) = currentEq(d)
           var i = 0
           while (i < ords.length) {
-            key(i) =
+            buf(i) =
               if (row.isNullAt(ords(i))) null
               else row.get(ords(i), types(i))
             i += 1
           }
-          if (keys.contains(key.toList)) return true
+          // ArraySeq wraps the REUSED buffer without copying; its Seq
+          // equality/hash match the stored List keys, so the per-row
+          // membership probe costs one small wrapper, not array+list
+          if (keys.contains(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)))
+            return true
           d += 1
         }
         false

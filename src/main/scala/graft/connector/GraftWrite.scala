@@ -178,7 +178,8 @@ object GraftWrite {
   }
 
   private val TotalKeys = Seq("total-data-files", "total-records",
-    "total-files-size", "total-delete-files", "total-position-deletes")
+    "total-files-size", "total-delete-files", "total-position-deletes",
+    "total-equality-deletes")
 
   /** Iceberg-parity running totals for a snapshot summary: parent
     * totals + added − removed, computed WITHOUT any manifest read.
@@ -195,11 +196,16 @@ object GraftWrite {
       case None => TotalKeys.map(_ -> 0L).toMap
       case Some(p) =>
         val vals = TotalKeys.map(k => k ->
-          p.summary.get(k).flatMap(v => scala.util.Try(v.toLong).toOption))
+          p.summary.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
+            // key added after the parent committed (equality deletes
+            // postdate older lineages): resume from 0, don't drop the
+            // whole totals block
+            .orElse(if (k == "total-equality-deletes") Some(0L) else None))
         if (vals.exists(_._2.isEmpty)) return Map.empty
         vals.map { case (k, v) => k -> v.get }.toMap
     }
     val (data, del) = added.partition(_.isData)
+    val (posDel, eqDel) = del.partition(_.isPositionDeletes)
     Map(
       "total-data-files" ->
         (base("total-data-files") + data.size - removed.dataFiles),
@@ -211,9 +217,13 @@ object GraftWrite {
           removed.dataBytes),
       "total-delete-files" ->
         (base("total-delete-files") + del.size - removed.deleteFiles),
+      // removed delete records are position deletes (the only delete
+      // content compaction rewrites today)
       "total-position-deletes" ->
-        (base("total-position-deletes") + del.map(_.recordCount).sum -
-          removed.deleteRecords)
+        (base("total-position-deletes") + posDel.map(_.recordCount).sum -
+          removed.deleteRecords),
+      "total-equality-deletes" ->
+        (base("total-equality-deletes") + eqDel.map(_.recordCount).sum)
     ).map { case (k, v) => k -> v.toString }
   }
 

@@ -118,32 +118,69 @@ object AnnIndex {
   /** The codebook a probe must use: explicit centroids are verified
     * against the stamped hash; derived ones are rebuilt from verified
     * (numLists, dim, seed). Zero Spark jobs when the index is stamped;
-    * un-stamped plain frames fall back to a one-row dim probe.
+    * un-stamped plain frames fall back to `dimOf` (e.g. a one-row dim
+    * probe). `pqBooks` folds PQ codebooks into the hash for IVF-PQ
+    * indexes. ONE verification protocol for every probe entry point —
+    * a new stamped property gets checked everywhere at once.
     */
   private def resolveIvfCodebook(
       index: DataFrame,
-      queries: => DataFrame,
-      queryEmbCol: String,
       numLists: Int,
       seed: Long,
-      centroids: Option[Seq[Array[Double]]]): Seq[Array[Double]] = {
+      centroids: Option[Seq[Array[Double]]],
+      dimOf: => Int,
+      pqBooks: Seq[Array[Double]] = Nil): Seq[Array[Double]] = {
     val props = tableProps(index)
     centroids match {
       case Some(cs) =>
-        checkProp(props, CodebookProp, codebookHash(cs), "the codebook")
+        checkProp(props, CodebookProp, codebookHash(cs ++ pqBooks),
+          "the codebook")
         cs
       case None =>
         checkProp(props, ListsProp, numLists.toString, "numLists")
         checkProp(props, SeedProp, seed.toString, "the seed")
-        val dim = props.get(DimProp).map(_.toInt).getOrElse {
-          // not a stamped catalog table: derive dim from one query row
-          // (empty batch → placeholder; no row evaluates the probes)
-          queries.select(size(col(queryEmbCol))).take(1)
-            .headOption.map(_.getInt(0)).getOrElse(1)
-        }
-        Ivf.centroids(numLists, dim, seed)
+        val cents = Ivf.centroids(numLists,
+          props.get(DimProp).map(_.toInt).getOrElse(dimOf), seed)
+        if (pqBooks.nonEmpty)
+          checkProp(props, CodebookProp, codebookHash(cents ++ pqBooks),
+            "the codebook")
+        cents
     }
   }
+
+  /** One-row dim probe for UN-stamped plain frames (empty batch → a
+    * placeholder dim; no row ever evaluates the probe expressions).
+    */
+  private def dimFromBatch(queries: DataFrame, embCol: String): Int =
+    queries.select(size(col(embCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** Whether the equi-join against this index will be runtime-file-
+    * pruned: the index is a graft catalog relation AND the session has
+    * the [[graft.plans.RuntimePartitionPruning]] rule installed (with
+    * its kill switch on). When not, the batch joins fall back to a
+    * driver-side STATIC probe filter — otherwise a plain-parquet index
+    * frame, or a session without GraftExtensions, would silently
+    * full-scan the whole index on every batch.
+    */
+  private def runtimePruned(index: DataFrame): Boolean = {
+    val spark = index.sparkSession
+    spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions")) &&
+      spark.conf.get("spark.graft.runtimeFilter.enabled", "true")
+        .toBoolean &&
+      index.queryExecution.analyzed.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.isInstanceOf[graft.connector.GraftTable]
+        case _ => false
+      }
+  }
+
+  /** Static fallback cap: above this many probed (table, bucket)
+    * pairs the literal filter is dropped and the equi-join carries the
+    * selection (fallback path only — runtime pruning has no cap).
+    */
+  private val StaticProbeCap = 1 << 20
 
   /** IVF probe against a built index: partition-pruned scan of the
     * query's `nprobe` lists, exact cosine rerank. Result-identical to
@@ -159,17 +196,10 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    val props = tableProps(index)
-    checkProp(props, DimProp, queryVec.length.toString, "the dimension")
-    val cents = centroids match {
-      case Some(cs) =>
-        checkProp(props, CodebookProp, codebookHash(cs), "the codebook")
-        cs
-      case None =>
-        checkProp(props, ListsProp, numLists.toString, "numLists")
-        checkProp(props, SeedProp, seed.toString, "the seed")
-        Ivf.centroids(numLists, queryVec.length, seed)
-    }
+    checkProp(tableProps(index), DimProp, queryVec.length.toString,
+      "the dimension")
+    val cents = resolveIvfCodebook(index, numLists, seed, centroids,
+      queryVec.length)
     val probes = Ivf.probeLists(queryVec, cents, nprobe)
     val qLit = typedlit(queryVec.toSeq)
     index
@@ -206,16 +236,26 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    val cents = resolveIvfCodebook(index, queries, queryEmbCol,
-      numLists, seed, centroids)
+    val cents = resolveIvfCodebook(index, numLists, seed, centroids,
+      dimFromBatch(queries, queryEmbCol))
     val probes = queries
       .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
         explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))
           .as("list_id"))
+    // static fallback for un-pruned sessions/frames: ≤ numLists
+    // distinct ids — driver metadata, one cheap job
+    val pruned =
+      if (runtimePruned(index)) index
+      else {
+        val probed = probes.select(col("list_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (probed.isEmpty) index.limit(0)
+        else index.filter(col("list_id").isin(probed: _*))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(index, Seq("list_id"))
+    probes.join(pruned, Seq("list_id"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim",
         round(Ann.cosine(col(embCol), col("q_emb")), 6))
@@ -285,18 +325,8 @@ object AnnIndex {
       nprobe: Int = 4,
       seed: Long = 42L,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
-    val props = tableProps(index)
-    val cents = centroids.getOrElse {
-      checkProp(props, ListsProp, numLists.toString, "numLists")
-      checkProp(props, SeedProp, seed.toString, "the seed")
-      val dim = props.get(DimProp).map(_.toInt).getOrElse {
-        queries.select(size(col(queryEmbCol))).take(1)
-          .headOption.map(_.getInt(0)).getOrElse(1)
-      }
-      Ivf.centroids(numLists, dim, seed)
-    }
-    checkProp(props, CodebookProp,
-      codebookHash(cents ++ cb.books.flatten.map(_.v)), "the codebook")
+    val cents = resolveIvfCodebook(index, numLists, seed, centroids,
+      dimFromBatch(queries, queryEmbCol), cb.books.flatten.map(_.v))
     // per-QUERY work: nprobe lists + numSub ADC tables, evaluated once
     // per query row before the join
     val adcCols = (0 until cb.numSub).map(m =>
@@ -305,6 +335,14 @@ object AnnIndex {
       .select(col(queryIdCol).as("q_id") +:
         explode(Ivf.probeListsCol(col(queryEmbCol), cents, nprobe))
           .as("list_id") +: adcCols: _*)
+    val prunedIdx =
+      if (runtimePruned(index)) index
+      else {
+        val probed = probes.select(col("list_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (probed.isEmpty) index.limit(0)
+        else index.filter(col("list_id").isin(probed: _*))
+      }
     // per-CANDIDATE work: numSub array lookups + adds
     val dist = round((0 until cb.numSub).map(m =>
       element_at(col(s"_adc$m"), element_at(col("codes"), m + 1)))
@@ -312,7 +350,7 @@ object AnnIndex {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col(idCol))
-    probes.join(index, Seq("list_id"))
+    probes.join(prunedIdx, Seq("list_id"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("adc_dist", dist)
       .withColumn("rank", row_number().over(w).cast(
@@ -374,7 +412,9 @@ object AnnIndex {
     * the (table_id, bucket) equi-join keys — the scan reads only files
     * of probed table_ids × probed buckets, at ANY batch size, with no
     * driver-side bucket collection (the former 4096-literal cap and
-    * its full-scan fallback are gone). Candidates come from the
+    * its full-scan fallback are gone; un-stamped plain frames or
+    * sessions without the rule get a static per-table bucket IN-set
+    * filter instead). Candidates come from the
     * (table_id, bucket) equi-join deduped per (query, vector) — a pair
     * can collide in several tables — then exact rerank and a per-query
     * rank window. Result-identical to the scan-based [[Ann.knnJoin]]
@@ -404,10 +444,28 @@ object AnnIndex {
         explode(sigArr).as("tb"))
       .select(col("q_id"), col("q_emb"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    // static fallback for un-pruned sessions/frames: per-table bucket
+    // IN-sets (InSet above a few values — no OR-of-ANDs planning blowup,
+    // no 4096 cliff); a batch probing beyond the cap drops the literal
+    // filter and lets the equi-join carry the selection
+    val pruned =
+      if (runtimePruned(index)) index
+      else {
+        val probed = probes.select(col("table_id"), col("bucket"))
+          .distinct().limit(StaticProbeCap + 1)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        if (probed.isEmpty) index.limit(0)
+        else if (probed.length > StaticProbeCap) index
+        else index.filter(probed.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (t, bs) =>
+            col("table_id") === lit(t) &&
+              col("bucket").isin(bs.map(_._2).distinct.sorted: _*)
+          }.reduce(_ || _))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(index, Seq("table_id", "bucket"))
+    probes.join(pruned, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col("q_id"))
       .drop("table_id", "bucket")
       .dropDuplicates("q_id", idCol)

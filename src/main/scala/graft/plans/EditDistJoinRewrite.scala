@@ -122,8 +122,7 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         bound match {
           case Some((ls, rs, k)) if !hasEqui &&
               allExprsDeterministic(left) && allExprsDeterministic(right) =>
-            val nSeg = chooseSegments(right, rs, k)
-            checkCeiling(left, right, ls, rs, k, nSeg)
+            val nSeg = chooseSegmentsAndGuard(left, right, ls, rs, k)
             if (nSeg == k + 1) rewrite(j, left, right, ls, rs, k, cond, hint)
             else rewriteTwoMatch(j, left, right, ls, rs, k, cond, hint)
           case _ => j
@@ -139,37 +138,56 @@ object EditDistJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * saturated corpus gets the two-match protection instead of a
     * quadratic classic join. Any measurement failure falls back to
     * classic (the rewrite stays correctness-preserving either way).
-    */
-  private def chooseSegments(right: LogicalPlan, rs: Expression,
-      k: Int): Int =
-    conf.getConfString("spark.graft.editDistJoin.segments", "auto") match {
-      case "classic" => k + 1
-      case "two-match" => k + 2
-      case _ =>
-        try graft.ops.EditDistJoin.measureSegments(strFrame(right, rs), k)
-        catch { case scala.util.control.NonFatal(_) => k + 1 }
-    }
-
-  /** `spark.graft.editDistJoin.maxCandidates` ≥ 0 arms the histogram
-    * ceiling: the bipartite signature-bucket estimate runs BEFORE the
-    * join is planned and aborts degenerate corpora with the same
+    *
+    * `spark.graft.editDistJoin.maxCandidates` ≥ 0 additionally arms
+    * the histogram ceiling: the bipartite signature-bucket estimate
+    * runs here and aborts degenerate corpora with the same
     * IllegalStateException as the operator API — at planning time,
     * before anything materializes.
+    *
+    * The measurement frames are PERSISTED for the duration of these
+    * jobs (the operator API's eagerPhases pattern): the density
+    * aggregate and the two histogram passes would otherwise re-execute
+    * an expensive upstream subplan once each.
     */
-  private def checkCeiling(left: LogicalPlan, right: LogicalPlan,
-      ls: Expression, rs: Expression, k: Int, nSeg: Int): Unit = {
+  private def chooseSegmentsAndGuard(left: LogicalPlan,
+      right: LogicalPlan, ls: Expression, rs: Expression, k: Int): Int = {
+    val mode =
+      conf.getConfString("spark.graft.editDistJoin.segments", "auto")
     val ceiling = conf.getConfString(
       "spark.graft.editDistJoin.maxCandidates", "-1").toLong
-    if (ceiling >= 0) {
-      val est = graft.ops.EditDistJoin.estimateBipartite(
-        strFrame(left, ls), strFrame(right, rs), k, nSeg)
-      if (est > ceiling.toDouble)
-        throw new IllegalStateException(
-          f"EditDistJoinRewrite: estimated candidate count $est%.0f " +
-            s"exceeds the ceiling $ceiling (m=$nSeg, k=$k) — the " +
-            "segment-value space is saturated for this corpus; raise " +
-            "spark.graft.editDistJoin.maxCandidates, lengthen the join " +
-            "strings, or pre-bucket the corpus")
+    val auto = mode != "classic" && mode != "two-match"
+    val pinned = if (mode == "two-match") k + 2 else k + 1
+    if (!auto && ceiling < 0) return pinned
+
+    val rightF = strFrame(right, rs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftF =
+      if (ceiling >= 0)
+        Some(strFrame(left, ls)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    try {
+      val nSeg =
+        if (!auto) pinned
+        else
+          try graft.ops.EditDistJoin.measureSegments(rightF, k)
+          catch { case scala.util.control.NonFatal(_) => k + 1 }
+      if (ceiling >= 0) {
+        val est = graft.ops.EditDistJoin.estimateBipartite(
+          leftF.get, rightF, k, nSeg)
+        if (est > ceiling.toDouble)
+          throw new IllegalStateException(
+            f"EditDistJoinRewrite: estimated candidate count $est%.0f " +
+              s"exceeds the ceiling $ceiling (m=$nSeg, k=$k) — the " +
+              "segment-value space is saturated for this corpus; raise " +
+              "spark.graft.editDistJoin.maxCandidates, lengthen the join " +
+              "strings, or pre-bucket the corpus")
+      }
+      nSeg
+    } finally {
+      rightF.unpersist()
+      leftF.foreach(_.unpersist())
     }
   }
 

@@ -110,13 +110,24 @@ object RuntimePartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }))
 
+  /** With onlyInBroadcast=false the pruning subquery may RE-EXECUTE
+    * the build side independently of the join; any nondeterminism
+    * (rand() sampling, a nondeterministic UDF) could then yield a
+    * different key set than the real join and prune files holding true
+    * matches — so the whole build plan must be deterministic, not just
+    * the key expression.
+    */
+  private def fullyDeterministic(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e => !e.deterministic)).isEmpty
+
   private def prune(side: LogicalPlan, other: LogicalPlan,
       conjuncts: Seq[Expression]): LogicalPlan =
     graftRelOf(side) match {
       // the other side being a stored table itself → leave it to
       // storage-partitioned joins / stock DPP (a subquery per key
       // would re-scan that table once per key)
-      case Some((rel, meta)) if graftRelOf(other).isEmpty =>
+      case Some((rel, meta))
+          if graftRelOf(other).isEmpty && fullyDeterministic(other) =>
         val partitionCols: Set[String] = meta.specs.values
           .flatMap(_.fields.map(_.sourceName.toLowerCase)).toSet
         val relOut = rel.outputSet

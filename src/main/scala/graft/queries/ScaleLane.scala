@@ -36,6 +36,30 @@ object ScaleLane {
   private val DefaultDocs = 25000
   private val DefaultEmb = 10000
 
+  /** Every graft scan in an EXECUTED dataset's physical plan (AQE
+    * stages unwrapped) — runtime pruning mutates the scan during
+    * execution, so the caller must have run an action on `df` ITSELF
+    * before reading selectedFiles. Scans ALL BatchScanExec leaves, not
+    * just the first (the probe side may be a DSv2 scan too). Shared by
+    * the scale legs and the plan-assertion specs.
+    */
+  private[graft] def executedGraftScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[graft.connector.GraftScan] = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p.collect {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty => Seq(l)
+      }.flatten
+    }
+    leaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case g: graft.connector.GraftScan => g }
+  }
+
   /** `only` non-empty restricts the lane to the named legs (the sf1
     * lane runs just the historically-quadratic four at double size —
     * full coverage at 25k, growth guard at 50k).
@@ -277,23 +301,11 @@ object ScaleLane {
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
       s"$cat.$ns"
     }
-    def executedScanCounts(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        p.collect {
-          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-          case q: QueryStageExec => leaves(q.plan)
-          case l if l.children.isEmpty => Seq(l)
-        }.flatten
-      }
-      leaves(df.queryExecution.executedPlan).collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan
-      }.collectFirst { case g: graft.connector.GraftScan =>
-        (g.selectedFiles.size.toLong, g.table.liveFiles.size.toLong)
-      }.getOrElse((-1L, -1L))
-    }
+    def executedScanCounts(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      ScaleLane.executedGraftScans(df).headOption
+        .map(g => (g.selectedFiles.size.toLong,
+          g.table.liveFiles.size.toLong))
+        .getOrElse((-1L, -1L))
     legM("qs21_lsh_knn_join") {
       val ns = scaleCatalog()
       graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh", "embedding",

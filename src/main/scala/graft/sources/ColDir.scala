@@ -122,15 +122,17 @@ object ColDir {
       ("format" -> FormatName) ~ ("version" -> 2) ~
         ("schema" -> fieldsJson) ~ ("fragments" -> frags))
       .getBytes(StandardCharsets.UTF_8)
-    // temp + atomic rename: readers either see the old manifest or the
-    // new one, never a torn write
+    // temp + atomic OVERWRITE rename: readers either see the old
+    // manifest or the new one, never a torn write or a missing-file
+    // window (a plain delete-then-rename would have one)
     val tmp = new HPath(location, s".manifest-${UUID.randomUUID()}.json.tmp")
     val out = rootFs.create(tmp, true)
     try out.write(manifestBytes) finally out.close()
     val dest = new HPath(location, "manifest.json")
-    rootFs.delete(dest, false)
-    if (!rootFs.rename(tmp, dest))
-      throw new java.io.IOException(s"coldir manifest commit failed: $dest")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, conf.value)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Streams one column of one fragment: values straight to the output,

@@ -35,19 +35,7 @@ class ConnectorE2ESpec extends AnyFunSuite {
     */
   private def executedSelectedVsTotal(
       dfq: org.apache.spark.sql.DataFrame): (Int, Int) = {
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      p.collect {
-        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-        case q: QueryStageExec => leaves(q.plan)
-        case l if l.children.isEmpty => Seq(l)
-      }.flatten
-    }
-    val scan = leaves(dfq.queryExecution.executedPlan).collectFirst {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan
-    }.collectFirst { case g: GraftScan => g }.get
+    val scan = graft.queries.ScaleLane.executedGraftScans(dfq).head
     (scan.selectedFiles.size, scan.table.liveFiles.size)
   }
 
@@ -637,6 +625,53 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("batch kNN joins fall back to a static probe filter on plain frames") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(21)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annfb")
+    graft.ops.AnnIndex.buildLsh(df, "graft.annfb.lsh", "embedding",
+      l = 2, bits = 4, dim = dim, seed = 42L)
+    graft.ops.AnnIndex.buildIvf(df, "graft.annfb.ivf", "embedding",
+      numLists = 4, dim = dim, seed = 42L)
+    // materialize the index layouts as PLAIN parquet frames: no graft
+    // relation → the runtime-pruning rule cannot fire → the joins must
+    // re-apply their driver-side static probe filters (and stay
+    // result-identical to the catalog-served joins)
+    val tmp = Files.createTempDirectory("graft-fallback").toString
+    spark.table("graft.annfb.lsh").write.parquet(s"$tmp/lsh")
+    spark.table("graft.annfb.ivf").write.parquet(s"$tmp/ivf")
+    val queries = df.filter(col("vec_id") < 3)
+
+    val lshPlain = graft.ops.AnnIndex.knnJoinLsh(
+      spark.read.parquet(s"$tmp/lsh"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, l = 2, bits = 4, seed = 42L)
+    // the static filter is present in the plan (the fallback path)
+    assert(lshPlain.queryExecution.optimizedPlan.toString
+      .contains("bucket"), "expected a probe filter on the plain frame")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(key(lshPlain) == key(graft.ops.AnnIndex.knnJoinLsh(
+      spark.table("graft.annfb.lsh"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, l = 2, bits = 4, seed = 42L)))
+
+    val ivfPlain = graft.ops.AnnIndex.knnJoinIvf(
+      spark.read.parquet(s"$tmp/ivf"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numLists = 4, nprobe = 1, seed = 42L)
+    assert(key(ivfPlain) == key(graft.ops.AnnIndex.knnJoinIvf(
+      spark.table("graft.annfb.ivf"), queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, numLists = 4, nprobe = 1, seed = 42L)))
   }
 
   test("IVF-PQ batch kNN join: runtime-pruned codes-only scan, ADC join-free") {

@@ -527,6 +527,41 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("equality-delete totals are tracked separately from position deletes") {
+    mkTable("eq8", Seq("delete"))
+    import spark.implicits._
+    spark.sql("DELETE FROM graft.db.eq8 WHERE id IN (1, 2)") // position
+    eqWrite("eq8", Seq(10L, 11L, 12L).toDF("id"), Seq("id"))  // equality
+    val latest = spark.sql(
+      "SELECT summary FROM graft.db.eq8.snapshots ORDER BY committed_at")
+      .collect().last.getMap[String, String](0).toMap
+    assert(latest("total-position-deletes") == "2", latest.toString)
+    assert(latest("total-equality-deletes") == "3", latest.toString)
+    assert(latest("total-delete-files").toLong == 2)
+  }
+
+  test("equality deletes target the requested branch, not main") {
+    mkTable("eq9", Nil)
+    spark.sql("ALTER TABLE graft.db.eq9 CREATE BRANCH audit")
+    import spark.implicits._
+    val mainHead = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq9.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+    EqualityDeletes.write(spark, graftCatalog,
+      graft.store.TabularId(Seq("db"), "eq9"),
+      Seq(7L).toDF("id"), Seq("id"), ref = "audit")
+    // branch read applies the delete; main is untouched
+    assert(spark.read.option("branch", "audit").table("graft.db.eq9")
+      .count() == 299)
+    assert(spark.table("graft.db.eq9").count() == 300)
+    val mainNow = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq9.refs
+        |WHERE name = 'main'""".stripMargin).collect()
+    if (mainNow.nonEmpty)
+      assert(mainNow(0).getLong(0) == mainHead,
+        "main must not advance on a branch-targeted delete")
+  }
+
   test("equality deletes reject unsupported or unknown key columns") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")

@@ -28,21 +28,7 @@ class RuntimePartitionPruningSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def executedGraftScans(df: org.apache.spark.sql.DataFrame)
-      : Seq[GraftScan] = {
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      p.collect {
-        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-        case q: QueryStageExec => leaves(q.plan)
-        case l if l.children.isEmpty => Seq(l)
-      }.flatten
-    }
-    leaves(df.queryExecution.executedPlan).collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan
-    }.collect { case g: GraftScan => g }
-  }
+      : Seq[GraftScan] = graft.queries.ScaleLane.executedGraftScans(df)
 
   private lazy val fixture: Unit = {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rpp")
@@ -104,10 +90,8 @@ class RuntimePartitionPruningSpec extends AnyFunSuite {
     val loScan = executedGraftScans(lo).head
     assert(loScan.selectedFiles.size == loScan.table.liveFiles.size)
 
-    // probe LEFT SEMI fact: no pruning of fact needed for semantics,
-    // but fact is droppable... (semi keeps left, prunes right? no —
-    // canPruneRight excludes LeftSemi); probe LEFT OUTER fact: fact is
-    // the right side and IS droppable-joined — prunable
+    // inner probe ⋈ fact: fact's non-matching rows are dropped by the
+    // join, so its scan is prunable
     val ro = probes.join(spark.table("graft.rpp.fact"), Seq("k"), "inner")
     ro.collect()
     val roScan = executedGraftScans(ro).head
