@@ -308,21 +308,31 @@ object ScaleLane {
         .getOrElse((-1L, -1L))
     legM("qs21_lsh_knn_join") {
       val ns = scaleCatalog()
+      // CORPUS-SIZED bucket bits — the production build-time knob: a
+      // pinned bits=8 made bucket density (and with it candidates ∝
+      // queries × density) DOUBLE per corpus doubling — 4× candidate
+      // growth across the sf1→sf2 doubling, exactly the saturation
+      // quadratic these lanes exist to catch. log2(n/32) holds
+      // ~32 postings per (table, bucket) at any lane size, so the
+      // candidate count tracks the query batch linearly.
+      val l = 2
+      val bits = math.max(8,
+        math.ceil(math.log(NEmb / 32.0) / math.log(2)).toInt)
       graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh", "embedding",
-        l = 4, bits = 8, dim = 64, seed = 42L)
+        l = l, bits = bits, dim = 64, seed = 42L)
       val index = spark.table(s"$ns.emb_lsh")
       val queries = emb.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id"), col("embedding"))
       val knn = graft.ops.AnnIndex.knnJoinLsh(index, queries,
         "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, l = 4, bits = 8, seed = 42L)
+        k = 5, l = l, bits = bits, seed = 42L)
       // collect through knn's OWN QueryExecution: the runtime filter
       // mutates that plan's scan, which executedScanCounts inspects
       val rows = knn.collect().length.toLong
       val (read, total) = executedScanCounts(knn)
       // probed partitions + candidate volume, re-derived with the same
       // signature expressions (bounded extra jobs over the query batch)
-      val ps = graft.ops.Ann.planes(4, 8, 64, 42L)
+      val ps = graft.ops.Ann.planes(l, bits, 64, 42L)
       val sigs = queries.select(col("vec_id").as("q_id"),
         explode(array(ps.zipWithIndex.map { case (tp, t) =>
           struct(lit(t).as("table_id"),
@@ -336,7 +346,8 @@ object ScaleLane {
         .filter(col("vec_id") =!= col("q_id")).count()
       (rows, Some(cand), Map(
         "files_read" -> read, "files_total" -> total,
-        "probed_partitions" -> probed))
+        "probed_partitions" -> probed, "bits" -> bits.toLong,
+        "tables" -> l.toLong))
     }
     legM("qs20_ivf_knn_join") {
       val ns = scaleCatalog()
