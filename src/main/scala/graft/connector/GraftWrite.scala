@@ -217,13 +217,12 @@ object GraftWrite {
           removed.dataBytes),
       "total-delete-files" ->
         (base("total-delete-files") + del.size - removed.deleteFiles),
-      // removed delete records are position deletes (the only delete
-      // content compaction rewrites today)
       "total-position-deletes" ->
         (base("total-position-deletes") + posDel.map(_.recordCount).sum -
-          removed.deleteRecords),
+          removed.posDeleteRecords),
       "total-equality-deletes" ->
-        (base("total-equality-deletes") + eqDel.map(_.recordCount).sum)
+        (base("total-equality-deletes") + eqDel.map(_.recordCount).sum -
+          removed.eqDeleteRecords)
     ).map { case (k, v) => k -> v.toString }
   }
 

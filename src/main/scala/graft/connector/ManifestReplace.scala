@@ -69,20 +69,24 @@ object ManifestReplace {
   final case class Removed(
       count: Long,
       dataFiles: Long, dataRecords: Long, dataBytes: Long,
-      deleteFiles: Long, deleteRecords: Long) {
+      deleteFiles: Long, posDeleteRecords: Long,
+      eqDeleteRecords: Long) {
     def +(o: Removed): Removed = Removed(count + o.count,
       dataFiles + o.dataFiles, dataRecords + o.dataRecords,
       dataBytes + o.dataBytes, deleteFiles + o.deleteFiles,
-      deleteRecords + o.deleteRecords)
+      posDeleteRecords + o.posDeleteRecords,
+      eqDeleteRecords + o.eqDeleteRecords)
   }
 
   object Removed {
-    val zero: Removed = Removed(0, 0, 0, 0, 0, 0)
+    val zero: Removed = Removed(0, 0, 0, 0, 0, 0, 0)
     def of(entries: Seq[DataFile]): Removed = {
       val (data, del) = entries.partition(_.isData)
       Removed(entries.size.toLong, data.size.toLong,
         data.map(_.recordCount).sum, data.map(_.fileSizeBytes).sum,
-        del.size.toLong, del.map(_.recordCount).sum)
+        del.size.toLong,
+        del.filter(_.isPositionDeletes).map(_.recordCount).sum,
+        del.filter(_.isEqualityDeletes).map(_.recordCount).sum)
     }
   }
 

@@ -1483,7 +1483,27 @@ final case class ChangelogScanProcedure(catalog: GraftCatalog)
             .withColumn("_commit_snapshot_id", lit(snap.snapshotId)))
         }
       }
-      inserts ++ deletes
+      // EQUALITY deletes reconstruct by VALUE: the rows a key tuple
+      // killed are the parent snapshot's live rows matching it (the
+      // parent read already applies all earlier deletes, so only
+      // newly-dead rows emit; the new delete's sequence exceeds every
+      // parent file's, so no sequence filtering is needed here). One
+      // semi-join per distinct key-column set in the commit.
+      val eqDeletes = {
+        val eqFiles = newEntries.filter(_.isEqualityDeletes)
+        val parent = snap.parentSnapshotId
+        if (eqFiles.isEmpty || parent.isEmpty) Nil
+        else eqFiles.groupBy(_.equalityIds).toSeq.map { case (ids, fs) =>
+          val keys = spark.read.parquet(fs.map(_.path): _*)
+            .select(ids.map(col): _*).distinct()
+          baseCols(
+            spark.sql(s"SELECT * FROM $fqn VERSION AS OF ${parent.get}")
+              .join(keys, ids.toSeq, "left_semi"))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(snap.snapshotId))
+        }
+      }
+      inserts ++ deletes ++ eqDeletes
     }
 
     val empty = baseCols(spark.table(fqn)).limit(0)

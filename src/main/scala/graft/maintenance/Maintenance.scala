@@ -24,14 +24,15 @@ private[maintenance] object ManifestIO {
     * (absolute path, isData, isPositionDeletes, recordCount).
     */
   def entryRows(absManifest: String, tableLocation: String)
-      : Seq[(String, Boolean, Boolean, Long)] =
+      : Seq[(String, Boolean, Boolean, Boolean, Long, Long)] =
     Json.manifestFromJson(new String(
       Files.readAllBytes(Paths.get(absManifest)),
       java.nio.charset.StandardCharsets.UTF_8))
       .entries.map { f =>
         val abs = if (f.path.startsWith("/")) f.path
           else s"$tableLocation/${f.path}"
-        (abs, f.isData, f.isPositionDeletes, f.recordCount)
+        (abs, f.isData, f.isPositionDeletes, f.isEqualityDeletes,
+          f.recordCount, f.sequenceOrOldest)
       }
 }
 

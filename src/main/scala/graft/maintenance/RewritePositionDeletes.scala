@@ -61,7 +61,8 @@ object RewritePositionDeletes {
         spark.createDataset(manifestPaths.map(store.resolvePath(root, _)))
           .repartition(math.min(manifestPaths.size, 64))
           .mapPartitions(_.flatMap(ManifestIO.entryRows(_, root))))
-        .toDF("path", "is_data", "is_pos_del", "record_count")
+        .toDF("path", "is_data", "is_pos_del", "is_eq_del",
+          "record_count", "seq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       runOn(store, id, meta, entriesDf, targetPerFile)
@@ -80,12 +81,31 @@ object RewritePositionDeletes {
     // needs concrete paths and the replace commit needs the path set
     val delRows = entriesDf.filter(col("is_pos_del"))
       .select(col("path"), col("record_count")).collect()
-    if (delRows.isEmpty) return (0L, 0L)
+    // DANGLING equality-delete entries: an eq delete applies only to
+    // data files with a strictly smaller sequence, so once every live
+    // data file is at or past its sequence (compaction re-stamps
+    // survivors) the entry covers nothing and is dropped here — the
+    // eq-delete analog of the dangling-tuple GC below. min(seq) is a
+    // distributed aggregate; the eq list is bounded by delete files.
+    val minDataSeq = entriesDf.filter(col("is_data"))
+      .agg(org.apache.spark.sql.functions.min(col("seq"))).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MaxValue // no data: all dangle
+        case r => r.getLong(0)
+      }
+    val danglingEq = entriesDf.filter(col("is_eq_del"))
+      .select(col("path"), col("seq")).collect()
+      .filter(r => minDataSeq >= r.getLong(1))
+      .map(_.getString(0)).toSeq
+    if (delRows.isEmpty && danglingEq.isEmpty) return (0L, 0L)
     val deletePaths = delRows.map(_.getString(0)).toSeq
     val before = delRows.map(_.getLong(1)).sum
 
-    val tuples = spark.read.schema(PositionDeletes.schema)
-      .parquet(deletePaths: _*)
+    val tuples =
+      if (deletePaths.isEmpty)
+        spark.emptyDataset[(String, Long)]
+          .toDF(PositionDeletes.PathColumn, PositionDeletes.PosColumn)
+      else spark.read.schema(PositionDeletes.schema)
+        .parquet(deletePaths: _*)
     // live data paths stay distributed end-to-end
     val liveDf = entriesDf.filter(col("is_data"))
       .select(col("path").as(PositionDeletes.PathColumn))
@@ -155,7 +175,7 @@ object RewritePositionDeletes {
             DataFile.ContentPositionDeletes)
         }
 
-    val oldPaths = deletePaths.toSet
+    val oldPaths = deletePaths.toSet ++ danglingEq
     val snapshotId =
       math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     store.commitTableWith(id,
@@ -190,7 +210,9 @@ object RewritePositionDeletes {
             "rewritten-delete-files" -> oldPaths.size.toString,
             "added-delete-files" -> written.size.toString,
             "removed-position-deletes" ->
-              (before - survivingCount).toString) ++
+              (before - survivingCount).toString,
+            "removed-equality-delete-files" ->
+              danglingEq.size.toString) ++
             GraftWrite.totalsSummary(parentSnapshot, written, removed),
           manifests,
           current.currentSchemaId)

@@ -562,6 +562,65 @@ class MergeOnReadSpec extends AnyFunSuite {
         "main must not advance on a branch-targeted delete")
   }
 
+  test("changelog_scan reconstructs equality-deleted rows by value") {
+    mkTable("eq10", Nil)
+    import spark.implicits._
+    val s0 = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq10.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+    eqWrite("eq10", Seq(5L, 150L).toDF("id"), Seq("id"))
+    spark.sql("INSERT INTO graft.db.eq10 VALUES (5, 'reborn')")
+    val changes = spark.sql(
+      s"""CALL graft.system.changelog_scan(
+         |  table => 'db.eq10', from_snapshot_id => $s0)""".stripMargin)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // the two originals deleted by value, the later re-insert as insert
+    assert(changes == Set(
+      (5L, "a", "delete"), (150L, "b", "delete"), (5L, "reborn", "insert")),
+      changes.toString)
+  }
+
+  test("rewrite_position_delete_files drops dangling equality deletes") {
+    // PARTITIONED table: the partitioned compaction path keeps
+    // unrelated manifest entries (an unpartitioned table's compaction
+    // truncates, which drops delete entries wholesale on its own) —
+    // exactly the case where a covered-by-nothing eq entry lingers
+    // until the delete-file rewrite GCs it
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      "CREATE TABLE graft.db.eq11 (id BIGINT, p INT) PARTITIONED BY (p)")
+    (0 until 2).foreach { _ =>
+      spark.sql(
+        """INSERT INTO graft.db.eq11
+          |SELECT id, CAST(id % 3 AS INT) FROM range(0, 90)""".stripMargin)
+    }
+    import spark.implicits._
+    eqWrite("eq11", Seq(5L).toDF("id"), Seq("id"))
+    assert(spark.table("graft.db.eq11").count() == 178)
+    // still covering: the eq entry must survive a delete-file rewrite
+    spark.sql(
+      "CALL graft.system.rewrite_position_delete_files(table => 'db.eq11')")
+    assert(deleteFileCount("eq11") == 1)
+    // compaction re-stamps every data file past the delete's sequence —
+    // the entry now covers nothing and the next rewrite drops it
+    spark.sql("CALL graft.system.rewrite_data_files(table => 'db.eq11')")
+    assert(deleteFileCount("eq11") == 1, "entry lingers until GC")
+    spark.sql(
+      "CALL graft.system.rewrite_position_delete_files(table => 'db.eq11')")
+    assert(deleteFileCount("eq11") == 0)
+    assert(spark.table("graft.db.eq11").count() == 178)
+    // committed_at has ms resolution and can tie — find the rewrite
+    // commit by its own summary key
+    val rw = spark.sql("SELECT summary FROM graft.db.eq11.snapshots")
+      .collect().map(_.getMap[String, String](0).toMap)
+      .filter(_.contains("removed-equality-delete-files"))
+    assert(rw.exists(_("removed-equality-delete-files") == "1"),
+      rw.mkString("; "))
+    assert(rw.exists(_.get("total-equality-deletes").contains("0")),
+      rw.mkString("; "))
+  }
+
   test("equality deletes reject unsupported or unknown key columns") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")
