@@ -289,6 +289,20 @@ object ScaleLane {
     // stop scaling first — files READ vs total (runtime pruning must
     // keep reading a subset as the corpus doubles), probed partitions,
     // and pre-top-k candidate rows (cost ∝ queries × bucket density).
+    def withPruningGateOff[T](body: => T): T = {
+      // the lane indexes are MBs, far under the runtime filter's
+      // size-based cost gate — pin it to 0 for these legs: files_read
+      // vs files_total IS the scale guard being recorded
+      val prev = spark.conf.getOption("spark.graft.runtimeFilter.minScanBytes")
+      spark.conf.set("spark.graft.runtimeFilter.minScanBytes", "0")
+      try body
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.graft.runtimeFilter.minScanBytes", v)
+        case None =>
+          spark.conf.unset("spark.graft.runtimeFilter.minScanBytes")
+      }
+    }
     def scaleCatalog(): String = {
       val cat = "graftscale"
       if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
@@ -306,7 +320,7 @@ object ScaleLane {
         .map(g => (g.selectedFiles.size.toLong,
           g.table.liveFiles.size.toLong))
         .getOrElse((-1L, -1L))
-    legM("qs21_lsh_knn_join") {
+    legM("qs21_lsh_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
       // CORPUS-SIZED bucket bits — the production build-time knob: a
       // pinned bits=8 made bucket density (and with it candidates ∝
@@ -348,8 +362,8 @@ object ScaleLane {
         "files_read" -> read, "files_total" -> total,
         "probed_partitions" -> probed, "bits" -> bits.toLong,
         "tables" -> l.toLong))
-    }
-    legM("qs20_ivf_knn_join") {
+    }}
+    legM("qs20_ivf_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
       // TRAINED coarse lists — the production codebook: at dim 64 a
       // random gaussian codebook degenerates (distance concentration
@@ -379,7 +393,7 @@ object ScaleLane {
       (rows, Some(cand), Map(
         "files_read" -> read, "files_total" -> total,
         "probed_partitions" -> probed))
-    }
+    }}
     leg("qe_time_joins") {
       // as-of + range join on a deterministic 500k-row event set
       // (users × minutes; no fixture file needed — spark.range is the

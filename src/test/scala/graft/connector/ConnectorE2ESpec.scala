@@ -22,6 +22,9 @@ class ConnectorE2ESpec extends AnyFunSuite {
     .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse", warehouse)
     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    // tiny fixtures: disable the runtime filter's size-based cost gate
+    // so the pruning assertions exercise the real pruning path
+    .config("spark.graft.runtimeFilter.minScanBytes", "0")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -24,6 +24,9 @@ class RuntimePartitionPruningSpec extends AnyFunSuite {
     .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse", warehouse)
     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    // the fixtures are tiny: disable the size-based cost gate so the
+    // pruning path itself is what's under test
+    .config("spark.graft.runtimeFilter.minScanBytes", "0")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
