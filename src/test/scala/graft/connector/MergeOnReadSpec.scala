@@ -621,6 +621,35 @@ class MergeOnReadSpec extends AnyFunSuite {
       rw.mkString("; "))
   }
 
+  test("copy-on-write rewrite aborts when an equality delete lands mid-flight") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq12 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.eq12 SELECT id, 'a' FROM range(0, 50)")
+    import spark.implicits._
+    val id12 = graft.store.TabularId(Seq("db"), "eq12")
+    // a rewrite planned against the CURRENT snapshot...
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id12).get
+    val table = new GraftTable(graftCatalog.store, id12, meta,
+      snapshotId = None)
+    val op = new GraftRowLevelOperation(table,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val scan = op.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    assert(scan.asInstanceOf[GraftCowScan].selectedFiles.nonEmpty)
+    // ...then an equality delete commits BETWEEN its scan and commit:
+    // committing the rewrite would resurrect the deleted rows into
+    // files the delete's sequence no longer covers — must abort
+    eqWrite("eq12", Seq(7L).toDF("id"), Seq("id"))
+    val e = intercept[graft.meta.CommitFailedException] {
+      new GraftCowBatchWrite(table, table.schema(), op)
+        .commit(Array(GraftCommitMessage(Nil)))
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // the table still reads consistently (delete applied, no rewrite)
+    assert(spark.table("graft.db.eq12").count() == 49)
+  }
+
   test("equality deletes reject unsupported or unknown key columns") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")
