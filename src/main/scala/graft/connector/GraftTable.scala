@@ -661,12 +661,11 @@ class GraftScan(
     // merge-on-read: rows needing true file positions (a requested
     // `_pos`, or pending position deletes on the file) must be read
     // WHOLE-FILE with no byte-range splits, so the reader's row
-    // ordinal equals the file position. Equality-delete-affected files
-    // also route through the delete-aware partitions (one per file) so
-    // their readers know which key sets to apply — value matching
-    // would tolerate splits, but delete-carrying states are transient
-    // (compaction clears them) and per-file units keep the plumbing
-    // one shape.
+    // ordinal equals the file position. Files carrying ONLY equality
+    // deletes keep byte-range splits — key matching is
+    // position-independent — so scan parallelism survives pending
+    // deletes on large files; their splits just route through
+    // delete-aware partitions carrying the key-set specs.
     val deletesByPath: Map[String, Seq[String]] =
       if (posDeleteFiles.isEmpty) Map.empty
       else selectedFiles.iterator.map(f => f.path -> deleteFilesFor(f))
@@ -675,10 +674,11 @@ class GraftScan(
       if (eqDeleteFiles.isEmpty) Map.empty
       else selectedFiles.iterator.map(f => f.path -> eqDeletesFor(f))
         .filter(_._2.nonEmpty).toMap
-    val (dirty, clean) =
+    val (dirty, splittable) =
       if (needPositions) (selectedFiles, Seq.empty[DataFile])
-      else selectedFiles.partition(f =>
-        deletesByPath.contains(f.path) || eqByPath.contains(f.path))
+      else selectedFiles.partition(f => deletesByPath.contains(f.path))
+    val (eqOnly, clean) =
+      splittable.partition(f => eqByPath.contains(f.path))
 
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
@@ -706,20 +706,36 @@ class GraftScan(
     val packed = FilePartition.getFilePartitions(spark, splits, targetSize)
       .toArray[InputPartition]
 
-    // one partition per dirty file (they are whole-file units anyway;
-    // runtime group filtering has usually narrowed the set already)
+    // equality-only files: byte-range splits like clean files, each
+    // split's partition carrying the file's key-set specs
+    def eqSpecsFor(path: String): Array[EqualityDeletes.EqDeleteSpec] =
+      eqByPath.getOrElse(path, Nil).map(d =>
+        EqualityDeletes.EqDeleteSpec(d.path, d.equalityIds)).toArray
+    val eqParts: Seq[InputPartition] = eqOnly.flatMap { f =>
+      (0L until f.fileSizeBytes by targetSize).map { start =>
+        PartitionedFile(
+          InternalRow.empty, SparkPath.fromPathString(f.path), start,
+          math.min(targetSize, f.fileSizeBytes - start),
+          Array.empty[String], 0L, f.fileSizeBytes, Map.empty)
+      }
+    }.zipWithIndex.map { case (split, i) =>
+      new DeleteAwareFilePartition(packed.length + i, Array(split),
+        Array(Array.empty[String]),
+        Array(eqSpecsFor(split.filePath.toString))): InputPartition
+    }
+
+    // one partition per position-dirty file (whole-file units; runtime
+    // group filtering has usually narrowed the set already)
     val dirtyParts = dirty.zipWithIndex.map { case (f, i) =>
-      new DeleteAwareFilePartition(packed.length + i,
+      new DeleteAwareFilePartition(packed.length + eqParts.length + i,
         Array(PartitionedFile(
           InternalRow.empty, SparkPath.fromPathString(f.path), 0L,
           f.fileSizeBytes, Array.empty[String], 0L, f.fileSizeBytes,
           Map.empty)),
         Array(deletesByPath.getOrElse(f.path, Nil).toArray),
-        Array(eqByPath.getOrElse(f.path, Nil).map(d =>
-          EqualityDeletes.EqDeleteSpec(d.path, d.equalityIds))
-          .toArray)): InputPartition
+        Array(eqSpecsFor(f.path))): InputPartition
     }
-    packed ++ dirtyParts
+    packed ++ eqParts ++ dirtyParts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

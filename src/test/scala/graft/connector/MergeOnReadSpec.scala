@@ -650,6 +650,37 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(spark.table("graft.db.eq12").count() == 49)
   }
 
+  test("equality-only files keep byte-range splits (scan parallelism)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq13 (id BIGINT, pad STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.eq13
+        |SELECT id, repeat('x', 100) FROM range(0, 20000)""".stripMargin)
+    import spark.implicits._
+    eqWrite("eq13", (0L until 100L).toDF("id"), Seq("id"))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // force tiny split targets: the eq-affected file must fan out
+      // into MANY delete-aware partitions, not one whole-file unit
+      // (equality matching is position-independent), and the key
+      // filtering must hold on every split
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.table("graft.db.eq13")
+      assert(df.count() == 19900)
+      val scan = graft.queries.ScaleLane.executedGraftScans(df).head
+      val parts = scan.planInputPartitions()
+      assert(parts.length > 4,
+        s"expected split eq-affected reads, got ${parts.length} partitions")
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graft.db.eq13 WHERE id < 100")
+        .collect()(0).getLong(0) == 0)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("equality deletes reject unsupported or unknown key columns") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")
