@@ -147,6 +147,7 @@ object Bench {
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf1", nDocs = 50000, nEmb = 20000,
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+            "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
             "qs20_ivf_knn_join", "qs21_lsh_knn_join")))
         catch { case NonFatal(e) =>
@@ -165,8 +166,9 @@ object Bench {
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf2", nDocs = 100000, nEmb = 40000,
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+            "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
-            "qs21_lsh_knn_join")))
+            "qs20_ivf_knn_join", "qs21_lsh_knn_join")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf2 scale lane FAILED: ${e.getMessage}")
           None

@@ -104,15 +104,20 @@ object ScaleLane {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+    // production shingle width: MEASURED density (round 10 — the
+    // closed-form autoWidth undersized the sf2 corpus because space
+    // occupancy tracks shingle ROWS, not doc count: w=4 at 100k docs
+    // held mean df 5.6 and qd5's prefix join went 3.5×-per-doubling).
+    // Memoized per (session, dir): qd3/qd5/qd10 share one measurement.
+    def measuredW = TextOps.measuredWidthCached(spark, dir)
     leg("qd3_minhash") {
-      // production shingle width = autoWidth: the fixed 2-gram space
-      // saturates on this 31-word fixture and banding pays its
-      // quadratic collision floor (measured r8: 10.7k candidates at
-      // 25k docs → 44k at 50k, 4.1× for 2× docs, true pairs only 2×);
-      // the corpus-derived width keeps the shingle space sparse
-      val w = TextOps.autoWidth(NDocs.toLong, 31)
+      // the fixed 2-gram space saturates on this 31-word fixture and
+      // banding pays its quadratic collision floor (measured r8: 10.7k
+      // candidates at 25k docs → 44k at 50k, 4.1× for 2× docs, true
+      // pairs only 2×); the corpus-derived width keeps the space sparse
       val (cands, pairs) = graft.ops.MinHashLSH.candidatesAndPairs(
-        docs, "doc_id", "text", threshold = 0.5, bands = 16, width = w)
+        docs, "doc_id", "text", threshold = 0.5, bands = 16,
+        width = measuredW)
       val c = cands.persist()
       val nCand = c.count()
       val rows = pairs.count()
@@ -123,9 +128,11 @@ object ScaleLane {
       (graft.ops.SimHash.nearDupPairs(docs, "doc_id", "text",
         maxHamming = 3).count(), None)
     }
-    leg("qd5_jaccard_autowidth") {
-      val w = TextOps.autoWidth(NDocs.toLong, 31)
-      (TextOps.exactJaccardPairs(spark, dir, 0.4, width = w).count(), None)
+    legM("qd5_jaccard_autowidth") {
+      val w = measuredW
+      val (pairs, cands) = TextOps.exactJaccardDiag(
+        spark, dir, 0.4, width = TextOps.AutoWidth)
+      (pairs.count(), Some(cands.count()), Map("width" -> w.toLong))
     }
     // persisted: qd7 reuses this pair set (same sharing the production
     // pipeline and the sf0.1 bench queries do). Built inside the leg
@@ -210,12 +217,16 @@ object ScaleLane {
         } finally enc.unpersist()
       } finally e.unpersist()
     }
-    leg("qd10_containment_autowidth") {
+    legM("qd10_containment_autowidth") {
       // containment shares qd5's saturated-vocab failure mode (the
       // probe prefix only prunes while shingles are rare): width=2 at
-      // 25k docs measured 206 s; autoWidth restores rare prefixes
-      val w = TextOps.autoWidth(NDocs.toLong, 31)
-      (TextOps.containmentPairs(spark, dir, 0.8, w).count(), None)
+      // 25k docs measured 206 s; the measured width restores rare
+      // prefixes — and its FULL-postings index side is even more
+      // density-sensitive than qd5's prefix-prefix join
+      val w = measuredW
+      val (pairs, cands) = TextOps.containmentDiag(
+        spark, dir, 0.8, TextOps.AutoWidth)
+      (pairs.count(), Some(cands.count()), Map("width" -> w.toLong))
     }
     leg("qd12_editdist") {
       // PassJoin edit-distance join with the PRODUCTION auto segment

@@ -102,7 +102,7 @@ object TextOps {
     * persisted legs, they are re-armed on next access.
     */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double, Int), (DataFrame, Seq[DataFrame])]()
+    (String, String, Double, Int), (DataFrame, DataFrame, Seq[DataFrame])]()
 
   /** Collision-free cache key for a live session: a fresh UUID per
     * session OBJECT, held under a weak key so dead sessions drop out.
@@ -141,6 +141,90 @@ object TextOps {
     w
   }
 
+  /** Mean-df target for [[measuredWidth]]: the measured crossover
+    * between the linear and saturated candidate regimes on the scale
+    * fixtures (round-10 stage probe, candidates = prefix-join output):
+    * meanDf 1.9-3.0 → 47k-380k candidates (linear), 5.6 → 2.1M (the
+    * sf2 3.5×-per-doubling blowup round 9 caught), 44-88 → 6.1M-26M
+    * (full saturation). 4.0 sits between the regimes.
+    */
+  val ShingleTargetDf = 4.0
+
+  /** Shingle width from the MEASURED shingle-space occupancy — the
+    * `EditDistJoin.autoSegments` measure-at-planning pattern applied
+    * to the prefix-filter width. [[autoWidth]]'s closed form assumed
+    * occupancy ∝ nDocs, but the space actually fills with shingle
+    * ROWS (≈ nDocs × tokens/doc): at 100k docs × ~52 shingles the
+    * w = 4 space holds 5.1M rows over 920k distinct values (mean
+    * df 5.6) and the prefix join went superlinear (2.1M candidates,
+    * 3.5× wall per corpus doubling) while the closed form still said
+    * "plenty sparse" from nDocs/31⁴ = 0.1.
+    *
+    * Two-phase, bounded measurement cost: one token aggregate gives
+    * (totalTokens, vocab) → closed-form start width assuming uniform
+    * usage (occupancy rows/|V|^w), then one shingle aggregate per
+    * tried width verifies the REAL mean df ≤ targetDf (skew-robust:
+    * Zipfian vocabularies fill far fewer distinct shingles than the
+    * uniform bound). In the common case that is two narrow aggregates
+    * total; each widening step adds one.
+    */
+  def measuredWidth(s: SparkSession, dir: String,
+      targetDf: Double = ShingleTargetDf): Int = {
+    // tokenize ONCE (the regex is the CPU-heavy leg) and keep the
+    // arrays cached across the token aggregate and every tried width;
+    // cardinalities via HLL (approx_count_distinct) — a regime
+    // discriminator against a 4.0 threshold is insensitive to 2% sketch
+    // error and the sketch saves the exact-distinct shuffle per pass
+    val toks = Tables.load(s, dir, "documents")
+      .select(regexp_extract_all(col("text"), lit(tokenRe), lit(0))
+        .as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val flat = toks.select(explode(col("toks")).as("t"))
+      val m = flat.agg(count(lit(1)).as("rows"),
+        approx_count_distinct(col("t")).as("vocab")).head()
+      val (rows, vocab) = (m.getLong(0), math.max(2L, m.getLong(1)))
+      var w = 2
+      while (w < 8 && rows.toDouble / math.pow(vocab.toDouble, w) > targetDf)
+        w += 1
+      while (w < 8 && {
+        val sh = toks.filter(size(col("toks")) >= w)
+          .select(explode(shingleCol(col("toks"), w)).as("shingle"))
+        val r = sh.agg(count(lit(1)).as("rows"),
+          approx_count_distinct(col("shingle")).as("space")).head()
+        r.getLong(0).toDouble / math.max(1L, r.getLong(1)) > targetDf
+      }) w += 1
+      w
+    } finally toks.unpersist()
+  }
+
+  /** Per-(session, dir, target) memo for [[measuredWidth]] — the
+    * measurement is a planning cost paid once per corpus, exactly like
+    * the pair-set memoization below.
+    */
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Double), Int]()
+  private def resolvedWidth(s: SparkSession, dir: String, width: Int): Int =
+    if (width != AutoWidth) width else measuredWidthCached(s, dir)
+
+  /** Memoized [[measuredWidth]] — the entry point for callers that
+    * need the chosen width itself (lane metrics); shares the memo the
+    * AutoWidth pair builders consult, so the measurement runs once per
+    * (session, corpus).
+    */
+  def measuredWidthCached(s: SparkSession, dir: String): Int = {
+    val key = (sessionKey(s), dir, ShingleTargetDf)
+    if (widthCache.size > 64 && !widthCache.containsKey(key))
+      widthCache.clear()
+    widthCache.computeIfAbsent(key, _ => measuredWidth(s, dir))
+  }
+
+  /** Sentinel width: measure the corpus and size the shingle width via
+    * [[measuredWidth]] (the production default for unknown corpora;
+    * oracle queries pin the width for determinism).
+    */
+  val AutoWidth = 0
+
   /** Probe hook for graft.tools width sweeps (same memoized path). */
   def exactJaccardPairsProbe(s: SparkSession, dir: String, t: Double,
       width: Int): Long =
@@ -153,28 +237,41 @@ object TextOps {
     containmentPairs(s, dir, t, width).count()
 
   private val containCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double, Int), (DataFrame, Seq[DataFrame])]()
+    (String, String, Double, Int), (DataFrame, DataFrame, Seq[DataFrame])]()
 
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
-      width: Int = 2): DataFrame = {
+      width: Int = 2): DataFrame =
+    exactJaccardDiag(s, dir, t, width)._1
+
+  /** (pairs, candidates) — the candidate set is the quantity the
+    * scale lanes regression-guard (it explodes first when the width
+    * stops matching the corpus), shared from the same memoized build
+    * so counting it never re-runs the prefix join.
+    */
+  private[graft] def exactJaccardDiag(
+      s: SparkSession, dir: String, t: Double,
+      width: Int = 2): (DataFrame, DataFrame) = {
     // sessionUUID is collision-free across live sessions (identity hash
     // is not: two sessions can collide and hand a DataFrame bound to a
-    // stopped session to the other)
-    val key = (TextOps.sessionKey(s), dir, t, width)
+    // stopped session to the other). AutoWidth resolves BEFORE the key
+    // so an auto call and a pinned call at the measured width share
+    // one build.
+    val w = resolvedWidth(s, dir, width)
+    val key = (TextOps.sessionKey(s), dir, t, w)
     // bounded: entries pin DataFrames (and their persisted legs) for
     // dead sessions otherwise; the working set is a handful of
     // (session, dir, threshold) combinations, so a full clear on
     // overflow is simpler than LRU and never wrong (just a recompute)
     if (pairsCache.size > 16 && !pairsCache.containsKey(key))
       pairsCache.clear()
-    val (pairs, persistedLegs) = pairsCache.computeIfAbsent(key, _ =>
-      buildExactJaccardPairs(s, dir, t, width))
+    val (pairs, cands, persistedLegs) = pairsCache.computeIfAbsent(key, _ =>
+      buildExactJaccardPairs(s, dir, t, w))
     persistedLegs.foreach { leg =>
       if (leg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         leg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    pairs
+    (pairs, cands)
   }
 
   /** Materialize the session-memoized pair sets shared by qd5/qd6/qd7
@@ -220,7 +317,7 @@ object TextOps {
     */
   private def buildExactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
-      width: Int = 2): (DataFrame, Seq[DataFrame]) = {
+      width: Int = 2): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     require(width >= 2, s"shingle width must be >= 2, got $width")
     // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
@@ -272,6 +369,11 @@ object TextOps {
             col("y.sz") - col("y.pos") - 1)) >= overlapReq)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      // persisted: verification consumes it once, the lane's candidate
+      // counter a second time — at the measured width it is small
+      // (output-bound), and re-running the prefix join to count it
+      // would double the leg's cost
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verify confined to candidates, on int vectors
     val pairs = cands
       .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
@@ -291,7 +393,7 @@ object TextOps {
     // the RESULT is persisted too: it is tiny (true pair count), and
     // the second consumer (qd6 clustering) then skips the whole
     // prefix-join + verification pipeline
-    (pairs, Seq(sh, vecs, pairs))
+    (pairs, cands, Seq(sh, vecs, cands, pairs))
   }
 
   val all: Seq[Q] = Seq(
@@ -1932,22 +2034,31 @@ object TextOps {
     * (bench passes, probes) must not accumulate pinned legs.
     */
   private[queries] def containmentPairs(
-      s: SparkSession, dir: String, t: Double, width: Int): DataFrame = {
-    val key = (sessionKey(s), dir, t, width)
+      s: SparkSession, dir: String, t: Double, width: Int): DataFrame =
+    containmentDiag(s, dir, t, width)._1
+
+  /** (pairs, candidates) — same diagnostic surface as
+    * [[exactJaccardDiag]] for the containment engine.
+    */
+  private[graft] def containmentDiag(
+      s: SparkSession, dir: String, t: Double,
+      width: Int): (DataFrame, DataFrame) = {
+    val w = resolvedWidth(s, dir, width)
+    val key = (sessionKey(s), dir, t, w)
     if (containCache.size > 16 && !containCache.containsKey(key))
       containCache.clear()
-    val (pairs, persistedLegs) = containCache.computeIfAbsent(key, _ =>
-      buildContainmentPairs(s, dir, t, width))
+    val (pairs, cands, persistedLegs) = containCache.computeIfAbsent(key, _ =>
+      buildContainmentPairs(s, dir, t, w))
     persistedLegs.foreach { leg =>
       if (leg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         leg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    pairs
+    (pairs, cands)
   }
 
   private def buildContainmentPairs(
       s: SparkSession, dir: String, t: Double,
-      width: Int): (DataFrame, Seq[DataFrame]) = {
+      width: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     require(width >= 2, s"shingle width must be >= 2, got $width")
     val sh = Tables.load(s, dir, "documents")
@@ -1989,6 +2100,8 @@ object TextOps {
             col("y.sz") - col("y.pos") - 1)) >= needed)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      // persisted for the lane's candidate counter (qd5 rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cands
       .join(vecs.select(col("doc_id").as("a"), col("vec").as("va"),
         col("sz").as("sa")), "a")
@@ -2001,6 +2114,6 @@ object TextOps {
       .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
     // the tiny RESULT rides the leg list too: a second consumer skips
     // the whole prefix-join + verification pipeline (qd5 pattern)
-    (pairs, Seq(sh, vecs, pairs))
+    (pairs, cands, Seq(sh, vecs, cands, pairs))
   }
 }

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe: run a subset of ScaleLane legs at one fixture and
+  * print the leg records — dev loop for lane work without a full
+  * bench pass.
+  */
+object ProbeLane {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nDocs = args(1).toInt
+    val nEmb = args(2).toInt
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = graft.queries.ScaleLane.run(spark, dir, nDocs, nEmb, only)
+    r.legs.foreach { l =>
+      println(f"[lane] ${l.name}%-28s ${l.sec}%8.2f s rows=${l.rows} " +
+        s"cand=${l.candidates.getOrElse(-1L)} ${l.metrics} " +
+        l.err.map("ERR " + _).getOrElse(""))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production shingle width is sized from MEASURED shingle-space
+  * density (rows per distinct shingle), not a closed form over doc
+  * count: the space fills with shingle ROWS, so a dense small-vocab
+  * corpus needs wider shingles at the same doc count. These guards pin
+  * the regime discrimination, the memoization, and the AutoWidth
+  * sentinel's key-sharing with pinned calls.
+  */
+class MeasuredWidthSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-measured-width-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Writes a documents.parquet of `n` docs whose text draws `len`
+    * tokens uniformly from a `vocab`-word dictionary (deterministic
+    * LCG), returns the fixture dir.
+    */
+  private def corpus(n: Int, len: Int, vocab: Int): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mw").toFile.getAbsolutePath
+    val rows = (0 until n).map { i =>
+      var st = i * 2654435761L + 12345L
+      val toks = Array.fill(len) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.remainderUnsigned(st >>> 17, vocab.toLong)
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dense small-vocab corpus widens; sparse large-vocab stays narrow") {
+    // 400 docs × 40 tokens over 12 words: the 2-gram space has at most
+    // 144 cells for 15.6k shingle rows — mean df >> 4, must widen
+    val dense = TextOps.measuredWidth(spark, corpus(400, 40, 12))
+    assert(dense >= 4, s"dense corpus sized w=$dense, expected >= 4")
+    // 200 docs × 12 tokens over 50k words: 2-gram pairs are near-unique
+    val sparse = TextOps.measuredWidth(spark, corpus(200, 12, 50000))
+    assert(sparse == 2, s"sparse corpus sized w=$sparse, expected 2")
+  }
+
+  test("width is monotone in the density target and bounded") {
+    val dir = corpus(300, 40, 12)
+    val tight = TextOps.measuredWidth(spark, dir, targetDf = 1.2)
+    val loose = TextOps.measuredWidth(spark, dir, targetDf = 500.0)
+    assert(tight >= loose, s"tighter target must not narrow: $tight < $loose")
+    assert(tight <= 8 && loose >= 2, s"out of [2,8]: tight=$tight loose=$loose")
+  }
+
+  test("AutoWidth call shares the pinned-width memo entry") {
+    val dir = corpus(200, 20, 2000)
+    val w = TextOps.measuredWidthCached(spark, dir)
+    assert(w == TextOps.measuredWidthCached(spark, dir),
+      "memoized measurement must be stable")
+    val auto = TextOps.exactJaccardDiag(spark, dir, 0.4, TextOps.AutoWidth)._1
+    val pinned = TextOps.exactJaccardDiag(spark, dir, 0.4, w)._1
+    assert(auto eq pinned,
+      "AutoWidth must resolve before the memo key: one shared build")
+    val other = TextOps.exactJaccardDiag(spark, dir, 0.4, w + 1)._1
+    assert(!(auto eq other), "a different pinned width is a different build")
+  }
+}
