@@ -149,7 +149,8 @@ object Bench {
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
-            "qs20_ivf_knn_join", "qs21_lsh_knn_join")))
+            "qs20_ivf_knn_join", "qs21_lsh_knn_join",
+            "qs22_ivfpq_knn_join")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf1 scale lane FAILED: ${e.getMessage}")
           None
@@ -168,7 +169,8 @@ object Bench {
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
-            "qs20_ivf_knn_join", "qs21_lsh_knn_join")))
+            "qs20_ivf_knn_join", "qs21_lsh_knn_join",
+            "qs22_ivfpq_knn_join")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf2 scale lane FAILED: ${e.getMessage}")
           None

@@ -46,7 +46,9 @@ object EqualityDeletes {
     */
   def supportedKeyType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
-         DoubleType | FloatType | BooleanType | DateType => true
+         DoubleType | FloatType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -72,7 +74,8 @@ object EqualityDeletes {
           s"equality column '$c' does not exist in $id"))
       require(supportedKeyType(f.dataType),
         s"equality column '$c' has unsupported type ${f.dataType.sql}; " +
-          "supported: string, integral, double, float, boolean, date")
+          "supported: string, integral, double, float, boolean, date, " +
+          "timestamp, timestamp_ntz, decimal")
       f
     }
     val keySchema = StructType(keyFields)
@@ -199,6 +202,22 @@ object EqualityDeletes {
     case FloatType => g.getFloat(name, 0)
     case BooleanType => g.getBoolean(name, 0)
     case DateType => g.getInteger(name, 0) // days since epoch
+    // micros since epoch, the representation InternalRow.get returns —
+    // the write path pins outputTimestampType=TIMESTAMP_MICROS
+    case TimestampType | TimestampNTZType => g.getLong(name, 0)
+    case d: DecimalType =>
+      // non-legacy parquet decimal physicals by precision (the write
+      // path pins writeLegacyFormat=false): ≤9 INT32, ≤18 INT64, else
+      // FIXED_LEN_BYTE_ARRAY big-endian unscaled. Normalized to a
+      // Decimal of the COLUMN's precision/scale, matching the scan's
+      // row values (Decimal equality and hashing are value-based).
+      if (d.precision <= 9)
+        Decimal(g.getInteger(name, 0).toLong, d.precision, d.scale)
+      else if (d.precision <= 18)
+        Decimal(g.getLong(name, 0), d.precision, d.scale)
+      else
+        Decimal(BigDecimal(BigInt(g.getBinary(name, 0).getBytes), d.scale),
+          d.precision, d.scale)
     case other =>
       throw new IllegalStateException(
         s"unsupported equality-delete key type $other")

@@ -431,14 +431,29 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
         val scannedSnapshotId = table.readSnapshot.map(_.snapshotId)
         if (referenced.nonEmpty &&
             parentSnapshot.map(_.snapshotId) != scannedSnapshotId) {
-          val live = table.store
+          val entries = table.store
             .readManifests(current.location, parentManifests)
-            .flatMap(_.entries).filter(_.isData).map(_.path).toSet
+            .flatMap(_.entries)
+          val live = entries.filter(_.isData).map(_.path).toSet
           val gone = referenced.diff(live)
           if (gone.nonEmpty)
             throw new CommitFailedException(
               s"Delta commit conflict on ${table.tableId}: ${gone.size} " +
                 "referenced data file(s) were rewritten concurrently")
+          // an equality delete committed after the scanned snapshot
+          // may target keys this delta just re-wrote: the replacement
+          // rows land under a fresher sequence the delete no longer
+          // covers, silently resurrecting deleted keys (same check as
+          // the copy-on-write commit above)
+          val scannedSeq = table.readSnapshot.map(_.sequenceNumber)
+            .getOrElse(0L)
+          val freshEq = entries.filter(d => d.isEqualityDeletes &&
+            d.sequenceOrOldest > scannedSeq)
+          if (freshEq.nonEmpty)
+            throw new CommitFailedException(
+              s"Delta commit conflict on ${table.tableId}: " +
+                s"${freshEq.size} equality-delete file(s) were committed " +
+                "after the snapshot this operation read")
         }
         val deleteFiles = newFiles.filter(_.isPositionDeletes)
         val dataFiles = newFiles.filter(_.isData)

@@ -382,10 +382,21 @@ class GraftScan(
     if (eqDeleteFiles.isEmpty) parquetReadSchema
     else {
       val present = parquetReadSchema.fieldNames.map(_.toLowerCase).toSet
-      StructType(parquetReadSchema.fields ++
-        eqDeleteFiles.flatMap(_.equalityIds).distinct
-          .filterNot(c => present.contains(c.toLowerCase))
-          .flatMap(c => dataSchema.fields.find(_.name.equalsIgnoreCase(c))))
+      val extra = eqDeleteFiles.flatMap(_.equalityIds).distinct
+        .filterNot(c => present.contains(c.toLowerCase))
+        .map { c =>
+          // fail HERE, at plan time, with the real story — not with an
+          // executor-side NoSuchElementException at read time when the
+          // row assembler can't find the ordinal
+          dataSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalStateException(
+              s"Table ${table.tableId} has a live equality-delete file " +
+                s"keyed on column '$c', which no longer exists in the " +
+                "current schema. Rewrite the deletes (CALL " +
+                "rewrite_position_delete_files) before dropping their " +
+                "key columns, or restore the column."))
+        }
+      StructType(parquetReadSchema.fields ++ extra)
     }
 
   /** Two-level pruned file list. Level 1: whole MANIFESTS are pruned
@@ -535,9 +546,14 @@ class GraftScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, selectedFiles.map(_.fileSizeBytes).sum))
     override def numRows(): java.util.OptionalLong =
+      // best-effort: equality-delete counts are an upper bound on rows
+      // they remove (a key may match 0..n rows), but overestimating
+      // live rows after a large delete misleads join sizing worse than
+      // this approximation does; floor at 0 like the position case
       java.util.OptionalLong.of(math.max(0L,
         selectedFiles.map(_.recordCount).sum -
-          posDeleteFiles.map(_.recordCount).sum))
+          posDeleteFiles.map(_.recordCount).sum -
+          eqDeleteFiles.map(_.recordCount).sum))
     /** ANALYZE-produced per-column NDV/null stats of the read snapshot
       * (graft.maintenance.Analyze), surfaced so Spark's CBO sees real
       * distinct counts when choosing join strategies.

@@ -60,12 +60,15 @@ class GraftWriteBuilder(
 
   override def build(): Write =
     new GraftWrite(table, info.schema(), mode, overwriteFilters,
-      Option(info.queryId()))
+      Option(info.queryId()),
+      Option(info.options.get(GraftWrite.PreserveSequenceOption))
+        .map(_.toLong))
 }
 
 class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
     overwriteFilters: Array[Filter] = Array.empty,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    preserveSequence: Option[Long] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution = {
@@ -91,7 +94,8 @@ class GraftWrite(table: GraftTable, writeSchema: StructType, mode: String,
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(table, writeSchema, mode, overwriteFilters, queryId)
+    new GraftBatchWrite(table, writeSchema, mode, overwriteFilters, queryId,
+      preserveSequence)
 
   /** Structured Streaming sink: each epoch is one snapshot commit,
     * keyed by (query run, epoch) through the same idempotency
@@ -147,6 +151,11 @@ final case class GraftStreamingWriterFactory(
 /** Commit message: the data files one task produced. */
 object GraftWrite {
 
+  /** Write option carrying the max data sequence of the files a
+    * rewrite_data_files run replaces; see [[assignRowIds]].
+    */
+  val PreserveSequenceOption = "graft.preserve-sequence"
+
   /** Commit-time stamping of NEW files (never re-applied to kept /
     * rewritten manifest entries, which keep their original values):
     *
@@ -159,9 +168,21 @@ object GraftWrite {
     *    the table's next-row-id counter, in manifest order. Consumes
     *    exactly `added-records` ids — the amount Commit.applyUpdates
     *    advances the counter by when the snapshot lands.
+    *
+    * `sequenceOverride` is the compaction carve-out (Iceberg's
+    * RewriteFiles data-sequence preservation): rewrite_data_files
+    * stamps its output with the MAX sequence of the files it replaced,
+    * so an equality delete committed between the rewrite's scan and
+    * its commit still covers the rewritten rows instead of being
+    * silently outrun by a fresher sequence. Capped at the commit's own
+    * sequence — a stale or garbage override can never stamp a file
+    * "from the future".
     */
-  def assignRowIds(current: TableMetadata, files: Seq[DataFile]): Seq[DataFile] = {
-    val seq = current.lastSequenceNumber + 1
+  def assignRowIds(current: TableMetadata, files: Seq[DataFile],
+      sequenceOverride: Option[Long] = None): Seq[DataFile] = {
+    val seq = sequenceOverride
+      .map(s => math.min(s, current.lastSequenceNumber + 1))
+      .getOrElse(current.lastSequenceNumber + 1)
     val stamped = files.map(_.copy(dataSequenceNumber = Some(seq)))
     if (current.formatVersion < 3) stamped
     else {
@@ -334,7 +355,8 @@ object GraftBatchWrite {
 
 class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
     overwriteFilters: Array[Filter] = Array.empty,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    preserveSequence: Option[Long] = None)
   extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -368,18 +390,57 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
       mkUpdates = current => {
         val parentSnapshot = current.snapshotFor(targetRef)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        // Compaction race guard (preserveSequence = the replaced files'
+        // max sequence, set only by rewrite_data_files): a delete file
+        // committed BETWEEN the rewrite's scan and this commit was NOT
+        // applied by the rewrite's read, and a fresh-sequence stamp
+        // would outrun it, silently resurrecting deleted keys. When
+        // such a delete exists, stamp the output with the PRESERVED
+        // sequence (Iceberg RewriteFiles' data-sequence preservation)
+        // so the delete still covers it — no abort, the compaction
+        // lands. In the common race-free case stamp fresh as always:
+        // the output then sheds every already-applied delete, which is
+        // what lets rewrite_position_delete_files GC them. Fast path:
+        // parent IS the scanned snapshot → nothing landed → no
+        // manifest read at all.
+        val freshDeletes: Seq[DataFile] =
+          if (preserveSequence.isEmpty ||
+              parentSnapshot.map(_.snapshotId) ==
+                table.readSnapshot.map(_.snapshotId)) Nil
+          else {
+            val scannedSeq = table.readSnapshot
+              .map(_.sequenceNumber).getOrElse(0L)
+            table.store.readManifests(current.location, parentManifests)
+              .flatMap(_.entries)
+              .filter(e => !e.isData && e.sequenceOrOldest > scannedSeq)
+          }
+        val effectiveOverride =
+          if (freshDeletes.isEmpty) None else preserveSequence
         // written inside the commit loop: v3 row-id assignment reads
         // the CURRENT next-row-id, which a retry may have advanced
         val manifestPath = table.store.writeManifest(table.meta.location,
-          ManifestFile(GraftWrite.assignRowIds(current, newFiles),
+          ManifestFile(
+            GraftWrite.assignRowIds(current, newFiles, effectiveOverride),
             snapshotId), Some(writeSchema))
         val (manifests, op, totals) = mode match {
           case "append" => (parentManifests :+ manifestPath, "append",
             GraftWrite.totalsSummary(parentSnapshot, newFiles,
               ManifestReplace.Removed.zero))
-          case "truncate" => (Seq(manifestPath), "overwrite",
-            GraftWrite.totalsSummary(None, newFiles,
-              ManifestReplace.Removed.zero))
+          case "truncate" =>
+            // the rewrite's whole-table replace must not drop a
+            // mid-flight delete with the parent manifests: it still
+            // covers the preserved-sequence output. Stale deletes were
+            // applied by the rewrite's read and materialize away — the
+            // behavior compaction promises. Plain truncate (user
+            // INSERT OVERWRITE) replaces the table wholesale, as ever.
+            val keptManifests =
+              if (freshDeletes.isEmpty) Nil
+              else Seq(table.store.writeManifest(current.location,
+                ManifestFile(freshDeletes, snapshotId),
+                Some(current.currentSchema.struct)))
+            (keptManifests :+ manifestPath, "overwrite",
+              GraftWrite.totalsSummary(None, newFiles ++ freshDeletes,
+                ManifestReplace.Removed.zero))
           case "dynamic" =>
             // replace only the partitions the new files touch; manifest
             // processing is per-manifest and distributed — untouched

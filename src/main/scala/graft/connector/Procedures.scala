@@ -298,6 +298,15 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
         .drop((zorderCols.map(c => s"__mn_$c") ++
           zorderCols.map(c => s"__mx_$c") :+ "__zv"): _*)
     }
+    // compaction must not advance the rewritten rows' data sequence:
+    // an equality delete landing between this scan and the commit
+    // would otherwise be outrun (its sequence ≤ the rewrite's fresh
+    // one) and silently resurrect deleted keys — the streaming-upsert
+    // + maintenance-compaction race. Iceberg's RewriteFiles preserves
+    // the replaced files' sequence on the output; so do we, threaded
+    // through the write option GraftBatchWrite honors in assignRowIds.
+    def preservedSeq(replaced: Seq[graft.meta.DataFile]): String =
+      replaced.map(_.sequenceOrOldest).max.toString
     val rewritten =
       if (small.size <= 1) 0L
       else if (meta.defaultSpec.isUnpartitioned) {
@@ -305,6 +314,10 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
         // table carries a write order the write's own required
         // (range) distribution + sort produces the layout — an
         // explicit repartition would just add a second exchange.
+        // The whole-table truncate also materializes STALE deletes
+        // away (they were applied by this read); the preserve-sequence
+        // option additionally makes GraftBatchWrite keep any delete
+        // file committed mid-rewrite, which still covers the output.
         val n = math.max(1, math.ceil(
           files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
         val src = spark.table(fullName)
@@ -312,7 +325,9 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
           if (zorderCols.nonEmpty) zcluster(src, n, Nil)
           else if (GraftWrite.sortOrderExprs(meta).nonEmpty) src
           else src.repartition(n)
-        shaped.writeTo(fullName).overwrite(lit(true))
+        shaped.writeTo(fullName)
+          .option(GraftWrite.PreserveSequenceOption, preservedSeq(files))
+          .overwrite(lit(true))
         files.size.toLong
       } else {
         // partitioned: rewrite ONLY partitions holding enough small
@@ -339,7 +354,10 @@ final case class RewriteDataFilesProcedure(catalog: GraftCatalog)
             if (zorderCols.nonEmpty)
               zcluster(src, n, meta.defaultSpec.fields.map(_.sourceName))
             else src.repartition(n)
-          shapedPart.writeTo(fullName).overwritePartitions()
+          shapedPart.writeTo(fullName)
+            .option(GraftWrite.PreserveSequenceOption,
+              preservedSeq(affectedFiles))
+            .overwritePartitions()
           affectedFiles.size.toLong
         }
       }
@@ -1494,11 +1512,20 @@ final case class ChangelogScanProcedure(catalog: GraftCatalog)
         val parent = snap.parentSnapshotId
         if (eqFiles.isEmpty || parent.isEmpty) Nil
         else eqFiles.groupBy(_.equalityIds).toSeq.map { case (ids, fs) =>
+          // null-safe (<=>) per key column: the scan path deletes rows
+          // whose key tuple matches with SQL-null equality (see the
+          // eq5 null-key test), so the changelog must reconstruct
+          // those too — a plain equi-join would drop them
+          val keyCols = ids.toSeq
           val keys = spark.read.parquet(fs.map(_.path): _*)
-            .select(ids.map(col): _*).distinct()
-          baseCols(
+            .select(keyCols.map(col): _*).distinct()
+            .toDF(keyCols.map(c => s"__eqk_$c"): _*)
+          val parentDf =
             spark.sql(s"SELECT * FROM $fqn VERSION AS OF ${parent.get}")
-              .join(keys, ids.toSeq, "left_semi"))
+          val cond = keyCols
+            .map(c => parentDf(c) <=> keys(s"__eqk_$c"))
+            .reduce(_ && _)
+          baseCols(parentDf.join(keys, cond, "left_semi"))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_snapshot_id", lit(snap.snapshotId))
         }

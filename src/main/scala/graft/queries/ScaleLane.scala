@@ -331,6 +331,15 @@ object ScaleLane {
         .map(g => (g.selectedFiles.size.toLong,
           g.table.liveFiles.size.toLong))
         .getOrElse((-1L, -1L))
+    // build vs probe split (round 10): the lane records index-BUILD
+    // and PROBE wall time separately so a superlinear curve names its
+    // term — build cost is amortized over every future probe, probe
+    // cost is the per-query price that must stay flat
+    def timedMs[T](body: => T): (T, Long) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1000000L)
+    }
     legM("qs21_lsh_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
       // CORPUS-SIZED bucket bits — the production build-time knob: a
@@ -343,8 +352,10 @@ object ScaleLane {
       val l = 2
       val bits = math.max(8,
         math.ceil(math.log(NEmb / 32.0) / math.log(2)).toInt)
-      graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh", "embedding",
-        l = l, bits = bits, dim = 64, seed = 42L)
+      val (_, buildMs) = timedMs {
+        graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh", "embedding",
+          l = l, bits = bits, dim = 64, seed = 42L)
+      }
       val index = spark.table(s"$ns.emb_lsh")
       val queries = emb.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id"), col("embedding"))
@@ -353,7 +364,7 @@ object ScaleLane {
         k = 5, l = l, bits = bits, seed = 42L)
       // collect through knn's OWN QueryExecution: the runtime filter
       // mutates that plan's scan, which executedScanCounts inspects
-      val rows = knn.collect().length.toLong
+      val (rows, probeMs) = timedMs(knn.collect().length.toLong)
       val (read, total) = executedScanCounts(knn)
       // probed partitions + candidate volume, re-derived with the same
       // signature expressions (bounded extra jobs over the query batch)
@@ -372,7 +383,8 @@ object ScaleLane {
       (rows, Some(cand), Map(
         "files_read" -> read, "files_total" -> total,
         "probed_partitions" -> probed, "bits" -> bits.toLong,
-        "tables" -> l.toLong))
+        "tables" -> l.toLong,
+        "build_ms" -> buildMs, "probe_ms" -> probeMs))
     }}
     legM("qs20_ivf_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
@@ -382,10 +394,14 @@ object ScaleLane {
       // occupied lists collapse to a handful and the probe union stops
       // pruning); k-means keeps list sizes balanced, which is exactly
       // what bounds probe fan-out at scale
-      val cents = graft.ops.KMeans.train(emb, "vec_id", "embedding",
-        k = 32, iters = 2).map(_.v)
-      graft.ops.AnnIndex.buildIvf(emb, s"$ns.emb_ivf", "embedding",
-        numLists = 32, dim = 64, seed = 42L, centroids = Some(cents))
+      val (cents, trainMs) = timedMs {
+        graft.ops.KMeans.train(emb, "vec_id", "embedding",
+          k = 32, iters = 2).map(_.v)
+      }
+      val (_, writeMs) = timedMs {
+        graft.ops.AnnIndex.buildIvf(emb, s"$ns.emb_ivf", "embedding",
+          numLists = 32, dim = 64, seed = 42L, centroids = Some(cents))
+      }
       val index = spark.table(s"$ns.emb_ivf")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding"))
@@ -393,7 +409,7 @@ object ScaleLane {
         "vec_id", "embedding", "vec_id", "embedding",
         k = 5, numLists = 32, nprobe = 2, seed = 42L,
         centroids = Some(cents))
-      val rows = knn.collect().length.toLong
+      val (rows, probeMs) = timedMs(knn.collect().length.toLong)
       val (read, total) = executedScanCounts(knn)
       val probes = queries.select(col("vec_id").as("q_id"),
         explode(graft.ops.Ivf.probeListsCol(col("embedding"), cents, 2))
@@ -403,7 +419,50 @@ object ScaleLane {
         .filter(col("vec_id") =!= col("q_id")).count()
       (rows, Some(cand), Map(
         "files_read" -> read, "files_total" -> total,
-        "probed_partitions" -> probed))
+        "probed_partitions" -> probed,
+        "build_ms" -> (trainMs + writeMs), "train_ms" -> trainMs,
+        "probe_ms" -> probeMs))
+    }}
+    legM("qs22_ivfpq_knn_join") { withPruningGateOff {
+      // the codes-only IVF-PQ batch join (the round-9 qs22 shape) at
+      // lane scale: train (coarse k-means + 8 Lloyd chains), encode +
+      // write the codes-only index, then the batch ADC probe. The
+      // probe term is the one that must stay flat per corpus doubling
+      // — candidates ∝ queries × list density, per-candidate cost = 8
+      // array lookups.
+      val ns = scaleCatalog()
+      val (cents, trainCoarseMs) = timedMs {
+        graft.ops.KMeans.train(emb, "vec_id", "embedding",
+          k = 32, iters = 2).map(_.v)
+      }
+      val (cb, trainPqMs) = timedMs {
+        graft.ops.Pq.train(emb, "vec_id", "embedding",
+          numSub = 8, subDim = 8, k = 16, iters = 2)
+      }
+      val (_, writeMs) = timedMs {
+        graft.ops.AnnIndex.buildIvfPq(emb, s"$ns.emb_ivfpq",
+          "vec_id", "embedding", 32, 64, cb, 42L,
+          centroids = Some(cents))
+      }
+      val index = spark.table(s"$ns.emb_ivfpq")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val knn = graft.ops.AnnIndex.knnJoinIvfPq(index, queries,
+        "vec_id", "embedding", "vec_id",
+        k = 5, cb = cb, numLists = 32, nprobe = 2, seed = 42L,
+        centroids = Some(cents))
+      val (rows, probeMs) = timedMs(knn.collect().length.toLong)
+      val (read, total) = executedScanCounts(knn)
+      val probes = queries.select(col("vec_id").as("q_id"),
+        explode(graft.ops.Ivf.probeListsCol(col("embedding"), cents, 2))
+          .as("list_id"))
+      val cand = probes.join(index, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id")).count()
+      (rows, Some(cand), Map(
+        "files_read" -> read, "files_total" -> total,
+        "build_ms" -> (trainCoarseMs + trainPqMs + writeMs),
+        "train_ms" -> (trainCoarseMs + trainPqMs),
+        "probe_ms" -> probeMs))
     }}
     leg("qe_time_joins") {
       // as-of + range join on a deterministic 500k-row event set

@@ -67,7 +67,7 @@ object ColDir {
   private val Magic = 0x434F4C32 // "COL2"
 
   private[sources] case class Frag(id: Int, dir: String, rows: Long,
-      stats: Map[String, ColumnStat])
+      stats: Map[String, ColumnStat], version: Int = 2)
 
   /** Write `df` at `location` as `fragments` fragments. The write is
     * DISTRIBUTED (each task streams its own fragment's column files to
@@ -255,8 +255,9 @@ object ColDir {
     val j = Json.parse(text)
     implicit val fmts: Formats = DefaultFormats
     val version = (j \ "version").extractOrElse[Int](1)
-    require(version == 2,
-      s"coldir manifest version $version unsupported (expected 2)")
+    require(version == 1 || version == 2,
+      s"coldir manifest version $version unsupported (this release reads " +
+        "v1 and v2); rewrite the directory with a release that writes it")
     val fields = (j \ "schema").asInstanceOf[JArray].arr.map { f =>
       StructField((f \ "name").extract[String],
         typeOf((f \ "type").extract[String]),
@@ -272,8 +273,10 @@ object ColDir {
         }.toMap
         case _ => Map.empty[String, ColumnStat]
       }
-      Frag((f \ "id").extract[Int], (f \ "dir").extract[String],
-        (f \ "rows").extract[Long], stats)
+      val id = (f \ "id").extract[Int]
+      // v1 manifests carried no dir (implicit frag-<id>) and no stats
+      Frag(id, (f \ "dir").extractOrElse[String](s"frag-$id"),
+        (f \ "rows").extract[Long], stats, version)
     }
     (StructType(fields), frags)
   }
@@ -283,26 +286,43 @@ object ColDir {
     * stream — no whole-file buffering at any fragment size.
     */
   private[sources] final class ColReader(fs: FileSystem, path: HPath,
-      dt: DataType) {
+      dt: DataType, version: Int = 2) {
     private val len = fs.getFileStatus(path).getLen
     private val raw = fs.open(path)
     private var nullWords: Array[Long] = Array.emptyLongArray
-    val rows: Long = {
-      val footer = new Array[Byte](16)
-      raw.readFully(len - 16, footer)
-      val bb = ByteBuffer.wrap(footer).order(ByteOrder.LITTLE_ENDIAN)
-      val r = bb.getLong()
-      val words = bb.getInt()
-      require(bb.getInt() == Magic, s"bad coldir column file: $path")
-      nullWords = new Array[Long](words)
-      if (words > 0) {
-        val nb = new Array[Byte](words * 8)
-        raw.readFully(len - 16 - words * 8L, nb)
-        val nbb = ByteBuffer.wrap(nb).order(ByteOrder.LITTLE_ENDIAN)
-        (0 until words).foreach(i => nullWords(i) = nbb.getLong())
+    val rows: Long =
+      if (version == 1) {
+        // v1 layout (pre-streaming release): HEADER-first —
+        // [i64 rows][null bitset words][values], no magic footer
+        val head = new Array[Byte](8)
+        raw.readFully(0, head)
+        val r = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getLong()
+        val words = ((r + 63) / 64).toInt
+        nullWords = new Array[Long](words)
+        if (words > 0) {
+          val nb = new Array[Byte](words * 8)
+          raw.readFully(8, nb)
+          val nbb = ByteBuffer.wrap(nb).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until words).foreach(i => nullWords(i) = nbb.getLong())
+        }
+        raw.seek(8 + words * 8L)
+        r
+      } else {
+        val footer = new Array[Byte](16)
+        raw.readFully(len - 16, footer)
+        val bb = ByteBuffer.wrap(footer).order(ByteOrder.LITTLE_ENDIAN)
+        val r = bb.getLong()
+        val words = bb.getInt()
+        require(bb.getInt() == Magic, s"bad coldir column file: $path")
+        nullWords = new Array[Long](words)
+        if (words > 0) {
+          val nb = new Array[Byte](words * 8)
+          raw.readFully(len - 16 - words * 8L, nb)
+          val nbb = ByteBuffer.wrap(nb).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until words).foreach(i => nullWords(i) = nbb.getLong())
+        }
+        r
       }
-      r
-    }
     private val in = new DataInputStream(
       new BufferedInputStream(raw, 1 << 16))
     private val b8 = new Array[Byte](8)
@@ -401,7 +421,8 @@ final class ColDirTable(tableName: String, location: String)
     override def planInputPartitions(): Array[InputPartition] =
       selectedFragments.map { fr =>
         ColDirPartition(loc, fr.dir, fr.rows, required.fields.map(f =>
-          (f.name, f.dataType.catalogString)).toSeq): InputPartition
+          (f.name, f.dataType.catalogString)).toSeq,
+          fr.version): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       ColDirReaderFactory(conf)
@@ -409,7 +430,8 @@ final class ColDirTable(tableName: String, location: String)
 }
 
 private final case class ColDirPartition(location: String, dir: String,
-    rows: Long, cols: Seq[(String, String)]) extends InputPartition
+    rows: Long, cols: Seq[(String, String)],
+    version: Int = 2) extends InputPartition
 
 private final case class ColDirReaderFactory(conf: SerializableConfiguration)
   extends PartitionReaderFactory {
@@ -423,7 +445,7 @@ private final case class ColDirReaderFactory(conf: SerializableConfiguration)
           new HPath(part.location, part.dir), s"$n.bin")
         new ColDir.ColReader(path.getFileSystem(conf.value), path,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseDataType(t))
+            .parseDataType(t), part.version)
       }
       private var i = -1L
       private var current: InternalRow = _

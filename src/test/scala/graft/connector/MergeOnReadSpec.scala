@@ -1,6 +1,7 @@
 package graft.connector
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -681,16 +682,162 @@ class MergeOnReadSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction-preserved sequence keeps a mid-flight equality delete effective") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq14 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.eq14 SELECT id, 'a' FROM range(0, 50)")
+    import spark.implicits._
+    val id14 = graft.store.TabularId(Seq("db"), "eq14")
+    // a compaction planned against the CURRENT snapshot...
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id14).get
+    val table = new GraftTable(graftCatalog.store, id14, meta,
+      snapshotId = None)
+    val replaced = table.liveFiles
+    val preserved = replaced.map(_.sequenceOrOldest).max
+    // ...its output: the same 50 rows as one parquet file in-location
+    val tmp = Files.createTempDirectory("graft-compact")
+    spark.table("graft.db.eq14").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val src = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(meta.location, "data",
+      "compacted-eq14.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.copy(src, dest)
+    val compacted = graft.meta.DataFile(dest.toString,
+      java.nio.file.Files.size(dest), 50L, meta.defaultSpec.specId,
+      Map.empty, Map.empty)
+    // an equality delete lands BETWEEN the compaction's scan and its
+    // commit — the exact streaming-upsert + maintenance race
+    eqWrite("eq14", Seq(7L).toDF("id"), Seq("id"))
+    // the rewrite commits in TRUNCATE mode (the unpartitioned
+    // rewrite_data_files path) stamped with the REPLACED files'
+    // sequence via graft.preserve-sequence
+    new GraftBatchWrite(table, table.schema(), "truncate", Array.empty,
+      None, Some(preserved))
+      .commit(Array(GraftCommitMessage(Seq(compacted))))
+    // the mid-flight delete file survives the truncate (fresher than
+    // the preserved sequence) and still covers the rewritten rows:
+    // id=7 stays deleted instead of being resurrected
+    assert(deleteFileCount("eq14") == 1)
+    assert(spark.table("graft.db.eq14").count() == 49)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.eq14 WHERE id = 7")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("MOR delta commit aborts when an equality delete lands mid-flight") {
+    mkTable("eq15", Seq("delete"))
+    import spark.implicits._
+    val id15 = graft.store.TabularId(Seq("db"), "eq15")
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id15).get
+    val table = new GraftTable(graftCatalog.store, id15, meta,
+      snapshotId = None)
+    val referenced = table.liveFiles.head.path
+    // mid-flight equality delete: the delta's replacement rows would
+    // land under a fresher sequence the delete no longer covers
+    eqWrite("eq15", Seq(7L).toDF("id"), Seq("id"))
+    val phantom = graft.meta.DataFile(
+      s"${meta.location}/data/phantom-posdel.parquet", 0L, 1L,
+      meta.defaultSpec.specId, Map.empty, Map.empty,
+      content = graft.meta.DataFile.ContentPositionDeletes)
+    val e = intercept[graft.meta.CommitFailedException] {
+      new GraftDeltaBatchWrite(table, table.schema())
+        .commit(Array(GraftDeltaCommitMessage(Seq(phantom), Set(referenced))))
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // reads stay consistent: the delete applied, the delta did not
+    assert(spark.table("graft.db.eq15").count() == 299)
+  }
+
+  test("changelog_scan reconstructs null-key equality deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.eq16 (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.eq16 VALUES (CAST(NULL AS BIGINT), 'n'), (1, 'a')")
+    val s0 = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq16.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+    eqWrite("eq16",
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS id"), Seq("id"))
+    // the scan deletes the null-key row (eq5 semantics); the changelog
+    // must reconstruct it too — a non-null-safe join would drop it
+    assert(spark.table("graft.db.eq16").count() == 1)
+    val changes = spark.sql(
+      s"""CALL graft.system.changelog_scan(
+         |  table => 'db.eq16', from_snapshot_id => $s0)""".stripMargin)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getString(2))).toSet
+    assert(changes == Set((-1L, "n", "delete")), changes.toString)
+  }
+
   test("equality deletes reject unsupported or unknown key columns") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
-    spark.sql("CREATE TABLE graft.db.eq7 (id BIGINT, ts TIMESTAMP)")
-    spark.sql("INSERT INTO graft.db.eq7 VALUES (1, TIMESTAMP '2024-01-01')")
+    spark.sql(
+      "CREATE TABLE graft.db.eq7 (id BIGINT, b BINARY, a ARRAY<INT>)")
+    spark.sql("INSERT INTO graft.db.eq7 VALUES (1, X'00', array(1))")
     import spark.implicits._
     intercept[IllegalArgumentException] {
       eqWrite("eq7", Seq(1L).toDF("nope"), Seq("nope"))
     }
     intercept[IllegalArgumentException] {
-      eqWrite("eq7", Seq(1L).toDF("ts"), Seq("ts")) // timestamp key
+      eqWrite("eq7", Seq("x").toDF("b"), Seq("b")) // binary key
     }
+    intercept[IllegalArgumentException] {
+      eqWrite("eq7", Seq(1).toDF("a"), Seq("a")) // array key
+    }
+  }
+
+  test("timestamp, timestamp_ntz and decimal equality keys delete by value") {
+    // CDC keys are routinely event timestamps or decimal ids; the
+    // Iceberg spec does not restrict equality field types
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.eq17 (
+        |  ts TIMESTAMP, tn TIMESTAMP_NTZ,
+        |  d9 DECIMAL(9,2), d18 DECIMAL(18,4), d30 DECIMAL(30,10),
+        |  v STRING)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.eq17 VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00.123456',
+        |   TIMESTAMP_NTZ '2024-01-01 00:00:00.123456',
+        |   CAST(1.25 AS DECIMAL(9,2)), CAST(1.25 AS DECIMAL(18,4)),
+        |   CAST(1.25 AS DECIMAL(30,10)), 'a'),
+        |  (TIMESTAMP '2024-06-01 12:00:00',
+        |   TIMESTAMP_NTZ '2024-06-01 12:00:00',
+        |   CAST(7.5 AS DECIMAL(9,2)), CAST(7.5 AS DECIMAL(18,4)),
+        |   CAST(7.5 AS DECIMAL(30,10)), 'b'),
+        |  (TIMESTAMP '2024-12-31 23:59:59.999999',
+        |   TIMESTAMP_NTZ '2024-12-31 23:59:59.999999',
+        |   CAST(-3 AS DECIMAL(9,2)), CAST(-3 AS DECIMAL(18,4)),
+        |   CAST(-3 AS DECIMAL(30,10)), 'c')""".stripMargin)
+    val s0 = spark.sql(
+      """SELECT snapshot_id FROM graft.db.eq17.snapshots
+        |ORDER BY committed_at DESC""".stripMargin).collect()(0).getLong(0)
+
+    // timestamp key (sub-millisecond precision must round-trip)
+    eqWrite("eq17", spark.sql(
+      "SELECT TIMESTAMP '2024-01-01 00:00:00.123456' AS ts"), Seq("ts"))
+    assert(spark.table("graft.db.eq17").count() == 2)
+    // timestamp_ntz key
+    eqWrite("eq17", spark.sql(
+      "SELECT TIMESTAMP_NTZ '2024-06-01 12:00:00' AS tn"), Seq("tn"))
+    assert(spark.table("graft.db.eq17").count() == 1)
+    // multi-width decimal key tuple (INT32, INT64 and FIXED physicals)
+    eqWrite("eq17", spark.sql(
+      """SELECT CAST(-3 AS DECIMAL(9,2)) AS d9,
+        |       CAST(-3 AS DECIMAL(18,4)) AS d18,
+        |       CAST(-3 AS DECIMAL(30,10)) AS d30""".stripMargin),
+      Seq("d9", "d18", "d30"))
+    assert(spark.table("graft.db.eq17").count() == 0)
+
+    // changelog reconstructs all three deletes by value
+    val changes = spark.sql(
+      s"""CALL graft.system.changelog_scan(
+         |  table => 'db.eq17', from_snapshot_id => $s0)""".stripMargin)
+      .select("v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(changes == Set(
+      ("a", "delete"), ("b", "delete"), ("c", "delete")), changes.toString)
   }
 }
