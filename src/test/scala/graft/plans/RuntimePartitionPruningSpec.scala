@@ -100,4 +100,59 @@ class RuntimePartitionPruningSpec extends AnyFunSuite {
     val roScan = executedGraftScans(ro).head
     assert(roScan.selectedFiles.size < roScan.table.liveFiles.size)
   }
+
+  // ------------------------------------------------------------------
+  // size-based cost gate, at settings OTHER than the pinned-to-0 ones
+  // the pruning tests above use — both sides of the comparison against
+  // the relation's REAL reported statistics (GraftScan
+  // estimateStatistics through the pre-pushdown DataSourceV2Relation
+  // the rule matches)
+  // ------------------------------------------------------------------
+
+  private def hasPruningSubquery(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions
+        .DynamicPruningSubquery => true
+      case _ => false
+    }))
+
+  test("default 128MB cost gate skips a small scan") {
+    fixture
+    val probes = spark.range(0, 2).select((col("id") * 7).cast("int").as("k"))
+    val j = probes.join(spark.table("graft.rpp.fact"), Seq("k"))
+    // the optimizer runs EliminateSubqueryAliases before any injected
+    // rule; mirror that so the rule sees the pre-pushdown
+    // DataSourceV2Relation it actually matches
+    val analyzed = org.apache.spark.sql.catalyst.analysis
+      .EliminateSubqueryAliases(j.queryExecution.analyzed)
+    spark.conf.unset("spark.graft.runtimeFilter.minScanBytes")
+    try {
+      // the fixture reports kilobytes — far under the 128 MB default,
+      // where one extra probe-side job costs more than it saves
+      assert(!hasPruningSubquery(RuntimePartitionPruning(analyzed)),
+        "sub-threshold scan must not receive a runtime-pruning subquery")
+    } finally
+      spark.conf.set("spark.graft.runtimeFilter.minScanBytes", "0")
+  }
+
+  test("cost gate admits a scan whose reported stats clear the threshold") {
+    fixture
+    val probes = spark.range(0, 2).select((col("id") * 7).cast("int").as("k"))
+    val j = probes.join(spark.table("graft.rpp.fact"), Seq("k"))
+    val analyzed = org.apache.spark.sql.catalyst.analysis
+      .EliminateSubqueryAliases(j.queryExecution.analyzed)
+    // the size the relation actually reports to the rule (manifest
+    // file sizes through GraftScan.estimateStatistics)
+    val reported = spark.table("graft.rpp.fact")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(reported > 0, s"fixture must report real stats, got $reported")
+    spark.conf.set("spark.graft.runtimeFilter.minScanBytes",
+      (reported - 1).toString())
+    try {
+      assert(hasPruningSubquery(RuntimePartitionPruning(analyzed)),
+        s"scan reporting $reported bytes must clear a ${reported - 1} gate")
+    } finally
+      spark.conf.set("spark.graft.runtimeFilter.minScanBytes", "0")
+  }
 }
