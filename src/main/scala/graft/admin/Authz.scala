@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.store.{FileCatalogStore, GrantTuple}
+import graft.store.{FileCatalogStore, GrantTuple, TabularId}
 
 /** The permission-model evaluator — a faithful in-process transcription
   * of the reference's OpenFGA authorization model
@@ -489,6 +489,103 @@ object Authz {
       case "read_role_assignments" => ev.rel(server, "can_list_users")
       case a => throw new IllegalArgumentException(s"Unknown user action: $a")
     }
+  }
+
+  // -------------------------------------------- referenced-by chains
+
+  /** Default view-owner property — the reference's per-engine
+    * `owner_property` config, with Trino's value as the shipped
+    * example (docs/docs/view-security.md; config::TrustedEngine).
+    */
+  val DefaultOwnerProperty = "trino.run-as-owner"
+
+  /** One authorization decision of a view-chain load: which object,
+    * which user it was checked AS (DEFINER views switch the user for
+    * everything downstream), whether that user came from delegation,
+    * and the per-action verdict.
+    */
+  final case class LoadCheck(obj: Obj, user: String, delegated: Boolean,
+      action: String, allowed: Boolean)
+
+  /** `referenced-by` view-chain authorization for a tabular load
+    * (reference: server/tables/authorize_load.rs — sort_tabulars +
+    * resolve_users + build_actions; docs/docs/view-security.md).
+    *
+    * `referencedBy` is the chain of views the engine reports, ENTRY
+    * POINT FIRST; `target` is the tabular actually being loaded, last
+    * in evaluation order. Semantics:
+    *
+    *  - INVOKER (default): every step checked as the calling user.
+    *  - DEFINER (view carries `ownerProperty`): the view itself is
+    *    checked as the INCOMING user; every step downstream of it is
+    *    checked as the owner (`resolve_users_for_authorize_load_
+    *    tabular` pushes the entry before switching).
+    *  - Untrusted engine: the chain is silently ignored and only the
+    *    target is checked as the caller (authorize_load.rs:257-269).
+    *
+    * Actions mirror build_actions: views require can_get_metadata +
+    * can_select; tables require can_get_metadata + can_read_data (the
+    * reference also emits WriteData to scope credentials — no
+    * credential vending here, documented out of scope). The load is
+    * allowed iff every emitted check passes.
+    */
+  def authorizeLoadTabular(
+      store: FileCatalogStore,
+      actor: String,
+      target: TabularId,
+      referencedBy: Seq[TabularId] = Nil,
+      ownerProperty: String = DefaultOwnerProperty,
+      trustedEngine: Boolean = true): Seq[LoadCheck] = {
+    val targetInfo = store.loadTabularInfo(target).getOrElse(
+      throw new IllegalArgumentException(s"No such tabular: $target"))
+    val targetKind = if (targetInfo.kind == "view") "view" else "table"
+    def actionsFor(kind: String): Seq[String] =
+      if (kind == "view") Seq("can_get_metadata", "can_select")
+      else Seq("can_get_metadata", "can_read_data")
+    def objOf(kind: String, id: TabularId): Obj =
+      if (kind == "view") view(id.namespace, id.name)
+      else table(id.namespace, id.name)
+
+    if (!trustedEngine || referencedBy.isEmpty) {
+      // standard behavior: caller's permissions on the target only
+      val ev = new Evaluator(store, actor)
+      val o = objOf(targetKind, target)
+      return actionsFor(targetKind).map(a =>
+        LoadCheck(o, actor, delegated = false, a, ev.rel(o, a)))
+    }
+
+    // every referenced-by entry must resolve as a VIEW (the reference
+    // looks the chain up as TabularIdentBorrowed::View; a table can
+    // only be the target)
+    val chainViews = referencedBy.map { id =>
+      if (!store.loadTabularInfo(id).exists(_.kind == "view"))
+        throw new IllegalArgumentException(
+          s"referenced-by entry is not a view: $id")
+      (id, store.loadViewMetadata(id).get._1.properties)
+    }
+
+    var currentUser = actor
+    var delegated = false
+    val evaluators = scala.collection.mutable.Map.empty[String, Evaluator]
+    def ev(u: String) = evaluators.getOrElseUpdate(u, new Evaluator(store, u))
+    val out = scala.collection.mutable.ArrayBuffer.empty[LoadCheck]
+    chainViews.foreach { case (id, props) =>
+      val o = view(id.namespace, id.name)
+      val u = currentUser
+      val d = delegated
+      actionsFor("view").foreach(a =>
+        out += LoadCheck(o, u, d, a, ev(u).rel(o, a)))
+      // DEFINER switch AFTER the entry's own checks
+      props.get(ownerProperty).foreach { owner =>
+        currentUser = owner
+        delegated = true
+      }
+    }
+    val o = objOf(targetKind, target)
+    actionsFor(targetKind).foreach(a =>
+      out += LoadCheck(o, currentUser, delegated, a,
+        ev(currentUser).rel(o, a)))
+    out.toSeq
   }
 
   /** The LARGE-cardinality leg: every tabular in the store with this

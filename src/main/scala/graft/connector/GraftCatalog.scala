@@ -165,6 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val id = tid(ident)
     store.loadTabularInfo(id) match {
       case Some(info) if info.deletedMs.isEmpty && info.kind == "table" =>
+        authorizeLoad(id)
         val (meta, _) = store.loadTableMetadata(id).getOrElse(
           throw new NoSuchTableException(ident))
         new GraftTable(store, id, meta, snapshotId = None)
@@ -328,9 +329,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val id = tid(ident)
     store.loadTabularInfo(id) match {
       case Some(info) if info.kind == "view" && info.deletedMs.isEmpty =>
+        authorizeLoad(id)
         val (vm, _) = store.loadViewMetadata(id).get
         GraftView(ident, vm)
       case _ => throw new NoSuchViewException(ident)
+    }
+  }
+
+  /** Table load for an ALREADY-AUTHORIZED view expansion: the DEFINER
+    * chain walk in [[ResolveGraftViews]] checked the delegated user on
+    * this table, so the gate must not re-check the CALLING user
+    * (that's the whole point of DEFINER — docs/docs/view-security.md).
+    */
+  private[connector] def loadTableUnchecked(id: TabularId)
+      : Option[org.apache.spark.sql.connector.catalog.Table] =
+    store.loadTabularInfo(id) match {
+      case Some(info) if info.deletedMs.isEmpty && info.kind == "table" =>
+        store.loadTableMetadata(id).map { case (meta, _) =>
+          new GraftTable(store, id, meta, snapshotId = None)
+        }
+      case _ => None
+    }
+
+  /** Load-path authorization gate (reference:
+    * server/tables/authorize_load.rs — the loadTable/loadView entry
+    * check). Active only when `spark.graft.authz.enforceLoad=true`;
+    * the caller principal comes from `spark.graft.authz.user` and an
+    * engine-reported chain may arrive via
+    * `spark.graft.authz.referencedBy` (comma-separated view names) —
+    * the in-process analogs of the REST request's auth token and
+    * `referenced-by` query parameter. `spark.graft.authz.trustedEngine`
+    * = false reproduces the untrusted-engine behavior (chain silently
+    * ignored). No conf → no enforcement, the pre-round-10 behavior.
+    */
+  private def authorizeLoad(id: TabularId): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!spark.conf.getOption("spark.graft.authz.enforceLoad")
+        .contains("true")) return
+    val user = spark.conf.getOption("spark.graft.authz.user") match {
+      case Some(u) => u
+      case None => return // enforcement without a principal: no-op
+    }
+    val trusted = spark.conf
+      .getOption("spark.graft.authz.trustedEngine").forall(_ == "true")
+    val chain = spark.conf.getOption("spark.graft.authz.referencedBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .map(raw => Procedures.tableId(this, raw))
+    val ownerProp = spark.conf
+      .getOption("spark.graft.authz.ownerProperty")
+      .getOrElse(graft.admin.Authz.DefaultOwnerProperty)
+    val checks = graft.admin.Authz.authorizeLoadTabular(
+      store, user, id, chain, ownerProp, trusted)
+    checks.find(!_.allowed).foreach { c =>
+      throw new SecurityException(
+        s"Load of $id denied: user '${c.user}' lacks ${c.action} " +
+          s"on ${c.obj.kind} '${c.obj.key}'")
     }
   }
 

@@ -167,22 +167,104 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
         substitute(parts).getOrElse(u)
     }
 
+  /** The enforcement principal, when the load gate is on — see
+    * GraftCatalog.authorizeLoad for the conf surface.
+    */
+  private def enforcedUser: Option[String] =
+    if (spark.conf.getOption("spark.graft.authz.enforceLoad")
+        .contains("true"))
+      spark.conf.getOption("spark.graft.authz.user")
+    else None
+
   private def substitute(parts: Seq[String]): Option[LogicalPlan] = try {
     GraftViewSql.viewTarget(spark, parts).flatMap { case (catalog, ident) =>
       if (!catalog.viewExists(ident)) None
-      else {
-        val view = catalog.loadView(ident)
-        val defaultPrefix =
-          Option(view.currentCatalog).toSeq ++ view.currentNamespace.toSeq
-        val parsed = spark.sessionState.sqlParser.parseQuery(view.query)
-        val qualified =
-          if (defaultPrefix.isEmpty) parsed
-          else parsed.transformUp {
-            case r @ UnresolvedRelation(p, _, false) if p.length == 1 =>
-              r.copy(multipartIdentifier = defaultPrefix ++ p)
-          }
-        Some(SubqueryAlias(ident.name, qualified))
+      else enforcedUser match {
+        case Some(user) =>
+          Some(SubqueryAlias(ident.name,
+            expandAuthorized(catalog, ident, user)))
+        case None =>
+          val view = catalog.loadView(ident)
+          val defaultPrefix =
+            Option(view.currentCatalog).toSeq ++ view.currentNamespace.toSeq
+          val parsed = spark.sessionState.sqlParser.parseQuery(view.query)
+          val qualified =
+            if (defaultPrefix.isEmpty) parsed
+            else parsed.transformUp {
+              case r @ UnresolvedRelation(p, _, false) if p.length == 1 =>
+                r.copy(multipartIdentifier = defaultPrefix ++ p)
+            }
+          Some(SubqueryAlias(ident.name, qualified))
       }
     }
-  } catch { case NonFatal(_) => None }
+  } catch {
+    // authorization denials must surface, not degrade to "not found"
+    case se: SecurityException => throw se
+    case NonFatal(_) => None
+  }
+
+  /** Full recursive view expansion with DEFINER/INVOKER user switching
+    * (reference: resolve_users_for_authorize_load_tabular,
+    * server/tables/authorize_load.rs:252-340; docs/docs/
+    * view-security.md). Each view is checked as the INCOMING user; a
+    * view carrying the owner property switches the user for everything
+    * downstream of it. Referenced graft TABLES are authorized as the
+    * effective user and substituted as already-resolved relations, so
+    * the load gate (which would re-check the CALLING user) never sees
+    * them — that is precisely the DEFINER delegation.
+    */
+  private def expandAuthorized(catalog: GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      user: String): LogicalPlan = {
+    import graft.admin.Authz
+    import graft.store.TabularId
+    val id = TabularId(ident.namespace.toSeq, ident.name)
+    val vObj = Authz.view(id.namespace, id.name)
+    Seq("can_get_metadata", "can_select").foreach { a =>
+      if (!Authz.check(catalog.store, user, vObj, a))
+        throw new SecurityException(
+          s"Load through view $id denied: user '$user' lacks $a")
+    }
+    val vm = catalog.store.loadViewMetadata(id).getOrElse(
+      throw new NoSuchViewException(ident))._1
+    val ownerProp = spark.conf
+      .getOption("spark.graft.authz.ownerProperty")
+      .getOrElse(Authz.DefaultOwnerProperty)
+    val nextUser = vm.properties.getOrElse(ownerProp, user)
+    val ver = vm.currentVersion
+    val defaultPrefix = ver.defaultCatalog.toSeq ++ ver.defaultNamespace
+    val sql = ver.representations.find(_.dialect == "spark")
+      .orElse(ver.representations.headOption).map(_.sql).getOrElse("")
+    spark.sessionState.sqlParser.parseQuery(sql).transformUp {
+      case r @ UnresolvedRelation(p, _, false) =>
+        val qualified =
+          if (p.length == 1 && defaultPrefix.nonEmpty) defaultPrefix ++ p
+          else p
+        GraftViewSql.viewTarget(spark, qualified) match {
+          case Some((g, innerIdent)) if g.viewExists(innerIdent) =>
+            SubqueryAlias(innerIdent.name,
+              expandAuthorized(g, innerIdent, nextUser))
+          case Some((g, innerIdent)) =>
+            val tid = TabularId(innerIdent.namespace.toSeq, innerIdent.name)
+            g.loadTableUnchecked(tid) match {
+              case Some(tbl) =>
+                val tObj = Authz.table(tid.namespace, tid.name)
+                Seq("can_get_metadata", "can_read_data").foreach { a =>
+                  if (!Authz.check(g.store, nextUser, tObj, a))
+                    throw new SecurityException(
+                      s"Load of $tid through view $id denied: " +
+                        s"user '$nextUser' lacks $a")
+                }
+                org.apache.spark.sql.execution.datasources.v2
+                  .DataSourceV2Relation.create(tbl, Some(g), Some(innerIdent))
+              case None =>
+                if (qualified eq p) r
+                else r.copy(multipartIdentifier = qualified)
+            }
+          case None =>
+            if (qualified eq p) r
+            else r.copy(multipartIdentifier = qualified)
+        }
+    }
+  }
 }

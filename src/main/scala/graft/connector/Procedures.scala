@@ -44,7 +44,7 @@ object Procedures {
     "set_format_version_policy", "get_warehouse",
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
-    "allowed_actions", "add_equality_deletes",
+    "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
     "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -106,6 +106,7 @@ object Procedures {
       case "revoke_privilege" => Some(RevokePrivilegeProcedure(catalog))
       case "check_action" => Some(CheckActionProcedure(catalog))
       case "allowed_actions" => Some(AllowedActionsProcedure(catalog))
+      case "authorize_load_tabular" => Some(AuthorizeLoadProcedure(catalog))
       case "bootstrap" => Some(BootstrapProcedure(catalog))
       case "server_info" => Some(ServerInfoProcedure(catalog))
       case "health" => Some(HealthProcedure(catalog))
@@ -1714,6 +1715,54 @@ final case class CheckActionProcedure(catalog: GraftCatalog)
       StructField("allowed", BooleanType, nullable = false)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](allowed)): InternalRow))
+  }
+}
+
+/** `referenced-by` view-chain authorization for a load (reference:
+  * server/tables/authorize_load.rs; docs/docs/view-security.md) — one
+  * row per (chain entry, action) with the user each step was checked
+  * AS, so DEFINER delegation is visible in the output.
+  */
+final case class AuthorizeLoadProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "authorize_load_tabular"
+  override def description(): String =
+    "Authorize a table/view load through a referenced-by view chain"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.param("user", StringType),
+    Procedures.paramWithDefault("referenced_by", StringType, "''"),
+    Procedures.paramWithDefault("owner_property", StringType,
+      s"'${graft.admin.Authz.DefaultOwnerProperty}'"),
+    Procedures.paramWithDefault("trusted_engine", BooleanType, "true"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val target = Procedures.tableId(catalog, input.getUTF8String(0).toString)
+    val user = input.getUTF8String(1).toString
+    val chain =
+      if (input.isNullAt(2)) Nil
+      else input.getUTF8String(2).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty)
+        .map(Procedures.tableId(catalog, _)).toSeq
+    val ownerProp =
+      if (input.isNullAt(3)) graft.admin.Authz.DefaultOwnerProperty
+      else input.getUTF8String(3).toString
+    val trusted = input.isNullAt(4) || input.getBoolean(4)
+    val checks = graft.admin.Authz.authorizeLoadTabular(
+      catalog.store, user, target, chain, ownerProp, trusted)
+    val schema = StructType(Seq(
+      StructField("object_type", StringType, nullable = false),
+      StructField("object", StringType, nullable = false),
+      StructField("checked_user", StringType, nullable = false),
+      StructField("delegated_execution", BooleanType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("allowed", BooleanType, nullable = false)))
+    Procedures.resultScan(schema, checks.map(c => new GenericInternalRow(
+      Array[Any](Procedures.utf8(c.obj.kind),
+        Procedures.utf8(c.obj.parts.mkString(".")),
+        Procedures.utf8(c.user), c.delegated, Procedures.utf8(c.action),
+        c.allowed)): InternalRow))
   }
 }
 

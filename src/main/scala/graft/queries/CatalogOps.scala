@@ -644,6 +644,55 @@ object CatalogOps {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // --------------------------------- referenced-by view-chain authz
+    // DEFINER delegation through the load path (reference:
+    // server/tables/authorize_load.rs; docs/docs/view-security.md):
+    // alice holds only the view, vbob owns the data — the chain call
+    // checks the view as alice and the table as vbob (delegated), all
+    // allowed; the direct call checks alice on the table and denies.
+    // The oracle is the hand-derived decision table.
+    Q(
+      "qc19_view_chain_authz",
+      """SELECT * FROM (VALUES
+        |  ('chain', 'view', 'authz_v.v_def', 'alice', 0, 'can_get_metadata', 1),
+        |  ('chain', 'view', 'authz_v.v_def', 'alice', 0, 'can_select', 1),
+        |  ('chain', 'table', 'authz_v.tsec', 'vbob', 1, 'can_get_metadata', 1),
+        |  ('chain', 'table', 'authz_v.tsec', 'vbob', 1, 'can_read_data', 1),
+        |  ('direct', 'table', 'authz_v.tsec', 'alice', 0, 'can_get_metadata', 0),
+        |  ('direct', 'table', 'authz_v.tsec', 'alice', 0, 'can_read_data', 0))
+        |AS t(lane, object_type, object, checked_user, delegated, action, allowed)
+        |ORDER BY lane, object_type, action""".stripMargin) { (s, dir) =>
+      prepare(s, dir)
+      val store = s.sessionState.catalogManager.catalog(CatalogName)
+        .asInstanceOf[GraftCatalog].store
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.authz_v")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $CatalogName.authz_v.tsec (id BIGINT)")
+      s.sql(
+        s"""CREATE VIEW IF NOT EXISTS $CatalogName.authz_v.v_def AS
+           |SELECT id FROM $CatalogName.authz_v.tsec""".stripMargin)
+      store.commitView(graft.store.TabularId(Seq("authz_v"), "v_def"), Seq(
+        graft.meta.Commit.ViewUpdate.SetProperties(
+          Map(graft.admin.Authz.DefaultOwnerProperty -> "vbob"))))
+      store.addGrant(graft.store.GrantTuple("table",
+        graft.admin.Authz.table(Seq("authz_v"), "tsec").key,
+        "select", "user", "vbob"))
+      store.addGrant(graft.store.GrantTuple("view",
+        graft.admin.Authz.view(Seq("authz_v"), "v_def").key,
+        "select", "user", "alice"))
+      def call(lane: String, referencedBy: String) = s.sql(
+        s"""CALL $CatalogName.system.authorize_load_tabular(
+           |  table => 'authz_v.tsec', user => 'alice'
+           |  ${if (referencedBy.isEmpty) ""
+              else s", referenced_by => '$referencedBy'"})""".stripMargin)
+        .select(lit(lane).as("lane"), col("object_type"), col("object"),
+          col("checked_user"),
+          col("delegated_execution").cast("int").as("delegated"),
+          col("action"), col("allowed").cast("int").as("allowed"))
+      call("chain", "authz_v.v_def")
+        .unionByName(call("direct", ""))
+        .orderBy(col("lane"), col("object_type"), col("action"))
+    },
+
     // ------------------------------------------- q15 (TPC-H q15, views)
     // Top supplier by quarterly revenue, with the revenue relation as a
     // CATALOG VIEW (reference: server/views/ — the view SQL is stored

@@ -249,4 +249,76 @@ class AuthzSpec extends AnyFunSuite {
       .toMap
     assert(rows2(("db", "t1")) && rows2(("db.inner", "t2")))
   }
+
+  // ---------------------------------------------- referenced-by chains
+  // reference: server/tables/authorize_load.rs resolve_users tests +
+  // docs/docs/view-security.md chain examples
+
+  private def mkView(s: FileCatalogStore, id: TabularId,
+      props: Map[String, String] = Map.empty): Unit = {
+    val ver = graft.meta.ViewVersion(1, 0L, 0, None, id.namespace,
+      Seq(graft.meta.ViewRepresentation("spark", "SELECT 1")), Map.empty)
+    s.createView(id, graft.meta.ViewMetadata(
+      java.util.UUID.randomUUID().toString, 1, s.tableLocation(id), 1,
+      Map(1 -> ver), Nil,
+      Map(0 -> graft.meta.TableSchema(0, schema)), props))
+  }
+
+  test("DEFINER view delegates downstream checks to its owner") {
+    val s = withTables()
+    val t1Id = TabularId(Seq("db"), "t1")
+    val vId = TabularId(Seq("db"), "v")
+    // bob owns the data, alice holds only the view
+    grant(s, "table", Authz.table(Seq("db"), "t1"), "select", "bob")
+    mkView(s, vId, Map(Authz.DefaultOwnerProperty -> "bob"))
+    grant(s, "view", Authz.view(Seq("db"), "v"), "select", "alice")
+
+    // through the chain: the view is checked as alice, the table as
+    // bob (delegated) — everything passes
+    val checks = Authz.authorizeLoadTabular(s, "alice", t1Id, Seq(vId))
+    assert(checks.forall(_.allowed), checks.mkString("; "))
+    val viewChecks = checks.filter(_.obj.kind == "view")
+    assert(viewChecks.nonEmpty &&
+      viewChecks.forall(c => c.user == "alice" && !c.delegated))
+    val tableChecks = checks.filter(_.obj.kind == "table")
+    assert(tableChecks.nonEmpty &&
+      tableChecks.forall(c => c.user == "bob" && c.delegated))
+
+    // direct table load: alice is denied
+    assert(Authz.authorizeLoadTabular(s, "alice", t1Id)
+      .exists(!_.allowed))
+    // untrusted engine: the chain is silently ignored → denied too
+    assert(Authz.authorizeLoadTabular(s, "alice", t1Id, Seq(vId),
+      trustedEngine = false).exists(!_.allowed))
+    // bob reads the table directly just fine
+    assert(Authz.authorizeLoadTabular(s, "bob", t1Id).forall(_.allowed))
+  }
+
+  test("mixed DEFINER/INVOKER chain switches users like the reference") {
+    // Alice -> V1 (DEFINER bob) -> V2 (INVOKER) -> V3 (DEFINER carol)
+    // -> table: checks run as alice, bob, bob, carol
+    // (docs/docs/view-security.md chained example)
+    val s = withTables()
+    val t1Id = TabularId(Seq("db"), "t1")
+    mkView(s, TabularId(Seq("db"), "v1"),
+      Map(Authz.DefaultOwnerProperty -> "bob"))
+    mkView(s, TabularId(Seq("db"), "v2"))
+    mkView(s, TabularId(Seq("db"), "v3"),
+      Map(Authz.DefaultOwnerProperty -> "carol"))
+    val chain = Seq(TabularId(Seq("db"), "v1"),
+      TabularId(Seq("db"), "v2"), TabularId(Seq("db"), "v3"))
+    val users = Authz.authorizeLoadTabular(s, "alice", t1Id, chain)
+      .map(c => (c.obj.parts.last, c.user, c.delegated)).distinct
+    assert(users == Seq(
+      ("v1", "alice", false), ("v2", "bob", true),
+      ("v3", "bob", true), ("t1", "carol", true)), users.toString)
+  }
+
+  test("a table in the middle of a referenced-by chain is rejected") {
+    val s = withTables()
+    intercept[IllegalArgumentException] {
+      Authz.authorizeLoadTabular(s, "alice", TabularId(Seq("db"), "t1"),
+        Seq(TabularId(Seq("db", "inner"), "t2")))
+    }
+  }
 }
