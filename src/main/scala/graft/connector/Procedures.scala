@@ -45,6 +45,7 @@ object Procedures {
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
+    "update_warehouse_storage",
     "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -106,6 +107,8 @@ object Procedures {
       case "revoke_privilege" => Some(RevokePrivilegeProcedure(catalog))
       case "check_action" => Some(CheckActionProcedure(catalog))
       case "allowed_actions" => Some(AllowedActionsProcedure(catalog))
+      case "update_warehouse_storage" =>
+        Some(UpdateWarehouseStorageProcedure(catalog))
       case "authorize_load_tabular" => Some(AuthorizeLoadProcedure(catalog))
       case "bootstrap" => Some(BootstrapProcedure(catalog))
       case "server_info" => Some(ServerInfoProcedure(catalog))
@@ -921,16 +924,63 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("name", StringType),
     Procedures.param("location", StringType),
-    Procedures.paramWithDefault("project", StringType, "'default'"))
+    Procedures.paramWithDefault("project", StringType, "'default'"),
+    // typed storage profile JSON ({"type":"s3","bucket":...} — the
+    // reference's CreateWarehouseRequest storage-profile field),
+    // validated + normalized before registration
+    Procedures.paramWithDefault("storage_profile", StringType, "NULL"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    val profile =
+      if (input.numFields < 4 || input.isNullAt(3)) None
+      else Some(graft.store.StorageProfile.fromJson(
+        input.getUTF8String(3).toString))
     val loc = catalog.store.createWarehouse(
       input.getUTF8String(0).toString, input.getUTF8String(1).toString,
       if (input.isNullAt(2)) catalog.store.DefaultProject
-      else input.getUTF8String(2).toString)
-    val schema = StructType(Seq(StructField("location", StringType)))
+      else input.getUTF8String(2).toString,
+      storageProfile = profile)
+    val schema = StructType(Seq(
+      StructField("location", StringType),
+      StructField("storage_base_location", StringType, nullable = true)))
     Procedures.resultScan(schema,
-      Seq(new GenericInternalRow(Array[Any](Procedures.utf8(loc))): InternalRow))
+      Seq(new GenericInternalRow(Array[Any](Procedures.utf8(loc),
+        profile.map(p => Procedures.utf8(p.normalize().baseLocation))
+          .orNull)): InternalRow))
+  }
+}
+
+/** Storage-profile update under the reference's immutability rules
+  * (s3.rs update_with): bucket/key_prefix never change, region only
+  * changes alongside a new endpoint — a silently-changed bucket would
+  * strand every existing table location.
+  */
+final case class UpdateWarehouseStorageProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "update_warehouse_storage"
+  override def description(): String =
+    "Replace a warehouse's storage profile (bucket/prefix immutable)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.param("storage_profile", StringType),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val applied = catalog.store.updateWarehouseStorage(
+      input.getUTF8String(0).toString,
+      graft.store.StorageProfile.fromJson(input.getUTF8String(1).toString),
+      if (input.isNullAt(2)) catalog.store.DefaultProject
+      else input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("storage_type", StringType),
+      StructField("base_location", StringType),
+      StructField("profile", StringType)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](
+        Procedures.utf8("s3"), Procedures.utf8(applied.baseLocation),
+        Procedures.utf8(graft.store.StorageProfile.toJson(applied))))
+        : InternalRow))
   }
 }
 
@@ -1022,14 +1072,19 @@ final case class GetWarehouseProcedure(catalog: GraftCatalog)
       StructField("delete_profile", StringType),
       StructField("expiration_grace_ms", LongType, nullable = true),
       StructField("allowed_format_versions", StringType),
-      StructField("default_format_version", IntegerType, nullable = true)))
+      StructField("default_format_version", IntegerType, nullable = true),
+      StructField("storage_type", StringType, nullable = true),
+      StructField("storage_base_location", StringType, nullable = true)))
     Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
       Procedures.utf8(profile.name), Procedures.utf8(entry.location),
       Procedures.utf8(entry.project), profile.active,
       Procedures.utf8(profile.deleteProfile),
       profile.expirationGraceMs.map(Long.box).orNull,
       Procedures.utf8(profile.allowedFormatVersions.mkString(",")),
-      profile.defaultFormatVersion.map(Int.box).orNull)): InternalRow))
+      profile.defaultFormatVersion.map(Int.box).orNull,
+      profile.storageProfile.map(_ => Procedures.utf8("s3")).orNull,
+      profile.storageProfile
+        .map(p => Procedures.utf8(p.baseLocation)).orNull)): InternalRow))
   }
 }
 

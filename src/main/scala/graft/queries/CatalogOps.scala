@@ -644,6 +644,67 @@ object CatalogOps {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ------------------------------------- warehouse storage profiles
+    // Typed s3 storage profile + layout-driven location generation
+    // (reference: service/storage/s3.rs normalize/base_location;
+    // storage_layout.rs render rules): create_warehouse normalizes
+    // and persists the profile, get_warehouse reads it back, and the
+    // four layouts render deterministic namespace/tabular locations.
+    // The oracle is the hand-derived location table.
+    Q(
+      "qc20_storage_profile",
+      """SELECT * FROM (VALUES
+        |  ('base', 's3://data-lake/prod/wh'),
+        |  ('get_type', 's3'),
+        |  ('default_tab', 's3://data-lake/prod/wh/u-tab'),
+        |  ('flat_tab', 's3://data-lake/prod/wh/my%20tabular-u-tab'),
+        |  ('parent_ns', 's3://data-lake/prod/wh/u-ns2'),
+        |  ('full_tab', 's3://data-lake/prod/wh/ns1-u-ns1/ns2-u-ns2/t-u-tab'))
+        |AS t(what, loc) ORDER BY what""".stripMargin) { (s, dir) =>
+      import graft.store.StorageProfile
+      import graft.store.StorageProfile._
+      prepare(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-qc20-wh").toString
+      val whName = "sp" + math.abs(dir.hashCode)
+      val exists = s.sql(s"CALL $CatalogName.system.list_warehouses()")
+        .collect().exists(_.getString(0) == whName)
+      if (!exists) s.sql(
+        s"""CALL $CatalogName.system.create_warehouse(name => '$whName',
+           |  location => '$tmp',
+           |  storage_profile => '{"type":"s3","bucket":"data-lake",
+           |    "region":"eu-central-1","key-prefix":" /prod/wh/ "}')
+           |""".stripMargin).collect()
+      val got = s.sql(
+        s"CALL $CatalogName.system.get_warehouse(name => '$whName')")
+        .collect().head
+      val base = got.getString(9)
+      val prof = StorageProfile.fromJson(
+        s"""{"type":"s3","bucket":"data-lake","region":"eu-central-1",
+           |"key-prefix":"prod/wh"}""".stripMargin).normalize()
+      val ns = Seq(SegmentContext("ns1", "u-ns1"),
+        SegmentContext("ns2", "u-ns2"))
+      val tab = SegmentContext("my tabular", "u-tab")
+      def withLayout(l: StorageLayout) =
+        prof.copy(storageLayout = Some(l))
+      val full = withLayout(fullLayout("{name}-{uuid}", "t-{uuid}"))
+      val rows = Seq(
+        ("base", base),
+        ("get_type", got.getString(8)),
+        ("default_tab", prof.defaultTabularLocation(
+          prof.defaultNamespaceLocation(ns), SegmentContext("t", "u-tab"))),
+        ("flat_tab", {
+          val p = withLayout(flatLayout("{name}-{uuid}"))
+          p.defaultTabularLocation(p.defaultNamespaceLocation(ns), tab)
+        }),
+        ("parent_ns", withLayout(parentLayout("{uuid}", "{uuid}"))
+          .defaultNamespaceLocation(ns)),
+        ("full_tab", full.defaultTabularLocation(
+          full.defaultNamespaceLocation(ns), tab)))
+      import s.implicits._
+      rows.toDF("what", "loc").orderBy("what")
+    },
+
     // --------------------------------- referenced-by view-chain authz
     // DEFINER delegation through the load path (reference:
     // server/tables/authorize_load.rs; docs/docs/view-security.md):

@@ -44,7 +44,11 @@ final case class WarehouseProfile(
     // created in or upgraded to; default used when CREATE omits one —
     // None resolves to 2 if allowed, else the highest allowed
     allowedFormatVersions: Seq[Int] = Seq(2, 3),
-    defaultFormatVersion: Option[Int] = None) {
+    defaultFormatVersion: Option[Int] = None,
+    // typed storage profile (reference: service/storage/mod.rs
+    // StorageProfile on CreateWarehouseRequest) — None for local-dir
+    // warehouses, the pre-round-10 behavior
+    storageProfile: Option[StorageProfile.S3StorageProfile] = None) {
 
   def resolvedDefaultFormatVersion: Int =
     defaultFormatVersion.getOrElse(
@@ -1203,7 +1207,11 @@ class FileCatalogStore(val root: String) {
               case JArray(vs) => vs.map(_.extract[Int])
               case _ => Seq(2, 3) },
             (j \ "default-format-version") match {
-              case JNothing | JNull => None; case v => Some(v.extract[Int]) })
+              case JNothing | JNull => None; case v => Some(v.extract[Int]) },
+            (j \ "storage-profile") match {
+              case JNothing | JNull => None
+              case v => Some(StorageProfile.fromJson(
+                JsonMethods.compact(JsonMethods.render(v)))) })
         }
       profileCache = Some(prof)
       prof
@@ -1224,7 +1232,9 @@ class FileCatalogStore(val root: String) {
         ("delete-profile" -> p.deleteProfile) ~
         ("expiration-grace-ms" -> p.expirationGraceMs) ~
         ("allowed-format-versions" -> p.allowedFormatVersions) ~
-        ("default-format-version" -> p.defaultFormatVersion)))
+        ("default-format-version" -> p.defaultFormatVersion) ~
+        ("storage-profile" -> p.storageProfile.map(sp =>
+          JsonMethods.parse(StorageProfile.toJson(sp))))))
     profileCache = Some(p)
     logEvent("warehouse-updated", TabularId(Nil, p.name),
       Map("active" -> p.active.toString, "delete-profile" -> p.deleteProfile))
@@ -1505,7 +1515,9 @@ class FileCatalogStore(val root: String) {
         ("location" -> e.location) ~ ("project" -> e.project))))
 
   def createWarehouse(name: String, location: String,
-      project: String = DefaultProject): String = {
+      project: String = DefaultProject,
+      storageProfile: Option[StorageProfile.S3StorageProfile] = None)
+      : String = {
     requireMutable()
     taskLock.synchronized {
       if (getProject(project).isEmpty)
@@ -1516,7 +1528,10 @@ class FileCatalogStore(val root: String) {
           s"Warehouse $name already exists in project $project")
       val other = new FileCatalogStore(location)
       other.setWarehouseProfile(WarehouseProfile(name, active = true,
-        deleteProfile = "soft", expirationGraceMs = None))
+        deleteProfile = "soft", expirationGraceMs = None,
+        // normalized at registration time like the reference's
+        // deserialize→normalize→persist flow (s3.rs:327)
+        storageProfile = storageProfile.map(_.normalize())))
       // self (this root) is implicit in every listing, never persisted
       val next = listWarehouseEntries().filterNot(_.location == root) :+
         WarehouseEntry(name, location, project)
@@ -1552,6 +1567,35 @@ class FileCatalogStore(val root: String) {
     }
     logEvent("warehouse-renamed", TabularId(Nil, newName),
       Map("old-name" -> name, "project" -> project))
+  }
+
+  /** Replace a warehouse's storage profile under the reference's
+    * update rules (s3.rs update_with — bucket/key_prefix immutable,
+    * region immutable unless the new profile pins an endpoint): a
+    * profile-less warehouse accepts any first profile; an existing
+    * profile constrains the update. Returns the persisted (normalized,
+    * merge-applied) profile.
+    */
+  def updateWarehouseStorage(name: String,
+      profile: StorageProfile.S3StorageProfile,
+      project: String = DefaultProject)
+      : StorageProfile.S3StorageProfile = taskLock.synchronized {
+    requireMutable()
+    val entry = listWarehouseEntries()
+      .find(e => e.project == project && e.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No such warehouse: $name in project $project"))
+    val target =
+      if (entry.location == root) this else new FileCatalogStore(entry.location)
+    val prof = target.warehouseProfile
+    val next = prof.storageProfile match {
+      case Some(existing) => existing.updateWith(profile.normalize())
+      case None => profile.normalize()
+    }
+    target.setWarehouseProfile(prof.copy(storageProfile = Some(next)))
+    logEvent("warehouse-storage-updated", TabularId(Nil, name),
+      Map("project" -> project, "bucket" -> next.bucket))
+    next
   }
 
   def deleteWarehouse(name: String, force: Boolean,

@@ -1,0 +1,381 @@
+package graft.store
+
+import java.net.URI
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Warehouse storage-profile semantics (reference:
+  * service/storage/mod.rs:60-81 `StorageProfile`,
+  * service/storage/s3.rs `S3Profile::normalize`,
+  * service/storage/storage_layout.rs `StorageLayout`). The profile is
+  * the pure, testable half of the reference's storage machinery:
+  * parsing + validation + deterministic location generation. The IO
+  * half (credential vending, SigV4 signing, STS) stays out of scope
+  * like the rest of the network-security plumbing — locations this
+  * module generates are handed to whatever FileSystem the deployment
+  * mounts for the scheme.
+  *
+  * Only the `s3` profile type is modeled; `adls`/`gcs`/`onelake`
+  * parse to a clear unsupported error naming the reference types.
+  */
+object StorageProfile {
+
+  // ---------------------------------------------------------- layouts
+
+  /** Percent-encode a path segment the way the reference's
+    * `urlencoding::encode` does: unreserved chars (RFC 3986
+    * `A-Z a-z 0-9 - _ . ~`) pass through, everything else becomes
+    * uppercase `%XX` UTF-8 bytes (storage_layout.rs:20-22; the
+    * schema doc: "my name" → "my%20name").
+    */
+  def encodePathSegment(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '_' ||
+          c == '.' || c == '~') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private def renderTemplate(template: String, name: String,
+      uuid: String): String =
+    // {name} is percent-encoded, {uuid} inserted as-is
+    // (storage_layout.rs TemplatedPathSegmentRenderer::render)
+    template.replace("{uuid}", uuid)
+      .replace("{name}", encodePathSegment(name))
+
+  private val TemplateParameters = Seq("{uuid}", "{name}")
+  private def hasTemplateParameter(t: String): Boolean =
+    TemplateParameters.exists(t.contains)
+
+  /** One (name, uuid) path-segment context — the reference's
+    * `NamespaceNameContext` / `TabularNameContext`.
+    */
+  final case class SegmentContext(name: String, uuid: String)
+
+  /** How namespace and tabular paths are laid out under the warehouse
+    * base location (storage_layout.rs `StorageLayout`):
+    *  - `Default`: flat since reference 0.13 — NO namespace
+    *    directories, tabular segment `{uuid}`.
+    *  - `Flat` ("tabular-only"): no namespace directories, custom
+    *    tabular template that MUST contain `{uuid}` (collision guard).
+    *  - `Parent` ("parent-namespace-and-tabular"): one directory for
+    *    the DIRECT parent namespace only (the pre-0.13 default shape).
+    *  - `Full` ("full-hierarchy"): one directory per namespace level.
+    */
+  sealed trait StorageLayout {
+    def typeName: String
+    def tabularTemplate: String = "{uuid}"
+    def renderTabularSegment(ctx: SegmentContext): String =
+      renderTemplate(tabularTemplate, ctx.name, ctx.uuid)
+    def renderNamespacePath(path: Seq[SegmentContext]): Seq[String]
+  }
+
+  case object DefaultLayout extends StorageLayout {
+    val typeName = "default"
+    def renderNamespacePath(path: Seq[SegmentContext]): Seq[String] = Nil
+  }
+
+  final case class FlatLayout(override val tabularTemplate: String)
+    extends StorageLayout {
+    val typeName = "tabular-only"
+    def renderNamespacePath(path: Seq[SegmentContext]): Seq[String] = Nil
+  }
+
+  final case class ParentLayout(namespaceTemplate: String,
+      override val tabularTemplate: String) extends StorageLayout {
+    val typeName = "parent-namespace-and-tabular"
+    def renderNamespacePath(path: Seq[SegmentContext]): Seq[String] =
+      path.lastOption.toSeq
+        .map(c => renderTemplate(namespaceTemplate, c.name, c.uuid))
+  }
+
+  final case class FullLayout(namespaceTemplate: String,
+      override val tabularTemplate: String) extends StorageLayout {
+    val typeName = "full-hierarchy"
+    def renderNamespacePath(path: Seq[SegmentContext]): Seq[String] =
+      path.map(c => renderTemplate(namespaceTemplate, c.name, c.uuid))
+  }
+
+  /** Validated constructors (storage_layout.rs try_new_*): tabular-only
+    * requires `{uuid}` in the tabular template; the two namespace
+    * layouts require at least one placeholder in BOTH templates.
+    */
+  def flatLayout(tabular: String): FlatLayout = {
+    require(tabular.contains("{uuid}"),
+      s"For the 'tabular-only' layout, the tabular template '$tabular' " +
+        "must contain the {uuid} placeholder to prevent path collisions.")
+    FlatLayout(tabular)
+  }
+
+  def parentLayout(namespace: String, tabular: String): ParentLayout = {
+    require(hasTemplateParameter(tabular),
+      s"For the 'parent-namespace-and-tabular' layout, the tabular " +
+        s"template '$tabular' must contain at least one placeholder.")
+    require(hasTemplateParameter(namespace),
+      s"For the 'parent-namespace-and-tabular' layout, the namespace " +
+        s"template '$namespace' must contain at least one placeholder.")
+    ParentLayout(namespace, tabular)
+  }
+
+  def fullLayout(namespace: String, tabular: String): FullLayout = {
+    require(hasTemplateParameter(tabular),
+      s"For the 'full-hierarchy' layout, the tabular template " +
+        s"'$tabular' must contain at least one placeholder.")
+    require(hasTemplateParameter(namespace),
+      s"For the 'full-hierarchy' layout, the namespace template " +
+        s"'$namespace' must contain at least one placeholder.")
+    FullLayout(namespace, tabular)
+  }
+
+  // ------------------------------------------------------- s3 profile
+
+  /** S3 storage profile (service/storage/s3.rs `S3Profile`): the
+    * warehouse-level description of WHERE tabulars live. `flavor` is
+    * `aws` or `s3-compat` (MinIO/R2-style endpoints).
+    */
+  final case class S3StorageProfile(
+      bucket: String,
+      region: String,
+      keyPrefix: Option[String] = None,
+      endpoint: Option[String] = None,
+      stsEndpoint: Option[String] = None,
+      assumeRoleArn: Option[String] = None,
+      stsRoleArn: Option[String] = None,
+      kmsKeyArn: Option[String] = None,
+      stsEnabled: Boolean = false,
+      flavor: String = "aws",
+      pathStyleAccess: Boolean = false,
+      allowAlternativeProtocols: Option[Boolean] = None,
+      storageLayout: Option[StorageLayout] = None) {
+
+    def layout: StorageLayout = storageLayout.getOrElse(DefaultLayout)
+
+    /** `s3://bucket[/key_prefix]` (s3.rs base_location). Call on a
+      * NORMALIZED profile — the reference documents the same caveat.
+      */
+    def baseLocation: String =
+      s"s3://$bucket" + keyPrefix.map("/" + _).getOrElse("")
+
+    /** Default location for a namespace path — base +
+      * layout-rendered namespace segments (mod.rs:316-327).
+      */
+    def defaultNamespaceLocation(path: Seq[SegmentContext]): String = {
+      val segs = layout.renderNamespacePath(path)
+      (baseLocation.stripSuffix("/") +: segs).mkString("/")
+    }
+
+    /** Default location for a tabular under its namespace location
+      * (mod.rs:987-999).
+      */
+    def defaultTabularLocation(namespaceLocation: String,
+        ctx: SegmentContext): String =
+      namespaceLocation.stripSuffix("/") + "/" +
+        layout.renderTabularSegment(ctx)
+
+    /** Validate + normalize (s3.rs:327-362): bucket naming rules,
+      * region length, key-prefix trim/cap, endpoint scheme + path
+      * normalization, ARN trimming, and the AWS-flavor STS role
+      * requirement. Returns the normalized profile; throws
+      * IllegalArgumentException with the failing entity in the message.
+      */
+    def normalize(): S3StorageProfile = {
+      validateBucketName(bucket)
+      require(region.length <= 128,
+        "region: `region` must be less than 128 characters.")
+      val prefix = keyPrefix.map(_.trim.stripPrefix("/").stripSuffix("/"))
+        .map(p => p.split('/').filter(_.nonEmpty).mkString("/"))
+        .filter(_.nonEmpty)
+      // AWS keys max 1024 chars; keep buffer for table paths
+      require(prefix.forall(_.length <= 896),
+        "key_prefix: Storage Profile `key_prefix` must be less than " +
+          "896 characters.")
+      val ep = endpoint.map(normalizeEndpoint)
+      stsEndpoint.foreach { e =>
+        val scheme = Option(URI.create(e).getScheme).getOrElse("")
+        require(scheme == "http" || scheme == "https",
+          "sts_endpoint: Storage Profile `sts-endpoint` must have http " +
+            "or https protocol.")
+      }
+      def trimOpt(o: Option[String]) = o.map(_.trim).filter(_.nonEmpty)
+      require(flavor == "aws" || flavor == "s3-compat",
+        s"flavor: unknown S3 flavor '$flavor' (aws | s3-compat)")
+      val normalized = copy(
+        keyPrefix = prefix,
+        endpoint = ep,
+        assumeRoleArn = trimOpt(assumeRoleArn),
+        stsRoleArn = trimOpt(stsRoleArn),
+        kmsKeyArn = trimOpt(kmsKeyArn))
+      if (normalized.stsEnabled && normalized.flavor == "aws" &&
+          normalized.stsRoleArn.isEmpty && normalized.assumeRoleArn.isEmpty)
+        throw new IllegalArgumentException(
+          "sts_role_arn: Either `sts-role-arn` or `assume-role-arn` is " +
+            "required for Storage Profiles with AWS flavor if STS is " +
+            "enabled.")
+      normalized
+    }
+
+    /** Endpoint normalization (s3.rs:1080-1121): http/https only; a
+      * path that ENDS with the bucket name is stripped (Cloudflare's
+      * UI shows the S3 API with the bucket appended); any other
+      * non-empty path is rejected.
+      */
+    private def normalizeEndpoint(raw: String): String = {
+      val u = URI.create(raw)
+      val scheme = Option(u.getScheme).getOrElse("")
+      require(scheme == "http" || scheme == "https",
+        "endpoint: Storage Profile `endpoint` must have http or https " +
+          "protocol.")
+      var path = Option(u.getPath).getOrElse("")
+      if (path.endsWith(bucket))
+        path = path.stripSuffix(bucket).reverse.dropWhile(_ == '/').reverse
+      require(path.isEmpty || path == "/",
+        "endpoint: Storage Profile `endpoint` must not have a path.")
+      val port = if (u.getPort < 0) "" else s":${u.getPort}"
+      s"$scheme://${u.getHost}$port/"
+    }
+
+    /** Update compatibility (s3.rs update_with): `bucket` and
+      * `key_prefix` are immutable; `region` is immutable unless the
+      * NEW profile sets an `endpoint` (which then determines the S3
+      * endpoint instead). A previously-enabled alternative-protocol
+      * flag survives an update that omits it, as does the stored
+      * layout. Changing any of these would strand every existing
+      * table's location.
+      */
+    def updateWith(other: S3StorageProfile): S3StorageProfile = {
+      if (bucket != other.bucket)
+        throw new IllegalArgumentException(
+          "bucket: field is immutable for an existing warehouse")
+      if (region != other.region && other.endpoint.isEmpty)
+        throw new IllegalArgumentException(
+          "region: field is immutable for an existing warehouse unless " +
+            "an endpoint is set")
+      if (keyPrefix != other.keyPrefix)
+        throw new IllegalArgumentException(
+          "key_prefix: field is immutable for an existing warehouse")
+      val alt =
+        if (allowAlternativeProtocols.contains(true) &&
+            other.allowAlternativeProtocols.isEmpty) Some(true)
+        else other.allowAlternativeProtocols
+      other.copy(
+        allowAlternativeProtocols = alt,
+        storageLayout = other.storageLayout.orElse(storageLayout))
+    }
+  }
+
+  /** Bucket naming rules (io/src/s3/s3_location.rs:180-222). */
+  def validateBucketName(bucket: String): Unit = {
+    require(bucket.length >= 3 && bucket.length <= 63,
+      "bucket: `bucket` must be between 3 and 63 characters long.")
+    require(bucket.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '.' || c == '-'),
+      "bucket: Bucket name can consist only of lowercase letters, " +
+        "numbers, dots (.), and hyphens (-).")
+    require(bucket.head.isLetterOrDigit && bucket.last.isLetterOrDigit,
+      "bucket: Bucket name must begin and end with a letter or number.")
+    require(!bucket.contains(".."),
+      "bucket: Bucket name must not contain two adjacent periods.")
+  }
+
+  // ------------------------------------------------------------- json
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def layoutFromJson(j: JValue): StorageLayout = {
+    def str(f: String): String = (j \ f) match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(
+        s"storage_layout: missing template field '$f'")
+    }
+    (j \ "type") match {
+      case JString("default") | JNothing | JNull => DefaultLayout
+      case JString("tabular-only") => flatLayout(str("tabular"))
+      case JString("parent-namespace-and-tabular") =>
+        parentLayout(str("namespace"), str("tabular"))
+      case JString("full-hierarchy") =>
+        fullLayout(str("namespace"), str("tabular"))
+      case other => throw new IllegalArgumentException(
+        s"storage_layout: unknown layout type $other")
+    }
+  }
+
+  private def layoutToJson(l: StorageLayout): JValue = l match {
+    case DefaultLayout => ("type" -> "default"): JObject
+    case FlatLayout(t) => ("type" -> "tabular-only") ~ ("tabular" -> t)
+    case ParentLayout(n, t) =>
+      ("type" -> "parent-namespace-and-tabular") ~
+        ("namespace" -> n) ~ ("tabular" -> t)
+    case FullLayout(n, t) =>
+      ("type" -> "full-hierarchy") ~ ("namespace" -> n) ~ ("tabular" -> t)
+  }
+
+  /** Parse a profile from its REST-shaped JSON (`{"type":"s3",...}`,
+    * kebab-case field names like the reference's serde rename). The
+    * result is NOT yet normalized — callers decide when to
+    * `.normalize()`, mirroring the reference's deserialize-then-
+    * normalize split.
+    */
+  def fromJson(json: String): S3StorageProfile = {
+    val j = JsonMethods.parse(json)
+    def optStr(f: String): Option[String] = (j \ f) match {
+      case JString(s) => Some(s); case _ => None
+    }
+    def optBool(f: String): Option[Boolean] = (j \ f) match {
+      case JBool(b) => Some(b); case _ => None
+    }
+    (j \ "type") match {
+      case JString("s3") => // fall through
+      case JString(t @ ("adls" | "azdls" | "gcs" | "onelake")) =>
+        throw new IllegalArgumentException(
+          s"storage profile type '$t' is not supported in this engine " +
+            "(reference: service/storage/mod.rs StorageProfile — only " +
+            "the s3 profile is modeled; cloud-credential IO is out of " +
+            "scope)")
+      case other => throw new IllegalArgumentException(
+        s"storage profile requires \"type\":\"s3\", got $other")
+    }
+    S3StorageProfile(
+      bucket = optStr("bucket").getOrElse(throw new IllegalArgumentException(
+        "bucket: s3 storage profile requires a bucket")),
+      region = optStr("region").getOrElse(throw new IllegalArgumentException(
+        "region: s3 storage profile requires a region")),
+      keyPrefix = optStr("key-prefix"),
+      endpoint = optStr("endpoint"),
+      stsEndpoint = optStr("sts-endpoint"),
+      assumeRoleArn = optStr("assume-role-arn"),
+      stsRoleArn = optStr("sts-role-arn"),
+      kmsKeyArn = optStr("aws-kms-key-arn"),
+      stsEnabled = optBool("sts-enabled").getOrElse(false),
+      flavor = optStr("flavor").getOrElse("aws"),
+      pathStyleAccess = optBool("path-style-access").getOrElse(false),
+      allowAlternativeProtocols = optBool("allow-alternative-protocols"),
+      storageLayout = (j \ "storage-layout") match {
+        case JNothing | JNull => None
+        case l => Some(layoutFromJson(l))
+      })
+  }
+
+  def toJson(p: S3StorageProfile): String = {
+    val base: JObject =
+      ("type" -> "s3") ~ ("bucket" -> p.bucket) ~ ("region" -> p.region) ~
+        ("key-prefix" -> p.keyPrefix) ~ ("endpoint" -> p.endpoint) ~
+        ("sts-endpoint" -> p.stsEndpoint) ~
+        ("assume-role-arn" -> p.assumeRoleArn) ~
+        ("sts-role-arn" -> p.stsRoleArn) ~
+        ("aws-kms-key-arn" -> p.kmsKeyArn) ~
+        ("sts-enabled" -> p.stsEnabled) ~ ("flavor" -> p.flavor) ~
+        ("path-style-access" -> p.pathStyleAccess) ~
+        ("allow-alternative-protocols" -> p.allowAlternativeProtocols)
+    val withLayout = p.storageLayout match {
+      case Some(l) => base ~ ("storage-layout" -> layoutToJson(l))
+      case None => base
+    }
+    JsonMethods.compact(JsonMethods.render(withLayout))
+  }
+}

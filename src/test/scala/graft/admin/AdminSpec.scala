@@ -314,6 +314,52 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("typed storage profiles flow through create/get/update") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-sp").toString
+    // create with a typed s3 profile: validated + normalized at
+    // registration (reference: CreateWarehouseRequest storage-profile)
+    val created = spark.sql(
+      s"""CALL gadmin.system.create_warehouse(name => 'whsp',
+         |  location => '$tmp/sp',
+         |  storage_profile => '{"type":"s3","bucket":"data-lake",
+         |    "region":"eu-central-1","key-prefix":" /prod/wh/ "}')
+         |""".stripMargin).collect().head
+    assert(created.getString(1) == "s3://data-lake/prod/wh",
+      s"normalized base location, got ${created.getString(1)}")
+    // get_warehouse surfaces the stored profile
+    val got = spark.sql("CALL gadmin.system.get_warehouse(name => 'whsp')")
+      .collect().head
+    assert(got.getString(8) == "s3")
+    assert(got.getString(9) == "s3://data-lake/prod/wh")
+    // update: region change without an endpoint violates immutability
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""CALL gadmin.system.update_warehouse_storage(name => 'whsp',
+           |  storage_profile => '{"type":"s3","bucket":"data-lake",
+           |    "region":"us-east-1","key-prefix":"prod/wh"}')
+           |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("immutable"), ex.getMessage)
+    // ...but passes when the new profile pins an endpoint
+    val moved = spark.sql(
+      s"""CALL gadmin.system.update_warehouse_storage(name => 'whsp',
+         |  storage_profile => '{"type":"s3","bucket":"data-lake",
+         |    "region":"us-east-1","key-prefix":"prod/wh",
+         |    "endpoint":"https://minio:9000"}')
+         |""".stripMargin).collect().head
+    assert(moved.getString(2).contains("\"region\":\"us-east-1\""))
+    // an invalid profile is rejected at the door
+    intercept[Exception] {
+      spark.sql(
+        s"""CALL gadmin.system.create_warehouse(name => 'whbad',
+           |  location => '$tmp/bad',
+           |  storage_profile => '{"type":"s3","bucket":"BAD_Bucket",
+           |    "region":"r"}')""".stripMargin)
+    }
+    spark.sql(
+      "CALL gadmin.system.delete_warehouse(name => 'whsp', force => true)")
+  }
+
   test("format-version policy gates CREATE defaults and upgrades") {
     val st = cat.store
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.fvp")

@@ -1,0 +1,215 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.StorageProfile._
+
+/** Storage-profile semantics (reference: service/storage/s3.rs
+  * normalize + update_with; service/storage/storage_layout.rs layout
+  * rendering; io/src/s3/s3_location.rs bucket rules). Pure-logic
+  * tests mirroring the reference's own unit tests and documented
+  * layout examples.
+  */
+class StorageProfileSpec extends AnyFunSuite {
+
+  private val nsCtx = SegmentContext("my_ns",
+    "550e8400-e29b-41d4-a716-446655440001")
+  private val tabCtx = SegmentContext("my_tabular",
+    "550e8400-e29b-41d4-a716-446655440002")
+
+  private def p(bucket: String = "my-bucket", region: String = "eu-west-1",
+      keyPrefix: Option[String] = None) =
+    S3StorageProfile(bucket, region, keyPrefix = keyPrefix)
+
+  // ------------------------------------------------------ layout rules
+
+  test("default layout is flat: no namespace dirs, {uuid} tabular") {
+    val prof = p(keyPrefix = Some("wh")).normalize()
+    val ns = prof.defaultNamespaceLocation(Seq(nsCtx))
+    assert(ns == "s3://my-bucket/wh")
+    assert(prof.defaultTabularLocation(ns, tabCtx) ==
+      s"s3://my-bucket/wh/${tabCtx.uuid}")
+  }
+
+  test("tabular-only layout renders {name}-{uuid} under the base") {
+    val prof = p().copy(storageLayout = Some(flatLayout("{name}-{uuid}")))
+      .normalize()
+    val ns = prof.defaultNamespaceLocation(Seq(nsCtx))
+    assert(ns == "s3://my-bucket")
+    assert(prof.defaultTabularLocation(ns, tabCtx) ==
+      s"s3://my-bucket/my_tabular-${tabCtx.uuid}")
+  }
+
+  test("tabular-only layout requires {uuid} in the template") {
+    val e = intercept[IllegalArgumentException](flatLayout("{name}"))
+    assert(e.getMessage.contains("{uuid}"))
+  }
+
+  test("parent layout emits one dir for the DIRECT parent namespace") {
+    val grand = SegmentContext("grandparent_ns", "u-g")
+    val prof = p().copy(storageLayout =
+      Some(parentLayout("{uuid}", "{uuid}"))).normalize()
+    // only the last (direct-parent) namespace renders
+    assert(prof.defaultNamespaceLocation(Seq(grand, nsCtx)) ==
+      s"s3://my-bucket/${nsCtx.uuid}")
+  }
+
+  test("full-hierarchy layout emits one dir per namespace level") {
+    val grand = SegmentContext("grandparent_ns", "u-g")
+    val prof = p().copy(storageLayout =
+      Some(fullLayout("{name}-{uuid}", "{name}-{uuid}"))).normalize()
+    val ns = prof.defaultNamespaceLocation(Seq(grand, nsCtx))
+    assert(ns ==
+      s"s3://my-bucket/grandparent_ns-u-g/my_ns-${nsCtx.uuid}")
+    assert(prof.defaultTabularLocation(ns, tabCtx) ==
+      s"$ns/my_tabular-${tabCtx.uuid}")
+  }
+
+  test("namespace layouts require a placeholder in both templates") {
+    intercept[IllegalArgumentException](fullLayout("static", "{uuid}"))
+    intercept[IllegalArgumentException](fullLayout("{uuid}", "static"))
+    intercept[IllegalArgumentException](parentLayout("static", "{uuid}"))
+  }
+
+  test("{name} is percent-encoded, {uuid} inserted as-is") {
+    // the reference's documented example: "my name" -> "my%20name"
+    val l = fullLayout("{name}-{uuid}", "{name}")
+    assert(l.renderNamespacePath(Seq(SegmentContext("my name", "u1"))) ==
+      Seq("my%20name-u1"))
+    assert(l.renderTabularSegment(SegmentContext("a/b?c", "u")) ==
+      "a%2Fb%3Fc")
+  }
+
+  // --------------------------------------------------- bucket / region
+
+  test("bucket naming rules match the reference") {
+    // 3-63 chars
+    intercept[IllegalArgumentException](p(bucket = "ab").normalize())
+    intercept[IllegalArgumentException](p(bucket = "a" * 64).normalize())
+    // lowercase/digits/dots/hyphens only
+    intercept[IllegalArgumentException](p(bucket = "MyBucket").normalize())
+    intercept[IllegalArgumentException](p(bucket = "my_bucket").normalize())
+    // begin/end alphanumeric
+    intercept[IllegalArgumentException](p(bucket = "-bucket").normalize())
+    intercept[IllegalArgumentException](p(bucket = "bucket.").normalize())
+    // no adjacent periods
+    intercept[IllegalArgumentException](p(bucket = "my..bucket").normalize())
+    // valid forms pass
+    p(bucket = "my.bucket-1").normalize()
+  }
+
+  test("region must be under 128 characters") {
+    intercept[IllegalArgumentException](p(region = "r" * 129).normalize())
+    p(region = "r" * 128).normalize()
+  }
+
+  // ------------------------------------------------------ key prefix
+
+  test("key prefix is trimmed of whitespace and slashes; empty drops") {
+    assert(p(keyPrefix = Some(" /wh/data/ ")).normalize()
+      .keyPrefix.contains("wh/data"))
+    assert(p(keyPrefix = Some("  ")).normalize().keyPrefix.isEmpty)
+    assert(p(keyPrefix = Some("///")).normalize().keyPrefix.isEmpty)
+    intercept[IllegalArgumentException](
+      p(keyPrefix = Some("x" * 897)).normalize())
+  }
+
+  // -------------------------------------------------------- endpoint
+
+  test("endpoint must be http(s); bucket-suffixed path is stripped") {
+    val prof = p().copy(endpoint =
+      Some("https://acct.r2.example.com/my-bucket")).normalize()
+    assert(prof.endpoint.contains("https://acct.r2.example.com/"))
+    intercept[IllegalArgumentException](
+      p().copy(endpoint = Some("ftp://host")).normalize())
+    // any OTHER non-empty path is rejected
+    intercept[IllegalArgumentException](
+      p().copy(endpoint = Some("https://host/some/path")).normalize())
+    // port survives normalization
+    assert(p().copy(endpoint = Some("http://minio:9000")).normalize()
+      .endpoint.contains("http://minio:9000/"))
+  }
+
+  test("sts endpoint scheme is validated") {
+    intercept[IllegalArgumentException](
+      p().copy(stsEndpoint = Some("gopher://x")).normalize())
+    p().copy(stsEndpoint = Some("https://sts.amazonaws.com")).normalize()
+  }
+
+  // ------------------------------------------------------------- sts
+
+  test("AWS flavor with STS requires a role arn; blank arns drop") {
+    val e = intercept[IllegalArgumentException](
+      p().copy(stsEnabled = true).normalize())
+    assert(e.getMessage.contains("sts-role-arn"))
+    // a blank arn is normalized away first, so it does NOT satisfy it
+    intercept[IllegalArgumentException](p().copy(stsEnabled = true,
+      assumeRoleArn = Some("  ")).normalize())
+    // s3-compat flavor needs no arn
+    p().copy(stsEnabled = true, flavor = "s3-compat").normalize()
+    val ok = p().copy(stsEnabled = true,
+      assumeRoleArn = Some(" arn:aws:iam::1:role/x ")).normalize()
+    assert(ok.assumeRoleArn.contains("arn:aws:iam::1:role/x"))
+  }
+
+  // ------------------------------------------------------ update_with
+
+  test("updateWith enforces the reference's immutability rules") {
+    val base = p(keyPrefix = Some("wh")).normalize()
+    // bucket immutable
+    intercept[IllegalArgumentException](
+      base.updateWith(p(bucket = "other-bucket",
+        keyPrefix = Some("wh")).normalize()))
+    // key prefix immutable
+    intercept[IllegalArgumentException](
+      base.updateWith(p(keyPrefix = Some("other")).normalize()))
+    // region immutable WITHOUT an endpoint...
+    intercept[IllegalArgumentException](
+      base.updateWith(p(region = "us-east-1",
+        keyPrefix = Some("wh")).normalize()))
+    // ...but changeable when the new profile pins one
+    val moved = base.updateWith(p(region = "us-east-1",
+      keyPrefix = Some("wh"))
+      .copy(endpoint = Some("https://minio:9000")).normalize())
+    assert(moved.region == "us-east-1")
+    // a stored layout survives an update that omits it
+    val withLayout = base.copy(storageLayout =
+      Some(flatLayout("{name}-{uuid}")))
+    assert(withLayout.updateWith(p(keyPrefix = Some("wh")).normalize())
+      .storageLayout.contains(flatLayout("{name}-{uuid}")))
+    // allow-alternative-protocols=true is sticky unless overridden
+    val sticky = base.copy(allowAlternativeProtocols = Some(true))
+    assert(sticky.updateWith(p(keyPrefix = Some("wh")).normalize())
+      .allowAlternativeProtocols.contains(true))
+  }
+
+  // ------------------------------------------------------------- json
+
+  test("json round-trips the full profile incl. layout") {
+    val prof = p(keyPrefix = Some("wh")).copy(
+      endpoint = Some("https://minio:9000/"),
+      stsEnabled = true, flavor = "s3-compat",
+      pathStyleAccess = true,
+      storageLayout = Some(fullLayout("{uuid}", "{name}-{uuid}")))
+    assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
+  }
+
+  test("non-s3 profile types name the reference and fail clearly") {
+    val e = intercept[IllegalArgumentException](StorageProfile.fromJson(
+      """{"type":"gcs","bucket":"b"}"""))
+    assert(e.getMessage.contains("out of scope"))
+    intercept[IllegalArgumentException](StorageProfile.fromJson(
+      """{"bucket":"b"}"""))
+  }
+
+  test("parse accepts the REST kebab-case shape") {
+    val prof = StorageProfile.fromJson(
+      """{"type":"s3","bucket":"data-lake","region":"eu-central-1",
+        |"key-prefix":"prod/wh","sts-enabled":true,
+        |"assume-role-arn":"arn:aws:iam::1:role/x",
+        |"storage-layout":{"type":"tabular-only","tabular":"{name}-{uuid}"}}
+        |""".stripMargin).normalize()
+    assert(prof.baseLocation == "s3://data-lake/prod/wh")
+    assert(prof.storageLayout.contains(flatLayout("{name}-{uuid}")))
+  }
+}
