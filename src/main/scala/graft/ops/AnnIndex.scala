@@ -48,6 +48,7 @@ object AnnIndex {
   private[graft] val CodebookProp = "graft.ann.codebook-hash"
   private[graft] val LProp = "graft.ann.l"
   private[graft] val BitsProp = "graft.ann.bits"
+  private[graft] val GroupsProp = "graft.ann.bucket-groups"
 
   /** Order-sensitive digest of a codebook's raw doubles — two builds
     * agree iff their centroid sets are bitwise identical.
@@ -366,6 +367,21 @@ object AnnIndex {
     * (table_id, bucket) assignments and write partitioned by both.
     * Stamps (l, bits, dim, seed) into table properties.
     */
+  /** Physical partitions per hash table are CAPPED: the partition
+    * column is `grp = bucket mod P` with `P = min(2^bits, cap)`, not
+    * the raw bucket. One-partition-per-bucket writes one (tiny) file
+    * per bucket, and since `bits` must grow with the corpus to keep
+    * bucket density flat, file count — and with it build wall time and
+    * manifest size — grows LINEARLY in corpus size with a large
+    * per-file constant (measured: the sf0.5→sf2 lane build went
+    * 6→51 s as files went 1k→4k; at 100 TB, bits≈31 would mean 2^31
+    * files — impossible). Grouping bounds files at `l·P` forever;
+    * probes prune on `grp` (each probed bucket selects its group, a
+    * ≤ 2^bits/P read amplification) and the bucket equi-join/filter
+    * still selects exact candidates inside the group. When
+    * `2^bits ≤ cap` the mapping is the identity and the layout is
+    * bucket-exact, matching the previous behavior.
+    */
   def buildLsh(
       df: DataFrame,
       table: String,
@@ -373,7 +389,9 @@ object AnnIndex {
       l: Int,
       bits: Int,
       dim: Int,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      maxPartitionsPerTable: Int = 512): Unit = {
+    val groups = math.min(1L << bits, maxPartitionsPerTable.toLong)
     val ps = Ann.planes(l, bits, dim, seed)
     val assignments = array(ps.zipWithIndex.map { case (tp, t) =>
       struct(lit(t).as("table_id"), Ann.bucket(col(embCol), tp).as("bucket"))
@@ -382,13 +400,15 @@ object AnnIndex {
     df.select(col("*"), explode(assignments).as("tb"))
       .select(col("tb.table_id").as("table_id") +:
         col("tb.bucket").as("bucket") +: carried: _*)
+      .withColumn("grp", pmod(col("bucket"), lit(groups)))
       .writeTo(table)
-      .partitionedBy(col("table_id"), col("bucket"))
+      .partitionedBy(col("table_id"), col("grp"))
       .tableProperty(KindProp, "lsh")
       .tableProperty(DimProp, dim.toString)
       .tableProperty(LProp, l.toString)
       .tableProperty(BitsProp, bits.toString)
       .tableProperty(SeedProp, seed.toString)
+      .tableProperty(GroupsProp, groups.toString)
       .createOrReplace()
   }
 
@@ -404,6 +424,13 @@ object AnnIndex {
     checkProp(props, SeedProp, seed.toString, "the seed")
     props.get(DimProp).map(_.toInt).orElse(dimOf).getOrElse(1)
   }
+
+  /** The stamped bucket-group modulus, when the index uses the capped
+    * (table_id, grp) layout; None for pre-grouping indexes and plain
+    * frames (whose partition column is the raw bucket).
+    */
+  private def lshGroups(index: DataFrame): Option[Long] =
+    tableProps(index).get(GroupsProp).map(_.toLong)
 
   /** Batch kNN JOIN over the LSH posting-list index: each query row
     * computes its L (table_id, bucket) signatures in one codegen'd
@@ -439,11 +466,23 @@ object AnnIndex {
       struct(lit(t).as("table_id"),
         Ann.bucket(col(queryEmbCol), tp).as("bucket"))
     }: _*)
-    val probes = queries
+    val groups = lshGroups(index)
+    val probes0 = queries
       .select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("q_emb"),
         explode(sigArr).as("tb"))
       .select(col("q_id"), col("q_emb"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    // grouped layout: the PARTITION column is grp = bucket mod P, so
+    // the runtime filter must see grp among the equi-join keys; the
+    // bucket key still selects exact candidates inside the group
+    val probes = groups match {
+      case Some(g) => probes0.withColumn("grp", pmod(col("bucket"), lit(g)))
+      case None => probes0
+    }
+    val joinKeys = groups match {
+      case Some(_) => Seq("table_id", "grp", "bucket")
+      case None => Seq("table_id", "bucket")
+    }
     // static fallback for un-pruned sessions/frames: per-table bucket
     // IN-sets (InSet above a few values — no OR-of-ANDs planning blowup,
     // no 4096 cliff); a batch probing beyond the cap drops the literal
@@ -458,16 +497,22 @@ object AnnIndex {
         else if (probed.length > StaticProbeCap) index
         else index.filter(probed.groupBy(_._1).toSeq.sortBy(_._1)
           .map { case (t, bs) =>
-            col("table_id") === lit(t) &&
-              col("bucket").isin(bs.map(_._2).distinct.sorted: _*)
+            val buckets = bs.map(_._2).distinct.sorted
+            val base = col("table_id") === lit(t) &&
+              col("bucket").isin(buckets: _*)
+            groups match {
+              case Some(g) => base &&
+                col("grp").isin(buckets.map(_ % g).distinct.sorted: _*)
+              case None => base
+            }
           }.reduce(_ || _))
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(pruned, Seq("table_id", "bucket"))
+    probes.join(pruned, joinKeys)
       .filter(col(idCol) =!= col("q_id"))
-      .drop("table_id", "bucket")
+      .drop(joinKeys: _*)
       .dropDuplicates("q_id", idCol)
       .withColumn("cos_sim",
         round(Ann.cosine(col(embCol), col("q_emb")), 6))
@@ -495,14 +540,19 @@ object AnnIndex {
       s"ANN index/probe parameter mismatch: the index was built at " +
         s"dim=$dim but the query vector has ${queryVec.length} components")
     val ps = Ann.planes(l, bits, queryVec.length, seed)
+    val groups = lshGroups(index)
     val probe = ps.zipWithIndex.map { case (tp, t) =>
-      col("table_id") === lit(t) &&
-        col("bucket") === lit(Ann.bucketOf(queryVec, tp))
+      val b = Ann.bucketOf(queryVec, tp)
+      val base = col("table_id") === lit(t) && col("bucket") === lit(b)
+      // grouped layout: the partition column is grp, so the literal
+      // group id is what FilePruning actually prunes on
+      groups.map(g => base && col("grp") === lit(b % g)).getOrElse(base)
     }.reduce(_ || _)
     val qLit = typedlit(queryVec.toSeq)
     index
       .filter(probe)
-      .drop("table_id", "bucket")
+      .drop((Seq("table_id", "bucket") ++
+        groups.map(_ => "grp").toSeq): _*)
       .dropDuplicates(idCol)
       .withColumn("cos_sim", round(Ann.cosine(col(embCol), qLit), 6))
       .orderBy(col("cos_sim").desc, col(idCol))

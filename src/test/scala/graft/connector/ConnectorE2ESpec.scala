@@ -593,8 +593,12 @@ class ConnectorE2ESpec extends AnyFunSuite {
       (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat))))
       .toDF("vec_id", "embedding")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annbig")
+    // bucket-exact layout (cap lifted): this test pins the runtime
+    // FILTER machinery at maximum partition granularity — a sparse
+    // probe over a grouped index would legitimately touch every group
     graft.ops.AnnIndex.buildLsh(corpus, "graft.annbig.emb_lsh", "embedding",
-      l = l, bits = bits, dim = dim, seed = 42L)
+      l = l, bits = bits, dim = dim, seed = 42L,
+      maxPartitionsPerTable = 1 << bits)
 
     val queries = spark.createDataFrame(
       (10000L until 16000L).map(i =>
@@ -624,6 +628,61 @@ class ConnectorE2ESpec extends AnyFunSuite {
     val want = graft.ops.Ann.knnJoin(queries, corpus,
         "vec_id", "embedding", k = 3, dim = dim, l = l, bits = bits,
         seed = 42L)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("grouped LSH layout bounds files and stays result-identical") {
+    import org.apache.spark.sql.functions.col
+    // bits=8 would mean 2·256 bucket partitions; capping at 16 groups
+    // per table bounds the physical layout (the 100 TB build-cost fix:
+    // files no longer track 2^bits) while probes prune on grp and the
+    // bucket equi-join keeps candidate selection exact
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.anngrp")
+    graft.ops.AnnIndex.buildLsh(df, "graft.anngrp.lsh", "embedding",
+      l = 2, bits = 8, dim = dim, seed = 42L, maxPartitionsPerTable = 16)
+    val index = spark.table("graft.anngrp.lsh")
+    val files = index.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.asInstanceOf[GraftTable].liveFiles.size
+    }.head
+    assert(files <= 2 * 16,
+      s"grouped layout must bound files at l*P, got $files")
+
+    // single-query probe: prunes to the l probed GROUPS' files...
+    val qVec = rows.head._2.map(_.toDouble)
+    val probe = graft.ops.AnnIndex.probeLsh(index, "vec_id", "embedding",
+      qVec, k = 10, l = 2, bits = 8, seed = 42L)
+    val scan = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collectFirst { case g: GraftScan => g }.get
+    assert(scan.selectedFiles.size < scan.table.liveFiles.size,
+      s"grouped probe must prune: ${scan.selectedFiles.size} of " +
+        s"${scan.table.liveFiles.size}")
+    // ...and is result-identical to the scan-based operator
+    assert(probe.select("vec_id", "cos_sim").collect().toSeq ==
+      graft.ops.Ann.topK(df, "vec_id", "embedding", qVec,
+        k = 10, l = 2, bits = 8, seed = 42L)
+        .select("vec_id", "cos_sim").collect().toSeq)
+
+    // batch join through the grouped index == scan-based join
+    val queries = df.filter(col("vec_id") < 5)
+    val got = graft.ops.AnnIndex.knnJoinLsh(index, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, l = 2, bits = 8, seed = 42L).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val want = graft.ops.Ann.knnJoin(queries, df,
+      "vec_id", "embedding", k = 3, dim = dim, l = 2, bits = 8,
+      seed = 42L)
       .select("q_id", "rank", "n_id").collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
     assert(got == want,
