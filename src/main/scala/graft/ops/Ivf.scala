@@ -26,20 +26,16 @@ object Ivf {
     Seq.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def dotLit(emb: Column, c: Array[Double]): Column =
-    graft.functions.ArrayDotProduct.dot(emb, typedlit(c.toSeq))
-
-  /** Squared-distance ranking terms: ||e-c||² ordered by
-    * ||c||² - 2·e·c (the ||e||² term is constant per row).
+  /** 1-based id of the nearest centroid (first minimum on ties).
+    * The distance array is ONE loop-based expression
+    * ([[graft.functions.CentroidRankDists]], bit-identical to the
+    * former per-centroid unrolled form): listId stacks with PQ
+    * encode/ADC expressions in probe projections, where the combined
+    * unrolled form exceeded HotSpot's JIT method budget (a measured
+    * 6× whole-stage slowdown).
     */
-  private def distCol(emb: Column, c: Array[Double]): Column = {
-    val cNormSq = c.foldLeft(0.0)((a, x) => a + x * x)
-    lit(cNormSq) - lit(2.0) * dotLit(emb, c)
-  }
-
-  /** 1-based id of the nearest centroid (first minimum on ties). */
   def listId(emb: Column, cents: Seq[Array[Double]]): Column = {
-    val dists = array(cents.map(distCol(emb, _)): _*)
+    val dists = graft.functions.CentroidRankDists.of(emb, cents)
     array_position(dists, array_min(dists))
   }
 
@@ -60,10 +56,12 @@ object Ivf {
     */
   def probeListsCol(emb: Column, cents: Seq[Array[Double]],
       nprobe: Int): Column = {
-    val ranked = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(distCol(emb, c).as("dist"),
-        lit((i + 1).toLong).as("i"))
-    }: _*)
+    // single-loop distance array (see listId); ranking identical —
+    // struct(dist, id) sort order and tie-break are unchanged
+    val rd = graft.functions.CentroidRankDists.of(emb, cents)
+    val ids = typedlit((1 to cents.length).map(_.toLong))
+    val ranked = zip_with(rd, ids,
+      (d, i) => struct(d.as("dist"), i.as("i")))
     transform(slice(array_sort(ranked), 1, nprobe), x => x.getField("i"))
   }
 

@@ -83,6 +83,22 @@ object KMeans {
     element_at(cids, array_position(dists, array_min(dists)).cast(IntegerType))
   }
 
+  /** [[assignCol]] with the distance array FORCED through the single
+    * [[graft.functions.CentroidRankDists]] loop regardless of k —
+    * bit-identical assignments (both paths are pinned to the same
+    * values by spec). For callers that stack MANY assignments into one
+    * projection (PQ encodes one per subspace): the per-call k may sit
+    * under [[UnrolledMaxK]] while the projection's TOTAL unrolled node
+    * count still blows the whole-stage method past what HotSpot will
+    * JIT (the qs22 finding — a 6× cliff).
+    */
+  def assignColCompact(emb: Column, cents: Seq[Centroid]): Column = {
+    val sorted = cents.sortBy(_.cid)
+    val dists = graft.functions.CentroidRankDists.of(emb, sorted.map(_.v))
+    val cids = typedlit(sorted.map(_.cid))
+    element_at(cids, array_position(dists, array_min(dists)).cast(IntegerType))
+  }
+
   /** Full squared distance to the assigned centroid. */
   def assignedDist(emb: Column, cents: Seq[Centroid]): Column =
     dot(emb, emb) + array_min(distArray(emb, cents))

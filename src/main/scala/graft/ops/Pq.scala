@@ -95,7 +95,10 @@ object Pq {
       val assigned = emb.select(
         (0 until numSub).flatMap { m =>
           val sub = subCol(col("v"), m, subDim)
-          Seq(KMeans.assignCol(sub, books(m)).as(s"c$m"), sub.as(s"s$m"))
+          // compact assign (see codesCol): numSub stacked unrolled
+          // assignments blow the whole-stage JIT method budget
+          Seq(KMeans.assignColCompact(sub, books(m)).as(s"c$m"),
+            sub.as(s"s$m"))
         }: _*)
       val upd = assigned
         .select(explode(array((0 until numSub).map(m =>
@@ -122,7 +125,9 @@ object Pq {
     */
   def codesCol(embCol: Column, cb: Codebooks): Column =
     array((0 until cb.numSub).map { m =>
-      KMeans.assignCol(subCol(embCol, m, cb.subDim), cb.books(m))
+      // compact assign: numSub stacked unrolled assignments in one
+      // projection would exceed HotSpot's JIT method budget
+      KMeans.assignColCompact(subCol(embCol, m, cb.subDim), cb.books(m))
         .cast(IntegerType)
     }: _*)
 
@@ -165,19 +170,15 @@ object Pq {
     * per-candidate scoring stays `numSub` array lookups.
     */
   def adcTableCol(qEmb: Column, m: Int, cb: Codebooks): Column = {
-    val q = subCol(qEmb, m, cb.subDim)
-    val qq = graft.functions.ArrayDotProduct.dot(q, q)
     val maxCid = cb.books(m).map(_.cid).max
     val byCid = cb.books(m).map(c => c.cid -> c).toMap
-    array((1 to maxCid).map { cid =>
-      byCid.get(cid) match {
-        case Some(c) =>
-          val cc = c.v.foldLeft(0.0)((a, x) => a + x * x)
-          qq - lit(2.0) * graft.functions.ArrayDotProduct.dot(
-            q, typedlit(c.v.toSeq)) + lit(cc)
-        case None => lit(Double.MaxValue) // dropped cid: never referenced
-      }
-    }: _*)
+    // ONE loop-based expression per table (graft.functions.AdcTable):
+    // the former unrolled array() of per-codeword dot products emitted
+    // numSub·k·subDim codegen nodes per probe plan — a whole-stage
+    // method too large for HotSpot to JIT (measured 6× slower than
+    // interpreted); values are bit-identical
+    graft.functions.AdcTable.of(qEmb, m * cb.subDim, cb.subDim,
+      (1 to maxCid).map(cid => byCid.get(cid).map(_.v)))
   }
 
   /** ADC top-k over an encoded corpus: `numSub` element_at lookups into
