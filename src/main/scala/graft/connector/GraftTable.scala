@@ -503,11 +503,19 @@ class GraftScan(
   private var runtimeFilters: Seq[Filter] = Nil
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns the scan actually OUTPUTS: Spark resolves these
+    // against the pruned projection, and a partition source column
+    // outside the read schema (e.g. a column-pruned grouped-LSH scan
+    // that reads bucket but not grp) would fail analysis with
+    // "Unable to resolve <col>"
+    val out = readSchema().fieldNames.map(_.toLowerCase).toSet
     table.meta.specs.values.flatMap(_.fields.map(_.sourceName))
       .toSeq.distinct.sorted
+      .filter(n => out.contains(n.toLowerCase))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** One LSH hash table's sign-bit bucket id — bit `i` set iff
+  * `emb · plane_i ≥ 0` — with the plane matrix held as ONE codegen
+  * reference object, O(1) generated-code size in bits×dim.
+  *
+  * The former unrolled form (`when(dot ≥ 0, 1L<<i)` per plane, an
+  * [[ArrayDotProduct]] each) emitted bits·dim nodes per table; stacked
+  * across tables in index builds and probe signatures it pushed
+  * whole-stage methods past HotSpot's JIT budget, and — because plane
+  * values were inlined in the generated source — every distinct
+  * geometry recompiled from scratch (the qs22 ADC finding, same
+  * mechanism).
+  *
+  * Bit-exactness: each dot folds left-to-right from 0.0 with the
+  * embedding element widened to double — identical to the unrolled
+  * ArrayDotProduct — and only the SIGN is consumed. Degenerate input
+  * (null embedding, null element, too few elements) contributes 0 for
+  * every bit, reproducing the unrolled `when(null ≥ 0) → otherwise 0`
+  * behavior: the expression never returns null.
+  */
+case class LshBucket(
+    child: Expression,
+    planes: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
+    "planes must be non-empty and share one dimension")
+  require(planes.length <= 63, "at most 63 sign bits fit a long bucket")
+
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric array embedding, got " +
+          other.simpleString)
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val pMat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val e = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val dim = pMat(0).length
+    if (e.numElements() < dim) return 0L
+    val ev0 = new Array[Double](dim)
+    val t = elemType
+    var i = 0
+    while (i < dim) {
+      if (e.isNullAt(i)) return 0L
+      ev0(i) = NumericArrayGet.getDouble(e, i, t)
+      i += 1
+    }
+    var bucket = 0L
+    var b = 0
+    while (b < pMat.length) {
+      val pl = pMat(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) { dot = dot + ev0(d) * pl(d); d += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val pRef = ctx.addReferenceObj("planes", pMat, "double[][]")
+    val dim = ctx.freshName("dim")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val d = ctx.freshName("d")
+    val dot = ctx.freshName("dot")
+    val bad = ctx.freshName("bad")
+    val ev0 = ctx.freshName("emb")
+    val bucket = ctx.freshName("bucket")
+    val body =
+      s"""
+         |long $bucket = 0L;
+         |if (!${childGen.isNull}) {
+         |  final int $dim = $pRef[0].length;
+         |  boolean $bad = ${childGen.value}.numElements() < $dim;
+         |  final double[] $ev0 = new double[$dim];
+         |  for (int $i = 0; !$bad && $i < $dim; $i++) {
+         |    if (${childGen.value}.isNullAt($i)) { $bad = true; }
+         |    else {
+         |      $ev0[$i] = ${NumericArrayGet.genGet(childGen.value.toString, i, elemType)};
+         |    }
+         |  }
+         |  if (!$bad) {
+         |    for (int $b = 0; $b < $pRef.length; $b++) {
+         |      double $dot = 0.0;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        $dot = $dot + $ev0[$d] * $pRef[$b][$d];
+         |      }
+         |      if ($dot >= 0) { $bucket |= (1L << $b); }
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(
+      code = childGen.code + code"$body",
+      isNull = FalseLiteral,
+      value = JavaCode.variable(bucket, LongType))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  /** Packed sign-bit bucket of one hash table. */
+  def of(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
+    Shim.column(LshBucket(Shim.expression(emb), tablePlanes.map(_.toSeq)))
+}

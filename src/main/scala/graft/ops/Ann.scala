@@ -39,14 +39,16 @@ object Ann {
     Seq.fill(l)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  private def dotLit(emb: Column, plane: Array[Double]): Column =
-    graft.functions.ArrayDotProduct.dot(emb, typedlit(plane.toSeq))
-
-  /** Bucket id of one hash table: sign bits packed into a long. */
+  /** Bucket id of one hash table: sign bits packed into a long — one
+    * loop-based expression ([[graft.functions.LshBucket]]); the former
+    * per-plane unrolled form recompiled whole-stage methods per
+    * geometry and blew the JIT budget when stacked across tables
+    * (same mechanism as the qs22 ADC finding). Sign decisions — and
+    * with them buckets, candidates, and oracle hashes — are
+    * unchanged.
+    */
   def bucket(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (pl, i) =>
-      when(dotLit(emb, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.LshBucket.of(emb, tablePlanes)
 
   /** Same signature computed JVM-side for the (collected) query vector. */
   def bucketOf(vec: Array[Double], tablePlanes: Seq[Array[Double]]): Long =

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The loop-based ANN expressions ([[AdcTable]], [[LshBucket]]) must be
+  * BIT-IDENTICAL to the unrolled per-codeword/per-plane forms they
+  * replaced — the DuckDB oracles hash their downstream results
+  * exactly, so a one-ulp drift from a different fold order would
+  * surface as a correctness failure. Each test compares codegen'd AND
+  * interpreted evaluation against the unrolled reference expressions.
+  */
+class CompactAnnExprSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-compact-ann-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withCodegen[T](on: Boolean)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", on.toString)
+    try f finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("AdcTable matches the unrolled per-codeword form bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val subDim = 8
+    val m = 2 // probe the third subspace: offset 16
+    // codebook with a GAP (cid 3 dropped) to exercise the sentinel
+    val cids = Seq(1, 2, 4, 5)
+    val words = cids.map(c => c -> Array.fill(subDim)(rnd.nextGaussian())).toMap
+    val maxCid = 5
+    val df = (0 until 300).map { i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 4 - 2))
+    }.toDF("id", "emb").persist()
+
+    // the former unrolled expression, verbatim
+    val q = slice(col("emb"), m * subDim + 1, subDim)
+    val qq = ArrayDotProduct.dot(q, q)
+    val unrolled = array((1 to maxCid).map { cid =>
+      words.get(cid) match {
+        case Some(c) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          qq - lit(2.0) * ArrayDotProduct.dot(q, typedlit(c.toSeq)) + lit(cc)
+        case None => lit(Double.MaxValue)
+      }
+    }: _*)
+    val compact = AdcTable.of(col("emb"), m * subDim, subDim,
+      (1 to maxCid).map(words.get))
+
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      df.select(compact.as("fast"), unrolled.as("ref")).collect()
+        .foreach { r =>
+          val fast = r.getSeq[Double](0)
+          val ref = r.getSeq[Double](1)
+          assert(fast.length == ref.length)
+          fast.zip(ref).foreach { case (a, b) =>
+            assert(java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b),
+              s"codegen=$cg: $a != $b")
+          }
+        }
+    }
+  }
+
+  test("LshBucket matches the unrolled sign-bit sum, nulls included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val bits = 11
+    val dim = 16
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows: Seq[(Int, Array[Float])] = (0 until 300).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+    } :+ (300, null.asInstanceOf[Array[Float]]) :+
+      (301, Array.fill(4)(1.0f)) // too short
+    val df = rows.toDF("id", "emb").persist()
+
+    // the former unrolled expression, verbatim
+    val unrolled = planes.zipWithIndex.map { case (pl, i) =>
+      when(ArrayDotProduct.dot(col("emb"), typedlit(pl.toSeq)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val compact = LshBucket.of(col("emb"), planes)
+
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      df.select(col("id"), compact.as("fast"), unrolled.as("ref"))
+        .collect().foreach { r =>
+          assert(!r.isNullAt(1), s"bucket must never be null (id ${r.getInt(0)})")
+          assert(r.getLong(1) == r.getLong(2),
+            s"codegen=$cg id=${r.getInt(0)}: ${r.getLong(1)} != ${r.getLong(2)}")
+        }
+    }
+  }
+
+  test("LshBucket buckets agree with the JVM-side bucketOf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val planes = Seq.fill(9)(Array.fill(24)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map(i => (i, Array.fill(24)(rnd.nextFloat() * 2 - 1)))
+    val got = vecs.toDF("id", "emb")
+      .select(col("id"), LshBucket.of(col("emb"), planes).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (i, v) =>
+      assert(got(i) ==
+        graft.ops.Ann.bucketOf(v.map(_.toDouble), planes), s"id $i")
+    }
+  }
+}
