@@ -978,7 +978,8 @@ final case class UpdateWarehouseStorageProcedure(catalog: GraftCatalog)
       StructField("profile", StringType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](
-        Procedures.utf8("s3"), Procedures.utf8(applied.baseLocation),
+        Procedures.utf8(applied.typeName),
+        Procedures.utf8(applied.baseLocation),
         Procedures.utf8(graft.store.StorageProfile.toJson(applied))))
         : InternalRow))
   }
@@ -1082,7 +1083,8 @@ final case class GetWarehouseProcedure(catalog: GraftCatalog)
       profile.expirationGraceMs.map(Long.box).orNull,
       Procedures.utf8(profile.allowedFormatVersions.mkString(",")),
       profile.defaultFormatVersion.map(Int.box).orNull,
-      profile.storageProfile.map(_ => Procedures.utf8("s3")).orNull,
+      profile.storageProfile
+        .map(p => Procedures.utf8(p.typeName)).orNull,
       profile.storageProfile
         .map(p => Procedures.utf8(p.baseLocation)).orNull)): InternalRow))
   }

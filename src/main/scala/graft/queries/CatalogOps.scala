@@ -682,6 +682,7 @@ object CatalogOps {
       val prof = StorageProfile.fromJson(
         s"""{"type":"s3","bucket":"data-lake","region":"eu-central-1",
            |"key-prefix":"prod/wh"}""".stripMargin).normalize()
+        .asInstanceOf[S3StorageProfile]
       val ns = Seq(SegmentContext("ns1", "u-ns1"),
         SegmentContext("ns2", "u-ns2"))
       val tab = SegmentContext("my tabular", "u-tab")

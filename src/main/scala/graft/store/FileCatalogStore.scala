@@ -48,7 +48,7 @@ final case class WarehouseProfile(
     // typed storage profile (reference: service/storage/mod.rs
     // StorageProfile on CreateWarehouseRequest) — None for local-dir
     // warehouses, the pre-round-10 behavior
-    storageProfile: Option[StorageProfile.S3StorageProfile] = None) {
+    storageProfile: Option[StorageProfile.WarehouseStorageProfile] = None) {
 
   def resolvedDefaultFormatVersion: Int =
     defaultFormatVersion.getOrElse(
@@ -1516,7 +1516,7 @@ class FileCatalogStore(val root: String) {
 
   def createWarehouse(name: String, location: String,
       project: String = DefaultProject,
-      storageProfile: Option[StorageProfile.S3StorageProfile] = None)
+      storageProfile: Option[StorageProfile.WarehouseStorageProfile] = None)
       : String = {
     requireMutable()
     taskLock.synchronized {
@@ -1577,9 +1577,9 @@ class FileCatalogStore(val root: String) {
     * merge-applied) profile.
     */
   def updateWarehouseStorage(name: String,
-      profile: StorageProfile.S3StorageProfile,
+      profile: StorageProfile.WarehouseStorageProfile,
       project: String = DefaultProject)
-      : StorageProfile.S3StorageProfile = taskLock.synchronized {
+      : StorageProfile.WarehouseStorageProfile = taskLock.synchronized {
     requireMutable()
     val entry = listWarehouseEntries()
       .find(e => e.project == project && e.name == name)
@@ -1594,7 +1594,7 @@ class FileCatalogStore(val root: String) {
     }
     target.setWarehouseProfile(prof.copy(storageProfile = Some(next)))
     logEvent("warehouse-storage-updated", TabularId(Nil, name),
-      Map("project" -> project, "bucket" -> next.bucket))
+      Map("project" -> project, "base-location" -> next.baseLocation))
     next
   }
 

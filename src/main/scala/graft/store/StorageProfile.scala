@@ -17,8 +17,9 @@ import org.json4s.jackson.JsonMethods
   * module generates are handed to whatever FileSystem the deployment
   * mounts for the scheme.
   *
-  * Only the `s3` profile type is modeled; `adls`/`gcs`/`onelake`
-  * parse to a clear unsupported error naming the reference types.
+  * The `s3`, `gcs`, and `adls` profile types are modeled (their
+  * pure validation/normalization/location halves); `onelake` parses
+  * to a clear unsupported error naming the reference type.
   */
 object StorageProfile {
 
@@ -132,7 +133,54 @@ object StorageProfile {
     FullLayout(namespace, tabular)
   }
 
-  // ------------------------------------------------------- s3 profile
+  // -------------------------------------------------- typed profiles
+
+  /** Common surface of every typed storage profile (reference:
+    * service/storage/mod.rs `StorageProfile` — the enum's shared
+    * methods base_location / default_namespace_location /
+    * default_tabular_location / storage_type / update_with).
+    */
+  sealed trait WarehouseStorageProfile {
+    def typeName: String
+    def storageLayout: Option[StorageLayout]
+    def layout: StorageLayout = storageLayout.getOrElse(DefaultLayout)
+
+    /** Scheme-qualified base location; call on a NORMALIZED profile. */
+    def baseLocation: String
+
+    def normalize(): WarehouseStorageProfile
+
+    /** Same-type update under the variant's immutability rules; a
+      * TYPE change always fails (re-pointing a warehouse at a
+      * different cloud would strand every table location).
+      */
+    def updateWith(other: WarehouseStorageProfile): WarehouseStorageProfile
+
+    protected def requireSameType[T <: WarehouseStorageProfile](
+        other: WarehouseStorageProfile)(implicit ct: scala.reflect.ClassTag[T]): T =
+      other match {
+        case o: T => o
+        case o => throw new IllegalArgumentException(
+          s"type: storage type is immutable for an existing warehouse " +
+            s"($typeName -> ${o.typeName})")
+      }
+
+    /** Default location for a namespace path — base + layout-rendered
+      * namespace segments (mod.rs:316-327).
+      */
+    def defaultNamespaceLocation(path: Seq[SegmentContext]): String = {
+      val segs = layout.renderNamespacePath(path)
+      (baseLocation.stripSuffix("/") +: segs).mkString("/")
+    }
+
+    /** Default location for a tabular under its namespace location
+      * (mod.rs:987-999).
+      */
+    def defaultTabularLocation(namespaceLocation: String,
+        ctx: SegmentContext): String =
+      namespaceLocation.stripSuffix("/") + "/" +
+        layout.renderTabularSegment(ctx)
+  }
 
   /** S3 storage profile (service/storage/s3.rs `S3Profile`): the
     * warehouse-level description of WHERE tabulars live. `flavor` is
@@ -151,31 +199,14 @@ object StorageProfile {
       flavor: String = "aws",
       pathStyleAccess: Boolean = false,
       allowAlternativeProtocols: Option[Boolean] = None,
-      storageLayout: Option[StorageLayout] = None) {
+      storageLayout: Option[StorageLayout] = None)
+    extends WarehouseStorageProfile {
 
-    def layout: StorageLayout = storageLayout.getOrElse(DefaultLayout)
+    val typeName = "s3"
 
-    /** `s3://bucket[/key_prefix]` (s3.rs base_location). Call on a
-      * NORMALIZED profile — the reference documents the same caveat.
-      */
+    /** `s3://bucket[/key_prefix]` (s3.rs base_location). */
     def baseLocation: String =
       s"s3://$bucket" + keyPrefix.map("/" + _).getOrElse("")
-
-    /** Default location for a namespace path — base +
-      * layout-rendered namespace segments (mod.rs:316-327).
-      */
-    def defaultNamespaceLocation(path: Seq[SegmentContext]): String = {
-      val segs = layout.renderNamespacePath(path)
-      (baseLocation.stripSuffix("/") +: segs).mkString("/")
-    }
-
-    /** Default location for a tabular under its namespace location
-      * (mod.rs:987-999).
-      */
-    def defaultTabularLocation(namespaceLocation: String,
-        ctx: SegmentContext): String =
-      namespaceLocation.stripSuffix("/") + "/" +
-        layout.renderTabularSegment(ctx)
 
     /** Validate + normalize (s3.rs:327-362): bucket naming rules,
       * region length, key-prefix trim/cap, endpoint scheme + path
@@ -247,7 +278,8 @@ object StorageProfile {
       * layout. Changing any of these would strand every existing
       * table's location.
       */
-    def updateWith(other: S3StorageProfile): S3StorageProfile = {
+    def updateWith(o: WarehouseStorageProfile): S3StorageProfile = {
+      val other = requireSameType[S3StorageProfile](o)
       if (bucket != other.bucket)
         throw new IllegalArgumentException(
           "bucket: field is immutable for an existing warehouse")
@@ -268,7 +300,171 @@ object StorageProfile {
     }
   }
 
-  /** Bucket naming rules (io/src/s3/s3_location.rs:180-222). */
+  /** GCS storage profile (service/storage/gcs/mod.rs `GcsProfile`):
+    * bucket + optional prefix; bucket naming rules match s3's
+    * (io/src/gcs/gcs_location.rs:150-195), the key prefix adds the
+    * acme-challenge exclusion (gcs/mod.rs:450-459). The credential
+    * half (service-account keys, downscoped STS tokens) stays out of
+    * scope with the rest of the IO machinery.
+    */
+  final case class GcsStorageProfile(
+      bucket: String,
+      keyPrefix: Option[String] = None,
+      stsEnabled: Boolean = true,
+      storageLayout: Option[StorageLayout] = None)
+    extends WarehouseStorageProfile {
+
+    val typeName = "gcs"
+
+    def baseLocation: String =
+      s"gs://$bucket" + keyPrefix.map("/" + _).getOrElse("")
+
+    def normalize(): GcsStorageProfile = {
+      validateBucketName(bucket)
+      val prefix = keyPrefix.map(_.stripPrefix("/").stripSuffix("/"))
+        .map(p => p.split('/').filter(_.nonEmpty).mkString("/"))
+        .filter(_.nonEmpty)
+      require(!prefix.exists(_.startsWith(".well-known/acme-challenge/")),
+        "key_prefix: Storage Profile `key_prefix` cannot start with " +
+          "`.well-known/acme-challenge/`.")
+      require(prefix.forall(_.length <= 896),
+        "key_prefix: Storage Profile `key_prefix` must be less than " +
+          "896 characters.")
+      copy(keyPrefix = prefix)
+    }
+
+    /** gcs/mod.rs update_with: bucket and key_prefix immutable, the
+      * stored layout survives an update that omits it.
+      */
+    def updateWith(o: WarehouseStorageProfile): GcsStorageProfile = {
+      val other = requireSameType[GcsStorageProfile](o)
+      if (bucket != other.bucket)
+        throw new IllegalArgumentException(
+          "bucket: field is immutable for an existing warehouse")
+      if (keyPrefix != other.keyPrefix)
+        throw new IllegalArgumentException(
+          "key_prefix: field is immutable for an existing warehouse")
+      other.copy(storageLayout = other.storageLayout.orElse(storageLayout))
+    }
+  }
+
+  /** ADLS Gen2 storage profile (service/storage/az/az_profile.rs
+    * `GenericAdlsProfile`): filesystem (container) + storage account
+    * (+ optional host override for sovereign/private-link clouds).
+    * The SAS-token generation itself stays out of scope; its TTL
+    * bounds are profile validation and kept.
+    */
+  final case class AdlsStorageProfile(
+      filesystem: String,
+      accountName: String,
+      keyPrefix: Option[String] = None,
+      authorityHost: Option[String] = None,
+      host: Option[String] = None,
+      sasTokenValiditySeconds: Option[Long] = None,
+      allowAlternativeProtocols: Boolean = false,
+      sasEnabled: Boolean = true,
+      storageLayout: Option[StorageLayout] = None)
+    extends WarehouseStorageProfile {
+
+    val typeName = "adls"
+
+    /** `dfs.core.windows.net` unless overridden (az_profile.rs
+      * DEFAULT_GENERIC_ADLS_HOST).
+      */
+    def endpointHost: String = host.getOrElse("dfs.core.windows.net")
+
+    /** `abfss://filesystem@account.host[/prefix]`
+      * (az_profile.rs:156-180).
+      */
+    def baseLocation: String =
+      s"abfss://$filesystem@$accountName.$endpointHost" +
+        keyPrefix.map("/" + _).getOrElse("")
+
+    /** abfss always allowed; wasbs only behind the migration flag
+      * (az_profile.rs is_allowed_schema).
+      */
+    def isAllowedScheme(scheme: String): Boolean =
+      scheme == "abfss" || (allowAlternativeProtocols && scheme == "wasbs")
+
+    def normalize(): AdlsStorageProfile = {
+      // SAS TTL: >0, ≤ 7 days (az/mod.rs:181-205)
+      sasTokenValiditySeconds.foreach { n =>
+        require(n > 0,
+          "sas_token_validity_seconds: SAS token validity must be " +
+            "greater than 0 seconds.")
+        require(n <= 604800L,
+          "sas_token_validity_seconds: SAS token validity must not " +
+            "exceed 604800 seconds.")
+      }
+      validateFilesystemName(filesystem)
+      val h = host.map(_.trim).filter(_.nonEmpty)
+      h.foreach { hh =>
+        require(!hh.contains('/'),
+          "host: Must not contain slashes.")
+        require(hh.split('.').forall(l => l.nonEmpty &&
+            l.matches("[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?")),
+          "host: Must be a valid hostname.")
+      }
+      val prefix = keyPrefix.map(_.stripPrefix("/").stripSuffix("/"))
+        .map(p => p.split('/').filter(_.nonEmpty).mkString("/"))
+        .filter(_.nonEmpty)
+      require(prefix.forall(_.length <= 512),
+        "key_prefix: Storage Profile `key-prefix` must be less than " +
+          "512 characters.")
+      validateStorageAccountName(accountName)
+      copy(keyPrefix = prefix, host = h)
+    }
+
+    /** az_profile.rs update_with: filesystem, key_prefix,
+      * authority_host, and host are ALL immutable; the stored layout
+      * survives an update that omits it.
+      */
+    def updateWith(o: WarehouseStorageProfile): AdlsStorageProfile = {
+      val other = requireSameType[AdlsStorageProfile](o)
+      def immutable(name: String, a: Any, b: Any): Unit =
+        if (a != b) throw new IllegalArgumentException(
+          s"$name: field is immutable for an existing warehouse")
+      immutable("filesystem", filesystem, other.filesystem)
+      immutable("key_prefix", keyPrefix, other.keyPrefix)
+      immutable("authority_host", authorityHost, other.authorityHost)
+      immutable("host", host, other.host)
+      other.copy(storageLayout = other.storageLayout.orElse(storageLayout))
+    }
+  }
+
+  /** ADLS filesystem (container) rules
+    * (io/src/adls/adls_location.rs:267-315).
+    */
+  def validateFilesystemName(fs: String): Unit = {
+    require(fs.nonEmpty, "filesystem: Filesystem name must not be empty.")
+    require(!fs.contains("--"),
+      "filesystem: Filesystem name must not contain consecutive hyphens.")
+    require(fs.length >= 3 && fs.length <= 63,
+      "filesystem: Filesystem name must be between 3 and 63 characters " +
+        "long.")
+    require(fs.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-'),
+      "filesystem: Filesystem name can only contain lowercase letters, " +
+        "numbers, and hyphens (-).")
+    require(fs.head.isLetterOrDigit && fs.last.isLetterOrDigit,
+      "filesystem: Filesystem name must begin and end with a letter or " +
+        "number.")
+  }
+
+  /** Azure storage account rules: 3-24 chars, `[a-z0-9]` only
+    * (io/src/adls/adls_location.rs:358-375).
+    */
+  def validateStorageAccountName(account: String): Unit = {
+    require(account.length >= 3 && account.length <= 24,
+      "account_name: Must be between 3 and 24 characters long.")
+    require(account.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      "account_name: Must contain only lowercase letters and numbers.")
+  }
+
+  /** Bucket naming rules (io/src/s3/s3_location.rs:180-222; GCS's
+    * rules at io/src/gcs/gcs_location.rs:150-195 are identical).
+    */
   def validateBucketName(bucket: String): Unit = {
     require(bucket.length >= 3 && bucket.length <= 63,
       "bucket: `bucket` must be between 3 and 63 characters long.")
@@ -321,7 +517,7 @@ object StorageProfile {
     * `.normalize()`, mirroring the reference's deserialize-then-
     * normalize split.
     */
-  def fromJson(json: String): S3StorageProfile = {
+  def fromJson(json: String): WarehouseStorageProfile = {
     val j = JsonMethods.parse(json)
     def optStr(f: String): Option[String] = (j \ f) match {
       case JString(s) => Some(s); case _ => None
@@ -329,50 +525,86 @@ object StorageProfile {
     def optBool(f: String): Option[Boolean] = (j \ f) match {
       case JBool(b) => Some(b); case _ => None
     }
-    (j \ "type") match {
-      case JString("s3") => // fall through
-      case JString(t @ ("adls" | "azdls" | "gcs" | "onelake")) =>
-        throw new IllegalArgumentException(
-          s"storage profile type '$t' is not supported in this engine " +
-            "(reference: service/storage/mod.rs StorageProfile — only " +
-            "the s3 profile is modeled; cloud-credential IO is out of " +
-            "scope)")
-      case other => throw new IllegalArgumentException(
-        s"storage profile requires \"type\":\"s3\", got $other")
+    def optLong(f: String): Option[Long] = (j \ f) match {
+      case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
+      case _ => None
     }
-    S3StorageProfile(
-      bucket = optStr("bucket").getOrElse(throw new IllegalArgumentException(
-        "bucket: s3 storage profile requires a bucket")),
-      region = optStr("region").getOrElse(throw new IllegalArgumentException(
-        "region: s3 storage profile requires a region")),
-      keyPrefix = optStr("key-prefix"),
-      endpoint = optStr("endpoint"),
-      stsEndpoint = optStr("sts-endpoint"),
-      assumeRoleArn = optStr("assume-role-arn"),
-      stsRoleArn = optStr("sts-role-arn"),
-      kmsKeyArn = optStr("aws-kms-key-arn"),
-      stsEnabled = optBool("sts-enabled").getOrElse(false),
-      flavor = optStr("flavor").getOrElse("aws"),
-      pathStyleAccess = optBool("path-style-access").getOrElse(false),
-      allowAlternativeProtocols = optBool("allow-alternative-protocols"),
-      storageLayout = (j \ "storage-layout") match {
-        case JNothing | JNull => None
-        case l => Some(layoutFromJson(l))
-      })
+    def req(f: String, what: String): String =
+      optStr(f).getOrElse(throw new IllegalArgumentException(
+        s"$f: $what storage profile requires a $f"))
+    val lay = (j \ "storage-layout") match {
+      case JNothing | JNull => None
+      case l => Some(layoutFromJson(l))
+    }
+    (j \ "type") match {
+      case JString("s3") =>
+        S3StorageProfile(
+          bucket = req("bucket", "s3"),
+          region = req("region", "s3"),
+          keyPrefix = optStr("key-prefix"),
+          endpoint = optStr("endpoint"),
+          stsEndpoint = optStr("sts-endpoint"),
+          assumeRoleArn = optStr("assume-role-arn"),
+          stsRoleArn = optStr("sts-role-arn"),
+          kmsKeyArn = optStr("aws-kms-key-arn"),
+          stsEnabled = optBool("sts-enabled").getOrElse(false),
+          flavor = optStr("flavor").getOrElse("aws"),
+          pathStyleAccess = optBool("path-style-access").getOrElse(false),
+          allowAlternativeProtocols = optBool("allow-alternative-protocols"),
+          storageLayout = lay)
+      case JString("gcs") =>
+        GcsStorageProfile(
+          bucket = req("bucket", "gcs"),
+          keyPrefix = optStr("key-prefix"),
+          stsEnabled = optBool("sts-enabled").getOrElse(true),
+          storageLayout = lay)
+      case JString("adls") | JString("azdls") => // serde alias (mod.rs:63)
+        AdlsStorageProfile(
+          filesystem = req("filesystem", "adls"),
+          accountName = req("account-name", "adls"),
+          keyPrefix = optStr("key-prefix"),
+          authorityHost = optStr("authority-host"),
+          host = optStr("host"),
+          sasTokenValiditySeconds = optLong("sas-token-validity-seconds"),
+          allowAlternativeProtocols =
+            optBool("allow-alternative-protocols").getOrElse(false),
+          sasEnabled = optBool("sas-enabled").getOrElse(true),
+          storageLayout = lay)
+      case JString("onelake") =>
+        throw new IllegalArgumentException(
+          "storage profile type 'onelake' is not supported in this " +
+            "engine (reference: service/storage/az/onelake_profile.rs — " +
+            "Fabric workspace/lakehouse resolution is out of scope)")
+      case other => throw new IllegalArgumentException(
+        s"storage profile requires \"type\" of s3 | gcs | adls, got $other")
+    }
   }
 
-  def toJson(p: S3StorageProfile): String = {
-    val base: JObject =
-      ("type" -> "s3") ~ ("bucket" -> p.bucket) ~ ("region" -> p.region) ~
-        ("key-prefix" -> p.keyPrefix) ~ ("endpoint" -> p.endpoint) ~
-        ("sts-endpoint" -> p.stsEndpoint) ~
-        ("assume-role-arn" -> p.assumeRoleArn) ~
-        ("sts-role-arn" -> p.stsRoleArn) ~
-        ("aws-kms-key-arn" -> p.kmsKeyArn) ~
-        ("sts-enabled" -> p.stsEnabled) ~ ("flavor" -> p.flavor) ~
-        ("path-style-access" -> p.pathStyleAccess) ~
-        ("allow-alternative-protocols" -> p.allowAlternativeProtocols)
-    val withLayout = p.storageLayout match {
+  def toJson(profile: WarehouseStorageProfile): String = {
+    val base: JObject = profile match {
+      case p: S3StorageProfile =>
+        ("type" -> "s3") ~ ("bucket" -> p.bucket) ~ ("region" -> p.region) ~
+          ("key-prefix" -> p.keyPrefix) ~ ("endpoint" -> p.endpoint) ~
+          ("sts-endpoint" -> p.stsEndpoint) ~
+          ("assume-role-arn" -> p.assumeRoleArn) ~
+          ("sts-role-arn" -> p.stsRoleArn) ~
+          ("aws-kms-key-arn" -> p.kmsKeyArn) ~
+          ("sts-enabled" -> p.stsEnabled) ~ ("flavor" -> p.flavor) ~
+          ("path-style-access" -> p.pathStyleAccess) ~
+          ("allow-alternative-protocols" -> p.allowAlternativeProtocols)
+      case p: GcsStorageProfile =>
+        ("type" -> "gcs") ~ ("bucket" -> p.bucket) ~
+          ("key-prefix" -> p.keyPrefix) ~ ("sts-enabled" -> p.stsEnabled)
+      case p: AdlsStorageProfile =>
+        ("type" -> "adls") ~ ("filesystem" -> p.filesystem) ~
+          ("account-name" -> p.accountName) ~
+          ("key-prefix" -> p.keyPrefix) ~
+          ("authority-host" -> p.authorityHost) ~ ("host" -> p.host) ~
+          ("sas-token-validity-seconds" -> p.sasTokenValiditySeconds) ~
+          ("allow-alternative-protocols" -> p.allowAlternativeProtocols) ~
+          ("sas-enabled" -> p.sasEnabled)
+    }
+    val withLayout = profile.storageLayout match {
       case Some(l) => base ~ ("storage-layout" -> layoutToJson(l))
       case None => base
     }

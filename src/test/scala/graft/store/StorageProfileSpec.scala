@@ -183,6 +183,95 @@ class StorageProfileSpec extends AnyFunSuite {
       .allowAlternativeProtocols.contains(true))
   }
 
+  // ------------------------------------------------------- gcs / adls
+
+  test("gcs profile: bucket rules, acme exclusion, gs:// locations") {
+    val prof = GcsStorageProfile("data-lake", Some("/prod/wh/")).normalize()
+    assert(prof.baseLocation == "gs://data-lake/prod/wh")
+    assert(prof.stsEnabled) // defaults true (gcs/mod.rs:66)
+    // same bucket rules as s3
+    intercept[IllegalArgumentException](
+      GcsStorageProfile("My_Bucket").normalize())
+    // the acme-challenge exclusion (gcs/mod.rs:453-459)
+    intercept[IllegalArgumentException](GcsStorageProfile("data-lake",
+      Some(".well-known/acme-challenge/x")).normalize())
+    // update immutability: bucket + prefix, layout carry-forward
+    intercept[IllegalArgumentException](
+      prof.updateWith(GcsStorageProfile("other", Some("prod/wh")).normalize()))
+    intercept[IllegalArgumentException](
+      prof.updateWith(GcsStorageProfile("data-lake", Some("x")).normalize()))
+    val withLayout = prof.copy(storageLayout = Some(flatLayout("{uuid}")))
+    assert(withLayout.updateWith(
+      GcsStorageProfile("data-lake", Some("prod/wh")).normalize())
+      .storageLayout.contains(flatLayout("{uuid}")))
+  }
+
+  test("adls profile: names, host, SAS TTL, abfss:// locations") {
+    val prof = AdlsStorageProfile("my-fs", "prodacct",
+      keyPrefix = Some("/wh/")).normalize()
+    assert(prof.baseLocation ==
+      "abfss://my-fs@prodacct.dfs.core.windows.net/wh")
+    // host override lands in the location (az_profile.rs:156-180)
+    assert(AdlsStorageProfile("my-fs", "prodacct",
+      host = Some("dfs.core.chinacloudapi.cn")).normalize()
+      .baseLocation ==
+      "abfss://my-fs@prodacct.dfs.core.chinacloudapi.cn")
+    // filesystem rules (adls_location.rs:267-315)
+    intercept[IllegalArgumentException](
+      AdlsStorageProfile("ab", "prodacct").normalize())
+    intercept[IllegalArgumentException](
+      AdlsStorageProfile("my--fs", "prodacct").normalize())
+    intercept[IllegalArgumentException](
+      AdlsStorageProfile("My.fs", "prodacct").normalize())
+    // account rules: 3-24 [a-z0-9] (adls_location.rs:358-375)
+    intercept[IllegalArgumentException](
+      AdlsStorageProfile("my-fs", "Prod-Acct").normalize())
+    intercept[IllegalArgumentException](
+      AdlsStorageProfile("my-fs", "ab").normalize())
+    // host: no slashes, valid hostname; empty drops to None
+    intercept[IllegalArgumentException](AdlsStorageProfile("my-fs",
+      "prodacct", host = Some("a/b")).normalize())
+    assert(AdlsStorageProfile("my-fs", "prodacct", host = Some(""))
+      .normalize().host.isEmpty)
+    // SAS TTL: >0, ≤ 7 days (az/mod.rs:181-205)
+    intercept[IllegalArgumentException](AdlsStorageProfile("my-fs",
+      "prodacct", sasTokenValiditySeconds = Some(0L)).normalize())
+    intercept[IllegalArgumentException](AdlsStorageProfile("my-fs",
+      "prodacct", sasTokenValiditySeconds = Some(604801L)).normalize())
+    // scheme policy: wasbs only behind the migration flag
+    assert(prof.isAllowedScheme("abfss") && !prof.isAllowedScheme("wasbs"))
+    assert(prof.copy(allowAlternativeProtocols = true)
+      .isAllowedScheme("wasbs"))
+    // update immutability: filesystem/prefix/authority_host/host
+    intercept[IllegalArgumentException](prof.updateWith(
+      AdlsStorageProfile("other-fs", "prodacct",
+        keyPrefix = Some("wh")).normalize()))
+    intercept[IllegalArgumentException](prof.updateWith(
+      AdlsStorageProfile("my-fs", "prodacct", keyPrefix = Some("wh"),
+        host = Some("dfs.core.chinacloudapi.cn")).normalize()))
+    // account name CAN change (matches the reference's rule set)
+    assert(prof.updateWith(AdlsStorageProfile("my-fs", "otheracct",
+      keyPrefix = Some("wh")).normalize()).accountName == "otheracct")
+  }
+
+  test("profile type is immutable on update; json round-trips all types") {
+    val s3 = p(keyPrefix = Some("wh")).normalize()
+    val gcs = GcsStorageProfile("data-lake").normalize()
+    val adls = AdlsStorageProfile("my-fs", "prodacct").normalize()
+    intercept[IllegalArgumentException](s3.updateWith(gcs))
+    intercept[IllegalArgumentException](gcs.updateWith(adls))
+    for (prof <- Seq(s3, gcs, adls))
+      assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
+    // the azdls serde alias parses (mod.rs:63)
+    assert(StorageProfile.fromJson(
+      """{"type":"azdls","filesystem":"my-fs","account-name":"prodacct"}""")
+      .isInstanceOf[AdlsStorageProfile])
+    // onelake names the reference and fails clearly
+    val e = intercept[IllegalArgumentException](StorageProfile.fromJson(
+      """{"type":"onelake"}"""))
+    assert(e.getMessage.contains("onelake_profile.rs"))
+  }
+
   // ------------------------------------------------------------- json
 
   test("json round-trips the full profile incl. layout") {
@@ -194,10 +283,7 @@ class StorageProfileSpec extends AnyFunSuite {
     assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
   }
 
-  test("non-s3 profile types name the reference and fail clearly") {
-    val e = intercept[IllegalArgumentException](StorageProfile.fromJson(
-      """{"type":"gcs","bucket":"b"}"""))
-    assert(e.getMessage.contains("out of scope"))
+  test("a profile without a type fails clearly") {
     intercept[IllegalArgumentException](StorageProfile.fromJson(
       """{"bucket":"b"}"""))
   }
