@@ -45,7 +45,7 @@ object Procedures {
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
-    "update_warehouse_storage",
+    "update_warehouse_storage", "get_catalog_config",
     "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -109,6 +109,7 @@ object Procedures {
       case "allowed_actions" => Some(AllowedActionsProcedure(catalog))
       case "update_warehouse_storage" =>
         Some(UpdateWarehouseStorageProcedure(catalog))
+      case "get_catalog_config" => Some(GetCatalogConfigProcedure(catalog))
       case "authorize_load_tabular" => Some(AuthorizeLoadProcedure(catalog))
       case "bootstrap" => Some(BootstrapProcedure(catalog))
       case "server_info" => Some(ServerInfoProcedure(catalog))
@@ -947,6 +948,51 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
       Seq(new GenericInternalRow(Array[Any](Procedures.utf8(loc),
         profile.map(p => Procedures.utf8(p.normalize().baseLocation))
           .orNull)): InternalRow))
+  }
+}
+
+/** Per-warehouse catalog-config defaults for clients (reference:
+  * generate_catalog_config, service/storage/s3.rs:405-420 +
+  * api/iceberg/v1/config.rs): the key/value pairs a client engine
+  * should adopt — `s3.delete-enabled=false` under a soft delete
+  * profile with the push flag on, SSE-KMS keys when configured.
+  */
+final case class GetCatalogConfigProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "get_catalog_config"
+  override def description(): String =
+    "Client config defaults derived from the warehouse storage profile"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.paramWithDefault("name", StringType, "NULL"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val store = catalog.store
+    val project = if (input.numFields < 2 || input.isNullAt(1))
+      store.DefaultProject else input.getUTF8String(1).toString
+    val profile =
+      if (input.isNullAt(0)) store.warehouseProfile
+      else {
+        val name = input.getUTF8String(0).toString
+        val e = store.listWarehouseEntries()
+          .find(x => x.project == project && x.name == name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"No such warehouse: $name in project $project"))
+        if (e.location == store.root) store.warehouseProfile
+        else new graft.store.FileCatalogStore(e.location).warehouseProfile
+      }
+    val defaults = profile.storageProfile
+      .map(_.catalogConfigDefaults(profile.deleteProfile))
+      .getOrElse(Map.empty)
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false)))
+    Procedures.resultScan(schema, defaults.toSeq.sortBy(_._1).map {
+      case (k, v) => new GenericInternalRow(Array[Any](
+        Procedures.utf8(k), Procedures.utf8(v),
+        Procedures.utf8("default"))): InternalRow })
   }
 }
 

@@ -180,6 +180,13 @@ object StorageProfile {
         ctx: SegmentContext): String =
       namespaceLocation.stripSuffix("/") + "/" +
         layout.renderTabularSegment(ctx)
+
+    /** Per-warehouse config DEFAULTS a catalog hands to clients
+      * (mod.rs generate_catalog_config) — empty unless the variant
+      * has any.
+      */
+    def catalogConfigDefaults(deleteProfile: String): Map[String, String] =
+      Map.empty
   }
 
   /** S3 storage profile (service/storage/s3.rs `S3Profile`): the
@@ -199,10 +206,32 @@ object StorageProfile {
       flavor: String = "aws",
       pathStyleAccess: Boolean = false,
       allowAlternativeProtocols: Option[Boolean] = None,
+      // push `s3.delete-enabled=false` to clients so engines that
+      // bypass the catalog on DROP TABLE PURGE (Iceberg 1.x Spark)
+      // respect soft deletion (s3.rs:139-156; default true)
+      pushS3DeleteDisabled: Boolean = true,
       storageLayout: Option[StorageLayout] = None)
     extends WarehouseStorageProfile {
 
     val typeName = "s3"
+
+    /** Catalog-config defaults for clients
+      * (s3.rs generate_catalog_config:405-420): discourage direct S3
+      * deletes under a SOFT delete profile, and advertise SSE-KMS
+      * catalog-wide when a key is configured so client-side writes
+      * encrypt with it.
+      */
+    override def catalogConfigDefaults(
+        deleteProfile: String): Map[String, String] = {
+      val del =
+        if (pushS3DeleteDisabled && deleteProfile == "soft")
+          Map("s3.delete-enabled" -> "false")
+        else Map.empty[String, String]
+      val sse = kmsKeyArn.map(arn =>
+        Map("s3.sse.type" -> "kms", "s3.sse.key" -> arn))
+        .getOrElse(Map.empty)
+      del ++ sse
+    }
 
     /** `s3://bucket[/key_prefix]` (s3.rs base_location). */
     def baseLocation: String =
@@ -551,6 +580,8 @@ object StorageProfile {
           flavor = optStr("flavor").getOrElse("aws"),
           pathStyleAccess = optBool("path-style-access").getOrElse(false),
           allowAlternativeProtocols = optBool("allow-alternative-protocols"),
+          pushS3DeleteDisabled =
+            optBool("push-s3-delete-disabled").getOrElse(true),
           storageLayout = lay)
       case JString("gcs") =>
         GcsStorageProfile(
@@ -591,7 +622,8 @@ object StorageProfile {
           ("aws-kms-key-arn" -> p.kmsKeyArn) ~
           ("sts-enabled" -> p.stsEnabled) ~ ("flavor" -> p.flavor) ~
           ("path-style-access" -> p.pathStyleAccess) ~
-          ("allow-alternative-protocols" -> p.allowAlternativeProtocols)
+          ("allow-alternative-protocols" -> p.allowAlternativeProtocols) ~
+          ("push-s3-delete-disabled" -> p.pushS3DeleteDisabled)
       case p: GcsStorageProfile =>
         ("type" -> "gcs") ~ ("bucket" -> p.bucket) ~
           ("key-prefix" -> p.keyPrefix) ~ ("sts-enabled" -> p.stsEnabled)

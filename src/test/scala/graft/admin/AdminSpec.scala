@@ -356,6 +356,13 @@ class AdminSpec extends AnyFunSuite {
            |  storage_profile => '{"type":"s3","bucket":"BAD_Bucket",
            |    "region":"r"}')""".stripMargin)
     }
+    // catalog-config defaults derive from the profile + delete profile
+    // (reference generate_catalog_config): fresh warehouses are soft →
+    // the push flag (default true) emits s3.delete-enabled=false
+    val cfg = spark.sql(
+      "CALL gadmin.system.get_catalog_config(name => 'whsp')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cfg == Map("s3.delete-enabled" -> "false"), cfg.toString)
     spark.sql(
       "CALL gadmin.system.delete_warehouse(name => 'whsp', force => true)")
   }

@@ -283,6 +283,25 @@ class StorageProfileSpec extends AnyFunSuite {
     assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
   }
 
+  test("catalog config defaults: s3.delete-enabled and SSE-KMS") {
+    // s3.rs generate_catalog_config:405-420 — the reference's own test
+    // matrix: flag+soft → delete-enabled=false; hard profile or flag
+    // off → nothing; KMS arn → sse keys regardless of delete profile
+    val base = p().normalize()
+    assert(base.catalogConfigDefaults("soft") ==
+      Map("s3.delete-enabled" -> "false"))
+    assert(base.catalogConfigDefaults("hard").isEmpty)
+    assert(base.copy(pushS3DeleteDisabled = false)
+      .catalogConfigDefaults("soft").isEmpty)
+    val kms = base.copy(kmsKeyArn = Some("arn:aws:kms:eu:1:key/k"))
+    assert(kms.catalogConfigDefaults("hard") ==
+      Map("s3.sse.type" -> "kms", "s3.sse.key" -> "arn:aws:kms:eu:1:key/k"))
+    assert(kms.catalogConfigDefaults("soft")("s3.delete-enabled") == "false")
+    // other profile types emit none
+    assert(GcsStorageProfile("data-lake").normalize()
+      .catalogConfigDefaults("soft").isEmpty)
+  }
+
   test("a profile without a type fails clearly") {
     intercept[IllegalArgumentException](StorageProfile.fromJson(
       """{"bucket":"b"}"""))
