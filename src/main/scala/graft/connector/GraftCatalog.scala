@@ -382,9 +382,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val checks = graft.admin.Authz.authorizeLoadTabular(
       store, user, id, chain, ownerProp, trusted)
     checks.find(!_.allowed).foreach { c =>
-      throw new SecurityException(
-        s"Load of $id denied: user '${c.user}' lacks ${c.action} " +
-          s"on ${c.obj.kind} '${c.obj.key}'")
+      // the REAL reason goes to the event log for operators; the
+      // caller sees the MASKED not-found (authz/table.rs:323-346 —
+      // denied and missing are indistinguishable externally)
+      store.logEvent("authz-load-denied", id, Map(
+        "user" -> c.user, "action" -> c.action,
+        "object" -> s"${c.obj.kind}:${c.obj.key}",
+        "delegated" -> c.delegated.toString))
+      throw new TabularNotFoundException(
+        (id.namespace :+ id.name).mkString("."),
+        if (c.delegated) Some(TabularNotFoundException.DelegatedDetail)
+        else None)
     }
   }
 

@@ -198,8 +198,10 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
       }
     }
   } catch {
-    // authorization denials must surface, not degrade to "not found"
-    case se: SecurityException => throw se
+    // masked authorization denials must surface AS the not-found they
+    // carry, not degrade to an unresolved relation that loses the
+    // delegated-execution detail
+    case tnf: TabularNotFoundException => throw tnf
     case NonFatal(_) => None
   }
 
@@ -215,15 +217,27 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     */
   private def expandAuthorized(catalog: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      user: String): LogicalPlan = {
+      user: String, delegated: Boolean = false): LogicalPlan = {
     import graft.admin.Authz
     import graft.store.TabularId
     val id = TabularId(ident.namespace.toSeq, ident.name)
+    def deny(denied: TabularId, checkedUser: String, action: String,
+        kind: String, obj: String): Nothing = {
+      // masked like the load gate: the caller learns "not found", the
+      // event log records the reason; only a DEFINER-delegated denial
+      // names the chain (authz/table.rs with_delegated_execution)
+      catalog.store.logEvent("authz-load-denied", denied, Map(
+        "user" -> checkedUser, "action" -> action,
+        "object" -> s"$kind:$obj", "delegated" -> delegated.toString))
+      throw new TabularNotFoundException(
+        (denied.namespace :+ denied.name).mkString("."),
+        if (delegated) Some(TabularNotFoundException.DelegatedDetail)
+        else None)
+    }
     val vObj = Authz.view(id.namespace, id.name)
     Seq("can_get_metadata", "can_select").foreach { a =>
       if (!Authz.check(catalog.store, user, vObj, a))
-        throw new SecurityException(
-          s"Load through view $id denied: user '$user' lacks $a")
+        deny(id, user, a, "view", vObj.key)
     }
     val vm = catalog.store.loadViewMetadata(id).getOrElse(
       throw new NoSuchViewException(ident))._1
@@ -243,17 +257,26 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
         GraftViewSql.viewTarget(spark, qualified) match {
           case Some((g, innerIdent)) if g.viewExists(innerIdent) =>
             SubqueryAlias(innerIdent.name,
-              expandAuthorized(g, innerIdent, nextUser))
+              expandAuthorized(g, innerIdent, nextUser,
+                delegated || nextUser != user))
           case Some((g, innerIdent)) =>
             val tid = TabularId(innerIdent.namespace.toSeq, innerIdent.name)
             g.loadTableUnchecked(tid) match {
               case Some(tbl) =>
                 val tObj = Authz.table(tid.namespace, tid.name)
+                val tableDelegated = delegated || nextUser != user
                 Seq("can_get_metadata", "can_read_data").foreach { a =>
-                  if (!Authz.check(g.store, nextUser, tObj, a))
-                    throw new SecurityException(
-                      s"Load of $tid through view $id denied: " +
-                        s"user '$nextUser' lacks $a")
+                  if (!Authz.check(g.store, nextUser, tObj, a)) {
+                    g.store.logEvent("authz-load-denied", tid, Map(
+                      "user" -> nextUser, "action" -> a,
+                      "object" -> s"table:${tObj.key}",
+                      "delegated" -> tableDelegated.toString))
+                    throw new TabularNotFoundException(
+                      (tid.namespace :+ tid.name).mkString("."),
+                      if (tableDelegated)
+                        Some(TabularNotFoundException.DelegatedDetail)
+                      else None)
+                  }
                 }
                 org.apache.spark.sql.execution.datasources.v2
                   .DataSourceV2Relation.create(tbl, Some(g), Some(innerIdent))

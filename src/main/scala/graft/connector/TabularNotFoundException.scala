@@ -1,0 +1,32 @@
+package graft.connector
+
+/** The MASKED load-denial error (reference:
+  * `AuthZCannotSeeTable.into_error_model`,
+  * service/authz/table.rs:323-346; docs/docs/gotchas.md "I got
+  * permissions but am still getting 403s"): an unauthorized load and a
+  * genuinely missing tabular surface as the SAME not-found error, so
+  * existence of objects a principal cannot see never leaks. The one
+  * deliberate exception mirrors the reference's
+  * `with_delegated_execution`: a denial that happened while running AS
+  * a DEFINER view's owner appends a detail naming the chain — the
+  * caller could already see the view, and the owner's missing grant is
+  * the actionable fact.
+  *
+  * The REAL reason is recorded on the store's event log
+  * (`authz-load-denied`) for operators — the analog of the reference's
+  * `AuthorizationFailureReason` metrics split.
+  */
+final class TabularNotFoundException(
+    what: String,
+    detail: Option[String] = None)
+  extends RuntimeException(
+    s"[TABLE_OR_VIEW_NOT_FOUND] The table or view `$what` cannot be " +
+      "found." + detail.map(" " + _).getOrElse(""))
+
+object TabularNotFoundException {
+  /** The reference's appended detail sentence, verbatim
+    * (service/authz/table.rs:332-335).
+    */
+  val DelegatedDetail =
+    "Access denied during delegated execution via DEFINER view chain"
+}

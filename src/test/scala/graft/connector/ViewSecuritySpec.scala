@@ -45,12 +45,15 @@ class ViewSecuritySpec extends AnyFunSuite {
 
   private def deniedBy[T](body: => T): String = {
     val e = intercept[Throwable](body)
-    // the denial may surface wrapped by the analyzer; walk the chain
+    // the denial may surface wrapped by the analyzer; walk the chain.
+    // Denials are MASKED as not-found (reference authz/table.rs:323-346
+    // + gotchas.md) — the caller must not be able to distinguish a
+    // denied object from a missing one.
     var t: Throwable = e
-    while (t != null && !t.isInstanceOf[SecurityException] &&
+    while (t != null && !t.isInstanceOf[TabularNotFoundException] &&
         t.getCause != null) t = t.getCause
-    assert(t.isInstanceOf[SecurityException],
-      s"expected SecurityException, got $e")
+    assert(t.isInstanceOf[TabularNotFoundException],
+      s"expected masked TabularNotFoundException, got $e")
     t.getMessage
   }
 
@@ -88,7 +91,12 @@ class ViewSecuritySpec extends AnyFunSuite {
     fixture
     withEnforcement("alice") {
       val msg = deniedBy(spark.table("graft.vsec.secrets").count())
-      assert(msg.contains("denied"), msg)
+      // fully masked: no principal, no action, no grant detail — the
+      // error is indistinguishable from a missing table
+      assert(msg.contains("cannot be found"), msg)
+      assert(!msg.contains("alice") && !msg.contains("can_read_data"), msg)
+      assert(!msg.contains(
+        graft.connector.TabularNotFoundException.DelegatedDetail), msg)
     }
     // the owner reads directly
     withEnforcement("bob") {
@@ -109,7 +117,11 @@ class ViewSecuritySpec extends AnyFunSuite {
       "alice"))
     withEnforcement("alice") {
       val msg = deniedBy(spark.table("graft.vsec.invoker_view").count())
-      assert(msg.contains("alice") && msg.contains("can_"), msg)
+      // INVOKER: no user switch happened, so no delegated detail — the
+      // table denial is plain masked not-found
+      assert(msg.contains("cannot be found") && msg.contains("secrets"), msg)
+      assert(!msg.contains("alice") && !msg.contains(
+        graft.connector.TabularNotFoundException.DelegatedDetail), msg)
     }
     // bob holds the table: the INVOKER view works for bob once bob can
     // also select the view (granted here)
@@ -125,8 +137,45 @@ class ViewSecuritySpec extends AnyFunSuite {
     fixture
     withEnforcement("mallory") {
       val msg = deniedBy(spark.table("graft.vsec.public_view").count())
-      assert(msg.contains("mallory"), msg)
+      assert(msg.contains("cannot be found"), msg)
+      assert(!msg.contains("mallory"), msg)
     }
+  }
+
+  test("a DEFINER-delegated denial names the chain, nothing else") {
+    // carol owns broken_view but holds NO table grant: alice can see
+    // the view, so the reference appends the delegated-execution
+    // detail to the (still masked) not-found
+    // (authz/table.rs with_delegated_execution)
+    fixture
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.broken_view AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 3""".stripMargin)
+    graftCatalog.store.commitView(TabularId(Seq("vsec"), "broken_view"),
+      Seq(graft.meta.Commit.ViewUpdate.SetProperties(
+        Map(Authz.DefaultOwnerProperty -> "carol"))))
+    graftCatalog.store.addGrant(GrantTuple("view",
+      Authz.view(Seq("vsec"), "broken_view").key, "select", "user",
+      "alice"))
+    withEnforcement("alice") {
+      val msg = deniedBy(spark.table("graft.vsec.broken_view").count())
+      assert(msg.contains("cannot be found") && msg.contains("secrets"), msg)
+      assert(msg.contains(
+        graft.connector.TabularNotFoundException.DelegatedDetail), msg)
+      assert(!msg.contains("carol") && !msg.contains("can_"), msg)
+    }
+  }
+
+  test("denials are recorded on the event log with the real reason") {
+    fixture
+    withEnforcement("alice") {
+      intercept[Throwable](spark.table("graft.vsec.secrets").count())
+    }
+    val log = graftCatalog.store.changesDir.resolve("events.jsonl")
+    val lines = java.nio.file.Files.readAllLines(log)
+    assert(lines.stream().anyMatch(l =>
+      l.contains("authz-load-denied") && l.contains("alice") &&
+        l.contains("can_")), "expected a denied event naming the reason")
   }
 
   test("authorize_load_tabular procedure reports the delegated chain") {
