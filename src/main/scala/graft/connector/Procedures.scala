@@ -45,7 +45,7 @@ object Procedures {
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
-    "update_warehouse_storage", "get_catalog_config",
+    "update_warehouse_storage", "get_catalog_config", "drop_namespace",
     "bootstrap", "server_info", "health")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -110,6 +110,7 @@ object Procedures {
       case "update_warehouse_storage" =>
         Some(UpdateWarehouseStorageProcedure(catalog))
       case "get_catalog_config" => Some(GetCatalogConfigProcedure(catalog))
+      case "drop_namespace" => Some(DropNamespaceProcedure(catalog))
       case "authorize_load_tabular" => Some(AuthorizeLoadProcedure(catalog))
       case "bootstrap" => Some(BootstrapProcedure(catalog))
       case "server_info" => Some(ServerInfoProcedure(catalog))
@@ -746,23 +747,73 @@ final case class UndropTableProcedure(catalog: GraftCatalog)
 }
 
 /** Deletion-protection flags (reference: protection get/set,
-  * api/endpoints.rs:238-250).
+  * api/endpoints.rs:238-250; concepts.md "Protection" — appliable to
+  * warehouses, namespaces, tables, and views).
   */
 final case class SetProtectionProcedure(catalog: GraftCatalog)
   extends UnboundProcedure with BoundProcedure {
   override def name(): String = "set_protection"
-  override def description(): String = "Protect or unprotect a tabular from deletion"
+  override def description(): String =
+    "Protect or unprotect a tabular/namespace/warehouse from deletion"
   override def bind(inputType: StructType): BoundProcedure = this
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("table", StringType),
-    Procedures.param("protected", BooleanType))
+    Procedures.param("protected", BooleanType),
+    // 'tabular' (default) | 'namespace' | 'warehouse'
+    Procedures.paramWithDefault("kind", StringType, "'tabular'"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
-    val id = Procedures.tableId(catalog, input.getUTF8String(0).toString)
-    catalog.store.setProtection(id, input.getBoolean(1))
+    val prot = input.getBoolean(1)
+    val kind =
+      if (input.numFields < 3 || input.isNullAt(2)) "tabular"
+      else input.getUTF8String(2).toString
+    kind match {
+      case "tabular" =>
+        catalog.store.setProtection(
+          Procedures.tableId(catalog, input.getUTF8String(0).toString), prot)
+      case "namespace" =>
+        val ns = input.getUTF8String(0).toString.split('.').toSeq
+        catalog.store.setNamespaceProtection(ns, prot)
+      case "warehouse" =>
+        val project = if (input.numFields < 4 || input.isNullAt(3))
+          catalog.store.DefaultProject else input.getUTF8String(3).toString
+        catalog.store.setWarehouseProtection(
+          input.getUTF8String(0).toString, prot, project)
+      case other => throw new IllegalArgumentException(
+        s"unknown protection kind '$other' (tabular | namespace | warehouse)")
+    }
     val schema = StructType(Seq(StructField("protected", BooleanType, nullable = false)))
     Procedures.resultScan(schema,
-      Seq(new GenericInternalRow(Array[Any](input.getBoolean(1)))))
+      Seq(new GenericInternalRow(Array[Any](prot))))
+  }
+}
+
+/** Namespace drop with the reference's recursive/force semantics
+  * (concepts.md "Recursive Deletion" / "Force Deletion"): Spark's DROP
+  * NAMESPACE ... CASCADE has no force flag, so the administrative
+  * override lives here.
+  */
+final case class DropNamespaceProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "drop_namespace"
+  override def description(): String =
+    "Drop a namespace; recursive deletes the hierarchy, force overrides protection"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("namespace", StringType),
+    Procedures.paramWithDefault("recursive", BooleanType, "false"),
+    Procedures.paramWithDefault("force", BooleanType, "false"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val ns = input.getUTF8String(0).toString.split('.').toSeq
+    val dropped = catalog.store.dropNamespace(ns,
+      recursive = !input.isNullAt(1) && input.getBoolean(1),
+      force = !input.isNullAt(2) && input.getBoolean(2))
+    val schema = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](dropped))))
   }
 }
 

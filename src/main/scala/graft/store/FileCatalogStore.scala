@@ -45,6 +45,9 @@ final case class WarehouseProfile(
     // None resolves to 2 if allowed, else the highest allowed
     allowedFormatVersions: Seq[Int] = Seq(2, 3),
     defaultFormatVersion: Option[Int] = None,
+    // deletion protection (reference: protection appliable to
+    // warehouses, concepts.md "Protection")
+    protected_ : Boolean = false,
     // typed storage profile (reference: service/storage/mod.rs
     // StorageProfile on CreateWarehouseRequest) — None for local-dir
     // warehouses, the pre-round-10 behavior
@@ -312,8 +315,11 @@ class FileCatalogStore(val root: String) {
     val (name, props) = loadNamespace(ns)
     val missing = removals.filterNot(props.contains)
     val next = props -- removals ++ updates
+    // the protection flag lives OUTSIDE the property map and must
+    // survive property updates
     writeString(nsPath(ns).resolve(NsMeta),
-      Json.render(("name" -> name) ~ ("properties" -> next)))
+      Json.render(("name" -> name) ~ ("properties" -> next) ~
+        ("protected" -> namespaceProtected(ns))))
     (updates.keys.toSeq, removals.filter(props.contains), missing)
   }
 
@@ -332,16 +338,71 @@ class FileCatalogStore(val root: String) {
       .sortBy(_.mkString(""))
   }
 
-  def dropNamespace(ns: Seq[String], recursive: Boolean): Boolean = {
+  /** Drop a namespace (reference: concepts.md "Recursive Deletion on
+    * Namespaces" + "Force Deletion"): non-recursive requires empty;
+    * recursive deletes the whole hierarchy but is BLOCKED by any
+    * protected entity inside it — namespace or tabular, live or
+    * tombstoned (protection stays togglable on deleted tabulars
+    * awaiting purge) — unless `force` overrides. Data removal is a
+    * purge (the reference's purgeRequested defaults to true for
+    * managed tables on this path).
+    */
+  def dropNamespace(ns: Seq[String], recursive: Boolean,
+      force: Boolean = false): Boolean = {
     requireMutable()
     val dir = nsPath(ns)
     if (!namespaceExists(ns)) return false
+    if (namespaceProtected(ns) && !force)
+      throw new ProtectedException(
+        s"Namespace ${ns.mkString(".")} is protected from deletion")
     val children = listNamespaces(ns) ++ listTabulars(ns, includeDeleted = true)
     if (children.nonEmpty && !recursive)
       throw new IllegalStateException(
         s"Namespace ${ns.mkString(".")} is not empty")
+    if (recursive && !force) {
+      def firstProtected(cur: Seq[String]): Option[String] = {
+        val tab = listTabulars(cur, includeDeleted = true)
+          .find(_.protected_)
+          .map(t => s"${t.kind} ${(cur :+ t.id.name).mkString(".")}")
+        tab.orElse(listNamespaces(cur).view.flatMap { child =>
+          if (namespaceProtected(child))
+            Some(s"namespace ${child.mkString(".")}")
+          else firstProtected(child)
+        }.headOption)
+      }
+      firstProtected(ns).foreach { what =>
+        throw new ProtectedException(
+          s"Recursive deletion of ${ns.mkString(".")} blocked: " +
+            s"$what is protected (use force to override)")
+      }
+    }
     deleteRecursively(dir)
+    logEvent("namespace-dropped", TabularId(ns, ""), Map(
+      "recursive" -> recursive.toString, "force" -> force.toString))
     true
+  }
+
+  /** Namespace deletion-protection flag, stored OUTSIDE the
+    * user-property map (reference: protection appliable to namespaces,
+    * concepts.md "Protection").
+    */
+  def namespaceProtected(ns: Seq[String]): Boolean = {
+    val meta = nsPath(ns).resolve(NsMeta)
+    Files.exists(meta) && {
+      (JsonMethods.parse(readString(meta)) \ "protected") match {
+        case JBool(b) => b
+        case _ => false
+      }
+    }
+  }
+
+  def setNamespaceProtection(ns: Seq[String], prot: Boolean): Unit = {
+    requireMutable()
+    val (name, props) = loadNamespace(ns)
+    writeString(nsPath(ns).resolve(NsMeta), Json.render(
+      ("name" -> name) ~ ("properties" -> props) ~ ("protected" -> prot)))
+    logEvent("protection-set", TabularId(ns, ""), Map(
+      "kind" -> "namespace", "protected" -> prot.toString))
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -1208,6 +1269,8 @@ class FileCatalogStore(val root: String) {
               case _ => Seq(2, 3) },
             (j \ "default-format-version") match {
               case JNothing | JNull => None; case v => Some(v.extract[Int]) },
+            (j \ "protected") match {
+              case JBool(b) => b; case _ => false },
             (j \ "storage-profile") match {
               case JNothing | JNull => None
               case v => Some(StorageProfile.fromJson(
@@ -1233,6 +1296,7 @@ class FileCatalogStore(val root: String) {
         ("expiration-grace-ms" -> p.expirationGraceMs) ~
         ("allowed-format-versions" -> p.allowedFormatVersions) ~
         ("default-format-version" -> p.defaultFormatVersion) ~
+        ("protected" -> p.protected_) ~
         ("storage-profile" -> p.storageProfile.map(sp =>
           JsonMethods.parse(StorageProfile.toJson(sp))))))
     profileCache = Some(p)
@@ -1598,6 +1662,24 @@ class FileCatalogStore(val root: String) {
     next
   }
 
+  /** Warehouse deletion-protection toggle (any registered warehouse
+    * incl. this root; concepts.md "Protection").
+    */
+  def setWarehouseProtection(name: String, prot: Boolean,
+      project: String = DefaultProject): Unit = taskLock.synchronized {
+    requireMutable()
+    val entry = listWarehouseEntries()
+      .find(e => e.project == project && e.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No such warehouse: $name in project $project"))
+    val target =
+      if (entry.location == root) this else new FileCatalogStore(entry.location)
+    target.setWarehouseProfile(
+      target.warehouseProfile.copy(protected_ = prot))
+    logEvent("protection-set", TabularId(Nil, name), Map(
+      "kind" -> "warehouse", "protected" -> prot.toString))
+  }
+
   def deleteWarehouse(name: String, force: Boolean,
       project: String = DefaultProject): Boolean = {
     requireMutable()
@@ -1607,6 +1689,11 @@ class FileCatalogStore(val root: String) {
         case None => false
         case Some(e) =>
           val other = new FileCatalogStore(e.location)
+          // protection blocks deletion; force is the administrative
+          // override (concepts.md "Force Deletion")
+          if (other.warehouseProfile.protected_ && !force)
+            throw new ProtectedException(
+              s"Warehouse $name is protected from deletion")
           val tabs = other.listAllTabulars(includeDeleted = true)
           if (tabs.nonEmpty && !force)
             throw new IllegalStateException(

@@ -155,6 +155,55 @@ class AdminSpec extends AnyFunSuite {
       .collect().forall(_.getString(1) != "life"))
   }
 
+  test("protection blocks namespace/warehouse deletion; force overrides") {
+    val st = cat.store
+    // hierarchy: prot.inner.t, with the TABLE protected — recursive
+    // deletion of the root namespace must be blocked by it
+    // (concepts.md "Recursive Deletion on Namespaces")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.prot")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.prot.inner")
+    spark.sql("CREATE TABLE gadmin.prot.inner.t (id BIGINT)")
+    spark.sql(
+      """CALL gadmin.system.set_protection(table => 'prot.inner.t',
+        |  protected => true)""".stripMargin)
+    val ex = intercept[Exception] {
+      spark.sql(
+        """CALL gadmin.system.drop_namespace(namespace => 'prot',
+          |  recursive => true)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("protected"), ex.getMessage)
+    assert(st.namespaceExists(Seq("prot", "inner")))
+    // namespace-level protection blocks even a direct drop
+    spark.sql(
+      """CALL gadmin.system.set_protection(table => 'prot.inner',
+        |  protected => true, kind => 'namespace')""".stripMargin)
+    assert(st.namespaceProtected(Seq("prot", "inner")))
+    // ...and the flag survives property updates
+    spark.sql("ALTER NAMESPACE gadmin.prot.inner SET PROPERTIES ('k'='v')")
+    assert(st.namespaceProtected(Seq("prot", "inner")))
+    // force is the administrative override (concepts.md "Force Deletion")
+    val dropped = spark.sql(
+      """CALL gadmin.system.drop_namespace(namespace => 'prot',
+        |  recursive => true, force => true)""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(dropped && !st.namespaceExists(Seq("prot")))
+
+    // warehouse protection: delete refuses until forced
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-prot").toString
+    spark.sql(
+      s"CALL gadmin.system.create_warehouse(name => 'whprot', location => '$tmp/w')")
+    spark.sql(
+      """CALL gadmin.system.set_protection(table => 'whprot',
+        |  protected => true, kind => 'warehouse')""".stripMargin)
+    val we = intercept[Exception] {
+      spark.sql("CALL gadmin.system.delete_warehouse(name => 'whprot')")
+    }
+    assert(we.getMessage.contains("protected"), we.getMessage)
+    assert(spark.sql(
+      "CALL gadmin.system.delete_warehouse(name => 'whprot', force => true)")
+      .collect().head.getBoolean(0))
+  }
+
   test("scan reports are logged (reportMetrics analog)") {
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.sr (id BIGINT)")
     spark.sql("INSERT INTO gadmin.adb.sr VALUES (1), (2)")
