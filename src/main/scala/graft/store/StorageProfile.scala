@@ -187,6 +187,17 @@ object StorageProfile {
       */
     def catalogConfigDefaults(deleteProfile: String): Map[String, String] =
       Map.empty
+
+    /** Tabular placement honoring a namespace's persisted `location`
+      * property (docs/docs/storage.md "Namespace Location Property"):
+      * a namespace WITH the property pins new tabulars under it
+      * regardless of later storage-layout changes; one without
+      * computes from the CURRENT layout.
+      */
+    def tabularLocationFor(nsLocationProperty: Option[String],
+        nsPath: Seq[SegmentContext], tab: SegmentContext): String =
+      defaultTabularLocation(
+        nsLocationProperty.getOrElse(defaultNamespaceLocation(nsPath)), tab)
   }
 
   /** S3 storage profile (service/storage/s3.rs `S3Profile`): the

@@ -283,6 +283,26 @@ class StorageProfileSpec extends AnyFunSuite {
     assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
   }
 
+  test("a namespace location property pins placement across layout changes") {
+    // storage.md "Namespace Location Property": WITH the property, new
+    // tabulars keep using it no matter how the layout changes; WITHOUT
+    // it, a layout change moves new tabular placement
+    val before = p(keyPrefix = Some("wh")).normalize()
+    val after = before.copy(storageLayout =
+      Some(fullLayout("{name}", "{name}-{uuid}")))
+    val pinned = Some("s3://my-bucket/custom/ns-home")
+    val ns = Seq(nsCtx)
+    assert(before.tabularLocationFor(pinned, ns, tabCtx) ==
+      s"s3://my-bucket/custom/ns-home/${tabCtx.uuid}")
+    assert(after.tabularLocationFor(pinned, ns, tabCtx) ==
+      s"s3://my-bucket/custom/ns-home/my_tabular-${tabCtx.uuid}")
+    // unpinned: the layout decides, so the change relocates
+    assert(before.tabularLocationFor(None, ns, tabCtx) ==
+      s"s3://my-bucket/wh/${tabCtx.uuid}")
+    assert(after.tabularLocationFor(None, ns, tabCtx) ==
+      s"s3://my-bucket/wh/my_ns/my_tabular-${tabCtx.uuid}")
+  }
+
   test("catalog config defaults: s3.delete-enabled and SSE-KMS") {
     // s3.rs generate_catalog_config:405-420 — the reference's own test
     // matrix: flag+soft → delete-enabled=false; hard profile or flag
