@@ -149,6 +149,74 @@ object AnnIndex {
     }
   }
 
+  // ----------------------------------------------- incremental updates
+
+  /** INCREMENTAL index maintenance: append a batch of new vectors to a
+    * stamped index without rebuilding it — the production shape for a
+    * growing corpus (a full rebuild is O(corpus); an append is
+    * O(batch)). The batch is assigned with the geometry READ FROM THE
+    * STAMP (list/bucket/group assignment identical to build time — a
+    * drifting parameter would silently bucket new vectors differently
+    * and probes would miss them, which is why un-stamped tables are
+    * refused), then appended through the same partitioned write.
+    * Deletions need no special operator: the index is an ordinary
+    * catalog table, so `DELETE FROM index WHERE ...` removes vectors
+    * and probes stop returning them (e2e-verified).
+    */
+  def appendIvf(
+      df: DataFrame,
+      table: String,
+      embCol: String,
+      centroids: Option[Seq[Array[Double]]] = None): Unit = {
+    val spark = df.sparkSession
+    val index = spark.table(table)
+    val props = tableProps(index)
+    require(props.get(KindProp).contains("ivf"),
+      s"$table is not a stamped IVF index; incremental append needs the " +
+        "build-time geometry")
+    val numLists = props(ListsProp).toInt
+    val seed = props(SeedProp).toLong
+    val cents = resolveIvfCodebook(index, numLists, seed, centroids,
+      props(DimProp).toInt)
+    df.withColumn("list_id", Ivf.listId(col(embCol), cents))
+      .writeTo(table)
+      .append()
+  }
+
+  /** [[appendIvf]] for the LSH posting-list index: the batch's
+    * (table_id, bucket, grp) assignments come from the stamped
+    * (l, bits, seed, groups), so postings land exactly where build-time
+    * rows with the same signature live.
+    */
+  def appendLsh(
+      df: DataFrame,
+      table: String,
+      embCol: String): Unit = {
+    val spark = df.sparkSession
+    val index = spark.table(table)
+    val props = tableProps(index)
+    require(props.get(KindProp).contains("lsh"),
+      s"$table is not a stamped LSH index; incremental append needs the " +
+        "build-time geometry")
+    val l = props(LProp).toInt
+    val bits = props(BitsProp).toInt
+    val seed = props(SeedProp).toLong
+    val dim = props(DimProp).toInt
+    val groups = props.get(GroupsProp).map(_.toLong)
+      .getOrElse(1L << bits)
+    val ps = Ann.planes(l, bits, dim, seed)
+    val assignments = array(ps.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("table_id"), Ann.bucket(col(embCol), tp).as("bucket"))
+    }: _*)
+    val carried = df.columns.map(col).toSeq
+    df.select(col("*"), explode(assignments).as("tb"))
+      .select(col("tb.table_id").as("table_id") +:
+        col("tb.bucket").as("bucket") +: carried: _*)
+      .withColumn("grp", pmod(col("bucket"), lit(groups)))
+      .writeTo(table)
+      .append()
+  }
+
   /** One-row dim probe for UN-stamped plain frames (empty batch → a
     * placeholder dim; no row ever evaluates the probe expressions).
     */

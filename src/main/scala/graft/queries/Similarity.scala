@@ -782,6 +782,35 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // INCREMENTAL index maintenance (the production shape for a
+    // growing corpus): build the LSH index on the EVEN half, APPEND
+    // the odd half through AnnIndex.appendLsh (assignments read from
+    // the stamped geometry — O(batch), no rebuild), then run the
+    // batch kNN join. The oracle is the FULL-corpus kNN oracle: if
+    // appended postings landed anywhere but exactly where a one-shot
+    // build would put them, probes miss neighbors and the hash breaks.
+    Q("qs23_incremental_index_knn", graft.ops.EmbeddingDedup.duckDbKnnOracle(
+      qPred = "vec_id % 100 = 3", k = 5, dim = AnnDim, l = AnnL,
+      bits = AnnBits, seed = AnnSeed)) { (s, dir) =>
+      val db = ensureIndexes(s, dir) // namespace exists; table is ours
+      val e = Tables.load(s, dir, "embeddings")
+      val tbl = s"$CatalogName.$db.emb_lsh_inc"
+      // idempotent per pass: REPLACE with the even half, append odds
+      graft.ops.AnnIndex.buildLsh(e.filter(col("vec_id") % 2 === 0),
+        tbl, "embedding", AnnL, AnnBits, AnnDim, AnnSeed)
+      graft.ops.AnnIndex.appendLsh(e.filter(col("vec_id") % 2 === 1),
+        tbl, "embedding")
+      val queries = e.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.AnnIndex.knnJoinLsh(
+        s.table(tbl), queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, l = AnnL, bits = AnnBits, seed = AnnSeed)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Distributed gram matrix XᵀX — the covariance/whitening/PCA prep
     // step of an embedding pipeline (the eigen-solve that follows is a
     // dim×dim driver-side problem; the DATA-sized work is this one

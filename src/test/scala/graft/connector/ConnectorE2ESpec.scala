@@ -689,6 +689,53 @@ class ConnectorE2ESpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("incremental ANN index: append by stamp, DELETE FROM removes from probes") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.anninc")
+
+    // IVF: build on the first half, append the second — a probe must
+    // be identical to the one-shot build over the full corpus
+    graft.ops.AnnIndex.buildIvf(df.filter(col("vec_id") < 100),
+      "graft.anninc.ivf", "embedding", numLists = 4, dim = dim, seed = 42L)
+    graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 100),
+      "graft.anninc.ivf", "embedding")
+    val qVec = rows.head._2.map(_.toDouble)
+    def probe() = graft.ops.AnnIndex.probeIvf(
+      spark.table("graft.anninc.ivf"), "vec_id", "embedding", qVec,
+      k = 10, numLists = 4, nprobe = 2, seed = 42L)
+      .select("vec_id", "cos_sim").collect().toSeq
+    val expected = graft.ops.Ivf.topK(df, "vec_id", "embedding", qVec,
+      k = 10, numLists = 4, nprobe = 2, seed = 42L)
+      .select("vec_id", "cos_sim").collect().toSeq
+    assert(probe() == expected)
+
+    // vector deletion is plain row-level DELETE on the index table;
+    // probes stop returning the deleted vectors
+    val victim = expected.head.getLong(0)
+    spark.sql(s"DELETE FROM graft.anninc.ivf WHERE vec_id = $victim")
+    val after = probe()
+    assert(!after.exists(_.getLong(0) == victim),
+      s"deleted vector $victim still probed: $after")
+    assert(after == graft.ops.Ivf.topK(df.filter(col("vec_id") =!= victim),
+      "vec_id", "embedding", qVec, k = 10, numLists = 4, nprobe = 2,
+      seed = 42L).select("vec_id", "cos_sim").collect().toSeq)
+
+    // append refuses tables without the build stamp: assignments would
+    // silently drift from the (unknown) build geometry
+    spark.sql(
+      """CREATE TABLE graft.anninc.notanindex
+        |(table_id INT, bucket BIGINT, vec_id BIGINT)""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.appendLsh(df, "graft.anninc.notanindex", "embedding")
+    }
+    assert(e.getMessage.contains("stamped"), e.getMessage)
+  }
+
   test("batch kNN joins fall back to a static probe filter on plain frames") {
     import org.apache.spark.sql.functions.col
     val dim = 8
