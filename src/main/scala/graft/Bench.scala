@@ -150,7 +150,7 @@ object Bench {
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
             "qs20_ivf_knn_join", "qs21_lsh_knn_join",
-            "qs22_ivfpq_knn_join")))
+            "qs22_ivfpq_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf1 scale lane FAILED: ${e.getMessage}")
           None
@@ -170,7 +170,7 @@ object Bench {
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
             "qs20_ivf_knn_join", "qs21_lsh_knn_join",
-            "qs22_ivfpq_knn_join")))
+            "qs22_ivfpq_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf2 scale lane FAILED: ${e.getMessage}")
           None

@@ -340,6 +340,34 @@ object ScaleLane {
       val r = body
       (r, (System.nanoTime() - t0) / 1000000L)
     }
+    legM("qs23_incremental_append") { withPruningGateOff {
+      // incremental index maintenance at lane scale: append a FIXED
+      // 2k-vector batch to an index over the rest of the corpus, vs
+      // rebuilding from scratch. The scale claim is append_ms tracks
+      // the BATCH (flat across corpus doublings) while rebuild_ms
+      // tracks the corpus — the O(batch)-vs-O(n) gap that makes a
+      // growing deployment viable.
+      val ns = scaleCatalog()
+      val batch = emb.filter(col("vec_id") < 2000)
+      val base = emb.filter(col("vec_id") >= 2000)
+      val bits = math.max(8,
+        math.ceil(math.log(NEmb / 32.0) / math.log(2)).toInt)
+      val (_, baseMs) = timedMs {
+        graft.ops.AnnIndex.buildLsh(base, s"$ns.emb_lsh_inc", "embedding",
+          l = 2, bits = bits, dim = 64, seed = 42L)
+      }
+      val (_, appendMs) = timedMs {
+        graft.ops.AnnIndex.appendLsh(batch, s"$ns.emb_lsh_inc", "embedding")
+      }
+      val (_, rebuildMs) = timedMs {
+        graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh_inc", "embedding",
+          l = 2, bits = bits, dim = 64, seed = 42L)
+      }
+      val rows = spark.table(s"$ns.emb_lsh_inc").count()
+      (rows, None, Map(
+        "append_ms" -> appendMs, "rebuild_ms" -> rebuildMs,
+        "base_build_ms" -> baseMs, "batch_rows" -> 2000L))
+    }}
     legM("qs21_lsh_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
       // CORPUS-SIZED bucket bits — the production build-time knob: a
