@@ -189,21 +189,32 @@ object EditDistJoin {
   private def segStart(l: Column, j: Int, m: Int): Column =
     floor(l * j / m).cast(IntegerType)
 
+  /** Column-ordinal overload — identical arithmetic with j exploded
+    * from a literal range instead of unrolled.
+    */
+  private def segStart(l: Column, j: Column, m: Int): Column =
+    floor(l * j / m).cast(IntegerType)
+
   /** Index-side aligned segments of the m-way even split: one row per
-    * nonempty (string, segment ordinal).
+    * nonempty (string, segment ordinal). DATA-DRIVEN: the ordinal
+    * range is one literal array and the boundary arithmetic one set of
+    * expressions over the exploded ordinal — the former per-ordinal
+    * unrolled struct array scaled codegen with m and (with the probe
+    * side's (dl, j, δ) cube stacked in the same stage) overflowed
+    * janino at spec-sized k. Values are identical: same floor/substr
+    * arithmetic per (row, j).
     */
   private def indexSegments(titles: DataFrame, k: Int, m: Int): DataFrame = {
-    val segArr = array((0 until m).map { j =>
-      val st = segStart(col("len"), j, m)
-      val slen = segStart(col("len"), j + 1, m) - st
-      struct(lit(j).as("j"), st.as("st"), slen.as("slen"))
-    }: _*)
+    val st = segStart(col("i_len"), col("j"), m)
+    val slen = segStart(col("i_len"), col("j") + 1, m) - st
     titles
       .select(col("id").as("i_id"), col("t").as("i_t"),
-        col("len").as("i_len"), explode(segArr).as("g"))
-      .filter(col("g.slen") >= 1)
-      .select(col("i_id"), col("i_len"), col("g.j").as("j"),
-        col("i_t").substr(col("g.st") + 1, col("g.slen")).as("seg"))
+        col("len").as("i_len"),
+        explode(typedlit((0 until m).toList)).as("j"))
+      .withColumn("st", st).withColumn("slen", slen)
+      .filter(col("slen") >= 1)
+      .select(col("i_id"), col("i_len"), col("j"),
+        col("i_t").substr(col("st") + 1, col("slen")).as("seg"))
   }
 
   /** Probe-side aligned substrings: for each target length
@@ -221,23 +232,25 @@ object EditDistJoin {
       bothDirections: Boolean = false,
       indexTitles: DataFrame = null): DataFrame = {
     val dlRange = if (bothDirections) -k to k else -k to 0
-    val combos = for { dl <- dlRange; j <- 0 until m; d <- -k to k }
-      yield (dl, j, d)
-    val probeArr = array(combos.map { case (dl, j, d) =>
-      val tl = col("len") + dl
-      val st = segStart(tl, j, m)
-      val slen = segStart(tl, j + 1, m) - st
-      struct(lit(j).as("j"), tl.cast(IntegerType).as("tl"),
-        lit(d).as("d"), (st + d).as("start"), slen.as("slen"))
-    }: _*)
+    // DATA-DRIVEN (dl, j, δ) cube: one literal array instead of
+    // |dl|·m·(2k+1) unrolled struct constructors — the unrolled form
+    // overflowed janino's method compiler at spec-sized k (the plans
+    // then silently ran interpreted). Same arithmetic per combo row.
+    val combos = (for { dl <- dlRange; j <- 0 until m; d <- -k to k }
+      yield (dl, j, d)).toList
+    val tl = (col("p_len") + col("c._1")).cast(IntegerType)
+    val st = segStart(tl, col("c._2"), m)
+    val slen = segStart(tl, col("c._2") + 1, m) - st
     titles
       .select(col("id").as("p_id"), col("t").as("p_t"),
-        col("len").as("p_len"), explode(probeArr).as("g"))
-      .filter(col("g.slen") >= 1 && col("g.start") >= 0 &&
-        col("g.start") + col("g.slen") <= col("p_len"))
-      .select(col("p_id"), col("g.j").as("j"), col("g.tl").as("tl"),
-        col("g.d").as("d"),
-        col("p_t").substr(col("g.start") + 1, col("g.slen")).as("seg"))
+        col("len").as("p_len"), explode(typedlit(combos)).as("c"))
+      .select(col("p_id"), col("p_t"), col("p_len"),
+        col("c._2").as("j"), tl.as("tl"), col("c._3").as("d"),
+        (st + col("c._3")).as("start"), slen.as("slen"))
+      .filter(col("slen") >= 1 && col("start") >= 0 &&
+        col("start") + col("slen") <= col("p_len"))
+      .select(col("p_id"), col("j"), col("tl"), col("d"),
+        col("p_t").substr(col("start") + 1, col("slen")).as("seg"))
       // only lengths that actually occur can match an index row — the
       // semi-join against the (tiny, broadcast) distinct-length set
       // drops dead probe rows before the dedup and the big join (on a
