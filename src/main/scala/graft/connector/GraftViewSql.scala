@@ -202,6 +202,10 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     // carry, not degrade to an unresolved relation that loses the
     // delegated-execution detail
     case tnf: TabularNotFoundException => throw tnf
+    // the cycle diagnosis must surface too — degrading it to None
+    // would report a misleading TABLE_OR_VIEW_NOT_FOUND
+    case ae: org.apache.spark.sql.AnalysisException
+        if ae.getCondition == "RECURSIVE_VIEW" => throw ae
     case NonFatal(_) => None
   }
 
@@ -217,10 +221,25 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     */
   private def expandAuthorized(catalog: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      user: String, delegated: Boolean = false): LogicalPlan = {
+      user: String, delegated: Boolean = false,
+      visited: Set[String] = Set.empty): LogicalPlan = {
     import graft.admin.Authz
     import graft.store.TabularId
     val id = TabularId(ident.namespace.toSeq, ident.name)
+    // cycle guard: a cyclic view definition (v1 -> v2 -> v1) must fail
+    // analysis with a diagnosis, not blow the stack inside the analyzer
+    // rule (StackOverflowError is fatal — the NonFatal handler in
+    // substitute would never see it). The unenforced path is bounded by
+    // the analyzer's own fixed-point iteration limit.
+    val visitKey =
+      (Seq(catalog.name()) ++ id.namespace :+ id.name).mkString(".")
+    if (visited.contains(visitKey))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "RECURSIVE_VIEW",
+        messageParameters = Map(
+          "viewIdent" -> visitKey,
+          "newPath" -> (visited + visitKey).mkString(" -> ")))
+    val childVisited = visited + visitKey
     def deny(denied: TabularId, checkedUser: String, action: String,
         kind: String, obj: String): Nothing = {
       // masked like the load gate: the caller learns "not found", the
@@ -245,6 +264,12 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
       .getOption("spark.graft.authz.ownerProperty")
       .getOrElse(Authz.DefaultOwnerProperty)
     val nextUser = vm.properties.getOrElse(ownerProp, user)
+    // delegation is keyed on the owner PROPERTY'S PRESENCE, not on
+    // user inequality — the reference marks every step downstream of a
+    // DEFINER view as delegated even when the owner IS the caller
+    // (resolve_users_for_authorize_load_tabular sets the flag
+    // unconditionally; mirrored by Authz.authorizeLoadTabular's switch)
+    val childDelegated = delegated || vm.properties.contains(ownerProp)
     val ver = vm.currentVersion
     val defaultPrefix = ver.defaultCatalog.toSeq ++ ver.defaultNamespace
     val sql = ver.representations.find(_.dialect == "spark")
@@ -258,13 +283,13 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
           case Some((g, innerIdent)) if g.viewExists(innerIdent) =>
             SubqueryAlias(innerIdent.name,
               expandAuthorized(g, innerIdent, nextUser,
-                delegated || nextUser != user))
+                childDelegated, childVisited))
           case Some((g, innerIdent)) =>
             val tid = TabularId(innerIdent.namespace.toSeq, innerIdent.name)
             g.loadTableUnchecked(tid) match {
               case Some(tbl) =>
                 val tObj = Authz.table(tid.namespace, tid.name)
-                val tableDelegated = delegated || nextUser != user
+                val tableDelegated = childDelegated
                 Seq("can_get_metadata", "can_read_data").foreach { a =>
                   if (!Authz.check(g.store, nextUser, tObj, a)) {
                     g.store.logEvent("authz-load-denied", tid, Map(

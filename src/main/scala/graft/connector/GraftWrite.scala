@@ -391,31 +391,63 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
         val parentSnapshot = current.snapshotFor(targetRef)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
         // Compaction race guard (preserveSequence = the replaced files'
-        // max sequence, set only by rewrite_data_files): a delete file
+        // max sequence, set only by rewrite_data_files): anything
         // committed BETWEEN the rewrite's scan and this commit was NOT
-        // applied by the rewrite's read, and a fresh-sequence stamp
-        // would outrun it, silently resurrecting deleted keys. When
-        // such a delete exists, stamp the output with the PRESERVED
-        // sequence (Iceberg RewriteFiles' data-sequence preservation)
-        // so the delete still covers it — no abort, the compaction
-        // lands. In the common race-free case stamp fresh as always:
-        // the output then sheds every already-applied delete, which is
-        // what lets rewrite_position_delete_files GC them. Fast path:
-        // parent IS the scanned snapshot → nothing landed → no
-        // manifest read at all.
-        val freshDeletes: Seq[DataFile] =
+        // seen by the rewrite's read and must survive it. Sequence
+        // preservation (Iceberg RewriteFiles' data-sequence rule) only
+        // protects EQUALITY deletes — they match by key + sequence, so
+        // stamping the output with the PRESERVED sequence keeps a
+        // mid-flight equality delete covering it. POSITION deletes
+        // match data files by PATH: one committed mid-rewrite that
+        // names a replaced file would survive pointing at removed
+        // files, silently stop applying, and resurrect its rows —
+        // Iceberg's RewriteFiles fails validation on that race; so do
+        // we (CommitFailedException; the caller re-scans with the
+        // delete applied). A fresh position delete provably scoped to
+        // SURVIVING files (file_path stats disjoint from every
+        // replaced path) is safe to keep. Fresh DATA files (concurrent
+        // appends) are kept too — a compaction must never drop them.
+        // In the race-free case stamp fresh as always: the output then
+        // sheds every already-applied delete, which is what lets
+        // rewrite_position_delete_files GC them. Fast path: parent IS
+        // the scanned snapshot → nothing landed → no manifest read.
+        val newParts = newFiles.map(_.partition).toSet
+        val freshKept: Seq[DataFile] =
           if (preserveSequence.isEmpty ||
               parentSnapshot.map(_.snapshotId) ==
                 table.readSnapshot.map(_.snapshotId)) Nil
           else {
             val scannedSeq = table.readSnapshot
               .map(_.sequenceNumber).getOrElse(0L)
-            table.store.readManifests(current.location, parentManifests)
+            val entries = table.store
+              .readManifests(current.location, parentManifests)
               .flatMap(_.entries)
-              .filter(e => !e.isData && e.sequenceOrOldest > scannedSeq)
+            val fresh = entries.filter(_.sequenceOrOldest > scannedSeq)
+            // the data files THIS commit removes: whole scanned table
+            // (truncate) or the overwritten partitions (dynamic)
+            val replaced = entries.filter(e => e.isData && (mode match {
+              case "dynamic" => newParts.contains(e.partition)
+              case _ => e.sequenceOrOldest <= scannedSeq
+            }))
+            val conflicting = fresh.filter(_.isPositionDeletes).filter { d =>
+              d.columnStats.get(PositionDeletes.PathColumn) match {
+                case Some(st) if st.min.isDefined && st.max.isDefined =>
+                  replaced.exists(r =>
+                    st.min.get <= r.path && r.path <= st.max.get)
+                case _ => replaced.nonEmpty // no stats: assume it may
+              }
+            }
+            if (conflicting.nonEmpty)
+              throw new CommitFailedException(
+                s"Rewrite conflict on ${table.tableId}: " +
+                  s"${conflicting.size} position-delete file(s) " +
+                  "committed after the snapshot this rewrite read may " +
+                  "reference replaced data files")
+            fresh
           }
         val effectiveOverride =
-          if (freshDeletes.isEmpty) None else preserveSequence
+          if (freshKept.exists(_.isEqualityDeletes)) preserveSequence
+          else None
         // written inside the commit loop: v3 row-id assignment reads
         // the CURRENT next-row-id, which a retry may have advanced
         val manifestPath = table.store.writeManifest(table.meta.location,
@@ -427,25 +459,26 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
             GraftWrite.totalsSummary(parentSnapshot, newFiles,
               ManifestReplace.Removed.zero))
           case "truncate" =>
-            // the rewrite's whole-table replace must not drop a
-            // mid-flight delete with the parent manifests: it still
-            // covers the preserved-sequence output. Stale deletes were
-            // applied by the rewrite's read and materialize away — the
-            // behavior compaction promises. Plain truncate (user
-            // INSERT OVERWRITE) replaces the table wholesale, as ever.
+            // the rewrite's whole-table replace must not drop
+            // mid-flight commits with the parent manifests: fresh
+            // equality deletes still cover the preserved-sequence
+            // output, fresh data files are concurrent appends the
+            // compaction never read. Stale deletes were applied by the
+            // rewrite's read and materialize away — the behavior
+            // compaction promises. Plain truncate (user INSERT
+            // OVERWRITE) replaces the table wholesale, as ever.
             val keptManifests =
-              if (freshDeletes.isEmpty) Nil
+              if (freshKept.isEmpty) Nil
               else Seq(table.store.writeManifest(current.location,
-                ManifestFile(freshDeletes, snapshotId),
+                ManifestFile(freshKept, snapshotId),
                 Some(current.currentSchema.struct)))
             (keptManifests :+ manifestPath, "overwrite",
-              GraftWrite.totalsSummary(None, newFiles ++ freshDeletes,
+              GraftWrite.totalsSummary(None, newFiles ++ freshKept,
                 ManifestReplace.Removed.zero))
           case "dynamic" =>
             // replace only the partitions the new files touch; manifest
             // processing is per-manifest and distributed — untouched
             // manifests survive by path, no O(total-files) driver work
-            val newParts = newFiles.map(_.partition).toSet
             val (keptManifests, removed) = ManifestReplace(
               current.location, parentManifests,
               ManifestReplace.ByPartition(newParts),

@@ -142,9 +142,14 @@ object AnnIndex {
         checkProp(props, SeedProp, seed.toString, "the seed")
         val cents = Ivf.centroids(numLists,
           props.get(DimProp).map(_.toInt).getOrElse(dimOf), seed)
-        if (pqBooks.nonEmpty)
-          checkProp(props, CodebookProp, codebookHash(cents ++ pqBooks),
-            "the codebook")
+        // ALWAYS verify the stamp, even with no PQ books: an index
+        // built from TRAINED KMeans centroids stamps their hash, and a
+        // seeded-centroid append/probe against it would otherwise
+        // silently assign vectors with the wrong codebook — placing
+        // them in lists probes never read (the exact drift un-stamped
+        // tables are refused to prevent).
+        checkProp(props, CodebookProp, codebookHash(cents ++ pqBooks),
+          "the codebook")
         cents
     }
   }

@@ -890,6 +890,34 @@ class ConnectorE2ESpec extends AnyFunSuite {
       k = 3, numLists = 4, nprobe = 1, seed = 42L).count() == 3)
   }
 
+  test("trained-centroid IVF index refuses a seeded-centroid append/probe") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ann")
+    val trained = graft.ops.KMeans.train(df, "vec_id", "embedding",
+      k = 4, iters = 2).map(_.v)
+    graft.ops.AnnIndex.buildIvf(df.filter(col("vec_id") < 50),
+      "graft.ann.ivf_trained_guard", "embedding",
+      numLists = 4, dim = dim, centroids = Some(trained))
+    // centroids=None resolves SEEDED centroids — on a trained-centroid
+    // index that codebook is WRONG and would silently place appended
+    // vectors in lists probes never read; the stamp must reject it
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 50),
+        "graft.ann.ivf_trained_guard", "embedding")
+    }
+    assert(e.getMessage.contains("codebook"), e.getMessage)
+    // the RIGHT codebook appends fine and probes see the new vectors
+    graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 50),
+      "graft.ann.ivf_trained_guard", "embedding",
+      centroids = Some(trained))
+    assert(spark.table("graft.ann.ivf_trained_guard").count() == 100)
+  }
+
   test("IVF index built from trained k-means centroids probes correctly") {
     import org.apache.spark.sql.functions.{col, round, typedlit}
     val dim = 8

@@ -725,6 +725,80 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("compaction aborts when a mid-flight position delete names replaced files") {
+    // sequence preservation only protects EQUALITY deletes (key+sequence
+    // matched); a POSITION delete matches data files by PATH, so one
+    // landing mid-compaction would survive pointing at removed files and
+    // silently stop applying — the commit must fail instead
+    mkTable("pos17", Seq("delete"))
+    val id17 = graft.store.TabularId(Seq("db"), "pos17")
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id17).get
+    val table = new GraftTable(graftCatalog.store, id17, meta,
+      snapshotId = None)
+    val replaced = table.liveFiles
+    val preserved = replaced.map(_.sequenceOrOldest).max
+    val tmp = Files.createTempDirectory("graft-compact-pos")
+    spark.table("graft.db.pos17").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val src = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(meta.location, "data",
+      "compacted-pos17.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.copy(src, dest)
+    val compacted = graft.meta.DataFile(dest.toString,
+      java.nio.file.Files.size(dest), 300L, meta.defaultSpec.specId,
+      Map.empty, Map.empty)
+    // mid-flight MOR DELETE → a position-delete file naming a replaced
+    // data file lands between the compaction's scan and its commit
+    spark.sql("DELETE FROM graft.db.pos17 WHERE id = 7")
+    assert(deleteFileCount("pos17") == 1)
+    val e = intercept[graft.meta.CommitFailedException] {
+      new GraftBatchWrite(table, table.schema(), "truncate", Array.empty,
+        None, Some(preserved))
+        .commit(Array(GraftCommitMessage(Seq(compacted))))
+    }
+    assert(e.getMessage.contains("position-delete"), e.getMessage)
+    // reads stay consistent: the delete applied, the compaction did not
+    assert(spark.table("graft.db.pos17").count() == 299)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.pos17 WHERE id = 7")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("compaction keeps data files appended mid-flight") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.app18 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.app18 SELECT id, 'a' FROM range(0, 50)")
+    val id18 = graft.store.TabularId(Seq("db"), "app18")
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id18).get
+    val table = new GraftTable(graftCatalog.store, id18, meta,
+      snapshotId = None)
+    val preserved = table.liveFiles.map(_.sequenceOrOldest).max
+    val tmp = Files.createTempDirectory("graft-compact-app")
+    spark.table("graft.db.app18").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val src = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(meta.location, "data",
+      "compacted-app18.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.copy(src, dest)
+    val compacted = graft.meta.DataFile(dest.toString,
+      java.nio.file.Files.size(dest), 50L, meta.defaultSpec.specId,
+      Map.empty, Map.empty)
+    // a concurrent append lands mid-compaction — the whole-table
+    // truncate must NOT drop rows the rewrite never scanned
+    spark.sql(
+      "INSERT INTO graft.db.app18 SELECT id, 'late' FROM range(100, 110)")
+    new GraftBatchWrite(table, table.schema(), "truncate", Array.empty,
+      None, Some(preserved))
+      .commit(Array(GraftCommitMessage(Seq(compacted))))
+    assert(spark.table("graft.db.app18").count() == 60)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.app18 WHERE v = 'late'")
+      .collect()(0).getLong(0) == 10)
+  }
+
   test("MOR delta commit aborts when an equality delete lands mid-flight") {
     mkTable("eq15", Seq("delete"))
     import spark.implicits._

@@ -166,6 +166,69 @@ class ViewSecuritySpec extends AnyFunSuite {
     }
   }
 
+  test("a DEFINER view owned by the caller still marks downstream delegated") {
+    // the reference sets delegated=true unconditionally for any DEFINER
+    // view (resolve_users_for_authorize_load_tabular), INCLUDING when
+    // the owner IS the caller — the denial detail and event log must
+    // match, not key on user inequality
+    fixture
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.self_owned_view AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 4""".stripMargin)
+    graftCatalog.store.commitView(TabularId(Seq("vsec"), "self_owned_view"),
+      Seq(graft.meta.Commit.ViewUpdate.SetProperties(
+        Map(Authz.DefaultOwnerProperty -> "dave"))))
+    graftCatalog.store.addGrant(GrantTuple("view",
+      Authz.view(Seq("vsec"), "self_owned_view").key, "select", "user",
+      "dave"))
+    // dave owns the view but holds NO table grant: the table denial is
+    // DOWNSTREAM OF A DEFINER SWITCH (owner == caller) and must carry
+    // the delegated-execution detail
+    withEnforcement("dave") {
+      val msg = deniedBy(spark.table("graft.vsec.self_owned_view").count())
+      assert(msg.contains("cannot be found") && msg.contains("secrets"), msg)
+      assert(msg.contains(
+        graft.connector.TabularNotFoundException.DelegatedDetail), msg)
+    }
+    // the procedure agrees: the target check is flagged delegated
+    val rows = spark.sql(
+      """CALL graft.system.authorize_load_tabular(
+        |  table => 'vsec.secrets', user => 'dave',
+        |  referenced_by => 'vsec.self_owned_view')""".stripMargin)
+      .collect().filter(_.getString(0) == "table")
+      .map(r => (r.getString(2), r.getBoolean(3))).toSeq
+    assert(rows.forall { case (u, d) => u == "dave" && d }, rows.toString)
+  }
+
+  test("cyclic view chain fails analysis instead of overflowing the stack") {
+    fixture
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.cyc1 AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 2""".stripMargin)
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.cyc2 AS
+        |SELECT id FROM graft.vsec.cyc1""".stripMargin)
+    // redefine cyc1 to read cyc2: v1 -> v2 -> v1 (the replace itself
+    // analyzes against the OLD cyc1, so it succeeds)
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.vsec.cyc1 AS
+        |SELECT id FROM graft.vsec.cyc2""".stripMargin)
+    Seq("cyc1", "cyc2").foreach { v =>
+      graftCatalog.store.addGrant(GrantTuple("view",
+        Authz.view(Seq("vsec"), v).key, "select", "user", "alice"))
+    }
+    withEnforcement("alice") {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.table("graft.vsec.cyc1").count()
+      }
+      assert(e.getCondition == "RECURSIVE_VIEW", e.toString)
+      assert(e.getMessage.contains("cyc1"), e.getMessage)
+    }
+    // unenforced reads stay bounded by the analyzer's own iteration
+    // limit (no crash; any AnalysisException is acceptable there)
+    intercept[Throwable](spark.table("graft.vsec.cyc1").count())
+  }
+
   test("denials are recorded on the event log with the real reason") {
     fixture
     withEnforcement("alice") {
