@@ -149,6 +149,7 @@ object Bench {
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
+            "qs_ann_train_shared",
             "qs20_ivf_knn_join", "qs21_lsh_knn_join",
             "qs22_ivfpq_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>
@@ -169,10 +170,30 @@ object Bench {
           only = Set("qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
+            "qs_ann_train_shared",
             "qs20_ivf_knn_join", "qs21_lsh_knn_join",
             "qs22_ivfpq_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf2 scale lane FAILED: ${e.getMessage}")
+          None
+        }
+      }
+    // sf4 lane: ONE more doubling (200k docs / 80k vectors) for the
+    // three curves whose round-10 fixes were proven flat across exactly
+    // one doubling (qd5/qd10 measured-width, qs21 grouped index layout)
+    // plus qs23's staged append — turns "fixed at sf2" into a guarded
+    // trajectory with candidates/build/probe splits
+    val scaleSf4: Option[graft.queries.ScaleLane.Report] =
+      if (!scaleOn) None
+      else {
+        spark.catalog.clearCache()
+        try Some(graft.queries.ScaleLane.run(spark,
+          dir = "target/scale/sf4", nDocs = 200000, nEmb = 80000,
+          only = Set("qd5_jaccard_autowidth",
+            "qd10_containment_autowidth",
+            "qs21_lsh_knn_join", "qs23_incremental_append")))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] sf4 scale lane FAILED: ${e.getMessage}")
           None
         }
       }
@@ -196,6 +217,7 @@ object Bench {
     val scaleJson = scale.map(scaleReportJson).getOrElse("null")
     val scaleSf1Json = scaleSf1.map(scaleReportJson).getOrElse("null")
     val scaleSf2Json = scaleSf2.map(scaleReportJson).getOrElse("null")
+    val scaleSf4Json = scaleSf4.map(scaleReportJson).getOrElse("null")
 
     // the complete artifact: stdout-line fields + raw passes + scale
     val artifact =
@@ -210,7 +232,8 @@ object Bench {
          |"passes":[${passes.map(queriesJson).mkString(",\n")}],
          |"scale":$scaleJson,
          |"scale_sf1":$scaleSf1Json,
-         |"scale_sf2":$scaleSf2Json
+         |"scale_sf2":$scaleSf2Json,
+         |"scale_sf4":$scaleSf4Json
          |}""".stripMargin
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -77,7 +77,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    store.namespaceExists(namespace.toSeq)
+    store.namespaceExists(namespace.toSeq) && {
+      // masked like loads: under the gate a denied namespace HEAD is
+      // indistinguishable from a missing one (the reference requires
+      // can_get_metadata on head_namespace and 404s a denial)
+      enforcedUser match {
+        case Some(user) => graft.admin.Authz.check(store, user,
+          graft.admin.Authz.namespace(namespace.toSeq), "can_get_metadata")
+        case None => true
+      }
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] =
@@ -127,7 +136,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // TABLE routes through tableExists before dropTable (reference:
       // generic tabulars share the tabular namespace with tables)
       .exists(t => (t.kind == "table" || t.kind == "generic") &&
-        t.deletedMs.isEmpty)
+        t.deletedMs.isEmpty) && existsAuthorized(tid(ident))
 
   override def loadTable(ident: Identifier): Table = {
     store.countOp("loadTable")
@@ -362,6 +371,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * = false reproduces the untrusted-engine behavior (chain silently
     * ignored). No conf → no enforcement, the pre-round-10 behavior.
     */
+  /** The enforced principal, when the load gate is active. */
+  private def enforcedUser: Option[String] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!spark.conf.getOption("spark.graft.authz.enforceLoad")
+        .contains("true")) None
+    else spark.conf.getOption("spark.graft.authz.user")
+  }
+
+  /** Existence masking on HEAD surfaces (tableExists / viewExists):
+    * under the load gate a DENIED tabular must answer exactly like a
+    * MISSING one — an exists() that says true while loadTable masks
+    * as not-found would leak existence (reference authz/table.rs
+    * masked 404 + `can_include_in_list` listing filter; gotchas.md's
+    * existence-leak rule). Reuses the full load check (DEFINER chain
+    * semantics included) so HEAD and GET can never diverge.
+    */
+  private def existsAuthorized(id: TabularId): Boolean =
+    try { authorizeLoad(id); true }
+    catch { case _: TabularNotFoundException => false }
+
   private def authorizeLoad(id: TabularId): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     if (!spark.conf.getOption("spark.graft.authz.enforceLoad")
@@ -397,6 +426,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def viewExists(ident: Identifier): Boolean =
+    viewExistsUnchecked(ident) && existsAuthorized(tid(ident))
+
+  /** Raw existence, NO authz masking — for the view-resolution rule,
+    * which must route a denied view through expandAuthorized so the
+    * denial carries the event log + DelegatedDetail instead of
+    * degrading to a generic unresolved-relation error.
+    */
+  private[connector] def viewExistsUnchecked(ident: Identifier): Boolean =
     store.loadTabularInfo(tid(ident))
       .exists(t => t.kind == "view" && t.deletedMs.isEmpty)
 

@@ -178,7 +178,10 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
 
   private def substitute(parts: Seq[String]): Option[LogicalPlan] = try {
     GraftViewSql.viewTarget(spark, parts).flatMap { case (catalog, ident) =>
-      if (!catalog.viewExists(ident)) None
+      // UNCHECKED existence: a denied view must still route through
+      // expandAuthorized so the denial is masked with the event log +
+      // DelegatedDetail, not degraded to an unresolved relation
+      if (!catalog.viewExistsUnchecked(ident)) None
       else enforcedUser match {
         case Some(user) =>
           Some(SubqueryAlias(ident.name,
@@ -280,7 +283,7 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
           if (p.length == 1 && defaultPrefix.nonEmpty) defaultPrefix ++ p
           else p
         GraftViewSql.viewTarget(spark, qualified) match {
-          case Some((g, innerIdent)) if g.viewExists(innerIdent) =>
+          case Some((g, innerIdent)) if g.viewExistsUnchecked(innerIdent) =>
             SubqueryAlias(innerIdent.name,
               expandAuthorized(g, innerIdent, nextUser,
                 childDelegated, childVisited))

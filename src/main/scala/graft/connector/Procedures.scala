@@ -34,6 +34,7 @@ object Procedures {
     "analyze_table", "create_warehouse", "list_warehouses",
     "delete_warehouse", "set_delete_profile", "set_warehouse_active",
     "incremental_scan", "rewrite_position_delete_files", "changelog_scan",
+    "compact_ann_index",
     "rollback_to_snapshot", "set_current_snapshot",
     "create_or_update_user", "create_role", "search_user", "search_role",
     "assign_role", "unassign_role", "list_role_members",
@@ -76,6 +77,7 @@ object Procedures {
       case "incremental_scan" => Some(IncrementalScanProcedure(catalog))
       case "rewrite_position_delete_files" =>
         Some(RewritePositionDeletesProcedure(catalog))
+      case "compact_ann_index" => Some(CompactAnnIndexProcedure(catalog))
       case "changelog_scan" => Some(ChangelogScanProcedure(catalog))
       case "rollback_to_snapshot" =>
         Some(SetCurrentSnapshotProcedure(catalog, requireAncestor = true))
@@ -1529,6 +1531,43 @@ final case class RemoveOrphanFilesProcedure(catalog: GraftCatalog)
   * dataframe (semi-join against live data paths, range-partitioned
   * sorted write); only per-file stats return to the driver.
   */
+/** LSM compaction for incremental ANN indexes: appends stage postings
+  * under `grp = P` (l files per batch instead of O(l·P) — see
+  * [[graft.ops.AnnIndex.appendLsh]]); this re-homes every staged
+  * posting into its `grp = bucket mod P` partition in one atomic
+  * commit (probes see either layout, never duplicates). The
+  * `min_staging_files` threshold is the scheduling trigger: below it
+  * the call no-ops, so a cron'd `CALL` is cheap when appends are idle.
+  */
+final case class CompactAnnIndexProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "compact_ann_index"
+  override def description(): String =
+    "Re-home staged ANN-index postings into their bucket-group partitions"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("table", StringType),
+    Procedures.paramWithDefault("min_staging_files", LongType, "1"))
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val spark = SparkSession.active
+    val tableName = input.getUTF8String(0).toString
+    val minFiles = if (input.isNullAt(1)) 1L else math.max(1L, input.getLong(1))
+    val (files, rows) = graft.maintenance.CompactAnnIndex.run(
+      spark, s"${catalog.name()}.$tableName", minFiles.toInt)
+    val schema = StructType(Seq(
+      StructField("compacted_staging_files", LongType, nullable = false),
+      StructField("rehomed_postings", LongType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](files, rows))))
+  }
+}
+
 final case class RewritePositionDeletesProcedure(catalog: GraftCatalog)
   extends UnboundProcedure with BoundProcedure {
 

@@ -1,0 +1,157 @@
+package graft.maintenance
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
+import graft.connector.{GraftCommitMessage, GraftDataWriter, GraftTable,
+  GraftWrite, ManifestReplace}
+import graft.meta._
+import graft.store.TabularId
+
+/** Compaction half of the LSM-style incremental LSH index
+  * ([[graft.ops.AnnIndex.appendLsh]] / [[graft.ops.AnnIndex.compactLsh]]):
+  * appends stage postings under `grp = P` (l files per batch instead of
+  * O(l·P)); this operation re-homes every staged posting into its
+  * `grp = bucket mod P` partition in ONE atomic commit — new home files
+  * plus a ByPath removal of the staging files in the same snapshot, so
+  * a concurrent probe sees either layout, never both (duplicated
+  * candidates) or neither (lost postings). Mirrors the
+  * write-files-then-single-replace-commit shape of
+  * [[RewritePositionDeletes]]. A staging file landing BETWEEN this
+  * scan and the commit simply survives (only scanned paths are
+  * removed); a scanned file vanishing concurrently fails the commit.
+  *
+  * 100 TB posture: the staged-row scan is bounded by un-compacted
+  * append volume, the rewrite shuffle is one `repartition` on the
+  * partition tuple, and the file-create cost O(touched home
+  * partitions) is paid ONCE per compaction instead of per append.
+  */
+object CompactAnnIndex {
+
+  private def graftTable(df: DataFrame, table: String): GraftTable =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.table
+    } match {
+      case Some(t: GraftTable) => t
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a graft catalog table")
+    }
+
+  /** The staging partition value: one past the stamped home-group
+    * modulus range [0, P).
+    */
+  private def stagingGroup(t: GraftTable): Long = {
+    val props = t.meta.properties
+    require(props.get("graft.ann.kind").contains("lsh"),
+      s"${t.tableId} is not a stamped LSH index")
+    props.get("graft.ann.bucket-groups").map(_.toLong).getOrElse(
+      1L << props("graft.ann.bits").toInt)
+  }
+
+  private def stagingEntries(t: GraftTable): Seq[DataFile] = {
+    val staging = stagingGroup(t).toString
+    t.liveFiles.filter(_.partition.get("grp").flatten.contains(staging))
+  }
+
+  /** Live manifest entries sitting in the staging partition. */
+  def stagingFiles(spark: SparkSession, table: String): Seq[DataFile] =
+    stagingEntries(graftTable(spark.table(table), table))
+
+  /** @return (staging files compacted, postings re-homed); (0, 0) when
+    * the staging file count is below `minStagingFiles` (the
+    * files-per-partition trigger for scheduled maintenance).
+    */
+  def run(spark: SparkSession, table: String,
+      minStagingFiles: Int = 1): (Long, Long) = {
+    // ONE table load: the staged-path set and the row scan below both
+    // come from this relation's pinned snapshot — a second load could
+    // see a newer snapshot and re-home rows whose file is not removed
+    val df = spark.table(table)
+    val t = graftTable(df, table)
+    val staging = stagingGroup(t)
+    val stagingPaths = stagingEntries(t).map(_.path)
+    if (stagingPaths.isEmpty || stagingPaths.size < minStagingFiles)
+      return (0L, 0L)
+
+    val meta = t.meta
+    val schema = meta.currentSchema.struct
+    // staged rows with their HOME group restored, read through the
+    // TABLE scan (any delete files apply; a delete covering staged rows
+    // dangles harmlessly after re-homing, like rewrite_data_files);
+    // column order pinned to the table schema so the raw InternalRows
+    // feed the writer 1:1
+    val rehomed: DataFrame = df
+      .filter(col("grp") === lit(staging))
+      .withColumn("grp", pmod(col("bucket"), lit(staging)))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(col("table_id"), col("grp"))
+
+    val location = meta.location
+    val spec = meta.defaultSpec
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val written: Seq[DataFile] = rehomed.queryExecution.toRdd
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val w = new GraftDataWriter(location, schema, spec, conf.value,
+            tc.partitionId(), tc.taskAttemptId())
+          rows.foreach(w.write)
+          w.commit() match {
+            case GraftCommitMessage(fs) => fs.iterator
+            case _ => Iterator.empty
+          }
+        }
+      }.collect().toSeq
+
+    val oldPaths = stagingPaths.toSet
+    val snapshotId =
+      math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val id: TabularId = t.tableId
+    t.store.commitTableWith(id,
+      Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
+      current => {
+        val parentSnapshot = current.snapshotFor(TableMetadata.MainBranch)
+        val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        val (kept, removed) = ManifestReplace(
+          current.location, parentManifests,
+          ManifestReplace.ByPath(oldPaths),
+          current.specs, current.currentSchema.struct,
+          current.defaultSpec, snapshotId)
+        if (removed.count != oldPaths.size)
+          throw new CommitFailedException(
+            s"compact_ann_index conflict on $id: " +
+              s"${oldPaths.size - removed.count} staged file(s) changed " +
+              "concurrently")
+        val manifests = kept ++ (
+          if (written.nonEmpty)
+            Seq(t.store.writeManifest(current.location,
+              ManifestFile(GraftWrite.assignRowIds(current, written),
+                snapshotId),
+              Some(current.currentSchema.struct)))
+          else Nil)
+        val snap = Snapshot(
+          snapshotId,
+          parentSnapshot.map(_.snapshotId),
+          current.lastSequenceNumber + 1,
+          System.currentTimeMillis(),
+          "replace",
+          Map(
+            "compacted-staging-files" -> oldPaths.size.toString,
+            "added-data-files" -> written.size.toString,
+            "added-records" -> written.map(_.recordCount).sum.toString) ++
+            GraftWrite.totalsSummary(parentSnapshot, written, removed),
+          manifests,
+          current.currentSchemaId)
+        val ref = current.refs.get(TableMetadata.MainBranch)
+          .map(_.copy(snapshotId = snapshotId))
+          .getOrElse(SnapshotRef(snapshotId, isBranch = true))
+        Seq(
+          TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
+      })
+    (oldPaths.size.toLong, written.map(_.recordCount).sum)
+  }
+}

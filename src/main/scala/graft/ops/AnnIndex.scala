@@ -188,10 +188,18 @@ object AnnIndex {
       .append()
   }
 
-  /** [[appendIvf]] for the LSH posting-list index: the batch's
-    * (table_id, bucket, grp) assignments come from the stamped
-    * (l, bits, seed, groups), so postings land exactly where build-time
-    * rows with the same signature live.
+  /** [[appendIvf]] for the LSH posting-list index, LSM-style: the
+    * batch's (table_id, bucket) assignments come from the stamped
+    * (l, bits, seed), but the postings land in a per-table STAGING
+    * partition (`grp = groups`, one past the home modulus range [0, P))
+    * instead of their home groups. A 2k-row batch hashes into nearly
+    * every one of the l·P home partitions, so a home-partitioned append
+    * paid O(l·P) file creates (measured ~16 ms each — 13-17 s per
+    * append at ANY batch size); the staging write pays exactly `l`
+    * files per append. Probes read the staging partitions IN ADDITION
+    * to the probed home groups (the bucket equi-join keeps candidates
+    * exact), a read bounded by the un-compacted append volume;
+    * [[compactLsh]] re-homes staged postings in one atomic commit.
     */
   def appendLsh(
       df: DataFrame,
@@ -217,10 +225,29 @@ object AnnIndex {
     df.select(col("*"), explode(assignments).as("tb"))
       .select(col("tb.table_id").as("table_id") +:
         col("tb.bucket").as("bucket") +: carried: _*)
-      .withColumn("grp", pmod(col("bucket"), lit(groups)))
+      .withColumn("grp", lit(groups))
       .writeTo(table)
       .append()
   }
+
+  /** Staged (un-compacted) posting files of an LSH index — the
+    * files-per-partition trigger for scheduling [[compactLsh]].
+    */
+  def lshStagingFileCount(spark: SparkSession, table: String): Long =
+    graft.maintenance.CompactAnnIndex.stagingFiles(spark, table).size.toLong
+
+  /** Re-home every staged posting into its `grp = bucket mod P` home
+    * partition in ONE atomic commit (new home files written, staging
+    * files removed — a probe sees either layout, never both/neither).
+    * The amortized half of the LSM append path: N cheap appends, one
+    * O(staged + touched-partition) compaction. No-ops (returns 0)
+    * while the staging file count is below `minStagingFiles`.
+    *
+    * @return (staging files compacted, postings re-homed)
+    */
+  def compactLsh(spark: SparkSession, table: String,
+      minStagingFiles: Int = 1): (Long, Long) =
+    graft.maintenance.CompactAnnIndex.run(spark, table, minStagingFiles)
 
   /** One-row dim probe for UN-stamped plain frames (empty batch → a
     * placeholder dim; no row ever evaluates the probe expressions).
@@ -580,12 +607,28 @@ object AnnIndex {
             }
           }.reduce(_ || _))
       }
+    // home candidates: the grp equi-key is what the runtime filter
+    // prunes partitions on. Staged candidates (grp = P, appended but
+    // not yet compacted) carry a grp OUTSIDE the probe's modulus image,
+    // so they get their own leg: a static partition filter bounds the
+    // read to the staging files (zero files when fully compacted) and
+    // the (table_id, bucket) equi-join keeps candidates exact. The legs
+    // are disjoint by construction (home grp < P, staged grp = P).
+    val homeCands = probes.join(pruned, joinKeys).drop(joinKeys: _*)
+    val cands = groups match {
+      case Some(g) =>
+        val staged = probes0
+          .join(index.filter(col("grp") === lit(g)).drop("grp"),
+            Seq("table_id", "bucket"))
+          .drop("table_id", "bucket")
+        homeCands.unionByName(staged)
+      case None => homeCands
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(pruned, joinKeys)
+    cands
       .filter(col(idCol) =!= col("q_id"))
-      .drop(joinKeys: _*)
       .dropDuplicates("q_id", idCol)
       .withColumn("cos_sim",
         round(Ann.cosine(col(embCol), col("q_emb")), 6))
@@ -618,8 +661,12 @@ object AnnIndex {
       val b = Ann.bucketOf(queryVec, tp)
       val base = col("table_id") === lit(t) && col("bucket") === lit(b)
       // grouped layout: the partition column is grp, so the literal
-      // group id is what FilePruning actually prunes on
-      groups.map(g => base && col("grp") === lit(b % g)).getOrElse(base)
+      // group id is what FilePruning actually prunes on; staged
+      // postings (grp = P, appended but not yet compacted) are read
+      // too — bucket equality keeps the candidate set exact
+      groups.map(g => base &&
+        (col("grp") === lit(b % g) || col("grp") === lit(g)))
+        .getOrElse(base)
     }.reduce(_ || _)
     val qLit = typedlit(queryVec.toSeq)
     index

@@ -659,7 +659,11 @@ object CatalogOps {
         |  ('default_tab', 's3://data-lake/prod/wh/u-tab'),
         |  ('flat_tab', 's3://data-lake/prod/wh/my%20tabular-u-tab'),
         |  ('parent_ns', 's3://data-lake/prod/wh/u-ns2'),
-        |  ('full_tab', 's3://data-lake/prod/wh/ns1-u-ns1/ns2-u-ns2/t-u-tab'))
+        |  ('full_tab', 's3://data-lake/prod/wh/ns1-u-ns1/ns2-u-ns2/t-u-tab'),
+        |  ('ol_base', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
+        |  ('ol_regional', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@centralus-onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
+        |  ('ol_wpl', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
+        |  ('ol_tab', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh/u-tab'))
         |AS t(what, loc) ORDER BY what""".stripMargin) { (s, dir) =>
       import graft.store.StorageProfile
       import graft.store.StorageProfile._
@@ -689,6 +693,17 @@ object CatalogOps {
       def withLayout(l: StorageLayout) =
         prof.copy(storageLayout = Some(l))
       val full = withLayout(fullLayout("{name}-{uuid}", "t-{uuid}"))
+      // onelake (az/onelake_profile.rs): parsed from the REST shape,
+      // locations DERIVED from workspace/lakehouse UUIDs + endpoint
+      // mode — global, regional, and workspace-private-link hosts
+      def olake(mode: String) = StorageProfile.fromJson(
+        s"""{"type":"onelake",
+           |"workspace-id":"c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47",
+           |"lakehouse-id":"9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04",
+           |"directory-rel-path":"wh",
+           |"endpoint-mode":$mode}""".stripMargin).normalize()
+        .asInstanceOf[OneLakeStorageProfile]
+      val olDefault = olake("""{"type":"default"}""")
       val rows = Seq(
         ("base", base),
         ("get_type", got.getString(8)),
@@ -701,7 +716,16 @@ object CatalogOps {
         ("parent_ns", withLayout(parentLayout("{uuid}", "{uuid}"))
           .defaultNamespaceLocation(ns)),
         ("full_tab", full.defaultTabularLocation(
-          full.defaultNamespaceLocation(ns), tab)))
+          full.defaultNamespaceLocation(ns), tab)),
+        ("ol_base", olDefault.baseLocation),
+        ("ol_regional",
+          olake("""{"type":"regional","region":" CentralUS "}""")
+            .baseLocation),
+        ("ol_wpl", olake("""{"type":"workspace-private-link"}""")
+          .baseLocation),
+        ("ol_tab", olDefault.defaultTabularLocation(
+          olDefault.defaultNamespaceLocation(ns),
+          SegmentContext("t", "u-tab"))))
       import s.implicits._
       rows.toDF("what", "loc").orderBy("what")
     },

@@ -101,6 +101,13 @@ object ScaleLane {
     }
     def leg(name: String)(body: => (Long, Option[Long])): Unit =
       legM(name) { val (r, c) = body; (r, c, Map.empty) }
+    // build vs probe/verify split (round 10): legs record phase wall
+    // time separately so a superlinear curve names its term
+    def timedMs[T](body: => T): (T, Long) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1000000L)
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -110,19 +117,25 @@ object ScaleLane {
     // held mean df 5.6 and qd5's prefix join went 3.5×-per-doubling).
     // Memoized per (session, dir): qd3/qd5/qd10 share one measurement.
     def measuredW = TextOps.measuredWidthCached(spark, dir)
-    leg("qd3_minhash") {
+    legM("qd3_minhash") {
       // the fixed 2-gram space saturates on this 31-word fixture and
       // banding pays its quadratic collision floor (measured r8: 10.7k
       // candidates at 25k docs → 44k at 50k, 4.1× for 2× docs, true
-      // pairs only 2×); the corpus-derived width keeps the space sparse
+      // pairs only 2×); the corpus-derived width keeps the space sparse.
+      // cand_ms/verify_ms split (round 11): the raw wall on this leg
+      // was non-monotonic across doublings from fixture/cache state
+      // while candidates stayed exactly linear — the split makes
+      // per-round drift attributable to a phase instead of noise.
       val (cands, pairs) = graft.ops.MinHashLSH.candidatesAndPairs(
         docs, "doc_id", "text", threshold = 0.5, bands = 16,
         width = measuredW)
       val c = cands.persist()
-      val nCand = c.count()
-      val rows = pairs.count()
-      c.unpersist()
-      (rows, Some(nCand))
+      try {
+        val (nCand, candMs) = timedMs(c.count())
+        val (rows, verifyMs) = timedMs(pairs.count())
+        (rows, Some(nCand),
+          Map("cand_ms" -> candMs, "verify_ms" -> verifyMs))
+      } finally c.unpersist()
     }
     leg("qd4_simhash") {
       (graft.ops.SimHash.nearDupPairs(docs, "doc_id", "text",
@@ -228,23 +241,31 @@ object ScaleLane {
         spark, dir, 0.8, TextOps.AutoWidth)
       (pairs.count(), Some(cands.count()), Map("width" -> w.toLong))
     }
-    leg("qd12_editdist") {
+    legM("qd12_editdist") {
       // PassJoin edit-distance join with the PRODUCTION auto segment
       // knob (m = 0): candidates = unique unordered id pairs sharing
       // an aligned signature. On this saturated 31-word fixture the
       // TRUE pair output is itself quadratic (475 pairs at 25k docs →
-      // 1,905 at 50k — title-space saturation), so the guarded
-      // quantity is candidates-per-true-pair: ~1,100 under two-match
-      // signatures vs ~5,500 under classic PassJoin (measured r8).
-      // autoSegments switches to two-match above density 8, which the
-      // 50k lane crosses.
+      // 1,905 at 50k → 7,336 at 100k — title-space saturation), so the
+      // GUARDED quantity is cand_per_pair (candidates per true pair):
+      // ~1,100 under two-match signatures vs ~5,500 under classic
+      // PassJoin (measured r8), flat across doublings while the raw
+      // wall tracks the quadratic OUTPUT. Committed per leg since
+      // round 11 so the guard needs no hand derivation. autoSegments
+      // switches to two-match above density 8, which the 50k lane
+      // crosses.
       val titles = docs.select(col("doc_id"),
         substring(col("text"), 1, 24).as("title"))
       val c = graft.ops.EditDistJoin
         .candidatePairs(titles, "doc_id", "title", 2).persist()
       try {
-        val nCand = c.count()
-        (graft.ops.EditDistJoin.verify(c, 2).count(), Some(nCand))
+        val (nCand, candMs) = timedMs(c.count())
+        val (truePairs, verifyMs) = timedMs(
+          graft.ops.EditDistJoin.verify(c, 2).count())
+        (truePairs, Some(nCand), Map(
+          "true_pairs" -> truePairs,
+          "cand_per_pair" -> (if (truePairs == 0) 0L else nCand / truePairs),
+          "cand_ms" -> candMs, "verify_ms" -> verifyMs))
       } finally c.unpersist()
     }
     leg("qt15_dsir") {
@@ -331,22 +352,18 @@ object ScaleLane {
         .map(g => (g.selectedFiles.size.toLong,
           g.table.liveFiles.size.toLong))
         .getOrElse((-1L, -1L))
-    // build vs probe split (round 10): the lane records index-BUILD
-    // and PROBE wall time separately so a superlinear curve names its
-    // term — build cost is amortized over every future probe, probe
-    // cost is the per-query price that must stay flat
-    def timedMs[T](body: => T): (T, Long) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1000000L)
-    }
     legM("qs23_incremental_append") { withPruningGateOff {
       // incremental index maintenance at lane scale: append a FIXED
       // 2k-vector batch to an index over the rest of the corpus, vs
       // rebuilding from scratch. The scale claim is append_ms tracks
       // the BATCH (flat across corpus doublings) while rebuild_ms
       // tracks the corpus — the O(batch)-vs-O(n) gap that makes a
-      // growing deployment viable.
+      // growing deployment viable. Round 11: appends are LSM-staged
+      // (l files per batch, not one per touched (table_id, grp) —
+      // the round-10 append was ~1k file creates ≈ 13-17 s of pure
+      // churn at every SF), so the leg also records files_written per
+      // append and the amortized compact_ms that re-homes the staged
+      // postings in one atomic commit.
       val ns = scaleCatalog()
       val batch = emb.filter(col("vec_id") < 2000)
       val base = emb.filter(col("vec_id") >= 2000)
@@ -356,16 +373,29 @@ object ScaleLane {
         graft.ops.AnnIndex.buildLsh(base, s"$ns.emb_lsh_inc", "embedding",
           l = 2, bits = bits, dim = 64, seed = 42L)
       }
+      def files() = spark.sql(
+        s"SELECT COUNT(*) FROM $ns.emb_lsh_inc.files")
+        .collect()(0).getLong(0)
+      val filesBefore = files()
       val (_, appendMs) = timedMs {
         graft.ops.AnnIndex.appendLsh(batch, s"$ns.emb_lsh_inc", "embedding")
       }
+      val filesWritten = files() - filesBefore
+      val ((_, rehomed), compactMs) = timedMs {
+        graft.ops.AnnIndex.compactLsh(spark, s"$ns.emb_lsh_inc")
+      }
+      val stagedLeft = graft.ops.AnnIndex.lshStagingFileCount(
+        spark, s"$ns.emb_lsh_inc")
       val (_, rebuildMs) = timedMs {
         graft.ops.AnnIndex.buildLsh(emb, s"$ns.emb_lsh_inc", "embedding",
           l = 2, bits = bits, dim = 64, seed = 42L)
       }
       val rows = spark.table(s"$ns.emb_lsh_inc").count()
       (rows, None, Map(
-        "append_ms" -> appendMs, "rebuild_ms" -> rebuildMs,
+        "append_ms" -> appendMs, "files_written" -> filesWritten,
+        "compact_ms" -> compactMs, "rehomed_postings" -> rehomed,
+        "staging_files_after_compact" -> stagedLeft,
+        "rebuild_ms" -> rebuildMs,
         "base_build_ms" -> baseMs, "batch_rows" -> 2000L))
     }}
     legM("qs21_lsh_knn_join") { withPruningGateOff {
@@ -414,6 +444,30 @@ object ScaleLane {
         "tables" -> l.toLong,
         "build_ms" -> buildMs, "probe_ms" -> probeMs))
     }}
+    // SHARED training materialization (round 11, the
+    // shared_pairs_materialize pattern): qs20 and qs22 consume the
+    // SAME coarse codebook (k=32 k-means) and qs22 additionally the 8
+    // PQ subspace codebooks — one codebook, many consumers, which is
+    // exactly the 100 TB shape (training is the expensive offline
+    // step; every index family reuses it). The leg records the
+    // training wall ONCE; the consumer legs' build_ms is then pure
+    // index write.
+    var sharedCents: Option[Seq[Array[Double]]] = None
+    var sharedCb: Option[graft.ops.Pq.Codebooks] = None
+    legM("qs_ann_train_shared") { withPruningGateOff {
+      val (cents, coarseMs) = timedMs {
+        graft.ops.KMeans.train(emb, "vec_id", "embedding",
+          k = 32, iters = 2).map(_.v)
+      }
+      val (cb, pqMs) = timedMs {
+        graft.ops.Pq.train(emb, "vec_id", "embedding",
+          numSub = 8, subDim = 8, k = 16, iters = 2)
+      }
+      sharedCents = Some(cents)
+      sharedCb = Some(cb)
+      ((cents.size + cb.books.map(_.size).sum).toLong, None, Map(
+        "coarse_train_ms" -> coarseMs, "pq_train_ms" -> pqMs))
+    }}
     legM("qs20_ivf_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()
       // TRAINED coarse lists — the production codebook: at dim 64 a
@@ -421,10 +475,13 @@ object ScaleLane {
       // routes nearly every vector to the smallest-norm centroid, so
       // occupied lists collapse to a handful and the probe union stops
       // pruning); k-means keeps list sizes balanced, which is exactly
-      // what bounds probe fan-out at scale
+      // what bounds probe fan-out at scale. Codebook from the shared
+      // training leg; local fallback keeps the leg self-contained when
+      // the lane filter excludes the shared leg.
       val (cents, trainMs) = timedMs {
-        graft.ops.KMeans.train(emb, "vec_id", "embedding",
-          k = 32, iters = 2).map(_.v)
+        sharedCents.getOrElse(
+          graft.ops.KMeans.train(emb, "vec_id", "embedding",
+            k = 32, iters = 2).map(_.v))
       }
       val (_, writeMs) = timedMs {
         graft.ops.AnnIndex.buildIvf(emb, s"$ns.emb_ivf", "embedding",
@@ -459,13 +516,17 @@ object ScaleLane {
       // — candidates ∝ queries × list density, per-candidate cost = 8
       // array lookups.
       val ns = scaleCatalog()
+      // codebooks from the shared training leg (one codebook, many
+      // consumers); local fallback when the lane filter excludes it
       val (cents, trainCoarseMs) = timedMs {
-        graft.ops.KMeans.train(emb, "vec_id", "embedding",
-          k = 32, iters = 2).map(_.v)
+        sharedCents.getOrElse(
+          graft.ops.KMeans.train(emb, "vec_id", "embedding",
+            k = 32, iters = 2).map(_.v))
       }
       val (cb, trainPqMs) = timedMs {
-        graft.ops.Pq.train(emb, "vec_id", "embedding",
-          numSub = 8, subDim = 8, k = 16, iters = 2)
+        sharedCb.getOrElse(
+          graft.ops.Pq.train(emb, "vec_id", "embedding",
+            numSub = 8, subDim = 8, k = 16, iters = 2))
       }
       val (_, writeMs) = timedMs {
         graft.ops.AnnIndex.buildIvfPq(emb, s"$ns.emb_ivfpq",

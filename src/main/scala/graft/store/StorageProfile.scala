@@ -17,9 +17,11 @@ import org.json4s.jackson.JsonMethods
   * module generates are handed to whatever FileSystem the deployment
   * mounts for the scheme.
   *
-  * The `s3`, `gcs`, and `adls` profile types are modeled (their
-  * pure validation/normalization/location halves); `onelake` parses
-  * to a clear unsupported error naming the reference type.
+  * All four reference profile types are modeled (their pure
+  * validation/normalization/location halves): `s3`, `gcs`, `adls`,
+  * and `onelake` (service/storage/az/onelake_profile.rs — workspace/
+  * lakehouse URL construction, private-link host derivation, the 1-h
+  * SAS cap, default-layout-only rule, update immutability, overlap).
   */
 object StorageProfile {
 
@@ -472,6 +474,224 @@ object StorageProfile {
     }
   }
 
+  /** OneLake (Microsoft Fabric) endpoint connection mode
+    * (az/onelake_profile.rs `EndpointMode`): how the DFS host is
+    * derived. Tenant-level private link is indistinguishable from
+    * public traffic (DNS-only) → `Default`; workspace-level private
+    * link needs the workspace-scoped FQDN.
+    */
+  sealed trait OneLakeEndpointMode { def typeName: String }
+  case object OneLakeDefaultEndpoint extends OneLakeEndpointMode {
+    val typeName = "default"
+  }
+  final case class OneLakeRegionalEndpoint(region: String)
+    extends OneLakeEndpointMode { val typeName = "regional" }
+  case object OneLakeWorkspacePrivateLink extends OneLakeEndpointMode {
+    val typeName = "workspace-private-link"
+  }
+
+  /** Directory-bounded key-prefix overlap (az/mod.rs:426-438
+    * `key_prefix_overlaps`): `None` is the filesystem root (overlaps
+    * everything); two values overlap iff one is a `/`-bounded prefix
+    * of the other, so `prefix` does NOT overlap `prefix-extra`.
+    */
+  def keyPrefixOverlaps(a: Option[String], b: Option[String]): Boolean =
+    (a, b) match {
+      case (x, y) if x == y => true
+      case (Some(p1), Some(p2)) =>
+        (p1 + "/").startsWith(p2 + "/") || (p2 + "/").startsWith(p1 + "/")
+      case _ => true
+    }
+
+  /** OneLake (Microsoft Fabric) storage profile
+    * (az/onelake_profile.rs `OneLakeProfile`): a convenience wrapper
+    * over the ADLS Gen2 surface that DERIVES the account (`onelake`),
+    * container (dashed workspace UUID), key prefix
+    * (`<lakehouse>/<Files|Tables>[/<dir>]`), and endpoint host from
+    * the workspace/lakehouse UUIDs + endpoint mode. Ported pure half:
+    * URL construction, private-link host derivation, validation,
+    * update immutability, overlap. The SAS-minting half (the
+    * `/blob/onelake/...` canonical resource, user-delegation keys)
+    * stays out of scope with the rest of the credential machinery;
+    * its TTL bound (1 h OneLake cap, stricter than generic ADLS's
+    * 7 days) IS profile validation and kept.
+    */
+  final case class OneLakeStorageProfile(
+      workspaceId: String,
+      lakehouseId: String,
+      directoryRelPath: Option[String] = None,
+      topLevelFolder: String = "Files",
+      endpointMode: OneLakeEndpointMode = OneLakeDefaultEndpoint,
+      sasTokenValiditySeconds: Option[Long] = None,
+      sasEnabled: Boolean = true,
+      authorityHost: Option[String] = None,
+      storageLayout: Option[StorageLayout] = None)
+    extends WarehouseStorageProfile {
+
+    val typeName = "onelake"
+
+    /** Un-dashed lowercase workspace UUID (the reference's
+      * `Uuid::simple` rendering).
+      */
+    private def workspaceSimple: String =
+      workspaceId.replace("-", "").toLowerCase
+
+    /** First DNS label of the host (onelake_profile.rs host_account):
+      * `onelake` / `<region>-onelake` / un-dashed workspace UUID. The
+      * SAS canonical account would ALWAYS be the literal `onelake`
+      * (sas_account) — not modeled here, noted for fidelity.
+      */
+    def hostAccount: String = endpointMode match {
+      case OneLakeDefaultEndpoint => "onelake"
+      case OneLakeRegionalEndpoint(region) => s"$region-onelake"
+      case OneLakeWorkspacePrivateLink => workspaceSimple
+    }
+
+    /** Everything after the first DNS label (endpoint_suffix):
+      * workspace private link prepends `z<xy>` where `<xy>` is the
+      * first two hex chars of the un-dashed workspace UUID.
+      */
+    def endpointSuffix: String = endpointMode match {
+      case OneLakeWorkspacePrivateLink =>
+        s"z${workspaceSimple.take(2)}.dfs.fabric.microsoft.com"
+      case _ => "dfs.fabric.microsoft.com"
+    }
+
+    def dfsHost: String = s"$hostAccount.$endpointSuffix"
+
+    /** Blob-surface host: the `dfs.` label rewritten to `blob.` —
+      * what clients need instead of `<account>.blob.core.windows.net`
+      * (onelake_profile.rs blob_host).
+      */
+    def blobHost: String = dfsHost.replaceFirst("\\.dfs\\.", ".blob.")
+
+    /** Container portion of the abfss URL: the DASHED workspace UUID
+      * (the OneLake REST path shape `/<workspace>/<item>/...`).
+      */
+    def filesystem: String = workspaceId
+
+    /** `<lakehouse>/<Files|Tables>[/<directory_rel_path>]`. */
+    def keyPrefix: String =
+      (Seq(lakehouseId, topLevelFolder) ++ directoryRelPath.toSeq)
+        .mkString("/")
+
+    /** `abfss://<workspace>@<dfs_host>/<key_prefix>` (the reference
+      * emits a trailing `/`; this module's location-joining strips
+      * trailing slashes, so the canonical form here is slash-free).
+      */
+    def baseLocation: String = s"abfss://$filesystem@$dfsHost/$keyPrefix"
+
+    /** Only `abfss://` — `wasbs` is rejected for OneLake even though
+      * generic ADLS can opt into it (is_allowed_schema).
+      */
+    def isAllowedScheme(scheme: String): Boolean = scheme == "abfss"
+
+    /** Validation (onelake_profile.rs normalize): UUID-shaped ids,
+      * SAS TTL in (0, 3600] (the OneLake cap), directory path
+      * trimmed / non-empty / no `..` / ≤512 chars, regional slug
+      * trimmed+lowercased and shape-checked (a stray `.` or `-` could
+      * smuggle an extra host segment into the resolved DFS host), and
+      * ONLY the default storage layout — OneLake silently
+      * percent-decodes `%XX` in blob paths, so `{name}` templates
+      * would alias distinct tabulars to one blob after server-side
+      * decoding.
+      */
+    def normalize(): OneLakeStorageProfile = {
+      def uuid(field: String, v: String): String =
+        try java.util.UUID.fromString(v).toString
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"$field: `$v` is not a valid UUID.")
+        }
+      storageLayout.foreach {
+        case DefaultLayout => ()
+        case l => throw new IllegalArgumentException(
+          "storage_layout: OneLake currently only supports the " +
+            "`default` storage layout. OneLake silently percent-decodes " +
+            "`%XX` sequences in blob paths, so `{name}` templates in " +
+            s"the '${l.typeName}' layout would alias to the same blob " +
+            "after server-side decoding.")
+      }
+      sasTokenValiditySeconds.foreach { n =>
+        require(n > 0,
+          "sas_token_validity_seconds: SAS token validity must be " +
+            "greater than 0 seconds.")
+        require(n <= 3600L,
+          "sas_token_validity_seconds: SAS token validity must not " +
+            "exceed 3600 seconds (OneLake cap).")
+      }
+      require(topLevelFolder == "Files" || topLevelFolder == "Tables",
+        s"top_level_folder: must be `Files` or `Tables`, got " +
+          s"`$topLevelFolder`.")
+      val dir = directoryRelPath.map { raw =>
+        val d = raw.split('/').filter(_.nonEmpty).mkString("/")
+        require(d.nonEmpty,
+          "directory_rel_path: `directory-rel-path` must not be empty " +
+            "if specified.")
+        require(!d.split('/').contains(".."),
+          "directory_rel_path: `directory-rel-path` must not contain " +
+            "`..` segments.")
+        require(d.length <= 512,
+          "directory_rel_path: `directory-rel-path` must be less than " +
+            "512 characters.")
+        d
+      }
+      val mode = endpointMode match {
+        case OneLakeRegionalEndpoint(raw) =>
+          val region = raw.trim.toLowerCase
+          require(region.nonEmpty,
+            "endpoint_mode.region: Regional endpoint requires a " +
+              "non-empty `region`.")
+          require(region.head >= 'a' && region.head <= 'z' &&
+              region.tail.forall(c =>
+                (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+            "endpoint_mode.region: Regional endpoint `region` must be " +
+              "an Azure region slug (lowercase ASCII letter followed by " +
+              "lowercase letters or digits).")
+          OneLakeRegionalEndpoint(region)
+        case m => m
+      }
+      copy(
+        workspaceId = uuid("workspace_id", workspaceId),
+        lakehouseId = uuid("lakehouse_id", lakehouseId),
+        directoryRelPath = dir,
+        endpointMode = mode)
+    }
+
+    /** Update rules (onelake_profile.rs update_with): mutable =
+      * sas settings, authority_host, storage_layout (carried over
+      * when the update omits it); immutable = workspace, lakehouse,
+      * top-level folder, directory, endpoint mode — changing any
+      * would change the abfss host or container path and strand every
+      * table previously written to the warehouse.
+      */
+    def updateWith(o: WarehouseStorageProfile): OneLakeStorageProfile = {
+      val other = requireSameType[OneLakeStorageProfile](o)
+      def immutable(name: String, a: Any, b: Any): Unit =
+        if (a != b) throw new IllegalArgumentException(
+          s"$name: field is immutable for an existing warehouse")
+      immutable("workspace_id", workspaceId, other.workspaceId)
+      immutable("lakehouse_id", lakehouseId, other.lakehouseId)
+      immutable("top_level_folder", topLevelFolder, other.topLevelFolder)
+      immutable("directory_rel_path", directoryRelPath,
+        other.directoryRelPath)
+      immutable("endpoint_mode", endpointMode, other.endpointMode)
+      other.copy(storageLayout = other.storageLayout.orElse(storageLayout))
+    }
+
+    /** Two OneLake profiles overlap iff same workspace + lakehouse +
+      * top-level folder and one directory path is a directory-bounded
+      * prefix of the other. Endpoint mode / authority host are NOT
+      * part of the check: they pick the DNS route to the SAME
+      * on-storage path (is_overlapping_location).
+      */
+    def isOverlappingLocation(other: OneLakeStorageProfile): Boolean =
+      workspaceId == other.workspaceId &&
+        lakehouseId == other.lakehouseId &&
+        topLevelFolder == other.topLevelFolder &&
+        keyPrefixOverlaps(directoryRelPath, other.directoryRelPath)
+  }
+
   /** ADLS filesystem (container) rules
     * (io/src/adls/adls_location.rs:267-315).
     */
@@ -613,12 +833,45 @@ object StorageProfile {
           sasEnabled = optBool("sas-enabled").getOrElse(true),
           storageLayout = lay)
       case JString("onelake") =>
-        throw new IllegalArgumentException(
-          "storage profile type 'onelake' is not supported in this " +
-            "engine (reference: service/storage/az/onelake_profile.rs — " +
-            "Fabric workspace/lakehouse resolution is out of scope)")
+        val mode = (j \ "endpoint-mode") match {
+          case JNothing | JNull => OneLakeDefaultEndpoint
+          case m => (m \ "type") match {
+            case JString("default") | JNothing | JNull =>
+              OneLakeDefaultEndpoint
+            case JString("regional") => (m \ "region") match {
+              case JString(r) => OneLakeRegionalEndpoint(r)
+              case _ => throw new IllegalArgumentException(
+                "endpoint_mode.region: Regional endpoint requires a " +
+                  "non-empty `region`.")
+            }
+            case JString("workspace-private-link") =>
+              OneLakeWorkspacePrivateLink
+            case other => throw new IllegalArgumentException(
+              s"endpoint_mode: unknown endpoint mode $other " +
+                "(default | regional | workspace-private-link)")
+          }
+        }
+        // serde accepts the enum's PascalCase variant names; keep the
+        // stored form canonical (onelake_profile.rs TopLevelFolder)
+        val folder = optStr("top-level-folder").map(_.toLowerCase) match {
+          case None | Some("files") => "Files"
+          case Some("tables") => "Tables"
+          case Some(other) => throw new IllegalArgumentException(
+            s"top_level_folder: must be `Files` or `Tables`, got `$other`.")
+        }
+        OneLakeStorageProfile(
+          workspaceId = req("workspace-id", "onelake"),
+          lakehouseId = req("lakehouse-id", "onelake"),
+          directoryRelPath = optStr("directory-rel-path"),
+          topLevelFolder = folder,
+          endpointMode = mode,
+          sasTokenValiditySeconds = optLong("sas-token-validity-seconds"),
+          sasEnabled = optBool("sas-enabled").getOrElse(true),
+          authorityHost = optStr("authority-host"),
+          storageLayout = lay)
       case other => throw new IllegalArgumentException(
-        s"storage profile requires \"type\" of s3 | gcs | adls, got $other")
+        s"storage profile requires \"type\" of s3 | gcs | adls | " +
+          s"onelake, got $other")
     }
   }
 
@@ -646,6 +899,20 @@ object StorageProfile {
           ("sas-token-validity-seconds" -> p.sasTokenValiditySeconds) ~
           ("allow-alternative-protocols" -> p.allowAlternativeProtocols) ~
           ("sas-enabled" -> p.sasEnabled)
+      case p: OneLakeStorageProfile =>
+        val mode: JObject = p.endpointMode match {
+          case OneLakeRegionalEndpoint(r) =>
+            ("type" -> "regional") ~ ("region" -> r)
+          case m => ("type" -> m.typeName): JObject
+        }
+        ("type" -> "onelake") ~ ("workspace-id" -> p.workspaceId) ~
+          ("lakehouse-id" -> p.lakehouseId) ~
+          ("directory-rel-path" -> p.directoryRelPath) ~
+          ("top-level-folder" -> p.topLevelFolder) ~
+          ("endpoint-mode" -> mode) ~
+          ("sas-token-validity-seconds" -> p.sasTokenValiditySeconds) ~
+          ("sas-enabled" -> p.sasEnabled) ~
+          ("authority-host" -> p.authorityHost)
     }
     val withLayout = profile.storageLayout match {
       case Some(l) => base ~ ("storage-layout" -> layoutToJson(l))

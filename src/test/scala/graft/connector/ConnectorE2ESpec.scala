@@ -736,6 +736,74 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(e.getMessage.contains("stamped"), e.getMessage)
   }
 
+  test("staged LSH appends compact atomically and probe identically") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 400L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annc")
+    graft.ops.AnnIndex.buildLsh(df.filter(col("vec_id") < 100),
+      "graft.annc.lsh", "embedding", l = 2, bits = 4, dim = dim, seed = 42L)
+    def fileCount() = spark.sql(
+      "SELECT COUNT(*) FROM graft.annc.lsh.files").collect()(0).getLong(0)
+    // THREE appends: each writes exactly l files (the staging
+    // partitions), not one per touched (table_id, grp)
+    (1 to 3).foreach { i =>
+      val before = fileCount()
+      graft.ops.AnnIndex.appendLsh(
+        df.filter(col("vec_id") >= i * 100 && col("vec_id") < (i + 1) * 100),
+        "graft.annc.lsh", "embedding")
+      assert(fileCount() - before == 2L,
+        s"append $i should write l=2 staging files")
+    }
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annc.lsh") == 6L)
+    // staged probes match the one-shot full-corpus build
+    graft.ops.AnnIndex.buildLsh(df, "graft.annc.lsh_full", "embedding",
+      l = 2, bits = 4, dim = dim, seed = 42L)
+    val queries = df.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id"), col("embedding"))
+    def knn(t: String) = graft.ops.AnnIndex.knnJoinLsh(
+      spark.table(t), queries, "vec_id", "embedding", "vec_id",
+      "embedding", k = 5, l = 2, bits = 4, seed = 42L)
+      .select("q_id", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank").collect().toSeq
+    val expected = knn("graft.annc.lsh_full")
+    assert(knn("graft.annc.lsh") == expected)
+    // threshold gate: below min_staging_files the call no-ops
+    val gated = spark.sql(
+      """CALL graft.system.compact_ann_index(
+        |  table => 'annc.lsh', min_staging_files => 100)""".stripMargin)
+      .collect()(0)
+    assert(gated.getLong(0) == 0L && gated.getLong(1) == 0L)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annc.lsh") == 6L)
+    // the compaction itself: ONE snapshot re-homes every staged
+    // posting and removes the staging files
+    val snapsBefore = spark.sql(
+      "SELECT COUNT(*) FROM graft.annc.lsh.snapshots").collect()(0).getLong(0)
+    val res = spark.sql(
+      "CALL graft.system.compact_ann_index(table => 'annc.lsh')")
+      .collect()(0)
+    assert(res.getLong(0) == 6L, res.toString)
+    // 300 appended vectors × l=2 tables = 600 staged postings re-homed
+    assert(res.getLong(1) == 600L, res.toString)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.annc.lsh.snapshots").collect()(0)
+      .getLong(0) == snapsBefore + 1)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annc.lsh") == 0L)
+    // probe identical after compaction; total postings preserved
+    assert(knn("graft.annc.lsh") == expected)
+    assert(spark.table("graft.annc.lsh").count() ==
+      spark.table("graft.annc.lsh_full").count())
+    // and a second compact finds nothing to do
+    assert(graft.ops.AnnIndex.compactLsh(spark, "graft.annc.lsh") ==
+      (0L, 0L))
+  }
+
   test("batch kNN joins fall back to a static probe filter on plain frames") {
     import org.apache.spark.sql.functions.col
     val dim = 8

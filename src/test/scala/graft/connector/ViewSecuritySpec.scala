@@ -229,6 +229,45 @@ class ViewSecuritySpec extends AnyFunSuite {
     intercept[Throwable](spark.table("graft.vsec.cyc1").count())
   }
 
+  test("denied HEAD is indistinguishable from missing on every exists surface") {
+    // reference masks denied loads as 404 AND filters listings
+    // (can_include_in_list); the exists surfaces must answer
+    // identically for denied-vs-missing or existence leaks through
+    // the HEAD path even though GET is masked
+    fixture
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val secrets = Identifier.of(Array("vsec"), "secrets")
+    val view = Identifier.of(Array("vsec"), "public_view")
+    val missingT = Identifier.of(Array("vsec"), "no_such_table")
+    val missingV = Identifier.of(Array("vsec"), "no_such_view")
+    // alice is denied the table and missing-table: both answer false;
+    // the view alice CAN read answers true
+    withEnforcement("alice") {
+      assert(graftCatalog.tableExists(secrets) ==
+        graftCatalog.tableExists(missingT))
+      assert(!graftCatalog.tableExists(secrets))
+      assert(graftCatalog.viewExists(view))
+    }
+    // mallory holds nothing: view denied == view missing
+    withEnforcement("mallory") {
+      assert(graftCatalog.viewExists(view) ==
+        graftCatalog.viewExists(missingV))
+      assert(!graftCatalog.viewExists(view))
+      // namespace HEAD masks too (can_get_metadata on head_namespace)
+      assert(graftCatalog.namespaceExists(Array("vsec")) ==
+        graftCatalog.namespaceExists(Array("no_such_ns")))
+      assert(!graftCatalog.namespaceExists(Array("vsec")))
+    }
+    // the owner sees everything; unenforced sessions unchanged
+    withEnforcement("bob") {
+      assert(graftCatalog.tableExists(secrets))
+      assert(!graftCatalog.tableExists(missingT))
+    }
+    assert(graftCatalog.tableExists(secrets))
+    assert(graftCatalog.viewExists(view))
+    assert(graftCatalog.namespaceExists(Array("vsec")))
+  }
+
   test("denials are recorded on the event log with the real reason") {
     fixture
     withEnforcement("alice") {

@@ -254,22 +254,199 @@ class StorageProfileSpec extends AnyFunSuite {
       keyPrefix = Some("wh")).normalize()).accountName == "otheracct")
   }
 
+  // --------------------------------------------------- onelake profile
+  // mirrors az/onelake_profile.rs's own tests (base_location per
+  // endpoint mode, private-link host derivation, normalize rules,
+  // update immutability, overlap)
+
+  private val SampleWorkspace = "c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47"
+  private val SampleLakehouse = "9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04"
+
+  private def ol(
+      dir: Option[String] = Some("my_warehouse"),
+      folder: String = "Files",
+      mode: OneLakeEndpointMode = OneLakeDefaultEndpoint) =
+    OneLakeStorageProfile(SampleWorkspace, SampleLakehouse,
+      directoryRelPath = dir, topLevelFolder = folder, endpointMode = mode)
+
+  test("onelake base location per endpoint mode") {
+    // test_base_location_default_endpoint
+    assert(ol().normalize().baseLocation ==
+      s"abfss://$SampleWorkspace@onelake.dfs.fabric.microsoft.com/" +
+        s"$SampleLakehouse/Files/my_warehouse")
+    // test_base_location_regional_endpoint
+    assert(ol(mode = OneLakeRegionalEndpoint("westus")).normalize()
+      .baseLocation ==
+      s"abfss://$SampleWorkspace@westus-onelake.dfs.fabric.microsoft.com/" +
+        s"$SampleLakehouse/Files/my_warehouse")
+    // test_base_location_private_link: host account = un-dashed
+    // workspace uuid, suffix = z<xy> from its first two hex chars
+    val wpl = ol(mode = OneLakeWorkspacePrivateLink).normalize()
+    assert(wpl.dfsHost ==
+      "c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.dfs.fabric.microsoft.com")
+    assert(wpl.baseLocation ==
+      s"abfss://$SampleWorkspace@c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5" +
+        s".dfs.fabric.microsoft.com/$SampleLakehouse/Files/my_warehouse")
+    // test_base_location_tables_folder + no directory
+    assert(ol(dir = None, folder = "Tables").normalize().baseLocation ==
+      s"abfss://$SampleWorkspace@onelake.dfs.fabric.microsoft.com/" +
+        s"$SampleLakehouse/Tables")
+    // test_blob_host_per_endpoint_mode: dfs label → blob label
+    assert(ol().normalize().blobHost == "onelake.blob.fabric.microsoft.com")
+    assert(wpl.blobHost ==
+      "c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.blob.fabric.microsoft.com")
+    // only abfss is allowed (is_allowed_schema) — no wasbs opt-in
+    assert(ol().normalize().isAllowedScheme("abfss"))
+    assert(!ol().normalize().isAllowedScheme("wasbs"))
+  }
+
+  test("onelake normalize: region slug, TTL cap, directory, layout") {
+    def fails(body: => Any, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // test_normalize_lowercases_region / accepts_alphanumeric_regions
+    assert(ol(mode = OneLakeRegionalEndpoint("  WestUS ")).normalize()
+      .endpointMode == OneLakeRegionalEndpoint("westus"))
+    assert(ol(mode = OneLakeRegionalEndpoint("westus2")).normalize()
+      .endpointMode == OneLakeRegionalEndpoint("westus2"))
+    // rejects region with dot / hyphen / leading digit / empty — the
+    // host-segment-smuggling guard
+    fails(ol(mode = OneLakeRegionalEndpoint("westus.evil.com")).normalize(),
+      "region slug")
+    fails(ol(mode = OneLakeRegionalEndpoint("west-us")).normalize(),
+      "region slug")
+    fails(ol(mode = OneLakeRegionalEndpoint("2westus")).normalize(),
+      "region slug")
+    fails(ol(mode = OneLakeRegionalEndpoint("  ")).normalize(), "non-empty")
+    // test_normalize_rejects_zero_ttl / above-one-hour / at-one-hour
+    fails(ol().copy(sasTokenValiditySeconds = Some(0L)).normalize(),
+      "greater than 0")
+    fails(ol().copy(sasTokenValiditySeconds = Some(3601L)).normalize(),
+      "3600")
+    assert(ol().copy(sasTokenValiditySeconds = Some(3600L)).normalize()
+      .sasTokenValiditySeconds.contains(3600L))
+    // directory: slash-trim, empty, `..` traversal, 512-char cap
+    assert(ol(dir = Some("/my_warehouse/")).normalize()
+      .directoryRelPath.contains("my_warehouse"))
+    fails(ol(dir = Some("///")).normalize(), "must not be empty")
+    fails(ol(dir = Some("a/../b")).normalize(), "..")
+    fails(ol(dir = Some("x" * 513)).normalize(), "512")
+    // test_normalize_rejects_full_hierarchy_layout / tabular_only;
+    // accepts default (OneLake percent-decodes %XX → {name} aliases)
+    fails(ol().copy(storageLayout =
+      Some(fullLayout("{uuid}", "{uuid}"))).normalize(), "percent-decodes")
+    fails(ol().copy(storageLayout =
+      Some(flatLayout("{name}-{uuid}"))).normalize(), "percent-decodes")
+    assert(ol().copy(storageLayout = Some(DefaultLayout)).normalize()
+      .storageLayout.contains(DefaultLayout))
+    // UUID shape is validated with the failing field named
+    fails(OneLakeStorageProfile("not-a-uuid", SampleLakehouse).normalize(),
+      "workspace_id")
+    fails(OneLakeStorageProfile(SampleWorkspace, "nope").normalize(),
+      "lakehouse_id")
+    fails(ol(folder = "Data").normalize(), "top_level_folder")
+  }
+
+  test("onelake update immutability and mutable sas/authority") {
+    val base = ol().normalize()
+    def immutable(other: OneLakeStorageProfile, field: String): Unit = {
+      val e = intercept[IllegalArgumentException](base.updateWith(other))
+      assert(e.getMessage.contains(field), e.getMessage)
+    }
+    // test_update_with_immutable_workspace_id / endpoint_mode (+ the
+    // other three immutables)
+    immutable(base.copy(workspaceId =
+      "00000000-0000-0000-0000-000000000000"), "workspace_id")
+    immutable(base.copy(lakehouseId =
+      "00000000-0000-0000-0000-000000000000"), "lakehouse_id")
+    immutable(base.copy(topLevelFolder = "Tables"), "top_level_folder")
+    immutable(base.copy(directoryRelPath = Some("other")),
+      "directory_rel_path")
+    immutable(base.copy(endpointMode = OneLakeRegionalEndpoint("westus")),
+      "endpoint_mode")
+    // test_update_with_mutates_sas_settings / authority_host
+    val updated = base.updateWith(base.copy(
+      sasTokenValiditySeconds = Some(1800L), sasEnabled = false,
+      authorityHost = Some("https://login.example.com")))
+    assert(updated.sasTokenValiditySeconds.contains(1800L))
+    assert(!updated.sasEnabled)
+    assert(updated.authorityHost.contains("https://login.example.com"))
+    // test_update_with_preserves_storage_layout_when_other_unset
+    val withLayout = base.copy(storageLayout = Some(DefaultLayout))
+    assert(withLayout.updateWith(base.copy(storageLayout = None))
+      .storageLayout.contains(DefaultLayout))
+  }
+
+  test("onelake overlap: path-based, endpoint-independent") {
+    val a = ol().normalize()
+    // test_is_overlapping_same_directory / directory_prefix
+    assert(a.isOverlappingLocation(a))
+    assert(a.isOverlappingLocation(
+      ol(dir = Some("my_warehouse/sub")).normalize()))
+    // directory-BOUNDED: prefix does not overlap prefix-extra
+    assert(!a.isOverlappingLocation(
+      ol(dir = Some("my_warehouse-extra")).normalize()))
+    // test_is_overlapping_none_rel_path: root overlaps everything
+    assert(a.isOverlappingLocation(ol(dir = None).normalize()))
+    // different rel path / workspace / top-level folder don't overlap
+    assert(!a.isOverlappingLocation(ol(dir = Some("other")).normalize()))
+    assert(!a.isOverlappingLocation(ol().normalize().copy(
+      workspaceId = "00000000-0000-0000-0000-000000000000")))
+    assert(!a.isOverlappingLocation(
+      ol(folder = "Tables").normalize()))
+    // test_is_overlapping_different_endpoint_mode_still_overlaps: the
+    // endpoint picks the DNS route to the SAME on-storage path
+    assert(a.isOverlappingLocation(
+      ol(mode = OneLakeWorkspacePrivateLink).normalize()))
+  }
+
+  test("onelake json parses the REST kebab-case shape incl. modes") {
+    val p1 = StorageProfile.fromJson(
+      s"""{"type":"onelake","workspace-id":"$SampleWorkspace",
+         |"lakehouse-id":"$SampleLakehouse",
+         |"directory-rel-path":"wh",
+         |"endpoint-mode":{"type":"regional","region":"centralus"}}"""
+        .stripMargin)
+    assert(p1 == OneLakeStorageProfile(SampleWorkspace, SampleLakehouse,
+      directoryRelPath = Some("wh"),
+      endpointMode = OneLakeRegionalEndpoint("centralus")))
+    // serde's PascalCase variant names are accepted for the folder
+    // (test_serde_deserializes_pascal_case_top_level_folder)
+    assert(StorageProfile.fromJson(
+      s"""{"type":"onelake","workspace-id":"$SampleWorkspace",
+         |"lakehouse-id":"$SampleLakehouse","top-level-folder":"Tables"}"""
+        .stripMargin).asInstanceOf[OneLakeStorageProfile]
+      .topLevelFolder == "Tables")
+    assert(StorageProfile.fromJson(
+      s"""{"type":"onelake","workspace-id":"$SampleWorkspace",
+         |"lakehouse-id":"$SampleLakehouse",
+         |"endpoint-mode":{"type":"workspace-private-link"}}"""
+        .stripMargin).asInstanceOf[OneLakeStorageProfile]
+      .endpointMode == OneLakeWorkspacePrivateLink)
+  }
+
   test("profile type is immutable on update; json round-trips all types") {
     val s3 = p(keyPrefix = Some("wh")).normalize()
     val gcs = GcsStorageProfile("data-lake").normalize()
     val adls = AdlsStorageProfile("my-fs", "prodacct").normalize()
+    val onelake = OneLakeStorageProfile(SampleWorkspace, SampleLakehouse,
+      directoryRelPath = Some("my_warehouse")).normalize()
     intercept[IllegalArgumentException](s3.updateWith(gcs))
     intercept[IllegalArgumentException](gcs.updateWith(adls))
-    for (prof <- Seq(s3, gcs, adls))
+    intercept[IllegalArgumentException](adls.updateWith(onelake))
+    intercept[IllegalArgumentException](onelake.updateWith(s3))
+    for (prof <- Seq[StorageProfile.WarehouseStorageProfile](
+        s3, gcs, adls, onelake))
       assert(StorageProfile.fromJson(StorageProfile.toJson(prof)) == prof)
     // the azdls serde alias parses (mod.rs:63)
     assert(StorageProfile.fromJson(
       """{"type":"azdls","filesystem":"my-fs","account-name":"prodacct"}""")
       .isInstanceOf[AdlsStorageProfile])
-    // onelake names the reference and fails clearly
+    // onelake requires its ids
     val e = intercept[IllegalArgumentException](StorageProfile.fromJson(
       """{"type":"onelake"}"""))
-    assert(e.getMessage.contains("onelake_profile.rs"))
+    assert(e.getMessage.contains("workspace-id"))
   }
 
   // ------------------------------------------------------------- json
