@@ -1550,7 +1550,10 @@ final case class CompactAnnIndexProcedure(catalog: GraftCatalog)
 
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("table", StringType),
-    Procedures.paramWithDefault("min_staging_files", LongType, "1"))
+    Procedures.paramWithDefault("min_staging_files", LongType, "1"),
+    // IVF compaction re-assigns from the stored embedding; LSH
+    // re-homes from the stored bucket and ignores this
+    Procedures.paramWithDefault("emb_col", StringType, "'embedding'"))
 
   override def isDeterministic: Boolean = false
 
@@ -1558,8 +1561,25 @@ final case class CompactAnnIndexProcedure(catalog: GraftCatalog)
     val spark = SparkSession.active
     val tableName = input.getUTF8String(0).toString
     val minFiles = if (input.isNullAt(1)) 1L else math.max(1L, input.getLong(1))
-    val (files, rows) = graft.maintenance.CompactAnnIndex.run(
-      spark, s"${catalog.name()}.$tableName", minFiles.toInt)
+    val embCol =
+      if (input.isNullAt(2)) "embedding" else input.getUTF8String(2).toString
+    val fullName = s"${catalog.name()}.$tableName"
+    val kind = spark.table(fullName).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation =>
+        r.table.properties().get("graft.ann.kind")
+    }.flatMap(Option(_))
+    val (files, rows) = kind match {
+      case Some("lsh") =>
+        graft.ops.AnnIndex.compactLsh(spark, fullName, minFiles.toInt)
+      case Some("ivf") =>
+        graft.ops.AnnIndex.compactIvf(spark, fullName, embCol,
+          minStagingFiles = minFiles.toInt)
+      case other => throw new IllegalArgumentException(
+        s"$tableName is not a stamped ANN index (graft.ann.kind = " +
+          s"${other.getOrElse("absent")}); compact_ann_index supports " +
+          "lsh and ivf indexes")
+    }
     val schema = StructType(Seq(
       StructField("compacted_staging_files", LongType, nullable = false),
       StructField("rehomed_postings", LongType, nullable = false)))

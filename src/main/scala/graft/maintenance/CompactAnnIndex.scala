@@ -1,22 +1,23 @@
 package graft.maintenance
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.connector.{GraftCommitMessage, GraftDataWriter, GraftTable,
   GraftWrite, ManifestReplace}
 import graft.meta._
 import graft.store.TabularId
 
-/** Compaction half of the LSM-style incremental LSH index
-  * ([[graft.ops.AnnIndex.appendLsh]] / [[graft.ops.AnnIndex.compactLsh]]):
-  * appends stage postings under `grp = P` (l files per batch instead of
-  * O(l·P)); this operation re-homes every staged posting into its
-  * `grp = bucket mod P` partition in ONE atomic commit — new home files
-  * plus a ByPath removal of the staging files in the same snapshot, so
-  * a concurrent probe sees either layout, never both (duplicated
-  * candidates) or neither (lost postings). Mirrors the
-  * write-files-then-single-replace-commit shape of
+/** Compaction half of the LSM-style incremental ANN indexes
+  * ([[graft.ops.AnnIndex.appendLsh]]/[[graft.ops.AnnIndex.appendIvf]] →
+  * [[graft.ops.AnnIndex.compactLsh]]/[[graft.ops.AnnIndex.compactIvf]]):
+  * appends stage postings under a sentinel partition value (O(1) files
+  * per batch instead of one per touched partition); this operation
+  * re-homes every staged posting into its true partition in ONE atomic
+  * commit — new home files plus a ByPath removal of the staging files
+  * in the same snapshot, so a concurrent probe sees either layout,
+  * never both (duplicated candidates) or neither (lost postings).
+  * Mirrors the write-files-then-single-replace-commit shape of
   * [[RewritePositionDeletes]]. A staging file landing BETWEEN this
   * scan and the commit simply survives (only scanned paths are
   * removed); a scanned file vanishing concurrently fails the commit.
@@ -38,57 +39,53 @@ object CompactAnnIndex {
         s"$table is not a graft catalog table")
     }
 
-  /** The staging partition value: one past the stamped home-group
-    * modulus range [0, P).
-    */
-  private def stagingGroup(t: GraftTable): Long = {
-    val props = t.meta.properties
-    require(props.get("graft.ann.kind").contains("lsh"),
-      s"${t.tableId} is not a stamped LSH index")
-    props.get("graft.ann.bucket-groups").map(_.toLong).getOrElse(
-      1L << props("graft.ann.bits").toInt)
-  }
-
-  private def stagingEntries(t: GraftTable): Seq[DataFile] = {
-    val staging = stagingGroup(t).toString
-    t.liveFiles.filter(_.partition.get("grp").flatten.contains(staging))
-  }
+  private def stagingEntries(t: GraftTable, partCol: String,
+      stagingValue: Long): Seq[DataFile] =
+    t.liveFiles.filter(
+      _.partition.get(partCol).flatten.contains(stagingValue.toString))
 
   /** Live manifest entries sitting in the staging partition. */
-  def stagingFiles(spark: SparkSession, table: String): Seq[DataFile] =
-    stagingEntries(graftTable(spark.table(table), table))
+  def stagingFiles(spark: SparkSession, table: String, partCol: String,
+      stagingValue: Long): Seq[DataFile] =
+    stagingEntries(graftTable(spark.table(table), table), partCol,
+      stagingValue)
 
-  /** @return (staging files compacted, postings re-homed); (0, 0) when
+  /** Re-home the rows of partition `partCol = stagingValue` to
+    * `partCol = rehome` atomically.
+    *
+    * @return (staging files compacted, postings re-homed); (0, 0) when
     * the staging file count is below `minStagingFiles` (the
     * files-per-partition trigger for scheduled maintenance).
     */
-  def run(spark: SparkSession, table: String,
+  def run(spark: SparkSession, table: String, partCol: String,
+      stagingValue: Long, rehome: Column,
       minStagingFiles: Int = 1): (Long, Long) = {
     // ONE table load: the staged-path set and the row scan below both
     // come from this relation's pinned snapshot — a second load could
     // see a newer snapshot and re-home rows whose file is not removed
     val df = spark.table(table)
     val t = graftTable(df, table)
-    val staging = stagingGroup(t)
-    val stagingPaths = stagingEntries(t).map(_.path)
+    val stagingPaths =
+      stagingEntries(t, partCol, stagingValue).map(_.path)
     if (stagingPaths.isEmpty || stagingPaths.size < minStagingFiles)
       return (0L, 0L)
 
     val meta = t.meta
     val schema = meta.currentSchema.struct
-    // staged rows with their HOME group restored, read through the
-    // TABLE scan (any delete files apply; a delete covering staged rows
-    // dangles harmlessly after re-homing, like rewrite_data_files);
-    // column order pinned to the table schema so the raw InternalRows
-    // feed the writer 1:1
-    val rehomed: DataFrame = df
-      .filter(col("grp") === lit(staging))
-      .withColumn("grp", pmod(col("bucket"), lit(staging)))
-      .select(schema.fieldNames.map(col).toSeq: _*)
-      .repartition(col("table_id"), col("grp"))
-
+    // staged rows with their HOME partition value restored, read
+    // through the TABLE scan (any delete files apply; a delete
+    // covering staged rows dangles harmlessly after re-homing, like
+    // rewrite_data_files); column order pinned to the table schema so
+    // the raw InternalRows feed the writer 1:1
     val location = meta.location
     val spec = meta.defaultSpec
+    val rehomed: DataFrame = df
+      .filter(col(partCol) === lit(stagingValue))
+      .withColumn(partCol, rehome)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      // cluster on the FULL partition tuple so each home partition is
+      // written by exactly one task → one file per touched partition
+      .repartition(spec.fields.map(f => col(f.sourceName)).toSeq: _*)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val written: Seq[DataFile] = rehomed.queryExecution.toRdd

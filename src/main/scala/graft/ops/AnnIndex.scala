@@ -168,24 +168,59 @@ object AnnIndex {
     * catalog table, so `DELETE FROM index WHERE ...` removes vectors
     * and probes stop returning them (e2e-verified).
     */
+  /** IVF staging partition value: list ids are 1-based
+    * (`array_position`), so 0 is "not yet assigned".
+    */
+  private[graft] val IvfStagingList = 0L
+
   def appendIvf(
       df: DataFrame,
       table: String,
-      embCol: String,
-      centroids: Option[Seq[Array[Double]]] = None): Unit = {
+      embCol: String): Unit = {
     val spark = df.sparkSession
     val index = spark.table(table)
     val props = tableProps(index)
     require(props.get(KindProp).contains("ivf"),
       s"$table is not a stamped IVF index; incremental append needs the " +
         "build-time geometry")
+    require(df.columns.contains(embCol),
+      s"append batch has no '$embCol' column")
+    // LSM staging, like appendLsh: the batch lands UNASSIGNED under
+    // list_id = 0 (one file per append, not one per touched list —
+    // numLists at 100 TB is 10^4-10^5). Assignment happens with the
+    // VERIFIED codebook at probe time (the staging leg recomputes the
+    // list from the stored embedding) and permanently at
+    // [[compactIvf]] — so no codebook is needed, or can drift, here.
+    df.withColumn("list_id", lit(IvfStagingList))
+      .writeTo(table)
+      .append()
+  }
+
+  /** Staged (un-compacted) posting files of an IVF index. */
+  def ivfStagingFileCount(spark: SparkSession, table: String): Long =
+    graft.maintenance.CompactAnnIndex
+      .stagingFiles(spark, table, "list_id", IvfStagingList).size.toLong
+
+  /** Re-home every staged IVF vector into its nearest-centroid list
+    * partition in ONE atomic commit — the [[compactLsh]] analog. The
+    * codebook is VERIFIED against the stamp (a trained-centroid index
+    * refuses a seeded-centroid compaction with a clear error).
+    *
+    * @return (staging files compacted, vectors re-homed)
+    */
+  def compactIvf(spark: SparkSession, table: String, embCol: String,
+      centroids: Option[Seq[Array[Double]]] = None,
+      minStagingFiles: Int = 1): (Long, Long) = {
+    val index = spark.table(table)
+    val props = tableProps(index)
+    require(props.get(KindProp).contains("ivf"),
+      s"$table is not a stamped IVF index")
     val numLists = props(ListsProp).toInt
     val seed = props(SeedProp).toLong
     val cents = resolveIvfCodebook(index, numLists, seed, centroids,
       props(DimProp).toInt)
-    df.withColumn("list_id", Ivf.listId(col(embCol), cents))
-      .writeTo(table)
-      .append()
+    graft.maintenance.CompactAnnIndex.run(spark, table, "list_id",
+      IvfStagingList, Ivf.listId(col(embCol), cents), minStagingFiles)
   }
 
   /** [[appendIvf]] for the LSH posting-list index, LSM-style: the
@@ -230,11 +265,23 @@ object AnnIndex {
       .append()
   }
 
+  /** The LSH staging partition value (one past the home-group modulus
+    * range [0, P)) of a stamped index.
+    */
+  private def lshStagingGroup(spark: SparkSession, table: String): Long = {
+    val props = tableProps(spark.table(table))
+    require(props.get(KindProp).contains("lsh"),
+      s"$table is not a stamped LSH index")
+    props.get(GroupsProp).map(_.toLong)
+      .getOrElse(1L << props(BitsProp).toInt)
+  }
+
   /** Staged (un-compacted) posting files of an LSH index — the
     * files-per-partition trigger for scheduling [[compactLsh]].
     */
   def lshStagingFileCount(spark: SparkSession, table: String): Long =
-    graft.maintenance.CompactAnnIndex.stagingFiles(spark, table).size.toLong
+    graft.maintenance.CompactAnnIndex.stagingFiles(spark, table, "grp",
+      lshStagingGroup(spark, table)).size.toLong
 
   /** Re-home every staged posting into its `grp = bucket mod P` home
     * partition in ONE atomic commit (new home files written, staging
@@ -246,8 +293,11 @@ object AnnIndex {
     * @return (staging files compacted, postings re-homed)
     */
   def compactLsh(spark: SparkSession, table: String,
-      minStagingFiles: Int = 1): (Long, Long) =
-    graft.maintenance.CompactAnnIndex.run(spark, table, minStagingFiles)
+      minStagingFiles: Int = 1): (Long, Long) = {
+    val staging = lshStagingGroup(spark, table)
+    graft.maintenance.CompactAnnIndex.run(spark, table, "grp", staging,
+      pmod(col("bucket"), lit(staging)), minStagingFiles)
+  }
 
   /** One-row dim probe for UN-stamped plain frames (empty batch → a
     * placeholder dim; no row ever evaluates the probe expressions).
@@ -303,8 +353,27 @@ object AnnIndex {
       queryVec.length)
     val probes = Ivf.probeLists(queryVec, cents, nprobe)
     val qLit = typedlit(queryVec.toSeq)
+    // stamped indexes may carry STAGED appends (list_id = 0, not yet
+    // assigned): re-derive their true list from the stored embedding
+    // with the verified codebook, so a staged vector contributes
+    // exactly when its home list is probed — result-identical to a
+    // compacted index. The partition filter bounds the extra read to
+    // the staging files (zero when fully compacted).
+    val (partitionFilter, probe) =
+      if (tableProps(index).contains(ListsProp))
+        // the conjoined PARTITION-ONLY IN-set is what FilePruning
+        // prunes on (the OR's second branch references the embedding,
+        // a data column, so the OR alone can't prune); the OR keeps
+        // staged candidates exact
+        (col("list_id").isin(probes :+ IvfStagingList: _*),
+          col("list_id").isin(probes: _*) ||
+            (col("list_id") === lit(IvfStagingList) &&
+              Ivf.listId(col(embCol), cents).isin(probes: _*)))
+      else (col("list_id").isin(probes: _*),
+        col("list_id").isin(probes: _*))
     index
-      .filter(col("list_id").isin(probes: _*))
+      .filter(partitionFilter)
+      .filter(probe)
       .withColumn("cos_sim", round(Ann.cosine(col(embCol), qLit), 6))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -353,10 +422,23 @@ object AnnIndex {
         if (probed.isEmpty) index.limit(0)
         else index.filter(col("list_id").isin(probed: _*))
       }
+    // staged appends (list_id = 0): re-assign from the stored
+    // embedding with the verified codebook and equi-join on the same
+    // key — a staged vector contributes exactly when its home list is
+    // probed. The partition filter bounds the read to staging files.
+    val homeCands = probes.join(pruned, Seq("list_id"))
+    val cands =
+      if (tableProps(index).contains(ListsProp)) {
+        val staged = index
+          .filter(col("list_id") === lit(IvfStagingList))
+          .drop("list_id")
+          .withColumn("list_id", Ivf.listId(col(embCol), cents))
+        homeCands.unionByName(probes.join(staged, Seq("list_id")))
+      } else homeCands
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
-    probes.join(pruned, Seq("list_id"))
+    cands
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim",
         round(Ann.cosine(col(embCol), col("q_emb")), 6))

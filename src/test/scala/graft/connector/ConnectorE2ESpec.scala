@@ -699,7 +699,9 @@ class ConnectorE2ESpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.anninc")
 
     // IVF: build on the first half, append the second — a probe must
-    // be identical to the one-shot build over the full corpus
+    // be identical to the one-shot build over the full corpus, BOTH
+    // while the append sits staged (list_id = 0, probe re-derives the
+    // home list) and after compaction re-homes it
     graft.ops.AnnIndex.buildIvf(df.filter(col("vec_id") < 100),
       "graft.anninc.ivf", "embedding", numLists = 4, dim = dim, seed = 42L)
     graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 100),
@@ -712,7 +714,17 @@ class ConnectorE2ESpec extends AnyFunSuite {
     val expected = graft.ops.Ivf.topK(df, "vec_id", "embedding", qVec,
       k = 10, numLists = 4, nprobe = 2, seed = 42L)
       .select("vec_id", "cos_sim").collect().toSeq
-    assert(probe() == expected)
+    assert(probe() == expected) // staged
+    assert(graft.ops.AnnIndex.ivfStagingFileCount(spark,
+      "graft.anninc.ivf") >= 1L)
+    val res = spark.sql(
+      """CALL graft.system.compact_ann_index(
+        |  table => 'anninc.ivf', emb_col => 'embedding')""".stripMargin)
+      .collect()(0)
+    assert(res.getLong(1) == 100L, res.toString)
+    assert(graft.ops.AnnIndex.ivfStagingFileCount(spark,
+      "graft.anninc.ivf") == 0L)
+    assert(probe() == expected) // compacted
 
     // vector deletion is plain row-level DELETE on the index table;
     // probes stop returning the deleted vectors
@@ -971,18 +983,31 @@ class ConnectorE2ESpec extends AnyFunSuite {
     graft.ops.AnnIndex.buildIvf(df.filter(col("vec_id") < 50),
       "graft.ann.ivf_trained_guard", "embedding",
       numLists = 4, dim = dim, centroids = Some(trained))
-    // centroids=None resolves SEEDED centroids — on a trained-centroid
-    // index that codebook is WRONG and would silently place appended
-    // vectors in lists probes never read; the stamp must reject it
+    // appends are STAGED (no assignment happens, so no codebook can
+    // drift at append time)...
+    graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 50),
+      "graft.ann.ivf_trained_guard", "embedding")
+    assert(spark.table("graft.ann.ivf_trained_guard").count() == 100)
+    // ...but assignment surfaces DO verify: centroids=None resolves
+    // SEEDED centroids — on a trained-centroid index that codebook is
+    // WRONG and would silently place/probe vectors in lists probes
+    // never read; the stamp must reject both compaction and probes
     val e = intercept[IllegalArgumentException] {
-      graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 50),
+      graft.ops.AnnIndex.compactIvf(spark,
         "graft.ann.ivf_trained_guard", "embedding")
     }
     assert(e.getMessage.contains("codebook"), e.getMessage)
-    // the RIGHT codebook appends fine and probes see the new vectors
-    graft.ops.AnnIndex.appendIvf(df.filter(col("vec_id") >= 50),
-      "graft.ann.ivf_trained_guard", "embedding",
-      centroids = Some(trained))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.probeIvf(
+        spark.table("graft.ann.ivf_trained_guard"), "vec_id", "embedding",
+        rows.head._2.map(_.toDouble), k = 5, numLists = 4)
+    }
+    assert(e2.getMessage.contains("codebook"), e2.getMessage)
+    // the RIGHT codebook compacts fine and the staging drains
+    graft.ops.AnnIndex.compactIvf(spark, "graft.ann.ivf_trained_guard",
+      "embedding", centroids = Some(trained))
+    assert(graft.ops.AnnIndex.ivfStagingFileCount(spark,
+      "graft.ann.ivf_trained_guard") == 0L)
     assert(spark.table("graft.ann.ivf_trained_guard").count() == 100)
   }
 
