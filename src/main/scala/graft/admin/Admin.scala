@@ -1,6 +1,6 @@
 package graft.admin
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,6 +36,112 @@ object Admin {
   def changeEventStream(spark: SparkSession, store: FileCatalogStore): DataFrame = {
     java.nio.file.Files.createDirectories(store.changesDir)
     spark.readStream.schema(eventSchema).json(store.changesDir.toString)
+  }
+
+  /** The reference's CloudEvents type names for tabular mutations
+    * (service/events/publisher.rs: createTable/updateTable/dropTable/
+    * registerTable/renameTable, the view and generic-table triples,
+    * undropTabulars), keyed on this store's internal (event-type,
+    * kind). Events outside the reference's published set (grants,
+    * warehouse/project admin, scan reports) keep their internal name;
+    * the reference simply does not publish those.
+    */
+  /** Tabular kind of an event row: the explicit `kind` extra when the
+    * event logs one (drops/purges/undrops), else inferred from the
+    * event-type prefix (view-created / generic-table-created).
+    */
+  private def inferredKind: Column =
+    coalesce(col("extra")("kind"),
+      when(col("event-type").startsWith("view"), "view")
+        .when(col("event-type").startsWith("generic"), "generic")
+        .otherwise("table"))
+
+  private def cloudEventType: Column = {
+    val kind = inferredKind
+    def byKind(table: String, view: String, generic: String): Column =
+      when(kind === "view", view)
+        .when(kind === "generic", generic)
+        .otherwise(table)
+    when(col("event-type") === "table-created", "createTable")
+      .when(col("event-type") === "table-commit", "updateTable")
+      .when(col("event-type") === "table-registered", "registerTable")
+      .when(col("event-type") === "view-created", "createView")
+      .when(col("event-type") === "view-commit", "updateView")
+      .when(col("event-type") === "generic-table-created",
+        "createGenericTable")
+      .when(col("event-type") === "tabular-renamed",
+        byKind("renameTable", "renameView", "renameGenericTable"))
+      .when(col("event-type") === "tabular-soft-deleted",
+        byKind("dropTable", "dropView", "dropGenericTable"))
+      .when(col("event-type") === "tabular-purged",
+        byKind("dropTable", "dropView", "dropGenericTable"))
+      .when(col("event-type") === "tabular-undropped", "undropTabulars")
+      .otherwise(col("event-type"))
+  }
+
+  /** CloudEvents v1.0 envelopes over the change-event log: the pure
+    * half of the reference's Kafka/NATS publishers
+    * (service/events/publisher.rs:630-668 builds exactly this
+    * attribute surface; the broker byte-protocols stay out of scope
+    * offline). One row per event with the spec's REQUIRED attributes
+    * (specversion/id/source/type), `time` + `datacontenttype`/`data`,
+    * and the reference's extension attributes an in-process log
+    * carries: `tabulartype`, `name`, `namespace`, `sequencenumber`
+    * (per-tabular log order; the reference's per-commit counter
+    * generalized), and `actor` (the reference's tagged-enum JSON,
+    * `{"type":"anonymous"}` when the event carries no principal).
+    * Deliberate deltas, documented: `id` is a DETERMINISTIC content
+    * UUID rather than a random v4 so the feed is replayable and
+    * idempotent for downstream consumers, and `source` takes the host
+    * label as a parameter instead of resolving the machine hostname
+    * (no environment reads in a pure renderer); `trace-id` needs a
+    * tracing context that does not exist in-process. `envelope_json`
+    * is the structured-mode rendering a broker sink would publish
+    * verbatim.
+    */
+  def cloudEvents(spark: SparkSession, store: FileCatalogStore,
+      sourceHost: String = "graft"): DataFrame = {
+    // per-tabular sequence: log timestamps have ms resolution, so a
+    // same-ms tie is broken causally (the *-created event necessarily
+    // precedes every other event of that tabular)
+    val seqW = Window
+      .partitionBy(col("namespace"), col("name"))
+      .orderBy(col("ts-ms"),
+        when(col("event-type").endsWith("-created"), lit(0))
+          .otherwise(lit(1)),
+        col("event-type"))
+    val attrs = changeEvents(spark, store)
+      .withColumn("type", cloudEventType)
+      .withColumn("specversion", lit("1.0"))
+      .withColumn("source",
+        lit(s"uri:iceberg-catalog-service:$sourceHost"))
+      .withColumn("sequencenumber", row_number().over(seqW).cast(LongType))
+      .withColumn("_h", md5(concat_ws(" ", col("type"), col("namespace"),
+        col("name"), col("sequencenumber"))))
+      .withColumn("id", concat_ws("-",
+        substring(col("_h"), 1, 8), substring(col("_h"), 9, 4),
+        substring(col("_h"), 13, 4), substring(col("_h"), 17, 4),
+        substring(col("_h"), 21, 12)))
+      .drop("_h")
+      .withColumn("time",
+        date_format(timestamp_millis(col("ts-ms")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
+      .withColumn("datacontenttype", lit("application/json"))
+      .withColumn("tabulartype", inferredKind)
+      .withColumn("actor",
+        when(col("extra")("user").isNotNull,
+          concat(lit("{\"type\":\"principal\",\"principal\":\""),
+            col("extra")("user"), lit("\"}")))
+          .otherwise(lit("{\"type\":\"anonymous\"}")))
+      .withColumn("data", to_json(col("extra")))
+    attrs.withColumn("envelope_json", to_json(struct(
+        col("specversion"), col("id"), col("source"), col("type"),
+        col("time"), col("datacontenttype"), col("tabulartype"),
+        col("name"), col("namespace"), col("sequencenumber"),
+        col("actor"), col("data"))))
+      .select("specversion", "id", "source", "type", "time",
+        "datacontenttype", "tabulartype", "namespace", "name",
+        "sequencenumber", "actor", "data", "envelope_json")
   }
 
   /** Time-series of table/view counts (reference: getWarehouseStatistics,

@@ -412,23 +412,25 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
         // rewrite_position_delete_files GC them. Fast path: parent IS
         // the scanned snapshot → nothing landed → no manifest read.
         val newParts = newFiles.map(_.partition).toSet
+        val scannedSeq = table.readSnapshot
+          .map(_.sequenceNumber).getOrElse(0L)
         val freshKept: Seq[DataFile] =
           if (preserveSequence.isEmpty ||
               parentSnapshot.map(_.snapshotId) ==
                 table.readSnapshot.map(_.snapshotId)) Nil
           else {
-            val scannedSeq = table.readSnapshot
-              .map(_.sequenceNumber).getOrElse(0L)
             val entries = table.store
               .readManifests(current.location, parentManifests)
               .flatMap(_.entries)
             val fresh = entries.filter(_.sequenceOrOldest > scannedSeq)
-            // the data files THIS commit removes: whole scanned table
-            // (truncate) or the overwritten partitions (dynamic)
-            val replaced = entries.filter(e => e.isData && (mode match {
-              case "dynamic" => newParts.contains(e.partition)
-              case _ => e.sequenceOrOldest <= scannedSeq
-            }))
+            // the data files THIS commit removes: the SCANNED files of
+            // the whole table (truncate) or of the overwritten
+            // partitions (dynamic) — never anything fresher
+            val replaced = entries.filter(e => e.isData &&
+              e.sequenceOrOldest <= scannedSeq && (mode match {
+                case "dynamic" => newParts.contains(e.partition)
+                case _ => true
+              }))
             val conflicting = fresh.filter(_.isPositionDeletes).filter { d =>
               d.columnStats.get(PositionDeletes.PathColumn) match {
                 case Some(st) if st.min.isDefined && st.max.isDefined =>
@@ -478,10 +480,17 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
           case "dynamic" =>
             // replace only the partitions the new files touch; manifest
             // processing is per-manifest and distributed — untouched
-            // manifests survive by path, no O(total-files) driver work
+            // manifests survive by path, no O(total-files) driver work.
+            // Under a rewrite (preserveSequence set) the replacement is
+            // additionally SEQUENCE-BOUNDED: a data file appended into
+            // an affected partition mid-rewrite was never scanned and
+            // must survive (a plain INSERT OVERWRITE PARTITION keeps
+            // replacing wholesale, as ever)
             val (keptManifests, removed) = ManifestReplace(
               current.location, parentManifests,
-              ManifestReplace.ByPartition(newParts),
+              if (preserveSequence.isDefined)
+                ManifestReplace.ByPartitionUpTo(newParts, scannedSeq)
+              else ManifestReplace.ByPartition(newParts),
               current.specs, current.currentSchema.struct,
               current.defaultSpec, snapshotId)
             (keptManifests :+ manifestPath, "overwrite",

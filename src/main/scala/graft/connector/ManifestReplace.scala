@@ -48,6 +48,19 @@ object ManifestReplace {
       paths.contains(f.path)
   }
 
+  /** Compaction's partition replace: drop files in these partition
+    * tuples ONLY up to the scanned sequence — a data file committed
+    * AFTER the snapshot the rewrite read was never part of its input
+    * and must survive (Iceberg RewriteFiles replaces exactly the
+    * scanned files; a plain dynamic overwrite replaces wholesale).
+    */
+  final case class ByPartitionUpTo(parts: Set[Map[String, Option[String]]],
+      maxSeq: Long) extends RemoveSpec {
+    def removes(f: DataFile, specs: Map[Int, PartitionSpec],
+        schema: StructType, defaultSpec: PartitionSpec): Boolean =
+      parts.contains(f.partition) && f.sequenceOrOldest <= maxSeq
+  }
+
   /** Static overwrite: drop files whose identity partition values
     * satisfy the filters.
     */

@@ -299,6 +299,37 @@ object AnnIndex {
       pmod(col("bucket"), lit(staging)), minStagingFiles)
   }
 
+  /** Whether the index snapshot holds any STAGED (un-compacted) append
+    * files — the gate for the probes' staging leg, so a fully-compacted
+    * index pays ZERO extra plan/scan cost for the incremental-append
+    * feature. Decided from manifest SUMMARIES of the SAME snapshot the
+    * probe scans (O(#manifests) tiny sidecar reads, snapshot-consistent
+    * — no races with concurrent appends/compactions); an absent or
+    * overflowed partition-value summary keeps the leg (conservative).
+    * Plain (non-catalog) frames return true — the caller's fallback
+    * join finds staged rows anyway (LSH) or the filter branch keeps
+    * them (IVF).
+    */
+  private def hasStagedFiles(index: DataFrame, partCol: String,
+      staging: Long): Boolean =
+    index.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.table
+    } match {
+      case Some(t: graft.connector.GraftTable) =>
+        val loc = t.meta.location
+        t.readSnapshot.toSeq.flatMap(_.manifests).exists { m =>
+          t.store.readManifestSummary(loc, m) match {
+            case Some(s) => s.partitionValues.get(partCol) match {
+              case Some(vs) => vs.contains(Some(staging.toString))
+              case None => true
+            }
+            case None => true
+          }
+        }
+      case _ => true
+    }
+
   /** One-row dim probe for UN-stamped plain frames (empty batch → a
     * placeholder dim; no row ever evaluates the probe expressions).
     */
@@ -360,7 +391,8 @@ object AnnIndex {
     // compacted index. The partition filter bounds the extra read to
     // the staging files (zero when fully compacted).
     val (partitionFilter, probe) =
-      if (tableProps(index).contains(ListsProp))
+      if (tableProps(index).contains(ListsProp) &&
+          hasStagedFiles(index, "list_id", IvfStagingList))
         // the conjoined PARTITION-ONLY IN-set is what FilePruning
         // prunes on (the OR's second branch references the embedding,
         // a data column, so the OR alone can't prune); the OR keeps
@@ -428,7 +460,8 @@ object AnnIndex {
     // probed. The partition filter bounds the read to staging files.
     val homeCands = probes.join(pruned, Seq("list_id"))
     val cands =
-      if (tableProps(index).contains(ListsProp)) {
+      if (tableProps(index).contains(ListsProp) &&
+          hasStagedFiles(index, "list_id", IvfStagingList)) {
         val staged = index
           .filter(col("list_id") === lit(IvfStagingList))
           .drop("list_id")
@@ -698,13 +731,13 @@ object AnnIndex {
     // are disjoint by construction (home grp < P, staged grp = P).
     val homeCands = probes.join(pruned, joinKeys).drop(joinKeys: _*)
     val cands = groups match {
-      case Some(g) =>
+      case Some(g) if hasStagedFiles(index, "grp", g) =>
         val staged = probes0
           .join(index.filter(col("grp") === lit(g)).drop("grp"),
             Seq("table_id", "bucket"))
           .drop("table_id", "bucket")
         homeCands.unionByName(staged)
-      case None => homeCands
+      case _ => homeCands
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
@@ -739,6 +772,7 @@ object AnnIndex {
         s"dim=$dim but the query vector has ${queryVec.length} components")
     val ps = Ann.planes(l, bits, queryVec.length, seed)
     val groups = lshGroups(index)
+    val staged = groups.exists(g => hasStagedFiles(index, "grp", g))
     val probe = ps.zipWithIndex.map { case (tp, t) =>
       val b = Ann.bucketOf(queryVec, tp)
       val base = col("table_id") === lit(t) && col("bucket") === lit(b)
@@ -746,9 +780,11 @@ object AnnIndex {
       // group id is what FilePruning actually prunes on; staged
       // postings (grp = P, appended but not yet compacted) are read
       // too — bucket equality keeps the candidate set exact
-      groups.map(g => base &&
-        (col("grp") === lit(b % g) || col("grp") === lit(g)))
-        .getOrElse(base)
+      groups.map { g =>
+        if (staged)
+          base && (col("grp") === lit(b % g) || col("grp") === lit(g))
+        else base && col("grp") === lit(b % g)
+      }.getOrElse(base)
     }.reduce(_ || _)
     val qLit = typedlit(queryVec.toSeq)
     index

@@ -730,6 +730,50 @@ object CatalogOps {
       rows.toDF("what", "loc").orderBy("what")
     },
 
+    // ------------------------------------------ CloudEvents change feed
+    // CloudEvents v1.0 envelopes over the catalog change log — the pure
+    // half of the reference's Kafka/NATS publishers
+    // (service/events/publisher.rs builds this exact attribute surface;
+    // broker byte-protocols stay out of scope offline). A scripted
+    // create-table → commit → create-view sequence in its own namespace
+    // must render the reference's type names (createTable/updateTable/
+    // createView), inferred tabular types, per-tabular sequence
+    // numbers, and the anonymous-actor JSON. The oracle is the
+    // hand-derived envelope table.
+    Q(
+      "qc21_cloudevents",
+      """SELECT * FROM (VALUES
+        |  ('cevt', 't1', 1, 'createTable', 'table', '1.0',
+        |   'uri:iceberg-catalog-service:graft', '{"type":"anonymous"}'),
+        |  ('cevt', 't1', 2, 'updateTable', 'table', '1.0',
+        |   'uri:iceberg-catalog-service:graft', '{"type":"anonymous"}'),
+        |  ('cevt', 'v1', 1, 'createView', 'view', '1.0',
+        |   'uri:iceberg-catalog-service:graft', '{"type":"anonymous"}'))
+        |AS t(namespace, name, seq, type, tabular_type, specversion,
+        |     source, actor)
+        |ORDER BY name, seq""".stripMargin) { (s, dir) =>
+      prepare(s, dir)
+      val store = s.sessionState.catalogManager.catalog(CatalogName)
+        .asInstanceOf[GraftCatalog].store
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.cevt")
+      // run the scripted mutations ONCE per warehouse (repeated bench
+      // passes must not append more change events)
+      if (s.sql(s"SHOW TABLES IN $CatalogName.cevt").isEmpty) {
+        s.sql(s"CREATE TABLE $CatalogName.cevt.t1 (id BIGINT)")
+        s.sql(s"INSERT INTO $CatalogName.cevt.t1 VALUES (1), (2)")
+        s.sql(
+          s"""CREATE VIEW $CatalogName.cevt.v1 AS
+             |SELECT id FROM $CatalogName.cevt.t1""".stripMargin)
+      }
+      graft.admin.Admin.cloudEvents(s, store, "graft")
+        .filter(col("namespace") === "cevt")
+        .select(col("namespace"), col("name"),
+          col("sequencenumber").cast("int").as("seq"), col("type"),
+          col("tabulartype").as("tabular_type"), col("specversion"),
+          col("source"), col("actor"))
+        .orderBy(col("name"), col("seq"))
+    },
+
     // --------------------------------- referenced-by view-chain authz
     // DEFINER delegation through the load path (reference:
     // server/tables/authorize_load.rs; docs/docs/view-security.md):

@@ -52,6 +52,58 @@ class AdminSpec extends AnyFunSuite {
     assert(stats.last.getLong(1) == 1, s"got ${stats.last}")
   }
 
+  test("cloudEvents renders the reference's envelope attribute surface") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.cedb")
+    spark.sql("CREATE TABLE gadmin.cedb.ce1 (id BIGINT)")
+    spark.sql("INSERT INTO gadmin.cedb.ce1 VALUES (1)")
+    spark.sql("CREATE VIEW gadmin.cedb.cv1 AS SELECT id FROM gadmin.cedb.ce1")
+    spark.sql("DROP VIEW gadmin.cedb.cv1")
+    val ce = Admin.cloudEvents(spark, cat.store, "testhost")
+      .filter(col("namespace") === "cedb")
+      .orderBy(col("name"), col("sequencenumber"))
+      .collect()
+    val rows = ce.map(r => (r.getAs[String]("name"),
+      r.getAs[Long]("sequencenumber"), r.getAs[String]("type"),
+      r.getAs[String]("tabulartype"))).toSeq
+    // the reference's type names, kind-aware (publisher.rs): drops map
+    // by the logged kind, creates/commits by event family
+    assert(rows == Seq(
+      ("ce1", 1L, "createTable", "table"),
+      ("ce1", 2L, "updateTable", "table"),
+      ("cv1", 1L, "createView", "view"),
+      ("cv1", 2L, "dropView", "view")), rows.toString)
+    // required CloudEvents 1.0 attributes present and well-formed
+    ce.foreach { r =>
+      assert(r.getAs[String]("specversion") == "1.0")
+      assert(r.getAs[String]("source") ==
+        "uri:iceberg-catalog-service:testhost")
+      assert(r.getAs[String]("id")
+        .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
+        r.getAs[String]("id"))
+      assert(r.getAs[String]("datacontenttype") == "application/json")
+      assert(r.getAs[String]("actor") == """{"type":"anonymous"}""")
+      val env = r.getAs[String]("envelope_json")
+      assert(env.contains("\"specversion\":\"1.0\"") &&
+        env.contains("\"type\":\"" + r.getAs[String]("type") + "\""), env)
+    }
+    // deterministic ids: the same event always renders the same id
+    // (replayable feed — documented delta vs the reference's random v4)
+    val again = Admin.cloudEvents(spark, cat.store, "testhost")
+      .filter(col("namespace") === "cedb")
+      .orderBy(col("name"), col("sequencenumber"))
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(again == ce.map(_.getAs[String]("id")).toSeq)
+    // an authz denial event carries the enforced principal as actor
+    cat.store.logEvent("authz-load-denied",
+      graft.store.TabularId(Seq("cedb"), "ce1"), Map("user" -> "alice"))
+    val denied = Admin.cloudEvents(spark, cat.store, "testhost")
+      .filter(col("type") === "authz-load-denied").collect()
+    assert(denied.nonEmpty)
+    assert(denied.head.getAs[String]("actor") ==
+      """{"type":"principal","principal":"alice"}""")
+  }
+
   test("search_tabular ranks exact match first, fuzzy next, top-10") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.adb")
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.customer_orders (id BIGINT)")

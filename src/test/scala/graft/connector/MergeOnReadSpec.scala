@@ -799,6 +799,74 @@ class MergeOnReadSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 10)
   }
 
+  test("partitioned compaction keeps mid-flight appends into affected partitions") {
+    // the dynamic-overwrite rewrite path replaces whole partitions; a
+    // data file appended into an affected partition BETWEEN the
+    // rewrite's scan and its commit was never scanned and must survive
+    // (sequence-bounded replace — a plain INSERT OVERWRITE keeps
+    // replacing wholesale)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(
+      "CREATE TABLE graft.db.dyn19 (k INT, v STRING) PARTITIONED BY (k)")
+    spark.sql(
+      "INSERT INTO graft.db.dyn19 SELECT 0, 'a' FROM range(0, 30)")
+    spark.sql(
+      "INSERT INTO graft.db.dyn19 SELECT 0, 'b' FROM range(0, 20)")
+    spark.sql(
+      "INSERT INTO graft.db.dyn19 SELECT 1, 'c' FROM range(0, 10)")
+    val id19 = graft.store.TabularId(Seq("db"), "dyn19")
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id19).get
+    val table = new GraftTable(graftCatalog.store, id19, meta,
+      snapshotId = None)
+    val affected = table.liveFiles.filter(
+      _.partition.get("k").flatten.contains("0"))
+    val preserved = affected.map(_.sequenceOrOldest).max
+    // compaction output: partition k=0's 50 rows as one file
+    val tmp = Files.createTempDirectory("graft-compact-dyn")
+    spark.sql("SELECT k, v FROM graft.db.dyn19 WHERE k = 0").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val src = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(meta.location, "data", "k=0",
+      "compacted-dyn19.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.copy(src, dest)
+    val compacted = graft.meta.DataFile(dest.toString,
+      java.nio.file.Files.size(dest), 50L, meta.defaultSpec.specId,
+      Map("k" -> Some("0")), Map.empty)
+    // a concurrent append lands INTO the affected partition mid-flight
+    spark.sql(
+      "INSERT INTO graft.db.dyn19 SELECT 0, 'late' FROM range(0, 7)")
+    new GraftBatchWrite(table, table.schema(), "dynamic", Array.empty,
+      None, Some(preserved))
+      .commit(Array(GraftCommitMessage(Seq(compacted))))
+    // 50 compacted + 7 late in k=0, 10 untouched in k=1
+    assert(spark.table("graft.db.dyn19").count() == 67)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.dyn19 WHERE v = 'late'")
+      .collect()(0).getLong(0) == 7)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.dyn19 WHERE k = 1")
+      .collect()(0).getLong(0) == 10)
+    // and WITHOUT preserveSequence the same shape is a plain dynamic
+    // overwrite: wholesale partition replacement (50 rows in k=0)
+    val (meta2, _) = graftCatalog.store.loadTableMetadata(id19).get
+    val table2 = new GraftTable(graftCatalog.store, id19, meta2,
+      snapshotId = None)
+    val dest2 = java.nio.file.Paths.get(meta2.location, "data", "k=0",
+      "overwrite-dyn19.parquet")
+    java.nio.file.Files.copy(src, dest2)
+    val plain = graft.meta.DataFile(dest2.toString,
+      java.nio.file.Files.size(dest2), 50L, meta2.defaultSpec.specId,
+      Map("k" -> Some("0")), Map.empty)
+    new GraftBatchWrite(table2, table2.schema(), "dynamic", Array.empty,
+      None, None)
+      .commit(Array(GraftCommitMessage(Seq(plain))))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.db.dyn19 WHERE k = 0")
+      .collect()(0).getLong(0) == 50)
+  }
+
   test("MOR delta commit aborts when an equality delete lands mid-flight") {
     mkTable("eq15", Seq("delete"))
     import spark.implicits._
