@@ -146,7 +146,7 @@ object Bench {
         spark.catalog.clearCache()
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf1", nDocs = 50000, nEmb = 20000,
-          only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+          only = Set("qd_width_measure", "qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
             "qs_ann_train_shared",
@@ -167,7 +167,7 @@ object Bench {
         spark.catalog.clearCache()
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf2", nDocs = 100000, nEmb = 40000,
-          only = Set("qd3_minhash", "qd5_jaccard_autowidth",
+          only = Set("qd_width_measure", "qd3_minhash", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qd12_editdist", "qs5_embedding_autobits",
             "qs_ann_train_shared",
@@ -189,7 +189,7 @@ object Bench {
         spark.catalog.clearCache()
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf4", nDocs = 200000, nEmb = 80000,
-          only = Set("qd5_jaccard_autowidth",
+          only = Set("qd_width_measure", "qd5_jaccard_autowidth",
             "qd10_containment_autowidth",
             "qs21_lsh_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>

@@ -117,6 +117,15 @@ object ScaleLane {
     // held mean df 5.6 and qd5's prefix join went 3.5×-per-doubling).
     // Memoized per (session, dir): qd3/qd5/qd10 share one measurement.
     def measuredW = TextOps.measuredWidthCached(spark, dir)
+    // the measurement itself as its own leg: memoized per (session,
+    // dir), so qd3/qd5/qd10 consume it free and their walls are
+    // attributable to their own phases (round 11 — qd3's wall was
+    // carrying this corpus-sized occupancy scan, which made its curve
+    // look non-monotonic)
+    legM("qd_width_measure") {
+      val (w, measureMs) = timedMs(measuredW)
+      (w.toLong, None, Map("measure_ms" -> measureMs))
+    }
     legM("qd3_minhash") {
       // the fixed 2-gram space saturates on this 31-word fixture and
       // banding pays its quadratic collision floor (measured r8: 10.7k
@@ -145,7 +154,10 @@ object ScaleLane {
       val w = measuredW
       val (pairs, cands) = TextOps.exactJaccardDiag(
         spark, dir, 0.4, width = TextOps.AutoWidth)
-      (pairs.count(), Some(cands.count()), Map("width" -> w.toLong))
+      val (rows, verifyMs) = timedMs(pairs.count())
+      val (nCand, candMs) = timedMs(cands.count())
+      (rows, Some(nCand), Map("width" -> w.toLong,
+        "verify_ms" -> verifyMs, "cand_ms" -> candMs))
     }
     // persisted: qd7 reuses this pair set (same sharing the production
     // pipeline and the sf0.1 bench queries do). Built inside the leg
@@ -239,7 +251,10 @@ object ScaleLane {
       val w = measuredW
       val (pairs, cands) = TextOps.containmentDiag(
         spark, dir, 0.8, TextOps.AutoWidth)
-      (pairs.count(), Some(cands.count()), Map("width" -> w.toLong))
+      val (rows, verifyMs) = timedMs(pairs.count())
+      val (nCand, candMs) = timedMs(cands.count())
+      (rows, Some(nCand), Map("width" -> w.toLong,
+        "verify_ms" -> verifyMs, "cand_ms" -> candMs))
     }
     legM("qd12_editdist") {
       // PassJoin edit-distance join with the PRODUCTION auto segment
