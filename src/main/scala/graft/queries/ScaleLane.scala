@@ -152,11 +152,14 @@ object ScaleLane {
     }
     legM("qd5_jaccard_autowidth") {
       val w = measuredW
-      val (pairs, cands) = TextOps.exactJaccardDiag(
-        spark, dir, 0.4, width = TextOps.AutoWidth)
+      // build_ms = the builder's eager knob measurements (occupancy /
+      // candidate caps) — phase-attributed so a doubling that moves
+      // the wall names planning vs candidate-gen vs verify
+      val ((pairs, cands), buildMs) = timedMs(TextOps.exactJaccardDiag(
+        spark, dir, 0.4, width = TextOps.AutoWidth))
       val (rows, verifyMs) = timedMs(pairs.count())
       val (nCand, candMs) = timedMs(cands.count())
-      (rows, Some(nCand), Map("width" -> w.toLong,
+      (rows, Some(nCand), Map("width" -> w.toLong, "build_ms" -> buildMs,
         "verify_ms" -> verifyMs, "cand_ms" -> candMs))
     }
     // persisted: qd7 reuses this pair set (same sharing the production
@@ -249,11 +252,11 @@ object ScaleLane {
       // prefixes — and its FULL-postings index side is even more
       // density-sensitive than qd5's prefix-prefix join
       val w = measuredW
-      val (pairs, cands) = TextOps.containmentDiag(
-        spark, dir, 0.8, TextOps.AutoWidth)
+      val ((pairs, cands), buildMs) = timedMs(TextOps.containmentDiag(
+        spark, dir, 0.8, TextOps.AutoWidth))
       val (rows, verifyMs) = timedMs(pairs.count())
       val (nCand, candMs) = timedMs(cands.count())
-      (rows, Some(nCand), Map("width" -> w.toLong,
+      (rows, Some(nCand), Map("width" -> w.toLong, "build_ms" -> buildMs,
         "verify_ms" -> verifyMs, "cand_ms" -> candMs))
     }
     legM("qd12_editdist") {
