@@ -50,6 +50,31 @@ object CompactAnnIndex {
     stagingEntries(graftTable(spark.table(table), table), partCol,
       stagingValue)
 
+  /** EXACT staged-file count from catalog metadata only (no Spark
+    * session needed — the scheduler's implied-task probe and the
+    * probes' staging-leg gate share it). Summary-first: a manifest
+    * whose summary KNOWS its partition values and lacks the staging
+    * value contributes 0 with no manifest read; only manifests that
+    * contain the staging value (append manifests — `l` tiny entries)
+    * or whose summary overflowed MaxPartitionValues (build/compaction
+    * manifests spanning hundreds of partitions) are parsed. O(touched
+    * manifests), one sidecar read per manifest otherwise.
+    */
+  def stagedFileCount(store: graft.store.FileCatalogStore,
+      meta: TableMetadata, partCol: String, stagingValue: Long,
+      snapshot: Option[Snapshot] = None): Int = {
+    val staging = Some(stagingValue.toString)
+    snapshot.orElse(meta.currentSnapshot).toSeq.flatMap(_.manifests)
+      .map { m =>
+        val known = store.readManifestSummary(meta.location, m)
+          .flatMap(_.partitionValues.get(partCol))
+        if (known.exists(vs => !vs.contains(staging))) 0
+        else store.readManifests(meta.location, Seq(m))
+          .flatMap(_.entries)
+          .count(_.partition.get(partCol).flatten == staging)
+      }.sum
+  }
+
   /** Re-home the rows of partition `partCol = stagingValue` to
     * `partCol = rehome` atomically.
     *

@@ -67,7 +67,41 @@ class TaskScheduler(
     },
     "rewrite_position_deletes" -> { t =>
       RewritePositionDeletes.run(store, taskTabularId(t))
+    },
+    // LSM compaction of a staged incremental ANN index (appendLsh/
+    // appendIvf write O(1) files per batch into a staging partition;
+    // this re-homes them — ops/AnnIndex.compactLsh/compactIvf). The
+    // spark catalog serving THIS store is resolved by warehouse conf;
+    // without an active session or registration the task retries.
+    "ann_index_compaction" -> { t =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cat = sparkCatalogName(spark).getOrElse(
+        throw new IllegalStateException(
+          s"no spark catalog registered for warehouse ${store.root}"))
+      val id = taskTabularId(t)
+      val name = s"$cat.${id.namespace.mkString(".")}.${id.name}"
+      t.payload.get("kind") match {
+        case Some("lsh") => graft.ops.AnnIndex.compactLsh(spark, name)
+        case Some("ivf") => graft.ops.AnnIndex.compactIvf(spark, name,
+          t.payload.getOrElse("emb-col", "embedding"))
+        case other => throw new IllegalArgumentException(
+          s"unknown ANN index kind $other")
+      }
     }) ++ extraQueues
+
+  /** The registered Spark catalog whose warehouse IS this store. */
+  private def sparkCatalogName(
+      spark: org.apache.spark.sql.SparkSession): Option[String] = {
+    val root = java.nio.file.Paths.get(store.root)
+      .toAbsolutePath.normalize.toString
+    spark.conf.getAll.collectFirst {
+      case (k, v) if k.startsWith("spark.sql.catalog.") &&
+          k.endsWith(".warehouse") &&
+          java.nio.file.Paths.get(v).toAbsolutePath.normalize.toString
+            == root =>
+        k.stripPrefix("spark.sql.catalog.").stripSuffix(".warehouse")
+    }
+  }
 
   private def taskTabularId(t: TaskRecord): TabularId =
     TabularId(t.payload("namespace").split('.').toSeq, t.payload("name"))
@@ -92,6 +126,17 @@ class TaskScheduler(
     store.queueConfigLong("rewrite_position_deletes", "delete-file-threshold")
       .getOrElse(
         sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toLong)
+
+  /** Staging-file-count threshold for adaptive ANN index compaction —
+    * the files-per-partition trigger: each appendLsh/appendIvf adds
+    * O(1) staging files, and probes read the whole staging partition,
+    * so accumulation is bounded by scheduling compaction once enough
+    * appends stack up. Same precedence as the other knobs.
+    */
+  private def adaptiveAnnStagingThreshold: Long =
+    store.queueConfigLong("ann_index_compaction", "staging-file-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.annstaging.threshold", "8").toLong)
 
   @volatile private var running = false
   private var thread: Option[Thread] = None
@@ -198,8 +243,63 @@ class TaskScheduler(
                 "name" -> info.id.name),
               runAtMs = nowMs,
               dedupeKey = Some(s"${info.id}-delfiles-$delFiles"))
+          // adaptive ANN index compaction: a stamped incremental index
+          // whose STAGING partition accumulated enough append files
+          // gets re-homed (probe is summary-first metadata only);
+          // re-armed per count, so continued append pressure keeps
+          // rescheduling. Trained-centroid IVF indexes are skipped —
+          // their compaction needs the caller-held codebook (the
+          // seeded-hash check below is how we know; size-capped so the
+          // probe never generates a huge codebook just to compare).
+          annStagingInfo(meta).foreach { case (kind, staged, embCol) =>
+            // dedupe on the SNAPSHOT id, not the count: after a
+            // compaction the count can repeat (e.g. 4 → 0 → 4) and a
+            // count-keyed task would never re-arm; every append commit
+            // advances the snapshot, repeated polls between appends
+            // still dedupe
+            if (staged >= adaptiveAnnStagingThreshold)
+              store.enqueueTask("ann_index_compaction",
+                Map("namespace" -> info.id.namespace.mkString("."),
+                  "name" -> info.id.name,
+                  "kind" -> kind, "emb-col" -> embCol),
+                runAtMs = nowMs,
+                dedupeKey = Some(s"${info.id}-annstaged-" +
+                  meta.currentSnapshot.map(_.snapshotId).getOrElse(0L)))
+          }
         } catch { case NonFatal(_) => }
       }
+  }
+
+  /** (kind, staged-file count, emb column) of a schedulable stamped
+    * ANN index; None for plain tables, un-schedulable indexes, or
+    * zero staging.
+    */
+  private def annStagingInfo(meta: graft.meta.TableMetadata)
+      : Option[(String, Int, String)] = {
+    val props = meta.properties
+    val embCol = props.getOrElse("graft.ann.emb-col", "embedding")
+    props.get("graft.ann.kind") match {
+      case Some("lsh") =>
+        val staging = props.get("graft.ann.bucket-groups").map(_.toLong)
+          .orElse(props.get("graft.ann.bits").map(b => 1L << b.toInt))
+          .getOrElse(return None)
+        Some(("lsh", CompactAnnIndex.stagedFileCount(
+          store, meta, "grp", staging), embCol))
+      case Some("ivf") =>
+        val schedulable = (for {
+          lists <- props.get("graft.ann.num-lists").map(_.toInt)
+          dim <- props.get("graft.ann.dim").map(_.toInt)
+          seed <- props.get("graft.ann.seed").map(_.toLong)
+          stamped <- props.get("graft.ann.codebook-hash")
+        } yield lists.toLong * dim <= (1L << 20) &&
+          graft.ops.AnnIndex.codebookHash(
+            graft.ops.Ivf.centroids(lists, dim, seed)) == stamped)
+          .getOrElse(false)
+        if (!schedulable) None
+        else Some(("ivf", CompactAnnIndex.stagedFileCount(
+          store, meta, "list_id", 0L), embCol))
+      case _ => None
+    }
   }
 }
 
@@ -209,5 +309,6 @@ object TaskScheduler {
     */
   val builtinQueues: Seq[String] = Seq(
     "tabular_expiration", "tabular_purge", "task_log_cleanup",
-    "expire_snapshots", "rewrite_position_deletes")
+    "expire_snapshots", "rewrite_position_deletes",
+    "ann_index_compaction")
 }

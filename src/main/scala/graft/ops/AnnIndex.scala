@@ -49,6 +49,10 @@ object AnnIndex {
   private[graft] val LProp = "graft.ann.l"
   private[graft] val BitsProp = "graft.ann.bits"
   private[graft] val GroupsProp = "graft.ann.bucket-groups"
+  /** Embedding column name, stamped so scheduled IVF compaction can
+    * re-assign staged vectors without caller-side plumbing.
+    */
+  private[graft] val EmbColProp = "graft.ann.emb-col"
 
   /** Order-sensitive digest of a codebook's raw doubles — two builds
     * agree iff their centroid sets are bitwise identical.
@@ -112,6 +116,7 @@ object AnnIndex {
       .tableProperty(DimProp, dim.toString)
       .tableProperty(ListsProp, numLists.toString)
       .tableProperty(SeedProp, seed.toString)
+      .tableProperty(EmbColProp, embCol)
       .tableProperty(CodebookProp, codebookHash(cents))
       .createOrReplace()
   }
@@ -299,16 +304,25 @@ object AnnIndex {
       pmod(col("bucket"), lit(staging)), minStagingFiles)
   }
 
+  /** (location, snapshot, partCol) → staged?, bounded: the working set
+    * is a handful of live indexes; full clear on overflow is never
+    * wrong (just a metadata recompute).
+    */
+  private val stagedGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      java.lang.Boolean]()
+
   /** Whether the index snapshot holds any STAGED (un-compacted) append
     * files — the gate for the probes' staging leg, so a fully-compacted
     * index pays ZERO extra plan/scan cost for the incremental-append
-    * feature. Decided from manifest SUMMARIES of the SAME snapshot the
-    * probe scans (O(#manifests) tiny sidecar reads, snapshot-consistent
-    * — no races with concurrent appends/compactions); an absent or
-    * overflowed partition-value summary keeps the leg (conservative).
-    * Plain (non-catalog) frames return true — the caller's fallback
-    * join finds staged rows anyway (LSH) or the filter branch keeps
-    * them (IVF).
+    * feature. EXACT, decided against the SAME snapshot the probe scans
+    * (no races with concurrent appends/compactions) via
+    * [[graft.maintenance.CompactAnnIndex.stagedFileCount]]'s
+    * summary-first walk, and cached per (location, snapshot) so
+    * repeated probes of one snapshot pay zero metadata reads. Plain
+    * (non-catalog) frames return true — the caller's fallback join
+    * finds staged rows anyway (LSH) or the filter branch keeps them
+    * (IVF).
     */
   private def hasStagedFiles(index: DataFrame, partCol: String,
       staging: Long): Boolean =
@@ -317,15 +331,15 @@ object AnnIndex {
           .DataSourceV2Relation => r.table
     } match {
       case Some(t: graft.connector.GraftTable) =>
-        val loc = t.meta.location
-        t.readSnapshot.toSeq.flatMap(_.manifests).exists { m =>
-          t.store.readManifestSummary(loc, m) match {
-            case Some(s) => s.partitionValues.get(partCol) match {
-              case Some(vs) => vs.contains(Some(staging.toString))
-              case None => true
-            }
-            case None => true
-          }
+        t.readSnapshot match {
+          case None => false // empty table: nothing staged
+          case Some(snap) =>
+            val key = (t.meta.location, snap.snapshotId, partCol)
+            if (stagedGateCache.size > 64 &&
+                !stagedGateCache.containsKey(key)) stagedGateCache.clear()
+            stagedGateCache.computeIfAbsent(key, _ =>
+              graft.maintenance.CompactAnnIndex.stagedFileCount(
+                t.store, t.meta, partCol, staging, Some(snap)) > 0)
         }
       case _ => true
     }

@@ -816,6 +816,62 @@ class ConnectorE2ESpec extends AnyFunSuite {
       (0L, 0L))
   }
 
+  test("scheduler compacts a staged ANN index once appends cross the threshold") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annsched")
+    graft.ops.AnnIndex.buildLsh(df.filter(col("vec_id") < 100),
+      "graft.annsched.lsh", "embedding", l = 2, bits = 4, dim = dim,
+      seed = 42L)
+    val store = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].store
+    // trigger threshold via the reference-shaped per-queue config
+    spark.sql(
+      """CALL graft.system.set_task_queue_config(
+        |  queue => 'ann_index_compaction',
+        |  config => '{"staging-file-threshold": 4}')""".stripMargin)
+    val now = System.currentTimeMillis()
+    val sched = new graft.maintenance.TaskScheduler(store, clock = () => now)
+    // one append = 2 staging files: below threshold → no task runs
+    graft.ops.AnnIndex.appendLsh(
+      df.filter(col("vec_id") >= 100 && col("vec_id") < 150),
+      "graft.annsched.lsh", "embedding")
+    sched.runOnce(now)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annsched.lsh") == 2L)
+    // second append crosses it → the implied task enqueues AND runs,
+    // re-homing the staged postings without any CALL
+    graft.ops.AnnIndex.appendLsh(df.filter(col("vec_id") >= 150),
+      "graft.annsched.lsh", "embedding")
+    assert(sched.runOnce(now) >= 1)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annsched.lsh") == 0L)
+    // probe parity with the one-shot full-corpus build survives the
+    // scheduled compaction
+    graft.ops.AnnIndex.buildLsh(df, "graft.annsched.lsh_full", "embedding",
+      l = 2, bits = 4, dim = dim, seed = 42L)
+    val queries = df.filter(col("vec_id") % 40 === 1)
+      .select(col("vec_id"), col("embedding"))
+    def knn(t: String) = graft.ops.AnnIndex.knnJoinLsh(
+      spark.table(t), queries, "vec_id", "embedding", "vec_id",
+      "embedding", k = 5, l = 2, bits = 4, seed = 42L)
+      .select("q_id", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(knn("graft.annsched.lsh") == knn("graft.annsched.lsh_full"))
+    // re-armed: a THIRD append re-crosses and reschedules
+    graft.ops.AnnIndex.appendLsh(df.limit(10), "graft.annsched.lsh",
+      "embedding")
+    graft.ops.AnnIndex.appendLsh(df.limit(10), "graft.annsched.lsh",
+      "embedding")
+    assert(sched.runOnce(now + 1000) >= 1)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annsched.lsh") == 0L)
+  }
+
   test("batch kNN joins fall back to a static probe filter on plain frames") {
     import org.apache.spark.sql.functions.col
     val dim = 8
@@ -2122,8 +2178,9 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(pre.getString(3) == "default")          // default project
     assert(pre.getString(4).contains("openfga"))   // authz backend name
     assert(pre.getString(5).split(",").toSeq ==
-      Seq("expire_snapshots", "rewrite_position_deletes",
-        "tabular_expiration", "tabular_purge", "task_log_cleanup"))
+      Seq("ann_index_compaction", "expire_snapshots",
+        "rewrite_position_deletes", "tabular_expiration",
+        "tabular_purge", "task_log_cleanup"))
 
     // bootstrap requires terms acceptance (reference server.rs:312-320)
     val denied = intercept[Exception](spark.sql(
