@@ -133,6 +133,70 @@ class EventStreamsSpec extends AnyFunSuite {
     closed.zip(batchClosed).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("streaming ANN ingest: per-epoch staged appends, compacted, probe-exact") {
+    // the production ingest shape for a growing vector corpus: a
+    // stream of embedding batches lands in the LSM index via
+    // appendLsh in foreachBatch (O(1) files per epoch — the staging
+    // partition), probes stay exact mid-ingest, and one compaction
+    // re-homes everything
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft-annstream-wh").toString
+    spark.conf.set("spark.sql.catalog.gann",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gann.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gann.s")
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    graft.ops.AnnIndex.buildLsh(df.filter(col("vec_id") < 100),
+      "gann.s.lsh", "embedding", l = 2, bits = 4, dim = dim, seed = 42L)
+    // two arrival batches as separate source files → two micro-batches
+    val src = Files.createTempDirectory("graft-annstream-src").toString
+    df.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .coalesce(1).write.parquet(s"$src/b1")
+    df.filter(col("vec_id") >= 200).coalesce(1).write.parquet(s"$src/b2")
+    val srcFlat = Files.createTempDirectory("graft-annstream-flat")
+    Seq("b1", "b2").foreach { b =>
+      val f = Files.list(Paths.get(src, b)).iterator()
+      while (f.hasNext) {
+        val p = f.next()
+        if (p.toString.endsWith(".parquet"))
+          Files.copy(p, srcFlat.resolve(s"$b.parquet"))
+      }
+    }
+    val q = spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcFlat.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.AnnIndex.appendLsh(batch, "gann.s.lsh", "embedding")
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-annstream-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // each epoch staged exactly l = 2 files
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark, "gann.s.lsh") == 4L)
+    graft.ops.AnnIndex.buildLsh(df, "gann.s.lsh_full", "embedding",
+      l = 2, bits = 4, dim = dim, seed = 42L)
+    val queries = df.filter(col("vec_id") % 60 === 2)
+      .select(col("vec_id"), col("embedding"))
+    def knn(t: String) = graft.ops.AnnIndex.knnJoinLsh(
+      spark.table(t), queries, "vec_id", "embedding", "vec_id",
+      "embedding", k = 5, l = 2, bits = 4, seed = 42L)
+      .select("q_id", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank").collect().toSeq
+    val expected = knn("gann.s.lsh_full")
+    assert(knn("gann.s.lsh") == expected) // exact MID-INGEST (staged)
+    val (files, rehomed) = graft.ops.AnnIndex.compactLsh(spark, "gann.s.lsh")
+    assert(files == 4L && rehomed == 400L, s"($files, $rehomed)")
+    assert(knn("gann.s.lsh") == expected) // exact post-compaction
+  }
+
   test("writeStream into a catalog table: one snapshot per epoch, exact contents") {
     val wh = Files.createTempDirectory("graft-stream-sink-wh").toString
     spark.conf.set("spark.sql.catalog.gsink",
