@@ -663,7 +663,10 @@ object CatalogOps {
         |  ('ol_base', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
         |  ('ol_regional', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@centralus-onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
         |  ('ol_wpl', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh'),
-        |  ('ol_tab', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh/u-tab'))
+        |  ('ol_tab', 'abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@onelake.dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04/Files/wh/u-tab'),
+        |  ('cfg_signing', 's3.remote-signing-enabled=true,s3.signer=S3V4RestSigner,s3.signer.uri=https://cat.example/signer'),
+        |  ('cfg_sas_adls', 'adls.sas-token.prodacct.dfs.core.windows.net'),
+        |  ('cfg_sas_ol', 'adls.sas-token.centralus-onelake.dfs.fabric.microsoft.com'))
         |AS t(what, loc) ORDER BY what""".stripMargin) { (s, dir) =>
       import graft.store.StorageProfile
       import graft.store.StorageProfile._
@@ -725,7 +728,25 @@ object CatalogOps {
           .baseLocation),
         ("ol_tab", olDefault.defaultTabularLocation(
           olDefault.defaultNamespaceLocation(ns),
-          SegmentContext("t", "u-tab"))))
+          SegmentContext("t", "u-tab"))),
+        // table-config pure half (s3.rs generate_table_config;
+        // az/mod.rs:165-171): remote-signing wiring + the SAS property
+        // keys clients extract from the table URL — the testable
+        // surface of the credential-vending rows
+        ("cfg_signing", {
+          val cfg = prof.tableConfig(vendedCredentials = false,
+            remoteSigning = true,
+            signerUri = "https://cat.example/signer",
+            signerEndpoint = "v1/wh/sign")
+          Seq("s3.remote-signing-enabled", "s3.signer", "s3.signer.uri")
+            .map(k => s"$k=${cfg(k)}").mkString(",")
+        }),
+        ("cfg_sas_adls",
+          AdlsStorageProfile("my-fs", "prodacct").normalize()
+            .sasPropertyKey),
+        ("cfg_sas_ol",
+          olake("""{"type":"regional","region":"centralus"}""")
+            .sasPropertyKey))
       import s.implicits._
       rows.toDF("what", "loc").orderBy("what")
     },

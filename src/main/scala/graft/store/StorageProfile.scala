@@ -223,10 +223,81 @@ object StorageProfile {
       // bypass the catalog on DROP TABLE PURGE (Iceberg 1.x Spark)
       // respect soft deletion (s3.rs:139-156; default true)
       pushS3DeleteDisabled: Boolean = true,
+      // remote signing on by default (s3.rs `remote_signing_enabled`,
+      // serde default true)
+      remoteSigningEnabled: Boolean = true,
       storageLayout: Option[StorageLayout] = None)
     extends WarehouseStorageProfile {
 
     val typeName = "s3"
+
+    /** Resolved data-access mode for a table load (s3.rs
+      * generate_table_config:456-495): client-managed access gets no
+      * credentials; explicitly-requested methods are downgraded when
+      * the warehouse disables them (remote signing off, or STS off
+      * without an R2 credential); with nothing explicitly requested,
+      * vended credentials are preferred for wider compatibility, then
+      * remote signing.
+      *
+      * @return (vendedCredentials, remoteSigning)
+      */
+    def resolveDataAccess(
+        requestVended: Boolean,
+        requestRemoteSigning: Boolean,
+        clientManaged: Boolean = false,
+        hasR2Credential: Boolean = false): (Boolean, Boolean) = {
+      if (clientManaged) return (false, false)
+      val canVend = stsEnabled || hasR2Credential
+      var vended = requestVended && canVend
+      var signing = requestRemoteSigning && remoteSigningEnabled
+      if (!vended && !signing) {
+        if (canVend) vended = true
+        else if (remoteSigningEnabled) signing = true
+      }
+      (vended, signing)
+    }
+
+    /** Iceberg property keys a VENDED-credentials response fills —
+      * their VALUES come from STS and stay out of scope with the rest
+      * of the credential machinery (s3.rs:559-569); the key surface is
+      * the testable contract.
+      */
+    def vendedCredentialKeys: Seq[String] = Seq(
+      "s3.access-key-id", "s3.secret-access-key", "s3.session-token",
+      "s3.session-token-expires-at-ms", "expiration-time")
+
+    /** The NON-SECRET table-config properties a load returns (s3.rs
+      * generate_table_config:497-594): region/endpoint/SSE advertised
+      * under both the s3 and client namespaces, and — under remote
+      * signing — the signer wiring, emitted under BOTH the pre- and
+      * post-Iceberg-1.11 key generations (`s3.signer.*` and
+      * `signer.*`) plus the fsspec S3V4RestSigner pushes. `signerUri`/
+      * `signerEndpoint` come from the serving catalog (the reference
+      * derives them from request metadata).
+      */
+    def tableConfig(
+        vendedCredentials: Boolean,
+        remoteSigning: Boolean,
+        signerUri: String = "",
+        signerEndpoint: String = ""): Map[String, String] = {
+      val base = Map("s3.region" -> region, "client.region" -> region) ++
+        (if (pathStyleAccess) Map("s3.path-style-access" -> "true")
+         else Map.empty) ++
+        endpoint.map("s3.endpoint" -> _).toMap ++
+        kmsKeyArn.map(arn =>
+          Map("s3.sse.type" -> "kms", "s3.sse.key" -> arn))
+          .getOrElse(Map.empty)
+      val signing =
+        if (!remoteSigning) Map.empty[String, String]
+        else Map(
+          "s3.signer" -> "S3V4RestSigner",
+          "py-io-impl" -> "pyiceberg.io.fsspec.FsspecFileIO",
+          "s3.remote-signing-enabled" -> "true",
+          "signer.uri" -> signerUri, "signer.endpoint" -> signerEndpoint,
+          "s3.signer.uri" -> signerUri,
+          "s3.signer.endpoint" -> signerEndpoint)
+      base ++ signing
+    }
 
     /** Catalog-config defaults for clients
       * (s3.rs generate_catalog_config:405-420): discourage direct S3
@@ -428,6 +499,17 @@ object StorageProfile {
     def isAllowedScheme(scheme: String): Boolean =
       scheme == "abfss" || (allowAlternativeProtocols && scheme == "wasbs")
 
+    /** SAS property keys a table load publishes — the client extracts
+      * `<account>.<endpoint_suffix>` from the table location to find
+      * them, so the key MUST match what the URL shows
+      * (az/mod.rs:165-171). The token VALUE needs a live Azure
+      * credential and stays out of scope.
+      */
+    def sasPropertyKey: String =
+      s"adls.sas-token.$accountName.$endpointHost"
+    def sasExpiresAtPropertyKey: String =
+      s"adls.sas-token-expires-at-ms.$accountName.$endpointHost"
+
     def normalize(): AdlsStorageProfile = {
       // SAS TTL: >0, ≤ 7 days (az/mod.rs:181-205)
       sasTokenValiditySeconds.foreach { n =>
@@ -585,6 +667,25 @@ object StorageProfile {
       * generic ADLS can opt into it (is_allowed_schema).
       */
     def isAllowedScheme(scheme: String): Boolean = scheme == "abfss"
+
+    /** SAS property keys: built from the HOST account (the first DNS
+      * label the client sees in the table URL — `onelake`,
+      * `<region>-onelake`, or the un-dashed workspace UUID), NOT the
+      * literal `onelake` the SAS canonical resource signs against
+      * (onelake_profile.rs host_account vs sas_account).
+      */
+    def sasPropertyKey: String =
+      s"adls.sas-token.$hostAccount.$endpointSuffix"
+    def sasExpiresAtPropertyKey: String =
+      s"adls.sas-token-expires-at-ms.$hostAccount.$endpointSuffix"
+
+    /** OneLake publishes the blob-surface host so adlfs-style clients
+      * hit `*.blob.fabric.microsoft.com` instead of defaulting to
+      * `<account>.blob.core.windows.net` (onelake_profile.rs
+      * blob_host / `adls.account-host`).
+      */
+    def accountHostProperty: (String, String) =
+      "adls.account-host" -> blobHost
 
     /** Validation (onelake_profile.rs normalize): UUID-shaped ids,
       * SAS TTL in (0, 3600] (the OneLake cap), directory path
@@ -813,6 +914,8 @@ object StorageProfile {
           allowAlternativeProtocols = optBool("allow-alternative-protocols"),
           pushS3DeleteDisabled =
             optBool("push-s3-delete-disabled").getOrElse(true),
+          remoteSigningEnabled =
+            optBool("remote-signing-enabled").getOrElse(true),
           storageLayout = lay)
       case JString("gcs") =>
         GcsStorageProfile(
@@ -887,7 +990,8 @@ object StorageProfile {
           ("sts-enabled" -> p.stsEnabled) ~ ("flavor" -> p.flavor) ~
           ("path-style-access" -> p.pathStyleAccess) ~
           ("allow-alternative-protocols" -> p.allowAlternativeProtocols) ~
-          ("push-s3-delete-disabled" -> p.pushS3DeleteDisabled)
+          ("push-s3-delete-disabled" -> p.pushS3DeleteDisabled) ~
+          ("remote-signing-enabled" -> p.remoteSigningEnabled)
       case p: GcsStorageProfile =>
         ("type" -> "gcs") ~ ("bucket" -> p.bucket) ~
           ("key-prefix" -> p.keyPrefix) ~ ("sts-enabled" -> p.stsEnabled)

@@ -426,6 +426,84 @@ class StorageProfileSpec extends AnyFunSuite {
       .endpointMode == OneLakeWorkspacePrivateLink)
   }
 
+  test("s3 data-access resolution and table-config surface") {
+    // generate_table_config:456-495 — the mode matrix
+    val sts = p().copy(stsEnabled = true,
+      stsRoleArn = Some("arn:aws:iam::1:role/sts")).normalize()
+    val signingOnly = p().copy(stsEnabled = false).normalize()
+    val nothing = p().copy(stsEnabled = false,
+      remoteSigningEnabled = false).normalize()
+    // client-managed: never any credentials
+    assert(sts.resolveDataAccess(requestVended = true,
+      requestRemoteSigning = true, clientManaged = true) == (false, false))
+    // nothing requested: vended preferred, remote signing the fallback
+    assert(sts.resolveDataAccess(false, false) == (true, false))
+    assert(signingOnly.resolveDataAccess(false, false) == (false, true))
+    assert(nothing.resolveDataAccess(false, false) == (false, false))
+    // explicit requests are downgraded when the warehouse disables them
+    assert(signingOnly.resolveDataAccess(requestVended = true,
+      requestRemoteSigning = false) == (false, true))
+    assert(nothing.copy(stsEnabled = false)
+      .resolveDataAccess(true, false, hasR2Credential = true) ==
+      (true, false))
+    // config surface: region under BOTH namespaces, endpoint/SSE when
+    // configured, and the remote-signing wiring under both key
+    // generations (s3.signer.* pre-1.11, signer.* post)
+    val prof = p().copy(
+      endpoint = Some("https://minio:9000/"), pathStyleAccess = true,
+      kmsKeyArn = Some("arn:aws:kms:k1")).normalize()
+    val cfg = prof.tableConfig(vendedCredentials = false,
+      remoteSigning = true, signerUri = "https://cat/signer",
+      signerEndpoint = "v1/wh1/tables/t1/sign")
+    assert(cfg("s3.region") == "eu-west-1")
+    assert(cfg("client.region") == "eu-west-1")
+    assert(cfg("s3.endpoint") == "https://minio:9000/")
+    assert(cfg("s3.path-style-access") == "true")
+    assert(cfg("s3.sse.type") == "kms" && cfg("s3.sse.key") == "arn:aws:kms:k1")
+    assert(cfg("s3.remote-signing-enabled") == "true")
+    assert(cfg("signer.uri") == "https://cat/signer")
+    assert(cfg("s3.signer.uri") == "https://cat/signer")
+    assert(cfg("signer.endpoint") == "v1/wh1/tables/t1/sign")
+    assert(cfg("s3.signer") == "S3V4RestSigner")
+    assert(cfg("py-io-impl") == "pyiceberg.io.fsspec.FsspecFileIO")
+    // no signing requested → none of the signer keys leak
+    val plain = prof.tableConfig(vendedCredentials = true,
+      remoteSigning = false)
+    assert(!plain.keys.exists(_.contains("signer")))
+    // the vended VALUE surface is out of scope; its key contract is
+    // pinned (s3.rs:559-569)
+    assert(prof.vendedCredentialKeys == Seq("s3.access-key-id",
+      "s3.secret-access-key", "s3.session-token",
+      "s3.session-token-expires-at-ms", "expiration-time"))
+  }
+
+  test("adls/onelake SAS property keys match the URL the client sees") {
+    // az/mod.rs:165-171: the client extracts <account>.<suffix> from
+    // the table location to find the token property
+    val adls = AdlsStorageProfile("my-fs", "prodacct").normalize()
+    assert(adls.sasPropertyKey ==
+      "adls.sas-token.prodacct.dfs.core.windows.net")
+    assert(adls.sasExpiresAtPropertyKey ==
+      "adls.sas-token-expires-at-ms.prodacct.dfs.core.windows.net")
+    val sovereign = AdlsStorageProfile("my-fs", "prodacct",
+      host = Some("dfs.core.chinacloudapi.cn")).normalize()
+    assert(sovereign.sasPropertyKey ==
+      "adls.sas-token.prodacct.dfs.core.chinacloudapi.cn")
+    // onelake keys on the HOST account (what the URL shows), per mode
+    assert(ol().normalize().sasPropertyKey ==
+      "adls.sas-token.onelake.dfs.fabric.microsoft.com")
+    assert(ol(mode = OneLakeRegionalEndpoint("centralus")).normalize()
+      .sasPropertyKey ==
+      "adls.sas-token.centralus-onelake.dfs.fabric.microsoft.com")
+    assert(ol(mode = OneLakeWorkspacePrivateLink).normalize()
+      .sasPropertyKey ==
+      "adls.sas-token.c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47" +
+        ".zc5.dfs.fabric.microsoft.com")
+    // and publishes the blob-surface host for adlfs clients
+    assert(ol().normalize().accountHostProperty ==
+      ("adls.account-host" -> "onelake.blob.fabric.microsoft.com"))
+  }
+
   test("profile type is immutable on update; json round-trips all types") {
     val s3 = p(keyPrefix = Some("wh")).normalize()
     val gcs = GcsStorageProfile("data-lake").normalize()
