@@ -468,6 +468,61 @@ class AdminSpec extends AnyFunSuite {
       "CALL gadmin.system.delete_warehouse(name => 'whsp', force => true)")
   }
 
+  test("onelake warehouse round-trips through the procedures") {
+    val tmp = Files.createTempDirectory("graft-olwh").toString
+    spark.sql(
+      s"""CALL gadmin.system.create_warehouse(name => 'whol',
+         |  location => '$tmp/ol',
+         |  storage_profile => '{"type":"onelake",
+         |    "workspace-id":"c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47",
+         |    "lakehouse-id":"9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04",
+         |    "directory-rel-path":"/wh/",
+         |    "endpoint-mode":{"type":"regional","region":" CentralUS "}}')
+         |""".stripMargin)
+    val got = spark.sql("CALL gadmin.system.get_warehouse(name => 'whol')")
+      .collect().head
+    assert(got.getString(8) == "onelake")
+    // normalized at the door: region lowercased, directory trimmed —
+    // the persisted base location is the derived regional abfss URL
+    assert(got.getString(9) ==
+      "abfss://c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47@centralus-onelake" +
+        ".dfs.fabric.microsoft.com/9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04" +
+        "/Files/wh")
+    // immutable endpoint mode is enforced through the update procedure
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""CALL gadmin.system.update_warehouse_storage(name => 'whol',
+           |  storage_profile => '{"type":"onelake",
+           |    "workspace-id":"c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47",
+           |    "lakehouse-id":"9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04",
+           |    "directory-rel-path":"wh"}')""".stripMargin)
+    }
+    assert(ex.getMessage.contains("immutable"), ex.getMessage)
+    // mutable SAS settings pass; the OneLake 1-h cap is enforced
+    intercept[Exception] {
+      spark.sql(
+        s"""CALL gadmin.system.update_warehouse_storage(name => 'whol',
+           |  storage_profile => '{"type":"onelake",
+           |    "workspace-id":"c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47",
+           |    "lakehouse-id":"9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04",
+           |    "directory-rel-path":"wh",
+           |    "endpoint-mode":{"type":"regional","region":"centralus"},
+           |    "sas-token-validity-seconds":7200}')""".stripMargin)
+    }
+    val upd = spark.sql(
+      s"""CALL gadmin.system.update_warehouse_storage(name => 'whol',
+         |  storage_profile => '{"type":"onelake",
+         |    "workspace-id":"c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47",
+         |    "lakehouse-id":"9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04",
+         |    "directory-rel-path":"wh",
+         |    "endpoint-mode":{"type":"regional","region":"centralus"},
+         |    "sas-token-validity-seconds":1800}')""".stripMargin)
+      .collect().head
+    assert(upd.getString(2).contains("\"sas-token-validity-seconds\":1800"))
+    spark.sql(
+      "CALL gadmin.system.delete_warehouse(name => 'whol', force => true)")
+  }
+
   test("format-version policy gates CREATE defaults and upgrades") {
     val st = cat.store
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.fvp")
