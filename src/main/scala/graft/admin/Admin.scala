@@ -128,11 +128,14 @@ object Admin {
           "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
       .withColumn("datacontenttype", lit("application/json"))
       .withColumn("tabulartype", inferredKind)
+      // built with to_json so a principal name containing quotes or
+      // backslashes stays valid JSON (the reference serde-serializes
+      // the tagged enum; string concat would corrupt the attribute)
       .withColumn("actor",
         when(col("extra")("user").isNotNull,
-          concat(lit("{\"type\":\"principal\",\"principal\":\""),
-            col("extra")("user"), lit("\"}")))
-          .otherwise(lit("{\"type\":\"anonymous\"}")))
+          to_json(struct(lit("principal").as("type"),
+            col("extra")("user").as("principal"))))
+          .otherwise(to_json(struct(lit("anonymous").as("type")))))
       .withColumn("data", to_json(col("extra")))
     attrs.withColumn("envelope_json", to_json(struct(
         col("specversion"), col("id"), col("source"), col("type"),

@@ -388,10 +388,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * semantics included) so HEAD and GET can never diverge.
     */
   private def existsAuthorized(id: TabularId): Boolean =
-    try { authorizeLoad(id); true }
+    // QUIET: exists() is a hot analyzer surface (relation-resolution
+    // fallbacks, DROP IF EXISTS retry loops) — a denied probe must not
+    // append a change-log event per call (only real LOAD denials are
+    // operator-signal; probe spam would also shift the CloudEvents
+    // feed's per-tabular sequence numbers)
+    try { authorizeLoad(id, logDenial = false); true }
     catch { case _: TabularNotFoundException => false }
 
-  private def authorizeLoad(id: TabularId): Unit = {
+  private def authorizeLoad(id: TabularId,
+      logDenial: Boolean = true): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     if (!spark.conf.getOption("spark.graft.authz.enforceLoad")
         .contains("true")) return
@@ -414,7 +420,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // the REAL reason goes to the event log for operators; the
       // caller sees the MASKED not-found (authz/table.rs:323-346 —
       // denied and missing are indistinguishable externally)
-      store.logEvent("authz-load-denied", id, Map(
+      if (logDenial) store.logEvent("authz-load-denied", id, Map(
         "user" -> c.user, "action" -> c.action,
         "object" -> s"${c.obj.kind}:${c.obj.key}",
         "delegated" -> c.delegated.toString))

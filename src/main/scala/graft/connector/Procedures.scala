@@ -1551,30 +1551,39 @@ final case class CompactAnnIndexProcedure(catalog: GraftCatalog)
   override def parameters(): Array[ProcedureParameter] = Array(
     Procedures.param("table", StringType),
     Procedures.paramWithDefault("min_staging_files", LongType, "1"),
-    // IVF compaction re-assigns from the stored embedding; LSH
-    // re-homes from the stored bucket and ignores this
-    Procedures.paramWithDefault("emb_col", StringType, "'embedding'"))
+    // IVF compaction re-assigns from the stored embedding; the
+    // column's name comes from the index STAMP (graft.ann.emb-col) —
+    // this parameter only overrides it. LSH re-homes from the stored
+    // bucket and ignores both.
+    Procedures.paramWithDefault("emb_col", StringType, "NULL"))
 
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val spark = SparkSession.active
     val tableName = input.getUTF8String(0).toString
-    val minFiles = if (input.isNullAt(1)) 1L else math.max(1L, input.getLong(1))
-    val embCol =
-      if (input.isNullAt(2)) "embedding" else input.getUTF8String(2).toString
+    // clamp, don't truncate: a Long threshold past Int.MaxValue must
+    // stay "suppress", not bit-wrap into always-compact
+    val minFiles =
+      if (input.isNullAt(1)) 1
+      else math.max(1L, math.min(input.getLong(1), Int.MaxValue)).toInt
     val fullName = s"${catalog.name()}.$tableName"
-    val kind = spark.table(fullName).queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2
-          .DataSourceV2Relation =>
-        r.table.properties().get("graft.ann.kind")
-    }.flatMap(Option(_))
-    val (files, rows) = kind match {
+    val props: Map[String, String] =
+      spark.table(fullName).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation =>
+          import scala.jdk.CollectionConverters._
+          r.table.properties().asScala.toMap
+      }.getOrElse(Map.empty)
+    val embCol =
+      if (!input.isNullAt(2)) input.getUTF8String(2).toString
+      else props.getOrElse("graft.ann.emb-col", "embedding")
+    val (files, rows) = props.get("graft.ann.kind") match {
       case Some("lsh") =>
-        graft.ops.AnnIndex.compactLsh(spark, fullName, minFiles.toInt)
+        graft.ops.AnnIndex.compactLsh(spark, fullName, minFiles)
       case Some("ivf") =>
         graft.ops.AnnIndex.compactIvf(spark, fullName, embCol,
-          minStagingFiles = minFiles.toInt)
+          minStagingFiles = minFiles)
       case other => throw new IllegalArgumentException(
         s"$tableName is not a stamped ANN index (graft.ann.kind = " +
           s"${other.getOrElse("absent")}); compact_ann_index supports " +

@@ -84,7 +84,11 @@ object CompactAnnIndex {
     */
   def run(spark: SparkSession, table: String, partCol: String,
       stagingValue: Long, rehome: Column,
-      minStagingFiles: Int = 1): (Long, Long) = {
+      minStagingFiles: Int = 1,
+      // test seam (the TaskScheduler clock pattern): runs between the
+      // pinned scan and the commit so specs can interleave a
+      // mid-flight DELETE deterministically
+      beforeCommit: () => Unit = () => ()): (Long, Long) = {
     // ONE table load: the staged-path set and the row scan below both
     // come from this relation's pinned snapshot — a second load could
     // see a newer snapshot and re-home rows whose file is not removed
@@ -128,15 +132,58 @@ object CompactAnnIndex {
         }
       }.collect().toSeq
 
+    beforeCommit()
     val oldPaths = stagingPaths.toSet
     val snapshotId =
       math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val id: TabularId = t.tableId
+    // the snapshot this compaction READ (its deletes are applied by
+    // the scan above, its staged files are the removal set)
+    val scannedId = t.readSnapshot.map(_.snapshotId)
+    val scannedSeq = t.readSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val preservedSeq = stagingEntries(t, partCol, stagingValue)
+      .map(_.sequenceOrOldest).foldLeft(0L)(math.max)
     t.store.commitTableWith(id,
       Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
       current => {
         val parentSnapshot = current.snapshotFor(TableMetadata.MainBranch)
         val parentManifests = parentSnapshot.map(_.manifests).getOrElse(Nil)
+        // mid-flight delete guard — the SAME protections the rewrite
+        // path carries (GraftWrite truncate/dynamic + GraftDeltaBatch
+        // abort): a DELETE committed between this compaction's pinned
+        // scan and its commit was NOT applied by the scan above, and
+        // re-homing would resurrect its rows. A fresh POSITION delete
+        // matches data files by PATH — it may name a staged file this
+        // commit removes, so it aborts (retry re-scans with the delete
+        // applied); a fresh EQUALITY delete matches by key + sequence,
+        // so the re-homed files keep the PRESERVED (staged) sequence
+        // and stay covered. Fast path: parent IS the scanned snapshot
+        // → nothing landed → no manifest read.
+        val sequenceOverride: Option[Long] =
+          if (parentSnapshot.map(_.snapshotId) == scannedId) None
+          else {
+            val fresh = t.store
+              .readManifests(current.location, parentManifests)
+              .flatMap(_.entries)
+              .filter(e => !e.isData && e.sequenceOrOldest > scannedSeq)
+            val posConflicts = fresh.filter(_.isPositionDeletes)
+              .filter { d =>
+                d.columnStats.get(
+                  graft.connector.PositionDeletes.PathColumn) match {
+                  case Some(st) if st.min.isDefined && st.max.isDefined =>
+                    oldPaths.exists(p => st.min.get <= p && p <= st.max.get)
+                  case _ => true // no stats: assume it may
+                }
+              }
+            if (posConflicts.nonEmpty)
+              throw new CommitFailedException(
+                s"compact_ann_index conflict on $id: " +
+                  s"${posConflicts.size} position-delete file(s) " +
+                  "committed after the snapshot this compaction read " +
+                  "may reference staged files")
+            if (fresh.exists(_.isEqualityDeletes)) Some(preservedSeq)
+            else None
+          }
         val (kept, removed) = ManifestReplace(
           current.location, parentManifests,
           ManifestReplace.ByPath(oldPaths),
@@ -150,7 +197,8 @@ object CompactAnnIndex {
         val manifests = kept ++ (
           if (written.nonEmpty)
             Seq(t.store.writeManifest(current.location,
-              ManifestFile(GraftWrite.assignRowIds(current, written),
+              ManifestFile(
+                GraftWrite.assignRowIds(current, written, sequenceOverride),
                 snapshotId),
               Some(current.currentSchema.struct)))
           else Nil)

@@ -292,8 +292,7 @@ class TaskScheduler(
           seed <- props.get("graft.ann.seed").map(_.toLong)
           stamped <- props.get("graft.ann.codebook-hash")
         } yield lists.toLong * dim <= (1L << 20) &&
-          graft.ops.AnnIndex.codebookHash(
-            graft.ops.Ivf.centroids(lists, dim, seed)) == stamped)
+          TaskScheduler.seededCodebookMatches(lists, dim, seed, stamped))
           .getOrElse(false)
         if (!schedulable) None
         else Some(("ivf", CompactAnnIndex.stagedFileCount(
@@ -304,6 +303,27 @@ class TaskScheduler(
 }
 
 object TaskScheduler {
+
+  /** Memoized seeded-codebook verdict: the inputs are immutable table
+    * properties, so the answer never changes — without this the poll
+    * loop would regenerate and hash up to 2^20 doubles per IVF index
+    * per poll, forever. Bounded clear-on-overflow like the other
+    * driver-side memo maps.
+    */
+  private val codebookVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, String),
+      java.lang.Boolean]()
+
+  private[maintenance] def seededCodebookMatches(lists: Int, dim: Int,
+      seed: Long, stamped: String): Boolean = {
+    val key = (lists, dim, seed, stamped)
+    if (codebookVerdicts.size > 256 && !codebookVerdicts.containsKey(key))
+      codebookVerdicts.clear()
+    codebookVerdicts.computeIfAbsent(key, _ =>
+      graft.ops.AnnIndex.codebookHash(
+        graft.ops.Ivf.centroids(lists, dim, seed)) == stamped)
+  }
+
   /** Queue names the scheduler serves out of the box — the registered
     * task queues the reference's ServerInfo lists (server.rs `queues`).
     */

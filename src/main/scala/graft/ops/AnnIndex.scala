@@ -320,9 +320,13 @@ object AnnIndex {
     * [[graft.maintenance.CompactAnnIndex.stagedFileCount]]'s
     * summary-first walk, and cached per (location, snapshot) so
     * repeated probes of one snapshot pay zero metadata reads. Plain
-    * (non-catalog) frames return true — the caller's fallback join
-    * finds staged rows anyway (LSH) or the filter branch keeps them
-    * (IVF).
+    * (non-catalog) frames return true, and the IVF probes gate on THIS
+    * helper alone (not the stamp), so a staged layout materialized as
+    * plain parquet still probes exactly: LSH's fallback finds staged
+    * rows through the (table_id, bucket) join, IVF's staged branch is
+    * included unconditionally for plain frames. Unstamped CATALOG
+    * tables count zero staged files (appends refuse them) and skip
+    * the leg.
     */
   private def hasStagedFiles(index: DataFrame, partCol: String,
       staging: Long): Boolean =
@@ -405,8 +409,7 @@ object AnnIndex {
     // compacted index. The partition filter bounds the extra read to
     // the staging files (zero when fully compacted).
     val (partitionFilter, probe) =
-      if (tableProps(index).contains(ListsProp) &&
-          hasStagedFiles(index, "list_id", IvfStagingList))
+      if (hasStagedFiles(index, "list_id", IvfStagingList))
         // the conjoined PARTITION-ONLY IN-set is what FilePruning
         // prunes on (the OR's second branch references the embedding,
         // a data column, so the OR alone can't prune); the OR keeps
@@ -474,8 +477,7 @@ object AnnIndex {
     // probed. The partition filter bounds the read to staging files.
     val homeCands = probes.join(pruned, Seq("list_id"))
     val cands =
-      if (tableProps(index).contains(ListsProp) &&
-          hasStagedFiles(index, "list_id", IvfStagingList)) {
+      if (hasStagedFiles(index, "list_id", IvfStagingList)) {
         val staged = index
           .filter(col("list_id") === lit(IvfStagingList))
           .drop("list_id")

@@ -734,8 +734,7 @@ object CatalogOps {
         // keys clients extract from the table URL — the testable
         // surface of the credential-vending rows
         ("cfg_signing", {
-          val cfg = prof.tableConfig(vendedCredentials = false,
-            remoteSigning = true,
+          val cfg = prof.tableConfig(remoteSigning = true,
             signerUri = "https://cat.example/signer",
             signerEndpoint = "v1/wh/sign")
           Seq("s3.remote-signing-enabled", "s3.signer", "s3.signer.uri")

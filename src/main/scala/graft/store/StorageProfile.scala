@@ -273,10 +273,11 @@ object StorageProfile {
       * post-Iceberg-1.11 key generations (`s3.signer.*` and
       * `signer.*`) plus the fsspec S3V4RestSigner pushes. `signerUri`/
       * `signerEndpoint` come from the serving catalog (the reference
-      * derives them from request metadata).
+      * derives them from request metadata). A vended-credentials load
+      * adds [[vendedCredentialKeys]] on top — their VALUES come from
+      * STS and stay out of scope, so this method takes no vended flag.
       */
     def tableConfig(
-        vendedCredentials: Boolean,
         remoteSigning: Boolean,
         signerUri: String = "",
         signerEndpoint: String = ""): Map[String, String] = {

@@ -816,6 +816,63 @@ class ConnectorE2ESpec extends AnyFunSuite {
       (0L, 0L))
   }
 
+  test("ANN compaction guards against mid-flight deletes") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dim = 8
+    val rnd = new scala.util.Random(37)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annrace")
+    graft.ops.AnnIndex.buildLsh(df.filter(col("vec_id") < 100),
+      "graft.annrace.lsh", "embedding", l = 2, bits = 4, dim = dim,
+      seed = 42L)
+    graft.ops.AnnIndex.appendLsh(df.filter(col("vec_id") >= 100),
+      "graft.annrace.lsh", "embedding")
+    def compact(mid: () => Unit) =
+      graft.maintenance.CompactAnnIndex.run(spark, "graft.annrace.lsh",
+        "grp", 16L, pmod(col("bucket"), lit(16L)), beforeCommit = mid)
+
+    // a POSITION delete landing between the compaction's pinned scan
+    // and its commit names a staged file — re-homing from the
+    // pre-delete snapshot would resurrect the row, so the commit must
+    // fail (the GraftWrite rewrite guard, mirrored)
+    spark.sql("ALTER TABLE graft.annrace.lsh " +
+      "SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val e = intercept[graft.meta.CommitFailedException] {
+      compact(() =>
+        spark.sql("DELETE FROM graft.annrace.lsh WHERE vec_id = 150"))
+    }
+    assert(e.getMessage.contains("position-delete"), e.getMessage)
+    // consistent: the delete applied, the compaction did not, the
+    // postings stay staged
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.annrace.lsh WHERE vec_id = 150")
+      .collect()(0).getLong(0) == 0)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annrace.lsh") == 2L)
+
+    // an EQUALITY delete landing mid-compaction still covers the
+    // re-homed postings: they keep the PRESERVED (staged) sequence,
+    // strictly below the delete's
+    val (files, _) = compact(() =>
+      graft.connector.EqualityDeletes.write(spark,
+        spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[GraftCatalog],
+        graft.store.TabularId(Seq("annrace"), "lsh"),
+        { import spark.implicits._; Seq(160L).toDF("vec_id") },
+        Seq("vec_id")))
+    assert(files == 2L)
+    assert(graft.ops.AnnIndex.lshStagingFileCount(spark,
+      "graft.annrace.lsh") == 0L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.annrace.lsh WHERE vec_id = 160")
+      .collect()(0).getLong(0) == 0,
+      "mid-flight equality delete must still cover re-homed postings")
+    // everything else survived the compaction
+    assert(spark.table("graft.annrace.lsh").count() == 200L * 2 - 4)
+  }
+
   test("scheduler compacts a staged ANN index once appends cross the threshold") {
     import org.apache.spark.sql.functions.col
     val dim = 8

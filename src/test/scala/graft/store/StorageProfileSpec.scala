@@ -452,8 +452,8 @@ class StorageProfileSpec extends AnyFunSuite {
     val prof = p().copy(
       endpoint = Some("https://minio:9000/"), pathStyleAccess = true,
       kmsKeyArn = Some("arn:aws:kms:k1")).normalize()
-    val cfg = prof.tableConfig(vendedCredentials = false,
-      remoteSigning = true, signerUri = "https://cat/signer",
+    val cfg = prof.tableConfig(remoteSigning = true,
+      signerUri = "https://cat/signer",
       signerEndpoint = "v1/wh1/tables/t1/sign")
     assert(cfg("s3.region") == "eu-west-1")
     assert(cfg("client.region") == "eu-west-1")
@@ -467,8 +467,7 @@ class StorageProfileSpec extends AnyFunSuite {
     assert(cfg("s3.signer") == "S3V4RestSigner")
     assert(cfg("py-io-impl") == "pyiceberg.io.fsspec.FsspecFileIO")
     // no signing requested → none of the signer keys leak
-    val plain = prof.tableConfig(vendedCredentials = true,
-      remoteSigning = false)
+    val plain = prof.tableConfig(remoteSigning = false)
     assert(!plain.keys.exists(_.contains("signer")))
     // the vended VALUE surface is out of scope; its key contract is
     // pinned (s3.rs:559-569)
