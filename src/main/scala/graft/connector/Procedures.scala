@@ -1568,13 +1568,7 @@ final case class CompactAnnIndexProcedure(catalog: GraftCatalog)
       if (input.isNullAt(1)) 1
       else math.max(1L, math.min(input.getLong(1), Int.MaxValue)).toInt
     val fullName = s"${catalog.name()}.$tableName"
-    val props: Map[String, String] =
-      spark.table(fullName).queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation =>
-          import scala.jdk.CollectionConverters._
-          r.table.properties().asScala.toMap
-      }.getOrElse(Map.empty)
+    val props = graft.ops.AnnIndex.tableProps(spark.table(fullName))
     val embCol =
       if (!input.isNullAt(2)) input.getUTF8String(2).toString
       else props.getOrElse("graft.ann.emb-col", "embedding")

@@ -94,8 +94,8 @@ object CompactAnnIndex {
     // see a newer snapshot and re-home rows whose file is not removed
     val df = spark.table(table)
     val t = graftTable(df, table)
-    val stagingPaths =
-      stagingEntries(t, partCol, stagingValue).map(_.path)
+    val staged = stagingEntries(t, partCol, stagingValue)
+    val stagingPaths = staged.map(_.path)
     if (stagingPaths.isEmpty || stagingPaths.size < minStagingFiles)
       return (0L, 0L)
 
@@ -141,8 +141,30 @@ object CompactAnnIndex {
     // the scan above, its staged files are the removal set)
     val scannedId = t.readSnapshot.map(_.snapshotId)
     val scannedSeq = t.readSnapshot.map(_.sequenceNumber).getOrElse(0L)
-    val preservedSeq = stagingEntries(t, partCol, stagingValue)
-      .map(_.sequenceOrOldest).foldLeft(0L)(math.max)
+    val preservedSeq = staged.map(_.sequenceOrOldest).foldLeft(0L)(math.max)
+    try commitRehomed(t, id, oldPaths, written, scannedId, scannedSeq,
+      preservedSeq, snapshotId)
+    catch { case scala.util.control.NonFatal(e) =>
+      // the conflict aborts are a DESIGNED outcome (mid-flight deletes,
+      // racing compactions) — clean up the already-written re-homed
+      // files instead of leaking a copy of the staged volume per retry
+      // (mirrors GraftBatchWrite.abort; anything missed is still caught
+      // by remove_orphan_files)
+      written.foreach { f =>
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(f.path))
+        catch { case _: Throwable => }
+      }
+      throw e
+    }
+    (oldPaths.size.toLong, written.map(_.recordCount).sum)
+  }
+
+  private def commitRehomed(t: GraftTable, id: TabularId,
+      oldPaths: Set[String], written: Seq[DataFile],
+      scannedId: Option[Long], scannedSeq: Long, preservedSeq: Long,
+      snapshotId: Long): Unit = {
+    val meta = t.meta
     t.store.commitTableWith(id,
       Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
       current => {
@@ -222,6 +244,6 @@ object CompactAnnIndex {
           TableUpdate.AddSnapshot(snap),
           TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, ref))
       })
-    (oldPaths.size.toLong, written.map(_.recordCount).sum)
+    ()
   }
 }

@@ -69,7 +69,7 @@ object AnnIndex {
   /** Table properties of the DataFrame's underlying catalog table —
     * empty for plain (non-catalog) frames.
     */
-  private def tableProps(df: DataFrame): Map[String, String] = {
+  private[graft] def tableProps(df: DataFrame): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>

@@ -224,12 +224,18 @@ object StorageProfile {
       // respect soft deletion (s3.rs:139-156; default true)
       pushS3DeleteDisabled: Boolean = true,
       // remote signing on by default (s3.rs `remote_signing_enabled`,
-      // serde default true)
-      remoteSigningEnabled: Boolean = true,
+      // serde default true). Option-typed like
+      // allowAlternativeProtocols so an UPDATE that omits the key
+      // keeps the stored value instead of silently re-enabling a
+      // security posture the operator disabled.
+      remoteSigningEnabled: Option[Boolean] = None,
       storageLayout: Option[StorageLayout] = None)
     extends WarehouseStorageProfile {
 
     val typeName = "s3"
+
+    /** Effective remote-signing switch (stored value, default true). */
+    def remoteSigningOn: Boolean = remoteSigningEnabled.getOrElse(true)
 
     /** Resolved data-access mode for a table load (s3.rs
       * generate_table_config:456-495): client-managed access gets no
@@ -249,10 +255,10 @@ object StorageProfile {
       if (clientManaged) return (false, false)
       val canVend = stsEnabled || hasR2Credential
       var vended = requestVended && canVend
-      var signing = requestRemoteSigning && remoteSigningEnabled
+      var signing = requestRemoteSigning && remoteSigningOn
       if (!vended && !signing) {
         if (canVend) vended = true
-        else if (remoteSigningEnabled) signing = true
+        else if (remoteSigningOn) signing = true
       }
       (vended, signing)
     }
@@ -410,6 +416,11 @@ object StorageProfile {
         else other.allowAlternativeProtocols
       other.copy(
         allowAlternativeProtocols = alt,
+        // an update that OMITS the remote-signing switch keeps the
+        // stored value — silently resetting to the default would
+        // re-enable a security posture the operator disabled
+        remoteSigningEnabled =
+          other.remoteSigningEnabled.orElse(remoteSigningEnabled),
         storageLayout = other.storageLayout.orElse(storageLayout))
     }
   }
@@ -915,8 +926,7 @@ object StorageProfile {
           allowAlternativeProtocols = optBool("allow-alternative-protocols"),
           pushS3DeleteDisabled =
             optBool("push-s3-delete-disabled").getOrElse(true),
-          remoteSigningEnabled =
-            optBool("remote-signing-enabled").getOrElse(true),
+          remoteSigningEnabled = optBool("remote-signing-enabled"),
           storageLayout = lay)
       case JString("gcs") =>
         GcsStorageProfile(

@@ -432,7 +432,7 @@ class StorageProfileSpec extends AnyFunSuite {
       stsRoleArn = Some("arn:aws:iam::1:role/sts")).normalize()
     val signingOnly = p().copy(stsEnabled = false).normalize()
     val nothing = p().copy(stsEnabled = false,
-      remoteSigningEnabled = false).normalize()
+      remoteSigningEnabled = Some(false)).normalize()
     // client-managed: never any credentials
     assert(sts.resolveDataAccess(requestVended = true,
       requestRemoteSigning = true, clientManaged = true) == (false, false))

@@ -159,12 +159,15 @@ class EventStreamsSpec extends AnyFunSuite {
     df.filter(col("vec_id") >= 200).coalesce(1).write.parquet(s"$src/b2")
     val srcFlat = Files.createTempDirectory("graft-annstream-flat")
     Seq("b1", "b2").foreach { b =>
-      val f = Files.list(Paths.get(src, b)).iterator()
-      while (f.hasNext) {
-        val p = f.next()
-        if (p.toString.endsWith(".parquet"))
-          Files.copy(p, srcFlat.resolve(s"$b.parquet"))
-      }
+      val listing = Files.list(Paths.get(src, b))
+      try {
+        val f = listing.iterator()
+        while (f.hasNext) {
+          val p = f.next()
+          if (p.toString.endsWith(".parquet"))
+            Files.copy(p, srcFlat.resolve(s"$b.parquet"))
+        }
+      } finally listing.close()
     }
     val q = spark.readStream
       .schema(df.schema)
