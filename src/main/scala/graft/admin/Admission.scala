@@ -1,0 +1,122 @@
+package graft.admin
+
+/** Post-authentication ADMISSION GATES (reference:
+  * service/admission.rs): a coarse, pluggable allow/deny decision
+  * about an already-authenticated principal, run BEFORE any
+  * per-resource authorization — the layer a deployment uses to
+  * consult an external entitlement service, suspend a tenant, or
+  * reject revoked principals. Deliberately distinct from
+  * authentication (is the token valid) and authorization (may actor X
+  * do Y on Z), with its own HTTP semantics: a gate denial is an
+  * explicit, UNMASKED 403 (unlike resource authz, which masks as
+  * not-found), and "upstream unreachable" fails CLOSED as a 503 with
+  * a gate-chosen Retry-After instead of silently admitting.
+  *
+  * In-process analog: gates run at the head of the load-authorization
+  * gate ([[graft.connector.GraftCatalog]] `authorizeLoad`) for the
+  * enforced principal. The reference's HTTP enforce-endpoint gate
+  * (Lakekeeper Plus) is network machinery; the SEAM — composition
+  * order, first-rejection-wins short-circuit, fail-open/fail-closed
+  * variants, and admission-role enrichment consumed by authorization
+  * downstream — is ported faithfully, with the reference's own unit
+  * tests mirrored in AdmissionSpec.
+  */
+object Admission {
+
+  /** Why a gate rejected (admission.rs `AdmissionRejection`): the
+    * VARIANT, not an inferred code, determines the response shape —
+    * a gate states its intent explicitly.
+    */
+  sealed trait AdmissionRejection {
+    def message: String
+    def errType: String
+  }
+
+  /** Authenticated but not entitled to this instance: authoritative
+    * and TERMINAL (403, no Retry-After).
+    */
+  final case class Forbidden(message: String, errType: String)
+    extends AdmissionRejection
+
+  /** The gate could not reach an upstream it depends on and FAILS
+    * CLOSED (503 + a gate-chosen Retry-After — it reflects THAT
+    * gate's upstream recovery characteristics, not a global default).
+    */
+  final case class Unavailable(message: String, errType: String,
+      retryAfterSecs: Long) extends AdmissionRejection
+
+  /** Thrown by the load gate when admission rejects — explicit, never
+    * masked as not-found (a gate denial is not an existence question).
+    */
+  final class AdmissionRejectedException(val rejection: AdmissionRejection)
+    extends RuntimeException(rejection match {
+      case Forbidden(m, t) => s"403 $t: $m"
+      case Unavailable(m, t, r) => s"503 $t (retry after ${r}s): $m"
+    })
+
+  /** What a gate returns on admit: optional role enrichment merged
+    * into the request's admission roles and consumed by authorization
+    * downstream (admission.rs `Admission`). Provenance stays explicit
+    * — these are never written to the store's role membership.
+    */
+  final case class Verdict(resolvedRoles: Set[String] = Set.empty)
+
+  val Admit: Verdict = Verdict()
+  def withRoles(roles: Set[String]): Verdict = Verdict(roles)
+
+  /** Per-request inputs (admission.rs `AdmissionContext`): the
+    * resolved principal plus opaque attributes (the in-process analog
+    * of request metadata + the relayed bearer token).
+    */
+  final case class Context(user: String,
+      attributes: Map[String, String] = Map.empty)
+
+  /** A single post-authentication check. Implementations should be
+    * cheap and cache aggressively: `admit` runs on the hot path of
+    * every enforced load.
+    */
+  trait Gate {
+    /** Short, stable name used in logs. */
+    def name: String
+    def admit(ctx: Context): Either[AdmissionRejection, Verdict]
+  }
+
+  /** An ordered collection of gates: evaluated in registration order,
+    * the FIRST rejection wins and short-circuits the rest (register
+    * cheap or most-likely-to-deny gates first); on success the result
+    * carries the UNION of every gate's resolved roles. Empty (the
+    * default) admits every request — a no-op unless the deployment
+    * registers at least one gate.
+    */
+  final case class Gates(gates: Seq[Gate] = Nil) {
+    def isEmpty: Boolean = gates.isEmpty
+
+    def admit(ctx: Context): Either[AdmissionRejection, Verdict] = {
+      var roles = Set.empty[String]
+      gates.foreach { g =>
+        g.admit(ctx) match {
+          case Right(v) => roles ++= v.resolvedRoles
+          case Left(r) => return Left(r)
+        }
+      }
+      Right(Verdict(roles))
+    }
+  }
+
+  // ------------------------------------------------------- registry
+
+  /** Catalog-name-keyed gate registry the load gate consults — the
+    * in-process analog of the host binary registering gates at
+    * startup. Session-independent (JVM-scoped) like the reference's
+    * process-level registration; clear by setting empty gates.
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Gates]()
+
+  def setGates(catalogName: String, gates: Gates): Unit =
+    if (gates.isEmpty) registry.remove(catalogName)
+    else registry.put(catalogName, gates)
+
+  def gatesFor(catalogName: String): Gates =
+    registry.getOrDefault(catalogName, Gates())
+}

@@ -125,7 +125,12 @@ object Authz {
   /** One principal's memoized view of the model. Build once per
     * request batch; every check shares the derivations.
     */
-  final class Evaluator(store: FileCatalogStore, userId: String) {
+  final class Evaluator(store: FileCatalogStore, userId: String,
+      // ADMISSION-resolved roles (reference: RequestMetadata's
+      // admission_roles, contributed by gates and consumed by authz
+      // downstream) — seeded into the subject closure like assumed
+      // roles, never persisted to the store's membership
+      extraRoles: Set[String] = Set.empty) {
 
     private val tuples: Seq[GrantTuple] = store.listGrantTuples()
 
@@ -139,7 +144,8 @@ object Authz {
       val edges = store.roleEdges()
       val roleOwn = tuples.filter(t =>
         t.objType == "role" && t.relation == "ownership")
-      var s = Set[(String, String)](("user", userId))
+      var s = Set[(String, String)](("user", userId)) ++
+        extraRoles.map(r => ("role", r))
       var grew = true
       while (grew) {
         val more = (edges.iterator
@@ -447,10 +453,13 @@ object Authz {
 
   // ---------------------------------------------------- public surface
 
-  /** Single check — the reference's `is_allowed_*_action`. */
+  /** Single check — the reference's `is_allowed_*_action`.
+    * `extraRoles` are request-scoped admission roles (see
+    * [[Admission]]) seeded into the principal's subject closure.
+    */
   def check(store: FileCatalogStore, userId: String, obj: Obj,
-      action: String): Boolean =
-    new Evaluator(store, userId).rel(obj, action)
+      action: String, extraRoles: Set[String] = Set.empty): Boolean =
+    new Evaluator(store, userId, extraRoles).rel(obj, action)
 
   /** Batch check sharing one memoized evaluator — the reference's
     * `batch_check` (crates/authz-openfga/src/check.rs).
@@ -535,7 +544,12 @@ object Authz {
       target: TabularId,
       referencedBy: Seq[TabularId] = Nil,
       ownerProperty: String = DefaultOwnerProperty,
-      trustedEngine: Boolean = true): Seq[LoadCheck] = {
+      trustedEngine: Boolean = true,
+      // admission-resolved roles for the CALLING actor (gates run
+      // before this chain); DEFINER-switched owners evaluate from
+      // stored state only — delegation must not inherit the caller's
+      // request-scoped enrichment
+      admissionRoles: Set[String] = Set.empty): Seq[LoadCheck] = {
     val targetInfo = store.loadTabularInfo(target).getOrElse(
       throw new IllegalArgumentException(s"No such tabular: $target"))
     val targetKind = if (targetInfo.kind == "view") "view" else "table"
@@ -548,7 +562,7 @@ object Authz {
 
     if (!trustedEngine || referencedBy.isEmpty) {
       // standard behavior: caller's permissions on the target only
-      val ev = new Evaluator(store, actor)
+      val ev = new Evaluator(store, actor, admissionRoles)
       val o = objOf(targetKind, target)
       return actionsFor(targetKind).map(a =>
         LoadCheck(o, actor, delegated = false, a, ev.rel(o, a)))
@@ -567,7 +581,9 @@ object Authz {
     var currentUser = actor
     var delegated = false
     val evaluators = scala.collection.mutable.Map.empty[String, Evaluator]
-    def ev(u: String) = evaluators.getOrElseUpdate(u, new Evaluator(store, u))
+    def ev(u: String) = evaluators.getOrElseUpdate(u,
+      new Evaluator(store, u,
+        if (u == actor) admissionRoles else Set.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[LoadCheck]
     chainViews.foreach { case (id, props) =>
       val o = view(id.namespace, id.name)

@@ -414,8 +414,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val ownerProp = spark.conf
       .getOption("spark.graft.authz.ownerProperty")
       .getOrElse(graft.admin.Authz.DefaultOwnerProperty)
+    // ADMISSION GATES run first (reference service/admission.rs: after
+    // authentication, before any per-resource authorization; first
+    // rejection wins). A gate denial is EXPLICIT — 403/503 semantics,
+    // never masked as not-found — and an admitting gate may contribute
+    // roles the downstream chain evaluation consumes.
+    val admissionRoles: Set[String] = {
+      val gates = graft.admin.Admission.gatesFor(catalogName)
+      if (gates.isEmpty) Set.empty
+      else gates.admit(graft.admin.Admission.Context(user)) match {
+        case Right(v) => v.resolvedRoles
+        case Left(rej) =>
+          if (logDenial) store.logEvent("admission-rejected", id, Map(
+            "user" -> user, "type" -> rej.errType))
+          throw new graft.admin.Admission.AdmissionRejectedException(rej)
+      }
+    }
     val checks = graft.admin.Authz.authorizeLoadTabular(
-      store, user, id, chain, ownerProp, trusted)
+      store, user, id, chain, ownerProp, trusted, admissionRoles)
     checks.find(!_.allowed).foreach { c =>
       // the REAL reason goes to the event log for operators; the
       // caller sees the MASKED not-found (authz/table.rs:323-346 —

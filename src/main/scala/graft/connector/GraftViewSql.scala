@@ -184,8 +184,24 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
       if (!catalog.viewExistsUnchecked(ident)) None
       else enforcedUser match {
         case Some(user) =>
+          // ADMISSION gates first (service/admission.rs): once per
+          // enforced view load, before any per-resource check; a
+          // rejection is EXPLICIT (403/503), never masked
+          val gates = graft.admin.Admission.gatesFor(catalog.name())
+          val admissionRoles =
+            if (gates.isEmpty) Set.empty[String]
+            else gates.admit(graft.admin.Admission.Context(user)) match {
+              case Right(v) => v.resolvedRoles
+              case Left(rej) =>
+                catalog.store.logEvent("admission-rejected",
+                  graft.store.TabularId(ident.namespace.toSeq, ident.name),
+                  Map("user" -> user, "type" -> rej.errType))
+                throw new graft.admin.Admission
+                  .AdmissionRejectedException(rej)
+            }
           Some(SubqueryAlias(ident.name,
-            expandAuthorized(catalog, ident, user)))
+            expandAuthorized(catalog, ident, user,
+              admissionRoles = admissionRoles, actor = user)))
         case None =>
           val view = catalog.loadView(ident)
           val defaultPrefix =
@@ -205,6 +221,9 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     // carry, not degrade to an unresolved relation that loses the
     // delegated-execution detail
     case tnf: TabularNotFoundException => throw tnf
+    // admission rejections are EXPLICIT 403/503 semantics by design —
+    // they must never degrade to an unresolved relation
+    case ar: graft.admin.Admission.AdmissionRejectedException => throw ar
     // the cycle diagnosis must surface too — degrading it to None
     // would report a misleading TABLE_OR_VIEW_NOT_FOUND
     case ae: org.apache.spark.sql.AnalysisException
@@ -225,7 +244,13 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
   private def expandAuthorized(catalog: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
       user: String, delegated: Boolean = false,
-      visited: Set[String] = Set.empty): LogicalPlan = {
+      visited: Set[String] = Set.empty,
+      // admission-resolved roles apply only to checks evaluated AS the
+      // original enforced principal (`actor`) — DEFINER-switched
+      // owners evaluate from stored state, delegation must not inherit
+      // the caller's request-scoped enrichment
+      admissionRoles: Set[String] = Set.empty,
+      actor: String = ""): LogicalPlan = {
     import graft.admin.Authz
     import graft.store.TabularId
     val id = TabularId(ident.namespace.toSeq, ident.name)
@@ -256,9 +281,11 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
         if (delegated) Some(TabularNotFoundException.DelegatedDetail)
         else None)
     }
+    def rolesFor(u: String): Set[String] =
+      if (u == actor) admissionRoles else Set.empty
     val vObj = Authz.view(id.namespace, id.name)
     Seq("can_get_metadata", "can_select").foreach { a =>
-      if (!Authz.check(catalog.store, user, vObj, a))
+      if (!Authz.check(catalog.store, user, vObj, a, rolesFor(user)))
         deny(id, user, a, "view", vObj.key)
     }
     val vm = catalog.store.loadViewMetadata(id).getOrElse(
@@ -286,7 +313,7 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
           case Some((g, innerIdent)) if g.viewExistsUnchecked(innerIdent) =>
             SubqueryAlias(innerIdent.name,
               expandAuthorized(g, innerIdent, nextUser,
-                childDelegated, childVisited))
+                childDelegated, childVisited, admissionRoles, actor))
           case Some((g, innerIdent)) =>
             val tid = TabularId(innerIdent.namespace.toSeq, innerIdent.name)
             g.loadTableUnchecked(tid) match {
@@ -294,7 +321,8 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
                 val tObj = Authz.table(tid.namespace, tid.name)
                 val tableDelegated = childDelegated
                 Seq("can_get_metadata", "can_read_data").foreach { a =>
-                  if (!Authz.check(g.store, nextUser, tObj, a)) {
+                  if (!Authz.check(g.store, nextUser, tObj, a,
+                      rolesFor(nextUser))) {
                     g.store.logEvent("authz-load-denied", tid, Map(
                       "user" -> nextUser, "action" -> a,
                       "object" -> s"table:${tObj.key}",

@@ -1,0 +1,110 @@
+package graft.admin
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.admin.Admission._
+
+/** Admission-gate seam semantics, mirroring the reference's own unit
+  * suite (service/admission.rs tests): empty admits, first rejection
+  * wins + short-circuits, explicit 403 vs fail-closed 503 variants
+  * with gate-chosen Retry-After, role enrichment surfacing and
+  * unioning across gates, and context threading.
+  */
+class AdmissionSpec extends AnyFunSuite {
+
+  private def allow = new Gate {
+    val name = "allow"
+    def admit(ctx: Context) = Right(Admit)
+  }
+  private def deny = new Gate {
+    val name = "deny"
+    def admit(ctx: Context) = Left(Forbidden("nope", "TestDenied"))
+  }
+  private def unavailable = new Gate {
+    val name = "unavailable"
+    def admit(ctx: Context) =
+      Left(Unavailable("upstream down", "TestUnavailable", 7L))
+  }
+  private def roles(rs: String*) = new Gate {
+    val name = "roles"
+    def admit(ctx: Context) = Right(withRoles(rs.toSet))
+  }
+  /** Must never be consulted; asserts short-circuiting. */
+  private def panic = new Gate {
+    val name = "panic"
+    def admit(ctx: Context) =
+      throw new IllegalStateException(
+        "gate after a rejection must not be evaluated")
+  }
+
+  private val ctx = Context("alice")
+
+  test("empty admits") { // test_empty_admits
+    assert(Gates().isEmpty)
+    assert(Gates().admit(ctx) == Right(Verdict()))
+  }
+
+  test("single allow admits") { // test_single_allow_admits
+    assert(Gates(Seq(allow)).admit(ctx).isRight)
+  }
+
+  test("forbidden is an explicit terminal 403") { // test_forbidden_is_403
+    Gates(Seq(deny)).admit(ctx) match {
+      case Left(Forbidden(msg, t)) =>
+        assert(msg == "nope" && t == "TestDenied")
+      case other => fail(s"expected Forbidden, got $other")
+    }
+  }
+
+  test("unavailable fails closed with the gate-chosen retry-after") {
+    // test_unavailable_is_503_with_gate_chosen_retry_after
+    Gates(Seq(unavailable)).admit(ctx) match {
+      case Left(Unavailable(_, t, retry)) =>
+        assert(t == "TestUnavailable" && retry == 7L)
+      case other => fail(s"expected Unavailable, got $other")
+    }
+  }
+
+  test("first rejection wins and short-circuits") {
+    // test_first_rejection_wins_and_short_circuits: allow → deny →
+    // panic; deny must win and the panic gate must never run
+    Gates(Seq(allow, deny, panic)).admit(ctx) match {
+      case Left(Forbidden(_, t)) => assert(t == "TestDenied")
+      case other => fail(s"expected the deny gate's rejection, got $other")
+    }
+  }
+
+  test("resolved roles surface on admit") {
+    // test_resolved_roles_surface_on_admit
+    assert(Gates(Seq(roles("a", "b"))).admit(ctx) ==
+      Right(Verdict(Set("a", "b"))))
+  }
+
+  test("resolved roles are unioned across gates") {
+    // test_resolved_roles_are_unioned_across_gates: overlapping plus
+    // distinct roles union to {a, b, c}
+    assert(Gates(Seq(allow, roles("a", "b"), roles("b", "c")))
+      .admit(ctx) == Right(Verdict(Set("a", "b", "c"))))
+  }
+
+  test("context is threaded to gates") {
+    // test_bearer_token_is_threaded_to_gates (the in-process analog:
+    // attributes carry request-scoped values a gate relays)
+    val expectToken = new Gate {
+      val name = "expect-token"
+      def admit(c: Context) =
+        if (c.attributes.get("token").contains("tok-123")) Right(Admit)
+        else Left(Forbidden("missing or wrong token", "TestNoToken"))
+    }
+    assert(Gates(Seq(expectToken))
+      .admit(Context("u", Map("token" -> "tok-123"))).isRight)
+    assert(Gates(Seq(expectToken)).admit(Context("u")).isLeft)
+  }
+
+  test("registry: empty gates clear the entry") {
+    Admission.setGates("regcat", Gates(Seq(deny)))
+    assert(!Admission.gatesFor("regcat").isEmpty)
+    Admission.setGates("regcat", Gates())
+    assert(Admission.gatesFor("regcat").isEmpty)
+  }
+}

@@ -268,6 +268,83 @@ class ViewSecuritySpec extends AnyFunSuite {
     assert(graftCatalog.namespaceExists(Array("vsec")))
   }
 
+  test("admission gates run before resource authz on enforced loads") {
+    // reference service/admission.rs + docs/admission.md: gates make a
+    // coarse decision AFTER authentication, BEFORE any per-resource
+    // check; a denial is an EXPLICIT 403 (unlike resource authz, which
+    // masks as not-found), upstream failure fails CLOSED as 503 with a
+    // Retry-After, and an admitting gate's resolved roles feed the
+    // downstream authorization chain.
+    fixture
+    import graft.admin.Admission
+    import graft.admin.Admission._
+    def withGates[T](gates: Gates)(body: => T): T = {
+      Admission.setGates("graft", gates)
+      try body finally Admission.setGates("graft", Gates())
+    }
+    // suspend-bob gate: even the DATA OWNER is rejected, explicitly
+    withGates(Gates(Seq(new Gate {
+      val name = "suspend-bob"
+      def admit(c: Context) =
+        if (c.user == "bob") Left(Forbidden("tenant suspended", "Suspended"))
+        else Right(Admit)
+    }))) {
+      withEnforcement("bob") {
+        val e = intercept[Admission.AdmissionRejectedException] {
+          spark.table("graft.vsec.secrets").count()
+        }
+        assert(e.getMessage.contains("403") &&
+          e.getMessage.contains("Suspended"), e.getMessage)
+        // the VIEW path is gated too
+        intercept[Admission.AdmissionRejectedException] {
+          spark.table("graft.vsec.public_view").count()
+        }
+      }
+      // other principals are untouched
+      withEnforcement("alice") {
+        assert(spark.table("graft.vsec.public_view").count() == 5)
+      }
+    }
+    // fail-closed gate: upstream unreachable is 503 + Retry-After,
+    // never a silent admit
+    withGates(Gates(Seq(new Gate {
+      val name = "down"
+      def admit(c: Context) = Left(Unavailable("control plane down",
+        "EnforceUnavailable", 5L))
+    }))) {
+      withEnforcement("bob") {
+        val e = intercept[Admission.AdmissionRejectedException] {
+          spark.table("graft.vsec.secrets").count()
+        }
+        assert(e.getMessage.contains("503") &&
+          e.getMessage.contains("retry after 5s"), e.getMessage)
+      }
+    }
+    // role-granting gate: admission roles feed the authz chain — dina
+    // holds NOTHING in the store, the gate resolves a role that does
+    val store = graftCatalog.store
+    store.createRole("entitled", "entitled", None)
+    store.addGrant(GrantTuple("table",
+      Authz.table(Seq("vsec"), "secrets").key, "select", "role",
+      "entitled"))
+    withGates(Gates(Seq(new Gate {
+      val name = "entitlements"
+      def admit(c: Context) =
+        if (c.user == "dina") Right(withRoles(Set("entitled")))
+        else Right(Admit)
+    }))) {
+      withEnforcement("dina") {
+        assert(spark.table("graft.vsec.secrets").count() == 20)
+      }
+      // provenance is request-scoped: nothing persisted to membership
+      assert(store.listRoleMembers("entitled").isEmpty)
+    }
+    // without the gate dina is back to masked not-found
+    withEnforcement("dina") {
+      deniedBy(spark.table("graft.vsec.secrets").count())
+    }
+  }
+
   test("denials are recorded on the event log with the real reason") {
     fixture
     withEnforcement("alice") {
