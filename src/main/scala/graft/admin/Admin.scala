@@ -103,13 +103,20 @@ object Admin {
       sourceHost: String = "graft"): DataFrame = {
     // per-tabular sequence: log timestamps have ms resolution, so a
     // same-ms tie is broken causally (the *-created event necessarily
-    // precedes every other event of that tabular)
+    // precedes every other event of that tabular), then by a CONTENT
+    // hash of the payload — without it two same-type events in one
+    // millisecond (e.g. two commits) would leave row_number
+    // nondeterministic across reads, and the content-derived envelope
+    // `id` below would stop being replayable. Fully identical rows may
+    // still swap, but swapping indistinguishable rows yields the same
+    // envelope set — idempotency for consumers is preserved.
     val seqW = Window
       .partitionBy(col("namespace"), col("name"))
       .orderBy(col("ts-ms"),
         when(col("event-type").endsWith("-created"), lit(0))
           .otherwise(lit(1)),
-        col("event-type"))
+        col("event-type"),
+        xxhash64(to_json(col("extra"))))
     val attrs = changeEvents(spark, store)
       .withColumn("type", cloudEventType)
       .withColumn("specversion", lit("1.0"))

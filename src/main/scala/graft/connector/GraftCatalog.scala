@@ -77,22 +77,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    store.namespaceExists(namespace.toSeq) && {
-      // masked like loads: under the gate a denied namespace HEAD is
-      // indistinguishable from a missing one (the reference requires
-      // can_get_metadata on head_namespace and 404s a denial)
-      enforcedUser match {
-        case Some(user) => graft.admin.Authz.check(store, user,
-          graft.admin.Authz.namespace(namespace.toSeq), "can_get_metadata")
-        case None => true
-      }
-    }
+    store.namespaceExists(namespace.toSeq) &&
+      namespaceGetAuthorized(namespace.toSeq, logDenial = false)
 
   override def loadNamespaceMetadata(
-      namespace: Array[String]): util.Map[String, String] =
+      namespace: Array[String]): util.Map[String, String] = {
+    // GET is gated exactly like HEAD — one shared check, so a denied
+    // namespace can never answer exists=false yet DESCRIBE fine (or
+    // vice versa); the reference requires can_get_metadata on BOTH
+    // head_namespace and get_namespace and 404s a denial
+    if (!namespaceGetAuthorized(namespace.toSeq, logDenial = true))
+      throw new NoSuchNamespaceException(namespace)
     try store.loadNamespace(namespace.toSeq)._2.asJava
     catch { case _: graft.store.NoSuchNamespaceException =>
       throw new NoSuchNamespaceException(namespace) }
+  }
+
+  /** Shared HEAD/GET namespace gate: under enforcement a DENIED
+    * namespace is indistinguishable from a missing one on both
+    * surfaces. Runs the admission gates first (explicit 403/503, never
+    * masked) and feeds gate-resolved roles into the can_get_metadata
+    * evaluation — the same order as the tabular load path.
+    */
+  private def namespaceGetAuthorized(ns: Seq[String],
+      logDenial: Boolean): Boolean =
+    enforcedUser match {
+      case Some(user) =>
+        val nsId = TabularId(ns, "")
+        val admissionRoles: Set[String] = {
+          val gates = graft.admin.Admission.gatesFor(catalogName)
+          if (gates.isEmpty) Set.empty
+          else gates.admit(graft.admin.Admission.Context(user)) match {
+            case Right(v) => v.resolvedRoles
+            case Left(rej) =>
+              if (logDenial) store.logEvent("admission-rejected", nsId,
+                Map("user" -> user, "type" -> rej.errType))
+              throw new graft.admin.Admission.AdmissionRejectedException(rej)
+          }
+        }
+        val ok = graft.admin.Authz.check(store, user,
+          graft.admin.Authz.namespace(ns), "can_get_metadata",
+          admissionRoles)
+        if (!ok && logDenial) store.logEvent("authz-load-denied", nsId,
+          Map("user" -> user, "action" -> "can_get_metadata",
+            "object" -> s"namespace:${ns.mkString(".")}"))
+        ok
+      case None => true
+    }
 
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit =
@@ -394,7 +425,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // operator-signal; probe spam would also shift the CloudEvents
     // feed's per-tabular sequence numbers)
     try { authorizeLoad(id, logDenial = false); true }
-    catch { case _: TabularNotFoundException => false }
+    catch {
+      case _: TabularNotFoundException => false
+      // a concurrent drop between the caller's existence check and the
+      // authz evaluation surfaces as Authz's not-found IAE — exists()
+      // must answer false, not throw
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.startsWith("No such tabular") => false
+    }
 
   private def authorizeLoad(id: TabularId,
       logDenial: Boolean = true): Unit = {

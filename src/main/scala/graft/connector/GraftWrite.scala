@@ -128,11 +128,11 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       queryId.map(q => s"$q-epoch-$epochId")).commit(messages)
 
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-      catch { case _: Throwable => }
-    }
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach(
+      f => GraftDataWriter.deleteQuietly(f.path, conf))
+  }
 }
 
 final case class GraftStreamingWriterFactory(
@@ -533,10 +533,9 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType, mode: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort cleanup of orphaned files (they are also caught later
     // by remove_orphan_files, SURVEY §2.7)
-    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-      catch { case _: Throwable => }
-    }
+    val conf = spark.sessionState.newHadoopConf()
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach(
+      f => GraftDataWriter.deleteQuietly(f.path, conf))
   }
 }
 
@@ -606,7 +605,11 @@ class GraftDataWriter(
     val of = open.getOrElseUpdate(pv, {
       val dir = if (partFields.isEmpty) s"$tableLocation/data"
         else s"$tableLocation/data/${partitionPath(pv)}"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      // through Hadoop FS: the table location may be an hdfs://, s3a://
+      // or file: URI at cluster scale (the parquet writer below already
+      // resolves it that way)
+      val hdir = new org.apache.hadoop.fs.Path(dir)
+      hdir.getFileSystem(conf).mkdirs(hdir)
       val name = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
       new OpenFile(s"$dir/$name",
         partFields.map(_._1.name).zip(pv).toMap)
@@ -647,8 +650,7 @@ class GraftDataWriter(
   override def abort(): Unit = {
     open.values.foreach { of =>
       try of.writer.close() catch { case _: Throwable => }
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(of.path))
-      catch { case _: Throwable => }
+      GraftDataWriter.deleteQuietly(of.path, conf)
     }
     open.clear()
   }
@@ -657,6 +659,17 @@ class GraftDataWriter(
 }
 
 object GraftDataWriter {
+
+  /** Best-effort abort cleanup through the table's Hadoop FileSystem —
+    * java.nio would silently no-op on hdfs:// or s3a:// paths, leaking
+    * every aborted file until remove_orphan_files. Shared by all abort
+    * paths (batch, streaming, per-task, ANN compaction).
+    */
+  def deleteQuietly(path: String, conf: Configuration): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).delete(p, false)
+    } catch { case _: Throwable => }
 
   def statsSupported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | DoubleType |

@@ -149,12 +149,10 @@ object CompactAnnIndex {
       // racing compactions) — clean up the already-written re-homed
       // files instead of leaking a copy of the staged volume per retry
       // (mirrors GraftBatchWrite.abort; anything missed is still caught
-      // by remove_orphan_files)
-      written.foreach { f =>
-        try java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(f.path))
-        catch { case _: Throwable => }
-      }
+      // by remove_orphan_files). Through Hadoop FS: these paths may be
+      // hdfs:// or s3a:// at cluster scale
+      val conf = spark.sessionState.newHadoopConf()
+      written.foreach(f => GraftDataWriter.deleteQuietly(f.path, conf))
       throw e
     }
     (oldPaths.size.toLong, written.map(_.recordCount).sum)

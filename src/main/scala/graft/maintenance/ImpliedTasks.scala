@@ -1,0 +1,164 @@
+package graft.maintenance
+
+import graft.meta.TableMetadata
+import graft.store.{FileCatalogStore, TabularId, TabularInfo}
+
+/** Adaptive-maintenance threshold evaluation, shared by the two places
+  * that may enqueue implied tasks (reference:
+  * docs/docs/table-maintenance.md:20-58 — expire_snapshots is
+  * "scheduled adaptively after commits, not cron"; the reference feeds
+  * its queues from indexed Postgres state, never a catalog walk):
+  *
+  *  1. COMMIT TIME — [[FileCatalogStore.onTableCommitted]] fires with
+  *     the just-committed metadata already in hand, so the three
+  *     threshold probes below cost zero extra metadata reads. This is
+  *     the steady-state path: O(1) per commit, O(0) per poll.
+  *  2. RECONCILIATION — [[TaskScheduler]] demotes its former
+  *     every-poll warehouse walk to a rare, rate-limited sweep that
+  *     catches commits made before hooks were registered (or by a
+  *     process without a scheduler).
+  *
+  * The probes are metadata-summary-only: snapshot count is a field of
+  * the metadata, delete-file count reads manifest SUMMARIES
+  * ([[RewritePositionDeletes.deleteFileCount]]), and the ANN staging
+  * count is summary-first ([[CompactAnnIndex.stagedFileCount]]).
+  */
+object ImpliedTasks {
+
+  /** Snapshot-count threshold for adaptive expire_snapshots enqueue.
+    * Precedence: per-queue task config (`snapshot-threshold` on the
+    * expire_snapshots queue — the reference's SetTaskQueueConfig
+    * payload is exactly this kind of worker knob) → system property →
+    * default.
+    */
+  def snapshotThreshold(store: FileCatalogStore): Long =
+    store.queueConfigLong("expire_snapshots", "snapshot-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toLong)
+
+  /** Delete-file-count threshold for adaptive position-delete GC
+    * (merge-on-read tables under delete pressure accumulate one delete
+    * file per task per commit; compacting them restores the clean-scan
+    * fast path). Same precedence as [[snapshotThreshold]].
+    */
+  def deleteFileThreshold(store: FileCatalogStore): Long =
+    store.queueConfigLong("rewrite_position_deletes", "delete-file-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toLong)
+
+  /** Staging-file-count threshold for adaptive ANN index compaction —
+    * the files-per-partition trigger: each appendLsh/appendIvf adds
+    * O(1) staging files, and probes read the whole staging partition,
+    * so accumulation is bounded by scheduling compaction once enough
+    * appends stack up. Same precedence as the other knobs.
+    */
+  def annStagingThreshold(store: FileCatalogStore): Long =
+    store.queueConfigLong("ann_index_compaction", "staging-file-threshold")
+      .getOrElse(
+        sys.props.getOrElse("graft.scheduler.annstaging.threshold", "8").toLong)
+
+  /** Evaluate the three adaptive thresholds against ONE table's
+    * already-loaded metadata and enqueue whatever they imply.
+    * Idempotent — dedupe keys make repeated evaluation enqueue nothing
+    * new; re-armed per count (or per snapshot for ANN staging), so
+    * continued pressure keeps rescheduling after each cleanup.
+    */
+  def evaluateTable(store: FileCatalogStore, id: TabularId,
+      meta: TableMetadata, nowMs: Long): Unit = {
+    if (meta.snapshots.size >= snapshotThreshold(store))
+      store.enqueueTask("expire_snapshots",
+        Map("namespace" -> id.namespace.mkString("."), "name" -> id.name),
+        runAtMs = nowMs,
+        dedupeKey = Some(s"$id-snaps-${meta.snapshots.size}"))
+    val delFiles = RewritePositionDeletes.deleteFileCount(store, meta)
+    if (delFiles >= deleteFileThreshold(store))
+      store.enqueueTask("rewrite_position_deletes",
+        Map("namespace" -> id.namespace.mkString("."), "name" -> id.name),
+        runAtMs = nowMs,
+        dedupeKey = Some(s"$id-delfiles-$delFiles"))
+    // adaptive ANN index compaction: a stamped incremental index whose
+    // STAGING partition accumulated enough append files gets re-homed.
+    // Trained-centroid IVF indexes are skipped — their compaction needs
+    // the caller-held codebook (the seeded-hash check is how we know).
+    annStagingInfo(store, meta).foreach { case (kind, staged, embCol) =>
+      // dedupe on the SNAPSHOT id, not the count: after a compaction
+      // the count can repeat (e.g. 4 → 0 → 4) and a count-keyed task
+      // would never re-arm; every append commit advances the snapshot,
+      // repeated evaluation between appends still dedupes
+      if (staged >= annStagingThreshold(store))
+        store.enqueueTask("ann_index_compaction",
+          Map("namespace" -> id.namespace.mkString("."), "name" -> id.name,
+            "kind" -> kind, "emb-col" -> embCol),
+          runAtMs = nowMs,
+          dedupeKey = Some(s"$id-annstaged-" +
+            meta.currentSnapshot.map(_.snapshotId).getOrElse(0L)))
+    }
+  }
+
+  /** Enqueue the deferred purge of a just-soft-deleted tabular, due at
+    * deletedMs + grace ([[FileCatalogStore.onTabularSoftDeleted]] —
+    * the reference schedules tabular_expiration in the drop
+    * transaction itself, tasks/tabular_expiration_queue.rs:155-245).
+    */
+  def enqueueExpiration(store: FileCatalogStore, info: TabularInfo,
+      graceMs: Long): Unit =
+    info.deletedMs.foreach { del =>
+      store.enqueueTask("tabular_expiration",
+        Map("namespace" -> info.id.namespace.mkString("."),
+          "name" -> info.id.name,
+          "uuid" -> info.uuid),
+        runAtMs = del + graceMs,
+        dedupeKey = Some(s"${info.uuid}-$del"))
+    }
+
+  /** (kind, staged-file count, emb column) of a schedulable stamped
+    * ANN index; None for plain tables, un-schedulable indexes, or
+    * zero staging.
+    */
+  private[maintenance] def annStagingInfo(store: FileCatalogStore,
+      meta: TableMetadata): Option[(String, Int, String)] = {
+    val props = meta.properties
+    val embCol = props.getOrElse("graft.ann.emb-col", "embedding")
+    props.get("graft.ann.kind") match {
+      case Some("lsh") =>
+        val staging = props.get("graft.ann.bucket-groups").map(_.toLong)
+          .orElse(props.get("graft.ann.bits").map(b => 1L << b.toInt))
+          .getOrElse(return None)
+        Some(("lsh", CompactAnnIndex.stagedFileCount(
+          store, meta, "grp", staging), embCol))
+      case Some("ivf") =>
+        val schedulable = (for {
+          lists <- props.get("graft.ann.num-lists").map(_.toInt)
+          dim <- props.get("graft.ann.dim").map(_.toInt)
+          seed <- props.get("graft.ann.seed").map(_.toLong)
+          stamped <- props.get("graft.ann.codebook-hash")
+        } yield lists.toLong * dim <= (1L << 20) &&
+          seededCodebookMatches(lists, dim, seed, stamped))
+          .getOrElse(false)
+        if (!schedulable) None
+        else Some(("ivf", CompactAnnIndex.stagedFileCount(
+          store, meta, "list_id", 0L), embCol))
+      case _ => None
+    }
+  }
+
+  /** Memoized seeded-codebook verdict: the inputs are immutable table
+    * properties, so the answer never changes — without this every
+    * evaluation would regenerate and hash up to 2^20 doubles per IVF
+    * index, forever. Bounded clear-on-overflow like the other
+    * driver-side memo maps.
+    */
+  private val codebookVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, String),
+      java.lang.Boolean]()
+
+  private[maintenance] def seededCodebookMatches(lists: Int, dim: Int,
+      seed: Long, stamped: String): Boolean = {
+    val key = (lists, dim, seed, stamped)
+    if (codebookVerdicts.size > 256 && !codebookVerdicts.containsKey(key))
+      codebookVerdicts.clear()
+    codebookVerdicts.computeIfAbsent(key, _ =>
+      graft.ops.AnnIndex.codebookHash(
+        graft.ops.Ivf.centroids(lists, dim, seed)) == stamped)
+  }
+}

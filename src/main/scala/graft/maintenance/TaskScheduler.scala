@@ -15,6 +15,15 @@ import graft.store.{FileCatalogStore, TabularId, TaskRecord}
   * scheduler claims due ones each poll and runs the queue's handler.
   * `runOnce(now)` is the test seam — the poll body with an injected
   * clock, no thread needed.
+  *
+  * Implied-task DETECTION is commit-time, not poll-time: constructing
+  * a scheduler registers [[ImpliedTasks]] hooks on the store, so every
+  * commit/drop evaluates its own thresholds with the new metadata in
+  * hand, and the poll loop does zero metadata reads on a quiet
+  * warehouse — the reference's "scheduled adaptively after commits,
+  * not cron" (table-maintenance.md:20-58). The O(tables) walk survives
+  * only as a rare reconciliation sweep (first poll + every
+  * `reconcileMs`) covering pre-registration backlog.
   */
 class TaskScheduler(
     store: FileCatalogStore,
@@ -22,7 +31,24 @@ class TaskScheduler(
     graceMs: Long = ExpirationQueue.DefaultGraceMs,
     backoffMs: Long = 30000L,
     extraQueues: Map[String, TaskRecord => Unit] = Map.empty,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    // how often the poll loop may run the full reconciliation walk
+    // (the O(tables) sweep); steady-state detection is commit-time
+    reconcileMs: Long = 3600 * 1000L) {
+
+  // Commit-time implied-task detection (reference: expire_snapshots is
+  // "scheduled adaptively after commits, not cron",
+  // docs/docs/table-maintenance.md:20-58): the store hands every
+  // successful commit's NEW metadata to the threshold evaluator — zero
+  // extra metadata reads, zero poll-time walks. Drops enqueue their
+  // own expiration the same way. Registration is last-wins; stop()
+  // unregisters only if the hook is still ours.
+  private val commitHook: (TabularId, graft.meta.TableMetadata) => Unit =
+    (id, meta) => ImpliedTasks.evaluateTable(store, id, meta, clock())
+  private val softDeleteHook: graft.store.TabularInfo => Unit =
+    info => ImpliedTasks.enqueueExpiration(store, info, effectiveGraceMs)
+  store.onTableCommitted = Some(commitHook)
+  store.onTabularSoftDeleted = Some(softDeleteHook)
 
   /** Built-in queue handlers (reference queues of the same names). */
   private def handlers: Map[String, TaskRecord => Unit] = Map[String, TaskRecord => Unit](
@@ -106,38 +132,6 @@ class TaskScheduler(
   private def taskTabularId(t: TaskRecord): TabularId =
     TabularId(t.payload("namespace").split('.').toSeq, t.payload("name"))
 
-  /** Snapshot-count threshold for adaptive expire_snapshots enqueue.
-    * Precedence: per-queue task config (`snapshot-threshold` on the
-    * expire_snapshots queue — the reference's SetTaskQueueConfig
-    * payload is exactly this kind of worker knob) → system property →
-    * default.
-    */
-  private def adaptiveSnapshotThreshold: Long =
-    store.queueConfigLong("expire_snapshots", "snapshot-threshold")
-      .getOrElse(
-        sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toLong)
-
-  /** Delete-file-count threshold for adaptive position-delete GC
-    * (merge-on-read tables under delete pressure accumulate one delete
-    * file per task per commit; compacting them restores the clean-scan
-    * fast path). Same precedence as [[adaptiveSnapshotThreshold]].
-    */
-  private def adaptiveDeleteFileThreshold: Long =
-    store.queueConfigLong("rewrite_position_deletes", "delete-file-threshold")
-      .getOrElse(
-        sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toLong)
-
-  /** Staging-file-count threshold for adaptive ANN index compaction —
-    * the files-per-partition trigger: each appendLsh/appendIvf adds
-    * O(1) staging files, and probes read the whole staging partition,
-    * so accumulation is bounded by scheduling compaction once enough
-    * appends stack up. Same precedence as the other knobs.
-    */
-  private def adaptiveAnnStagingThreshold: Long =
-    store.queueConfigLong("ann_index_compaction", "staging-file-threshold")
-      .getOrElse(
-        sys.props.getOrElse("graft.scheduler.annstaging.threshold", "8").toLong)
-
   @volatile private var running = false
   private var thread: Option[Thread] = None
 
@@ -160,18 +154,30 @@ class TaskScheduler(
     running = false
     thread.foreach(_.interrupt())
     thread = None
+    // unregister our hooks unless a newer scheduler replaced them
+    if (store.onTableCommitted.contains(commitHook))
+      store.onTableCommitted = None
+    if (store.onTabularSoftDeleted.contains(softDeleteHook))
+      store.onTabularSoftDeleted = None
   }
 
-  /** One poll round: (1) ensure queue tasks exist for work the catalog
-    * implies (soft-deleted tabulars → tabular_expiration at
-    * deletedMs+grace; snapshot-heavy tables → expire_snapshots — the
-    * adaptive scheduling of table-maintenance.md:20-58), (2) claim due
-    * tasks, (3) run handlers with retry/backoff bookkeeping.
+  /** One poll round: (1) rarely — first poll, then at most every
+    * `reconcileMs` — reconcile queue tasks against work the catalog
+    * implies (the O(tables) sweep that catches commits/drops made
+    * before this scheduler's commit-time hooks were registered;
+    * steady-state detection happens AT COMMIT via
+    * [[ImpliedTasks.evaluateTable]], so a threshold-quiet warehouse
+    * costs the poll loop zero metadata reads), (2) claim due tasks,
+    * (3) run handlers with retry/backoff bookkeeping.
     *
     * @return number of tasks that ran (successfully or not)
     */
   def runOnce(nowMs: Long): Int = {
-    ensureImpliedTasks(nowMs)
+    if (!reconciledOnce || nowMs - lastReconcileMs >= reconcileMs) {
+      ensureImpliedTasks(nowMs)
+      reconciledOnce = true
+      lastReconcileMs = nowMs
+    }
     val due = store.claimDueTasks(nowMs)
     due.count { t =>
       handlers.get(t.queue) match {
@@ -209,120 +215,26 @@ class TaskScheduler(
   private def effectiveGraceMs: Long =
     store.warehouseProfile.expirationGraceMs.getOrElse(graceMs)
 
-  /** Idempotent: dedupe keys make repeated polls enqueue nothing new. */
+  private var reconciledOnce = false
+  private var lastReconcileMs = 0L
+
+  /** Rate-limited reconciliation sweep — the ONLY remaining O(tables)
+    * walk, covering work implied before commit-time hooks existed.
+    * Idempotent: dedupe keys make repeated sweeps enqueue nothing new.
+    */
   private def ensureImpliedTasks(nowMs: Long): Unit = {
-    store.listDeletedTabulars().foreach { info =>
-      info.deletedMs.foreach { del =>
-        store.enqueueTask("tabular_expiration",
-          Map("namespace" -> info.id.namespace.mkString("."),
-            "name" -> info.id.name,
-            "uuid" -> info.uuid),
-          runAtMs = del + effectiveGraceMs,
-          dedupeKey = Some(s"${info.uuid}-$del"))
-      }
-    }
-    // adaptive expire_snapshots: tables whose snapshot count crossed
-    // the threshold get a cleanup task (re-armed per snapshot count,
-    // so continued write pressure keeps rescheduling)
+    store.listDeletedTabulars().foreach(
+      ImpliedTasks.enqueueExpiration(store, _, effectiveGraceMs))
     store.listAllTabulars(includeDeleted = false)
       .filter(_.kind == "table").foreach { info =>
         try store.loadTableMetadata(info.id).foreach { case (meta, _) =>
-          if (meta.snapshots.size >= adaptiveSnapshotThreshold)
-            store.enqueueTask("expire_snapshots",
-              Map("namespace" -> info.id.namespace.mkString("."),
-                "name" -> info.id.name),
-              runAtMs = nowMs,
-              dedupeKey = Some(s"${info.id}-snaps-${meta.snapshots.size}"))
-          // adaptive delete-file GC: probe is summary-only (no manifest
-          // parse); re-armed per count, so continued MOR delete
-          // pressure keeps rescheduling
-          val delFiles = RewritePositionDeletes.deleteFileCount(store, meta)
-          if (delFiles >= adaptiveDeleteFileThreshold)
-            store.enqueueTask("rewrite_position_deletes",
-              Map("namespace" -> info.id.namespace.mkString("."),
-                "name" -> info.id.name),
-              runAtMs = nowMs,
-              dedupeKey = Some(s"${info.id}-delfiles-$delFiles"))
-          // adaptive ANN index compaction: a stamped incremental index
-          // whose STAGING partition accumulated enough append files
-          // gets re-homed (probe is summary-first metadata only);
-          // re-armed per count, so continued append pressure keeps
-          // rescheduling. Trained-centroid IVF indexes are skipped —
-          // their compaction needs the caller-held codebook (the
-          // seeded-hash check below is how we know; size-capped so the
-          // probe never generates a huge codebook just to compare).
-          annStagingInfo(meta).foreach { case (kind, staged, embCol) =>
-            // dedupe on the SNAPSHOT id, not the count: after a
-            // compaction the count can repeat (e.g. 4 → 0 → 4) and a
-            // count-keyed task would never re-arm; every append commit
-            // advances the snapshot, repeated polls between appends
-            // still dedupe
-            if (staged >= adaptiveAnnStagingThreshold)
-              store.enqueueTask("ann_index_compaction",
-                Map("namespace" -> info.id.namespace.mkString("."),
-                  "name" -> info.id.name,
-                  "kind" -> kind, "emb-col" -> embCol),
-                runAtMs = nowMs,
-                dedupeKey = Some(s"${info.id}-annstaged-" +
-                  meta.currentSnapshot.map(_.snapshotId).getOrElse(0L)))
-          }
+          ImpliedTasks.evaluateTable(store, info.id, meta, nowMs)
         } catch { case NonFatal(_) => }
       }
-  }
-
-  /** (kind, staged-file count, emb column) of a schedulable stamped
-    * ANN index; None for plain tables, un-schedulable indexes, or
-    * zero staging.
-    */
-  private def annStagingInfo(meta: graft.meta.TableMetadata)
-      : Option[(String, Int, String)] = {
-    val props = meta.properties
-    val embCol = props.getOrElse("graft.ann.emb-col", "embedding")
-    props.get("graft.ann.kind") match {
-      case Some("lsh") =>
-        val staging = props.get("graft.ann.bucket-groups").map(_.toLong)
-          .orElse(props.get("graft.ann.bits").map(b => 1L << b.toInt))
-          .getOrElse(return None)
-        Some(("lsh", CompactAnnIndex.stagedFileCount(
-          store, meta, "grp", staging), embCol))
-      case Some("ivf") =>
-        val schedulable = (for {
-          lists <- props.get("graft.ann.num-lists").map(_.toInt)
-          dim <- props.get("graft.ann.dim").map(_.toInt)
-          seed <- props.get("graft.ann.seed").map(_.toLong)
-          stamped <- props.get("graft.ann.codebook-hash")
-        } yield lists.toLong * dim <= (1L << 20) &&
-          TaskScheduler.seededCodebookMatches(lists, dim, seed, stamped))
-          .getOrElse(false)
-        if (!schedulable) None
-        else Some(("ivf", CompactAnnIndex.stagedFileCount(
-          store, meta, "list_id", 0L), embCol))
-      case _ => None
-    }
   }
 }
 
 object TaskScheduler {
-
-  /** Memoized seeded-codebook verdict: the inputs are immutable table
-    * properties, so the answer never changes — without this the poll
-    * loop would regenerate and hash up to 2^20 doubles per IVF index
-    * per poll, forever. Bounded clear-on-overflow like the other
-    * driver-side memo maps.
-    */
-  private val codebookVerdicts =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, String),
-      java.lang.Boolean]()
-
-  private[maintenance] def seededCodebookMatches(lists: Int, dim: Int,
-      seed: Long, stamped: String): Boolean = {
-    val key = (lists, dim, seed, stamped)
-    if (codebookVerdicts.size > 256 && !codebookVerdicts.containsKey(key))
-      codebookVerdicts.clear()
-    codebookVerdicts.computeIfAbsent(key, _ =>
-      graft.ops.AnnIndex.codebookHash(
-        graft.ops.Ivf.centroids(lists, dim, seed)) == stamped)
-  }
 
   /** Queue names the scheduler serves out of the box — the registered
     * task queues the reference's ServerInfo lists (server.rs `queues`).

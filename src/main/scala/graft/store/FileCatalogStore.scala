@@ -556,7 +556,41 @@ class FileCatalogStore(val root: String) {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[TabularId, (Int, TableMetadata)]()
 
+  // ------------------------------------------------- maintenance hooks
+  // Commit-time implied-task seam (reference: expire_snapshots is
+  // "scheduled adaptively after commits, not cron",
+  // docs/docs/table-maintenance.md:20-58): a registered scheduler gets
+  // every successful commit's NEW metadata — threshold checks are free
+  // there, so the poll loop never needs an O(tables) metadata walk.
+  // Hooks are best-effort observers: they run AFTER the commit is
+  // durable, outside the commit lock, and may never fail the caller.
+
+  /** Fired once per successfully committed table version (single-table
+    * commits and each table of a transaction) with the new metadata.
+    */
+  @volatile var onTableCommitted: Option[(TabularId, TableMetadata) => Unit] =
+    None
+
+  /** Fired when a tabular is soft-deleted (tombstoned), with the
+    * tombstone's info (deletedMs set) — the expiration-enqueue seam.
+    */
+  @volatile var onTabularSoftDeleted: Option[TabularInfo => Unit] = None
+
+  private def fireCommitted(id: TabularId, meta: TableMetadata): Unit =
+    onTableCommitted.foreach(h =>
+      try h(id, meta) catch { case NonFatal(_) => })
+
+  /** Lifetime count of [[loadTableMetadata]] calls — the scale-lane /
+    * spec probe proving poll rounds load no table metadata on a
+    * threshold-quiet warehouse (commit-time detection made the walk
+    * unnecessary).
+    */
+  private val metadataLoadCounter =
+    new java.util.concurrent.atomic.AtomicLong()
+  def metadataLoadCount: Long = metadataLoadCounter.get()
+
   def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)] = {
+    metadataLoadCounter.incrementAndGet()
     val v = currentVersion(id)
     if (v < 0) { metaCache.remove(id); None }
     else {
@@ -647,6 +681,7 @@ class FileCatalogStore(val root: String) {
       }
       done.foreach { case (v, withLog) =>
         logEvent("table-commit", id, Map("version" -> v.toString))
+        fireCommitted(id, withLog)
         return withLog
       }
       attempt += 1
@@ -756,7 +791,8 @@ class FileCatalogStore(val root: String) {
         if (info.protected_ && !force)
           throw new ProtectedException(s"$id is protected from deletion")
         if (softDelete && !purge) {
-          writeTabularInfo(info.copy(deletedMs = Some(System.currentTimeMillis())))
+          val tombstone = info.copy(deletedMs = Some(System.currentTimeMillis()))
+          writeTabularInfo(tombstone)
           // move the directory aside, keyed by UUID: the name becomes
           // free for re-CREATE immediately (reference: uniqueness holds
           // only among live tabulars, fix_soft_deleted_tabulars.sql:27-42)
@@ -764,6 +800,10 @@ class FileCatalogStore(val root: String) {
             StandardCopyOption.ATOMIC_MOVE)
           metaCache.remove(id)
           logEvent("tabular-soft-deleted", id, Map("kind" -> info.kind))
+          // drop-time expiration enqueue (the reference schedules the
+          // purge task in the drop transaction itself)
+          onTabularSoftDeleted.foreach(h =>
+            try h(tombstone) catch { case NonFatal(_) => })
         } else {
           // custom-LOCATION tables keep their data outside the catalog
           // directory — purge must delete it too (exact directory only;
@@ -925,7 +965,7 @@ class FileCatalogStore(val root: String) {
           Thread.sleep(5)
       }
     }
-    try commitLock.synchronized {
+    val committed = try commitLock.synchronized {
       // in-process, validate+write+rollback is one critical section —
       // a concurrent single-table commit could otherwise build on a
       // version the rollback below is about to delete
@@ -962,7 +1002,11 @@ class FileCatalogStore(val root: String) {
         metaCache.put(id, (v, meta))
         cleanupOldMetadata(id, meta, v)
       }
+      staged
     } finally Files.deleteIfExists(txLock)
+    // hooks fire after both locks are released — same observer
+    // contract as the single-table path
+    committed.foreach { case (id, _, meta) => fireCommitted(id, meta) }
   }
 
   // ---------------------------------------------------------------- views

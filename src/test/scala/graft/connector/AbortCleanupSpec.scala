@@ -1,0 +1,90 @@
+package graft.connector
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.DataFile
+import graft.store.TabularId
+
+/** Abort-path cleanup must go through the table's Hadoop FileSystem:
+  * at cluster scale the written paths are hdfs:// or s3a:// URIs, on
+  * which java.nio.Files silently no-ops — the aborted files would leak
+  * until remove_orphan_files. Each test hands the abort a `file:`-URI
+  * path (which java.nio cannot even parse as a filesystem path) and
+  * asserts the file is gone — only a Hadoop `FileSystem.delete` can
+  * have removed it.
+  */
+class AbortCleanupSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-abort").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-abort-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def graftCatalog: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+
+  private def orphan(name: String): (Path, String) = {
+    val p = Files.createTempFile("graft-aborted-" + name, ".parquet")
+    Files.write(p, Array[Byte](1, 2, 3))
+    // the hadoop-FS URI form java.nio.Paths.get cannot address
+    (p, "file:" + p.toAbsolutePath)
+  }
+
+  private def dataFile(uri: String): DataFile =
+    DataFile(uri, 3L, 1L, 0, Map.empty, Map.empty)
+
+  private def mkTable(name: String): GraftTable = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql(s"CREATE TABLE graft.db.$name (id BIGINT)")
+    val id = TabularId(Seq("db"), name)
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id).get
+    new GraftTable(graftCatalog.store, id, meta, snapshotId = None)
+  }
+
+  test("GraftBatchWrite.abort removes files via Hadoop FileSystem") {
+    val t = mkTable("ab1")
+    val (p, uri) = orphan("batch")
+    new GraftBatchWrite(t, t.schema(), "append")
+      .abort(Array(GraftCommitMessage(Seq(dataFile(uri)))))
+    assert(!Files.exists(p), "aborted batch file must be deleted")
+  }
+
+  test("streaming epoch abort removes files via Hadoop FileSystem") {
+    val t = mkTable("ab2")
+    val (p, uri) = orphan("stream")
+    new GraftStreamingWrite(t, t.schema(), "append", None)
+      .abort(0L, Array(GraftCommitMessage(Seq(dataFile(uri)))))
+    assert(!Files.exists(p), "aborted streaming epoch file must be deleted")
+  }
+
+  test("per-task writer abort removes its open file via Hadoop FileSystem") {
+    val t = mkTable("ab3")
+    val conf = spark.sessionState.newHadoopConf()
+    val w = new GraftDataWriter("file:" + warehouse + "/db/ab3",
+      t.schema(), t.meta.defaultSpec, conf, 0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(7L))
+    // the open parquet part lives under the file:-URI table location
+    w.abort()
+    val dataDir = java.nio.file.Paths.get(warehouse, "db", "ab3", "data")
+    val leaked =
+      if (!Files.isDirectory(dataDir)) Nil
+      else {
+        val s = Files.list(dataDir)
+        try s.iterator().asScala.toList finally s.close()
+      }
+    assert(leaked.isEmpty, s"aborted task files leaked: $leaked")
+  }
+}

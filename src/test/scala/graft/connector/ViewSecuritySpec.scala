@@ -268,6 +268,29 @@ class ViewSecuritySpec extends AnyFunSuite {
     assert(graftCatalog.namespaceExists(Array("vsec")))
   }
 
+  test("namespace GET and HEAD share one gate — no existence divergence") {
+    // loadNamespaceMetadata (DESCRIBE NAMESPACE) must be gated by the
+    // SAME can_get_metadata check as namespaceExists: a HEAD that says
+    // missing while GET returns full properties would leak both
+    // existence and metadata through the unguarded surface
+    fixture
+    import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException
+    withEnforcement("mallory") {
+      assert(!graftCatalog.namespaceExists(Array("vsec")))
+      intercept[NoSuchNamespaceException](
+        graftCatalog.loadNamespaceMetadata(Array("vsec")))
+    }
+    // alice's grant on vsec.public_view propagates can_get_metadata UP
+    // to the namespace (reference: upward get-metadata propagation), so
+    // BOTH surfaces answer positively — parity in the granted case too
+    withEnforcement("alice") {
+      assert(graftCatalog.namespaceExists(Array("vsec")))
+      assert(graftCatalog.loadNamespaceMetadata(Array("vsec")) != null)
+    }
+    // unenforced: GET works as before
+    assert(graftCatalog.loadNamespaceMetadata(Array("vsec")) != null)
+  }
+
   test("admission gates run before resource authz on enforced loads") {
     // reference service/admission.rs + docs/admission.md: gates make a
     // coarse decision AFTER authentication, BEFORE any per-resource

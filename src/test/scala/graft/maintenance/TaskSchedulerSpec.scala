@@ -138,9 +138,15 @@ class TaskSchedulerSpec extends AnyFunSuite {
     sched.runOnce(now)
     assert(s.listTasks(queue = Some("expire_snapshots")).isEmpty,
       "below the default threshold: no adaptive task")
-    // lower the threshold via queue config → adaptive task appears
+    // lower the threshold via queue config → adaptive task appears on
+    // the next RECONCILIATION sweep (detection is commit-time in
+    // steady state; the walk re-runs only after reconcileMs)
     s.setTaskQueueConfig("expire_snapshots",
       """{"snapshot-threshold": 2}""", None)
+    sched.runOnce(now)
+    assert(s.listTasks(queue = Some("expire_snapshots")).isEmpty,
+      "a poll inside the reconcile interval must not re-walk the catalog")
+    now += 3601 * 1000L
     sched.runOnce(now)
     assert(s.listTasks(queue = Some("expire_snapshots")).nonEmpty,
       "queue config must override the adaptive threshold")
@@ -241,6 +247,79 @@ class TaskSchedulerSpec extends AnyFunSuite {
     val after = openFds()
     assert(after - before <= 5,
       s"fd count grew $before -> $after across 1000 listings")
+  }
+
+  test("threshold-crossing commit enqueues AT COMMIT TIME — no poll walk") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "hooked")
+    mkTable(s, id)
+    System.setProperty("graft.scheduler.snapshot.threshold", "3")
+    try {
+      var now = 42000000L
+      val sched = new TaskScheduler(s, clock = () => now)
+      (1 to 3).foreach { i =>
+        s.commitTable(id, Nil, Seq(
+          TableUpdate.AddSnapshot(Snapshot(i.toLong, None, i.toLong,
+            1000L + i, "append", Map.empty, Nil, 0)),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+            SnapshotRef(i.toLong, isBranch = true))))
+      }
+      // the third commit crossed the threshold: the task exists WITHOUT
+      // any runOnce — detection happened in the commit itself
+      val pending = s.listTasks(queue = Some("expire_snapshots"))
+      assert(pending.size == 1 && pending.head.status == "pending",
+        "commit-time hook must enqueue the implied task")
+      assert(pending.head.scheduledAtMs == now)
+      sched.stop()
+      // stop() unregisters: a further threshold-crossing commit on a
+      // hook-less store enqueues nothing (reconciliation's job now)
+      s.commitTable(id, Nil, Seq(
+        TableUpdate.AddSnapshot(Snapshot(9L, None, 9L, 2000L, "append",
+          Map.empty, Nil, 0)),
+        TableUpdate.SetSnapshotRef(TableMetadata.MainBranch,
+          SnapshotRef(9L, isBranch = true))))
+      assert(s.listTasks(queue = Some("expire_snapshots")).size == 1,
+        "stopped scheduler must not keep enqueueing")
+    } finally System.clearProperty("graft.scheduler.snapshot.threshold")
+  }
+
+  test("poll rounds on a threshold-quiet warehouse load ZERO table metadata") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    (1 to 20).foreach(i => mkTable(s, TabularId(Seq("db"), s"quiet$i")))
+    var now = 77000000L
+    val sched = new TaskScheduler(s, clock = () => now)
+    sched.runOnce(now) // first poll: the one-time reconciliation sweep
+    val afterSweep = s.metadataLoadCount
+    assert(afterSweep >= 20, "the sweep itself walks the tables")
+    // steady state: polls inside the reconcile interval touch no
+    // metadata at all — the former O(tables)-per-poll walk is gone
+    (1 to 10).foreach { i => now += 10000; sched.runOnce(now) }
+    assert(s.metadataLoadCount == afterSweep,
+      s"quiet polls must load zero metadata " +
+        s"(${s.metadataLoadCount - afterSweep} loads across 10 polls)")
+    // ... and the interval elapsing re-arms exactly one more sweep
+    now += 3601 * 1000L
+    sched.runOnce(now)
+    assert(s.metadataLoadCount > afterSweep, "reconciliation re-runs rarely")
+  }
+
+  test("soft delete enqueues its expiration at drop time") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "dropme")
+    mkTable(s, id)
+    var now = System.currentTimeMillis()
+    val grace = 60000L
+    new TaskScheduler(s, graceMs = grace, clock = () => now)
+    s.dropTabular(id, purge = false)
+    val t = s.listTasks(queue = Some("tabular_expiration"))
+    assert(t.size == 1 && t.head.status == "pending",
+      "drop itself must schedule the deferred purge")
+    assert(t.head.payload.contains("uuid"))
+    val del = s.listDeletedTabulars().head.deletedMs.get
+    assert(t.head.scheduledAtMs == del + grace)
   }
 
   test("adaptive expire_snapshots task appears for snapshot-heavy tables") {
