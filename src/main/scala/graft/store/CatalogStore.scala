@@ -1,0 +1,191 @@
+package graft.store
+
+import java.nio.file.Path
+
+import graft.meta._
+
+/** The catalog-store seam (reference trait: `service/catalog_store.rs:307`
+  * — lakekeeper's `CatalogStore` trait is the boundary its Postgres
+  * implementation plugs into; every server handler is written against
+  * the trait, not the database). This trait is the same boundary for
+  * the Spark engine: the connector, task scheduler, maintenance jobs,
+  * admin surface, and authz evaluator consume ONLY these members, so a
+  * locking/metastore-backed implementation for a multi-driver
+  * deployment swaps in here without touching any of them.
+  * [[FileCatalogStore]] is the single-warehouse hard-link-CAS
+  * implementation (local/POSIX; its crash-recovery journals substitute
+  * for the transactions Postgres gives the reference for free).
+  *
+  * Path-typed members ([[metadataDir]], [[changesDir]]) are part of
+  * the contract on purpose: Iceberg metadata and the event feed are
+  * FILES in every deployment — a different store changes who
+  * arbitrates commits, not where metadata lives.
+  */
+trait CatalogStore {
+
+  /** Warehouse root location (the `location` of the active warehouse
+    * entry; every table location resolves under it unless overridden).
+    */
+  def root: String
+
+  val DefaultProject = "default"
+
+  // ------------------------------------------------------- namespaces
+  def createNamespace(ns: Seq[String], props: Map[String, String]): Unit
+  def namespaceExists(ns: Seq[String]): Boolean
+  def loadNamespace(ns: Seq[String]): (Seq[String], Map[String, String])
+  def updateNamespaceProperties(
+      ns: Seq[String], removals: Seq[String], updates: Map[String, String])
+      : (Seq[String], Seq[String], Seq[String])
+  def listNamespaces(parent: Seq[String]): Seq[Seq[String]]
+  def dropNamespace(ns: Seq[String], recursive: Boolean,
+      force: Boolean = false): Boolean
+  def namespaceProtected(ns: Seq[String]): Boolean
+  def setNamespaceProtection(ns: Seq[String], prot: Boolean): Unit
+
+  // ------------------------------------------------- tabular listings
+  def listTabulars(ns: Seq[String], includeDeleted: Boolean = false,
+      kind: Option[String] = None): Seq[TabularInfo]
+  def listTabularsPage(
+      ns: Seq[String],
+      pageSize: Int = 100,
+      pageToken: Option[String] = None): (Seq[TabularInfo], Option[String])
+  def listAllTabulars(includeDeleted: Boolean = false): Seq[TabularInfo]
+  def loadTabularInfo(id: TabularId): Option[TabularInfo]
+  def deletedTabularsNamed(id: TabularId): Seq[TabularInfo]
+  def listDeletedTabulars(): Seq[TabularInfo]
+
+  // ------------------------------------------------- table lifecycle
+  def createTable(id: TabularId, metadata: TableMetadata): TableMetadata
+  def registerTable(id: TabularId, metadataFile: String): TableMetadata
+  def requireLocationFree(location: String): Unit
+  def tableLocation(id: TabularId): String
+  def metadataDir(id: TabularId): Path
+  def currentVersion(id: TabularId): Int
+  def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)]
+  def dropTabular(id: TabularId, purge: Boolean, force: Boolean = false,
+      softDelete: Boolean = true): Boolean
+  def undrop(id: TabularId): Boolean
+  def purgeTombstone(ns: Seq[String], uuid: String): Boolean
+  def purgeTombstone(uuid: String): Boolean
+  def setProtection(id: TabularId, prot: Boolean): Unit
+  def renameTabular(from: TabularId, to: TabularId): Unit
+
+  // ------------------------------------------------------ commit path
+  def commitTable(
+      id: TabularId,
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate],
+      maxRetries: Int = 4): TableMetadata
+  def commitTableWith(
+      id: TabularId,
+      requirements: Seq[TableRequirement],
+      mkUpdates: TableMetadata => Seq[TableUpdate],
+      maxRetries: Int = 4,
+      idempotencyKey: Option[String] = None): TableMetadata
+  def commitTransaction(
+      changes: Seq[(TabularId, Seq[TableRequirement], Seq[TableUpdate])]): Unit
+
+  /** Commit observers (reference: the post-commit hooks that feed
+    * adaptive maintenance, `docs/docs/table-maintenance.md:20-58`).
+    * Best-effort, fired AFTER the commit is durable, outside locks.
+    */
+  var onTableCommitted: Option[(TabularId, TableMetadata) => Unit]
+  var onTabularSoftDeleted: Option[TabularInfo => Unit]
+
+  // ------------------------------------------------------------ views
+  def createView(id: TabularId, metadata: ViewMetadata): ViewMetadata
+  def loadViewMetadata(id: TabularId): Option[(ViewMetadata, Int)]
+  def commitView(id: TabularId, updates: Seq[Commit.ViewUpdate]): ViewMetadata
+
+  // --------------------------------------------------- generic tables
+  def createGenericTable(id: TabularId, format: String,
+      baseLocation: String, props: Map[String, String]): TabularInfo
+
+  // -------------------------------------------------- users and roles
+  def createOrUpdateUser(id: String, name: String, email: Option[String],
+      userType: String): Boolean
+  def listUsers(): Seq[UserRecord]
+  def deleteUser(id: String): Boolean
+  def createRole(id: String, name: String, description: Option[String]): RoleRecord
+  def listRoles(): Seq[RoleRecord]
+  def deleteRole(id: String): Boolean
+  def requireRole(id: String): Unit
+  def listRoleMembers(roleId: String): Seq[(String, String)]
+  def roleEdges(): Seq[RoleMemberEdge]
+  def addRoleMembers(roleId: String, members: Seq[(String, String)]): Unit
+  def removeRoleMember(roleId: String, memberType: String,
+      memberId: String): Boolean
+
+  // ------------------------------------------------------------ grants
+  def listGrantTuples(): Seq[GrantTuple]
+  def addGrant(t: GrantTuple): Unit
+  def removeGrant(t: GrantTuple): Unit
+  def listGrants(objType: String, objId: String): Seq[GrantTuple]
+
+  // --------------------------------------- warehouses and projects
+  def warehouseProfile: WarehouseProfile
+  def setWarehouseProfile(p: WarehouseProfile): Unit
+  def listProjects(): Seq[ProjectRecord]
+  def getProject(id: String): Option[ProjectRecord]
+  def createProject(id: String, name: String): ProjectRecord
+  def renameProject(id: String, newName: String): Unit
+  def deleteProject(id: String): Unit
+  def listWarehouseEntries(): Seq[WarehouseEntry]
+  def listWarehouses(): Map[String, String]
+  def createWarehouse(name: String, location: String,
+      project: String = DefaultProject,
+      storageProfile: Option[StorageProfile.WarehouseStorageProfile] = None)
+      : String
+  def renameWarehouse(name: String, newName: String,
+      project: String = DefaultProject): Unit
+  def updateWarehouseStorage(name: String,
+      profile: StorageProfile.WarehouseStorageProfile,
+      project: String = DefaultProject)
+      : StorageProfile.WarehouseStorageProfile
+  def setWarehouseProtection(name: String, prot: Boolean,
+      project: String = DefaultProject): Unit
+  def deleteWarehouse(name: String, force: Boolean,
+      project: String = DefaultProject): Boolean
+
+  // -------------------------------------------------- server lifecycle
+  def serverInfo(): Option[(String, Long, Option[String])]
+  def isBootstrapped: Boolean
+  def bootstrapServer(acceptTermsOfUse: Boolean,
+      userName: Option[String] = None,
+      isOperator: Boolean = false): String
+  def serverHealth(): Seq[(String, String)]
+  def maintenanceMode: Boolean
+  def setMaintenanceMode(readOnly: Boolean): Unit
+  def requireActive(): Unit
+  def requireMutable(): Unit
+  def resolvePath(location: String, path: String): String
+
+  // -------------------------------------------------------- task queue
+  def enqueueTask(queue: String, payload: Map[String, String],
+      runAtMs: Long, maxAttempts: Int = 5,
+      dedupeKey: Option[String] = None): TaskRecord
+  def listTasks(queue: Option[String] = None,
+      status: Option[String] = None): Seq[TaskRecord]
+  def updateTask(t: TaskRecord): Unit
+  def setTaskQueueConfig(queue: String, configJson: String,
+      maxSecondsSinceLastHeartbeat: Option[Long]): Unit
+  def getTaskQueueConfig(queue: String): Option[(String, Option[Long])]
+  def queueConfigLong(queue: String, key: String): Option[Long]
+  def claimDueTasks(nowMs: Long, staleMs: Long = 10 * 60 * 1000L): Seq[TaskRecord]
+
+  // --------------------------------------------------------- manifests
+  def writeManifest(location: String, manifest: ManifestFile,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): String
+  def readManifestSummary(location: String, path: String): Option[ManifestSummary]
+  def readManifest(location: String, path: String): ManifestFile
+  def readManifests(location: String, paths: Seq[String]): Seq[ManifestFile]
+
+  // ------------------------------------- events and observability
+  def logEvent(eventType: String, id: TabularId,
+      extra: Map[String, String] = Map.empty): Unit
+  def changesDir: Path
+  def countOp(op: String): Unit
+  def windowedOpCounts: java.util.concurrent.ConcurrentHashMap[
+    (Long, String), java.util.concurrent.atomic.AtomicLong]
+}

@@ -169,7 +169,7 @@ trait ContractVerifier {
   * through this class. A real deployment swaps the nio calls for a
   * locking object-store or DB implementation behind the same methods.
   */
-class FileCatalogStore(val root: String) {
+class FileCatalogStore(val root: String) extends CatalogStore {
 
   private val rootPath = Paths.get(root)
   Files.createDirectories(rootPath)
@@ -268,14 +268,33 @@ class FileCatalogStore(val root: String) {
   /** Atomic create-if-absent: hard-link a temp file into place. The
     * link(2) syscall fails with EEXIST if the target exists — this is
     * the commit arbitration primitive.
+    *
+    * `window`, when set, names the crash point between the temp write
+    * and the link — the instant where a dying process leaves a
+    * `.tmp-*` orphan but no visible state change (recovery matrix
+    * window "pre-link").
     */
-  private def atomicCreate(target: Path, content: String): Boolean = {
+  private def atomicCreate(target: Path, content: String,
+      window: Option[String] = None): Boolean = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     writeString(tmp, content)
+    window.foreach(crashPoint)
     try { Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { Files.deleteIfExists(tmp) }
   }
+
+  /** Test-only crash seam (reference analog: the windows a Postgres
+    * transaction closes for free — `server/tables.rs` commits key +
+    * metadata in one txn). A hook that THROWS at a named window
+    * simulates the process dying at that instant: every file already
+    * written stays on disk, nothing after the window runs, and the
+    * recovery spec (`FileCatalogStoreCrashSpec`) asserts the next
+    * reader/committer sees a consistent snapshot. Production never
+    * sets it.
+    */
+  @volatile var crashHook: Option[String => Unit] = None
+  private def crashPoint(window: String): Unit = crashHook.foreach(_(window))
 
   // --------------------------------------------------------- namespaces
   import org.json4s._
@@ -589,6 +608,16 @@ class FileCatalogStore(val root: String) {
     new java.util.concurrent.atomic.AtomicLong()
   def metadataLoadCount: Long = metadataLoadCounter.get()
 
+  /** Lifetime count of single-table commit attempts that lost the CAS
+    * race and retried — the catalog-lane contention observable.
+    * Same-JVM commits arbitrate through [[commitLock]] (expected 0);
+    * a non-zero count means cross-process writers raced the hard-link
+    * CAS.
+    */
+  private val commitRetryCounter =
+    new java.util.concurrent.atomic.AtomicLong()
+  def commitRetryCount: Long = commitRetryCounter.get()
+
   def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)] = {
     metadataLoadCounter.incrementAndGet()
     val v = currentVersion(id)
@@ -614,6 +643,52 @@ class FileCatalogStore(val root: String) {
     * write.metadata.previous-versions-max (reference:
     * server/tables.rs:1596-1608,1729-1755; table-maintenance.md:3-6).
     */
+  private def idemGuardPath(id: TabularId, key: String): Path =
+    metadataDir(id).resolve(s".idem-${fold(key)}")
+  private def idemPendingPath(id: TabularId, key: String): Path =
+    metadataDir(id).resolve(s".idem-${fold(key)}.pending")
+
+  /** Resolve an idempotency key against both halves of the two-file
+    * protocol. The guard (`.idem-<key>` → version) is the durable
+    * record; the pending journal (`.idem-<key>.pending` → version +
+    * exact metadata bytes) covers the crash window between the vN link
+    * (the commit point) and the guard link. On replay:
+    *  - guard present → return the recorded version (committed).
+    *  - pending present and vN's bytes EQUAL the journal's → our
+    *    commit landed but the crash beat the guard: finalize the
+    *    guard and return vN. Byte equality is sound because metadata
+    *    JSON embeds fresh timestamps/snapshot-ids per attempt — a
+    *    racing writer can't produce our exact bytes.
+    *  - pending present but vN missing or different → the crash beat
+    *    the CAS (or the CAS lost): drop the journal, re-apply.
+    */
+  private def resolveIdempotent(
+      id: TabularId, key: String): Option[TableMetadata] = {
+    val guard = idemGuardPath(id, key)
+    if (Files.exists(guard)) {
+      val v = readString(guard).trim.toInt
+      val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+      if (Files.exists(p)) return Some(Json.metadataFromJson(readString(p)))
+    }
+    val pending = idemPendingPath(id, key)
+    if (Files.exists(pending)) {
+      val s = readString(pending)
+      val nl = s.indexOf('\n')
+      if (nl > 0) {
+        val v = s.take(nl).trim.toInt
+        val json = s.drop(nl + 1)
+        val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        if (Files.exists(target) && readString(target) == json) {
+          atomicCreate(guard, v.toString)
+          Files.deleteIfExists(pending)
+          return Some(Json.metadataFromJson(json))
+        }
+      }
+      Files.deleteIfExists(pending)
+    }
+    None
+  }
+
   def commitTable(
       id: TabularId,
       requirements: Seq[TableRequirement],
@@ -637,12 +712,7 @@ class FileCatalogStore(val root: String) {
     // returns the previously committed metadata instead of re-applying
     requireActive()
     idempotencyKey.foreach { key =>
-      val guard = metadataDir(id).resolve(s".idem-${fold(key)}")
-      if (Files.exists(guard)) {
-        val v = readString(guard).trim.toInt
-        val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-        if (Files.exists(p)) return Json.metadataFromJson(readString(p))
-      }
+      resolveIdempotent(id, key).foreach(return _)
     }
     var attempt = 0
     while (true) {
@@ -651,6 +721,10 @@ class FileCatalogStore(val root: String) {
       // window must never interleave with a commit that builds on a
       // version the rollback is about to delete
       val done = commitLock.synchronized {
+        // a dead transaction's journal may hold this table's next
+        // version — resolve it before building on stale state (one
+        // Files.exists stat on the quiet path)
+        maybeRecoverTx()
         val currentOpt = loadTableMetadata(id)
         Commit.checkRequirements(currentOpt.map(_._1), requirements)
         val current = currentOpt.map(_._1).getOrElse(
@@ -671,9 +745,24 @@ class FileCatalogStore(val root: String) {
             System.currentTimeMillis(),
             metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
             .takeRight(maxPreviousVersions(next) + 1))
-        if (atomicCreate(target, Json.metadataToJson(withLog))) {
-          idempotencyKey.foreach(key => atomicCreate(
-            metadataDir(id).resolve(s".idem-${fold(key)}"), v.toString))
+        val json = Json.metadataToJson(withLog)
+        // keyed commits write an intent journal BEFORE the CAS: the
+        // exact bytes headed for vN under this key. A crash between
+        // the CAS and the guard link used to make the retry re-apply
+        // the same updates on top of its own commit (duplicate
+        // snapshot); now resolveIdempotent matches the journal bytes
+        // against the landed vN and finalizes the guard instead.
+        idempotencyKey.foreach { key =>
+          writeString(idemPendingPath(id, key), s"$v\n$json")
+          crashPoint("commit:pending-written")
+        }
+        if (atomicCreate(target, json, Some("commit:pre-link"))) {
+          crashPoint("commit:pre-guard")
+          idempotencyKey.foreach { key =>
+            atomicCreate(idemGuardPath(id, key), v.toString)
+            Files.deleteIfExists(idemPendingPath(id, key))
+          }
+          crashPoint("commit:pre-cleanup")
           metaCache.put(id, (v, withLog))
           cleanupOldMetadata(id, withLog, v)
           Some((v, withLog))
@@ -684,6 +773,7 @@ class FileCatalogStore(val root: String) {
         fireCommitted(id, withLog)
         return withLog
       }
+      commitRetryCounter.incrementAndGet()
       attempt += 1
       if (attempt > maxRetries)
         throw new CommitFailedException(
@@ -709,6 +799,14 @@ class FileCatalogStore(val root: String) {
     m.properties.get("write.metadata.previous-versions-max")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
 
+  /** Age beyond which commit-protocol debris in a metadata dir — a
+    * `.tmp-*` orphaned by a death between temp-write and link, or an
+    * `.idem-*.pending` journal whose retry never came — is reclaimed
+    * by the next commit's cleanup pass. Generous: a LIVE temp exists
+    * for microseconds, a live pending for one commit attempt.
+    */
+  @volatile var metadataDebrisMaxAgeMs: Long = 3600000L
+
   private def cleanupOldMetadata(
       id: TabularId, m: TableMetadata, committedVersion: Int): Unit = {
     if (m.properties.getOrElse(
@@ -716,10 +814,18 @@ class FileCatalogStore(val root: String) {
     val keep = maxPreviousVersions(m)
     val dir = metadataDir(id)
     val cutoff = committedVersion - keep - 1
-    if (cutoff < 0) return
+    val debrisCutoff = System.currentTimeMillis() - metadataDebrisMaxAgeMs
+    def staleDebris(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < debrisCutoff
+      catch { case NonFatal(_) => false }
     FileCatalogStore.listDir(dir).foreach { p =>
-      p.getFileName.toString match {
+      val fn = p.getFileName.toString
+      fn match {
         case VersionRe(n) if n.toInt <= cutoff =>
+          try Files.deleteIfExists(p) catch { case NonFatal(_) => }
+        case _ if (fn.startsWith(".tmp-") ||
+            (fn.startsWith(".idem-") && fn.endsWith(".pending"))) &&
+            staleDebris(p) =>
           try Files.deleteIfExists(p) catch { case NonFatal(_) => }
         case _ =>
       }
@@ -944,6 +1050,88 @@ class FileCatalogStore(val root: String) {
 
   // ------------------------------------------------ multi-table commits
   private def txLock: Path = rootPath.resolve(".txlock")
+  private def txJournal: Path = rootPath.resolve(".txjournal")
+
+  /** Age beyond which a `.txlock` left by a dead process may be stolen
+    * (after resolving its journal). The reference never needs this —
+    * Postgres releases a dead session's locks itself; a lock FILE
+    * needs an expiry. Settable for deterministic recovery specs.
+    */
+  @volatile var txLockStaleMs: Long = 60000L
+
+  /** Finish a dead transaction from its journal — deterministic in
+    * either direction. status=committing → roll FORWARD: the tx had
+    * passed all requirement checks and may already have linked some
+    * version files (readers could have seen them), so completing the
+    * remaining links is the only direction that preserves all-or-none;
+    * the journal carries the exact bytes, and atomicCreate is
+    * create-if-absent, so replay is idempotent. status=aborting → roll
+    * BACK: the tx lost a CAS race mid-flight and was unwinding; delete
+    * whatever of its listed files remain. Safe to call from any
+    * process that holds (or has stolen) the lock.
+    */
+  private def recoverTxJournal(): Unit = {
+    if (!Files.exists(txJournal)) return
+    val parsed = try JsonMethods.parse(readString(txJournal))
+      catch { case NonFatal(_) => Files.deleteIfExists(txJournal); return }
+    val status = (parsed \ "status").extractOpt[String].getOrElse("")
+    if (status == "committing") {
+      (parsed \ "entries") match {
+        case JArray(entries) => entries.foreach { e =>
+          for {
+            ns <- (e \ "ns").extractOpt[Seq[String]]
+            name <- (e \ "name").extractOpt[String]
+            v <- (e \ "v").extractOpt[Int]
+            json <- (e \ "metadata").extractOpt[String]
+          } {
+            val id = TabularId(ns, name)
+            val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+            if (!Files.exists(target)) atomicCreate(target, json)
+            metaCache.remove(id)
+          }
+        }
+        case _ =>
+      }
+    } else if (status == "aborting") {
+      (parsed \ "written") match {
+        case JArray(ps) => ps.foreach { pj =>
+          pj.extractOpt[String].foreach { p =>
+            try Files.deleteIfExists(Paths.get(p))
+            catch { case NonFatal(_) => }
+          }
+        }
+        case _ =>
+      }
+    }
+    Files.deleteIfExists(txJournal)
+  }
+
+  /** Opportunistic recovery gate: a journal with no lock (or a stale
+    * lock) is a dead transaction; resolve it before building on any of
+    * its tables. One Files.exists stat on the quiet path.
+    */
+  private def maybeRecoverTx(): Unit = {
+    if (!Files.exists(txJournal)) return
+    if (Files.exists(txLock)) {
+      val age = try System.currentTimeMillis() -
+        Files.getLastModifiedTime(txLock).toMillis
+        catch { case NonFatal(_) => 0L }
+      if (age < txLockStaleMs) return // live holder; leave it alone
+      recoverTxJournal()
+      Files.deleteIfExists(txLock)
+    } else recoverTxJournal()
+  }
+
+  private def txJournalJson(status: String,
+      staged: Seq[(TabularId, Int, TableMetadata)],
+      written: Seq[Path]): String =
+    Json.render(
+      ("status" -> status) ~
+      ("entries" -> staged.map { case (id, v, meta) =>
+        ("ns" -> id.namespace) ~ ("name" -> id.name) ~ ("v" -> v) ~
+        ("metadata" -> Json.metadataToJson(meta))
+      }) ~
+      ("written" -> written.map(_.toString)))
 
   /** Multi-table atomic commit (reference: commitTransaction,
     * server/tables.rs:948 try_commit_tables:1523-1758). Requirements for
@@ -959,12 +1147,16 @@ class FileCatalogStore(val root: String) {
       try { Files.createFile(txLock); locked = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          maybeRecoverTx() // steals + resolves if the holder is dead
           spins += 1
           if (spins > 1000) throw new CommitFailedException(
             "Could not acquire transaction lock")
           Thread.sleep(5)
       }
     }
+    // a journal under a lock WE just created can only be a dead tx's
+    // (a live holder keeps the lock while its journal exists)
+    recoverTxJournal()
     val committed = try commitLock.synchronized {
       // in-process, validate+write+rollback is one critical section —
       // a concurrent single-table commit could otherwise build on a
@@ -985,19 +1177,36 @@ class FileCatalogStore(val root: String) {
             .takeRight(maxPreviousVersions(next) + 1))
         (id, v + 1, withLog)
       }
+      // Intent journal BEFORE the first link: the exact bytes of every
+      // version file this transaction will create. A process dying
+      // anywhere in phase 2 leaves a deterministic journal — recovery
+      // rolls FORWARD (some links may already be reader-visible), so
+      // all-or-none holds across crashes, not just across CAS losses.
+      writeString(txJournal, txJournalJson("committing", staged, Nil))
+      crashPoint("tx:journal-written")
       // Phase 2: write all version files; on any loss of the per-file
       // race, roll back the files created so far so no table advances.
       val written = scala.collection.mutable.ArrayBuffer.empty[Path]
       staged.foreach { case (id, v, meta) =>
         val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
         if (!atomicCreate(target, Json.metadataToJson(meta))) {
+          // flip the journal to aborting BEFORE unwinding so a crash
+          // mid-rollback finishes as a rollback, never replays as a
+          // commit
+          writeString(txJournal,
+            txJournalJson("aborting", Nil, written.toSeq))
+          crashPoint("tx:abort-journaled")
           written.foreach(p => try Files.deleteIfExists(p)
             catch { case NonFatal(_) => })
+          Files.deleteIfExists(txJournal)
           throw new CommitFailedException(
             s"Transaction conflict on $id: version $v already exists")
         }
         written += target
+        crashPoint(s"tx:linked-${written.size}")
       }
+      crashPoint("tx:pre-finalize")
+      Files.deleteIfExists(txJournal)
       staged.foreach { case (id, v, meta) =>
         metaCache.put(id, (v, meta))
         cleanupOldMetadata(id, meta, v)
@@ -1503,8 +1712,7 @@ class FileCatalogStore(val root: String) {
   // warehouse.rs:295 — DELETE conflicts with "ProjectNotEmpty" while
   // any warehouse still references the project). The bootstrap
   // warehouse lives in the always-present default project.
-
-  val DefaultProject = "default"
+  // (DefaultProject itself lives on the CatalogStore trait.)
 
   private def projectsPath: Path = rootPath.resolve(".projects.json")
 

@@ -1525,6 +1525,39 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(spark.table("graft.db.orp").count() == 5)
   }
 
+  test("a write dying between data files and commit leaves no partial rows; debris is reclaimed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.crashw (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.crashw VALUES (1, 'a')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    // kill the driver at the metadata commit point: data files are
+    // already on storage, the version link never happens
+    cat.store.crashHook = Some(w =>
+      if (w == "commit:pre-link")
+        throw new RuntimeException("simulated driver death at commit"))
+    try intercept[Exception](
+      spark.sql("INSERT INTO graft.db.crashw VALUES (2, 'b')"))
+    finally cat.store.crashHook = None
+    // the reader sees the pre-crash snapshot, never partial rows
+    assert(spark.sql("SELECT * FROM graft.db.crashw").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // a task that died before even reporting leaves untracked debris
+    // the abort path can't know about — remove_orphan_files reclaims it
+    val dataDir = java.nio.file.Paths.get(
+      cat.store.tableLocation(graft.store.TabularId(Seq("db"), "crashw")),
+      "data")
+    val debris = dataDir.resolve("dead-task-leftover.parquet")
+    Files.write(debris, Array[Byte](9, 9, 9))
+    spark.sql(
+      "CALL graft.system.remove_orphan_files(table => 'db.crashw', " +
+        s"older_than_ms => ${System.currentTimeMillis() + 1000})")
+    assert(!Files.exists(debris))
+    // and the table keeps working: the retry commits cleanly
+    spark.sql("INSERT INTO graft.db.crashw VALUES (2, 'b')")
+    assert(spark.table("graft.db.crashw").count() == 2)
+  }
+
   test("partition evolution: ADD/DROP PARTITION FIELD, both generations scanned") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.pe (my_ints INT, strings STRING) PARTITIONED BY (my_ints)")

@@ -1,0 +1,250 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** Crash-window recovery matrix for the commit protocol (reference
+  * analog: Postgres closes every one of these windows transactionally
+  * — `server/tables.rs:1523-1758` commits requirements + metadata +
+  * idempotency key in one txn; a file store has to close them with
+  * journals + recovery). Each case kills the process at a named
+  * window via the store's crash seam, then asserts from a FRESH store
+  * instance over the same root (a restarted process) that:
+  *   - the next reader sees a consistent snapshot (old or new, never
+  *     partial),
+  *   - a retry (keyed or not) converges without double-applying,
+  *   - the debris is reclaimed by the commit-time sweep.
+  */
+class FileCatalogStoreCrashSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private final class SimulatedCrash(w: String)
+    extends RuntimeException(s"simulated process death at $w")
+
+  /** Run `body` with the store dying at `window`; returns normally. */
+  private def crashing(s: FileCatalogStore, window: String)(body: => Unit): Unit = {
+    s.crashHook = Some(w =>
+      if (w == window) throw new SimulatedCrash(w))
+    try {
+      intercept[SimulatedCrash](body)
+      ()
+    } finally s.crashHook = None
+  }
+
+  private def fixture(): (String, TabularId) = {
+    val root = Files.createTempDirectory("graft-crash").toString
+    val s = new FileCatalogStore(root)
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema))
+    (root, id)
+  }
+
+  private def metaDir(root: String, id: TabularId): Path = {
+    val s = new FileCatalogStore(root)
+    s.metadataDir(id)
+  }
+
+  private def listNames(dir: Path): Seq[String] = {
+    val ds = Files.newDirectoryStream(dir)
+    try {
+      val b = Seq.newBuilder[String]
+      ds.forEach(p => b += p.getFileName.toString)
+      b.result()
+    } finally ds.close()
+  }
+
+  test("W1 pre-link: temp written but never linked — invisible, retryable, swept") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "commit:pre-link") {
+      s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    }
+    // restarted process: no visible state change, but a .tmp- orphan
+    val fresh = new FileCatalogStore(root)
+    assert(fresh.currentVersion(id) == 0)
+    assert(!fresh.loadTableMetadata(id).get._1.properties.contains("a"))
+    val dir = metaDir(root, id)
+    assert(listNames(dir).exists(_.startsWith(".tmp-")), "expected tmp debris")
+    // retry converges
+    val m = fresh.commitTable(id, Nil,
+      Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    assert(m.properties("a") == "1" && fresh.currentVersion(id) == 1)
+    // commit-time sweep reclaims the debris once it is past the age bar
+    fresh.metadataDebrisMaxAgeMs = 0L
+    fresh.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("b" -> "2"))))
+    assert(!listNames(dir).exists(_.startsWith(".tmp-")), "tmp debris not swept")
+  }
+
+  test("W2 pre-guard: version linked, guard missing — keyed replay dedupes, no double apply") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "commit:pre-guard") {
+      s.commitTableWith(id, Nil,
+        _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+        idempotencyKey = Some("job-42"))
+    }
+    val dir = metaDir(root, id)
+    // the commit POINT passed: v1 is durable; the guard is not, the
+    // pending journal is
+    assert(new FileCatalogStore(root).currentVersion(id) == 1)
+    assert(!listNames(dir).contains(".idem-job-42"))
+    assert(listNames(dir).contains(".idem-job-42.pending"))
+    // restarted retry with the same key must return v1, not commit v2
+    val fresh = new FileCatalogStore(root)
+    val m = fresh.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+      idempotencyKey = Some("job-42"))
+    assert(m.properties("a") == "1")
+    assert(fresh.currentVersion(id) == 1, "keyed replay double-applied")
+    // and the protocol files are finalized
+    assert(listNames(dir).contains(".idem-job-42"))
+    assert(!listNames(dir).contains(".idem-job-42.pending"))
+  }
+
+  test("W3 pending-written: crash before the CAS — keyed retry re-applies cleanly") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "commit:pending-written") {
+      s.commitTableWith(id, Nil,
+        _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+        idempotencyKey = Some("job-7"))
+    }
+    val fresh = new FileCatalogStore(root)
+    assert(fresh.currentVersion(id) == 0, "nothing may be visible pre-CAS")
+    val m = fresh.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+      idempotencyKey = Some("job-7"))
+    assert(m.properties("a") == "1" && fresh.currentVersion(id) == 1)
+    val names = listNames(metaDir(root, id))
+    assert(names.contains(".idem-job-7") && !names.contains(".idem-job-7.pending"))
+  }
+
+  test("W4 pre-cleanup: committed but cache/cleanup skipped — replay returns the result") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "commit:pre-cleanup") {
+      s.commitTableWith(id, Nil,
+        _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+        idempotencyKey = Some("job-9"))
+    }
+    val fresh = new FileCatalogStore(root)
+    assert(fresh.currentVersion(id) == 1)
+    val m = fresh.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("never" -> "applied"))),
+      idempotencyKey = Some("job-9"))
+    assert(m.properties("a") == "1" && !m.properties.contains("never"))
+    assert(fresh.currentVersion(id) == 1)
+  }
+
+  private def txFixture(): (String, TabularId, TabularId) = {
+    val root = Files.createTempDirectory("graft-crash-tx").toString
+    val s = new FileCatalogStore(root)
+    s.createNamespace(Seq("db"), Map.empty)
+    val a = TabularId(Seq("db"), "a")
+    val b = TabularId(Seq("db"), "b")
+    Seq(a, b).foreach(id => s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema)))
+    (root, a, b)
+  }
+
+  private def txChanges(a: TabularId, b: TabularId) = Seq(
+    (a, Nil, Seq(TableUpdate.SetProperties(Map("tx" -> "1")))),
+    (b, Nil, Seq(TableUpdate.SetProperties(Map("tx" -> "1")))))
+
+  test("W5 tx journal written, no links — dead tx is rolled FORWARD on next commit") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "tx:journal-written") { s.commitTransaction(txChanges(a, b)) }
+    assert(Files.exists(Paths.get(root, ".txjournal")))
+    // a restarted process's next single-table commit trips recovery:
+    // the journaled tx lands atomically FIRST, then the commit applies
+    val fresh = new FileCatalogStore(root)
+    fresh.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+    val (ma, va) = fresh.loadTableMetadata(a).get
+    val (mb, vb) = fresh.loadTableMetadata(b).get
+    assert(ma.properties("tx") == "1" && ma.properties("k") == "2" && va == 2)
+    assert(mb.properties("tx") == "1" && vb == 1)
+  }
+
+  test("W6 tx partially linked — remaining links are completed, all-or-none holds") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "tx:linked-1") { s.commitTransaction(txChanges(a, b)) }
+    // table a advanced, table b did not — the window readers must
+    // never be left in
+    assert(new FileCatalogStore(root).currentVersion(a) == 1)
+    assert(new FileCatalogStore(root).currentVersion(b) == 0)
+    val fresh = new FileCatalogStore(root)
+    fresh.commitTable(b, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
+    val (ma, _) = fresh.loadTableMetadata(a).get
+    val (mb, vb) = fresh.loadTableMetadata(b).get
+    assert(ma.properties("tx") == "1")
+    assert(mb.properties("tx") == "1" && mb.properties("k") == "2" && vb == 2)
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+
+  test("W7 tx pre-finalize: fully linked, journal not deleted — recovery is a no-op replay") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "tx:pre-finalize") { s.commitTransaction(txChanges(a, b)) }
+    val fresh = new FileCatalogStore(root)
+    fresh.commitTransaction(Seq(
+      (a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))))
+    assert(fresh.currentVersion(a) == 2 && fresh.currentVersion(b) == 1)
+    assert(fresh.loadTableMetadata(b).get._1.properties("tx") == "1")
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+
+  test("W8 tx abort mid-rollback: aborting journal finishes as a rollback, never a commit") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    // force a phase-2 CAS loss on b: a cross-process racer commits b's
+    // next version between the tx's staging and its link attempt
+    val racer = new FileCatalogStore(root)
+    s.crashHook = Some { w =>
+      if (w == "tx:journal-written")
+        racer.commitTable(b, Nil,
+          Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
+      if (w == "tx:abort-journaled") throw new SimulatedCrash(w)
+    }
+    try intercept[SimulatedCrash](s.commitTransaction(txChanges(a, b)))
+    finally s.crashHook = None
+    // a's v1 was linked before the loss; the aborting journal lists it
+    assert(new FileCatalogStore(root).currentVersion(a) == 1)
+    // recovery rolls a BACK — all-or-none resolves to none
+    val fresh = new FileCatalogStore(root)
+    fresh.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
+    val (ma, va) = fresh.loadTableMetadata(a).get
+    assert(!ma.properties.contains("tx"), "rolled-back tx leaked into a")
+    assert(ma.properties("k") == "2" && va == 1)
+    val (mb, _) = fresh.loadTableMetadata(b).get
+    assert(mb.properties("racer") == "1" && !mb.properties.contains("tx"))
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+
+  test("W9 stale .txlock with a committing journal is stolen and resolved") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "tx:journal-written") { s.commitTransaction(txChanges(a, b)) }
+    // simulate the dead holder's lock surviving (in-process the finally
+    // released it; a killed process would not)
+    Files.createFile(Paths.get(root, ".txlock"))
+    val fresh = new FileCatalogStore(root)
+    fresh.txLockStaleMs = 0L
+    fresh.commitTransaction(Seq(
+      (a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))))
+    assert(fresh.loadTableMetadata(a).get._1.properties("tx") == "1")
+    assert(fresh.loadTableMetadata(b).get._1.properties("tx") == "1")
+    assert(fresh.loadTableMetadata(a).get._1.properties("k") == "2")
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+}
