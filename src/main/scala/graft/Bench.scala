@@ -182,19 +182,37 @@ object Bench {
     // three curves whose round-10 fixes were proven flat across exactly
     // one doubling (qd5/qd10 measured-width, qs21 grouped index layout)
     // plus qs23's staged append — turns "fixed at sf2" into a guarded
-    // trajectory with candidates/build/probe splits
+    // trajectory with candidates/build/probe splits. Round 12: qd3 and
+    // qd12 — the other two historically-quadratic families — get the
+    // fourth doubling too, with cand_ms/verify_ms (qd3) and
+    // cand_per_pair (qd12) so a superlinear wall names its term.
     val scaleSf4: Option[graft.queries.ScaleLane.Report] =
       if (!scaleOn) None
       else {
         spark.catalog.clearCache()
         try Some(graft.queries.ScaleLane.run(spark,
           dir = "target/scale/sf4", nDocs = 200000, nEmb = 80000,
-          only = Set("qd_width_measure", "qd5_jaccard_autowidth",
-            "qd10_containment_autowidth",
+          only = Set("qd_width_measure", "qd3_minhash",
+            "qd5_jaccard_autowidth",
+            "qd10_containment_autowidth", "qd12_editdist",
             "qs21_lsh_knn_join", "qs23_incremental_append")))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf4 scale lane FAILED: ${e.getMessage}")
           None
+        }
+      }
+
+    // catalog-plane lane (round 12): 2k/8k/32k-tabular warehouses —
+    // per-namespace ops must stay flat, whole-warehouse walks grow
+    // linearly with a NAMED term, steady-state scheduler polls load
+    // zero metadata, 8-way commit contention reports retry counts
+    val scaleCatalog: Seq[graft.queries.CatalogScaleLane.Report] =
+      if (!scaleOn) Nil
+      else {
+        try graft.queries.CatalogScaleLane.run(spark)
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] catalog lane FAILED: ${e.getMessage}")
+          Nil
         }
       }
 
@@ -218,6 +236,18 @@ object Bench {
     val scaleSf1Json = scaleSf1.map(scaleReportJson).getOrElse("null")
     val scaleSf2Json = scaleSf2.map(scaleReportJson).getOrElse("null")
     val scaleSf4Json = scaleSf4.map(scaleReportJson).getOrElse("null")
+    def catReportJson(r: graft.queries.CatalogScaleLane.Report): String = {
+      val legs = r.legs.map { l =>
+        val extra = l.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""","${k}":$v""" }.mkString +
+          l.err.map(e => s""","err":${js(e)}""").getOrElse("")
+        s"""${js(l.name)}:{"sec":${jn(l.sec)},"rows":${l.rows}$extra}"""
+      }.mkString("{", ",", "}")
+      s"""{"size":${r.size},"generated":${r.generated},""" +
+        s""""gen_sec":${jn(r.genSec)},"legs":$legs}"""
+    }
+    val scaleCatalogJson =
+      scaleCatalog.map(catReportJson).mkString("[", ",", "]")
 
     // the complete artifact: stdout-line fields + raw passes + scale
     val artifact =
@@ -233,7 +263,8 @@ object Bench {
          |"scale":$scaleJson,
          |"scale_sf1":$scaleSf1Json,
          |"scale_sf2":$scaleSf2Json,
-         |"scale_sf4":$scaleSf4Json
+         |"scale_sf4":$scaleSf4Json,
+         |"scale_catalog":$scaleCatalogJson
          |}""".stripMargin
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -1,0 +1,196 @@
+package graft.queries
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.meta.{TableMetadata, TableUpdate}
+import graft.store.{FileCatalogStore, TabularId}
+
+/** Catalog-plane scale lane (round 12): the data plane has four
+  * guarded doublings, but the CATALOG — the reference's actual
+  * semantics — had none. This lane builds deterministic warehouses of
+  * 2k / 8k / 32k tabulars across nested namespaces and measures the
+  * operations whose cost model must survive a 100× catalog:
+  *
+  *  - `cat_list_ns` / `cat_list_page`: one namespace's listing and a
+  *    keyset page fetch (reference: pagination.rs) — these walk ONE
+  *    namespace directory, so they must stay FLAT as the warehouse
+  *    grows (the fixture holds per-namespace population constant and
+  *    grows the namespace count, the layout a real deployment scales
+  *    by).
+  *  - `cat_list_all` / `cat_search`: the whole-warehouse walk and the
+  *    trigram search over it — O(tabulars) BY DESIGN in this file
+  *    store (the reference serves both from indexed Postgres; our
+  *    driver-side term is the documented local-FS trade, and the lane
+  *    commits its growth curve so the term stays NAMED, not
+  *    discovered).
+  *  - `cat_reconcile`: the scheduler's rate-limited reconciliation
+  *    sweep — the one remaining O(tables) walk (hourly by default).
+  *  - `cat_sched_poll`: a STEADY-STATE poll round, with the store's
+  *    metadata-load counter delta recorded (`poll_meta_loads`) — the
+  *    committed proof that commit-time implied-task detection left the
+  *    poll loop zero-metadata-read on a threshold-quiet warehouse, at
+  *    catalog scale, not just in the unit spec.
+  *  - `cat_commit_contention`: 8 writers × 25 commits against ONE
+  *    table — throughput plus the store's CAS-retry counter delta
+  *    (same-JVM commits arbitrate through the in-process lock, so the
+  *    expected retry count is 0; the hard-link CAS is the
+  *    cross-process arbiter).
+  *
+  * Legs are min-of-N passes (SPARK_GRAFT_LANE_PASSES, default 2) like
+  * the data-plane lane, with per-pass walls committed.
+  */
+object CatalogScaleLane {
+
+  final case class Report(size: Int, generated: Boolean, genSec: Double,
+      legs: Seq[ScaleLane.Leg])
+
+  /** Tables per namespace is CONSTANT (250 per level, two levels per
+    * top namespace) — growth adds namespaces, so per-namespace ops
+    * must stay flat while whole-warehouse ops grow linearly.
+    */
+  private val TablesPerNs = 250
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def fixture(root: String, size: Int): (FileCatalogStore, Boolean, Double) = {
+    val dir = s"$root/n$size"
+    val marker = java.nio.file.Paths.get(dir, ".lane-complete")
+    val store = new FileCatalogStore(dir)
+    if (java.nio.file.Files.exists(marker)) return (store, false, 0.0)
+    val t0 = System.nanoTime()
+    val topCount = size / (2 * TablesPerNs)
+    (0 until topCount).foreach { i =>
+      val top = Seq(s"ns$i")
+      store.createNamespace(top, Map.empty)
+      store.createNamespace(top :+ "sub", Map.empty)
+      Seq(top, top :+ "sub").foreach { ns =>
+        (0 until TablesPerNs).foreach { j =>
+          val id = TabularId(ns, s"tbl${i}_$j")
+          store.createTable(id, TableMetadata.newTable(
+            java.util.UUID.randomUUID().toString,
+            store.tableLocation(id), schema))
+        }
+      }
+    }
+    // the contention target: version-file cleanup enabled so repeated
+    // bench runs keep the fixture's metadata dir bounded
+    val cid = TabularId(Seq("ns0"), "contended")
+    store.createTable(cid, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, store.tableLocation(cid),
+      schema,
+      properties = Map(
+        "write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "5")))
+    java.nio.file.Files.write(marker, size.toString.getBytes("UTF-8"))
+    (store, true, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def run(spark: SparkSession,
+      root: String = "target/scale/catalog",
+      sizes: Seq[Int] = Seq(2000, 8000, 32000)): Seq[Report] = sizes.map { size =>
+    val (store, generated, genSec) = fixture(root, size)
+    val legs = scala.collection.mutable.ArrayBuffer.empty[ScaleLane.Leg]
+    val lanePasses =
+      sys.env.getOrElse("SPARK_GRAFT_LANE_PASSES", "2").toInt.max(1)
+    def legM(name: String)(
+        body: => (Long, Map[String, Long])): Unit = {
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, (Long, Map[String, Long]))]
+      var err: Option[String] = None
+      var i = 0
+      while (i < lanePasses && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          val r = body
+          runs += (((System.nanoTime() - t0) / 1e9, r))
+        } catch { case NonFatal(e) =>
+          System.err.println(
+            s"[bench] catalog leg $name/n$size FAILED (pass ${i + 1}): " +
+              e.getMessage)
+          err = Some(e.toString.take(200))
+        }
+        i += 1
+      }
+      err match {
+        case Some(e) =>
+          legs += ScaleLane.Leg(name, -1.0, -1L, None, Some(e))
+        case None =>
+          val passMs = runs.zipWithIndex.map { case ((s, _), k) =>
+            s"pass${k + 1}_ms" -> (s * 1000).toLong
+          }
+          val (sec, (rows, metrics)) = runs.minBy(_._1)
+          legs += ScaleLane.Leg(name, sec, rows, None, None,
+            metrics ++ passMs)
+      }
+    }
+
+    legM("cat_list_ns") {
+      (store.listTabulars(Seq("ns0")).size.toLong, Map.empty)
+    }
+    legM("cat_list_page") {
+      // first page + one keyset follow — the API shape a UI pages with
+      val (p1, tok) = store.listTabularsPage(Seq("ns0"), pageSize = 100)
+      val p2 = tok.map(t =>
+        store.listTabularsPage(Seq("ns0"), 100, Some(t))._1).getOrElse(Nil)
+      ((p1.size + p2.size).toLong, Map.empty)
+    }
+    legM("cat_list_all") {
+      (store.listAllTabulars().size.toLong, Map.empty)
+    }
+    legM("cat_search") {
+      val hits = graft.admin.Admin.searchTabular(spark, store, "tbl7")
+        .collect()
+      (hits.length.toLong, Map.empty)
+    }
+    // scheduler legs: a FRESH scheduler per pass so the reconcile
+    // sweep (first-poll-only) is actually re-measured each pass
+    legM("cat_reconcile") {
+      val sched = new graft.maintenance.TaskScheduler(store)
+      try {
+        val loads0 = store.metadataLoadCount
+        sched.runOnce(System.currentTimeMillis())
+        (store.metadataLoadCount - loads0, Map.empty[String, Long])
+      } finally sched.stop()
+    }
+    legM("cat_sched_poll") {
+      val sched = new graft.maintenance.TaskScheduler(store)
+      try {
+        sched.runOnce(System.currentTimeMillis()) // reconcile, untimed here
+        val loads0 = store.metadataLoadCount
+        val t0 = System.nanoTime()
+        sched.runOnce(System.currentTimeMillis() + 1)
+        val pollMs = (System.nanoTime() - t0) / 1000000L
+        (store.metadataLoadCount - loads0,
+          Map("poll_ms" -> pollMs,
+            "poll_meta_loads" -> (store.metadataLoadCount - loads0)))
+      } finally sched.stop()
+    }
+    legM("cat_commit_contention") {
+      val id = TabularId(Seq("ns0"), "contended")
+      val writers = 8
+      val perWriter = 25
+      val failures = new java.util.concurrent.atomic.AtomicLong()
+      val retries0 = store.commitRetryCount
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          (0 until perWriter).foreach { n =>
+            try store.commitTable(id, Nil, Seq(TableUpdate.SetProperties(
+              Map(s"w$w" -> n.toString))))
+            catch { case NonFatal(_) => failures.incrementAndGet() }
+          }
+        }, s"graft-lane-writer-$w")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      ((writers * perWriter).toLong, Map(
+        "commits_ok" -> (writers * perWriter - failures.get()),
+        "failures" -> failures.get(),
+        "cas_retries" -> (store.commitRetryCount - retries0)))
+    }
+    Report(size, generated, genSec, legs.toSeq)
+  }
+}

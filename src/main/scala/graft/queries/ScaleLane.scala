@@ -86,17 +86,45 @@ object ScaleLane {
     val genSec = if (needGen) (System.nanoTime() - g0) / 1e9 else 0.0
 
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
+    // Min-of-N passes per leg (round 12): a same-HEAD re-run swung
+    // single-pass legs 2-4× (qd_width_measure sf4 6.9→27.8 s) while the
+    // 3-pass bench rows moved <0.1% — the lane needs the same noise
+    // floor the bench queries get. Every leg body runs N times
+    // (SPARK_GRAFT_LANE_PASSES, default 2; 1 restores the single-pass
+    // probe); sec/rows/candidates/phase-metrics all come from the
+    // FASTEST pass so the splits stay internally consistent, and every
+    // pass's wall is recorded (passK_ms) so the drift band itself is a
+    // committed artifact. A failure in ANY pass reports -1, matching
+    // the bench-row convention.
+    val lanePasses =
+      sys.env.getOrElse("SPARK_GRAFT_LANE_PASSES", "2").toInt.max(1)
     def legM(name: String)(
         body: => (Long, Option[Long], Map[String, Long])): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
-      val t0 = System.nanoTime()
-      try {
-        val (rows, cands, metrics) = body
-        legs += Leg(name, (System.nanoTime() - t0) / 1e9, rows, cands, None,
-          metrics)
-      } catch { case NonFatal(e) =>
-        System.err.println(s"[bench] scale leg $name FAILED: ${e.getMessage}")
-        legs += Leg(name, -1.0, -1L, None, Some(e.toString.take(200)))
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, (Long, Option[Long], Map[String, Long]))]
+      var err: Option[String] = None
+      var i = 0
+      while (i < lanePasses && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          val r = body
+          runs += (((System.nanoTime() - t0) / 1e9, r))
+        } catch { case NonFatal(e) =>
+          System.err.println(
+            s"[bench] scale leg $name FAILED (pass ${i + 1}): ${e.getMessage}")
+          err = Some(e.toString.take(200))
+        }
+        i += 1
+      }
+      err match {
+        case Some(e) => legs += Leg(name, -1.0, -1L, None, Some(e))
+        case None =>
+          val passMs = runs.zipWithIndex.map { case ((s, _), k) =>
+            s"pass${k + 1}_ms" -> (s * 1000).toLong
+          }
+          val (sec, (rows, cands, metrics)) = runs.minBy(_._1)
+          legs += Leg(name, sec, rows, cands, None, metrics ++ passMs)
       }
     }
     def leg(name: String)(body: => (Long, Option[Long])): Unit =
@@ -123,7 +151,11 @@ object ScaleLane {
     // carrying this corpus-sized occupancy scan, which made its curve
     // look non-monotonic)
     legM("qd_width_measure") {
-      val (w, measureMs) = timedMs(measuredW)
+      // remeasureWidth, not the memo: every pass must pay the real
+      // occupancy scan (a memo hit would make pass 2 ~0 s and the
+      // minimum meaningless); the refreshed memo still feeds the
+      // consumer legs for free
+      val (w, measureMs) = timedMs(TextOps.remeasureWidth(spark, dir))
       (w.toLong, None, Map("measure_ms" -> measureMs))
     }
     legM("qd3_minhash") {
@@ -169,6 +201,8 @@ object ScaleLane {
     var embPairs: Option[(org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame)] = None
     leg("qs5_embedding_autobits") {
+      // multi-pass: drop the previous pass's persists before replacing
+      embPairs.foreach { case (c, p) => c.unpersist(); p.unpersist() }
       val (cands, pairs) = graft.ops.EmbeddingDedup.candidatesAndPairs(
         emb, "vec_id", "embedding", threshold = 0.3, dim = 64)
       embPairs = Some((cands.persist(), pairs.persist()))
@@ -415,6 +449,46 @@ object ScaleLane {
         "staging_files_after_compact" -> stagedLeft,
         "rebuild_ms" -> rebuildMs,
         "base_build_ms" -> baseMs, "batch_rows" -> 2000L))
+    }}
+    legM("qs23b_compact_curve") { withPruningGateOff {
+      // O(staged volume) evidence for compact_ann_index (round 12):
+      // qs23's compact_ms was 15-19 s at EVERY corpus size while
+      // rehomed_postings stayed constant — all fixed overhead at toy
+      // scale, so nothing guarded the claimed O(staged) scaling. This
+      // leg holds the corpus FIXED and varies only the staged volume
+      // (1×/4×/16× appended 500-vector batches against the same 2k
+      // base), recording compact_ms vs staged files vs re-homed
+      // postings per point: the committed curve must show compact_ms
+      // growing FAR slower than the 16× staged volume (the fixed
+      // touched-partition rewrite dominates; the marginal per-posting
+      // cost is the O(staged) term).
+      val ns = scaleCatalog()
+      val bits = math.max(8,
+        math.ceil(math.log(NEmb / 32.0) / math.log(2)).toInt)
+      val base = emb.filter(col("vec_id") < 2000)
+      var metrics = Map.empty[String, Long]
+      var totalRehomed = 0L
+      Seq(1, 4, 16).foreach { nBatches =>
+        graft.ops.AnnIndex.buildLsh(base, s"$ns.emb_lsh_curve", "embedding",
+          l = 2, bits = bits, dim = 64, seed = 42L)
+        (0 until nBatches).foreach { b =>
+          val lo = 2000L + b * 500L
+          graft.ops.AnnIndex.appendLsh(
+            emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 500L),
+            s"$ns.emb_lsh_curve", "embedding")
+        }
+        val staged = graft.ops.AnnIndex.lshStagingFileCount(
+          spark, s"$ns.emb_lsh_curve")
+        val ((_, rehomed), compactMs) = timedMs {
+          graft.ops.AnnIndex.compactLsh(spark, s"$ns.emb_lsh_curve")
+        }
+        totalRehomed += rehomed
+        metrics ++= Map(
+          s"staged_files_b$nBatches" -> staged,
+          s"compact_ms_b$nBatches" -> compactMs,
+          s"rehomed_b$nBatches" -> rehomed)
+      }
+      (totalRehomed, None, metrics)
     }}
     legM("qs21_lsh_knn_join") { withPruningGateOff {
       val ns = scaleCatalog()

@@ -219,6 +219,19 @@ object TextOps {
     widthCache.computeIfAbsent(key, _ => measuredWidth(s, dir))
   }
 
+  /** Force a fresh measurement AND refresh the shared memo — the
+    * min-of-N lane's width leg must pay the real occupancy scan on
+    * every pass (a memo hit would report ~0 s and the minimum would be
+    * meaningless), while the consumer legs (qd3/qd5/qd10) keep reading
+    * the memo for free so their walls stay attributable to their own
+    * phases.
+    */
+  def remeasureWidth(s: SparkSession, dir: String): Int = {
+    val w = measuredWidth(s, dir)
+    widthCache.put((sessionKey(s), dir, ShingleTargetDf), w)
+    w
+  }
+
   /** Sentinel width: measure the corpus and size the shingle width via
     * [[measuredWidth]] (the production default for unknown corpora;
     * oracle queries pin the width for determinism).

@@ -1,0 +1,17 @@
+package graft.tools
+
+object CatLaneSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rep = graft.queries.ScaleLane.run(spark,
+      only = Set("qs23b_compact_curve"))
+    rep.legs.foreach(l => println(f"  ${l.name}%-24s sec=${l.sec}%.3f rows=${l.rows} ${l.metrics.toSeq.sortBy(_._1)} ${l.err.getOrElse("")}"))
+    spark.stop()
+  }
+}
