@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.store.FileCatalogStore
+import graft.store.{CatalogStore, FileCatalogStore}
 
 /** The reference's management/analytics surface (§2.8) re-expressed as
   * DataFrame computations over catalog state and the change-event log.
@@ -22,7 +22,7 @@ object Admin {
   /** Batch view of the change-event log (CloudEvents analog —
     * reference service/events/).
     */
-  def changeEvents(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+  def changeEvents(spark: SparkSession, store: CatalogStore): DataFrame = {
     val dir = store.changesDir
     if (!java.nio.file.Files.isDirectory(dir))
       spark.createDataFrame(
@@ -33,7 +33,7 @@ object Admin {
   /** Structured Streaming view of the change-event log — the streaming
     * analog of the reference's Kafka/NATS event sinks.
     */
-  def changeEventStream(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+  def changeEventStream(spark: SparkSession, store: CatalogStore): DataFrame = {
     java.nio.file.Files.createDirectories(store.changesDir)
     spark.readStream.schema(eventSchema).json(store.changesDir.toString)
   }
@@ -99,7 +99,7 @@ object Admin {
     * is the structured-mode rendering a broker sink would publish
     * verbatim.
     */
-  def cloudEvents(spark: SparkSession, store: FileCatalogStore,
+  def cloudEvents(spark: SparkSession, store: CatalogStore,
       sourceHost: String = "graft"): DataFrame = {
     // per-tabular sequence: log timestamps have ms resolution, so a
     // same-ms tie is broken causally (the *-created event necessarily
@@ -158,7 +158,7 @@ object Admin {
     * api/management/v1/warehouse/mod.rs:361-380): cumulative counts at
     * every mutation timestamp, reconstructed from the change log.
     */
-  def warehouseStatistics(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+  def warehouseStatistics(spark: SparkSession, store: CatalogStore): DataFrame = {
     val ev = changeEvents(spark, store)
     val delta = ev
       .withColumn("table_delta",
@@ -240,7 +240,7 @@ object Admin {
     * Two legs like the reference: exact matches first, then trigram
     * similarity ranking; top 10.
     */
-  def searchTabular(spark: SparkSession, store: FileCatalogStore,
+  def searchTabular(spark: SparkSession, store: CatalogStore,
       query: String): DataFrame = {
     import spark.implicits._
     val all = store.listAllTabulars().map(t =>
@@ -259,7 +259,7 @@ object Admin {
     * exact-id leg unioned ahead of the KNN leg over
     * `coalesce(name,'') || ' ' || coalesce(email,'')`; top 10).
     */
-  def searchUser(spark: SparkSession, store: FileCatalogStore,
+  def searchUser(spark: SparkSession, store: CatalogStore,
       query: String): DataFrame = {
     import spark.implicits._
     val all = store.listUsers().map(u =>
@@ -277,7 +277,7 @@ object Admin {
   /** Fuzzy role search (reference: search_role, role.rs:266-285 —
     * exact-id ranks first, then `name <-> term`; top 10).
     */
-  def searchRole(spark: SparkSession, store: FileCatalogStore,
+  def searchRole(spark: SparkSession, store: CatalogStore,
       query: String): DataFrame = {
     import spark.implicits._
     val all = store.listRoles().map(r =>
@@ -296,7 +296,7 @@ object Admin {
     * api/endpoints.rs:258-259): for every warehouse in scope, live
     * table/view counts from its catalog, aggregated per project.
     */
-  def projectStatistics(spark: SparkSession, store: FileCatalogStore,
+  def projectStatistics(spark: SparkSession, store: CatalogStore,
       project: Option[String]): DataFrame = {
     import spark.implicits._
     // seed from the PROJECT registry, not the warehouse list: a project
@@ -341,7 +341,7 @@ object Admin {
   /** Reference max membership depth (role_assignment.rs:562). */
   val MaxMembershipDepth = 32
 
-  private def edgesDf(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+  private def edgesDf(spark: SparkSession, store: CatalogStore): DataFrame = {
     import spark.implicits._
     store.roleEdges().map(e => (e.roleId, e.memberType, e.memberId))
       .toDF("role_id", "member_type", "member_id")
@@ -358,7 +358,7 @@ object Admin {
     * (role_membership.rs:123-131); dangling role edges are dropped,
     * never surfaced with a null identity (role_membership.rs:247-252).
     */
-  def roleMembers(spark: SparkSession, store: FileCatalogStore,
+  def roleMembers(spark: SparkSession, store: CatalogStore,
       roleId: String, transitive: Boolean): DataFrame = {
     import spark.implicits._
     // unknown role → error, not an empty listing (the reference 404s;
@@ -408,7 +408,7 @@ object Admin {
     * direct or transitive — backs both `/user/{id}/roles[/transitive]`
     * and `/role/{id}/member-of[/transitive]`.
     */
-  private def memberOfSet(spark: SparkSession, store: FileCatalogStore,
+  private def memberOfSet(spark: SparkSession, store: CatalogStore,
       seedType: String, seedId: String, transitive: Boolean): DataFrame = {
     val edges = edgesDf(spark, store)
     var acc = edges
@@ -431,7 +431,7 @@ object Admin {
     acc
   }
 
-  private def hydrateRoles(store: FileCatalogStore, ids: DataFrame): DataFrame = {
+  private def hydrateRoles(store: CatalogStore, ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     val roles = store.listRoles().map(r => (r.id, r.name, r.description.orNull))
@@ -444,14 +444,14 @@ object Admin {
   /** `GET /user/{id}/roles[/transitive]` — a user's direct or full
     * effective role set.
     */
-  def userRoles(spark: SparkSession, store: FileCatalogStore,
+  def userRoles(spark: SparkSession, store: CatalogStore,
       userId: String, transitive: Boolean): DataFrame =
     hydrateRoles(store, memberOfSet(spark, store, "user", userId, transitive))
 
   /** `GET /role/{id}/member-of[/transitive]` — the roles a role is a
     * member of.
     */
-  def roleMemberOf(spark: SparkSession, store: FileCatalogStore,
+  def roleMemberOf(spark: SparkSession, store: CatalogStore,
       roleId: String, transitive: Boolean): DataFrame = {
     // unknown role → error (userRoles deliberately does NOT require a
     // provisioned user: assignment before provisioning is legal, so an
@@ -465,7 +465,7 @@ object Admin {
     * service/endpoint_statistics.rs:62-157 — a time axis, not one
     * lifetime counter).
     */
-  def endpointStatistics(spark: SparkSession, store: FileCatalogStore): DataFrame = {
+  def endpointStatistics(spark: SparkSession, store: CatalogStore): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     store.windowedOpCounts.asScala.toSeq

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.store.{FileCatalogStore, GrantTuple, TabularId}
+import graft.store.{CatalogStore, GrantTuple, TabularId}
 
 /** The permission-model evaluator — a faithful in-process transcription
   * of the reference's OpenFGA authorization model
@@ -125,7 +125,7 @@ object Authz {
   /** One principal's memoized view of the model. Build once per
     * request batch; every check shares the derivations.
     */
-  final class Evaluator(store: FileCatalogStore, userId: String,
+  final class Evaluator(store: CatalogStore, userId: String,
       // ADMISSION-resolved roles (reference: RequestMetadata's
       // admission_roles, contributed by gates and consumed by authz
       // downstream) — seeded into the subject closure like assumed
@@ -457,14 +457,14 @@ object Authz {
     * `extraRoles` are request-scoped admission roles (see
     * [[Admission]]) seeded into the principal's subject closure.
     */
-  def check(store: FileCatalogStore, userId: String, obj: Obj,
+  def check(store: CatalogStore, userId: String, obj: Obj,
       action: String, extraRoles: Set[String] = Set.empty): Boolean =
     new Evaluator(store, userId, extraRoles).rel(obj, action)
 
   /** Batch check sharing one memoized evaluator — the reference's
     * `batch_check` (crates/authz-openfga/src/check.rs).
     */
-  def batchCheck(store: FileCatalogStore, userId: String,
+  def batchCheck(store: CatalogStore, userId: String,
       requests: Seq[(Obj, String)]): Seq[Boolean] = {
     val ev = new Evaluator(store, userId)
     requests.map { case (o, a) => ev.rel(o, a) }
@@ -474,7 +474,7 @@ object Authz {
     * `get_allowed_*_actions` (are_allowed_x_actions over all
     * variants, service/authz/mod.rs:1633-1726).
     */
-  def allowedActions(store: FileCatalogStore, userId: String,
+  def allowedActions(store: CatalogStore, userId: String,
       obj: Obj): Seq[String] = {
     val ev = new Evaluator(store, userId)
     actions(obj.kind).filter(ev.rel(obj, _))
@@ -487,7 +487,7 @@ object Authz {
     * and reading another user's role assignments needs
     * can_list_users.
     */
-  def checkUserAction(store: FileCatalogStore, actorId: String,
+  def checkUserAction(store: CatalogStore, actorId: String,
       targetUserId: String, action: String): Boolean = {
     if (actorId == targetUserId) return true
     if (action == "read") return true
@@ -539,7 +539,7 @@ object Authz {
     * allowed iff every emitted check passes.
     */
   def authorizeLoadTabular(
-      store: FileCatalogStore,
+      store: CatalogStore,
       actor: String,
       target: TabularId,
       referencedBy: Seq[TabularId] = Nil,
@@ -611,7 +611,7 @@ object Authz {
     * the shared evaluator; the result is a DataFrame so callers can
     * anti-join scans or listings against it.
     */
-  def authorizedTabulars(spark: SparkSession, store: FileCatalogStore,
+  def authorizedTabulars(spark: SparkSession, store: CatalogStore,
       userId: String, action: String): DataFrame = {
     val ev = new Evaluator(store, userId)
     def walk(ns: Seq[String]): Seq[(String, String, String, Boolean)] = {

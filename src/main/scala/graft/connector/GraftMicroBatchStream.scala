@@ -45,7 +45,7 @@ object SnapshotDiff {
     chain
   }
 
-  def addedFiles(store: graft.store.FileCatalogStore, meta: TableMetadata,
+  def addedFiles(store: graft.store.CatalogStore, meta: TableMetadata,
       startSnap: Long, endSnap: Long): Seq[DataFile] = {
     if (endSnap < 0 || startSnap == endSnap) return Nil
     val chain = chainBetween(meta, startSnap, endSnap)

@@ -28,7 +28,7 @@ import graft.store._
   * parquet files + a snapshot commit (graft.connector.GraftWrite).
   */
 class GraftTable(
-    val store: FileCatalogStore,
+    val store: CatalogStore,
     val tableId: TabularId,
     val meta: TableMetadata,
     val snapshotId: Option[Long],

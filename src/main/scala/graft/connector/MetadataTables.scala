@@ -11,7 +11,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.Row
 
 import graft.meta._
-import graft.store.{FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, TabularId}
 
 /** Metadata tables (`db.t.snapshots` etc. — reference surface:
   * test_spark.py:1251-1279 and the pyiceberg suite).
@@ -56,7 +56,7 @@ object MetadataTables {
     StructField("file_path", StringType),
     StructField("record_count", LongType)))
 
-  def table(store: FileCatalogStore, id: TabularId, meta: TableMetadata,
+  def table(store: CatalogStore, id: TabularId, meta: TableMetadata,
       kind: String): Table = kind match {
     case "files" | "data_files" | "all_files" | "all_data_files" |
          "delete_files" | "all_delete_files" =>
@@ -131,7 +131,7 @@ object MetadataTables {
   private def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
 
   /** Per-snapshot tables: O(snapshots) rows, driver-side is correct. */
-  private def computeSmall(store: FileCatalogStore, id: TabularId,
+  private def computeSmall(store: CatalogStore, id: TabularId,
       meta: TableMetadata, kind: String): (StructType, Seq[Row]) = kind match {
 
     case "snapshots" =>

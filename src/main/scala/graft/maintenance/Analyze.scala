@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.meta._
-import graft.store.{FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, TabularId}
 
 /** ANALYZE surface (reference: statistics files are first-class table
   * state — iceberg-ext/src/spec/mod.rs:3-8,
@@ -341,7 +341,7 @@ object Analyze {
     * migrations/20241216114355_table_statistics.sql).
     * @return the committed table-level StatisticsFile
     */
-  def run(spark: SparkSession, store: FileCatalogStore, id: TabularId,
+  def run(spark: SparkSession, store: CatalogStore, id: TabularId,
       fqn: String, functionCatalog: Option[String] = None)
       : StatisticsFile = {
     val (meta, _) = store.loadTableMetadata(id).getOrElse(

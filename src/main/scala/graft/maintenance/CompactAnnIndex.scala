@@ -60,7 +60,7 @@ object CompactAnnIndex {
     * manifests spanning hundreds of partitions) are parsed. O(touched
     * manifests), one sidecar read per manifest otherwise.
     */
-  def stagedFileCount(store: graft.store.FileCatalogStore,
+  def stagedFileCount(store: graft.store.CatalogStore,
       meta: TableMetadata, partCol: String, stagingValue: Long,
       snapshot: Option[Snapshot] = None): Int = {
     val staging = Some(stagingValue.toString)

@@ -1,7 +1,7 @@
 package graft.maintenance
 
 import graft.meta.TableMetadata
-import graft.store.{FileCatalogStore, TabularId, TabularInfo}
+import graft.store.{CatalogStore, TabularId, TabularInfo}
 
 /** Adaptive-maintenance threshold evaluation, shared by the two places
   * that may enqueue implied tasks (reference:
@@ -31,7 +31,7 @@ object ImpliedTasks {
     * payload is exactly this kind of worker knob) → system property →
     * default.
     */
-  def snapshotThreshold(store: FileCatalogStore): Long =
+  def snapshotThreshold(store: CatalogStore): Long =
     store.queueConfigLong("expire_snapshots", "snapshot-threshold")
       .getOrElse(
         sys.props.getOrElse("graft.scheduler.snapshot.threshold", "50").toLong)
@@ -41,7 +41,7 @@ object ImpliedTasks {
     * file per task per commit; compacting them restores the clean-scan
     * fast path). Same precedence as [[snapshotThreshold]].
     */
-  def deleteFileThreshold(store: FileCatalogStore): Long =
+  def deleteFileThreshold(store: CatalogStore): Long =
     store.queueConfigLong("rewrite_position_deletes", "delete-file-threshold")
       .getOrElse(
         sys.props.getOrElse("graft.scheduler.deletefile.threshold", "8").toLong)
@@ -52,7 +52,7 @@ object ImpliedTasks {
     * so accumulation is bounded by scheduling compaction once enough
     * appends stack up. Same precedence as the other knobs.
     */
-  def annStagingThreshold(store: FileCatalogStore): Long =
+  def annStagingThreshold(store: CatalogStore): Long =
     store.queueConfigLong("ann_index_compaction", "staging-file-threshold")
       .getOrElse(
         sys.props.getOrElse("graft.scheduler.annstaging.threshold", "8").toLong)
@@ -63,7 +63,7 @@ object ImpliedTasks {
     * new; re-armed per count (or per snapshot for ANN staging), so
     * continued pressure keeps rescheduling after each cleanup.
     */
-  def evaluateTable(store: FileCatalogStore, id: TabularId,
+  def evaluateTable(store: CatalogStore, id: TabularId,
       meta: TableMetadata, nowMs: Long): Unit = {
     if (meta.snapshots.size >= snapshotThreshold(store))
       store.enqueueTask("expire_snapshots",
@@ -100,7 +100,7 @@ object ImpliedTasks {
     * the reference schedules tabular_expiration in the drop
     * transaction itself, tasks/tabular_expiration_queue.rs:155-245).
     */
-  def enqueueExpiration(store: FileCatalogStore, info: TabularInfo,
+  def enqueueExpiration(store: CatalogStore, info: TabularInfo,
       graceMs: Long): Unit =
     info.deletedMs.foreach { del =>
       store.enqueueTask("tabular_expiration",
@@ -115,7 +115,7 @@ object ImpliedTasks {
     * ANN index; None for plain tables, un-schedulable indexes, or
     * zero staging.
     */
-  private[maintenance] def annStagingInfo(store: FileCatalogStore,
+  private[maintenance] def annStagingInfo(store: CatalogStore,
       meta: TableMetadata): Option[(String, Int, String)] = {
     val props = meta.properties
     val embCol = props.getOrElse("graft.ann.emb-col", "embedding")

@@ -7,7 +7,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 
 import graft.meta._
-import graft.store.{FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, FileCatalogStore, TabularId}
 
 /** Executor-side manifest parsing: absolute manifest path → absolute
   * data-file paths, no catalog store needed in the closure.
@@ -139,7 +139,7 @@ object ExpireSnapshots {
     * @param retainLast  per-branch minimum snapshots to keep
     */
   def run(
-      store: FileCatalogStore,
+      store: CatalogStore,
       id: TabularId,
       olderThanMs: Option[Long] = None,
       retainLast: Option[Int] = None): Result = {
@@ -205,7 +205,7 @@ object ExpirationQueue {
     * tabulars are skipped (their protection must be lifted first).
     * @return ids purged
     */
-  def run(store: FileCatalogStore,
+  def run(store: CatalogStore,
       graceMs: Long = DefaultGraceMs,
       nowMs: Long = System.currentTimeMillis()): Seq[TabularId] =
     store.listDeletedTabulars()
@@ -226,7 +226,7 @@ object ExpirationQueue {
 object TaskLogCleanup {
 
   /** Drop log entries older than the cutoff; returns entries removed. */
-  def run(store: FileCatalogStore, olderThanMs: Long): Long = {
+  def run(store: CatalogStore, olderThanMs: Long): Long = {
     val f = store.changesDir.resolve("events.jsonl")
     if (!Files.exists(f)) return 0L
     import org.json4s._
@@ -253,7 +253,7 @@ object RemoveOrphanFiles {
   /** 24h safety floor from the reference docs. */
   private val DefaultAgeFloorMs = 24L * 3600 * 1000
 
-  def referencedPaths(store: FileCatalogStore, id: TabularId,
+  def referencedPaths(store: CatalogStore, id: TabularId,
       meta: TableMetadata): Set[String] = {
     val metadataFiles = {
       val dir = store.metadataDir(id)
@@ -280,7 +280,7 @@ object RemoveOrphanFiles {
     * older than the cutoff that no snapshot/metadata references.
     */
   private def orphanSet(
-      store: FileCatalogStore,
+      store: CatalogStore,
       id: TabularId,
       olderThanMs: Option[Long]): org.apache.spark.sql.DataFrame = {
     val (meta, _) = store.loadTableMetadata(id).getOrElse(
@@ -332,7 +332,7 @@ object RemoveOrphanFiles {
     * because returning the paths to the caller IS the result.
     */
   def list(
-      store: FileCatalogStore,
+      store: CatalogStore,
       id: TabularId,
       olderThanMs: Option[Long] = None): Seq[String] = {
     val df = orphanSet(store, id, olderThanMs)
@@ -344,7 +344,7 @@ object RemoveOrphanFiles {
     * the path set); returns the number of files removed.
     */
   def run(
-      store: FileCatalogStore,
+      store: CatalogStore,
       id: TabularId,
       olderThanMs: Option[Long] = None): Long =
     DeleteFiles.runDistributed(orphanSet(store, id, olderThanMs))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.connector.{GraftBatchWrite => _, _}
 import graft.meta._
-import graft.store.{FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, TabularId}
 
 /** Core of `CALL system.rewrite_position_delete_files`, shared with the
   * background scheduler's `rewrite_position_deletes` queue: compact the
@@ -19,7 +19,7 @@ object RewritePositionDeletes {
     * SUMMARIES only (the scheduler's cheap implied-task probe; a
     * missing summary conservatively counts one).
     */
-  def deleteFileCount(store: FileCatalogStore, meta: TableMetadata): Int =
+  def deleteFileCount(store: CatalogStore, meta: TableMetadata): Int =
     meta.currentSnapshot.toSeq.flatMap(_.manifests).map { m =>
       store.readManifestSummary(meta.location, m).map(_.deleteEntries)
         .getOrElse(1)
@@ -43,7 +43,7 @@ object RewritePositionDeletes {
     * scan and form the replace-commit's path set) and the NEW files'
     * stats (the manifest content, bounded by output count).
     */
-  def run(store: FileCatalogStore, id: TabularId,
+  def run(store: CatalogStore, id: TabularId,
       targetPerFile: Long = 10000000L): (Long, Long) = {
     val spark = SparkSession.active
     val (meta, _) = store.loadTableMetadata(id).getOrElse(
@@ -71,7 +71,7 @@ object RewritePositionDeletes {
     }
   }
 
-  private def runOn(store: FileCatalogStore, id: TabularId,
+  private def runOn(store: CatalogStore, id: TabularId,
       meta: TableMetadata,
       entriesDf: org.apache.spark.sql.DataFrame,
       targetPerFile: Long): (Long, Long) = {

@@ -2,7 +2,7 @@ package graft.maintenance
 
 import scala.util.control.NonFatal
 
-import graft.store.{FileCatalogStore, TabularId, TaskRecord}
+import graft.store.{CatalogStore, TabularId, TaskRecord}
 
 /** Background task scheduler (reference: service/tasks/mod.rs — poll
   * loop over catalog-persisted queue state, per-queue handlers,
@@ -26,7 +26,7 @@ import graft.store.{FileCatalogStore, TabularId, TaskRecord}
   * `reconcileMs`) covering pre-registration backlog.
   */
 class TaskScheduler(
-    store: FileCatalogStore,
+    store: CatalogStore,
     pollMs: Long = 10000L,
     graceMs: Long = ExpirationQueue.DefaultGraceMs,
     backoffMs: Long = 30000L,
