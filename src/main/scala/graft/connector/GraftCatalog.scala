@@ -93,6 +93,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new NoSuchNamespaceException(namespace) }
   }
 
+  /** ADMISSION GATES, shared by every enforced surface (reference
+    * service/admission.rs: after authentication, before any
+    * per-resource authorization; first rejection wins). A gate denial
+    * is EXPLICIT — 403/503 semantics, never masked as not-found — and
+    * an admitting gate may contribute roles the downstream chain
+    * evaluation consumes. One implementation so namespace gating can
+    * never silently diverge from tabular gating.
+    */
+  private def admitOrThrow(user: String, logId: TabularId,
+      logDenial: Boolean): Set[String] = {
+    val gates = graft.admin.Admission.gatesFor(catalogName)
+    if (gates.isEmpty) Set.empty
+    else gates.admit(graft.admin.Admission.Context(user)) match {
+      case Right(v) => v.resolvedRoles
+      case Left(rej) =>
+        if (logDenial) store.logEvent("admission-rejected", logId,
+          Map("user" -> user, "type" -> rej.errType))
+        throw new graft.admin.Admission.AdmissionRejectedException(rej)
+    }
+  }
+
   /** Shared HEAD/GET namespace gate: under enforcement a DENIED
     * namespace is indistinguishable from a missing one on both
     * surfaces. Runs the admission gates first (explicit 403/503, never
@@ -104,17 +125,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     enforcedUser match {
       case Some(user) =>
         val nsId = TabularId(ns, "")
-        val admissionRoles: Set[String] = {
-          val gates = graft.admin.Admission.gatesFor(catalogName)
-          if (gates.isEmpty) Set.empty
-          else gates.admit(graft.admin.Admission.Context(user)) match {
-            case Right(v) => v.resolvedRoles
-            case Left(rej) =>
-              if (logDenial) store.logEvent("admission-rejected", nsId,
-                Map("user" -> user, "type" -> rej.errType))
-              throw new graft.admin.Admission.AdmissionRejectedException(rej)
-          }
-        }
+        val admissionRoles = admitOrThrow(user, nsId, logDenial)
         val ok = graft.admin.Authz.check(store, user,
           graft.admin.Authz.namespace(ns), "can_get_metadata",
           admissionRoles)
@@ -453,22 +464,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val ownerProp = spark.conf
       .getOption("spark.graft.authz.ownerProperty")
       .getOrElse(graft.admin.Authz.DefaultOwnerProperty)
-    // ADMISSION GATES run first (reference service/admission.rs: after
-    // authentication, before any per-resource authorization; first
-    // rejection wins). A gate denial is EXPLICIT — 403/503 semantics,
-    // never masked as not-found — and an admitting gate may contribute
-    // roles the downstream chain evaluation consumes.
-    val admissionRoles: Set[String] = {
-      val gates = graft.admin.Admission.gatesFor(catalogName)
-      if (gates.isEmpty) Set.empty
-      else gates.admit(graft.admin.Admission.Context(user)) match {
-        case Right(v) => v.resolvedRoles
-        case Left(rej) =>
-          if (logDenial) store.logEvent("admission-rejected", id, Map(
-            "user" -> user, "type" -> rej.errType))
-          throw new graft.admin.Admission.AdmissionRejectedException(rej)
-      }
-    }
+    val admissionRoles = admitOrThrow(user, id, logDenial)
     val checks = graft.admin.Authz.authorizeLoadTabular(
       store, user, id, chain, ownerProp, trusted, admissionRoles)
     checks.find(!_.allowed).foreach { c =>

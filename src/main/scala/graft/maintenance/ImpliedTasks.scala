@@ -62,14 +62,38 @@ object ImpliedTasks {
     * Idempotent — dedupe keys make repeated evaluation enqueue nothing
     * new; re-armed per count (or per snapshot for ANN staging), so
     * continued pressure keeps rescheduling after each cleanup.
+    *
+    * Split in two so the COMMIT hook can stay off the write-latency
+    * path: [[evaluateFree]] costs zero I/O (the snapshot count is a
+    * field of the metadata already in hand) and runs synchronously in
+    * the commit; [[evaluateSidecars]] reads manifest summaries
+    * (delete-file count, ANN staging count) and is DEFERRED — the
+    * scheduler queues the (id, metadata) pair and drains it on its own
+    * thread at the next poll, so a table with hundreds of manifests
+    * never bills those reads to the committer.
     */
   def evaluateTable(store: CatalogStore, id: TabularId,
+      meta: TableMetadata, nowMs: Long): Unit = {
+    evaluateFree(store, id, meta, nowMs)
+    evaluateSidecars(store, id, meta, nowMs)
+  }
+
+  /** The zero-I/O half: thresholds readable off the metadata itself. */
+  def evaluateFree(store: CatalogStore, id: TabularId,
       meta: TableMetadata, nowMs: Long): Unit = {
     if (meta.snapshots.size >= snapshotThreshold(store))
       store.enqueueTask("expire_snapshots",
         Map("namespace" -> id.namespace.mkString("."), "name" -> id.name),
         runAtMs = nowMs,
         dedupeKey = Some(s"$id-snaps-${meta.snapshots.size}"))
+  }
+
+  /** The summary-reading half: one manifest-summary read per manifest
+    * of the current snapshot (delete files) plus a summary-first
+    * staging walk for stamped ANN indexes.
+    */
+  def evaluateSidecars(store: CatalogStore, id: TabularId,
+      meta: TableMetadata, nowMs: Long): Unit = {
     val delFiles = RewritePositionDeletes.deleteFileCount(store, meta)
     if (delFiles >= deleteFileThreshold(store))
       store.enqueueTask("rewrite_position_deletes",

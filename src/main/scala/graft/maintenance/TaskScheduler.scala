@@ -43,8 +43,21 @@ class TaskScheduler(
   // extra metadata reads, zero poll-time walks. Drops enqueue their
   // own expiration the same way. Registration is last-wins; stop()
   // unregisters only if the hook is still ours.
+  //
+  // Only the ZERO-I/O probe (snapshot count — a field of the metadata
+  // in hand) runs on the committing thread; the summary-reading probes
+  // (delete-file count, ANN staging count — O(manifests) sidecar reads
+  // on a wide table) are queued per table, LATEST METADATA WINS, and
+  // drained on the scheduler thread at the next poll, so commit
+  // latency never pays them.
+  private val pendingSidecarEvals =
+    new java.util.concurrent.ConcurrentHashMap[
+      TabularId, graft.meta.TableMetadata]()
   private val commitHook: (TabularId, graft.meta.TableMetadata) => Unit =
-    (id, meta) => ImpliedTasks.evaluateTable(store, id, meta, clock())
+    (id, meta) => {
+      ImpliedTasks.evaluateFree(store, id, meta, clock())
+      pendingSidecarEvals.put(id, meta)
+    }
   private val softDeleteHook: graft.store.TabularInfo => Unit =
     info => ImpliedTasks.enqueueExpiration(store, info, effectiveGraceMs)
   store.onTableCommitted = Some(commitHook)
@@ -173,6 +186,18 @@ class TaskScheduler(
     * @return number of tasks that ran (successfully or not)
     */
   def runOnce(nowMs: Long): Int = {
+    // drain the commit hook's deferred summary-reading probes first —
+    // bounded by tables COMMITTED since the last poll (latest metadata
+    // per table), never by warehouse size, and billed to this thread
+    // instead of the committer
+    val it = pendingSidecarEvals.keySet().iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      val meta = pendingSidecarEvals.remove(id)
+      if (meta != null)
+        try ImpliedTasks.evaluateSidecars(store, id, meta, nowMs)
+        catch { case NonFatal(_) => }
+    }
     if (!reconciledOnce || nowMs - lastReconcileMs >= reconcileMs) {
       ensureImpliedTasks(nowMs)
       reconciledOnce = true

@@ -59,8 +59,19 @@ object CatalogScaleLane {
   private def fixture(root: String, size: Int): (FileCatalogStore, Boolean, Double) = {
     val dir = s"$root/n$size"
     val marker = java.nio.file.Paths.get(dir, ".lane-complete")
+    if (java.nio.file.Files.exists(marker))
+      return (new FileCatalogStore(dir), false, 0.0)
+    // no completion marker but a directory: a previous generation was
+    // killed mid-way — createNamespace would throw AlreadyExists and
+    // poison every future run, so start over from nothing
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val store = new FileCatalogStore(dir)
-    if (java.nio.file.Files.exists(marker)) return (store, false, 0.0)
     val t0 = System.nanoTime()
     val topCount = size / (2 * TablesPerNs)
     (0 until topCount).foreach { i =>
@@ -94,39 +105,15 @@ object CatalogScaleLane {
       sizes: Seq[Int] = Seq(2000, 8000, 32000)): Seq[Report] = sizes.map { size =>
     val (store, generated, genSec) = fixture(root, size)
     val legs = scala.collection.mutable.ArrayBuffer.empty[ScaleLane.Leg]
-    val lanePasses =
-      sys.env.getOrElse("SPARK_GRAFT_LANE_PASSES", "2").toInt.max(1)
+    // same min-of-N noise-floor protocol as the data-plane lane
+    // (ScaleLane.minOfN) so the two lanes' committed numbers stay
+    // comparable; catalog legs have no candidate counter
     def legM(name: String)(
-        body: => (Long, Map[String, Long])): Unit = {
-      val runs = scala.collection.mutable.ArrayBuffer
-        .empty[(Double, (Long, Map[String, Long]))]
-      var err: Option[String] = None
-      var i = 0
-      while (i < lanePasses && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try {
-          val r = body
-          runs += (((System.nanoTime() - t0) / 1e9, r))
-        } catch { case NonFatal(e) =>
-          System.err.println(
-            s"[bench] catalog leg $name/n$size FAILED (pass ${i + 1}): " +
-              e.getMessage)
-          err = Some(e.toString.take(200))
-        }
-        i += 1
+        body: => (Long, Map[String, Long])): Unit =
+      legs += ScaleLane.minOfN(name, s"catalog leg $name/n$size") {
+        val (rows, metrics) = body
+        (rows, None, metrics)
       }
-      err match {
-        case Some(e) =>
-          legs += ScaleLane.Leg(name, -1.0, -1L, None, Some(e))
-        case None =>
-          val passMs = runs.zipWithIndex.map { case ((s, _), k) =>
-            s"pass${k + 1}_ms" -> (s * 1000).toLong
-          }
-          val (sec, (rows, metrics)) = runs.minBy(_._1)
-          legs += ScaleLane.Leg(name, sec, rows, None, None,
-            metrics ++ passMs)
-      }
-    }
 
     legM("cat_list_ns") {
       (store.listTabulars(Seq("ns0")).size.toLong, Map.empty)

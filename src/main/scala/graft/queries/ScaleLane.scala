@@ -36,6 +36,48 @@ object ScaleLane {
   private val DefaultDocs = 25000
   private val DefaultEmb = 10000
 
+  /** Min-of-N passes for ONE lane leg (round 12), shared by the
+    * data-plane and catalog-plane lanes so the two stay comparable: a
+    * same-HEAD re-run swung single-pass legs 2-4× while the 3-pass
+    * bench rows moved <0.1% — the lanes need the same noise floor the
+    * bench queries get. The body runs N times (SPARK_GRAFT_LANE_PASSES,
+    * default 2; 1 restores the single-pass probe); sec/rows/candidates/
+    * phase-metrics all come from the FASTEST pass so the splits stay
+    * internally consistent, and every pass's wall is recorded
+    * (passK_ms) so the drift band itself is a committed artifact. A
+    * failure in ANY pass reports -1, matching the bench-row convention.
+    */
+  private[queries] def minOfN(name: String, label: String)(
+      body: => (Long, Option[Long], Map[String, Long])): Leg = {
+    val lanePasses =
+      sys.env.getOrElse("SPARK_GRAFT_LANE_PASSES", "2").toInt.max(1)
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, (Long, Option[Long], Map[String, Long]))]
+    var err: Option[String] = None
+    var i = 0
+    while (i < lanePasses && err.isEmpty) {
+      val t0 = System.nanoTime()
+      try {
+        val r = body
+        runs += (((System.nanoTime() - t0) / 1e9, r))
+      } catch { case NonFatal(e) =>
+        System.err.println(
+          s"[bench] $label FAILED (pass ${i + 1}): ${e.getMessage}")
+        err = Some(e.toString.take(200))
+      }
+      i += 1
+    }
+    err match {
+      case Some(e) => Leg(name, -1.0, -1L, None, Some(e))
+      case None =>
+        val passMs = runs.zipWithIndex.map { case ((s, _), k) =>
+          s"pass${k + 1}_ms" -> (s * 1000).toLong
+        }
+        val (sec, (rows, cands, metrics)) = runs.minBy(_._1)
+        Leg(name, sec, rows, cands, None, metrics ++ passMs)
+    }
+  }
+
   /** Every graft scan in an EXECUTED dataset's physical plan (AQE
     * stages unwrapped) — runtime pruning mutates the scan during
     * execution, so the caller must have run an action on `df` ITSELF
@@ -86,46 +128,11 @@ object ScaleLane {
     val genSec = if (needGen) (System.nanoTime() - g0) / 1e9 else 0.0
 
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
-    // Min-of-N passes per leg (round 12): a same-HEAD re-run swung
-    // single-pass legs 2-4× (qd_width_measure sf4 6.9→27.8 s) while the
-    // 3-pass bench rows moved <0.1% — the lane needs the same noise
-    // floor the bench queries get. Every leg body runs N times
-    // (SPARK_GRAFT_LANE_PASSES, default 2; 1 restores the single-pass
-    // probe); sec/rows/candidates/phase-metrics all come from the
-    // FASTEST pass so the splits stay internally consistent, and every
-    // pass's wall is recorded (passK_ms) so the drift band itself is a
-    // committed artifact. A failure in ANY pass reports -1, matching
-    // the bench-row convention.
-    val lanePasses =
-      sys.env.getOrElse("SPARK_GRAFT_LANE_PASSES", "2").toInt.max(1)
+    // min-of-N noise floor per leg — see [[minOfN]]
     def legM(name: String)(
         body: => (Long, Option[Long], Map[String, Long])): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
-      val runs = scala.collection.mutable.ArrayBuffer
-        .empty[(Double, (Long, Option[Long], Map[String, Long]))]
-      var err: Option[String] = None
-      var i = 0
-      while (i < lanePasses && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try {
-          val r = body
-          runs += (((System.nanoTime() - t0) / 1e9, r))
-        } catch { case NonFatal(e) =>
-          System.err.println(
-            s"[bench] scale leg $name FAILED (pass ${i + 1}): ${e.getMessage}")
-          err = Some(e.toString.take(200))
-        }
-        i += 1
-      }
-      err match {
-        case Some(e) => legs += Leg(name, -1.0, -1L, None, Some(e))
-        case None =>
-          val passMs = runs.zipWithIndex.map { case ((s, _), k) =>
-            s"pass${k + 1}_ms" -> (s * 1000).toLong
-          }
-          val (sec, (rows, cands, metrics)) = runs.minBy(_._1)
-          legs += Leg(name, sec, rows, cands, None, metrics ++ passMs)
-      }
+      legs += minOfN(name, s"scale leg $name")(body)
     }
     def leg(name: String)(body: => (Long, Option[Long])): Unit =
       legM(name) { val (r, c) = body; (r, c, Map.empty) }

@@ -661,30 +661,45 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     *    racing writer can't produce our exact bytes.
     *  - pending present but vN missing or different → the crash beat
     *    the CAS (or the CAS lost): drop the journal, re-apply.
+    *
+    * A guard whose recorded version has been ROTATED AWAY by
+    * cleanupOldMetadata still proves the commit landed (guards are
+    * linked only after the CAS), so the replay returns the CURRENT
+    * metadata instead of falling through and re-applying a duplicate.
+    * The pending journal is a plain (non-atomic) write, so a torn file
+    * is treated as absent; the guard itself is atomicCreate-linked and
+    * cannot tear.
     */
   private def resolveIdempotent(
       id: TabularId, key: String): Option[TableMetadata] = {
     val guard = idemGuardPath(id, key)
     if (Files.exists(guard)) {
-      val v = readString(guard).trim.toInt
-      val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-      if (Files.exists(p)) return Some(Json.metadataFromJson(readString(p)))
+      scala.util.Try(readString(guard).trim.toInt).toOption.foreach { v =>
+        val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+        if (Files.exists(p)) return Some(Json.metadataFromJson(readString(p)))
+        // rotated away: the commit is proven durable — answer with the
+        // table's current state rather than double-applying
+        loadTableMetadata(id).foreach { case (m, _) => return Some(m) }
+      }
     }
     val pending = idemPendingPath(id, key)
     if (Files.exists(pending)) {
-      val s = readString(pending)
-      val nl = s.indexOf('\n')
-      if (nl > 0) {
-        val v = s.take(nl).trim.toInt
-        val json = s.drop(nl + 1)
-        val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-        if (Files.exists(target) && readString(target) == json) {
-          atomicCreate(guard, v.toString)
-          Files.deleteIfExists(pending)
-          return Some(Json.metadataFromJson(json))
+      val resolved = scala.util.Try {
+        val s = readString(pending)
+        val nl = s.indexOf('\n')
+        if (nl <= 0) None
+        else {
+          val v = s.take(nl).trim.toInt
+          val json = s.drop(nl + 1)
+          val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+          if (Files.exists(target) && readString(target) == json) {
+            atomicCreate(guard, v.toString)
+            Some(Json.metadataFromJson(json))
+          } else None
         }
-      }
+      }.toOption.flatten
       Files.deleteIfExists(pending)
+      if (resolved.isDefined) return resolved
     }
     None
   }
@@ -1076,21 +1091,46 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       catch { case NonFatal(_) => Files.deleteIfExists(txJournal); return }
     val status = (parsed \ "status").extractOpt[String].getOrElse("")
     if (status == "committing") {
-      (parsed \ "entries") match {
-        case JArray(entries) => entries.foreach { e =>
+      val entries = (parsed \ "entries") match {
+        case JArray(es) => es.flatMap { e =>
           for {
             ns <- (e \ "ns").extractOpt[Seq[String]]
             name <- (e \ "name").extractOpt[String]
             v <- (e \ "v").extractOpt[Int]
             json <- (e \ "metadata").extractOpt[String]
-          } {
-            val id = TabularId(ns, name)
-            val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-            if (!Files.exists(target)) atomicCreate(target, json)
+          } yield (TabularId(ns, name),
+            metadataDir(TabularId(ns, name)).resolve(f"v$v%05d.metadata.json"),
+            json)
+        }
+        case _ => Nil
+      }
+      // Classify each target BEFORE touching anything: a version file
+      // that exists with DIFFERENT bytes was linked by a foreign
+      // writer in the dead tx's place (a single-table commit does not
+      // take the tx lock) — blindly skipping it would half-apply the
+      // transaction. Mirror the live path instead: any foreign
+      // conflict aborts the whole tx, deleting only the links whose
+      // bytes prove they are the tx's own.
+      val classified = entries.map { case (id, target, json) =>
+        val state =
+          if (!Files.exists(target)) "missing"
+          else if (try readString(target) == json
+            catch { case NonFatal(_) => false }) "ours"
+          else "foreign"
+        (id, target, json, state)
+      }
+      if (classified.exists(_._4 == "foreign")) {
+        classified.foreach { case (id, target, _, state) =>
+          if (state == "ours") {
+            try Files.deleteIfExists(target) catch { case NonFatal(_) => }
             metaCache.remove(id)
           }
         }
-        case _ =>
+      } else {
+        classified.foreach { case (id, target, json, state) =>
+          if (state == "missing") atomicCreate(target, json)
+          metaCache.remove(id)
+        }
       }
     } else if (status == "aborting") {
       (parsed \ "written") match {
@@ -1112,15 +1152,39 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   private def maybeRecoverTx(): Unit = {
     if (!Files.exists(txJournal)) return
-    if (Files.exists(txLock)) {
-      val age = try System.currentTimeMillis() -
-        Files.getLastModifiedTime(txLock).toMillis
-        catch { case NonFatal(_) => 0L }
-      if (age < txLockStaleMs) return // live holder; leave it alone
-      recoverTxJournal()
-      Files.deleteIfExists(txLock)
-    } else recoverTxJournal()
+    if (Files.exists(txLock)) stealStaleTxLock()
+    else recoverTxJournal()
   }
+
+  /** Fenced steal of a dead holder's `.txlock`. Staleness is judged by
+    * the lock's mtime — the live holder REFRESHES it through phase 2
+    * (journal write + every link), so a long transaction keeps its
+    * lock fresh and a 60 s-stale lock really is a corpse. The steal
+    * itself is an ATOMIC_MOVE to a unique token: exactly one stealer
+    * wins the rename, recovers the journal, and drops the token — a
+    * second stealer's move fails and it simply re-spins, so two
+    * processes can never both run recovery against a NEW holder's
+    * live journal. Works with or without a journal (a process can die
+    * inside phase 1, before the journal exists — that lock must be
+    * reclaimable too).
+    */
+  private def stealStaleTxLock(): Unit = {
+    val age = try System.currentTimeMillis() -
+      Files.getLastModifiedTime(txLock).toMillis
+      catch { case NonFatal(_) => return } // gone already
+    if (age < txLockStaleMs) return // live holder; leave it alone
+    val token = rootPath.resolve(s".txlock.steal-${UUID.randomUUID()}")
+    try Files.move(txLock, token,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case NonFatal(_) => return } // lost the steal race
+    try recoverTxJournal()
+    finally { try Files.deleteIfExists(token) catch { case NonFatal(_) => } }
+  }
+
+  private def touchTxLock(): Unit =
+    try Files.setLastModifiedTime(txLock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case NonFatal(_) => }
 
   private def txJournalJson(status: String,
       staged: Seq[(TabularId, Int, TableMetadata)],
@@ -1147,7 +1211,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       try { Files.createFile(txLock); locked = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          maybeRecoverTx() // steals + resolves if the holder is dead
+          // fenced steal if the holder is dead — with OR WITHOUT a
+          // journal (death inside phase 1 leaves a lock and nothing
+          // else; that lock must not deadlock the warehouse forever)
+          stealStaleTxLock()
           spins += 1
           if (spins > 1000) throw new CommitFailedException(
             "Could not acquire transaction lock")
@@ -1183,6 +1250,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       // rolls FORWARD (some links may already be reader-visible), so
       // all-or-none holds across crashes, not just across CAS losses.
       writeString(txJournal, txJournalJson("committing", staged, Nil))
+      touchTxLock() // fence: phase 1 may have been slow
       crashPoint("tx:journal-written")
       // Phase 2: write all version files; on any loss of the per-file
       // race, roll back the files created so far so no table advances.
@@ -1203,6 +1271,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             s"Transaction conflict on $id: version $v already exists")
         }
         written += target
+        touchTxLock() // fence: keep the lock fresh across a long phase 2
         crashPoint(s"tx:linked-${written.size}")
       }
       crashPoint("tx:pre-finalize")

@@ -231,6 +231,86 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, ".txjournal")))
   }
 
+  test("W10 stale .txlock with NO journal (death inside phase 1) is reclaimed") {
+    val (root, a, b) = txFixture()
+    // the holder died after createFile(txLock) but before the journal
+    // existed — nothing to recover, but the lock must not deadlock the
+    // warehouse forever
+    Files.createFile(Paths.get(root, ".txlock"))
+    val fresh = new FileCatalogStore(root)
+    fresh.txLockStaleMs = 0L
+    fresh.commitTransaction(txChanges(a, b))
+    assert(fresh.loadTableMetadata(a).get._1.properties("tx") == "1")
+    assert(fresh.loadTableMetadata(b).get._1.properties("tx") == "1")
+    assert(!Files.exists(Paths.get(root, ".txlock")))
+  }
+
+  test("W11 foreign link in a dead tx's slot aborts the roll-forward — no half-apply") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    crashing(s, "tx:linked-1") { s.commitTransaction(txChanges(a, b)) }
+    // the holder looks alive (fresh lock mtime), so a cross-process
+    // single-table commit on b skips recovery and takes b's v1 slot
+    Files.createFile(Paths.get(root, ".txlock"))
+    val racer = new FileCatalogStore(root)
+    racer.commitTable(b, Nil,
+      Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
+    assert(racer.loadTableMetadata(b).get._1.properties("racer") == "1")
+    // once the lock goes stale, recovery must NOT complete the tx
+    // around the foreign link (that would half-apply it with b's slot
+    // holding someone else's metadata) — it rolls the tx's own link on
+    // a BACK, mirroring what the live path does on a CAS loss
+    val fresh = new FileCatalogStore(root)
+    fresh.txLockStaleMs = 0L
+    fresh.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
+    val (ma, va) = fresh.loadTableMetadata(a).get
+    assert(!ma.properties.contains("tx"), "half-applied tx leaked into a")
+    assert(ma.properties("k") == "2" && va == 1)
+    val (mb, _) = fresh.loadTableMetadata(b).get
+    assert(mb.properties("racer") == "1" && !mb.properties.contains("tx"))
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+    assert(!Files.exists(Paths.get(root, ".txlock")))
+  }
+
+  test("W12 torn pending journal is treated as absent, replay re-applies cleanly") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    // a crash mid-write of the pending journal leaves torn bytes
+    Files.write(s.metadataDir(id).resolve(".idem-job-x.pending"),
+      "garbage-without-newline".getBytes("UTF-8"))
+    val m = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+      idempotencyKey = Some("job-x"))
+    assert(m.properties("a") == "1" && s.currentVersion(id) == 1)
+    val names = listNames(metaDir(root, id))
+    assert(names.contains(".idem-job-x") && !names.contains(".idem-job-x.pending"))
+  }
+
+  test("W13 keyed replay after the guarded version rotated away never re-applies") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map(
+      "write.metadata.delete-after-commit.enabled" -> "true",
+      "write.metadata.previous-versions-max" -> "0"))))
+    s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("keyed" -> "1"))),
+      idempotencyKey = Some("job-rot"))
+    val keyedV = s.currentVersion(id)
+    // subsequent commits rotate the keyed version's metadata file away
+    (1 to 3).foreach(i => s.commitTable(id, Nil,
+      Seq(TableUpdate.SetProperties(Map(s"later$i" -> s"$i")))))
+    assert(!Files.exists(
+      s.metadataDir(id).resolve(f"v$keyedV%05d.metadata.json")))
+    // the guard still proves the commit landed: the replay answers
+    // with current state instead of committing a duplicate
+    val before = s.currentVersion(id)
+    val m = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("never" -> "applied"))),
+      idempotencyKey = Some("job-rot"))
+    assert(s.currentVersion(id) == before, "rotated-guard replay re-applied")
+    assert(!m.properties.contains("never") && m.properties("later3") == "3")
+  }
+
   test("W9 stale .txlock with a committing journal is stolen and resolved") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
