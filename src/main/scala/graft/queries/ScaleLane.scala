@@ -190,6 +190,11 @@ object ScaleLane {
         maxHamming = 3).count(), None)
     }
     legM("qd5_jaccard_autowidth") {
+      // every pass pays the REAL build: a memo hit reports ~0.2 s of
+      // cache-read at every corpus size and the min-of-N would guard
+      // nothing (invalidation at pass START leaves the final pass's
+      // memo for qd6/qd7 to share)
+      TextOps.invalidateJaccardMemo(spark, dir)
       val w = measuredW
       // build_ms = the builder's eager knob measurements (occupancy /
       // candidate caps) — phase-attributed so a doubling that moves
@@ -291,7 +296,11 @@ object ScaleLane {
       // probe prefix only prunes while shingles are rare): width=2 at
       // 25k docs measured 206 s; the measured width restores rare
       // prefixes — and its FULL-postings index side is even more
-      // density-sensitive than qd5's prefix-prefix join
+      // density-sensitive than qd5's prefix-prefix join.
+      // real build every pass — see qd5's invalidation note (its own
+      // cache only: purging the jaccard memo here would bill qd5's
+      // build to qd7, the sharer)
+      TextOps.invalidateContainmentMemo(spark, dir)
       val w = measuredW
       val ((pairs, cands), buildMs) = timedMs(TextOps.containmentDiag(
         spark, dir, 0.8, TextOps.AutoWidth))

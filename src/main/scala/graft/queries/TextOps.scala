@@ -252,6 +252,38 @@ object TextOps {
   private val containCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Double, Int), (DataFrame, DataFrame, Seq[DataFrame])]()
 
+  /** Drop the memoized exact-Jaccard / containment pair sets for one
+    * (session, dir) and unpersist their legs. The scale lane's
+    * min-of-N passes call this at the START of each qd5/qd10 pass so
+    * every pass pays the real build — a memo hit reports the
+    * cache-read cost (~0.2 s regardless of corpus size) and the
+    * committed minimum would guard nothing. Invalidating at pass START
+    * leaves the final pass's memo in place, so downstream sharers
+    * (qd6/qd7, the bench queries) keep their one-build economy.
+    */
+  private def purgeDiagMemo(
+      m: java.util.concurrent.ConcurrentHashMap[
+        (String, String, Double, Int),
+        (DataFrame, DataFrame, Seq[DataFrame])],
+      s: SparkSession, dir: String): Unit = {
+    val sk = sessionKey(s)
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sk && e.getKey._2 == dir) {
+        e.getValue._3.foreach(l =>
+          try l.unpersist()
+          catch { case scala.util.control.NonFatal(_) => })
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def invalidateJaccardMemo(s: SparkSession, dir: String): Unit =
+    purgeDiagMemo(pairsCache, s, dir)
+  private[graft] def invalidateContainmentMemo(s: SparkSession, dir: String): Unit =
+    purgeDiagMemo(containCache, s, dir)
+
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
       width: Int = 2): DataFrame =

@@ -1133,11 +1133,22 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         }
       }
     } else if (status == "aborting") {
+      // byte-guarded rollback: after the dead tx deleted a written
+      // file, a live foreign writer may have re-taken that version
+      // slot — deleting by path alone would destroy the foreign
+      // commit, so only files still carrying the tx's own bytes
+      // (recorded per written path in the abort journal) are removed
       (parsed \ "written") match {
         case JArray(ps) => ps.foreach { pj =>
-          pj.extractOpt[String].foreach { p =>
-            try Files.deleteIfExists(Paths.get(p))
-            catch { case NonFatal(_) => }
+          for {
+            p <- (pj \ "path").extractOpt[String]
+            json <- (pj \ "metadata").extractOpt[String]
+          } {
+            val path = Paths.get(p)
+            try {
+              if (Files.exists(path) && readString(path) == json)
+                Files.deleteIfExists(path)
+            } catch { case NonFatal(_) => }
           }
         }
         case _ =>
@@ -1188,14 +1199,16 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   private def txJournalJson(status: String,
       staged: Seq[(TabularId, Int, TableMetadata)],
-      written: Seq[Path]): String =
+      written: Seq[(Path, String)]): String =
     Json.render(
       ("status" -> status) ~
       ("entries" -> staged.map { case (id, v, meta) =>
         ("ns" -> id.namespace) ~ ("name" -> id.name) ~ ("v" -> v) ~
         ("metadata" -> Json.metadataToJson(meta))
       }) ~
-      ("written" -> written.map(_.toString)))
+      ("written" -> written.map { case (p, json) =>
+        ("path" -> p.toString) ~ ("metadata" -> json)
+      }))
 
   /** Multi-table atomic commit (reference: commitTransaction,
     * server/tables.rs:948 try_commit_tables:1523-1758). Requirements for
@@ -1254,23 +1267,28 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       crashPoint("tx:journal-written")
       // Phase 2: write all version files; on any loss of the per-file
       // race, roll back the files created so far so no table advances.
-      val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      // `written` carries (path, exact bytes) so the abort journal's
+      // rollback — live or recovered — can prove each file is the tx's
+      // own before deleting it.
+      val written = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
       staged.foreach { case (id, v, meta) =>
         val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
-        if (!atomicCreate(target, Json.metadataToJson(meta))) {
+        val json = Json.metadataToJson(meta)
+        if (!atomicCreate(target, json)) {
           // flip the journal to aborting BEFORE unwinding so a crash
           // mid-rollback finishes as a rollback, never replays as a
           // commit
           writeString(txJournal,
             txJournalJson("aborting", Nil, written.toSeq))
           crashPoint("tx:abort-journaled")
-          written.foreach(p => try Files.deleteIfExists(p)
-            catch { case NonFatal(_) => })
+          written.foreach { case (p, _) => try Files.deleteIfExists(p)
+            catch { case NonFatal(_) => } }
+          crashPoint("tx:rolled-back")
           Files.deleteIfExists(txJournal)
           throw new CommitFailedException(
             s"Transaction conflict on $id: version $v already exists")
         }
-        written += target
+        written += ((target, json))
         touchTxLock() // fence: keep the lock fresh across a long phase 2
         crashPoint(s"tx:linked-${written.size}")
       }

@@ -311,6 +311,40 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
     assert(!m.properties.contains("never") && m.properties("later3") == "3")
   }
 
+  test("W14 aborting journal never deletes a foreign commit that re-took the slot") {
+    val (root, a, b) = txFixture()
+    val s = new FileCatalogStore(root)
+    // force a CAS loss on b (racer takes b's slot mid-tx), then die
+    // AFTER the rollback deleted a's v1 but BEFORE the aborting
+    // journal was removed
+    val racer0 = new FileCatalogStore(root)
+    s.crashHook = Some { w =>
+      if (w == "tx:journal-written")
+        racer0.commitTable(b, Nil,
+          Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
+      if (w == "tx:rolled-back") throw new SimulatedCrash(w)
+    }
+    try intercept[SimulatedCrash](s.commitTransaction(txChanges(a, b)))
+    finally s.crashHook = None
+    assert(new FileCatalogStore(root).currentVersion(a) == 0,
+      "live rollback already removed a's link")
+    // the holder looks alive; a foreign writer re-takes a's v1 slot
+    Files.createFile(Paths.get(root, ".txlock"))
+    val racer = new FileCatalogStore(root)
+    racer.commitTable(a, Nil,
+      Seq(TableUpdate.SetProperties(Map("foreign" -> "1"))))
+    // stale-steal recovery replays the aborting journal — the byte
+    // guard must leave the foreign commit alone
+    val fresh = new FileCatalogStore(root)
+    fresh.txLockStaleMs = 0L
+    fresh.commitTransaction(Seq(
+      (b, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))))
+    val (ma, va) = fresh.loadTableMetadata(a).get
+    assert(ma.properties("foreign") == "1" && va == 1,
+      "recovery deleted a foreign commit out of a's slot")
+    assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+
   test("W9 stale .txlock with a committing journal is stolen and resolved") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
