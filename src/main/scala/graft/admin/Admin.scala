@@ -24,10 +24,18 @@ object Admin {
     */
   def changeEvents(spark: SparkSession, store: CatalogStore): DataFrame = {
     val dir = store.changesDir
-    if (!java.nio.file.Files.isDirectory(dir))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
-    else spark.read.schema(eventSchema).json(dir.toString)
+    val raw =
+      if (!java.nio.file.Files.isDirectory(dir))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+      else spark.read.schema(eventSchema).json(dir.toString)
+    // retention: the sidecar cutoff is the source of truth — stale
+    // lines a crashed trim left behind are filtered here, not trusted
+    // to be physically gone
+    store.eventRetention match {
+      case Some(r) if r.cutoffMs > 0 => raw.filter(col("ts-ms") >= r.cutoffMs)
+      case _ => raw
+    }
   }
 
   /** Structured Streaming view of the change-event log — the streaming
@@ -35,7 +43,12 @@ object Admin {
     */
   def changeEventStream(spark: SparkSession, store: CatalogStore): DataFrame = {
     java.nio.file.Files.createDirectories(store.changesDir)
-    spark.readStream.schema(eventSchema).json(store.changesDir.toString)
+    val raw = spark.readStream.schema(eventSchema)
+      .json(store.changesDir.toString)
+    store.eventRetention match {
+      case Some(r) if r.cutoffMs > 0 => raw.filter(col("ts-ms") >= r.cutoffMs)
+      case _ => raw
+    }
   }
 
   /** The reference's CloudEvents type names for tabular mutations
@@ -117,12 +130,35 @@ object Admin {
           .otherwise(lit(1)),
         col("event-type"),
         xxhash64(to_json(col("extra"))))
-    val attrs = changeEvents(spark, store)
+    // per-tabular sequence BASES from the retention sidecar: a tabular
+    // that lost k events to a trim resumes numbering at k+1, so every
+    // surviving envelope's sequencenumber (and its content-derived id)
+    // is byte-identical to its pre-trim value. Broadcast join, not a
+    // literal map — the base table is bounded by tabulars with trimmed
+    // history, which can be the whole catalog.
+    val withSeq = {
+      val rn = row_number().over(seqW).cast(LongType)
+      store.eventRetention match {
+        case Some(r) if r.seqBases.nonEmpty =>
+          import spark.implicits._
+          val baseDf = r.seqBases.toSeq
+            .map { case ((ns, name), b) => (ns, name, b) }
+            .toDF("namespace", "name", "seq_base")
+          changeEvents(spark, store)
+            .withColumn("sequencenumber", rn)
+            .join(broadcast(baseDf), Seq("namespace", "name"), "left")
+            .withColumn("sequencenumber",
+              col("sequencenumber") + coalesce(col("seq_base"), lit(0L)))
+            .drop("seq_base")
+        case _ =>
+          changeEvents(spark, store).withColumn("sequencenumber", rn)
+      }
+    }
+    val attrs = withSeq
       .withColumn("type", cloudEventType)
       .withColumn("specversion", lit("1.0"))
       .withColumn("source",
         lit(s"uri:iceberg-catalog-service:$sourceHost"))
-      .withColumn("sequencenumber", row_number().over(seqW).cast(LongType))
       .withColumn("_h", md5(concat_ws(" ", col("type"), col("namespace"),
         col("name"), col("sequencenumber"))))
       .withColumn("id", concat_ws("-",
@@ -197,14 +233,20 @@ object Admin {
       .select(col("bucket"), col("table_offset"), col("view_offset"))
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("ts-ms"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // retention bases: the running totals of events trimmed away live
+    // in the sidecar, so post-cutoff counts stay exact after a trim
+    val (tBase, vBase) = store.eventRetention
+      .map(r => (r.tableBase, r.viewBase)).getOrElse((0L, 0L))
     withBucket
       .withColumn("t_in", sum(col("table_delta")).over(wIn))
       .withColumn("v_in", sum(col("view_delta")).over(wIn))
       .join(broadcast(bucketOffsets), Seq("bucket"))
       .select(
         col("ts-ms").as("timestamp_ms"),
-        (col("t_in") + col("table_offset")).as("number_of_tables"),
-        (col("v_in") + col("view_offset")).as("number_of_views"))
+        (col("t_in") + col("table_offset") + lit(tBase))
+          .as("number_of_tables"),
+        (col("v_in") + col("view_offset") + lit(vBase))
+          .as("number_of_views"))
       .orderBy(col("timestamp_ms"))
   }
 

@@ -41,7 +41,7 @@ object Procedures {
     "list_user_roles", "list_role_member_of",
     "create_project", "list_projects", "rename_project", "delete_project",
     "project_statistics", "rename_warehouse",
-    "set_task_queue_config", "get_task_queue_config",
+    "trim_event_log", "set_task_queue_config", "get_task_queue_config",
     "set_format_version_policy", "get_warehouse",
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
@@ -98,6 +98,7 @@ object Procedures {
       case "delete_project" => Some(DeleteProjectProcedure(catalog))
       case "project_statistics" => Some(ProjectStatisticsProcedure(catalog))
       case "rename_warehouse" => Some(RenameWarehouseProcedure(catalog))
+      case "trim_event_log" => Some(TrimEventLogProcedure(catalog))
       case "set_task_queue_config" => Some(SetTaskQueueConfigProcedure(catalog))
       case "get_task_queue_config" => Some(GetTaskQueueConfigProcedure(catalog))
       case "set_format_version_policy" =>
@@ -1271,6 +1272,31 @@ final case class GetTaskQueueConfigProcedure(catalog: GraftCatalog)
         new GenericInternalRow(Array[Any](
           Procedures.utf8(queue), Procedures.utf8(cfg),
           hb.map(Long.box).orNull)): InternalRow })
+  }
+}
+
+/** Change-log retention (reference analog: the Kafka/NATS publishers
+  * delegate retention to the broker; the in-process log-as-table owns
+  * it here). Trims events older than the cutoff while keeping every
+  * surviving CloudEvents envelope and statistics count byte-stable —
+  * see [[graft.store.FileCatalogStore.trimEventLog]].
+  */
+final case class TrimEventLogProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "trim_event_log"
+  override def description(): String =
+    "Trim change-log events older than a cutoff (sequence-stable)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("older_than_ms", LongType))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (trimmed, kept) = catalog.store.trimEventLog(input.getLong(0))
+    val schema = StructType(Seq(
+      StructField("trimmed_events", LongType, nullable = false),
+      StructField("kept_events", LongType, nullable = false)))
+    Procedures.resultScan(schema,
+      Seq(new GenericInternalRow(Array[Any](trimmed, kept)): InternalRow))
   }
 }
 

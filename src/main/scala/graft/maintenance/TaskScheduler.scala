@@ -96,6 +96,17 @@ class TaskScheduler(
             softDelete = false)
       }
     },
+    // change-log retention (the reference's brokers own retention;
+    // the log-as-table substitute must own it itself). The trim keeps
+    // surviving sequence numbers and statistics deterministic via the
+    // sidecar bases — see FileCatalogStore.trimEventLog.
+    "event_log_cleanup" -> { t =>
+      val cutoff = t.payload.get("older-than-ms").map(_.toLong)
+        .orElse(store.queueConfigLong("event_log_cleanup", "retention-ms")
+          .map(clock() - _))
+        .getOrElse(clock() - 90L * 24 * 3600 * 1000)
+      store.trimEventLog(cutoff)
+    },
     "task_log_cleanup" -> { t =>
       TaskLogCleanup.run(store,
         t.payload.get("older-than-ms").map(_.toLong)
@@ -256,6 +267,13 @@ class TaskScheduler(
           ImpliedTasks.evaluateTable(store, info.id, meta, nowMs)
         } catch { case NonFatal(_) => }
       }
+    // event-log retention is OPT-IN via per-queue config (the log is a
+    // queryable audit surface by default — trimming deletes history);
+    // when `retention-ms` is set, schedule at most one trim per day
+    store.queueConfigLong("event_log_cleanup", "retention-ms").foreach { _ =>
+      store.enqueueTask("event_log_cleanup", Map.empty, runAtMs = nowMs,
+        dedupeKey = Some(s"eventlog-${nowMs / (24L * 3600 * 1000)}"))
+    }
   }
 }
 

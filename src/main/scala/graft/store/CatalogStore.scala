@@ -185,6 +185,14 @@ trait CatalogStore {
   def logEvent(eventType: String, id: TabularId,
       extra: Map[String, String] = Map.empty): Unit
   def changesDir: Path
+
+  /** Event-log retention (reference analog: broker-owned retention in
+    * the Kafka/NATS sinks — a log-as-table must own it itself). The
+    * sidecar state keeps surviving sequence numbers and statistics
+    * deterministic across trims; see [[EventRetention]].
+    */
+  def eventRetention: Option[EventRetention]
+  def trimEventLog(olderThanMs: Long): (Long, Long)
   def countOp(op: String): Unit
   def windowedOpCounts: java.util.concurrent.ConcurrentHashMap[
     (Long, String), java.util.concurrent.atomic.AtomicLong]

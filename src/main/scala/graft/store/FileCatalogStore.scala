@@ -30,6 +30,20 @@ final case class TabularInfo(
     protected_ : Boolean,
     metadataLocation: Option[String])
 
+/** Event-log retention state (sidecar `_changes/retention.json`):
+  * everything a reader needs to keep trimmed history DETERMINISTIC —
+  * events below `cutoffMs` are filtered on read, each tabular's
+  * per-tabular sequence numbers resume from its recorded base, and
+  * the warehouse-statistics running counts resume from the
+  * table/view bases. Written atomically BEFORE the physical log
+  * rewrite, so the sidecar is always the source of truth.
+  */
+final case class EventRetention(
+    cutoffMs: Long,
+    seqBases: Map[(String, String), Long], // (namespace, name) -> count
+    tableBase: Long,
+    viewBase: Long)
+
 /** Per-warehouse management profile (reference:
   * api/management/v1/warehouse/mod.rs — the delete profile at :111
   * decides whether DROP TABLE tombstones or purges).
@@ -206,6 +220,128 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   }
 
   private val eventLock = new Object
+
+  // dotfile: Spark's JSON reader must skip the sidecar when it reads
+  // the _changes directory (dot/underscore-prefixed files are ignored)
+  private def retentionPath: Path = changesDir.resolve(".retention.json")
+
+  /** Event-log retention state ([[EventRetention]]): None until the
+    * first trim. The sidecar is the SOURCE OF TRUTH — readers filter
+    * `ts-ms >= cutoffMs` and add the recorded bases, so the physical
+    * rewrite of events.jsonl is only space reclamation and a crash
+    * between the sidecar move and the rewrite changes nothing.
+    */
+  def eventRetention: Option[EventRetention] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    if (!Files.exists(retentionPath)) return None
+    try {
+      val j = JsonMethods.parse(readString(retentionPath))
+      val bases = (j \ "seq-bases") match {
+        case JArray(es) => es.flatMap { e =>
+          for {
+            ns <- (e \ "namespace").extractOpt[String]
+            name <- (e \ "name").extractOpt[String]
+            b <- (e \ "base").extractOpt[Long]
+          } yield (ns, name) -> b
+        }.toMap
+        case _ => Map.empty[(String, String), Long]
+      }
+      Some(EventRetention(
+        (j \ "cutoff-ms").extractOpt[Long].getOrElse(0L),
+        bases,
+        (j \ "table-base").extractOpt[Long].getOrElse(0L),
+        (j \ "view-base").extractOpt[Long].getOrElse(0L)))
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Trim change-log events older than `olderThanMs` (reference
+    * analog: the Kafka/NATS publishers RETAIN NOTHING — brokers own
+    * retention; a log-as-table substitute must own it itself or grow
+    * with every commit forever). Determinism contract: per-tabular
+    * `sequencenumber`s and the warehouse-statistics running counts of
+    * every SURVIVING event are unchanged, because the sidecar records
+    * (a) how many events each tabular lost below the cutoff (added
+    * back as a sequence base) and (b) the table/view count deltas of
+    * the trimmed prefix (added back as count bases). Trimming is by
+    * strict `ts-ms < cutoff`, so a same-millisecond group — whose
+    * intra-order is content-tie-broken — is never split.
+    *
+    * Crash-safe: the sidecar moves into place ATOMICALLY before the
+    * log rewrite; a death in between leaves stale lines that every
+    * reader already filters and the next trim discards WITHOUT
+    * recounting (only lines at or above the previous cutoff count
+    * toward the new bases). Returns (trimmed, kept) line counts.
+    */
+  def trimEventLog(olderThanMs: Long): (Long, Long) = eventLock.synchronized {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val log = changesDir.resolve("events.jsonl")
+    if (!Files.exists(log)) return (0L, 0L)
+    val prev = eventRetention.getOrElse(EventRetention(0L, Map.empty, 0L, 0L))
+    val cutoff = math.max(olderThanMs, prev.cutoffMs)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(log, StandardCharsets.UTF_8).asScala.toSeq
+    case class Ev(ts: Long, ns: String, name: String,
+      eventType: String, kind: String, line: String)
+    val parsed = lines.flatMap { line =>
+      try {
+        val j = JsonMethods.parse(line)
+        for (ts <- (j \ "ts-ms").extractOpt[Long]) yield Ev(ts,
+          (j \ "namespace").extractOpt[String].getOrElse(""),
+          (j \ "name").extractOpt[String].getOrElse(""),
+          (j \ "event-type").extractOpt[String].getOrElse(""),
+          (j \ "extra" \ "kind").extractOpt[String].getOrElse(""),
+          line)
+      } catch { case NonFatal(_) => None }
+    }
+    // lines below the PREVIOUS cutoff are already in the bases (a
+    // crashed rewrite left them behind) — discard without counting
+    val countable = parsed.filter(_.ts >= prev.cutoffMs)
+    val (trimmed, kept) = countable.partition(_.ts < cutoff)
+    if (trimmed.isEmpty && parsed.size == countable.size)
+      return (0L, kept.size.toLong)
+    val newBases = trimmed.groupBy(e => (e.ns, e.name))
+      .map { case (k, es) => k -> (prev.seqBases.getOrElse(k, 0L) + es.size) }
+    val mergedBases = prev.seqBases ++ newBases
+    // count-base deltas mirror warehouseStatistics' delta rules
+    def tableDelta(e: Ev): Long = e.eventType match {
+      case "table-created" => 1L
+      case "tabular-purged" | "tabular-soft-deleted" if e.kind == "table" => -1L
+      case "tabular-undropped" if e.kind == "table" => 1L
+      case _ => 0L
+    }
+    def viewDelta(e: Ev): Long = e.eventType match {
+      case "view-created" => 1L
+      case "tabular-purged" | "tabular-soft-deleted" if e.kind == "view" => -1L
+      case _ => 0L
+    }
+    val next = EventRetention(cutoff, mergedBases,
+      prev.tableBase + trimmed.map(tableDelta).sum,
+      prev.viewBase + trimmed.map(viewDelta).sum)
+    import org.json4s.JsonDSL._
+    val sidecar = Json.render(
+      ("cutoff-ms" -> next.cutoffMs) ~
+      ("table-base" -> next.tableBase) ~
+      ("view-base" -> next.viewBase) ~
+      ("seq-bases" -> next.seqBases.toSeq.sortBy(_._1).map {
+        case ((ns, name), b) =>
+          ("namespace" -> ns) ~ ("name" -> name) ~ ("base" -> b)
+      }))
+    val sideTmp = changesDir.resolve(s".retention-${UUID.randomUUID()}")
+    writeString(sideTmp, sidecar)
+    Files.move(sideTmp, retentionPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    crashPoint("eventlog:sidecar-moved")
+    val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
+    writeString(logTmp,
+      kept.map(_.line).mkString("", "\n", if (kept.nonEmpty) "\n" else ""))
+    Files.move(logTmp, log,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ((trimmed.size + (parsed.size - countable.size)).toLong, kept.size.toLong)
+  }
 
   def logEvent(eventType: String, id: TabularId, extra: Map[String, String] = Map.empty): Unit =
     eventLock.synchronized {
@@ -476,7 +612,41 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         ("metadata-location" -> info.metadataLocation)))
 
   def loadTabularInfo(id: TabularId): Option[TabularInfo] =
-    loadTabularInfoAt(tabularInfoPath(id))
+    loadTabularInfoAt(tabularInfoPath(id)).map { info =>
+      // a rename that died between its ATOMIC_MOVE and its fixups left
+      // the OLD id inside the NEW directory; the directory IS the
+      // identity, so finish the rename on first touch. Casefolded
+      // compare: a different-case lookup of the SAME name is normal
+      // (case-preserving store) and must not trigger a heal.
+      if (info.id.casefold == id.casefold) info
+      else healRenamedInfo(id, info)
+    }
+
+  /** Complete a crashed rename's fixups: rewrite the info file with
+    * the directory-derived id and re-point an interior table location,
+    * mirroring what renameTabular would have done. Best-effort — a
+    * read-only FS just keeps returning the healed VIEW of the info.
+    */
+  private def healRenamedInfo(actual: TabularId,
+      stale: TabularInfo): TabularInfo = {
+    val healed = stale.copy(id = actual)
+    try {
+      writeTabularInfoAt(tabularInfoPath(actual), healed)
+      if (stale.kind == "table")
+        loadTableMetadata(actual).foreach { case (meta, v) =>
+          if (meta.location == tableLocation(stale.id)) {
+            writeString(
+              metadataDir(actual).resolve(f"v$v%05d.metadata.json"),
+              Json.metadataToJson(
+                meta.copy(location = tableLocation(actual))))
+            metaCache.remove(actual)
+          }
+        }
+      logEvent("tabular-renamed", stale.id,
+        Map("to" -> actual.toString, "healed" -> "true"))
+    } catch { case NonFatal(_) => }
+    healed
+  }
 
   private def loadTabularInfoAt(p: Path): Option[TabularInfo] = {
     if (!Files.exists(p)) None
@@ -1043,6 +1213,11 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     val oldLocation = tableLocation(from)
     Files.move(tabularPath(from), tabularPath(to),
       StandardCopyOption.ATOMIC_MOVE)
+    // the ATOMIC_MOVE is the rename's commit point; a death before the
+    // fixups below leaves an info file carrying the OLD id inside the
+    // NEW directory — loadTabularInfo heals that on first touch (the
+    // directory is the identity)
+    crashPoint("rename:moved")
     writeTabularInfo(info.copy(id = to))
     // tables whose data lives inside the moved directory carry the
     // directory in meta.location — point the current metadata at the

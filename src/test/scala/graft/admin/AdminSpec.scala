@@ -104,6 +104,38 @@ class AdminSpec extends AnyFunSuite {
       """{"type":"principal","principal":"alice"}""")
   }
 
+  test("CALL trim_event_log keeps surviving envelopes byte-stable end to end") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.trimdb")
+    spark.sql("CREATE TABLE gadmin.trimdb.tr1 (id BIGINT)")
+    Thread.sleep(5) // ensure a timestamp gap the cutoff can land in
+    spark.sql("INSERT INTO gadmin.trimdb.tr1 VALUES (1)")
+    val pre = Admin.cloudEvents(spark, cat.store, "testhost")
+      .filter(col("namespace") === "trimdb").collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("sequencenumber"),
+          r.getAs[String]("type")))).toMap
+    assert(pre.nonEmpty)
+    // trim strictly BEFORE the newest trimdb event
+    val maxTs = Admin.changeEvents(spark, cat.store)
+      .filter(col("namespace") === "trimdb")
+      .agg(org.apache.spark.sql.functions.max(col("ts-ms"))).collect()
+      .head.getLong(0)
+    val res = spark.sql(
+      s"CALL gadmin.system.trim_event_log(older_than_ms => $maxTs)")
+      .collect().head
+    assert(res.getLong(0) >= 1L, "expected at least one trimmed event")
+    val post = Admin.cloudEvents(spark, cat.store, "testhost")
+      .filter(col("namespace") === "trimdb").collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("sequencenumber"),
+          r.getAs[String]("type")))).toMap
+    assert(post.nonEmpty && post.size < pre.size)
+    post.foreach { case (id, v) =>
+      assert(pre(id) == v, s"envelope $id changed across CALL trim")
+    }
+  }
+
   test("search_tabular ranks exact match first, fuzzy next, top-10") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gadmin.adb")
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.customer_orders (id BIGINT)")

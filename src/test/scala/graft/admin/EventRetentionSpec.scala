@@ -1,0 +1,131 @@
+package graft.admin
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.FileCatalogStore
+
+/** Event-log retention: trimming old change-log events must keep every
+  * SURVIVING CloudEvents envelope byte-identical (sequencenumber and
+  * the content-derived id) and the warehouse-statistics running counts
+  * exact — the sidecar bases carry what the trimmed prefix contributed.
+  * The reference gets retention for free from its brokers; the
+  * log-as-table substitute has to own these invariants itself.
+  */
+class EventRetentionSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-event-retention-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def seeded(): FileCatalogStore = {
+    val root = Files.createTempDirectory("graft-retention").toString
+    val s = new FileCatalogStore(root)
+    Files.createDirectories(s.changesDir)
+    // deterministic timestamps: the JSONL contract is the spec surface
+    val lines = Seq(
+      """{"ts-ms":1000,"event-type":"table-created","namespace":"db","name":"t1","extra":{}}""",
+      """{"ts-ms":1200,"event-type":"view-created","namespace":"db","name":"v1","extra":{}}""",
+      """{"ts-ms":1500,"event-type":"table-created","namespace":"db","name":"t2","extra":{}}""",
+      """{"ts-ms":2000,"event-type":"table-commit","namespace":"db","name":"t1","extra":{"version":"1"}}""",
+      """{"ts-ms":2500,"event-type":"table-commit","namespace":"db","name":"t2","extra":{"version":"1"}}""",
+      """{"ts-ms":3000,"event-type":"table-commit","namespace":"db","name":"t1","extra":{"version":"2"}}""",
+      """{"ts-ms":4000,"event-type":"table-created","namespace":"db","name":"t3","extra":{}}""")
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    s
+  }
+
+  private def envelopes(s: FileCatalogStore): Map[String, (String, Long)] =
+    Admin.cloudEvents(spark, s).collect().map { r =>
+      r.getAs[String]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("sequencenumber")))
+    }.toMap
+
+  private def statsAt(s: FileCatalogStore): Map[Long, (Long, Long)] =
+    Admin.warehouseStatistics(spark, s).collect().map { r =>
+      r.getAs[Long]("timestamp_ms") ->
+        ((r.getAs[Long]("number_of_tables"), r.getAs[Long]("number_of_views")))
+    }.toMap
+
+  test("surviving envelopes and statistics are byte-stable across a trim") {
+    val s = seeded()
+    val envBefore = envelopes(s)
+    val statsBefore = statsAt(s)
+    assert(envBefore.size == 7)
+    // t1's third event had sequencenumber 3 before any trim
+    assert(envBefore.values.toSet.contains(("t1", 3L)))
+
+    val (trimmed, kept) = s.trimEventLog(2200L)
+    assert(trimmed == 4 && kept == 3)
+
+    val envAfter = envelopes(s)
+    assert(envAfter.size == 3)
+    // every surviving envelope keeps its pre-trim id AND sequence
+    envAfter.foreach { case (id, v) =>
+      assert(envBefore(id) == v, s"envelope $id changed across trim")
+    }
+    assert(envAfter.values.toSet ==
+      Set(("t1", 3L), ("t2", 2L), ("t3", 1L)))
+    // statistics at surviving timestamps are unchanged (bases carry
+    // the trimmed prefix's counts)
+    val statsAfter = statsAt(s)
+    statsAfter.foreach { case (ts, v) =>
+      assert(statsBefore(ts) == v, s"stats at $ts changed across trim")
+    }
+    // the surviving delta event's running count is exact: t1+t2 from
+    // the trimmed prefix (the bases) + t3 itself
+    assert(statsAfter(4000L) == ((3L, 1L)))
+  }
+
+  test("trim is idempotent and monotone") {
+    val s = seeded()
+    val before = envelopes(s)
+    s.trimEventLog(2200L)
+    assert(s.trimEventLog(2200L) == ((0L, 3L)))
+    // a LOWER cutoff can never resurrect or re-trim
+    assert(s.trimEventLog(1000L) == ((0L, 3L)))
+    val after = envelopes(s)
+    after.foreach { case (id, v) => assert(before(id) == v) }
+  }
+
+  test("stale lines from a crashed rewrite are filtered and never recounted") {
+    val s = seeded()
+    val before = envelopes(s)
+    s.trimEventLog(2200L)
+    // simulate the crash window: the sidecar moved but the rewrite
+    // died — an already-counted old line is still in the file
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      ("""{"ts-ms":1000,"event-type":"table-created","namespace":"db","name":"t1","extra":{}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    // readers trust the sidecar cutoff, not the file
+    val env = envelopes(s)
+    assert(env.size == 3)
+    env.foreach { case (id, v) => assert(before(id) == v) }
+    // the next trim discards it WITHOUT recounting (bases unchanged)
+    val r0 = s.eventRetention.get
+    s.trimEventLog(2200L)
+    assert(s.eventRetention.get == r0)
+    assert(envelopes(s) == env)
+  }
+
+  test("post-trim events continue the sequence where the tabular left off") {
+    val s = seeded()
+    s.trimEventLog(2200L)
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      ("""{"ts-ms":4000,"event-type":"table-commit","namespace":"db","name":"t1","extra":{"version":"3"}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    val env = envelopes(s)
+    assert(env.values.toSet ==
+      Set(("t1", 3L), ("t2", 2L), ("t3", 1L), ("t1", 4L)))
+  }
+}

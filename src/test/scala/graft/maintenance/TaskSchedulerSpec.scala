@@ -284,6 +284,34 @@ class TaskSchedulerSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.scheduler.snapshot.threshold")
   }
 
+  test("event_log_cleanup trims via queue config — strictly opt-in") {
+    val s = freshStore()
+    java.nio.file.Files.createDirectories(s.changesDir)
+    java.nio.file.Files.write(s.changesDir.resolve("events.jsonl"),
+      ("""{"ts-ms":1000,"event-type":"table-created","namespace":"db","name":"a","extra":{}}""" + "\n" +
+       """{"ts-ms":2000,"event-type":"table-commit","namespace":"db","name":"a","extra":{}}""" + "\n")
+        .getBytes("UTF-8"))
+    var now = 42000000L
+    val sched = new TaskScheduler(s, clock = () => now)
+    // no retention config → the sweep never schedules a trim
+    sched.runOnce(now)
+    assert(s.listTasks(queue = Some("event_log_cleanup")).isEmpty)
+    assert(s.eventRetention.isEmpty)
+    // opt in: retention window sized so the cutoff (now - retention)
+    // lands between the two seeded events
+    now += 3601 * 1000L // past the reconcile interval
+    s.setTaskQueueConfig("event_log_cleanup",
+      s"""{"retention-ms": ${now - 1500}}""", None)
+    sched.runOnce(now)
+    val r = s.eventRetention.get
+    assert(r.cutoffMs == 1500L && r.seqBases == Map(("db", "a") -> 1L))
+    val left = java.nio.file.Files.readAllLines(
+      s.changesDir.resolve("events.jsonl"))
+    assert(left.size == 1 && left.get(0).contains("\"ts-ms\":2000"))
+    assert(s.listTasks(queue = Some("event_log_cleanup"))
+      .forall(_.status == "done"))
+  }
+
   test("poll rounds on a threshold-quiet warehouse load ZERO table metadata") {
     val s = freshStore()
     s.createNamespace(Seq("db"), Map.empty)

@@ -345,6 +345,27 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, ".txjournal")))
   }
 
+  test("W15 rename dying after the directory move heals on first load") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    val to = TabularId(Seq("db"), "t2")
+    crashing(s, "rename:moved") { s.renameTabular(id, to) }
+    val fresh = new FileCatalogStore(root)
+    // the move is the commit point: the old name is gone
+    assert(fresh.loadTabularInfo(id).isEmpty)
+    // first touch of the new name adopts the directory identity and
+    // finishes the fixups the dead rename skipped
+    val info = fresh.loadTabularInfo(to).get
+    assert(info.id == to, "heal must adopt the directory identity")
+    val (meta, _) = fresh.loadTableMetadata(to).get
+    assert(meta.location == fresh.tableLocation(to),
+      "interior location must be re-pointed")
+    assert(meta.properties("a") == "1")
+    // the heal is durable — a third instance reads it without healing
+    assert(new FileCatalogStore(root).loadTabularInfo(to).get.id == to)
+  }
+
   test("W9 stale .txlock with a committing journal is stolen and resolved") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
