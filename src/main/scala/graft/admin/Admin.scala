@@ -212,6 +212,8 @@ object Admin {
             col("extra")("kind") === "view", -1)
           .when(col("event-type") === "tabular-soft-deleted" &&
             col("extra")("kind") === "view", -1)
+          .when(col("event-type") === "tabular-undropped" &&
+            col("extra")("kind") === "view", 1)
           .otherwise(0))
       .filter(col("table_delta") =!= 0 || col("view_delta") =!= 0)
     // two-level running total: cumulate WITHIN hour buckets (window

@@ -225,23 +225,15 @@ object ExpirationQueue {
   */
 object TaskLogCleanup {
 
-  /** Drop log entries older than the cutoff; returns entries removed. */
-  def run(store: CatalogStore, olderThanMs: Long): Long = {
-    val f = store.changesDir.resolve("events.jsonl")
-    if (!Files.exists(f)) return 0L
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    implicit val fmts: Formats = DefaultFormats
-    val lines = new String(Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
-    val kept = lines.filter { l =>
-      try (JsonMethods.parse(l) \ "ts-ms").extract[Long] >= olderThanMs
-      catch { case NonFatal(_) => true } // unparseable lines are kept
-    }
-    Files.write(f, kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (lines.length - kept.length).toLong
-  }
+  /** Drop log entries older than the cutoff; returns entries removed.
+    * Routes through [[graft.store.CatalogStore.trimEventLog]] so the
+    * prune is SEQUENCE-STABLE: a raw rewrite here used to delete lines
+    * without updating the retention sidecar, silently renumbering every
+    * surviving tabular's CloudEvents sequence (and its content-derived
+    * envelope id) and shifting the statistics counts.
+    */
+  def run(store: CatalogStore, olderThanMs: Long): Long =
+    store.trimEventLog(olderThanMs)._1
 }
 
 /** Orphan-file removal (table-maintenance.md:59-124): recursive listing

@@ -101,11 +101,13 @@ class TaskScheduler(
     // surviving sequence numbers and statistics deterministic via the
     // sidecar bases — see FileCatalogStore.trimEventLog.
     "event_log_cleanup" -> { t =>
-      val cutoff = t.payload.get("older-than-ms").map(_.toLong)
+      // strictly opt-in: no payload AND no queue config → no-op (a
+      // default cutoff here would trim audit history after the user
+      // revoked consent by deleting the config between enqueue and run)
+      t.payload.get("older-than-ms").map(_.toLong)
         .orElse(store.queueConfigLong("event_log_cleanup", "retention-ms")
           .map(clock() - _))
-        .getOrElse(clock() - 90L * 24 * 3600 * 1000)
-      store.trimEventLog(cutoff)
+        .foreach(store.trimEventLog)
     },
     "task_log_cleanup" -> { t =>
       TaskLogCleanup.run(store,
@@ -284,6 +286,6 @@ object TaskScheduler {
     */
   val builtinQueues: Seq[String] = Seq(
     "tabular_expiration", "tabular_purge", "task_log_cleanup",
-    "expire_snapshots", "rewrite_position_deletes",
+    "event_log_cleanup", "expire_snapshots", "rewrite_position_deletes",
     "ann_index_compaction")
 }

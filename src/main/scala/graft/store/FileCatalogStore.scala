@@ -221,6 +221,26 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   private val eventLock = new Object
 
+  /** Cross-process mutual exclusion for event-log mutations: appends
+    * and the trim's read-modify-write both hold an OS file lock, so a
+    * concurrent writer in ANOTHER process can never have its append
+    * erased by a trim's rewrite (the per-JVM eventLock wraps this, so
+    * same-JVM threads never contend for the OS lock). Catalog events
+    * are per-operation, not per-row — the open/lock/close cost is
+    * noise next to the operation that produced the event.
+    */
+  private def withEventFileLock[T](body: => T): T = {
+    Files.createDirectories(changesDir)
+    val ch = java.nio.channels.FileChannel.open(
+      changesDir.resolve(".events.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try body finally l.release()
+    } finally ch.close()
+  }
+
   // dotfile: Spark's JSON reader must skip the sidecar when it reads
   // the _changes directory (dot/underscore-prefixed files are ignored)
   private def retentionPath: Path = changesDir.resolve(".retention.json")
@@ -273,33 +293,46 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * recounting (only lines at or above the previous cutoff count
     * toward the new bases). Returns (trimmed, kept) line counts.
     */
-  def trimEventLog(olderThanMs: Long): (Long, Long) = eventLock.synchronized {
+  def trimEventLog(olderThanMs: Long): (Long, Long) =
+    eventLock.synchronized { withEventFileLock {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val log = changesDir.resolve("events.jsonl")
     if (!Files.exists(log)) return (0L, 0L)
     val prev = eventRetention.getOrElse(EventRetention(0L, Map.empty, 0L, 0L))
-    val cutoff = math.max(olderThanMs, prev.cutoffMs)
+    // retention can never trim the FUTURE: an over-eager cutoff would
+    // otherwise mask every event logged for its remaining duration
+    val cutoff = math.max(prev.cutoffMs,
+      math.min(olderThanMs, System.currentTimeMillis()))
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(log, StandardCharsets.UTF_8).asScala.toSeq
     case class Ev(ts: Long, ns: String, name: String,
       eventType: String, kind: String, line: String)
-    val parsed = lines.flatMap { line =>
+    // unparseable / ts-less lines (e.g. a torn final line from a death
+    // mid-append) are KEPT, uncounted — the conservative choice; only
+    // lines whose timestamp is known participate in trimming
+    val parsed = lines.map { line =>
       try {
         val j = JsonMethods.parse(line)
-        for (ts <- (j \ "ts-ms").extractOpt[Long]) yield Ev(ts,
+        (j \ "ts-ms").extractOpt[Long].map(ts => Ev(ts,
           (j \ "namespace").extractOpt[String].getOrElse(""),
           (j \ "name").extractOpt[String].getOrElse(""),
           (j \ "event-type").extractOpt[String].getOrElse(""),
           (j \ "extra" \ "kind").extractOpt[String].getOrElse(""),
-          line)
-      } catch { case NonFatal(_) => None }
+          line)).toLeft(line)
+      } catch { case NonFatal(_) => Right(line) }
     }
+    val evs = parsed.collect { case Left(e) => e }
     // lines below the PREVIOUS cutoff are already in the bases (a
     // crashed rewrite left them behind) — discard without counting
-    val countable = parsed.filter(_.ts >= prev.cutoffMs)
-    val (trimmed, kept) = countable.partition(_.ts < cutoff)
-    if (trimmed.isEmpty && parsed.size == countable.size)
+    val countable = evs.filter(_.ts >= prev.cutoffMs)
+    val trimmed = countable.filter(_.ts < cutoff)
+    // kept preserves ORIGINAL line order, unparseable lines included
+    val kept = parsed.collect {
+      case Left(e) if e.ts >= cutoff => e.line
+      case Right(line) => line
+    }
+    if (trimmed.isEmpty && evs.size == countable.size)
       return (0L, kept.size.toLong)
     val newBases = trimmed.groupBy(e => (e.ns, e.name))
       .map { case (k, es) => k -> (prev.seqBases.getOrElse(k, 0L) + es.size) }
@@ -314,6 +347,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     def viewDelta(e: Ev): Long = e.eventType match {
       case "view-created" => 1L
       case "tabular-purged" | "tabular-soft-deleted" if e.kind == "view" => -1L
+      case "tabular-undropped" if e.kind == "view" => 1L
       case _ => 0L
     }
     val next = EventRetention(cutoff, mergedBases,
@@ -336,12 +370,12 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     crashPoint("eventlog:sidecar-moved")
     val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
     writeString(logTmp,
-      kept.map(_.line).mkString("", "\n", if (kept.nonEmpty) "\n" else ""))
+      kept.mkString("", "\n", if (kept.nonEmpty) "\n" else ""))
     Files.move(logTmp, log,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ((trimmed.size + (parsed.size - countable.size)).toLong, kept.size.toLong)
-  }
+    ((trimmed.size + (evs.size - countable.size)).toLong, kept.size.toLong)
+  } }
 
   def logEvent(eventType: String, id: TabularId, extra: Map[String, String] = Map.empty): Unit =
     eventLock.synchronized {
@@ -356,10 +390,12 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             ("namespace" -> id.namespace.mkString(".")) ~
             ("name" -> id.name) ~
             ("extra" -> extra)))
-        Files.write(changesDir.resolve("events.jsonl"),
-          (json + "\n").getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        withEventFileLock {
+          Files.write(changesDir.resolve("events.jsonl"),
+            (json + "\n").getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
       } catch { case NonFatal(_) => } // events are best-effort
     }
 
@@ -387,6 +423,22 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     sb.toString
   }
 
+  /** Reverse of [[dirKey]]'s percent-encoding (the fold itself is not
+    * reversible — the decoded name is the casefolded form).
+    */
+  private def decodeDirKey(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toByte); i += 1 }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
   private def nsPath(ns: Seq[String]): Path =
     ns.foldLeft(rootPath)((p, part) => p.resolve(dirKey(part)))
 
@@ -400,6 +452,17 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   private def readString(p: Path): String =
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+
+  /** Overwrite-in-place without a torn-read window: write a temp in
+    * the same directory, then ATOMIC_MOVE over the target.
+    */
+  private def writeStringAtomic(p: Path, s: String): Unit = {
+    val tmp = p.getParent.resolve(s".w-${UUID.randomUUID()}")
+    writeString(tmp, s)
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Atomic create-if-absent: hard-link a temp file into place. The
     * link(2) syscall fails with EEXIST if the target exists — this is
@@ -601,8 +664,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   private def writeTabularInfo(info: TabularInfo): Unit =
     writeTabularInfoAt(tabularInfoPath(info.id), info)
 
+  // atomic (tmp + move): readers — including the rename heal, which
+  // runs on READ paths — must never observe a truncated info file
   private def writeTabularInfoAt(p: Path, info: TabularInfo): Unit =
-    writeString(p, Json.render(
+    writeStringAtomic(p, Json.render(
       ("namespace" -> info.id.namespace) ~ ("name" -> info.id.name) ~
         ("kind" -> info.kind) ~ ("uuid" -> info.uuid) ~
         ("format" -> info.format) ~
@@ -673,7 +738,23 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     val dir = nsPath(ns)
     if (!Files.isDirectory(dir)) return Nil
     FileCatalogStore.listDir(dir).iterator
-      .flatMap(p => loadTabularInfoAt(p.resolve(TabMeta)))
+      .flatMap { p =>
+        loadTabularInfoAt(p.resolve(TabMeta)).map { info =>
+          // crashed-rename heal on the LISTING path too: the directory
+          // is the identity, so an info file still carrying the old id
+          // must not surface a phantom name (the new-name display case
+          // died with the renaming process — the folded directory name
+          // is the best available)
+          val dirName = p.getFileName.toString
+          // tombstones (.deleted-<uuid>) keep their ORIGINAL name —
+          // only live directories whose name disagrees are crashed
+          // renames
+          if (dirName.startsWith(".") || info.deletedMs.nonEmpty ||
+              dirKey(info.id.name) == dirName) info
+          else healRenamedInfo(
+            TabularId(info.id.namespace, decodeDirKey(dirName)), info)
+        }
+      }
       .filter(t => includeDeleted || t.deletedMs.isEmpty)
       .filter(t => kind.forall(_ == t.kind))
       .toSeq.sortBy(_.id.name)

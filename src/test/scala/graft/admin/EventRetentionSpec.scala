@@ -17,11 +17,17 @@ import graft.store.FileCatalogStore
   */
 class EventRetentionSpec extends AnyFunSuite {
 
+  // extensions included even though this suite never uses them: the
+  // session is SHARED via getOrCreate across parallel suites, and the
+  // first builder wins — omitting them here would strip view support
+  // from whichever suite loses the race
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-event-retention-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -2268,7 +2268,7 @@ class ConnectorE2ESpec extends AnyFunSuite {
     assert(pre.getString(3) == "default")          // default project
     assert(pre.getString(4).contains("openfga"))   // authz backend name
     assert(pre.getString(5).split(",").toSeq ==
-      Seq("ann_index_compaction", "expire_snapshots",
+      Seq("ann_index_compaction", "event_log_cleanup", "expire_snapshots",
         "rewrite_position_deletes", "tabular_expiration",
         "tabular_purge", "task_log_cleanup"))
 
