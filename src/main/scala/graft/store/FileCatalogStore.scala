@@ -231,14 +231,22 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   private def withEventFileLock[T](body: => T): T = {
     Files.createDirectories(changesDir)
-    val ch = java.nio.channels.FileChannel.open(
-      changesDir.resolve(".events.lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val l = ch.lock()
-      try body finally l.release()
-    } finally ch.close()
+    val lockPath = changesDir.resolve(".events.lock")
+    // JVM-level monitor per lock path FIRST: two store INSTANCES over
+    // one root in the same JVM would otherwise race to
+    // OverlappingFileLockException (the OS lock is per-JVM, not
+    // per-channel-holder)
+    val monitor = FileCatalogStore.eventFileMonitors.computeIfAbsent(
+      lockPath.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
   }
 
   // dotfile: Spark's JSON reader must skip the sidecar when it reads
@@ -2616,6 +2624,13 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 }
 
 object FileCatalogStore {
+  /** Per-lock-path JVM monitors serializing event-log OS file locks
+    * across store instances (see withEventFileLock). Bounded by the
+    * number of distinct warehouses this JVM ever opened.
+    */
+  private[store] val eventFileMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Materialized directory listing that always closes the stream
     * (a bare Files.list leaks a file handle on a long-lived driver).
     */
