@@ -195,7 +195,10 @@ object Bench {
           only = Set("qd_width_measure", "qd3_minhash",
             "qd5_jaccard_autowidth",
             "qd10_containment_autowidth", "qd12_editdist",
-            "qs21_lsh_knn_join", "qs23_incremental_append")))
+            "qs21_lsh_knn_join", "qs23_incremental_append"),
+          // round 13: sf4 inter-pass spread is 2-3× — min-of-2 commits
+          // a sane number but can't catch a modest regression
+          passes = 3))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] sf4 scale lane FAILED: ${e.getMessage}")
           None

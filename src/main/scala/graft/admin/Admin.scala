@@ -355,7 +355,7 @@ object Admin {
       .filter(e => project.forall(_ == e.project))
       .map { e =>
         val st = if (e.location == store.root) store
-          else new FileCatalogStore(e.location)
+          else graft.store.CatalogStore.open(e.location)
         val live = st.listAllTabulars(includeDeleted = false)
         (e.project, 1L,
           live.count(_.kind == "table").toLong,

@@ -38,7 +38,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   private var catalogName: String = _
-  private[graft] var store: FileCatalogStore = _
+  private[graft] var store: CatalogStore = _
   private[graft] var scheduler: Option[graft.maintenance.TaskScheduler] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -46,7 +46,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'"))
-    store = new FileCatalogStore(warehouse)
+    store = CatalogStore.open(warehouse)
     // background maintenance daemon (reference: queue workers spawned
     // with the service — config.rs:1057-1061 poll interval, grace)
     if (Option(options.get("scheduler.enabled")).contains("true")) {

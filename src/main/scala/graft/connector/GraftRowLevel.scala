@@ -262,11 +262,13 @@ class GraftCowBatchWrite(
       })
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach { f =>
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-      catch { case _: Throwable => }
-    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // through the table's Hadoop FS — java.nio silently no-ops on
+    // hdfs://s3a:// paths and would leak every aborted rewrite file
+    val conf = spark.sessionState.newHadoopConf()
+    messages.collect { case GraftCommitMessage(fs) => fs }.flatten.foreach(
+      f => GraftDataWriter.deleteQuietly(f.path, conf))
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -489,12 +491,13 @@ class GraftDeltaBatchWrite(table: GraftTable, insertSchema: StructType)
       })
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Hadoop-FS delete, same as the COW abort above — position-delete
+    // files may live on hdfs://s3a:// too
+    val conf = spark.sessionState.newHadoopConf()
     messages.collect { case m: GraftDeltaCommitMessage => m.files }
-      .flatten.foreach { f =>
-        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-        catch { case _: Throwable => }
-      }
+      .flatten.foreach(f => GraftDataWriter.deleteQuietly(f.path, conf))
+  }
 }
 
 final case class GraftDeltaWriterFactory(

@@ -157,9 +157,10 @@ class GraftStagedTable(
     }
   }
 
-  override def abortStagedChanges(): Unit =
-    collected.foreach { f =>
-      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-      catch { case _: Throwable => }
-    }
+  override def abortStagedChanges(): Unit = {
+    // staged-create data may target hdfs://s3a:// locations — route
+    // through the Hadoop FS like every other abort path
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    collected.foreach(f => GraftDataWriter.deleteQuietly(f.path, conf))
+  }
 }

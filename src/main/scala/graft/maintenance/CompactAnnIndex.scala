@@ -75,6 +75,16 @@ object CompactAnnIndex {
       }.sum
   }
 
+  /** Wall-time split of one compaction — the scale lane's attribution
+    * for the compact-cost curve (round 13: the committed qs23b curve
+    * was non-monotonic and "fixed overhead" was a hand-wave; the split
+    * names which phase carries it).
+    *  - planMs: table load + manifest walk for the staged-file set
+    *  - writeMs: the staged-row scan, re-home shuffle, and file writes
+    *  - commitMs: conflict checks + manifest replace + the CAS commit
+    */
+  final case class Phases(planMs: Long, writeMs: Long, commitMs: Long)
+
   /** Re-home the rows of partition `partCol = stagingValue` to
     * `partCol = rehome` atomically.
     *
@@ -85,10 +95,21 @@ object CompactAnnIndex {
   def run(spark: SparkSession, table: String, partCol: String,
       stagingValue: Long, rehome: Column,
       minStagingFiles: Int = 1,
+      beforeCommit: () => Unit = () => ()): (Long, Long) = {
+    val (files, postings, _) = runTimed(spark, table, partCol,
+      stagingValue, rehome, minStagingFiles, beforeCommit)
+    (files, postings)
+  }
+
+  /** [[run]] plus the per-phase wall split. */
+  def runTimed(spark: SparkSession, table: String, partCol: String,
+      stagingValue: Long, rehome: Column,
+      minStagingFiles: Int = 1,
       // test seam (the TaskScheduler clock pattern): runs between the
       // pinned scan and the commit so specs can interleave a
       // mid-flight DELETE deterministically
-      beforeCommit: () => Unit = () => ()): (Long, Long) = {
+      beforeCommit: () => Unit = () => ()): (Long, Long, Phases) = {
+    val p0 = System.nanoTime()
     // ONE table load: the staged-path set and the row scan below both
     // come from this relation's pinned snapshot — a second load could
     // see a newer snapshot and re-home rows whose file is not removed
@@ -96,8 +117,9 @@ object CompactAnnIndex {
     val t = graftTable(df, table)
     val staged = stagingEntries(t, partCol, stagingValue)
     val stagingPaths = staged.map(_.path)
+    val planMs = (System.nanoTime() - p0) / 1000000L
     if (stagingPaths.isEmpty || stagingPaths.size < minStagingFiles)
-      return (0L, 0L)
+      return (0L, 0L, Phases(planMs, 0L, 0L))
 
     val meta = t.meta
     val schema = meta.currentSchema.struct
@@ -117,6 +139,7 @@ object CompactAnnIndex {
       .repartition(spec.fields.map(f => col(f.sourceName)).toSeq: _*)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val w0 = System.nanoTime()
     val written: Seq[DataFile] = rehomed.queryExecution.toRdd
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
@@ -131,6 +154,7 @@ object CompactAnnIndex {
           }
         }
       }.collect().toSeq
+    val writeMs = (System.nanoTime() - w0) / 1000000L
 
     beforeCommit()
     val oldPaths = stagingPaths.toSet
@@ -142,6 +166,7 @@ object CompactAnnIndex {
     val scannedId = t.readSnapshot.map(_.snapshotId)
     val scannedSeq = t.readSnapshot.map(_.sequenceNumber).getOrElse(0L)
     val preservedSeq = staged.map(_.sequenceOrOldest).foldLeft(0L)(math.max)
+    val c0 = System.nanoTime()
     try commitRehomed(t, id, oldPaths, written, scannedId, scannedSeq,
       preservedSeq, snapshotId)
     catch { case scala.util.control.NonFatal(e) =>
@@ -155,7 +180,9 @@ object CompactAnnIndex {
       written.foreach(f => GraftDataWriter.deleteQuietly(f.path, conf))
       throw e
     }
-    (oldPaths.size.toLong, written.map(_.recordCount).sum)
+    val commitMs = (System.nanoTime() - c0) / 1000000L
+    (oldPaths.size.toLong, written.map(_.recordCount).sum,
+      Phases(planMs, writeMs, commitMs))
   }
 
   private def commitRehomed(t: GraftTable, id: TabularId,

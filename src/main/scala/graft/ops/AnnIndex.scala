@@ -299,8 +299,18 @@ object AnnIndex {
     */
   def compactLsh(spark: SparkSession, table: String,
       minStagingFiles: Int = 1): (Long, Long) = {
+    val (files, postings, _) = compactLshTimed(spark, table, minStagingFiles)
+    (files, postings)
+  }
+
+  /** [[compactLsh]] plus the plan/write/commit wall split — the scale
+    * lane's compact-curve attribution.
+    */
+  def compactLshTimed(spark: SparkSession, table: String,
+      minStagingFiles: Int = 1)
+      : (Long, Long, graft.maintenance.CompactAnnIndex.Phases) = {
     val staging = lshStagingGroup(spark, table)
-    graft.maintenance.CompactAnnIndex.run(spark, table, "grp", staging,
+    graft.maintenance.CompactAnnIndex.runTimed(spark, table, "grp", staging,
       pmod(col("bucket"), lit(staging)), minStagingFiles)
   }
 

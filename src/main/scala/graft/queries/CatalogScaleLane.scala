@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.meta.{TableMetadata, TableUpdate}
-import graft.store.{FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, TabularId}
 
 /** Catalog-plane scale lane (round 12): the data plane has four
   * guarded doublings, but the CATALOG — the reference's actual
@@ -28,16 +28,31 @@ import graft.store.{FileCatalogStore, TabularId}
   *    discovered).
   *  - `cat_reconcile`: the scheduler's rate-limited reconciliation
   *    sweep — the one remaining O(tables) walk (hourly by default).
-  *  - `cat_sched_poll`: a STEADY-STATE poll round, with the store's
-  *    metadata-load counter delta recorded (`poll_meta_loads`) — the
-  *    committed proof that commit-time implied-task detection left the
-  *    poll loop zero-metadata-read on a threshold-quiet warehouse, at
-  *    catalog scale, not just in the unit spec.
+  *  - `cat_sched_poll`: a STEADY-STATE poll round with the reconcile
+  *    sweep split out (`reconcile_ms` vs `poll_ms`, round 13) and the
+  *    store's metadata-load counter delta recorded
+  *    (`poll_meta_loads`) — the committed proof that commit-time
+  *    implied-task detection left the poll loop zero-metadata-read on
+  *    a threshold-quiet warehouse, at catalog scale.
   *  - `cat_commit_contention`: 8 writers × 25 commits against ONE
   *    table — throughput plus the store's CAS-retry counter delta
   *    (same-JVM commits arbitrate through the in-process lock, so the
   *    expected retry count is 0; the hard-link CAS is the
   *    cross-process arbiter).
+  *  - `cat_commit_xproc` (round 13, smallest size only): a FORKED
+  *    sibling JVM and this process each commit 100 times against one
+  *    table — the hard-link-CAS loser-retry path a multi-driver
+  *    deployment depends on, which no same-JVM leg can reach (the
+  *    per-path monitors arbitrate first in-process). Commits
+  *    throughput and both processes' retry counts.
+  *  - `cat_trim` (round 13): event-log retention wall vs log lines —
+  *    a synthetic `size`-line JSONL log trimmed at its midpoint, the
+  *    growth curve for the streaming single-pass rewrite.
+  *  - `cat_page_wide` (round 13, 2k/8k sizes): `size` tables in ONE
+  *    namespace paged all the way through — the keyset-pagination
+  *    stress the main fixture (250 tables/namespace) never reaches.
+  *    Guards the revalidating listing cache: each page revalidates by
+  *    (size, mtime) stats instead of re-reading every info file.
   *
   * Legs are min-of-N passes (SPARK_GRAFT_LANE_PASSES, default 2) like
   * the data-plane lane, with per-pass walls committed.
@@ -56,22 +71,29 @@ object CatalogScaleLane {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
 
-  private def fixture(root: String, size: Int): (FileCatalogStore, Boolean, Double) = {
+  /** Delete a fixture directory tree, closing the walk stream (a bare
+    * Files.walk leaks its directory handles on a long-lived driver —
+    * the same leak FileCatalogStore.listDir guards against).
+    */
+  private def deleteTree(dirPath: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dirPath)
+    val paths = try walk.iterator().asScala.toSeq finally walk.close()
+    paths.sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  private def fixture(root: String, size: Int): (CatalogStore, Boolean, Double) = {
     val dir = s"$root/n$size"
     val marker = java.nio.file.Paths.get(dir, ".lane-complete")
     if (java.nio.file.Files.exists(marker))
-      return (new FileCatalogStore(dir), false, 0.0)
+      return (CatalogStore.open(dir), false, 0.0)
     // no completion marker but a directory: a previous generation was
     // killed mid-way — createNamespace would throw AlreadyExists and
     // poison every future run, so start over from nothing
     val dirPath = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(dirPath)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    val store = new FileCatalogStore(dir)
+    if (java.nio.file.Files.exists(dirPath)) deleteTree(dirPath)
+    val store = CatalogStore.open(dir)
     val t0 = System.nanoTime()
     val topCount = size / (2 * TablesPerNs)
     (0 until topCount).foreach { i =>
@@ -100,6 +122,55 @@ object CatalogScaleLane {
     (store, true, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** A `size`-table single-namespace warehouse for the wide-pagination
+    * leg, cached like the main fixture.
+    */
+  private def wideFixture(root: String, size: Int): CatalogStore = {
+    val dir = s"$root/wide$size"
+    val marker = java.nio.file.Paths.get(dir, ".lane-complete")
+    if (java.nio.file.Files.exists(marker)) return CatalogStore.open(dir)
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(dirPath)) deleteTree(dirPath)
+    val store = CatalogStore.open(dir)
+    store.createNamespace(Seq("wide"), Map.empty)
+    (0 until size).foreach { j =>
+      val id = TabularId(Seq("wide"), s"tbl$j")
+      store.createTable(id, TableMetadata.newTable(
+        java.util.UUID.randomUUID().toString,
+        store.tableLocation(id), schema))
+    }
+    java.nio.file.Files.write(marker, size.toString.getBytes("UTF-8"))
+    store
+  }
+
+  /** Fresh scratch warehouse holding a synthetic `lines`-line event log
+    * (regenerated per pass — the trim consumes it). Line shape matches
+    * logEvent's JSONL contract; 100 distinct tabulars keep the
+    * seq-bases state realistic.
+    */
+  private def trimScratch(root: String, lines: Int): CatalogStore = {
+    val dir = s"$root/trim-scratch"
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(dirPath)) deleteTree(dirPath)
+    val store = CatalogStore.open(dir)
+    val changes = store.changesDir
+    java.nio.file.Files.createDirectories(changes)
+    val w = java.nio.file.Files.newBufferedWriter(
+      changes.resolve("events.jsonl"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      var i = 0
+      while (i < lines) {
+        w.write(s"""{"ts-ms":${1000L + i},"event-type":"table-commit",""" +
+          s""""namespace":"db","name":"t${i % 100}",""" +
+          s""""extra":{"version":"${i / 100}"}}""")
+        w.newLine()
+        i += 1
+      }
+    } finally w.close()
+    store
+  }
+
   def run(spark: SparkSession,
       root: String = "target/scale/catalog",
       sizes: Seq[Int] = Seq(2000, 8000, 32000)): Seq[Report] = sizes.map { size =>
@@ -114,6 +185,11 @@ object CatalogScaleLane {
         val (rows, metrics) = body
         (rows, None, metrics)
       }
+    def timedMs[T](body: => T): (T, Long) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1000000L)
+    }
 
     legM("cat_list_ns") {
       (store.listTabulars(Seq("ns0")).size.toLong, Map.empty)
@@ -146,13 +222,17 @@ object CatalogScaleLane {
     legM("cat_sched_poll") {
       val sched = new graft.maintenance.TaskScheduler(store)
       try {
-        sched.runOnce(System.currentTimeMillis()) // reconcile, untimed here
+        // phase split (round 13): the first runOnce carries the
+        // reconcile sweep + scheduler setup — named, so the committed
+        // poll number is the steady-state poll ALONE
+        val (_, reconcileMs) =
+          timedMs(sched.runOnce(System.currentTimeMillis()))
         val loads0 = store.metadataLoadCount
-        val t0 = System.nanoTime()
-        sched.runOnce(System.currentTimeMillis() + 1)
-        val pollMs = (System.nanoTime() - t0) / 1000000L
+        val (_, pollMs) =
+          timedMs(sched.runOnce(System.currentTimeMillis() + 1))
         (store.metadataLoadCount - loads0,
           Map("poll_ms" -> pollMs,
+            "reconcile_ms" -> reconcileMs,
             "poll_meta_loads" -> (store.metadataLoadCount - loads0)))
       } finally sched.stop()
     }
@@ -177,6 +257,82 @@ object CatalogScaleLane {
         "commits_ok" -> (writers * perWriter - failures.get()),
         "failures" -> failures.get(),
         "cas_retries" -> (store.commitRetryCount - retries0)))
+    }
+    // event-log trim curve: wall vs lines at the warehouse's scale
+    // point (the log regenerates per pass — the trim consumes it)
+    legM("cat_trim") {
+      val scratch = trimScratch(root, size)
+      val cutoff = 1000L + size / 2
+      val ((trimmed, kept), trimMs) =
+        timedMs(scratch.trimEventLog(cutoff))
+      (trimmed + kept, Map(
+        "trim_ms" -> trimMs, "lines" -> size.toLong,
+        "trimmed" -> trimmed, "kept" -> kept))
+    }
+    // wide-namespace pagination: size tables in ONE namespace paged all
+    // the way through (32k skipped — the 2k→8k pair already commits the
+    // growth exponent, and 32k would dominate the lane wall)
+    if (size <= 8000) legM("cat_page_wide") {
+      val wide = wideFixture(root, size)
+      var pages = 0L
+      var rows = 0L
+      var tok: Option[String] = None
+      var done = false
+      while (!done) {
+        val (page, next) =
+          wide.listTabularsPage(Seq("wide"), pageSize = 250, tok)
+        pages += 1
+        rows += page.size
+        tok = next
+        done = next.isEmpty
+      }
+      (rows, Map("pages" -> pages, "tables" -> size.toLong))
+    }
+    // cross-process CAS contention: smallest size only (the table is
+    // the contention unit — warehouse size is irrelevant)
+    if (size == sizes.head) legM("cat_commit_xproc") {
+      val id = TabularId(Seq("ns0"), "contended")
+      val n = 100
+      val scratch = java.nio.file.Files.createTempDirectory("graft-xproc")
+      val ready = scratch.resolve("ready")
+      val go = scratch.resolve("go")
+      val dir = s"$root/n$size"
+      val child = graft.tools.ForkJvm.start("graft.tools.XprocCommit",
+        Seq(dir, "ns0", "contended", "c", n.toString,
+          ready.toString, go.toString))
+      val out = graft.tools.ForkJvm.drainAsync(child)
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!java.nio.file.Files.exists(ready) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(2)
+        require(java.nio.file.Files.exists(ready),
+          "xproc child never became ready")
+        val retries0 = store.commitRetryCount
+        val t0 = System.nanoTime()
+        java.nio.file.Files.write(go, Array.emptyByteArray)
+        var i = 0
+        while (i < n) {
+          store.commitTable(id, Nil, Seq(TableUpdate.SetProperties(
+            Map("xp" -> i.toString))), maxRetries = 1000000)
+          i += 1
+        }
+        val finished = child.waitFor(60,
+          java.util.concurrent.TimeUnit.SECONDS)
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val childOut = out.synchronized(out.toString)
+        require(finished && child.exitValue() == 0,
+          s"xproc child failed: $childOut")
+        val childRetries = "retries=(\\d+)".r.findFirstMatchIn(childOut)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        ((2L * n), Map(
+          "xproc_wall_ms" -> wallMs,
+          "commits_per_sec" -> (2L * n * 1000L / math.max(wallMs, 1L)),
+          "cas_retries_local" -> (store.commitRetryCount - retries0),
+          "cas_retries_child" -> childRetries))
+      } finally {
+        if (child.isAlive) child.destroyForcibly()
+        try deleteTree(scratch) catch { case NonFatal(_) => }
+      }
     }
     Report(size, generated, genSec, legs.toSeq)
   }

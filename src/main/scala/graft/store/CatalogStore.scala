@@ -83,6 +83,16 @@ trait CatalogStore {
       mkUpdates: TableMetadata => Seq[TableUpdate],
       maxRetries: Int = 4,
       idempotencyKey: Option[String] = None): TableMetadata
+  /** Lifetime count of [[loadTableMetadata]] calls — the scale-lane /
+    * spec observable proving scheduler polls load no metadata.
+    */
+  def metadataLoadCount: Long
+
+  /** Lifetime count of commit attempts that lost the arbitration race
+    * and retried — the contention observable.
+    */
+  def commitRetryCount: Long
+
   def commitTransaction(
       changes: Seq[(TabularId, Seq[TableRequirement], Seq[TableUpdate])]): Unit
 
@@ -196,4 +206,22 @@ trait CatalogStore {
   def countOp(op: String): Unit
   def windowedOpCounts: java.util.concurrent.ConcurrentHashMap[
     (Long, String), java.util.concurrent.atomic.AtomicLong]
+}
+
+/** Single construction seam for stores: every non-test `new
+  * FileCatalogStore` funnels through [[CatalogStore.open]], so a
+  * metastore-backed implementation for a multi-driver deployment swaps
+  * in at exactly one point (set [[CatalogStore.provider]] before the
+  * catalog initializes). The location string is the warehouse entry's
+  * `location` — the same value the registry persists.
+  */
+object CatalogStore {
+
+  /** Pluggable store constructor; defaults to the file/hard-link-CAS
+    * implementation.
+    */
+  @volatile var provider: String => CatalogStore =
+    location => new FileCatalogStore(location)
+
+  def open(location: String): CatalogStore = provider(location)
 }

@@ -259,10 +259,32 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * rewrite of events.jsonl is only space reclamation and a crash
     * between the sidecar move and the rewrite changes nothing.
     */
+  /** Parsed-retention cache keyed by the sidecar file's (mtime, size)
+    * fingerprint: statistics and event-feed reads hit eventRetention on
+    * every call, and the seq-bases list is O(tabulars seen by trims) —
+    * reparsing it per read was an O(bases) JSON parse on every
+    * statistics call. The sidecar is replaced only by ATOMIC_MOVE (a
+    * trim), which refreshes both mtime and (virtually always) size.
+    */
+  @volatile private var retentionCache
+      : (java.nio.file.attribute.FileTime, Long, Option[EventRetention]) = null
+
   def eventRetention: Option[EventRetention] = {
+    if (!Files.exists(retentionPath)) return None
+    val fp = try (Files.getLastModifiedTime(retentionPath),
+      Files.size(retentionPath))
+      catch { case NonFatal(_) => return None }
+    val cached = retentionCache
+    if (cached != null && cached._1 == fp._1 && cached._2 == fp._2)
+      return cached._3
+    val parsed = parseRetention()
+    retentionCache = (fp._1, fp._2, parsed)
+    parsed
+  }
+
+  private def parseRetention(): Option[EventRetention] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    if (!Files.exists(retentionPath)) return None
     try {
       val j = JsonMethods.parse(readString(retentionPath))
       val bases = (j \ "seq-bases") match {
@@ -307,60 +329,107 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     import org.json4s.jackson.JsonMethods
     val log = changesDir.resolve("events.jsonl")
     if (!Files.exists(log)) return (0L, 0L)
+    // temp debris from a trim that died mid-flight: we HOLD the
+    // exclusive event-file lock, and trims are the only temp writers
+    // under it, so any temp present now is a corpse
+    FileCatalogStore.listDir(changesDir)
+      .filter { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith(".events-") || fn.startsWith(".retention-")
+      }
+      .foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => })
     val prev = eventRetention.getOrElse(EventRetention(0L, Map.empty, 0L, 0L))
     // retention can never trim the FUTURE: an over-eager cutoff would
     // otherwise mask every event logged for its remaining duration
     val cutoff = math.max(prev.cutoffMs,
       math.min(olderThanMs, System.currentTimeMillis()))
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(log, StandardCharsets.UTF_8).asScala.toSeq
-    case class Ev(ts: Long, ns: String, name: String,
-      eventType: String, kind: String, line: String)
-    // unparseable / ts-less lines (e.g. a torn final line from a death
-    // mid-append) are KEPT, uncounted — the conservative choice; only
-    // lines whose timestamp is known participate in trimming
-    val parsed = lines.map { line =>
+    // ONE streaming pass: reader → kept-lines temp writer, with running
+    // counters — the log is the per-mutation audit stream this feature
+    // exists to bound, so the trim itself must never materialize it on
+    // the driver (a 90-day log at production commit volume is GBs; this
+    // path runs under a capped heap in EventRetentionSpec). State held
+    // in memory is O(distinct tabulars in the trimmed window), not
+    // O(lines). Unparseable / ts-less lines (e.g. a torn final line
+    // from a death mid-append) are KEPT, uncounted — the conservative
+    // choice; lines below the PREVIOUS cutoff are already in the bases
+    // (a crashed rewrite left them behind) — discarded without
+    // counting.
+    var trimmedCount = 0L
+    var discarded = 0L
+    var keptCount = 0L
+    var tableDelta = 0L
+    var viewDelta = 0L
+    val trimCounts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    // sidecar bound: a `tabular-purged` event passing through the
+    // trimmed window with NO later event for its (ns, name) anywhere in
+    // the log proves nothing will ever ask for that key's base again —
+    // drop it, so seq-bases is bounded by live+recreated tabulars
+    // instead of growing monotonically. (Inductively complete: every
+    // purge event crosses exactly one trim's counted window.)
+    val purgeFinal = scala.collection.mutable.HashSet
+      .empty[(String, String)]
+    val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
+    val reader = Files.newBufferedReader(log, StandardCharsets.UTF_8)
+    try {
+      val writer = Files.newBufferedWriter(logTmp, StandardCharsets.UTF_8)
       try {
-        val j = JsonMethods.parse(line)
-        (j \ "ts-ms").extractOpt[Long].map(ts => Ev(ts,
-          (j \ "namespace").extractOpt[String].getOrElse(""),
-          (j \ "name").extractOpt[String].getOrElse(""),
-          (j \ "event-type").extractOpt[String].getOrElse(""),
-          (j \ "extra" \ "kind").extractOpt[String].getOrElse(""),
-          line)).toLeft(line)
-      } catch { case NonFatal(_) => Right(line) }
+        var line = reader.readLine()
+        while (line != null) {
+          val parsed: Option[(Long, (String, String), String, String)] =
+            try {
+              val j = JsonMethods.parse(line)
+              (j \ "ts-ms").extractOpt[Long].map(ts => (ts,
+                ((j \ "namespace").extractOpt[String].getOrElse(""),
+                  (j \ "name").extractOpt[String].getOrElse("")),
+                (j \ "event-type").extractOpt[String].getOrElse(""),
+                (j \ "extra" \ "kind").extractOpt[String].getOrElse("")))
+            } catch { case NonFatal(_) => None }
+          parsed match {
+            case None =>
+              writer.write(line); writer.newLine(); keptCount += 1
+            case Some((ts, _, _, _)) if ts < prev.cutoffMs =>
+              discarded += 1
+            case Some((ts, key, eventType, kind)) if ts < cutoff =>
+              trimmedCount += 1
+              trimCounts.update(key, trimCounts.getOrElse(key, 0L) + 1L)
+              if (eventType == "tabular-purged") purgeFinal += key
+              else purgeFinal -= key
+              // count-base deltas mirror warehouseStatistics' rules
+              eventType match {
+                case "table-created" => tableDelta += 1L
+                case "view-created" => viewDelta += 1L
+                case "tabular-purged" | "tabular-soft-deleted" =>
+                  if (kind == "table") tableDelta -= 1L
+                  else if (kind == "view") viewDelta -= 1L
+                case "tabular-undropped" =>
+                  if (kind == "table") tableDelta += 1L
+                  else if (kind == "view") viewDelta += 1L
+                case _ =>
+              }
+            case Some((_, key, _, _)) =>
+              writer.write(line); writer.newLine(); keptCount += 1
+              purgeFinal -= key
+          }
+          line = reader.readLine()
+        }
+      } finally writer.close()
+    } catch { case NonFatal(e) =>
+      try Files.deleteIfExists(logTmp) catch { case NonFatal(_) => }
+      throw e
+    } finally reader.close()
+    if (trimmedCount == 0 && discarded == 0) {
+      Files.deleteIfExists(logTmp)
+      return (0L, keptCount)
     }
-    val evs = parsed.collect { case Left(e) => e }
-    // lines below the PREVIOUS cutoff are already in the bases (a
-    // crashed rewrite left them behind) — discard without counting
-    val countable = evs.filter(_.ts >= prev.cutoffMs)
-    val trimmed = countable.filter(_.ts < cutoff)
-    // kept preserves ORIGINAL line order, unparseable lines included
-    val kept = parsed.collect {
-      case Left(e) if e.ts >= cutoff => e.line
-      case Right(line) => line
-    }
-    if (trimmed.isEmpty && evs.size == countable.size)
-      return (0L, kept.size.toLong)
-    val newBases = trimmed.groupBy(e => (e.ns, e.name))
-      .map { case (k, es) => k -> (prev.seqBases.getOrElse(k, 0L) + es.size) }
-    val mergedBases = prev.seqBases ++ newBases
-    // count-base deltas mirror warehouseStatistics' delta rules
-    def tableDelta(e: Ev): Long = e.eventType match {
-      case "table-created" => 1L
-      case "tabular-purged" | "tabular-soft-deleted" if e.kind == "table" => -1L
-      case "tabular-undropped" if e.kind == "table" => 1L
-      case _ => 0L
-    }
-    def viewDelta(e: Ev): Long = e.eventType match {
-      case "view-created" => 1L
-      case "tabular-purged" | "tabular-soft-deleted" if e.kind == "view" => -1L
-      case "tabular-undropped" if e.kind == "view" => 1L
-      case _ => 0L
-    }
+    val mergedBases = (prev.seqBases.keySet ++ trimCounts.keySet)
+      .iterator.flatMap { k =>
+        if (purgeFinal.contains(k)) None
+        else Some(k -> (prev.seqBases.getOrElse(k, 0L) +
+          trimCounts.getOrElse(k, 0L)))
+      }.toMap
     val next = EventRetention(cutoff, mergedBases,
-      prev.tableBase + trimmed.map(tableDelta).sum,
-      prev.viewBase + trimmed.map(viewDelta).sum)
+      prev.tableBase + tableDelta, prev.viewBase + viewDelta)
     import org.json4s.JsonDSL._
     val sidecar = Json.render(
       ("cutoff-ms" -> next.cutoffMs) ~
@@ -376,13 +445,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     crashPoint("eventlog:sidecar-moved")
-    val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
-    writeString(logTmp,
-      kept.mkString("", "\n", if (kept.nonEmpty) "\n" else ""))
     Files.move(logTmp, log,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ((trimmed.size + (evs.size - countable.size)).toLong, kept.size.toLong)
+    (trimmedCount + discarded, keptCount)
   } }
 
   def logEvent(eventType: String, id: TabularId, extra: Map[String, String] = Map.empty): Unit =
@@ -708,7 +774,9 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       if (stale.kind == "table")
         loadTableMetadata(actual).foreach { case (meta, v) =>
           if (meta.location == tableLocation(stale.id)) {
-            writeString(
+            // atomic in-place rewrite: the heal runs on READ paths, so
+            // a concurrent reader must never see a torn metadata file
+            writeStringAtomic(
               metadataDir(actual).resolve(f"v$v%05d.metadata.json"),
               Json.metadataToJson(
                 meta.copy(location = tableLocation(actual))))
@@ -741,31 +809,79 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     }
   }
 
+  /** Per-namespace listing cache with per-entry REVALIDATION (round 13
+    * — the wide-pagination lane leg showed listTabularsPage re-reading
+    * every info file on every page: O(pages × ns) JSON parses). Each
+    * cached entry revalidates by its info file's (size, mtime)
+    * fingerprint — one stat instead of a read+parse — so cross-process
+    * writers are visible immediately (writeTabularInfoAt's ATOMIC_MOVE
+    * refreshes the fingerprint) and there are no invalidation hooks to
+    * miss; entry-set changes (create/drop/rename/undrop) surface
+    * through the directory listing itself. Entries that needed a
+    * rename heal are not cached (the heal rewrites the file — the next
+    * listing fingerprints the healed bytes). Bounded: clear on
+    * overflow, never wrong (just a re-read).
+    */
+  /** Info-file identity fingerprint: size + mtime + fileKey (inode) —
+    * writeTabularInfoAt's temp+ATOMIC_MOVE replaces the inode on every
+    * rewrite, so the fileKey changes even when size and a coarse mtime
+    * don't.
+    */
+  private final case class InfoFp(size: Long,
+      mtime: java.nio.file.attribute.FileTime, key: AnyRef)
+
+  private val listingCache = new java.util.concurrent.ConcurrentHashMap[
+    Path, Map[String, (InfoFp, TabularInfo)]]()
+
   def listTabulars(ns: Seq[String], includeDeleted: Boolean = false,
       kind: Option[String] = None): Seq[TabularInfo] = {
     val dir = nsPath(ns)
     if (!Files.isDirectory(dir)) return Nil
-    FileCatalogStore.listDir(dir).iterator
-      .flatMap { p =>
-        loadTabularInfoAt(p.resolve(TabMeta)).map { info =>
-          // crashed-rename heal on the LISTING path too: the directory
-          // is the identity, so an info file still carrying the old id
-          // must not surface a phantom name (the new-name display case
-          // died with the renaming process — the folded directory name
-          // is the best available)
-          val dirName = p.getFileName.toString
-          // tombstones (.deleted-<uuid>) keep their ORIGINAL name —
-          // only live directories whose name disagrees are crashed
-          // renames
-          if (dirName.startsWith(".") || info.deletedMs.nonEmpty ||
-              dirKey(info.id.name) == dirName) info
-          else healRenamedInfo(
-            TabularId(info.id.namespace, decodeDirKey(dirName)), info)
+    val prev = listingCache.get(dir) // null on first touch
+    val nextEntries = Map.newBuilder[String, (InfoFp, TabularInfo)]
+    val infos = FileCatalogStore.listDir(dir).flatMap { p =>
+      val metaP = p.resolve(TabMeta)
+      val fp =
+        try {
+          val a = Files.readAttributes(metaP,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          Some(InfoFp(a.size, a.lastModifiedTime, a.fileKey))
+        } catch { case NonFatal(_) => None } // no TabMeta / dropped mid-listing
+      fp.flatMap { f =>
+        val dirName = p.getFileName.toString
+        val cached = if (prev == null) None
+          else prev.get(dirName).collect {
+            case (cf, info) if cf == f => info
+          }
+        cached match {
+          case Some(info) =>
+            nextEntries += (dirName -> ((f, info)))
+            Some(info)
+          case None =>
+            loadTabularInfoAt(metaP).map { info =>
+              // crashed-rename heal on the LISTING path too: the
+              // directory is the identity, so an info file still
+              // carrying the old id must not surface a phantom name.
+              // Tombstones (.deleted-<uuid>) keep their ORIGINAL name —
+              // only live directories whose name disagrees are crashed
+              // renames.
+              if (dirName.startsWith(".") || info.deletedMs.nonEmpty ||
+                  dirKey(info.id.name) == dirName) {
+                nextEntries += (dirName -> ((f, info)))
+                info
+              } else healRenamedInfo(
+                TabularId(info.id.namespace, decodeDirKey(dirName)), info)
+            }
         }
       }
+    }
+    if (listingCache.size > 256 && !listingCache.containsKey(dir))
+      listingCache.clear()
+    listingCache.put(dir, nextEntries.result())
+    infos
       .filter(t => includeDeleted || t.deletedMs.isEmpty)
       .filter(t => kind.forall(_ == t.kind))
-      .toSeq.sortBy(_.id.name)
+      .sortBy(_.id.name)
   }
 
   /** Keyset pagination over a namespace's tabulars (reference:
@@ -1019,7 +1135,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             System.currentTimeMillis(),
             metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json").toString))
             .takeRight(maxPreviousVersions(next) + 1))
-        val json = Json.metadataToJson(withLog)
+        val baseJson = Json.metadataToJson(withLog)
+        // keyed commits stamp a per-attempt nonce into the vN bytes
+        // themselves (a trailing top-level field every reader ignores):
+        // resolveIdempotent's byte-equality then proves AUTHORSHIP — a
+        // racing writer committing metadata-identical updates in the
+        // same millisecond can no longer be finalized as ours
+        val json = idempotencyKey match {
+          case Some(_) if baseJson.endsWith("}") =>
+            baseJson.dropRight(1) +
+              s""","graft-commit-nonce":"${UUID.randomUUID()}"}"""
+          case _ => baseJson
+        }
         // keyed commits write an intent journal BEFORE the CAS: the
         // exact bytes headed for vN under this key. A crash between
         // the CAS and the guard link used to make the retry re-apply
@@ -1101,6 +1228,20 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             (fn.startsWith(".idem-") && fn.endsWith(".pending"))) &&
             staleDebris(p) =>
           try Files.deleteIfExists(p) catch { case NonFatal(_) => }
+        case _ if fn.startsWith(".idem-") && staleDebris(p) =>
+          // durable guard files would otherwise accumulate one per
+          // distinct key forever, slowing every listDir walk of this
+          // dir. A guard whose recorded version rotated away already
+          // answers replays from CURRENT metadata, so once it is both
+          // rotation-old and debris-stale it adds nothing: a key
+          // replayed after the retention window re-applies, which is
+          // the same contract the reference's TTL'd idempotency rows
+          // give (service/idempotency.rs).
+          val rotated =
+            try readString(p).trim.toInt <= cutoff
+            catch { case NonFatal(_) => false }
+          if (rotated)
+            try Files.deleteIfExists(p) catch { case NonFatal(_) => }
         case _ =>
       }
     }
@@ -1316,7 +1457,9 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       loadTableMetadata(to).foreach { case (meta, v) =>
         if (meta.location == oldLocation) {
           val p = metadataDir(to).resolve(f"v$v%05d.metadata.json")
-          writeString(p, Json.metadataToJson(
+          // atomic: a concurrent reader of the (already renamed) table
+          // must never observe the location rewrite half-written
+          writeStringAtomic(p, Json.metadataToJson(
             meta.copy(location = tableLocation(to))))
         }
       }
@@ -1424,11 +1567,25 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   /** Opportunistic recovery gate: a journal with no lock (or a stale
     * lock) is a dead transaction; resolve it before building on any of
     * its tables. One Files.exists stat on the quiet path.
+    *
+    * Recovery itself only ever runs FENCED: journal-with-no-lock is
+    * also reachable mid-steal, or while a NEW transaction is racing to
+    * create `.txlock` and write its own live journal — an unfenced
+    * recoverer could delete that live journal (or pre-link its
+    * entries) and break all-or-none. So this path takes the same
+    * arbitration token a transaction does (atomically create
+    * `.txlock`) and simply skips if beaten; the winner — live holder
+    * or a later recoverer — resolves the journal instead.
     */
   private def maybeRecoverTx(): Unit = {
     if (!Files.exists(txJournal)) return
-    if (Files.exists(txLock)) stealStaleTxLock()
-    else recoverTxJournal()
+    if (Files.exists(txLock)) { stealStaleTxLock(); return }
+    try Files.createFile(txLock)
+    catch { case NonFatal(_) => return } // a live tx won the lock
+    // under OUR fresh lock the journal can only be a dead tx's: any
+    // live writer must hold .txlock while its journal exists
+    try recoverTxJournal()
+    finally { try Files.deleteIfExists(txLock) catch { case NonFatal(_) => } }
   }
 
   /** Fenced steal of a dead holder's `.txlock`. Staleness is judged by
@@ -2193,7 +2350,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           e.project == project && e.name == name))
         throw new AlreadyExistsException(
           s"Warehouse $name already exists in project $project")
-      val other = new FileCatalogStore(location)
+      val other = CatalogStore.open(location)
       other.setWarehouseProfile(WarehouseProfile(name, active = true,
         deleteProfile = "soft", expirationGraceMs = None,
         // normalized at registration time like the reference's
@@ -2226,7 +2383,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     if (entry.location == root) {
       setWarehouseProfile(warehouseProfile.copy(name = newName))
     } else {
-      val other = new FileCatalogStore(entry.location)
+      val other = CatalogStore.open(entry.location)
       other.setWarehouseProfile(other.warehouseProfile.copy(name = newName))
       writeRegistry(all.filterNot(_.location == root)
         .map(e => if (e.project == project && e.name == name)
@@ -2253,7 +2410,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       .getOrElse(throw new IllegalArgumentException(
         s"No such warehouse: $name in project $project"))
     val target =
-      if (entry.location == root) this else new FileCatalogStore(entry.location)
+      if (entry.location == root) this else CatalogStore.open(entry.location)
     val prof = target.warehouseProfile
     val next = prof.storageProfile match {
       case Some(existing) => existing.updateWith(profile.normalize())
@@ -2276,7 +2433,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       .getOrElse(throw new IllegalArgumentException(
         s"No such warehouse: $name in project $project"))
     val target =
-      if (entry.location == root) this else new FileCatalogStore(entry.location)
+      if (entry.location == root) this else CatalogStore.open(entry.location)
     target.setWarehouseProfile(
       target.warehouseProfile.copy(protected_ = prot))
     logEvent("protection-set", TabularId(Nil, name), Map(
@@ -2291,7 +2448,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       entries.find(e => e.project == project && e.name == name) match {
         case None => false
         case Some(e) =>
-          val other = new FileCatalogStore(e.location)
+          val other = CatalogStore.open(e.location)
           // protection blocks deletion; force is the administrative
           // override (concepts.md "Force Deletion")
           if (other.warehouseProfile.protected_ && !force)

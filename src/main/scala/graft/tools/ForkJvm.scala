@@ -1,0 +1,95 @@
+package graft.tools
+
+import java.nio.file.Paths
+
+/** Fork a sibling JVM with the graft classes and the Spark jars on its
+  * classpath — derived from THIS build's code sources, so it works the
+  * same under `sbt test`, `sbt runMain`, and a packaged jar. Used by
+  * the cross-process CAS contention spec and the `cat_commit_xproc` /
+  * `cat_trim_capped` catalog-lane legs: cross-process claims (hard-link
+  * CAS arbitration, capped-heap streaming trims) are only provable with
+  * a second OS process, which the reference gets for free from its
+  * multi-replica deployments.
+  */
+object ForkJvm {
+
+  private def codeSource(c: Class[_]): String =
+    Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+      .toAbsolutePath.toString
+
+  /** graft classes + the directory of Spark's jars (wildcard) — enough
+    * for store-only mains (no SparkSession in the child).
+    */
+  def classpath: String = {
+    val graftClasses = codeSource(classOf[graft.store.FileCatalogStore])
+    val sparkJar = codeSource(classOf[org.apache.spark.sql.SparkSession])
+    val jarsWildcard = Paths.get(sparkJar).getParent.toString +
+      java.io.File.separator + "*"
+    graftClasses + java.io.File.pathSeparator + jarsWildcard
+  }
+
+  /** Launch `mainClass` with `args`; stderr is inherited (visible in
+    * the parent's log), stdout is captured for the caller to parse.
+    * @return (exitCode, stdout)
+    */
+  def run(mainClass: String, args: Seq[String],
+      jvmArgs: Seq[String] = Nil,
+      timeoutMs: Long = 120000L): (Int, String) = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", classpath, mainClass) ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    // drain stdout on a thread: a child blocked on a full pipe would
+    // deadlock against waitFor
+    val out = new StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null) { out.append(line).append('\n'); line = r.readLine() }
+    }, "forkjvm-stdout-drain")
+    drain.setDaemon(true)
+    drain.start()
+    val finished = p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!finished) { p.destroyForcibly(); p.waitFor() }
+    drain.join(5000)
+    (if (finished) p.exitValue() else -1, out.toString)
+  }
+
+  /** Launch without waiting — for legs that overlap child and parent
+    * work. Caller owns waitFor/exit handling; stdout must be drained
+    * via [[drainAsync]].
+    */
+  def start(mainClass: String, args: Seq[String],
+      jvmArgs: Seq[String] = Nil): Process = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", classpath, mainClass) ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.start()
+  }
+
+  /** Background stdout drain for [[start]]; returns the accumulating
+    * buffer (read it after waitFor).
+    */
+  def drainAsync(p: Process): StringBuilder = {
+    val out = new StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        out.synchronized { out.append(line).append('\n') }
+        line = r.readLine()
+      }
+    }, "forkjvm-stdout-drain")
+    drain.setDaemon(true)
+    drain.start()
+    out
+  }
+}

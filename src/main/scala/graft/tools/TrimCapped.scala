@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.store.CatalogStore
+
+/** Forked-JVM event-log trim: opens the warehouse at `root` and trims
+  * events older than `cutoffMs`. Run by EventRetentionSpec under a
+  * capped heap (-Xmx) against a multi-million-line synthetic log — the
+  * committed proof that [[graft.store.FileCatalogStore.trimEventLog]]
+  * streams (reader → temp writer, O(tabulars) state) instead of
+  * materializing the audit log on the driver.
+  *
+  * Prints one status line the parent parses:
+  * `TRIM trimmed=<n> kept=<m>`.
+  *
+  * args: root cutoffMs
+  */
+object TrimCapped {
+  def main(args: Array[String]): Unit = {
+    val Array(root, cutoffStr) = args
+    val store = CatalogStore.open(root)
+    val (trimmed, kept) = store.trimEventLog(cutoffStr.toLong)
+    println(s"TRIM trimmed=$trimmed kept=$kept")
+  }
+}

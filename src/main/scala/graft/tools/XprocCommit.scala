@@ -1,0 +1,47 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.meta.TableUpdate
+import graft.store.{CatalogStore, TabularId}
+
+/** Forked-JVM committer: commits `n` SetProperties updates against one
+  * table of an existing warehouse, arbitrating against the parent
+  * process purely through the hard-link CAS (the per-path JVM monitors
+  * don't span processes — this child is what actually exercises the
+  * loser-retry path a multi-driver deployment depends on; reference
+  * analog: two lakekeeper replicas share nothing but Postgres'
+  * row locks, server/tables.rs commit txn).
+  *
+  * Prints one status line the parent parses:
+  * `XPROC ok=<n> retries=<casRetries>`.
+  *
+  * args: root ns(dot-joined) table writerTag nCommits readyFile goFile
+  */
+object XprocCommit {
+  def main(args: Array[String]): Unit = {
+    val Array(root, ns, table, tag, nStr, readyFile, goFile) = args
+    val n = nStr.toInt
+    val store = CatalogStore.open(root)
+    val id = TabularId(ns.split('.').toSeq, table)
+    // file barrier: signal ready, spin for the parent's go — both
+    // processes must hammer the CAS in the same window
+    Files.write(Paths.get(readyFile), Array.emptyByteArray)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Files.exists(Paths.get(goFile))) {
+      if (System.currentTimeMillis() > deadline) {
+        System.err.println("XPROC timed out waiting for go file")
+        sys.exit(2)
+      }
+      Thread.sleep(1)
+    }
+    var i = 0
+    while (i < n) {
+      store.commitTable(id, Nil,
+        Seq(TableUpdate.SetProperties(Map(s"x$tag" -> i.toString))),
+        maxRetries = 1000000)
+      i += 1
+    }
+    println(s"XPROC ok=$n retries=${store.commitRetryCount}")
+  }
+}

@@ -70,6 +70,43 @@ class AbortCleanupSpec extends AnyFunSuite {
     assert(!Files.exists(p), "aborted streaming epoch file must be deleted")
   }
 
+  test("COW row-level abort removes files via Hadoop FileSystem") {
+    val t = mkTable("ab4")
+    val (p, uri) = orphan("cow")
+    // the op is only consulted at COMMIT (rewriteScan); abort never
+    // touches it
+    new GraftCowBatchWrite(t, t.schema(), null)
+      .abort(Array(GraftCommitMessage(Seq(dataFile(uri)))))
+    assert(!Files.exists(p), "aborted row-level rewrite file must be deleted")
+  }
+
+  test("delta (merge-on-read) abort removes files via Hadoop FileSystem") {
+    val t = mkTable("ab5")
+    val (p, uri) = orphan("delta")
+    new GraftDeltaBatchWrite(t, t.schema())
+      .abort(Array(GraftDeltaCommitMessage(Seq(dataFile(uri)), Set.empty)))
+    assert(!Files.exists(p), "aborted delta file must be deleted")
+  }
+
+  test("staged-create abort removes recorded files via Hadoop FileSystem") {
+    val t = mkTable("ab6")
+    val id = TabularId(Seq("db"), "ab6")
+    val st = new GraftStagedTable(graftCatalog, id, t.meta, "create")
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "q-abort"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        t.schema()
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    val bw = st.newWriteBuilder(info).build().toBatch
+    val (p, uri) = orphan("staged")
+    bw.commit(Array(GraftCommitMessage(Seq(dataFile(uri))))) // record only
+    st.abortStagedChanges()
+    assert(!Files.exists(p), "aborted staged-create file must be deleted")
+  }
+
   test("per-task writer abort removes its open file via Hadoop FileSystem") {
     val t = mkTable("ab3")
     val conf = spark.sessionState.newHadoopConf()

@@ -1533,12 +1533,13 @@ class ConnectorE2ESpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     // kill the driver at the metadata commit point: data files are
     // already on storage, the version link never happens
-    cat.store.crashHook = Some(w =>
+    val fileStore = cat.store.asInstanceOf[graft.store.FileCatalogStore]
+    fileStore.crashHook = Some(w =>
       if (w == "commit:pre-link")
         throw new RuntimeException("simulated driver death at commit"))
     try intercept[Exception](
       spark.sql("INSERT INTO graft.db.crashw VALUES (2, 'b')"))
-    finally cat.store.crashHook = None
+    finally fileStore.crashHook = None
     // the reader sees the pre-crash snapshot, never partial rows
     assert(spark.sql("SELECT * FROM graft.db.crashw").collect()
       .map(_.getLong(0)).toSeq == Seq(1L))

@@ -1,0 +1,83 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** The per-namespace listing cache (round 13 — wide-pagination fix)
+  * revalidates by info-file fingerprint (size + mtime + inode), so a
+  * SECOND store instance over the same root — the cross-process writer
+  * analog — must be visible to a cached lister immediately, with no
+  * invalidation hook in between.
+  */
+class ListingCacheSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mk(root: String, name: String, s: FileCatalogStore): TabularId = {
+    val id = TabularId(Seq("db"), name)
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema))
+    id
+  }
+
+  test("external writes are visible through the cached listing") {
+    val root = Files.createTempDirectory("graft-listcache").toString
+    val reader = new FileCatalogStore(root)
+    val writer = new FileCatalogStore(root) // cross-process analog
+    reader.createNamespace(Seq("db"), Map.empty)
+    mk(root, "t1", reader)
+    mk(root, "t2", reader)
+    // prime the reader's cache
+    assert(reader.listTabulars(Seq("db")).map(_.id.name).toSet ==
+      Set("t1", "t2"))
+
+    // in-place info rewrite by the OTHER instance (protection toggle)
+    writer.setProtection(TabularId(Seq("db"), "t1"), prot = true)
+    assert(reader.listTabulars(Seq("db"))
+      .find(_.id.name == "t1").get.protected_,
+      "cached listing missed an external info rewrite")
+
+    // external create
+    mk(root, "t3", writer)
+    assert(reader.listTabulars(Seq("db")).map(_.id.name).toSet ==
+      Set("t1", "t2", "t3"))
+
+    // external rename
+    writer.renameTabular(TabularId(Seq("db"), "t3"), TabularId(Seq("db"), "t4"))
+    assert(reader.listTabulars(Seq("db")).map(_.id.name).toSet ==
+      Set("t1", "t2", "t4"))
+
+    // external soft-delete disappears from the live listing but shows
+    // with includeDeleted
+    writer.setProtection(TabularId(Seq("db"), "t1"), prot = false)
+    writer.dropTabular(TabularId(Seq("db"), "t1"), purge = false)
+    assert(reader.listTabulars(Seq("db")).map(_.id.name).toSet ==
+      Set("t2", "t4"))
+    assert(reader.listTabulars(Seq("db"), includeDeleted = true)
+      .exists(t => t.id.name == "t1" && t.deletedMs.nonEmpty))
+  }
+
+  test("keyset paging over a wide namespace returns every table exactly once") {
+    val root = Files.createTempDirectory("graft-listcache-wide").toString
+    val s = new FileCatalogStore(root)
+    s.createNamespace(Seq("db"), Map.empty)
+    val names = (0 until 537).map(i => f"t$i%04d")
+    names.foreach(n => mk(root, n, s))
+    var tok: Option[String] = None
+    var seen = Vector.empty[String]
+    var done = false
+    while (!done) {
+      val (page, next) = s.listTabularsPage(Seq("db"), pageSize = 100, tok)
+      seen ++= page.map(_.id.name)
+      tok = next
+      done = next.isEmpty
+    }
+    assert(seen.size == names.size && seen.toSet == names.toSet,
+      "paging lost or doubled a table")
+  }
+}

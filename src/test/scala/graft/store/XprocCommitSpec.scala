@@ -1,0 +1,97 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** Cross-process commit arbitration: every committed contention number
+  * before round 13 arbitrated through the per-path JVM monitors — the
+  * hard-link-CAS loser-retry path a multi-driver deployment depends on
+  * had never run under real concurrency. This spec forks a second JVM
+  * ([[graft.tools.XprocCommit]]) and has both processes hammer one
+  * table: all commits must land, the version chain must be gap-free
+  * (no lost or doubled commit), and at least one CAS retry must be
+  * observed across the bursts (reference analog: two lakekeeper
+  * replicas serializing commits through Postgres row locks,
+  * server/tables.rs commit txn — the file store's link(2) EEXIST is
+  * that arbiter).
+  */
+class XprocCommitSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("two processes commit concurrently: no lost commit, gap-free chain, CAS retries observed") {
+    val root = Files.createTempDirectory("graft-xproc-spec").toString
+    val s = new FileCatalogStore(root)
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema,
+      // keep EVERY version file: the gap-free assertion below reads
+      // the whole chain
+      properties = Map(
+        "write.metadata.delete-after-commit.enabled" -> "false")))
+
+    val perBurst = 150
+    var bursts = 0
+    var totalRetries = 0L
+    // one burst of 2×150 racing commits collides with near-certainty;
+    // the loop guards the assertion against a freak perfect
+    // interleaving without making the spec flaky
+    while (bursts < 3 && (totalRetries == 0 || bursts == 0)) {
+      val ready = Paths.get(root, s"ready-$bursts")
+      val go = Paths.get(root, s"go-$bursts")
+      val child = graft.tools.ForkJvm.start("graft.tools.XprocCommit",
+        Seq(root, "db", "t", s"c$bursts", perBurst.toString,
+          ready.toString, go.toString))
+      val out = graft.tools.ForkJvm.drainAsync(child)
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!Files.exists(ready) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(2)
+        assert(Files.exists(ready), "child JVM never became ready")
+        val retries0 = s.commitRetryCount
+        Files.write(go, Array.emptyByteArray)
+        (0 until perBurst).foreach { i =>
+          s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(
+            Map(s"p$bursts" -> i.toString))), maxRetries = 1000000)
+        }
+        assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+          "child JVM did not finish")
+        val childOut = out.synchronized(out.toString)
+        assert(child.exitValue() == 0, s"child failed: $childOut")
+        val childRetries = "retries=(\\d+)".r.findFirstMatchIn(childOut)
+          .map(_.group(1).toLong)
+        assert(childRetries.isDefined, s"unparseable child output: $childOut")
+        assert("ok=150".r.findFirstIn(childOut).isDefined,
+          s"child did not complete all commits: $childOut")
+        totalRetries += (s.commitRetryCount - retries0) + childRetries.get
+      } finally if (child.isAlive) child.destroyForcibly()
+      bursts += 1
+    }
+
+    // every commit landed exactly once: the chain has exactly
+    // create + bursts×2×perBurst versions with no gap
+    val expected = bursts * 2 * perBurst
+    val fresh = new FileCatalogStore(root)
+    assert(fresh.currentVersion(id) == expected,
+      s"version chain ended at ${fresh.currentVersion(id)}, " +
+        s"expected $expected — a commit was lost or doubled")
+    val dir = fresh.metadataDir(id)
+    (0 to expected).foreach { v =>
+      assert(Files.exists(dir.resolve(f"v$v%05d.metadata.json")),
+        s"gap in the version chain at v$v")
+    }
+    // and the cross-process loser-retry path actually ran
+    assert(totalRetries > 0,
+      s"no CAS retry observed across $bursts bursts — the cross-process " +
+        "arbiter was never exercised")
+    // final metadata parses and carries properties from BOTH writers
+    val m = fresh.loadTableMetadata(id).get._1
+    assert(m.properties.contains("p0") && m.properties.contains("xc0"))
+  }
+}

@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Cross-HEAD bench A/B: compare two BENCH_SELF artifacts run
+back-to-back on the same machine/session (the round-7 adjudication
+protocol). Prints a per-query table sorted by ratio, the median ratio,
+and the totals.
+
+usage: bench_ab.py OLD.json NEW.json [old_label new_label]
+"""
+import json
+import sys
+import statistics
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old_label = sys.argv[3] if len(sys.argv) > 3 else "old"
+    new_label = sys.argv[4] if len(sys.argv) > 4 else "new"
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    shared = sorted(k for k in old if k in new
+                    and old[k] >= 0 and new[k] >= 0)
+    rows = [(k, old[k], new[k], new[k] / old[k]) for k in shared]
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':<34} {old_label:>9} {new_label:>9} {'ratio':>7}")
+    for k, o, n, r in rows:
+        print(f"{k:<34} {o:>9.3f} {n:>9.3f} {r:>7.3f}")
+    ratios = [r[3] for r in rows]
+    t_old = sum(r[1] for r in rows)
+    t_new = sum(r[2] for r in rows)
+    print(f"\nshared rows: {len(rows)}")
+    print(f"total {old_label}: {t_old:.1f} s   total {new_label}: "
+          f"{t_new:.1f} s   total ratio: {t_new / t_old:.3f}")
+    print(f"median per-query ratio: {statistics.median(ratios):.3f}")
+    print(f"mean per-query ratio:   {statistics.mean(ratios):.3f}")
+    worst = rows[0]
+    print(f"worst mover: {worst[0]} {worst[1]:.2f}->{worst[2]:.2f} "
+          f"({worst[3]:.2f}x, {worst[2] - worst[1]:+.2f} s)")
+
+
+if __name__ == "__main__":
+    main()
