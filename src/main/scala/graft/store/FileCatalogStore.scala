@@ -995,18 +995,29 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   def loadTableMetadata(id: TabularId): Option[(TableMetadata, Int)] = {
     metadataLoadCounter.incrementAndGet()
-    val v = currentVersion(id)
-    if (v < 0) { metaCache.remove(id); None }
-    else {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(id)
+      if (v < 0) { metaCache.remove(id); return None }
       val cached = metaCache.get(id)
-      if (cached != null && cached._1 == v) Some((cached._2, v))
-      else {
-        val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+      if (cached != null && cached._1 == v) return Some((cached._2, v))
+      val p = metadataDir(id).resolve(f"v$v%05d.metadata.json")
+      try {
         val meta = Json.metadataFromJson(readString(p))
         metaCache.put(id, (v, meta))
-        Some((meta, v))
+        return Some((meta, v))
+      } catch {
+        // cross-process race (found by the xproc contention leg): a
+        // concurrent writer committed PAST v and its rotation sweep
+        // deleted this file between our directory listing and our
+        // read — the table has a newer version; re-resolve and retry.
+        // Bounded: 20 consecutive vanishes means something other than
+        // rotation is deleting files — surface it.
+        case _: java.nio.file.NoSuchFileException if attempt < 20 =>
+          attempt += 1
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   def tableLocation(id: TabularId): String =

@@ -17,15 +17,38 @@ object ForkJvm {
     Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI)
       .toAbsolutePath.toString
 
-  /** graft classes + the directory of Spark's jars (wildcard) — enough
-    * for store-only mains (no SparkSession in the child).
+  /** The full classpath the CURRENT code runs with, reconstructed from
+    * the classloader chain's URLs — under `sbt runMain` the jars are
+    * STAGED one-per-hashed-directory (a wildcard on one jar's parent
+    * misses scala-library entirely), so probing two known classes'
+    * code sources is not enough; the loader chain has every entry.
+    * Plain-JVM launches (no URLClassLoader in the chain) fall back to
+    * java.class.path, and the two known code sources are always
+    * appended (dedup'd) as a belt-and-braces floor.
     */
   def classpath: String = {
-    val graftClasses = codeSource(classOf[graft.store.FileCatalogStore])
+    val entries = scala.collection.mutable.LinkedHashSet.empty[String]
+    var cl = getClass.getClassLoader
+    while (cl != null) {
+      cl match {
+        case u: java.net.URLClassLoader =>
+          u.getURLs.foreach { url =>
+            try entries += Paths.get(url.toURI).toAbsolutePath.toString
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        case _ =>
+      }
+      cl = cl.getParent
+    }
+    if (entries.isEmpty)
+      Option(System.getProperty("java.class.path")).foreach(
+        _.split(java.io.File.pathSeparator).foreach(entries += _))
+    entries += codeSource(classOf[graft.store.FileCatalogStore])
     val sparkJar = codeSource(classOf[org.apache.spark.sql.SparkSession])
-    val jarsWildcard = Paths.get(sparkJar).getParent.toString +
+    entries += sparkJar
+    entries += Paths.get(sparkJar).getParent.toString +
       java.io.File.separator + "*"
-    graftClasses + java.io.File.pathSeparator + jarsWildcard
+    entries.mkString(java.io.File.pathSeparator)
   }
 
   /** Launch `mainClass` with `args`; stderr is inherited (visible in

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe: run the catalog-plane scale lane standalone and
+  * print the leg records — dev loop for catalog-lane work without a
+  * full bench pass. args: [size size ...] (default 2000 8000 32000)
+  */
+object ProbeCatalog {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(2000, 8000, 32000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.queries.CatalogScaleLane.run(spark, sizes = sizes).foreach { r =>
+      println(s"[cat] size=${r.size} generated=${r.generated} " +
+        f"gen=${r.genSec}%.1f s")
+      r.legs.foreach { l =>
+        println(f"[cat]   ${l.name}%-24s ${l.sec}%8.3f s rows=${l.rows} " +
+          s"${l.metrics.toSeq.sortBy(_._1)} " +
+          l.err.map("ERR " + _).getOrElse(""))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,19 @@ object XprocCommit {
     val n = nStr.toInt
     val store = CatalogStore.open(root)
     val id = TabularId(ns.split('.').toSeq, table)
+    // warm-up on a scratch table BEFORE signaling ready: the commit
+    // path's first run pays classloading (~hundreds of ms) — a cold
+    // child would otherwise start committing after a warm parent
+    // already finished, and the contention window would be empty
+    val warmId = TabularId(id.namespace, s"${table}_warm_$tag")
+    if (store.loadTabularInfo(warmId).isEmpty)
+      store.createTable(warmId, graft.meta.TableMetadata.newTable(
+        java.util.UUID.randomUUID().toString, store.tableLocation(warmId),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))))
+    (0 until 10).foreach(i => store.commitTable(warmId, Nil,
+      Seq(TableUpdate.SetProperties(Map("warm" -> i.toString)))))
     // file barrier: signal ready, spin for the parent's go — both
     // processes must hammer the CAS in the same window
     Files.write(Paths.get(readyFile), Array.emptyByteArray)
