@@ -83,7 +83,8 @@ object CompactAnnIndex {
     *  - writeMs: the staged-row scan, re-home shuffle, and file writes
     *  - commitMs: conflict checks + manifest replace + the CAS commit
     */
-  final case class Phases(planMs: Long, writeMs: Long, commitMs: Long)
+  final case class Phases(planMs: Long, writeMs: Long, commitMs: Long,
+      filesWritten: Long = 0L)
 
   /** Re-home the rows of partition `partCol = stagingValue` to
     * `partCol = rehome` atomically.
@@ -135,8 +136,18 @@ object CompactAnnIndex {
       .withColumn(partCol, rehome)
       .select(schema.fieldNames.map(col).toSeq: _*)
       // cluster on the FULL partition tuple so each home partition is
-      // written by exactly one task → one file per touched partition
-      .repartition(spec.fields.map(f => col(f.sourceName)).toSeq: _*)
+      // written by exactly one task → one file per touched partition.
+      // EXPLICIT partition count (AQE never coalesces a user-numbered
+      // repartition): the shuffle is tiny in BYTES, so AQE's advisory
+      // sizing coalesced it to one task — which serializes O(touched
+      // home partitions) file creates on a single thread (measured
+      // 5-15 s per compact at lane scale, and the task count AQE
+      // happened to pick was the round-12 curve's non-monotonic
+      // b4 > b16 anomaly). The cost that matters here is file-create
+      // parallelism, not shuffle bytes.
+      .repartition(
+        spark.sessionState.conf.numShufflePartitions,
+        spec.fields.map(f => col(f.sourceName)).toSeq: _*)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val w0 = System.nanoTime()
@@ -182,7 +193,7 @@ object CompactAnnIndex {
     }
     val commitMs = (System.nanoTime() - c0) / 1000000L
     (oldPaths.size.toLong, written.map(_.recordCount).sum,
-      Phases(planMs, writeMs, commitMs))
+      Phases(planMs, writeMs, commitMs, written.size.toLong))
   }
 
   private def commitRehomed(t: GraftTable, id: TabularId,

@@ -536,6 +536,7 @@ object ScaleLane {
           s"compact_plan_ms_b$nBatches" -> phases.planMs,
           s"compact_write_ms_b$nBatches" -> phases.writeMs,
           s"compact_commit_ms_b$nBatches" -> phases.commitMs,
+          s"compact_files_b$nBatches" -> phases.filesWritten,
           s"rehomed_b$nBatches" -> rehomed)
       }
       (totalRehomed, None, metrics)
