@@ -259,26 +259,32 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * rewrite of events.jsonl is only space reclamation and a crash
     * between the sidecar move and the rewrite changes nothing.
     */
-  /** Parsed-retention cache keyed by the sidecar file's (mtime, size)
-    * fingerprint: statistics and event-feed reads hit eventRetention on
-    * every call, and the seq-bases list is O(tabulars seen by trims) —
-    * reparsing it per read was an O(bases) JSON parse on every
-    * statistics call. The sidecar is replaced only by ATOMIC_MOVE (a
-    * trim), which refreshes both mtime and (virtually always) size.
+  /** Parsed-retention cache keyed by the sidecar file's (size, mtime,
+    * inode) fingerprint — the same identity the listing cache uses:
+    * the sidecar is replaced only by ATOMIC_MOVE (a trim), which
+    * replaces the inode, so back-to-back trims producing a same-size
+    * sidecar inside one mtime granule still invalidate. Statistics and
+    * event-feed reads hit eventRetention on every call, and the
+    * seq-bases list is O(tabulars seen by trims) — reparsing it per
+    * read was an O(bases) JSON parse on every statistics call.
     */
   @volatile private var retentionCache
-      : (java.nio.file.attribute.FileTime, Long, Option[EventRetention]) = null
+      : (Long, java.nio.file.attribute.FileTime, AnyRef,
+        Option[EventRetention]) = null
 
   def eventRetention: Option[EventRetention] = {
-    if (!Files.exists(retentionPath)) return None
-    val fp = try (Files.getLastModifiedTime(retentionPath),
-      Files.size(retentionPath))
-      catch { case NonFatal(_) => return None }
+    val fp =
+      try {
+        val a = Files.readAttributes(retentionPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        (a.size, a.lastModifiedTime, a.fileKey)
+      } catch { case NonFatal(_) => return None } // absent: no trim yet
     val cached = retentionCache
-    if (cached != null && cached._1 == fp._1 && cached._2 == fp._2)
-      return cached._3
+    if (cached != null && cached._1 == fp._1 && cached._2 == fp._2 &&
+        cached._3 == fp._3)
+      return cached._4
     val parsed = parseRetention()
-    retentionCache = (fp._1, fp._2, parsed)
+    retentionCache = (fp._1, fp._2, fp._3, parsed)
     parsed
   }
 
@@ -367,7 +373,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     // drop it, so seq-bases is bounded by live+recreated tabulars
     // instead of growing monotonically. (Inductively complete: every
     // purge event crosses exactly one trim's counted window.)
-    val purgeFinal = scala.collection.mutable.HashSet
+    // "Later" is judged by TIMESTAMP, not file order, and a kept event
+    // for the key always vetoes the drop: logEvent stamps ts-ms before
+    // taking the OS file lock, so two processes can append a few lines
+    // out of order — file-order state alone could mark a purge final
+    // while a kept (surviving) event for the same key sits earlier in
+    // the file, and dropping its base would change surviving sequence
+    // numbers. Ties keep the base (conservative).
+    val lastPurgeTs = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val lastOtherTs = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val keptKeys = scala.collection.mutable.HashSet
       .empty[(String, String)]
     val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
     val reader = Files.newBufferedReader(log, StandardCharsets.UTF_8)
@@ -393,8 +410,12 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             case Some((ts, key, eventType, kind)) if ts < cutoff =>
               trimmedCount += 1
               trimCounts.update(key, trimCounts.getOrElse(key, 0L) + 1L)
-              if (eventType == "tabular-purged") purgeFinal += key
-              else purgeFinal -= key
+              if (eventType == "tabular-purged")
+                lastPurgeTs.update(key,
+                  math.max(lastPurgeTs.getOrElse(key, Long.MinValue), ts))
+              else
+                lastOtherTs.update(key,
+                  math.max(lastOtherTs.getOrElse(key, Long.MinValue), ts))
               // count-base deltas mirror warehouseStatistics' rules
               eventType match {
                 case "table-created" => tableDelta += 1L
@@ -409,7 +430,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               }
             case Some((_, key, _, _)) =>
               writer.write(line); writer.newLine(); keptCount += 1
-              purgeFinal -= key
+              keptKeys += key
           }
           line = reader.readLine()
         }
@@ -422,9 +443,12 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       Files.deleteIfExists(logTmp)
       return (0L, keptCount)
     }
+    def purgeIsFinal(k: (String, String)): Boolean =
+      !keptKeys.contains(k) && lastPurgeTs.get(k).exists(pts =>
+        pts > lastOtherTs.getOrElse(k, Long.MinValue))
     val mergedBases = (prev.seqBases.keySet ++ trimCounts.keySet)
       .iterator.flatMap { k =>
-        if (purgeFinal.contains(k)) None
+        if (purgeIsFinal(k)) None
         else Some(k -> (prev.seqBases.getOrElse(k, 0L) +
           trimCounts.getOrElse(k, 0L)))
       }.toMap
@@ -875,8 +899,14 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         }
       }
     }
-    if (listingCache.size > 256 && !listingCache.containsKey(dir))
-      listingCache.clear()
+    // bound by evicting arbitrary entries, never by clearing: a full
+    // clear made every walk of a >bound-namespace warehouse thrash
+    // (fill to the bound, clear mid-walk, re-parse everything next
+    // sweep); evicting one entry per insert keeps the rest hot
+    while (listingCache.size > 512) {
+      val it = listingCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     listingCache.put(dir, nextEntries.result())
     infos
       .filter(t => includeDeleted || t.deletedMs.isEmpty)

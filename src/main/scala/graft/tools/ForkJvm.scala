@@ -58,28 +58,15 @@ object ForkJvm {
   def run(mainClass: String, args: Seq[String],
       jvmArgs: Seq[String] = Nil,
       timeoutMs: Long = 120000L): (Int, String) = {
-    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
-      .toString
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", classpath, mainClass) ++ args)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val p = pb.start()
-    // drain stdout on a thread: a child blocked on a full pipe would
-    // deadlock against waitFor
-    val out = new StringBuilder
-    val drain = new Thread(() => {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream))
-      var line = r.readLine()
-      while (line != null) { out.append(line).append('\n'); line = r.readLine() }
-    }, "forkjvm-stdout-drain")
-    drain.setDaemon(true)
-    drain.start()
-    val finished = p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val p = start(mainClass, args, jvmArgs)
+    val out = drainAsync(p)
+    val finished = p.waitFor(timeoutMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     if (!finished) { p.destroyForcibly(); p.waitFor() }
-    drain.join(5000)
-    (if (finished) p.exitValue() else -1, out.toString)
+    // the drain may still be appending (a timed-out child's pipe can
+    // outlive destroyForcibly via an orphaned grandchild) — the read
+    // below synchronizes on the same monitor the drain writes under
+    (if (finished) p.exitValue() else -1, out.synchronized(out.toString))
   }
 
   /** Launch without waiting — for legs that overlap child and parent

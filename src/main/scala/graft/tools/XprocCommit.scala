@@ -24,18 +24,24 @@ object XprocCommit {
     val n = nStr.toInt
     val store = CatalogStore.open(root)
     val id = TabularId(ns.split('.').toSeq, table)
-    // warm-up on a scratch table BEFORE signaling ready: the commit
-    // path's first run pays classloading (~hundreds of ms) — a cold
-    // child would otherwise start committing after a warm parent
-    // already finished, and the contention window would be empty
-    val warmId = TabularId(id.namespace, s"${table}_warm_$tag")
-    if (store.loadTabularInfo(warmId).isEmpty)
-      store.createTable(warmId, graft.meta.TableMetadata.newTable(
-        java.util.UUID.randomUUID().toString, store.tableLocation(warmId),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType)))))
-    (0 until 10).foreach(i => store.commitTable(warmId, Nil,
+    // warm-up BEFORE signaling ready: the commit path's first run pays
+    // classloading (~hundreds of ms) — a cold child would otherwise
+    // start committing after a warm parent already finished, and the
+    // contention window would be empty. In a DISPOSABLE temp warehouse,
+    // never the target one: the lane's fixture is cached across runs,
+    // and a warm-up table created inside it would permanently shift
+    // the listing legs' committed row counts.
+    val warmRoot = Files.createTempDirectory("graft-xproc-warm")
+    val warmStore = CatalogStore.open(warmRoot.toString)
+    val warmId = TabularId(Seq("warm"), "t")
+    warmStore.createNamespace(Seq("warm"), Map.empty)
+    warmStore.createTable(warmId, graft.meta.TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString,
+      warmStore.tableLocation(warmId),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))))
+    (0 until 10).foreach(i => warmStore.commitTable(warmId, Nil,
       Seq(TableUpdate.SetProperties(Map("warm" -> i.toString)))))
     // file barrier: signal ready, spin for the parent's go — both
     // processes must hammer the CAS in the same window
@@ -56,5 +62,15 @@ object XprocCommit {
       i += 1
     }
     println(s"XPROC ok=$n retries=${store.commitRetryCount}")
+    // best-effort: the warm-up warehouse is disposable
+    try {
+      val walk = Files.walk(warmRoot)
+      val paths = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      paths.sortBy(-_.getNameCount).foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Exception => })
+    } catch { case _: Exception => }
   }
 }

@@ -18,7 +18,10 @@ def main():
     old = json.load(open(old_path))["queries"]
     new = json.load(open(new_path))["queries"]
     shared = sorted(k for k in old if k in new
-                    and old[k] >= 0 and new[k] >= 0)
+                    and old[k] > 0 and new[k] >= 0)
+    if not shared:
+        print("no shared positive-time queries between the two artifacts")
+        return
     rows = [(k, old[k], new[k], new[k] / old[k]) for k in shared]
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':<34} {old_label:>9} {new_label:>9} {'ratio':>7}")
