@@ -1,0 +1,41 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.store.{CatalogStore, TabularId}
+
+/** Forked-JVM event appender: logs `n` change events against an
+  * existing warehouse while the PARENT process trims the log
+  * mid-stream — the concurrency proof for the streaming trim (both
+  * sides arbitrate only through the OS event-file lock; the log
+  * rewrite must never lose or double-count a concurrent append).
+  *
+  * Prints one status line the parent parses: `EVLOG ok=<n>`.
+  *
+  * args: root nEvents readyFile goFile
+  */
+object XprocEvents {
+  def main(args: Array[String]): Unit = {
+    val Array(root, nStr, readyFile, goFile) = args
+    val n = nStr.toInt
+    val store = CatalogStore.open(root)
+    // warm the logging path before the barrier (classloading)
+    store.logEvent("warmup", TabularId(Seq("db"), "warm"))
+    Files.write(Paths.get(readyFile), Array.emptyByteArray)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Files.exists(Paths.get(goFile))) {
+      if (System.currentTimeMillis() > deadline) {
+        System.err.println("EVLOG timed out waiting for go file")
+        sys.exit(2)
+      }
+      Thread.sleep(1)
+    }
+    var i = 0
+    while (i < n) {
+      store.logEvent("table-commit", TabularId(Seq("db"), s"t${i % 10}"),
+        Map("version" -> i.toString))
+      i += 1
+    }
+    println(s"EVLOG ok=$n")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent cross-process append + trim on the change log: a second
+  * JVM streams events while this process trims repeatedly mid-stream.
+  * The two arbitrate only through the OS event-file lock, and the
+  * streaming rewrite must neither lose a concurrent append (a torn
+  * rewrite window) nor double-count one (an append counted into the
+  * bases AND surviving the rewrite). Invariant checked per tabular:
+  * sidecar base + surviving lines == exactly what the child appended.
+  */
+class XprocEventsSpec extends AnyFunSuite {
+
+  test("cross-process appends during repeated trims: base + surviving == appended, per tabular") {
+    val root = Files.createTempDirectory("graft-xproc-events").toString
+    val s = new FileCatalogStore(root)
+    val n = 20000
+    val ready = java.nio.file.Paths.get(root, "ready")
+    val go = java.nio.file.Paths.get(root, "go")
+    val child = graft.tools.ForkJvm.start("graft.tools.XprocEvents",
+      Seq(root, n.toString, ready.toString, go.toString))
+    val out = graft.tools.ForkJvm.drainAsync(child)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Files.exists(ready) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(2)
+      assert(Files.exists(ready), "child JVM never became ready")
+      Files.write(go, Array.emptyByteArray)
+      // trim the log out from under the streaming appender
+      var trims = 0
+      while (child.isAlive && trims < 50) {
+        s.trimEventLog(System.currentTimeMillis())
+        trims += 1
+        Thread.sleep(5)
+      }
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      val childOut = out.synchronized(out.toString)
+      assert(child.exitValue() == 0 && childOut.contains(s"ok=$n"),
+        s"child failed: $childOut")
+      assert(trims > 3, s"only $trims trims overlapped the stream")
+
+      // reader-semantics accounting: surviving lines are those at or
+      // above the final cutoff; everything below it must be in the
+      // bases — nothing lost, nothing doubled
+      val r = s.eventRetention.get
+      val survived = scala.collection.mutable.Map.empty[String, Long]
+      val reader = Files.newBufferedReader(
+        s.changesDir.resolve("events.jsonl"), StandardCharsets.UTF_8)
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          val j = org.json4s.jackson.JsonMethods.parse(line)
+          import org.json4s.DefaultFormats
+          implicit val fmts: org.json4s.Formats = DefaultFormats
+          val ts = (j \ "ts-ms").extract[Long]
+          val name = (j \ "name").extract[String]
+          if (ts >= r.cutoffMs)
+            survived.update(name, survived.getOrElse(name, 0L) + 1L)
+          line = reader.readLine()
+        }
+      } finally reader.close()
+      (0 until 10).foreach { k =>
+        val key = ("db", s"t$k")
+        val total = r.seqBases.getOrElse(key, 0L) +
+          survived.getOrElse(s"t$k", 0L)
+        assert(total == n / 10,
+          s"t$k: base ${r.seqBases.getOrElse(key, 0L)} + surviving " +
+            s"${survived.getOrElse(s"t$k", 0L)} != ${n / 10} — an append " +
+            "was lost or double-counted across a concurrent trim")
+      }
+      val warmTotal = r.seqBases.getOrElse(("db", "warm"), 0L) +
+        survived.getOrElse("warm", 0L)
+      assert(warmTotal == 1L)
+    } finally if (child.isAlive) child.destroyForcibly()
+  }
+}
