@@ -43,6 +43,10 @@ object XprocCommit {
           org.apache.spark.sql.types.LongType)))))
     (0 until 10).foreach(i => warmStore.commitTable(warmId, Nil,
       Seq(TableUpdate.SetProperties(Map("warm" -> i.toString)))))
+    // also warm the TARGET table's read path (metadata dir listing +
+    // parse) — a cold first read delays the child's first commit past
+    // a warm parent's whole burst
+    store.loadTableMetadata(id)
     // file barrier: signal ready, spin for the parent's go — both
     // processes must hammer the CAS in the same window
     Files.write(Paths.get(readyFile), Array.emptyByteArray)
