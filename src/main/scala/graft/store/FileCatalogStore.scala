@@ -480,15 +480,22 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       import org.json4s.JsonDSL._
       try {
         Files.createDirectories(changesDir)
-        // compact: one event per line (JSONL contract for readers)
-        val json = org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(
-          ("ts-ms" -> System.currentTimeMillis()) ~
-            ("event-type" -> eventType) ~
-            ("namespace" -> id.namespace.mkString(".")) ~
-            ("name" -> id.name) ~
-            ("extra" -> extra)))
         withEventFileLock {
+          // ts-ms is stamped UNDER the file lock: a trim holds this
+          // lock for its whole pass and clamps its cutoff to its own
+          // now, so any append serialized after it carries ts >=
+          // cutoff — stamped before the lock, an append could land
+          // after the rewrite with ts below the cutoff, invisible to
+          // readers and discarded uncounted by the next trim (a LOST
+          // event; found by XprocEventsSpec's concurrent accounting).
+          // compact: one event per line (JSONL contract for readers)
+          val json = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(
+            ("ts-ms" -> System.currentTimeMillis()) ~
+              ("event-type" -> eventType) ~
+              ("namespace" -> id.namespace.mkString(".")) ~
+              ("name" -> id.name) ~
+              ("extra" -> extra)))
           Files.write(changesDir.resolve("events.jsonl"),
             (json + "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
