@@ -480,6 +480,15 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       import org.json4s.JsonDSL._
       try {
         Files.createDirectories(changesDir)
+        // everything but the timestamp renders OUTSIDE the lock (this
+        // runs on every commit — the lock hold should be one stamp +
+        // one append); compact: one event per line (JSONL contract)
+        val tail = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            ("event-type" -> eventType) ~
+              ("namespace" -> id.namespace.mkString(".")) ~
+              ("name" -> id.name) ~
+              ("extra" -> extra)))
         withEventFileLock {
           // ts-ms is stamped UNDER the file lock: a trim holds this
           // lock for its whole pass and clamps its cutoff to its own
@@ -488,14 +497,8 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           // after the rewrite with ts below the cutoff, invisible to
           // readers and discarded uncounted by the next trim (a LOST
           // event; found by XprocEventsSpec's concurrent accounting).
-          // compact: one event per line (JSONL contract for readers)
-          val json = org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(
-            ("ts-ms" -> System.currentTimeMillis()) ~
-              ("event-type" -> eventType) ~
-              ("namespace" -> id.namespace.mkString(".")) ~
-              ("name" -> id.name) ~
-              ("extra" -> extra)))
+          val json =
+            s"""{"ts-ms":${System.currentTimeMillis()},${tail.drop(1)}"""
           Files.write(changesDir.resolve("events.jsonl"),
             (json + "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
