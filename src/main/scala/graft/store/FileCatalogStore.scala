@@ -1209,15 +1209,40 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           crashPoint("commit:pending-written")
         }
         if (atomicCreate(target, json, Some("commit:pre-link"))) {
-          crashPoint("commit:pre-guard")
-          idempotencyKey.foreach { key =>
-            atomicCreate(idemGuardPath(id, key), v.toString)
-            Files.deleteIfExists(idemPendingPath(id, key))
+          // Post-link revalidation (round 13): the start-of-attempt
+          // quiescence gate leaves a narrow window — a transaction's
+          // journal can land between our gate and our parent read, and
+          // its rollback may then delete the very version we built on,
+          // baking the tx's effects into our new version while the tx
+          // becomes "none". Wait out any live journal, then prove the
+          // parent SURVIVED. A parent removed by rotation always
+          // leaves a version above ours (cleanup cutoff arithmetic),
+          // so parent-missing with our link at the head can only be
+          // the rollback: self-abort (our own link, mirroring the tx's
+          // own abort-after-link semantics) and retry on the healed
+          // chain — cascades converge because every later writer runs
+          // the same check.
+          val parentGone = v > 0 && {
+            if (Files.exists(txJournal)) maybeRecoverTx()
+            !Files.exists(
+              metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json")) &&
+              currentVersion(id) == v
           }
-          crashPoint("commit:pre-cleanup")
-          metaCache.put(id, (v, withLog))
-          cleanupOldMetadata(id, withLog, v)
-          Some((v, withLog))
+          if (parentGone) {
+            try Files.deleteIfExists(target) catch { case NonFatal(_) => }
+            metaCache.remove(id)
+            None // retry rebuilds on the rolled-back (true) state
+          } else {
+            crashPoint("commit:pre-guard")
+            idempotencyKey.foreach { key =>
+              atomicCreate(idemGuardPath(id, key), v.toString)
+              Files.deleteIfExists(idemPendingPath(id, key))
+            }
+            crashPoint("commit:pre-cleanup")
+            metaCache.put(id, (v, withLog))
+            cleanupOldMetadata(id, withLog, v)
+            Some((v, withLog))
+          }
         } else None
       }
       done.foreach { case (v, withLog) =>
@@ -1615,9 +1640,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     Files.deleteIfExists(txJournal)
   }
 
-  /** Opportunistic recovery gate: a journal with no lock (or a stale
-    * lock) is a dead transaction; resolve it before building on any of
-    * its tables. One Files.exists stat on the quiet path.
+  /** Transaction-quiescence gate for single-table commits: while a tx
+    * JOURNAL exists, the commit must not build — a dead tx's journal
+    * needs recovery first, and a LIVE one (another process mid-phase-2;
+    * round 13) may still ROLL BACK the very version file this commit
+    * would read as its parent, baking the tx's effects into our new
+    * version while the tx itself becomes "none" — the cross-process
+    * face of the interleaving [[commitLock]] already prevents in-JVM
+    * (the reference gets both from one Postgres transaction). The
+    * journal's lifetime brackets exactly the rollback-possible span
+    * (it is deleted after the final link or after the rollback), so
+    * waiting on journal existence alone is the minimal safe gate.
+    * One Files.exists stat on the quiet path.
     *
     * Recovery itself only ever runs FENCED: journal-with-no-lock is
     * also reachable mid-steal, or while a NEW transaction is racing to
@@ -1625,18 +1659,35 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * recoverer could delete that live journal (or pre-link its
     * entries) and break all-or-none. So this path takes the same
     * arbitration token a transaction does (atomically create
-    * `.txlock`) and simply skips if beaten; the winner — live holder
-    * or a later recoverer — resolves the journal instead.
+    * `.txlock`) and loops if beaten; the winner — live holder or a
+    * later recoverer — resolves the journal.
     */
   private def maybeRecoverTx(): Unit = {
-    if (!Files.exists(txJournal)) return
-    if (Files.exists(txLock)) { stealStaleTxLock(); return }
-    try Files.createFile(txLock)
-    catch { case NonFatal(_) => return } // a live tx won the lock
-    // under OUR fresh lock the journal can only be a dead tx's: any
-    // live writer must hold .txlock while its journal exists
-    try recoverTxJournal()
-    finally { try Files.deleteIfExists(txLock) catch { case NonFatal(_) => } }
+    if (!Files.exists(txJournal)) return // quiet path
+    val deadline = System.currentTimeMillis() +
+      math.max(2 * txLockStaleMs, 10000L) + 30000L
+    while (Files.exists(txJournal)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new CommitFailedException(
+          "Transaction journal did not quiesce — a live transaction is " +
+            "stuck or its holder's lock cannot be reclaimed")
+      if (Files.exists(txLock)) {
+        // live holder (or a fresh corpse): reclaim only a STALE lock,
+        // otherwise wait for the tx to finalize
+        stealStaleTxLock()
+        Thread.sleep(2)
+      } else {
+        try {
+          Files.createFile(txLock)
+          // under OUR fresh lock the journal can only be a dead tx's
+          // (a live writer holds .txlock while its journal exists)
+          try recoverTxJournal()
+          finally {
+            try Files.deleteIfExists(txLock) catch { case NonFatal(_) => }
+          }
+        } catch { case NonFatal(_) => Thread.sleep(2) } // lost the race
+      }
+    }
   }
 
   /** Fenced steal of a dead holder's `.txlock`. Staleness is judged by

@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.meta.TableUpdate
+import graft.store.{CatalogStore, FileCatalogStore, TabularId}
+
+/** Forked-JVM transaction runner: commits ONE multi-table transaction
+  * stamping `txseq` on db.t1 and db.t2, holding phase 2 open for
+  * `windowMs` after the FIRST version link (the crash-hook seam used
+  * as a sleep) — the deterministic window in which a concurrent
+  * single-table commit from another process used to build on a
+  * version this transaction could still roll back. Parent asserts the
+  * all-or-none outcome.
+  *
+  * Prints `TX ok` or `TX conflict: ...`.
+  *
+  * args: root windowMs readyFile goFile
+  */
+object XprocTx {
+  def main(args: Array[String]): Unit = {
+    val Array(root, windowStr, readyFile, goFile) = args
+    val store = CatalogStore.open(root).asInstanceOf[FileCatalogStore]
+    store.crashHook = Some(w =>
+      if (w == "tx:linked-1") Thread.sleep(windowStr.toLong))
+    val t1 = TabularId(Seq("db"), "t1")
+    val t2 = TabularId(Seq("db"), "t2")
+    // warm the read paths so the barrier-to-journal gap is tight
+    store.loadTableMetadata(t1)
+    store.loadTableMetadata(t2)
+    Files.write(Paths.get(readyFile), Array.emptyByteArray)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Files.exists(Paths.get(goFile))) {
+      if (System.currentTimeMillis() > deadline) {
+        System.err.println("TX timed out waiting for go file")
+        sys.exit(2)
+      }
+      Thread.sleep(1)
+    }
+    try {
+      store.commitTransaction(Seq(
+        (t1, Nil, Seq(TableUpdate.SetProperties(Map("txseq" -> "1")))),
+        (t2, Nil, Seq(TableUpdate.SetProperties(Map("txseq" -> "1"))))))
+      println("TX ok")
+    } catch { case e: Exception =>
+      println(s"TX conflict: ${e.getMessage}")
+    }
+  }
+}

@@ -159,6 +159,23 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
     (a, Nil, Seq(TableUpdate.SetProperties(Map("tx" -> "1")))),
     (b, Nil, Seq(TableUpdate.SetProperties(Map("tx" -> "1")))))
 
+  /** A foreign writer's version-file bytes for `id`'s NEXT slot — what
+    * a racer that passed its quiescence gate before the tx's journal
+    * landed would link (the round-13 gate waits out any journal that
+    * exists at attempt start, so a foreign link mid-tx can only come
+    * from that narrow pre-gate window; the LINK is its only
+    * observable, so the matrix below writes it directly and stays
+    * deterministic).
+    */
+  private def foreignLink(s: FileCatalogStore, id: TabularId,
+      prop: (String, String)): Unit = {
+    val (m0, v0) = s.loadTableMetadata(id).get
+    Files.write(
+      s.metadataDir(id).resolve(f"v${v0 + 1}%05d.metadata.json"),
+      graft.meta.Json.metadataToJson(
+        m0.copy(properties = m0.properties + prop)).getBytes("UTF-8"))
+  }
+
   test("W5 tx journal written, no links — dead tx is rolled FORWARD on next commit") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
@@ -207,13 +224,11 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
   test("W8 tx abort mid-rollback: aborting journal finishes as a rollback, never a commit") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
-    // force a phase-2 CAS loss on b: a cross-process racer commits b's
-    // next version between the tx's staging and its link attempt
+    // force a phase-2 CAS loss on b: a foreign link lands in b's v1
+    // slot mid-phase-2 (the narrow pre-gate racer window)
     val racer = new FileCatalogStore(root)
     s.crashHook = Some { w =>
-      if (w == "tx:journal-written")
-        racer.commitTable(b, Nil,
-          Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
+      if (w == "tx:journal-written") foreignLink(racer, b, "racer" -> "1")
       if (w == "tx:abort-journaled") throw new SimulatedCrash(w)
     }
     try intercept[SimulatedCrash](s.commitTransaction(txChanges(a, b)))
@@ -248,18 +263,16 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
   test("W11 foreign link in a dead tx's slot aborts the roll-forward — no half-apply") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
-    crashing(s, "tx:linked-1") { s.commitTransaction(txChanges(a, b)) }
-    // the holder looks alive (fresh lock mtime), so a cross-process
-    // single-table commit on b skips recovery and takes b's v1 slot
-    Files.createFile(Paths.get(root, ".txlock"))
+    // a racer already past its gate BEFORE the tx starts — the only
+    // window left for a foreign link to land in a dead tx's slot
     val racer = new FileCatalogStore(root)
-    racer.commitTable(b, Nil,
-      Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
-    assert(racer.loadTableMetadata(b).get._1.properties("racer") == "1")
-    // once the lock goes stale, recovery must NOT complete the tx
-    // around the foreign link (that would half-apply it with b's slot
-    // holding someone else's metadata) — it rolls the tx's own link on
-    // a BACK, mirroring what the live path does on a CAS loss
+    crashing(s, "tx:linked-1") { s.commitTransaction(txChanges(a, b)) }
+    // dead tx: committing journal, a's v1 linked, lock released by the
+    // crash; the foreign link takes b's v1 slot. Recovery must NOT
+    // complete the tx around it (that would half-apply the tx with b's
+    // slot holding someone else's metadata): byte classification rolls
+    // the tx's own link on a BACK, mirroring the live path's CAS loss
+    foreignLink(racer, b, "racer" -> "1")
     val fresh = new FileCatalogStore(root)
     fresh.txLockStaleMs = 0L
     fresh.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
@@ -314,27 +327,23 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
   test("W14 aborting journal never deletes a foreign commit that re-took the slot") {
     val (root, a, b) = txFixture()
     val s = new FileCatalogStore(root)
-    // force a CAS loss on b (racer takes b's slot mid-tx), then die
+    // a foreign link forces the CAS loss on b mid-phase-2; the tx dies
     // AFTER the rollback deleted a's v1 but BEFORE the aborting
     // journal was removed
-    val racer0 = new FileCatalogStore(root)
+    val racer = new FileCatalogStore(root)
     s.crashHook = Some { w =>
-      if (w == "tx:journal-written")
-        racer0.commitTable(b, Nil,
-          Seq(TableUpdate.SetProperties(Map("racer" -> "1"))))
+      if (w == "tx:journal-written") foreignLink(racer, b, "racer" -> "1")
       if (w == "tx:rolled-back") throw new SimulatedCrash(w)
     }
     try intercept[SimulatedCrash](s.commitTransaction(txChanges(a, b)))
     finally s.crashHook = None
     assert(new FileCatalogStore(root).currentVersion(a) == 0,
       "live rollback already removed a's link")
-    // the holder looks alive; a foreign writer re-takes a's v1 slot
+    // a foreign writer re-takes a's freed v1 slot while the dead
+    // holder still looks alive; recovery then replays the aborting
+    // journal — the byte guard must leave the foreign commit alone
     Files.createFile(Paths.get(root, ".txlock"))
-    val racer = new FileCatalogStore(root)
-    racer.commitTable(a, Nil,
-      Seq(TableUpdate.SetProperties(Map("foreign" -> "1"))))
-    // stale-steal recovery replays the aborting journal — the byte
-    // guard must leave the foreign commit alone
+    foreignLink(racer, a, "foreign" -> "1")
     val fresh = new FileCatalogStore(root)
     fresh.txLockStaleMs = 0L
     fresh.commitTransaction(Seq(
@@ -343,6 +352,33 @@ class FileCatalogStoreCrashSpec extends AnyFunSuite {
     assert(ma.properties("foreign") == "1" && va == 1,
       "recovery deleted a foreign commit out of a's slot")
     assert(!Files.exists(Paths.get(root, ".txjournal")))
+  }
+
+  test("W16 parent rolled back under a linked commit self-aborts and retries cleanly") {
+    val (root, id) = fixture()
+    val s = new FileCatalogStore(root)
+    s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("base" -> "1"))))
+    // simulate a remote transaction's rollback landing between this
+    // commit's parent read and its link — the hook runs between the
+    // temp write and the link, and deletes the parent exactly the way
+    // recoverTxJournal's abort direction does. The commit must detect
+    // the vanished parent AFTER its own link, self-abort, and retry on
+    // the true (rolled-back) chain — otherwise the dead transaction's
+    // effects ("base") would be baked into the new version while the
+    // tx is "none".
+    val v1 = s.metadataDir(id).resolve("v00001.metadata.json")
+    var fired = false
+    s.crashHook = Some { w =>
+      if (w == "commit:pre-link" && !fired) { fired = true; Files.delete(v1) }
+    }
+    try s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "2"))))
+    finally s.crashHook = None
+    val (m, v) = s.loadTableMetadata(id).get
+    assert(v == 1 && m.properties("k") == "2")
+    assert(!m.properties.contains("base"),
+      "rolled-back parent's effects leaked into the retried commit")
+    assert(!Files.exists(s.metadataDir(id).resolve("v00002.metadata.json")),
+      "self-aborted link was left behind")
   }
 
   test("W15 rename dying after the directory move heals on first load") {

@@ -1,0 +1,100 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** Cross-process transaction vs single-table commits: in one JVM,
+  * [[FileCatalogStore.commitLock]] keeps a single-table commit out of
+  * a transaction's write+rollback window; across processes only the
+  * tx JOURNAL's lifetime marks that window. A single-table commit that
+  * built on a version a live remote transaction later rolls back would
+  * bake the tx's effects into its own new version while the tx becomes
+  * "none" — so commits must WAIT for journal quiescence (round 13).
+  * The forked tx holds phase 2 open between its two links; this spec
+  * commits into exactly that window and asserts atomicity.
+  */
+class XprocTxSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("single-table commits wait out a live remote transaction; all-or-none holds") {
+    val root = Files.createTempDirectory("graft-xproc-tx").toString
+    val s = new FileCatalogStore(root)
+    s.createNamespace(Seq("db"), Map.empty)
+    Seq("t1", "t2").foreach { n =>
+      val id = TabularId(Seq("db"), n)
+      s.createTable(id, TableMetadata.newTable(
+        java.util.UUID.randomUUID().toString, s.tableLocation(id), schema,
+        properties = Map(
+          "write.metadata.delete-after-commit.enabled" -> "false")))
+    }
+    val t1 = TabularId(Seq("db"), "t1")
+    val t2 = TabularId(Seq("db"), "t2")
+    val ready = Paths.get(root, "ready")
+    val go = Paths.get(root, "go")
+    val windowMs = 1500L
+    val child = graft.tools.ForkJvm.start("graft.tools.XprocTx",
+      Seq(root, windowMs.toString, ready.toString, go.toString))
+    val out = graft.tools.ForkJvm.drainAsync(child)
+    try {
+      var deadline = System.currentTimeMillis() + 30000
+      while (!Files.exists(ready) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(2)
+      assert(Files.exists(ready), "child JVM never became ready")
+      Files.write(go, Array.emptyByteArray)
+      // enter the tx's phase-2 window: its journal exists and its
+      // first link (t1's next version) is already reader-visible
+      val journal = Paths.get(root, ".txjournal")
+      deadline = System.currentTimeMillis() + 15000
+      while (!Files.exists(journal) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(1)
+      assert(Files.exists(journal), "tx journal never appeared")
+      // these two commits land INSIDE the window — pre-round-13 they
+      // proceeded immediately: the t2 commit took the slot the tx
+      // needed (forcing its rollback) while the t1 commit built on the
+      // tx's doomed link, leaving txseq baked into t1 but not t2
+      val c0 = System.currentTimeMillis()
+      s.commitTable(t2, Nil,
+        Seq(TableUpdate.SetProperties(Map("solo2" -> "1"))),
+        maxRetries = 100)
+      s.commitTable(t1, Nil,
+        Seq(TableUpdate.SetProperties(Map("solo1" -> "1"))),
+        maxRetries = 100)
+      val waitedMs = System.currentTimeMillis() - c0
+      assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      val childOut = out.synchronized(out.toString)
+      assert(child.exitValue() == 0, s"child failed: $childOut")
+      // the tx committed (our commits waited instead of stealing its
+      // t2 slot mid-flight)
+      assert(childOut.contains("TX ok"),
+        s"transaction should have committed cleanly: $childOut")
+      // and we really did block inside the window rather than racing it
+      assert(waitedMs >= 200,
+        s"commit returned in ${waitedMs} ms — it cannot have waited " +
+          "out the live transaction's window")
+      // all-or-none: BOTH tables carry the tx's marker, and both solo
+      // commits applied on top
+      val m1 = s.loadTableMetadata(t1).get._1
+      val m2 = s.loadTableMetadata(t2).get._1
+      assert(m1.properties.get("txseq").contains("1") &&
+        m2.properties.get("txseq").contains("1"),
+        s"tx effects not atomic: t1=${m1.properties.get("txseq")} " +
+          s"t2=${m2.properties.get("txseq")}")
+      assert(m1.properties.contains("solo1") && m2.properties.contains("solo2"))
+      // gap-free chains: create + tx + solo = versions 0..2 on each
+      Seq(t1, t2).foreach { id =>
+        assert(s.currentVersion(id) == 2, s"$id chain length wrong")
+        (0 to 2).foreach { v =>
+          assert(Files.exists(s.metadataDir(id)
+            .resolve(f"v$v%05d.metadata.json")), s"gap at $id v$v")
+        }
+      }
+    } finally if (child.isAlive) child.destroyForcibly()
+  }
+}
