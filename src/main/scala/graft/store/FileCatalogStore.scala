@@ -374,12 +374,14 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     // instead of growing monotonically. (Inductively complete: every
     // purge event crosses exactly one trim's counted window.)
     // "Later" is judged by TIMESTAMP, not file order, and a kept event
-    // for the key always vetoes the drop: logEvent stamps ts-ms before
-    // taking the OS file lock, so two processes can append a few lines
-    // out of order — file-order state alone could mark a purge final
-    // while a kept (surviving) event for the same key sits earlier in
-    // the file, and dropping its base would change surviving sequence
-    // numbers. Ties keep the base (conservative).
+    // for the key always vetoes the drop: logEvent now stamps ts-ms
+    // UNDER the file lock (the lost-append fix), so appends are
+    // timestamp-ordered in the file — but logs written before that
+    // fix, and clock step-backs, can still hold out-of-order lines,
+    // and file-order state alone could then mark a purge final while a
+    // kept (surviving) event for the same key sits earlier in the
+    // file; dropping its base would change surviving sequence numbers.
+    // Ties keep the base (conservative).
     val lastPurgeTs = scala.collection.mutable.HashMap
       .empty[(String, String), Long]
     val lastOtherTs = scala.collection.mutable.HashMap
@@ -1119,8 +1121,26 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           val json = s.drop(nl + 1)
           val target = metadataDir(id).resolve(f"v$v%05d.metadata.json")
           if (Files.exists(target) && readString(target) == json) {
-            atomicCreate(guard, v.toString)
-            Some(Json.metadataFromJson(json))
+            // the crash may have hit the microseconds between the vN
+            // link and its post-link revalidation — run the same
+            // rollback classifier here before finalizing: a missing
+            // parent with the head at or one past vN means a remote
+            // transaction rolled our parent back under the link
+            // (rotation always retains two previous versions), so the
+            // landed bytes are corrupt: withdraw them (the byte match
+            // above proves authorship) and re-apply instead
+            val parentGone = v > 0 &&
+              !Files.exists(
+                metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json")) &&
+              currentVersion(id) <= v + 1
+            if (parentGone) {
+              try Files.deleteIfExists(target) catch { case NonFatal(_) => }
+              metaCache.remove(id)
+              None
+            } else {
+              atomicCreate(guard, v.toString)
+              Some(Json.metadataFromJson(json))
+            }
           } else None
         }
       }.toOption.flatten
@@ -1215,22 +1235,47 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           // its rollback may then delete the very version we built on,
           // baking the tx's effects into our new version while the tx
           // becomes "none". Wait out any live journal, then prove the
-          // parent SURVIVED. A parent removed by rotation always
-          // leaves a version above ours (cleanup cutoff arithmetic),
-          // so parent-missing with our link at the head can only be
-          // the rollback: self-abort (our own link, mirroring the tx's
-          // own abort-after-link semantics) and retry on the healed
-          // chain — cascades converge because every later writer runs
-          // the same check.
-          val parentGone = v > 0 && {
-            if (Files.exists(txJournal)) maybeRecoverTx()
-            !Files.exists(
-              metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json")) &&
-              currentVersion(id) == v
-          }
+          // parent SURVIVED. Rotation retains at least two previous
+          // versions (maxPreviousVersions floor), so it can only have
+          // removed our parent once the head is two or more past our
+          // link — parent-missing with the head at or one past us can
+          // only be the rollback (even if a successor already built on
+          // us): self-abort (our own link, mirroring the tx's own
+          // abort-after-link semantics) and retry on the healed chain —
+          // cascades converge because every later writer runs the same
+          // check. Residual windows, documented not closed: a crash in
+          // the microseconds before this check (an unkeyed commit's
+          // corrupt link then survives; keyed replays re-run this
+          // classifier in resolveIdempotent), and two successors both
+          // completing inside those same microseconds.
+          val parentGone =
+            try {
+              v > 0 && {
+                if (Files.exists(txJournal)) maybeRecoverTx()
+                !Files.exists(
+                  metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json")) &&
+                  currentVersion(id) <= v + 1
+              }
+            } catch { case NonFatal(e) =>
+              // indeterminate (journal would not quiesce, I/O failure):
+              // a commit that REPORTS failure must not stay durably
+              // visible — withdraw our link before rethrowing; any
+              // successor that read it self-aborts through this same
+              // check
+              try Files.deleteIfExists(target) catch { case NonFatal(_) => }
+              metaCache.remove(id)
+              throw e
+            }
           if (parentGone) {
-            try Files.deleteIfExists(target) catch { case NonFatal(_) => }
+            val unlinked =
+              try { Files.deleteIfExists(target); true }
+              catch { case NonFatal(_) => false }
             metaCache.remove(id)
+            if (!unlinked && Files.exists(target))
+              throw new CommitFailedException(
+                s"Commit on $id built on a rolled-back parent (v${v - 1} " +
+                  s"gone) and could not withdraw v$v — not retrying on a " +
+                  "corrupt head")
             None // retry rebuilds on the rolled-back (true) state
           } else {
             crashPoint("commit:pre-guard")
@@ -1272,9 +1317,16 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   @volatile var contractVerifier: Option[ContractVerifier] = None
 
+  /** Floor of 2: the rollback-vs-rotation classifier (post-link
+    * revalidation, keyed replay) relies on rotation never removing a
+    * version within one step of the head — with two previous versions
+    * always retained, "my parent is missing while the head is at or
+    * one past my link" can only mean a transaction rolled it back.
+    * Cleanup is space reclamation; retaining two extra files is free.
+    */
   private def maxPreviousVersions(m: TableMetadata): Int =
-    m.properties.get("write.metadata.previous-versions-max")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
+    math.max(m.properties.get("write.metadata.previous-versions-max")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100), 2)
 
   /** Age beyond which commit-protocol debris in a metadata dir — a
     * `.tmp-*` orphaned by a death between temp-write and link, or an
@@ -1677,15 +1729,20 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         stealStaleTxLock()
         Thread.sleep(2)
       } else {
-        try {
-          Files.createFile(txLock)
+        val acquired =
+          try { Files.createFile(txLock); true }
+          catch { case NonFatal(_) => false } // lost the fence race
+        if (acquired) {
           // under OUR fresh lock the journal can only be a dead tx's
-          // (a live writer holds .txlock while its journal exists)
+          // (a live writer holds .txlock while its journal exists).
+          // Recovery failures PROPAGATE — a journal that cannot be
+          // recovered must surface as the error it is, not spin this
+          // loop to the deadline and report a misleading timeout
           try recoverTxJournal()
           finally {
             try Files.deleteIfExists(txLock) catch { case NonFatal(_) => }
           }
-        } catch { case NonFatal(_) => Thread.sleep(2) } // lost the race
+        } else Thread.sleep(2)
       }
     }
   }

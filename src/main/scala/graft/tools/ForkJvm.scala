@@ -84,6 +84,24 @@ object ForkJvm {
     pb.start()
   }
 
+  /** Child side of the file barrier every forked tool uses: signal
+    * readiness, then spin for the parent's go (30 s deadline, exit 2
+    * on timeout — the parent inherits stderr, so the reason is
+    * visible).
+    */
+  def childBarrier(readyFile: String, goFile: String): Unit = {
+    java.nio.file.Files.write(Paths.get(readyFile),
+      Array.emptyByteArray)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!java.nio.file.Files.exists(Paths.get(goFile))) {
+      if (System.currentTimeMillis() > deadline) {
+        System.err.println(s"forked child timed out waiting for $goFile")
+        sys.exit(2)
+      }
+      Thread.sleep(1)
+    }
+  }
+
   /** Background stdout drain for [[start]]; returns the accumulating
     * buffer (read it after waitFor).
     */

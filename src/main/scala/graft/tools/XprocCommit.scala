@@ -49,15 +49,7 @@ object XprocCommit {
     store.loadTableMetadata(id)
     // file barrier: signal ready, spin for the parent's go — both
     // processes must hammer the CAS in the same window
-    Files.write(Paths.get(readyFile), Array.emptyByteArray)
-    val deadline = System.currentTimeMillis() + 30000
-    while (!Files.exists(Paths.get(goFile))) {
-      if (System.currentTimeMillis() > deadline) {
-        System.err.println("XPROC timed out waiting for go file")
-        sys.exit(2)
-      }
-      Thread.sleep(1)
-    }
+    ForkJvm.childBarrier(readyFile, goFile)
     var i = 0
     while (i < n) {
       store.commitTable(id, Nil,

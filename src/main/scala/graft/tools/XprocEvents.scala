@@ -21,15 +21,7 @@ object XprocEvents {
     val store = CatalogStore.open(root)
     // warm the logging path before the barrier (classloading)
     store.logEvent("warmup", TabularId(Seq("db"), "warm"))
-    Files.write(Paths.get(readyFile), Array.emptyByteArray)
-    val deadline = System.currentTimeMillis() + 30000
-    while (!Files.exists(Paths.get(goFile))) {
-      if (System.currentTimeMillis() > deadline) {
-        System.err.println("EVLOG timed out waiting for go file")
-        sys.exit(2)
-      }
-      Thread.sleep(1)
-    }
+    ForkJvm.childBarrier(readyFile, goFile)
     var i = 0
     while (i < n) {
       store.logEvent("table-commit", TabularId(Seq("db"), s"t${i % 10}"),

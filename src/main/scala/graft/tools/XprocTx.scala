@@ -28,15 +28,7 @@ object XprocTx {
     // warm the read paths so the barrier-to-journal gap is tight
     store.loadTableMetadata(t1)
     store.loadTableMetadata(t2)
-    Files.write(Paths.get(readyFile), Array.emptyByteArray)
-    val deadline = System.currentTimeMillis() + 30000
-    while (!Files.exists(Paths.get(goFile))) {
-      if (System.currentTimeMillis() > deadline) {
-        System.err.println("TX timed out waiting for go file")
-        sys.exit(2)
-      }
-      Thread.sleep(1)
-    }
+    ForkJvm.childBarrier(readyFile, goFile)
     try {
       store.commitTransaction(Seq(
         (t1, Nil, Seq(TableUpdate.SetProperties(Map("txseq" -> "1")))),

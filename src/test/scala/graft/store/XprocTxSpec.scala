@@ -58,14 +58,12 @@ class XprocTxSpec extends AnyFunSuite {
       // proceeded immediately: the t2 commit took the slot the tx
       // needed (forcing its rollback) while the t1 commit built on the
       // tx's doomed link, leaving txseq baked into t1 but not t2
-      val c0 = System.currentTimeMillis()
       s.commitTable(t2, Nil,
         Seq(TableUpdate.SetProperties(Map("solo2" -> "1"))),
         maxRetries = 100)
       s.commitTable(t1, Nil,
         Seq(TableUpdate.SetProperties(Map("solo1" -> "1"))),
         maxRetries = 100)
-      val waitedMs = System.currentTimeMillis() - c0
       assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not finish")
       val childOut = out.synchronized(out.toString)
@@ -74,10 +72,17 @@ class XprocTxSpec extends AnyFunSuite {
       // t2 slot mid-flight)
       assert(childOut.contains("TX ok"),
         s"transaction should have committed cleanly: $childOut")
-      // and we really did block inside the window rather than racing it
-      assert(waitedMs >= 200,
-        s"commit returned in ${waitedMs} ms — it cannot have waited " +
-          "out the live transaction's window")
+      // ordering proof (timing-independent): we entered while the
+      // journal existed, yet the tx's version landed BELOW ours — v1
+      // of t2 must be the tx's (txseq, no solo2). Had the commit raced
+      // instead of waiting, solo2 would hold v1 and the tx would have
+      // aborted.
+      val v1Json = new String(Files.readAllBytes(
+        s.metadataDir(t2).resolve("v00001.metadata.json")), "UTF-8")
+      val v1Meta = graft.meta.Json.metadataFromJson(v1Json)
+      assert(v1Meta.properties.get("txseq").contains("1") &&
+        !v1Meta.properties.contains("solo2"),
+        s"t2's v1 is not the transaction's: ${v1Meta.properties}")
       // all-or-none: BOTH tables carry the tx's marker, and both solo
       // commits applied on top
       val m1 = s.loadTableMetadata(t1).get._1
