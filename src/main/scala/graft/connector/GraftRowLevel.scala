@@ -555,7 +555,7 @@ class GraftDeltaWriter(
   private def writeDeleteFile(): Option[DataFile] = {
     if (deletes.isEmpty) return None
     val dir = s"$tableLocation/data"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    graft.store.HadoopIO.mkdirs(dir, conf)
     val path =
       f"$dir/delete-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
     val writer = GraftDataWriter.newParquetWriter(
@@ -576,7 +576,7 @@ class GraftDeltaWriter(
       }
     }
     writer.close()
-    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val size = graft.store.HadoopIO.size(path, conf)
     Some(DataFile(path, size, count, spec.specId, Map.empty,
       Map(
         PositionDeletes.PathColumn ->

@@ -631,7 +631,9 @@ class GraftDataWriter(
 
   private def finalize(of: OpenFile): DataFile = {
     of.writer.close()
-    val size = java.nio.file.Files.size(java.nio.file.Paths.get(of.path))
+    // through Hadoop FS — of.path is location-derived (hdfs://-style
+    // at cluster scale); java.nio cannot stat it
+    val size = graft.store.HadoopIO.size(of.path, conf)
     val stats = statFields.map { case (i, f) =>
       f.name -> ColumnStat(
         Option(of.mins(i)).map(v => ColumnStat.render(v, f.dataType)),

@@ -116,15 +116,18 @@ object ManifestReplace {
       defaultSpec: PartitionSpec,
       snapshotId: Long): (Seq[String], Removed) = {
 
+    // manifest IO happens where the manifest is parsed — possibly on
+    // an executor, possibly against a remote table location — so the
+    // Hadoop conf ships with the closure
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      graft.store.HadoopIO.conf())
+
     def processOne(relPath: String): (Option[String], Removed) = {
       // predicate sees ABSOLUTE paths (scans report absolute); the
       // rewrite keeps the stored location-relative form
-      def abs(p: String) = if (p.startsWith("/")) p
+      def abs(p: String) = if (graft.store.HadoopIO.isAbsolute(p)) p
         else s"${location.stripSuffix("/")}/$p"
-      val text = new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(abs(relPath))),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val text = graft.store.HadoopIO.readString(abs(relPath), hconf.value)
       val mf = Json.manifestFromJson(text)
       // position-delete entries are only ever removed by an EXPLICIT
       // path set (compaction / delete-file GC): a partition- or
@@ -138,18 +141,16 @@ object ManifestReplace {
       else {
         // rewrite in place of the touched manifest (entry paths are
         // already location-relative inside the JSON, keep them so)
-        val dir = java.nio.file.Paths.get(location, "metadata", "manifests")
-        java.nio.file.Files.createDirectories(dir)
-        val p = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+        val dir = s"${location.stripSuffix("/")}/metadata/manifests"
+        graft.store.HadoopIO.mkdirs(dir, hconf.value)
+        val p = s"$dir/m-${java.util.UUID.randomUUID()}.json"
         val keptManifest = ManifestFile(kept, snapshotId)
-        java.nio.file.Files.write(p,
-          Json.manifestToJson(keptManifest)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toString + ".sum"),
-          Json.manifestSummaryToJson(ManifestSummary.of(keptManifest, schema))
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val rel = p.toString.stripPrefix(location.stripSuffix("/") + "/")
+        graft.store.HadoopIO.writeString(p,
+          Json.manifestToJson(keptManifest), hconf.value)
+        graft.store.HadoopIO.writeString(p + ".sum",
+          Json.manifestSummaryToJson(ManifestSummary.of(keptManifest, schema)),
+          hconf.value)
+        val rel = p.stripPrefix(location.stripSuffix("/") + "/")
         (Some(rel), Removed.of(removed))
       }
     }

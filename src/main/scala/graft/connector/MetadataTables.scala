@@ -211,21 +211,22 @@ object MetadataTables {
   }
 }
 
-/** Executor-side manifest parsing shared by distributed metadata scans. */
+/** Executor-side manifest parsing shared by distributed metadata scans
+  * — through the table's Hadoop FileSystem (the manifest lives under
+  * the table LOCATION; hdfs://-style at cluster scale).
+  */
 object ManifestRead {
-  def parse(absManifest: String, location: String): Seq[DataFile] = {
-    val text = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(absManifest)),
-      java.nio.charset.StandardCharsets.UTF_8)
+  def parse(absManifest: String, location: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[DataFile] = {
+    val text = graft.store.HadoopIO.readString(absManifest, conf)
     Json.manifestFromJson(text).entries.map(f => f.copy(path =
-      if (f.path.startsWith("/")) f.path
+      if (graft.store.HadoopIO.isAbsolute(f.path)) f.path
       else s"${location.stripSuffix("/")}/${f.path}"))
   }
 
-  def addedSnapshotId(absManifest: String): Long = {
-    val text = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(absManifest)),
-      java.nio.charset.StandardCharsets.UTF_8)
+  def addedSnapshotId(absManifest: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val text = graft.store.HadoopIO.readString(absManifest, conf)
     Json.manifestFromJson(text).addedSnapshotId
   }
 }
@@ -259,7 +260,10 @@ class ManifestTable(
         override def planInputPartitions(): Array[InputPartition] =
           inputs.toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          ManifestReaderFactory(tableSchema, emitEntries, content)
+          ManifestReaderFactory(tableSchema, emitEntries, content,
+            new org.apache.spark.util.SerializableConfiguration(
+              org.apache.spark.sql.SparkSession.active
+                .sessionState.newHadoopConf()))
         override def description(): String = s"ManifestScan $tableName"
       }
     }
@@ -345,7 +349,10 @@ class PartitionsTable(
         }
         override def createReaderFactory(): PartitionReaderFactory =
           PartitionsReaderFactory(tableSchema, manifests, location,
-            analyzedSpec, analyzed)
+            analyzedSpec, analyzed,
+            new org.apache.spark.util.SerializableConfiguration(
+              org.apache.spark.sql.SparkSession.active
+                .sessionState.newHadoopConf()))
         override def description(): String = s"PartitionsScan $tableName"
       }
     }
@@ -356,7 +363,8 @@ final case class PartitionsReaderFactory(
     manifests: Seq[String],
     location: String,
     analyzedSpec: Option[Int],
-    analyzed: Map[String, (Long, Map[String, Long])])
+    analyzed: Map[String, (Long, Map[String, Long])],
+    hconf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -371,7 +379,8 @@ final case class PartitionsReaderFactory(
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[String, (Map[String, String], Int, Long, Int, Long)]
         manifests.foreach { m =>
-          ManifestRead.parse(m, location).filter(_.isData).foreach { f =>
+          ManifestRead.parse(m, location, hconf.value)
+            .filter(_.isData).foreach { f =>
             val key = f.partition.toSeq.sortBy(_._1)
               .map { case (k, v) => s"$k=${v.getOrElse("null")}" }
               .mkString("/")
@@ -482,7 +491,8 @@ final case class PositionDeletesReaderFactory() extends PartitionReaderFactory {
 
 final case class ManifestReaderFactory(
     tableSchema: StructType, emitEntries: Boolean,
-    content: Int = DataFile.ContentData)
+    content: Int = DataFile.ContentData,
+    hconf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -492,14 +502,14 @@ final case class ManifestReaderFactory(
       private val converter =
         CatalystTypeConverters.createToCatalystConverter(tableSchema)
       private lazy val iter: Iterator[InternalRow] = {
-        val files = ManifestRead.parse(in.absPath, in.location)
+        val files = ManifestRead.parse(in.absPath, in.location, hconf.value)
           .filter(f => emitEntries ||
             content == MetadataTables.AnyContent ||
             (content == MetadataTables.AnyDeletes && !f.isData) ||
             f.content == content)
         val rows =
           if (emitEntries) {
-            val added = ManifestRead.addedSnapshotId(in.absPath)
+            val added = ManifestRead.addedSnapshotId(in.absPath, hconf.value)
             files.map(f => Row(
               if (added == in.snapshotId) 1 else 0,
               in.snapshotId, f.path, f.recordCount))

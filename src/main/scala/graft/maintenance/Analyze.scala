@@ -1,7 +1,5 @@
 package graft.maintenance
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -352,27 +350,32 @@ object Analyze {
     // racing between loadTableMetadata and the scan would otherwise
     // attribute the NEW snapshot's rows to snapId
     val df = spark.read.option("snapshot-id", snapId.toString).table(fqn)
-    val dir = Paths.get(meta.location, "metadata")
-    Files.createDirectories(dir)
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // stats sidecars live under the TABLE location (remote for
+    // custom-LOCATION tables) — Hadoop FS, not java.nio
+    val hconf = graft.store.HadoopIO.conf()
+    val dir = s"${meta.location.stripSuffix("/")}/metadata"
+    graft.store.HadoopIO.mkdirs(dir, hconf)
     val spec = meta.defaultSpec
     if (spec.fields.nonEmpty) {
       val (stats, pstats) = computeBoth(df, spec, snapId, functionCatalog)
-      val path = dir.resolve(s"stats-$snapId.json")
-      Files.write(path, statsToJson(stats).getBytes(utf8))
-      val ppath = dir.resolve(s"partition-stats-$snapId.json")
-      Files.write(ppath, partStatsToJson(pstats).getBytes(utf8))
-      val sf = StatisticsFile(snapId, path.toString, Files.size(path))
-      val psf = StatisticsFile(snapId, ppath.toString, Files.size(ppath))
+      val path = s"$dir/stats-$snapId.json"
+      graft.store.HadoopIO.writeString(path, statsToJson(stats), hconf)
+      val ppath = s"$dir/partition-stats-$snapId.json"
+      graft.store.HadoopIO.writeString(ppath, partStatsToJson(pstats), hconf)
+      val sf = StatisticsFile(snapId, path,
+        graft.store.HadoopIO.size(path, hconf))
+      val psf = StatisticsFile(snapId, ppath,
+        graft.store.HadoopIO.size(ppath, hconf))
       store.commitTable(id, Nil, Seq(
         TableUpdate.SetStatistics(sf),
         TableUpdate.SetPartitionStatistics(psf)))
       sf
     } else {
       val stats = compute(df, snapId)
-      val path = dir.resolve(s"stats-$snapId.json")
-      Files.write(path, statsToJson(stats).getBytes(utf8))
-      val sf = StatisticsFile(snapId, path.toString, Files.size(path))
+      val path = s"$dir/stats-$snapId.json"
+      graft.store.HadoopIO.writeString(path, statsToJson(stats), hconf)
+      val sf = StatisticsFile(snapId, path,
+        graft.store.HadoopIO.size(path, hconf))
       store.commitTable(id, Nil, Seq(TableUpdate.SetStatistics(sf)))
       sf
     }
@@ -383,9 +386,9 @@ object Analyze {
     */
   def forSnapshot(meta: TableMetadata, snapshotId: Long): Option[TableStats] =
     meta.statistics.find(_.snapshotId == snapshotId).flatMap { sf =>
-      scala.util.Try(statsFromJson(new String(
-        Files.readAllBytes(Paths.get(sf.path)),
-        java.nio.charset.StandardCharsets.UTF_8))).toOption
+      scala.util.Try(statsFromJson(
+        graft.store.HadoopIO.readString(sf.path,
+          graft.store.HadoopIO.conf()))).toOption
     }
 
   /** Per-partition stats of a snapshot, if a partitioned ANALYZE ran
@@ -394,8 +397,8 @@ object Analyze {
   def forSnapshotPartitions(meta: TableMetadata,
       snapshotId: Long): Option[TablePartitionStats] =
     meta.partitionStatistics.find(_.snapshotId == snapshotId).flatMap { sf =>
-      scala.util.Try(partStatsFromJson(new String(
-        Files.readAllBytes(Paths.get(sf.path)),
-        java.nio.charset.StandardCharsets.UTF_8))).toOption
+      scala.util.Try(partStatsFromJson(
+        graft.store.HadoopIO.readString(sf.path,
+          graft.store.HadoopIO.conf()))).toOption
     }
 }

@@ -1,35 +1,38 @@
 package graft.maintenance
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-import scala.util.control.NonFatal
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.meta._
-import graft.store.{CatalogStore, FileCatalogStore, TabularId}
+import graft.store.{CatalogStore, FileCatalogStore, HadoopIO, TabularId}
 
 /** Executor-side manifest parsing: absolute manifest path → absolute
-  * data-file paths, no catalog store needed in the closure.
+  * data-file paths, no catalog store needed in the closure. All reads
+  * go through the table's Hadoop FileSystem (the manifest lives under
+  * the table LOCATION, which is an hdfs://-style URI at cluster
+  * scale); callers thread a [[SerializableConfiguration]] value in.
   */
 private[maintenance] object ManifestIO {
-  def entryPaths(absManifest: String, tableLocation: String): Seq[String] =
-    Json.manifestFromJson(new String(
-      Files.readAllBytes(Paths.get(absManifest)),
-      java.nio.charset.StandardCharsets.UTF_8))
+  def entryPaths(absManifest: String, tableLocation: String,
+      conf: Configuration): Seq[String] =
+    Json.manifestFromJson(HadoopIO.readString(absManifest, conf))
       .entries.map(f =>
-        if (f.path.startsWith("/")) f.path else s"$tableLocation/${f.path}")
+        if (HadoopIO.isAbsolute(f.path)) f.path
+        else s"$tableLocation/${f.path}")
 
   /** Typed entry rows for consumers that need more than paths:
     * (absolute path, isData, isPositionDeletes, recordCount).
     */
-  def entryRows(absManifest: String, tableLocation: String)
+  def entryRows(absManifest: String, tableLocation: String,
+      conf: Configuration)
       : Seq[(String, Boolean, Boolean, Boolean, Long, Long)] =
-    Json.manifestFromJson(new String(
-      Files.readAllBytes(Paths.get(absManifest)),
-      java.nio.charset.StandardCharsets.UTF_8))
+    Json.manifestFromJson(HadoopIO.readString(absManifest, conf))
       .entries.map { f =>
-        val abs = if (f.path.startsWith("/")) f.path
+        val abs = if (HadoopIO.isAbsolute(f.path)) f.path
           else s"$tableLocation/${f.path}"
         (abs, f.isData, f.isPositionDeletes, f.isEqualityDeletes,
           f.recordCount, f.sequenceOrOldest)
@@ -46,22 +49,23 @@ private[maintenance] object DeleteFiles {
   private val DriverThreshold = 256
   private val BatchPerPartition = 1024
 
-  private def del(p: String): Unit =
-    try Files.deleteIfExists(Paths.get(p)) catch { case NonFatal(_) => }
-
   /** Driver-side variant for sets that are ALREADY small and local by
     * construction (e.g. the expired-manifest list, bounded by snapshot
     * count) — never hand this a collected distributed set.
     */
   def run(paths: Seq[String]): Unit = {
     if (paths.isEmpty) ()
-    else if (paths.size <= DriverThreshold) paths.foreach(del)
-    else {
+    else if (paths.size <= DriverThreshold) {
+      val conf = HadoopIO.conf()
+      paths.foreach(HadoopIO.delete(_, conf))
+    } else {
       val spark = SparkSession.active
+      val conf = new SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
       val partitions =
         math.max(1, math.min(paths.size / BatchPerPartition + 1, 64))
       spark.sparkContext.parallelize(paths, partitions)
-        .foreachPartition(_.foreach(del))
+        .foreachPartition(_.foreach(HadoopIO.delete(_, conf.value)))
     }
   }
 
@@ -72,14 +76,20 @@ private[maintenance] object DeleteFiles {
     * the count comes back through an accumulator, not a collect.
     *
     * @param paths single string column of absolute paths
-    * @return number of paths processed
+    * @return number of files actually deleted (already-gone or
+    *   IO-erroring paths do not count — the job's deleted-count must
+    *   not report success it didn't achieve)
     */
   def runDistributed(paths: org.apache.spark.sql.DataFrame): Long = {
-    val acc = paths.sparkSession.sparkContext.longAccumulator("deleted_files")
+    val spark = paths.sparkSession
+    val acc = spark.sparkContext.longAccumulator("deleted_files")
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     import org.apache.spark.sql.Row
     paths.foreachPartition { it: Iterator[Row] =>
+      val c = conf.value
       it.map(_.getString(0)).grouped(BatchPerPartition).foreach { batch =>
-        batch.foreach(del); acc.add(batch.size.toLong)
+        acc.add(batch.count(HadoopIO.delete(_, c)).toLong)
       }
     }
     acc.value
@@ -164,11 +174,13 @@ object ExpireSnapshots {
     val expiredManifests = manifestsOf(expired)
     val keptManifests = manifestsOf(keep.intersect(meta.snapshots.keySet))
     val root = meta.location
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
 
     def filesDf(manifests: Seq[String]) =
       spark.createDataset(manifests.map(store.resolvePath(meta.location, _)))
         .repartition(math.max(1, math.min(manifests.size, 64)))
-        .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root)))
+        .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root, hconf.value)))
         .toDF("path")
 
     // commit snapshot removal first; file deletes only after success.
@@ -283,24 +295,21 @@ object RemoveOrphanFiles {
 
     val spark = SparkSession.active
     import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
 
-    // distributed recursive listing: top-level entries fan out, each
-    // task walks its subtree (data/ is partition-dir structured, so
-    // the fan-out matches partitioning). Dotfiles are catalog-internal
-    // sidecars (.grafttabular.json, commit tmp files) — never touched.
-    val top = FileCatalogStore.listDir(Paths.get(root))
-      .filterNot(_.getFileName.toString.startsWith("."))
-      .map(_.toString)
+    // distributed recursive listing through the table's Hadoop
+    // FileSystem (the location is hdfs://-style at cluster scale):
+    // top-level entries fan out, each task walks its subtree (data/ is
+    // partition-dir structured, so the fan-out matches partitioning).
+    // Dotfiles are catalog-internal sidecars (.grafttabular.json,
+    // commit tmp files, Hadoop .crc shadows) — never touched.
+    val top = HadoopIO.listChildren(root, hconf.value).map(_._1)
     val listed = spark.createDataset(top)
       .repartition(math.max(1, math.min(math.max(top.size, 1), 32)))
       .mapPartitions { it =>
-        def walk(p: Path): Iterator[(String, Long)] =
-          if (Files.isDirectory(p))
-            FileCatalogStore.listDir(p).iterator
-              .filterNot(_.getFileName.toString.startsWith("."))
-              .flatMap(walk)
-          else Iterator((p.toString, Files.getLastModifiedTime(p).toMillis))
-        it.flatMap(s => walk(Paths.get(s)))
+        val c = hconf.value
+        it.flatMap(HadoopIO.listFilesRecursive(_, c))
       }.toDF("path", "mtime")
 
     // referenced = data files (per-task manifest parse) ∪ metadata ∪
@@ -309,7 +318,7 @@ object RemoveOrphanFiles {
     val dataFiles = spark.createDataset(
       manifests.map(store.resolvePath(meta.location, _)))
       .repartition(math.max(1, math.min(math.max(manifests.size, 1), 64)))
-      .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root)))
+      .mapPartitions(_.flatMap(ManifestIO.entryPaths(_, root, hconf.value)))
       .toDF("path")
     val fixed = referencedPaths(store, id, meta).toSeq.toDF("path")
     val referenced = dataFiles.union(fixed).distinct()

@@ -52,15 +52,17 @@ object RewritePositionDeletes {
     if (manifestPaths.isEmpty) return (0L, 0L)
     val root = meta.location
     import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val entriesDf =
       (if (manifestPaths.size <= DistributeThreshold)
         spark.createDataset(manifestPaths
           .map(store.resolvePath(root, _))
-          .flatMap(ManifestIO.entryRows(_, root)))
+          .flatMap(ManifestIO.entryRows(_, root, hconf.value)))
       else
         spark.createDataset(manifestPaths.map(store.resolvePath(root, _)))
           .repartition(math.min(manifestPaths.size, 64))
-          .mapPartitions(_.flatMap(ManifestIO.entryRows(_, root))))
+          .mapPartitions(_.flatMap(ManifestIO.entryRows(_, root, hconf.value))))
         .toDF("path", "is_data", "is_pos_del", "is_eq_del",
           "record_count", "seq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,8 +136,7 @@ object RewritePositionDeletes {
           else {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val dir = s"$location/data"
-            java.nio.file.Files.createDirectories(
-              java.nio.file.Paths.get(dir))
+            graft.store.HadoopIO.mkdirs(dir, conf.value)
             val path = f"$dir/delete-rw-$pid%05d-" +
               s"${java.util.UUID.randomUUID()}.parquet"
             val writer = GraftDataWriter.newParquetWriter(
@@ -158,8 +159,7 @@ object RewritePositionDeletes {
               if (pos > maxPos) maxPos = pos
             }
             writer.close()
-            val size = java.nio.file.Files.size(
-              java.nio.file.Paths.get(path))
+            val size = graft.store.HadoopIO.size(path, conf.value)
             Iterator((path, size, count, minPath, maxPath, minPos, maxPos))
           }
         }

@@ -188,6 +188,14 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   private val rootPath = Paths.get(root)
   Files.createDirectories(rootPath)
 
+  /** Hadoop conf for DATA-PLANE paths (manifests, stats, data files
+    * live under `meta.location`, which may be a remote URI for
+    * custom-LOCATION tables); the catalog's own files stay on
+    * java.nio by design. Cached once — cloning the session conf per
+    * manifest read would dominate plan time.
+    */
+  private lazy val hadoopConf = HadoopIO.conf()
+
   private val NsMeta = ".graftns.json"
   private val TabMeta = ".grafttabular.json"
 
@@ -1520,8 +1528,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             val meta = Json.metadataFromJson(readString(
               dir.resolve("metadata").resolve(f"v$v%05d.metadata.json")))
             if (meta.location != tableLocation(info.id))
-              try deleteRecursively(Paths.get(meta.location))
-              catch { case NonFatal(_) => }
+              // custom-LOCATION data lives OUTSIDE the local catalog
+              // dir — possibly on a remote FS; java.nio would silently
+              // no-op on an hdfs://-style URI here
+              HadoopIO.deleteRecursive(meta.location, hadoopConf)
           }
         }
         deleteRecursively(dir)
@@ -2157,7 +2167,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   }
 
   def resolvePath(location: String, path: String): String =
-    if (path.startsWith("/")) path
+    if (HadoopIO.isAbsolute(path)) path
     else s"${location.stripSuffix("/")}/$path"
 
   // ------------------------------------------------------ warehouse profile
@@ -2782,28 +2792,31 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   def writeManifest(location: String, manifest: ManifestFile,
       schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
-    val dir = Paths.get(location, "metadata", "manifests")
+    // manifests live under the TABLE location (remote for
+    // custom-LOCATION tables) — Hadoop FS, not java.nio
+    val dir = s"${location.stripSuffix("/")}/metadata/manifests"
+    HadoopIO.mkdirs(dir, hadoopConf)
     val rel = manifest.copy(entries = manifest.entries.map(f =>
       f.copy(path = relativize(location, f.path))))
-    val p = dir.resolve(s"m-${UUID.randomUUID()}.json")
-    writeString(p, Json.manifestToJson(rel))
+    val p = s"$dir/m-${UUID.randomUUID()}.json"
+    HadoopIO.writeString(p, Json.manifestToJson(rel), hadoopConf)
     // write-time aggregation: the tiny sidecar planning prunes whole
     // manifests from, before parsing any entry list
     schema.foreach { sc =>
-      writeString(Paths.get(p.toString + ".sum"),
-        Json.manifestSummaryToJson(ManifestSummary.of(rel, sc)))
+      HadoopIO.writeString(p + ".sum",
+        Json.manifestSummaryToJson(ManifestSummary.of(rel, sc)), hadoopConf)
     }
-    relativize(location, p.toString)
+    relativize(location, p)
   }
 
   /** Write-time summary of a manifest, if its writer produced one
     * (legacy manifests without sidecars are conservatively parsed).
     */
   def readManifestSummary(location: String, path: String): Option[ManifestSummary] = {
-    val p = Paths.get(resolvePath(location, path) + ".sum")
-    if (!Files.exists(p)) None
-    else scala.util.Try(
-      Json.manifestSummaryFromJson(readString(p))).toOption
+    val p = resolvePath(location, path) + ".sum"
+    scala.util.Try(
+      Json.manifestSummaryFromJson(HadoopIO.readString(p, hadoopConf)))
+      .toOption
   }
 
   def readManifest(location: String, path: String): ManifestFile = {
@@ -2813,7 +2826,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       val hit = FileCatalogStore.manifestCache.get(abs)
       if (hit != null) return hit
     }
-    val m = Json.manifestFromJson(readString(Paths.get(abs)))
+    val m = Json.manifestFromJson(HadoopIO.readString(abs, hadoopConf))
     val resolved = m.copy(entries = m.entries.map(f =>
       f.copy(path = resolvePath(location, f.path))))
     FileCatalogStore.manifestCache.synchronized {

@@ -1,0 +1,153 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+
+/** Hadoop-FileSystem IO for every path derived from a table LOCATION.
+  *
+  * The catalog's own files (namespaces, tabular info, metadata
+  * versions, the event log) are local-by-design and stay on java.nio —
+  * but a table's DATA plane (data files, manifests, stats sidecars)
+  * lives at `meta.location`, which at cluster scale is an `hdfs://`,
+  * `s3a://` or `file:` URI that `java.nio.file.Paths.get` cannot even
+  * parse (reference contract: `server/io.rs:74-78` routes all tabular
+  * IO through the object-store client). Everything that reads, lists
+  * or deletes under a table location must go through here.
+  *
+  * `FileSystem.get` caches instances per (scheme, authority), so the
+  * per-call `getFileSystem` is a map lookup after first touch.
+  */
+object HadoopIO {
+
+  /** Driver-side conf: the active session's Hadoop conf (carries
+    * `fs.*.impl` bindings and credentials). Falls back to defaults for
+    * storeless contexts — plain local paths need no settings.
+    * Executor-side closures must instead capture a
+    * [[org.apache.spark.util.SerializableConfiguration]].
+    */
+  def conf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*".r
+
+  /** Absolute in the data-plane sense: rooted (`/x`) OR scheme-qualified
+    * (`file:/x`, `hdfs://nn/x`, `s3a://b/k`). Manifest entries and
+    * location-relative paths are resolved against this test.
+    */
+  def isAbsolute(p: String): Boolean =
+    p.startsWith("/") || SchemeRe.matches(p)
+
+  def fs(path: String, conf: Configuration): FileSystem =
+    new HPath(path).getFileSystem(conf)
+
+  def readBytes(path: String, conf: Configuration): Array[Byte] = {
+    val p = new HPath(path)
+    val f = p.getFileSystem(conf)
+    val len = f.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"file too large to buffer: $path ($len B)")
+    val buf = new Array[Byte](len.toInt)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  def readString(path: String, conf: Configuration): String =
+    new String(readBytes(path, conf), StandardCharsets.UTF_8)
+
+  def writeBytes(path: String, bytes: Array[Byte], conf: Configuration): Unit = {
+    val p = new HPath(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeString(path: String, s: String, conf: Configuration): Unit =
+    writeBytes(path, s.getBytes(StandardCharsets.UTF_8), conf)
+
+  def size(path: String, conf: Configuration): Long = {
+    val p = new HPath(path)
+    p.getFileSystem(conf).getFileStatus(p).getLen
+  }
+
+  def exists(path: String, conf: Configuration): Boolean = {
+    val p = new HPath(path)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  def mkdirs(path: String, conf: Configuration): Unit = {
+    val p = new HPath(path)
+    p.getFileSystem(conf).mkdirs(p)
+  }
+
+  /** Best-effort single-file delete; true only if a file was removed
+    * (already-gone and IO errors both report false — maintenance
+    * counts must reflect actual deletions, not attempts).
+    */
+  def delete(path: String, conf: Configuration): Boolean =
+    try {
+      val p = new HPath(path)
+      p.getFileSystem(conf).delete(p, false)
+    } catch { case NonFatal(_) => false }
+
+  def deleteRecursive(path: String, conf: Configuration): Boolean =
+    try {
+      val p = new HPath(path)
+      p.getFileSystem(conf).delete(p, true)
+    } catch { case NonFatal(_) => false }
+
+  /** Immediate children of `dir` (files and directories), skipping
+    * dot-prefixed names (catalog sidecars, Hadoop .crc shadows),
+    * rendered in the SAME path form the caller passed (see
+    * [[renderLike]]): Seq of (path, isDirectory).
+    */
+  def listChildren(dir: String, conf: Configuration): Seq[(String, Boolean)] = {
+    val p = new HPath(dir)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) return Nil
+    val render = renderLike(dir, f)
+    f.listStatus(p).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(st => (render(st.getPath), st.isDirectory))
+  }
+
+  /** Recursive file listing under `root` skipping dot-prefixed names at
+    * every level, rendered in root's own path form:
+    * (path, modificationTimeMs). Listing a plain file yields itself.
+    */
+  def listFilesRecursive(root: String, conf: Configuration)
+      : Iterator[(String, Long)] = {
+    val rp = new HPath(root)
+    val f = rp.getFileSystem(conf)
+    if (!f.exists(rp)) return Iterator.empty
+    val render = renderLike(root, f)
+    def walk(st: FileStatus): Iterator[(String, Long)] =
+      if (st.isDirectory)
+        f.listStatus(st.getPath).iterator
+          .filterNot(_.getPath.getName.startsWith("."))
+          .flatMap(walk)
+      else Iterator((render(st.getPath), st.getModificationTime))
+    walk(f.getFileStatus(rp))
+  }
+
+  /** `FileSystem.listStatus` returns scheme-qualified paths
+    * (`file:/tmp/x`) even when the caller addressed a plain `/tmp/x`;
+    * string joins against manifest-resolved references then miss. This
+    * renders listed paths back into the exact form `base` uses.
+    */
+  private def renderLike(base: String, f: FileSystem): HPath => String = {
+    val baseForm = base.stripSuffix("/")
+    val baseQ = f.makeQualified(new HPath(baseForm)).toString
+    (p: HPath) => {
+      val s = p.toString
+      if (s.startsWith(baseQ) &&
+          (s.length == baseQ.length || s.charAt(baseQ.length) == '/'))
+        baseForm + s.substring(baseQ.length)
+      else s
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft.maintenance
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connector.{GraftCatalog, GraftExtensions}
+import graft.meta.TableMetadata
+import graft.store.{HadoopIO, TabularId}
+
+/** The maintenance DATA plane must run on the table's Hadoop
+  * FileSystem: at cluster scale `meta.location` is an hdfs:// or
+  * s3a:// URI on which `java.nio.file.Paths.get` cannot even resolve —
+  * a java.nio delete would swallow its exception and report success
+  * while removing nothing (the silent-no-op failure mode). Every test
+  * here runs a table whose LOCATION is a `file:`-scheme URI — a form
+  * only a Hadoop `FileSystem` can address — end-to-end: write, scan,
+  * expire_snapshots, remove_orphan_files, metadata tables, purge.
+  *
+  * (SQL `LOCATION 'file:/x'` is normalized by GraftCatalog to a plain
+  * local path, so the table is registered through the store with the
+  * scheme'd location intact — exactly how an hdfs:// LOCATION flows
+  * in production.)
+  */
+class MaintenanceHadoopFsSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-maintfs-wh").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-maintfs-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def graftCatalog: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+
+  /** Local directory behind the file:-scheme location, for java.nio
+    * ground-truth assertions about what actually exists on disk.
+    */
+  private def local(fileUri: String): Path =
+    Paths.get(fileUri.stripPrefix("file:"))
+
+  private def mkFileSchemeTable(name: String): (TabularId, String) = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maintfs")
+    val dir = Files.createTempDirectory(s"graft-maintfs-$name")
+    val location = "file:" + dir.toAbsolutePath
+    val id = TabularId(Seq("maintfs"), name)
+    val meta = TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, location,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    graftCatalog.store.createTable(id, meta)
+    (id, location)
+  }
+
+  private def dataFilesOnDisk(location: String): Seq[Path] = {
+    val dataDir = local(location).resolve("data")
+    if (!Files.isDirectory(dataDir)) Nil
+    else {
+      val s = Files.walk(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq
+      } finally s.close()
+    }
+  }
+
+  test("write + scan + metadata tables work at a file:-scheme location") {
+    val (_, location) = mkFileSchemeTable("t1")
+    spark.sql("INSERT INTO graft.maintfs.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT * FROM graft.maintfs.t1").count() === 2)
+    // the data files really live behind the URI
+    assert(dataFilesOnDisk(location).nonEmpty)
+    // manifests were written through Hadoop FS at the scheme'd location
+    assert(Files.isDirectory(
+      local(location).resolve("metadata").resolve("manifests")))
+    // distributed metadata-table scan parses manifests through Hadoop FS
+    val files = spark.sql("SELECT file_path FROM graft.maintfs.t1.files")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(_.startsWith("file:/")))
+  }
+
+  test("expire_snapshots deletes overwritten files via Hadoop FS") {
+    val (id, location) = mkFileSchemeTable("t2")
+    spark.sql("INSERT INTO graft.maintfs.t2 VALUES (1, 'a'), (2, 'b')")
+    val firstGen = dataFilesOnDisk(location)
+    assert(firstGen.nonEmpty)
+    spark.sql("INSERT OVERWRITE graft.maintfs.t2 VALUES (3, 'c')")
+    // both generations on disk until retention runs
+    assert(firstGen.forall(Files.exists(_)))
+
+    val res = ExpireSnapshots.run(graftCatalog.store, id,
+      olderThanMs = Some(System.currentTimeMillis() + 60000),
+      retainLast = Some(1))
+    assert(res.expiredSnapshots === 1)
+    assert(res.deletedFiles >= firstGen.size.toLong)
+    assert(firstGen.forall(!Files.exists(_)),
+      "expired generation must actually be deleted through Hadoop FS")
+    assert(spark.sql("SELECT * FROM graft.maintfs.t2").count() === 1)
+  }
+
+  test("remove_orphan_files lists and deletes via Hadoop FS") {
+    val (id, location) = mkFileSchemeTable("t3")
+    spark.sql("INSERT INTO graft.maintfs.t3 VALUES (1, 'a')")
+    val live = dataFilesOnDisk(location)
+    // plant an orphan: never referenced by any manifest
+    val orphan = local(location).resolve("data").resolve("orphan-0.parquet")
+    Files.write(orphan, Array[Byte](9, 9, 9))
+
+    val cutoff = Some(System.currentTimeMillis() + 60000)
+    val listed = RemoveOrphanFiles.list(graftCatalog.store, id, cutoff)
+    assert(listed === Seq(s"$location/data/orphan-0.parquet"),
+      "listing must render orphans in the location's own URI form")
+
+    val removed = RemoveOrphanFiles.run(graftCatalog.store, id, cutoff)
+    assert(removed === 1L)
+    assert(!Files.exists(orphan),
+      "orphan must actually be deleted through Hadoop FS")
+    assert(live.forall(Files.exists(_)), "live files must survive")
+    assert(spark.sql("SELECT * FROM graft.maintfs.t3").count() === 1)
+  }
+
+  test("row-level DELETE writes its delete file via Hadoop FS") {
+    val (_, location) = mkFileSchemeTable("t4")
+    spark.sql("INSERT INTO graft.maintfs.t4 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM graft.maintfs.t4 WHERE id = 1")
+    assert(spark.sql("SELECT * FROM graft.maintfs.t4").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("purge of a dropped custom-location table deletes its data dir") {
+    val (id, location) = mkFileSchemeTable("t5")
+    spark.sql("INSERT INTO graft.maintfs.t5 VALUES (1, 'a')")
+    assert(Files.isDirectory(local(location)))
+    spark.sql("DROP TABLE graft.maintfs.t5")
+    val tomb = graftCatalog.store.listDeletedTabulars()
+      .find(_.id == id).getOrElse(fail("drop must leave a tombstone"))
+    assert(graftCatalog.store.purgeTombstone(id.namespace, tomb.uuid))
+    assert(!Files.exists(local(location)),
+      "custom-location data must be deleted through Hadoop FS on purge")
+  }
+
+  test("ANALYZE stats sidecars write and read back at a file: location") {
+    val (id, location) = mkFileSchemeTable("t6")
+    spark.sql("INSERT INTO graft.maintfs.t6 VALUES (1, 'a'), (2, 'b')")
+    val sf = Analyze.run(spark, graftCatalog.store, id, "graft.maintfs.t6")
+    assert(sf.path.startsWith("file:/"))
+    val (meta, _) = graftCatalog.store.loadTableMetadata(id).get
+    val stats = Analyze.forSnapshot(meta, sf.snapshotId)
+    assert(stats.isDefined, "stats must read back through Hadoop FS")
+  }
+}
