@@ -1185,15 +1185,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     }
     var attempt = 0
     while (true) {
+      // wait out any tx journal TOUCHING THIS TABLE before taking the
+      // in-process lock — a long wait must not also queue this JVM's
+      // commits to unrelated tables behind commitLock
+      maybeRecoverTx(id)
       // single-table commits and multi-table transactions serialize
       // through the same in-process lock: a transaction's write+rollback
       // window must never interleave with a commit that builds on a
       // version the rollback is about to delete
       val done = commitLock.synchronized {
-        // a dead transaction's journal may hold this table's next
-        // version — resolve it before building on stale state (one
-        // Files.exists stat on the quiet path)
-        maybeRecoverTx()
+        // re-gate under the lock (a journal can land between the wait
+        // above and here; one Files.exists stat on the quiet path)
+        maybeRecoverTx(id)
         val currentOpt = loadTableMetadata(id)
         Commit.checkRequirements(currentOpt.map(_._1), requirements)
         val current = currentOpt.map(_._1).getOrElse(
@@ -1256,10 +1259,22 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           // corrupt link then survives; keyed replays re-run this
           // classifier in resolveIdempotent), and two successors both
           // completing inside those same microseconds.
+          // withdraw our link ONLY while it still carries our bytes
+          // (round 14): in the window after an indeterminate failure a
+          // recoverer or a racing self-abort may have re-taken the
+          // slot — deleting by path alone would destroy that foreign
+          // link. An already-gone or foreign target counts as
+          // withdrawn: OUR commit is no longer visible either way.
+          def withdrawOurs(): Boolean =
+            try {
+              if (!Files.exists(target)) true
+              else if (readString(target) != json) true // foreign slot
+              else { Files.deleteIfExists(target); true }
+            } catch { case NonFatal(_) => false }
           val parentGone =
             try {
               v > 0 && {
-                if (Files.exists(txJournal)) maybeRecoverTx()
+                if (Files.exists(txJournal)) maybeRecoverTx(id)
                 !Files.exists(
                   metadataDir(id).resolve(f"v${v - 1}%05d.metadata.json")) &&
                   currentVersion(id) <= v + 1
@@ -1270,14 +1285,12 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               // visible — withdraw our link before rethrowing; any
               // successor that read it self-aborts through this same
               // check
-              try Files.deleteIfExists(target) catch { case NonFatal(_) => }
+              withdrawOurs()
               metaCache.remove(id)
               throw e
             }
           if (parentGone) {
-            val unlinked =
-              try { Files.deleteIfExists(target); true }
-              catch { case NonFatal(_) => false }
+            val unlinked = withdrawOurs()
             metaCache.remove(id)
             if (!unlinked && Files.exists(target))
               throw new CommitFailedException(
@@ -1619,6 +1632,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   @volatile var txLockStaleMs: Long = 60000L
 
+  /** How long a single-table commit waits for a live transaction's
+    * journal to quiesce before failing. <= 0 derives the default from
+    * `txLockStaleMs` (two steal windows + margin). Settable so
+    * deployments with long transactions — and deterministic timeout
+    * specs — don't inherit a hardwired 2.5 min stall.
+    */
+  @volatile var txQuiesceTimeoutMs: Long = 0L
+
+  private def txQuiesceDeadlineMs: Long =
+    if (txQuiesceTimeoutMs > 0) txQuiesceTimeoutMs
+    else math.max(2 * txLockStaleMs, 10000L) + 30000L
+
   /** Finish a dead transaction from its journal — deterministic in
     * either direction. status=committing → roll FORWARD: the tx had
     * passed all requirement checks and may already have linked some
@@ -1703,17 +1728,25 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   }
 
   /** Transaction-quiescence gate for single-table commits: while a tx
-    * JOURNAL exists, the commit must not build — a dead tx's journal
-    * needs recovery first, and a LIVE one (another process mid-phase-2;
-    * round 13) may still ROLL BACK the very version file this commit
-    * would read as its parent, baking the tx's effects into our new
-    * version while the tx itself becomes "none" — the cross-process
-    * face of the interleaving [[commitLock]] already prevents in-JVM
-    * (the reference gets both from one Postgres transaction). The
-    * journal's lifetime brackets exactly the rollback-possible span
-    * (it is deleted after the final link or after the rollback), so
-    * waiting on journal existence alone is the minimal safe gate.
-    * One Files.exists stat on the quiet path.
+    * JOURNAL exists that TOUCHES this table, the commit must not
+    * build — a dead tx's journal needs recovery first, and a LIVE one
+    * (another process mid-phase-2; round 13) may still ROLL BACK the
+    * very version file this commit would read as its parent, baking
+    * the tx's effects into our new version while the tx itself becomes
+    * "none" — the cross-process face of the interleaving
+    * [[commitLock]] already prevents in-JVM (the reference gets both
+    * from one Postgres transaction). The journal's lifetime brackets
+    * exactly the rollback-possible span (it is deleted after the final
+    * link or after the rollback), so waiting on journal existence is
+    * the safe gate. One Files.exists stat on the quiet path.
+    *
+    * The gate is SCOPED (round 14): a transaction can only create or
+    * roll back version files of the tables its journal lists (entries
+    * by ns/name, abort paths under their metadata dirs), so a commit
+    * on any OTHER table proceeds immediately — one slow transaction no
+    * longer stalls all commit traffic warehouse-wide. An unreadable
+    * journal (torn write) conservatively gates everyone. The wait
+    * backs off 2 → 50 ms and the deadline is [[txQuiesceTimeoutMs]].
     *
     * Recovery itself only ever runs FENCED: journal-with-no-lock is
     * also reachable mid-steal, or while a NEW transaction is racing to
@@ -1724,11 +1757,11 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * `.txlock`) and loops if beaten; the winner — live holder or a
     * later recoverer — resolves the journal.
     */
-  private def maybeRecoverTx(): Unit = {
+  private def maybeRecoverTx(scope: TabularId): Unit = {
     if (!Files.exists(txJournal)) return // quiet path
-    val deadline = System.currentTimeMillis() +
-      math.max(2 * txLockStaleMs, 10000L) + 30000L
-    while (Files.exists(txJournal)) {
+    val deadline = System.currentTimeMillis() + txQuiesceDeadlineMs
+    var sleepMs = 2L
+    while (Files.exists(txJournal) && txJournalTouches(scope)) {
       if (System.currentTimeMillis() > deadline)
         throw new CommitFailedException(
           "Transaction journal did not quiesce — a live transaction is " +
@@ -1737,7 +1770,8 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         // live holder (or a fresh corpse): reclaim only a STALE lock,
         // otherwise wait for the tx to finalize
         stealStaleTxLock()
-        Thread.sleep(2)
+        Thread.sleep(sleepMs)
+        sleepMs = math.min(sleepMs * 2, 50L)
       } else {
         val acquired =
           try { Files.createFile(txLock); true }
@@ -1752,9 +1786,39 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           finally {
             try Files.deleteIfExists(txLock) catch { case NonFatal(_) => }
           }
-        } else Thread.sleep(2)
+        } else {
+          Thread.sleep(sleepMs)
+          sleepMs = math.min(sleepMs * 2, 50L)
+        }
       }
     }
+  }
+
+  /** Does the journal name this table — in its staged entries (ns and
+    * name) or its abort list (paths under the table's metadata dir)?
+    * A journal that cannot be read mid-rewrite conservatively touches
+    * everything; a rollback can only ever delete paths the journal
+    * itself records, so a miss here is proof of non-interference.
+    */
+  private def txJournalTouches(id: TabularId): Boolean = {
+    val text = try readString(txJournal) catch { case NonFatal(_) =>
+      return Files.exists(txJournal) } // vanished = quiesced; torn = gate
+    val parsed = try JsonMethods.parse(text)
+      catch { case NonFatal(_) => return true }
+    val inEntries = (parsed \ "entries") match {
+      case JArray(es) => es.exists { e =>
+        (e \ "ns").extractOpt[Seq[String]].contains(id.namespace) &&
+          (e \ "name").extractOpt[String].contains(id.name)
+      }
+      case _ => false
+    }
+    lazy val dirPrefix = metadataDir(id).toString + "/"
+    val inWritten = (parsed \ "written") match {
+      case JArray(ps) => ps.exists(
+        _.\("path").extractOpt[String].exists(_.startsWith(dirPrefix)))
+      case _ => false
+    }
+    inEntries || inWritten
   }
 
   /** Fenced steal of a dead holder's `.txlock`. Staleness is judged by

@@ -400,4 +400,72 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     b.createNamespace(Seq("allowed"), Map.empty)
     assert(b.namespaceExists(Seq("allowed")))
   }
+
+  /** Write a live-looking tx journal naming exactly `name` in `db`. */
+  private def plantTxJournal(s: FileCatalogStore, name: String,
+      metaJson: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("status" -> "committing") ~
+      ("entries" -> List(
+        ("ns" -> List("db")) ~ ("name" -> name) ~ ("v" -> 1) ~
+          ("metadata" -> metaJson))) ~
+      ("written" -> List.empty[String])
+    Files.write(java.nio.file.Paths.get(s.root, ".txjournal"),
+      JsonMethods.compact(JsonMethods.render(j))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  test("tx-quiescence gate is scoped to the tables the journal names") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val a = TabularId(Seq("db"), "a")
+    val b = TabularId(Seq("db"), "b")
+    val metaA = mkTable(s, a)
+    mkTable(s, b)
+    // a LIVE transaction (fresh .txlock + journal) mid-phase-2 on A
+    plantTxJournal(s, "a", Json.metadataToJson(metaA))
+    val lock = java.nio.file.Paths.get(s.root, ".txlock")
+    Files.createFile(lock)
+    s.txQuiesceTimeoutMs = 300
+    try {
+      // B is not in the journal: its commit must proceed immediately,
+      // not stall behind the warehouse-global transaction
+      val t0 = System.nanoTime()
+      s.commitTable(b, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "v"))))
+      assert((System.nanoTime() - t0) / 1e6 < 250,
+        "unrelated commit must not wait on the live journal")
+      assert(Files.exists(java.nio.file.Paths.get(s.root, ".txjournal")),
+        "unrelated commit must not recover a live journal")
+      // A IS in the journal: its commit must wait and then time out
+      // against the (stuck) live holder
+      assertThrows[CommitFailedException] {
+        s.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("k" -> "v"))))
+      }
+    } finally {
+      s.txQuiesceTimeoutMs = 0
+      Files.deleteIfExists(lock)
+      Files.deleteIfExists(java.nio.file.Paths.get(s.root, ".txjournal"))
+    }
+  }
+
+  test("commit on a journaled table recovers a DEAD journal first") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val a = TabularId(Seq("db"), "a")
+    val metaA = mkTable(s, a)
+    // dead tx: journal present, no .txlock — its roll-forward creates
+    // v1 with these exact bytes (a property the tx was committing)
+    val txMeta = graft.meta.Commit.applyUpdates(metaA,
+      Seq(TableUpdate.SetProperties(Map("from-tx" -> "yes"))))
+    plantTxJournal(s, "a", Json.metadataToJson(txMeta))
+    // our commit must roll the dead tx FORWARD (v1 = its bytes), then
+    // build v2 on top — never bury the journaled version
+    s.commitTable(a, Nil, Seq(TableUpdate.SetProperties(Map("ours" -> "1"))))
+    val (m, v) = s.loadTableMetadata(a).get
+    assert(v === 2)
+    assert(m.properties.get("from-tx").contains("yes"))
+    assert(m.properties.get("ours").contains("1"))
+    assert(!Files.exists(java.nio.file.Paths.get(s.root, ".txjournal")))
+  }
 }
