@@ -261,10 +261,100 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   // the _changes directory (dot/underscore-prefixed files are ignored)
   private def retentionPath: Path = changesDir.resolve(".retention.json")
 
+  /** Segmented event log (round 14): appends go to the ACTIVE file
+    * `events.jsonl` only; once it crosses [[eventSegmentBytes]] it is
+    * SEALED — renamed to `events-<ts>-<uuid>.jsonl` (plain-named so
+    * directory-reading consumers pick segments up transparently;
+    * never-reused names so a file-streaming source can't be handed a
+    * recycled path). Sealed segments are immutable: the trim reads and
+    * rewrites them WITHOUT the append lock, so a GB-scale trim no
+    * longer stalls every commit's event append — the only append-lock
+    * work left in a trim is the O(1) seal rename + cutoff stamp.
+    */
+  @volatile var eventSegmentBytes: Long = 32L * 1024 * 1024
+
+  private def activeEventsFile: Path = changesDir.resolve("events.jsonl")
+
+  private def sealedSegments(): Seq[Path] =
+    if (!Files.isDirectory(changesDir)) Nil
+    else FileCatalogStore.listDir(changesDir)
+      .filter { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith("events-") && fn.endsWith(".jsonl")
+      }.sortBy(_.getFileName.toString)
+
+  /** Seal the active file (caller must hold the event file lock) and
+    * leave a fresh empty active in its place — consumers may append
+    * with bare APPEND semantics.
+    */
+  private def sealActiveEvents(): Unit = {
+    val seg = changesDir.resolve(
+      f"events-${System.currentTimeMillis()}%013d-${UUID.randomUUID().toString.take(8)}.jsonl")
+    try {
+      Files.move(activeEventsFile, seg,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.createFile(activeEventsFile)
+    } catch { case NonFatal(_) => } // nothing to seal
+  }
+
+  /** Is the FIRST line's ts below `cutoff`? Appends stamp ts under the
+    * file lock, so lines are ts-ordered within a file and the head
+    * decides trimmability for the whole file. Missing/empty → false
+    * (nothing to trim); unparseable head (torn line) → true
+    * (conservative: let the full scan's keep-unparseable rule judge).
+    */
+  private def headTsBelow(p: Path, cutoff: Long): Boolean = {
+    if (!Files.exists(p)) return false
+    val reader =
+      try Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      catch { case NonFatal(_) => return false }
+    try {
+      val line = reader.readLine()
+      if (line == null) false
+      else try {
+        import org.json4s.jackson.JsonMethods
+        (JsonMethods.parse(line) \ "ts-ms").extractOpt[Long]
+          .forall(_ < cutoff)
+      } catch { case NonFatal(_) => true }
+    } finally reader.close()
+  }
+
+  private def countLines(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val reader =
+      try Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      catch { case NonFatal(_) => return 0L }
+    try {
+      var n = 0L
+      while (reader.readLine() != null) n += 1
+      n
+    } finally reader.close()
+  }
+
+  /** Serializes trims (and only trims) across threads and processes —
+    * appends never touch this lock, so a long trim pass cannot delay
+    * them. Same monitor-then-OS-lock shape as [[withEventFileLock]].
+    */
+  private def withTrimLock[T](body: => T): T = {
+    Files.createDirectories(changesDir)
+    val lockPath = changesDir.resolve(".trim.lock")
+    val monitor = FileCatalogStore.eventFileMonitors.computeIfAbsent(
+      lockPath.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
+
   /** Event-log retention state ([[EventRetention]]): None until the
     * first trim. The sidecar is the SOURCE OF TRUTH — readers filter
     * `ts-ms >= cutoffMs` and add the recorded bases, so the physical
-    * rewrite of events.jsonl is only space reclamation and a crash
+    * rewrite of the segments is only space reclamation and a crash
     * between the sidecar move and the rewrite changes nothing.
     */
   /** Parsed-retention cache keyed by the sidecar file's (size, mtime,
@@ -337,15 +427,13 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     * recounting (only lines at or above the previous cutoff count
     * toward the new bases). Returns (trimmed, kept) line counts.
     */
-  def trimEventLog(olderThanMs: Long): (Long, Long) =
-    eventLock.synchronized { withEventFileLock {
+  def trimEventLog(olderThanMs: Long): (Long, Long) = withTrimLock {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val log = changesDir.resolve("events.jsonl")
-    if (!Files.exists(log)) return (0L, 0L)
-    // temp debris from a trim that died mid-flight: we HOLD the
-    // exclusive event-file lock, and trims are the only temp writers
-    // under it, so any temp present now is a corpse
+    if (!Files.isDirectory(changesDir)) return (0L, 0L)
+    // temp debris from a trim that died mid-flight: we HOLD the trim
+    // lock, and trims are the only temp writers under it, so any temp
+    // present now is a corpse
     FileCatalogStore.listDir(changesDir)
       .filter { p =>
         val fn = p.getFileName.toString
@@ -353,21 +441,36 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       }
       .foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => })
     val prev = eventRetention.getOrElse(EventRetention(0L, Map.empty, 0L, 0L))
-    // retention can never trim the FUTURE: an over-eager cutoff would
-    // otherwise mask every event logged for its remaining duration
-    val cutoff = math.max(prev.cutoffMs,
-      math.min(olderThanMs, System.currentTimeMillis()))
-    // ONE streaming pass: reader → kept-lines temp writer, with running
-    // counters — the log is the per-mutation audit stream this feature
-    // exists to bound, so the trim itself must never materialize it on
-    // the driver (a 90-day log at production commit volume is GBs; this
-    // path runs under a capped heap in EventRetentionSpec). State held
-    // in memory is O(distinct tabulars in the trimmed window), not
-    // O(lines). Unparseable / ts-less lines (e.g. a torn final line
-    // from a death mid-append) are KEPT, uncounted — the conservative
-    // choice; lines below the PREVIOUS cutoff are already in the bases
-    // (a crashed rewrite left them behind) — discarded without
-    // counting.
+    // The ONLY append-lock work in a trim (round 14): clamp the cutoff
+    // to a now taken UNDER the lock — retention can never trim the
+    // FUTURE, and any append serialized after this stamps ts >= cutoff
+    // (the lost-append invariant carries over to segments) — then seal
+    // the active file iff its HEAD is below the cutoff (appends are
+    // ts-ordered within a file because ts is stamped under this same
+    // lock; a pre-fix or clock-step-back straggler below the cutoff in
+    // a head-fresh file simply stays, filtered by the sidecar cutoff,
+    // until a later trim whose cutoff passes the head). Everything the
+    // pass reads below is a SEALED, immutable segment — a GB-scale
+    // trim delays a concurrent append by at most this one rename.
+    var cutoff = prev.cutoffMs
+    eventLock.synchronized { withEventFileLock {
+      cutoff = math.max(prev.cutoffMs,
+        math.min(olderThanMs, System.currentTimeMillis()))
+      if (headTsBelow(activeEventsFile, cutoff)) sealActiveEvents()
+    } }
+    val segments = sealedSegments()
+    // ONE streaming pass per segment: reader → kept-lines temp writer,
+    // with running counters — the log is the per-mutation audit stream
+    // this feature exists to bound, so the trim itself must never
+    // materialize it on the driver (a 90-day log at production commit
+    // volume is GBs; this path runs under a capped heap in
+    // EventRetentionSpec). State held in memory is O(distinct tabulars
+    // in the trimmed window), not O(lines). Unparseable / ts-less
+    // lines (e.g. a torn final line from a death mid-append) are KEPT,
+    // uncounted — the conservative choice; lines below the PREVIOUS
+    // cutoff are already in the bases (a crashed rewrite left them
+    // behind) — discarded without counting. Head-fresh segments
+    // (first ts >= cutoff) take a count-only scan, no rewrite.
     var trimmedCount = 0L
     var discarded = 0L
     var keptCount = 0L
@@ -396,61 +499,100 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       .empty[(String, String), Long]
     val keptKeys = scala.collection.mutable.HashSet
       .empty[(String, String)]
-    val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
-    val reader = Files.newBufferedReader(log, StandardCharsets.UTF_8)
-    try {
-      val writer = Files.newBufferedWriter(logTmp, StandardCharsets.UTF_8)
+    def classify(line: String)
+        : Option[(Long, (String, String), String, String)] =
       try {
-        var line = reader.readLine()
-        while (line != null) {
-          val parsed: Option[(Long, (String, String), String, String)] =
-            try {
-              val j = JsonMethods.parse(line)
-              (j \ "ts-ms").extractOpt[Long].map(ts => (ts,
-                ((j \ "namespace").extractOpt[String].getOrElse(""),
-                  (j \ "name").extractOpt[String].getOrElse("")),
-                (j \ "event-type").extractOpt[String].getOrElse(""),
-                (j \ "extra" \ "kind").extractOpt[String].getOrElse("")))
-            } catch { case NonFatal(_) => None }
-          parsed match {
-            case None =>
-              writer.write(line); writer.newLine(); keptCount += 1
-            case Some((ts, _, _, _)) if ts < prev.cutoffMs =>
-              discarded += 1
-            case Some((ts, key, eventType, kind)) if ts < cutoff =>
-              trimmedCount += 1
-              trimCounts.update(key, trimCounts.getOrElse(key, 0L) + 1L)
-              if (eventType == "tabular-purged")
-                lastPurgeTs.update(key,
-                  math.max(lastPurgeTs.getOrElse(key, Long.MinValue), ts))
-              else
-                lastOtherTs.update(key,
-                  math.max(lastOtherTs.getOrElse(key, Long.MinValue), ts))
-              // count-base deltas mirror warehouseStatistics' rules
-              eventType match {
-                case "table-created" => tableDelta += 1L
-                case "view-created" => viewDelta += 1L
-                case "tabular-purged" | "tabular-soft-deleted" =>
-                  if (kind == "table") tableDelta -= 1L
-                  else if (kind == "view") viewDelta -= 1L
-                case "tabular-undropped" =>
-                  if (kind == "table") tableDelta += 1L
-                  else if (kind == "view") viewDelta += 1L
-                case _ =>
-              }
-            case Some((_, key, _, _)) =>
-              writer.write(line); writer.newLine(); keptCount += 1
-              keptKeys += key
+        val j = JsonMethods.parse(line)
+        (j \ "ts-ms").extractOpt[Long].map(ts => (ts,
+          ((j \ "namespace").extractOpt[String].getOrElse(""),
+            (j \ "name").extractOpt[String].getOrElse("")),
+          (j \ "event-type").extractOpt[String].getOrElse(""),
+          (j \ "extra" \ "kind").extractOpt[String].getOrElse("")))
+      } catch { case NonFatal(_) => None }
+
+    // scan one sealed segment; (kept temp, kept, touched) —
+    // touched=false means nothing was dropped (or the head is already
+    // at/above the cutoff, so a count-only pass sufficed): the segment
+    // file stays exactly as it is
+    def scanSegment(seg: Path): (Option[Path], Long, Boolean) = {
+      var segKept = 0L
+      if (!headTsBelow(seg, math.max(cutoff, prev.cutoffMs))) {
+        // count-only: a head-fresh segment holds nothing trimmable
+        val reader = Files.newBufferedReader(seg, StandardCharsets.UTF_8)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            segKept += 1
+            classify(line).foreach { case (_, key, _, _) => keptKeys += key }
+            line = reader.readLine()
           }
-          line = reader.readLine()
-        }
-      } finally writer.close()
-    } catch { case NonFatal(e) =>
-      try Files.deleteIfExists(logTmp) catch { case NonFatal(_) => }
-      throw e
-    } finally reader.close()
+        } finally reader.close()
+        keptCount += segKept
+        return (None, segKept, false)
+      }
+      var segDropped = 0L
+      val logTmp = changesDir.resolve(s".events-${UUID.randomUUID()}")
+      val reader = Files.newBufferedReader(seg, StandardCharsets.UTF_8)
+      try {
+        val writer = Files.newBufferedWriter(logTmp, StandardCharsets.UTF_8)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            classify(line) match {
+              case None =>
+                writer.write(line); writer.newLine(); segKept += 1
+              case Some((ts, _, _, _)) if ts < prev.cutoffMs =>
+                discarded += 1; segDropped += 1
+              case Some((ts, key, eventType, kind)) if ts < cutoff =>
+                trimmedCount += 1; segDropped += 1
+                trimCounts.update(key, trimCounts.getOrElse(key, 0L) + 1L)
+                if (eventType == "tabular-purged")
+                  lastPurgeTs.update(key,
+                    math.max(lastPurgeTs.getOrElse(key, Long.MinValue), ts))
+                else
+                  lastOtherTs.update(key,
+                    math.max(lastOtherTs.getOrElse(key, Long.MinValue), ts))
+                // count-base deltas mirror warehouseStatistics' rules
+                eventType match {
+                  case "table-created" => tableDelta += 1L
+                  case "view-created" => viewDelta += 1L
+                  case "tabular-purged" | "tabular-soft-deleted" =>
+                    if (kind == "table") tableDelta -= 1L
+                    else if (kind == "view") viewDelta -= 1L
+                  case "tabular-undropped" =>
+                    if (kind == "table") tableDelta += 1L
+                    else if (kind == "view") viewDelta += 1L
+                  case _ =>
+                }
+              case Some((_, key, _, _)) =>
+                writer.write(line); writer.newLine(); segKept += 1
+                keptKeys += key
+            }
+            line = reader.readLine()
+          }
+        } finally writer.close()
+      } catch { case NonFatal(e) =>
+        try Files.deleteIfExists(logTmp) catch { case NonFatal(_) => }
+        throw e
+      } finally reader.close()
+      keptCount += segKept
+      if (segDropped == 0) {
+        Files.deleteIfExists(logTmp)
+        (None, segKept, false)
+      } else (Some(logTmp), segKept, true)
+    }
+
+    val plans: Seq[(Path, Option[Path], Long, Boolean)] =
+      segments.map { seg =>
+        val (tmp, kept, touched) = scanSegment(seg)
+        (seg, tmp, kept, touched)
+      }
+    // surviving-but-unscanned lines in the active file count toward
+    // the kept total (appends after the seal are all at/above cutoff)
+    keptCount += countLines(activeEventsFile)
     if (trimmedCount == 0 && discarded == 0) {
-      Files.deleteIfExists(logTmp)
+      plans.foreach(_._2.foreach(p =>
+        try Files.deleteIfExists(p) catch { case NonFatal(_) => }))
       return (0L, keptCount)
     }
     def purgeIsFinal(k: (String, String)): Boolean =
@@ -479,11 +621,24 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     crashPoint("eventlog:sidecar-moved")
-    Files.move(logTmp, log,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // space reclamation AFTER the sidecar is durable (same crash
+    // contract as before): untouched segments stay, fully-dropped
+    // segments are removed whole, straddlers are replaced by their
+    // kept rewrite — appenders never touch sealed segments, so none
+    // of this holds the append lock
+    plans.foreach { case (seg, tmp, kept, touched) =>
+      if (touched) {
+        if (kept == 0L) {
+          tmp.foreach(p =>
+            try Files.deleteIfExists(p) catch { case NonFatal(_) => })
+          Files.deleteIfExists(seg)
+        } else tmp.foreach(Files.move(_, seg,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      }
+    }
     (trimmedCount + discarded, keptCount)
-  } }
+  }
 
   def logEvent(eventType: String, id: TabularId, extra: Map[String, String] = Map.empty): Unit =
     eventLock.synchronized {
@@ -500,19 +655,25 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               ("name" -> id.name) ~
               ("extra" -> extra)))
         withEventFileLock {
-          // ts-ms is stamped UNDER the file lock: a trim holds this
-          // lock for its whole pass and clamps its cutoff to its own
-          // now, so any append serialized after it carries ts >=
-          // cutoff — stamped before the lock, an append could land
-          // after the rewrite with ts below the cutoff, invisible to
-          // readers and discarded uncounted by the next trim (a LOST
-          // event; found by XprocEventsSpec's concurrent accounting).
+          // ts-ms is stamped UNDER the file lock: a trim stamps its
+          // cutoff (clamped to its own now) and seals the active file
+          // under this same lock, so any append serialized after it
+          // carries ts >= cutoff and lands in a file the trim never
+          // touches — stamped before the lock, an append could carry
+          // ts below the cutoff, invisible to readers and discarded
+          // uncounted by the next trim (a LOST event; found by
+          // XprocEventsSpec's concurrent accounting).
           val json =
             s"""{"ts-ms":${System.currentTimeMillis()},${tail.drop(1)}"""
-          Files.write(changesDir.resolve("events.jsonl"),
+          Files.write(activeEventsFile,
             (json + "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
+          // size-rotate so the trim always works on sealed, immutable
+          // segments (one stat per event — catalog events are
+          // per-operation, not per-row)
+          if (Files.size(activeEventsFile) >= eventSegmentBytes)
+            sealActiveEvents()
         }
       } catch { case NonFatal(_) => } // events are best-effort
     }

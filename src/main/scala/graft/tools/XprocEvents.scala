@@ -10,7 +10,10 @@ import graft.store.{CatalogStore, TabularId}
   * sides arbitrate only through the OS event-file lock; the log
   * rewrite must never lose or double-count a concurrent append).
   *
-  * Prints one status line the parent parses: `EVLOG ok=<n>`.
+  * Prints one status line the parent parses:
+  * `EVLOG ok=<n> maxms=<worst single-append milliseconds>` — the
+  * latency figure is the committed proof that a concurrent trim's
+  * long pass never holds the append lock (segmented log, round 14).
   *
   * args: root nEvents readyFile goFile
   */
@@ -23,11 +26,14 @@ object XprocEvents {
     store.logEvent("warmup", TabularId(Seq("db"), "warm"))
     ForkJvm.childBarrier(readyFile, goFile)
     var i = 0
+    var maxNs = 0L
     while (i < n) {
+      val t0 = System.nanoTime()
       store.logEvent("table-commit", TabularId(Seq("db"), s"t${i % 10}"),
         Map("version" -> i.toString))
+      maxNs = math.max(maxNs, System.nanoTime() - t0)
       i += 1
     }
-    println(s"EVLOG ok=$n")
+    println(s"EVLOG ok=$n maxms=${maxNs / 1000000L}")
   }
 }

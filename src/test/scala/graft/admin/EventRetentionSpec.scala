@@ -207,6 +207,41 @@ class EventRetentionSpec extends AnyFunSuite {
       r.seqBases(("db", "t7")) == (n / 200).toLong)
   }
 
+  test("appends rotate into sealed segments; readers and trim see all of them") {
+    val root = Files.createTempDirectory("graft-retention-seg").toString
+    val s = new FileCatalogStore(root)
+    s.eventSegmentBytes = 200 // force a rotation every ~2 events
+    (1 to 10).foreach { i =>
+      s.logEvent("table-commit",
+        graft.store.TabularId(Seq("db"), "t1"), Map("version" -> i.toString))
+      Thread.sleep(2) // distinct ts-ms so a cutoff can split exactly
+    }
+    val segs = {
+      val stream = Files.list(s.changesDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(f => f.startsWith("events-") && f.endsWith(".jsonl"))
+          .toSeq
+      } finally stream.close()
+    }
+    assert(segs.size >= 3, s"expected rotation to seal segments, got $segs")
+    // every event is visible across segments with a continuous sequence
+    val env = envelopes(s)
+    assert(env.size == 10)
+    assert(env.values.map(_._2).toSet == (1L to 10L).toSet)
+    // a trim whose cutoff covers the old segments drops them whole and
+    // the surviving sequence numbers are unchanged
+    val ts6 = Admin.changeEvents(spark, s).collect()
+      .map(_.getAs[Long]("ts-ms")).sorted.apply(5)
+    val before = envelopes(s)
+    s.trimEventLog(ts6) // trims sequences 1-5
+    val after = envelopes(s)
+    assert(after.size == 5)
+    after.foreach { case (id, v) => assert(before(id) == v) }
+    assert(after.values.map(_._2).toSet == (6L to 10L).toSet)
+  }
+
   test("post-trim events continue the sequence where the tabular left off") {
     val s = seeded()
     s.trimEventLog(2200L)

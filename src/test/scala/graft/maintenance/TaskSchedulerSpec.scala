@@ -305,9 +305,18 @@ class TaskSchedulerSpec extends AnyFunSuite {
     sched.runOnce(now)
     val r = s.eventRetention.get
     assert(r.cutoffMs == 1500L && r.seqBases == Map(("db", "a") -> 1L))
-    val left = java.nio.file.Files.readAllLines(
-      s.changesDir.resolve("events.jsonl"))
-    assert(left.size == 1 && left.get(0).contains("\"ts-ms\":2000"))
+    // surviving lines live across the active file and sealed segments
+    val left = {
+      val stream = java.nio.file.Files.list(s.changesDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".jsonl"))
+          .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+          .toSeq
+      } finally stream.close()
+    }
+    assert(left.size == 1 && left.head.contains("\"ts-ms\":2000"))
     assert(s.listTasks(queue = Some("event_log_cleanup"))
       .forall(_.status == "done"))
   }
