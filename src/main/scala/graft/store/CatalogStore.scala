@@ -103,6 +103,13 @@ trait CatalogStore {
   var onTableCommitted: Option[(TabularId, TableMetadata) => Unit]
   var onTabularSoftDeleted: Option[TabularInfo => Unit]
 
+  /** Contract-verification hook consulted before every single-table
+    * commit applies (reference: service/contract_verification.rs,
+    * called server/tables.rs:1643) — part of the trait so consumers
+    * install it against the seam, not an implementation.
+    */
+  var contractVerifier: Option[ContractVerifier]
+
   // ------------------------------------------------------------ views
   def createView(id: TabularId, metadata: ViewMetadata): ViewMetadata
   def loadViewMetadata(id: TabularId): Option[(ViewMetadata, Int)]

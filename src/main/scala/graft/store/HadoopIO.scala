@@ -94,6 +94,12 @@ object HadoopIO {
       p.getFileSystem(conf).delete(p, false)
     } catch { case NonFatal(_) => false }
 
+  def rename(src: String, dst: String, conf: Configuration): Boolean =
+    try {
+      val s = new HPath(src)
+      s.getFileSystem(conf).rename(s, new HPath(dst))
+    } catch { case NonFatal(_) => false }
+
   def deleteRecursive(path: String, conf: Configuration): Boolean =
     try {
       val p = new HPath(path)

@@ -1,0 +1,461 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** The CatalogStore CONTRACT, written purely against the trait and run
+  * against every implementation — the proof that the seam holds: a
+  * consumer coded to [[CatalogStore]] behaves identically on the
+  * hard-link-CAS file store and on a metastore-shaped KV store
+  * (reference analog: lakekeeper's handler tests run against the
+  * `CatalogStore` trait its Postgres impl plugs into,
+  * service/catalog_store.rs:307). Anything implementation-specific
+  * (crash journals, OS file locks, fingerprint caches) stays in the
+  * per-impl suites.
+  */
+abstract class CatalogStoreContractSpec extends AnyFunSuite {
+
+  /** Fresh, isolated store (fresh root). */
+  def mkStore(): CatalogStore
+  def kind: String
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mkTable(s: CatalogStore, id: TabularId): TableMetadata =
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, s.tableLocation(id), schema))
+
+  test(s"[$kind] namespace CRUD, hierarchy, properties, protection") {
+    val s = mkStore()
+    s.createNamespace(Seq("sales"), Map("owner" -> "me"))
+    s.createNamespace(Seq("sales", "eu"), Map.empty)
+    assertThrows[NoSuchNamespaceException] {
+      s.createNamespace(Seq("missing", "child"), Map.empty)
+    }
+    assertThrows[AlreadyExistsException] {
+      s.createNamespace(Seq("SALES"), Map.empty) // case-insensitive dup
+    }
+    assert(s.listNamespaces(Nil) == Seq(Seq("sales")))
+    assert(s.listNamespaces(Seq("sales")) == Seq(Seq("sales", "eu")))
+    val (name, props) = s.loadNamespace(Seq("SaLeS"))
+    assert(name == Seq("sales") && props("owner") == "me")
+    val (updated, removed, missing) = s.updateNamespaceProperties(
+      Seq("sales"), Seq("owner", "ghost"), Map("tier" -> "gold"))
+    assert(updated == Seq("tier") && removed == Seq("owner") &&
+      missing == Seq("ghost"))
+    assertThrows[IllegalStateException] {
+      s.dropNamespace(Seq("sales"), recursive = false)
+    }
+    s.setNamespaceProtection(Seq("sales", "eu"), prot = true)
+    assert(s.namespaceProtected(Seq("sales", "eu")))
+    assertThrows[ProtectedException] {
+      s.dropNamespace(Seq("sales"), recursive = true)
+    }
+    s.setNamespaceProtection(Seq("sales", "eu"), prot = false)
+    assert(s.dropNamespace(Seq("sales"), recursive = true))
+    assert(!s.namespaceExists(Seq("sales")))
+  }
+
+  test(s"[$kind] table lifecycle: create, load, case rules, duplicate") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "T1")
+    val meta = mkTable(s, id)
+    val (loaded, v) = s.loadTableMetadata(TabularId(Seq("DB"), "t1")).get
+    assert(v == 0 && loaded.tableUuid == meta.tableUuid)
+    assert(s.loadTabularInfo(id).exists(_.kind == "table"))
+    assertThrows[AlreadyExistsException] {
+      mkTable(s, TabularId(Seq("db"), "t1"))
+    }
+    assertThrows[NoSuchNamespaceException] {
+      mkTable(s, TabularId(Seq("nope"), "x"))
+    }
+    assert(s.listTabulars(Seq("db")).map(_.id.name) == Seq("T1"))
+  }
+
+  test(s"[$kind] commits: requirements, versions, retries, idempotency") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    val meta = mkTable(s, id)
+    s.commitTable(id, Seq(TableRequirement.AssertTableUuid(meta.tableUuid)),
+      Seq(TableUpdate.SetProperties(Map("a" -> "1"))))
+    assert(s.loadTableMetadata(id).get._2 == 1)
+    assertThrows[CommitFailedException] {
+      s.commitTable(id, Seq(TableRequirement.AssertTableUuid("wrong")),
+        Seq(TableUpdate.SetProperties(Map("b" -> "2"))))
+    }
+    // idempotent replay returns the prior result without re-applying
+    val r1 = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("k" -> "v1"))),
+      idempotencyKey = Some("q-123"))
+    val r2 = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("k" -> "WOULD-DOUBLE"))),
+      idempotencyKey = Some("q-123"))
+    assert(r1.properties == r2.properties)
+    assert(s.loadTableMetadata(id).get._2 == 2)
+  }
+
+  test(s"[$kind] concurrent commits: every racer lands, versions dense") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "race")
+    mkTable(s, id)
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            s.commitTableWith(id, Nil,
+              cur => Seq(TableUpdate.SetProperties(
+                Map(s"k$i" -> "1", "n" ->
+                  (cur.properties.get("n").map(_.toInt).getOrElse(0) + 1)
+                    .toString))),
+              maxRetries = 64)
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val (m, v) = s.loadTableMetadata(id).get
+    assert(v == n, s"expected $n dense versions, got $v")
+    // rebase-on-retry: the counter saw every prior winner
+    assert(m.properties("n").toInt == n)
+    (1 to n).foreach(i => assert(m.properties.contains(s"k$i")))
+  }
+
+  test(s"[$kind] commit hooks fire after the commit is durable") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "hooked")
+    mkTable(s, id)
+    @volatile var seen: Option[Int] = None
+    s.onTableCommitted = Some((hid, meta) =>
+      if (hid == id) seen = Some(meta.properties.size))
+    try {
+      s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("x" -> "1"))))
+      assert(seen.contains(1))
+    } finally s.onTableCommitted = None
+  }
+
+  test(s"[$kind] contract-verification hook can reject commits") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "cv")
+    mkTable(s, id)
+    s.contractVerifier = Some(new ContractVerifier {
+      def check(cid: TabularId, current: TableMetadata,
+          updates: Seq[TableUpdate]): Option[String] =
+        if (updates.exists {
+          case TableUpdate.SetProperties(u) => u.contains("forbidden")
+          case _ => false
+        }) Some("property 'forbidden' is not allowed") else None
+    })
+    try {
+      assertThrows[ContractViolationException] {
+        s.commitTable(id, Nil,
+          Seq(TableUpdate.SetProperties(Map("forbidden" -> "1"))))
+      }
+      s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("ok" -> "1"))))
+      assert(s.loadTableMetadata(id).get._1.properties.get("ok").contains("1"))
+    } finally s.contractVerifier = None
+  }
+
+  test(s"[$kind] multi-table transaction is all-or-nothing on requirements") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val a = TabularId(Seq("db"), "a")
+    val b = TabularId(Seq("db"), "b")
+    val metaA = mkTable(s, a)
+    mkTable(s, b)
+    assertThrows[CommitFailedException] {
+      s.commitTransaction(Seq(
+        (a, Seq(TableRequirement.AssertTableUuid(metaA.tableUuid)),
+          Seq(TableUpdate.SetProperties(Map("x" -> "1")))),
+        (b, Seq(TableRequirement.AssertTableUuid("wrong")),
+          Seq(TableUpdate.SetProperties(Map("y" -> "2"))))))
+    }
+    assert(s.loadTableMetadata(a).get._2 == 0, "no table may advance")
+    assert(s.loadTableMetadata(b).get._2 == 0)
+    s.commitTransaction(Seq(
+      (a, Nil, Seq(TableUpdate.SetProperties(Map("x" -> "1")))),
+      (b, Nil, Seq(TableUpdate.SetProperties(Map("y" -> "2"))))))
+    assert(s.loadTableMetadata(a).get._2 == 1)
+    assert(s.loadTableMetadata(b).get._2 == 1)
+  }
+
+  test(s"[$kind] soft delete, tombstones, undrop, purge, protection") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    assert(s.dropTabular(id, purge = false))
+    assert(s.loadTabularInfo(id).isEmpty, "name freed by soft delete")
+    val tomb = s.deletedTabularsNamed(id)
+    assert(tomb.size == 1 && tomb.head.deletedMs.isDefined)
+    // name free for re-create; undrop then conflicts
+    mkTable(s, id)
+    assertThrows[AlreadyExistsException] { s.undrop(id) }
+    assert(s.dropTabular(id, purge = false)) // second tombstone
+    assert(s.undrop(id), "most recent tombstone restores")
+    assert(s.loadTabularInfo(id).isDefined)
+    assert(s.dropTabular(id, purge = false))
+    // protection blocks purge-by-uuid; lift it and purge both
+    val all = s.listDeletedTabulars().filter(t =>
+      t.id.name.equalsIgnoreCase("t"))
+    assert(all.size == 2)
+    s.setProtection(id, prot = true) // latest tombstone
+    val protectedUuid = s.deletedTabularsNamed(id)
+      .maxBy(_.deletedMs.getOrElse(0L)).uuid
+    assert(!s.purgeTombstone(Seq("db"), protectedUuid),
+      "protected tombstone must not purge")
+    s.setProtection(id, prot = false)
+    all.foreach(t => s.purgeTombstone(Seq("db"), t.uuid))
+    assert(s.listDeletedTabulars().isEmpty)
+    // protected LIVE tabular blocks drop
+    mkTable(s, id)
+    s.setProtection(id, prot = true)
+    assertThrows[ProtectedException] { s.dropTabular(id, purge = false) }
+    assert(s.dropTabular(id, purge = false, force = true))
+  }
+
+  test(s"[$kind] rename across namespaces honors case and conflicts") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    s.createNamespace(Seq("db2"), Map.empty)
+    val from = TabularId(Seq("db"), "src")
+    mkTable(s, from)
+    assertThrows[NoSuchNamespaceException] {
+      s.renameTabular(from, TabularId(Seq("ghost"), "x"))
+    }
+    val to = TabularId(Seq("db2"), "Dst")
+    s.renameTabular(from, to)
+    assert(s.loadTabularInfo(from).isEmpty)
+    val (meta, _) = s.loadTableMetadata(TabularId(Seq("DB2"), "dst")).get
+    assert(meta.location == s.tableLocation(to),
+      "managed location must follow the rename")
+    mkTable(s, from)
+    assertThrows[AlreadyExistsException] { s.renameTabular(from, to) }
+  }
+
+  test(s"[$kind] register table adopts an existing metadata file") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "orig")
+    val meta = mkTable(s, id)
+    val metaFile = s.metadataDir(id).resolve("v00000.metadata.json").toString
+    val adopted = s.registerTable(TabularId(Seq("db"), "adopted"), metaFile)
+    assert(adopted.tableUuid == meta.tableUuid)
+    assert(s.loadTableMetadata(TabularId(Seq("db"), "adopted")).isDefined)
+  }
+
+  test(s"[$kind] location overlap admission") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    assertThrows[AlreadyExistsException] {
+      s.requireLocationFree(s.tableLocation(id))
+    }
+    assertThrows[AlreadyExistsException] {
+      s.requireLocationFree(s.tableLocation(id) + "/nested")
+    }
+    s.requireLocationFree(s.tableLocation(id) + "-sibling")
+  }
+
+  test(s"[$kind] views: create, commit versions, load") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "v1")
+    val ts = TableSchema(0, schema)
+    val vm = ViewMetadata("vu1", 1, s.tableLocation(id), 1,
+      Map(1 -> ViewVersion(1, 1L, 0, None, Seq("db"),
+        Seq(ViewRepresentation("spark", "SELECT 1 AS x")), Map.empty)),
+      Nil, Map(0 -> ts), Map.empty)
+    s.createView(id, vm)
+    val next = s.commitView(id, Seq(
+      Commit.ViewUpdate.AddViewVersion(ViewVersion(-1, 2L, 0, None, Seq("db"),
+        Seq(ViewRepresentation("spark", "SELECT 2 AS x")), Map.empty)),
+      Commit.ViewUpdate.SetCurrentViewVersion(-1)))
+    assert(next.currentVersionId == 2)
+    val (loaded, v) = s.loadViewMetadata(id).get
+    assert(v == 1 &&
+      loaded.currentVersion.representations.head.sql == "SELECT 2 AS x")
+    assert(s.listTabulars(Seq("db"), kind = Some("view")).size == 1)
+  }
+
+  test(s"[$kind] generic tables carry their format tag") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "lance_t")
+    val info = s.createGenericTable(id, "lance", s.tableLocation(id),
+      Map("p" -> "1"))
+    assert(info.kind == "generic" && info.format.contains("lance"))
+    assert(s.listTabulars(Seq("db"), kind = Some("generic")).size == 1)
+    assertThrows[AlreadyExistsException] {
+      s.createGenericTable(id, "csv", s.tableLocation(id), Map.empty)
+    }
+  }
+
+  test(s"[$kind] keyset pagination pages through tabulars stably") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    (1 to 7).foreach(i => mkTable(s, TabularId(Seq("db"), f"t$i%02d")))
+    val (p1, tok1) = s.listTabularsPage(Seq("db"), pageSize = 3)
+    assert(p1.size == 3 && tok1.isDefined)
+    val (p2, tok2) = s.listTabularsPage(Seq("db"), 3, tok1)
+    val (p3, tok3) = s.listTabularsPage(Seq("db"), 3, tok2)
+    assert(p2.size == 3 && p3.size == 1 && tok3.isEmpty)
+    val names = (p1 ++ p2 ++ p3).map(_.id.name)
+    assert(names.distinct.size == 7, s"pages overlapped: $names")
+  }
+
+  test(s"[$kind] users, roles, membership cycles, grants") {
+    val s = mkStore()
+    assert(s.createOrUpdateUser("u1", "User One", None, "human"))
+    assert(!s.createOrUpdateUser("u1", "Renamed", None, "human"))
+    assert(s.listUsers().head.name == "Renamed")
+    s.createRole("r1", "admins", None)
+    s.createRole("r2", "readers", None)
+    assertThrows[AlreadyExistsException] { s.createRole("r3", "ADMINS", None) }
+    s.addRoleMembers("r1", Seq(("user", "u1"), ("role", "r2"),
+      ("user", "u1"))) // dup in batch dedupes
+    assert(s.listRoleMembers("r1").size == 2)
+    assertThrows[IllegalArgumentException] {
+      s.addRoleMembers("r2", Seq(("role", "r1"))) // cycle
+    }
+    assert(s.removeRoleMember("r1", "role", "r2"))
+    assert(!s.removeRoleMember("r1", "role", "r2"))
+    s.addGrant(GrantTuple("warehouse", "wh", "select", "user", "u1"))
+    s.addGrant(GrantTuple("warehouse", "wh", "select", "user", "u1")) // idem
+    assert(s.listGrants("warehouse", "wh").size == 1)
+    s.removeGrant(GrantTuple("warehouse", "wh", "select", "user", "u1"))
+    assert(s.listGrantTuples().isEmpty)
+    assert(s.deleteRole("r2"))
+    assert(s.deleteUser("u1"))
+  }
+
+  test(s"[$kind] task queue: dedupe, claim, stale re-claim, queue config") {
+    val s = mkStore()
+    val t1 = s.enqueueTask("q", Map("k" -> "v"), runAtMs = 1000L,
+      dedupeKey = Some("job-1"))
+    val t2 = s.enqueueTask("q", Map("k" -> "other"), runAtMs = 2000L,
+      dedupeKey = Some("job-1"))
+    assert(t1.taskId == t2.taskId, "dedupe key must collapse enqueues")
+    assert(s.listTasks(queue = Some("q")).size == 1)
+    val claimed = s.claimDueTasks(nowMs = 1500L)
+    assert(claimed.size == 1 && claimed.head.status == "running")
+    // fresh heartbeat: not re-claimed
+    assert(s.claimDueTasks(nowMs = 1600L).isEmpty)
+    // stale heartbeat: re-claimed (crash recovery)
+    assert(s.claimDueTasks(nowMs = 1500L + 11 * 60 * 1000L).size == 1)
+    s.setTaskQueueConfig("q", """{"retention-ms": 42}""", Some(9L))
+    assert(s.getTaskQueueConfig("q").exists(_._2.contains(9L)))
+    assert(s.queueConfigLong("q", "retention-ms").contains(42L))
+    assertThrows[Exception] { s.setTaskQueueConfig("q", "not json", None) }
+  }
+
+  test(s"[$kind] manifest write/read round-trip with location-relative paths") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "mf")
+    val meta = mkTable(s, id)
+    val loc = meta.location
+    val df = DataFile(s"$loc/data/f1.parquet", 10L, 5L, 0,
+      Map("p" -> Some("1")), Map.empty)
+    val rel = s.writeManifest(loc, ManifestFile(Seq(df), 42L))
+    assert(!rel.startsWith("/"), "manifest path must be location-relative")
+    val back = s.readManifest(loc, rel)
+    assert(back.entries.head.path == df.path,
+      "entry paths must resolve back to absolute")
+    assert(back.addedSnapshotId == 42L)
+  }
+
+  test(s"[$kind] events and retention: sequence bases survive a trim") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "ev")
+    mkTable(s, id) // logs table-created
+    (1 to 3).foreach { i =>
+      s.commitTable(id, Nil,
+        Seq(TableUpdate.SetProperties(Map(s"k$i" -> "1"))))
+      Thread.sleep(2)
+    }
+    val (trimmed, _) = s.trimEventLog(System.currentTimeMillis() + 1000L)
+    assert(trimmed >= 4L)
+    val r = s.eventRetention.get
+    assert(r.seqBases.exists { case ((_, n), b) =>
+      n.equalsIgnoreCase("ev") && b >= 4L })
+  }
+
+  test(s"[$kind] maintenance mode gates mutations, never reads") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    s.setMaintenanceMode(true)
+    assertThrows[MaintenanceModeException] {
+      s.createNamespace(Seq("blocked"), Map.empty)
+    }
+    assert(s.listNamespaces(Nil).nonEmpty) // reads proceed
+    s.setMaintenanceMode(false)
+    s.createNamespace(Seq("allowed"), Map.empty)
+    assert(s.namespaceExists(Seq("allowed")))
+  }
+
+  test(s"[$kind] bootstrap is once-only and records the operator") {
+    val s = mkStore()
+    assert(!s.isBootstrapped)
+    assertThrows[IllegalArgumentException] {
+      s.bootstrapServer(acceptTermsOfUse = false)
+    }
+    val sid = s.bootstrapServer(acceptTermsOfUse = true,
+      userName = Some("op"), isOperator = true)
+    assert(s.isBootstrapped)
+    assert(s.serverInfo().exists(_._1 == sid))
+    assert(s.listUsers().exists(_.id == "op"))
+    assertThrows[IllegalStateException] {
+      s.bootstrapServer(acceptTermsOfUse = true)
+    }
+    assert(s.serverHealth().forall(_._2 == "ok"))
+  }
+
+  test(s"[$kind] projects and warehouse registry basics") {
+    val s = mkStore()
+    val p = s.createProject("p1", "Team One")
+    assert(s.getProject("p1").contains(p))
+    assertThrows[AlreadyExistsException] { s.createProject("p2", "team one") }
+    val loc = Files.createTempDirectory("graft-contract-wh").toString
+    s.createWarehouse("wh2", loc, project = "p1")
+    assert(s.listWarehouses().get("wh2").contains(loc))
+    assertThrows[IllegalStateException] { s.deleteProject("p1") }
+    s.renameWarehouse("wh2", "wh3", project = "p1")
+    assert(s.listWarehouses().contains("wh3"))
+    assert(s.deleteWarehouse("wh3", force = false, project = "p1"))
+    s.deleteProject("p1")
+    assert(s.getProject("p1").isEmpty)
+  }
+}
+
+class FileCatalogStoreContractSpec extends CatalogStoreContractSpec {
+  def kind: String = "file"
+  def mkStore(): CatalogStore =
+    new FileCatalogStore(
+      Files.createTempDirectory("graft-contract-file").toString)
+}
+
+class KvCatalogStoreContractSpec extends CatalogStoreContractSpec {
+  def kind: String = "kv"
+  def mkStore(): CatalogStore = {
+    val s = new KvCatalogStore(
+      Files.createTempDirectory("graft-contract-kv").toString)
+    // model a remote metastore's round-trip so the optimistic commit
+    // path actually overlaps under the concurrency tests
+    s.injectedLatencyMs = 1L
+    s
+  }
+}
