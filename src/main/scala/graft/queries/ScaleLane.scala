@@ -210,12 +210,18 @@ object ScaleLane {
       // build_ms = the builder's eager knob measurements (occupancy /
       // candidate caps) — phase-attributed so a doubling that moves
       // the wall names planning vs candidate-gen vs verify
-      val ((pairs, cands), buildMs) = timedMs(TextOps.exactJaccardDiag(
+      val (build, buildMs) = timedMs(TextOps.exactJaccardDiag(
         spark, dir, 0.4, width = TextOps.AutoWidth))
-      val (rows, verifyMs) = timedMs(pairs.count())
-      val (nCand, candMs) = timedMs(cands.count())
+      val (rows, verifyMs) = timedMs(build.pairs.count())
+      val (nCand, candMs) = timedMs(build.cands.count())
+      // per-candidate verify cost: the committed counter that decides
+      // whether a superlinear verify wall is candidate growth or a
+      // per-pair width term (round-13 verdict task 2)
+      val verifyUsPerCand =
+        if (nCand > 0) verifyMs * 1000L / nCand else 0L
       (rows, Some(nCand), Map("width" -> w.toLong, "build_ms" -> buildMs,
-        "verify_ms" -> verifyMs, "cand_ms" -> candMs))
+        "verify_ms" -> verifyMs, "cand_ms" -> candMs,
+        "verify_us_per_cand" -> verifyUsPerCand) ++ build.phases)
     }
     // persisted: qd7 reuses this pair set (same sharing the production
     // pipeline and the sf0.1 bench queries do). Built inside the leg
@@ -313,12 +319,15 @@ object ScaleLane {
       // build to qd7, the sharer)
       TextOps.invalidateContainmentMemo(spark, dir)
       val w = measuredW
-      val ((pairs, cands), buildMs) = timedMs(TextOps.containmentDiag(
+      val (build, buildMs) = timedMs(TextOps.containmentDiag(
         spark, dir, 0.8, TextOps.AutoWidth))
-      val (rows, verifyMs) = timedMs(pairs.count())
-      val (nCand, candMs) = timedMs(cands.count())
+      val (rows, verifyMs) = timedMs(build.pairs.count())
+      val (nCand, candMs) = timedMs(build.cands.count())
+      val verifyUsPerCand =
+        if (nCand > 0) verifyMs * 1000L / nCand else 0L
       (rows, Some(nCand), Map("width" -> w.toLong, "build_ms" -> buildMs,
-        "verify_ms" -> verifyMs, "cand_ms" -> candMs))
+        "verify_ms" -> verifyMs, "cand_ms" -> candMs,
+        "verify_us_per_cand" -> verifyUsPerCand) ++ build.phases)
     }
     legM("qd12_editdist") {
       // PassJoin edit-distance join with the PRODUCTION auto segment
@@ -508,7 +517,14 @@ object ScaleLane {
       // every home partition at ANY batch count), commit_ms is the
       // conflict check + manifest replace.
       val pointReps = 2
-      Seq(1, 4, 16).foreach { nBatches =>
+      // env-overridable points: the per-round bench commits 1/4/16;
+      // the round-14 64×-staged probe (SPARK_GRAFT_COMPACT_BATCHES=
+      // "1,16,64") decides whether file creates dominate enough to
+      // earn a batched posting writer, without doubling the lane wall
+      val points = sys.env.get("SPARK_GRAFT_COMPACT_BATCHES")
+        .map(_.split(',').toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(1, 4, 16))
+      points.foreach { nBatches =>
         var best: Option[(Long, Long, Long,
           graft.maintenance.CompactAnnIndex.Phases)] = None
         (0 until pointReps).foreach { _ =>

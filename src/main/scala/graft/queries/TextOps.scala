@@ -102,7 +102,17 @@ object TextOps {
     * persisted legs, they are re-armed on next access.
     */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double, Int), (DataFrame, DataFrame, Seq[DataFrame])]()
+    (String, String, Double, Int), DiagBuild]()
+
+  /** One memoized pair-set build: (pairs, candidates), the persisted
+    * legs that re-arm on cache hits, and the BUILD-time phase walls
+    * (tokenize / dict / encode, ms) — the scale lanes commit these so
+    * a doubling that moves the build wall names the phase that moved
+    * (the qd3 treatment, round 14).
+    */
+  private[queries] final case class DiagBuild(
+      pairs: DataFrame, cands: DataFrame, legs: Seq[DataFrame],
+      phases: Map[String, Long])
 
   /** Collision-free cache key for a live session: a fresh UUID per
     * session OBJECT, held under a weak key so dead sessions drop out.
@@ -250,7 +260,7 @@ object TextOps {
     containmentPairs(s, dir, t, width).count()
 
   private val containCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double, Int), (DataFrame, DataFrame, Seq[DataFrame])]()
+    (String, String, Double, Int), DiagBuild]()
 
   /** Drop the memoized exact-Jaccard / containment pair sets for one
     * (session, dir) and unpersist their legs. The scale lane's
@@ -263,15 +273,14 @@ object TextOps {
     */
   private def purgeDiagMemo(
       m: java.util.concurrent.ConcurrentHashMap[
-        (String, String, Double, Int),
-        (DataFrame, DataFrame, Seq[DataFrame])],
+        (String, String, Double, Int), DiagBuild],
       s: SparkSession, dir: String): Unit = {
     val sk = sessionKey(s)
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == sk && e.getKey._2 == dir) {
-        e.getValue._3.foreach(l =>
+        e.getValue.legs.foreach(l =>
           try l.unpersist()
           catch { case scala.util.control.NonFatal(_) => })
         it.remove()
@@ -287,7 +296,7 @@ object TextOps {
   private[queries] def exactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
       width: Int = 2): DataFrame =
-    exactJaccardDiag(s, dir, t, width)._1
+    exactJaccardDiag(s, dir, t, width).pairs
 
   /** (pairs, candidates) — the candidate set is the quantity the
     * scale lanes regression-guard (it explodes first when the width
@@ -296,7 +305,7 @@ object TextOps {
     */
   private[graft] def exactJaccardDiag(
       s: SparkSession, dir: String, t: Double,
-      width: Int = 2): (DataFrame, DataFrame) = {
+      width: Int = 2): DiagBuild = {
     // sessionUUID is collision-free across live sessions (identity hash
     // is not: two sessions can collide and hand a DataFrame bound to a
     // stopped session to the other). AutoWidth resolves BEFORE the key
@@ -310,13 +319,13 @@ object TextOps {
     // overflow is simpler than LRU and never wrong (just a recompute)
     if (pairsCache.size > 16 && !pairsCache.containsKey(key))
       pairsCache.clear()
-    val (pairs, cands, persistedLegs) = pairsCache.computeIfAbsent(key, _ =>
+    val build = pairsCache.computeIfAbsent(key, _ =>
       buildExactJaccardPairs(s, dir, t, w))
-    persistedLegs.foreach { leg =>
+    build.legs.foreach { leg =>
       if (leg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         leg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    (pairs, cands)
+    build
   }
 
   /** Materialize the session-memoized pair sets shared by qd5/qd6/qd7
@@ -362,26 +371,40 @@ object TextOps {
     */
   private def buildExactJaccardPairs(
       s: SparkSession, dir: String, t: Double,
-      width: Int = 2): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      width: Int = 2): DiagBuild = {
     import s.implicits._
     require(width >= 2, s"shingle width must be >= 2, got $width")
+    val phases = scala.collection.mutable.Map.empty[String, Long]
+    def phased[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      phases(name) = (System.nanoTime() - t0) / 1000000L
+      r
+    }
     // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
-    // the frequency pass and the encode pass)
+    // the frequency pass and the encode pass) — materialized eagerly
+    // so the build wall is PHASE-ATTRIBUTED (qd3 treatment, round 14)
     val sh = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"), shingleCol(col("toks"), width).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phased("tokenize_ms")(sh.count())
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // rarity-ordered dense ids over the DISTINCT vocabulary:
     // orderBy range-partitions + sorts, zipWithIndex stamps global
-    // offsets in two passes — both fully distributed
+    // offsets in two passes — both fully distributed. PERSISTED: the
+    // encode join consumed this lineage a second time before round 14,
+    // re-running the whole sort+zip (the unattributed half of the qd5
+    // sf4 build wall)
     val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df"), col("shingle"))
       .select(col("shingle")).rdd.zipWithIndex()
       .map { case (row, idx) => (row.getString(0), idx) }
       .toDF("shingle", "sid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phases("vocab") = phased("dict_ms")(dict.count())
     // per-doc sorted int vector (ascending sid = rarest first); the
     // vector is consumed 3× (prefix index + both verify legs)
     val vecs = inv.join(dict, "shingle")
@@ -389,6 +412,7 @@ object TextOps {
       .agg(sort_array(collect_list(col("sid"))).as("vec"))
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phased("encode_ms")(vecs.count())
     val prefix = vecs.select(col("doc_id"), col("sz"),
         posexplode(slice(col("vec"), lit(1),
           (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")))
@@ -438,7 +462,8 @@ object TextOps {
     // the RESULT is persisted too: it is tiny (true pair count), and
     // the second consumer (qd6 clustering) then skips the whole
     // prefix-join + verification pipeline
-    (pairs, cands, Seq(sh, vecs, cands, pairs))
+    DiagBuild(pairs, cands, Seq(sh, dict, vecs, cands, pairs),
+      phases.toMap)
   }
 
   val all: Seq[Q] = Seq(
@@ -2080,49 +2105,62 @@ object TextOps {
     */
   private[queries] def containmentPairs(
       s: SparkSession, dir: String, t: Double, width: Int): DataFrame =
-    containmentDiag(s, dir, t, width)._1
+    containmentDiag(s, dir, t, width).pairs
 
   /** (pairs, candidates) — same diagnostic surface as
     * [[exactJaccardDiag]] for the containment engine.
     */
   private[graft] def containmentDiag(
       s: SparkSession, dir: String, t: Double,
-      width: Int): (DataFrame, DataFrame) = {
+      width: Int): DiagBuild = {
     val w = resolvedWidth(s, dir, width)
     val key = (sessionKey(s), dir, t, w)
     if (containCache.size > 16 && !containCache.containsKey(key))
       containCache.clear()
-    val (pairs, cands, persistedLegs) = containCache.computeIfAbsent(key, _ =>
+    val build = containCache.computeIfAbsent(key, _ =>
       buildContainmentPairs(s, dir, t, w))
-    persistedLegs.foreach { leg =>
+    build.legs.foreach { leg =>
       if (leg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         leg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    (pairs, cands)
+    build
   }
 
   private def buildContainmentPairs(
       s: SparkSession, dir: String, t: Double,
-      width: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      width: Int): DiagBuild = {
     import s.implicits._
     require(width >= 2, s"shingle width must be >= 2, got $width")
+    val phases = scala.collection.mutable.Map.empty[String, Long]
+    def phased[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      phases(name) = (System.nanoTime() - t0) / 1000000L
+      r
+    }
     val sh = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"), shingleCol(col("toks"), width).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phased("tokenize_ms")(sh.count())
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // persisted for the same reason as the jaccard builder's dict —
+    // the encode join must not re-run the sort+zipWithIndex lineage
     val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df"), col("shingle"))
       .select(col("shingle")).rdd.zipWithIndex()
       .map { case (row, idx) => (row.getString(0), idx) }
       .toDF("shingle", "sid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phases("vocab") = phased("dict_ms")(dict.count())
     val vecs = inv.join(dict, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sid"))).as("vec"))
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phased("encode_ms")(vecs.count())
     // probe = A's prefix: overlap ≥ ⌈t·|A|⌉ forces a hit among the
     // first |A| − ⌈t·|A|⌉ + 1 rarity-ordered items (the 1e-9 slack
     // keeps ceil() from rounding an exact t·|A| product UP a notch —
@@ -2159,6 +2197,7 @@ object TextOps {
       .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
     // the tiny RESULT rides the leg list too: a second consumer skips
     // the whole prefix-join + verification pipeline (qd5 pattern)
-    (pairs, cands, Seq(sh, vecs, cands, pairs))
+    DiagBuild(pairs, cands, Seq(sh, dict, vecs, cands, pairs),
+      phases.toMap)
   }
 }

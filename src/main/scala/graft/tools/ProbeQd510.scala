@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused qd5/qd10 doubling probe (round-13 verdict task 2): runs the
+  * two text-dedup scale legs at sf2 (100k docs) and sf4 (200k docs)
+  * with N passes each in ONE session — the same-session A/B discipline
+  * that makes curve-vs-machine decidable — and prints the full phase
+  * split (tokenize/dict/encode build phases, cand, verify,
+  * verify_us_per_cand) per pass.
+  *
+  * Usage: ProbeQd510 [passes]
+  */
+object ProbeQd510 {
+  def main(args: Array[String]): Unit = {
+    val passes = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val legs = Set("qd5_jaccard_autowidth", "qd10_containment_autowidth")
+    Seq(
+      ("target/scale/sf2", 100000, 40000),
+      ("target/scale/sf4", 200000, 80000)).foreach {
+      case (dir, nDocs, nEmb) =>
+        val r = graft.queries.ScaleLane.run(spark, dir, nDocs, nEmb,
+          only = legs, passes = passes)
+        r.legs.foreach { l =>
+          val metrics = l.metrics.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          println(f"[qd510] ${dir.split('/').last}%-4s ${l.name}%-28s " +
+            f"${l.sec}%8.2f s rows=${l.rows}" +
+            l.candidates.map(c => s" cands=$c").getOrElse("") +
+            s" $metrics" + l.err.map(e => s" ERR=$e").getOrElse(""))
+        }
+    }
+    spark.stop()
+  }
+}

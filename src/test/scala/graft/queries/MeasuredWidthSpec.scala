@@ -64,11 +64,11 @@ class MeasuredWidthSpec extends AnyFunSuite {
     val w = TextOps.measuredWidthCached(spark, dir)
     assert(w == TextOps.measuredWidthCached(spark, dir),
       "memoized measurement must be stable")
-    val auto = TextOps.exactJaccardDiag(spark, dir, 0.4, TextOps.AutoWidth)._1
-    val pinned = TextOps.exactJaccardDiag(spark, dir, 0.4, w)._1
+    val auto = TextOps.exactJaccardDiag(spark, dir, 0.4, TextOps.AutoWidth).pairs
+    val pinned = TextOps.exactJaccardDiag(spark, dir, 0.4, w).pairs
     assert(auto eq pinned,
       "AutoWidth must resolve before the memo key: one shared build")
-    val other = TextOps.exactJaccardDiag(spark, dir, 0.4, w + 1)._1
+    val other = TextOps.exactJaccardDiag(spark, dir, 0.4, w + 1).pairs
     assert(!(auto eq other), "a different pinned width is a different build")
   }
 }
