@@ -39,16 +39,18 @@ import graft.store.{CatalogStore, TabularId}
   *    (same-JVM commits arbitrate through the in-process lock, so the
   *    expected retry count is 0; the hard-link CAS is the
   *    cross-process arbiter).
-  *  - `cat_commit_xproc` (round 13, smallest size only): a FORKED
-  *    sibling JVM and this process each commit 100 times against one
-  *    table — the hard-link-CAS loser-retry path a multi-driver
-  *    deployment depends on, which no same-JVM leg can reach (the
-  *    per-path monitors arbitrate first in-process). Commits
-  *    throughput and both processes' retry counts.
+  *  - `cat_commit_xproc` (round 13; all sizes + symmetric duel since
+  *    round 14): TWO identically-forked sibling JVMs each commit 100
+  *    times against one table — the hard-link-CAS loser-retry path a
+  *    multi-driver deployment depends on, which no same-JVM leg can
+  *    reach (the per-path monitors arbitrate first in-process). Equal
+  *    warm-up on both sides makes the race fair, so retries appear on
+  *    both. Commits throughput and both writers' retry counts.
   *  - `cat_trim` (round 13): event-log retention wall vs log lines —
   *    a synthetic `size`-line JSONL log trimmed at its midpoint, the
   *    growth curve for the streaming single-pass rewrite.
-  *  - `cat_page_wide` (round 13, 2k/8k sizes): `size` tables in ONE
+  *  - `cat_page_wide` (round 13; 32k point added round 14): `size`
+  *    tables in ONE
   *    namespace paged all the way through — the keyset-pagination
   *    stress the main fixture (250 tables/namespace) never reaches.
   *    Guards the revalidating listing cache: each page revalidates by
@@ -270,9 +272,10 @@ object CatalogScaleLane {
         "trimmed" -> trimmed, "kept" -> kept))
     }
     // wide-namespace pagination: size tables in ONE namespace paged all
-    // the way through (32k skipped — the 2k→8k pair already commits the
-    // growth exponent, and 32k would dominate the lane wall)
-    if (size <= 8000) legM("cat_page_wide") {
+    // the way through — all three sizes (round 14: the 32k point
+    // decides whether the O(ns)-stats-per-page residual stays a
+    // documented local-FS floor or earns a sorted listing cache)
+    legM("cat_page_wide") {
       val wide = wideFixture(root, size)
       var pages = 0L
       var rows = 0L
@@ -288,49 +291,52 @@ object CatalogScaleLane {
       }
       (rows, Map("pages" -> pages, "tables" -> size.toLong))
     }
-    // cross-process CAS contention: smallest size only (the table is
-    // the contention unit — warehouse size is irrelevant)
-    if (size == sizes.head) legM("cat_commit_xproc") {
-      val id = TabularId(Seq("ns0"), "contended")
+    // cross-process CAS contention, ALL sizes (round 14): the race is
+    // now SYMMETRIC — both writers are identically-forked JVMs with
+    // the same warm-up, so neither side enjoys the lane JVM's years of
+    // JIT (round 13's parent-vs-child shape always had the child lose;
+    // the duel of equals is what shows retries on BOTH sides)
+    legM("cat_commit_xproc") {
       val n = 100
       val scratch = java.nio.file.Files.createTempDirectory("graft-xproc")
-      val ready = scratch.resolve("ready")
       val go = scratch.resolve("go")
       val dir = s"$root/n$size"
-      val child = graft.tools.ForkJvm.start("graft.tools.XprocCommit",
-        Seq(dir, "ns0", "contended", "c", n.toString,
-          ready.toString, go.toString))
-      val out = graft.tools.ForkJvm.drainAsync(child)
+      val children = Seq("a", "b").map { tag =>
+        val ready = scratch.resolve(s"ready-$tag")
+        val child = graft.tools.ForkJvm.start("graft.tools.XprocCommit",
+          Seq(dir, "ns0", "contended", tag, n.toString,
+            ready.toString, go.toString))
+        (tag, child, ready, graft.tools.ForkJvm.drainAsync(child))
+      }
       try {
-        val deadline = System.currentTimeMillis() + 30000
-        while (!java.nio.file.Files.exists(ready) &&
-            System.currentTimeMillis() < deadline) Thread.sleep(2)
-        require(java.nio.file.Files.exists(ready),
-          "xproc child never became ready")
-        val retries0 = store.commitRetryCount
+        val deadline = System.currentTimeMillis() + 60000
+        children.foreach { case (tag, _, ready, _) =>
+          while (!java.nio.file.Files.exists(ready) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(2)
+          require(java.nio.file.Files.exists(ready),
+            s"xproc child $tag never became ready")
+        }
         val t0 = System.nanoTime()
         java.nio.file.Files.write(go, Array.emptyByteArray)
-        var i = 0
-        while (i < n) {
-          store.commitTable(id, Nil, Seq(TableUpdate.SetProperties(
-            Map("xp" -> i.toString))), maxRetries = 1000000)
-          i += 1
-        }
-        val finished = child.waitFor(60,
-          java.util.concurrent.TimeUnit.SECONDS)
+        val retries = children.map { case (tag, child, _, out) =>
+          val finished = child.waitFor(120,
+            java.util.concurrent.TimeUnit.SECONDS)
+          val childOut = out.synchronized(out.toString)
+          require(finished && child.exitValue() == 0,
+            s"xproc child $tag failed: $childOut")
+          tag -> "retries=(\\d+)".r.findFirstMatchIn(childOut)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        }.toMap
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        val childOut = out.synchronized(out.toString)
-        require(finished && child.exitValue() == 0,
-          s"xproc child failed: $childOut")
-        val childRetries = "retries=(\\d+)".r.findFirstMatchIn(childOut)
-          .map(_.group(1).toLong).getOrElse(-1L)
         ((2L * n), Map(
           "xproc_wall_ms" -> wallMs,
           "commits_per_sec" -> (2L * n * 1000L / math.max(wallMs, 1L)),
-          "cas_retries_local" -> (store.commitRetryCount - retries0),
-          "cas_retries_child" -> childRetries))
+          "cas_retries_a" -> retries("a"),
+          "cas_retries_b" -> retries("b")))
       } finally {
-        if (child.isAlive) child.destroyForcibly()
+        children.foreach { case (_, child, _, _) =>
+          if (child.isAlive) child.destroyForcibly()
+        }
         try deleteTree(scratch) catch { case NonFatal(_) => }
       }
     }

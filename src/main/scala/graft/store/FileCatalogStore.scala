@@ -377,6 +377,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           classOf[java.nio.file.attribute.BasicFileAttributes])
         (a.size, a.lastModifiedTime, a.fileKey)
       } catch { case NonFatal(_) => return None } // absent: no trim yet
+    // null fileKey (Windows, some network mounts): same-size rewrites
+    // inside one mtime granule would revalidate as unchanged
+    // (null == null) — uncacheable, parse fresh every read
+    if (fp._3 == null) return parseRetention()
     val cached = retentionCache
     if (cached != null && cached._1 == fp._1 && cached._2 == fp._2 &&
         cached._3 == fp._3)
@@ -1046,21 +1050,28 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     val nextEntries = Map.newBuilder[String, (InfoFp, TabularInfo)]
     val infos = FileCatalogStore.listDir(dir).flatMap { p =>
       val metaP = p.resolve(TabMeta)
-      val fp =
-        try {
-          val a = Files.readAttributes(metaP,
-            classOf[java.nio.file.attribute.BasicFileAttributes])
-          Some(InfoFp(a.size, a.lastModifiedTime, a.fileKey))
-        } catch { case NonFatal(_) => None } // no TabMeta / dropped mid-listing
-      fp.flatMap { f =>
+      val attrs =
+        try Some(Files.readAttributes(metaP,
+          classOf[java.nio.file.attribute.BasicFileAttributes]))
+        catch { case NonFatal(_) => None } // no TabMeta / dropped mid-listing
+      attrs.flatMap { a =>
+        // a null fileKey (Windows, some network mounts) would make
+        // every fingerprint's key compare equal (null == null) and
+        // serve stale info after a same-size atomic-move rewrite
+        // inside one mtime granule — such an entry is UNCACHEABLE:
+        // read it fresh every listing, never fingerprint it
+        val fp = Option(a.fileKey)
+          .map(k => InfoFp(a.size, a.lastModifiedTime, k))
         val dirName = p.getFileName.toString
-        val cached = if (prev == null) None
+        val cached = fp.flatMap { f =>
+          if (prev == null) None
           else prev.get(dirName).collect {
             case (cf, info) if cf == f => info
           }
+        }
         cached match {
           case Some(info) =>
-            nextEntries += (dirName -> ((f, info)))
+            fp.foreach(f => nextEntries += (dirName -> ((f, info))))
             Some(info)
           case None =>
             loadTabularInfoAt(metaP).map { info =>
@@ -1072,7 +1083,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               // renames.
               if (dirName.startsWith(".") || info.deletedMs.nonEmpty ||
                   dirKey(info.id.name) == dirName) {
-                nextEntries += (dirName -> ((f, info)))
+                fp.foreach(f => nextEntries += (dirName -> ((f, info))))
                 info
               } else healRenamedInfo(
                 TabularId(info.id.namespace, decodeDirKey(dirName)), info)
@@ -1277,6 +1288,13 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         // rotated away: the commit is proven durable — answer with the
         // table's current state rather than double-applying
         loadTableMetadata(id).foreach { case (m, _) => return Some(m) }
+        // rotated away AND the table since dropped: the guard still
+        // proves the commit landed — surface that durably instead of
+        // falling through to a fresh apply, whose NoSuchTabular would
+        // read as "the commit never happened"
+        throw new NoSuchTabularException(
+          s"$id: commit under idempotency key '$key' already applied " +
+            "(durable guard present) but the table has since been dropped")
       }
     }
     val pending = idemPendingPath(id, key)
@@ -1518,6 +1536,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   @volatile var metadataDebrisMaxAgeMs: Long = 3600000L
 
+  /** Idempotency-key retention — the DOCUMENTED contract (reference:
+    * TTL'd idempotency rows, service/idempotency.rs): a keyed commit
+    * replayed within this window returns the recorded durable outcome;
+    * after it the key may be forgotten and a replay applies as a new
+    * commit. Guards are retained AT LEAST this long, and never deleted
+    * while their recorded version file still exists (a surviving
+    * version answers replays exactly, so keeping the guard is free).
+    * Previously the effective TTL was an emergent function of rotation
+    * cutoff + debris age — now it is this one knob.
+    */
+  @volatile var idempotencyTtlMs: Long = 24L * 3600 * 1000
+
   private def cleanupOldMetadata(
       id: TabularId, m: TableMetadata, committedVersion: Int): Unit = {
     if (m.properties.getOrElse(
@@ -1538,19 +1568,20 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             (fn.startsWith(".idem-") && fn.endsWith(".pending"))) &&
             staleDebris(p) =>
           try Files.deleteIfExists(p) catch { case NonFatal(_) => }
-        case _ if fn.startsWith(".idem-") && staleDebris(p) =>
+        case _ if fn.startsWith(".idem-") =>
           // durable guard files would otherwise accumulate one per
           // distinct key forever, slowing every listDir walk of this
-          // dir. A guard whose recorded version rotated away already
-          // answers replays from CURRENT metadata, so once it is both
-          // rotation-old and debris-stale it adds nothing: a key
-          // replayed after the retention window re-applies, which is
-          // the same contract the reference's TTL'd idempotency rows
-          // give (service/idempotency.rs).
+          // dir. GC is gated on [[idempotencyTtlMs]] — the documented
+          // retention contract — plus the free safety margin of never
+          // deleting a guard whose recorded version file survives.
+          val ttlExpired =
+            try Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - idempotencyTtlMs
+            catch { case NonFatal(_) => false }
           val rotated =
             try readString(p).trim.toInt <= cutoff
             catch { case NonFatal(_) => false }
-          if (rotated)
+          if (ttlExpired && rotated)
             try Files.deleteIfExists(p) catch { case NonFatal(_) => }
         case _ =>
       }
@@ -1645,8 +1676,8 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               .map(_._1.location)
               .filterNot(_ == tableLocation(id))
           deleteRecursively(tabularPath(id))
-          customLocation.foreach(loc =>
-            try deleteRecursively(Paths.get(loc)) catch { case NonFatal(_) => })
+          // custom-LOCATION data may live on a remote FS — Hadoop, not nio
+          customLocation.foreach(HadoopIO.deleteRecursive(_, hadoopConf))
           metaCache.remove(id)
           logEvent("tabular-purged", id, Map("kind" -> info.kind))
         }

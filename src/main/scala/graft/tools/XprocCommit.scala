@@ -41,7 +41,10 @@ object XprocCommit {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType)))))
-    (0 until 10).foreach(i => warmStore.commitTable(warmId, Nil,
+    // enough iterations for the JIT to reach the commit path's hot
+    // loop — 10 warm commits left the child interpreting while a warm
+    // opponent ran compiled code (round-13 "child always loses")
+    (0 until 150).foreach(i => warmStore.commitTable(warmId, Nil,
       Seq(TableUpdate.SetProperties(Map("warm" -> i.toString)))))
     // also warm the TARGET table's read path (metadata dir listing +
     // parse) — a cold first read delays the child's first commit past

@@ -401,6 +401,56 @@ class FileCatalogStoreSpec extends AnyFunSuite {
     assert(b.namespaceExists(Seq("allowed")))
   }
 
+  test("idempotency guards honor the documented TTL knob") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map(
+        "write.metadata.previous-versions-max" -> "2"))),
+      idempotencyKey = Some("job-ttl"))
+    val guard = s.metadataDir(id).resolve(".idem-job-ttl")
+    assert(Files.exists(guard))
+    // rotate the recorded version below the cleanup cutoff
+    (1 to 4).foreach(i => s.commitTable(id, Nil,
+      Seq(TableUpdate.SetProperties(Map(s"k$i" -> "1")))))
+    // default TTL (24h): rotation alone must NOT forget the key
+    assert(Files.exists(guard),
+      "guard deleted before its TTL despite rotation")
+    // expire the TTL: the next commit's sweep reclaims it
+    Files.setLastModifiedTime(guard,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    s.idempotencyTtlMs = 1L
+    s.commitTable(id, Nil, Seq(TableUpdate.SetProperties(Map("z" -> "1"))))
+    assert(!Files.exists(guard), "TTL-expired rotated guard must be swept")
+  }
+
+  test("keyed replay against a vanished table reports committed-but-gone") {
+    val s = freshStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "t")
+    mkTable(s, id)
+    s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+      idempotencyKey = Some("job-gone"))
+    // simulate the edge: the recorded version rotated away AND no
+    // current metadata resolves (every version file lost)
+    import scala.jdk.CollectionConverters._
+    val dirStream = Files.list(s.metadataDir(id))
+    try dirStream.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .foreach(Files.delete)
+    finally dirStream.close()
+    val e = intercept[NoSuchTabularException] {
+      s.commitTableWith(id, Nil,
+        _ => Seq(TableUpdate.SetProperties(Map("a" -> "1"))),
+        idempotencyKey = Some("job-gone"))
+    }
+    assert(e.getMessage.contains("already applied"),
+      s"replay must report the durable outcome, got: ${e.getMessage}")
+  }
+
   /** Write a live-looking tx journal naming exactly `name` in `db`. */
   private def plantTxJournal(s: FileCatalogStore, name: String,
       metaJson: String): Unit = {
