@@ -949,7 +949,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
 
   // atomic (tmp + move): readers — including the rename heal, which
   // runs on READ paths — must never observe a truncated info file
-  private def writeTabularInfoAt(p: Path, info: TabularInfo): Unit =
+  private def writeTabularInfoAt(p: Path, info: TabularInfo): Unit = {
     writeStringAtomic(p, Json.render(
       ("namespace" -> info.id.namespace) ~ ("name" -> info.id.name) ~
         ("kind" -> info.kind) ~ ("uuid" -> info.uuid) ~
@@ -958,6 +958,70 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         ("deleted-ms" -> info.deletedMs) ~
         ("protected" -> info.protected_) ~
         ("metadata-location" -> info.metadataLocation)))
+    // AFTER the state change (a bump-then-write order could let a
+    // lister cache pre-write state under the post-bump fingerprint)
+    bumpNsListing(p.getParent.getParent)
+  }
+
+  // -------------------------------- wide-namespace pagination (round 14)
+  // The 2k/8k/32k cat_page_wide curve measured per-PAGE cost linear in
+  // namespace width (10/43/194 ms/page) — every page re-walked the
+  // namespace with one stat per entry, O(ns²) for a full paging sweep.
+  // The sorted listing is now cached per namespace and revalidated by
+  // ONE stat on a marker file that every tabular mutation bumps via
+  // ATOMIC_MOVE (same (size, mtime, inode) identity the entry cache
+  // uses, so cross-process writers are visible with no invalidation
+  // hooks and same-granule bumps still invalidate via the inode).
+  private def nsListingMarker(nsDir: Path): Path = nsDir.resolve(".nslisting")
+
+  /** Record that `nsDir`'s tabular population or any member's info
+    * changed. Best-effort: a missing/unwritable marker only disables
+    * the sorted cache, never correctness.
+    */
+  private def bumpNsListing(nsDir: Path): Unit =
+    try writeStringAtomic(nsListingMarker(nsDir), UUID.randomUUID().toString)
+    catch { case NonFatal(_) => }
+
+  private val sortedListingCache = new java.util.concurrent.ConcurrentHashMap[
+    Path, (InfoFp, IndexedSeq[TabularInfo])]()
+
+  /** Live tabulars of `ns` sorted by the pagination key, cached by
+    * marker fingerprint: a page costs one marker stat + a slice
+    * instead of an O(ns) stat walk.
+    */
+  private def sortedLiveTabulars(ns: Seq[String]): IndexedSeq[TabularInfo] = {
+    val dir = nsPath(ns)
+    def fingerprint: Option[InfoFp] =
+      try {
+        val a = Files.readAttributes(nsListingMarker(dir),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        Option(a.fileKey).map(k => InfoFp(a.size, a.lastModifiedTime, k))
+      } catch { case NonFatal(_) => None }
+    val fp = fingerprint.orElse {
+      // no marker yet (pre-round-14 warehouse): seed one so the NEXT
+      // page can cache; stat it back rather than trusting our write
+      // (a racing writer may have bumped it since)
+      bumpNsListing(dir)
+      fingerprint
+    }
+    fp match {
+      case Some(f) =>
+        val cached = sortedListingCache.get(dir)
+        if (cached != null && cached._1 == f) cached._2
+        else {
+          val fresh = listTabulars(ns)
+            .sortBy(t => (t.createdMs, t.id.name)).toIndexedSeq
+          while (sortedListingCache.size > 256) {
+            val it = sortedListingCache.keySet().iterator()
+            if (it.hasNext) { it.next(); it.remove() }
+          }
+          sortedListingCache.put(dir, (f, fresh))
+          fresh
+        }
+      case None => // read-only FS or null fileKey: correct, uncached
+        listTabulars(ns).sortBy(t => (t.createdMs, t.id.name)).toIndexedSeq
+    }
+  }
 
   def loadTabularInfo(id: TabularId): Option[TabularInfo] =
     loadTabularInfoAt(tabularInfoPath(id)).map { info =>
@@ -1116,7 +1180,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       pageSize: Int = 100,
       pageToken: Option[String] = None): (Seq[TabularInfo], Option[String]) = {
     val size = math.min(math.max(pageSize, 1), 1000)
-    val all = listTabulars(ns).sortBy(t => (t.createdMs, t.id.name))
+    val all = sortedLiveTabulars(ns)
     val after = pageToken.map { tok =>
       val decoded = new String(
         java.util.Base64.getUrlDecoder.decode(tok), StandardCharsets.UTF_8)
@@ -1660,6 +1724,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           // only among live tabulars, fix_soft_deleted_tabulars.sql:27-42)
           Files.move(tabularPath(id), tombstonePath(id.namespace, info.uuid),
             StandardCopyOption.ATOMIC_MOVE)
+          bumpNsListing(nsPath(id.namespace))
           metaCache.remove(id)
           logEvent("tabular-soft-deleted", id, Map("kind" -> info.kind))
           // drop-time expiration enqueue (the reference schedules the
@@ -1678,6 +1743,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           deleteRecursively(tabularPath(id))
           // custom-LOCATION data may live on a remote FS — Hadoop, not nio
           customLocation.foreach(HadoopIO.deleteRecursive(_, hadoopConf))
+          bumpNsListing(nsPath(id.namespace))
           metaCache.remove(id)
           logEvent("tabular-purged", id, Map("kind" -> info.kind))
         }
@@ -1701,7 +1767,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             s"Cannot undrop $id: a live tabular holds the name")
         Files.move(tombstonePath(id.namespace, info.uuid), tabularPath(id),
           StandardCopyOption.ATOMIC_MOVE)
-        writeTabularInfo(info.copy(deletedMs = None))
+        writeTabularInfo(info.copy(deletedMs = None)) // bumps the listing
         metaCache.remove(id)
         logEvent("tabular-undropped", id, Map("kind" -> info.kind))
         true
@@ -1740,6 +1806,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           }
         }
         deleteRecursively(dir)
+        bumpNsListing(nsPath(ns))
         logEvent("tabular-purged", info.id,
           Map("kind" -> info.kind, "uuid" -> info.uuid))
         true
@@ -1786,6 +1853,9 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     val oldLocation = tableLocation(from)
     Files.move(tabularPath(from), tabularPath(to),
       StandardCopyOption.ATOMIC_MOVE)
+    // the source namespace lost an entry by the MOVE alone (the info
+    // rewrite below only bumps the target's)
+    bumpNsListing(nsPath(from.namespace))
     // the ATOMIC_MOVE is the rename's commit point; a death before the
     // fixups below leaves an info file carrying the OLD id inside the
     // NEW directory — loadTabularInfo heals that on first touch (the

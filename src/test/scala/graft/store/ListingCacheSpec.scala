@@ -80,4 +80,62 @@ class ListingCacheSpec extends AnyFunSuite {
     assert(seen.size == names.size && seen.toSet == names.toSet,
       "paging lost or doubled a table")
   }
+
+  test("sorted page cache: marker-fingerprint revalidation, cross-instance") {
+    val root = Files.createTempDirectory("graft-listcache-sorted").toString
+    val reader = new FileCatalogStore(root)
+    val writer = new FileCatalogStore(root) // cross-process analog
+    reader.createNamespace(Seq("db"), Map.empty)
+    (1 to 5).foreach(i => mk(root, s"p$i", writer))
+    // prime the reader's sorted cache
+    assert(reader.listTabularsPage(Seq("db"), 2)._1.size == 2)
+
+    // PROOF the cache is actually serving: remove a tabular behind the
+    // store's back WITHOUT the marker bump — the cached page must
+    // still show it (this is the stale window only a raw filesystem
+    // mutation can open; every store mutation bumps)
+    def rmRaw(name: String): Unit = {
+      val dir = java.nio.file.Paths.get(root, "db", name)
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmRaw("p5")
+    val stale = pageAll(reader)
+    assert(stale.contains("p5"),
+      "expected the sorted cache to serve (raw delete must be invisible " +
+        "until a marker bump) — is the cache wired at all?")
+
+    // any store mutation bumps the marker and the cache reloads
+    writer.setProtection(TabularId(Seq("db"), "p1"), prot = true)
+    val fresh = pageAll(reader)
+    assert(!fresh.contains("p5"), "marker bump must reload the listing")
+
+    // cross-instance create / drop / rename are all visible
+    mk(root, "p6", writer)
+    assert(pageAll(reader).contains("p6"))
+    writer.dropTabular(TabularId(Seq("db"), "p2"), purge = false)
+    assert(!pageAll(reader).contains("p2"))
+    writer.renameTabular(TabularId(Seq("db"), "p3"), TabularId(Seq("db"), "p7"))
+    val afterRename = pageAll(reader)
+    assert(afterRename.contains("p7") && !afterRename.contains("p3"))
+    // protection flag rides the cached entries
+    assert(reader.listTabularsPage(Seq("db"), 100)._1
+      .find(_.id.name == "p1").exists(_.protected_))
+  }
+
+  private def pageAll(s: FileCatalogStore): Set[String] = {
+    var tok: Option[String] = None
+    var seen = Set.empty[String]
+    var done = false
+    while (!done) {
+      val (page, next) = s.listTabularsPage(Seq("db"), pageSize = 2, tok)
+      seen ++= page.map(_.id.name)
+      tok = next
+      done = next.isEmpty
+    }
+    seen
+  }
 }
