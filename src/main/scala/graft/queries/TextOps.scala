@@ -413,6 +413,11 @@ object TextOps {
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phased("encode_ms")(vecs.count())
+    // vecs is materialized: the dictionary's only consumer is done —
+    // holding millions of shingle strings in the storage pool taxed
+    // every later query's cache residency (round-14 A/B: a uniform
+    // few-percent drag across unrelated rows)
+    dict.unpersist()
     val prefix = vecs.select(col("doc_id"), col("sz"),
         posexplode(slice(col("vec"), lit(1),
           (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")))
@@ -462,7 +467,7 @@ object TextOps {
     // the RESULT is persisted too: it is tiny (true pair count), and
     // the second consumer (qd6 clustering) then skips the whole
     // prefix-join + verification pipeline
-    DiagBuild(pairs, cands, Seq(sh, dict, vecs, cands, pairs),
+    DiagBuild(pairs, cands, Seq(sh, vecs, cands, pairs),
       phases.toMap)
   }
 
@@ -2161,6 +2166,7 @@ object TextOps {
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phased("encode_ms")(vecs.count())
+    dict.unpersist() // vecs materialized — see the jaccard builder note
     // probe = A's prefix: overlap ≥ ⌈t·|A|⌉ forces a hit among the
     // first |A| − ⌈t·|A|⌉ + 1 rarity-ordered items (the 1e-9 slack
     // keeps ceil() from rounding an exact t·|A| product UP a notch —
@@ -2197,7 +2203,7 @@ object TextOps {
       .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
     // the tiny RESULT rides the leg list too: a second consumer skips
     // the whole prefix-join + verification pipeline (qd5 pattern)
-    DiagBuild(pairs, cands, Seq(sh, dict, vecs, cands, pairs),
+    DiagBuild(pairs, cands, Seq(sh, vecs, cands, pairs),
       phases.toMap)
   }
 }
