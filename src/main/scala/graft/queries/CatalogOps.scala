@@ -884,6 +884,64 @@ object CatalogOps {
         .select(col("s_suppkey"), col("s_name"),
           col("total_revenue").cast(DoubleType).as("total_revenue"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // ------------------------------ second CatalogStore impl, oracle-gated
+    // The SAME connector stack over KvCatalogStore (round 14, SURVEY
+    // §2.2 seam claim): metadata arbitrated by the in-JVM metastore's
+    // optimistic CAS instead of the file store's hard-link arbiter,
+    // registered through the one CatalogStore.provider seam. The
+    // oracle proves write→commit→scan parity against DuckDB on the
+    // raw input.
+    Q(
+      "qc22_kv_store_parity",
+      """SELECT n_regionkey,
+        |  COUNT(*) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val db = prepareKv(s, dir)
+      s.sql(
+        s"""SELECT n_regionkey,
+           |  COUNT(*) AS n_nations,
+           |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+           |FROM $KvCatalogName.$db.nation_kv
+           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }
   )
+
+  private val KvCatalogName = "graftkvwh"
+  @volatile private var kvRoot: Option[String] = None
+  private var kvPrepared = Set.empty[String]
+
+  /** Idempotent per-JVM setup for the KV-backed catalog: install the
+    * provider for ITS warehouse only (delegating everywhere else),
+    * register the catalog, and load nation once per sfDir.
+    */
+  private def prepareKv(spark: SparkSession, sfDir: String): String =
+    lock.synchronized {
+      val wh = kvRoot.getOrElse {
+        val dir = Files.createTempDirectory("graft-kvwh").toString
+        val prev = graft.store.CatalogStore.provider
+        graft.store.CatalogStore.provider = loc =>
+          if (loc == dir) new graft.store.KvCatalogStore(loc) else prev(loc)
+        kvRoot = Some(dir)
+        dir
+      }
+      if (spark.conf.getOption(s"spark.sql.catalog.$KvCatalogName").isEmpty) {
+        spark.conf.set(s"spark.sql.catalog.$KvCatalogName",
+          classOf[GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$KvCatalogName.warehouse", wh)
+      }
+      val db = dbFor(sfDir)
+      if (!kvPrepared.contains(db)) {
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $KvCatalogName.$db")
+        spark.sql(s"DROP TABLE IF EXISTS $KvCatalogName.$db.nation_kv")
+        spark.sql(
+          s"""CREATE TABLE $KvCatalogName.$db.nation_kv AS
+             |SELECT * FROM parquet.`$sfDir/nation.parquet`""".stripMargin)
+        kvPrepared += db
+      }
+      db
+    }
 }

@@ -398,13 +398,19 @@ object TextOps {
     // encode join consumed this lineage a second time before round 14,
     // re-running the whole sort+zip (the unattributed half of the qd5
     // sf4 build wall)
-    val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df"), col("shingle"))
-      .select(col("shingle")).rdd.zipWithIndex()
-      .map { case (row, idx) => (row.getString(0), idx) }
-      .toDF("shingle", "sid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phases("vocab") = phased("dict_ms")(dict.count())
+    val dict = phased("dict_ms") {
+      // constructing this is EAGER — .rdd.zipWithIndex() runs its
+      // partition-offset job at call time, which is most of the dict
+      // wall; the phase must wrap construction, not just the count
+      val d = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("shingle"))
+        .select(col("shingle")).rdd.zipWithIndex()
+        .map { case (row, idx) => (row.getString(0), idx) }
+        .toDF("shingle", "sid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      phases("vocab") = d.count()
+      d
+    }
     // per-doc sorted int vector (ascending sid = rarest first); the
     // vector is consumed 3× (prefix index + both verify legs)
     val vecs = inv.join(dict, "shingle")
@@ -2153,13 +2159,19 @@ object TextOps {
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // persisted for the same reason as the jaccard builder's dict —
     // the encode join must not re-run the sort+zipWithIndex lineage
-    val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df"), col("shingle"))
-      .select(col("shingle")).rdd.zipWithIndex()
-      .map { case (row, idx) => (row.getString(0), idx) }
-      .toDF("shingle", "sid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phases("vocab") = phased("dict_ms")(dict.count())
+    val dict = phased("dict_ms") {
+      // constructing this is EAGER — .rdd.zipWithIndex() runs its
+      // partition-offset job at call time, which is most of the dict
+      // wall; the phase must wrap construction, not just the count
+      val d = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("shingle"))
+        .select(col("shingle")).rdd.zipWithIndex()
+        .map { case (row, idx) => (row.getString(0), idx) }
+        .toDF("shingle", "sid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      phases("vocab") = d.count()
+      d
+    }
     val vecs = inv.join(dict, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sid"))).as("vec"))
