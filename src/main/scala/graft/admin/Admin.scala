@@ -39,11 +39,19 @@ object Admin {
   }
 
   /** Structured Streaming view of the change-event log — the streaming
-    * analog of the reference's Kafka/NATS event sinks.
+    * analog of the reference's Kafka/NATS event sinks. Reads SEALED
+    * segments only (round 14): Spark's file source ingests a path
+    * once, so streaming the mutable active file would either miss its
+    * later appends (pre-segmentation behavior) or re-deliver its whole
+    * content when the seal renames it — segment-only is the
+    * exactly-once contract, with latency bounded by size/age rotation
+    * (`eventSegmentBytes`/`eventSegmentAgeMs`) or an explicit
+    * `store.sealEventSegment()` flush.
     */
   def changeEventStream(spark: SparkSession, store: CatalogStore): DataFrame = {
     java.nio.file.Files.createDirectories(store.changesDir)
     val raw = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events-*.jsonl")
       .json(store.changesDir.toString)
     store.eventRetention match {
       case Some(r) if r.cutoffMs > 0 => raw.filter(col("ts-ms") >= r.cutoffMs)

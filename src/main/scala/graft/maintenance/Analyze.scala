@@ -384,11 +384,15 @@ object Analyze {
   /** Stats of a snapshot, if an ANALYZE ran for it (scan-planning path;
     * missing file or unparseable content degrade to None).
     */
+  /** Cached once — cloning the session Hadoop conf per stats lookup
+    * would tax every plan that consults table statistics.
+    */
+  private lazy val statsConf = graft.store.HadoopIO.conf()
+
   def forSnapshot(meta: TableMetadata, snapshotId: Long): Option[TableStats] =
     meta.statistics.find(_.snapshotId == snapshotId).flatMap { sf =>
       scala.util.Try(statsFromJson(
-        graft.store.HadoopIO.readString(sf.path,
-          graft.store.HadoopIO.conf()))).toOption
+        graft.store.HadoopIO.readString(sf.path, statsConf))).toOption
     }
 
   /** Per-partition stats of a snapshot, if a partitioned ANALYZE ran
@@ -398,7 +402,6 @@ object Analyze {
       snapshotId: Long): Option[TablePartitionStats] =
     meta.partitionStatistics.find(_.snapshotId == snapshotId).flatMap { sf =>
       scala.util.Try(partStatsFromJson(
-        graft.store.HadoopIO.readString(sf.path,
-          graft.store.HadoopIO.conf()))).toOption
+        graft.store.HadoopIO.readString(sf.path, statsConf))).toOption
     }
 }

@@ -210,6 +210,13 @@ trait CatalogStore {
     */
   def eventRetention: Option[EventRetention]
   def trimEventLog(olderThanMs: Long): (Long, Long)
+
+  /** Flush: seal the active event file into an immutable segment so
+    * the streaming change feed (which reads SEALED segments only —
+    * file sources must never re-see a mutated path) publishes
+    * everything logged so far.
+    */
+  def sealEventSegment(): Unit
   def countOp(op: String): Unit
   def windowedOpCounts: java.util.concurrent.ConcurrentHashMap[
     (Long, String), java.util.concurrent.atomic.AtomicLong]
@@ -231,4 +238,41 @@ object CatalogStore {
     location => new FileCatalogStore(location)
 
   def open(location: String): CatalogStore = provider(location)
+
+  /** V1 keyset page-token codec + paging rule (reference:
+    * pagination.rs:15-80 — opaque url-safe `V1&created_at&id`, page
+    * default 100 / max 1000). Part of the API SURFACE, shared by
+    * every implementation so tokens stay interchangeable across
+    * stores and a format change happens in exactly one place.
+    */
+  def pageSorted(
+      all: Seq[TabularInfo],
+      pageSize: Int,
+      pageToken: Option[String]): (Seq[TabularInfo], Option[String]) = {
+    val size = math.min(math.max(pageSize, 1), 1000)
+    val after = pageToken.map { tok =>
+      val decoded = new String(
+        java.util.Base64.getUrlDecoder.decode(tok),
+        java.nio.charset.StandardCharsets.UTF_8)
+      decoded.split('&') match {
+        case Array("V1", ms, name) => (ms.toLong, name)
+        case _ => throw new IllegalArgumentException(s"bad page token: $tok")
+      }
+    }
+    val remaining = after match {
+      case Some((ms, name)) =>
+        all.dropWhile(t => t.createdMs < ms ||
+          (t.createdMs == ms && t.id.name <= name))
+      case None => all
+    }
+    val page = remaining.take(size)
+    val next =
+      if (remaining.size > size)
+        page.lastOption.map(t =>
+          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+            s"V1&${t.createdMs}&${t.id.name}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      else None
+    (page, next)
+  }
 }

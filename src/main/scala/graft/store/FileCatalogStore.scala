@@ -273,7 +273,27 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   @volatile var eventSegmentBytes: Long = 32L * 1024 * 1024
 
+  /** Age-based rotation floor: an append also seals when the active
+    * file's HEAD is older than this, so the sealed-segments-only
+    * STREAMING feed (Admin.changeEventStream — Spark's file source
+    * ingests a path once, so only immutable files can be streamed
+    * without duplicates) sees events with bounded latency on any
+    * warehouse that keeps committing.
+    */
+  @volatile var eventSegmentAgeMs: Long = 60000L
+
   private def activeEventsFile: Path = changesDir.resolve("events.jsonl")
+
+  /** Operator/stream flush: seal the active events file now (empty
+    * active is a no-op). The streaming change feed reads SEALED
+    * segments only; this publishes everything logged so far to it.
+    */
+  def sealEventSegment(): Unit = eventLock.synchronized {
+    withEventFileLock {
+      try { if (Files.size(activeEventsFile) > 0) sealActiveEvents() }
+      catch { case NonFatal(_) => }
+    }
+  }
 
   private def sealedSegments(): Seq[Path] =
     if (!Files.isDirectory(changesDir)) Nil
@@ -316,18 +336,6 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         (JsonMethods.parse(line) \ "ts-ms").extractOpt[Long]
           .forall(_ < cutoff)
       } catch { case NonFatal(_) => true }
-    } finally reader.close()
-  }
-
-  private def countLines(p: Path): Long = {
-    if (!Files.exists(p)) return 0L
-    val reader =
-      try Files.newBufferedReader(p, StandardCharsets.UTF_8)
-      catch { case NonFatal(_) => return 0L }
-    try {
-      var n = 0L
-      while (reader.readLine() != null) n += 1
-      n
     } finally reader.close()
   }
 
@@ -591,9 +599,23 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         val (tmp, kept, touched) = scanSegment(seg)
         (seg, tmp, kept, touched)
       }
-    // surviving-but-unscanned lines in the active file count toward
-    // the kept total (appends after the seal are all at/above cutoff)
-    keptCount += countLines(activeEventsFile)
+    // the ACTIVE file's lines survive (appends after the seal are all
+    // at/above cutoff) — they count as kept AND their keys must feed
+    // the purge-final veto: a tabular purged in a trimmed segment but
+    // already re-created into the active file would otherwise have its
+    // sequence base dropped, renumbering the surviving envelopes
+    if (Files.exists(activeEventsFile)) {
+      val reader = Files.newBufferedReader(activeEventsFile,
+        StandardCharsets.UTF_8)
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          keptCount += 1
+          classify(line).foreach { case (_, key, _, _) => keptKeys += key }
+          line = reader.readLine()
+        }
+      } finally reader.close()
+    }
     if (trimmedCount == 0 && discarded == 0) {
       plans.foreach(_._2.foreach(p =>
         try Files.deleteIfExists(p) catch { case NonFatal(_) => }))
@@ -673,10 +695,14 @@ class FileCatalogStore(val root: String) extends CatalogStore {
             (json + "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
-          // size-rotate so the trim always works on sealed, immutable
-          // segments (one stat per event — catalog events are
-          // per-operation, not per-row)
-          if (Files.size(activeEventsFile) >= eventSegmentBytes)
+          // rotate on size (the trim works on sealed, immutable
+          // segments) or on head age (the streaming feed reads sealed
+          // segments only — an append must not sit unpublished
+          // forever); one stat per event — catalog events are
+          // per-operation, not per-row
+          if (Files.size(activeEventsFile) >= eventSegmentBytes ||
+              headTsBelow(activeEventsFile,
+                System.currentTimeMillis() - eventSegmentAgeMs))
             sealActiveEvents()
         }
       } catch { case NonFatal(_) => } // events are best-effort
@@ -980,7 +1006,15 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   private def bumpNsListing(nsDir: Path): Unit =
     try writeStringAtomic(nsListingMarker(nsDir), UUID.randomUUID().toString)
-    catch { case NonFatal(_) => }
+    catch { case NonFatal(_) =>
+      // a failed bump against an EXISTING marker would leave every
+      // process revalidating stale data as fresh forever — drop the
+      // marker so the cache disables instead (a failed delete on a
+      // failed write means the fingerprint still changes or IO is so
+      // broken the listing itself will error)
+      try Files.deleteIfExists(nsListingMarker(nsDir))
+      catch { case NonFatal(_) => }
+    }
 
   private val sortedListingCache = new java.util.concurrent.ConcurrentHashMap[
     Path, (InfoFp, IndexedSeq[TabularInfo])]()
@@ -1178,32 +1212,8 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   def listTabularsPage(
       ns: Seq[String],
       pageSize: Int = 100,
-      pageToken: Option[String] = None): (Seq[TabularInfo], Option[String]) = {
-    val size = math.min(math.max(pageSize, 1), 1000)
-    val all = sortedLiveTabulars(ns)
-    val after = pageToken.map { tok =>
-      val decoded = new String(
-        java.util.Base64.getUrlDecoder.decode(tok), StandardCharsets.UTF_8)
-      decoded.split('&') match {
-        case Array("V1", ms, name) => (ms.toLong, name)
-        case _ => throw new IllegalArgumentException(s"bad page token: $tok")
-      }
-    }
-    val remaining = after match {
-      case Some((ms, name)) =>
-        all.dropWhile(t => t.createdMs < ms ||
-          (t.createdMs == ms && t.id.name <= name))
-      case None => all
-    }
-    val page = remaining.take(size)
-    val next =
-      if (remaining.size > size)
-        page.lastOption.map(t => java.util.Base64.getUrlEncoder.withoutPadding
-          .encodeToString(s"V1&${t.createdMs}&${t.id.name}"
-            .getBytes(StandardCharsets.UTF_8)))
-      else None
-    (page, next)
-  }
+      pageToken: Option[String] = None): (Seq[TabularInfo], Option[String]) =
+    CatalogStore.pageSorted(sortedLiveTabulars(ns), pageSize, pageToken)
 
   /** All tabulars in the warehouse, walking every namespace. */
   def listAllTabulars(includeDeleted: Boolean = false): Seq[TabularInfo] = {
@@ -2023,7 +2033,27 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     if (!Files.exists(txJournal)) return // quiet path
     val deadline = System.currentTimeMillis() + txQuiesceDeadlineMs
     var sleepMs = 2L
-    while (Files.exists(txJournal) && txJournalTouches(scope)) {
+    // the journal embeds full metadata JSON per staged table — parse
+    // it once per observed (size, mtime, inode), not once per 2-50 ms
+    // spin of every waiter
+    var lastFp: Option[(Long, java.nio.file.attribute.FileTime, AnyRef)] =
+      None
+    var lastTouches = true
+    def touches(): Boolean = {
+      val fp =
+        try {
+          val a = Files.readAttributes(txJournal,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          Option(a.fileKey).map(k => (a.size, a.lastModifiedTime, k))
+        } catch { case NonFatal(_) => None } // vanished/unreadable
+      if (fp.isDefined && fp == lastFp) lastTouches
+      else {
+        lastTouches = txJournalTouches(scope)
+        lastFp = fp
+        lastTouches
+      }
+    }
+    while (Files.exists(txJournal) && touches()) {
       if (System.currentTimeMillis() > deadline)
         throw new CommitFailedException(
           "Transaction journal did not quiesce — a live transaction is " +
@@ -2067,10 +2097,13 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       return Files.exists(txJournal) } // vanished = quiesced; torn = gate
     val parsed = try JsonMethods.parse(text)
       catch { case NonFatal(_) => return true }
+    // casefolded compare — identifiers are case-insensitive here, and
+    // a case-variant commit must not slip past the rollback gate
     val inEntries = (parsed \ "entries") match {
       case JArray(es) => es.exists { e =>
-        (e \ "ns").extractOpt[Seq[String]].contains(id.namespace) &&
-          (e \ "name").extractOpt[String].contains(id.name)
+        (e \ "ns").extractOpt[Seq[String]]
+          .exists(_.map(fold) == id.namespace.map(fold)) &&
+          (e \ "name").extractOpt[String].exists(fold(_) == fold(id.name))
       }
       case _ => false
     }
@@ -3140,7 +3173,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   def readManifestSummary(location: String, path: String): Option[ManifestSummary] = {
     val p = resolvePath(location, path) + ".sum"
-    scala.util.Try(
+    // exists-probe first: summary-less legacy manifests would otherwise
+    // pay an exception-driven FS miss on every planning read
+    if (!HadoopIO.exists(p, hadoopConf)) None
+    else scala.util.Try(
       Json.manifestSummaryFromJson(HadoopIO.readString(p, hadoopConf)))
       .toOption
   }

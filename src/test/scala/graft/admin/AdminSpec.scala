@@ -315,6 +315,8 @@ class AdminSpec extends AnyFunSuite {
   test("change feed is Structured-Streaming readable") {
     spark.sql("CREATE TABLE IF NOT EXISTS gadmin.adb.cf (id BIGINT)")
     spark.sql("INSERT INTO gadmin.adb.cf VALUES (1)")
+    // the stream reads SEALED segments only — flush the active file
+    cat.store.sealEventSegment()
     val q = Admin.changeEventStream(spark, cat.store)
       .writeStream
       .format("memory")

@@ -242,6 +242,33 @@ class EventRetentionSpec extends AnyFunSuite {
     assert(after.values.map(_._2).toSet == (6L to 10L).toSet)
   }
 
+  test("a re-created tabular in the ACTIVE file vetoes the purge-final drop") {
+    // the purge sits in a SEALED segment below the cutoff; the
+    // re-create sits in the active file (above it). The trim must scan
+    // the active file's KEYS — kept-count alone would mark the purge
+    // final, drop the base, and renumber the surviving envelope
+    val root = Files.createTempDirectory("graft-retention-veto").toString
+    val s = new FileCatalogStore(root)
+    Files.createDirectories(s.changesDir)
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      (Seq(
+        """{"ts-ms":1000,"event-type":"table-created","namespace":"db","name":"t1","extra":{}}""",
+        """{"ts-ms":2000,"event-type":"tabular-purged","namespace":"db","name":"t1","extra":{"kind":"table"}}""")
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    s.sealEventSegment()
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      ("""{"ts-ms":4000,"event-type":"table-created","namespace":"db","name":"t1","extra":{}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val (trimmed, kept) = s.trimEventLog(3000L)
+    assert(trimmed == 2 && kept == 1)
+    assert(s.eventRetention.get.seqBases.get(("db", "t1")).contains(2L),
+      "live re-create in the active file must keep the base")
+    assert(envelopes(s).values.toSet == Set(("t1", 3L)),
+      "surviving envelope must continue from the recorded base")
+  }
+
   test("post-trim events continue the sequence where the tabular left off") {
     val s = seeded()
     s.trimEventLog(2200L)

@@ -373,9 +373,18 @@ class ViewSecuritySpec extends AnyFunSuite {
     withEnforcement("alice") {
       intercept[Throwable](spark.table("graft.vsec.secrets").count())
     }
-    val log = graftCatalog.store.changesDir.resolve("events.jsonl")
-    val lines = java.nio.file.Files.readAllLines(log)
-    assert(lines.stream().anyMatch(l =>
+    // the event may sit in the active file OR an age/size-sealed segment
+    val lines = {
+      val stream = java.nio.file.Files.list(graftCatalog.store.changesDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".jsonl"))
+          .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+          .toSeq
+      } finally stream.close()
+    }
+    assert(lines.exists(l =>
       l.contains("authz-load-denied") && l.contains("alice") &&
         l.contains("can_")), "expected a denied event naming the reason")
   }
