@@ -1,0 +1,455 @@
+package graft.admin
+
+import java.io.StringReader
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Locale
+
+import scala.util.matching.Regex
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** The reference's S3 remote-signing endpoint, in process
+  * (server/s3_signer/sign.rs): a query engine that cannot hold S3
+  * credentials sends each physical request (method, URI, headers,
+  * body) to the catalog; the catalog resolves which TABLE the request
+  * touches, authorizes the actor for read or write on that table,
+  * validates the request stays inside the table's location, and
+  * returns SigV4-signed headers. Everything but STS-minted identities
+  * is pure computation — [[SigV4]] carries the signature math, this
+  * object carries the endpoint semantics:
+  *
+  *  - request-URL parsing in three styles (sign.rs:608-824
+  *    `parse_s3_url`): `virtual-host` (bucket from the host, with the
+  *    `s3[.-]…` host heuristic and the Cloudflare R2 suffix), `path`
+  *    (bucket = first path segment), and `auto` (virtual-host first,
+  *    path fallback);
+  *  - operation classing (GET/HEAD → read; PUT/POST → write; DELETE →
+  *    delete; POST with `?delete` → a DeleteObjects batch whose XML
+  *    body contributes one location PER KEY, each containment-checked);
+  *  - the pyiceberg <=0.9.1 compatibility fallback (sign.rs:143-176):
+  *    a table-scoped sign request whose URI does not match that
+  *    table's location is re-resolved BY LOCATION instead of failing;
+  *  - `validate_region` / `validate_uri` (sign.rs:407-419, 494-531):
+  *    the request region must equal the profile's, and every location
+  *    must be a sublocation of the table's (s3a/s3n table locations
+  *    normalize to s3 for the comparison);
+  *  - response assembly (sign.rs:357-382): original headers +
+  *    signer-added headers + `Cache-Control: private` for cacheable
+  *    GET/HEAD, `no-cache` otherwise; `range`, `x-amz-date`,
+  *    `amz-sdk-invocation-id` and `amz-sdk-retry` are excluded from
+  *    signing but passed through.
+  */
+object S3Signer {
+
+  /** Headers excluded from signing (sign.rs:35-40 UNSIGNED_HEADERS). */
+  val UnsignedHeaders: Set[String] =
+    Set("range", "x-amz-date", "amz-sdk-invocation-id", "amz-sdk-retry")
+
+  sealed trait Operation
+  object Operation {
+    case object Read extends Operation
+    case object Write extends Operation
+    case object Delete extends Operation
+  }
+
+  /** Endpoint error surface (s3_signer/error.rs + the ErrorModel types
+    * sign.rs raises); `errType` mirrors the reference's `type` strings
+    * so the procedure output is comparable.
+    */
+  final case class SignError(errType: String, message: String)
+    extends RuntimeException(s"$errType: $message")
+
+  private def err(t: String, m: String): Nothing = throw SignError(t, m)
+
+  /** A parsed S3 object location: bucket + raw key segments. Scheme-
+    * less — every comparison happens in normalized s3 terms
+    * (sign.rs:494-531 normalizes s3a/s3n table locations to s3).
+    */
+  final case class S3Loc(bucket: String, key: Seq[String]) {
+    override def toString: String =
+      s"s3://$bucket" + (if (key.isEmpty) "" else key.mkString("/", "/", ""))
+    /** Segment-boundary prefix: `key-2` is NOT inside `key`. */
+    def isSublocationOf(parent: S3Loc): Boolean =
+      bucket == parent.bucket && key.startsWith(parent.key)
+  }
+
+  object S3Loc {
+    /** Parse a table location string. `allowVariants` admits s3a/s3n
+      * (S3Location::try_from_location(_, true)).
+      */
+    def fromLocation(location: String, allowVariants: Boolean): S3Loc = {
+      val u = URI.create(location)
+      val scheme = Option(u.getScheme).getOrElse("")
+      val ok = scheme == "s3" || (allowVariants && (scheme == "s3a" || scheme == "s3n"))
+      if (!ok) err("InvalidLocation",
+        s"Table location is not an S3 location: $location")
+      val bucket = Option(u.getHost).orElse(Option(u.getAuthority))
+        .getOrElse(err("InvalidLocation", s"S3 location has no bucket: $location"))
+      S3Loc(bucket, segmentsOf(Option(u.getRawPath).getOrElse("")))
+    }
+  }
+
+  /** Path → decoded segments. The reference urldecodes request path
+    * segments before the location comparison
+    * (sign.rs urldecode_uri_path_segments); decoding BOTH sides (the
+    * request and the stored table location) makes the comparison
+    * canonical instead of inheriting the reference's raw-vs-decoded
+    * asymmetry for escaped table locations.
+    */
+  private def segmentsOf(rawPath: String): Seq[String] =
+    rawPath.split("/").toSeq.filter(_.nonEmpty).map(SigV4.pctDecode)
+
+  final case class ParsedSignRequest(
+      uri: URI,
+      locations: Seq[S3Loc],
+      endpoint: String,
+      port: Int)
+
+  /** `^((.+)\.)?(s3[.-]([a-z0-9-]+)(\..*)?)$` — sign.rs:720: an
+    * optional bucket prefix before an `s3.`/`s3-` labelled host.
+    */
+  private val VhostRe: Regex =
+    "^((.+)\\.)?(s3[.-]([a-z0-9-]+)(\\..*)?)$".r
+
+  private def hostOf(u: URI): String = {
+    val h = Option(u.getHost).getOrElse {
+      // URI relegates some hosts (e.g. underscores) to authority
+      val a = Option(u.getAuthority)
+        .getOrElse(err("UriNoHost", "URI to sign does not have a host"))
+      a.split("@").last.split(":").head
+    }
+    if (h.isEmpty) err("UriNoHost", "URI to sign does not have a host") else h
+  }
+
+  private def portOf(u: URI): Int =
+    if (u.getPort >= 0) u.getPort
+    else if (u.getScheme == "http") 80 else 443
+
+  /** Virtual-host-style parse (sign.rs:708-757). `isKnown` = the
+    * profile PINNED virtual-host style, so the first host label is the
+    * bucket unconditionally; otherwise the `s3[.-]` heuristic decides
+    * (Cloudflare R2 hosts always split on the first label).
+    */
+  private def virtualHostStyle(
+      u: URI, allowNoKey: Boolean, isKnown: Boolean): ParsedSignRequest = {
+    val host = hostOf(u)
+    val segs = segmentsOf(Option(u.getRawPath).getOrElse(""))
+    if (segs.isEmpty && !allowNoKey)
+      err("UriNotS3", "URI does not match S3 host style")
+    val (bucket, endpoint) =
+      if (isKnown || host.endsWith(".r2.cloudflarestorage.com")) {
+        val i = host.indexOf('.')
+        if (i < 0) err("InvalidHostStyleURL",
+          "Invalid virtual-host style URL: expected at least one point in hostname")
+        (host.take(i), host.drop(i + 1))
+      } else host match {
+        case VhostRe(_, bucket, ep, _, _) if bucket != null => (bucket, ep)
+        case _ => err("UriNotS3", "URI does not match S3 host style")
+      }
+    ParsedSignRequest(u, Seq(S3Loc(bucket, segs)), endpoint, portOf(u))
+  }
+
+  /** Path-style parse (sign.rs:770-806): first segment = bucket. */
+  private def pathStyle(u: URI, allowNoKey: Boolean): ParsedSignRequest = {
+    val segs = segmentsOf(Option(u.getRawPath).getOrElse(""))
+    val min = if (allowNoKey) 1 else 2
+    if (segs.length < min)
+      err("UriNotS3", s"Path style uri needs at least $min path segments")
+    ParsedSignRequest(u, Seq(S3Loc(segs.head, segs.tail)), hostOf(u), portOf(u))
+  }
+
+  /** Parse an S3 `DeleteObjects` XML body into its object keys
+    * (sign.rs:591-606). DTDs are rejected outright (no external
+    * entity resolution on an attacker-controllable body).
+    */
+  def parseDeleteXml(xml: String): Seq[String] = {
+    val keys = try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.setXIncludeAware(false)
+      f.setExpandEntityReferences(false)
+      val doc = f.newDocumentBuilder()
+        .parse(new org.xml.sax.InputSource(new StringReader(xml)))
+      val objs = doc.getElementsByTagName("Object")
+      (0 until objs.getLength).flatMap { i =>
+        val children = objs.item(i).getChildNodes
+        (0 until children.getLength).collectFirst {
+          case j if children.item(j).getNodeName == "Key" =>
+            children.item(j).getTextContent
+        }
+      }
+    } catch {
+      case e: Exception =>
+        err("InvalidDeleteBody", s"XML Body parsing error: ${e.getMessage}")
+    }
+    if (keys.isEmpty)
+      err("InvalidDeleteBody", "No objects found in delete request")
+    keys
+  }
+
+  /** sign.rs:608-706 `parse_s3_url`: style dispatch, operation
+    * classing, and DeleteObjects key fan-out.
+    */
+  def parseS3Url(
+      u: URI,
+      style: String,
+      method: String,
+      body: Option[String]): (ParsedSignRequest, Operation) = {
+    val scheme = Option(u.getScheme).getOrElse("")
+    if (scheme != "http" && scheme != "https")
+      err("UriSchemeNotSupported",
+        "URI to sign does not have a supported scheme. Expected https or http")
+    val m = method.toUpperCase(Locale.ROOT)
+    val isPostDelete = m == "POST" &&
+      Option(u.getRawQuery).exists(_.contains("delete"))
+    val operation: Operation = m match {
+      case "GET" | "HEAD" => Operation.Read
+      case "POST" | "PUT" =>
+        if (isPostDelete) Operation.Delete else Operation.Write
+      case "DELETE" => Operation.Delete
+      case _ => err("MethodNotAllowed", "Method not allowed")
+    }
+    val parsed = style match {
+      case "virtual-host" => virtualHostStyle(u, isPostDelete, isKnown = true)
+      case "path" => pathStyle(u, isPostDelete)
+      case _ => // auto
+        try virtualHostStyle(u, isPostDelete, isKnown = false)
+        catch { case _: SignError =>
+          try pathStyle(u, isPostDelete)
+          catch { case _: SignError =>
+            err("UriNotS3", "URI does not match S3 host or path style") }
+        }
+    }
+    val withKeys =
+      if (!isPostDelete) parsed
+      else body match {
+        case None => err("DeleteWithoutBody", "Delete requests require a body")
+        case Some(xml) =>
+          val bucket = parsed.locations.headOption
+            .getOrElse(err("UriNoLocation",
+              "Request URI does not contain a location")).bucket
+          parsed.copy(locations = parseDeleteXml(xml)
+            .map(k => S3Loc(bucket, k.split("/").toSeq.filter(_.nonEmpty))))
+      }
+    (withKeys, operation)
+  }
+
+  /** sign.rs:407-419: the request must be signed for the profile's
+    * region.
+    */
+  def validateRegion(region: String, profileRegion: String): Unit =
+    if (region != profileRegion)
+      err("RegionMismatch", "Region does not match storage profile")
+
+  /** sign.rs:494-531 `validate_uri`: every request location must sit
+    * inside the table's location (s3a/s3n normalize to s3).
+    */
+  def validateUri(parsed: ParsedSignRequest, tableLocation: String): Unit = {
+    val table = S3Loc.fromLocation(tableLocation, allowVariants = true)
+    parsed.locations.foreach { loc =>
+      if (!loc.isSublocationOf(table))
+        err("RequestUriMismatch",
+          s"Request URI ${parsed.uri} does not match table location " +
+            s"$tableLocation (actual: $loc)")
+    }
+  }
+
+  /** A static S3 credential — the access-key variant of the
+    * reference's `S3Credential` (service/storage/s3.rs; the
+    * STS-assumed and AWS-system-identity variants need live AWS and
+    * stay out of scope). R2 tokens carry the same shape.
+    */
+  final case class S3AccessKeyCredential(
+      accessKeyId: String,
+      secretAccessKey: String,
+      sessionToken: Option[String] = None,
+      externalId: Option[String] = None)
+
+  object S3AccessKeyCredential {
+    def fromJson(json: String): S3AccessKeyCredential = {
+      val j = JsonMethods.parse(json)
+      def str(k: String): Option[String] =
+        j \ k match { case JString(s) if s.nonEmpty => Some(s); case _ => None }
+      (j \ "credential-type", j \ "type") match {
+        case (JString(t), _) if t != "access-key" =>
+          err("UnsupportedCredential",
+            s"Only access-key credentials can sign offline, got '$t'")
+        case _ =>
+      }
+      S3AccessKeyCredential(
+        str("aws-access-key-id").orElse(str("access-key-id")).getOrElse(
+          err("InvalidCredential", "credential is missing aws-access-key-id")),
+        str("aws-secret-access-key").orElse(str("secret-access-key")).getOrElse(
+          err("InvalidCredential", "credential is missing aws-secret-access-key")),
+        str("aws-session-token").orElse(str("session-token")),
+        str("external-id"))
+    }
+
+    def toJson(c: S3AccessKeyCredential): String = JsonMethods.compact(
+      JsonMethods.render(
+        ("credential-type" -> "access-key") ~
+          ("aws-access-key-id" -> c.accessKeyId) ~
+          ("aws-secret-access-key" -> c.secretAccessKey) ~
+          ("aws-session-token" -> c.sessionToken) ~
+          ("external-id" -> c.externalId)))
+  }
+
+  /** Warehouse storage-credential registry — the in-process analog of
+    * the reference's SecretStore (service/secrets.rs: warehouses hold
+    * a `storage_secret_id`; secret material lives in a separate store,
+    * never in catalog listings). Keyed by `project/warehouse`; one
+    * JSON file under the serving catalog root, written atomically.
+    * Secret VALUES never appear in any procedure output — setters echo
+    * only the access-key id.
+    */
+  final class SecretStore(rootDir: String) {
+    private val dir = Paths.get(rootDir).resolve(".secrets")
+    private val file = dir.resolve("storage-credentials.json")
+
+    private def readAll(): Map[String, String] = synchronized {
+      if (!Files.exists(file)) Map.empty
+      else JsonMethods.parse(new String(Files.readAllBytes(file), UTF_8)) match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+
+    private def writeAll(m: Map[String, String]): Unit = synchronized {
+      Files.createDirectories(dir)
+      val tmp = Files.createTempFile(dir, ".cred", ".tmp")
+      Files.write(tmp, JsonMethods.compact(JsonMethods.render(
+        JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })))
+        .getBytes(UTF_8))
+      Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def put(project: String, warehouse: String,
+        credentialJson: String): S3AccessKeyCredential = {
+      val cred = S3AccessKeyCredential.fromJson(credentialJson) // validates
+      writeAll(readAll() +
+        (s"$project/$warehouse" -> S3AccessKeyCredential.toJson(cred)))
+      cred
+    }
+
+    def get(project: String, warehouse: String): Option[S3AccessKeyCredential] =
+      readAll().get(s"$project/$warehouse").map(S3AccessKeyCredential.fromJson)
+
+    def delete(project: String, warehouse: String): Boolean = {
+      val all = readAll()
+      val k = s"$project/$warehouse"
+      if (all.contains(k)) { writeAll(all - k); true } else false
+    }
+  }
+
+  final case class SignRequest(
+      region: String,
+      uri: String,
+      method: String,
+      headers: Seq[(String, String)],
+      body: Option[String])
+
+  final case class SignResponse(
+      uri: String,
+      headers: Seq[(String, String)],
+      signature: String,
+      signedHeaderNames: String)
+
+  /** Table-resolution seam: the reference resolves by id through the
+    * catalog (`get_table_info`) and by location through an indexed
+    * query (`get_tabular_infos_by_s3_location`, dropped tabulars
+    * INCLUDED — engines HEAD metadata files of dropped tables).
+    */
+  final case class ResolvedTable(key: String, location: String)
+
+  /** The endpoint flow (sign.rs:58-265 `sign`), with catalog access
+    * injected: `tableById` is the table-scoped variant (signer URI
+    * carries the table), `tableByLocation` the location lookup, and
+    * `authorize(table, operation)` the `require_table_action` analog
+    * (read → can_read_data, write/delete → can_write_data). Signing
+    * time is a parameter because the signature is otherwise
+    * nondeterministic — the procedure defaults it to now.
+    */
+  def signFlow(
+      profile: graft.store.StorageProfile.S3StorageProfile,
+      credential: Option[S3AccessKeyCredential],
+      request: SignRequest,
+      tableById: Option[String => Option[ResolvedTable]] = None,
+      tableId: Option[String] = None,
+      tableByLocation: S3Loc => Option[ResolvedTable],
+      authorize: (ResolvedTable, Operation) => Boolean,
+      nowMs: Long): SignResponse = {
+    if (!profile.remoteSigningOn)
+      err("RemoteSigningDisabled",
+        "Remote signing is disabled for this storage profile")
+    val requestUri = URI.create(request.uri)
+    val (parsed, operation) = parseS3Url(
+      requestUri, profile.remoteSigningUrlStyle, request.method, request.body)
+    val firstLocation = parsed.locations.headOption.getOrElse(
+      err("UriNoLocation", "Request URI does not contain a location"))
+
+    // table-scoped request with the pyiceberg <=0.9.1 fallback
+    val byId = for {
+      f <- tableById; id <- tableId; t <- f(id)
+      if scala.util.Try(validateUri(parsed, t.location)).isSuccess
+    } yield t
+    val table = byId.orElse(tableByLocation(firstLocation)).getOrElse(
+      err("CannotSeeTableLocation",
+        s"No table found at location $firstLocation"))
+
+    if (!authorize(table, operation))
+      err("Forbidden",
+        s"Actor is not allowed to ${operation.toString.toLowerCase(Locale.ROOT)} " +
+          s"table data at $firstLocation")
+
+    validateRegion(request.region, profile.region)
+    validateUri(parsed, table.location)
+
+    val cred = credential.getOrElse(err("NoStorageCredential",
+      "Warehouse has no storage credential to sign with (STS-minted " +
+        "identities are out of scope offline)"))
+
+    val payloadHash = request.body match {
+      case Some(b) => SigV4.sha256Hex(b)
+      case None => SigV4.UnsignedPayload
+    }
+    val host = hostOf(requestUri)
+    val defaultPort =
+      (requestUri.getScheme == "http" && portOf(requestUri) == 80) ||
+        (requestUri.getScheme == "https" && portOf(requestUri) == 443)
+    val hostHeader =
+      if (defaultPort || requestUri.getPort < 0) host
+      else s"$host:${requestUri.getPort}"
+    val toSign = request.headers.filterNot { case (k, _) =>
+      UnsignedHeaders.contains(k.toLowerCase(Locale.ROOT))
+    } ++ (if (request.headers.exists(_._1.equalsIgnoreCase("host"))) Seq.empty
+          else Seq("host" -> hostHeader))
+    val signed = SigV4.sign(
+      request.method, Option(requestUri.getRawPath).getOrElse("/"),
+      Option(requestUri.getRawQuery), toSign, payloadHash,
+      request.region, "s3", cred.accessKeyId, cred.secretAccessKey,
+      cred.sessionToken, nowMs)
+
+    val cacheable = {
+      val m = request.method.toUpperCase(Locale.ROOT)
+      m == "GET" || m == "HEAD"
+    }
+    // original headers (unsigned ones pass through), signer headers
+    // replacing same-named ones, cache policy last (sign.rs:357-375)
+    val addedNames = signed.addedHeaders.map(_._1).toSet
+    val outHeaders = request.headers.filterNot { case (k, _) =>
+      addedNames.contains(k.toLowerCase(Locale.ROOT)) ||
+        k.equalsIgnoreCase("Cache-Control")
+    } ++ signed.addedHeaders ++
+      Seq("Cache-Control" -> (if (cacheable) "private" else "no-cache"))
+    SignResponse(request.uri, outHeaders, signed.signature,
+      signed.signedHeaderNames)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.admin
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.time.Instant
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 — the pure signing core of the reference's
+  * remote S3 signer (server/s3_signer/sign.rs:290-382 delegates to the
+  * aws_sigv4 crate with `PercentEncodingMode::Single` and
+  * `PayloadChecksumKind::XAmzSha256`; this implements that algorithm
+  * from the public AWS specification). Everything here is
+  * deterministic given (request, credential, time) and is verified in
+  * S3SignerSpec against the published AWS Signature v4 test vectors —
+  * the independent ground truth the driver oracle row also carries.
+  *
+  * S3 specifics honored:
+  *  - single-encoding canonical URI: the raw request path is signed as
+  *    sent; unencoded reserved characters are percent-encoded ONCE and
+  *    existing `%XX` escapes are never double-encoded;
+  *  - `x-amz-content-sha256` is always added (XAmzSha256 checksum
+  *    kind) with either the payload's SHA-256 or `UNSIGNED-PAYLOAD`;
+  *  - a session token, when present, is signed as
+  *    `x-amz-security-token`.
+  */
+object SigV4 {
+  val Algorithm = "AWS4-HMAC-SHA256"
+  val UnsignedPayload = "UNSIGNED-PAYLOAD"
+  /** SHA-256 of the empty payload (the well-known constant). */
+  val EmptyPayloadHash: String =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  private val dateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+  private val timeFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+  def sha256Hex(s: String): String = sha256Hex(s.getBytes(UTF_8))
+
+  def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def unreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Strict AWS URI-encoding over UTF-8 bytes: unreserved characters
+    * pass through, everything else becomes uppercase `%XX`.
+    */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (unreserved(c) || (c == '/' && !encodeSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Canonical URI in single-encoding mode: the already-encoded wire
+    * path is preserved byte-for-byte (S3 re-derives the signature from
+    * the raw request target, so escapes must not be re-encoded), while
+    * characters a client left unencoded are escaped once.
+    */
+  def canonicalPath(rawPath: String): String = {
+    val p = if (rawPath.isEmpty) "/" else rawPath
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 2 < p.length && isHex(p.charAt(i + 1)) &&
+          isHex(p.charAt(i + 2))) {
+        sb.append(p.substring(i, i + 3))
+        i += 3
+      } else {
+        sb.append(uriEncode(c.toString, encodeSlash = false))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Decode `%XX` escapes (UTF-8); anything else — including `+` — is
+    * literal, matching S3's canonicalization.
+    */
+  def pctDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) &&
+          isHex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        out.write(c.toString.getBytes(UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, UTF_8)
+  }
+
+  /** Canonical query string: decode each name/value once, strict
+    * re-encode, sort by (name, value), join `k=v` with `&`. A valueless
+    * parameter (`?lifecycle`) canonicalizes to `lifecycle=`.
+    */
+  def canonicalQuery(rawQuery: Option[String]): String = rawQuery match {
+    case None => ""
+    case Some(q) =>
+      q.split("&").iterator.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        (uriEncode(pctDecode(k), encodeSlash = true),
+          uriEncode(pctDecode(v), encodeSlash = true))
+      }.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+  }
+
+  /** Collapse sequential inner whitespace to one space (canonical
+    * header value rule) after trimming.
+    */
+  private def canonValue(v: String): String =
+    v.trim.replaceAll("[ \t]+", " ")
+
+  /** The headers a signing pass ADDS to the request, plus the
+    * intermediate artifacts specs assert on.
+    */
+  final case class SignedRequest(
+      addedHeaders: Seq[(String, String)],
+      signature: String,
+      signedHeaderNames: String,
+      canonicalRequest: String,
+      stringToSign: String)
+
+  /** Sign a request with SigV4 header authentication.
+    *
+    * @param headers   headers to sign (must include `host`); names are
+    *                  case-insensitive, values joined with `,` when a
+    *                  name repeats
+    * @param payloadHash hex SHA-256 of the body, [[EmptyPayloadHash]],
+    *                  or [[UnsignedPayload]]
+    * @param epochMs   signing time (the reference uses
+    *                  `SystemTime::now()`; explicit here so the result
+    *                  is testable against published vectors)
+    */
+  def sign(
+      method: String,
+      rawPath: String,
+      rawQuery: Option[String],
+      headers: Seq[(String, String)],
+      payloadHash: String,
+      region: String,
+      service: String,
+      accessKeyId: String,
+      secretKey: String,
+      sessionToken: Option[String],
+      epochMs: Long,
+      // PayloadChecksumKind::XAmzSha256 — S3 signs the payload hash as
+      // a header; other AWS services don't (the generic sigv4 vectors)
+      addContentSha: Boolean = true): SignedRequest = {
+    val t = Instant.ofEpochMilli(epochMs)
+    val amzDate = timeFmt.format(t)
+    val date = dateFmt.format(t)
+    val lowered = headers.map { case (k, v) => (k.toLowerCase(Locale.ROOT), v) }
+    val added =
+      (if (lowered.exists(_._1 == "x-amz-date")) Seq.empty
+       else Seq("x-amz-date" -> amzDate)) ++
+        (if (!addContentSha || lowered.exists(_._1 == "x-amz-content-sha256"))
+           Seq.empty
+         else Seq("x-amz-content-sha256" -> payloadHash)) ++
+        sessionToken.map("x-amz-security-token" -> _)
+    val all = lowered ++ added
+    val grouped = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, vs) =>
+      (k, vs.map(p => canonValue(p._2)).mkString(","))
+    }
+    val signedNames = grouped.map(_._1).mkString(";")
+    val canonicalHeaders = grouped.map { case (k, v) => s"$k:$v\n" }.mkString
+    val canonical = Seq(
+      method.toUpperCase(Locale.ROOT), canonicalPath(rawPath),
+      canonicalQuery(rawQuery), canonicalHeaders, signedNames,
+      payloadHash).mkString("\n")
+    val scope = s"$date/$region/$service/aws4_request"
+    val sts = Seq(Algorithm, amzDate, scope, sha256Hex(canonical))
+      .mkString("\n")
+    val kSigning = hmacSha256(hmacSha256(hmacSha256(hmacSha256(
+      ("AWS4" + secretKey).getBytes(UTF_8), date), region), service),
+      "aws4_request")
+    val sig = hex(hmacSha256(kSigning, sts))
+    val auth = s"$Algorithm Credential=$accessKeyId/$scope, " +
+      s"SignedHeaders=$signedNames, Signature=$sig"
+    SignedRequest(added :+ ("authorization" -> auth), sig, signedNames,
+      canonical, sts)
+  }
+}

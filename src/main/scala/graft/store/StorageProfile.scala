@@ -229,6 +229,10 @@ object StorageProfile {
       // keeps the stored value instead of silently re-enabling a
       // security posture the operator disabled.
       remoteSigningEnabled: Option[Boolean] = None,
+      // URL style the remote signer assumes when parsing request URIs
+      // (s3.rs:138 `remote_signing_url_style`, S3UrlStyleDetectionMode
+      // — `path` | `virtual-host` | `auto`, default auto)
+      remoteSigningUrlStyle: String = "auto",
       storageLayout: Option[StorageLayout] = None)
     extends WarehouseStorageProfile {
 
@@ -355,6 +359,10 @@ object StorageProfile {
       def trimOpt(o: Option[String]) = o.map(_.trim).filter(_.nonEmpty)
       require(flavor == "aws" || flavor == "s3-compat",
         s"flavor: unknown S3 flavor '$flavor' (aws | s3-compat)")
+      require(Seq("auto", "path", "virtual-host")
+          .contains(remoteSigningUrlStyle),
+        "remote_signing_url_style: must be auto, path, or virtual-host, " +
+          s"got '$remoteSigningUrlStyle'")
       val normalized = copy(
         keyPrefix = prefix,
         endpoint = ep,
@@ -927,6 +935,8 @@ object StorageProfile {
           pushS3DeleteDisabled =
             optBool("push-s3-delete-disabled").getOrElse(true),
           remoteSigningEnabled = optBool("remote-signing-enabled"),
+          remoteSigningUrlStyle =
+            optStr("remote-signing-url-style").getOrElse("auto"),
           storageLayout = lay)
       case JString("gcs") =>
         GcsStorageProfile(
@@ -1002,7 +1012,8 @@ object StorageProfile {
           ("path-style-access" -> p.pathStyleAccess) ~
           ("allow-alternative-protocols" -> p.allowAlternativeProtocols) ~
           ("push-s3-delete-disabled" -> p.pushS3DeleteDisabled) ~
-          ("remote-signing-enabled" -> p.remoteSigningEnabled)
+          ("remote-signing-enabled" -> p.remoteSigningEnabled) ~
+          ("remote-signing-url-style" -> p.remoteSigningUrlStyle)
       case p: GcsStorageProfile =>
         ("type" -> "gcs") ~ ("bucket" -> p.bucket) ~
           ("key-prefix" -> p.keyPrefix) ~ ("sts-enabled" -> p.stsEnabled)
