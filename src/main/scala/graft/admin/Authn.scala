@@ -1,0 +1,401 @@
+package graft.admin
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.spec.RSAPublicKeySpec
+import java.security.{KeyFactory, Signature}
+import java.util.{Base64, Locale}
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The pure half of the reference's authentication layer
+  * (service/authn.rs + the limes JWKS authenticator it delegates to):
+  * everything except the network fetch of
+  * `.well-known/openid-configuration`/JWKS documents — which is
+  * injected as a resolver — is deterministic computation:
+  *
+  *  - compact-JWS parsing and signature verification (RS256 via JCA
+  *    RSA, HS256 via HMAC — verified against the PUBLISHED RFC 7515
+  *    A.1 vector), claim validation (exp/nbf with leeway, issuer +
+  *    additional issuers, audience intersection, required scope);
+  *  - subject extraction by configured claim preference
+  *    (authn.rs:91 DEFAULT_SUBJECT_CLAIMS — `oid` before `sub`, the
+  *    Entra-ID rule) and roles extraction by dot-notation claim path;
+  *  - `UserId` = `<idp_id>~<subject>` with the reference's validation
+  *    rules (authn.rs:749-784: non-empty, <128 chars, no control
+  *    characters, idp id required; the subject may itself contain the
+  *    separator — only the FIRST `~` splits);
+  *  - provider-config assembly (authn.rs:282-315: legacy single-
+  *    provider config becomes idp id `oidc` with
+  *    require_connected_on_startup pinned TRUE; extras sorted
+  *    alphabetically) and chain assembly (authn.rs:230-281: optional
+  *    providers may be skipped on failure, required ones abort, ALL
+  *    skipped aborts — authentication never silently disables);
+  *  - actor resolution with the `x-assume-role` header
+  *    (authn.rs:614-663): assumed roles resolve against the role
+  *    registry and are authorized via `can_assume` at the caller.
+  */
+object Authn {
+
+  val OidcIdpId = "oidc"
+  val K8sIdpId = "kubernetes"
+  val IdpSeparator = '~'
+  /** authn.rs:36 — matched case-insensitively (HTTP header names). */
+  val AssumeRoleHeader = "x-assume-role"
+  /** authn.rs:91 — `oid` first for Entra-ID, then `sub`. */
+  val DefaultSubjectClaims: Seq[String] = Seq("oid", "sub")
+  /** Clock-skew allowance for exp/nbf. */
+  val LeewaySeconds = 60L
+
+  final case class AuthnError(errType: String, message: String)
+    extends RuntimeException(s"$errType: $message")
+  private def err(t: String, m: String): Nothing = throw AuthnError(t, m)
+
+  // ----------------------------------------------------------- identity
+
+  final case class Subject(idpId: Option[String], subjectInIdp: String)
+
+  /** authn.rs:78 `UserId` — a validated `idp~sub` principal. */
+  final case class UserId(subject: Subject) {
+    def idpId: Option[String] = subject.idpId
+    def subjectInIdp: String = subject.subjectInIdp
+    override def toString: String =
+      subject.idpId.map(_ + IdpSeparator).getOrElse("") + subject.subjectInIdp
+  }
+
+  object UserId {
+    def tryNew(subject: Subject): UserId = {
+      validateSubject(subject.subjectInIdp)
+      if (subject.idpId.forall(_.isEmpty))
+        err("InvalidUserIdError", "User ID must contain an IdP ID.")
+      UserId(subject)
+    }
+
+    /** Parse `<idp_id>~<user-id>` — only the FIRST separator splits,
+      * so subjects containing `~` round-trip (authn.rs test matrix).
+      */
+    def parse(s: String): UserId = {
+      val i = s.indexOf(IdpSeparator.toInt)
+      if (i <= 0) err("InvalidUserId",
+        s"Invalid user id: `$s`. Expected format: `<idp_id>~<user-id>`")
+      tryNew(Subject(Some(s.take(i)), s.drop(i + 1)))
+    }
+
+    private def validateSubject(subject: String): Unit = {
+      if (subject.isEmpty) err("EmptyUserIdError", "user id cannot be empty")
+      if (subject.length >= 128)
+        err("UserIdTooLongError", "user id must be shorter than 128 chars")
+      if (subject.exists(_.isControl))
+        err("InvalidUserIdError", "User ID cannot contain control characters.")
+    }
+  }
+
+  /** authn.rs:39 `Actor`. */
+  sealed trait Actor { def isAuthenticated: Boolean }
+  case object Anonymous extends Actor { val isAuthenticated = false }
+  final case class Principal(userId: UserId) extends Actor {
+    val isAuthenticated = true
+  }
+  final case class AssumedRole(principal: UserId, roleId: String)
+    extends Actor { val isAuthenticated = true }
+
+  // ------------------------------------------------------ provider config
+
+  /** authn.rs:110 `OidcProviderConfig` (uri = the issuer). */
+  final case class OidcProviderConfig(
+      uri: String,
+      audience: Option[Seq[String]] = None,
+      additionalIssuers: Option[Seq[String]] = None,
+      scope: Option[String] = None,
+      subjectClaims: Option[Seq[String]] = None,
+      rolesClaim: Option[String] = None,
+      requireConnectedOnStartup: Boolean = true)
+
+  /** The `openid_*` slice of the reference's DynAppConfig. */
+  final case class AuthnConfig(
+      openidProviderUri: Option[String] = None,
+      openidAudience: Option[Seq[String]] = None,
+      openidAdditionalIssuers: Option[Seq[String]] = None,
+      openidScope: Option[String] = None,
+      openidSubjectClaim: Option[Seq[String]] = None,
+      openidRolesClaim: Option[String] = None,
+      openidProviders: Map[String, OidcProviderConfig] = Map.empty)
+
+  /** authn.rs:282-315: the legacy single-provider config becomes idp
+    * id `oidc` with require_connected_on_startup hardcoded TRUE;
+    * multi-provider extras follow in alphabetical idp-id order
+    * (operator-visible chain order; map iteration order must not
+    * leak).
+    */
+  def oidcProviderConfigsFromConfig(
+      c: AuthnConfig): Seq[(String, OidcProviderConfig)] = {
+    val primary = c.openidProviderUri.map { uri =>
+      OidcIdpId -> OidcProviderConfig(
+        uri = uri,
+        audience = c.openidAudience,
+        additionalIssuers = c.openidAdditionalIssuers,
+        scope = c.openidScope,
+        subjectClaims = c.openidSubjectClaim,
+        rolesClaim = c.openidRolesClaim,
+        requireConnectedOnStartup = true)
+    }.toSeq
+    primary ++ c.openidProviders.toSeq.sortBy(_._1)
+  }
+
+  // ------------------------------------------------------------- JWT/JWKS
+
+  /** One verification key from a JWKS document. */
+  final case class Jwk(
+      kty: String,
+      kid: Option[String],
+      alg: Option[String],
+      n: Option[String] = None, // RSA modulus, base64url
+      e: Option[String] = None, // RSA exponent, base64url
+      k: Option[String] = None) // symmetric key, base64url
+
+  object Jwk {
+    def fromJson(j: JValue): Jwk = {
+      def s(k: String) = j \ k match {
+        case JString(v) => Some(v); case _ => None
+      }
+      Jwk(s("kty").getOrElse(err("InvalidJwks", "key missing kty")),
+        s("kid"), s("alg"), s("n"), s("e"), s("k"))
+    }
+
+    /** Parse a JWKS document (`{"keys": [...]}`). */
+    def parseJwks(json: String): Seq[Jwk] = JsonMethods.parse(json) \ "keys" match {
+      case JArray(keys) => keys.map(fromJson)
+      case _ => err("InvalidJwks", "JWKS document has no keys array")
+    }
+  }
+
+  private def b64url(s: String): Array[Byte] = Base64.getUrlDecoder.decode(s)
+
+  /** A successful authentication (limes::Authentication analog). */
+  final case class Authentication(
+      subject: Subject,
+      audiences: Seq[String],
+      roles: Option[Seq[String]],
+      claims: JValue)
+
+  /** The limes `JWKSWebAuthenticator` minus the network: keys come
+    * from an injected JWKS document.
+    */
+  final class JwksAuthenticator(
+      val idpId: String,
+      issuer: String,
+      keys: Seq[Jwk],
+      audience: Option[Seq[String]] = None,
+      additionalIssuers: Seq[String] = Nil,
+      scope: Option[String] = None,
+      subjectClaims: Seq[String] = DefaultSubjectClaims,
+      rolesClaim: Option[String] = None) {
+
+    def authenticate(token: String, nowMs: Long): Authentication = {
+      val parts = token.split("\\.")
+      if (parts.length != 3) err("InvalidToken", "Not a compact JWS")
+      val header = JsonMethods.parse(new String(b64url(parts(0)), UTF_8))
+      val payload = JsonMethods.parse(new String(b64url(parts(1)), UTF_8))
+      val signingInput = (parts(0) + "." + parts(1)).getBytes(UTF_8)
+      val sig = b64url(parts(2))
+      val alg = header \ "alg" match {
+        case JString(a) => a
+        case _ => err("InvalidToken", "JWS header has no alg")
+      }
+      val kid = header \ "kid" match {
+        case JString(k) => Some(k); case _ => None
+      }
+      if (!verifySignature(alg, kid, signingInput, sig))
+        err("AuthenticationFailed", s"Signature verification failed ($alg)")
+      validateClaims(payload, nowMs)
+      Authentication(
+        subject = Subject(Some(idpId), extractSubject(payload)),
+        audiences = audiencesOf(payload),
+        roles = rolesClaim.map(path => rolesAt(payload, path)),
+        claims = payload)
+    }
+
+    private def verifySignature(alg: String, kid: Option[String],
+        input: Array[Byte], sig: Array[Byte]): Boolean = {
+      val candidates = keys.filter(k => kid.forall(id => k.kid.contains(id)))
+        .filter(k => k.alg.forall(_ == alg))
+      if (candidates.isEmpty)
+        err("AuthenticationFailed", s"No JWKS key matches kid=$kid alg=$alg")
+      candidates.exists { key =>
+        (alg, key.kty) match {
+          case ("RS256", "RSA") =>
+            val spec = new RSAPublicKeySpec(
+              new java.math.BigInteger(1, b64url(key.n.getOrElse(
+                err("InvalidJwks", "RSA key missing n")))),
+              new java.math.BigInteger(1, b64url(key.e.getOrElse(
+                err("InvalidJwks", "RSA key missing e")))))
+            val pub = KeyFactory.getInstance("RSA").generatePublic(spec)
+            val v = Signature.getInstance("SHA256withRSA")
+            v.initVerify(pub); v.update(input)
+            try v.verify(sig) catch { case _: Exception => false }
+          case ("HS256", "oct") =>
+            val mac = Mac.getInstance("HmacSHA256")
+            mac.init(new SecretKeySpec(b64url(key.k.getOrElse(
+              err("InvalidJwks", "oct key missing k"))), "HmacSHA256"))
+            java.security.MessageDigest.isEqual(mac.doFinal(input), sig)
+          case _ => false
+        }
+      }
+    }
+
+    private def validateClaims(p: JValue, nowMs: Long): Unit = {
+      val now = nowMs / 1000
+      p \ "exp" match {
+        case JInt(exp) if exp.toLong + LeewaySeconds < now =>
+          err("AuthenticationFailed", "Token expired")
+        case _ =>
+      }
+      p \ "nbf" match {
+        case JInt(nbf) if nbf.toLong - LeewaySeconds > now =>
+          err("AuthenticationFailed", "Token not yet valid")
+        case _ =>
+      }
+      p \ "iss" match {
+        case JString(iss) =>
+          if (iss != issuer && !additionalIssuers.contains(iss))
+            err("AuthenticationFailed", s"Untrusted issuer $iss")
+        case _ => err("AuthenticationFailed", "Token has no issuer")
+      }
+      audience.foreach { accepted =>
+        if (!audiencesOf(p).exists(accepted.contains))
+          err("AuthenticationFailed", "Token audience not accepted")
+      }
+      scope.foreach { required =>
+        val scopes = p \ "scope" match {
+          case JString(s) => s.split(" ").toSeq
+          case _ => Nil
+        }
+        if (!scopes.contains(required))
+          err("AuthenticationFailed", s"Token missing required scope $required")
+      }
+    }
+
+    private def audiencesOf(p: JValue): Seq[String] = p \ "aud" match {
+      case JString(a) => Seq(a)
+      case JArray(as) => as.collect { case JString(a) => a }
+      case _ => Nil
+    }
+
+    private def extractSubject(p: JValue): String =
+      subjectClaims.iterator.map(c => p \ c).collectFirst {
+        case JString(s) if s.nonEmpty => s
+      }.getOrElse(err("AuthenticationFailed",
+        s"Token has none of the subject claims ${subjectClaims.mkString(",")}"))
+
+    /** Dot-notation claim path → string array
+      * (e.g. `resource_access.account.roles`).
+      */
+    private def rolesAt(p: JValue, path: String): Seq[String] =
+      path.split("\\.").foldLeft(p)(_ \ _) match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case JString(s) => Seq(s)
+        case _ => Nil
+      }
+  }
+
+  /** limes::AuthenticatorChain — first authenticator that accepts the
+    * token wins; every failure falls through.
+    */
+  final class AuthenticatorChain(val authenticators: Seq[JwksAuthenticator]) {
+    def authenticate(token: String, nowMs: Long): Authentication = {
+      var last: Option[AuthnError] = None
+      authenticators.foreach { a =>
+        try return a.authenticate(token, nowMs)
+        catch { case e: AuthnError => last = Some(e) }
+      }
+      throw last.getOrElse(AuthnError("AuthenticationFailed",
+        "No authenticators configured"))
+    }
+  }
+
+  /** authn.rs:230-358 assemble + build: `jwksResolver` stands in for
+    * the OIDC discovery + JWKS fetch (the ONLY network step). A
+    * resolver failure skips an optional provider
+    * (require_connected_on_startup=false) and aborts for a required
+    * one; if EVERY configured provider was skipped, assembly aborts —
+    * authentication must never silently disable itself.
+    */
+  def assembleChain(
+      config: AuthnConfig,
+      jwksResolver: String => Seq[Jwk],
+      k8sAuthenticators: Seq[JwksAuthenticator] = Nil)
+      : Option[AuthenticatorChain] = {
+    val providerConfigs = oidcProviderConfigsFromConfig(config)
+    val oidc = providerConfigs.flatMap { case (idpId, p) =>
+      val keys =
+        try Right(jwksResolver(p.uri))
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
+      keys match {
+        case Right(ks) => Some(new JwksAuthenticator(idpId, p.uri, ks,
+          p.audience, p.additionalIssuers.getOrElse(Nil), p.scope,
+          p.subjectClaims.getOrElse(DefaultSubjectClaims), p.rolesClaim))
+        case Left(e) if p.requireConnectedOnStartup =>
+          err("AuthenticatorInitFailed",
+            s"Failed to create required OIDC authenticator for $idpId " +
+              s"(${p.uri}): ${e.getMessage}")
+        case Left(_) => None // optional: skip this provider
+      }
+    }
+    if (providerConfigs.nonEmpty && oidc.isEmpty)
+      err("AuthenticatorInitFailed",
+        s"All ${providerConfigs.size} configured OIDC provider(s) failed " +
+          "to initialize. Refusing to start with authentication disabled.")
+    val all = oidc ++ k8sAuthenticators
+    if (all.isEmpty) None else Some(new AuthenticatorChain(all))
+  }
+
+  // -------------------------------------------------- request resolution
+
+  /** authn.rs:614-630 — the `x-assume-role` header, matched
+    * case-insensitively; empty values are invalid.
+    */
+  def extractRoleId(headers: Map[String, String]): Option[String] =
+    headers.collectFirst {
+      case (k, v) if k.toLowerCase(Locale.ROOT) == AssumeRoleHeader => v
+    }.map { v =>
+      if (v.trim.isEmpty) err("InvalidRoleIdError", "Failed to parse Role-ID")
+      v.trim
+    }
+
+  /** authn.rs:632-663 — an assumed role must resolve in the role
+    * registry; `can_assume` authorization happens at the caller with
+    * the resolved actor (the reference's check_actor).
+    */
+  def resolveActor(userId: UserId, roleId: Option[String],
+      roleExists: String => Boolean): Actor = roleId match {
+    case Some(id) =>
+      if (!roleExists(id)) err("InvalidAssumeRoleId",
+        s"Failed to resolve role with id $id presented in header " +
+          AssumeRoleHeader)
+      AssumedRole(userId, id)
+    case None => Principal(userId)
+  }
+
+  /** authn.rs:665-709 — roles extracted from the token require a
+    * project to scope them to; each becomes (provider id, source id).
+    */
+  def extractTokenRoles(auth: Authentication,
+      preferredProjectId: Option[String])
+      : Option[(String, Set[(String, String)])] =
+    auth.roles.map { roles =>
+      val project = preferredProjectId.getOrElse(err("MissingProjectId",
+        "Default project must be set or X-Project-ID header must be " +
+          "provided if roles are extracted from tokens"))
+      val provider = auth.subject.idpId.getOrElse(err(
+        "AuthenticatorMissingProviderId",
+        "Encountered Authenticator without provider / idp_id"))
+      val idents = roles.map { r =>
+        if (r.isEmpty) err("RoleSourceIdError", "Invalid Role in token: empty")
+        (provider, r)
+      }.toSet
+      (project, idents)
+    }
+}

@@ -1,0 +1,101 @@
+package graft.connector
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+import graft.admin.Authn
+import graft.admin.Authn.{AuthnError, Jwk, JwksAuthenticator, UserId}
+
+/** Token authentication as a procedure — the pure half of the
+  * reference's auth middleware (service/authn.rs auth_middleware_fn):
+  * verify a compact JWS against a JWKS document, validate claims,
+  * derive the `<idp>~<subject>` principal, optionally assume a role
+  * (`x-assume-role` semantics: the role must exist and the principal
+  * must hold `can_assume` on it), and extract token roles. The JWKS
+  * document is a parameter — the network fetch is the only part of the
+  * reference flow with no in-process analog.
+  */
+final case class AuthenticateTokenProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "authenticate_token"
+  override def description(): String =
+    "Verify a JWT against a JWKS document and resolve the actor"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("token", StringType),
+    Procedures.param("jwks", StringType),
+    Procedures.param("issuer", StringType),
+    Procedures.paramWithDefault("audience", StringType, "NULL"),
+    Procedures.paramWithDefault("scope", StringType, "NULL"),
+    Procedures.paramWithDefault("subject_claims", StringType, "NULL"),
+    Procedures.paramWithDefault("roles_claim", StringType, "NULL"),
+    Procedures.paramWithDefault("idp_id", StringType, "'oidc'"),
+    Procedures.paramWithDefault("assume_role", StringType, "NULL"),
+    Procedures.paramWithDefault("now_ms", LongType, "NULL"))
+  override def isDeterministic: Boolean = false
+
+  private def str(input: InternalRow, i: Int): Option[String] =
+    if (input.numFields <= i || input.isNullAt(i)) None
+    else Some(input.getUTF8String(i).toString)
+  private def csv(input: InternalRow, i: Int): Option[Seq[String]] =
+    str(input, i).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val token = input.getUTF8String(0).toString
+    val jwks = Jwk.parseJwks(input.getUTF8String(1).toString)
+    val issuer = input.getUTF8String(2).toString
+    val idpId = str(input, 7).getOrElse(Authn.OidcIdpId)
+    val nowMs =
+      if (input.numFields <= 9 || input.isNullAt(9))
+        System.currentTimeMillis()
+      else input.getLong(9)
+
+    val authenticator = new JwksAuthenticator(idpId, issuer, jwks,
+      audience = csv(input, 3),
+      scope = str(input, 4),
+      subjectClaims = csv(input, 5).getOrElse(Authn.DefaultSubjectClaims),
+      rolesClaim = str(input, 6))
+    val authentication = authenticator.authenticate(token, nowMs)
+    val userId = UserId.tryNew(authentication.subject)
+
+    val store = catalog.store
+    val actor = Authn.resolveActor(userId, str(input, 8),
+      roleId => store.listRoles().exists(_.id == roleId))
+    actor match {
+      case Authn.AssumedRole(principal, roleId) =>
+        // the reference's check_actor: assuming a role is itself an
+        // authorized action (role.fga can_assume)
+        if (!graft.admin.Authz.check(store, principal.toString,
+            graft.admin.Authz.Obj("role", Seq(roleId)), "can_assume"))
+          throw AuthnError("Forbidden",
+            s"Principal $principal may not assume role $roleId")
+      case _ =>
+    }
+
+    val schema = StructType(Seq(
+      StructField("actor", StringType, nullable = false),
+      StructField("user_id", StringType, nullable = false),
+      StructField("idp_id", StringType, nullable = false),
+      StructField("subject", StringType, nullable = false),
+      StructField("audiences", StringType, nullable = false),
+      StructField("token_roles", StringType, nullable = false),
+      StructField("assumed_role", StringType, nullable = false)))
+    val (kind, assumed) = actor match {
+      case Authn.AssumedRole(_, r) => ("assumed-role", r)
+      case _ => ("principal", "")
+    }
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(kind),
+      Procedures.utf8(userId.toString),
+      Procedures.utf8(idpId),
+      Procedures.utf8(userId.subjectInIdp),
+      Procedures.utf8(authentication.audiences.mkString(",")),
+      Procedures.utf8(authentication.roles.getOrElse(Nil).mkString(",")),
+      Procedures.utf8(assumed))): InternalRow))
+  }
+}

@@ -47,7 +47,8 @@ object Procedures {
     "grant_privilege", "revoke_privilege", "check_action",
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
     "update_warehouse_storage", "get_catalog_config", "drop_namespace",
-    "bootstrap", "server_info", "health")
+    "bootstrap", "server_info", "health",
+    "set_warehouse_credential", "sign_s3_request", "authenticate_token")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -118,6 +119,10 @@ object Procedures {
       case "bootstrap" => Some(BootstrapProcedure(catalog))
       case "server_info" => Some(ServerInfoProcedure(catalog))
       case "health" => Some(HealthProcedure(catalog))
+      case "set_warehouse_credential" =>
+        Some(SetWarehouseCredentialProcedure(catalog))
+      case "sign_s3_request" => Some(SignS3RequestProcedure(catalog))
+      case "authenticate_token" => Some(AuthenticateTokenProcedure(catalog))
       case "get_maintenance_mode" =>
         Some(GetMaintenanceModeProcedure(catalog))
       case _ => None

@@ -1,0 +1,238 @@
+package graft.connector
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.admin.S3Signer
+import graft.admin.S3Signer.{Operation, ResolvedTable, S3Loc, SignError, SignRequest}
+import graft.store.{CatalogStore, StorageProfile, TabularId}
+
+/** Remote-signing procedures — the SQL surface of the reference's
+  * S3 signer endpoint (server/s3_signer/sign.rs POST
+  * /v1/{prefix}/s3-sign and the table-scoped
+  * /v1/{prefix}/tables/{table_id}/s3-sign variant) and of the
+  * warehouse storage-credential half of the SecretStore
+  * (service/secrets.rs; warehouses reference their secret by id — here
+  * the credential registry is keyed directly by project/warehouse).
+  */
+private[connector] object SignerProcedures {
+
+  /** Resolve a registered warehouse's profile + backing store through
+    * the provider seam (the serving root is implicit in listings).
+    */
+  def resolveWarehouse(catalog: GraftCatalog, name: String,
+      project: String): (graft.store.WarehouseProfile, CatalogStore) = {
+    val store = catalog.store
+    val e = store.listWarehouseEntries()
+      .find(x => x.project == project && x.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No such warehouse: $name in project $project"))
+    val target =
+      if (e.location == store.root) store else CatalogStore.open(e.location)
+    (target.warehouseProfile, target)
+  }
+
+  /** headers JSON (`{"name": "v"}` or `{"name": ["v1","v2"]}`) →
+    * ordered pairs.
+    */
+  def parseHeaders(json: String): Seq[(String, String)] =
+    JsonMethods.parse(json) match {
+      case JObject(fields) => fields.flatMap {
+        case (k, JString(v)) => Seq(k -> v)
+        case (k, JArray(vs)) => vs.collect { case JString(v) => k -> v }
+        case (k, other) => Seq(k -> JsonMethods.compact(JsonMethods.render(other)))
+      }
+      case JNothing => Seq.empty
+      case _ => throw new IllegalArgumentException(
+        "headers must be a JSON object")
+    }
+
+  def headersToJson(headers: Seq[(String, String)]): String = {
+    val grouped = headers.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (k, vs) => k -> JArray(vs.map(v => JString(v._2)).toList)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(grouped: _*)))
+  }
+}
+
+/** Store (or with `credential => NULL` remove) a warehouse's static S3
+  * storage credential. Secret values are write-only at this surface:
+  * the result echoes the credential TYPE and access-key id, never the
+  * secret (reference: secrets are stored by id in the SecretStore and
+  * warehouse GET responses carry only `storage-credential` presence).
+  */
+final case class SetWarehouseCredentialProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_warehouse_credential"
+  override def description(): String =
+    "Set or clear a warehouse's static S3 storage credential"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.paramWithDefault("credential", StringType, "NULL"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val name = input.getUTF8String(0).toString
+    val project =
+      if (input.numFields < 3 || input.isNullAt(2)) catalog.store.DefaultProject
+      else input.getUTF8String(2).toString
+    // the warehouse must exist (same rule as the storage-profile setter)
+    SignerProcedures.resolveWarehouse(catalog, name, project)
+    val secrets = new S3Signer.SecretStore(catalog.store.root)
+    val (action, keyId) =
+      if (input.isNullAt(1)) {
+        val removed = secrets.delete(project, name)
+        (if (removed) "deleted" else "absent", "")
+      } else {
+        val cred = secrets.put(project, name, input.getUTF8String(1).toString)
+        ("stored", cred.accessKeyId)
+      }
+    val schema = StructType(Seq(
+      StructField("warehouse", StringType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("access_key_id", StringType, nullable = false)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(name), Procedures.utf8(action),
+      Procedures.utf8(keyId))): InternalRow))
+  }
+}
+
+/** Sign one S3 request against a warehouse's storage profile +
+  * credential — the endpoint flow of sign.rs:58-265: resolve the table
+  * the request touches (by ident when given, by location otherwise,
+  * dropped tabulars included — engines HEAD metadata files of dropped
+  * tables), authorize the actor (read → can_read_data, write/delete →
+  * can_write_data) behind a warehouse can_use gate, validate region
+  * and location containment, then SigV4-sign.
+  *
+  * `sign_time_ms` pins the signature's timestamp (the reference signs
+  * at now; an explicit time keeps results assertable — presigning
+  * surfaces take times as a matter of course).
+  */
+final case class SignS3RequestProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "sign_s3_request"
+  override def description(): String =
+    "SigV4-sign an S3 request for a table the actor may access"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("warehouse", StringType),
+    Procedures.param("user", StringType),
+    Procedures.param("method", StringType),
+    Procedures.param("region", StringType),
+    Procedures.param("uri", StringType),
+    Procedures.paramWithDefault("headers", StringType, "'{}'"),
+    Procedures.paramWithDefault("body", StringType, "NULL"),
+    Procedures.paramWithDefault("table", StringType, "NULL"),
+    Procedures.paramWithDefault("sign_time_ms", LongType, "NULL"),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+
+  private def str(input: InternalRow, i: Int): Option[String] =
+    if (input.numFields <= i || input.isNullAt(i)) None
+    else Some(input.getUTF8String(i).toString)
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val warehouse = input.getUTF8String(0).toString
+    val user = input.getUTF8String(1).toString
+    val method = input.getUTF8String(2).toString
+    val region = input.getUTF8String(3).toString
+    val uri = input.getUTF8String(4).toString
+    val headers = SignerProcedures.parseHeaders(
+      str(input, 5).getOrElse("{}"))
+    val body = str(input, 6)
+    val tableIdent = str(input, 7)
+    val signTime =
+      if (input.numFields <= 8 || input.isNullAt(8))
+        System.currentTimeMillis()
+      else input.getLong(8)
+    val project = str(input, 9).getOrElse(catalog.store.DefaultProject)
+
+    val (profile, target) =
+      SignerProcedures.resolveWarehouse(catalog, warehouse, project)
+    if (!profile.active)
+      throw SignError("WarehouseInactive",
+        s"Warehouse $warehouse is not active")
+    if (!graft.admin.Authz.check(catalog.store, user,
+        graft.admin.Authz.Obj("warehouse", Seq(warehouse)), "can_use"))
+      throw SignError("Forbidden",
+        s"Actor $user may not use warehouse $warehouse")
+    val s3Profile = profile.storageProfile match {
+      case Some(p: StorageProfile.S3StorageProfile) => p
+      case _ => throw SignError("UnsupportedStorageType",
+        "Remote signing is only supported for S3 storage")
+    }
+
+    def resolved(id: TabularId, location: String) =
+      ResolvedTable((id.namespace :+ id.name).mkString("."), location)
+
+    val byId: String => Option[ResolvedTable] = ident => {
+      val parts = ident.split("\\.").toSeq
+      val id = TabularId(parts.init, parts.last)
+      target.loadTableMetadata(id).map { case (m, _) => resolved(id, m.location) }
+    }
+    // the location lookup spans live AND dropped tabulars
+    // (TabularListFlags::all(), sign.rs:428-436); non-S3 locations are
+    // skipped, not errors — local tables simply can't match
+    val byLocation: S3Loc => Option[ResolvedTable] = loc => {
+      // a SOFT-DELETED table's metadata is no longer addressable by id
+      // (the tabular is tombstoned) — the store resolves its location
+      // by (namespace, uuid)
+      def locationOf(info: graft.store.TabularInfo): Option[String] =
+        if (info.deletedMs.isDefined)
+          target.deletedTableLocation(info.id.namespace, info.uuid)
+        else target.loadTableMetadata(info.id).map(_._1.location)
+      target.listAllTabulars(includeDeleted = true).iterator
+        .filter(_.kind == "table")
+        .flatMap { info =>
+          locationOf(info).flatMap { tableLoc =>
+            try {
+              val t = S3Loc.fromLocation(tableLoc, allowVariants = true)
+              if (loc.isSublocationOf(t)) Some(resolved(info.id, tableLoc))
+              else None
+            } catch { case _: SignError => None }
+          }
+        }.nextOption()
+    }
+    val authorize: (ResolvedTable, Operation) => Boolean = (t, op) => {
+      val action = op match {
+        case Operation.Read => "can_read_data"
+        case _ => "can_write_data"
+      }
+      graft.admin.Authz.check(target, user,
+        graft.admin.Authz.Obj("table", t.key.split("\\.").toSeq), action)
+    }
+
+    val secrets = new S3Signer.SecretStore(catalog.store.root)
+    val response = S3Signer.signFlow(
+      profile = s3Profile,
+      credential = secrets.get(project, warehouse),
+      request = SignRequest(region, uri, method, headers, body),
+      tableById = Some(byId),
+      tableId = tableIdent,
+      tableByLocation = byLocation,
+      authorize = authorize,
+      nowMs = signTime)
+
+    val schema = StructType(Seq(
+      StructField("uri", StringType, nullable = false),
+      StructField("signature", StringType, nullable = false),
+      StructField("signed_headers", StringType, nullable = false),
+      StructField("headers_json", StringType, nullable = false)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      Procedures.utf8(response.uri),
+      Procedures.utf8(response.signature),
+      Procedures.utf8(response.signedHeaderNames),
+      Procedures.utf8(SignerProcedures.headersToJson(response.headers))))
+      : InternalRow))
+  }
+}

@@ -68,6 +68,12 @@ trait CatalogStore {
   def undrop(id: TabularId): Boolean
   def purgeTombstone(ns: Seq[String], uuid: String): Boolean
   def purgeTombstone(uuid: String): Boolean
+  /** Data location of a soft-deleted TABLE's tombstone — the remote
+    * signer resolves dropped tables by location because engines HEAD
+    * metadata files of tables they just dropped (reference:
+    * sign.rs:428-436 signs with TabularListFlags::all()).
+    */
+  def deletedTableLocation(ns: Seq[String], uuid: String): Option[String]
   def setProtection(id: TabularId, prot: Boolean): Unit
   def renameTabular(from: TabularId, to: TabularId): Unit
 

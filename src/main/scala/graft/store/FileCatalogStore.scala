@@ -1830,6 +1830,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       case None => false
     }
 
+  def deletedTableLocation(ns: Seq[String], uuid: String): Option[String] = {
+    val dir = tombstonePath(ns, uuid)
+    loadTabularInfoAt(dir.resolve(TabMeta)).filter(_.kind == "table")
+      .flatMap { _ =>
+        val v = versionIn(dir.resolve("metadata"))
+        if (v < 0) None
+        else scala.util.Try(Json.metadataFromJson(readString(
+          dir.resolve("metadata").resolve(f"v$v%05d.metadata.json")))
+          .location).toOption
+      }
+  }
+
   def listDeletedTabulars(): Seq[TabularInfo] =
     listAllTabulars(includeDeleted = true).filter(_.deletedMs.isDefined)
 

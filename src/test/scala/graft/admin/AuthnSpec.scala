@@ -1,0 +1,302 @@
+package graft.admin
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{KeyPairGenerator, Signature}
+import java.security.interfaces.{RSAPrivateKey, RSAPublicKey}
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.admin.Authn._
+
+/** The pure authentication layer (reference: service/authn.rs + the
+  * limes JWKS authenticator). Ground truth layers:
+  *
+  *  1. the PUBLISHED RFC 7515 A.1 HS256 vector (token, key, and
+  *     signature all printed in the RFC) — externally independent;
+  *  2. RS256 round-trips against JCA with a generated keypair and a
+  *     real JWKS document;
+  *  3. the reference's own unit-test matrices for UserId parsing,
+  *     provider-config assembly, chain-order/skip/fail semantics, and
+  *     the x-assume-role header.
+  */
+class AuthnSpec extends AnyFunSuite {
+
+  // --------------------------------------------- RFC 7515 A.1 (HS256)
+
+  private val rfcHeader = "eyJ0eXAiOiJKV1QiLA0KICJhbGciOiJIUzI1NiJ9"
+  private val rfcPayload =
+    "eyJpc3MiOiJqb2UiLA0KICJleHAiOjEzMDA4MTkzODAsDQogImh0dHA6Ly9leGFt" +
+      "cGxlLmNvbS9pc19yb290Ijp0cnVlfQ"
+  private val rfcSig = "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"
+  private val rfcToken = s"$rfcHeader.$rfcPayload.$rfcSig"
+  private val rfcJwks =
+    """{"keys":[{"kty":"oct",
+      |"k":"AyM1SysPpbyDfgZld3umj1qzKObwVMkoqQ-EstJQLr_T-1qS0gZH75aKtMN3Yj0iPS4hcgUuTwjAzZr1Z9CAow"}]}"""
+      .stripMargin.replace("\n", "")
+  // before the token's exp (1300819380 = 2011-03-22T18:43:00Z)
+  private val rfcNow = 1300819000000L
+
+  private def rfcAuthn(subjectClaims: Seq[String] = Seq("iss")) =
+    new JwksAuthenticator("oidc", "joe", Jwk.parseJwks(rfcJwks),
+      subjectClaims = subjectClaims)
+
+  test("RFC 7515 A.1: the published HS256 token verifies") {
+    val auth = rfcAuthn().authenticate(rfcToken, rfcNow)
+    assert(auth.subject == Subject(Some("oidc"), "joe"))
+  }
+
+  test("RFC 7515 A.1: a tampered payload fails verification") {
+    val tampered = Base64.getUrlEncoder.withoutPadding.encodeToString(
+      """{"iss":"joe","exp":1300819380,"admin":true}""".getBytes(UTF_8))
+    val e = intercept[AuthnError](
+      rfcAuthn().authenticate(s"$rfcHeader.$tampered.$rfcSig", rfcNow))
+    assert(e.errType == "AuthenticationFailed")
+  }
+
+  test("an expired token fails; leeway tolerates small skew") {
+    val e = intercept[AuthnError](
+      rfcAuthn().authenticate(rfcToken, 1300819380000L + 120000L))
+    assert(e.getMessage.contains("expired"))
+    // within leeway: 30s past exp still passes
+    rfcAuthn().authenticate(rfcToken, 1300819380000L + 30000L)
+  }
+
+  test("issuer must match the provider or an additional issuer") {
+    val wrong = new JwksAuthenticator("oidc", "https://other.example",
+      Jwk.parseJwks(rfcJwks), subjectClaims = Seq("iss"))
+    assert(intercept[AuthnError](wrong.authenticate(rfcToken, rfcNow))
+      .getMessage.contains("Untrusted issuer"))
+    val viaAdditional = new JwksAuthenticator("oidc", "https://other.example",
+      Jwk.parseJwks(rfcJwks), additionalIssuers = Seq("joe"),
+      subjectClaims = Seq("iss"))
+    viaAdditional.authenticate(rfcToken, rfcNow)
+  }
+
+  // --------------------------------------------------- RS256 via JWKS
+
+  private lazy val (rsaPub, rsaPriv) = {
+    val kpg = KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    (kp.getPublic.asInstanceOf[RSAPublicKey],
+      kp.getPrivate.asInstanceOf[RSAPrivateKey])
+  }
+
+  private def b64u(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  private def unsigned(b: java.math.BigInteger): String = {
+    val raw = b.toByteArray
+    b64u(if (raw.length > 1 && raw(0) == 0) raw.tail else raw)
+  }
+
+  private lazy val rsaJwks =
+    s"""{"keys":[{"kty":"RSA","kid":"k1","alg":"RS256",
+       |"n":"${unsigned(rsaPub.getModulus)}",
+       |"e":"${unsigned(rsaPub.getPublicExponent)}"}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def rs256Token(claims: String, kid: String = "k1"): String = {
+    val h = b64u(s"""{"alg":"RS256","kid":"$kid"}""".getBytes(UTF_8))
+    val p = b64u(claims.getBytes(UTF_8))
+    val s = Signature.getInstance("SHA256withRSA")
+    s.initSign(rsaPriv)
+    s.update(s"$h.$p".getBytes(UTF_8))
+    s"$h.$p.${b64u(s.sign())}"
+  }
+
+  private val now = 1700000000000L
+  private def claims(extra: String = "") =
+    s"""{"iss":"https://idp.example","sub":"user-1","aud":"lakekeeper",
+       |"exp":${now / 1000 + 3600},"nbf":${now / 1000 - 10}$extra}"""
+      .stripMargin.replace("\n", "")
+
+  private def rs256Authn(
+      audience: Option[Seq[String]] = Some(Seq("lakekeeper")),
+      scope: Option[String] = None,
+      subjectClaims: Seq[String] = DefaultSubjectClaims,
+      rolesClaim: Option[String] = None) =
+    new JwksAuthenticator("oidc", "https://idp.example",
+      Jwk.parseJwks(rsaJwks), audience, Nil, scope, subjectClaims, rolesClaim)
+
+  test("RS256 JWKS round trip with audience, nbf, kid selection") {
+    val auth = rs256Authn().authenticate(rs256Token(claims()), now)
+    assert(auth.subject == Subject(Some("oidc"), "user-1"))
+    assert(auth.audiences == Seq("lakekeeper"))
+    // unknown kid is rejected
+    val e = intercept[AuthnError](rs256Authn()
+      .authenticate(rs256Token(claims(), kid = "nope"), now))
+    assert(e.getMessage.contains("No JWKS key matches"))
+    // wrong audience is rejected
+    assert(intercept[AuthnError](
+      rs256Authn(audience = Some(Seq("other")))
+        .authenticate(rs256Token(claims()), now))
+      .getMessage.contains("audience"))
+  }
+
+  test("subject claim preference: oid wins over sub (the Entra-ID rule)") {
+    val auth = rs256Authn().authenticate(
+      rs256Token(claims(""","oid":"OID-9"""")), now)
+    assert(auth.subject.subjectInIdp == "OID-9")
+    // explicit subject_claims override
+    val subOnly = rs256Authn(subjectClaims = Seq("sub")).authenticate(
+      rs256Token(claims(""","oid":"OID-9"""")), now)
+    assert(subOnly.subject.subjectInIdp == "user-1")
+  }
+
+  test("required scope and dot-notation roles claim") {
+    assert(intercept[AuthnError](rs256Authn(scope = Some("catalog"))
+      .authenticate(rs256Token(claims()), now))
+      .getMessage.contains("scope"))
+    rs256Authn(scope = Some("catalog")).authenticate(
+      rs256Token(claims(""","scope":"openid catalog"""")), now)
+    val auth = rs256Authn(
+      rolesClaim = Some("resource_access.account.roles")).authenticate(
+      rs256Token(claims(
+        ""","resource_access":{"account":{"roles":["admin","dev"]}}""")), now)
+    assert(auth.roles.contains(Seq("admin", "dev")))
+  }
+
+  // -------------------------------------------- UserId (authn.rs tests)
+
+  test("user ids parse as <idp>~<sub>, first separator splits") {
+    assert(UserId.parse("oidc~123") ==
+      UserId(Subject(Some("oidc"), "123")))
+    assert(UserId.parse("kubernetes~1234").toString == "kubernetes~1234")
+    // UTF-8, embedded separators, emails (reference matrix)
+    assert(UserId.parse("oidc~1234é").subjectInIdp == "1234é")
+    assert(UserId.parse("oidc~~1234").subjectInIdp == "~1234")
+    assert(UserId.parse("oidc~1234~").subjectInIdp == "1234~")
+    assert(UserId.parse("oidc~1234~5678").subjectInIdp == "1234~5678")
+    assert(UserId.parse("oidc~foo.bar@lakekeeper.io").subjectInIdp ==
+      "foo.bar@lakekeeper.io")
+    assert(UserId.parse("oidc~foo~bar@lakekeeper.io").subjectInIdp ==
+      "foo~bar@lakekeeper.io")
+  }
+
+  test("invalid user ids: empty idp, empty sub, control chars, too long") {
+    intercept[AuthnError](UserId.parse("~123"))
+    intercept[AuthnError](UserId.parse("oidc~"))
+    intercept[AuthnError](UserId.parse("oidc~123\n"))
+    intercept[AuthnError](UserId.parse("oidc~" + "x" * 128))
+    UserId.parse("oidc~" + "x" * 127) // < 128 is fine
+  }
+
+  // ------------------------------- provider configs (authn.rs tests)
+
+  test("legacy single-provider config becomes idp `oidc`, required") {
+    val providers = oidcProviderConfigsFromConfig(AuthnConfig(
+      openidProviderUri = Some("https://issuer.example.com"),
+      openidAudience = Some(Seq("lakekeeper")),
+      openidAdditionalIssuers = Some(Seq("https://sts.example.com")),
+      openidScope = Some("openid"),
+      openidSubjectClaim = Some(Seq("sub")),
+      openidRolesClaim = Some("roles")))
+    assert(providers.map(_._1) == Seq(OidcIdpId))
+    val p = providers.head._2
+    assert(p.audience.contains(Seq("lakekeeper")))
+    assert(p.additionalIssuers.contains(Seq("https://sts.example.com")))
+    assert(p.scope.contains("openid"))
+    assert(p.subjectClaims.contains(Seq("sub")))
+    assert(p.rolesClaim.contains("roles"))
+    assert(p.requireConnectedOnStartup)
+  }
+
+  test("multi-provider config: primary first, extras alphabetical") {
+    val cfg = AuthnConfig(
+      openidProviderUri = Some("https://legacy.example.com"),
+      openidProviders = Map("okta" -> OidcProviderConfig(
+        uri = "https://company.okta.com", rolesClaim = Some("groups"),
+        requireConnectedOnStartup = false)))
+    val providers = oidcProviderConfigsFromConfig(cfg)
+    assert(providers.map(_._1) == Seq(OidcIdpId, "okta"))
+    assert(providers.head._2.requireConnectedOnStartup) // pinned TRUE
+    assert(!providers(1)._2.requireConnectedOnStartup)
+    // extras only, inserted out of order → alphabetical
+    val extras = oidcProviderConfigsFromConfig(AuthnConfig(
+      openidProviders = Seq("zapier", "entra", "okta").map(n =>
+        n -> OidcProviderConfig(uri = s"https://$n.example.com")).toMap))
+    assert(extras.map(_._1) == Seq("entra", "okta", "zapier"))
+  }
+
+  // ------------------------------------ chain assembly (authn.rs tests)
+
+  private val goodJwks = Jwk.parseJwks(rfcJwks)
+
+  test("chain order: primary, then extras; optional failures skipped") {
+    val cfg = AuthnConfig(
+      openidProviderUri = Some("https://primary.example"),
+      openidProviders = Map(
+        "broken" -> OidcProviderConfig(uri = "https://broken.example",
+          requireConnectedOnStartup = false),
+        "okta" -> OidcProviderConfig(uri = "https://okta.example")))
+    val chain = assembleChain(cfg, uri =>
+      if (uri.contains("broken")) sys.error("connection refused")
+      else goodJwks).get
+    assert(chain.authenticators.map(_.idpId) == Seq("oidc", "okta"))
+  }
+
+  test("a required provider failure aborts assembly") {
+    val cfg = AuthnConfig(openidProviderUri = Some("https://primary.example"))
+    val e = intercept[AuthnError](
+      assembleChain(cfg, _ => sys.error("connection refused")))
+    assert(e.errType == "AuthenticatorInitFailed")
+  }
+
+  test("all-optional-failed refuses to disable authentication") {
+    val cfg = AuthnConfig(openidProviders = Map(
+      "a" -> OidcProviderConfig(uri = "https://a.example",
+        requireConnectedOnStartup = false),
+      "b" -> OidcProviderConfig(uri = "https://b.example",
+        requireConnectedOnStartup = false)))
+    val e = intercept[AuthnError](
+      assembleChain(cfg, _ => sys.error("down")))
+    assert(e.getMessage.contains("Refusing to start"))
+    // no providers at all → authentication disabled (None), no error
+    assert(assembleChain(AuthnConfig(), _ => goodJwks).isEmpty)
+  }
+
+  test("the chain tries authenticators in order until one accepts") {
+    val rs = new JwksAuthenticator("okta", "https://idp.example",
+      Jwk.parseJwks(rsaJwks))
+    val hs = rfcAuthn()
+    val chain = new AuthenticatorChain(Seq(rs, hs))
+    // HS token: rejected by the RSA authenticator, accepted by the second
+    assert(chain.authenticate(rfcToken, rfcNow).subject.idpId
+      .contains("oidc"))
+    // RS token at position one — accepted immediately, idp = okta
+    assert(chain.authenticate(rs256Token(claims()), now).subject.idpId
+      .contains("okta"))
+  }
+
+  // ------------------------------------- actor resolution (authn.rs)
+
+  test("x-assume-role header: case-insensitive, resolved, validated") {
+    assert(extractRoleId(Map("Content-Type" -> "x")).isEmpty)
+    assert(extractRoleId(Map("X-Assume-Role" -> "r-1")).contains("r-1"))
+    assert(extractRoleId(Map("x-assume-role" -> "r-1")).contains("r-1"))
+    intercept[AuthnError](extractRoleId(Map("X-Assume-Role" -> " ")))
+
+    val user = UserId.parse("oidc~123")
+    assert(resolveActor(user, None, _ => true) == Principal(user))
+    assert(resolveActor(user, Some("r-1"), _ == "r-1") ==
+      AssumedRole(user, "r-1"))
+    assert(intercept[AuthnError](
+      resolveActor(user, Some("ghost"), _ => false))
+      .errType == "InvalidAssumeRoleId")
+    assert(Anonymous.isAuthenticated == false)
+    assert(AssumedRole(user, "r-1").isAuthenticated)
+  }
+
+  test("token roles require a project and carry the provider id") {
+    val auth = rs256Authn(rolesClaim = Some("roles")).authenticate(
+      rs256Token(claims(""","roles":["dev"]""")), now)
+    assert(extractTokenRoles(auth, Some("p1")).contains(
+      ("p1", Set(("oidc", "dev")))))
+    assert(intercept[AuthnError](extractTokenRoles(auth, None))
+      .errType == "MissingProjectId")
+    // no roles claim configured → None, project irrelevant
+    val noRoles = rs256Authn().authenticate(rs256Token(claims()), now)
+    assert(extractTokenRoles(noRoles, None).isEmpty)
+  }
+}

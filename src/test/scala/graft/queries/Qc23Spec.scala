@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** qc23 guard: the end-to-end procedure signature must equal the
+  * AWS-published example signature (the driver's DuckDB oracle checks
+  * the same literals; this keeps the guard in `sbt test`).
+  */
+class Qc23Spec extends AnyFunSuite {
+  test("qc23 rows match the published ground truth") {
+    val df = graft.SparkEntry.queries("qc23_remote_signing")(
+      graft.TestSpark.spark, graft.TestSpark.sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("sig_put_e2e") ==
+      "98ad721746da40c64f1a55b78f14c238d841ea1380cd77a1b5971af0ece108bd")
+    assert(got("sig_get_range") ==
+      "f0e8bdb87c964420e857bd35b5d6ed310bd44f0170aba48dd91039c6036bdb41")
+    assert(got("sig_vanilla") ==
+      "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31")
+    assert(got("signed_headers_e2e") ==
+      "date;host;x-amz-content-sha256;x-amz-date;x-amz-storage-class")
+    assert(got("cache_read") == "private")
+    assert(got("cache_write") == "no-cache")
+    assert(got("deny_outside") == "CannotSeeTableLocation")
+    assert(got("deny_unauthorized") == "Forbidden")
+    assert(got("url_style_default") == "auto")
+  }
+
+  test("qc24 rows match the RFC vector and authn semantics") {
+    val df = graft.SparkEntry.queries("qc24_token_authn")(
+      graft.TestSpark.spark, graft.TestSpark.sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("rfc_subject") == "principal:oidc~joe")
+    assert(got("rfc_tampered") == "AuthenticationFailed")
+    assert(got("rfc_expired") == "AuthenticationFailed")
+    assert(got("actor_assumed") == "assumed-role:auditor24")
+    assert(got("assume_forbidden") == "Forbidden")
+    assert(got("assume_missing") == "InvalidAssumeRoleId")
+    assert(got("roles_nested") == "admin,dev")
+    assert(got("chain_skip") == "oidc,okta")
+    assert(got("providers_order") == "entra,okta,zapier")
+    assert(got("token_roles_no_project") == "MissingProjectId")
+    assert(got("user_id_email") == "oidc~foo.bar@lakekeeper.io")
+    assert(got("user_id_invalid") == "EmptyUserIdError")
+  }
+}

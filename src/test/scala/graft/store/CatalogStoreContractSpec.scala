@@ -61,6 +61,21 @@ abstract class CatalogStoreContractSpec extends AnyFunSuite {
     assert(!s.namespaceExists(Seq("sales")))
   }
 
+  test(s"[$kind] a tombstoned table's data location stays resolvable") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "sloc")
+    s.createTable(id, TableMetadata.newTable(
+      java.util.UUID.randomUUID().toString, "s3://bkt/wh/sloc", schema))
+    val uuid = s.loadTabularInfo(id).get.uuid
+    assert(s.deletedTableLocation(Seq("db"), uuid).isEmpty) // live: not here
+    s.dropTabular(id, purge = false)
+    assert(s.deletedTableLocation(Seq("db"), uuid).contains("s3://bkt/wh/sloc"))
+    assert(s.deletedTableLocation(Seq("db"), "no-such-uuid").isEmpty)
+    s.purgeTombstone(Seq("db"), uuid)
+    assert(s.deletedTableLocation(Seq("db"), uuid).isEmpty)
+  }
+
   test(s"[$kind] table lifecycle: create, load, case rules, duplicate") {
     val s = mkStore()
     s.createNamespace(Seq("db"), Map.empty)
