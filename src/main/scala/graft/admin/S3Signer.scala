@@ -349,6 +349,92 @@ object S3Signer {
     }
   }
 
+  // ------------------------------------------- location → table index
+  //
+  // The reference resolves sign-request locations with an INDEXED
+  // query (`get_tabular_infos_by_s3_location` over fs_location); a
+  // naive in-process analog loads O(tables) metadata per sign call —
+  // inert at catalog scale on a hot path called at data-plane QPS.
+  // This index is built from ONE full scan, held in RAM per warehouse
+  // root, and kept sound by construction rather than by invalidation
+  // hooks:
+  //  - HIT: the entry is re-verified against the store (one cached
+  //    metadata load) before it authorizes anything — a renamed,
+  //    dropped, re-created, or moved table can never sign against a
+  //    stale location; any mismatch rebuilds.
+  //  - MISS: rebuild and retry once — a table created after the last
+  //    build is found at the cost of the full scan the naive path paid
+  //    on EVERY call (and an unresolvable location costs the same
+  //    scan the reference's indexed 404 path avoids; documented
+  //    trade).
+
+  final case class LocEntry(ident: String, location: String,
+      ns: Seq[String], name: String, uuid: String, deleted: Boolean,
+      loc: S3Loc)
+
+  final class LocIndex(val entries: Vector[LocEntry]) {
+    /** Most-specific containing table (deepest key prefix wins; a live
+      * table beats a tombstone at the same depth — a purged-and-
+      * re-created location must resolve to the live holder).
+      */
+    def find(loc: S3Loc): Option[LocEntry] = {
+      val ord: Ordering[LocEntry] = Ordering.by(e =>
+        (e.loc.key.length, if (e.deleted) 0 else 1))
+      entries.iterator.filter(e => loc.isSublocationOf(e.loc))
+        .reduceOption((a, b) => ord.max(a, b))
+    }
+  }
+
+  private val locationIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, LocIndex]()
+
+  /** Drop a root's cached index (lane/test hook for cold-build timing;
+    * correctness never depends on this being called).
+    */
+  def dropLocationIndex(root: String): Unit = locationIndexes.remove(root)
+
+  private def buildIndex(target: graft.store.CatalogStore): LocIndex = {
+    val entries = target.listAllTabulars(includeDeleted = true)
+      .filter(_.kind == "table").flatMap { info =>
+        val location =
+          if (info.deletedMs.isDefined)
+            target.deletedTableLocation(info.id.namespace, info.uuid)
+          else target.loadTableMetadata(info.id).map(_._1.location)
+        location.flatMap { l =>
+          try Some(LocEntry(
+            (info.id.namespace :+ info.id.name).mkString("."), l,
+            info.id.namespace, info.id.name, info.uuid,
+            info.deletedMs.isDefined,
+            S3Loc.fromLocation(l, allowVariants = true)))
+          catch { case _: SignError => None } // local locations can't match
+        }
+      }.toVector
+    val idx = new LocIndex(entries)
+    locationIndexes.put(target.root, idx)
+    idx
+  }
+
+  /** The sign flow's location lookup (sign.rs:428-436 semantics:
+    * dropped tabulars included — engines HEAD metadata files of tables
+    * they just dropped).
+    */
+  def resolveByLocation(target: graft.store.CatalogStore,
+      loc: S3Loc): Option[ResolvedTable] = {
+    def currentLocation(e: LocEntry): Option[String] =
+      if (e.deleted) target.deletedTableLocation(e.ns, e.uuid)
+      else target.loadTableMetadata(graft.store.TabularId(e.ns, e.name))
+        .map(_._1.location)
+    def attempt(idx: LocIndex): Option[ResolvedTable] =
+      idx.find(loc).flatMap { e =>
+        if (currentLocation(e).contains(e.location))
+          Some(ResolvedTable(e.ident, e.location))
+        else None // stale entry — caller rebuilds
+      }
+    val cached = locationIndexes.get(target.root)
+    val first = if (cached == null) None else attempt(cached)
+    first.orElse(attempt(buildIndex(target)))
+  }
+
   final case class SignRequest(
       region: String,
       uri: String,

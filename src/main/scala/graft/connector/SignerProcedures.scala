@@ -61,6 +61,7 @@ private[connector] object SignerProcedures {
     }
     JsonMethods.compact(JsonMethods.render(JObject(grouped: _*)))
   }
+
 }
 
 /** Store (or with `credential => NULL` remove) a warehouse's static S3
@@ -181,28 +182,10 @@ final case class SignS3RequestProcedure(catalog: GraftCatalog)
       target.loadTableMetadata(id).map { case (m, _) => resolved(id, m.location) }
     }
     // the location lookup spans live AND dropped tabulars
-    // (TabularListFlags::all(), sign.rs:428-436); non-S3 locations are
-    // skipped, not errors — local tables simply can't match
-    val byLocation: S3Loc => Option[ResolvedTable] = loc => {
-      // a SOFT-DELETED table's metadata is no longer addressable by id
-      // (the tabular is tombstoned) — the store resolves its location
-      // by (namespace, uuid)
-      def locationOf(info: graft.store.TabularInfo): Option[String] =
-        if (info.deletedMs.isDefined)
-          target.deletedTableLocation(info.id.namespace, info.uuid)
-        else target.loadTableMetadata(info.id).map(_._1.location)
-      target.listAllTabulars(includeDeleted = true).iterator
-        .filter(_.kind == "table")
-        .flatMap { info =>
-          locationOf(info).flatMap { tableLoc =>
-            try {
-              val t = S3Loc.fromLocation(tableLoc, allowVariants = true)
-              if (loc.isSublocationOf(t)) Some(resolved(info.id, tableLoc))
-              else None
-            } catch { case _: SignError => None }
-          }
-        }.nextOption()
-    }
+    // (TabularListFlags::all(), sign.rs:428-436) through the RAM
+    // location index — verify-on-hit, rebuild-on-miss
+    val byLocation: S3Loc => Option[ResolvedTable] =
+      loc => S3Signer.resolveByLocation(target, loc)
     val authorize: (ResolvedTable, Operation) => Boolean = (t, op) => {
       val action = op match {
         case Operation.Read => "can_read_data"

@@ -211,6 +211,34 @@ object CatalogScaleLane {
         .collect()
       (hits.length.toLong, Map.empty)
     }
+    // the remote signer's by-location resolution (round 14): cold =
+    // the one full-scan index build (O(tables) metadata loads), hot =
+    // the per-request path a signer actually pays (RAM index probe +
+    // ONE verifying metadata load), miss = the documented
+    // rebuild-on-unresolvable trade
+    legM("cat_sign") {
+      import graft.admin.S3Signer
+      val sid = TabularId(Seq("ns0"), "s3signed")
+      try store.createTable(sid, TableMetadata.newTable(
+        java.util.UUID.randomUUID().toString,
+        s"s3://lane-bucket/n$size/signed", schema))
+      catch { case _: graft.store.AlreadyExistsException => }
+      S3Signer.dropLocationIndex(store.root)
+      val target = S3Signer.S3Loc("lane-bucket",
+        Seq(s"n$size", "signed", "data", "f.parquet"))
+      val (cold, buildMs) =
+        timedMs(S3Signer.resolveByLocation(store, target))
+      require(cold.isDefined, "indexed sign resolution missed its table")
+      val k = 2000
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < k) { S3Signer.resolveByLocation(store, target); i += 1 }
+      val hotUs = (System.nanoTime() - t0) / 1000 / k
+      val (_, missMs) = timedMs(S3Signer.resolveByLocation(store,
+        S3Signer.S3Loc("lane-bucket", Seq("no-such-table"))))
+      (k.toLong, Map("build_ms" -> buildMs,
+        "hot_us_per_resolve" -> hotUs, "miss_rebuild_ms" -> missMs))
+    }
     // scheduler legs: a FRESH scheduler per pass so the reconcile
     // sweep (first-poll-only) is actually re-measured each pass
     legM("cat_reconcile") {
