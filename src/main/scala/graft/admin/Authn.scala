@@ -246,15 +246,29 @@ object Authn {
       }
     }
 
+    /** NumericDate per RFC 7519 (integer or float). */
+    private def numericDate(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case JDouble(n) => Some(n.toLong)
+      case JDecimal(n) => Some(n.toLong)
+      case _ => None
+    }
+
     private def validateClaims(p: JValue, nowMs: Long): Unit = {
       val now = nowMs / 1000
-      p \ "exp" match {
-        case JInt(exp) if exp.toLong + LeewaySeconds < now =>
+      // exp is REQUIRED: a trusted-key token without one would never
+      // expire and be irrevocable (the reference's jsonwebtoken stack
+      // validates exp by default and rejects tokens lacking it)
+      numericDate(p \ "exp") match {
+        case None => err("AuthenticationFailed",
+          "Token has no (numeric) exp claim")
+        case Some(exp) if exp + LeewaySeconds < now =>
           err("AuthenticationFailed", "Token expired")
         case _ =>
       }
-      p \ "nbf" match {
-        case JInt(nbf) if nbf.toLong - LeewaySeconds > now =>
+      numericDate(p \ "nbf") match {
+        case Some(nbf) if nbf - LeewaySeconds > now =>
           err("AuthenticationFailed", "Token not yet valid")
         case _ =>
       }
@@ -357,13 +371,21 @@ object Authn {
   /** authn.rs:614-630 — the `x-assume-role` header, matched
     * case-insensitively; empty values are invalid.
     */
-  def extractRoleId(headers: Map[String, String]): Option[String] =
-    headers.collectFirst {
-      case (k, v) if k.toLowerCase(Locale.ROOT) == AssumeRoleHeader => v
-    }.map { v =>
-      if (v.trim.isEmpty) err("InvalidRoleIdError", "Failed to parse Role-ID")
-      v.trim
+  def extractRoleId(headers: Map[String, String]): Option[String] = {
+    val values = headers.collect {
+      case (k, v) if k.toLowerCase(Locale.ROOT) == AssumeRoleHeader => v.trim
+    }.toSeq.distinct
+    // two case-variant copies with DIFFERENT values would make the
+    // assumed actor depend on map iteration order — reject outright
+    // at an authorization boundary
+    if (values.sizeIs > 1)
+      err("InvalidRoleIdError",
+        "Conflicting x-assume-role headers in one request")
+    values.headOption.map { v =>
+      if (v.isEmpty) err("InvalidRoleIdError", "Failed to parse Role-ID")
+      v
     }
+  }
 
   /** authn.rs:632-663 — an assumed role must resolve in the role
     * registry; `can_assume` authorization happens at the caller with

@@ -82,7 +82,13 @@ object S3Signer {
       * (S3Location::try_from_location(_, true)).
       */
     def fromLocation(location: String, allowVariants: Boolean): S3Loc = {
-      val u = URI.create(location)
+      // URI-illegal characters (spaces in a custom LOCATION) must read
+      // as "not an S3 location", not crash the caller — buildIndex
+      // skips SignError per entry; an IllegalArgumentException there
+      // would take down the whole warehouse's index
+      val u = try URI.create(location)
+      catch { case _: IllegalArgumentException =>
+        err("InvalidLocation", s"Not a parseable location: $location") }
       val scheme = Option(u.getScheme).getOrElse("")
       val ok = scheme == "s3" || (allowVariants && (scheme == "s3a" || scheme == "s3n"))
       if (!ok) err("InvalidLocation",
@@ -205,8 +211,19 @@ object S3Signer {
       err("UriSchemeNotSupported",
         "URI to sign does not have a supported scheme. Expected https or http")
     val m = method.toUpperCase(Locale.ROOT)
+    // DELIBERATE deviation: the reference substring-matches `delete`
+    // anywhere in the query (sign.rs:690 `q.contains("delete")`),
+    // which misclassifies e.g. a CompleteMultipartUpload POST whose
+    // opaque uploadId happens to contain "delete". Match an actual
+    // `delete` query PARAMETER instead — every real DeleteObjects
+    // request (`?delete` / `?delete=`) still matches.
     val isPostDelete = m == "POST" &&
-      Option(u.getRawQuery).exists(_.contains("delete"))
+      Option(u.getRawQuery).exists(_.split("&").exists { kv =>
+        val k = kv.indexOf('=') match {
+          case -1 => kv; case i => kv.take(i)
+        }
+        k == "delete"
+      })
     val operation: Operation = m match {
       case "GET" | "HEAD" => Operation.Read
       case "POST" | "PUT" =>
@@ -311,7 +328,24 @@ object S3Signer {
     private val dir = Paths.get(rootDir).resolve(".secrets")
     private val file = dir.resolve("storage-credentials.json")
 
-    private def readAll(): Map[String, String] = synchronized {
+    /** Mutations are read-modify-write over one file: serialize them
+      * per PATH across the JVM (procedure calls construct fresh
+      * instances, so an instance monitor would never contend) and
+      * under an OS file lock across processes — two concurrent
+      * credential writes for different warehouses must not lose one.
+      */
+    private def withMutationLock[T](body: => T): T =
+      SecretStore.lockFor(file).synchronized {
+        Files.createDirectories(dir)
+        val ch = java.nio.channels.FileChannel.open(
+          dir.resolve(".secrets.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { val l = ch.lock(); try body finally l.release() }
+        finally ch.close()
+      }
+
+    private def readAll(): Map[String, String] =
       if (!Files.exists(file)) Map.empty
       else JsonMethods.parse(new String(Files.readAllBytes(file), UTF_8)) match {
         case JObject(fields) => fields.collect {
@@ -319,9 +353,8 @@ object S3Signer {
         }.toMap
         case _ => Map.empty
       }
-    }
 
-    private def writeAll(m: Map[String, String]): Unit = synchronized {
+    private def writeAll(m: Map[String, String]): Unit = {
       Files.createDirectories(dir)
       val tmp = Files.createTempFile(dir, ".cred", ".tmp")
       Files.write(tmp, JsonMethods.compact(JsonMethods.render(
@@ -334,19 +367,28 @@ object S3Signer {
     def put(project: String, warehouse: String,
         credentialJson: String): S3AccessKeyCredential = {
       val cred = S3AccessKeyCredential.fromJson(credentialJson) // validates
-      writeAll(readAll() +
-        (s"$project/$warehouse" -> S3AccessKeyCredential.toJson(cred)))
+      withMutationLock {
+        writeAll(readAll() +
+          (s"$project/$warehouse" -> S3AccessKeyCredential.toJson(cred)))
+      }
       cred
     }
 
     def get(project: String, warehouse: String): Option[S3AccessKeyCredential] =
       readAll().get(s"$project/$warehouse").map(S3AccessKeyCredential.fromJson)
 
-    def delete(project: String, warehouse: String): Boolean = {
+    def delete(project: String, warehouse: String): Boolean = withMutationLock {
       val all = readAll()
       val k = s"$project/$warehouse"
       if (all.contains(k)) { writeAll(all - k); true } else false
     }
+  }
+
+  object SecretStore {
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    private def lockFor(file: java.nio.file.Path): Object =
+      locks.computeIfAbsent(file.toAbsolutePath.toString, _ => new Object)
   }
 
   // ------------------------------------------- location → table index

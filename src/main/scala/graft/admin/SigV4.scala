@@ -179,10 +179,14 @@ object SigV4 {
     val t = Instant.ofEpochMilli(epochMs)
     val amzDate = timeFmt.format(t)
     val date = dateFmt.format(t)
+    // the signature's timestamp/scope ALWAYS derive from epochMs — a
+    // caller-supplied x-amz-date that disagreed would sign one value
+    // while the wire carries another (SignatureDoesNotMatch at S3), so
+    // any caller copy is dropped and the signer's own stamp signed
     val lowered = headers.map { case (k, v) => (k.toLowerCase(Locale.ROOT), v) }
+      .filterNot(_._1 == "x-amz-date")
     val added =
-      (if (lowered.exists(_._1 == "x-amz-date")) Seq.empty
-       else Seq("x-amz-date" -> amzDate)) ++
+      Seq("x-amz-date" -> amzDate) ++
         (if (!addContentSha || lowered.exists(_._1 == "x-amz-content-sha256"))
            Seq.empty
          else Seq("x-amz-content-sha256" -> payloadHash)) ++

@@ -260,8 +260,11 @@ object CatalogStore {
       val decoded = new String(
         java.util.Base64.getUrlDecoder.decode(tok),
         java.nio.charset.StandardCharsets.UTF_8)
-      decoded.split('&') match {
-        case Array("V1", ms, name) => (ms.toLong, name)
+      // limit 3: the NAME may itself contain '&' (backticked
+      // identifiers) — only the first two separators are structural
+      decoded.split("&", 3) match {
+        case Array("V1", ms, name) if ms.forall(_.isDigit) && ms.nonEmpty =>
+          (ms.toLong, name)
         case _ => throw new IllegalArgumentException(s"bad page token: $tok")
       }
     }

@@ -282,6 +282,11 @@ class FileCatalogStore(val root: String) extends CatalogStore {
     */
   @volatile var eventSegmentAgeMs: Long = 60000L
 
+  /** Last head-age probe time (logEvent time-bounds the read+parse of
+    * the active file's head line to one probe per ageMs/8).
+    */
+  private val lastAgeProbeMs = new java.util.concurrent.atomic.AtomicLong()
+
   private def activeEventsFile: Path = changesDir.resolve("events.jsonl")
 
   /** Operator/stream flush: seal the active events file now (empty
@@ -698,11 +703,18 @@ class FileCatalogStore(val root: String) extends CatalogStore {
           // rotate on size (the trim works on sealed, immutable
           // segments) or on head age (the streaming feed reads sealed
           // segments only — an append must not sit unpublished
-          // forever); one stat per event — catalog events are
-          // per-operation, not per-row
+          // forever). The size check is one stat; the age check reads
+          // + parses the head LINE, so it is time-bounded to one probe
+          // per ageMs/8 per process rather than paid on every append
+          // under the cross-process lock (worst-case publish latency
+          // grows to ~1.13× eventSegmentAgeMs — still bounded).
+          val nowApp = System.currentTimeMillis()
+          val ageProbeDue =
+            nowApp - lastAgeProbeMs.get() >= eventSegmentAgeMs / 8
+          if (ageProbeDue) lastAgeProbeMs.set(nowApp)
           if (Files.size(activeEventsFile) >= eventSegmentBytes ||
-              headTsBelow(activeEventsFile,
-                System.currentTimeMillis() - eventSegmentAgeMs))
+              (ageProbeDue &&
+                headTsBelow(activeEventsFile, nowApp - eventSegmentAgeMs)))
             sealActiveEvents()
         }
       } catch { case NonFatal(_) => } // events are best-effort

@@ -62,6 +62,33 @@ class AuthnSpec extends AnyFunSuite {
     rfcAuthn().authenticate(rfcToken, 1300819380000L + 30000L)
   }
 
+  test("a token without a numeric exp claim is rejected") {
+    // a trusted-key token with no exp would never expire and be
+    // irrevocable — exp is required, and a non-numeric exp is not
+    // silently ignored
+    def hsToken(claims: String): String = {
+      val enc = Base64.getUrlEncoder.withoutPadding
+      val h = enc.encodeToString("""{"alg":"HS256"}""".getBytes(UTF_8))
+      val p = enc.encodeToString(claims.getBytes(UTF_8))
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        Base64.getUrlDecoder.decode(
+          "AyM1SysPpbyDfgZld3umj1qzKObwVMkoqQ-EstJQLr_T-1qS0gZH75aKtMN3Yj0iPS4hcgUuTwjAzZr1Z9CAow"),
+        "HmacSHA256"))
+      s"$h.$p." + enc.encodeToString(
+        mac.doFinal(s"$h.$p".getBytes(UTF_8)))
+    }
+    assert(intercept[AuthnError](rfcAuthn().authenticate(
+      hsToken("""{"iss":"joe"}"""), rfcNow))
+      .getMessage.contains("exp"))
+    assert(intercept[AuthnError](rfcAuthn().authenticate(
+      hsToken("""{"iss":"joe","exp":"1300819380"}"""), rfcNow))
+      .getMessage.contains("exp"))
+    // float exp (RFC 7519 NumericDate allows non-integers) passes
+    rfcAuthn().authenticate(
+      hsToken("""{"iss":"joe","exp":1300819380.5}"""), rfcNow)
+  }
+
   test("issuer must match the provider or an additional issuer") {
     val wrong = new JwksAuthenticator("oidc", "https://other.example",
       Jwk.parseJwks(rfcJwks), subjectClaims = Seq("iss"))
@@ -276,6 +303,16 @@ class AuthnSpec extends AnyFunSuite {
     assert(extractRoleId(Map("X-Assume-Role" -> "r-1")).contains("r-1"))
     assert(extractRoleId(Map("x-assume-role" -> "r-1")).contains("r-1"))
     intercept[AuthnError](extractRoleId(Map("X-Assume-Role" -> " ")))
+
+    // conflicting case-variant copies would make the assumed actor
+    // depend on map iteration order — rejected at an authz boundary
+    assert(intercept[AuthnError](extractRoleId(
+      Map("X-Assume-Role" -> "admin", "x-assume-role" -> "reader")))
+      .errType == "InvalidRoleIdError")
+    // duplicate copies with the SAME value are fine
+    assert(extractRoleId(
+      Map("X-Assume-Role" -> "r-1", "x-assume-role" -> "r-1"))
+      .contains("r-1"))
 
     val user = UserId.parse("oidc~123")
     assert(resolveActor(user, None, _ => true) == Principal(user))

@@ -176,6 +176,57 @@ class S3SignerSpec extends AnyFunSuite {
     intercept[SignError](parseLoc("ftp://bucket.s3.amazonaws.com/key"))
   }
 
+  test("?delete must be a query PARAMETER, not a substring") {
+    // a CompleteMultipartUpload whose opaque uploadId contains
+    // 'delete' must class as Write, not as a DeleteObjects batch
+    val (_, op) = parseS3Url(java.net.URI.create(
+      "https://b.s3.amazonaws.com/k?uploadId=2delete9x"), "auto", "POST",
+      Some("<CompleteMultipartUpload/>"))
+    assert(op == Operation.Write)
+    for (q <- Seq("delete", "delete=", "x=1&delete")) {
+      val (_, d) = parseS3Url(java.net.URI.create(
+        s"https://b.s3.amazonaws.com/?$q"), "auto", "POST", Some(deleteXml))
+      assert(d == Operation.Delete, s"for ?$q")
+    }
+  }
+
+  test("URI-illegal table locations read as not-S3, never crash") {
+    // buildIndex skips SignError per entry; an IllegalArgumentException
+    // from URI.create would take down a whole warehouse's index
+    assert(intercept[SignError](
+      S3Loc.fromLocation("s3://bucket/my tables/t1", allowVariants = true))
+      .errType == "InvalidLocation")
+  }
+
+  test("a caller-supplied x-amz-date can never desync the signature") {
+    // the canonical request must carry the SAME stamp the scope and
+    // string-to-sign use — the caller's copy is dropped, so the
+    // published vector signature still comes out
+    val r = SigV4.sign("GET", "/test.txt", None,
+      Seq("host" -> s3Host, "range" -> "bytes=0-9",
+        "x-amz-date" -> "19990101T000000Z"),
+      SigV4.EmptyPayloadHash, "us-east-1", "s3", s3Ak, s3Sk, None, s3T)
+    assert(r.signature ==
+      "f0e8bdb87c964420e857bd35b5d6ed310bd44f0170aba48dd91039c6036bdb41")
+    assert(r.addedHeaders.toMap.apply("x-amz-date") == "20130524T000000Z")
+  }
+
+  test("concurrent credential writes for different warehouses both land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sec-race").toString
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        // fresh instance per call, like the procedure layer
+        new SecretStore(dir).put("p", s"wh$i",
+          s"""{"aws-access-key-id":"AK$i","aws-secret-access-key":"SK"}""")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val reader = new SecretStore(dir)
+    (0 until 8).foreach { i =>
+      assert(reader.get("p", s"wh$i").exists(_.accessKeyId == s"AK$i"))
+    }
+  }
+
   test("method mapping: GET/HEAD read, PUT/POST write, DELETE delete") {
     def op(method: String, uri: String = "https://b.s3.amazonaws.com/k",
         body: Option[String] = None) =

@@ -116,6 +116,31 @@ abstract class CatalogStoreContractSpec extends AnyFunSuite {
     assert(s.loadTableMetadata(id).get._2 == 2)
   }
 
+  test(s"[$kind] an idempotency key never answers across generations") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    val id = TabularId(Seq("db"), "gen")
+    mkTable(s, id)
+    val r1 = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("gen" -> "1"))),
+      idempotencyKey = Some("k-gen"))
+    assert(r1.properties("gen") == "1")
+    // drop + re-create: a NEW table generation under the same name
+    s.dropTabular(id, purge = true, softDelete = false)
+    val meta2 = mkTable(s, id)
+    (1 to 3).foreach(i => s.commitTable(id, Nil,
+      Seq(TableUpdate.SetProperties(Map(s"pad$i" -> "x")))))
+    // the replay must NOT surface the old generation's recorded
+    // outcome (or any same-index metadata of the new lineage as if it
+    // were one) — it applies to the new generation like a fresh commit
+    val replay = s.commitTableWith(id, Nil,
+      _ => Seq(TableUpdate.SetProperties(Map("gen" -> "2"))),
+      idempotencyKey = Some("k-gen"))
+    assert(replay.tableUuid == meta2.tableUuid)
+    assert(replay.properties("gen") == "2")
+    assert(replay.properties.contains("pad1"))
+  }
+
   test(s"[$kind] concurrent commits: every racer lands, versions dense") {
     val s = mkStore()
     s.createNamespace(Seq("db"), Map.empty)
@@ -329,6 +354,19 @@ abstract class CatalogStoreContractSpec extends AnyFunSuite {
     assert(p2.size == 3 && p3.size == 1 && tok3.isEmpty)
     val names = (p1 ++ p2 ++ p3).map(_.id.name)
     assert(names.distinct.size == 7, s"pages overlapped: $names")
+  }
+
+  test(s"[$kind] page tokens survive table names containing '&'") {
+    val s = mkStore()
+    s.createNamespace(Seq("db"), Map.empty)
+    // '&' is the token's field separator — a name carrying it must
+    // still round-trip (split is limited to the structural fields)
+    for (n <- Seq("a&b", "r&d&metrics", "zz")) mkTable(s, TabularId(Seq("db"), n))
+    val (p1, tok1) = s.listTabularsPage(Seq("db"), pageSize = 1)
+    val (p2, tok2) = s.listTabularsPage(Seq("db"), 1, tok1)
+    val (p3, tok3) = s.listTabularsPage(Seq("db"), 1, tok2)
+    assert(tok3.isEmpty)
+    assert((p1 ++ p2 ++ p3).map(_.id.name).toSet == Set("a&b", "r&d&metrics", "zz"))
   }
 
   test(s"[$kind] users, roles, membership cycles, grants") {
