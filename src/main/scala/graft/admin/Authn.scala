@@ -401,6 +401,218 @@ object Authn {
     case None => Principal(userId)
   }
 
+  // ------------------------------------- trusted engines (config.rs)
+
+  /** config.rs:189 `EngineIdentity`: who may act as an engine from one
+    * IdP — ANY configured audience in the token's audiences OR any
+    * configured subject equal to the token's subject.
+    */
+  final case class EngineIdentity(
+      audiences: Seq[String] = Nil,
+      subjects: Seq[String] = Nil) {
+    def matches(tokenAudiences: Set[String],
+        tokenSubject: Option[String]): Boolean =
+      audiences.exists(tokenAudiences.contains) ||
+        tokenSubject.exists(subjects.contains)
+  }
+
+  /** config.rs:229 `TrustedEngine` (the Trino variant is the only one
+    * shipped): per-IdP identities + the view property that carries the
+    * DEFINER owner.
+    */
+  final case class TrustedEngine(
+      name: String,
+      ownerProperty: String,
+      identities: Map[String, EngineIdentity])
+
+  sealed trait SecurityModel
+  case object Invoker extends SecurityModel
+  final case class Definer(owner: String) extends SecurityModel
+
+  /** authn.rs:493-520: engines whose identity matches the token's
+    * (IdP, audiences, subject). Multiple matches are intentional — an
+    * admin token whose audience appears in several engine configs.
+    */
+  def matchEngines(configured: Seq[TrustedEngine],
+      auth: Authentication): MatchedEngines = {
+    val tokenAud = auth.audiences.toSet
+    val tokenSub = Some(auth.subject.subjectInIdp)
+    val matched = auth.subject.idpId match {
+      case None => Nil
+      case Some(idp) => configured.filter(
+        _.identities.get(idp).exists(_.matches(tokenAud, tokenSub)))
+    }
+    MatchedEngines(matched)
+  }
+
+  /** config.rs:273 `MatchedEngines`: the trusted engines that matched
+    * one request's token.
+    */
+  final case class MatchedEngines(engines: Seq[TrustedEngine]) {
+    def isTrusted: Boolean = engines.nonEmpty
+
+    /** DEFINER if any matched engine's owner property is set on the
+      * view; ERROR if several engines resolve to DIFFERENT owners
+      * (ambiguous delegation must not silently pick one).
+      */
+    def determineSecurityModel(
+        properties: Map[String, String]): SecurityModel = {
+      val owners = engines.flatMap(e => properties.get(e.ownerProperty))
+      owners.distinct match {
+        case Seq() => Invoker
+        case Seq(one) => Definer(one)
+        case many => err("AmbiguousSecurityModel",
+          "Ambiguous security model: multiple engines resolve to " +
+            s"different owners: ${many.mkString(", ")}")
+      }
+    }
+
+    /** Whether this request may modify the given (owner) property. */
+    def ownsProperty(property: String): Boolean =
+      engines.exists(_.ownerProperty == property)
+  }
+
+  /** Parse the trusted-engine configuration — the reference's
+    * `LAKEKEEPER__TRUSTED_ENGINES` JSON (config.rs:207-232: a list of
+    * `{"type":"trino","owner_property":...,"identities":{<idp>:
+    * {"audiences":[],"subjects":[]}}}` tagged objects; `trino` is the
+    * only shipped variant). An optional `name` addresses the engine in
+    * the session's matched-engines list; it defaults to the `type`
+    * tag, suffixed by position when that would collide.
+    */
+  def parseTrustedEngines(json: String): Seq[TrustedEngine] = {
+    val arr = JsonMethods.parse(json) match {
+      case JArray(es) => es
+      case _ => err("InvalidEngineConfig",
+        "trusted-engines config must be a JSON array")
+    }
+    val parsed = arr.zipWithIndex.map { case (e, i) =>
+      val tpe = e \ "type" match {
+        case JString(t) => t.toLowerCase(Locale.ROOT)
+        case _ => err("InvalidEngineConfig",
+          s"trusted engine $i: missing 'type'")
+      }
+      if (tpe != "trino") err("InvalidEngineConfig",
+        s"trusted engine $i: unknown type '$tpe' (expected 'trino')")
+      val ownerProp = e \ "owner_property" match {
+        case JString(p) if p.nonEmpty => p
+        case _ => err("InvalidEngineConfig",
+          s"trusted engine $i: missing 'owner_property'")
+      }
+      val idents = e \ "identities" match {
+        case JObject(fields) => fields.map { case (idp, v) =>
+          def strs(key: String): Seq[String] = v \ key match {
+            case JArray(vs) => vs.collect { case JString(s) => s }
+            case _ => Nil
+          }
+          idp -> EngineIdentity(strs("audiences"), strs("subjects"))
+        }.toMap
+        case _ => Map.empty[String, EngineIdentity]
+      }
+      val name = e \ "name" match {
+        case JString(n) if n.nonEmpty => n
+        case _ => tpe
+      }
+      TrustedEngine(name, ownerProp, idents)
+    }
+    // positional suffix only for colliding defaults — explicit names
+    // must stay addressable exactly as configured
+    val dup = parsed.groupBy(_.name).filter(_._2.size > 1).keySet
+    parsed.zipWithIndex.map { case (e, i) =>
+      if (dup.contains(e.name)) e.copy(name = s"${e.name}-$i") else e
+    }
+  }
+
+  /** The properties only an owning engine may write — the reference
+    * precomputes this union at config load (config.rs:120).
+    */
+  def protectedProperties(configured: Seq[TrustedEngine]): Set[String] =
+    configured.map(_.ownerProperty).toSet
+
+  /** views/commit.rs:489-520 `check_protected_properties`: a property
+    * key that matches a protected property CASE-INSENSITIVELY is
+    * rejected unless a matched engine owns the EXACT configured casing
+    * — engines read these keys with fixed casing, so a case variant
+    * would silently not affect the security model while misleading
+    * readers.
+    */
+  def checkProtectedProperties(keys: Iterable[String],
+      configured: Seq[TrustedEngine], matched: MatchedEngines): Unit = {
+    val prot = protectedProperties(configured)
+    if (prot.isEmpty) return
+    keys.foreach { key =>
+      val matchesProtected =
+        prot.exists(_.equalsIgnoreCase(key))
+      if (matchesProtected && !matched.ownsProperty(key))
+        err("ProtectedPropertyModification",
+          s"Property '$key' controls the view security model and may " +
+            "only be modified by the corresponding trusted engine " +
+            "using the exact configured property key")
+    }
+  }
+
+  /** The session's trusted-engine state, from two confs:
+    *
+    *  - `spark.graft.authn.trustedEngines` — the CONFIGURED engines
+    *    (the reference's static `LAKEKEEPER__TRUSTED_ENGINES`), JSON
+    *    per [[parseTrustedEngines]];
+    *  - `spark.graft.authz.matchedEngines` — comma-separated names of
+    *    the engines the CURRENT session's token matched (the
+    *    authenticate_token step resolves these via [[matchEngines]];
+    *    the session pins them like it pins `spark.graft.authz.user`).
+    *
+    * None = no engine config → the legacy single-owner-property
+    * behavior. Matched names not in the configured set are ignored
+    * (a stale pin must not grant an unconfigured engine).
+    */
+  def sessionEngines(conf: String => Option[String])
+      : Option[(Seq[TrustedEngine], MatchedEngines)] =
+    conf("spark.graft.authn.trustedEngines").map { json =>
+      val configured = parseTrustedEngines(json)
+      val names = conf("spark.graft.authz.matchedEngines")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil).toSet
+      (configured, MatchedEngines(configured.filter(e =>
+        names.contains(e.name))))
+    }
+
+  // ------------------------- instance admins (authz/instance_admin.rs)
+
+  /** The break-glass membership rule: consulted ONLY for an
+    * authenticated PRINCIPAL — an assumed role is an explicit opt-in
+    * to a narrower scope and never inherits instance-admin; anonymous
+    * callers never qualify (authn.rs:476-487 + instance_admin.rs:137
+    * ConfiguredInstanceAdmins — a fixed, config-sourced set).
+    */
+  def isInstanceAdmin(admins: Set[String], actor: Actor): Boolean =
+    actor match {
+      case Principal(userId) => admins.contains(userId.toString)
+      case _ => false
+    }
+
+  /** The configured instance-admin set
+    * (`spark.graft.authz.instanceAdmins`, comma-separated principal
+    * ids — the `LAKEKEEPER__INSTANCE_ADMINS` analog).
+    */
+  def instanceAdmins(conf: String => Option[String]): Set[String] =
+    conf("spark.graft.authz.instanceAdmins")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** instance_admin.rs:73 `has_bypass` /
+    * request_metadata.rs:334 `bypasses_control_plane_authz` in the
+    * in-process world: a session with NO pinned principal is the
+    * in-process caller (`LakekeeperInternal`) and bypasses; a pinned
+    * principal bypasses only when configured as an instance admin.
+    * Data-plane actions are NOT covered — callers must route those
+    * through the resource authorizer regardless.
+    */
+  def controlPlaneBypass(conf: String => Option[String]): Boolean =
+    conf("spark.graft.authz.user") match {
+      case None => true
+      case Some(u) => instanceAdmins(conf).contains(u)
+    }
+
   /** authn.rs:665-709 — roles extracted from the token require a
     * project to scope them to; each becomes (provider id, source id).
     */

@@ -549,7 +549,13 @@ object Authz {
       // before this chain); DEFINER-switched owners evaluate from
       // stored state only — delegation must not inherit the caller's
       // request-scoped enrichment
-      admissionRoles: Set[String] = Set.empty): Seq[LoadCheck] = {
+      admissionRoles: Set[String] = Set.empty,
+      // the engines the request's token matched (config.rs
+      // MatchedEngines). Some(_) supersedes ownerProperty AND
+      // trustedEngine: the security model per view comes from
+      // determineSecurityModel (ambiguity is an explicit error), and
+      // an empty match means untrusted — the chain is ignored
+      engines: Option[Authn.MatchedEngines] = None): Seq[LoadCheck] = {
     val targetInfo = store.loadTabularInfo(target).getOrElse(
       throw new IllegalArgumentException(s"No such tabular: $target"))
     val targetKind = if (targetInfo.kind == "view") "view" else "table"
@@ -560,7 +566,8 @@ object Authz {
       if (kind == "view") view(id.namespace, id.name)
       else table(id.namespace, id.name)
 
-    if (!trustedEngine || referencedBy.isEmpty) {
+    val trusted = engines.map(_.isTrusted).getOrElse(trustedEngine)
+    if (!trusted || referencedBy.isEmpty) {
       // standard behavior: caller's permissions on the target only
       val ev = new Evaluator(store, actor, admissionRoles)
       val o = objOf(targetKind, target)
@@ -592,9 +599,18 @@ object Authz {
       actionsFor("view").foreach(a =>
         out += LoadCheck(o, u, d, a, ev(u).rel(o, a)))
       // DEFINER switch AFTER the entry's own checks
-      props.get(ownerProperty).foreach { owner =>
-        currentUser = owner
-        delegated = true
+      val model = engines match {
+        case Some(m) => m.determineSecurityModel(props)
+        case None => props.get(ownerProperty) match {
+          case Some(owner) => Authn.Definer(owner)
+          case None => Authn.Invoker
+        }
+      }
+      model match {
+        case Authn.Definer(owner) =>
+          currentUser = owner
+          delegated = true
+        case _ =>
       }
     }
     val o = objOf(targetKind, target)

@@ -36,7 +36,15 @@ final case class AuthenticateTokenProcedure(catalog: GraftCatalog)
     Procedures.paramWithDefault("roles_claim", StringType, "NULL"),
     Procedures.paramWithDefault("idp_id", StringType, "'oidc'"),
     Procedures.paramWithDefault("assume_role", StringType, "NULL"),
-    Procedures.paramWithDefault("now_ms", LongType, "NULL"))
+    Procedures.paramWithDefault("now_ms", LongType, "NULL"),
+    // trusted-engine config (config.rs LAKEKEEPER__TRUSTED_ENGINES
+    // JSON) — the request's matched engines resolve here, at authn
+    // time, exactly like the reference's middleware
+    Procedures.paramWithDefault("trusted_engines", StringType, "NULL"),
+    // instance-admin membership (LAKEKEEPER__INSTANCE_ADMINS) —
+    // resolved once per request on the authn path and carried on the
+    // request metadata (instance_admin.rs:107-137)
+    Procedures.paramWithDefault("instance_admins", StringType, "NULL"))
   override def isDeterministic: Boolean = false
 
   private def str(input: InternalRow, i: Int): Option[String] =
@@ -77,6 +85,17 @@ final case class AuthenticateTokenProcedure(catalog: GraftCatalog)
       case _ =>
     }
 
+    // engine matching + instance-admin membership resolve at authn
+    // time (request_metadata.rs: both are computed once in the
+    // middleware and carried as request state)
+    val matched = str(input, 10) match {
+      case Some(cfg) => Authn.matchEngines(
+        Authn.parseTrustedEngines(cfg), authentication)
+      case None => Authn.MatchedEngines(Nil)
+    }
+    val admins = csv(input, 11).getOrElse(Nil).toSet
+    val isAdmin = Authn.isInstanceAdmin(admins, actor)
+
     val schema = StructType(Seq(
       StructField("actor", StringType, nullable = false),
       StructField("user_id", StringType, nullable = false),
@@ -84,7 +103,9 @@ final case class AuthenticateTokenProcedure(catalog: GraftCatalog)
       StructField("subject", StringType, nullable = false),
       StructField("audiences", StringType, nullable = false),
       StructField("token_roles", StringType, nullable = false),
-      StructField("assumed_role", StringType, nullable = false)))
+      StructField("assumed_role", StringType, nullable = false),
+      StructField("matched_engines", StringType, nullable = false),
+      StructField("is_instance_admin", BooleanType, nullable = false)))
     val (kind, assumed) = actor match {
       case Authn.AssumedRole(_, r) => ("assumed-role", r)
       case _ => ("principal", "")
@@ -96,6 +117,8 @@ final case class AuthenticateTokenProcedure(catalog: GraftCatalog)
       Procedures.utf8(userId.subjectInIdp),
       Procedures.utf8(authentication.audiences.mkString(",")),
       Procedures.utf8(authentication.roles.getOrElse(Nil).mkString(",")),
-      Procedures.utf8(assumed))): InternalRow))
+      Procedures.utf8(assumed),
+      Procedures.utf8(matched.engines.map(_.name).mkString(",")),
+      isAdmin)): InternalRow))
   }
 }

@@ -465,8 +465,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       .getOption("spark.graft.authz.ownerProperty")
       .getOrElse(graft.admin.Authz.DefaultOwnerProperty)
     val admissionRoles = admitOrThrow(user, id, logDenial)
+    // with trusted-engine config present, the chain's security model
+    // comes from the session's MATCHED engines (supersedes the
+    // single-owner-property + boolean-trust confs)
+    val engines = graft.admin.Authn
+      .sessionEngines(spark.conf.getOption).map(_._2)
     val checks = graft.admin.Authz.authorizeLoadTabular(
-      store, user, id, chain, ownerProp, trusted, admissionRoles)
+      store, user, id, chain, ownerProp, trusted, admissionRoles, engines)
     checks.find(!_.allowed).foreach { c =>
       // the REAL reason goes to the event log for operators; the
       // caller sees the MASKED not-found (authz/table.rs:323-346 —
@@ -494,9 +499,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     store.loadTabularInfo(tid(ident))
       .exists(t => t.kind == "view" && t.deletedMs.isEmpty)
 
+  /** views/commit.rs:522-536 + create.rs: owner properties control
+    * delegated execution — a privilege-escalation vector if writable
+    * by untrusted users. With trusted-engine config present, every
+    * view property write is checked: a key case-insensitively
+    * matching any configured engine's owner property is rejected
+    * unless a MATCHED engine owns the exact configured casing. No
+    * engine config → no protected properties (the reference's empty
+    * `protected_properties` fast path).
+    */
+  private def checkProtectedViewProperties(keys: Iterable[String]): Unit =
+    graft.admin.Authn.sessionEngines(
+        org.apache.spark.sql.SparkSession.active.conf.getOption).foreach {
+      case (configured, matched) =>
+        graft.admin.Authn.checkProtectedProperties(keys, configured, matched)
+    }
+
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
     val id = tid(ident)
+    checkProtectedViewProperties(info.properties.asScala.keys)
     val ts = TableSchema(0, info.schema)
     val version = ViewVersion(1, System.currentTimeMillis(), 0,
       Option(info.currentCatalog), info.currentNamespace.toSeq,
@@ -535,6 +557,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case s: ViewChange.SetProperty => s.property -> s.value }.toMap
     val removes = changes.collect {
       case r: ViewChange.RemoveProperty => r.property }
+    // set AND remove keys are both guarded (views/commit.rs:529-534
+    // chains updates.keys with removals) — removing an owner property
+    // silently demotes a DEFINER view to INVOKER
+    checkProtectedViewProperties(sets.keys ++ removes)
     val next = store.commitView(id,
       (if (sets.nonEmpty) Seq(Commit.ViewUpdate.SetProperties(sets)) else Nil) ++
         (if (removes.nonEmpty) Seq(Commit.ViewUpdate.RemoveProperties(removes)) else Nil))

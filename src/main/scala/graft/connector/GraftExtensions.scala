@@ -65,11 +65,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // view DDL: intercepted only when the target is a graft catalog —
   // TEMPORARY/GLOBAL variants deliberately don't match and stay stock
   private val CreateViewRe =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+(?:TBLPROPERTIES\s*\(([^)]*)\)\s+)?AS\s+(.+?)\s*;?\s*""".r
   private val DropViewRe =
     """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
   private val RenameViewRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*""".r
+  // view property DDL — Spark has no v2 ALTER VIEW, so these route to
+  // ViewCatalog.alterView here (where the protected-property guard
+  // runs). Values containing ')' need the API surface.
+  private val AlterViewSetPropsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val AlterViewUnsetPropsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\(([^)]*)\)\s*;?\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+)\s*;?\s*""".r
 
@@ -94,13 +101,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       SetWriteOrderCommand(multipart(tbl), Some(order), locally != null)
     case WriteUnorderedRe(tbl) =>
       SetWriteOrderCommand(multipart(tbl), None, locally = false)
-    case CreateViewRe(orReplace, ifNotExists, name, query) if graft(name) =>
+    case CreateViewRe(orReplace, ifNotExists, name, props, query)
+        if graft(name) =>
       CreateGraftViewCommand(multipart(name), query,
-        orReplace = orReplace != null, ifNotExists = ifNotExists != null)
+        orReplace = orReplace != null, ifNotExists = ifNotExists != null,
+        properties = GraftViewSql.parsePropList(props)
+          .map { case (k, v) => k -> v.getOrElse("") }.toMap)
     case DropViewRe(ifExists, name) if graft(name) =>
       DropGraftViewCommand(multipart(name), ifExists = ifExists != null)
     case RenameViewRe(from, to) if graft(from) =>
       RenameGraftViewCommand(multipart(from), multipart(to))
+    case AlterViewSetPropsRe(name, props) if graft(name) =>
+      AlterGraftViewPropsCommand(multipart(name),
+        sets = GraftViewSql.parsePropList(props)
+          .map { case (k, v) => k -> v.getOrElse("") }.toMap,
+        removes = Nil)
+    case AlterViewUnsetPropsRe(name, _, props) if graft(name) =>
+      AlterGraftViewPropsCommand(multipart(name), sets = Map.empty,
+        removes = GraftViewSql.parsePropList(props).map(_._1))
     case ShowViewsRe(ns)
         if GraftViewSql.isGraftNamespace(session, multipart(ns)) =>
       ShowGraftViewsCommand(multipart(ns))

@@ -22,6 +22,20 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   */
 object GraftViewSql {
 
+  private val PropItemRe =
+    """'((?:[^']|'')*)'\s*(?:=\s*'((?:[^']|'')*)')?""".r
+
+  /** Parse a TBLPROPERTIES list — `'k'='v', ...` (SET/CREATE) or bare
+    * `'k', ...` (UNSET). Single-quoted literals with `''` escapes;
+    * anything between items (commas, whitespace) is skipped.
+    */
+  def parsePropList(s: String): Seq[(String, Option[String])] =
+    if (s == null || s.trim.isEmpty) Nil
+    else PropItemRe.findAllMatchIn(s).map { m =>
+      def unesc(x: String) = x.replace("''", "'")
+      unesc(m.group(1)) -> Option(m.group(2)).map(unesc)
+    }.toSeq
+
   /** Multipart name → (graft catalog, v2 identifier); None when the
     * target catalog is not graft (caller falls back to stock Spark).
     */
@@ -67,7 +81,9 @@ object GraftViewSql {
   */
 final case class CreateGraftViewCommand(
     name: Seq[String], query: String,
-    orReplace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+    orReplace: Boolean, ifNotExists: Boolean,
+    properties: Map[String, String] = Map.empty)
+  extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -79,13 +95,38 @@ final case class CreateGraftViewCommand(
     val analyzed = spark.sessionState.executePlan(
       spark.sessionState.sqlParser.parseQuery(query)).analyzed
     val cm = spark.sessionState.catalogManager
+    val javaProps = new java.util.HashMap[String, String]()
+    properties.foreach { case (k, v) => javaProps.put(k, v) }
     val info = new ViewInfo(ident, query,
       cm.currentCatalog.name(), cm.currentNamespace,
       analyzed.schema, analyzed.schema.fieldNames,
-      Array.empty[String], Array.empty[String],
-      new java.util.HashMap[String, String]())
+      Array.empty[String], Array.empty[String], javaProps)
     if (orReplace) catalog.replaceView(info, orCreate = true)
     else catalog.createView(info)
+    Nil
+  }
+}
+
+/** ALTER VIEW a.b SET/UNSET TBLPROPERTIES — Spark ships no v2 ALTER
+  * VIEW, so the extension parser routes property DDL here, through
+  * ViewCatalog.alterView (where the trusted-engine protected-property
+  * guard runs).
+  */
+final case class AlterGraftViewPropsCommand(name: Seq[String],
+    sets: Map[String, String], removes: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val (catalog, ident) = GraftViewSql.viewTarget(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"${name.mkString(".")} is not in a graft catalog"))
+    val changes: Seq[ViewChange] =
+      sets.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        removes.map(ViewChange.removeProperty)
+    if (changes.nonEmpty) catalog.alterView(ident, changes: _*)
     Nil
   }
 }
@@ -228,6 +269,10 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     // would report a misleading TABLE_OR_VIEW_NOT_FOUND
     case ae: org.apache.spark.sql.AnalysisException
         if ae.getCondition == "RECURSIVE_VIEW" => throw ae
+    // AmbiguousSecurityModel (and any other authn-layer diagnosis) is
+    // an explicit 400 in the reference (authorize_load.rs:309-311) —
+    // it must not degrade to an unresolved relation
+    case ae: graft.admin.Authn.AuthnError => throw ae
     case NonFatal(_) => None
   }
 
@@ -290,16 +335,35 @@ final case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan
     }
     val vm = catalog.store.loadViewMetadata(id).getOrElse(
       throw new NoSuchViewException(ident))._1
-    val ownerProp = spark.conf
-      .getOption("spark.graft.authz.ownerProperty")
-      .getOrElse(Authz.DefaultOwnerProperty)
-    val nextUser = vm.properties.getOrElse(ownerProp, user)
-    // delegation is keyed on the owner PROPERTY'S PRESENCE, not on
-    // user inequality — the reference marks every step downstream of a
+    // DEFINER resolution: with trusted-engine config present, the
+    // security model comes from the engines the SESSION's token
+    // matched (config.rs MatchedEngines.determine_security_model — an
+    // untrusted caller gets INVOKER even on an owner-tagged view, and
+    // two matched engines resolving different owners is an explicit
+    // AmbiguousSecurityModel error, never a silent pick). Without
+    // engine config, the legacy single-owner-property conf applies.
+    val model = graft.admin.Authn.sessionEngines(
+        spark.conf.getOption) match {
+      case Some((_, matched)) =>
+        matched.determineSecurityModel(vm.properties)
+      case None =>
+        val ownerProp = spark.conf
+          .getOption("spark.graft.authz.ownerProperty")
+          .getOrElse(Authz.DefaultOwnerProperty)
+        vm.properties.get(ownerProp) match {
+          case Some(owner) => graft.admin.Authn.Definer(owner)
+          case None => graft.admin.Authn.Invoker
+        }
+    }
+    // delegation is keyed on the DEFINER model, not on user
+    // inequality — the reference marks every step downstream of a
     // DEFINER view as delegated even when the owner IS the caller
     // (resolve_users_for_authorize_load_tabular sets the flag
     // unconditionally; mirrored by Authz.authorizeLoadTabular's switch)
-    val childDelegated = delegated || vm.properties.contains(ownerProp)
+    val (nextUser, childDelegated) = model match {
+      case graft.admin.Authn.Definer(owner) => (owner, true)
+      case _ => (user, delegated)
+    }
     val ver = vm.currentVersion
     val defaultPrefix = ver.defaultCatalog.toSeq ++ ver.defaultNamespace
     val sql = ver.representations.find(_.dialect == "spark")

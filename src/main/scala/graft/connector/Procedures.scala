@@ -43,6 +43,7 @@ object Procedures {
     "project_statistics", "rename_warehouse",
     "trim_event_log", "set_task_queue_config", "get_task_queue_config",
     "set_format_version_policy", "get_warehouse",
+    "set_warehouse_managed_by",
     "set_maintenance_mode", "get_maintenance_mode",
     "grant_privilege", "revoke_privilege", "check_action",
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
@@ -105,6 +106,8 @@ object Procedures {
       case "set_format_version_policy" =>
         Some(SetFormatVersionPolicyProcedure(catalog))
       case "get_warehouse" => Some(GetWarehouseProcedure(catalog))
+      case "set_warehouse_managed_by" =>
+        Some(SetWarehouseManagedByProcedure(catalog))
       case "set_maintenance_mode" =>
         Some(SetMaintenanceModeProcedure(catalog))
       case "grant_privilege" => Some(GrantPrivilegeProcedure(catalog))
@@ -154,6 +157,29 @@ object Procedures {
   }
 
   private[connector] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Warehouse spec-lock gate, called by every spec-mutating warehouse
+    * procedure (reference: `ensure_warehouse_spec_mutable` at every
+    * such endpoint, api/management/v1/warehouse/mod.rs:711-1305, and
+    * `CatalogWarehouseAction::is_spec_mutation` for the locked set):
+    * an externally-managed warehouse refuses the mutation unless the
+    * session bypasses control-plane authz — no pinned principal
+    * (in-process caller) or a configured instance admin.
+    */
+  private[connector] def requireWarehouseSpecMutable(
+      catalog: GraftCatalog, name: String, project: String): Unit =
+    catalog.store.ensureWarehouseSpecMutable(name, project,
+      graft.admin.Authn.controlPlaneBypass(
+        org.apache.spark.sql.SparkSession.active.conf.getOption))
+
+  /** The bypass alone — for endpoints that are instance-admin-ONLY
+    * (set_warehouse_managed_by, born-managed create).
+    */
+  private[connector] def requireControlPlaneBypass(what: String): Unit =
+    if (!graft.admin.Authn.controlPlaneBypass(
+        org.apache.spark.sql.SparkSession.active.conf.getOption))
+      throw new graft.store.WarehouseSpecLockedException(
+        s"$what requires instance-admin privilege")
 }
 
 /** Compaction: rewrite the table's live files into
@@ -786,6 +812,9 @@ final case class SetProtectionProcedure(catalog: GraftCatalog)
       case "warehouse" =>
         val project = if (input.numFields < 4 || input.isNullAt(3))
           catalog.store.DefaultProject else input.getUTF8String(3).toString
+        // SetProtection is a warehouse SPEC mutation (is_spec_mutation)
+        Procedures.requireWarehouseSpecMutable(catalog,
+          input.getUTF8String(0).toString, project)
         catalog.store.setWarehouseProtection(
           input.getUTF8String(0).toString, prot, project)
       case other => throw new IllegalArgumentException(
@@ -988,18 +1017,33 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
     // typed storage profile JSON ({"type":"s3","bucket":...} — the
     // reference's CreateWarehouseRequest storage-profile field),
     // validated + normalized before registration
-    Procedures.paramWithDefault("storage_profile", StringType, "NULL"))
+    Procedures.paramWithDefault("storage_profile", StringType, "NULL"),
+    // 'self-managed' (default) | 'instance-admin' — a warehouse may
+    // only be BORN managed by a caller who can manage it, else a
+    // non-admin locks itself (and other grant-holders) out at create
+    // time (mod.rs:451-458)
+    Procedures.paramWithDefault("managed_by", StringType, "NULL"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val profile =
       if (input.numFields < 4 || input.isNullAt(3)) None
       else Some(graft.store.StorageProfile.fromJson(
         input.getUTF8String(3).toString))
+    val managedBy =
+      if (input.numFields < 5 || input.isNullAt(4))
+        graft.store.WarehouseProfile.SelfManaged
+      else input.getUTF8String(4).toString
+    if (managedBy != graft.store.WarehouseProfile.SelfManaged)
+      Procedures.requireControlPlaneBypass(
+        s"Creating a warehouse with managed_by=$managedBy")
+    val project = if (input.isNullAt(2)) catalog.store.DefaultProject
+      else input.getUTF8String(2).toString
     val loc = catalog.store.createWarehouse(
       input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-      if (input.isNullAt(2)) catalog.store.DefaultProject
-      else input.getUTF8String(2).toString,
-      storageProfile = profile)
+      project, storageProfile = profile)
+    if (managedBy != graft.store.WarehouseProfile.SelfManaged)
+      catalog.store.setWarehouseManagedBy(
+        input.getUTF8String(0).toString, managedBy, project)
     val schema = StructType(Seq(
       StructField("location", StringType),
       StructField("storage_base_location", StringType, nullable = true)))
@@ -1072,6 +1116,10 @@ final case class UpdateWarehouseStorageProcedure(catalog: GraftCatalog)
     Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    Procedures.requireWarehouseSpecMutable(catalog,
+      input.getUTF8String(0).toString,
+      if (input.isNullAt(2)) catalog.store.DefaultProject
+      else input.getUTF8String(2).toString)
     val applied = catalog.store.updateWarehouseStorage(
       input.getUTF8String(0).toString,
       graft.store.StorageProfile.fromJson(input.getUTF8String(1).toString),
@@ -1128,11 +1176,19 @@ final case class DeleteWarehouseProcedure(catalog: GraftCatalog)
     Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    val project = if (input.numFields < 3 || input.isNullAt(2))
+      catalog.store.DefaultProject else input.getUTF8String(2).toString
+    // gate only when the warehouse exists — delete of a missing name
+    // stays the silent `false` it always was
+    if (catalog.store.listWarehouseEntries().exists(e =>
+        e.project == project &&
+          e.name == input.getUTF8String(0).toString))
+      Procedures.requireWarehouseSpecMutable(catalog,
+        input.getUTF8String(0).toString, project)
     val deleted = catalog.store.deleteWarehouse(
       input.getUTF8String(0).toString,
       force = !input.isNullAt(1) && input.getBoolean(1),
-      project = if (input.numFields < 3 || input.isNullAt(2))
-        catalog.store.DefaultProject else input.getUTF8String(2).toString)
+      project = project)
     val schema = StructType(Seq(StructField("deleted", BooleanType)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](deleted)): InternalRow))
@@ -1180,7 +1236,8 @@ final case class GetWarehouseProcedure(catalog: GraftCatalog)
       StructField("allowed_format_versions", StringType),
       StructField("default_format_version", IntegerType, nullable = true),
       StructField("storage_type", StringType, nullable = true),
-      StructField("storage_base_location", StringType, nullable = true)))
+      StructField("storage_base_location", StringType, nullable = true),
+      StructField("managed_by", StringType, nullable = false)))
     Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
       Procedures.utf8(profile.name), Procedures.utf8(entry.location),
       Procedures.utf8(entry.project), profile.active,
@@ -1191,7 +1248,39 @@ final case class GetWarehouseProcedure(catalog: GraftCatalog)
       profile.storageProfile
         .map(p => Procedures.utf8(p.typeName)).orNull,
       profile.storageProfile
-        .map(p => Procedures.utf8(p.baseLocation)).orNull)): InternalRow))
+        .map(p => Procedures.utf8(p.baseLocation)).orNull,
+      Procedures.utf8(profile.managedBy))): InternalRow))
+  }
+}
+
+/** Warehouse managed-by marker (reference: POST
+  * /warehouse/{id}/managed-by, api/management/v1/warehouse/mod.rs
+  * set_warehouse_managed_by + InstanceAdminAction::
+  * SetWarehouseManagedBy): instance-admin-ONLY in both directions —
+  * taking the lock and releasing it.
+  */
+final case class SetWarehouseManagedByProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_warehouse_managed_by"
+  override def description(): String =
+    "Mark a warehouse externally managed (spec locked) or self-managed"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("name", StringType),
+    Procedures.param("managed_by", StringType),
+    Procedures.paramWithDefault("project", StringType, "'default'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val managedBy = input.getUTF8String(1).toString
+    Procedures.requireControlPlaneBypass("set_warehouse_managed_by")
+    catalog.store.setWarehouseManagedBy(
+      input.getUTF8String(0).toString, managedBy,
+      if (input.numFields < 3 || input.isNullAt(2))
+        catalog.store.DefaultProject else input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("managed_by", StringType, nullable = false)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(
+      Array[Any](Procedures.utf8(managedBy))): InternalRow))
   }
 }
 
@@ -1215,6 +1304,10 @@ final case class SetFormatVersionPolicyProcedure(catalog: GraftCatalog)
       .split(',').map(_.trim.toInt).toSeq
     val default =
       if (input.isNullAt(1)) None else Some(input.getInt(1))
+    // SetFormatVersionPolicy is a spec mutation; this procedure
+    // operates on THIS warehouse
+    Procedures.requireWarehouseSpecMutable(catalog,
+      catalog.store.warehouseProfile.name, catalog.store.DefaultProject)
     catalog.store.setWarehouseProfile(
       catalog.store.warehouseProfile.copy(
         allowedFormatVersions = allowed, defaultFormatVersion = default))
@@ -1319,6 +1412,10 @@ final case class RenameWarehouseProcedure(catalog: GraftCatalog)
     Procedures.paramWithDefault("project", StringType, "'default'"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
+    Procedures.requireWarehouseSpecMutable(catalog,
+      input.getUTF8String(0).toString,
+      if (input.numFields < 3 || input.isNullAt(2))
+        catalog.store.DefaultProject else input.getUTF8String(2).toString)
     catalog.store.renameWarehouse(
       input.getUTF8String(0).toString,
       input.getUTF8String(1).toString,
@@ -1445,6 +1542,10 @@ final case class SetDeleteProfileProcedure(catalog: GraftCatalog)
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val current = catalog.store.warehouseProfile
+    // ModifySoftDeletion is a spec mutation; this procedure operates
+    // on THIS warehouse
+    Procedures.requireWarehouseSpecMutable(catalog, current.name,
+      catalog.store.DefaultProject)
     catalog.store.setWarehouseProfile(current.copy(
       deleteProfile = input.getUTF8String(0).toString,
       expirationGraceMs =
@@ -1468,6 +1569,10 @@ final case class SetWarehouseActiveProcedure(catalog: GraftCatalog)
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val current = catalog.store.warehouseProfile
+    // Activate/Deactivate are spec mutations; this procedure operates
+    // on THIS warehouse
+    Procedures.requireWarehouseSpecMutable(catalog, current.name,
+      catalog.store.DefaultProject)
     catalog.store.setWarehouseProfile(
       current.copy(active = input.getBoolean(0)))
     val schema = StructType(Seq(StructField("active", BooleanType)))
@@ -1982,7 +2087,12 @@ final case class AuthorizeLoadProcedure(catalog: GraftCatalog)
     Procedures.paramWithDefault("referenced_by", StringType, "''"),
     Procedures.paramWithDefault("owner_property", StringType,
       s"'${graft.admin.Authz.DefaultOwnerProperty}'"),
-    Procedures.paramWithDefault("trusted_engine", BooleanType, "true"))
+    Procedures.paramWithDefault("trusted_engine", BooleanType, "true"),
+    // trusted-engine config (JSON, config.rs shape) + the names the
+    // request's token matched — supersede owner_property and
+    // trusted_engine when given (config.rs MatchedEngines)
+    Procedures.paramWithDefault("trusted_engines", StringType, "NULL"),
+    Procedures.paramWithDefault("matched_engines", StringType, "''"))
   override def isDeterministic: Boolean = false
   override def call(input: InternalRow): JIterator[Scan] = {
     val target = Procedures.tableId(catalog, input.getUTF8String(0).toString)
@@ -1996,8 +2106,21 @@ final case class AuthorizeLoadProcedure(catalog: GraftCatalog)
       if (input.isNullAt(3)) graft.admin.Authz.DefaultOwnerProperty
       else input.getUTF8String(3).toString
     val trusted = input.isNullAt(4) || input.getBoolean(4)
+    val engines =
+      if (input.numFields <= 5 || input.isNullAt(5)) None
+      else {
+        val configured = graft.admin.Authn.parseTrustedEngines(
+          input.getUTF8String(5).toString)
+        val names =
+          if (input.numFields <= 6 || input.isNullAt(6)) Set.empty[String]
+          else input.getUTF8String(6).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSet
+        Some(graft.admin.Authn.MatchedEngines(
+          configured.filter(e => names.contains(e.name))))
+      }
     val checks = graft.admin.Authz.authorizeLoadTabular(
-      catalog.store, user, target, chain, ownerProp, trusted)
+      catalog.store, user, target, chain, ownerProp, trusted,
+      engines = engines)
     val schema = StructType(Seq(
       StructField("object_type", StringType, nullable = false),
       StructField("object", StringType, nullable = false),

@@ -88,6 +88,9 @@ final case class SetWarehouseCredentialProcedure(catalog: GraftCatalog)
       else input.getUTF8String(2).toString
     // the warehouse must exist (same rule as the storage-profile setter)
     SignerProcedures.resolveWarehouse(catalog, name, project)
+    // UpdateStorageCredential is a warehouse SPEC mutation
+    // (is_spec_mutation) — externally-managed warehouses lock it
+    Procedures.requireWarehouseSpecMutable(catalog, name, project)
     val secrets = new S3Signer.SecretStore(catalog.store.root)
     val (action, keyId) =
       if (input.isNullAt(1)) {

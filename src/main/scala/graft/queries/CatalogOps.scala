@@ -1182,6 +1182,263 @@ object CatalogOps {
         ("user_id_invalid", errType(Authn.UserId.parse("oidc~"))))
       import s.implicits._
       rows.toDF("what", "got").orderBy("what")
+    },
+
+    // --------------------------------------- trusted-engine security
+    // The reference's trusted-engine layer (config.rs:180-330 +
+    // server/tables/authorize_load.rs + views/commit.rs
+    // check_protected_properties; round 14): DEFINER delegation applies
+    // only when the request's token MATCHED the engine owning the
+    // view's owner property; two matched engines resolving different
+    // owners is an explicit AmbiguousSecurityModel; owner properties
+    // are writable only by the owning matched engine (exact casing);
+    // instance-admin membership resolves at authn time and is never
+    // inherited by an assumed role.
+    Q(
+      "qc25_trusted_engine_security",
+      """SELECT * FROM (VALUES
+        |  ('admin_not_inherited_by_role', 'false'),
+        |  ('admin_principal', 'true'),
+        |  ('ambiguous', 'AmbiguousSecurityModel'),
+        |  ('chain_engine_definer', 'ebob:1'),
+        |  ('chain_unmatched_invoker', 'alice:0'),
+        |  ('chain_wrong_engine', 'alice:0'),
+        |  ('match_by_subject', 'trino'),
+        |  ('match_requires_idp_key', ''),
+        |  ('prop_set_denied', 'ProtectedPropertyModification'),
+        |  ('prop_set_engine', 'ok'))
+        |AS t(what, got) ORDER BY what""".stripMargin) { (s, dir) =>
+      import graft.admin.Authn
+      prepare(s, dir)
+      val store = s.sessionState.catalogManager.catalog(CatalogName)
+        .asInstanceOf[GraftCatalog].store
+
+      // fixtures (idempotent across runs)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.eng_v")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $CatalogName.eng_v.tsec25 (id BIGINT)")
+      s.sql(
+        s"""CREATE VIEW IF NOT EXISTS $CatalogName.eng_v.v_eng AS
+           |SELECT id FROM $CatalogName.eng_v.tsec25""".stripMargin)
+      s.sql(
+        s"""CREATE VIEW IF NOT EXISTS $CatalogName.eng_v.v_two AS
+           |SELECT id FROM $CatalogName.eng_v.tsec25""".stripMargin)
+      store.commitView(graft.store.TabularId(Seq("eng_v"), "v_eng"), Seq(
+        graft.meta.Commit.ViewUpdate.SetProperties(
+          Map("trino.run-as-owner" -> "ebob"))))
+      store.commitView(graft.store.TabularId(Seq("eng_v"), "v_two"), Seq(
+        graft.meta.Commit.ViewUpdate.SetProperties(Map(
+          "trino.run-as-owner" -> "ebob", "spark.owner" -> "ecarol"))))
+      def grant(t: graft.store.GrantTuple): Unit =
+        if (!store.listGrantTuples().contains(t)) store.addGrant(t)
+      grant(graft.store.GrantTuple("table",
+        graft.admin.Authz.table(Seq("eng_v"), "tsec25").key,
+        "select", "user", "ebob"))
+      for (v <- Seq("v_eng", "v_two"))
+        grant(graft.store.GrantTuple("view",
+          graft.admin.Authz.view(Seq("eng_v"), v).key,
+          "select", "user", "alice"))
+      try store.createRole("auditor25", "auditor25", None)
+      catch { case _: Exception => }
+      grant(graft.store.GrantTuple("role",
+        graft.admin.Authz.Obj("role", Seq("auditor25")).key,
+        "ownership", "user", "oidc~joe"))
+
+      val enginesCfg =
+        """[{"type":"trino","owner_property":"trino.run-as-owner",
+          |  "identities":{"oidc":{"audiences":["trino-svc"],
+          |                        "subjects":["joe"]}}},
+          | {"name":"sparkx","type":"trino","owner_property":"spark.owner",
+          |  "identities":{"oidc":{"audiences":["spark-svc"]}}}]"""
+          .stripMargin.replace("\n", "")
+      // identities keyed under a DIFFERENT IdP: the idp key gates
+      val oktaOnlyCfg =
+        """[{"type":"trino","owner_property":"trino.run-as-owner",
+          |  "identities":{"okta":{"subjects":["joe"]}}}]"""
+          .stripMargin.replace("\n", "")
+
+      // chain decisions through the procedure (engine params)
+      def chainCall(view: String, matched: String): String = {
+        val rows = s.sql(
+          s"""CALL $CatalogName.system.authorize_load_tabular(
+             |  table => 'eng_v.tsec25', user => 'alice',
+             |  referenced_by => 'eng_v.$view',
+             |  trusted_engines => '$enginesCfg',
+             |  matched_engines => '$matched')""".stripMargin).collect()
+        val last = rows.last // target table's can_read_data check
+        s"${last.getString(2)}:${if (last.getBoolean(5)) 1 else 0}"
+      }
+      def errType(f: => Unit): String =
+        try { f; "none" } catch { case e: Throwable =>
+          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+          Seq("AmbiguousSecurityModel", "ProtectedPropertyModification")
+            .find(msgs.contains).getOrElse(msgs.take(80))
+        }
+
+      // engine matching + instance admins through authenticate_token
+      // (the RFC 7515 A.1 published token, as in qc24)
+      val rfcKeyB64 = "AyM1SysPpbyDfgZld3umj1qzKObwVMkoqQ" +
+        "-EstJQLr_T-1qS0gZH75aKtMN3Yj0iPS4hcgUuTwjAzZr1Z9CAow"
+      val rfcJwks = s"""{"keys":[{"kty":"oct","k":"$rfcKeyB64"}]}"""
+      val rfcToken = "eyJ0eXAiOiJKV1QiLA0KICJhbGciOiJIUzI1NiJ9." +
+        "eyJpc3MiOiJqb2UiLA0KICJleHAiOjEzMDA4MTkzODAsDQogImh0dHA6Ly9leGFt" +
+        "cGxlLmNvbS9pc19yb290Ijp0cnVlfQ." +
+        "dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk"
+      def auth(extra: String) = s.sql(
+        s"""CALL $CatalogName.system.authenticate_token(
+           |  token => '$rfcToken', jwks => '$rfcJwks', issuer => 'joe',
+           |  subject_claims => 'iss', now_ms => 1300819000000L$extra)"""
+          .stripMargin).collect().head
+
+      // protected-property guard through the session-conf surface
+      def withEngineConfs[T](matched: String)(body: => T): T = {
+        s.conf.set("spark.graft.authn.trustedEngines", enginesCfg)
+        s.conf.set("spark.graft.authz.matchedEngines", matched)
+        try body
+        finally {
+          s.conf.unset("spark.graft.authn.trustedEngines")
+          s.conf.unset("spark.graft.authz.matchedEngines")
+        }
+      }
+
+      val rows = Seq(
+        ("admin_not_inherited_by_role",
+          auth(", assume_role => 'auditor25'" +
+            ", instance_admins => 'oidc~joe'").getBoolean(8).toString),
+        ("admin_principal",
+          auth(", instance_admins => 'oidc~joe'").getBoolean(8).toString),
+        ("ambiguous", errType(chainCall("v_two", "trino,sparkx"))),
+        ("chain_engine_definer", chainCall("v_eng", "trino")),
+        ("chain_unmatched_invoker", chainCall("v_eng", "")),
+        ("chain_wrong_engine", chainCall("v_eng", "sparkx")),
+        ("match_by_subject",
+          auth(s", trusted_engines => '$enginesCfg'").getString(7)),
+        ("match_requires_idp_key",
+          auth(s", trusted_engines => '$oktaOnlyCfg'").getString(7)),
+        ("prop_set_denied", withEngineConfs("") { errType(s.sql(
+          s"""ALTER VIEW $CatalogName.eng_v.v_eng
+             |SET TBLPROPERTIES ('trino.run-as-owner'='mallory')"""
+            .stripMargin)) }),
+        ("prop_set_engine", withEngineConfs("trino") {
+          s.sql(
+            s"""ALTER VIEW $CatalogName.eng_v.v_eng
+               |SET TBLPROPERTIES ('trino.run-as-owner'='ebob')"""
+              .stripMargin)
+          "ok"
+        }))
+      import s.implicits._
+      rows.toDF("what", "got").orderBy("what")
+    },
+
+    // ----------------------------------------- managed-by spec lock
+    // The reference's instance-admin layer (authz/instance_admin.rs +
+    // ManagedBy, service/catalog_store/warehouse.rs:89-106 +
+    // ensure_warehouse_spec_mutable at every spec-mutating endpoint;
+    // round 14): an externally-managed warehouse refuses spec
+    // mutations (rename, storage/credential update, protection,
+    // delete, the lock itself) from everyone but configured instance
+    // admins; in-process callers bypass; reads stay open; a warehouse
+    // may only be BORN managed by a caller who could manage it.
+    Q(
+      "qc26_managed_warehouse",
+      """SELECT * FROM (VALUES
+        |  ('admin_rename', 'ok'),
+        |  ('born_managed_admin', 'instance-admin'),
+        |  ('born_managed_denied', 'SpecLocked'),
+        |  ('create_self_managed', 'self-managed'),
+        |  ('locked_credential', 'SpecLocked'),
+        |  ('locked_release', 'SpecLocked'),
+        |  ('locked_rename', 'SpecLocked'),
+        |  ('reads_open', '1'),
+        |  ('self_managed_open', 'ok'),
+        |  ('take_lock', 'instance-admin'))
+        |AS t(what, got) ORDER BY what""".stripMargin) { (s, dir) =>
+      prepare(s, dir)
+      def whExists(name: String): Boolean =
+        s.sql(s"CALL $CatalogName.system.list_warehouses()")
+          .collect().exists(_.getString(0) == name)
+      def mkWh(name: String, extra: String = ""): Unit =
+        if (!whExists(name)) {
+          val tmp = Files.createTempDirectory(s"graft-qc26-$name").toString
+          s.sql(s"""CALL $CatalogName.system.create_warehouse(
+            |  name => '$name', location => '$tmp'$extra)"""
+            .stripMargin).collect()
+        }
+      def managedBy(name: String): String =
+        s.sql(s"CALL $CatalogName.system.get_warehouse(name => '$name')")
+          .collect().head.getString(10)
+      def asUser[T](u: String, admins: String = "")(body: => T): T = {
+        s.conf.set("spark.graft.authz.user", u)
+        if (admins.nonEmpty)
+          s.conf.set("spark.graft.authz.instanceAdmins", admins)
+        try body
+        finally {
+          s.conf.unset("spark.graft.authz.user")
+          s.conf.unset("spark.graft.authz.instanceAdmins")
+        }
+      }
+      def errType(f: => Unit): String =
+        try { f; "none" } catch { case e: Throwable =>
+          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+          if (msgs.contains("instance-admin")) "SpecLocked"
+          else msgs.take(80)
+        }
+
+      mkWh("wh26a")
+      mkWh("wh26b")
+      val createdSelfManaged = managedBy("wh26b")
+      // in-process caller takes the lock
+      s.sql(s"CALL $CatalogName.system.set_warehouse_managed_by(" +
+        "name => 'wh26a', managed_by => 'instance-admin')").collect()
+
+      val rows = Seq(
+        ("admin_rename", asUser("ops26", admins = "ops26") {
+          s.sql(s"CALL $CatalogName.system.rename_warehouse(" +
+            "name => 'wh26a', new_name => 'wh26a_r')").collect()
+          s.sql(s"CALL $CatalogName.system.rename_warehouse(" +
+            "name => 'wh26a_r', new_name => 'wh26a')").collect()
+          "ok"
+        }),
+        ("born_managed_admin", {
+          mkWh("wh26c", extra = ", managed_by => 'instance-admin'")
+          managedBy("wh26c")
+        }),
+        // the denial fires BEFORE creation, so nothing persists and
+        // the row is idempotent across runs
+        ("born_managed_denied", asUser("ops26") { errType {
+          s.sql(s"""CALL $CatalogName.system.create_warehouse(
+            |  name => 'wh26_denied', location => '/tmp/never',
+            |  managed_by => 'instance-admin')""".stripMargin).collect()
+        } }),
+        ("create_self_managed", createdSelfManaged),
+        ("locked_credential", asUser("ops26") { errType {
+          s.sql(s"""CALL $CatalogName.system.set_warehouse_credential(
+            |  name => 'wh26a', credential => '{"aws-access-key-id":"AK",
+            |  "aws-secret-access-key":"SK"}')""".stripMargin).collect()
+        } }),
+        ("locked_release", asUser("ops26") { errType {
+          s.sql(s"CALL $CatalogName.system.set_warehouse_managed_by(" +
+            "name => 'wh26a', managed_by => 'self-managed')").collect()
+        } }),
+        ("locked_rename", asUser("ops26") { errType {
+          s.sql(s"CALL $CatalogName.system.rename_warehouse(" +
+            "name => 'wh26a', new_name => 'wh26x')").collect()
+        } }),
+        ("reads_open", asUser("ops26") {
+          s.sql(s"CALL $CatalogName.system.get_warehouse(name => 'wh26a')")
+            .collect().length.toString
+        }),
+        ("self_managed_open", asUser("ops26") {
+          s.sql(s"CALL $CatalogName.system.rename_warehouse(" +
+            "name => 'wh26b', new_name => 'wh26b_r')").collect()
+          s.sql(s"CALL $CatalogName.system.rename_warehouse(" +
+            "name => 'wh26b_r', new_name => 'wh26b')").collect()
+          "ok"
+        }),
+        ("take_lock", managedBy("wh26a")))
+      import s.implicits._
+      rows.toDF("what", "got").orderBy("what")
     }
   )
 

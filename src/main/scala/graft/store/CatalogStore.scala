@@ -171,6 +171,54 @@ trait CatalogStore {
   def deleteWarehouse(name: String, force: Boolean,
       project: String = DefaultProject): Boolean
 
+  /** The profile-bearing store for a registered warehouse (the root
+    * itself, or the registered location opened through the provider
+    * seam).
+    */
+  private def warehouseTarget(name: String, project: String): CatalogStore = {
+    val entry = listWarehouseEntries()
+      .find(e => e.project == project && e.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"No such warehouse: $name in project $project"))
+    if (entry.location == root) this else CatalogStore.open(entry.location)
+  }
+
+  /** Set a warehouse's managed-by marker (reference: POST
+    * /warehouse/{id}/managed-by, api/management/v1/warehouse/mod.rs
+    * set_warehouse_managed_by — itself instance-admin-only; the
+    * CALLER enforces that via [[ensureWarehouseSpecMutable]]-style
+    * bypass checks, the store just records the spec).
+    */
+  def setWarehouseManagedBy(name: String, managedBy: String,
+      project: String = DefaultProject): Unit = {
+    requireMutable()
+    require(WarehouseProfile.ManagedByValues.contains(managedBy),
+      s"managed-by must be one of ${WarehouseProfile.ManagedByValues}, " +
+        s"got $managedBy")
+    val t = warehouseTarget(name, project)
+    t.setWarehouseProfile(t.warehouseProfile.copy(managedBy = managedBy))
+    logEvent("warehouse-managed-by-set", TabularId(Nil, name),
+      Map("project" -> project, "managed-by" -> managedBy))
+  }
+
+  /** warehouse.rs:789 `ensure_warehouse_spec_mutable`: an
+    * externally-managed warehouse refuses spec mutations (delete,
+    * rename, storage/credential update, activate/deactivate,
+    * soft-deletion profile, protection, format-version policy —
+    * CatalogWarehouseAction::is_spec_mutation) unless the caller
+    * bypasses control-plane authz (instance admin / in-process).
+    */
+  def ensureWarehouseSpecMutable(name: String, project: String,
+      bypass: Boolean): Unit = {
+    if (bypass) return
+    val prof = warehouseTarget(name, project).warehouseProfile
+    if (prof.isExternallyManaged)
+      throw new WarehouseSpecLockedException(
+        s"Warehouse $name is managed by the instance " +
+          s"(managed-by=${prof.managedBy}); spec mutations require " +
+          "instance-admin privilege")
+  }
+
   // -------------------------------------------------- server lifecycle
   def serverInfo(): Option[(String, Long, Option[String])]
   def isBootstrapped: Boolean

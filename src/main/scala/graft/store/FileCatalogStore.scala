@@ -62,6 +62,11 @@ final case class WarehouseProfile(
     // deletion protection (reference: protection appliable to
     // warehouses, concepts.md "Protection")
     protected_ : Boolean = false,
+    // spec-lock marker (reference: ManagedBy, service/catalog_store/
+    // warehouse.rs:89-97): "self-managed" (default) or
+    // "instance-admin" — externally-managed warehouses refuse spec
+    // mutations from non-instance-admin callers
+    managedBy: String = WarehouseProfile.SelfManaged,
     // typed storage profile (reference: service/storage/mod.rs
     // StorageProfile on CreateWarehouseRequest) — None for local-dir
     // warehouses, the pre-round-10 behavior
@@ -70,6 +75,19 @@ final case class WarehouseProfile(
   def resolvedDefaultFormatVersion: Int =
     defaultFormatVersion.getOrElse(
       if (allowedFormatVersions.contains(2)) 2 else allowedFormatVersions.max)
+
+  /** warehouse.rs:100-106 `is_externally_managed`: whether an external
+    * control plane locks the spec against the warehouse's own
+    * grant-holders.
+    */
+  def isExternallyManaged: Boolean =
+    managedBy == WarehouseProfile.InstanceAdmin
+}
+
+object WarehouseProfile {
+  val SelfManaged = "self-managed"
+  val InstanceAdmin = "instance-admin"
+  val ManagedByValues: Set[String] = Set(SelfManaged, InstanceAdmin)
 }
 
 /** A registered user (reference: users table,
@@ -152,6 +170,12 @@ class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
 class NoSuchTabularException(msg: String) extends RuntimeException(msg)
 class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 class ProtectedException(msg: String) extends RuntimeException(msg)
+/** A spec mutation hit an externally-managed warehouse without
+  * instance-admin bypass (reference: WarehouseSpecLocked,
+  * api/management/v1/warehouse/mod.rs — a 403 that NAMES the lock,
+  * unlike masked resource denials).
+  */
+class WarehouseSpecLockedException(msg: String) extends RuntimeException(msg)
 class ContractViolationException(msg: String) extends RuntimeException(msg)
 
 /** Typed rejection for mutations during a read-only maintenance window
@@ -2584,6 +2608,10 @@ class FileCatalogStore(val root: String) extends CatalogStore {
               case JNothing | JNull => None; case v => Some(v.extract[Int]) },
             (j \ "protected") match {
               case JBool(b) => b; case _ => false },
+            // absent = self-managed (pre-round-14 profiles)
+            (j \ "managed-by") match {
+              case JString(m) => m
+              case _ => WarehouseProfile.SelfManaged },
             (j \ "storage-profile") match {
               case JNothing | JNull => None
               case v => Some(StorageProfile.fromJson(
@@ -2603,6 +2631,9 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       p.defaultFormatVersion.forall(p.allowedFormatVersions.contains),
       s"invalid format-version policy: allowed=${p.allowedFormatVersions} " +
         s"default=${p.defaultFormatVersion}")
+    require(WarehouseProfile.ManagedByValues.contains(p.managedBy),
+      s"managed-by must be one of ${WarehouseProfile.ManagedByValues}, " +
+        s"got ${p.managedBy}")
     writeString(rootPath.resolve(WarehouseMeta), Json.render(
       ("name" -> p.name) ~ ("active" -> p.active) ~
         ("delete-profile" -> p.deleteProfile) ~
@@ -2610,6 +2641,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
         ("allowed-format-versions" -> p.allowedFormatVersions) ~
         ("default-format-version" -> p.defaultFormatVersion) ~
         ("protected" -> p.protected_) ~
+        ("managed-by" -> p.managedBy) ~
         ("storage-profile" -> p.storageProfile.map(sp =>
           JsonMethods.parse(StorageProfile.toJson(sp))))))
     profileCache = Some(p)

@@ -808,6 +808,9 @@ class KvCatalogStore(val root: String) extends CatalogStore {
       p.defaultFormatVersion.forall(p.allowedFormatVersions.contains),
       s"invalid format-version policy: allowed=${p.allowedFormatVersions} " +
         s"default=${p.defaultFormatVersion}")
+    require(WarehouseProfile.ManagedByValues.contains(p.managedBy),
+      s"managed-by must be one of ${WarehouseProfile.ManagedByValues}, " +
+        s"got ${p.managedBy}")
     st.lock.synchronized { st.profile = Some(p) }
   }
 

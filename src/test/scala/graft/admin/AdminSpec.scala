@@ -449,6 +449,89 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("managed-by spec lock: instance admins only") {
+    import graft.store.WarehouseSpecLockedException
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-mb").toString
+    spark.sql(s"""CALL gadmin.system.create_warehouse(
+      |  name => 'whmb', location => '$tmp')""".stripMargin)
+    def locked(body: => Any): Unit = {
+      val e = intercept[Throwable](body)
+      var t: Throwable = e
+      while (t != null && !t.isInstanceOf[WarehouseSpecLockedException] &&
+          t.getCause != null) t = t.getCause
+      assert(t.isInstanceOf[WarehouseSpecLockedException],
+        s"expected WarehouseSpecLockedException, got $e")
+    }
+    def asUser[T](u: String, admins: String = "")(body: => T): T = {
+      spark.conf.set("spark.graft.authz.user", u)
+      if (admins.nonEmpty)
+        spark.conf.set("spark.graft.authz.instanceAdmins", admins)
+      try body
+      finally {
+        spark.conf.unset("spark.graft.authz.user")
+        spark.conf.unset("spark.graft.authz.instanceAdmins")
+      }
+    }
+    // in-process caller (no pinned principal) takes the lock
+    spark.sql("CALL gadmin.system.set_warehouse_managed_by(" +
+      "name => 'whmb', managed_by => 'instance-admin')")
+    val row = spark.sql("CALL gadmin.system.get_warehouse(name => 'whmb')")
+      .collect().head
+    assert(row.getString(10) == "instance-admin")
+    // a plain principal is locked out of EVERY spec mutation...
+    asUser("ops") {
+      locked(spark.sql("CALL gadmin.system.rename_warehouse(" +
+        "name => 'whmb', new_name => 'whmb2')"))
+      locked(spark.sql("CALL gadmin.system.update_warehouse_storage(" +
+        """name => 'whmb', storage_profile =>
+          | '{"type":"s3","bucket":"b","region":"r"}')""".stripMargin))
+      locked(spark.sql("CALL gadmin.system.delete_warehouse(" +
+        "name => 'whmb', force => true)"))
+      locked(spark.sql("CALL gadmin.system.set_protection(" +
+        "table => 'whmb', protected => true, kind => 'warehouse')"))
+      locked(spark.sql("CALL gadmin.system.set_warehouse_credential(" +
+        """name => 'whmb', credential => '{"aws-access-key-id":"AK",
+          |"aws-secret-access-key":"SK"}')""".stripMargin))
+      // ...including releasing the lock itself
+      locked(spark.sql("CALL gadmin.system.set_warehouse_managed_by(" +
+        "name => 'whmb', managed_by => 'self-managed')"))
+      // non-spec reads stay open
+      assert(spark.sql("CALL gadmin.system.get_warehouse(name => 'whmb')")
+        .collect().nonEmpty)
+    }
+    // a configured instance admin passes
+    asUser("ops", admins = "ops,other-admin") {
+      spark.sql("CALL gadmin.system.rename_warehouse(" +
+        "name => 'whmb', new_name => 'whmb2')")
+      spark.sql("CALL gadmin.system.set_warehouse_managed_by(" +
+        "name => 'whmb2', managed_by => 'self-managed')")
+    }
+    // self-managed again: the plain principal mutates freely
+    asUser("ops") {
+      spark.sql("CALL gadmin.system.rename_warehouse(" +
+        "name => 'whmb2', new_name => 'whmb3')")
+    }
+    // born-managed requires the bypass at create time (a non-admin
+    // must not lock itself out; mod.rs:451-458)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-wh-mb2")
+      .toString
+    asUser("ops") {
+      locked(spark.sql(s"""CALL gadmin.system.create_warehouse(
+        |  name => 'whmb_born', location => '$tmp2',
+        |  managed_by => 'instance-admin')""".stripMargin))
+    }
+    spark.sql(s"""CALL gadmin.system.create_warehouse(
+      |  name => 'whmb_born', location => '$tmp2',
+      |  managed_by => 'instance-admin')""".stripMargin)
+    assert(spark.sql(
+      "CALL gadmin.system.get_warehouse(name => 'whmb_born')")
+      .collect().head.getString(10) == "instance-admin")
+    // invalid marker rejected
+    intercept[Exception](spark.sql(
+      "CALL gadmin.system.set_warehouse_managed_by(" +
+        "name => 'whmb3', managed_by => 'bogus')"))
+  }
+
   test("typed storage profiles flow through create/get/update") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh-sp").toString
     // create with a typed s3 profile: validated + normalized at

@@ -325,6 +325,108 @@ class AuthnSpec extends AnyFunSuite {
     assert(AssumedRole(user, "r-1").isAuthenticated)
   }
 
+  test("trusted engines match by IdP + audience-or-subject") {
+    val trino = TrustedEngine("trino", "trino.run-as-owner", Map(
+      "oidc" -> EngineIdentity(audiences = Seq("trino-svc")),
+      "kubernetes" -> EngineIdentity(subjects = Seq("system:sa:trino"))))
+    val spark = TrustedEngine("sparkx", "spark.owner", Map(
+      "oidc" -> EngineIdentity(audiences = Seq("trino-svc", "spark-svc"))))
+    def authFor(idp: String, aud: Seq[String], sub: String) =
+      Authentication(Subject(Some(idp), sub), aud, None, org.json4s.JNothing)
+
+    // audience match: BOTH engines configured with this audience match
+    val both = matchEngines(Seq(trino, spark),
+      authFor("oidc", Seq("trino-svc"), "whoever"))
+    assert(both.engines.map(_.name) == Seq("trino", "sparkx"))
+    assert(both.isTrusted)
+    // subject match under a different idp key
+    val k8s = matchEngines(Seq(trino, spark),
+      authFor("kubernetes", Nil, "system:sa:trino"))
+    assert(k8s.engines.map(_.name) == Seq("trino"))
+    // idp key gates: same audience under an unconfigured idp
+    assert(!matchEngines(Seq(trino), authFor("okta", Seq("trino-svc"), "x"))
+      .isTrusted)
+    assert(!matchEngines(Nil, authFor("oidc", Seq("trino-svc"), "x"))
+      .isTrusted)
+  }
+
+  test("matched engines resolve the view security model") {
+    val e1 = TrustedEngine("trino", "trino.run-as-owner", Map.empty)
+    val e2 = TrustedEngine("sparkx", "spark.owner", Map.empty)
+    val m = MatchedEngines(Seq(e1, e2))
+    assert(m.determineSecurityModel(Map("other" -> "x")) == Invoker)
+    assert(m.determineSecurityModel(
+      Map("trino.run-as-owner" -> "bob")) == Definer("bob"))
+    // both engines' properties set to the SAME owner is fine
+    assert(m.determineSecurityModel(Map(
+      "trino.run-as-owner" -> "bob", "spark.owner" -> "bob")) ==
+      Definer("bob"))
+    // different owners = ambiguous delegation, never silently picked
+    assert(intercept[AuthnError](m.determineSecurityModel(Map(
+      "trino.run-as-owner" -> "bob", "spark.owner" -> "carol")))
+      .errType == "AmbiguousSecurityModel")
+    assert(m.ownsProperty("spark.owner"))
+    assert(!m.ownsProperty("unrelated.prop"))
+  }
+
+  test("trusted-engine config parses the reference's tagged JSON shape") {
+    val cfg =
+      """[{"type":"trino","owner_property":"trino.run-as-owner",
+        |  "identities":{"oidc":{"audiences":["a1"],"subjects":["s1"]},
+        |                "kubernetes":{"subjects":["sa"]}}},
+        | {"type":"trino","owner_property":"x.owner"},
+        | {"name":"named","type":"TRINO","owner_property":"y.owner",
+        |  "identities":{}}]""".stripMargin
+    val engines = parseTrustedEngines(cfg)
+    // default names come from the type tag, position-suffixed only on
+    // collision; explicit names stay as configured
+    assert(engines.map(_.name) == Seq("trino-0", "trino-1", "named"))
+    assert(engines.head.identities("oidc") ==
+      EngineIdentity(Seq("a1"), Seq("s1")))
+    assert(engines.head.identities("kubernetes").audiences.isEmpty)
+    assert(engines(1).identities.isEmpty)
+    assert(parseTrustedEngines(
+      """[{"type":"trino","owner_property":"p"}]""").head.name == "trino")
+    // protected properties = union of owner properties (config.rs:120)
+    assert(protectedProperties(engines) ==
+      Set("trino.run-as-owner", "x.owner", "y.owner"))
+    // diagnosis on malformed config
+    assert(intercept[AuthnError](parseTrustedEngines("{}"))
+      .errType == "InvalidEngineConfig")
+    assert(intercept[AuthnError](parseTrustedEngines(
+      """[{"type":"flink","owner_property":"p"}]"""))
+      .errType == "InvalidEngineConfig")
+    assert(intercept[AuthnError](parseTrustedEngines(
+      """[{"type":"trino"}]""")).errType == "InvalidEngineConfig")
+  }
+
+  test("session engines resolve matched names against the configured set") {
+    val cfg = """[{"type":"trino","owner_property":"p1"},
+      | {"name":"e2","type":"trino","owner_property":"p2"}]""".stripMargin
+    def conf(m: Map[String, String]): String => Option[String] = m.get
+    assert(sessionEngines(conf(Map.empty)).isEmpty)
+    val Some((configured, matched)) = sessionEngines(conf(Map(
+      "spark.graft.authn.trustedEngines" -> cfg,
+      "spark.graft.authz.matchedEngines" -> "e2, ghost")))
+    assert(configured.size == 2)
+    // unknown names are ignored — a stale pin grants nothing
+    assert(matched.engines.map(_.name) == Seq("e2"))
+    // engine config present but nothing matched: trusted = false
+    val Some((_, none)) = sessionEngines(conf(Map(
+      "spark.graft.authn.trustedEngines" -> cfg)))
+    assert(!none.isTrusted)
+  }
+
+  test("instance-admin is principal-only: roles and anonymous never inherit") {
+    val admins = Set("oidc~root-1")
+    val user = UserId.parse("oidc~root-1")
+    assert(isInstanceAdmin(admins, Principal(user)))
+    assert(!isInstanceAdmin(admins, Principal(UserId.parse("oidc~other"))))
+    // assuming a role is an opt-in to a NARROWER scope
+    assert(!isInstanceAdmin(admins, AssumedRole(user, "r-1")))
+    assert(!isInstanceAdmin(admins, Anonymous))
+  }
+
   test("token roles require a project and carry the provider id") {
     val auth = rs256Authn(rolesClaim = Some("roles")).authenticate(
       rs256Token(claims(""","roles":["dev"]""")), now)

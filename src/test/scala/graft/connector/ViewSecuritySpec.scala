@@ -414,4 +414,163 @@ class ViewSecuritySpec extends AnyFunSuite {
     assert(untrusted.forall { case (u, allowed) =>
       u == "alice" && !allowed }, untrusted.toString)
   }
+
+  // ------------------------------------------ trusted-engine gating
+
+  private val enginesJson =
+    """[{"type":"trino","owner_property":"trino.run-as-owner",
+      |  "identities":{"oidc":{"audiences":["trino-svc"]}}},
+      | {"name":"sparkx","type":"trino","owner_property":"spark.owner",
+      |  "identities":{}}]""".stripMargin
+
+  private def withEngines[T](matched: String)(body: => T): T = {
+    spark.conf.set("spark.graft.authn.trustedEngines", enginesJson)
+    if (matched.nonEmpty)
+      spark.conf.set("spark.graft.authz.matchedEngines", matched)
+    try body
+    finally {
+      spark.conf.unset("spark.graft.authn.trustedEngines")
+      spark.conf.unset("spark.graft.authz.matchedEngines")
+    }
+  }
+
+  test("DEFINER applies only for a session whose token matched the engine") {
+    fixture
+    // matched engine owning trino.run-as-owner: delegation as before
+    withEngines("trino") {
+      withEnforcement("alice") {
+        assert(spark.table("graft.vsec.public_view").count() == 5)
+      }
+    }
+    // NO matched engine: the owner property is ignored (config.rs
+    // determine_security_model over an empty match = INVOKER) — alice
+    // holds only the view, so the chain now denies at the table
+    withEngines("") {
+      withEnforcement("alice") {
+        val msg = deniedBy(spark.table("graft.vsec.public_view").count())
+        assert(msg.contains("cannot be found"), msg)
+      }
+      // bob holds the table, so INVOKER still works for bob through
+      // the view once granted
+      graftCatalog.store.addGrant(GrantTuple("view",
+        Authz.view(Seq("vsec"), "public_view").key, "select", "user",
+        "bob"))
+      withEnforcement("bob") {
+        assert(spark.table("graft.vsec.public_view").count() == 5)
+      }
+    }
+    // a matched engine with a DIFFERENT owner property delegates
+    // nothing either — matching alone is not enough, the view must
+    // carry THAT engine's property
+    withEngines("sparkx") {
+      withEnforcement("alice") {
+        deniedBy(spark.table("graft.vsec.public_view").count())
+      }
+    }
+  }
+
+  test("two matched engines resolving different owners is an explicit error") {
+    fixture
+    val store = graftCatalog.store
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.two_owner_view AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 3""".stripMargin)
+    store.commitView(TabularId(Seq("vsec"), "two_owner_view"), Seq(
+      graft.meta.Commit.ViewUpdate.SetProperties(Map(
+        "trino.run-as-owner" -> "bob", "spark.owner" -> "carol"))))
+    store.addGrant(GrantTuple("view",
+      Authz.view(Seq("vsec"), "two_owner_view").key, "select", "user",
+      "alice"))
+    withEngines("trino,sparkx") {
+      withEnforcement("alice") {
+        // ambiguity is an explicit diagnosis (authorize_load.rs maps
+        // it to a 400), never masked as not-found and never a silent
+        // pick of one owner
+        val e = intercept[Throwable](
+          spark.table("graft.vsec.two_owner_view").count())
+        var t: Throwable = e
+        while (t != null &&
+            !t.isInstanceOf[graft.admin.Authn.AuthnError] &&
+            t.getCause != null) t = t.getCause
+        assert(t match {
+          case ae: graft.admin.Authn.AuthnError =>
+            ae.errType == "AmbiguousSecurityModel"
+          case _ => false
+        }, s"expected AmbiguousSecurityModel, got $e")
+      }
+      // the SAME owner under both properties is not ambiguous
+      store.commitView(TabularId(Seq("vsec"), "two_owner_view"), Seq(
+        graft.meta.Commit.ViewUpdate.SetProperties(Map(
+          "spark.owner" -> "bob"))))
+      withEnforcement("alice") {
+        assert(spark.table("graft.vsec.two_owner_view").count() == 3)
+      }
+    }
+  }
+
+  test("owner properties are writable only by the owning matched engine") {
+    fixture
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.prop_view AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 2""".stripMargin)
+    def propErr(body: => Any): String = {
+      val e = intercept[Throwable](body)
+      var t: Throwable = e
+      while (t != null &&
+          !t.isInstanceOf[graft.admin.Authn.AuthnError] &&
+          t.getCause != null) t = t.getCause
+      t match {
+        case ae: graft.admin.Authn.AuthnError => ae.errType
+        case _ => s"unexpected: $e"
+      }
+    }
+    // the extension parser routes ALTER VIEW SET/UNSET TBLPROPERTIES
+    // through ViewCatalog.alterView, where the guard lives
+    def set(k: String, v: String) = spark.sql(
+      s"ALTER VIEW graft.vsec.prop_view SET TBLPROPERTIES ('$k'='$v')")
+    def unset(k: String) = spark.sql(
+      s"ALTER VIEW graft.vsec.prop_view UNSET TBLPROPERTIES ('$k')")
+    // an un-matched session may not set, remove, or case-shift an
+    // owner property (privilege-escalation vector: views/commit.rs
+    // check_protected_properties)
+    withEngines("") {
+      assert(propErr(set("trino.run-as-owner", "mallory"))
+        == "ProtectedPropertyModification")
+      assert(propErr(set("TRINO.RUN-AS-OWNER", "mallory"))
+        == "ProtectedPropertyModification")
+      assert(propErr(spark.sql(
+        """CREATE VIEW graft.vsec.mallory_view
+          |TBLPROPERTIES ('spark.owner'='mallory')
+          |AS SELECT id FROM graft.vsec.secrets""".stripMargin))
+        == "ProtectedPropertyModification")
+    }
+    withEngines("trino") {
+      // the owning engine writes its exact configured key
+      set("trino.run-as-owner", "bob")
+      assert(graftCatalog.store
+        .loadViewMetadata(TabularId(Seq("vsec"), "prop_view"))
+        .get._1.properties("trino.run-as-owner") == "bob")
+      // a case variant is rejected EVEN for the engine — engines read
+      // these keys with fixed casing, a variant would silently not
+      // affect the security model
+      assert(propErr(set("Trino.Run-As-Owner", "bob"))
+        == "ProtectedPropertyModification")
+      // trino does not own sparkx's property
+      assert(propErr(set("spark.owner", "bob"))
+        == "ProtectedPropertyModification")
+      // UNSET of the owned property is allowed for the engine...
+      unset("trino.run-as-owner")
+    }
+    // ...and guarded for everyone else (a removal silently demotes a
+    // DEFINER view to INVOKER)
+    graftCatalog.store.commitView(TabularId(Seq("vsec"), "prop_view"),
+      Seq(graft.meta.Commit.ViewUpdate.SetProperties(
+        Map("trino.run-as-owner" -> "bob"))))
+    withEngines("") {
+      assert(propErr(unset("trino.run-as-owner"))
+        == "ProtectedPropertyModification")
+    }
+    // without engine config nothing is protected (legacy behavior)
+    set("trino.run-as-owner", "anyone")
+  }
 }

@@ -492,6 +492,32 @@ abstract class CatalogStoreContractSpec extends AnyFunSuite {
     s.deleteProject("p1")
     assert(s.getProject("p1").isEmpty)
   }
+
+  test(s"[$kind] managed-by marker and the spec-mutability gate") {
+    val s = mkStore()
+    val loc = Files.createTempDirectory("graft-contract-mb").toString
+    s.createWarehouse("whm", loc)
+    // default: self-managed, mutable without bypass
+    s.ensureWarehouseSpecMutable("whm", s.DefaultProject, bypass = false)
+    s.setWarehouseManagedBy("whm", WarehouseProfile.InstanceAdmin)
+    // marker persists on the warehouse's own profile through the seam
+    assert(CatalogStore.open(loc).warehouseProfile.managedBy ==
+      WarehouseProfile.InstanceAdmin)
+    assertThrows[WarehouseSpecLockedException] {
+      s.ensureWarehouseSpecMutable("whm", s.DefaultProject, bypass = false)
+    }
+    // bypass (instance admin / in-process) passes
+    s.ensureWarehouseSpecMutable("whm", s.DefaultProject, bypass = true)
+    s.setWarehouseManagedBy("whm", WarehouseProfile.SelfManaged)
+    s.ensureWarehouseSpecMutable("whm", s.DefaultProject, bypass = false)
+    // invalid marker and missing warehouse both diagnose
+    assertThrows[IllegalArgumentException] {
+      s.setWarehouseManagedBy("whm", "bogus")
+    }
+    assertThrows[IllegalArgumentException] {
+      s.setWarehouseManagedBy("nope", WarehouseProfile.InstanceAdmin)
+    }
+  }
 }
 
 class FileCatalogStoreContractSpec extends CatalogStoreContractSpec {
