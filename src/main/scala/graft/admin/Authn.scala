@@ -509,18 +509,28 @@ object Authn {
         }.toMap
         case _ => Map.empty[String, EngineIdentity]
       }
-      val name = e \ "name" match {
-        case JString(n) if n.nonEmpty => n
-        case _ => tpe
+      val (name, explicit) = e \ "name" match {
+        case JString(n) if n.nonEmpty => (n, true)
+        case _ => (tpe, false)
       }
-      TrustedEngine(name, ownerProp, idents)
+      (TrustedEngine(name, ownerProp, idents), explicit)
     }
-    // positional suffix only for colliding defaults — explicit names
-    // must stay addressable exactly as configured
-    val dup = parsed.groupBy(_.name).filter(_._2.size > 1).keySet
-    parsed.zipWithIndex.map { case (e, i) =>
-      if (dup.contains(e.name)) e.copy(name = s"${e.name}-$i") else e
+    // explicit names are NEVER rewritten (the matched-engines pin
+    // must resolve exactly as configured); only DEFAULTED names get a
+    // positional suffix, and only when the bare type tag is not
+    // unique. Any duplicate left after that is a config error — a pin
+    // resolving to the wrong engine would delegate through the wrong
+    // owner property.
+    val defaultedDup =
+      parsed.count(!_._2) > 1 || parsed.exists { case (e, ex) =>
+        ex && parsed.exists { case (o, oex) => !oex && o.name == e.name } }
+    val named = parsed.zipWithIndex.map { case ((e, explicit), i) =>
+      if (!explicit && defaultedDup) e.copy(name = s"${e.name}-$i") else e
     }
+    val dup = named.groupBy(_.name).filter(_._2.size > 1).keySet
+    if (dup.nonEmpty) err("InvalidEngineConfig",
+      s"duplicate trusted-engine names: ${dup.mkString(", ")}")
+    named
   }
 
   /** The properties only an owning engine may write — the reference
@@ -565,10 +575,24 @@ object Authn {
     * behavior. Matched names not in the configured set are ignored
     * (a stale pin must not grant an unconfigured engine).
     */
+  // single-entry parse memo: sessionEngines sits on the per-view /
+  // per-load authorization path, and the config string is session-
+  // stable — re-parsing the same JSON for every relation in a query
+  // would be pure waste (the reference parses once at startup)
+  @volatile private var engineParseMemo: (String, Seq[TrustedEngine]) =
+    ("", Nil)
+
   def sessionEngines(conf: String => Option[String])
       : Option[(Seq[TrustedEngine], MatchedEngines)] =
     conf("spark.graft.authn.trustedEngines").map { json =>
-      val configured = parseTrustedEngines(json)
+      val memo = engineParseMemo
+      val configured =
+        if (memo._1 == json) memo._2
+        else {
+          val parsed = parseTrustedEngines(json)
+          engineParseMemo = (json, parsed)
+          parsed
+        }
       val names = conf("spark.graft.authz.matchedEngines")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil).toSet

@@ -540,13 +540,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         if (!orCreate) throw new NoSuchViewException(info.ident)
         createView(info)
       case Some((current, _)) =>
+        // REPLACE applies the request's properties as a MERGE (existing
+        // keys not named stay — store-side markers like an
+        // engine-written owner property survive a definition refresh),
+        // guarded like every other property write
+        val props = info.properties.asScala.toMap
+        val changed = props.filter { case (k, v) =>
+          !current.properties.get(k).contains(v) }
+        checkProtectedViewProperties(changed.keys)
         val next = store.commitView(id, Seq(
           Commit.ViewUpdate.AddViewVersion(ViewVersion(-1,
             System.currentTimeMillis(), current.currentVersion.schemaId,
             Option(info.currentCatalog), info.currentNamespace.toSeq,
             Seq(ViewRepresentation("spark", info.sql)),
             Map("operation" -> "replace"))),
-          Commit.ViewUpdate.SetCurrentViewVersion(-1)))
+          Commit.ViewUpdate.SetCurrentViewVersion(-1)) ++
+          (if (changed.nonEmpty)
+            Seq(Commit.ViewUpdate.SetProperties(changed)) else Nil))
         GraftView(info.ident, next)
     }
   }

@@ -116,9 +116,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         sets = GraftViewSql.parsePropList(props)
           .map { case (k, v) => k -> v.getOrElse("") }.toMap,
         removes = Nil)
-    case AlterViewUnsetPropsRe(name, _, props) if graft(name) =>
+    case AlterViewUnsetPropsRe(name, ifExists, props) if graft(name) =>
       AlterGraftViewPropsCommand(multipart(name), sets = Map.empty,
-        removes = GraftViewSql.parsePropList(props).map(_._1))
+        removes = GraftViewSql.parsePropList(props).map(_._1),
+        ifExists = ifExists != null)
     case ShowViewsRe(ns)
         if GraftViewSql.isGraftNamespace(session, multipart(ns)) =>
       ShowGraftViewsCommand(multipart(ns))

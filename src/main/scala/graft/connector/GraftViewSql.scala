@@ -22,18 +22,29 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   */
 object GraftViewSql {
 
-  private val PropItemRe =
-    """'((?:[^']|'')*)'\s*(?:=\s*'((?:[^']|'')*)')?""".r
+  // one TBLPROPERTIES item: key [= value], where key/value each are a
+  // single-quoted literal ('' escape), a double-quoted literal
+  // ("" escape), or a bare token (Spark allows unquoted keys like
+  // `comment` or dotted `a.b`)
+  private val PropItemRe = (
+    """(?:'((?:[^']|'')*)'|"((?:[^"]|"")*)"|([^\s,'"=()]+))""" +
+    """(?:\s*=\s*(?:'((?:[^']|'')*)'|"((?:[^"]|"")*)"|([^\s,'"=()]+)))?"""
+    ).r
 
-  /** Parse a TBLPROPERTIES list — `'k'='v', ...` (SET/CREATE) or bare
-    * `'k', ...` (UNSET). Single-quoted literals with `''` escapes;
-    * anything between items (commas, whitespace) is skipped.
+  /** Parse a TBLPROPERTIES list — `'k'='v', comment = "x", ...`
+    * (SET/CREATE) or bare `'k', k2, ...` (UNSET). Keys and values may
+    * be single-quoted, double-quoted, or bare tokens; anything between
+    * items (commas, whitespace) is skipped.
     */
   def parsePropList(s: String): Seq[(String, Option[String])] =
     if (s == null || s.trim.isEmpty) Nil
     else PropItemRe.findAllMatchIn(s).map { m =>
-      def unesc(x: String) = x.replace("''", "'")
-      unesc(m.group(1)) -> Option(m.group(2)).map(unesc)
+      def pick(sq: String, dq: String, bare: String): Option[String] =
+        if (sq != null) Some(sq.replace("''", "'"))
+        else if (dq != null) Some(dq.replace("\"\"", "\""))
+        else Option(bare)
+      val key = pick(m.group(1), m.group(2), m.group(3)).get
+      key -> pick(m.group(4), m.group(5), m.group(6))
     }.toSeq
 
   /** Multipart name → (graft catalog, v2 identifier); None when the
@@ -110,10 +121,14 @@ final case class CreateGraftViewCommand(
 /** ALTER VIEW a.b SET/UNSET TBLPROPERTIES — Spark ships no v2 ALTER
   * VIEW, so the extension parser routes property DDL here, through
   * ViewCatalog.alterView (where the trusted-engine protected-property
-  * guard runs).
+  * guard runs). Missing keys on UNSET are silent and IF EXISTS is
+  * accepted as a syntactic no-op — Spark 4 removed the missing-key
+  * error from ALTER ... UNSET TBLPROPERTIES (the 4.1 command has no
+  * error path), and this surface matches stock.
   */
 final case class AlterGraftViewPropsCommand(name: Seq[String],
-    sets: Map[String, String], removes: Seq[String])
+    sets: Map[String, String], removes: Seq[String],
+    ifExists: Boolean = false)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil

@@ -1033,6 +1033,12 @@ final case class CreateWarehouseProcedure(catalog: GraftCatalog)
       if (input.numFields < 5 || input.isNullAt(4))
         graft.store.WarehouseProfile.SelfManaged
       else input.getUTF8String(4).toString
+    // validate BEFORE creating — a typo'd marker must not leave an
+    // orphaned self-managed warehouse behind a failed call
+    require(graft.store.WarehouseProfile.ManagedByValues
+        .contains(managedBy),
+      "managed-by must be one of " +
+        s"${graft.store.WarehouseProfile.ManagedByValues}, got $managedBy")
     if (managedBy != graft.store.WarehouseProfile.SelfManaged)
       Procedures.requireControlPlaneBypass(
         s"Creating a warehouse with managed_by=$managedBy")

@@ -173,9 +173,11 @@ trait CatalogStore {
 
   /** The profile-bearing store for a registered warehouse (the root
     * itself, or the registered location opened through the provider
-    * seam).
+    * seam). Shared by the impls' own warehouse setters too — the
+    * not-found message and open semantics live once.
     */
-  private def warehouseTarget(name: String, project: String): CatalogStore = {
+  protected final def warehouseTarget(
+      name: String, project: String): CatalogStore = {
     val entry = listWarehouseEntries()
       .find(e => e.project == project && e.name == name)
       .getOrElse(throw new IllegalArgumentException(

@@ -2989,12 +2989,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
       project: String = DefaultProject)
       : StorageProfile.WarehouseStorageProfile = taskLock.synchronized {
     requireMutable()
-    val entry = listWarehouseEntries()
-      .find(e => e.project == project && e.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"No such warehouse: $name in project $project"))
-    val target =
-      if (entry.location == root) this else CatalogStore.open(entry.location)
+    val target = warehouseTarget(name, project)
     val prof = target.warehouseProfile
     val next = prof.storageProfile match {
       case Some(existing) => existing.updateWith(profile.normalize())
@@ -3012,12 +3007,7 @@ class FileCatalogStore(val root: String) extends CatalogStore {
   def setWarehouseProtection(name: String, prot: Boolean,
       project: String = DefaultProject): Unit = taskLock.synchronized {
     requireMutable()
-    val entry = listWarehouseEntries()
-      .find(e => e.project == project && e.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"No such warehouse: $name in project $project"))
-    val target =
-      if (entry.location == root) this else CatalogStore.open(entry.location)
+    val target = warehouseTarget(name, project)
     target.setWarehouseProfile(
       target.warehouseProfile.copy(protected_ = prot))
     logEvent("protection-set", TabularId(Nil, name), Map(

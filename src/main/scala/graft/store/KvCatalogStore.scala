@@ -936,12 +936,7 @@ class KvCatalogStore(val root: String) extends CatalogStore {
       project: String = DefaultProject)
       : StorageProfile.WarehouseStorageProfile = {
     requireMutable()
-    val entry = listWarehouseEntries()
-      .find(e => e.project == project && e.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"No such warehouse: $name in project $project"))
-    val target: CatalogStore =
-      if (entry.location == root) this else CatalogStore.open(entry.location)
+    val target = warehouseTarget(name, project)
     val current = target.warehouseProfile
     val next = current.storageProfile match {
       case Some(existing) => existing.updateWith(profile)
@@ -954,12 +949,7 @@ class KvCatalogStore(val root: String) extends CatalogStore {
   def setWarehouseProtection(name: String, prot: Boolean,
       project: String = DefaultProject): Unit = {
     requireMutable()
-    val entry = listWarehouseEntries()
-      .find(e => e.project == project && e.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"No such warehouse: $name in project $project"))
-    val target: CatalogStore =
-      if (entry.location == root) this else CatalogStore.open(entry.location)
+    val target = warehouseTarget(name, project)
     target.setWarehouseProfile(target.warehouseProfile.copy(protected_ = prot))
   }
 

@@ -530,6 +530,15 @@ class AdminSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "CALL gadmin.system.set_warehouse_managed_by(" +
         "name => 'whmb3', managed_by => 'bogus')"))
+    // ...and rejected BEFORE creation on create_warehouse: a typo'd
+    // marker must not leave an orphaned self-managed warehouse behind
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft-wh-mb3")
+      .toString
+    intercept[Exception](spark.sql(s"""CALL gadmin.system.create_warehouse(
+      |  name => 'whmb_typo', location => '$tmp3',
+      |  managed_by => 'instance-admn')""".stripMargin))
+    assert(!spark.sql("CALL gadmin.system.list_warehouses()")
+      .collect().exists(_.getString(0) == "whmb_typo"))
   }
 
   test("typed storage profiles flow through create/get/update") {

@@ -390,6 +390,25 @@ class AuthnSpec extends AnyFunSuite {
     // protected properties = union of owner properties (config.rs:120)
     assert(protectedProperties(engines) ==
       Set("trino.run-as-owner", "x.owner", "y.owner"))
+    // an EXPLICIT name colliding with a defaulted one: the explicit
+    // name is never rewritten (the matched-engines pin must resolve
+    // exactly as configured); the defaulted one moves aside
+    assert(parseTrustedEngines(
+      """[{"type":"trino","owner_property":"p"},
+        | {"name":"trino","type":"trino","owner_property":"q"}]"""
+        .stripMargin).map(_.name) == Seq("trino-0", "trino"))
+    // duplicates that survive suffixing are a config ERROR — a pin
+    // resolving to the wrong engine would delegate through the wrong
+    // owner property
+    assert(intercept[AuthnError](parseTrustedEngines(
+      """[{"name":"e","type":"trino","owner_property":"p"},
+        | {"name":"e","type":"trino","owner_property":"q"}]"""
+        .stripMargin)).errType == "InvalidEngineConfig")
+    assert(intercept[AuthnError](parseTrustedEngines(
+      """[{"type":"trino","owner_property":"p"},
+        | {"type":"trino","owner_property":"q"},
+        | {"name":"trino-0","type":"trino","owner_property":"r"}]"""
+        .stripMargin)).errType == "InvalidEngineConfig")
     // diagnosis on malformed config
     assert(intercept[AuthnError](parseTrustedEngines("{}"))
       .errType == "InvalidEngineConfig")

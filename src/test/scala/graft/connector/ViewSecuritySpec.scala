@@ -573,4 +573,58 @@ class ViewSecuritySpec extends AnyFunSuite {
     // without engine config nothing is protected (legacy behavior)
     set("trino.run-as-owner", "anyone")
   }
+
+  test("TBLPROPERTIES parser handles bare keys, double quotes, escapes") {
+    import GraftViewSql.parsePropList
+    assert(parsePropList("'k'='v'") == Seq("k" -> Some("v")))
+    // bare keys are valid Spark syntax: comment = 'hello'
+    assert(parsePropList("comment = 'hello'") ==
+      Seq("comment" -> Some("hello")))
+    assert(parsePropList("""'owner'="bob"""") == Seq("owner" -> Some("bob")))
+    assert(parsePropList("""a.b = "x,y", 'c''d'='e''f', k2""") == Seq(
+      "a.b" -> Some("x,y"), "c'd" -> Some("e'f"), "k2" -> None))
+    assert(parsePropList("'k1', k2, \"k3\"") ==
+      Seq("k1" -> None, "k2" -> None, "k3" -> None))
+    assert(parsePropList("") == Nil)
+  }
+
+  test("view property DDL: replace applies props, UNSET raises on missing") {
+    fixture
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vsec.ddl_view AS
+        |SELECT id FROM graft.vsec.secrets WHERE id < 4""".stripMargin)
+    spark.sql("ALTER VIEW graft.vsec.ddl_view SET TBLPROPERTIES " +
+      "(comment = 'first', 'keep.me'='yes')")
+    def props = graftCatalog.store
+      .loadViewMetadata(TabularId(Seq("vsec"), "ddl_view"))
+      .get._1.properties
+    assert(props("comment") == "first" && props("keep.me") == "yes")
+    // CREATE OR REPLACE applies its TBLPROPERTIES as a merge — named
+    // keys update, unnamed keys survive the definition refresh
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.vsec.ddl_view
+        |TBLPROPERTIES ('comment'='second')
+        |AS SELECT id FROM graft.vsec.secrets WHERE id < 6""".stripMargin)
+    assert(props("comment") == "second" && props("keep.me") == "yes")
+    assert(spark.table("graft.vsec.ddl_view").count() == 6)
+    // the replace path consults the protected-property guard too
+    withEngines("") {
+      val e = intercept[Throwable](spark.sql(
+        """CREATE OR REPLACE VIEW graft.vsec.ddl_view
+          |TBLPROPERTIES ('spark.owner'='mallory')
+          |AS SELECT id FROM graft.vsec.secrets""".stripMargin))
+      var t: Throwable = e
+      while (t != null && !t.isInstanceOf[graft.admin.Authn.AuthnError] &&
+          t.getCause != null) t = t.getCause
+      assert(t.isInstanceOf[graft.admin.Authn.AuthnError], s"got $e")
+    }
+    // UNSET is silent on missing keys and accepts IF EXISTS as a
+    // syntactic no-op — Spark 4 removed the missing-key error from
+    // ALTER ... UNSET TBLPROPERTIES; this surface matches stock
+    spark.sql(
+      "ALTER VIEW graft.vsec.ddl_view UNSET TBLPROPERTIES ('no.such')")
+    spark.sql("ALTER VIEW graft.vsec.ddl_view UNSET TBLPROPERTIES " +
+      "IF EXISTS ('no.such', 'keep.me')")
+    assert(!props.contains("keep.me") && props("comment") == "second")
+  }
 }
