@@ -49,7 +49,8 @@ object Procedures {
     "allowed_actions", "authorize_load_tabular", "add_equality_deletes",
     "update_warehouse_storage", "get_catalog_config", "drop_namespace",
     "bootstrap", "server_info", "health",
-    "set_warehouse_credential", "sign_s3_request", "authenticate_token")
+    "set_warehouse_credential", "sign_s3_request", "authenticate_token",
+    "publish_events")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -101,6 +102,7 @@ object Procedures {
       case "project_statistics" => Some(ProjectStatisticsProcedure(catalog))
       case "rename_warehouse" => Some(RenameWarehouseProcedure(catalog))
       case "trim_event_log" => Some(TrimEventLogProcedure(catalog))
+      case "publish_events" => Some(PublishEventsProcedure(catalog))
       case "set_task_queue_config" => Some(SetTaskQueueConfigProcedure(catalog))
       case "get_task_queue_config" => Some(GetTaskQueueConfigProcedure(catalog))
       case "set_format_version_policy" =>
@@ -1401,6 +1403,60 @@ final case class TrimEventLogProcedure(catalog: GraftCatalog)
       StructField("kept_events", LongType, nullable = false)))
     Procedures.resultScan(schema,
       Seq(new GenericInternalRow(Array[Any](trimmed, kept)): InternalRow))
+  }
+}
+
+/** Ship the CloudEvents change feed to a broker-directory sink behind
+  * the durable high-watermark (reference: the events-kafka /
+  * events-nats publisher crates; the broker network client is
+  * replaced by the [[graft.streaming.EventSinks.DirectoryBroker]]
+  * transport — binding, keying, partitioning, and at-least-once
+  * watermark semantics are all the real halves). `binding` picks
+  * Kafka binary-mode records or NATS structured JSON.
+  */
+final case class PublishEventsProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "publish_events"
+  override def description(): String =
+    "Publish change events to a directory broker (kafka/nats binding)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.param("dir", StringType),
+    Procedures.paramWithDefault("topic", StringType, "'lakekeeper'"),
+    Procedures.paramWithDefault("partitions", IntegerType, "16"),
+    Procedures.paramWithDefault("binding", StringType, "'kafka'"))
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): JIterator[Scan] = {
+    import graft.streaming.EventSinks
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = java.nio.file.Paths.get(input.getUTF8String(0).toString)
+    val topic =
+      if (input.numFields < 2 || input.isNullAt(1)) "lakekeeper"
+      else input.getUTF8String(1).toString
+    val partitions =
+      if (input.numFields < 3 || input.isNullAt(2)) 16 else input.getInt(2)
+    val binding =
+      if (input.numFields < 4 || input.isNullAt(3)) "kafka"
+      else input.getUTF8String(3).toString.toLowerCase(java.util.Locale.ROOT)
+    val bindFn: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = binding match {
+      case "kafka" => EventSinks.kafkaBind(_, topic, partitions)
+      case "nats" => EventSinks.natsBind(_, topic)
+      case other => throw new IllegalArgumentException(
+        s"unknown binding '$other' (expected kafka or nats)")
+    }
+    val publisher = new EventSinks.EventPublisher(
+      dir.resolve("_watermark"),
+      new EventSinks.IsolatingFanout(
+        Seq(new EventSinks.DirectoryBroker(dir))),
+      bindFn)
+    val stats = publisher.publishOnce(
+      graft.admin.Admin.cloudEvents(spark, catalog.store))
+    val schema = StructType(Seq(
+      StructField("published", LongType, nullable = false),
+      StructField("watermark", StringType)))
+    Procedures.resultScan(schema, Seq(new GenericInternalRow(Array[Any](
+      stats.published, Procedures.utf8(stats.watermark))): InternalRow))
   }
 }
 

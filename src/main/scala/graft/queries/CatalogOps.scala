@@ -794,6 +794,80 @@ object CatalogOps {
         .orderBy(col("name"), col("seq"))
     },
 
+    // ------------------------------------ Kafka binary-mode event sink
+    // CloudEvents → Kafka record binding (reference: events-kafka's
+    // vendored cloudevents binding, kafka_producer_record.rs:60-107 —
+    // binary mode ships attributes as `ce_`-prefixed headers with
+    // `datacontenttype` on the record's own `content-type` header, the
+    // data as the record body; lib.rs:122-127 keys every record by the
+    // tabular extension so one tabular's events share one partition's
+    // total order). The same scripted qc21 sequence bound to a
+    // 16-partition topic must render the reference's exact header
+    // surface, the identity key, and the default-partitioner
+    // (murmur2) partition — pinned from an INDEPENDENT python
+    // reimplementation of Kafka's published algorithm. `ce_time` is
+    // the one nondeterministic header; it is excluded here and
+    // covered structurally by EventSinkSpec.
+    Q(
+      "qc27_kafka_event_binding",
+      """SELECT * FROM (VALUES
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_actor', '{"type":"anonymous"}'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_id', 'c6cd0998-d548-26a1-5bd3-ab46fe87d014'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_name', 't1'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_namespace', 'cevt'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_sequence-number', '1'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_source', 'uri:iceberg-catalog-service:graft'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_specversion', '1.0'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_tabular-type', 'table'),
+        |  ('t1', 1, 15, 'cevt.t1', 'ce_type', 'createTable'),
+        |  ('t1', 1, 15, 'cevt.t1', 'content-type', 'application/json'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_actor', '{"type":"anonymous"}'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_id', '61aed3e2-f52f-f915-2e21-840f801ecd13'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_name', 't1'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_namespace', 'cevt'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_sequence-number', '2'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_source', 'uri:iceberg-catalog-service:graft'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_specversion', '1.0'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_tabular-type', 'table'),
+        |  ('t1', 2, 15, 'cevt.t1', 'ce_type', 'updateTable'),
+        |  ('t1', 2, 15, 'cevt.t1', 'content-type', 'application/json'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_actor', '{"type":"anonymous"}'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_id', '327d2979-7a5a-8078-ac66-d40b3af0cf8a'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_name', 'v1'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_namespace', 'cevt'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_sequence-number', '1'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_source', 'uri:iceberg-catalog-service:graft'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_specversion', '1.0'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_tabular-type', 'view'),
+        |  ('v1', 1, 1, 'cevt.v1', 'ce_type', 'createView'),
+        |  ('v1', 1, 1, 'cevt.v1', 'content-type', 'application/json'))
+        |AS t(name, seq, part, key, hkey, hval)
+        |ORDER BY name, seq, hkey""".stripMargin) { (s, dir) =>
+      prepare(s, dir)
+      val store = s.sessionState.catalogManager.catalog(CatalogName)
+        .asInstanceOf[GraftCatalog].store
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.cevt")
+      if (s.sql(s"SHOW TABLES IN $CatalogName.cevt").isEmpty) {
+        s.sql(s"CREATE TABLE $CatalogName.cevt.t1 (id BIGINT)")
+        s.sql(s"INSERT INTO $CatalogName.cevt.t1 VALUES (1), (2)")
+        s.sql(
+          s"""CREATE VIEW $CatalogName.cevt.v1 AS
+             |SELECT id FROM $CatalogName.cevt.t1""".stripMargin)
+      }
+      val env = graft.admin.Admin.cloudEvents(s, store, "graft")
+        .filter(col("namespace") === "cevt")
+      graft.streaming.EventSinks.kafkaBind(env, "lakekeeper", 16)
+        .select(
+          regexp_replace(col("key"), "^cevt\\.", "").as("name"),
+          col("sequencenumber").cast("int").as("seq"),
+          col("partition").as("part"), col("key"),
+          explode(col("headers")).as("h"))
+        .filter(col("h.key") =!= "ce_time")
+        .select(col("name"), col("seq"), col("part"), col("key"),
+          col("h.key").as("hkey"), col("h.value").as("hval"))
+        .orderBy(col("name"), col("seq"), col("hkey"))
+    },
+
     // --------------------------------- referenced-by view-chain authz
     // DEFINER delegation through the load path (reference:
     // server/tables/authorize_load.rs; docs/docs/view-security.md):

@@ -1,0 +1,295 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KafkaPartition
+
+/** Broker-sink halves of the change-event pipeline — the reference's
+  * `lakekeeper-events-kafka` / `lakekeeper-events-nats` crates
+  * re-expressed as distributed DataFrame transforms plus a pluggable
+  * transport seam. Everything computable offline is real: the
+  * CloudEvents↔Kafka binary-mode record binding (vendored
+  * cloudevents binding, kafka_producer_record.rs:60-107), the
+  * default-partitioner keying that carries the per-tabular ordering
+  * contract (lib.rs:122-127 keys every record by the tabular
+  * extension), NATS structured-mode JSON (events-nats lib.rs:82-86),
+  * and the config gating matrix both crates apply before wiring a
+  * publisher (events-kafka lib.rs:29-49, events-nats lib.rs:22-33).
+  * Only the broker network clients themselves stay out of scope; the
+  * [[EventSinkTransport]] seam is where an rdkafka/async-nats analog
+  * would plug in, and [[DirectoryBroker]] is the offline transport:
+  * an append-only, per-partition-ordered directory layout that Spark
+  * itself can read back as a stream.
+  *
+  * Deliberate deltas, documented:
+  *  - the reference keys Kafka records by the tabular UUID extension
+  *    and falls back to the EMPTY key (lib.rs:122-125 — which murmurs
+  *    to one fixed partition, not round-robin). An in-process log
+  *    keys by the stable casefolded `namespace.name` identity it
+  *    has; the guarantee the key exists for — all events of one
+  *    tabular in one totally-ordered partition — is identical, with
+  *    the stated difference that a rename re-keys where a UUID would
+  *    not.
+  *  - the reference's in-memory bounded channel between mutation and
+  *    sink (publisher.rs `send_timeout`) is replaced by the durable
+  *    event log itself: the publisher ships log→broker behind a
+  *    high-watermark, so a crash between mutation and publish loses
+  *    nothing (the reference drops the event after a 1 s timeout).
+  *    Delivery is at-least-once; envelope ids are deterministic, so
+  *    consumers dedup idempotently.
+  */
+object EventSinks {
+
+  /** Kafka binary-mode header name for a CloudEvents attribute:
+    * `ce_`-prefixed, except `datacontenttype`, which maps onto the
+    * record's own `content-type` header (binding/mod.rs:231-238
+    * `header_prefix`).
+    */
+  def kafkaHeaderName(attr: String): String =
+    if (attr == "datacontenttype") "content-type" else "ce_" + attr
+
+  /** (envelope column → wire attribute name) in serialization order:
+    * specversion first (the binding's `set_spec_version`), then the
+    * context attributes, then the extensions in the order
+    * publisher.rs:641-655 sets them. Columns are the
+    * `Admin.cloudEvents` surface; wire names are the reference's
+    * (hyphenated extension names — `tabular-type`, `sequence-number`).
+    */
+  val kafkaHeaderAttrs: Seq[(String, String)] = Seq(
+    "specversion" -> "specversion",
+    "id" -> "id",
+    "source" -> "source",
+    "type" -> "type",
+    "time" -> "time",
+    "datacontenttype" -> "datacontenttype",
+    "tabulartype" -> "tabular-type",
+    "name" -> "name",
+    "namespace" -> "namespace",
+    "sequencenumber" -> "sequence-number",
+    "actor" -> "actor")
+
+  /** Record key: the per-tabular identity (see the keying delta in the
+    * object doc). Warehouse-scoped events have an empty namespace and
+    * key by bare name.
+    */
+  def recordKey: Column =
+    when(col("namespace") === "", col("name"))
+      .otherwise(concat_ws(".", col("namespace"), col("name")))
+
+  /** CloudEvents → Kafka binary-mode records, one row per envelope:
+    * `topic`, `key`, `partition` (default-partitioner murmur2 of the
+    * key), ordered `headers` array of (key, value), and `payload` =
+    * the event data bytes (binary mode ships data as the record body,
+    * attributes as headers — kafka_producer_record.rs:85-88).
+    * `id`/`time`/`sequencenumber` ride along for transport ordering
+    * and consumer-side idempotency.
+    */
+  def kafkaBind(envelopes: DataFrame, topic: String,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    val headers = array(kafkaHeaderAttrs.map { case (colName, attr) =>
+      struct(lit(kafkaHeaderName(attr)).as("key"),
+        col(colName).cast("string").as("value"))
+    }: _*)
+    envelopes.select(
+      lit(topic).as("topic"),
+      recordKey.as("key"),
+      KafkaPartition(recordKey, numPartitions).as("partition"),
+      headers.as("headers"),
+      col("data").as("payload"),
+      col("id"), col("time"), col("sequencenumber"))
+  }
+
+  /** CloudEvents → NATS structured-mode messages: the whole envelope
+    * serialized as `application/cloudevents+json` bytes on one
+    * subject (events-nats lib.rs:82-86 `serde_json::to_vec(&event)`).
+    */
+  def natsBind(envelopes: DataFrame, subject: String): DataFrame =
+    envelopes.select(
+      lit(subject).as("subject"),
+      lit("application/cloudevents+json").as("contenttype"),
+      col("envelope_json").as("payload"),
+      col("id"), col("time"), col("sequencenumber"),
+      recordKey.as("key"))
+
+  // ------------------------------------------------------ config gating
+
+  final case class KafkaSinkSpec(topic: String, conf: Map[String, String])
+  final case class NatsSinkSpec(address: String, subject: String,
+      auth: Map[String, String])
+
+  /** The Kafka crate's wiring gates (events-kafka lib.rs:29-49): no
+    * topic, or a blank topic, or a client conf naming neither
+    * `bootstrap.servers` nor `metadata.broker.list` → no publisher
+    * (None), never an error. Secret fields configured out-of-band
+    * (`sasl.password`, `sasl.oauthbearer.client.secret`,
+    * `ssl.key.password`, `ssl.keystore.password` — lib.rs:56-79) are
+    * merged into the client conf last, overriding any redacted
+    * placeholder.
+    */
+  def kafkaFromConf(conf: Map[String, String]): Option[KafkaSinkSpec] = {
+    val prefix = "spark.graft.events.kafka.conf."
+    val client = conf.collect {
+      case (k, v) if k.startsWith(prefix) => k.drop(prefix.length) -> v
+    }
+    val secretKeys = Seq(
+      "spark.graft.events.kafka.saslPassword" -> "sasl.password",
+      "spark.graft.events.kafka.saslOauthbearerClientSecret" ->
+        "sasl.oauthbearer.client.secret",
+      "spark.graft.events.kafka.sslKeyPassword" -> "ssl.key.password",
+      "spark.graft.events.kafka.sslKeystorePassword" ->
+        "ssl.keystore.password")
+    val withSecrets = secretKeys.foldLeft(client) { case (m, (src, dst)) =>
+      conf.get(src).fold(m)(v => m + (dst -> v))
+    }
+    for {
+      topic <- conf.get("spark.graft.events.kafka.topic")
+      if topic.trim.nonEmpty
+      if withSecrets.contains("bootstrap.servers") ||
+        withSecrets.contains("metadata.broker.list")
+    } yield KafkaSinkSpec(topic, withSecrets)
+  }
+
+  /** The NATS crate's gates (events-nats lib.rs:22-33): address AND
+    * subject both set, subject non-blank; credentials assembled in the
+    * crate's precedence order (creds file, then user/password pair —
+    * only when BOTH halves are present — then token).
+    */
+  def natsFromConf(conf: Map[String, String]): Option[NatsSinkSpec] = {
+    val auth = Seq(
+      "spark.graft.events.nats.credsFile" -> "creds-file",
+      "spark.graft.events.nats.user" -> "user",
+      "spark.graft.events.nats.password" -> "password",
+      "spark.graft.events.nats.token" -> "token")
+      .flatMap { case (src, dst) => conf.get(src).map(dst -> _) }.toMap
+    val pairComplete = auth.contains("user") == auth.contains("password")
+    for {
+      addr <- conf.get("spark.graft.events.nats.address")
+      subject <- conf.get("spark.graft.events.nats.topic")
+      if subject.trim.nonEmpty
+    } yield NatsSinkSpec(addr, subject,
+      if (pairComplete) auth else auth - "user" - "password")
+  }
+
+  // -------------------------------------------------------- transports
+
+  /** Where bound records leave the engine. A broker-client analog
+    * implements this with a producer; offline, [[DirectoryBroker]]
+    * lands the same records in a Spark-readable directory layout.
+    * `send` must be atomic per call from the reader's point of view
+    * (a consumer never observes half a batch) — DirectoryBroker gets
+    * this from write-then-rename file creation semantics of Spark's
+    * committed output, real brokers from producer acks.
+    */
+  trait EventSinkTransport {
+    def name: String
+    def send(records: DataFrame): Unit
+  }
+
+  /** Append-only directory "broker": each `send` appends one JSON
+    * file per (topic, partition) into a single partitioned root, rows
+    * ordered within each file by (time, sequencenumber) — the offset
+    * analog a consumer totally orders a partition by (file names are
+    * not ordered across sends; the time/seq COLUMNS are the order,
+    * and deterministic envelope ids carry dedup). Consumers read it
+    * back with `spark.read.json(dir)` (partition discovery gives
+    * topic/partition back as columns) or as a file stream — the same
+    * shape the sealed-segment change feed uses.
+    */
+  final class DirectoryBroker(val dir: Path) extends EventSinkTransport {
+    override def name: String = "directory-broker"
+
+    override def send(records: DataFrame): Unit = {
+      val cols = records.columns
+      val partCols = Seq("topic", "partition").filter(cols.contains)
+      val clustered =
+        if (partCols.isEmpty) records.coalesce(1)
+        else records.repartition(partCols.map(col): _*)
+      val ordered = clustered.sortWithinPartitions(
+        (partCols ++ Seq("time", "sequencenumber")
+          .filter(cols.contains)).map(col): _*)
+      ordered.write
+        .partitionBy(partCols: _*)
+        .mode("append")
+        .json(dir.toString)
+    }
+  }
+
+  /** A transport wrapper that isolates failures the way the
+    * reference's fan-out does (publisher.rs:670-683: a sink error is
+    * logged with the sink's name and the loop continues — one broken
+    * broker never blocks the others). Failures are counted, not
+    * thrown.
+    */
+  final class IsolatingFanout(transports: Seq[EventSinkTransport]) {
+    private val failures =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    def send(records: DataFrame): Unit = transports.foreach { t =>
+      try t.send(records)
+      catch {
+        case NonFatal(_) =>
+          failures.merge(t.name, 1L, (a, b) => a + b)
+      }
+    }
+
+    def failureCount(name: String): Long =
+      Option(failures.get(name)).map(_.longValue).getOrElse(0L)
+  }
+
+  // --------------------------------------------------------- publisher
+
+  final case class PublishStats(published: Long, watermark: String)
+
+  /** Ships the CloudEvents view to a set of transports behind a
+    * durable high-watermark on the envelope `time` attribute (ISO
+    * format — lexicographic order IS time order). At-least-once: the
+    * boundary millisecond is re-shipped on the next run (an append
+    * can share the watermark's millisecond), and deterministic
+    * envelope ids make redelivery idempotent for consumers. The
+    * filter and the binding both run distributed; the driver handles
+    * only the watermark scalar.
+    */
+  final class EventPublisher(
+      watermarkFile: Path,
+      fanout: IsolatingFanout,
+      bind: DataFrame => DataFrame) {
+
+    private def readWatermark(): String =
+      if (Files.exists(watermarkFile))
+        new String(Files.readAllBytes(watermarkFile),
+          StandardCharsets.UTF_8).trim
+      else ""
+
+    def publishOnce(envelopes: DataFrame): PublishStats = {
+      val wm = readWatermark()
+      val fresh =
+        if (wm.isEmpty) envelopes else envelopes.filter(col("time") >= wm)
+      val bound = bind(fresh).cache()
+      try {
+        val agg = bound.agg(count(lit(1)), max(col("time"))).collect().head
+        val n = agg.getLong(0)
+        if (n > 0L) {
+          fanout.send(bound)
+          val nextWm = agg.getString(1)
+          val tmp = watermarkFile.resolveSibling(
+            watermarkFile.getFileName.toString + ".tmp")
+          Files.createDirectories(watermarkFile.getParent)
+          Files.write(tmp, nextWm.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE,
+            StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, watermarkFile,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          PublishStats(n, nextWm)
+        } else PublishStats(0L, wm)
+      } finally bound.unpersist()
+    }
+  }
+}

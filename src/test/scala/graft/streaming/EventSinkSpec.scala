@@ -1,0 +1,281 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.admin.Admin
+import graft.functions.KafkaMurmur2
+import graft.store.FileCatalogStore
+import graft.streaming.EventSinks._
+
+/** Broker-sink halves: the Kafka binary-mode binding, default-
+  * partitioner keying, NATS structured mode, the config gating matrix,
+  * the directory transport's per-partition order, and the watermark
+  * publisher's at-least-once + sink-isolation semantics.
+  */
+class EventSinkSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-event-sink-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions",
+      classOf[graft.connector.GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def seeded(): FileCatalogStore = {
+    val root = Files.createTempDirectory("graft-evsink").toString
+    val s = new FileCatalogStore(root)
+    Files.createDirectories(s.changesDir)
+    val lines = Seq(
+      """{"ts-ms":1000,"event-type":"table-created","namespace":"db","name":"t1","extra":{}}""",
+      """{"ts-ms":2000,"event-type":"table-commit","namespace":"db","name":"t1","extra":{"version":"1"}}""",
+      """{"ts-ms":2500,"event-type":"view-created","namespace":"db","name":"v1","extra":{}}""",
+      """{"ts-ms":3000,"event-type":"bootstrap","namespace":"","name":"wh","extra":{}}""")
+    Files.write(s.changesDir.resolve("events.jsonl"),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    s
+  }
+
+  private def envelopes(s: FileCatalogStore): DataFrame =
+    Admin.cloudEvents(spark, s)
+
+  // ------------------------------------------------------ partitioner
+
+  test("murmur2 matches an independent reimplementation of Kafka's " +
+      "published algorithm (pinned vectors)") {
+    // constants computed by a from-scratch python murmur2 over the
+    // published Apache Kafka Utils.murmur2 definition — a second,
+    // independent implementation, not this code's own output
+    assert(KafkaMurmur2.hash(
+      "cevt.t1".getBytes(StandardCharsets.UTF_8)) == 1397548671)
+    assert(KafkaMurmur2.hash(
+      "cevt.v1".getBytes(StandardCharsets.UTF_8)) == 536214497)
+    assert(KafkaMurmur2.hash(
+      "".getBytes(StandardCharsets.UTF_8)) == 275646681)
+    assert(KafkaMurmur2.hash(
+      "lakekeeper".getBytes(StandardCharsets.UTF_8)) == 1659267380)
+  }
+
+  test("partitioner: full range coverage, stability, positivity") {
+    val n = 16
+    val parts = (0 until 4096).map(i =>
+      KafkaMurmur2.partition(s"key-$i".getBytes(StandardCharsets.UTF_8), n))
+    assert(parts.forall(p => p >= 0 && p < n))
+    assert(parts.distinct.sorted == (0 until n)) // all partitions hit
+    // same key → same partition, always (the ordering contract)
+    assert((0 until 100).forall(_ =>
+      KafkaMurmur2.partition(
+        "stable".getBytes(StandardCharsets.UTF_8), n) ==
+        KafkaMurmur2.partition(
+          "stable".getBytes(StandardCharsets.UTF_8), n)))
+  }
+
+  // ---------------------------------------------------------- binding
+
+  test("kafka binary-mode binding: header order, content-type rule, " +
+      "identity key, partition = murmur2(key)") {
+    val bound = kafkaBind(envelopes(seeded()), "events", 16)
+      .orderBy("time", "sequencenumber").collect()
+    assert(bound.length == 4)
+    val first = bound.head
+    val headers = first.getSeq[org.apache.spark.sql.Row](
+      first.fieldIndex("headers")).map(r => r.getString(0) -> r.getString(1))
+    // serialization order: specversion FIRST (set_spec_version), then
+    // attributes, then extensions — and datacontenttype lands on the
+    // record's own content-type header, not ce_datacontenttype
+    assert(headers.head == ("ce_specversion" -> "1.0"))
+    assert(headers.map(_._1) == Seq("ce_specversion", "ce_id", "ce_source",
+      "ce_type", "ce_time", "content-type", "ce_tabular-type", "ce_name",
+      "ce_namespace", "ce_sequence-number", "ce_actor"))
+    assert(!headers.exists(_._1 == "ce_datacontenttype"))
+    assert(headers.toMap.apply("ce_type") == "createTable")
+    assert(headers.toMap.apply("content-type") == "application/json")
+    // key: namespace.name; warehouse-scoped (empty ns) events key by
+    // bare name
+    assert(first.getAs[String]("key") == "db.t1")
+    val whEvent = bound.find(_.getAs[String]("key") == "wh")
+    assert(whEvent.isDefined)
+    // partition column agrees with the scalar partitioner on the key
+    bound.foreach { r =>
+      assert(r.getAs[Int]("partition") == KafkaMurmur2.partition(
+        r.getAs[String]("key").getBytes(StandardCharsets.UTF_8), 16))
+    }
+    // binary mode: payload is the DATA, not the envelope
+    assert(first.getAs[String]("payload") == "{}")
+    val commit = bound(1)
+    assert(commit.getAs[String]("payload").contains("\"version\":\"1\""))
+  }
+
+  test("nats structured mode: whole envelope as cloudevents+json") {
+    val bound = natsBind(envelopes(seeded()), "lakekeeper.events")
+      .orderBy("time", "sequencenumber").collect()
+    assert(bound.length == 4)
+    assert(bound.forall(_.getAs[String]("subject") == "lakekeeper.events"))
+    assert(bound.forall(
+      _.getAs[String]("contenttype") == "application/cloudevents+json"))
+    val payload = bound.head.getAs[String]("payload")
+    assert(payload.contains("\"specversion\":\"1.0\""))
+    assert(payload.contains("\"type\":\"createTable\""))
+  }
+
+  // ----------------------------------------------------- config gates
+
+  test("kafka gating: topic unset/blank or brokers missing → None; " +
+      "secrets merge last") {
+    val base = Map(
+      "spark.graft.events.kafka.conf.bootstrap.servers" -> "b1:9092")
+    assert(kafkaFromConf(base).isEmpty) // no topic
+    assert(kafkaFromConf(base +
+      ("spark.graft.events.kafka.topic" -> "  ")).isEmpty) // blank topic
+    assert(kafkaFromConf(Map(
+      "spark.graft.events.kafka.topic" -> "ev",
+      "spark.graft.events.kafka.conf.client.id" -> "x")).isEmpty) // no brokers
+    val ok = kafkaFromConf(base +
+      ("spark.graft.events.kafka.topic" -> "ev")).get
+    assert(ok.topic == "ev" && ok.conf("bootstrap.servers") == "b1:9092")
+    // metadata.broker.list is an accepted broker key too
+    assert(kafkaFromConf(Map(
+      "spark.graft.events.kafka.topic" -> "ev",
+      "spark.graft.events.kafka.conf.metadata.broker.list" -> "b2:9092"))
+      .isDefined)
+    // out-of-band secret overrides the redacted conf placeholder
+    val sec = kafkaFromConf(base ++ Map(
+      "spark.graft.events.kafka.topic" -> "ev",
+      "spark.graft.events.kafka.conf.sasl.password" -> "[redacted]",
+      "spark.graft.events.kafka.saslPassword" -> "real-secret")).get
+    assert(sec.conf("sasl.password") == "real-secret")
+  }
+
+  test("nats gating: address+topic required, incomplete user/password " +
+      "pair dropped") {
+    assert(natsFromConf(Map(
+      "spark.graft.events.nats.topic" -> "ev")).isEmpty)
+    assert(natsFromConf(Map(
+      "spark.graft.events.nats.address" -> "nats://h:4222",
+      "spark.graft.events.nats.topic" -> " ")).isEmpty)
+    val ok = natsFromConf(Map(
+      "spark.graft.events.nats.address" -> "nats://h:4222",
+      "spark.graft.events.nats.topic" -> "ev",
+      "spark.graft.events.nats.user" -> "u")).get // password missing
+    assert(!ok.auth.contains("user"))
+    val full = natsFromConf(Map(
+      "spark.graft.events.nats.address" -> "nats://h:4222",
+      "spark.graft.events.nats.topic" -> "ev",
+      "spark.graft.events.nats.user" -> "u",
+      "spark.graft.events.nats.password" -> "p",
+      "spark.graft.events.nats.token" -> "t")).get
+    assert(full.auth == Map("user" -> "u", "password" -> "p", "token" -> "t"))
+  }
+
+  // ------------------------------------------------------- transport
+
+  private def partitionFiles(dir: Path, partition: Int): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.contains(s"partition=$partition") &&
+        p.getFileName.toString.startsWith("part-") &&
+        p.toString.endsWith(".json"))
+      .toSeq.sortBy(_.toString)
+
+  test("directory broker: per-partition layout, in-file order, " +
+      "spark-readable round trip") {
+    val store = seeded()
+    val out = Files.createTempDirectory("graft-broker")
+    val broker = new DirectoryBroker(out)
+    val bound = kafkaBind(envelopes(store), "events", 16)
+    broker.send(bound)
+    // one file per (batch, topic, partition); rows inside ordered by
+    // (time, sequencenumber) — the per-key total order a consumer sees
+    val t1Part = KafkaMurmur2.partition(
+      "db.t1".getBytes(StandardCharsets.UTF_8), 16)
+    val files = partitionFiles(out, t1Part)
+    assert(files.nonEmpty)
+    val seqs = files.flatMap(Files.readAllLines(_).asScala)
+      .filter(_.contains("\"db.t1\""))
+      .map { l =>
+        val i = l.indexOf("\"sequencenumber\":")
+        l.substring(i + 17).takeWhile(_.isDigit).toLong
+      }
+    assert(seqs == seqs.sorted && seqs == Seq(1L, 2L))
+    // spark reads the whole broker back with partition discovery
+    val back = spark.read.json(out.toString)
+    assert(back.count() == 4)
+    assert(back.filter(col("key") === "db.t1")
+      .select("partition").distinct().collect()
+      .map(_.getAs[Any]("partition").toString.toInt).toSeq == Seq(t1Part))
+  }
+
+  // ------------------------------------------------------- publisher
+
+  test("publish_events procedure drives the full stack through SQL") {
+    val wh = Files.createTempDirectory("graft-evsink-wh")
+    val cat = "evsinkcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1)")
+    val out = Files.createTempDirectory("graft-evsink-broker")
+    val r = spark.sql(s"CALL $cat.system.publish_events(dir => '$out')")
+      .collect().head
+    // createTable + updateTable for db.t at minimum
+    assert(r.getAs[Long]("published") >= 2L)
+    assert(r.getAs[String]("watermark").nonEmpty)
+    val back = spark.read.json(out.toString)
+    assert(back.filter(col("key") === "db.t").count() >= 2)
+    assert(back.filter(col("topic") === "lakekeeper").count() == back.count())
+    // a repeat call re-ships at most the boundary millisecond
+    val r2 = spark.sql(s"CALL $cat.system.publish_events(dir => '$out')")
+      .collect().head
+    assert(r2.getAs[Long]("published") <= 2L)
+  }
+
+  test("watermark publisher: ships once, re-ships only the boundary " +
+      "millisecond, isolates a failing sink") {
+    val store = seeded()
+    val out = Files.createTempDirectory("graft-pub")
+    val broker = new DirectoryBroker(out.resolve("broker"))
+    val failing = new EventSinkTransport {
+      override def name: String = "broken-broker"
+      override def send(records: DataFrame): Unit =
+        throw new RuntimeException("broker down")
+    }
+    val fanout = new IsolatingFanout(Seq(failing, broker))
+    val pub = new EventPublisher(out.resolve("wm"), fanout,
+      df => kafkaBind(df, "events", 16))
+
+    val s1 = pub.publishOnce(envelopes(store))
+    assert(s1.published == 4L)
+    // the failing sink never blocked the healthy one (publisher.rs
+    // fan-out isolation), and its failures are counted
+    assert(fanout.failureCount("broken-broker") == 1L)
+    assert(spark.read.json(out.resolve("broker").toString)
+      .count() == 4)
+
+    // no new events → nothing shipped except the boundary millisecond
+    // (at-least-once: `time >= watermark` re-ships ties; consumers
+    // dedup on the deterministic envelope id)
+    val s2 = pub.publishOnce(envelopes(store))
+    assert(s2.published == 1L && s2.watermark == s1.watermark)
+
+    // an event later than the watermark ships exactly once more
+    store.logEvent("table-commit",
+      graft.store.TabularId(Seq("db"), "t1"), Map("version" -> "2"))
+    val s3 = pub.publishOnce(envelopes(store))
+    assert(s3.published >= 2L) // new event + boundary re-ship
+    assert(s3.watermark > s1.watermark)
+    val all = spark.read.json(out.resolve("broker").toString)
+    // deterministic ids: the at-least-once stream dedups to exactly
+    // the five distinct envelopes
+    assert(all.select("id").distinct().count() == 5)
+  }
+}
