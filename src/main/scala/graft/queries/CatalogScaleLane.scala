@@ -299,6 +299,35 @@ object CatalogScaleLane {
         "trim_ms" -> trimMs, "lines" -> size.toLong,
         "trimmed" -> trimmed, "kept" -> kept))
     }
+    // broker-sink publish: the full log→broker ship at the warehouse's
+    // scale point — envelope render (window-sequenced), Kafka
+    // binary-mode binding, partitioner, and the DirectoryBroker's
+    // partitioned write, all timed as one at-least-once publishOnce.
+    // Fresh broker dir per pass (the watermark would otherwise make
+    // later passes publish zero).
+    legM("cat_publish") {
+      import graft.streaming.EventSinks
+      val scratch = trimScratch(root, size)
+      val out = java.nio.file.Files.createTempDirectory("graft-lane-pub")
+      try {
+        val pub = new EventSinks.EventPublisher(
+          out.resolve("_watermark"),
+          new EventSinks.IsolatingFanout(
+            Seq(new EventSinks.DirectoryBroker(out))),
+          df => EventSinks.kafkaBind(df, "lane", 32))
+        val (stats, pubMs) = timedMs(
+          pub.publishOnce(graft.admin.Admin.cloudEvents(spark, scratch)))
+        val files = java.nio.file.Files.walk(out).filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.toString.endsWith(".json")).count()
+        (stats.published, Map(
+          "publish_ms" -> pubMs,
+          "records" -> stats.published,
+          "files" -> files,
+          "records_per_s" ->
+            stats.published * 1000L / math.max(pubMs, 1L)))
+      } finally deleteTree(out)
+    }
     // wide-namespace pagination: size tables in ONE namespace paged all
     // the way through — all three sizes (round 14: the 32k point
     // decides whether the O(ns)-stats-per-page residual stays a

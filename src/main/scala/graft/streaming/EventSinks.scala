@@ -208,9 +208,13 @@ object EventSinks {
     override def send(records: DataFrame): Unit = {
       val cols = records.columns
       val partCols = Seq("topic", "partition").filter(cols.contains)
+      // explicit partition count: AQE would coalesce this byte-tiny
+      // shuffle to ONE task, serializing every dynamic-partition file
+      // create into a single writer (the qs23b compact-curve finding —
+      // same mechanism, same fix)
       val clustered =
         if (partCols.isEmpty) records.coalesce(1)
-        else records.repartition(partCols.map(col): _*)
+        else records.repartition(32, partCols.map(col): _*)
       val ordered = clustered.sortWithinPartitions(
         (partCols ++ Seq("time", "sequencenumber")
           .filter(cols.contains)).map(col): _*)

@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe: attribute the log→broker publish wall — envelope
+  * render, binding, count/max agg, broker write — stage by stage.
+  * args: [lines] (default 2000)
+  */
+object ProbePublish {
+  def main(args: Array[String]): Unit = {
+    val lines = if (args.nonEmpty) args(0).toInt else 2000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft-probe-pub")
+    val store = graft.store.CatalogStore.open(root.toString)
+    Files.createDirectories(store.changesDir)
+    val w = Files.newBufferedWriter(
+      store.changesDir.resolve("events.jsonl"))
+    (0 until lines).foreach { i =>
+      w.write(s"""{"ts-ms":${1000L + i},"event-type":"table-commit",""" +
+        s""""namespace":"db","name":"t${i % 100}",""" +
+        s""""extra":{"version":"${i / 100}"}}""")
+      w.newLine()
+    }
+    w.close()
+
+    def t[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[pub] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
+    import graft.streaming.EventSinks
+    (1 to 3).foreach { pass =>
+      println(s"[pub] ---- pass $pass")
+      val env = graft.admin.Admin.cloudEvents(spark, store)
+      t("env.count")(env.count())
+      val bound = EventSinks.kafkaBind(env, "lane", 32)
+      t("bound.count")(bound.count())
+      val out = Files.createTempDirectory("graft-probe-broker")
+      val broker = new EventSinks.DirectoryBroker(out)
+      t("broker.send")(broker.send(bound))
+      val out2 = Files.createTempDirectory("graft-probe-broker2")
+      val pub = new EventSinks.EventPublisher(
+        out2.resolve("_watermark"),
+        new EventSinks.IsolatingFanout(
+          Seq(new EventSinks.DirectoryBroker(out2))),
+        df => EventSinks.kafkaBind(df, "lane", 32))
+      t("publishOnce")(pub.publishOnce(env))
+    }
+    spark.stop()
+  }
+}
