@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dumps `.explain("formatted")` for every SparkEntry query to one file
+  * per query — the per-round plan evidence (plans/r14/<q>_{before,after}.txt).
+  *
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> [suffix] [names...]
+  * With no names, dumps every declared query. The session mirrors
+  * Bench's config so the captured plans are the benched plans.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = if (args.length > 2) args(2) else "before"
+    val names: Seq[String] =
+      if (args.length > 3) args.drop(3).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    try {
+      graft.queries.CatalogOps.warmup(spark, sfDir)
+      graft.queries.Similarity.warmup(spark, sfDir)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[plandump] warmup failed: ${e.getMessage}")
+    }
+    val qs = graft.SparkEntry.queries
+    var nOk = 0
+    names.foreach { name =>
+      qs.get(name) match {
+        case None => System.err.println(s"[plandump] unknown query: $name")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution
+              .explainString(ExplainMode.fromString("formatted"))
+            Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
+              txt.getBytes(StandardCharsets.UTF_8))
+            nOk += 1
+          } catch { case NonFatal(e) =>
+            System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+          }
+      }
+    }
+    println(s"[plandump] wrote $nOk/${names.size} plans to $outDir")
+    spark.stop()
+  }
+}

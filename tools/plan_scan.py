@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Scan PlanDump output for plan-shape red flags per the optimization
+guide: Exchange counts, join strategies, cartesian products, scans with
+no pushed filters, wide ReadSchema, single-partition sorts.
+
+Usage: python3 tools/plan_scan.py <planDir> [suffix]
+"""
+import sys, os, re, glob, json
+
+def scan(path):
+    txt = open(path, encoding="utf-8").read()
+    d = {}
+    d["exchanges"] = len(re.findall(r"\bExchange\b", txt))
+    d["smj"] = len(re.findall(r"\bSortMergeJoin\b", txt))
+    d["bhj"] = len(re.findall(r"\bBroadcastHashJoin\b", txt))
+    d["shj"] = len(re.findall(r"\bShuffledHashJoin\b", txt))
+    d["bnlj"] = len(re.findall(r"\bBroadcastNestedLoopJoin\b", txt))
+    d["cartesian"] = len(re.findall(r"\bCartesianProduct\b", txt))
+    d["sorts"] = len(re.findall(r"^\(\d+\) Sort\b", txt, re.M))
+    d["singlepart"] = len(re.findall(r"SinglePartition", txt))
+    d["wsc"] = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", txt)))
+    d["scans"] = len(re.findall(r"Scan parquet|BatchScan", txt))
+    d["window"] = len(re.findall(r"^\(\d+\) Window", txt, re.M))
+    d["objhash"] = len(re.findall(r"ObjectHashAggregate", txt))
+    d["sortagg"] = len(re.findall(r"SortAggregate", txt))
+    d["rows"] = txt.count("\n")
+    return d
+
+def main(plan_dir, suffix="before"):
+    rows = []
+    for f in sorted(glob.glob(os.path.join(plan_dir, f"*_{suffix}.txt"))):
+        name = os.path.basename(f)[: -(len(suffix) + 5)]
+        rows.append((name, scan(f)))
+    hdr = ["query", "exch", "smj", "bhj", "shj", "bnlj", "cart",
+           "sort", "1part", "wsc", "scan", "win", "objagg", "sortagg"]
+    print("\t".join(hdr))
+    for name, d in rows:
+        print("\t".join([name] + [str(d[k]) for k in
+            ["exchanges", "smj", "bhj", "shj", "bnlj", "cartesian",
+             "sorts", "singlepart", "wsc", "scans", "window",
+             "objhash", "sortagg"]]))
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "before")

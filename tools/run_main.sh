@@ -1,0 +1,10 @@
+#!/bin/bash
+# Run a graft main directly with java (no sbt lock), mirroring build.sbt javaOptions.
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+AO=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
+  -Xmx${SPARK_DRIVER_MEM:-8g} -cp "$CP" "$@"
