@@ -248,6 +248,97 @@ object TextOps {
     */
   val AutoWidth = 0
 
+  /** Saturation gate for the pair engines (guide §1.1/§3.1: pick the
+    * plan from measured sizes, not hope). The prefix filter only earns
+    * its explode + self-join + distinct machinery while prefixes are
+    * RARE; on a saturated shingle space it passes a large constant
+    * fraction of all pairs (measured at sf0.1/w=2: 4.81M of 12.5M
+    * possible — 38%) and a length-filtered nested-loop verify against
+    * a broadcast of the encoded corpus is strictly cheaper (measured:
+    * jaccard 3.9 s → 1.4 s, containment 2.9 s → 0.9 s). Decision is
+    * two-stage and fully measured:
+    *  1. mean shingle df (shingleRows / vocab, free from the encode
+    *     stats) must exceed [[BruteMeanDfGate]] — 4× the
+    *     [[ShingleTargetDf]] regime crossover, so sparse corpora never
+    *     pay the estimate job;
+    *  2. the exact expected candidate mass (Σ C(df_prefix, 2), one
+    *     narrow aggregate over the engine's own prefix postings) must
+    *     be ≥ [[BruteCandFraction]] of all pairs — this is the
+    *     Zipf-robust check: a skewed vocabulary whose RARE prefixes
+    *     still prune keeps the prefix join.
+    * Hard caps keep the broadcast bounded: the brute path only ever
+    * fires under [[BruteMaxDocs]] docs / [[BruteMaxBroadcastBytes]]
+    * estimated build side (beyond that a saturated corpus is
+    * quadratic-candidate under EITHER plan — the prefix join remains
+    * as the spill-gracefully fallback). Inside the brute join the
+    * intersection kernel is chosen by width: dense bitsets
+    * (⌈|V|/64⌉ words/pair, graft.functions.BitsetOps) when they are
+    * narrower than the mean sorted-vector merge, else the existing
+    * two-pointer kernel. Results are bit-identical either way — the
+    * oracle re-proves it at every SF.
+    */
+  private val BruteMeanDfGate = 4.0 * ShingleTargetDf
+  private val BruteCandFraction = 0.05
+  private val BruteMaxDocs = 200000L
+  private val BruteMaxBroadcastBytes = 256L << 20
+
+  /** Two-stage saturation decision (cheap mean-df gate, then the exact
+    * candidate-mass aggregate the caller supplies for its own prefix
+    * geometry). Records est_cands / est_ms / brute in `phases` so lane
+    * artifacts name the decision.
+    */
+  private def bruteWins(enc: EncodedCorpus,
+      phases: scala.collection.mutable.Map[String, Long],
+      candMass: => DataFrame, allPairs: Double): Boolean = {
+    val meanDf = enc.shingleRows.toDouble / enc.vocab
+    val nWords = (enc.vocab + 63) / 64
+    val bcBytes = enc.nDocs *
+      (48 + 8 * math.min(nWords, enc.shingleRows / math.max(1L, enc.nDocs)))
+    if (meanDf <= BruteMeanDfGate || enc.nDocs > BruteMaxDocs ||
+      bcBytes > BruteMaxBroadcastBytes) return false
+    val t0 = System.nanoTime()
+    val row = candMass.head()
+    val est = if (row.isNullAt(0)) 0L else row.getLong(0)
+    phases("est_cands") = est
+    phases("est_ms") = (System.nanoTime() - t0) / 1000000L
+    val brute = est >= BruteCandFraction * allPairs
+    phases("brute") = if (brute) 1L else 0L
+    brute
+  }
+
+  /** Stream/build sides + intersection kernel for the brute verify.
+    * The stream side is spread over the default parallelism (an
+    * explicit repartition AQE will not coalesce — the nested loop's
+    * parallelism IS the stream partition count); the kernel is dense
+    * bitsets when ⌈|V|/64⌉ words undercut the mean two-pointer merge,
+    * else the sorted-int kernel.
+    */
+  private def bruteSides(s: SparkSession,
+      enc: EncodedCorpus): (DataFrame, DataFrame, Column) = {
+    val par = s.sparkContext.defaultParallelism
+    val nWords = (enc.vocab + 63) / 64
+    val avgSz = enc.shingleRows.toDouble / math.max(1L, enc.nDocs)
+    val useBitset = enc.vocab <= Int.MaxValue && nWords <= 2 * avgSz
+    if (useBitset) {
+      val v = enc.vocab.toInt
+      val x = enc.vecs.repartition(par).select(col("doc_id").as("a"),
+        graft.functions.BitsetOps.toBitset(col("vec"), v).as("ka"),
+        col("sz").as("sa"))
+      val y = enc.vecs.select(col("doc_id").as("b"),
+        graft.functions.BitsetOps.toBitset(col("vec"), v).as("kb"),
+        col("sz").as("sb"))
+      (x, y, graft.functions.BitsetOps.intersectCount(col("ka"), col("kb")))
+    } else {
+      val x = enc.vecs.repartition(par).select(col("doc_id").as("a"),
+        col("vec").as("ka"), col("sz").as("sa"))
+      val y = enc.vecs.select(col("doc_id").as("b"),
+        col("vec").as("kb"), col("sz").as("sb"))
+      (x, y,
+        graft.functions.SortedArrayIntersectCount
+          .count(col("ka"), col("kb")))
+    }
+  }
+
   /** Probe hook for graft.tools width sweeps (same memoized path). */
   def exactJaccardPairsProbe(s: SparkSession, dir: String, t: Double,
       width: Int): Long =
@@ -277,7 +368,8 @@ object TextOps {
     * that drops its pair memo also re-pays the encode.
     */
   private[queries] final case class EncodedCorpus(
-      sh: DataFrame, vecs: DataFrame, phases: Map[String, Long])
+      sh: DataFrame, vecs: DataFrame, phases: Map[String, Long],
+      nDocs: Long, shingleRows: Long, vocab: Long)
 
   private val encodeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), EncodedCorpus]()
@@ -342,13 +434,19 @@ object TextOps {
       .agg(sort_array(collect_list(col("sid"))).as("vec"))
       .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phased("encode_ms")(vecs.count())
+    // the materializing action doubles as the stats pass: nDocs and
+    // total shingle rows feed the engines' saturation gate for free
+    val stats = phased("encode_ms")(
+      vecs.agg(count(lit(1)), sum(col("sz"))).head())
+    val nDocs = stats.getLong(0)
+    val rows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     // vecs is materialized: the dictionary's only consumer is done —
     // holding millions of shingle strings in the storage pool taxed
     // every later query's cache residency (round-14 A/B: a uniform
     // few-percent drag across unrelated rows)
     dict.unpersist()
-    EncodedCorpus(sh, vecs, phases.toMap)
+    EncodedCorpus(sh, vecs, phases.toMap, nDocs, rows,
+      math.max(1L, phases.getOrElse("vocab", 1L)))
   }
 
   private def purgeEncodeMemo(s: SparkSession, dir: String): Unit = {
@@ -492,6 +590,30 @@ object TextOps {
         posexplode(slice(col("vec"), lit(1),
           (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")))
           .as(Seq("pos", "sid")))
+    // saturated-regime plan choice — see the gate scaladoc above
+    if (bruteWins(enc, phases,
+        prefix.groupBy(col("sid")).agg(count(lit(1)).as("cp"))
+          .agg(sum((col("cp") * (col("cp") - 1) / 2).cast("long"))),
+        allPairs = enc.nDocs.toDouble * (enc.nDocs - 1) / 2)) {
+      val (xSide, ySide, common) = bruteSides(s, enc)
+      val joined = xSide.join(broadcast(ySide),
+        col("a") < col("b") &&
+          // length filter — the EXACT expression the prefix path uses,
+          // so double rounding at the boundary is identical
+          col("sa") * lit(t) <= col("sb") &&
+          col("sb") * lit(t) <= col("sa"))
+      val cands = joined.select(col("a"), col("b"))
+      val pairs = joined
+        .select(col("a"), col("b"), common.as("common"),
+          col("sa"), col("sb"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+      // cands stays LAZY (counting it re-runs the cheap nested loop):
+      // persisting n²-shaped candidates would cost more than it saves
+      return DiagBuild(pairs, cands, Seq(sh, vecs, pairs), phases.toMap)
+    }
     // J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|). With both vectors in the
     // same global rarity order, a pair's FIRST prefix collision at
     // 0-based positions (px, py) has no common tokens before it, so
@@ -2223,6 +2345,28 @@ object TextOps {
     // index = FULL postings with positions (container side)
     val full = vecs.select(col("doc_id"), col("sz"),
       posexplode(col("vec")).as(Seq("pos", "sid")))
+    // saturated-regime plan choice — candidate mass here is
+    // Σ prefix_df(s) · full_df(s) (ordered pairs, container side is
+    // the full postings); see the gate scaladoc above
+    if (bruteWins(enc, phases,
+        prefix.groupBy(col("sid")).agg(count(lit(1)).as("cp"))
+          .join(full.groupBy(col("sid")).agg(count(lit(1)).as("cf")), "sid")
+          .agg(sum((col("cp") * col("cf")).cast("long"))),
+        allPairs = enc.nDocs.toDouble * (enc.nDocs - 1))) {
+      val (xSide, ySide, common) = bruteSides(s, enc)
+      val needed = col("sa") * lit(t) - lit(1e-9)
+      val joined = xSide.join(broadcast(ySide),
+        col("a") =!= col("b") &&
+          // |A∩B| ≤ |B|: same expression as the prefix path's filter
+          col("sb") >= needed)
+      val cands = joined.select(col("a"), col("b"))
+      val pairs = joined
+        .select(col("a"), col("b"),
+          (common.cast(DoubleType) / col("sa")).as("c"))
+        .filter(col("c") >= t)
+        .select(col("a"), col("b"), round(col("c"), 6).as("containment"))
+      return DiagBuild(pairs, cands, Seq(sh, vecs, pairs), phases.toMap)
+    }
     val needed = col("x.sz") * lit(t) - lit(1e-9)
     val cands = prefix.as("x").join(full.as("y"),
         col("x.sid") === col("y.sid") &&

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Prototype: brute length-filtered verify vs the prefix-join path on
+  * the SATURATED w=2 bench corpus (mean shingle df ≈ 430 — the regime
+  * where the prefix filter passes ~38% of all pairs and its
+  * explode+join+distinct machinery is pure overhead). Times the
+  * candidate-mass estimate, the brute jaccard pairs, and the brute
+  * containment pairs against the exact results from the product path.
+  */
+object ProbeBrute {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[brute] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val tokenRe = "[a-z0-9]+"
+    // shared encode, warmed once (mirrors bench state where the
+    // shared_pairs row has already built it)
+    val sh = graft.queries.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("shingles"))
+      .persist()
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    import spark.implicits._
+    val dict = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("shingle"))
+      .select(col("shingle")).rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getString(0), idx) }
+      .toDF("shingle", "sid")
+    val vecs = inv.join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("vec"))
+      .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
+      .persist()
+    val nDocs = time("encode (warm-up)")(vecs.count())
+    println(s"  nDocs=$nDocs")
+
+    for (p <- 1 to 2) {
+      println(s"--- pass $p ---")
+      // candidate-mass estimate for the jaccard prefix (t=0.4)
+      val t = 0.4
+      val est = time("estCands aggregate (jaccard prefix)") {
+        vecs.select(explode(slice(col("vec"), lit(1),
+            (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))).as("sid"))
+          .groupBy(col("sid")).agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))).head().getLong(0)
+      }
+      println(s"  estCands=$est allPairs=${nDocs * (nDocs - 1) / 2}")
+
+      // brute jaccard: broadcast one side, nested-loop with cheap
+      // conditions, intersect in the projection
+      val x = vecs.select(col("doc_id").as("a"), col("vec").as("va"),
+        col("sz").as("sa"))
+      val y = vecs.select(col("doc_id").as("b"), col("vec").as("vb"),
+        col("sz").as("sb"))
+      val bruteJ = x.join(broadcast(y),
+          col("a") < col("b") &&
+          col("sa") * lit(t) <= col("sb") && col("sb") * lit(t) <= col("sa"))
+        .select(col("a"), col("b"),
+          graft.functions.SortedArrayIntersectCount
+            .count(col("va"), col("vb")).as("common"),
+          col("sa"), col("sb"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+      time("brute jaccard pairs")(println("  pairs=" + bruteJ.count()))
+
+      // brute containment (t=0.8): ordered pairs a != b
+      val tc = 0.8
+      val bruteC = x.join(broadcast(y),
+          col("a") =!= col("b") && col("sb") >= col("sa") * lit(tc) - lit(1e-9))
+        .select(col("a"), col("b"),
+          (graft.functions.SortedArrayIntersectCount
+            .count(col("va"), col("vb")).cast(DoubleType) /
+            col("sa")).as("c"))
+        .filter(col("c") >= tc)
+      time("brute containment pairs")(println("  pairs=" + bruteC.count()))
+
+      // bitset variants: vocab is tiny (dict size), so each doc is a
+      // dense ⌈|V|/64⌉-word bitset and the intersect is branch-free
+      val vocab = dict.count().toInt
+      val nWords = (vocab + 63) / 64
+      println(s"  vocab=$vocab nWords=$nWords")
+      val par = spark.sparkContext.defaultParallelism
+      val xb = vecs.repartition(par)
+        .select(col("doc_id").as("a"),
+          graft.functions.BitsetOps.toBitset(col("vec"), vocab).as("ba"),
+          col("sz").as("sa"))
+      val yb = vecs
+        .select(col("doc_id").as("b"),
+          graft.functions.BitsetOps.toBitset(col("vec"), vocab).as("bb"),
+          col("sz").as("sb"))
+      val bitJ = xb.join(broadcast(yb),
+          col("a") < col("b") &&
+          col("sa") * lit(t) <= col("sb") && col("sb") * lit(t) <= col("sa"))
+        .select(col("a"), col("b"),
+          graft.functions.BitsetOps.intersectCount(col("ba"), col("bb"))
+            .as("common"),
+          col("sa"), col("sb"))
+        .select(col("a"), col("b"),
+          (col("common").cast(DoubleType) /
+            (col("sa") + col("sb") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+      time("bitset jaccard pairs")(println("  pairs=" + bitJ.count()))
+      val bitC = xb.join(broadcast(yb),
+          col("a") =!= col("b") && col("sb") >= col("sa") * lit(tc) - lit(1e-9))
+        .select(col("a"), col("b"),
+          (graft.functions.BitsetOps.intersectCount(col("ba"), col("bb"))
+            .cast(DoubleType) / col("sa")).as("c"))
+        .filter(col("c") >= tc)
+      time("bitset containment pairs")(println("  pairs=" + bitC.count()))
+    }
+    spark.stop()
+  }
+}

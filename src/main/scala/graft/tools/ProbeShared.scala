@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Phase-splits the shared-pairs materialization at the bench SF:
+  * jaccard build (tokenize/dict/encode from the shared encode, then
+  * candidate + verify), containment build on the warm encode, and the
+  * embedding near-dup pairs — the breakdown behind the bench's
+  * `shared_pairs_materialize` and `qd10_containment_dedup` rows.
+  */
+object ProbeShared {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("PROBE_PASSES", "2").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    for (p <- 1 to passes) {
+      println(s"--- pass $p ---")
+      graft.queries.TextOps.invalidateJaccardMemo(spark, sfDir)
+      graft.queries.TextOps.invalidateContainmentMemo(spark, sfDir)
+      spark.catalog.clearCache()
+      val jd = time("jaccard diag build (incl. encode)")(
+        graft.queries.TextOps.exactJaccardDiag(spark, sfDir, 0.4, 2))
+      println("  phases: " + jd.phases.toSeq.sortBy(_._1).mkString(", "))
+      time("jaccard cands count (prefix join + distinct)")(
+        println("  cands=" + jd.cands.count()))
+      time("jaccard pairs count (verify only)")(
+        println("  pairs=" + jd.pairs.count()))
+      val cd = time("containment diag build (warm encode)")(
+        graft.queries.TextOps.containmentDiag(spark, sfDir, 0.8, 2))
+      time("containment cands count (prefix join + distinct)")(
+        println("  cands=" + cd.cands.count()))
+      time("containment pairs count (verify only)")(
+        println("  pairs=" + cd.pairs.count()))
+      time("embedding neardup pairs (cold)")(println("  emb=" +
+        graft.ops.EmbeddingDedup.nearDupPairs(
+          graft.queries.Tables.load(spark, sfDir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3, dim = 64, l = 4,
+          bits = 8, seed = 42L).count()))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage wall/task accounting for one or more declared queries —
+  * the guide §1 "where does the time actually go" probe when the UI is
+  * off: for each pass it prints every completed stage's task count,
+  * executor-run ms (sum), shuffle read/write bytes, and the gap between
+  * job wall and task time (scheduling + driver overhead).
+  */
+object ProbeStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val passes = sys.env.getOrElse("PROBE_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions",
+        classOf[graft.connector.GraftExtensions].getName)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.queries.CatalogOps.warmup(spark, sfDir)
+    graft.queries.Similarity.warmup(spark, sfDir)
+
+    case class St(id: Int, name: String, tasks: Int, runMs: Long,
+        cpuMs: Long, shRead: Long, shWrite: Long, wallMs: Long)
+    val stages = mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val m = i.taskMetrics
+        stages.synchronized {
+          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+            i.numTasks, m.executorRunTime, m.executorCpuTime / 1000000L,
+            m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten,
+            (for {c <- i.completionTime; s <- i.submissionTime}
+              yield c - s).getOrElse(-1L))
+        }
+      }
+    })
+
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+
+    for (name <- names; pass <- 1 to passes) {
+      if (pass > 1) spark.catalog.clearCache()
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e6
+      // listener events are async; drain before reporting
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      val ss = stages.synchronized(stages.toVector).sortBy(_.id)
+      val taskWall = ss.map(_.wallMs).filter(_ >= 0).sum
+      println(f"[stages] $name pass$pass wall=${wall}%.0f ms " +
+        f"stages=${ss.size} stageWallSum=$taskWall ms rows=$c")
+      ss.foreach { s =>
+        println(f"  stage ${s.id}%4d tasks=${s.tasks}%3d wall=${s.wallMs}%5d " +
+          f"run=${s.runMs}%6d cpu=${s.cpuMs}%6d " +
+          f"shR=${s.shRead}%9d shW=${s.shWrite}%9d  ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}

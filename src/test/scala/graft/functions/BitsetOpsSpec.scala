@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dense-bitset recoding must be lossless: popcount-of-AND over
+  * `toBitset` arrays equals `size(array_intersect(...))` on exactly the
+  * inputs the saturated verify path produces — sorted-ascending,
+  * duplicate-free dictionary ids in [0, |V|).
+  */
+class BitsetOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bitsetops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bitset intersect equals size(array_intersect) on dense ids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val v = 931 // the sf0.1 vocabulary size — a non-multiple of 64
+    val df = (0 until 500).map { i =>
+      def arr() = Array.fill(rnd.nextInt(120))(rnd.nextInt(v).toLong)
+        .distinct.sorted
+      (i, arr(), arr())
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      BitsetOps.intersectCount(
+        BitsetOps.toBitset(col("a"), v),
+        BitsetOps.toBitset(col("b"), v)).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("boundary bits: ids 0, 63, 64 and v-1 round-trip") {
+    import spark.implicits._
+    val v = 130
+    val df = Seq(
+      (1, Array(0L, 63L, 64L, 129L), Array(63L, 64L)),
+      (2, Array(0L), Array(129L)),
+      (3, Array[Long](), Array(0L, 129L))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      BitsetOps.intersectCount(
+        BitsetOps.toBitset(col("a"), v),
+        BitsetOps.toBitset(col("b"), v)).as("c"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getInt(1) === 2)
+    assert(rows(1).getInt(1) === 0)
+    assert(rows(2).getInt(1) === 0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val v = 257
+    val df = (0 until 200).map { i =>
+      def arr() = Array.fill(rnd.nextInt(80))(rnd.nextInt(v).toLong)
+        .distinct.sorted
+      (i, arr(), arr())
+    }.toDF("id", "a", "b")
+    def counts(): Array[Int] = df.select(
+      BitsetOps.intersectCount(
+        BitsetOps.toBitset(col("a"), v),
+        BitsetOps.toBitset(col("b"), v))).collect().map(_.getInt(0))
+    val withCodegen = counts()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = counts()
+      assert(withCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("out-of-range id fails loudly instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((1, Array(70L))).toDF("id", "a")
+    val e = intercept[Exception] {
+      df.select(BitsetOps.toBitset(col("a"), 64)).collect()
+    }
+    assert(e.getMessage.contains("out of") ||
+      e.getCause != null && e.getCause.getMessage.contains("out of"))
+  }
+}
