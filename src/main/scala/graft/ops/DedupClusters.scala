@@ -52,6 +52,85 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupClusters {
 
+  /** Small-graph cutover: below this many edges the component problem
+    * fits trivially on the driver and a path-compressed union-find
+    * replaces the iterative join rounds. Measured motivation (round-14
+    * stage probe, sf0.1 hybrid graph — ~4k edges): the alternating-star
+    * run is ~100 stages of 1-2 tasks each, 5-50 ms apiece — >90% of the
+    * 4-5 s wall is per-round scheduling and planning latency, zero of
+    * it data work. 2^20 edges collect to ~50-100 MB of driver rows and
+    * union-find in milliseconds; production-scale dedup graphs (edges
+    * beyond the bound) keep the distributed rounds unchanged — the
+    * take(bound+1) probe reads at most one partition extra and its
+    * result is discarded.
+    */
+  val DriverUnionFindMaxEdges: Int = 1 << 20
+
+  private def orderingFor(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case ByteType => Some(Ordering.by((x: Any) => x.asInstanceOf[Byte]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case DoubleType => Some(Ordering.by((x: Any) => x.asInstanceOf[Double]))
+      case FloatType => Some(Ordering.by((x: Any) => x.asInstanceOf[Float]))
+      case _ => None
+    }
+  }
+
+  /** Exact union-find over a collected edge list: cluster_id is the
+    * component minimum under the id type's natural ordering — the same
+    * labels the distributed rounds produce, independent of edge order.
+    */
+  private def driverUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idx = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(x: Any): Int = {
+      val e = idx.get(x)
+      if (e != null) e.intValue()
+      else { val i = nodes.length; idx.put(x, i); nodes += x; i }
+    }
+    rows.foreach { r => id(r.get(0)); id(r.get(1)) }
+    val parent = Array.tabulate(nodes.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(id(r.get(0))), find(id(r.get(1))))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = new Array[Any](nodes.length)
+    var i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      if (minOf(r) == null || ord.lt(nodes(i), minOf(r))) minOf(r) = nodes(i)
+      i += 1
+    }
+    val out = new Array[Row](nodes.length)
+    i = 0
+    while (i < nodes.length) {
+      out(i) = Row(nodes(i), minOf(find(i)))
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", dt, nullable = true),
+      StructField("cluster_id", dt, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, spark.sparkContext.defaultParallelism)), schema)
+  }
+
   /** Cluster assignment for every node appearing in `pairs`.
     *
     * @param pairs    near-dup pair edges; two columns of the same type
@@ -59,6 +138,9 @@ object DedupClusters {
     * @param bCol     second endpoint column name
     * @param maxIters fixpoint-round bound (throws if exceeded rather
     *                 than silently returning partial clusters)
+    * @param maxDriverEdges small-graph cutover bound (0 disables the
+    *                 driver union-find — tests use it to pin the
+    *                 distributed rounds)
     * @return columns (doc_id, cluster_id): cluster_id is the minimum
     *         node id in the component under the id type's natural
     *         ordering — deterministic, join-free survivor choice
@@ -68,7 +150,23 @@ object DedupClusters {
       aCol: String = "a",
       bCol: String = "b",
       maxIters: Int = 50,
-      highDiameter: Boolean = false): DataFrame = {
+      highDiameter: Boolean = false,
+      maxDriverEdges: Int = DriverUnionFindMaxEdges): DataFrame = {
+    // measured small-graph fast path: if the WHOLE edge list fits the
+    // driver bound (take(bound+1) proves it), label it with union-find
+    // in one action instead of O(rounds) tiny jobs
+    if (maxDriverEdges > 0) {
+      orderingFor(pairs.schema(aCol).dataType) match {
+        case Some(ord) =>
+          val rows = pairs.select(col(aCol), col(bCol))
+            .take(maxDriverEdges + 1)
+          if (rows.length <= maxDriverEdges &&
+            !rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+            return driverUnionFind(pairs.sparkSession, rows,
+              pairs.schema(aCol).dataType, ord)
+        case None => // exotic id type: distributed paths handle it
+      }
+    }
     // stars converge in O(log² n) rounds, so the caller's bound is
     // passed through untouched — capping it here would contradict the
     // propagation error message that advises raising maxIters

@@ -47,7 +47,9 @@ class DedupClustersSpec extends AnyFunSuite {
     import spark.implicits._
     val chain = (1L until 400L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {
-      DedupClusters.clusters(chain.toDF("a", "b"), maxIters = 3).collect()
+      // maxDriverEdges = 0 pins the distributed rounds under test
+      DedupClusters.clusters(chain.toDF("a", "b"), maxIters = 3,
+        maxDriverEdges = 0).collect()
     }
   }
 
@@ -63,11 +65,13 @@ class DedupClustersSpec extends AnyFunSuite {
     import spark.implicits._
     val chain = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
     // propagation needs ~500 rounds — over the default 50 bound
+    // (maxDriverEdges = 0 pins the distributed rounds under test)
     assertThrows[IllegalStateException] {
-      DedupClusters.clusters(chain).collect()
+      DedupClusters.clusters(chain, maxDriverEdges = 0).collect()
     }
     // large-star/small-star converges in O(log² n) alternations
-    val got = DedupClusters.clusters(chain, highDiameter = true)
+    val got = DedupClusters.clusters(chain, highDiameter = true,
+        maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0L to 500L).map(_ -> 0L).toMap)
   }
@@ -80,11 +84,42 @@ class DedupClustersSpec extends AnyFunSuite {
       val edges = Seq.fill(70)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) ++
         Seq((7L, 7L), (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       val df = edges.toDF("a", "b")
-      val viaProp = DedupClusters.clusters(df)
+      val viaProp = DedupClusters.clusters(df, maxDriverEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val viaStars = DedupClusters.clusters(df, highDiameter = true)
+      val viaStars = DedupClusters.clusters(df, highDiameter = true,
+          maxDriverEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaStars === viaProp, s"trial $trial diverged")
     }
+  }
+
+  test("driver union-find agrees with the distributed rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)) ++
+        Seq((3L, 3L))
+      val df = edges.toDF("a", "b")
+      val viaUf = DedupClusters.clusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaProp = DedupClusters.clusters(df, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUf === viaProp, s"trial $trial diverged")
+    }
+  }
+
+  test("driver union-find handles string ids and edge lists at the bound") {
+    import spark.implicits._
+    val got = DedupClusters
+      .clusters(Seq(("docB", "docC"), ("docA", "docC")).toDF("a", "b"),
+        maxDriverEdges = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
+    // one edge OVER the bound falls back to the distributed rounds
+    val over = DedupClusters
+      .clusters(Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b"),
+        maxDriverEdges = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(over === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 }
