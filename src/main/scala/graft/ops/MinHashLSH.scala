@@ -188,7 +188,11 @@ object MinHashLSH {
     val (as, bs) = coefficients(numHashes, seed)
     import tagged.sparkSession.implicits._
     val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
-    val sh = tagged
+    // single-row-group fixture files scan as ONE partition; the whole
+    // shingle+hash+64-agg encode then runs single-threaded (measured
+    // 1.1 s in one task) — spread the raw input when the scan is
+    // under-partitioned (gated no-op on multi-file tables)
+    val sh = Spread(tagged)
       .select(col("side"), col("doc_id"), toks.as("toks"))
       .select(col("side"), col("doc_id"),
         shingleCol(col("toks"), width).as("sh"))

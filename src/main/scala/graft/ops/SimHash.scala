@@ -28,7 +28,9 @@ object SimHash {
 
   /** (doc_id, b0..b3) 16-bit band ints of the 64-bit fingerprint. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    // spread an under-partitioned scan before the md5/64-sum encode —
+    // same measured rationale as MinHashLSH.encode (see graft.ops.Spread)
+    val toks = Spread(df).select(col(idCol).as("doc_id"),
       explode(array_distinct(
         regexp_extract_all(col(textCol), lit(tokenRe), lit(0)))).as("t"))
     // one md5 per token row; 16 hex-digit values d0..d15

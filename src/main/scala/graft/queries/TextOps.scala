@@ -401,8 +401,11 @@ object TextOps {
     }
     // tokenize/shingle once (regex is the CPU-heavy leg; consumed by
     // the frequency pass and the encode pass) — materialized eagerly
-    // so the build wall is PHASE-ATTRIBUTED (qd3 treatment, round 14)
-    val sh = Tables.load(s, dir, "documents")
+    // so the build wall is PHASE-ATTRIBUTED (qd3 treatment, round 14).
+    // Spread an under-partitioned scan first: the tokenize pass AND
+    // every downstream map side (dict groupBy, encode join) inherit
+    // sh's partitioning (see graft.ops.Spread)
+    val sh = graft.ops.Spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("toks"))
       .filter(size(col("toks")) >= width)

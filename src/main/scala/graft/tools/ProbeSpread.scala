@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B: single-partition scan (the testdata shape — one row group per
+  * file) vs an explicit post-scan repartition, for representative
+  * map-heavy and map-cheap stages.
+  */
+object ProbeSpread {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): Unit = {
+      for (p <- 1 to 3) {
+        val t0 = System.nanoTime(); f
+        println(f"[spread] $label pass$p: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    val tokenRe = "[a-z0-9]+"
+    def docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    def li = graft.queries.Tables.load(spark, sfDir, "lineitem")
+    def spread(df: DataFrame) = df.repartition(32)
+
+    def qt1(d: DataFrame) = d
+      .withColumn("toks", regexp_extract_all(col("text"), lit(tokenRe), lit(0)))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)), sum(size(col("toks"))), sum(col("n_chars")),
+        max(size(col("toks"))))
+      .count()
+    def q01ish(d: DataFrame) = d
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+        avg(col("l_discount")), count(lit(1)))
+      .count()
+
+    time("qt1 tokenize-agg 1-part")(qt1(docs))
+    time("qt1 tokenize-agg spread")(qt1(spread(docs)))
+    time("q01 lineitem-agg 1-part")(q01ish(li))
+    time("q01 lineitem-agg spread")(q01ish(spread(li)))
+    spark.stop()
+  }
+}
