@@ -63,6 +63,13 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
     val scaleOn = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") != "0"
+    // local-iteration subset (comma-separated query names): same
+    // methodology (warm row, clearCache between passes, min-of-N) over
+    // fewer rows. The driver never sets this, so its runs are always
+    // the full surface.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,7 +110,9 @@ object Bench {
         }
       val warmRow = "shared_pairs_materialize" ->
         (if (warmOk) (System.nanoTime() - w0) / 1e9 else -1.0)
-      Map(warmRow) ++ SparkEntry.queries.map { case (name, fn) =>
+      Map(warmRow) ++ SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
