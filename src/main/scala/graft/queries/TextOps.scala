@@ -1728,9 +1728,14 @@ object TextOps {
          |  CAST(SUM(score) AS BIGINT) AS score_sum,
          |  CAST(SUM(CASE WHEN score > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
          |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      // featurize is consumed 4× (two profiles, two totals, the scan):
+      // spread the under-partitioned scan (the md5-per-bigram map ran
+      // 2×~500 ms single-task — stage probe r14) and persist the
+      // occurrence rows so the regex+md5 leg runs once
       val feat = graft.ops.Dsir.featurize(
-        Tables.load(s, dir, "documents"), "text", tokenRe,
+        graft.ops.Spread(Tables.load(s, dir, "documents")), "text", tokenRe,
         Seq("doc_id", "source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sc = graft.ops.Dsir.scores(
         feat.filter(col("source") =!= "src0"),
         feat.filter(col("source") === "src0"),
@@ -1852,9 +1857,14 @@ object TextOps {
          |  CAST(MIN(mean_ppm) AS BIGINT) AS min_ppm,
          |  CAST(MAX(mean_ppm) AS BIGINT) AS max_ppm
          |FROM score GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val tok = Tables.load(s, dir, "documents")
+      // tok feeds bg and uc, bg feeds the model and the scoring scan:
+      // spread the single-partition scan and persist both so the regex
+      // and the bigram explode each run once (stage probe r14: the
+      // duplicated tokenize map was a 522 ms single task)
+      val tok = graft.ops.Spread(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bg = tok.filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("lang"), col("t"),
           posexplode(transform(sequence(lit(1), size(col("t")) - 1),
@@ -1862,6 +1872,7 @@ object TextOps {
             .as(Seq("pos", "g")))
         .select(col("doc_id"), col("lang"), col("g"),
           element_at(col("t"), col("pos") + 2).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val uc = tok.select(explode(col("t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val topb = bg.groupBy(col("g")).agg(count(lit(1)).as("c"))
