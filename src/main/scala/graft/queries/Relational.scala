@@ -290,14 +290,22 @@ object Relational {
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
-      // customer scales with the corpus → let AQE choose the strategy
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+      // aggregate-before-join (guide §2.3): every group key is
+      // functionally dependent on o_orderkey, so summing lineitem by
+      // the single long key FIRST and filtering > 150 (drops all but a
+      // handful of orders) is result-identical to the join-then-group
+      // shape — and joins a tiny left side instead of grouping 4-column
+      // keys over the joined fact table. At scale this removes the
+      // wide-row shuffle of the whole join output.
+      val bigOrders = l.groupBy(col("l_orderkey"))
         .agg(sum(dec("l_quantity")).as("qty_dec"))
         .filter(col("qty_dec") > 150)
-        .withColumn("total_qty", col("qty_dec").cast(DoubleType))
-        .drop("qty_dec")
+      bigOrders
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          col("qty_dec").cast(DoubleType).as("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(25)
     },
 
