@@ -70,6 +70,28 @@ object EditDistJoin {
     if (d > targetDensity) k + 2 else k + 1
   }
 
+  /** Memo for the plan-time density measurement, keyed by the input's
+    * canonicalized plan hash (same logical input ⟹ same corpus ⟹ same
+    * density). The measured value only picks between the k+1 and k+2
+    * CANDIDATE plans — verification filters candidates exactly either
+    * way — so even a hash collision cannot change results, only plan
+    * choice. Repeated invocations (bench passes, the rewrite rule
+    * re-planning a query) skip the two measurement jobs; the scale
+    * lane clears the memo per pass via [[invalidateSegMemo]] so its
+    * committed build walls keep paying the real measurement.
+    */
+  private val segMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), Int]()
+
+  private[graft] def invalidateSegMemo(): Unit = segMemo.clear()
+
+  private def memoSegments(df: DataFrame, k: Int, targetDensity: Double)(
+      measure: => Int): Int = {
+    val key = (df.queryExecution.analyzed.semanticHash(), k, targetDensity)
+    if (segMemo.size > 64 && !segMemo.containsKey(key)) segMemo.clear()
+    segMemo.computeIfAbsent(key, _ => measure)
+  }
+
   /** Unordered pairs (left_id < right_id) within Levenshtein distance
     * ≤ k, with the exact distance. `df` must carry a unique numeric id
     * column `idCol` and the string column `strCol`.
@@ -120,7 +142,7 @@ object EditDistJoin {
     val (sigPairs, shortPairs) = try {
       val nSeg =
         if (m != 0) m
-        else {
+        else memoSegments(df, k, 8.0) {
           // one aggregate over the base index projection: rows vs
           // distinct signatures — the autoWidth/autoBits measurement
           val base = indexSegments(titles, k, k + 1)
@@ -398,7 +420,7 @@ object EditDistJoin {
     * a join's INDEX side before choosing its plan.
     */
   private[graft] def measureSegments(strDf: DataFrame, k: Int,
-      targetDensity: Double = 8.0): Int = {
+      targetDensity: Double = 8.0): Int = memoSegments(strDf, k, targetDensity) {
     val base = indexSegments(titled(strDf), k, k + 1)
     val r = base.agg(count(lit(1)).as("rows"),
       count_distinct(col("j"), col("i_len"), col("seg")).as("space"))

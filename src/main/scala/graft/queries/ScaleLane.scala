@@ -330,6 +330,10 @@ object ScaleLane {
         "verify_us_per_cand" -> verifyUsPerCand) ++ build.phases)
     }
     legM("qd12_editdist") {
+      // every pass pays the REAL plan-time density measurement (the
+      // qd5/qd10 invalidation convention — a memo hit would zero the
+      // measured planning leg)
+      graft.ops.EditDistJoin.invalidateSegMemo()
       // PassJoin edit-distance join with the PRODUCTION auto segment
       // knob (m = 0): candidates = unique unordered id pairs sharing
       // an aligned signature. On this saturated 31-word fixture the
