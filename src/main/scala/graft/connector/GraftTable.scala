@@ -616,9 +616,31 @@ class GraftScan(
       allDeleteFiles.nonEmpty || needPositions) None
     else if (selectedFiles.nonEmpty && selectedFiles.forall(f =>
         f.specId == spec.specId &&
-          spec.fields.forall(pf => f.partition.contains(pf.name))))
+          spec.fields.forall(pf => f.partition.contains(pf.name))) &&
+      !keyedGroupsTooSmall)
       Some(spec)
     else None
+  }
+
+  /** SPJ cost gate (guide §6 — small files hurt twice): keyed
+    * reporting emits ONE task per partition tuple, so a table of many
+    * tiny groups (the banded ANN posting layout: L×buckets ≈ 1,000
+    * groups of a few KB) pays ~1,000 scheduling quanta per scan —
+    * measured 973 tasks × ~5 ms on qs23's probe — to preserve a
+    * partitioning no join at that size benefits from. When the
+    * PLAN-TIME file set has far more groups than cores AND every group
+    * is under the configured file-open cost, fall back to packed
+    * unkeyed splits (UnknownPartitioning: Spark re-inserts shuffles as
+    * needed, results unchanged). Production-sized groups — anything
+    * with a real file in it — keep SPJ. Evaluated once, lazily, on the
+    * plan-time selection: runtime row-group filtering only ever
+    * REMOVES files and must not flip the reported partitioning.
+    */
+  private lazy val keyedGroupsTooSmall: Boolean = {
+    val groups = selectedFiles.groupBy(_.partition)
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    groups.size > 2 * spark.sparkContext.defaultParallelism &&
+      groups.values.forall(_.map(_.fileSizeBytes).sum < openCost)
   }
 
   private def partitionKeyRow(f: DataFile, spec: PartitionSpec): InternalRow = {
