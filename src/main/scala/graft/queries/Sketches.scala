@@ -273,7 +273,10 @@ object SketchQueries {
          |SELECT shingle, exact_cnt, est_cnt FROM est
          |QUALIFY row_number() OVER (ORDER BY est_cnt DESC, shingle) <= $CmsTopK
          |ORDER BY est_cnt DESC, shingle""".stripMargin) { (s, dir) =>
-      val sh = Tables.load(s, dir, "documents")
+      // spread the single-partition scan before the trigram explode +
+      // counting map — measured 450 ms single-task otherwise (stage
+      // probe r14; see graft.ops.Spread)
+      val sh = graft.ops.Spread(Tables.load(s, dir, "documents"))
         .select(regexp_extract_all(col("text"), lit(tokenRe), lit(0)).as("t"))
         .select(explode(transform(
           slice(col("t"), lit(1), greatest(size(col("t")) - 2, lit(0))),
