@@ -288,6 +288,14 @@ object Bench {
     // driver contract: ONE JSON line on stdout (artifact path included
     // so a truncated capture still points at the full record)
     println(s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":${queriesJson(results)},"failed":$failed,"sf":${js(sfDir)},"artifact":${js(outPath)}}""")
+    // ADDITION (round 15, VERDICT r14 item 2): the full line above is
+    // ~4 kB for 149 queries and has outrun every 2000-char log-tail
+    // capture since r10 (BENCH_r10..r14 all show parsed:null). Emit a
+    // SECOND, compact line — same metric/value/failed/sf/artifact, no
+    // per-query map — so any tail ≥ ~300 chars yields a parseable
+    // record. The full line, methodology, and artifact file are
+    // unchanged; per-query numbers live in the artifact.
+    println(s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":{},"failed":$failed,"sf":${js(sfDir)},"artifact":${js(outPath)}}""")
     spark.stop()
     if (results.values.exists(_ < 0)) sys.exit(1)
   }

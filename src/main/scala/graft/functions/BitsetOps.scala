@@ -34,10 +34,16 @@ case class SortedArrayToBitset(child: Expression, nBits: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(e, _) if integral(e) && nBits > 0 =>
+      // containsNull must be false: eval/codegen read elements with
+      // getLong/getInt and an UnsafeArrayData null slot would silently
+      // read as 0 (setting bit 0) instead of failing — reject at
+      // analysis like the out-of-range case fails at runtime. The
+      // verify path's dictionary vectors are containsNull=false.
+      case ArrayType(e, false) if integral(e) && nBits > 0 =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires an integral array and nBits > 0, got " +
+        s"$prettyName requires an integral array with " +
+          s"containsNull=false and nBits > 0, got " +
           s"${child.dataType.simpleString} / $nBits")
     }
 
@@ -120,10 +126,15 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull=false for the same reason as SortedArrayToBitset:
+      // getLong on a null UnsafeArrayData slot silently reads 0,
+      // corrupting the popcount. Bitsets from SortedArrayToBitset are
+      // always containsNull=false.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> bitsets, got " +
+        s"$prettyName requires two array<bigint> (containsNull=false) " +
+          s"bitsets, got " +
           s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
     }
 

@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** First 8 bytes of md5(s) as one big-endian long — i.e. the first 16
+  * hex digits of the standard md5 hex string, packed one nibble each:
+  * hex digit p (0-based) of `md5(s)` is `(result >>> (60 - 4*p)) & 15`.
+  *
+  * Motivation (SimHash/DSIR hot path): the fingerprint pipelines
+  * consume md5 DIGIT-wise. Extracting 16 digits from the hex STRING
+  * costs, per token row, one 32-char UTF8String materialization plus
+  * 16 substring allocations and 16 locate scans; this expression
+  * computes the digest once and the consumers get every digit with a
+  * shift+mask on one long column. Bit-for-bit the same digits — the
+  * cross-engine (DuckDB md5) contract is unchanged.
+  */
+case class Md5Prefix64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_md5_prefix64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  protected override def nullSafeEval(v: Any): Any =
+    Md5Prefix64.hashPrefix(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Prefix64.hashPrefix($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Prefix64 = copy(child = newChild)
+}
+
+object Md5Prefix64 {
+
+  // MessageDigest is stateful; digest() resets it, so one instance per
+  // thread amortizes getInstance across every row of a task
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Big-endian long over md5(s)'s first 8 digest bytes. */
+  def hashPrefix(s: UTF8String): Long = {
+    val d = md.get().digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  def of(c: Column): Column = Shim.column(Md5Prefix64(Shim.expression(c)))
+
+  /** Hex digit p (0-based, 0..15) of the packed prefix — equals
+    * `strpos('0123456789abcdef', substr(md5(s), p+1, 1)) - 1`.
+    */
+  def digit(prefix: Column, p: Int): Column = {
+    require(p >= 0 && p < 16, s"digit index $p out of [0,16)")
+    org.apache.spark.sql.functions
+      .shiftrightunsigned(prefix, 60 - 4 * p)
+      .bitwiseAND(org.apache.spark.sql.functions.lit(15L))
+  }
+}

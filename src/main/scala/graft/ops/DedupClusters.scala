@@ -66,6 +66,17 @@ object DedupClusters {
     */
   val DriverUnionFindMaxEdges: Int = 1 << 20
 
+  /** Orderings that EXACTLY match Spark's min()/join-key semantics for
+    * the id type — the driver fast path must label identically to the
+    * distributed rounds. StringType compares UTF8String bytes (binary,
+    * i.e. code-POINT order), not Java String UTF-16 code units: for
+    * supplementary-plane characters (surrogate pairs ≥ U+10000) the two
+    * orders DIVERGE, so Java String ordering here would pick a
+    * different cluster min than Spark's. Float/Double are excluded
+    * outright: Spark normalizes -0.0 to 0.0 in join/group keys while a
+    * Java HashMap treats them as distinct nodes (changing connectivity),
+    * so fractional ids always take the distributed path.
+    */
   private def orderingFor(dt: org.apache.spark.sql.types.DataType)
       : Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
@@ -74,9 +85,13 @@ object DedupClusters {
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
       case ByteType => Some(Ordering.by((x: Any) => x.asInstanceOf[Byte]))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
-      case DoubleType => Some(Ordering.by((x: Any) => x.asInstanceOf[Double]))
-      case FloatType => Some(Ordering.by((x: Any) => x.asInstanceOf[Float]))
+      case StringType => Some(new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+      })
       case _ => None
     }
   }

@@ -152,9 +152,13 @@ object MinHashLSH {
       numHashes: Int = 64,
       bands: Int = 16,
       seed: Long = 42L,
-      width: Int = 2): DataFrame =
-    candidatesAndPairs(df, idCol, textCol, threshold, numHashes, bands,
-      seed, width)._2
+      width: Int = 2): DataFrame = {
+    val (_, pairs, legs) = candidatesAndPairsImpl(df, idCol, textCol,
+      threshold, numHashes, bands, seed, width)
+    // single-consumer entry point: release the internal persisted legs
+    // (shingle arrays + encoded docs) once the caller's action completes
+    ReleaseAfter(pairs, legs: _*)
+  }
 
   /** (candidate pairs, verified pairs) sharing one persisted corpus
     * encoding. The candidate leg is exposed so scale probes can count
@@ -183,42 +187,72 @@ object MinHashLSH {
     *   exact ids via distributed two-pass zipWithIndex (no
     *   single-partition window).
     */
+  /** @return (persisted encoded docs, persisted internal legs to
+    *         release after the consumer's action)
+    */
   private def encode(tagged: DataFrame, numHashes: Int,
-      seed: Long, width: Int): DataFrame = {
+      seed: Long, width: Int): (DataFrame, Seq[DataFrame]) = {
     val (as, bs) = coefficients(numHashes, seed)
     import tagged.sparkSession.implicits._
     val toks = regexp_extract_all(col("text"), lit(tokenRe), lit(0))
     // single-row-group fixture files scan as ONE partition; the whole
-    // shingle+hash+64-agg encode then runs single-threaded (measured
-    // 1.1 s in one task) — spread the raw input when the scan is
+    // shingle+hash encode then runs single-threaded (measured 1.1 s in
+    // one task) — spread the raw input when the scan is
     // under-partitioned (gated no-op on multi-file tables)
     val sh = Spread(tagged)
       .select(col("side"), col("doc_id"), toks.as("toks"))
       .select(col("side"), col("doc_id"),
         shingleCol(col("toks"), width).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sh.select(col("side"), col("doc_id"),
-      explode(col("sh")).as("shingle"))
 
-    val counts = inv.agg(
-      countDistinct(col("shingle")).as("ns"),
+    // injectivity proof over the DISTINCT vocabulary: one
+    // partial-aggregated distinct shuffle of the (tiny) shingle set,
+    // then two counts over it. (The former two-countDistinct aggregate
+    // over every exploded occurrence planned as an Expand that
+    // DOUBLED the exploded corpus before aggregating — r15 stage
+    // probe: the probe stage carried 2× the rows of the encode scan.)
+    val ds = sh.select(explode(col("sh")).as("shingle")).distinct()
+    val counts = ds.agg(
+      count(lit(1)).as("ns"),
       countDistinct(xxhash64(col("shingle"))).as("nh")).head()
     val injective = counts.getLong(0) == counts.getLong(1)
 
-    val hashed = inv.select(col("side"), col("doc_id"),
-      xxhash64(col("shingle")).as("h64"))
-      .select(col("side"), col("doc_id"), col("h64"),
-        pmod(col("h64"), lit(P)).as("h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
-    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-
     val vecsAndSigs: DataFrame = if (injective) {
-      val aggExprs = aggs :+ sort_array(collect_set(col("h64"))).as("vec")
-      hashed.groupBy(col("side"), col("doc_id"))
-        .agg(aggExprs.head, aggExprs.tail: _*)
-        .select(col("side"), col("doc_id"), sigArr.as("sig"), col("vec"))
+      // Injective fast path (r15): the signature AND the verification
+      // vector are per-doc ARRAY EXPRESSIONS over the shingle array —
+      // no explode, no shuffle, no aggregate at all (the former
+      // 64-min-agg + collect_set groupBy planned as a non-codegen
+      // ObjectHashAggregate; this is one whole-stage-codegen'd
+      // projection). Equivalence: shingles are array_distinct'd per
+      // doc and xxhash64 is injective on the corpus (just proven), so
+      // sort_array(transform(sh, xxhash64)) IS sort_array(collect_set)
+      // and array_min(transform(hp, aᵢ·h+bᵢ mod P)) IS
+      // min(pmod(aᵢ·h+bᵢ, P)) over the doc's exploded rows. Docs with
+      // empty/null shingle arrays were absent from the former groupBy
+      // (explode emits no rows) — the size filter keeps them absent.
+      // h64s/hp are multi-referenced projection aliases, so Catalyst
+      // materializes each array once per row, never re-hashing.
+      sh.filter(size(col("sh")) > 0)
+        .select(col("side"), col("doc_id"),
+          transform(col("sh"), s => xxhash64(s)).as("h64s"))
+        .select(col("side"), col("doc_id"),
+          sort_array(col("h64s")).as("vec"),
+          transform(col("h64s"), h => pmod(h, lit(P))).as("hp"))
+        .select(col("side"), col("doc_id"),
+          array((0 until numHashes).map(i =>
+            array_min(transform(col("hp"), h =>
+              pmod(lit(as(i)) * h + lit(bs(i)), lit(P))))): _*).as("sig"),
+          col("vec"))
     } else {
+      // dictionary fallback (collision detected): dense exact ids via
+      // distributed zipWithIndex — unchanged, still explode-based
+      val inv = sh.select(col("side"), col("doc_id"),
+        explode(col("sh")).as("shingle"))
+      val hashed = inv.select(col("side"), col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      val aggs = (0 until numHashes).map(i =>
+        min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
+      val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
       val dict = inv.select(col("shingle")).distinct().rdd.zipWithIndex()
         .map { case (row, idx) => (row.getString(0), idx) }
         .toDF("shingle", "sid")
@@ -230,10 +264,11 @@ object MinHashLSH {
         .join(vecs, Seq("side", "doc_id"))
     }
     // persisted: consumed by banding and both verify legs; ~1 KB/doc
-    vecsAndSigs
+    val docs = vecsAndSigs
       .select(col("side"), col("doc_id"), col("sig"), col("vec"),
         size(col("vec")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (docs, Seq(sh, docs))
   }
 
   def candidatesAndPairs(
@@ -245,12 +280,27 @@ object MinHashLSH {
       bands: Int = 16,
       seed: Long = 42L,
       width: Int = 2): (DataFrame, DataFrame) = {
+    val (c, p, _) = candidatesAndPairsImpl(df, idCol, textCol, threshold,
+      numHashes, bands, seed, width)
+    (c, p)
+  }
+
+  private def candidatesAndPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      width: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
-    val docs = encode(
+    val (encoded, legs) = encode(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("side", lit("s")),
       numHashes, seed, width)
+    val docs = encoded
       .select(col("doc_id"), col("sig"), col("vec"), col("sz"))
 
     val banded = docs
@@ -284,7 +334,7 @@ object MinHashLSH {
         (col("common").cast(DoubleType) /
           (col("sa") + col("sb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (candidates, pairs)
+    (candidates, pairs, legs)
   }
 
   /** Cross-set text near-dup: for each `newDf` document, the
@@ -323,7 +373,7 @@ object MinHashLSH {
     def tagged(df: DataFrame, side: String) = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("side", lit(side))
-    val docs = encode(tagged(newDf, "n").union(tagged(corpusDf, "c")),
+    val (docs, legs) = encode(tagged(newDf, "n").union(tagged(corpusDf, "c")),
       numHashes, seed, width)
 
     def banded(side: String) = docs.filter(col("side") === side)
@@ -337,7 +387,7 @@ object MinHashLSH {
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
 
-    candidates
+    val result = candidates
       .join(docs.filter(col("side") === "n")
         .select(col("doc_id").as("new_id"), col("vec").as("va"),
           col("sz").as("sa")), Seq("new_id"))
@@ -352,5 +402,6 @@ object MinHashLSH {
         (col("common").cast(DoubleType) /
           (col("sa") + col("sb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    ReleaseAfter(result, legs: _*)
   }
 }

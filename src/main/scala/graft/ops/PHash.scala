@@ -66,8 +66,10 @@ object PHash {
       s"band bucketing is complete only up to hamming ${Bands - 1}")
     // three consumers (banding + both hamming-verify legs); respect a
     // caller-managed persist, pin only when the caller didn't
+    val selfPinned =
+      fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val pinned =
-      if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      if (selfPinned)
         fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else fp
     val banded = pinned.select(col("media_id"),
@@ -86,8 +88,11 @@ object PHash {
       (0 until Bands).map(j => col(s"b$j").as(s"xb$j")): _*)
     val hamming = (0 until Bands).map(j =>
       bit_count(col(s"xa$j").bitwiseXOR(col(s"xb$j")))).reduce(_ + _)
-    candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
+    val result = candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
       .select(col("a"), col("b"), hamming.cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // release a self-created pin once the caller's action completes; a
+    // caller-managed persist stays the caller's to manage
+    if (selfPinned) ReleaseAfter(result, pinned) else result
   }
 }

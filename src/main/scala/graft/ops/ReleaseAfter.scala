@@ -1,0 +1,68 @@
+package graft.ops
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Unpersist helper for LAZY query builders whose plans lean on
+  * persisted intermediate legs: the builder returns a DataFrame, the
+  * caller runs exactly one action on it (bench `count()`, verify
+  * `collect()`/write), and the legs must be released after that action
+  * — a persisted leg that merely waits for the session's next
+  * clearCache taxes every later query's storage pool (r14's
+  * dict-persist drag: one leaked persist cost ~5% across the suite),
+  * and at 100 TB a corpus-sized featurize leg would squeeze executors
+  * for the rest of the session.
+  *
+  * Mechanism: a QueryExecutionListener that unpersists `legs` when a
+  * completed SQL execution's analyzed plan CONTAINS the returned
+  * DataFrame's analyzed plan (object identity — `count()`, `collect()`
+  * and writes all build their execution on top of the returned plan's
+  * analyzed tree), then unregisters itself. Positive matching means an
+  * event from an earlier, unrelated execution that is still in flight
+  * on the async bus can never fire it — no blocking bus drain in the
+  * caller's (timed) path. Fail-open: if an analyzer rule copies the
+  * subtree so identity never matches, the listener expires after a few
+  * foreign executions and releases then — the legs are freed a moment
+  * later than ideal; downstream re-actions merely recompute. Never a
+  * correctness issue.
+  */
+object ReleaseAfter {
+
+  /** Foreign-execution budget before a non-matching listener releases
+    * anyway: by then the single consumer action has long completed.
+    */
+  private val ExpireAfter = 8
+
+  def apply(result: DataFrame, legs: DataFrame*): DataFrame = {
+    val session = result.sparkSession
+    val marker = result.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private val foreign = new AtomicInteger(0)
+      private def matches(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(_ eq marker)
+        catch { case _: Exception => false }
+      private def release(): Unit =
+        if (done.compareAndSet(false, true)) {
+          legs.foreach { l =>
+            try l.unpersist()
+            catch { case _: Exception => () }
+          }
+          try session.listenerManager.unregister(this)
+          catch { case _: Exception => () }
+        }
+      private def onDone(qe: QueryExecution): Unit =
+        if (matches(qe) || foreign.incrementAndGet() >= ExpireAfter)
+          release()
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = onDone(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = onDone(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
+}

@@ -21,9 +21,14 @@ object Sampling {
   /** Buckets per unit of sampling rate: 3 md5 hex digits = 12 bits. */
   val Buckets = 4096
 
-  /** Uniform deterministic bucket in [0, 4096) from the id's md5. */
+  /** Uniform deterministic bucket in [0, 4096) from the id's md5 —
+    * first 3 hex digits = top 12 bits of the packed digit prefix
+    * (same value as `conv(substring(md5(id), 1, 3), 16, 10)`).
+    */
   def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 3), 16, 10).cast(IntegerType)
+    shiftrightunsigned(
+      graft.functions.Md5Prefix64.of(id.cast("string")), 52)
+      .cast(IntegerType)
 
   /** Boolean keep-expression for rate-based stratified sampling:
     * keep iff hashBucket(id) < rate(stratum) × 4096.

@@ -76,9 +76,12 @@ object ShardPack {
     // integral floor division (`div`): double division loses exactness
     // once total weight exceeds 2^53, misassigning docs that start
     // exactly on a shard boundary at extreme scale
-    local.join(broadcast(offDf), Seq("_part"))
+    val result = local.join(broadcast(offDf), Seq("_part"))
       .select(col(idCol), col("_w").as("weight"),
         startOff.as("start_offset"))
       .withColumn("shard_id", expr(s"start_offset div ${budget}L"))
+    // the cumsum leg is the persist's last consumer: release it once
+    // the caller's action completes instead of leaking to session end
+    ReleaseAfter(result, data)
   }
 }

@@ -33,18 +33,22 @@ object SimHash {
     val toks = Spread(df).select(col(idCol).as("doc_id"),
       explode(array_distinct(
         regexp_extract_all(col(textCol), lit(tokenRe), lit(0)))).as("t"))
-    // one md5 per token row; 16 hex-digit values d0..d15
-    val withDigits = toks
-      .withColumn("h", md5(col("t")))
-      .select(col("doc_id") +: (0 until 16).map(p =>
-        (expr(s"locate(substring(h, ${p + 1}, 1), '0123456789abcdef')") - 1)
-          .as(s"d$p")): _*)
-    // 64 signed sums: c_i = Σ tokens (bit_i ? +1 : -1)
+    // one md5 per token row, its first 16 hex digits packed into ONE
+    // long (graft.functions.Md5Prefix64) — bit i of a token is a
+    // shift+mask on that long. Same digits as the former per-digit
+    // locate(substring(md5hex)) extraction (r15: 16 substring allocs +
+    // 16 locate scans per token row were ~60% of the encode CPU), so
+    // the DuckDB-oracle contract is untouched.
+    val withPrefix = toks.select(col("doc_id"),
+      graft.functions.Md5Prefix64.of(col("t")).as("L"))
+    // 64 signed sums: c_i = Σ tokens (bit_i ? +1 : -1); bit i = bit
+    // (i%4) of hex digit (i/4) = (L >>> (60 - 4*(i/4) + i%4)) & 1
     val sums = (0 until Bits).map { i =>
-      val bit = shiftright(col(s"d${i / 4}"), i % 4).bitwiseAND(lit(1))
+      val bit = shiftrightunsigned(col("L"), 60 - 4 * (i / 4) + (i % 4))
+        .bitwiseAND(lit(1L))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"c$i")
     }
-    val contrib = withDigits.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val contrib = withPrefix.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
     // bands of sign bits (sum >= 0 → 1)
     val bands = (0 until Bands).map { j =>
       (0 until BitsPerBand).map { k =>
@@ -87,9 +91,11 @@ object SimHash {
       (0 until Bands).map(j => col(s"b$j").as(s"bb$j")): _*)
     val hamming = (0 until Bands).map(j =>
       bit_count(col(s"a$j").bitwiseXOR(col(s"bb$j")))).reduce(_ + _)
-    candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
+    val result = candidates.join(fpa, Seq("a")).join(fpb, Seq("b"))
       .select(col("a"), col("b"), hamming.cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // release the fingerprint persist once the caller's action completes
+    ReleaseAfter(result, fp)
   }
 
   /** DuckDB oracle computing the identical SimHash pipeline (for the

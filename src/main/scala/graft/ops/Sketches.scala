@@ -36,8 +36,10 @@ object Sketches {
     * (The engine-portable sibling of the xxhash64 the LSH ops use.)
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType)
+    // first 15 hex digits = top 60 bits of the packed digit prefix —
+    // one digest + shift instead of hex-string substring + base-16 conv
+    shiftrightunsigned(
+      graft.functions.Md5Prefix64.of(c.cast(StringType)), 4)
 
   /** DuckDB spelling of [[hash60]] over SQL expression `expr`. */
   def hash60Sql(expr: String): String =
@@ -104,10 +106,7 @@ object Sketches {
   def cmsBuckets(keyCol: Column, depth: Int, w: Int): Column = {
     require(depth <= 4,
       s"depth $depth needs ${7 * depth} hex chars; the md5 digest has 32")
-    val dig = md5(keyCol.cast(StringType))
-    array((0 until depth).map(d =>
-      pmod(conv(substring(dig, 1 + 7 * d, 7), 16, 10).cast(LongType),
-        lit(w.toLong))): _*)
+    graft.functions.Md5CmsBuckets.of(keyCol.cast(StringType), depth, w)
   }
 
   /** DuckDB spelling of [[cmsBuckets]] for one row `d` (the oracle

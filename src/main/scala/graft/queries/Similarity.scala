@@ -302,17 +302,19 @@ object Similarity {
       val normExpr = normOf.foldLeft(lit(null).cast(DoubleType)) {
         case (acc, (cid, n)) => when(col("list_id") === cid, n).otherwise(acc)
       }
-      emb
-        .select(
-          graft.ops.KMeans.assignCol(col("embedding"), cents).as("list_id"),
-          graft.ops.KMeans.assignedDist(col("embedding"), cents).as("d"))
-        .groupBy(col("list_id"))
-        .agg(count(lit(1)).as("n_vectors"),
-          round(avg(col("d")), 4).as("mean_sq_dist"))
-        .select(col("list_id").cast(LongType).as("list_id"),
-          col("n_vectors"), normExpr.as("centroid_norm"),
-          col("mean_sq_dist"))
-        .orderBy(col("list_id"))
+      graft.ops.ReleaseAfter(
+        emb
+          .select(
+            graft.ops.KMeans.assignCol(col("embedding"), cents).as("list_id"),
+            graft.ops.KMeans.assignedDist(col("embedding"), cents).as("d"))
+          .groupBy(col("list_id"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(col("d")), 4).as("mean_sq_dist"))
+          .select(col("list_id").cast(LongType).as("list_id"),
+            col("n_vectors"), normExpr.as("centroid_norm"),
+            col("mean_sq_dist"))
+          .orderBy(col("list_id")),
+        emb)
     },
 
     // --------------------------------------- incremental semantic dedup
@@ -362,10 +364,12 @@ object Similarity {
       // the already-persisted emb is cheap at oracle scale; callers
       // that CAN manage lifetime (scale lane, production) use
       // removed()/assign().persist() instead.
-      graft.ops.SemDedup.removedFromAssigned(
-        graft.ops.SemDedup.assign(emb, "vec_id", "embedding", cents),
-        threshold = 0.3)
-        .orderBy(col("vec_id"))
+      graft.ops.ReleaseAfter(
+        graft.ops.SemDedup.removedFromAssigned(
+          graft.ops.SemDedup.assign(emb, "vec_id", "embedding", cents),
+          threshold = 0.3)
+          .orderBy(col("vec_id")),
+        emb)
     },
 
     // -------------------------------------------- product quantization
@@ -459,9 +463,11 @@ object Similarity {
       val assigned = emb.select(col("vec_id"), col("label"),
         graft.ops.KMeans.assignCol(col("embedding"), cents)
           .cast(LongType).as("list_id"))
-      graft.ops.Sampling.exactKSample(assigned, "vec_id", "list_id", k = 5)
-        .select(col("list_id"), col("vec_id"), col("label"))
-        .orderBy(col("list_id"), col("vec_id"))
+      graft.ops.ReleaseAfter(
+        graft.ops.Sampling.exactKSample(assigned, "vec_id", "list_id", k = 5)
+          .select(col("list_id"), col("vec_id"), col("label"))
+          .orderBy(col("list_id"), col("vec_id")),
+        emb)
     },
 
     // ------------------------------------------ ANN recall evaluation

@@ -377,8 +377,19 @@ object TextOps {
   private def encodedCorpus(s: SparkSession, dir: String,
       width: Int): EncodedCorpus = {
     val key = (sessionKey(s), dir, width)
-    if (encodeCache.size > 16 && !encodeCache.containsKey(key))
+    if (encodeCache.size > 16 && !encodeCache.containsKey(key)) {
+      // overflow eviction must unpersist the evicted entries' legs
+      // (same loop as purgeEncodeMemo) — a bare clear() would leak
+      // their MEMORY_AND_DISK blocks until session end
+      val it = encodeCache.values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        Seq(e.sh, e.vecs).foreach(l =>
+          try l.unpersist()
+          catch { case scala.util.control.NonFatal(_) => })
+      }
       encodeCache.clear()
+    }
     val enc = encodeCache.computeIfAbsent(key, _ =>
       buildEncodedCorpus(s, dir, width))
     Seq(enc.sh, enc.vecs).foreach { leg =>
@@ -524,9 +535,15 @@ object TextOps {
     // bounded: entries pin DataFrames (and their persisted legs) for
     // dead sessions otherwise; the working set is a handful of
     // (session, dir, threshold) combinations, so a full clear on
-    // overflow is simpler than LRU and never wrong (just a recompute)
-    if (pairsCache.size > 16 && !pairsCache.containsKey(key))
+    // overflow is simpler than LRU and never wrong (just a recompute).
+    // Unpersist the evicted legs first — a bare clear() leaks their
+    // MEMORY_AND_DISK blocks until session end
+    if (pairsCache.size > 16 && !pairsCache.containsKey(key)) {
+      pairsCache.values().forEach(b => b.legs.foreach(l =>
+        try l.unpersist()
+        catch { case scala.util.control.NonFatal(_) => }))
       pairsCache.clear()
+    }
     val build = pairsCache.computeIfAbsent(key, _ =>
       buildExactJaccardPairs(s, dir, t, w))
     build.legs.foreach { leg =>
@@ -1740,14 +1757,16 @@ object TextOps {
         feat.filter(col("source") =!= "src0"),
         feat.filter(col("source") === "src0"),
         Seq("doc_id", "source"))
-      sc.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_cand"),
-          sum(when(col("dsir_score") > 0, 1).otherwise(0)).cast(LongType)
-            .as("n_kept"),
-          sum(col("dsir_score")).cast(LongType).as("score_sum"),
-          sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
-            .cast(LongType).as("kept_id_sum"))
-        .orderBy(col("source"))
+      graft.ops.ReleaseAfter(
+        sc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("dsir_score") > 0, 1).otherwise(0)).cast(LongType)
+              .as("n_kept"),
+            sum(col("dsir_score")).cast(LongType).as("score_sum"),
+            sum(when(col("dsir_score") > 0, col("doc_id")).otherwise(0L))
+              .cast(LongType).as("kept_id_sum"))
+          .orderBy(col("source")),
+        feat)
     },
 
     // ----------------------------------------------- host PageRank
@@ -1806,9 +1825,11 @@ object TextOps {
             s"(15 * 1000000) div (100 * $HostN) + (85 * coalesce(c, 0)) div 100")
             .as("r"))
       }
-      rank.select(col("h").as("host_id"),
-        col("r").cast(LongType).as("rank_ppm"))
-        .orderBy(col("host_id"))
+      graft.ops.ReleaseAfter(
+        rank.select(col("h").as("host_id"),
+          col("r").cast(LongType).as("rank_ppm"))
+          .orderBy(col("host_id")),
+        edges)
     },
 
     // -------------------------------------- bigram-LM quality scoring
@@ -1884,18 +1905,20 @@ object TextOps {
       val utot = uc.agg(sum(col("c")).as("n"))
       val uni = uc.crossJoin(broadcast(utot))
         .select(col("w"), expr("(1000000 * c) div n").as("ppm"))
-      bg
-        .join(broadcast(bmodel), Seq("g"), "left")
-        .join(broadcast(uni), bg("w2") === uni("w"), "left")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(expr("sum(coalesce(cond_ppm, ppm div 10, 0)) div count(1)")
-          .as("mean_ppm"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("mean_ppm")).cast(LongType).as("ppm_checksum"),
-          min(col("mean_ppm")).cast(LongType).as("min_ppm"),
-          max(col("mean_ppm")).cast(LongType).as("max_ppm"))
-        .orderBy(col("lang"))
+      graft.ops.ReleaseAfter(
+        bg
+          .join(broadcast(bmodel), Seq("g"), "left")
+          .join(broadcast(uni), bg("w2") === uni("w"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("sum(coalesce(cond_ppm, ppm div 10, 0)) div count(1)")
+            .as("mean_ppm"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("mean_ppm")).cast(LongType).as("ppm_checksum"),
+            min(col("mean_ppm")).cast(LongType).as("min_ppm"),
+            max(col("mean_ppm")).cast(LongType).as("max_ppm"))
+          .orderBy(col("lang")),
+        tok, bg)
     },
 
     // --------------------------------------- chunk-level exact dedup
@@ -2326,8 +2349,13 @@ object TextOps {
       width: Int): DiagBuild = {
     val w = resolvedWidth(s, dir, width)
     val key = (sessionKey(s), dir, t, w)
-    if (containCache.size > 16 && !containCache.containsKey(key))
+    if (containCache.size > 16 && !containCache.containsKey(key)) {
+      // unpersist evicted legs before clearing (qd5-cache rationale)
+      containCache.values().forEach(b => b.legs.foreach(l =>
+        try l.unpersist()
+        catch { case scala.util.control.NonFatal(_) => }))
       containCache.clear()
+    }
     val build = containCache.computeIfAbsent(key, _ =>
       buildContainmentPairs(s, dir, t, w))
     build.legs.foreach { leg =>

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Micro A-B of the packed md5-prefix expression vs the hex-string
+  * digit extraction it replaced (r15): same rows, same reduction, wall
+  * per pass. Usage: Md5AB [nRows].
+  */
+object Md5AB {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = spark.range(n).select(col("id").cast(StringType).as("s"))
+
+    def time(name: String)(c: org.apache.spark.sql.Column): Unit = {
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val r = df.agg(sum(c)).head().getLong(0)
+        println(f"$name pass$pass ${(System.nanoTime() - t0) / 1e6}%.0f ms (sum=$r)")
+      }
+    }
+    // old qt6 bucket: first 3 hex digits via conv(substring(md5))
+    time("old conv3   ")(
+      conv(substring(md5(col("s")), 1, 3), 16, 10).cast(IntegerType)
+        .cast(LongType))
+    // new: top 12 bits of the packed prefix
+    time("new prefix3 ")(
+      shiftrightunsigned(graft.functions.Md5Prefix64.of(col("s")), 52)
+        .cast(IntegerType).cast(LongType))
+    // old hash60 / new hash60
+    time("old conv15  ")(
+      pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType), lit(1000000007L)))
+    time("new prefix15")(
+      pmod(shiftrightunsigned(graft.functions.Md5Prefix64.of(col("s")), 4), lit(1000000007L)))
+    // old cms (depth 4, w 1024) / new
+    val dig = md5(col("s"))
+    time("old cms4    ")(
+      aggregate(array((0 until 4).map(d =>
+        pmod(conv(substring(dig, 1 + 7 * d, 7), 16, 10).cast(LongType),
+          lit(1024L))): _*), lit(0L), (a, x) => a + x))
+    time("new cms4    ")(
+      aggregate(graft.functions.Md5CmsBuckets.of(col("s"), 4, 1024),
+        lit(0L), (a, x) => a + x))
+    spark.stop()
+  }
+}

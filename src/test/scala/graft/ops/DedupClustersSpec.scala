@@ -108,6 +108,25 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("supplementary-plane string ids label identically across the cutover") {
+    import spark.implicits._
+    // U+1F600 (😀) is UTF-16 "😀" — Java code-UNIT order puts
+    // it BELOW U+FFFD (0xD83D < 0xFFFD) while UTF-8 byte order (Spark's
+    // UTF8String / code-point order) puts it ABOVE (0xF0 > 0xEF). The
+    // driver union-find must pick the same cluster minimum as the
+    // distributed min() rounds.
+    val smile = "😀"
+    val edges = Seq((smile, "�"), ("a1", "a2"))
+      .toDF("a", "b")
+    val viaUf = DedupClusters.clusters(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaProp = DedupClusters.clusters(edges, maxDriverEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaUf === viaProp)
+    // and the shared label is the UTF8 byte-order minimum
+    assert(viaUf(smile) === "�")
+  }
+
   test("driver union-find handles string ids and edge lists at the bound") {
     import spark.implicits._
     val got = DedupClusters

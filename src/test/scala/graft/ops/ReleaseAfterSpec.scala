@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+class ReleaseAfterSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def awaitReleased(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val deadline = System.currentTimeMillis() + 20000
+    while (df.storageLevel != StorageLevel.NONE &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    df.storageLevel == StorageLevel.NONE
+  }
+
+  test("legs are unpersisted after the consumer's count() completes") {
+    import spark.implicits._
+    val leg = Seq(1L, 2L, 3L).toDF("x")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = ReleaseAfter(
+      leg.groupBy((col("x") % 2).as("m")).agg(sum(col("x")).as("s")), leg)
+    assert(result.count() === 2L)
+    assert(awaitReleased(leg),
+      "persisted leg not released after the consumer action")
+  }
+
+  test("an unrelated query does not release the legs prematurely") {
+    import spark.implicits._
+    val leg = Seq(10L, 20L).toDF("x")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = ReleaseAfter(leg.select(sum(col("x")).as("s")), leg)
+    // a foreign query completing first must NOT trip the release
+    spark.range(5).count()
+    Thread.sleep(500)
+    assert(leg.storageLevel != StorageLevel.NONE,
+      "foreign execution released the legs prematurely")
+    assert(result.head().getLong(0) === 30L)
+    assert(awaitReleased(leg))
+  }
+}
