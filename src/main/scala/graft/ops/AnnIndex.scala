@@ -338,6 +338,37 @@ object AnnIndex {
     * tables count zero staged files (appends refuse them) and skip
     * the leg.
     */
+  /** Whether nprobe/numLists of the index's on-disk bytes fits the
+    * session's broadcast threshold. Sizes come from the graft table's
+    * MANIFEST SUMMARIES (one cheap driver read per manifest), never
+    * from plan statistics — plan stats change when a leg is cached,
+    * which is exactly the build-side instability this gate exists to
+    * remove. Unknown layouts (plain frames, missing summaries) report
+    * false: the scale-safe side (broadcast the bounded query batch) is
+    * the default.
+    */
+  private def probedSliceBroadcastable(index: DataFrame, nprobe: Int,
+      numLists: Int): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    if (threshold <= 0) return false
+    index.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.table
+    } match {
+      case Some(t: graft.connector.GraftTable) =>
+        t.readSnapshot.exists { snap =>
+          val sums = snap.manifests
+            .flatMap(m => t.store.readManifestSummary(t.meta.location, m))
+          sums.nonEmpty && sums.size == snap.manifests.size && {
+            val total = sums.map(_.totalBytes).sum
+            total > 0 && total * nprobe / numLists.max(1) <= threshold
+          }
+        }
+      case _ => false
+    }
+  }
+
   private def hasStagedFiles(index: DataFrame, partCol: String,
       staging: Long): Boolean =
     index.queryExecution.analyzed.collectFirst {
@@ -485,14 +516,32 @@ object AnnIndex {
     // embedding with the verified codebook and equi-join on the same
     // key — a staged vector contributes exactly when its home list is
     // probed. The partition filter bounds the read to staging files.
-    val homeCands = probes.join(pruned, Seq("list_id"))
+    //
+    // Build-side pin (r15, VERDICT r14 #3): the planner's choice here
+    // flipped with CACHE STATE in r14 (the queries leg's size estimate
+    // differs between an InMemoryTableScan and a raw scan), moving
+    // qs20 1.4×. Pin it from MEASURED, cache-independent inputs: when
+    // the probed fraction of the index's ON-DISK bytes (manifest
+    // summaries, nprobe/numLists of the total) fits the session's
+    // broadcast threshold, broadcast the pruned index side — streaming
+    // the corpus side through the join would pay an extra broadcast
+    // round-trip for the probes at small scale. Otherwise — any index
+    // too big to broadcast its probed slice, i.e. the 100 TB shape —
+    // broadcast the bounded probes batch (queries × nprobe rows BY
+    // CONTRACT) and stream the index. Either way the plan no longer
+    // depends on what happens to be cached.
+    val bigIndex = !probedSliceBroadcastable(index, nprobe, numLists)
+    def pinned(idx: DataFrame): DataFrame =
+      if (bigIndex) broadcast(probes).join(idx, Seq("list_id"))
+      else probes.join(broadcast(idx), Seq("list_id"))
+    val homeCands = pinned(pruned)
     val cands =
       if (hasStagedFiles(index, "list_id", IvfStagingList)) {
         val staged = index
           .filter(col("list_id") === lit(IvfStagingList))
           .drop("list_id")
           .withColumn("list_id", Ivf.listId(col(embCol), cents))
-        homeCands.unionByName(probes.join(staged, Seq("list_id")))
+        homeCands.unionByName(pinned(staged))
       } else homeCands
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
