@@ -287,7 +287,13 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docIds.sparkSession
     import spark.implicits._
-    docIds.select(col(idCol).cast(LongType)).as[Long].map { id =>
+    // spread the ID column BEFORE blob synthesis: the id frame is a
+    // single-row-group scan (1 partition), so the codec-heavy
+    // synthesize/decode chain otherwise runs 1-2 tasks wide (qm8 stage
+    // probe r15: the whole query serialized behind a 2-task decode).
+    // The exchange moves 8-byte ids, never blobs; gated no-op on
+    // already-parallel inputs (see graft.ops.Spread)
+    Spread(docIds.select(col(idCol).cast(LongType))).as[Long].map { id =>
       val content: Array[Byte] =
         if (id % 37 == 0)
           "corrupt-blob".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -326,6 +332,93 @@ object Multimodal {
     }.toDF("media_id", "media_type", "content", "meta")
   }
 
+  /** The JDK's WAVE SPI providers, resolved ONCE per JVM. Every
+    * `AudioSystem.getAudioInputStream`/`write` call funnels through a
+    * SYNCHRONIZED provider registry (sun.media JDK13Services) — at 32
+    * concurrent codec tasks that global lock serializes the whole
+    * decode stage (r15 qm8 stage probe: 50 s of task-run against 2 s
+    * of cpu). The public `javax.sound.sampled.spi` ServiceLoader hands
+    * out the SAME stateless parser/writer objects AudioSystem uses;
+    * calling them directly keeps the parse/reject semantics and drops
+    * the lock. Falls back to AudioSystem if the loader finds nothing.
+    */
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val loaded = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+      // Put the provider that actually accepts RIFF/WAVE first: the
+      // ServiceLoader order can lead with the JDK's MIDI reader, whose
+      // per-call PROBE re-enters the synchronized global provider
+      // registry (MidiSystem.getSequence → JDK13Services) — the very
+      // lock this direct-SPI path exists to avoid (r15 thread dump:
+      // decode tasks queued on JSSecurityManager.class). Probed once
+      // with a reference WAV; non-WAVE readers stay as ordered
+      // fallbacks, so reject semantics for corrupt rows are unchanged.
+      val ref = {
+        val pcm = new Array[Byte](8)
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 4L)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val (wave, rest) = loaded.partition { r =>
+        try {
+          r.getAudioInputStream(new java.io.ByteArrayInputStream(ref))
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+      wave ++ rest
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  private lazy val wavWriters
+      : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    try java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+      .filter(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** AudioSystem.getAudioInputStream semantics (first provider that
+    * accepts the bytes wins; all reject → UnsupportedAudioFileException)
+    * without the registry lock.
+    */
+  private def openAudio(in: java.io.InputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** AudioSystem.write(…, WAVE, …) without the registry lock. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit =
+    wavWriters.headOption match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      case None =>
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    }
+
   /** The WAV blob of `id` (see [[syntheticWavMedia]] for the closed
     * form). */
   private def wavContent(id: Long): Array[Byte] =
@@ -348,8 +441,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      writeWave(ais, out)
       out.toByteArray
     }
 
@@ -393,8 +485,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      writeWave(ais, out)
       out.toByteArray
     }
 
@@ -407,7 +498,9 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docIds.sparkSession
     import spark.implicits._
-    val ids = docIds.select(col(idCol).cast(LongType)).as[Long]
+    // spread ids before WAV synthesis — qm8's rationale in
+    // [[syntheticPngNearDupMedia]]: ids are 8 bytes, blobs are not
+    val ids = Spread(docIds.select(col(idCol).cast(LongType))).as[Long]
     val base = ids.map(id =>
       (id, "audio", wavRichContent(id, perturb = false),
         Map.empty[String, String]))
@@ -473,8 +566,7 @@ object Multimodal {
       content: Array[Byte]): Option[Decoded] = {
     if (content == null || mediaType != "audio") return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
+      val ais = openAudio(new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
           fmt.isBigEndian) return None

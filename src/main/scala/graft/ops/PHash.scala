@@ -72,6 +72,15 @@ object PHash {
       if (selfPinned)
         fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else fp
+    // materialize the pin EAGERLY, once, at full parallelism: the
+    // banding + two verify legs otherwise first-touch the cache from
+    // CONCURRENT stages (AQE materializes independent subtrees in
+    // parallel) and serialize on per-partition cache locks while
+    // HOLDING task slots — r15 stage probe on qm8: four racing stages,
+    // run 45 s vs 2 s cpu, wall 2.4 s; one eager build + three cache
+    // reads runs the same plan in 1/3 the wall. One decode pass either
+    // way — this only moves WHEN the cache fills.
+    if (selfPinned) pinned.count()
     val banded = pinned.select(col("media_id"),
       posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "value")))

@@ -75,6 +75,11 @@ object SimHash {
     // MinHashLSH.signatures.
     val fp = fingerprints(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization at full parallelism — the three consumer
+    // subtrees otherwise race their first touch of the cache and
+    // serialize on per-partition cache locks while holding task slots
+    // (PHash.nearDupPairs rationale, r15 qm8 stage probe)
+    fp.count()
     val banded = fp.select(col("doc_id"),
       posexplode(array((0 until Bands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "value")))

@@ -1,24 +1,33 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Gated post-scan repartition for CPU-heavy encode stages.
   *
   * The bench fixtures are single-row-group parquet files, so every
   * scan is ONE input partition and a map-heavy stage (regex tokenize +
-  * 64 hash aggregates, md5 digit sums, codec work) runs single-threaded
+  * hash encodes, md5 digit sums, codec work) runs single-threaded
   * until its first exchange — measured on qd3's signature pass: 1.1 s
   * in one task (stage probe, round 14). A file-split config cannot fix
   * this (one row group = one effective split), so the heavy encoders
   * spread their input explicitly.
   *
   * The gate is measured, not tuned for the bench: only when the scan's
-  * actual partition count is well under the session's parallelism does
-  * the repartition fire — a production multi-file table keeps its scan
-  * partitioning and the exchange never appears. Round-robin repartition
-  * keeps sort-before-repartition semantics (deterministic splits under
-  * retry), and the shuffled payload is the raw input rows the stage was
-  * going to read anyway.
+  * estimated partition count is well under the session's parallelism
+  * does the repartition fire — a production multi-file table keeps its
+  * scan partitioning and the exchange never appears. Round-robin
+  * repartition keeps sort-before-repartition semantics (deterministic
+  * splits under retry), and the shuffled payload is the raw input rows
+  * the stage was going to read anyway.
+  *
+  * The estimate comes from the plan's FILE LEAVES (bytes + open cost
+  * over maxPartitionBytes — the same arithmetic FilePartition uses),
+  * never from `df.rdd`: materializing the RDD forces separate physical
+  * planning, and under AQE it EXECUTES any upstream exchanges at build
+  * time — a trap for derived inputs (r15, advisor note). A plan whose
+  * leaves are not all file scans reports no estimate and Spread is a
+  * no-op (an unknown input is assumed already parallel).
   *
   * NOT applied to cheap map stages: measured on the light tokenize-agg
   * (qt1) and lineitem-agg (q01) shapes, the extra exchange costs more
@@ -29,7 +38,34 @@ object Spread {
   def apply(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val p = sc.defaultParallelism
-    val n = df.rdd.getNumPartitions
-    if (2 * n < p) df.repartition(p) else df
+    scanPartitionEstimate(df) match {
+      case Some(n) if 2 * n < p => df.repartition(p)
+      case _ => df
+    }
+  }
+
+  /** Upper-bound-ish scan partition estimate over the optimized plan's
+    * leaves: Σ per relation of ceil((bytes + files·openCost) /
+    * maxPartitionBytes), floored at one per non-empty relation. None
+    * when any leaf is not a file relation.
+    */
+  private def scanPartitionEstimate(df: DataFrame): Option[Int] = {
+    val conf = df.sparkSession.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val perLeaf = leaves.map {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val files = fs.location.inputFiles.length
+        if (files == 0) Some(0)
+        else {
+          val bytes = fs.location.sizeInBytes
+          val est = (bytes + files.toLong * openCost + maxSplit - 1) / maxSplit
+          Some(math.max(1L, est).min(Int.MaxValue).toInt)
+        }
+      case _ => None
+    }
+    if (perLeaf.exists(_.isEmpty) || perLeaf.isEmpty) None
+    else Some(perLeaf.flatten.sum)
   }
 }

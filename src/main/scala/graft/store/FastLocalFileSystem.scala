@@ -1,0 +1,34 @@
+package graft.store
+
+import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+
+/** `file://` filesystem minus the fork-per-file chmod.
+  *
+  * Without the native Hadoop library (this environment has none),
+  * `RawLocalFileSystem.setPermission` shells out to `chmod` — and the
+  * local FS calls it from every `create(path, permission, …)` and
+  * `mkdirs(path, permission)`, i.e. once per parquet file, checksum
+  * file, and manifest directory the engine writes. An r15 thread dump
+  * during the index-build warmup showed writer tasks spending their
+  * blocked time in `ProcessImpl.forkAndExec` under exactly this stack;
+  * at 32 concurrent writers the fork storm serializes small-file write
+  * bursts (DML commits, index builds, maintenance rewrites).
+  *
+  * The engine never reads back POSIX permissions from its data plane —
+  * files carry content, the process umask governs access — so the
+  * permission call is dropped wholesale rather than optimized. Remote
+  * schemes (hdfs://, s3a://) are untouched: this class binds only to
+  * `fs.file.impl`, and a production deployment pointing the data plane
+  * at a remote store never routes through it.
+  *
+  * Bound via `spark.hadoop.fs.file.impl` in the engine's session
+  * builders (Bench/Verify/tools/tests); the store's data-plane conf
+  * inherits it through `HadoopIO.conf()`.
+  */
+class FastLocalFileSystem
+  extends LocalFileSystem(new NoChmodRawLocalFileSystem)
+
+class NoChmodRawLocalFileSystem extends RawLocalFileSystem {
+  override def setPermission(p: Path, permission: FsPermission): Unit = ()
+}
