@@ -399,10 +399,17 @@ object TextOps {
     enc
   }
 
+  /** Vocabulary bound for the driver-ranked dictionary: 2^16 entries
+    * keep the plan's map literal small (a few MB); larger vocabularies
+    * take the distributed rank.
+    */
+  private val DictDriverMaxVocab = 1 << 16
+
   private def buildEncodedCorpus(s: SparkSession, dir: String,
       width: Int): EncodedCorpus = {
     import s.implicits._
     require(width >= 2, s"shingle width must be >= 2, got $width")
+    var dictToRelease: Option[DataFrame] = None
     val phases = scala.collection.mutable.Map.empty[String, Long]
     def phased[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -424,41 +431,83 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phased("tokenize_ms")(sh.count())
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    // rarity-ordered dense ids over the DISTINCT vocabulary:
-    // orderBy range-partitions + sorts, zipWithIndex stamps global
-    // offsets in two passes — both fully distributed. PERSISTED: the
-    // encode join consumes this lineage a second time
-    val dict = phased("dict_ms") {
-      // constructing this is EAGER — .rdd.zipWithIndex() runs its
-      // partition-offset job at call time, which is most of the dict
-      // wall; the phase must wrap construction, not just the count
-      val d = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df"), col("shingle"))
-        .select(col("shingle")).rdd.zipWithIndex()
-        .map { case (row, idx) => (row.getString(0), idx) }
-        .toDF("shingle", "sid")
+    // rarity-ordered dense ids over the DISTINCT vocabulary. Two
+    // paths, same ids:
+    //  - DRIVER RANK (vocab provably ≤ 2^16 via take(cap+1)): sort the
+    //    (df, shingle) histogram on the driver — UTF8String byte order,
+    //    exactly Spark's string asc — and encode each doc with ONE
+    //    codegen projection: sort_array(transform(shingles, map-lit
+    //    lookup)). The saturated-vocab corpora this engine's w=2 regime
+    //    produces (931 bigrams at sf0.1) paid three tiny jobs
+    //    (range-sort, zipWithIndex offsets, count) plus a join and a
+    //    non-codegen collect_list ObjectHashAggregate for a dictionary
+    //    that fits in a plan literal (r15 ProbeShared: dict_ms 858 ms +
+    //    encode_ms 820 ms warm, most of the shared_pairs build).
+    //  - DISTRIBUTED RANK (anything larger): the original
+    //    orderBy + zipWithIndex + join + collect_list pipeline, which
+    //    scales to vocabularies that don't fit one executor.
+    val histHead = phased("dict_ms")(
+      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .take(DictDriverMaxVocab + 1))
+    val smallVocab = histHead.length <= DictDriverMaxVocab
+    val vecs = if (smallVocab) {
+      def utf8Lt(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      val ranked = histHead.sortWith { (x, y) =>
+        val dx = x.getLong(1); val dy = y.getLong(1)
+        if (dx != dy) dx < dy else utf8Lt(x.getString(0), y.getString(0))
+      }
+      phases("vocab") = ranked.length.toLong
+      val sidMap = typedlit(ranked.iterator.zipWithIndex
+        .map { case (r, i) => r.getString(0) -> i.toLong }.toMap)
+      // every shingle is in the dict by construction (same persisted
+      // sh); KnownNotNull makes the element type non-nullable so the
+      // vectors keep the containsNull=false contract the bitset/verify
+      // kernels require
+      def sid(g: Column): Column = org.apache.spark.sql.graftshim.Shim
+        .column(org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+          org.apache.spark.sql.graftshim.Shim
+            .expression(element_at(sidMap, g))))
+      sh.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          sort_array(transform(col("shingles"), sid(_))).as("vec"))
+        .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      phases("vocab") = d.count()
-      d
+    } else {
+      val dict = {
+        // constructing this is EAGER — .rdd.zipWithIndex() runs its
+        // partition-offset job at call time
+        val d = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df"), col("shingle"))
+          .select(col("shingle")).rdd.zipWithIndex()
+          .map { case (row, idx) => (row.getString(0), idx) }
+          .toDF("shingle", "sid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        phases("vocab") = d.count()
+        d
+      }
+      // per-doc sorted int vector (ascending sid = rarest first)
+      val v = inv.join(dict, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("sid"))).as("vec"))
+        .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the dictionary's only consumer is the encode join above —
+      // unpersist after the stats pass materializes v (below); holding
+      // millions of shingle strings taxed every later query's cache
+      // residency (round-14 A/B: a uniform few-percent drag)
+      dictToRelease = Some(dict)
+      v
     }
-    // per-doc sorted int vector (ascending sid = rarest first); the
-    // vector is consumed 3× per engine (prefix index + verify legs)
-    val vecs = inv.join(dict, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("sid"))).as("vec"))
-      .select(col("doc_id"), col("vec"), size(col("vec")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the materializing action doubles as the stats pass: nDocs and
     // total shingle rows feed the engines' saturation gate for free
     val stats = phased("encode_ms")(
       vecs.agg(count(lit(1)), sum(col("sz"))).head())
     val nDocs = stats.getLong(0)
     val rows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    // vecs is materialized: the dictionary's only consumer is done —
-    // holding millions of shingle strings in the storage pool taxed
-    // every later query's cache residency (round-14 A/B: a uniform
-    // few-percent drag across unrelated rows)
-    dict.unpersist()
+    dictToRelease.foreach(_.unpersist())
     EncodedCorpus(sh, vecs, phases.toMap, nDocs, rows,
       math.max(1L, phases.getOrElse("vocab", 1L)))
   }
