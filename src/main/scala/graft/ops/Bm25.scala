@@ -51,8 +51,13 @@ object Bm25 {
       queryIdCol: String,
       k: Int): DataFrame = {
     // doc length and corpus totals never need per-(doc, term) keys:
-    // one map-side-combined per-doc count covers both
+    // one map-side-combined per-doc count covers both. PERSISTED: the
+    // corpus-stats aggregate and the probe join both consume it, and
+    // the planner executed the identical doc-length subtree twice
+    // (r15 stage probe: two byte-identical exchanges) — one small
+    // (doc, dl) relation, released after the caller's action
     val dl = tok.groupBy(col(docCol)).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
 
@@ -85,8 +90,10 @@ object Bm25 {
 
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_micro").desc, col(docCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    ReleaseAfter(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k),
+      dl)
   }
 }
